@@ -1,0 +1,69 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "agg_pricing_summary",
+    "join_flagship_revenue",
+    "join_broadcast_part_revenue",
+    "join_asof_signup_before_error",
+    "win_topk_cheapest_parts",
+    "ev_session_windows",
+    "ev_tumbling_hourly",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh_candidates",
+    "dedup_simhash",
+    "sim_topk_bruteforce",
+    "text_wordcount_global",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from specialsid_spark.queries import all_queries
+    from specialsid_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = all_queries()
+
+    # JVM/codegen warmup on a trivial action (not counted)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count() if name == "_never_" else len(df.collect())
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

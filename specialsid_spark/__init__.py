@@ -1,0 +1,24 @@
+"""specialsid_spark — a PySpark-native analytics engine.
+
+A from-scratch re-expression of the capabilities of the reference repo
+``dingaanmanjate/SpecialsID`` (an event-driven retail-analytics ETL
+pipeline: ingest -> transform -> normalize -> partitioned columnar store
+-> SQL analytics), built Spark-first:
+
+* DataFrame / Spark SQL for every relational operator (Catalyst picks
+  the physical plan; we only shape it — broadcast hints, partitioning,
+  decimal-exact aggregation for oracle determinism).
+* Structured Streaming for the event-driven zone-to-zone hops the
+  reference implements with S3 notifications + Lambdas
+  (reference: infrastructure/main.tf:234-263).
+* Pandas UDFs / mapInPandas only where built-in operators genuinely
+  cannot express the semantics (PDF page explosion, vision extraction,
+  image cropping — reference: gen_pdf_imgLambda.py, pnp-vision-parserLambda.py,
+  pnp-cropperLambda.py).
+
+Designed for 100 TB scale: no driver-side collects in operators, tiny
+dims broadcast, partitioned writes with dynamic partition overwrite,
+AQE on.
+"""
+
+__version__ = "0.1.0"

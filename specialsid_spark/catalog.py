@@ -1,0 +1,59 @@
+"""Table loading / catalog registration.
+
+The reference's "catalog" is a Glue crawler over the clean Parquet zone
+feeding Athena (infrastructure/main.tf:286-352).  Spark's session
+catalog subsumes it: we register each parquet table as a temp view so
+both the DataFrame API and ``spark.sql`` can address it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Parquet scan → columnar, prunable, pushdown-able.
+
+    `events.ts` is stored as TIMESTAMP(NANOS), which Spark's vectorized
+    reader only surfaces as a nanos long (`nanosAsLong`); we truncate to
+    micros and restore `timestamp_ntz` — the same ns→us truncation
+    DuckDB applies, so both engines see identical values.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer division: ns values (~1.7e18) exceed double precision
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view (Glue-crawler analogue)."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = load(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,140 @@
+"""The clean-zone normalizer as pure DataFrame transforms.
+
+Re-expresses the reference data_cleaner
+(infrastructure/lambda_images/data_cleaner/pnp-cleanerLambda.py:15-121)
+Spark-first: every normalization is a native Column expression —
+whole-stage-codegen'd JVM-side, no Python in the hot path.  The
+reference applies row-wise pandas ``.apply`` per single-page JSON; at
+100 TB that is the difference between a vectorized scan and a Python
+loop.
+
+Semantics reproduced exactly (and property-tested):
+
+* ``normalize_brand`` (ref :15-26): trim; empty/null -> null; map
+  {Pick n Pay->PnP, no name(tm)->no name, KOO->Koo}; else passthrough.
+* ``normalize_unit`` (ref :28-48): lower+trim; empty/null -> null;
+  ``^\\d+(kg|g|ml|l)$`` -> trailing unit; else effective map
+  {l,litre,litres->litre; ml,g,kg,pack,each->self}; else passthrough.
+  (The reference dict literally spells "l" twice — the *effective*
+  mapping is what we encode, per SURVEY.md §7 watch-list.)
+* ``weight_volume`` (ref :91-92): force to string; 'None'/'nan' -> null.
+* ``group_id`` (ref :94-95): null -> 'UNKNOWN'.
+* schema alignment (ref :77-85): absent expected columns added as null.
+* partition derivation (ref :50-57,98-100): province = path part 4,
+  date_range = part 5, source_file = basename.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EXPECTED_COLUMNS: list[tuple[str, T.DataType]] = [
+    ("product_name", T.StringType()),
+    ("brand", T.StringType()),
+    ("current_price", T.DoubleType()),
+    ("was_price", T.DoubleType()),
+    ("weight_volume", T.StringType()),
+    ("unit", T.StringType()),
+    ("deal_type", T.StringType()),
+    ("multi_buy_quantity", T.IntegerType()),
+    ("bounding_box", T.ArrayType(T.IntegerType())),
+    ("group_id", T.StringType()),
+]
+
+CLEAN_SCHEMA = T.StructType(
+    [T.StructField(n, t, True) for n, t in EXPECTED_COLUMNS]
+    + [
+        T.StructField("province", T.StringType(), True),
+        T.StructField("date_range", T.StringType(), True),
+        T.StructField("source_file", T.StringType(), True),
+    ]
+)
+
+_BRAND_MAP = {"Pick n Pay": "PnP", "no name™": "no name", "no name": "no name", "KOO": "Koo"}
+_UNIT_MAP = {
+    "l": "litre",
+    "litre": "litre",
+    "litres": "litre",
+    "ml": "ml",
+    "g": "g",
+    "kg": "kg",
+    "pack": "pack",
+    "each": "each",
+}
+
+
+def normalize_brand(col: Column) -> Column:
+    """Brand normalization as a when/otherwise chain (broadcast-free: the
+    map is folded into the plan as literals)."""
+    trimmed = F.trim(col.cast("string"))
+    out = trimmed
+    for k, v in _BRAND_MAP.items():
+        out = F.when(trimmed == k, F.lit(v)).otherwise(out)
+    return F.when(col.isNull() | (trimmed == ""), F.lit(None).cast("string")).otherwise(out)
+
+
+def normalize_unit(col: Column) -> Column:
+    low = F.lower(F.trim(col.cast("string")))
+    embedded = F.regexp_extract(low, r"(kg|g|ml|l)$", 1)
+    mapped = low
+    for k, v in _UNIT_MAP.items():
+        mapped = F.when(low == k, F.lit(v)).otherwise(mapped)
+    return (
+        F.when(col.isNull() | (low == ""), F.lit(None).cast("string"))
+        .when(low.rlike(r"^\d+(kg|g|ml|l)$"), embedded)
+        .otherwise(mapped)
+    )
+
+
+def align_schema(df: DataFrame) -> DataFrame:
+    """P2: add any absent expected column as a typed null (ref :83-85)."""
+    for name, dtype in EXPECTED_COLUMNS:
+        if name not in df.columns:
+            df = df.withColumn(name, F.lit(None).cast(dtype))
+    return df
+
+
+def derive_partition_cols(df: DataFrame, path_col: str = "source_path") -> DataFrame:
+    """P6: province/date_range/source_file from the zone key grammar
+    (``data/pro/json/PnP/{province}/{date_range}/page_n.json``, ref :50-57)."""
+    parts = F.split(F.col(path_col), "/")
+    return (
+        df.withColumn("province", F.element_at(parts, 5))
+        .withColumn("date_range", F.element_at(parts, 6))
+        .withColumn("source_file", F.element_at(parts, -1))
+    )
+
+
+def clean_products(df: DataFrame, path_col: str = "source_path") -> DataFrame:
+    """Full cleaner: align -> normalize -> defaults -> partition cols ->
+    canonical projection (ref process_json :50-103)."""
+    df = align_schema(df)
+    df = (
+        df.withColumn("brand", normalize_brand(F.col("brand")))
+        .withColumn("unit", normalize_unit(F.col("unit")))
+        .withColumn(
+            "weight_volume",
+            F.when(
+                F.col("weight_volume").cast("string").isin("None", "nan"), F.lit(None)
+            ).otherwise(F.col("weight_volume").cast("string")),
+        )
+        .withColumn("group_id", F.coalesce(F.col("group_id"), F.lit("UNKNOWN")))
+        .withColumn("multi_buy_quantity", F.coalesce(F.col("multi_buy_quantity"), F.lit(1)))
+    )
+    df = derive_partition_cols(df, path_col)
+    return df.select(*[n for n, _ in EXPECTED_COLUMNS], "province", "date_range", "source_file")
+
+
+def write_clean_zone(df: DataFrame, path: str) -> None:
+    """S10: Hive-partitioned Parquet with dynamic partition overwrite —
+    the reference's ``mode=overwrite_partitions`` (ref :107-121) without
+    its page-clobber bug (whole batch written at once, SURVEY.md §3 EP3).
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("province", "date_range")
+        .parquet(path)
+    )

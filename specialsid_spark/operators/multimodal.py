@@ -1,0 +1,139 @@
+"""Multimodal (binary) column operators (SURVEY.md §2.11 X3, §2.4 D1–D3).
+
+The reference moves images as S3 objects between Lambdas
+(gen_pdf_imgLambda.py, pnp-cropperLambda.py); Spark-first, an image /
+audio / video is an opaque ``BinaryType`` column with typed metadata
+flowing through the plan, and per-blob work is an Arrow-batched
+``mapInPandas``.
+
+The actual codecs (PIL / pdf2image / ffmpeg) are not in this container,
+so the decode kernels are STUBBED: ``decode_image_stub`` derives
+deterministic fake metadata from the bytes themselves.  The Spark-side
+plumbing — schema, batch iteration, partitioning — is real and is what
+gets tested.  Swap ``_decode_bytes`` for a real decoder in production.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("page_bytes", T.BinaryType()),
+    ]
+)
+
+
+def _decode_bytes(blob: bytes) -> tuple[int, int, str]:
+    """STUB decoder: deterministic fake (width, height, format) from the
+    payload.  Real implementation: PIL.Image.open(io.BytesIO(blob)).
+    Raises nothing here so the plumbing is testable without codecs."""
+    h = hashlib.md5(blob).digest()
+    width = 64 + h[0]
+    height = 64 + h[1]
+    fmt = ("jpeg", "png", "webp")[h[2] % 3]
+    return width, height, fmt
+
+
+def decode_image_stub(df: DataFrame, id_col: str = "doc_id", bin_col: str = "blob") -> DataFrame:
+    """mapInPandas decode: binary column -> typed metadata rows.
+    Arrow-batched; one Python roundtrip per partition batch, never per row."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_decode_bytes(b) for b in pdf[bin_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": pdf[bin_col].map(len).astype("int64"),
+                    "sha": pdf[bin_col].map(lambda b: hashlib.sha256(b).hexdigest()),
+                    "width": pd.Series([m[0] for m in metas], dtype="int32"),
+                    "height": pd.Series([m[1] for m in metas], dtype="int32"),
+                    "format": [m[2] for m in metas],
+                }
+            )
+
+    return df.mapInPandas(fn, IMAGE_META_SCHEMA)
+
+
+def explode_pdf_pages_stub(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "blob", page_size: int = 100
+) -> DataFrame:
+    """D1 flatMap PDF->pages (ref gen_pdf_imgLambda.py:51-60): 1 row in,
+    N rows out via mapInPandas.  STUB: pages are fixed-size byte slices;
+    real implementation: pdf2image.convert_from_bytes(blob, dpi=300)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_no, out_bytes = [], [], []
+            for i, blob in zip(pdf[id_col], pdf[bin_col]):
+                pages = [blob[o : o + page_size] for o in range(0, max(len(blob), 1), page_size)]
+                for pno, pb in enumerate(pages, start=1):
+                    out_id.append(i)
+                    out_no.append(pno)
+                    out_bytes.append(bytes(pb))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_id, dtype="int64"),
+                    "page_no": pd.Series(out_no, dtype="int32"),
+                    "page_bytes": out_bytes,
+                }
+            )
+
+    return df.mapInPandas(fn, PAGE_SCHEMA)
+
+
+def crop_stub(products: DataFrame, images: DataFrame, on: str = "page_key") -> DataFrame:
+    """D3/J1: products ⋈ page-image (broadcast the small image batch),
+    then a mapInPandas crop.  STUB crop: slice of bytes proportional to
+    the bbox; real implementation: PIL crop of the padded bbox
+    (ref pnp-cropperLambda.py:58-101)."""
+    joined = products.join(F.broadcast(images), on)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(on, T.StringType()),
+            T.StructField("product_name", T.StringType()),
+            T.StructField("crop_bytes", T.BinaryType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            crops = []
+            for bbox, blob in zip(pdf["bounding_box"], pdf["image_bytes"]):
+                if bbox is None or len(bbox) != 4:
+                    crops.append(None)
+                    continue
+                ymin, xmin, ymax, xmax = (int(v) for v in bbox)
+                lo = max(0, min(len(blob) - 1, ymin))
+                hi = max(lo + 1, min(len(blob), ymax))
+                crops.append(bytes(blob[lo:hi]))
+            yield pd.DataFrame(
+                {
+                    on: pdf[on],
+                    "product_name": pdf["product_name"],
+                    "crop_bytes": crops,
+                }
+            )
+
+    return joined.mapInPandas(fn, out_schema)

@@ -1,0 +1,132 @@
+"""Text-analysis + dedup expression builders (SURVEY.md §2.11 X1/X4).
+
+Everything here is a *native Column expression* builder — tokenize,
+shingle, MinHash, SimHash, fingerprint — so the hot path stays inside
+whole-stage codegen.  Python never touches a row: a 100 TB dedup pass
+is a scan + explode + groupBy, all JVM-side.
+
+Cross-engine portability (for the DuckDB oracle): hashes are md5 hex
+strings (identical in both engines) and MinHash takes the *lexicographic
+min* of seeded md5 strings — no integer conversion, no engine-specific
+hash function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles: transform over a 1-based index
+    sequence (no UDF, no explode until the caller wants one)."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )
+    return F.array_distinct(gram)
+
+
+def minhash(shingle: Column, seed: int) -> Column:
+    """One MinHash component: aggregate-side ``min(md5(seed || ':' || shingle))``.
+
+    Lexicographic min over seeded md5 hex — identical semantics in any
+    engine with md5. Use inside ``groupBy(doc).agg(F.min(...))``.
+    """
+    return F.md5(F.concat(F.lit(f"{seed}:"), shingle))
+
+
+def band_key(mh_a: Column, mh_b: Column) -> Column:
+    """LSH band key from two adjacent MinHash components."""
+    return F.md5(F.concat(mh_a, F.lit("|"), mh_b))
+
+
+def hex_digit_value(digit: Column) -> Column:
+    """'0'..'f' -> 0..15 via position in a constant (portable to any SQL)."""
+    return F.instr(F.lit(HEX_DIGITS), digit) - 1
+
+
+def simhash16_from_tokens(toks_distinct: Column) -> Column:
+    """16-bit SimHash of a distinct-token array, fully expression-based.
+
+    For bit b: the b-th bit of md5(token) votes +1/-1; the signature bit
+    is 1 iff the vote sum is >= 0.  Bit b lives in hex digit b//4 at
+    position b%4.  One transform+aggregate pass per bit, no explode.
+    """
+    def _vote_lambda(pos: int, shift: int):
+        # factory keeps the lambda strictly binary-arity: PySpark infers
+        # higher-order-function arity from the Python signature
+        def fn(acc: Column, t: Column) -> Column:
+            digit = F.substring(F.md5(t), pos, 1)
+            bit = F.shiftright(hex_digit_value(digit), shift) % 2
+            return acc + (bit * 2 - 1)
+
+        return fn
+
+    votes = []
+    for b in range(16):
+        pos = b // 4 + 1  # hex digit index (1-based)
+        shift = b % 4
+        vote_sum = F.aggregate(toks_distinct, F.lit(0), _vote_lambda(pos, shift))
+        votes.append(F.when(vote_sum >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    sig = votes[0]
+    for v in votes[1:]:
+        sig = sig + v
+    return sig
+
+
+def sql_simhash16(tokens_expr: str) -> str:
+    """DuckDB twin of :func:`simhash16_from_tokens` over a list expression."""
+    votes = []
+    for b in range(16):
+        pos = b // 4 + 1
+        shift = b % 4
+        bit = (
+            f"((strpos('{HEX_DIGITS}', substring(md5(t), {pos}, 1)) - 1) >> {shift}) & 1"
+        )
+        votes.append(
+            f"CASE WHEN list_sum(list_transform({tokens_expr}, t -> ({bit}) * 2 - 1)) >= 0 "
+            f"THEN {1 << b} ELSE 0 END"
+        )
+    return "(" + " + ".join(votes) + ")"
+
+
+def fingerprint(toks: Column) -> Column:
+    """Document fingerprint: md5 over the sorted distinct token set —
+    the canonical 'same bag of words' identity."""
+    return F.md5(F.array_join(F.sort_array(F.array_distinct(toks)), " "))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two float vectors as a sequential fold
+    (deterministic summation order; elements cast to double first)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return dot / (na * nb)

@@ -1,0 +1,67 @@
+"""Query registry: every operator from SURVEY.md §2 gets a named query.
+
+Each entry pairs a Spark DataFrame builder with (when SQL-expressible)
+an equivalent ANSI-SQL oracle that DuckDB runs on the same parquet
+tables.  The driver executes both at sf0.01 and compares row-count +
+schema + order-insensitive value hash — so every computed column is
+aliased identically on both sides, and money aggregates go through
+DECIMAL(18,2) so the two engines sum exactly (double summation order
+differs between engines; decimal addition does not).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: add a query (and optional DuckDB oracle SQL) to the registry."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load_modules()
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    _load_modules()
+    return dict(_ORACLES)
+
+
+_LOADED = False
+
+
+def _load_modules() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    # import for side effect of @register
+    from specialsid_spark.queries import (  # noqa: F401
+        aggregates,
+        dedup,
+        events,
+        joins,
+        multimodal,
+        retail,
+        setops,
+        similarity,
+        text,
+        windows,
+    )
+
+    _LOADED = True

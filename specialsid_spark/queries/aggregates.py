@@ -1,0 +1,324 @@
+"""Aggregation operators (SURVEY.md §2.6: A1–A6).
+
+Hash/sort aggregates with partial+final (Catalyst emits
+HashAggregate(partial) -> Exchange -> HashAggregate(final) automatically
+— map-side combine for free), distinct / count-distinct / approx,
+rollup / cube / grouping sets, collect_set, and a Pandas GROUPED_AGG
+UDAF.  Reference evidence: the reference's only aggregations are status
+counters (pnp-vision-parser.py:122-145, bulk_clean.sh:31-76); its full
+aggregation surface is the Athena catalog over the clean zone
+(infrastructure/main.tf:286-352).
+
+Scale notes: every groupBy here shuffles on the group keys only after a
+map-side partial aggregate, so shuffled bytes are proportional to
+|groups|, not |rows| — this is the plan shape that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from specialsid_spark.catalog import load
+from specialsid_spark.queries import register
+from specialsid_spark.queries._determinism import (
+    cents,
+    exact_sum,
+    money_avg,
+    money_sum,
+    sql_cents,
+    sql_money_avg,
+    sql_money_sum,
+)
+
+# --------------------------------------------------------------------------
+# A1/A2 — TPC-H Q1-style pricing summary: the flagship aggregate.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      {sql_money_sum("l_extendedprice", "sum_base_price")},
+      CAST(SUM({sql_cents("l_extendedprice")} * (100 - {sql_cents("l_discount")})) AS DOUBLE) / 10000.0
+        AS sum_disc_price,
+      CAST(SUM({sql_cents("l_extendedprice")} * (100 - {sql_cents("l_discount")})
+               * (100 + {sql_cents("l_tax")})) AS DOUBLE) / 1000000.0 AS sum_charge,
+      {sql_money_avg("l_extendedprice", "avg_price")},
+      CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    price_c = cents("l_extendedprice")
+    disc_c = cents("l_discount")
+    tax_c = cents("l_tax")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long")).cast("long").alias("sum_qty"),
+            money_sum("l_extendedprice", "sum_base_price"),
+            (exact_sum(price_c * (100 - disc_c)).cast("double") / 10000.0).alias("sum_disc_price"),
+            (
+                exact_sum((price_c * (100 - disc_c)).cast("decimal(38,0)") * (100 + tax_c)).cast(
+                    "double"
+                )
+                / 1000000.0
+            ).alias("sum_charge"),
+            money_avg("l_extendedprice", "avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# A2 — full stats battery incl. deterministic stddev via exact moments.
+# --------------------------------------------------------------------------
+
+_STDDEV_SQL = """
+    CASE WHEN COUNT(*) > 1 THEN
+      sqrt(greatest(0.0,
+        (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(c2) AS DOUBLE) - CAST(SUM(c1) AS DOUBLE) * CAST(SUM(c1) AS DOUBLE))
+        / (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) - 1 AS DOUBLE)))) / 100.0
+    END
+"""
+
+
+@register(
+    "agg_stats_orders",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_orderstatus, o_orderpriority,
+             {sql_cents("o_totalprice")} AS c1,
+             {sql_cents("o_totalprice")} * {sql_cents("o_totalprice")} AS c2,
+             o_totalprice
+      FROM orders
+    )
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(c1) AS DOUBLE) / 100.0 AS sum_price,
+           CAST(SUM(c1) AS DOUBLE) / 100.0 / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           {_STDDEV_SQL} AS std_price
+    FROM t
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def agg_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c1 = cents("o_totalprice")
+    n = F.count(F.lit(1))
+    sum1 = exact_sum(c1).cast("double")
+    sum2 = exact_sum((c1.cast("decimal(38,0)") * c1)).cast("double")
+    nd = n.cast("double")
+    std = F.when(
+        n > 1,
+        F.sqrt(F.greatest(F.lit(0.0), (nd * sum2 - sum1 * sum1) / (nd * (n - 1).cast("double"))))
+        / 100.0,
+    )
+    return (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            n.alias("n_orders"),
+            (sum1 / 100.0).alias("sum_price"),
+            (sum1 / 100.0 / nd).alias("avg_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            std.alias("std_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# A3 — exact distinct & count-distinct.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_order
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.countDistinct("l_orderkey").alias("n_order"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("agg_approx_count_distinct")  # HLL sketches differ across engines: rows-only check
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 — rollup / cube / grouping sets.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_rollup_region_nation",
+    oracle=f"""
+    SELECT r_name, n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           {sql_money_sum("c_acctbal", "sum_bal")}
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"), money_sum("c_acctbal", "sum_bal"))
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+@register(
+    "agg_cube_status_priority",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_money_sum("o_totalprice", "sum_price")}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), money_sum("o_totalprice", "sum_price"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+    ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_cust
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# A5 — collect_set (deterministic: sorted, stringified).  Models "products
+# per group_id deal" (reference prompt pnp-vision-parserLambda.py:80).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_collect_set",
+    oracle="""
+    SELECT c_mktsegment,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias("priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# A6 — UDAF via pandas_udf GROUPED_AGG (EXT): price range per customer
+# segment.  The UDAF itself is Arrow-batched (grouped-agg pandas UDF);
+# the oracle expresses the same quantity relationally.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_udaf_price_range",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(round(MAX(o_totalprice) * 100) - round(MIN(o_totalprice) * 100) AS DOUBLE) / 100.0
+             AS price_range
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def agg_udaf_price_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+
+    @F.pandas_udf("double")
+    def price_range(v: pd.Series) -> float:  # GROUPED_AGG: one scalar per group
+        cents_v = (v * 100).round()
+        return float((cents_v.max() - cents_v.min()) / 100.0)
+
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(price_range("o_totalprice").alias("price_range"))
+        .orderBy("c_mktsegment")
+    )

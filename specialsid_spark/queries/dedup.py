@@ -1,0 +1,251 @@
+"""Deduplication over `documents` / `embeddings` (SURVEY.md §2.11 X1).
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket
+join), SimHash, n-gram Jaccard, embedding-cosine near-dup — each with a
+DuckDB oracle computing the identical quantity (portable md5-based
+hashing; integer-exact set arithmetic; sequential-fold cosine).
+
+Scale shape: every variant is shuffle-bounded by |docs|·K signatures or
+by candidate pairs that share a bucket — never by |docs|² — which is
+what makes them run at 100 TB.  (The brute-force Jaccard here joins on
+shared shingles, i.e. it IS the blocked form.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from specialsid_spark.catalog import load
+from specialsid_spark.operators.textops import (
+    band_key,
+    cosine,
+    minhash,
+    simhash16_from_tokens,
+    sql_simhash16,
+    tokens,
+    word_shingles,
+)
+from specialsid_spark.queries import register
+
+_SQL_TOKENS = "string_split_regex(lower(trim(text)), '\\s+')"
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),"
+    " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+
+@register(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY text_hash
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content; keeper = min doc_id.
+    At scale the md5 groupBy shuffles 16-byte keys, not documents."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc"))
+        .orderBy("text_hash")
+    )
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", word_shingles(tokens("text"), k=3).alias("shingles")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup: explode shingles, self-join on shared
+    shingle (the blocking step), exact integer set arithmetic."""
+    sh = _shingled(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("shared").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("shared")
+    ).cast("double")
+    return (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_N_MINHASH = 8  # 8 components -> 4 bands of 2
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    aggs = [
+        F.min(minhash(F.col("shingle"), j)).alias(f"mh{j}") for j in range(_N_MINHASH)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
+def _sql_minhash_sigs() -> str:
+    mins = ", ".join(
+        f"min(md5('{j}:' || shingle)) AS mh{j}" for j in range(_N_MINHASH)
+    )
+    return f"""
+    t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sigs AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id)
+    """
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH {_sql_minhash_sigs()}
+    SELECT doc_id, {", ".join(f"mh{j}" for j in range(_N_MINHASH))}
+    FROM sigs ORDER BY doc_id
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 components) — the strongly-checked core of
+    the LSH pipeline: every signature value hash-compared cross-engine."""
+    return _minhash_sigs(spark, sf_dir).orderBy("doc_id")
+
+
+@register(
+    "dedup_minhash_lsh_candidates",
+    oracle=f"""
+    WITH {_sql_minhash_sigs()},
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bkey FROM sigs
+      UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sigs
+      UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sigs
+      UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: 4 bands of 2 rows; docs sharing any band bucket are
+    candidate near-dups.  Join key = (band, bucket-hash): at scale the
+    shuffle carries doc_id + 16-byte keys only."""
+    sigs = _minhash_sigs(spark, sf_dir)
+    bands = None
+    for bi in range(_N_MINHASH // 2):
+        piece = sigs.select(
+            "doc_id",
+            F.lit(bi).alias("band"),
+            band_key(F.col(f"mh{2 * bi}"), F.col(f"mh{2 * bi + 1}")).alias("bkey"),
+        )
+        bands = piece if bands is None else bands.unionByName(piece)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, list_distinct({_SQL_TOKENS}) AS toks FROM documents)
+    SELECT doc_id, CAST({sql_simhash16("toks")} AS BIGINT) AS simhash
+    FROM t ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (bitwise majority vote over token
+    md5 bits) — near-dups share signatures within small Hamming radius."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
+    return t.select(
+        "doc_id", simhash16_from_tokens(F.col("toks")).cast("long").alias("simhash")
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_embedding_cosine_top20",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ORDER BY cos_sim DESC, vec_a, vec_b
+    LIMIT 20
+    """,
+)
+def dedup_embedding_cosine_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: top-20 most-similar pairs by cosine.
+    Brute force at test scale; the LSH-bucketed path for 100 TB lives in
+    queries/similarity.py."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
+        .limit(20)
+    )

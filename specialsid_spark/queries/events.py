@@ -1,0 +1,211 @@
+"""Event-time operators over the `events` table (SURVEY.md §2.9 T8).
+
+Batch equivalents of the streaming surface: tumbling / sliding /
+session windows, exact event dedup, JSON props extraction, pivot.
+The *streaming* executions of these shapes (readStream + watermark)
+live in specialsid_spark/streaming/ and are exercised by tests —
+the registry entries here are the deterministic batch twins the
+DuckDB oracle can check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from specialsid_spark.catalog import load
+from specialsid_spark.queries import register
+from specialsid_spark.queries._determinism import cents
+
+
+@register(
+    "ev_tumbling_hourly",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").cast("string").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value").cast("decimal(38,0)")).cast("double") / 100.0).alias(
+                "sum_value"
+            ),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+@register(
+    "ev_sliding_1h_30m",
+    oracle="""
+    WITH buckets AS (
+      SELECT unnest([date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+                                                   THEN INTERVAL 30 MINUTE
+                                                   ELSE INTERVAL 0 MINUTE END,
+                     date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+                                                   THEN INTERVAL 30 MINUTE
+                                                   ELSE INTERVAL 0 MINUTE END
+                       - INTERVAL 30 MINUTE]) AS win_start,
+             event_id
+      FROM events
+    )
+    SELECT CAST(win_start AS VARCHAR) AS win_start, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM buckets
+    GROUP BY win_start
+    ORDER BY win_start
+    """,
+)
+def ev_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes via the built-in window()."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").cast("string").alias("win_start"), "n_events")
+        .orderBy("win_start")
+    )
+
+
+@register(
+    "ev_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(MIN(ts) AS VARCHAR) AS session_start,
+           CAST(MAX(ts) AS VARCHAR) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def ev_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap).
+
+    The streaming twin uses session_window(ts, '30 minutes'); this batch
+    formulation produces identical sessions and is oracle-checkable.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))  # session tz is UTC
+    gap = micros - F.lag(micros).over(w)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    return (
+        flagged.withColumn("session_id", F.sum("is_new").over(cum).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").cast("string").alias("session_start"),
+            F.max("ts").cast("string").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "ev_dedup_first_per_key",
+    oracle="""
+    SELECT user_id, event_type, event_id, CAST(ts AS VARCHAR) AS ts
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def ev_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup: first event per (user, type).
+
+    dropDuplicates keeps an arbitrary row; the deterministic form is a
+    row_number window — same shape the streaming dedup
+    (dropDuplicatesWithinWatermark) guarantees under event time.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.col("ts").cast("string").alias("ts"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register(
+    "ev_json_props",
+    oracle="""
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (F8): get_json_object on the props column."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(k).cast("long").alias("sum_k"))
+        .orderBy("k_bucket")
+    )
+
+
+@register(
+    "ev_pivot_type_counts",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (event_type = 'error')    AS BIGINT) AS error,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (event_type = 'view')     AS BIGINT) AS view
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def ev_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = ev.groupBy("user_id").pivot("event_type", types).agg(F.count(F.lit(1)))
+    # pivot yields nulls for absent combos; counts should be 0
+    for t in types:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)).cast("long"))
+    return out.orderBy("user_id")

@@ -1,0 +1,258 @@
+"""Join operators (SURVEY.md §2.5: J1–J4).
+
+The reference's only coded join is the cropper's products⋈page-image
+key join (pnp-cropperLambda.py:24-56) plus existence anti-joins for
+idempotency (pnpscrLambda.py:23-32 etc.); the general join surface is
+implied by its Athena catalog (infrastructure/main.tf:286-352).
+
+Scale notes: dimension tables (region/nation/supplier/part at TPC-H
+ratios) are broadcast — no shuffle of the fact side; fact⋈fact joins
+(lineitem⋈orders) shuffle on the join key and benefit from AQE skew
+splitting.  Semi/anti joins are expressed as such (never as
+join+distinct) so Catalyst can use them directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from specialsid_spark.catalog import load
+from specialsid_spark.queries import register
+from specialsid_spark.queries._determinism import cents
+
+# --------------------------------------------------------------------------
+# Flagship: revenue per region/nation — 5-way join + exact-cents agg.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_flagship_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def join_flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    revenue = cents("l_extendedprice").cast("decimal(38,0)") * (100 - cents("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)  # fact⋈fact: shuffle on orderkey
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            (F.sum(revenue).cast("double") / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@register(
+    "join_left_order_counts",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS DOUBLE) / 100.0
+             AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY c_custkey
+    """,
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            (
+                F.coalesce(F.sum(cents("o_totalprice").cast("decimal(38,0)")), F.lit(0)).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_semi_customers_with_f_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    ORDER BY c_custkey
+    """,
+)
+def join_semi_customers_with_f_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti_parts_never_ordered",
+    oracle="""
+    SELECT p_partkey, p_brand
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    ORDER BY p_partkey
+    """,
+)
+def join_anti_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "join_cross_region_status",
+    oracle="""
+    SELECT r_name, s.o_orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    ORDER BY r_name, s.o_orderstatus
+    """,
+)
+def join_cross_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    s = load(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s).select("r_name", "o_orderstatus").orderBy("r_name", "o_orderstatus")
+
+
+# --------------------------------------------------------------------------
+# Non-equi (range/theta) join: price-band bucketing of parts.  The band
+# table is tiny → broadcast nested-loop join, which is exactly right.
+# --------------------------------------------------------------------------
+
+_BANDS = [("budget", 900.0, 930.0), ("mid", 930.0, 960.0), ("premium", 960.0, 1000.0)]
+
+
+@register(
+    "join_range_price_bands",
+    oracle="""
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+    FROM part
+    JOIN (VALUES ('budget', 900.0, 930.0), ('mid', 930.0, 960.0), ('premium', 960.0, 1000.0))
+         b(band, lo, hi)
+      ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    bands = spark.createDataFrame(_BANDS, ["band", "lo", "hi"])
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (F.sum(cents("p_retailprice").cast("decimal(38,0)")).cast("double") / 100.0).alias(
+                "sum_price"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join: for each 'error' event, the most recent 'signup' of the
+# same user at-or-before it.  Spark-first: NOT a correlated subquery —
+# a single shuffle on user_id, then last(signup_ts, ignorenulls) over an
+# event-time window (scales linearly; the SQL oracle uses the
+# correlated-subquery formulation DuckDB optimizes natively).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_asof_signup_before_error",
+    oracle="""
+    SELECT e.event_id,
+           CAST(e.ts AS VARCHAR) AS error_ts,
+           CAST((SELECT max(s.ts) FROM events s
+                 WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts <= e.ts)
+                AS VARCHAR) AS last_signup_ts
+    FROM events e
+    WHERE e.event_type = 'error'
+    ORDER BY e.event_id
+    """,
+)
+def join_asof_signup_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("error", "signup")).withColumn(
+        "signup_ts", F.when(F.col("event_type") == "signup", F.col("ts"))
+    )
+    # signup sorts before error at equal ts so "at-or-before" includes ties
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.when(F.col("event_type") == "signup", 0).otherwise(1))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_signup", F.last("signup_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            F.col("ts").cast("string").alias("error_ts"),
+            F.col("last_signup").cast("string").alias("last_signup_ts"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "join_broadcast_part_revenue",
+    oracle="""
+    SELECT p_brand,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0
+             AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def join_broadcast_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    revenue = cents("l_extendedprice").cast("decimal(38,0)") * (100 - cents("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)  # dim broadcast: no fact shuffle
+        .groupBy("p_brand")
+        .agg((F.sum(revenue).cast("double") / 10000.0).alias("revenue"))
+        .orderBy("p_brand")
+    )

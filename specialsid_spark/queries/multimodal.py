@@ -1,0 +1,64 @@
+"""Multimodal-column queries (SURVEY.md X3): binary columns end-to-end.
+
+`mm_binary_meta` is fully oracle-checked (byte length + md5 over the
+blob).  The decode/crop/page-explode stubs are genuinely non-SQL
+(mapInPandas kernels) -> rows-only checks, as the driver contract
+allows; their *plumbing* correctness is pinned by tests/test_multimodal.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from specialsid_spark.catalog import load
+from specialsid_spark.operators.multimodal import decode_image_stub, explode_pdf_pages_stub
+from specialsid_spark.queries import register
+
+
+def _as_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text re-materialized as an opaque binary payload column
+    — the stand-in for image/audio blobs in this container."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+
+
+@register(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS blob_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BinaryType metadata through the plan: length + content hash,
+    computed on the binary column itself (JVM-side, no Python)."""
+    b = _as_binary(spark, sf_dir)
+    return b.select(
+        "doc_id",
+        F.length("blob").cast("long").alias("n_bytes"),
+        F.md5("blob").alias("blob_md5"),
+    ).orderBy("doc_id")
+
+
+@register("mm_decode_meta_stub")  # mapInPandas kernel: rows-only check
+def mm_decode_meta_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode stub: blob -> (n_bytes, sha, width, height, format)."""
+    return decode_image_stub(_as_binary(spark, sf_dir)).orderBy("doc_id")
+
+
+@register("mm_pdf_page_explode_stub")  # mapInPandas flatMap: rows-only check
+def mm_pdf_page_explode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 flatMap 1->N: page counts + per-page sizes from the stub slicer."""
+    pages = explode_pdf_pages_stub(_as_binary(spark, sf_dir))
+    return (
+        pages.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.length("page_bytes")).cast("long").alias("total_bytes"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,320 @@
+"""The reference's cleaner pipeline + its operator patterns as queries
+(SURVEY.md §2.2 P1–P9, §2.3 F1–F9).
+
+`retail_clean_pipeline` runs the full data_cleaner re-expression
+(operators/clean.py) on an inline dirty batch — the oracle states the
+SAME transformation in ANSI SQL over the same VALUES, so the driver
+verifies the normalization semantics themselves, not just row counts.
+The remaining queries exercise each cleaner pattern at fixture scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from specialsid_spark.catalog import load
+from specialsid_spark.operators.clean import clean_products
+from specialsid_spark.queries import register
+
+_P1 = "data/pro/json/PnP/Eastern_Cape/13_February_-_15_February_2026/page_1.json"
+_P2 = "data/pro/json/PnP/Gauteng/20_February_-_22_February_2026/page_2.json"
+
+_DIRTY_SCHEMA = T.StructType(
+    [
+        T.StructField("product_name", T.StringType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("current_price", T.DoubleType()),
+        T.StructField("was_price", T.DoubleType()),
+        T.StructField("weight_volume", T.StringType()),
+        T.StructField("unit", T.StringType()),
+        T.StructField("multi_buy_quantity", T.IntegerType()),
+        T.StructField("bounding_box", T.ArrayType(T.IntegerType())),
+        T.StructField("group_id", T.StringType()),
+        T.StructField("source_path", T.StringType()),
+    ]
+)
+# deal_type intentionally absent -> exercises schema alignment (P2)
+
+_DIRTY_ROWS = [
+    ("Rice 2kg", "Pick n Pay", 59.99, 79.99, "2.0", "KG", None, [10, 20, 30, 40], None, _P1),
+    ("Milk", "no name™", 18.5, None, "None", "Litres", 2, None, "deal1", _P1),
+    ("Beans", "KOO", 12.0, 15.0, "410", "G", 1, [0, 0, 100, 100], "deal1", _P1),
+    ("Cola", " Coke ", 10.0, None, "nan", "330ml", 2, [1, 2, 3, 4], None, _P2),
+    ("Eggs", "", 45.0, None, "18", "EACH", None, None, None, _P2),
+    ("Water", None, 9.99, None, "5l", "5l", None, [5, 6, 7, 8], "g2", _P2),
+    ("Chips", "Lays", 22.0, 25.0, "120", "pack", 3, [9, 9, 9, 9], None, _P2),
+    ("Mystery", None, None, None, None, None, None, None, None, _P2),
+]
+
+_DIRTY_VALUES_SQL = """(VALUES
+  ('Rice 2kg', 'Pick n Pay', 59.99, 79.99, '2.0', 'KG', NULL, [10,20,30,40], NULL,
+   'data/pro/json/PnP/Eastern_Cape/13_February_-_15_February_2026/page_1.json'),
+  ('Milk', 'no name™', 18.5, NULL, 'None', 'Litres', 2, NULL, 'deal1',
+   'data/pro/json/PnP/Eastern_Cape/13_February_-_15_February_2026/page_1.json'),
+  ('Beans', 'KOO', 12.0, 15.0, '410', 'G', 1, [0,0,100,100], 'deal1',
+   'data/pro/json/PnP/Eastern_Cape/13_February_-_15_February_2026/page_1.json'),
+  ('Cola', ' Coke ', 10.0, NULL, 'nan', '330ml', 2, [1,2,3,4], NULL,
+   'data/pro/json/PnP/Gauteng/20_February_-_22_February_2026/page_2.json'),
+  ('Eggs', '', 45.0, NULL, '18', 'EACH', NULL, NULL, NULL,
+   'data/pro/json/PnP/Gauteng/20_February_-_22_February_2026/page_2.json'),
+  ('Water', NULL, 9.99, NULL, '5l', '5l', NULL, [5,6,7,8], 'g2',
+   'data/pro/json/PnP/Gauteng/20_February_-_22_February_2026/page_2.json'),
+  ('Chips', 'Lays', 22.0, 25.0, '120', 'pack', 3, [9,9,9,9], NULL,
+   'data/pro/json/PnP/Gauteng/20_February_-_22_February_2026/page_2.json'),
+  ('Mystery', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+   'data/pro/json/PnP/Gauteng/20_February_-_22_February_2026/page_2.json')
+) raw(product_name, brand, current_price, was_price, weight_volume, unit,
+      multi_buy_quantity, bounding_box, group_id, source_path)"""
+
+
+@register(
+    "retail_clean_pipeline",
+    oracle=f"""
+    SELECT
+      product_name,
+      CASE WHEN brand IS NULL OR trim(brand) = '' THEN NULL
+           WHEN trim(brand) = 'Pick n Pay' THEN 'PnP'
+           WHEN trim(brand) IN ('no name™', 'no name') THEN 'no name'
+           WHEN trim(brand) = 'KOO' THEN 'Koo'
+           ELSE trim(brand) END AS brand,
+      CAST(current_price AS DOUBLE) AS current_price,
+      CAST(was_price AS DOUBLE) AS was_price,
+      CASE WHEN weight_volume IN ('None', 'nan') THEN NULL
+           ELSE weight_volume END AS weight_volume,
+      CASE WHEN unit IS NULL OR lower(trim(unit)) = '' THEN NULL
+           WHEN regexp_matches(lower(trim(unit)), '^\\d+(kg|g|ml|l)$')
+             THEN regexp_extract(lower(trim(unit)), '(kg|g|ml|l)$', 1)
+           WHEN lower(trim(unit)) IN ('l', 'litre', 'litres') THEN 'litre'
+           ELSE lower(trim(unit)) END AS unit,
+      CAST(NULL AS VARCHAR) AS deal_type,
+      CAST(COALESCE(multi_buy_quantity, 1) AS INTEGER) AS multi_buy_quantity,
+      array_to_string(bounding_box, ',') AS bounding_box,
+      COALESCE(group_id, 'UNKNOWN') AS group_id,
+      split_part(source_path, '/', 5) AS province,
+      split_part(source_path, '/', 6) AS date_range,
+      regexp_extract(source_path, '([^/]+)$', 1) AS source_file
+    FROM {_DIRTY_VALUES_SQL}
+    ORDER BY product_name
+    """,
+)
+def retail_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = spark.createDataFrame(_DIRTY_ROWS, _DIRTY_SCHEMA)
+    out = clean_products(raw)
+    # arrays stringified for cross-engine hash stability
+    return out.withColumn("bounding_box", F.array_join("bounding_box", ",")).orderBy(
+        "product_name"
+    )
+
+
+@register(
+    "clean_map_normalize_segment",
+    oracle="""
+    SELECT CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'auto'
+                WHEN c_mktsegment = 'HOUSEHOLD' THEN 'home'
+                WHEN c_mktsegment = 'MACHINERY' THEN 'industrial'
+                ELSE lower(c_mktsegment) END AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust
+    FROM customer
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def clean_map_normalize_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3 dict-lookup normalization at fixture scale (when/otherwise chain)."""
+    c = load(spark, sf_dir, "customer")
+    seg = (
+        F.when(F.col("c_mktsegment") == "AUTOMOBILE", "auto")
+        .when(F.col("c_mktsegment") == "HOUSEHOLD", "home")
+        .when(F.col("c_mktsegment") == "MACHINERY", "industrial")
+        .otherwise(F.lower(F.col("c_mktsegment")))
+    )
+    return (
+        c.groupBy(seg.alias("segment")).agg(F.count(F.lit(1)).alias("n_cust")).orderBy("segment")
+    )
+
+
+@register(
+    "clean_slugify_names",
+    oracle="""
+    SELECT p_partkey,
+           substring(regexp_replace(p_name, '[^A-Za-z0-9_-]', '_', 'g'), 1, 50) AS slug
+    FROM part
+    ORDER BY p_partkey
+    LIMIT 200
+    """,
+)
+def clean_slugify_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: filename slugification (ref pnpscrLambda.py:99-100, cropper :87-90)."""
+    p = load(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.substring(F.regexp_replace("p_name", "[^A-Za-z0-9_-]", "_"), 1, 50).alias("slug"),
+        )
+        .orderBy("p_partkey")
+        .limit(200)
+    )
+
+
+@register(
+    "clean_path_derive",
+    oracle="""
+    WITH t AS (
+      SELECT 'data/pro/json/PnP/' || event_type || '/u' || CAST(user_id AS VARCHAR)
+             || '/page_' || CAST(event_id % 5 AS VARCHAR) || '.json' AS path
+      FROM events
+    )
+    SELECT split_part(path, '/', 5) AS province,
+           split_part(path, '/', 6) AS flyer,
+           regexp_extract(path, '([^/]+)$', 1) AS source_file,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM t
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def clean_path_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/F9: zone-key grammar parsing at fixture scale."""
+    ev = load(spark, sf_dir, "events")
+    path = F.concat(
+        F.lit("data/pro/json/PnP/"),
+        F.col("event_type"),
+        F.lit("/u"),
+        F.col("user_id").cast("string"),
+        F.lit("/page_"),
+        (F.col("event_id") % 5).cast("string"),
+        F.lit(".json"),
+    )
+    parts = F.split(path, "/")
+    return (
+        ev.select(
+            F.element_at(parts, 5).alias("province"),
+            F.element_at(parts, 6).alias("flyer"),
+            F.element_at(parts, -1).alias("source_file"),
+        )
+        .groupBy("province", "flyer", "source_file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("province", "flyer", "source_file")
+    )
+
+
+@register(
+    "clean_bbox_crop_math",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey,
+             [p_size * 7, p_size * 3, p_size * 7 + 120, p_size * 3 + 200] AS bbox
+      FROM part
+    ), b AS (
+      SELECT p_partkey,
+             bbox[1] AS ymin, bbox[2] AS xmin, bbox[3] AS ymax, bbox[4] AS xmax,
+             bbox[3] - bbox[1] AS h, bbox[4] - bbox[2] AS w
+      FROM t
+      WHERE len(bbox) = 4
+    )
+    SELECT p_partkey,
+           greatest(0,    ymin - CAST(floor(h * 0.10) AS INTEGER)) AS pad_ymin,
+           greatest(0,    xmin - CAST(floor(w * 0.10) AS INTEGER)) AS pad_xmin,
+           least(1000,    ymax + CAST(floor(h * 0.10) AS INTEGER)) AS pad_ymax,
+           least(1000,    xmax + CAST(floor(w * 0.10) AS INTEGER)) AS pad_xmax
+    FROM b
+    ORDER BY p_partkey
+    """,
+)
+def clean_bbox_crop_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: the cropper's bbox arithmetic (ref pnp-cropperLambda.py:61-82):
+    element access, width/height, 10% padding, [0,1000] clamp — all as
+    native integer Column arithmetic."""
+    p = load(spark, sf_dir, "part")
+    bbox = F.array(
+        F.col("p_size") * 7,
+        F.col("p_size") * 3,
+        F.col("p_size") * 7 + 120,
+        F.col("p_size") * 3 + 200,
+    )
+    t = p.select("p_partkey", bbox.alias("bbox")).filter(F.size("bbox") == 4)
+    ymin, xmin = F.element_at("bbox", 1), F.element_at("bbox", 2)
+    ymax, xmax = F.element_at("bbox", 3), F.element_at("bbox", 4)
+    h, w = ymax - ymin, xmax - xmin
+    pad_h = F.floor(h * 0.10).cast("int")
+    pad_w = F.floor(w * 0.10).cast("int")
+    return t.select(
+        "p_partkey",
+        F.greatest(F.lit(0), ymin - pad_h).alias("pad_ymin"),
+        F.greatest(F.lit(0), xmin - pad_w).alias("pad_xmin"),
+        F.least(F.lit(1000), ymax + pad_h).alias("pad_ymax"),
+        F.least(F.lit(1000), xmax + pad_w).alias("pad_xmax"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "clean_cast_nullify",
+    oracle="""
+    SELECT CASE WHEN CAST(l_quantity AS VARCHAR) IN ('None', 'nan') THEN NULL
+                ELSE CAST(CAST(round(l_quantity) AS BIGINT) AS VARCHAR) END AS qty_str,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def clean_cast_nullify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: cast-to-string + sentinel-null pattern (ref :91-92).  Quantity
+    is integral-valued so the string form is normalized via round()."""
+    li = load(spark, sf_dir, "lineitem")
+    qty_str = F.when(
+        F.col("l_quantity").cast("string").isin("None", "nan"), F.lit(None)
+    ).otherwise(F.round(F.col("l_quantity")).cast("long").cast("string"))
+    return (
+        li.groupBy(qty_str.alias("qty_str")).agg(F.count(F.lit(1)).alias("n")).orderBy("qty_str")
+    )
+
+
+@register(
+    "clean_defaults_coalesce",
+    oracle="""
+    SELECT COALESCE(nullif(o_orderpriority, '5-LOW'), 'UNKNOWN') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def clean_defaults_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: constant/default injection (nullif + coalesce, ref :94-95)."""
+    o = load(spark, sf_dir, "orders")
+    pri = F.coalesce(F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")), F.lit("UNKNOWN"))
+    return (
+        o.groupBy(pri.alias("priority")).agg(F.count(F.lit(1)).alias("n")).orderBy("priority")
+    )
+
+
+@register(
+    "clean_filter_pushdown_suffix",
+    oracle="""
+    WITH t AS (
+      SELECT 'data/raw/PnP/p' || CAST(event_id % 9 AS VARCHAR) || '/f' ||
+             CAST(event_id AS VARCHAR) ||
+             CASE WHEN event_id % 3 = 0 THEN '.pdf' ELSE '.tmp' END AS key
+      FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pdf
+    FROM t
+    WHERE key LIKE 'data/raw/PnP/%' AND key LIKE '%.pdf'
+    """,
+)
+def clean_filter_pushdown_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: prefix+suffix event filter (the S3-notification filter,
+    ref main.tf:237-242) as a predicate."""
+    ev = load(spark, sf_dir, "events")
+    key = F.concat(
+        F.lit("data/raw/PnP/p"),
+        (F.col("event_id") % 9).cast("string"),
+        F.lit("/f"),
+        F.col("event_id").cast("string"),
+        F.when(F.col("event_id") % 3 == 0, ".pdf").otherwise(".tmp"),
+    )
+    return (
+        ev.select(key.alias("key"))
+        .filter(F.col("key").startswith("data/raw/PnP/") & F.col("key").endswith(".pdf"))
+        .agg(F.count(F.lit(1)).alias("n_pdf"))
+    )

@@ -1,0 +1,142 @@
+"""Sorts / limits / set operations (SURVEY.md §2.8: O1–O4).
+
+Reference evidence: global sort of the work-list
+(pnp-vision-parser.py:118), value truncation (pnp-cropperLambda.py:90),
+partition-append union (pnp-cleanerLambda.py:111-119); intersect/except
+are surface ("products present last week but not this week").
+
+Scale notes: `orderBy().limit(n)` compiles to TakeOrderedAndProject —
+each partition keeps its top-n, only n·|partitions| rows reach the
+driver-side merge, never a full global sort.  INTERSECT/EXCEPT shuffle
+on the full row as the key — we project to narrow key sets first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from specialsid_spark.catalog import load
+from specialsid_spark.queries import register
+
+
+@register(
+    "sort_topn_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def sort_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    # TakeOrderedAndProject: per-partition top-10, no global sort
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .limit(10)
+    )
+
+
+@register(
+    "sort_multi_col",
+    oracle="""
+    SELECT p_type, p_brand, p_partkey
+    FROM part
+    ORDER BY p_type ASC, p_brand DESC, p_partkey ASC
+    LIMIT 100
+    """,
+)
+def sort_multi_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return (
+        p.orderBy(F.col("p_type").asc(), F.col("p_brand").desc(), F.col("p_partkey").asc())
+        .select("p_type", "p_brand", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "sort_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.orderBy("o_orderkey").select("o_orderkey", "o_totalprice").offset(40).limit(20)
+
+
+# Customers active in 1995 vs 1996 — union / intersect / except over key sets.
+
+
+def _cust_of_year(spark: SparkSession, sf_dir: str, year: int) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.filter(F.year("o_orderdate") == year).select("o_custkey").distinct()
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    UNION
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    ORDER BY o_custkey
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _cust_of_year(spark, sf_dir, 1995)
+    b = _cust_of_year(spark, sf_dir, 1996)
+    return a.union(b).distinct().orderBy("o_custkey")
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    ORDER BY o_custkey
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _cust_of_year(spark, sf_dir, 1995)
+    b = _cust_of_year(spark, sf_dir, 1996)
+    return a.intersect(b).orderBy("o_custkey")
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    ORDER BY o_custkey
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _cust_of_year(spark, sf_dir, 1995)
+    b = _cust_of_year(spark, sf_dir, 1996)
+    return a.exceptAll(b).distinct().orderBy("o_custkey")
+
+
+@register(
+    "set_union_all_counts",
+    oracle="""
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT 'orders_1995' AS src FROM orders WHERE year(o_orderdate) = 1995
+      UNION ALL
+      SELECT 'orders_1996' AS src FROM orders WHERE year(o_orderdate) = 1996
+    )
+    GROUP BY src ORDER BY src
+    """,
+)
+def set_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select(F.lit("orders_1995").alias("src"))
+    b = o.filter(F.year("o_orderdate") == 1996).select(F.lit("orders_1996").alias("src"))
+    return a.unionAll(b).groupBy("src").agg(F.count(F.lit(1)).alias("n")).orderBy("src")

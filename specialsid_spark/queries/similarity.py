@@ -1,0 +1,159 @@
+"""Similarity search over `embeddings` (SURVEY.md §2.11 X2).
+
+Brute-force cosine top-k as the correctness baseline; sign-bucket LSH
+as the scale path (bucketing bounds candidate sets so the 100 TB form
+joins within buckets instead of computing |Q|x|N| pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from specialsid_spark.catalog import load
+from specialsid_spark.operators.textops import cosine
+from specialsid_spark.queries import register
+
+_SQL_COS = (
+    "list_dot_product(a.v, b.v)"
+    " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS neighbor_label,
+             {_SQL_COS} AS cs
+      FROM e a JOIN e b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 5
+    ), ranked AS (
+      SELECT query_id, neighbor_id, neighbor_label, cs,
+             row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, neighbor_label,
+           CAST(rk AS BIGINT) AS rk, round(cs, 6) AS cos_sim
+    FROM ranked WHERE rk <= 10
+    ORDER BY query_id, rk
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: each query vector against the full corpus,
+    window top-10.  The query side is tiny -> broadcast; the corpus is
+    never shuffled, and per-query ranking is a partial top-k."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    n = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("nv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(n, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            cosine(F.col("qv"), F.col("nv")).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "neighbor_id", "neighbor_label", "rk", F.round("cs", 6).alias("cos_sim"))
+        .orderBy("query_id", "rk")
+    )
+
+
+_LSH_DIMS = (1, 9, 17, 25, 33, 41, 49, 57)  # fixed probe dims (1-based)
+
+
+@register(
+    "sim_lsh_sign_buckets",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT {" || ".join(f"(CASE WHEN v[{d}] >= 0 THEN '1' ELSE '0' END)" for d in _LSH_DIMS)}
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(label) AS BIGINT) AS sum_label
+    FROM e
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def sim_lsh_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit LSH bucketing: an 8-bit bucket key from the signs of
+    fixed coordinates.  The scale path: candidate generation becomes a
+    per-bucket join (multi-probe = flip one bit), never a cross join."""
+    e = load(spark, sf_dir, "embeddings")
+    bits = [
+        F.when(F.element_at("embedding", d) >= 0, "1").otherwise("0") for d in _LSH_DIMS
+    ]
+    return (
+        e.groupBy(F.concat(*bits).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("label").cast("long").alias("sum_label"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "sim_lsh_bucketed_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    kb AS (
+      SELECT vec_id, label, v,
+             {" || ".join(f"(CASE WHEN v[{d}] >= 0 THEN '1' ELSE '0' END)" for d in _LSH_DIMS)}
+               AS bucket
+      FROM e
+    ), scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_SQL_COS} AS cs
+      FROM kb a JOIN kb b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < 20
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cs,
+             row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, round(cs, 6) AS cos_sim
+    FROM ranked WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: score only within the query's LSH bucket —
+    the join is on the bucket key, so work scales with bucket sizes."""
+    e = load(spark, sf_dir, "embeddings")
+    bits = [
+        F.when(F.element_at("embedding", d) >= 0, "1").otherwise("0") for d in _LSH_DIMS
+    ]
+    kb = e.select("vec_id", "label", "embedding", F.concat(*bits).alias("bucket"))
+    q = kb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+    )
+    n = kb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"),
+        F.col("bucket").alias("nbucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(n, (F.col("bucket") == F.col("nbucket")) & (F.col("neighbor_id") != F.col("query_id")))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("cs"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "rk", F.round("cs", 6).alias("cos_sim"))
+        .orderBy("query_id", "rk")
+    )

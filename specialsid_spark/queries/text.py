@@ -1,0 +1,211 @@
+"""Text analysis over `documents` (SURVEY.md §2.11 X4).
+
+Language-ID (stopword-vote heuristic), quality scoring, token counting,
+bigram frequency, document fingerprinting — all native expressions via
+operators/textops.py.  The DuckDB oracles state the same computations
+with list lambdas, so the *semantics* are verified, not just shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from specialsid_spark.catalog import load
+from specialsid_spark.operators.textops import fingerprint, tokens
+from specialsid_spark.queries import register
+
+_SQL_TOKENS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_computed,
+           CAST(len(list_distinct({_SQL_TOKENS})) AS BIGINT) AS n_distinct_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+    ).orderBy("doc_id")
+
+
+_STOPWORDS = ("the", "a", "of", "and")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(toks, t -> t IN ('the','a','of','and'))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+             AS distinct_ratio,
+           CASE WHEN len(toks) BETWEEN 5 AND 1000
+                 AND CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) > 0.1
+                THEN 1 ELSE 0 END AS quality_ok
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: stopword ratio, lexical diversity, length gate
+    — the standard pre-training corpus filters, as pure expressions."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    t = d.select("doc_id", toks.alias("toks"))
+    n = F.size("toks").cast("double")
+    stop_n = F.size(
+        F.filter(F.col("toks"), lambda x: x.isin(*_STOPWORDS))
+    ).cast("double")
+    distinct_ratio = F.size(F.array_distinct("toks")).cast("double") / n
+    return t.select(
+        "doc_id",
+        (stop_n / n).alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        F.when(
+            F.size("toks").between(5, 1000) & (distinct_ratio > 0.1), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("quality_ok"),
+    ).orderBy("doc_id")
+
+
+# stopword votes per language for the n-gram/stopword language heuristic
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+}
+
+
+@register(
+    "text_langid_heuristic",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    v AS (
+      SELECT doc_id,
+             len(list_filter(toks, t -> t IN ('the','and','of')))  AS v_en,
+             len(list_filter(toks, t -> t IN ('el','la','de')))    AS v_es,
+             len(list_filter(toks, t -> t IN ('le','la','et')))    AS v_fr,
+             len(list_filter(toks, t -> t IN ('der','die','und'))) AS v_de
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN v_en >= v_es AND v_en >= v_fr AND v_en >= v_de THEN 'en'
+                WHEN v_es >= v_fr AND v_es >= v_de THEN 'es'
+                WHEN v_fr >= v_de THEN 'fr'
+                ELSE 'de' END AS lang_guess
+    FROM v
+    ORDER BY doc_id
+    """,
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID with a fixed tie-break order (en>es>fr>de)."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    def _marker_filter(markers: tuple[str, ...]):
+        # factory keeps the lambda unary: PySpark infers HOF arity from
+        # the Python signature, so default args would break it
+        return lambda x: x.isin(*markers)
+
+    votes = {
+        lang: F.size(F.filter(F.col("toks"), _marker_filter(markers)))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    guess = (
+        F.when(
+            (votes["en"] >= votes["es"])
+            & (votes["en"] >= votes["fr"])
+            & (votes["en"] >= votes["de"]),
+            "en",
+        )
+        .when((votes["es"] >= votes["fr"]) & (votes["es"] >= votes["de"]), "es")
+        .when(votes["fr"] >= votes["de"], "fr")
+        .otherwise("de")
+    )
+    return t.select("doc_id", guess.alias("lang_guess")).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_SQL_TOKENS})), ' ')) AS fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words identity fingerprint: md5 over the sorted distinct
+    token set (portable hash; same hex in any engine)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(tokens("text")).alias("fp")).orderBy("doc_id")
+
+
+@register(
+    "text_bigram_top20",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM grams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram frequency: transform+explode bigrams, count, top-20.
+    TakeOrderedAndProject keeps the top-k off the driver until the end."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_wordcount_global",
+    oracle=f"""
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest({_SQL_TOKENS}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY tok
+    """,
+)
+def text_wordcount_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical explode→groupBy wordcount (D4 records→rows lift)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("tok")
+    )

@@ -1,0 +1,175 @@
+"""Window functions (SURVEY.md §2.7: W1–W4).
+
+None exist in reference code; they are the analytics surface the
+reference's schema implies (price-over-time per product; `was_price`
+vs `current_price` discount analytics — vision prompt
+pnp-vision-parserLambda.py:72-73).  Every ORDER BY inside a window
+carries a unique-key tiebreaker so results are deterministic.
+
+Scale notes: a window = one shuffle on partitionBy keys + per-partition
+sort.  Partition keys here (brand, custkey, suppkey) have high
+cardinality, so partitions stay small; no global sort is ever window-ed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from specialsid_spark.catalog import load
+from specialsid_spark.queries import register
+from specialsid_spark.queries._determinism import cents
+
+
+@register(
+    "win_topk_cheapest_parts",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS rk
+      FROM part
+    )
+    WHERE rk <= 3
+    ORDER BY p_brand, rk
+    """,
+)
+def win_topk_cheapest_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return (
+        p.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rk")
+        .orderBy("p_brand", "rk")
+    )
+
+
+@register(
+    "win_lag_order_delta",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_totalprice,
+           CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                - lag(CAST(round(o_totalprice * 100) AS BIGINT))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                AS DOUBLE) / 100.0 AS delta_vs_prev
+    FROM orders
+    WHERE o_custkey <= 50
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def win_lag_order_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    c = cents("o_totalprice")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        "o_totalprice",
+        ((c - F.lag(c).over(w)).cast("double") / 100.0).alias("delta_vs_prev"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+@register(
+    "win_moving_avg_supplier",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  OVER w AS DOUBLE)
+             / CAST(COUNT(*) OVER w AS DOUBLE) / 100.0 AS mov_avg_price
+    FROM lineitem
+    WHERE l_suppkey <= 3
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """,
+)
+def win_moving_avg_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 3)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-3, 0)
+    )
+    # exact integer window-sum / window-count: deterministic moving average
+    mov = (
+        F.sum(cents("l_extendedprice")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w).cast("double")
+        / 100.0
+    )
+    return li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber", mov.alias("mov_avg_price")
+    ).orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+
+
+@register(
+    "win_rank_dense_size",
+    oracle="""
+    SELECT p_type, p_partkey, p_size,
+           CAST(rank()       OVER (PARTITION BY p_type ORDER BY p_size) AS BIGINT) AS rk,
+           CAST(dense_rank() OVER (PARTITION BY p_type ORDER BY p_size) AS BIGINT) AS drk
+    FROM part
+    ORDER BY p_type, p_size, p_partkey
+    """,
+)
+def win_rank_dense_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type").orderBy("p_size")
+    return p.select(
+        "p_type",
+        "p_partkey",
+        "p_size",
+        F.rank().over(w).cast("long").alias("rk"),
+        F.dense_rank().over(w).cast("long").alias("drk"),
+    ).orderBy("p_type", "p_size", "p_partkey")
+
+
+@register(
+    "win_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+             AS running_spent
+    FROM orders
+    WHERE o_custkey <= 30
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 30)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents("o_totalprice")).over(w).cast("double") / 100.0).alias("running_spent"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+@register(
+    "win_ntile_acctbal",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS BIGINT)
+             AS quartile
+    FROM customer
+    ORDER BY c_nationkey, c_custkey
+    """,
+)
+def win_ntile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    ).orderBy("c_nationkey", "c_custkey")

@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode testing runs on ``local[N]``, but every conf here is chosen
+to also be the right default on a large cluster:
+
+* AQE on (runtime re-plan, skew-join handling, partition coalescing).
+* ``partitionOverwriteMode=dynamic`` — the reference's
+  ``overwrite_partitions`` semantics (pnp-cleanerLambda.py:116) without
+  the full-table clobber.
+* Arrow enabled — every Python-side exchange (Pandas UDF, toPandas)
+  is columnar batched.
+* ``spark.sql.session.timeZone=UTC`` — deterministic timestamp
+  semantics regardless of host zone.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "specialsid_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # fixture events.parquet stores TIMESTAMP(NANOS); read as long, convert in catalog.load
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,139 @@
+"""Unit + property tests for the cleaner operators (SURVEY.md §5.3/§5.5)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from specialsid_spark.operators.clean import (
+    CLEAN_SCHEMA,
+    clean_products,
+    normalize_brand,
+    normalize_unit,
+    write_clean_zone,
+)
+
+
+def _norm_one(spark, fn, value):
+    df = spark.createDataFrame([(value,)], "v string")
+    return df.select(fn(F.col("v")).alias("out")).collect()[0]["out"]
+
+
+def test_normalize_brand_map(spark):
+    cases = {
+        "Pick n Pay": "PnP",
+        "  Pick n Pay  ": "PnP",
+        "no name™": "no name",
+        "no name": "no name",
+        "KOO": "Koo",
+        "Coca-Cola": "Coca-Cola",
+        " Lays ": "Lays",
+        "": None,
+        None: None,
+    }
+    for raw, want in cases.items():
+        assert _norm_one(spark, normalize_brand, raw) == want, raw
+
+
+def test_normalize_unit_map(spark):
+    cases = {
+        "L": "litre",
+        "litre": "litre",
+        "Litres": "litre",
+        "ML": "ml",
+        "g": "g",
+        "KG": "kg",
+        "pack": "pack",
+        "EACH ": "each",
+        "500g": "g",
+        "8kg": "kg",
+        "330ml": "ml",
+        "5l": "l",  # embedded-unit branch returns the raw suffix (ref behavior)
+        "bottle": "bottle",  # unknown unit passes through
+        "": None,
+        None: None,
+    }
+    for raw, want in cases.items():
+        assert _norm_one(spark, normalize_unit, raw) == want, raw
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(min_size=0, max_size=20))
+def test_normalize_unit_idempotent(unit_value):
+    """normalize(normalize(x)) == normalize(x) — pure-Python mirror of the
+    expression semantics, property-tested (SURVEY.md §5.5)."""
+    import re
+
+    def norm(u):
+        if u is None:
+            return None
+        low = u.lower().strip()
+        if low == "":
+            return None
+        if re.match(r"^\d+(kg|g|ml|l)$", low):
+            return re.search(r"(kg|g|ml|l)$", low).group(1)
+        m = {"l": "litre", "litre": "litre", "litres": "litre"}
+        return m.get(low, low)
+
+    once = norm(unit_value)
+    assert norm(once) == once or once is None
+
+
+def test_clean_products_end_to_end(spark, tmp_path):
+    rows = [
+        {
+            "product_name": "Rice",
+            "brand": "KOO",
+            "current_price": 10.0,
+            "unit": "500G",
+            "weight_volume": "nan",
+            "source_path": "data/pro/json/PnP/Gauteng/1_March_-_3_March_2026/page_2.json",
+        }
+    ]
+    df = spark.createDataFrame(rows)
+    out = clean_products(df)
+    assert [f.name for f in out.schema.fields] == [f.name for f in CLEAN_SCHEMA.fields]
+    row = out.collect()[0]
+    assert row["brand"] == "Koo"
+    assert row["unit"] == "g"
+    assert row["weight_volume"] is None
+    assert row["group_id"] == "UNKNOWN"
+    assert row["multi_buy_quantity"] == 1
+    assert row["province"] == "Gauteng"
+    assert row["date_range"] == "1_March_-_3_March_2026"
+    assert row["source_file"] == "page_2.json"
+
+
+def test_write_clean_zone_dynamic_overwrite(spark, tmp_path):
+    """S10: second write touching one partition must not clobber others
+    (the reference's page-clobber bug must NOT be reproduced)."""
+    target = str(tmp_path / "clean")
+    base = [
+        ("A", "Gauteng", "w1", "p1.json"),
+        ("B", "Natal", "w1", "p1.json"),
+    ]
+    cols = ["product_name", "province", "date_range", "source_file"]
+    df = spark.createDataFrame(base, cols)
+    for name, dtype in [
+        ("brand", "string"), ("current_price", "double"), ("was_price", "double"),
+        ("weight_volume", "string"), ("unit", "string"), ("deal_type", "string"),
+        ("multi_buy_quantity", "int"), ("group_id", "string"),
+    ]:
+        df = df.withColumn(name, F.lit(None).cast(dtype))
+    df = df.withColumn("bounding_box", F.lit(None).cast("array<int>"))
+    write_clean_zone(df, target)
+
+    upd = spark.createDataFrame([("A2", "Gauteng", "w1", "p9.json")], cols)
+    for name, dtype in [
+        ("brand", "string"), ("current_price", "double"), ("was_price", "double"),
+        ("weight_volume", "string"), ("unit", "string"), ("deal_type", "string"),
+        ("multi_buy_quantity", "int"), ("group_id", "string"),
+    ]:
+        upd = upd.withColumn(name, F.lit(None).cast(dtype))
+    upd = upd.withColumn("bounding_box", F.lit(None).cast("array<int>"))
+    write_clean_zone(upd, target)
+
+    back = spark.read.parquet(target)
+    names = {r["product_name"] for r in back.collect()}
+    assert names == {"A2", "B"}  # Gauteng overwritten, Natal untouched

@@ -1,0 +1,55 @@
+"""Plumbing tests for the multimodal (binary-column) operators."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from specialsid_spark.operators.multimodal import (
+    crop_stub,
+    decode_image_stub,
+    explode_pdf_pages_stub,
+)
+
+
+def _blob_df(spark):
+    rows = [(1, b"x" * 250), (2, b"hello world"), (3, b"")]
+    return spark.createDataFrame(rows, "doc_id long, blob binary")
+
+
+def test_decode_meta_schema_and_values(spark):
+    out = decode_image_stub(_blob_df(spark)).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in out] == [1, 2, 3]
+    assert out[0]["n_bytes"] == 250
+    assert out[1]["sha"] == hashlib.sha256(b"hello world").hexdigest()
+    assert all(64 <= r["width"] <= 64 + 255 for r in out)
+    assert all(r["format"] in ("jpeg", "png", "webp") for r in out)
+
+
+def test_pdf_page_explode_counts(spark):
+    pages = explode_pdf_pages_stub(_blob_df(spark), page_size=100)
+    counts = {r["doc_id"]: r["n"] for r in pages.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {1: 3, 2: 1, 3: 1}  # 250 bytes -> 3 pages of <=100
+    total = pages.filter(F.col("doc_id") == 1).agg(
+        F.sum(F.length("page_bytes"))).collect()[0][0]
+    assert total == 250
+
+
+def test_crop_stub_joins_and_filters(spark):
+    products = spark.createDataFrame(
+        [
+            ("k1", "Apples", [10, 0, 50, 0]),
+            ("k1", "NoBox", None),
+            ("k2", "Pears", [0, 0, 5, 0]),
+        ],
+        "page_key string, product_name string, bounding_box array<int>",
+    )
+    images = spark.createDataFrame(
+        [("k1", b"a" * 100), ("k2", b"b" * 100)], "page_key string, image_bytes binary"
+    )
+    out = {r["product_name"]: r["crop_bytes"] for r in crop_stub(products, images).collect()}
+    assert len(out["Apples"]) == 40  # slice [10:50]
+    assert out["NoBox"] is None  # P5 validity predicate
+    assert len(out["Pears"]) == 5

@@ -1,0 +1,30 @@
+"""Every registered query runs at sf0.001 and yields a stable schema.
+
+(The full value-level oracle comparison is tools/check_oracle.py — too
+slow for every pytest run; this is the fast regression net.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from specialsid_spark.queries import all_oracles, all_queries
+
+QUERIES = sorted(all_queries().items())
+
+
+@pytest.mark.parametrize("name,fn", QUERIES, ids=[n for n, _ in QUERIES])
+def test_query_runs(spark, sf_dir, name, fn):
+    df = fn(spark, sf_dir)
+    rows = df.limit(5).collect()
+    assert df.columns, name
+    # anti-join may legitimately be empty at tiny sf; everything else must produce rows
+    if name not in ("join_anti_parts_never_ordered",):
+        assert rows, f"{name} returned no rows at sf0.001"
+
+
+def test_every_oracle_has_query():
+    qs, os_ = all_queries(), all_oracles()
+    assert set(os_) <= set(qs)
+    # ≥90% of queries should be oracle-checked
+    assert len(os_) >= 0.9 * len(qs) - 3
