@@ -60,6 +60,7 @@ def _load_modules() -> None:
         retail,
         setops,
         similarity,
+        streaming_q,
         text,
         windows,
     )

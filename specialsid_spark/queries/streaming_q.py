@@ -1,0 +1,73 @@
+"""Streaming pipeline as a driver-checkable query (rows-only).
+
+Runs the full 4-zone chain (raw binary -> pages -> extraction -> clean
+partitioned parquet) with availableNow triggers on a fresh temp dir and
+returns the clean zone.  Deterministic: the mock extraction backend
+derives products from content hashes, so row values are stable across
+runs (modulo the temp path, which is not projected).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from specialsid_spark.operators.extraction import ExtractionConfig
+from specialsid_spark.queries import register
+from specialsid_spark.streaming.pipeline import run_full_pipeline
+
+
+@register("stream_pipeline_e2e")  # streaming chain: rows-only check
+def stream_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = Path(tempfile.mkdtemp(prefix="specialsid_stream_"))
+    raw = work / "raw"
+    raw.mkdir()
+    (raw / "flyer_a.pdf").write_bytes(b"A" * 250)
+    (raw / "flyer_b.pdf").write_bytes(b"B" * 120)
+
+    clean_dir = run_full_pipeline(
+        spark, str(raw), str(work / "zones"), ExtractionConfig(requests_per_second=0)
+    )
+    out = (
+        spark.read.parquet(clean_dir)
+        .select(
+            "product_name",
+            "brand",
+            "current_price",
+            "unit",
+            "group_id",
+            "province",
+        )
+        .orderBy("product_name")
+    )
+    rows = out.collect()
+    df = spark.createDataFrame(rows, out.schema) if rows else out
+    shutil.rmtree(work, ignore_errors=True)
+    # materialized before cleanup so the caller can lazily re-collect
+    return df.orderBy("product_name") if rows else out
+
+
+@register("stream_batch_parity")  # rows-only: streaming vs batch same cleaner
+def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaner applied via batch on the same synthetic extraction
+    output — demonstrates the batch/streaming unification (one transform
+    fn, two execution modes)."""
+    from specialsid_spark.operators.clean import clean_products
+    from specialsid_spark.operators.extraction import extract_products
+
+    imgs = spark.createDataFrame(
+        [
+            ("data/pro/json/PnP/Gauteng/flyer_w1/page_1.json", b"A" * 250),
+            ("data/pro/json/PnP/Natal/flyer_w1/page_2.json", b"B" * 120),
+        ],
+        "path string, content binary",
+    )
+    products = extract_products(imgs).withColumnRenamed("source_path", "source_path")
+    cleaned = clean_products(products, path_col="source_path")
+    return cleaned.select(
+        "product_name", "brand", "current_price", "unit", "group_id", "province"
+    ).orderBy("product_name")

@@ -1,0 +1,91 @@
+"""Web/DOM catalogue source (SURVEY.md §2.1 S1/S2, §2.4 D5).
+
+The reference scrapes pnp.co.za with Playwright, extracting
+(province, validity-date, pdf-href) tuples from ``div.pdfdownload``
+anchors, dedups identical hrefs across provinces, and downloads each
+once (scripts/scr/pnpscrLambda.py:44-146).
+
+Spark-first: DOM extraction is a *driver-side collector* (one tiny web
+page, no cluster needed) feeding ``spark.createDataFrame``; the
+download fan-out is a per-partition fetch AFTER ``dropDuplicates`` on
+href — the reference's ``url_to_path`` memo becomes a plan shape.
+Playwright/network aren't in this container, so the DOM parse is a pure
+function over HTML text (regex-based, testable) and the fetcher is
+injectable.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LINK_SCHEMA = T.StructType(
+    [
+        T.StructField("province", T.StringType()),
+        T.StructField("date_text", T.StringType()),
+        T.StructField("href", T.StringType()),
+    ]
+)
+
+# one catalogue tile: class="pdfdownload" ... data-province, date text, href
+_TILE_RE = re.compile(
+    r'<div[^>]*class="[^"]*pdfdownload[^"]*"[^>]*>.*?'
+    r'<span[^>]*class="[^"]*province[^"]*"[^>]*>(?P<province>[^<]*)</span>.*?'
+    r'<span[^>]*class="[^"]*dates[^"]*"[^>]*>(?P<dates>[^<]*)</span>.*?'
+    r'<a[^>]*href="(?P<href>[^"]*)"',
+    re.S | re.I,
+)
+
+
+def parse_catalogue_html(html: str) -> list[tuple[str, str, str]]:
+    """Pure DOM extraction: per-tile (province, date_text, href).
+    Mirrors the query_selector_all walk (ref pnpscr.py:10-67)."""
+    out = []
+    for m in _TILE_RE.finditer(html):
+        province = m.group("province").strip().replace(" ", "_")
+        dates = m.group("dates").strip()
+        dates = dates.removeprefix("Valid").strip()  # F5 prefix strip
+        href = m.group("href").strip()
+        out.append((province, dates, href))
+    return out
+
+
+def catalogue_links_df(spark: SparkSession, html: str) -> DataFrame:
+    """S1: lift the driver-side extraction into a DataFrame, applying
+    the reference's link filter (P4: keep .pdf, drop 'Shop_now')."""
+    rows = parse_catalogue_html(html)
+    df = spark.createDataFrame(rows, LINK_SCHEMA)
+    return df.filter(
+        F.col("href").isNotNull()
+        & F.lower(F.col("href")).contains(".pdf")
+        & ~F.col("province").contains("Shop_now")
+    ).withColumn(
+        # F5/P7: date slug — keep alnum/_/-, replace the rest with _
+        "date_slug",
+        F.regexp_replace(F.col("date_text"), r"[^A-Za-z0-9_\-]", "_"),
+    )
+
+
+def fetch_unique_pdfs(
+    links: DataFrame,
+    fetcher: Callable[[str], bytes],
+) -> DataFrame:
+    """S2+D5: dedup hrefs BEFORE the expensive fetch, download once per
+    unique URL inside the executors, then re-join to provinces — the
+    reference's ``url_to_path`` memo as a dataflow.
+
+    ``fetcher`` must be a serializable function (e.g. a module-level
+    requests.Session wrapper); injected for testability.
+    """
+    unique = links.select("href").dropDuplicates(["href"])
+
+    fetch_udf = F.udf(lambda u: fetcher(u), T.BinaryType())
+    fetched = unique.withColumn("pdf_bytes", fetch_udf(F.col("href")))
+    # small link table: broadcast re-join fan-out to provinces
+    return links.join(F.broadcast(fetched), "href", "inner").select(
+        "province", "date_slug", "href", "pdf_bytes"
+    )

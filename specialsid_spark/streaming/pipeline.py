@@ -1,0 +1,182 @@
+"""Structured Streaming pipeline (SURVEY.md §2.9 T1–T5, §3 entry point 1).
+
+The reference's event graph — S3 ObjectCreated notifications chaining
+four Lambdas (infrastructure/main.tf:234-263) — maps to chained
+checkpointed file-source streaming queries:
+
+    raw PDFs --(hop1: page explode)--> interim pages
+             --(hop2: vision extraction)--> pro JSON
+             --(hop3: clean + normalize)--> clean parquet (partitioned)
+
+Each hop reads the previous hop's sink directory (T3 async chaining ≡
+downstream stream on upstream sink), uses ``Trigger.AvailableNow`` for
+scheduled/backfill runs (T2/T4 — the reference's recursive
+continuation-token backfill *disappears*: checkpoints resume natively),
+and gets exactly-once end-to-end from checkpoint + file-sink commit
+logs (T5 — every skip-if-exists idempotency check in the reference is
+subsumed).
+
+At 100 TB: `maxFilesPerTrigger` bounds each micro-batch; the clean sink
+is Hive-partitioned so downstream readers prune; no state store is
+needed for hops 1–3 (stateless transforms), and the watermarked event
+aggregations (T8) bound their state by event time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from specialsid_spark.operators.clean import clean_products
+from specialsid_spark.operators.extraction import (
+    PRODUCT_JSON_SCHEMA,
+    ExtractionConfig,
+    extract_products,
+)
+from specialsid_spark.operators.multimodal import explode_pdf_pages_stub
+
+
+def hop1_pdf_to_pages(
+    spark: SparkSession,
+    raw_dir: str,
+    pages_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """T1: binaryFile stream over the raw zone (*.pdf) -> page rows."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("pathGlobFilter", "*.pdf")  # P3 suffix filter at the source
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(raw_dir).select(
+        F.col("path").alias("source_path"), F.col("content")
+    )
+    pages = explode_pdf_pages_stub(
+        raw.withColumnRenamed("source_path", "doc_path").select(
+            F.xxhash64("doc_path").alias("doc_id"), F.col("content").alias("blob")
+        )
+    )
+    return (
+        pages.writeStream.format("parquet")
+        .option("path", pages_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def hop2_pages_to_products_json(
+    spark: SparkSession,
+    pages_dir: str,
+    json_dir: str,
+    checkpoint_dir: str,
+    config: ExtractionConfig | None = None,
+) -> StreamingQuery:
+    """T1+D2: page stream -> extraction harness -> pro-zone JSON."""
+    pages = (
+        spark.readStream.schema("doc_id long, page_no int, page_bytes binary")
+        .parquet(pages_dir)
+        .select(
+            F.concat(
+                F.lit("data/pro/json/PnP/Gauteng/flyer/page_"),
+                F.col("page_no").cast("string"),
+                F.lit(".json"),
+            ).alias("path"),
+            F.col("page_bytes").alias("content"),
+        )
+    )
+    products = extract_products(pages, config)
+    return (
+        products.writeStream.format("json")
+        .option("path", json_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def hop3_json_to_clean(
+    spark: SparkSession,
+    json_dir: str,
+    clean_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """T1: pro-JSON stream -> cleaner -> partitioned clean parquet."""
+    raw = spark.readStream.schema(PRODUCT_JSON_SCHEMA).json(json_dir)
+    cleaned = clean_products(raw)
+    return (
+        cleaned.writeStream.format("parquet")
+        .option("path", clean_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("province", "date_range")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_full_pipeline(
+    spark: SparkSession,
+    raw_dir: str,
+    work_dir: str,
+    config: ExtractionConfig | None = None,
+) -> str:
+    """Entry point 1: the whole chain, each hop awaited (availableNow).
+    Returns the clean-zone path.  Re-running is a no-op (exactly-once)."""
+    pages_dir = os.path.join(work_dir, "interim_pages")
+    json_dir = os.path.join(work_dir, "pro_json")
+    clean_dir = os.path.join(work_dir, "clean")
+    ckpt = os.path.join(work_dir, "_checkpoints")
+
+    hop1_pdf_to_pages(spark, raw_dir, pages_dir, os.path.join(ckpt, "hop1")).awaitTermination()
+    hop2_pages_to_products_json(
+        spark, pages_dir, json_dir, os.path.join(ckpt, "hop2"), config
+    ).awaitTermination()
+    hop3_json_to_clean(spark, json_dir, clean_dir, os.path.join(ckpt, "hop3")).awaitTermination()
+    return clean_dir
+
+
+# ---------------------------------------------------------------------------
+# T8: watermarked event-time aggregation (the `events` surface).
+# ---------------------------------------------------------------------------
+
+
+def streaming_tumbling_counts(
+    spark: SparkSession,
+    events_dir: str,
+    watermark: str = "1 hour",
+    window_size: str = "1 hour",
+) -> DataFrame:
+    """readStream over an events directory -> watermark -> tumbling
+    window counts.  Caller attaches the sink (tests use memory sink)."""
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).json(events_dir)
+    )
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
+    )
+
+
+def streaming_dedup_within_watermark(
+    spark: SparkSession, events_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """T8: dropDuplicatesWithinWatermark on (user_id, event_type) — the
+    streaming twin of ev_dedup_first_per_key with bounded state."""
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).json(events_dir)
+    )
+    return ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )

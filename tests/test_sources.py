@@ -1,0 +1,85 @@
+"""Web/DOM source + extraction harness unit tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from specialsid_spark.operators.extraction import (
+    ExtractionConfig,
+    ExtractionError,
+    MockVisionBackend,
+    _extract_with_fallback,
+    extract_products,
+    products_to_json_rows,
+)
+from specialsid_spark.sources.web import catalogue_links_df, parse_catalogue_html
+
+_HTML = """
+<html><body>
+<div class="tile pdfdownload">
+  <span class="province">Eastern Cape</span>
+  <span class="dates">Valid 13 February - 15 February 2026</span>
+  <a href="/files/ec_flyer.PDF">download</a>
+</div>
+<div class="tile pdfdownload">
+  <span class="province">Gauteng</span>
+  <span class="dates">13 February - 15 February 2026</span>
+  <a href="/files/ec_flyer.PDF">download</a>
+</div>
+<div class="tile pdfdownload">
+  <span class="province">Shop_now</span>
+  <span class="dates">now</span>
+  <a href="/files/promo.pdf">x</a>
+</div>
+<div class="tile pdfdownload">
+  <span class="province">Natal</span>
+  <span class="dates">1 March 2026</span>
+  <a href="/shop/landing.html">not a pdf</a>
+</div>
+</body></html>
+"""
+
+
+def test_parse_catalogue_html():
+    rows = parse_catalogue_html(_HTML)
+    assert ("Eastern_Cape", "13 February - 15 February 2026", "/files/ec_flyer.PDF") in rows
+    assert len(rows) == 4
+
+
+def test_catalogue_links_filter_and_slug(spark):
+    df = catalogue_links_df(spark, _HTML)
+    rows = df.collect()
+    provinces = {r["province"] for r in rows}
+    assert provinces == {"Eastern_Cape", "Gauteng"}  # Shop_now + non-pdf dropped (P4)
+    slug = [r["date_slug"] for r in rows if r["province"] == "Eastern_Cape"][0]
+    assert slug == "13_February_-_15_February_2026"
+
+
+def test_extraction_fallback_exhausted():
+    cfg = ExtractionConfig(models=("m1", "m2"), fail_models=frozenset({"m1", "m2"}))
+    with pytest.raises(ExtractionError, match="all models failed"):
+        _extract_with_fallback(cfg, {}, b"img")
+
+
+def test_extraction_deterministic_and_batched(spark):
+    imgs = spark.createDataFrame(
+        [("p/1.jpg", b"imgA"), ("p/2.jpg", b"imgB")], "path string, content binary"
+    )
+    out1 = extract_products(imgs).collect()
+    out2 = extract_products(imgs).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]  # deterministic
+    assert {r["source_path"] for r in out1} == {"p/1.jpg", "p/2.jpg"}
+    assert all(r["current_price"] > 0 for r in out1)
+    assert all(len(r["bounding_box"]) == 4 for r in out1)
+
+
+def test_products_to_json_rows(spark):
+    imgs = spark.createDataFrame([("p/1.jpg", b"imgA")], "path string, content binary")
+    j = products_to_json_rows(extract_products(imgs)).collect()
+    assert all(row["json"].startswith("{") for row in j)
+
+
+def test_mock_backend_counts():
+    prods = MockVisionBackend("m").extract(b"some image bytes")
+    assert 1 <= len(prods) <= 3
+    assert all("product_name" in p for p in prods)

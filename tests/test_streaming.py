@@ -1,0 +1,124 @@
+"""Streaming pipeline tests (SURVEY.md §5.4): chained hops with
+availableNow, exactly-once on re-run, incremental processing of new
+files, and watermarked event-time aggregation."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from specialsid_spark.operators.extraction import ExtractionConfig
+from specialsid_spark.streaming.pipeline import (
+    run_full_pipeline,
+    streaming_dedup_within_watermark,
+    streaming_tumbling_counts,
+)
+
+
+def _write_pdf(path, payload: bytes):
+    path.write_bytes(payload)
+
+
+def test_full_pipeline_and_exactly_once(spark, tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    _write_pdf(raw / "flyer_a.pdf", b"A" * 250)
+    _write_pdf(raw / "flyer_b.pdf", b"B" * 120)
+
+    work = tmp_path / "work"
+    clean_dir = run_full_pipeline(
+        spark, str(raw), str(work), ExtractionConfig(requests_per_second=0)
+    )
+    out1 = spark.read.parquet(clean_dir)
+    n1 = out1.count()
+    assert n1 > 0
+    # cleaner semantics survived the stream: partition cols derived
+    assert set(out1.select("province").distinct().toPandas()["province"]) == {"Gauteng"}
+    assert out1.filter(F.col("group_id").isNull()).count() == 0  # UNKNOWN fill
+
+    # T5 exactly-once: re-running the whole chain must add nothing
+    clean_dir2 = run_full_pipeline(
+        spark, str(raw), str(work), ExtractionConfig(requests_per_second=0)
+    )
+    assert spark.read.parquet(clean_dir2).count() == n1
+
+    # T1 incremental: a new raw file -> only its rows appended
+    _write_pdf(raw / "flyer_c.pdf", b"C" * 90)
+    run_full_pipeline(spark, str(raw), str(work), ExtractionConfig(requests_per_second=0))
+    n3 = spark.read.parquet(clean_dir).count()
+    assert n3 > n1
+
+
+def test_extraction_fallback_chain_in_stream(spark, tmp_path):
+    """T7: first two models down -> third serves; pipeline still lands."""
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    _write_pdf(raw / "x.pdf", b"Z" * 50)
+    cfg = ExtractionConfig(
+        models=("m1", "m2", "m3"),
+        fail_models=frozenset({"m1", "m2"}),
+        requests_per_second=0,
+    )
+    clean_dir = run_full_pipeline(spark, str(raw), str(tmp_path / "work"), cfg)
+    assert spark.read.parquet(clean_dir).count() > 0
+
+
+def _write_events(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_streaming_tumbling_counts(spark, tmp_path):
+    ev_dir = tmp_path / "events"
+    ev_dir.mkdir()
+    _write_events(
+        ev_dir / "batch1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:05:00", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01 10:45:00", "user_id": 2, "event_type": "click", "value": 1.0},
+            {"event_id": 3, "ts": "2024-01-01 11:05:00", "user_id": 1, "event_type": "view", "value": 1.0},
+        ],
+    )
+    agg = streaming_tumbling_counts(spark, str(ev_dir))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {
+        (str(r["win_start"]), r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    assert rows[("2024-01-01 10:00:00", "click")] == 2
+    assert rows[("2024-01-01 11:00:00", "view")] == 1
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    ev_dir = tmp_path / "events_dd"
+    ev_dir.mkdir()
+    _write_events(
+        ev_dir / "b.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01 10:10:00", "user_id": 1, "event_type": "click", "value": 2.0},
+            {"event_id": 3, "ts": "2024-01-01 10:20:00", "user_id": 2, "event_type": "view", "value": 3.0},
+        ],
+    )
+    dd = streaming_dedup_within_watermark(spark, str(ev_dir))
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    time.sleep(0.5)
+    out = spark.sql("SELECT user_id, event_type FROM dedup_test").collect()
+    assert len(out) == 2  # (1, click) deduped, (2, view) kept
