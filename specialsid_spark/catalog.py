@@ -46,6 +46,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_parallel(
+    spark: SparkSession, sf_dir: str, name: str, partitions: int | None = None
+) -> DataFrame:
+    """Load + repartition for expression-heavy downstream work.
+
+    The fixture tables are single parquet files (one row-group -> one
+    scan task); CPU-bound pipelines (hashing, shingling) would run on a
+    single core without an explicit repartition.  On a real cluster the
+    scan would already be split, but the rule stands at any scale: when
+    per-row compute dominates, fan out to the full parallelism first.
+    """
+    n = partitions or spark.sparkContext.defaultParallelism
+    return load(spark, sf_dir, name).repartition(n)
+
+
 def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every fixture table as a temp view (Glue-crawler analogue)."""
     out: dict[str, DataFrame] = {}

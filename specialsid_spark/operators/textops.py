@@ -37,18 +37,40 @@ def word_shingles(toks: Column, k: int = 3) -> Column:
     return F.array_distinct(gram)
 
 
-def minhash(shingle: Column, seed: int) -> Column:
-    """One MinHash component: aggregate-side ``min(md5(seed || ':' || shingle))``.
+_MOD32 = 4_294_967_296  # 2^32
 
-    Lexicographic min over seeded md5 hex — identical semantics in any
-    engine with md5. Use inside ``groupBy(doc).agg(F.min(...))``.
+
+def minhash_bases(shingle: Column) -> tuple[Column, Column]:
+    """Carter-Wegman bases: ONE md5 per shingle, two 32-bit halves.
+    Component j is then ``min((u1 + j*u2) % 2^32)`` — 8 components cost
+    one hash + integer math instead of 8 hashes (the 100 TB difference).
+    Portable: DuckDB computes the same halves via ``('0x'||hex)::BIGINT``.
     """
-    return F.md5(F.concat(F.lit(f"{seed}:"), shingle))
+    h = F.md5(shingle)
+    u1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    u2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return u1, u2
+
+
+def minhash_component(u1: Column, u2: Column, seed: int) -> Column:
+    """The j-th CW hash value for one shingle (min-aggregated per doc)."""
+    return (u1 + F.lit(seed) * u2) % F.lit(_MOD32)
+
+
+def sql_minhash_component(seed: int) -> str:
+    """DuckDB twin of :func:`minhash_component` over columns u1/u2."""
+    return f"(u1 + {seed} * u2) % 4294967296"
+
+
+SQL_MINHASH_BASES = (
+    "('0x' || substring(md5(shingle), 1, 8))::BIGINT AS u1, "
+    "('0x' || substring(md5(shingle), 9, 8))::BIGINT AS u2"
+)
 
 
 def band_key(mh_a: Column, mh_b: Column) -> Column:
     """LSH band key from two adjacent MinHash components."""
-    return F.md5(F.concat(mh_a, F.lit("|"), mh_b))
+    return F.md5(F.concat_ws("|", mh_a.cast("string"), mh_b.cast("string")))
 
 
 def hex_digit_value(digit: Column) -> Column:
@@ -105,6 +127,27 @@ def fingerprint(toks: Column) -> Column:
     """Document fingerprint: md5 over the sorted distinct token set —
     the canonical 'same bag of words' identity."""
     return F.md5(F.array_join(F.sort_array(F.array_distinct(toks)), " "))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product as a sequential fold (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    """L2 norm — precompute once per vector side before a pair join so
+    pair scoring costs one fold, not three."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:

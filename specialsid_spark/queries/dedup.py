@@ -16,12 +16,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from specialsid_spark.catalog import load
+from specialsid_spark.catalog import load, load_parallel
 from specialsid_spark.operators.textops import (
+    SQL_MINHASH_BASES,
     band_key,
-    cosine,
-    minhash,
+    minhash_bases,
+    minhash_component,
     simhash16_from_tokens,
+    sql_minhash_component,
     sql_simhash16,
     tokens,
     word_shingles,
@@ -57,10 +59,13 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) rows — explode applied directly to the shingle
+    expression (routing the array through a named projection first makes
+    Catalyst re-derive it per consumer; measured 2x slower)."""
+    d = load_parallel(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", word_shingles(tokens("text"), k=3).alias("shingles")
+        "doc_id", F.explode(word_shingles(tokens("text"), k=3)).alias("shingle")
     )
 
 
@@ -88,9 +93,10 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram Jaccard near-dup: explode shingles, self-join on shared
     shingle (the blocking step), exact integer set arithmetic."""
-    sh = _shingled(spark, sf_dir)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    # exploded shingles are read 3x (two join sides + sizes): persist;
+    # shingles are distinct per doc, so set size == row count
+    ex = _exploded_shingles(spark, sf_dir).persist()
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n_sh"))
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
@@ -122,23 +128,30 @@ _N_MINHASH = 8  # 8 components -> 4 bands of 2
 
 
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingled(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    ex = _exploded_shingles(spark, sf_dir)
+    u1, u2 = minhash_bases(F.col("shingle"))
+    # repartition on the group key: (a) materializes u1/u2 at the
+    # shuffle so CollapseProject can't inline the md5 into all 8 agg
+    # expressions (16 hashes/row -> 2), and (b) the groupBy below then
+    # needs no further shuffle
+    based = ex.select("doc_id", u1.alias("u1"), u2.alias("u2")).repartition("doc_id")
     aggs = [
-        F.min(minhash(F.col("shingle"), j)).alias(f"mh{j}") for j in range(_N_MINHASH)
+        F.min(minhash_component(F.col("u1"), F.col("u2"), j)).alias(f"mh{j}")
+        for j in range(_N_MINHASH)
     ]
-    return ex.groupBy("doc_id").agg(*aggs)
+    return based.groupBy("doc_id").agg(*aggs)
 
 
 def _sql_minhash_sigs() -> str:
     mins = ", ".join(
-        f"min(md5('{j}:' || shingle)) AS mh{j}" for j in range(_N_MINHASH)
+        f"min({sql_minhash_component(j)}) AS mh{j}" for j in range(_N_MINHASH)
     )
     return f"""
     t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
     sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
     ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-    sigs AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id)
+    based AS (SELECT doc_id, {SQL_MINHASH_BASES} FROM ex),
+    sigs AS (SELECT doc_id, {mins} FROM based GROUP BY doc_id)
     """
 
 
@@ -161,10 +174,10 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_sql_minhash_sigs()},
     bands AS (
-      SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bkey FROM sigs
-      UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sigs
-      UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sigs
-      UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sigs
+      SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '|' || mh1::VARCHAR) AS bkey FROM sigs
+      UNION ALL SELECT doc_id, 1, md5(mh2::VARCHAR || '|' || mh3::VARCHAR) FROM sigs
+      UNION ALL SELECT doc_id, 2, md5(mh4::VARCHAR || '|' || mh5::VARCHAR) FROM sigs
+      UNION ALL SELECT doc_id, 3, md5(mh6::VARCHAR || '|' || mh7::VARCHAR) FROM sigs
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
@@ -176,18 +189,26 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: 4 bands of 2 rows; docs sharing any band bucket are
     candidate near-dups.  Join key = (band, bucket-hash): at scale the
     shuffle carries doc_id + 16-byte keys only."""
-    sigs = _minhash_sigs(spark, sf_dir)
-    bands = None
-    for bi in range(_N_MINHASH // 2):
-        piece = sigs.select(
-            "doc_id",
-            F.lit(bi).alias("band"),
-            band_key(F.col(f"mh{2 * bi}"), F.col(f"mh{2 * bi + 1}")).alias("bkey"),
-        )
-        bands = piece if bands is None else bands.unionByName(piece)
+    # signature table is tiny (|docs| x 8 hashes): persist it so the
+    # shingle+md5 pipeline runs ONCE, not once per band per join side
+    sigs = _minhash_sigs(spark, sf_dir).persist()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                band_key(F.col(f"mh{2 * bi}"), F.col(f"mh{2 * bi + 1}")).alias("bkey"),
+            )
+            for bi in range(_N_MINHASH // 2)
+        ]
+    )
+    # single projection + explode (not a 4-way union): one subtree, so
+    # the self-join below reuses one exchange instead of re-deriving
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -198,6 +219,7 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+    return out
 
 
 @register(
@@ -211,7 +233,7 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document (bitwise majority vote over token
     md5 bits) — near-dups share signatures within small Hamming radius."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     t = d.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
     return t.select(
         "doc_id", simhash16_from_tokens(F.col("toks")).cast("long").alias("simhash")
@@ -234,11 +256,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: top-20 most-similar pairs by cosine.
     Brute force at test scale; the LSH-bucketed path for 100 TB lives in
-    queries/similarity.py."""
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries/similarity.py.  Norms are precomputed per vector (one fold
+    per row, not three per pair) and the left side is repartitioned so
+    the O(n^2) scoring uses every core."""
+    from specialsid_spark.operators.textops import dot, norm
+
+    e = load_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
     a = e.alias("a")
     b = e.alias("b")
-    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(

@@ -11,8 +11,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from specialsid_spark.catalog import load
-from specialsid_spark.operators.textops import cosine
+from specialsid_spark.catalog import load, load_parallel
+from specialsid_spark.operators.textops import cosine, dot, norm
 from specialsid_spark.queries import register
 
 _SQL_COS = (
@@ -45,14 +45,17 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ANN baseline: each query vector against the full corpus,
     window top-10.  The query side is tiny -> broadcast; the corpus is
     never shuffled, and per-query ranking is a partial top-k."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load_parallel(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("qn"),
     )
     n = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         F.col("embedding").alias("nv"),
+        norm(F.col("embedding")).alias("nn"),
     )
     scored = (
         F.broadcast(q)
@@ -61,7 +64,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "neighbor_label",
-            cosine(F.col("qv"), F.col("nv")).alias("cs"),
+            (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cs"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("neighbor_id"))
@@ -133,22 +136,29 @@ def sim_lsh_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: score only within the query's LSH bucket —
     the join is on the bucket key, so work scales with bucket sizes."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load_parallel(spark, sf_dir, "embeddings")
     bits = [
         F.when(F.element_at("embedding", d) >= 0, "1").otherwise("0") for d in _LSH_DIMS
     ]
-    kb = e.select("vec_id", "label", "embedding", F.concat(*bits).alias("bucket"))
+    kb = e.select(
+        "vec_id", "label", "embedding", F.concat(*bits).alias("bucket"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
     q = kb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        "bucket", F.col("nrm").alias("qn"),
     )
     n = kb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"),
-        F.col("bucket").alias("nbucket"),
+        F.col("bucket").alias("nbucket"), F.col("nrm").alias("nn"),
     )
     scored = (
         F.broadcast(q)
         .join(n, (F.col("bucket") == F.col("nbucket")) & (F.col("neighbor_id") != F.col("query_id")))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("cs"))
+        .select(
+            "query_id", "neighbor_id",
+            (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cs"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("neighbor_id"))
     return (
