@@ -16,9 +16,6 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-HEX_DIGITS = "0123456789abcdef"
-
-
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization (lowercased)."""
     c = F.col(text) if isinstance(text, str) else text
@@ -27,7 +24,14 @@ def tokens(text: Column | str) -> Column:
 
 def word_shingles(toks: Column, k: int = 3) -> Column:
     """Distinct word k-gram shingles: transform over a 1-based index
-    sequence (no UDF, no explode until the caller wants one)."""
+    sequence (no UDF, no explode until the caller wants one).
+
+    PERF: pass a *named column* (``F.col("toks")`` from a prior
+    projection), never the raw ``tokens(...)`` expression.  ``toks`` is
+    referenced k times inside the per-gram lambda; an inline expression
+    is re-evaluated on every reference (measured 7x slower), while a
+    multi-referenced projection survives CollapseProject and is
+    computed once per row."""
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
     gram = F.transform(
@@ -40,15 +44,17 @@ def word_shingles(toks: Column, k: int = 3) -> Column:
 _MOD32 = 4_294_967_296  # 2^32
 
 
-def minhash_bases(shingle: Column) -> tuple[Column, Column]:
-    """Carter-Wegman bases: ONE md5 per shingle, two 32-bit halves.
+def minhash_bases(md5_hex: Column) -> tuple[Column, Column]:
+    """Carter-Wegman bases: two 32-bit halves of an md5 hex digest.
     Component j is then ``min((u1 + j*u2) % 2^32)`` — 8 components cost
     one hash + integer math instead of 8 hashes (the 100 TB difference).
     Portable: DuckDB computes the same halves via ``('0x'||hex)::BIGINT``.
-    """
-    h = F.md5(shingle)
-    u1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-    u2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+
+    PERF: pass a *named* ``md5(shingle)`` column from a prior projection
+    — both halves reference it, and a multi-referenced projection
+    survives CollapseProject, so each shingle hashes exactly once."""
+    u1 = F.conv(F.substring(md5_hex, 1, 8), 16, 10).cast("long")
+    u2 = F.conv(F.substring(md5_hex, 9, 8), 16, 10).cast("long")
     return u1, u2
 
 
@@ -73,33 +79,45 @@ def band_key(mh_a: Column, mh_b: Column) -> Column:
     return F.md5(F.concat_ws("|", mh_a.cast("string"), mh_b.cast("string")))
 
 
-def hex_digit_value(digit: Column) -> Column:
-    """'0'..'f' -> 0..15 via position in a constant (portable to any SQL)."""
-    return F.instr(F.lit(HEX_DIGITS), digit) - 1
+def token_digest16(toks: Column) -> Column:
+    """Per-token 16-bit digest: the first 4 hex digits of md5 as an int.
+
+    ONE md5 per token; all 16 SimHash bit-votes then read this integer.
+    The previous formulation hashed inside each bit's aggregate lambda
+    — 16 md5 calls per token."""
+    return F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int")
+    )
 
 
-def simhash16_from_tokens(toks_distinct: Column) -> Column:
-    """16-bit SimHash of a distinct-token array, fully expression-based.
+SQL_TOKEN_DIGEST16 = "list_transform({toks}, t -> ('0x' || substring(md5(t), 1, 4))::INT)"
 
-    For bit b: the b-th bit of md5(token) votes +1/-1; the signature bit
-    is 1 iff the vote sum is >= 0.  Bit b lives in hex digit b//4 at
-    position b%4.  One transform+aggregate pass per bit, no explode.
+
+def _digest_bit_shift(b: int) -> int:
+    # bit b historically lived in hex digit b//4 at position b%4; digit i
+    # occupies bits 4*(3-i)..4*(3-i)+3 of the 16-bit digest value
+    return 4 * (3 - b // 4) + b % 4
+
+
+def simhash16_from_digests(digs: Column) -> Column:
+    """16-bit SimHash over a per-token digest array (:func:`token_digest16`).
+
+    For bit b: that bit of the token digest votes +1/-1; the signature
+    bit is 1 iff the vote sum is >= 0.  PERF: pass ``digs`` as a named
+    column from a prior projection — it is referenced 16 times, so an
+    inline expression would be re-derived per bit.
     """
-    def _vote_lambda(pos: int, shift: int):
+    def _vote_lambda(shift: int):
         # factory keeps the lambda strictly binary-arity: PySpark infers
         # higher-order-function arity from the Python signature
-        def fn(acc: Column, t: Column) -> Column:
-            digit = F.substring(F.md5(t), pos, 1)
-            bit = F.shiftright(hex_digit_value(digit), shift) % 2
-            return acc + (bit * 2 - 1)
+        def fn(acc: Column, v: Column) -> Column:
+            return acc + (F.shiftright(v, shift).bitwiseAND(F.lit(1)) * 2 - 1)
 
         return fn
 
     votes = []
     for b in range(16):
-        pos = b // 4 + 1  # hex digit index (1-based)
-        shift = b % 4
-        vote_sum = F.aggregate(toks_distinct, F.lit(0), _vote_lambda(pos, shift))
+        vote_sum = F.aggregate(digs, F.lit(0), _vote_lambda(_digest_bit_shift(b)))
         votes.append(F.when(vote_sum >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
     sig = votes[0]
     for v in votes[1:]:
@@ -107,17 +125,13 @@ def simhash16_from_tokens(toks_distinct: Column) -> Column:
     return sig
 
 
-def sql_simhash16(tokens_expr: str) -> str:
-    """DuckDB twin of :func:`simhash16_from_tokens` over a list expression."""
+def sql_simhash16_digests(digs_expr: str) -> str:
+    """DuckDB twin of :func:`simhash16_from_digests` over a digest list."""
     votes = []
     for b in range(16):
-        pos = b // 4 + 1
-        shift = b % 4
-        bit = (
-            f"((strpos('{HEX_DIGITS}', substring(md5(t), {pos}, 1)) - 1) >> {shift}) & 1"
-        )
+        bit = f"((v >> {_digest_bit_shift(b)}) & 1)"
         votes.append(
-            f"CASE WHEN list_sum(list_transform({tokens_expr}, t -> ({bit}) * 2 - 1)) >= 0 "
+            f"CASE WHEN list_sum(list_transform({digs_expr}, v -> {bit} * 2 - 1)) >= 0 "
             f"THEN {1 << b} ELSE 0 END"
         )
     return "(" + " + ".join(votes) + ")"

@@ -19,12 +19,14 @@ from pyspark.sql import functions as F
 from specialsid_spark.catalog import load, load_parallel
 from specialsid_spark.operators.textops import (
     SQL_MINHASH_BASES,
+    SQL_TOKEN_DIGEST16,
     band_key,
     minhash_bases,
     minhash_component,
-    simhash16_from_tokens,
+    simhash16_from_digests,
     sql_minhash_component,
-    sql_simhash16,
+    sql_simhash16_digests,
+    token_digest16,
     tokens,
     word_shingles,
 )
@@ -51,7 +53,7 @@ _SQL_SHINGLES = (
 def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on content; keeper = min doc_id.
     At scale the md5 groupBy shuffles 16-byte keys, not documents."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     return (
         d.groupBy(F.md5("text").alias("text_hash"))
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc"))
@@ -60,12 +62,17 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) rows — explode applied directly to the shingle
-    expression (routing the array through a named projection first makes
-    Catalyst re-derive it per consumer; measured 2x slower)."""
+    """(doc_id, shingle) rows.
+
+    The token array MUST go through a named projection before the
+    shingle transform: the per-gram lambda references it k times, and an
+    inline ``split`` expression is re-evaluated on every reference
+    (measured 7x slower).  The multi-referenced projection survives
+    CollapseProject, so each row tokenizes exactly once."""
     d = load_parallel(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.explode(word_shingles(tokens("text"), k=3)).alias("shingle")
+    tk = d.select("doc_id", tokens("text").alias("toks"))
+    return tk.select(
+        "doc_id", F.explode(word_shingles(F.col("toks"), k=3)).alias("shingle")
     )
 
 
@@ -129,12 +136,15 @@ _N_MINHASH = 8  # 8 components -> 4 bands of 2
 
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = _exploded_shingles(spark, sf_dir)
-    u1, u2 = minhash_bases(F.col("shingle"))
+    # md5 through a named projection -> hashed exactly once per shingle
+    hashed = ex.select("doc_id", F.md5("shingle").alias("h"))
+    u1, u2 = minhash_bases(F.col("h"))
     # repartition on the group key: (a) materializes u1/u2 at the
-    # shuffle so CollapseProject can't inline the md5 into all 8 agg
-    # expressions (16 hashes/row -> 2), and (b) the groupBy below then
-    # needs no further shuffle
-    based = ex.select("doc_id", u1.alias("u1"), u2.alias("u2")).repartition("doc_id")
+    # shuffle so CollapseProject can't inline them into all 8 agg
+    # expressions, and (b) the groupBy below needs no further shuffle
+    based = hashed.select("doc_id", u1.alias("u1"), u2.alias("u2")).repartition(
+        "doc_id"
+    )
     aggs = [
         F.min(minhash_component(F.col("u1"), F.col("u2"), j)).alias(f"mh{j}")
         for j in range(_N_MINHASH)
@@ -225,18 +235,26 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_simhash",
     oracle=f"""
-    WITH t AS (SELECT doc_id, list_distinct({_SQL_TOKENS}) AS toks FROM documents)
-    SELECT doc_id, CAST({sql_simhash16("toks")} AS BIGINT) AS simhash
-    FROM t ORDER BY doc_id
+    WITH t AS (SELECT doc_id, list_distinct({_SQL_TOKENS}) AS toks FROM documents),
+    g AS (SELECT doc_id, {SQL_TOKEN_DIGEST16.format(toks="toks")} AS digs FROM t)
+    SELECT doc_id, CAST({sql_simhash16_digests("digs")} AS BIGINT) AS simhash
+    FROM g ORDER BY doc_id
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document (bitwise majority vote over token
-    md5 bits) — near-dups share signatures within small Hamming radius."""
+    md5 bits) — near-dups share signatures within small Hamming radius.
+
+    Two-projection shape: (1) per-token 16-bit digests (ONE md5 per
+    token), (2) 16 bit-vote aggregates over the digest attribute.  The
+    digest array is referenced 16 times, so the projection survives
+    CollapseProject and hashing is not re-derived per bit."""
     d = load_parallel(spark, sf_dir, "documents")
-    t = d.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
+    t = d.select(
+        "doc_id", token_digest16(F.array_distinct(tokens("text"))).alias("digs")
+    )
     return t.select(
-        "doc_id", simhash16_from_tokens(F.col("toks")).cast("long").alias("simhash")
+        "doc_id", simhash16_from_digests(F.col("digs")).cast("long").alias("simhash")
     ).orderBy("doc_id")
 
 

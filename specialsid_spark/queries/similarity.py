@@ -96,7 +96,7 @@ def sim_lsh_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-bit LSH bucketing: an 8-bit bucket key from the signs of
     fixed coordinates.  The scale path: candidate generation becomes a
     per-bucket join (multi-probe = flip one bit), never a cross join."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load_parallel(spark, sf_dir, "embeddings")
     bits = [
         F.when(F.element_at("embedding", d) >= 0, "1").otherwise("0") for d in _LSH_DIMS
     ]

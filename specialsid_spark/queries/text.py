@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from specialsid_spark.catalog import load
+from specialsid_spark.catalog import load, load_parallel
 from specialsid_spark.operators.textops import fingerprint, tokens
 from specialsid_spark.queries import register
 
@@ -30,13 +30,15 @@ _SQL_TOKENS = "string_split_regex(lower(trim(text)), '\\s+')"
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    toks = tokens("text")
-    return d.select(
+    d = load_parallel(spark, sf_dir, "documents")
+    # named projection: toks is referenced twice below — inline would
+    # re-run the regex split per reference
+    t = d.select("doc_id", F.length("text").alias("n_chars"), tokens("text").alias("toks"))
+    return t.select(
         "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.length("text").cast("long").alias("n_chars_computed"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars_computed"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct_tokens"),
     ).orderBy("doc_id")
 
 
@@ -64,7 +66,7 @@ _STOPWORDS = ("the", "a", "of", "and")
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality heuristics: stopword ratio, lexical diversity, length gate
     — the standard pre-training corpus filters, as pure expressions."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     toks = tokens("text")
     t = d.select("doc_id", toks.alias("toks"))
     n = F.size("toks").cast("double")
@@ -116,7 +118,7 @@ _LANG_MARKERS = {
 )
 def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID with a fixed tie-break order (en>es>fr>de)."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     t = d.select("doc_id", tokens("text").alias("toks"))
     def _marker_filter(markers: tuple[str, ...]):
         # factory keeps the lambda unary: PySpark infers HOF arity from
@@ -153,7 +155,7 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-of-words identity fingerprint: md5 over the sorted distinct
     token set (portable hash; same hex in any engine)."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint(tokens("text")).alias("fp")).orderBy("doc_id")
 
 
@@ -176,14 +178,17 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram frequency: transform+explode bigrams, count, top-20.
     TakeOrderedAndProject keeps the top-k off the driver until the end."""
-    d = load(spark, sf_dir, "documents")
-    toks = tokens("text")
+    d = load_parallel(spark, sf_dir, "documents")
+    # named projection: the per-gram lambda references toks twice — an
+    # inline split expression would be re-evaluated per element
+    tk = d.select(tokens("text").alias("toks"))
+    toks = F.col("toks")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
         lambda i: F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)),
     )
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        tk.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram"))
@@ -202,7 +207,7 @@ def text_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_wordcount_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical explode→groupBy wordcount (D4 records→rows lift)."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     return (
         d.select(F.explode(tokens("text")).alias("tok"))
         .groupBy("tok")
