@@ -39,15 +39,38 @@ def main() -> None:
     spark = get_spark("bench")
     qs = all_queries()
 
-    # JVM/codegen warmup on a trivial action (not counted)
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # JVM/codegen warmup (not counted): exercise the vectorized parquet
+    # reader, hash-aggregate, broadcast-join and window codegen paths
+    # once so the first timed query doesn't absorb JIT/classloading cost
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql.window import Window  # noqa: PLC0415
 
+    from specialsid_spark.catalog import load  # noqa: PLC0415
+
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    (
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("r_name", F.sum("n").over(Window.partitionBy("r_name")).alias("w"))
+        .collect()
+    )
+
+    # two runs per query, report the min (steady state, ClickBench-style):
+    # run 1 pays per-plan codegen/JIT that a long-lived cluster amortizes
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count() if name == "_never_" else len(df.collect())
-        timings[name] = round(time.time() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            # drop persisted intermediates so each run recomputes from
+            # parquet — min-of-2 measures steady-state JIT, not a cache
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            n = len(df.collect())
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
