@@ -22,6 +22,19 @@ def tokens(text: Column | str) -> Column:
     return F.split(F.lower(F.trim(c)), r"\s+")
 
 
+def word_kgrams(toks: Column, k: int = 3) -> Column:
+    """ORDERED word k-grams (duplicates kept) — position matters for
+    rolling-hash winnowing.  Same named-projection rule as
+    :func:`word_shingles`: pass a materialized column, not the raw
+    ``tokens(...)`` expression."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )
+
+
 def word_shingles(toks: Column, k: int = 3) -> Column:
     """Distinct word k-gram shingles: transform over a 1-based index
     sequence (no UDF, no explode until the caller wants one).

@@ -55,6 +55,7 @@ def _load_modules() -> None:
         aggregates,
         dedup,
         events,
+        fuzzy,
         joins,
         multimodal,
         retail,

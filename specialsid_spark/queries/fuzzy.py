@@ -1,0 +1,63 @@
+"""Fuzzy string matching (SURVEY.md §2.3 F10).
+
+The reference declares `thefuzz` in requirements.txt:13 but never
+imports it — the intended capability is fuzzy product matching across
+flyers.  Re-expressed Spark-first: blocked pairwise edit distance with
+`F.levenshtein` (JVM-side, codegen), never an all-pairs comparison.
+
+Scale shape: the self-join is blocked on (p_brand, p_type), so pair
+count is sum over blocks of |block|², not |parts|² — the standard
+blocking-key design for fuzzy dedup at 100 TB.  Output is aggregated
+per block (counts + min distance), keeping result size O(|blocks|).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from specialsid_spark.catalog import load
+from specialsid_spark.queries import register
+
+_CLOSE = 4  # edit-distance threshold for a "close" name pair
+
+
+@register(
+    "fuzzy_levenshtein_blocked",
+    oracle=f"""
+    SELECT a.p_brand AS brand, a.p_type AS ptype,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN levenshtein(a.p_name, b.p_name) <= {_CLOSE}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+           CAST(MIN(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+     AND a.p_partkey < b.p_partkey
+    GROUP BY a.p_brand, a.p_type
+    ORDER BY brand, ptype
+    """,
+)
+def fuzzy_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy match: per (brand, type) block, how many name pairs
+    are within edit distance {_CLOSE}, and the closest pair's distance."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_type")
+    a = p.alias("a")
+    b = p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_type") == F.col("b.p_type"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand"), F.col("a.p_type").alias("ptype")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(dist <= _CLOSE, 1).otherwise(0)).alias("n_close"),
+            F.min(dist).cast("long").alias("min_dist"),
+        )
+        .orderBy("brand", "ptype")
+    )

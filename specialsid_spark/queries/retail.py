@@ -318,3 +318,52 @@ def clean_filter_pushdown_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("key").startswith("data/raw/PnP/") & F.col("key").endswith(".pdf"))
         .agg(F.count(F.lit(1)).alias("n_pdf"))
     )
+
+
+@register(
+    "retail_date_window_parse",
+    oracle=f"""
+    WITH slugs AS (
+      SELECT DISTINCT split_part(source_path, '/', 6) AS date_range
+      FROM {_DIRTY_VALUES_SQL}
+    ),
+    t AS (
+      SELECT date_range, replace(date_range, '_', ' ') AS txt FROM slugs
+    )
+    SELECT date_range,
+           CAST(strptime(regexp_extract(txt, '^(\\d+ [A-Za-z]+)', 1) || ' ' ||
+                         regexp_extract(txt, '(\\d{{4}})$', 1),
+                         '%-d %B %Y') AS DATE) AS valid_from,
+           CAST(strptime(regexp_extract(txt, '(\\d+ [A-Za-z]+ \\d{{4}})$', 1),
+                         '%-d %B %Y') AS DATE) AS valid_to
+    FROM t
+    ORDER BY date_range
+    """,
+)
+def retail_date_window_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: parse the flyer validity-window slug
+    ('13_February_-_15_February_2026', created by pnpscrLambda.py:99-100)
+    into typed valid_from/valid_to DATE columns.  The reference keeps
+    this a string partition key only; real time-series queries need the
+    dates.  The slug stays the physical partition key (SURVEY.md §7) —
+    these are derived columns."""
+    raw = spark.createDataFrame(_DIRTY_ROWS, _DIRTY_SCHEMA)
+    slug = F.split(F.col("source_path"), "/").getItem(5)
+    t = (
+        raw.select(slug.alias("date_range"))
+        .distinct()
+        .withColumn("txt", F.regexp_replace("date_range", "_", " "))
+    )
+    start_txt = F.regexp_extract("txt", r"^(\d+ [A-Za-z]+)", 1)
+    year = F.regexp_extract("txt", r"(\d{4})$", 1)
+    end_txt = F.regexp_extract("txt", r"(\d+ [A-Za-z]+ \d{4})$", 1)
+    return (
+        t.select(
+            "date_range",
+            F.to_date(F.concat_ws(" ", start_txt, year), "d MMMM yyyy").alias(
+                "valid_from"
+            ),
+            F.to_date(end_txt, "d MMMM yyyy").alias("valid_to"),
+        )
+        .orderBy("date_range")
+    )

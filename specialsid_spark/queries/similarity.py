@@ -167,3 +167,100 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rk", F.round("cs", 6).alias("cos_sim"))
         .orderBy("query_id", "rk")
     )
+
+
+_N_CENTROIDS = 8  # coarse-quantizer cells (stand-in for k-means output)
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < {_N_CENTROIDS}),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT a.vec_id, cent.cid,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(a.v, cent.cv) / (a.nrm * cent.cn) DESC, cent.cid
+               ) AS rn
+        FROM n a CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT qa.vec_id AS query_id, na.vec_id AS neighbor_id,
+             list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS cs
+      FROM assign qa
+      JOIN assign na ON na.cid = qa.cid AND na.vec_id <> qa.vec_id
+      JOIN n q ON q.vec_id = qa.vec_id
+      JOIN n x ON x.vec_id = na.vec_id
+      WHERE qa.vec_id < 10
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cs,
+             row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, round(cs, 6) AS cos_sim
+    FROM ranked WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of 8 fixed
+    centroid vectors (a deterministic stand-in for a trained k-means
+    coarse quantizer — vec_id < 8), then search only the query's cell.
+
+    Scale shape: the centroid table is broadcast for assignment (one
+    map-side pass over the corpus, no shuffle of the vectors), and
+    candidate generation is an equi-join on cell id — per-cell work,
+    never |Q|x|N|.  nprobe=1 here; multi-probe = union of the next
+    cells by centroid score."""
+    e = load_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    cent = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cs_cent = dot(F.col("embedding"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_cs").desc(), F.col("cid")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", cs_cent.alias("cent_cs"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    va = e.join(assign, "vec_id")
+    q = va.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "cid",
+    )
+    x = va.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nv"),
+        F.col("nrm").alias("nn"),
+        F.col("cid").alias("ncid"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(x, (F.col("ncid") == F.col("cid")) & (F.col("neighbor_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "rk", F.round("cs", 6).alias("cos_sim"))
+        .orderBy("query_id", "rk")
+    )

@@ -214,3 +214,116 @@ def text_wordcount_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("tok")
     )
+
+
+_BPE_PAT = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '{_BPE_PAT}') AS pieces
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(pieces) AS BIGINT) AS n_pieces,
+           CAST(len(list_filter(pieces, p -> regexp_matches(p, '^[a-z]+$'))) AS BIGINT)
+             AS n_alpha,
+           CAST(len(list_filter(pieces, p -> regexp_matches(p, '^[0-9]+$'))) AS BIGINT)
+             AS n_numeric
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex (runs of
+    letters | runs of digits | single punctuation) — the standard 'how
+    many tokens will this cost' estimator over a raw corpus.  All
+    JVM-side regexp; the per-doc pieces array goes through a named
+    projection (referenced 3x below)."""
+    d = load_parallel(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PAT), 0).alias("pieces"),
+    )
+    return t.select(
+        "doc_id",
+        F.size("pieces").cast("long").alias("n_pieces"),
+        F.size(F.filter(F.col("pieces"), lambda p: p.rlike("^[a-z]+$")))
+        .cast("long")
+        .alias("n_alpha"),
+        F.size(F.filter(F.col("pieces"), lambda p: p.rlike("^[0-9]+$")))
+        .cast("long")
+        .alias("n_numeric"),
+    ).orderBy("doc_id")
+
+
+_WINNOW_K = 3  # k-gram size
+_WINNOW_W = 4  # winnowing window (hashes per window)
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(toks) - {_WINNOW_K - 1}, 0) + 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+      FROM t
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(grams, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT) AS gh
+      FROM g
+    ),
+    w AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, greatest(len(gh) - {_WINNOW_W - 1}, 1) + 1),
+                              i -> list_min(gh[i:i+{_WINNOW_W - 1}])))) AS fps
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fps,
+           md5(array_to_string(fps, ' ')) AS fp_digest
+    FROM w
+    ORDER BY doc_id
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (MOSS-style winnowing):
+    hash every ORDERED k-gram, slide a w-hash window, keep each
+    window's min — the selected hash set is a position-robust document
+    signature (guaranteed to share fingerprints with any document that
+    shares a run of >= w+k-1 tokens).
+
+    Pipeline of named projections (toks -> grams -> hashes -> mins):
+    each array is multi-referenced by the next transform, so nothing is
+    re-derived, and every step is a JVM higher-order function — no
+    explode, no shuffle until the final orderBy."""
+    from specialsid_spark.operators.textops import word_kgrams
+
+    d = load_parallel(spark, sf_dir, "documents")
+    tk = d.select("doc_id", tokens("text").alias("toks"))
+    g = tk.select("doc_id", word_kgrams(F.col("toks"), k=_WINNOW_K).alias("grams"))
+    h = g.select(
+        "doc_id",
+        F.transform(
+            F.col("grams"),
+            lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"),
+        ).alias("gh"),
+    )
+    n_win = F.greatest(F.size("gh") - (_WINNOW_W - 1), F.lit(1))
+    wins = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.array_min(F.slice(F.col("gh"), i, _WINNOW_W)),
+    )
+    w = h.select("doc_id", F.sort_array(F.array_distinct(wins)).alias("fps"))
+    return w.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fps"),
+        F.md5(F.array_join(F.col("fps").cast("array<string>"), " ")).alias("fp_digest"),
+    ).orderBy("doc_id")
