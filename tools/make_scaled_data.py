@@ -1,0 +1,79 @@
+"""Materialize scaled-up copies of the sf0.1 fixtures for the scaling
+study in BASELINE.md.
+
+Writes /root/repo/.bench_data/x{N}/{table}.parquet at N x sf0.1 rows by
+replicating with shifted keys, in 128k-row row groups — the multi-row-
+group layout a real warehouse table has, so parquet scans parallelize
+naturally (the single-row-group fixture files cap any scan at 1 task
+regardless of engine).
+
+Usage: python tools/make_scaled_data.py [factors...]  (default 4 16)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SF_DIR = "/root/testdata/sf0.1"
+OUT_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_data")
+
+# table -> (key columns to shift so replicas don't collide, rows at sf0.1)
+SPECS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
+}
+COPY = ["region", "nation", "supplier"]  # dims stay fixed-size
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [4, 16]
+    con = duckdb.connect()
+    con.execute("SET threads TO 16")
+    for n in factors:
+        out = os.path.join(OUT_ROOT, f"x{n}")
+        os.makedirs(out, exist_ok=True)
+        for t, keys in SPECS.items():
+            src = f"{SF_DIR}/{t}.parquet"
+            base_rows = con.execute(f"SELECT count(*) FROM '{src}'").fetchone()[0]
+            shifted = ", ".join(
+                f"{k} + r.i * {base_rows} AS {k}" for k in keys
+            )
+            others = ", ".join(
+                c
+                for c in [
+                    r[0]
+                    for r in con.execute(f"DESCRIBE SELECT * FROM '{src}'").fetchall()
+                ]
+                if c not in keys
+            )
+            dst = os.path.join(out, f"{t}.parquet")
+            if os.path.exists(dst):
+                continue
+            con.execute(
+                f"""
+                COPY (
+                  SELECT {shifted}, {others}
+                  FROM '{src}', range({n}) r(i)
+                ) TO '{dst}' (FORMAT parquet, ROW_GROUP_SIZE 131072)
+                """
+            )
+            print(f"x{n}/{t}: {base_rows * n} rows")
+        for t in COPY:
+            dst = os.path.join(out, f"{t}.parquet")
+            if not os.path.exists(dst):
+                con.execute(
+                    f"COPY (SELECT * FROM '{SF_DIR}/{t}.parquet') TO '{dst}' (FORMAT parquet)"
+                )
+    print("done ->", OUT_ROOT)
+
+
+if __name__ == "__main__":
+    main()

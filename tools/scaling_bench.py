@@ -1,0 +1,86 @@
+"""Scaling study: Spark vs DuckDB on representative headline queries at
+1x / 4x / 16x the sf0.1 data (see tools/make_scaled_data.py).
+
+The fixture files at 1x are single-row-group parquet (scan caps at one
+task); the scaled copies use 128k-row row groups, the layout a real
+warehouse table has.  Results feed BASELINE.md.
+
+Usage: python tools/scaling_bench.py [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    "agg_pricing_summary",
+    "join_flagship_revenue",
+    "ev_session_windows",
+    "dedup_minhash_lsh_candidates",
+    "text_quality_score",
+]
+
+DIRS = {
+    "1x": "/root/testdata/sf0.1",
+    "4x": os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_data/x4"),
+    "16x": os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_data/x16"),
+}
+
+
+def duck_time(sql: str, sf_dir: str) -> float:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        best = min(best, time.time() - t0)
+    con.close()
+    return best
+
+
+def main() -> None:
+    names = sys.argv[1:] or QUERIES
+    import __spark_entry__ as e
+    from specialsid_spark.session import get_spark
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    spark = get_spark("scaling-bench")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    out: dict[str, dict[str, dict[str, float]]] = {}
+    for name in names:
+        out[name] = {}
+        for label, d in DIRS.items():
+            if not os.path.exists(d):
+                continue
+            best = float("inf")
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                qs[name](spark, d).collect()
+                best = min(best, time.time() - t0)
+            row = {"spark": round(best, 3)}
+            if name in oracles:
+                row["duckdb"] = round(duck_time(oracles[name], d), 3)
+            out[name][label] = row
+            print(f"# {name} @ {label}: {row}", file=sys.stderr)
+    print(json.dumps(out, indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
