@@ -1,0 +1,92 @@
+"""Physical-plan regression tests: the 100 TB design rules, asserted.
+
+A query can be value-correct with a plan that would melt at scale
+(filters not pushed, dimension joins shuffling the fact side, partial
+aggregation missing).  These tests pin the plan *shape* so a refactor
+that silently degrades it fails CI.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from specialsid_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, df) -> str:
+    return spark._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"  # noqa: SLF001
+    )
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+def test_pricing_summary_pushes_filter_and_partial_aggs(spark, qs):
+    p = plan_of(spark, qs["agg_pricing_summary"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    assert "partial_sum" in p  # map-side combine before the exchange
+    # scan must not read columns the query doesn't touch
+    assert "l_comment" not in p
+
+
+def test_flagship_revenue_broadcasts_dims(spark, qs):
+    p = plan_of(spark, qs["join_flagship_revenue"](spark, SF_DIR))
+    # nation/region (explicitly hinted) must be broadcast, never shuffled
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "partial_sum" in p
+
+
+def test_broadcast_part_revenue_is_broadcast(spark, qs):
+    p = plan_of(spark, qs["join_broadcast_part_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+
+
+def test_no_accidental_cartesian_products(spark, qs):
+    # every equi-join query must plan a hash/merge join; cartesian and
+    # broadcast-nested-loop are reserved for the queries built on them
+    allowed_nonequi = {
+        "join_cross_region_status",  # deliberate tiny cross join
+        "join_range_price_bands",  # non-equi range join
+        "sim_ivf_topk",  # broadcast centroid cross join (8 rows)
+        "dedup_embedding_cosine_top20",  # all-pairs by design (vec_id <)
+        "dedup_ngram_jaccard_pairs",  # blocked self-join w/ inequality
+        "sim_topk_bruteforce",  # query-side broadcast scoring
+        "fuzzy_levenshtein_blocked",  # blocked self-join w/ inequality
+    }
+    for name, fn in qs.items():
+        if name in allowed_nonequi or name.startswith(("stream_", "mm_")):
+            continue
+        df = fn(spark, SF_DIR)
+        p = plan_of(spark, df)
+        assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
+
+
+def test_text_pipelines_scan_documents_once(spark, qs):
+    # the named-projection rule: tokenization must not re-derive the
+    # scan; one parquet scan per documents-based single-table query
+    for name in ["text_quality_score", "dedup_simhash", "text_winnow_fingerprints"]:
+        p = plan_of(spark, qs[name](spark, SF_DIR))
+        # "formatted" prints each node twice (tree + details): count
+        # scan *locations*, one per physical scan node
+        assert p.count("Location: InMemoryFileIndex") == 1, f"{name} re-scans its input"
+
+
+def test_minhash_groupby_reuses_repartition_exchange(spark, qs):
+    # signatures groupBy('doc_id') must not add a second exchange after
+    # the explicit repartition('doc_id')
+    p = plan_of(spark, qs["dedup_minhash_signatures"](spark, SF_DIR))
+    # exactly one hash exchange (the explicit repartition on doc_id);
+    # the groupBy's partial+final aggregates sit directly on top of it
+    assert p.count("hashpartitioning(doc_id") == 1
+
+
+def test_asof_join_no_shuffle_explosion(spark, qs):
+    p = plan_of(spark, qs["join_asof_signup_before_error"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
