@@ -322,3 +322,121 @@ def agg_udaf_price_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(price_range("o_totalprice").alias("price_range"))
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "agg_percentiles_price",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 extension: exact interpolated percentiles (both engines use the
+    same linear interpolation between adjacent order statistics, so the
+    doubles match bit-for-bit; rounded to 6 for hash stability).
+
+    Scale note: exact percentiles sort per group; at 100 TB swap in
+    approx_percentile (t-digest) — kept exact here because the oracle
+    must match across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.50)), 6).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_N_SALTS = 16
+
+
+@register(
+    "agg_salted_heavy_hitter",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_salted_heavy_hitter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — the skew pattern, value-checked
+    against the plain GROUP BY.
+
+    l_returnflag has only 3 values, so a naive groupBy at scale sends
+    each key's entire volume to one reducer.  Phase 1 groups by
+    (key, salt = positive_mod(hash(row), 16)) spreading every key over
+    16 reducers; phase 2 merges the 3x16 partials.  The shuffle after
+    phase 1 carries 48 rows.  (AQE skew handling covers joins; salting
+    is still the tool for skewed aggregations with expensive state.)"""
+    li = load(spark, sf_dir, "lineitem")
+    salt = F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(_N_SALTS))
+    phase1 = (
+        li.groupBy(F.col("l_returnflag"), salt.alias("salt"))
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("pq"),
+            F.count(F.lit(1)).alias("pn"),
+        )
+    )
+    return (
+        phase1.groupBy("l_returnflag")
+        .agg(
+            F.sum("pq").cast("long").alias("total_qty"),
+            F.sum("pn").cast("long").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_grouped_map_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal DESC, c_custkey) AS BIGINT)
+             AS bal_rank
+    FROM customer
+    ORDER BY c_mktsegment, bal_rank
+    """,
+)
+def agg_grouped_map_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/U4: grouped-map applyInPandas — arbitrary per-group pandas
+    logic (here: dense per-segment balance ranking, deterministic
+    tie-break) with an exact SQL twin so the Arrow path itself is
+    value-verified.
+
+    Scale shape: one shuffle on the group key, then per-group pandas in
+    executor memory — the escape hatch for group-local algorithms
+    (model scoring, curve fitting) that column expressions can't state.
+    Groups must fit in memory; for heavy keys pre-split with a salt."""
+    import pandas as pd  # noqa: PLC0415
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True]
+        ).reset_index(drop=True)
+        pdf["bal_rank"] = pdf.index + 1
+        return pdf[["c_custkey", "c_mktsegment", "bal_rank"]]
+
+    return (
+        c.groupBy("c_mktsegment")
+        .applyInPandas(
+            rank_group, "c_custkey long, c_mktsegment string, bal_rank long"
+        )
+        .orderBy("c_mktsegment", "bal_rank")
+    )

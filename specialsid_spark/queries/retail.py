@@ -367,3 +367,54 @@ def retail_date_window_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("date_range")
     )
+
+
+@register(
+    "retail_flyer_days",
+    oracle=f"""
+    WITH slugs AS (
+      SELECT DISTINCT split_part(source_path, '/', 6) AS date_range
+      FROM {_DIRTY_VALUES_SQL}
+    ),
+    t AS (SELECT date_range, replace(date_range, '_', ' ') AS txt FROM slugs),
+    parsed AS (
+      SELECT date_range,
+             CAST(strptime(regexp_extract(txt, '^(\\d+ [A-Za-z]+)', 1) || ' ' ||
+                           regexp_extract(txt, '(\\d{{4}})$', 1), '%-d %B %Y') AS DATE)
+               AS valid_from,
+             CAST(strptime(regexp_extract(txt, '(\\d+ [A-Za-z]+ \\d{{4}})$', 1),
+                           '%-d %B %Y') AS DATE) AS valid_to
+      FROM t
+    )
+    SELECT date_range, CAST(unnest(generate_series(valid_from, valid_to, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM parsed
+    ORDER BY date_range, day
+    """,
+)
+def retail_flyer_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: Python UDTF (Spark 4 `@udtf`) + LATERAL join — one output row
+    per day each flyer is valid.  The UDTF is the table-valued escape
+    hatch for 1-row-in/N-rows-out logic that `explode(sequence(...))`
+    could also state; registered here to exercise the API end-to-end."""
+    from datetime import timedelta  # noqa: PLC0415
+
+    from pyspark.sql.functions import udtf  # noqa: PLC0415
+
+    @udtf(returnType="date_range string, day date")
+    class ExpandDays:
+        def eval(self, date_range, start, end):  # noqa: ANN001
+            d = start
+            while d is not None and end is not None and d <= end:
+                yield (date_range, d)
+                d += timedelta(days=1)
+
+    spark.udtf.register("expand_days", ExpandDays)
+    retail_date_window_parse(spark, sf_dir).createOrReplaceTempView("flyer_windows")
+    return spark.sql(
+        """
+        SELECT t.date_range, t.day
+        FROM flyer_windows f,
+             LATERAL expand_days(f.date_range, f.valid_from, f.valid_to) t
+        ORDER BY t.date_range, t.day
+        """
+    )

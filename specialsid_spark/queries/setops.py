@@ -140,3 +140,30 @@ def set_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.year("o_orderdate") == 1995).select(F.lit("orders_1995").alias("src"))
     b = o.filter(F.year("o_orderdate") == 1996).select(F.lit("orders_1996").alias("src"))
     return a.unionAll(b).groupBy("src").agg(F.count(F.lit(1)).alias("n")).orderBy("src")
+
+
+@register(
+    "shape_unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+    ORDER BY p_partkey, metric
+    """,
+)
+def shape_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide part metrics -> long (key, metric, value)
+    rows — the inverse of ev_pivot_type_counts.  Spark's unpivot is a
+    zero-shuffle Expand node (each input row emits N output rows in
+    place)."""
+    p = load(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            F.col("p_retailprice"),
+        )
+        .unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+        .orderBy("p_partkey", "metric")
+    )
