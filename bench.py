@@ -26,6 +26,11 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "text_wordcount_global",
     "text_quality_score",
+    "text_bpe_token_count",
+    "text_winnow_fingerprints",
+    "fuzzy_levenshtein_blocked",
+    "sim_ivf_topk",
+    "agg_salted_heavy_hitter",
 ]
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from specialsid_spark.catalog import load
+from specialsid_spark.catalog import load_parallel
 from specialsid_spark.queries import register
 
 _CLOSE = 4  # edit-distance threshold for a "close" name pair
@@ -40,7 +40,10 @@ _CLOSE = 4  # edit-distance threshold for a "close" name pair
 def fuzzy_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy match: per (brand, type) block, how many name pairs
     are within edit distance {_CLOSE}, and the closest pair's distance."""
-    p = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_type")
+    # expression-heavy pair scoring (levenshtein x |block|^2): fan out
+    p = load_parallel(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type"
+    )
     a = p.alias("a")
     b = p.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
