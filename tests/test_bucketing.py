@@ -1,0 +1,77 @@
+"""Bucketed co-located joins (SURVEY.md §2.5 J4 scale path).
+
+At 100 TB the lineitem⋈orders join is the dominant shuffle.  Bucketing
+both tables by the join key at write time makes every future join on
+that key shuffle-free: each task reads matching buckets from both
+sides.  This test writes bucketed tables, asserts the join plan has NO
+exchange, and that results match the shuffled join.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from specialsid_spark.catalog import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tmp_path_factory):
+    wh = tmp_path_factory.mktemp("bucketed_wh")
+    # external tables via .option("path", ...) — no warehouse conf needed
+    li = load(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load(spark, SF_DIR, "orders").select("o_orderkey", "o_orderstatus")
+    for df, name, key in [(li, "li_bkt", "l_orderkey"), (o, "o_bkt", "o_orderkey")]:
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(wh / name))
+            .saveAsTable(name)
+        )
+    return spark
+
+
+def test_bucketed_join_is_shuffle_free(bucketed):
+    spark = bucketed
+    li = spark.table("li_bkt")
+    o = spark.table("o_bkt")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        joined._jdf.queryExecution(), "formatted"  # noqa: SLF001
+    )
+    # the join itself must not shuffle either side: the only exchange
+    # allowed is the one for the post-join groupBy
+    join_section = plan.split("HashAggregate")[0]
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in join_section
+    assert plan.count("Exchange") <= plan.count("HashAggregate"), plan
+
+
+def test_bucketed_join_matches_shuffled_join(bucketed):
+    spark = bucketed
+    li_b = spark.table("li_bkt")
+    o_b = spark.table("o_bkt")
+    bucketed_counts = {
+        r["o_orderstatus"]: r["n"]
+        for r in li_b.join(o_b, li_b.l_orderkey == o_b.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    li = load(spark, SF_DIR, "lineitem")
+    o = load(spark, SF_DIR, "orders")
+    plain_counts = {
+        r["o_orderstatus"]: r["n"]
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert bucketed_counts == plain_counts

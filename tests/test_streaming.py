@@ -188,3 +188,38 @@ def test_streaming_stateful_running_max(spark, tmp_path):
     }
     assert rows[1] == (2, 9.0)
     assert rows[2] == (1, 3.0)
+
+
+def test_hop3_survives_malformed_json(spark, tmp_path):
+    """PERMISSIVE parse: a corrupt line must not kill the stream; valid
+    rows flow through, the corrupt one becomes an all-null row that the
+    cleaner's validity handling retains with defaults (the reference's
+    cleaner likewise never aborts a batch, pnp-cleanerLambda.py:61-74)."""
+    from specialsid_spark.streaming.pipeline import hop3_json_to_clean
+
+    json_dir = tmp_path / "pro_json"
+    json_dir.mkdir()
+    good = {
+        "product_name": "Rice",
+        "brand": "KOO",
+        "current_price": 9.99,
+        "was_price": None,
+        "weight_volume": "2kg",
+        "unit": "kg",
+        "deal_type": None,
+        "multi_buy_quantity": 1,
+        "bounding_box": [1, 2, 3, 4],
+        "group_id": None,
+        "source_path": "data/pro/json/PnP/Gauteng/1_March_-_3_March_2026/page_1.json",
+    }
+    with open(json_dir / "page_1.json", "w") as f:
+        f.write(json.dumps(good) + "\n")
+        f.write('{"product_name": "Broken", "current_price": NOT_JSON}\n')
+        f.write(json.dumps({**good, "product_name": "Beans"}) + "\n")
+    clean_dir = str(tmp_path / "clean")
+    q = hop3_json_to_clean(spark, str(json_dir), clean_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+    out = spark.read.parquet(clean_dir)
+    names = {r["product_name"] for r in out.select("product_name").collect()}
+    assert {"Rice", "Beans"} <= names
+    assert out.count() == 3  # corrupt line -> null row, not a crash
