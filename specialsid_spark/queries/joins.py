@@ -256,3 +256,35 @@ def join_broadcast_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(revenue).cast("double") / 10000.0).alias("revenue"))
         .orderBy("p_brand")
     )
+
+
+# S11: the catalog surface — one ANSI statement that runs UNCHANGED on
+# Spark (over catalog.register_all temp views, the Glue/Athena
+# analogue) and on DuckDB (the oracle is the same string).
+_ANSI_REVENUE_SQL = """
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+
+@register("sql_surface_revenue", oracle=_ANSI_REVENUE_SQL)
+def sql_surface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: full SQL over the registered catalog — the exact oracle
+    string executed by spark.sql.  Proves a user of the reference's
+    Athena surface can paste their SQL here and get identical results
+    (same plan quality as the DataFrame build: Catalyst treats both
+    identically)."""
+    from specialsid_spark.catalog import register_all  # noqa: PLC0415
+
+    register_all(spark, sf_dir)
+    return spark.sql(_ANSI_REVENUE_SQL)

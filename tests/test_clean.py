@@ -137,3 +137,48 @@ def test_write_clean_zone_dynamic_overwrite(spark, tmp_path):
     back = spark.read.parquet(target)
     names = {r["product_name"] for r in back.collect()}
     assert names == {"A2", "B"}  # Gauteng overwritten, Natal untouched
+
+
+def test_compact_clean_zone(spark, tmp_path):
+    """Many per-page files -> few per-partition files, same rows."""
+    from specialsid_spark.operators.clean import compact_clean_zone
+
+    path = str(tmp_path / "clean_zone")
+    base = spark.range(200).selectExpr(
+        "concat('p', id % 7) AS product_name",
+        "'Koo' AS brand",
+        "CAST(id AS DOUBLE) AS current_price",
+        "concat('Prov', id % 2) AS province",
+        "'1_March_-_3_March_2026' AS date_range",
+    )
+    # simulate the reference's one-file-per-page writes
+    for i in range(10):
+        (
+            base.filter(F.col("current_price") % 10 == i)
+            .write.mode("append")
+            .partitionBy("province", "date_range")
+            .parquet(path)
+        )
+    stats = compact_clean_zone(spark, path, target_rows_per_file=1000)
+    assert stats["files_before"] >= 20  # >= one per page write per partition
+    assert stats["files_after"] <= 4
+    out = spark.read.parquet(path)
+    assert out.count() == 200
+    assert out.select("province").distinct().count() == 2
+
+
+def test_partition_pruning_on_clean_zone(spark, tmp_path):
+    """A province/date_range predicate must prune at the file-index
+    level (PartitionFilters), never scan other partitions' files."""
+    path = str(tmp_path / "pruned_zone")
+    spark.range(100).selectExpr(
+        "'x' AS product_name",
+        "concat('Prov', id % 4) AS province",
+        "'1_March_-_3_March_2026' AS date_range",
+    ).write.partitionBy("province", "date_range").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("province") == "Prov1")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(province" in plan
+    assert df.count() == 25
