@@ -31,6 +31,9 @@ HEADLINE = [
     "fuzzy_levenshtein_blocked",
     "sim_ivf_topk",
     "agg_salted_heavy_hitter",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
 ]
 
 

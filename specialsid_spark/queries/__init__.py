@@ -63,6 +63,7 @@ def _load_modules() -> None:
         similarity,
         streaming_q,
         text,
+        tpch,
         windows,
     )
 
