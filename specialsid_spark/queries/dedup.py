@@ -297,3 +297,88 @@ def dedup_embedding_cosine_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
         .limit(20)
     )
+
+
+@register(
+    "dedup_cc_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_sql_minhash_sigs()},
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '|' || mh1::VARCHAR) AS bkey FROM sigs
+      UNION ALL SELECT doc_id, 1, md5(mh2::VARCHAR || '|' || mh3::VARCHAR) FROM sigs
+      UNION ALL SELECT doc_id, 2, md5(mh4::VARCHAR || '|' || mh5::VARCHAR) FROM sigs
+      UNION ALL SELECT doc_id, 3, md5(mh6::VARCHAR || '|' || mh7::VARCHAR) FROM sigs
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS doc FROM edges),
+    reach(doc, root) AS (
+      SELECT doc, doc FROM nodes
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc
+    )
+    SELECT doc AS doc_id, CAST(MIN(root) AS BIGINT) AS cluster_id
+    FROM reach
+    GROUP BY doc
+    ORDER BY doc_id
+    """,
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 completion: LSH candidate pairs -> duplicate CLUSTERS via
+    connected components (iterative min-label propagation; cluster id =
+    smallest doc_id in the component — the canonical keeper).
+
+    Scale shape: each iteration is one join edges⋈labels + a min-agg —
+    shuffle bounded by |edges|; iterations = graph diameter (near-dup
+    clusters are shallow, typically <= 5).  Convergence is checked with
+    a driver-side count of changed labels (an O(1) scalar per round,
+    not a data collect).  The DuckDB oracle states the same fixpoint as
+    a recursive CTE, so the iterative Spark formulation is value-checked
+    against a declarative twin.
+    """
+    pairs = dedup_minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.selectExpr("doc_a AS a", "doc_b AS b")
+        .unionAll(pairs.selectExpr("doc_b AS a", "doc_a AS b"))
+        .persist()
+    )
+    labels = edges.select(F.col("a").alias("doc")).distinct().withColumn(
+        "cluster_id", F.col("doc")
+    ).persist()
+    for _ in range(20):  # diameter bound; converges far earlier
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.doc)
+            .groupBy(F.col("a").alias("doc"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc", "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select("doc", F.col("cluster_id").cast("long")).withColumnRenamed(
+        "doc", "doc_id"
+    ).orderBy("doc_id")
+    return out
