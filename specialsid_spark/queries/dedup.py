@@ -378,7 +378,16 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    out = labels.select("doc", F.col("cluster_id").cast("long")).withColumnRenamed(
-        "doc", "doc_id"
-    ).orderBy("doc_id")
-    return out
+    out = (
+        labels.select("doc", F.col("cluster_id").cast("long"))
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+        # the loop already converged; materialize the result locally so
+        # the iteration caches can be dropped before returning (leaving
+        # them registered would let the CacheManager substitute cached
+        # subtrees into OTHER queries' plans in the same session)
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist()
+    labels.unpersist()
+    return out.orderBy("doc_id")

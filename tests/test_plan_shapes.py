@@ -23,6 +23,15 @@ def plan_of(spark, df) -> str:
     )
 
 
+@pytest.fixture(autouse=True)
+def _fresh_cache(spark):
+    # persisted intermediates from OTHER tests' queries would let the
+    # CacheManager substitute InMemoryRelations into the plans asserted
+    # here — clear so every assertion sees the from-parquet plan
+    spark.catalog.clearCache()
+    yield
+
+
 @pytest.fixture(scope="module")
 def qs():
     return all_queries()
