@@ -26,13 +26,20 @@ def word_kgrams(toks: Column, k: int = 3) -> Column:
     """ORDERED word k-grams (duplicates kept) — position matters for
     rolling-hash winnowing.  Same named-projection rule as
     :func:`word_shingles`: pass a materialized column, not the raw
-    ``tokens(...)`` expression."""
+    ``tokens(...)`` expression.
+
+    Documents shorter than k tokens yield an EMPTY gram array.  (The
+    guard matters: ``sequence(1, n-k+1)`` with n < k produces a
+    DESCENDING sequence [1, 0, ...] — Spark's sequence walks backwards
+    when end < start — and element_at then throws out-of-bounds.
+    Caught by the Python-reference cross-validation test.)"""
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.transform(
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    grams = F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
     )
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
 
 
 def word_shingles(toks: Column, k: int = 3) -> Column:
@@ -44,14 +51,9 @@ def word_shingles(toks: Column, k: int = 3) -> Column:
     referenced k times inside the per-gram lambda; an inline expression
     is re-evaluated on every reference (measured 7x slower), while a
     multi-referenced projection survives CollapseProject and is
-    computed once per row."""
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
-    )
-    return F.array_distinct(gram)
+    computed once per row.  Sub-k-token documents yield an empty array
+    (see :func:`word_kgrams` for why the guard is required)."""
+    return F.array_distinct(word_kgrams(toks, k))
 
 
 _MOD32 = 4_294_967_296  # 2^32

@@ -1,0 +1,110 @@
+"""Cross-validate the textops expression builders against straight
+Python reimplementations (hashlib md5), independent of the DuckDB
+oracles — three implementations agreeing (Spark exprs, DuckDB SQL,
+Python) pins the semantics from all sides.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pyspark.sql.functions as F
+
+from specialsid_spark.operators.textops import (
+    minhash_bases,
+    minhash_component,
+    simhash16_from_digests,
+    token_digest16,
+    tokens,
+    word_shingles,
+)
+
+_MOD32 = 1 << 32
+
+
+def py_tokens(text: str) -> list[str]:
+    return text.strip().lower().split()
+
+
+def py_shingles(toks: list[str], k: int = 3) -> list[str]:
+    grams = [" ".join(toks[i : i + k]) for i in range(max(len(toks) - k + 1, 0))]
+    seen, out = set(), []
+    for g in grams:
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+def py_minhash(toks: list[str], j: int) -> int | None:
+    best = None
+    for sh in py_shingles(toks):
+        h = hashlib.md5(sh.encode()).hexdigest()
+        u1, u2 = int(h[:8], 16), int(h[8:16], 16)
+        v = (u1 + j * u2) % _MOD32
+        best = v if best is None or v < best else best
+    return best
+
+
+def py_simhash16(toks_distinct: list[str]) -> int:
+    sig = 0
+    for b in range(16):
+        shift = 4 * (3 - b // 4) + b % 4
+        vote = 0
+        for t in toks_distinct:
+            v = int(hashlib.md5(t.encode()).hexdigest()[:4], 16)
+            vote += ((v >> shift) & 1) * 2 - 1
+        if vote >= 0:
+            sig |= 1 << b
+    return sig
+
+
+def _random_docs(n=60, seed=7):
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "x1", "y2", "z3", "the", "of", "a"]
+    docs = []
+    for i in range(n):
+        n_tok = rng.randint(1, 30)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n_tok))))
+    return docs
+
+
+def test_minhash_matches_python_reference(spark):
+    docs = _random_docs()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    tk = df.select("doc_id", tokens("text").alias("toks"))
+    ex = tk.select("doc_id", F.explode(word_shingles(F.col("toks"), 3)).alias("sh"))
+    hashed = ex.select("doc_id", F.md5("sh").alias("h"))
+    u1, u2 = minhash_bases(F.col("h"))
+    based = hashed.select("doc_id", u1.alias("u1"), u2.alias("u2"))
+    got = {
+        r["doc_id"]: (r["m0"], r["m5"])
+        for r in based.groupBy("doc_id")
+        .agg(
+            F.min(minhash_component(F.col("u1"), F.col("u2"), 0)).alias("m0"),
+            F.min(minhash_component(F.col("u1"), F.col("u2"), 5)).alias("m5"),
+        )
+        .collect()
+    }
+    for doc_id, text in docs:
+        toks = py_tokens(text)
+        exp = (py_minhash(toks, 0), py_minhash(toks, 5))
+        assert got.get(doc_id, (None, None)) == exp, f"doc {doc_id}: {text!r}"
+
+
+def test_simhash_matches_python_reference(spark):
+    docs = _random_docs(seed=13)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    t = df.select(
+        "doc_id", token_digest16(F.array_distinct(tokens("text"))).alias("digs")
+    )
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in t.select(
+            "doc_id", simhash16_from_digests(F.col("digs")).alias("sh")
+        ).collect()
+    }
+    for doc_id, text in docs:
+        toks = list(dict.fromkeys(py_tokens(text)))
+        assert got[doc_id] == py_simhash16(toks), f"doc {doc_id}: {text!r}"
