@@ -391,3 +391,99 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()
     labels.unpersist()
     return out.orderBy("doc_id")
+
+
+@register(
+    "pipeline_corpus_curation",
+    oracle=f"""
+    WITH {_sql_minhash_sigs()},
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '|' || mh1::VARCHAR) AS bkey FROM sigs
+      UNION ALL SELECT doc_id, 1, md5(mh2::VARCHAR || '|' || mh3::VARCHAR) FROM sigs
+      UNION ALL SELECT doc_id, 2, md5(mh4::VARCHAR || '|' || mh5::VARCHAR) FROM sigs
+      UNION ALL SELECT doc_id, 3, md5(mh6::VARCHAR || '|' || mh7::VARCHAR) FROM sigs
+    ),
+    near_dupes AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    quality AS (
+      SELECT doc_id, text, toks,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, t -> t IN ('the','and','of'))) AS v_en,
+             len(list_filter(toks, t -> t IN ('el','la','de')))   AS v_es,
+             len(list_filter(toks, t -> t IN ('le','la','et')))   AS v_fr,
+             len(list_filter(toks, t -> t IN ('der','die','und'))) AS v_de
+      FROM t JOIN documents USING (doc_id)
+      WHERE len(toks) BETWEEN 5 AND 1000
+        AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.1
+    ),
+    english AS (
+      SELECT doc_id, text, n_tokens FROM quality
+      WHERE v_en >= v_es AND v_en >= v_fr AND v_en >= v_de
+    ),
+    exact_keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM english GROUP BY md5(text)
+    )
+    SELECT e.doc_id, CAST(e.n_tokens AS BIGINT) AS n_tokens
+    FROM english e
+    JOIN exact_keepers k ON k.doc_id = e.doc_id
+    WHERE e.doc_id NOT IN (SELECT doc_id FROM near_dupes)
+    ORDER BY e.doc_id
+    """,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus curation pipeline as ONE dataflow:
+    quality gate (length + lexical diversity) -> language filter (en)
+    -> exact dedup (md5 keeper) -> near-dup removal (MinHash-LSH,
+    greedy keep-lowest-id) -> kept corpus.
+
+    Composition of the engine's curation operators, value-checked as a
+    whole.  Scale shape: three groupBys (signatures, exact hash, band
+    buckets) + one broadcast-able anti-join of doc_ids — everything
+    shuffles hashes/ids, never document text; the quality+language
+    pass is one codegen'd scan."""
+    d = load_parallel(spark, sf_dir, "documents")
+    t = d.select("doc_id", "text", tokens("text").alias("toks"))
+    n = F.size("toks")
+    votes = {
+        lang: F.size(F.filter(F.col("toks"), _markers_filter(markers)))
+        for lang, markers in _CURATION_MARKERS.items()
+    }
+    quality = t.filter(
+        n.between(5, 1000)
+        & (F.size(F.array_distinct("toks")).cast("double") / n > 0.1)
+    ).select("doc_id", "text", n.alias("n_tokens"), *[v.alias(f"v_{k}") for k, v in votes.items()])
+    english = quality.filter(
+        (F.col("v_en") >= F.col("v_es"))
+        & (F.col("v_en") >= F.col("v_fr"))
+        & (F.col("v_en") >= F.col("v_de"))
+    ).select("doc_id", "text", "n_tokens")
+    exact_keepers = english.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    near_dupes = (
+        dedup_minhash_lsh_candidates(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        english.join(exact_keepers, "doc_id", "left_semi")
+        .join(near_dupes, "doc_id", "left_anti")
+        .select("doc_id", F.col("n_tokens").cast("long"))
+        .orderBy("doc_id")
+    )
+
+
+_CURATION_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+}
+
+
+def _markers_filter(markers):
+    # factory keeps the HOF lambda unary (PySpark infers arity)
+    return lambda x: x.isin(*markers)
