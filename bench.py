@@ -34,6 +34,7 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
+    "pipeline_corpus_curation",
 ]
 
 
