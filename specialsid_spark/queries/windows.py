@@ -173,3 +173,44 @@ def win_ntile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.ntile(4).over(w).cast("long").alias("quartile"),
     ).orderBy("c_nationkey", "c_custkey")
+
+
+@register(
+    "win_value_functions",
+    oracle="""
+    SELECT s_suppkey,
+           first_value(s_name) OVER w AS first_in_nation,
+           last_value(s_name) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_in_nation,
+           nth_value(s_name, 2) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_in_nation,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    ORDER BY s_suppkey
+    """,
+)
+def win_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 completeness: first/last/nth value + percent_rank/cume_dist
+    with a tie-safe ordering (acctbal DESC, suppkey).  last/nth use the
+    full-partition frame — the default running frame would return the
+    current row for last_value."""
+    s = load(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        s.select(
+            "s_suppkey",
+            F.first("s_name").over(w).alias("first_in_nation"),
+            F.last("s_name").over(wf).alias("last_in_nation"),
+            F.nth_value("s_name", 2).over(wf).alias("second_in_nation"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("s_suppkey")
+    )
