@@ -53,6 +53,7 @@ def _load_modules() -> None:
     # import for side effect of @register
     from specialsid_spark.queries import (  # noqa: F401
         aggregates,
+        curation,
         dedup,
         events,
         fuzzy,

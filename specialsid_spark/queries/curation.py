@@ -1,0 +1,154 @@
+"""Training-data pipeline utilities beyond dedup/similarity: splits,
+shard packing, contamination checks (BASELINE.json north star).
+
+All three are the operations a 100 TB pre-training corpus pass needs
+between "curated documents" and "training shards", expressed as pure
+dataflow with cross-engine-portable determinism (md5-based hashing —
+Spark's built-in `hash` is Murmur3 and DuckDB's differs, so content
+hashes, not engine hashes, drive every decision).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from specialsid_spark.catalog import load_parallel
+from specialsid_spark.operators.textops import tokens
+from specialsid_spark.queries import register
+
+
+@register(
+    "cur_train_test_split",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 230 THEN 'train' ELSE 'eval' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM t
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def cur_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/10 train/eval split: first md5 byte of the doc
+    id < 230 -> train.  Content-hash bucketing is stable across engines,
+    runs, and cluster sizes — the property a reproducible corpus split
+    needs (row_number or rand() splits are neither)."""
+    d = load_parallel(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "int"
+    )
+    return (
+        d.select(F.when(bucket < 230, "train").otherwise("eval").alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+_TOKENS_PER_SHARD = 4000
+
+
+@register(
+    "cur_token_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM t
+    )
+    SELECT CAST((cum_tokens - 1) // {_TOKENS_PER_SHARD} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+    FROM c
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def cur_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: running token cumsum over a stable
+    doc order, shard = (cumsum-1) div budget — each training shard gets
+    ~{_TOKENS_PER_SHARD} tokens regardless of document-length skew.
+
+    Scale note: the global running sum is a single range-partitioned
+    window (Spark sorts once); at 100 TB pack per partition-group
+    (e.g. per source/date bucket) so no global order is needed."""
+    d = load_parallel(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = t.select(
+        "doc_id", "n_tokens", F.sum("n_tokens").over(w).alias("cum_tokens")
+    )
+    shard = ((F.col("cum_tokens") - 1) / _TOKENS_PER_SHARD).cast("long")
+    return (
+        c.groupBy(shard.alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+# a tiny stand-in for a benchmark blocklist (eval-set shingles that must
+# not leak into training data)
+_BLOCKLIST = (
+    "the quick brown",
+    "lorem ipsum dolor",
+    "alpha beta gamma",
+)
+
+
+@register(
+    "cur_contamination_check",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+               FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+      FROM t
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM sh
+    WHERE shingle IN {_BLOCKLIST!r}
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def cur_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: which documents contain any
+    blocklisted eval shingle, and how many.  The blocklist is a
+    broadcast-able dimension (a real one is a few million shingles —
+    still broadcast territory); the corpus side streams through one
+    shingle explode + semi-join, shuffling only matches."""
+    from specialsid_spark.operators.textops import word_shingles  # noqa: PLC0415
+
+    d = load_parallel(spark, sf_dir, "documents")
+    tk = d.select("doc_id", tokens("text").alias("toks"))
+    sh = tk.select(
+        "doc_id", F.explode(word_shingles(F.col("toks"), k=3)).alias("shingle")
+    )
+    block = spark.createDataFrame([(s,) for s in _BLOCKLIST], "shingle string")
+    return (
+        sh.join(F.broadcast(block), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy("doc_id")
+    )
