@@ -106,11 +106,12 @@ def cur_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # a tiny stand-in for a benchmark blocklist (eval-set shingles that must
-# not leak into training data)
+# not leak into training data); entries chosen to occur in the fixture
+# corpus at every scale factor so the check is non-trivially exercised
 _BLOCKLIST = (
-    "the quick brown",
-    "lorem ipsum dolor",
-    "alpha beta gamma",
+    "big order scan",
+    "row column sort",
+    "group slow spark",
 )
 
 
