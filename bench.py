@@ -66,12 +66,13 @@ def main() -> None:
         .collect()
     )
 
-    # two runs per query, report the min (steady state, ClickBench-style):
-    # run 1 pays per-plan codegen/JIT that a long-lived cluster amortizes
+    # three runs per query, report the min (steady state, ClickBench-style):
+    # run 1 pays per-plan codegen/JIT that a long-lived cluster amortizes,
+    # and min-of-3 damps the ±20% machine noise observed between runs
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best, n = float("inf"), 0
-        for _ in range(2):
+        for _ in range(3):
             # drop persisted intermediates so each run recomputes from
             # parquet — min-of-2 measures steady-state JIT, not a cache
             spark.catalog.clearCache()

@@ -487,3 +487,57 @@ _CURATION_MARKERS = {
 def _markers_filter(markers):
     # factory keeps the HOF lambda unary (PySpark infers arity)
     return lambda x: x.isin(*markers)
+
+
+@register(
+    "dedup_simhash_hamming_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, list_distinct({_SQL_TOKENS}) AS toks FROM documents),
+    g AS (SELECT doc_id, {SQL_TOKEN_DIGEST16.format(toks="toks")} AS digs FROM t),
+    sigs AS (SELECT doc_id, {sql_simhash16_digests("digs")} AS sig FROM g),
+    probes AS (
+      SELECT doc_id, sig, sig AS probe FROM sigs
+      UNION ALL
+      SELECT doc_id, sig, xor(sig, (1 << b.b)) AS probe
+      FROM sigs, (SELECT unnest(range(0, 16)) AS b) b
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM probes a JOIN sigs b ON a.probe = b.sig AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS within Hamming distance <= 1, without any
+    pairwise comparison: each signature emits itself plus its 16
+    one-bit-flip probes (17 rows), and near-dup pairs fall out of an
+    equi-join probe==signature.
+
+    This is the classic Hamming-LSH trick: candidate generation cost is
+    |docs| x (d+1) tiny rows and one hash join — never |docs|^2 — and
+    generalizes to radius r via multi-bit flips.  The same shape at 64
+    bits with 4 16-bit blocks covers radius 3 exactly."""
+    d = load_parallel(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", token_digest16(F.array_distinct(tokens("text"))).alias("digs")
+    )
+    # localCheckpoint (not persist): both join sides reuse the
+    # materialized signatures without registering a CacheManager entry
+    # that would substitute into other queries' plans in this session
+    sigs = t.select(
+        "doc_id", simhash16_from_digests(F.col("digs")).alias("sig")
+    ).localCheckpoint(eager=True)
+    flips = F.array(*[F.lit(1 << b) for b in range(16)])
+    probes = sigs.select(
+        "doc_id",
+        F.explode(
+            F.concat(F.array(F.col("sig")), F.transform(flips, lambda m: F.col("sig").bitwiseXOR(m)))
+        ).alias("probe"),
+    )
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("bsig"))
+    out = (
+        probes.join(b, (F.col("probe") == F.col("bsig")) & (F.col("doc_id") < F.col("doc_b")))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+    return out

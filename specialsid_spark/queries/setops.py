@@ -167,3 +167,29 @@ def shape_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
         .orderBy("p_partkey", "metric")
     )
+
+
+@register(
+    "shape_posexplode_tokens",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS tok
+    FROM t, unnest(range(1, len(toks) + 1)) r(i)
+    ORDER BY doc_id, pos
+    """,
+)
+def shape_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: token stream WITH positions — the ordinal matters for
+    n-gram windows, alignment, and span labeling.  One generator node;
+    position comes from the explode itself, not a window."""
+    from specialsid_spark.operators.textops import tokens  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    return (
+        t.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+        .orderBy("doc_id", "pos")
+    )
