@@ -255,3 +255,26 @@ def streaming_stateful_running_max(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_sliding_counts(
+    spark: SparkSession,
+    events_dir: str,
+    watermark: str = "1 hour",
+    window_size: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """T8: sliding windows in a stream — each event lands in
+    size/slide overlapping windows; watermark bounds retained state.
+    Streaming twin of the batch ev_sliding_1h_30m query."""
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).json(events_dir)
+    )
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "n_events")
+    )

@@ -223,3 +223,35 @@ def test_hop3_survives_malformed_json(spark, tmp_path):
     names = {r["product_name"] for r in out.select("product_name").collect()}
     assert {"Rice", "Beans"} <= names
     assert out.count() == 3  # corrupt line -> null row, not a crash
+
+
+def test_streaming_sliding_counts(spark, tmp_path):
+    ev_dir = tmp_path / "events_slide"
+    ev_dir.mkdir()
+    _write_events(
+        ev_dir / "b.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:10:00", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01 10:40:00", "user_id": 2, "event_type": "view", "value": 1.0},
+        ],
+    )
+    from specialsid_spark.streaming.pipeline import streaming_sliding_counts
+
+    agg = streaming_sliding_counts(spark, str(ev_dir))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {
+        str(r["win_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sliding_test").collect()
+    }
+    # event 1 (10:10) in [09:30,10:30) and [10:00,11:00);
+    # event 2 (10:40) in [10:00,11:00) and [10:30,11:30)
+    assert rows["2024-01-01 09:30:00"] == 1
+    assert rows["2024-01-01 10:00:00"] == 2
+    assert rows["2024-01-01 10:30:00"] == 1

@@ -108,3 +108,38 @@ def test_simhash_matches_python_reference(spark):
     for doc_id, text in docs:
         toks = list(dict.fromkeys(py_tokens(text)))
         assert got[doc_id] == py_simhash16(toks), f"doc {doc_id}: {text!r}"
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """The winnowing invariant: two documents sharing a token run of
+    length >= w + k - 1 share at least one selected fingerprint."""
+    from specialsid_spark.operators.textops import word_kgrams
+
+    k, w = 3, 4
+    run = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w + k - 1
+    docs = [
+        (0, f"one two {run} three four"),
+        (1, f"five six seven {run} eight"),
+        (2, "totally different words here entirely now"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    tk = df.select("doc_id", tokens("text").alias("toks"))
+    g = tk.select("doc_id", word_kgrams(F.col("toks"), k=k).alias("grams"))
+    h = g.select(
+        "doc_id",
+        F.transform(
+            F.col("grams"),
+            lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"),
+        ).alias("gh"),
+    )
+    n_win = F.greatest(F.size("gh") - (w - 1), F.lit(1))
+    wins = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.array_min(F.slice(F.col("gh"), i, w)),
+    )
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in h.select("doc_id", F.array_distinct(wins).alias("fps")).collect()
+    }
+    assert fps[0] & fps[1], "docs sharing a w+k-1 run must share a fingerprint"
+    assert not (fps[0] & fps[2])
