@@ -86,10 +86,14 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A2 — full stats battery incl. deterministic stddev via exact moments.
 # --------------------------------------------------------------------------
 
+# the variance numerator n*Σx² - (Σx)² is combined in EXACT integer
+# arithmetic (HUGEINT here, DECIMAL(38,0) on the Spark side) and cast to
+# double ONCE — casting the sums separately loses exactness past 2^53
+# and the engines then disagree in the last ULP (seen at 4x sf0.1)
 _STDDEV_SQL = """
     CASE WHEN COUNT(*) > 1 THEN
       sqrt(greatest(0.0,
-        (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(c2) AS DOUBLE) - CAST(SUM(c1) AS DOUBLE) * CAST(SUM(c1) AS DOUBLE))
+        CAST(CAST(COUNT(*) AS HUGEINT) * SUM(c2) - SUM(c1) * SUM(c1) AS DOUBLE)
         / (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) - 1 AS DOUBLE)))) / 100.0
     END
 """
@@ -121,12 +125,20 @@ def agg_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c1 = cents("o_totalprice")
     n = F.count(F.lit(1))
-    sum1 = exact_sum(c1).cast("double")
-    sum2 = exact_sum((c1.cast("decimal(38,0)") * c1)).cast("double")
+    # exact integer accumulators; the variance numerator n*Σx² - (Σx)²
+    # is combined in DECIMAL and cast to double ONCE (separate casts
+    # lose exactness past 2^53 -> last-ULP mismatch vs DuckDB at 4x)
+    sum1d = exact_sum(c1)  # decimal(38,0)
+    sum2d = exact_sum(c1.cast("decimal(38,0)") * c1)
+    sum1 = sum1d.cast("double")
     nd = n.cast("double")
+    numerator = (
+        n.cast("decimal(8,0)") * sum2d.cast("decimal(30,0)")
+        - sum1d.cast("decimal(19,0)") * sum1d.cast("decimal(19,0)")
+    ).cast("double")
     std = F.when(
         n > 1,
-        F.sqrt(F.greatest(F.lit(0.0), (nd * sum2 - sum1 * sum1) / (nd * (n - 1).cast("double"))))
+        F.sqrt(F.greatest(F.lit(0.0), numerator / (nd * (n - 1).cast("double"))))
         / 100.0,
     )
     return (
