@@ -63,6 +63,7 @@ def _load_modules() -> None:
         setops,
         similarity,
         streaming_q,
+        subqueries,
         text,
         tpch,
         windows,

@@ -1,0 +1,277 @@
+"""Subquery shapes over the Athena-style SQL surface (SURVEY.md §2.5 J4,
+§2.6 A1): EXISTS aggregates, IN-subqueries, scalar and correlated scalar
+subqueries — the TPC-H Q4/Q17/Q18/Q22 patterns.
+
+The reference declares this surface by cataloguing the clean zone for
+Athena (infrastructure/main.tf:286-352); any correlated query a user
+runs there must work here.  Spark-first: each query is written as the
+DECORRELATED DataFrame plan (pre-aggregate + join) that Catalyst itself
+would produce from the correlated SQL — so the plan is an ordinary
+broadcast/shuffle join pipeline, never a per-row nested loop, and scales
+to 100 TB facts (the pre-aggregate side shrinks to one row per key
+before any join).
+
+Determinism: quantities are integer-valued doubles, so threshold
+comparisons against averages are rewritten as exact integer
+cross-multiplications (2*qty*cnt > sum) — no double division on either
+engine until final output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from specialsid_spark.catalog import load
+from specialsid_spark.queries import register
+from specialsid_spark.queries._determinism import cents, exact_sum
+
+_REV = "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 80 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: orders in a year with at least one late-shipping line
+    (EXISTS -> left-semi join), counted by priority.  The fixture has no
+    l_commitdate/l_receiptdate, so "late" is shipdate > orderdate + 80d
+    (a non-equi semi-join condition, which Spark executes as a broadcast
+    or shuffle semi with the residual predicate).
+    """
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 80 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    oracle=f"""
+    WITH pa AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 2
+    )
+    SELECT CAST(SUM({_REV}) AS DOUBLE) / 10000.0 AS small_qty_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.pk
+    WHERE 2 * CAST(round(l.l_quantity) AS BIGINT) * pa.cnt < pa.sq
+    """,
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: revenue of lines whose quantity is below half the
+    per-part average — a correlated scalar subquery, decorrelated into
+    per-part pre-aggregate + equi-join.  The comparison qty < 0.5*avg is
+    cross-multiplied to exact integers (2*qty*cnt < sum) so both engines
+    decide ties identically.  At scale the pre-agg output is |parts|
+    rows — tiny next to lineitem — and AQE picks a broadcast join.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    pa = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum(qty).alias("sq"), F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+    )
+    rev = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        li.join(pa, li.l_partkey == pa.pk)
+        .filter(2 * qty * F.col("cnt") < F.col("sq"))
+        .agg(
+            (exact_sum(rev).cast("double") / 10000.0).alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_volume",
+    oracle="""
+    SELECT c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+           o.o_totalprice,
+           CAST(big.sq AS BIGINT) AS total_qty
+    FROM orders o
+    JOIN (SELECT l_orderkey, SUM(CAST(round(l_quantity) AS BIGINT)) AS sq
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 300) big
+      ON o.o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    """,
+)
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: large-volume orders — the IN-(GROUP BY ... HAVING)
+    subquery becomes an inner join against the aggregated key set.  The
+    HAVING filter runs before the join, so only the handful of qualifying
+    orderkeys ever reach the join (semi-join pushdown by construction).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    )
+
+
+@register(
+    "subq_scalar_above_avg",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_above,
+           CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_price
+    FROM part
+    WHERE CAST(round(p_retailprice * 100) AS BIGINT)
+          * (SELECT COUNT(*) FROM part)
+          > (SELECT SUM(CAST(round(p_retailprice * 100) AS BIGINT)) FROM part)
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def subq_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: parts priced above the global
+    average, per brand.  price > avg is cross-multiplied to exact cents
+    (price*n > total).  Spark computes the one-row global aggregate and
+    cross-joins it (a 1-row broadcast), never collecting to the driver.
+    """
+    p = load(spark, sf_dir, "part")
+    pc = cents("p_retailprice")
+    glob = p.agg(
+        exact_sum(pc).alias("total"), F.count(F.lit(1)).cast("decimal(38,0)").alias("n")
+    )
+    return (
+        p.join(F.broadcast(glob))
+        .filter(pc.cast("decimal(38,0)") * F.col("n") > F.col("total"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            (exact_sum(pc).cast("double") / 100.0).alias("sum_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "subq_corr_above_nation_avg",
+    oracle="""
+    WITH na AS (
+      SELECT c_nationkey AS nk,
+             SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS total,
+             COUNT(*) AS n
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_above,
+           CAST(MAX(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS max_acctbal
+    FROM customer c
+    JOIN na ON c.c_nationkey = na.nk
+    JOIN nation ON n_nationkey = c.c_nationkey
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * na.n > na.total
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def subq_corr_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar aggregate (Q22 flavour): customers whose balance
+    beats their own nation's average.  Decorrelated to a per-nation
+    aggregate joined back on the correlation key; the aggregate side is
+    |nations| rows, so it broadcasts, and the fact table is scanned once.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    bal = cents("c_acctbal")
+    na = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        exact_sum(bal).alias("total"), F.count(F.lit(1)).cast("decimal(38,0)").alias("n")
+    )
+    return (
+        c.join(F.broadcast(na), c.c_nationkey == na.nk)
+        .filter(bal.cast("decimal(38,0)") * F.col("n") > F.col("total"))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            (F.max(bal).cast("double") / 100.0).alias("max_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "subq_multi_supplier_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(ns.n_supp) AS BIGINT) AS max_suppliers
+    FROM orders o
+    JOIN (SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp
+          FROM lineitem GROUP BY l_orderkey
+          HAVING COUNT(DISTINCT l_suppkey) > 1) ns
+      ON o.o_orderkey = ns.l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def subq_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-EXISTS shape (Q21 flavour): orders whose lines involve more
+    than one distinct supplier.  `EXISTS (same order, different
+    supplier)` is decorrelated to one distinct-count aggregate instead
+    of a self-join — one shuffle of (orderkey, suppkey) pairs versus a
+    quadratic per-order comparison.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    ns = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+    )
+    return (
+        o.join(ns, o.o_orderkey == ns.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("n_supp").alias("max_suppliers"),
+        )
+        .orderBy("o_orderpriority")
+    )
