@@ -1,0 +1,190 @@
+"""Vector-column aggregation ops over `embeddings` (SURVEY.md §2.11 X2
+adjacent): per-group centroids, norm statistics, int8 quantization — the
+array-typed reductions a training-data pipeline runs alongside ANN
+search (centroid init for IVF/k-means, norm filtering, embedding
+compression).
+
+Cross-engine determinism: averaging float components across ROWS is
+summation-order-dependent in double arithmetic, so components are first
+snapped to exact integer micro-units (floor(x * 1e6) — floor, not
+round, so there is no tie to decide differently) and summed as
+integers; the single final division is the only floating-point op.
+Per-ARRAY folds (norms) use the same micro-unit trick so the fold order
+does not matter at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from specialsid_spark.catalog import load_parallel
+from specialsid_spark.queries import register
+
+_MICRO = 1_000_000
+
+# DuckDB twin of the micro-unit snap for one array element.
+_SQL_MU = "CAST(floor(CAST({x} AS DOUBLE) * 1000000) AS BIGINT)"
+
+
+def _mu(col: F.Column) -> F.Column:
+    """Spark: float component -> exact integer micro-units."""
+    return F.floor(col.cast("double") * _MICRO).cast("long")
+
+
+@register(
+    "emb_centroid_per_label",
+    oracle=f"""
+    WITH flat AS (
+      SELECT e.label, i.i - 1 AS dim,
+             {_SQL_MU.format(x="e.embedding[i.i]")} AS mu
+      FROM embeddings e
+      JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+        ON i.i <= len(e.embedding)
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           CAST(SUM(mu) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)
+             AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM flat
+    GROUP BY label, dim
+    HAVING dim < 8
+    ORDER BY label, dim
+    """,
+)
+def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (k-means/IVF seed step), long form — one row
+    per (label, dimension), first 8 dims.  posexplode keeps the dim
+    index without a join; the aggregation shuffles |labels|*|dims| keys
+    regardless of corpus size, so this is map-side-combine friendly at
+    100 TB (partial sums per partition, tiny final exchange).
+    """
+    e = load_parallel(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    ).filter(F.col("dim") < 8)
+    return (
+        flat.groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(_mu(F.col("val"))).cast("double")
+                / _MICRO
+                / F.count(F.lit(1)).cast("double")
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .select("label", F.col("dim").cast("int").alias("dim"), "centroid", "n_vectors")
+        .orderBy("label", "dim")
+    )
+
+
+@register(
+    "emb_norm_bands",
+    oracle=f"""
+    WITH norms AS (
+      SELECT label,
+             sqrt(CAST(list_aggregate(
+                    list_transform(embedding, x -> {_SQL_MU.format(x="x")}
+                                                   * {_SQL_MU.format(x="x")}),
+                    'sum') AS DOUBLE)) / 1000000.0 AS l2
+      FROM embeddings
+    )
+    SELECT label, CAST(floor(l2) AS BIGINT) AS norm_band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(MIN(l2), 6) AS min_norm,
+           round(MAX(l2), 6) AS max_norm
+    FROM norms
+    GROUP BY label, norm_band
+    ORDER BY label, norm_band
+    """,
+)
+def emb_norm_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm histogram per label (norm filtering / calibration step).
+    The norm is a per-array fold over exact integer squares — order-free
+    — then one sqrt; min/max are exact so the band histogram matches
+    bit-for-bit.  Purely map-side until the tiny band aggregation.
+    """
+    e = load_parallel(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: _mu(x) * _mu(x)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    norms = e.select(
+        "label", (F.sqrt(sq_sum.cast("double")) / _MICRO).alias("l2")
+    )
+    return (
+        norms.groupBy("label", F.floor("l2").alias("norm_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l2"), 6).alias("min_norm"),
+            F.round(F.max("l2"), 6).alias("max_norm"),
+        )
+        .orderBy("label", "norm_band")
+    )
+
+
+@register(
+    "emb_quantize_int8",
+    oracle=f"""
+    WITH scaled AS (
+      SELECT vec_id, label,
+             CAST(list_aggregate(
+                    list_transform(embedding, x -> abs({_SQL_MU.format(x="x")})),
+                    'max') AS BIGINT) AS max_abs_mu
+      FROM embeddings
+    ), q AS (
+      SELECT s.vec_id, s.label, s.max_abs_mu,
+             list_aggregate(
+               list_transform(e.embedding,
+                 x -> CAST(floor(({_SQL_MU.format(x="x")} * 127.0)
+                                 / s.max_abs_mu) AS BIGINT)),
+               'sum') AS q_checksum
+      FROM scaled s JOIN embeddings e USING (vec_id)
+      WHERE s.max_abs_mu > 0
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(q_checksum) AS BIGINT) AS sum_checksum,
+           CAST(MIN(max_abs_mu) AS DOUBLE) / 1000000.0 AS min_scale,
+           CAST(MAX(max_abs_mu) AS DOUBLE) / 1000000.0 AS max_scale
+    FROM q GROUP BY label ORDER BY label
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (embedding compression for ANN
+    serving): per-vector absmax scale, components mapped to
+    floor(x*127/absmax).  All arithmetic on exact integer micro-units —
+    the double division by max_abs_mu is the same op on both engines —
+    and the per-label checksum proves value-level parity without
+    emitting 64 columns.  Map-only until the |labels|-row aggregate.
+    """
+    e = load_parallel(spark, sf_dir, "embeddings")
+    max_abs = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: F.abs(_mu(x))),
+        F.lit(0).cast("long"),
+        lambda acc, v: F.greatest(acc, v),
+    )
+    with_scale = e.select("vec_id", "label", "embedding", max_abs.alias("max_abs_mu"))
+    q_sum = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor((_mu(x) * F.lit(127.0)) / F.col("max_abs_mu")).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        with_scale.filter(F.col("max_abs_mu") > 0)
+        .select("label", "max_abs_mu", q_sum.alias("q_checksum"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("q_checksum").alias("sum_checksum"),
+            (F.min("max_abs_mu").cast("double") / _MICRO).alias("min_scale"),
+            (F.max("max_abs_mu").cast("double") / _MICRO).alias("max_scale"),
+        )
+        .orderBy("label")
+    )
