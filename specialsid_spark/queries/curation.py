@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from specialsid_spark.catalog import load_parallel
-from specialsid_spark.operators.textops import tokens
+from specialsid_spark.operators.textops import tokens, word_kgrams
 from specialsid_spark.queries import register
 
 
@@ -151,5 +151,148 @@ def cur_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.join(F.broadcast(block), "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+_SQL_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+_SQL_GRAMS = (
+    "list_transform(range(1, greatest(len(toks) - 1, 1)),"
+    " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+)
+
+
+@register(
+    "cur_gopher_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    w AS (SELECT doc_id, unnest(toks) AS word FROM t),
+    wc AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word),
+    tops AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_words FROM wc GROUP BY doc_id),
+    tri AS (
+      SELECT doc_id, len(grams) AS n_g, len(list_distinct(grams)) AS n_d
+      FROM (SELECT doc_id, {_SQL_GRAMS} AS grams FROM t)
+    )
+    SELECT tops.doc_id,
+           round(CAST(top_c AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS top_word_frac,
+           round(CAST(n_g - n_d AS DOUBLE) / CAST(greatest(n_g, 1) AS DOUBLE), 6)
+             AS dup_trigram_frac,
+           (CAST(top_c AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.1
+            OR CAST(n_g - n_d AS DOUBLE) / CAST(greatest(n_g, 1) AS DOUBLE) > 0.3)
+             AS is_repetitive
+    FROM tops JOIN tri ON tops.doc_id = tri.doc_id
+    ORDER BY tops.doc_id
+    """,
+)
+def cur_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher/MassiveText rules
+    re-expressed): per-document most-frequent-word fraction and
+    duplicate-3-gram fraction, with the standard reject thresholds.
+
+    The trigram side is a pure per-row HOF (size - distinct size) — no
+    shuffle at all.  The top-word side is the classic explode +
+    two-level aggregate; the first groupBy(doc_id, word) does map-side
+    partial aggregation, so the exchange carries one row per distinct
+    (doc, word), not one per token — at 100 TB that is the difference
+    between shuffling the corpus and shuffling its vocabulary profile.
+    """
+    d = load_parallel(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    wc = (
+        t.select("doc_id", F.explode("toks").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tops = wc.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_words")
+    )
+    grams = t.select("doc_id", word_kgrams(F.col("toks")).alias("grams"))
+    tri = grams.select(
+        "doc_id",
+        F.size("grams").alias("n_g"),
+        F.size(F.array_distinct("grams")).alias("n_d"),
+    )
+    twf = F.col("top_c").cast("double") / F.col("n_words").cast("double")
+    dtf = (F.col("n_g") - F.col("n_d")).cast("double") / F.greatest(
+        F.col("n_g"), F.lit(1)
+    ).cast("double")
+    return (
+        tops.join(tri, "doc_id")
+        .select(
+            "doc_id",
+            F.round(twf, 6).alias("top_word_frac"),
+            F.round(dtf, 6).alias("dup_trigram_frac"),
+            ((twf > 0.1) | (dtf > 0.3)).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "cur_boilerplate_trigrams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SQL_GRAMS})) AS gram FROM t),
+    df AS (SELECT gram, COUNT(*) AS doc_freq FROM sh GROUP BY gram)
+    SELECT gram, CAST(doc_freq AS BIGINT) AS doc_freq,
+           CAST(row_number() OVER (ORDER BY doc_freq DESC, gram) AS BIGINT) AS rk
+    FROM df
+    ORDER BY doc_freq DESC, gram
+    LIMIT 10
+    """,
+)
+def cur_boilerplate_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: the corpus-wide most document-frequent
+    trigrams (headers/footers/navigation in a web crawl).  Distinct
+    shingles per doc, then a doc-frequency aggregate — identical plan
+    shape to the MinHash shingle pass, so at scale the two share one
+    scan.  Top-10 is TakeOrderedAndProject: no global sort.
+    """
+    d = load_parallel(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    sh = t.select(
+        "doc_id", F.explode(F.array_distinct(word_kgrams(F.col("toks")))).alias("gram")
+    )
+    df = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("doc_freq"))
+    # top-10 FIRST (TakeOrderedAndProject — per-partition partial top-k,
+    # no global sort), THEN rank the surviving 10 rows; ranking before
+    # the cut would single-partition the whole vocabulary.
+    top = df.orderBy(F.col("doc_freq").desc(), "gram").limit(10)
+    w = Window.orderBy(F.col("doc_freq").desc(), "gram")
+    return top.withColumn("rk", F.row_number().over(w).cast("long")).orderBy(
+        F.col("doc_freq").desc(), "gram"
+    )
+
+
+@register(
+    "cur_stratified_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+    FROM h WHERE bucket < 20
+    ORDER BY doc_id
+    """,
+)
+def cur_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% per-language sample via content-hash bucketing
+    (md5 of the key, not engine hash — reproducible across engines,
+    re-runs, and cluster sizes, unlike `sample()` which is seed- and
+    partitioning-dependent).  Pure map-side filter: at 100 TB this
+    prunes 80% of rows before any downstream shuffle.
+    """
+    d = load_parallel(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < 20)
         .orderBy("doc_id")
     )
