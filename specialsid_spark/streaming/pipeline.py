@@ -278,3 +278,57 @@ def streaming_sliding_counts(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("win_start"), "n_events")
     )
+
+
+def streaming_click_attribution_join(
+    spark: SparkSession,
+    impressions_dir: str,
+    clicks_dir: str,
+    how: str = "inner",
+    watermark: str = "1 hour",
+    max_delay: str = "30 minutes",
+) -> DataFrame:
+    """T8: stream-stream join — attribute each click to the impression
+    that preceded it within `max_delay` (ad-attribution shape; the
+    reference's cropper join J1 done between two live streams instead
+    of two batch zones).
+
+    Both sides carry watermarks and the join condition bounds click time
+    to [impression ts, ts + max_delay], so the state store can evict an
+    impression once the click watermark passes its delay horizon —
+    bounded state at any scale.  `how="left_outer"` additionally emits
+    never-clicked impressions after their horizon expires (emission
+    happens on a LATER micro-batch, once the watermark has advanced —
+    availableNow over a static directory never advances past the last
+    batch, so outer results need a subsequent trigger; the test drives
+    this with two runs against one checkpoint).
+    """
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    imp = (
+        spark.readStream.schema(schema)
+        .json(impressions_dir)
+        .select(
+            F.col("event_id").alias("imp_id"),
+            F.col("user_id"),
+            F.col("ts").alias("imp_ts"),
+        )
+        .withWatermark("imp_ts", watermark)
+    )
+    clk = (
+        spark.readStream.schema(schema)
+        .json(clicks_dir)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    cond = (
+        (imp.user_id == clk.click_user)
+        & (clk.click_ts >= imp.imp_ts)
+        & (clk.click_ts <= imp.imp_ts + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return imp.join(clk, cond, how).select(
+        "imp_id", "user_id", "imp_ts", "click_id", "click_ts"
+    )

@@ -255,3 +255,87 @@ def test_streaming_sliding_counts(spark, tmp_path):
     assert rows["2024-01-01 09:30:00"] == 1
     assert rows["2024-01-01 10:00:00"] == 2
     assert rows["2024-01-01 10:30:00"] == 1
+
+
+def test_streaming_stream_stream_join_inner(spark, tmp_path):
+    from specialsid_spark.streaming.pipeline import streaming_click_attribution_join
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    _write_events(
+        imp_dir / "b1.json",
+        [
+            {"event_id": 10, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "imp", "value": 0.0},
+            {"event_id": 11, "ts": "2024-01-01 10:00:00", "user_id": 2, "event_type": "imp", "value": 0.0},
+        ],
+    )
+    _write_events(
+        clk_dir / "b1.json",
+        [
+            # in-window click (+10 min) for user 1
+            {"event_id": 20, "ts": "2024-01-01 10:10:00", "user_id": 1, "event_type": "click", "value": 1.0},
+            # out-of-window click (+2 h) for user 2 -> must NOT join
+            {"event_id": 21, "ts": "2024-01-01 12:00:00", "user_id": 2, "event_type": "click", "value": 1.0},
+        ],
+    )
+    joined = streaming_click_attribution_join(spark, str(imp_dir), str(clk_dir))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_inner")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT imp_id, click_id FROM ss_join_inner").collect()
+    assert {(r.imp_id, r.click_id) for r in rows} == {(10, 20)}
+
+
+def test_streaming_stream_stream_join_left_outer_emits_expired(spark, tmp_path):
+    """Outer-side rows emit only after the watermark passes their join
+    horizon — driven by a second availableNow run on one checkpoint."""
+    from specialsid_spark.streaming.pipeline import streaming_click_attribution_join
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    _write_events(
+        imp_dir / "b1.json",
+        [{"event_id": 10, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "imp", "value": 0.0}],
+    )
+    _write_events(
+        clk_dir / "b1.json",
+        [{"event_id": 20, "ts": "2024-01-01 10:05:00", "user_id": 9, "event_type": "click", "value": 1.0}],
+    )
+
+    out_dir = tmp_path / "out"
+
+    def run_once():
+        # memory sink cannot resume a checkpoint; a real file sink can
+        joined = streaming_click_attribution_join(
+            spark, str(imp_dir), str(clk_dir), how="left_outer"
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # late traffic pushes both watermarks far past imp 10's horizon
+    _write_events(
+        imp_dir / "b2.json",
+        [{"event_id": 12, "ts": "2024-01-01 15:00:00", "user_id": 3, "event_type": "imp", "value": 0.0}],
+    )
+    _write_events(
+        clk_dir / "b2.json",
+        [{"event_id": 22, "ts": "2024-01-01 15:00:00", "user_id": 8, "event_type": "click", "value": 1.0}],
+    )
+    run_once()
+    rows = spark.read.parquet(str(out_dir)).select("imp_id", "click_id").collect()
+    pairs = {(r.imp_id, r.click_id) for r in rows}
+    assert (10, None) in pairs, f"expired impression not emitted: {pairs}"
