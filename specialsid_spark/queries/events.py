@@ -212,3 +212,103 @@ def ev_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in types:
         out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)).cast("long"))
     return out.orderBy("user_id")
+
+
+@register(
+    "ev_funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+    SELECT stage, n_users FROM (
+      SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users, 1 AS ord FROM v
+      UNION ALL
+      SELECT 'view>click', CAST(COUNT(*) AS BIGINT), 2 FROM c
+      UNION ALL
+      SELECT 'view>click>purchase', CAST(COUNT(*) AS BIGINT), 3 FROM p
+    ) ORDER BY ord
+    """,
+)
+def ev_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who viewed, then clicked after
+    the first view, then purchased after that click.  Each stage is a
+    per-user MIN-aggregate joined to the previous stage — three
+    aggregates over one scan lineage, no window functions, and every
+    stage's output shrinks to |users| rows before joining (at 100 TB
+    the event scan dominates; stage joins are on the small user set).
+    """
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+
+    def stage(df: DataFrame, name: str, ord_: int) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users", F.lit(ord_).alias("ord")
+        )
+
+    return (
+        stage(v, "view", 1)
+        .unionByName(stage(c, "view>click", 2))
+        .unionByName(stage(p, "view>click>purchase", 3))
+        .orderBy("ord")
+        .select("stage", "n_users")
+    )
+
+
+@register(
+    "ev_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM events
+      GROUP BY user_id
+    )
+    SELECT CAST(CAST(cohort_week AS TIMESTAMP) AS VARCHAR) AS cohort_week,
+           CAST(CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS VARCHAR) AS activity_week,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users bucketed by first-seen week,
+    counted distinct in every week they remain active.  The first-seen
+    aggregate is |users| rows — broadcast back onto the event scan —
+    and the final distinct-count shuffles (cohort, week, user) triples,
+    already deduplicated map-side.
+    """
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            F.date_trunc("week", F.col("ts")).cast("string").alias("activity_week"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "activity_week")
+    )

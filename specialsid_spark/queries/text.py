@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from specialsid_spark.catalog import load, load_parallel
 from specialsid_spark.operators.textops import fingerprint, tokens
@@ -327,3 +328,69 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("fps").cast("long").alias("n_fps"),
         F.md5(F.array_join(F.col("fps").cast("array<string>"), " ")).alias("fp_digest"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+               FROM documents),
+    n AS (SELECT COUNT(*) AS n_docs FROM t),
+    tf AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+    scored AS (
+      SELECT tfc.doc_id, tfc.term,
+             round(CAST(tfc.tf AS DOUBLE)
+                   * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6)
+               AS tfidf
+      FROM tfc JOIN df ON tfc.term = df.term CROSS JOIN n
+      WHERE tfc.doc_id < 5
+    ), ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY doc_id, rk
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: term frequency per doc x inverse
+    document frequency, top-5 terms for the first 5 docs.  Both factors
+    are exact integer counts; the single ln() and multiply are the same
+    double ops on both engines, rounded to 6 places.  The DF table is
+    |vocabulary| rows — broadcast onto the (doc, term) counts, so the
+    only corpus-sized shuffle is the map-side-combined tf aggregate.
+    """
+    d = load_parallel(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    tf = (
+        t.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = t.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") < 5)
+        .join(F.broadcast(df), "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .orderBy("doc_id", "rk")
+    )
