@@ -34,7 +34,11 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
+    "tpch_q18_large_volume",
     "pipeline_corpus_curation",
+    "cur_gopher_repetition",
+    "emb_quantize_int8",
+    "ev_retention_cohorts",
 ]
 
 

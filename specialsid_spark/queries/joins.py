@@ -288,3 +288,43 @@ def sql_surface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_all(spark, sf_dir)
     return spark.sql(_ANSI_REVENUE_SQL)
+
+
+_ANSI_CTE_WINDOW_SQL = """
+    WITH nat_rev AS (
+      SELECT n_name,
+             CAST(o_orderdate AS DATE) AS od,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS day_rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-02-01'
+      GROUP BY n_name, CAST(o_orderdate AS DATE)
+    )
+    , ranked AS (
+      SELECT n_name,
+             CAST(od AS STRING) AS order_day,
+             day_rev,
+             CAST(row_number() OVER (PARTITION BY n_name
+                                     ORDER BY day_rev DESC, od) AS BIGINT) AS rk
+      FROM nat_rev
+    )
+    SELECT n_name, order_day, day_rev, rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY n_name, rk
+"""
+
+
+@register("sql_surface_cte_window", oracle=_ANSI_CTE_WINDOW_SQL)
+def sql_surface_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 breadth: one ANSI string with chained CTEs + window
+    rank-filter executed verbatim by BOTH engines (spark.sql and
+    DuckDB) — the portable spelling of QUALIFY-style top-k-per-group
+    (Spark's parser has no QUALIFY; the ranked-CTE + WHERE form
+    produces the identical rank-then-filter plan)."""
+    from specialsid_spark.catalog import register_all  # noqa: PLC0415
+
+    register_all(spark, sf_dir)
+    return spark.sql(_ANSI_CTE_WINDOW_SQL)
