@@ -137,3 +137,42 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "tpch_q14_promo_revenue_share",
+    oracle=f"""
+    SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV} ELSE 0 END) AS DOUBLE)
+             * 100.0
+             / CAST(SUM({_REV}) AS DOUBLE) AS promo_share_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def tpch_q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: promo revenue share — conditional aggregation (SUM of a
+    CASE branch over one join).  Both sums are exact integers; the
+    division and *100 are the only double ops.  The month filter reaches
+    the lineitem scan, and part joins broadcast (dimension side).
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev = cents("l_extendedprice") * (100 - cents("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                exact_sum(promo).cast("double")
+                * 100.0
+                / exact_sum(rev).cast("double")
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -1,0 +1,95 @@
+"""Source/sink format breadth: CSV and ORC round-trips with explicit
+schemas, and runtime bloom-filter join pruning.
+
+The reference's zones are PDF/JPEG/JSON/Parquet (SURVEY.md §1.1), but
+its Athena surface implies arbitrary tabular formats; Spark's reader
+stack gives CSV/ORC for free — these tests pin schema fidelity (types
+survive the round-trip) rather than re-testing Spark itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from specialsid_spark.catalog import load
+
+
+def test_csv_roundtrip_with_schema(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_csv")
+    src.write.option("header", True).csv(out)
+    back = (
+        spark.read.option("header", True)
+        .schema("n_nationkey int, n_name string, n_regionkey int")
+        .csv(out)
+    )
+    assert back.schema.simpleString() == (
+        "struct<n_nationkey:int,n_name:string,n_regionkey:int>"
+    )
+    a = {tuple(r) for r in src.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+
+def test_csv_malformed_rows_permissive(spark, tmp_path):
+    p = tmp_path / "dirty.csv"
+    p.write_text("k,v\n1,alpha\nnot_an_int,beta\n3,gamma\n")
+    df = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .schema("k int, v string, _corrupt_record string")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+    )
+    rows = df.collect()
+    good = [r for r in rows if r.k is not None]
+    bad = [r for r in rows if r.k is None]
+    assert {r.v for r in good} == {"alpha", "gamma"}
+    assert len(bad) == 1 and bad[0]._corrupt_record is not None
+
+
+def test_orc_roundtrip_preserves_types(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "orders").limit(100)
+    out = str(tmp_path / "orders_orc")
+    src.write.orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == src.schema
+    assert back.count() == 100
+    # predicate pushdown reaches the ORC scan
+    plan = (
+        back.filter(F.col("o_orderkey") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "orc" in plan.lower()
+
+
+def test_runtime_bloom_filter_join(spark, sf_dir):
+    """Runtime row-group pruning: with a selective dimension side,
+    Spark can inject a bloom filter on the fact side's join key
+    (thresholds lowered so the 131 MB fixture qualifies).  At 100 TB
+    this is the difference between scanning lineitem fully and
+    skipping every row group with no qualifying order."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+        li = load(spark, sf_dir, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan.lower() or "mightcontain" in plan.lower(), plan
+        assert j.count() > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
