@@ -99,3 +99,51 @@ def test_minhash_groupby_reuses_repartition_exchange(spark, qs):
 def test_asof_join_no_shuffle_explosion(spark, qs):
     p = plan_of(spark, qs["join_asof_signup_before_error"](spark, SF_DIR))
     assert "CartesianProduct" not in p
+
+
+def test_q17_preagg_joins_broadcast(spark, qs):
+    # decorrelated scalar subquery: the per-part aggregate (small side)
+    # must broadcast onto lineitem, and aggregate partially before its
+    # own exchange
+    p = plan_of(spark, qs["tpch_q17_small_qty_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "partial_sum" in p
+
+
+def test_q18_having_filters_before_join(spark, qs):
+    # the HAVING threshold must apply to the aggregate BEFORE the join
+    # with orders — the join sees only qualifying orderkeys
+    p = plan_of(spark, qs["tpch_q18_large_volume"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    # the qualifying-orderkey filter is a Condition on the aggregate
+    # output (broadcast side), not a post-join filter
+    assert any(
+        "Condition" in ln and "total_qty" in ln for ln in p.splitlines()
+    ), p
+
+
+def test_corr_nation_avg_broadcasts_both_sides(spark, qs):
+    p = plan_of(spark, qs["subq_corr_above_nation_avg"](spark, SF_DIR))
+    assert p.count("BroadcastHashJoin") >= 2  # per-nation agg + nation dim
+
+
+def test_tfidf_broadcasts_df_side(spark, qs):
+    # document-frequency (vocabulary-sized) must broadcast onto the
+    # (doc, term) counts, never shuffle them by term
+    p = plan_of(spark, qs["text_tfidf_top_terms"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+
+
+def test_funnel_has_no_window_and_no_cartesian(spark, qs):
+    # the funnel is MIN-aggregate chains + user-key joins: a window
+    # formulation would single-partition; assert none crept in
+    p = plan_of(spark, qs["ev_funnel_view_click_purchase"](spark, SF_DIR))
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_vector_ops_are_map_side_until_final_agg(spark, qs):
+    # per-array folds happen in the scan stage; the only exchange is
+    # the tiny per-label aggregate (plus the fixture's repartition)
+    p = plan_of(spark, qs["emb_norm_bands"](spark, SF_DIR))
+    assert p.count("hashpartitioning(") == 1
