@@ -312,3 +312,105 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("active_users"))
         .orderBy("cohort_week", "activity_week")
     )
+
+
+@register(
+    "ev_gapfill_hourly_value",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id,
+             date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM events WHERE user_id < 5 GROUP BY user_id
+    ),
+    spine AS (
+      SELECT b.user_id, g.h
+      FROM bounds b, LATERAL unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS g(h)
+    ),
+    hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS v
+      FROM events WHERE user_id < 5 GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT s.user_id, s.h, hourly.v,
+             COUNT(hourly.v) OVER (PARTITION BY s.user_id ORDER BY s.h) AS grp
+      FROM spine s LEFT JOIN hourly ON hourly.user_id = s.user_id AND hourly.h = s.h
+    )
+    SELECT user_id, CAST(h AS STRING) AS hour_start,
+           (v IS NOT NULL) AS observed,
+           FIRST_VALUE(v) OVER (PARTITION BY user_id, grp ORDER BY h) AS filled_value
+    FROM joined
+    ORDER BY user_id, hour_start
+    """,
+)
+def ev_gapfill_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: build an hourly spine per user
+    (sequence + explode), left-join observed hourly sums, forward-fill
+    gaps with last_value(ignoreNulls).  The spine is generated, not
+    scanned — per user it costs |hours| rows regardless of event count —
+    and the fill is one ordered window per user, the same
+    state-in-time-order shape Spark uses for sessionization.
+
+    DuckDB has no IGNORE NULLS, so the oracle forward-fills with the
+    standard gaps-and-islands trick (COUNT(v) OVER as group id +
+    FIRST_VALUE per group) — different spelling, identical semantics.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg((F.sum(cents("value")).cast("double") / 100.0).alias("v"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.col("h").cast("string").alias("hour_start"),
+            F.col("v").isNotNull().alias("observed"),
+            F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("h").alias("_h"),
+        )
+        .orderBy("user_id", "_h")
+        .drop("_h")
+    )
+
+
+_RANGE_FRAME_SQL = """
+    SELECT user_id,
+           CAST(ts AS STRING) AS ts,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW
+                ) AS DOUBLE) / 100.0 AS rolling_1h_value
+    FROM events
+    WHERE user_id < 3
+    ORDER BY user_id, ts
+"""
+
+
+@register("win_range_interval_rolling", oracle=_RANGE_FRAME_SQL)
+def win_range_interval_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 with a TIME-range frame: per-user 1-hour rolling sum where the
+    frame is bounded by event-time distance, not row count — the shape
+    rowsBetween cannot express on irregular event streams.  One ANSI
+    string runs verbatim on both engines (Spark parses interval RANGE
+    frames natively).  Exact integer cents inside the frame sum.
+    """
+    from specialsid_spark.catalog import register_all  # noqa: PLC0415
+
+    register_all(spark, sf_dir)
+    return spark.sql(_RANGE_FRAME_SQL)

@@ -21,9 +21,7 @@ _SQL_COS = (
 )
 
 
-@register(
-    "sim_topk_bruteforce",
-    oracle=f"""
+_SQL_TOPK_ORACLE = f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     scored AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS neighbor_label,
@@ -39,8 +37,10 @@ _SQL_COS = (
            CAST(rk AS BIGINT) AS rk, round(cs, 6) AS cos_sim
     FROM ranked WHERE rk <= 10
     ORDER BY query_id, rk
-    """,
-)
+    """
+
+
+@register("sim_topk_bruteforce", oracle=_SQL_TOPK_ORACLE)
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ANN baseline: each query vector against the full corpus,
     window top-10.  The query side is tiny -> broadcast; the corpus is
@@ -262,5 +262,106 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 5)
         .select("query_id", "neighbor_id", "rk", F.round("cs", 6).alias("cos_sim"))
+        .orderBy("query_id", "rk")
+    )
+
+
+_SQL_MU_VEC = "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000) AS BIGINT))"
+
+
+@register(
+    "sim_topk_pandas_udf",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, {_SQL_MU_VEC} AS mu FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS neighbor_label,
+             CAST(list_dot_product(a.mu, b.mu) AS DOUBLE)
+               / (sqrt(CAST(list_dot_product(a.mu, a.mu) AS DOUBLE))
+                  * sqrt(CAST(list_dot_product(b.mu, b.mu) AS DOUBLE))) AS cs
+      FROM e a JOIN e b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 5
+    ), ranked AS (
+      SELECT query_id, neighbor_id, neighbor_label, cs,
+             row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, neighbor_label,
+           CAST(rk AS BIGINT) AS rk, round(cs, 6) AS cos_sim
+    FROM ranked WHERE rk <= 10
+    ORDER BY query_id, rk
+    """,
+)
+def sim_topk_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow path for vector scoring: mapInPandas computes the
+    query×corpus similarity block with one numpy integer matmul per
+    Arrow batch (at 768+ dims BLAS beats a per-element JVM fold; this
+    is the vectorized-UDF escape hatch SURVEY §2.10 U2 reserves for
+    exactly this case).  Components snap to integer micro-units so
+    numpy's pairwise summation, Spark's sequential fold, and DuckDB's
+    list_dot_product all produce the SAME exact integer dot product —
+    the pandas variant shares its ranking semantics with
+    sim_topk_bruteforce and is value-checked against the same
+    micro-unit oracle.
+
+    Scale shape: the 5-vector query block ships in the closure (a real
+    deployment broadcasts it); the corpus is never shuffled — each
+    partition scores its rows independently and only (query, neighbor,
+    score) triples reach the top-k window.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_parallel(spark, sf_dir, "embeddings")
+    q_rows = (
+        e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    q_mu = np.array(
+        [np.floor(np.asarray(r.embedding, dtype=np.float64) * 1_000_000) for r in q_rows],
+        dtype=np.int64,
+    )
+    q_norm = np.sqrt((q_mu * q_mu).sum(axis=1).astype(np.float64))
+
+    def score(batches):
+        for pdf in batches:
+            mu = np.array(
+                [
+                    np.floor(np.asarray(v, dtype=np.float64) * 1_000_000)
+                    for v in pdf["embedding"]
+                ],
+                dtype=np.int64,
+            )
+            dots = mu @ q_mu.T  # exact int64: |mu|<=1e6, 64 dims < 2^63
+            norms = np.sqrt((mu * mu).sum(axis=1).astype(np.float64))
+            cs = dots.astype(np.float64) / (norms[:, None] * q_norm[None, :])
+            n, k = cs.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids[None, :], n, axis=0).ravel(),
+                    "neighbor_id": np.repeat(
+                        pdf["vec_id"].to_numpy(dtype=np.int64), k
+                    ),
+                    "neighbor_label": np.repeat(
+                        pdf["label"].to_numpy(dtype=np.int64), k
+                    ),
+                    "cs": cs.ravel(),
+                }
+            )
+
+    scored = e.select("vec_id", "label", "embedding").mapInPandas(
+        score,
+        "query_id long, neighbor_id long, neighbor_label long, cs double",
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            "rk",
+            F.round("cs", 6).alias("cos_sim"),
+        )
         .orderBy("query_id", "rk")
     )
