@@ -1,0 +1,102 @@
+"""Distributed k-means over embedding columns (SURVEY.md §2.11 X2 —
+training the IVF coarse quantizer in-engine, the step `sim_ivf_topk`
+stands in for with fixed seed vectors).
+
+Classic driver-loop shape: per iteration the executors compute
+assignments and per-cluster sums (one scan + one |k·d|-sized shuffle),
+and ONLY the k×d centroid matrix is collected to the driver — at 100 TB
+that is a few KB per iteration regardless of corpus size.
+
+Determinism: all distance arithmetic is exact int64 on micro-unit
+components (floor(x*1e6)); new centroids are floored back to micro-units
+each iteration.  So every assignment decision is an integer comparison
+— bit-identical across partitionings, engines, and a numpy reference
+(tests/test_kmeans.py proves assignment-level equality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MICRO = 1_000_000
+
+
+def _mu_vec(col: Column) -> Column:
+    """float array -> exact integer micro-unit array."""
+    return F.transform(col, lambda x: F.floor(x.cast("double") * _MICRO).cast("long"))
+
+
+def _dist2(vec: Column, centroid: list[int]) -> Column:
+    """Exact squared euclidean distance between a micro-unit vector
+    column and a python-int centroid (|diff| <= 2e6 -> diff^2 <= 4e12,
+    x 64 dims < 2^63: no overflow)."""
+    carr = F.array(*[F.lit(int(c)).cast("long") for c in centroid])
+    return F.aggregate(
+        F.zip_with(vec, carr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_clusters(mu_df: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Add `cid`: index of the nearest centroid (ties -> lowest cid).
+    One pass, no shuffle — the centroid matrix is a plan literal."""
+    dists = [_dist2(F.col("mu"), c) for c in centroids]
+    best = F.least(*dists)
+    cid = F.lit(len(centroids) - 1)
+    for i in range(len(centroids) - 2, -1, -1):
+        cid = F.when(dists[i] == best, F.lit(i)).otherwise(cid)
+    return mu_df.withColumn("cid", cid)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 3,
+    dim: int = 64,
+) -> tuple[list[list[int]], DataFrame]:
+    """Lloyd's algorithm, `iterations` rounds from a deterministic seed
+    (the k lexicographically-first rows by vec_id).  Returns the final
+    micro-unit centroids and the assigned DataFrame."""
+    mu_df = df.select(
+        "vec_id", _mu_vec(F.col(vec_col)).alias("mu")
+    )
+    seed_rows = mu_df.orderBy("vec_id").limit(k).collect()
+    centroids = [list(r.mu) for r in seed_rows]
+
+    for _ in range(iterations):
+        assigned = assign_clusters(mu_df, centroids)
+        # per-cluster, per-dimension exact sums: k*dim rows total
+        sums = (
+            assigned.select("cid", F.posexplode("mu").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty clusters keep position
+        by_cid: dict[int, list[tuple[int, int, int]]] = {}
+        for r in sums:
+            by_cid.setdefault(r.cid, []).append((r.pos, r.s, r.n))
+        for cid, entries in by_cid.items():
+            vec = [0] * dim
+            for pos, s, n in entries:
+                # floor division == floor(mean * 1e6) since values are
+                # already micro-units: stays on the integer lattice
+                vec[pos] = s // n if s >= 0 else -((-s + n - 1) // n)
+            new[cid] = vec
+        centroids = new
+
+    return centroids, assign_clusters(mu_df, centroids)
+
+
+def inertia(assigned: DataFrame, centroids: list[list[int]]) -> int:
+    """Total within-cluster squared distance (exact integer)."""
+    chain = _dist2(F.col("mu"), centroids[0])
+    for i in range(1, len(centroids)):
+        chain = F.when(F.col("cid") == i, _dist2(F.col("mu"), centroids[i])).otherwise(
+            chain
+        )
+    row = assigned.agg(F.sum(chain).alias("total")).collect()[0]
+    return int(row.total)

@@ -188,3 +188,30 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register("sim_kmeans_quantizer")
+def sim_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer training: 3 Lloyd iterations of k=8 k-means
+    over the embedding corpus (operators/kmeans.py), reporting cluster
+    sizes and exact integer inertia share.  Iterative — no single SQL
+    oracle (driver records rows-only); assignment-level parity against
+    a numpy reference is proven by tests/test_kmeans.py instead.
+    """
+    from specialsid_spark.operators.kmeans import inertia, kmeans_fit
+
+    e = load_parallel(spark, sf_dir, "embeddings")
+    centroids, assigned = kmeans_fit(e, k=8, iterations=3)
+    assigned = assigned.persist()
+    try:
+        total = inertia(assigned, centroids)
+        out = (
+            assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n_vectors"))
+            .withColumn("total_inertia_mu2", F.lit(total))
+            .orderBy("cid")
+        )
+        rows = out.collect()
+    finally:
+        assigned.unpersist()
+    return spark.createDataFrame(rows, out.schema)

@@ -1,0 +1,57 @@
+"""Assignment-level parity of the distributed k-means against a pure
+numpy reference — possible because both sides do exact int64 arithmetic
+on micro-unit components (no float summation order anywhere)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from specialsid_spark.catalog import load
+from specialsid_spark.operators.kmeans import inertia, kmeans_fit
+
+
+def _numpy_kmeans(vecs: np.ndarray, ids: np.ndarray, k: int, iterations: int):
+    mu = np.floor(vecs.astype(np.float64) * 1_000_000).astype(np.int64)
+    order = np.argsort(ids)
+    centroids = mu[order[:k]].copy()
+    for _ in range(iterations):
+        d = ((mu[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        cid = d.argmin(axis=1)  # argmin takes lowest index on ties
+        for c in range(k):
+            members = mu[cid == c]
+            if len(members):
+                s = members.sum(axis=0)
+                n = len(members)
+                centroids[c] = np.where(s >= 0, s // n, -((-s + n - 1) // n))
+    d = ((mu[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    cid = d.argmin(axis=1)
+    return centroids, cid, int(d.min(axis=1).sum())
+
+
+@pytest.mark.parametrize("k,iters", [(4, 2), (8, 3)])
+def test_kmeans_matches_numpy_reference(spark, sf_dir, k, iters):
+    e = load(spark, sf_dir, "embeddings")
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    vecs = np.array([r.embedding for r in rows])
+
+    centroids, assigned = kmeans_fit(e, k=k, iterations=iters)
+    got = {r.vec_id: r.cid for r in assigned.select("vec_id", "cid").collect()}
+    ref_centroids, ref_cid, ref_inertia = _numpy_kmeans(vecs, ids, k, iters)
+
+    assert centroids == [list(c) for c in ref_centroids]
+    ref_map = dict(zip(ids.tolist(), ref_cid.tolist()))
+    assert got == ref_map
+    assert inertia(assigned, centroids) == ref_inertia
+
+
+def test_kmeans_inertia_decreases(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    prev = None
+    for iters in (1, 2, 3):
+        c, a = kmeans_fit(e, k=8, iterations=iters)
+        cur = inertia(a, c)
+        if prev is not None:
+            assert cur <= prev, f"inertia rose at iteration {iters}"
+        prev = cur
