@@ -296,3 +296,104 @@ def cur_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < 20)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "cur_chunk_documents",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents WHERE doc_id < 50),
+    starts AS (
+      SELECT t.doc_id, t.toks, g.s
+      FROM t, LATERAL unnest(generate_series(1, greatest(len(t.toks), 1), 24)) AS g(s)
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 24 AS BIGINT) AS chunk_idx,
+           CAST(len(toks[s : s + 31]) AS INT) AS chunk_len,
+           md5(array_to_string(toks[s : s + 31], ' ')) AS chunk_hash
+    FROM starts
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def cur_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard chunking: fixed 32-token windows with 8-token
+    overlap (stride 24) per document — the pre-tokenization split a
+    context-bounded trainer needs.  Pure per-row HOF (sequence of
+    starts -> slice -> hash): zero shuffle, chunk provenance kept as
+    (doc_id, chunk_idx, content hash) so downstream exact-dedup can run
+    at chunk granularity.
+    """
+    d = load_parallel(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    starts = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(24))
+        ).alias("s"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("s"), 32)
+    return (
+        starts.select(
+            "doc_id",
+            (((F.col("s") - 1) / 24).cast("long")).alias("chunk_idx"),
+            F.size(chunk).cast("int").alias("chunk_len"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@register(
+    "cur_mixture_weights",
+    oracle="""
+    WITH per_src AS (
+      SELECT source, lang, COUNT(*) AS n_docs,
+             SUM(CAST(n_chars AS BIGINT)) AS n_chars
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT SUM(n_chars) AS total_chars, COUNT(*) AS n_cells FROM per_src)
+    SELECT source, lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_chars AS DOUBLE) / CAST(tot.total_chars AS DOUBLE) AS current_share,
+           round(CAST(tot.total_chars AS DOUBLE)
+                 / (CAST(tot.n_cells AS DOUBLE) * CAST(n_chars AS DOUBLE)), 6)
+             AS uniform_weight
+    FROM per_src CROSS JOIN tot
+    ORDER BY source, lang
+    """,
+)
+def cur_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/language mixture re-weighting: measure each (source, lang)
+    cell's share of corpus bytes and emit the sampling weight that would
+    flatten the mixture to uniform (target_share / current_share).  The
+    per-cell aggregate is map-side-combined; the global total is a
+    1-row broadcast — the standard two-level aggregate shape, nothing
+    scales with corpus size after the first reduction.
+    """
+    d = load_parallel(spark, sf_dir, "documents")
+    per_src = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("n_chars"),
+    )
+    tot = per_src.agg(
+        F.sum("n_chars").alias("total_chars"), F.count(F.lit(1)).alias("n_cells")
+    )
+    return (
+        per_src.join(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_chars",
+            (F.col("n_chars").cast("double") / F.col("total_chars").cast("double")).alias(
+                "current_share"
+            ),
+            F.round(
+                F.col("total_chars").cast("double")
+                / (F.col("n_cells").cast("double") * F.col("n_chars").cast("double")),
+                6,
+            ).alias("uniform_weight"),
+        )
+        .orderBy("source", "lang")
+    )
