@@ -35,6 +35,11 @@ HEADLINE = [
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
     "tpch_q18_large_volume",
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q13_customer_order_distribution",
+    "tpch_q21_sole_return_supplier",
+    "join_market_basket_pairs",
+    "dedup_repeated_spans",
     "pipeline_corpus_curation",
     "cur_gopher_repetition",
     "emb_quantize_int8",

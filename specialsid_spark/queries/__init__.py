@@ -66,6 +66,7 @@ def _load_modules() -> None:
         subqueries,
         text,
         tpch,
+        tpch2,
         vectors,
         windows,
     )

@@ -541,3 +541,63 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_a", "doc_b")
     )
     return out
+
+
+_SPAN_K = 8  # exact-substring span length, in tokens
+
+
+@register(
+    "dedup_repeated_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - {_SPAN_K - 1}, 0) + 1),
+                    i -> md5(array_to_string(toks[i:i+{_SPAN_K - 1}], ' ')))) AS span
+      FROM t
+    ),
+    gd AS (SELECT span, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY span)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+    FROM g JOIN gd USING (span)
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-span statistics (the Lee et al. "Deduplicating
+    Training Data" ExactSubstr shape, at span granularity): every
+    ordered 8-token span is hashed, spans occurring in >= 2 distinct
+    documents are "duplicated", and each document reports how much of
+    it is corpus-duplicated text.
+
+    Scale shape: the shuffle key is the 32-hex md5 of the span — never
+    the span text itself — so shuffle width is constant per span no
+    matter how long the tokens are; the positions⋈span-counts join is
+    co-partitioned on that same key (one shuffle, reused), and the
+    per-doc rollup shuffles doc_id only.  No UDF anywhere."""
+    from specialsid_spark.operators.textops import word_kgrams
+
+    d = load_parallel(spark, sf_dir, "documents")
+    tk = d.select("doc_id", tokens("text").alias("toks"))
+    g = tk.select("doc_id", word_kgrams(F.col("toks"), k=_SPAN_K).alias("grams"))
+    pos = g.select(
+        "doc_id", F.explode(F.transform(F.col("grams"), F.md5)).alias("span")
+    )
+    gd = pos.groupBy("span").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (
+        pos.join(gd, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(dup).alias("n_dup_spans"),
+            (F.sum(dup).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "dup_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -414,3 +414,47 @@ def win_range_interval_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_all(spark, sf_dir)
     return spark.sql(_RANGE_FRAME_SQL)
+
+
+@register(
+    "ev_rolling_7d_distinct_users",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du)
+    SELECT CAST(days.d AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS users_7d
+    FROM days
+    JOIN du ON du.d >= CAST(days.d - INTERVAL 6 DAY AS DATE) AND du.d <= days.d
+    GROUP BY days.d
+    ORDER BY day
+    """,
+)
+def ev_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day — the rolling COUNT
+    DISTINCT shape that a RANGE window cannot express (distinct is not
+    decomposable over frames).
+
+    Scale shape: events collapse to (day, user) FIRST — the only pass
+    over the raw table — then the 7-day expansion happens on that
+    ~|users|x|days| projection against a broadcast day spine (a
+    dimension of a few thousand rows at any scale), and the final
+    distinct-count shuffles the expanded projection once on day."""
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id"
+    ).distinct()
+    days = du.select(F.col("d").alias("spine_d")).distinct()
+    return (
+        du.join(
+            F.broadcast(days),
+            (F.col("d") >= F.date_sub(F.col("spine_d"), 6))
+            & (F.col("d") <= F.col("spine_d")),
+        )
+        .groupBy("spine_d")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .select(F.col("spine_d").cast("string").alias("day"), "users_7d")
+        .orderBy("day")
+    )

@@ -328,3 +328,48 @@ def sql_surface_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_all(spark, sf_dir)
     return spark.sql(_ANSI_CTE_WINDOW_SQL)
+
+
+@register(
+    "join_market_basket_pairs",
+    oracle="""
+    WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM pp a
+    JOIN pp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 25
+    """,
+)
+def join_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs ordered together.
+    Self-equi-join on the order key with an anti-symmetric (<) residual
+    so each unordered pair appears once.
+
+    Scale shape: the fan-out of a self-join on the basket key is
+    quadratic in BASKET size, not table size — lineitem baskets are
+    bounded (~7 lines), so the join output is O(|lineitem| * 7/2).  The
+    distinct-first projection shrinks the shuffled rows to (orderkey,
+    partkey) pairs before the join, both sides co-partition on
+    l_orderkey (one shuffle each), and the top-25 is
+    TakeOrderedAndProject — no global sort materialized."""
+    li = load(spark, sf_dir, "lineitem")
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a = pp.alias("a")
+    b = pp.select(
+        F.col("l_orderkey").alias("b_orderkey"), F.col("l_partkey").alias("part_b")
+    ).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b_orderkey"))
+            & (F.col("a.l_partkey") < F.col("part_b")),
+        )
+        .select(F.col("a.l_partkey").alias("part_a"), "part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(25)
+    )

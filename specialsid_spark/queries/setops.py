@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from specialsid_spark.catalog import load
+from specialsid_spark.catalog import load, load_parallel
 from specialsid_spark.queries import register
 
 
@@ -193,3 +193,29 @@ def shape_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
         .orderBy("doc_id", "pos")
     )
+
+
+_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@register(
+    "shape_pivot_lang_source",
+    oracle=f"""
+    SELECT source,
+           {", ".join(f"CAST(SUM(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END) AS BIGINT) AS {lg}" for lg in _LANGS)}
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def shape_pivot_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational PIVOT: documents-per-language matrix keyed by source.
+    The language vocabulary is passed explicitly to ``pivot(...)`` so
+    Spark skips the extra distinct-values job (at 100 TB that implicit
+    first pass is a full scan — always pin the pivot values when the
+    domain is known)."""
+    d = load_parallel(spark, sf_dir, "documents")
+    out = d.groupBy("source").pivot("lang", list(_LANGS)).count().fillna(0)
+    return out.select(
+        "source", *[F.col(lg).cast("long").alias(lg) for lg in _LANGS]
+    ).orderBy("source")

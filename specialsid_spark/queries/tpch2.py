@@ -1,0 +1,599 @@
+"""TPC-H query shapes, batch 2 (Q5/Q7/Q8/Q9/Q12/Q13/Q15/Q16/Q19/Q20/Q21/Q22).
+
+The reference declares its analytic surface by cataloguing the clean
+zone for Athena SQL (`infrastructure/main.tf:286-352`) — these are the
+canonical SQL shapes that surface implies (SURVEY.md §2.5 J4, §2.6).
+
+Adaptations forced by the fixture schema (TESTDATA.md has no
+`partsupp`, `l_commitdate`, `l_receiptdate`, `l_shipmode`,
+`p_container`, or `c_phone` columns):
+
+* Q7 groups by supplier/customer *region* pair instead of a nation
+  pair (nation pairs are too sparse at sf0.001 for the smoke gate).
+* Q9 uses ``p_retailprice`` as the unit-cost proxy for profit.
+* Q12 groups the urgent/non-urgent line counts by ``l_linestatus``
+  instead of ``l_shipmode``; the late-delivery predicate (commit vs
+  receipt date) is dropped.
+* Q16 counts distinct suppliers per part class through ``lineitem``
+  (the only part⇄supplier relationship in the fixtures).
+* Q20's "half of availqty" threshold becomes "above the per-supplier
+  average shipped quantity" — same nested-aggregate-in-IN shape.
+* Q21 keeps the classic EXISTS / NOT EXISTS oracle; the Spark side
+  decorrelates both into one per-order aggregate.
+* Q22's "7-digit phone prefix" cohort becomes "no order since
+  2000-01-01", grouped by nation.
+
+Money arithmetic uses the integer-cents idiom (_determinism.py) so the
+DuckDB oracles hash-match exactly; the single double division happens
+once, at the end, identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from specialsid_spark.catalog import load
+from specialsid_spark.queries import register
+from specialsid_spark.queries._determinism import cents, exact_sum
+
+_REV = "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+_QTY = "CAST(round(l_quantity) AS BIGINT)"
+
+
+def _rev() -> F.Column:
+    return cents("l_extendedprice") * (100 - cents("l_discount"))
+
+
+def _qty() -> F.Column:
+    return F.round(F.col("l_quantity")).cast("long")
+
+
+def _ts(s: str) -> F.Column:
+    return F.lit(s).cast("timestamp_ntz")
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, CAST(SUM({_REV}) AS DOUBLE) / 10000.0 AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: revenue from orders where customer and supplier share a
+    nation, per ASIA nation.  Plan: region⋈nation prunes to 5 nations
+    broadcast into supplier and customer; the c_nationkey=s_nationkey
+    residual rides the lineitem⋈supplier join — no extra shuffle."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg((exact_sum(_rev()).cast("double") / 10000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM({_REV}) AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+        OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY supp_region, cust_region, l_year
+    ORDER BY supp_region, cust_region, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 (region-pair adaptation): cross-region trade volume by year
+    and direction.  The two nation⋈region lookups broadcast; the OR
+    of direction pairs is a residual filter after both lookups."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "r_name"
+    )
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nr.withColumnRenamed("r_name", "supp_region")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_region")
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(nr.withColumnRenamed("r_name", "cust_region")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_region")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    pair = (
+        (F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE")
+    ) | ((F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(pair)
+        .groupBy(
+            "supp_region",
+            "cust_region",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg((exact_sum(_rev()).cast("double") / 10000.0).alias("revenue"))
+        .orderBy("supp_region", "cust_region", "l_year")
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN n2.n_name = 'NATION_18' THEN {_REV} ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({_REV}) AS DOUBLE) AS mkt_share,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region    ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: NATION_18 suppliers' share of PROMO-part revenue sold to
+    AMERICA customers, per year.  Numerator and denominator are both
+    exact integer sums; the share is one double division."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    amer = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select("n_nationkey")
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(amer), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    rev = _rev()
+    nat_rev = F.when(F.col("supp_nation") == "NATION_18", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (exact_sum(nat_rev).cast("double") / exact_sum(rev).cast("double")).alias(
+                "mkt_share"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q9_profit_by_nation_year",
+    oracle=f"""
+    SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM({_REV} - CAST(round(p_retailprice * 100) AS BIGINT) * 100 * {_QTY})
+                AS DOUBLE) / 10000.0 AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year DESC
+    """,
+)
+def tpch_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 (retailprice-as-cost adaptation): widget-part profit per
+    supplier nation per year.  Revenue and cost stay in the same
+    1e-4-dollar integer unit so the subtraction is exact."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    profit = _rev() - cents("p_retailprice") * 100 * _qty()
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg((exact_sum(profit).cast("double") / 10000.0).alias("profit"))
+        .orderBy("n_name", F.col("o_year").desc())
+    )
+
+
+@register(
+    "tpch_q12_priority_by_linestatus",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def tpch_q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 (linestatus adaptation): urgent vs non-urgent line counts
+    shipped in 1996, pivoted by line status — conditional counting."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "tpch_q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: distribution of per-customer order counts (zero-order
+    customers included via the left join; the priority predicate lives
+    in the join condition, not a WHERE, to preserve them)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, SUM({_REV}) AS total_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_cents AS DOUBLE) / 10000.0 AS total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_cents = (SELECT MAX(total_cents) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: supplier(s) with the max Q1-1996 revenue.  The max is
+    compared at the exact-integer level (ties kept, float-safe); the
+    scalar max broadcasts back over the tiny aggregated side."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        exact_sum(_rev()).alias("total_cents")
+    )
+    top = revenue.agg(F.max("total_cents").alias("max_cents"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(top), F.col("total_cents") == F.col("max_cents"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_cents").cast("double") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 (via-lineitem adaptation): distinct suppliers per surviving
+    part class.  All three predicates are scan-pushable on part; the
+    distinct-count shuffles once on the group keys."""
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_REV}) AS DOUBLE) / 10000.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 30
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 (size-band adaptation): OR-of-conjuncts over join columns —
+    the classic disjunctive-predicate shape.  Catalyst extracts the
+    common p_brand IN (...) / p_size <= 30 conjuncts to prune the part
+    scan before the join; the full disjunction stays as the residual."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    band = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 10) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(1, 20) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#4") & sz.between(1, 30) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(band)
+        .agg(
+            (exact_sum(_rev()).cast("double") / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q20_above_avg_part_shippers",
+    oracle=f"""
+    WITH shipped AS (
+        SELECT l_suppkey, SUM({_QTY}) AS qty
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%bolt%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(qty AS BIGINT) AS bolt_qty
+    FROM supplier
+    JOIN shipped ON s_suppkey = l_suppkey
+    WHERE qty * (SELECT COUNT(*) FROM shipped) > (SELECT SUM(qty) FROM shipped)
+    ORDER BY bolt_qty DESC, s_suppkey
+    """,
+)
+def tpch_q20_above_avg_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 (above-average adaptation): suppliers who shipped more
+    bolt-part quantity in 1996 than the per-supplier average — the
+    nested-aggregate-threshold shape.  The threshold compare is kept in
+    integers (qty * n > total) so no float crosses the engines."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(_qty()).alias("qty"))
+    )
+    totals = shipped.agg(
+        F.count(F.lit(1)).alias("n_shippers"), F.sum("qty").alias("total_qty")
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        shipped.join(F.broadcast(totals))
+        .filter(F.col("qty") * F.col("n_shippers") > F.col("total_qty"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("qty").alias("bolt_qty"))
+        .orderBy(F.col("bolt_qty").desc(), "s_suppkey")
+    )
+
+
+@register(
+    "tpch_q21_sole_return_supplier",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND n_regionkey = 3
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 (returnflag adaptation): region-3 suppliers who were the
+    *only* supplier with returned lines on a multi-supplier finished
+    order.  The oracle keeps the classic correlated EXISTS / NOT
+    EXISTS; here both decorrelate into ONE per-order aggregate
+    (distinct suppliers, distinct R-suppliers) — one extra shuffle on
+    l_orderkey replaces two correlated scans, the join back to l1 is
+    co-partitioned on the same key, and at 100 TB that aggregate is
+    ~|orders| rows, far smaller than lineitem."""
+    li = load(spark, sf_dir, "lineitem")
+    ostat = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3)
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    return (
+        l1.join(ostat, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q22_dormant_customers",
+    oracle="""
+    WITH pos AS (
+        SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS total_cents,
+               COUNT(*) AS n_pos
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS totacctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) * (SELECT n_pos FROM pos)
+            > (SELECT total_cents FROM pos)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 (dormancy adaptation): above-average-balance customers with
+    no order since 2000, per nation.  The average-balance threshold is
+    an integer cross-multiply (cents * n > total) — no float compare —
+    and the dormancy check is a left-anti join against the date-pruned
+    orders scan."""
+    c = load(spark, sf_dir, "customer")
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        exact_sum(cents("c_acctbal")).alias("total_cents"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _ts("2000-01-01")
+    )
+    n = load(spark, sf_dir, "nation")
+    rich = (
+        c.join(F.broadcast(pos))
+        .filter(
+            cents("c_acctbal").cast("decimal(38,0)") * F.col("n_pos")
+            > F.col("total_cents")
+        )
+    )
+    return (
+        rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (exact_sum(cents("c_acctbal")).cast("double") / 100.0).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
