@@ -147,3 +147,49 @@ def test_vector_ops_are_map_side_until_final_agg(spark, qs):
     # the tiny per-label aggregate (plus the fixture's repartition)
     p = plan_of(spark, qs["emb_norm_bands"](spark, SF_DIR))
     assert p.count("hashpartitioning(") == 1
+
+
+def test_q21_avoids_countdistinct_expand(spark, qs):
+    # the two-level aggregate formulation must never regress to
+    # countDistinct's Expand (doubles every lineitem row pre-shuffle)
+    p = plan_of(spark, qs["tpch_q21_sole_return_supplier"](spark, SF_DIR))
+    assert "Expand" not in p
+    assert "partial_count" in p  # map-side combine at level 1
+
+
+def test_q19_pushes_disjunction_to_both_scans(spark, qs):
+    # Catalyst must push the OR-of-conjuncts (brand/size bands on part,
+    # quantity bands on lineitem) into both parquet scans
+    p = plan_of(spark, qs["tpch_q19_disjunctive_revenue"](spark, SF_DIR))
+    assert p.count("Or(Or(And(") >= 2
+    assert "p_brand,Brand#12" in p
+
+
+def test_market_basket_top25_is_take_ordered(spark, qs):
+    # top-k must be TakeOrderedAndProject (per-partition top-25), not a
+    # global sort of every pair
+    p = plan_of(spark, qs["join_market_basket_pairs"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_repeated_spans_stays_jvm_side(spark, qs):
+    # explode/md5/join/agg end-to-end with zero Python evaluation
+    p = plan_of(spark, qs["dedup_repeated_spans"](spark, SF_DIR))
+    assert "BatchEvalPython" not in p
+    assert "ArrowEval" not in p
+    assert "partial_count" in p
+
+
+def test_rolling_distinct_day_spine_is_broadcast(spark, qs):
+    # the non-equi day-range expansion must be a broadcast nested-loop
+    # against the tiny spine, never a cartesian of events
+    p = plan_of(spark, qs["ev_rolling_7d_distinct_users"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q13_keeps_zero_order_customers(spark, qs):
+    # the priority predicate must stay in the join (LeftOuter), not
+    # degrade to an inner join that would drop zero-order customers
+    p = plan_of(spark, qs["tpch_q13_customer_order_distribution"](spark, SF_DIR))
+    assert "LeftOuter" in p
