@@ -452,3 +452,31 @@ def agg_grouped_map_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "bal_rank")
     )
+
+
+@register(
+    "agg_histogram_value_buckets",
+    oracle="""
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value
+    FROM events
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width 25) over event values — the
+    binned-aggregation shape behind every distribution dashboard.  The
+    bucket id is computed in the scan projection, so the aggregate
+    shuffles |buckets| partial rows per task, not |events|."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 25.0).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")).cast("double") / 100.0).alias("sum_value"),
+        )
+        .orderBy("bucket")
+    )

@@ -458,3 +458,120 @@ def ev_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("spine_d").cast("string").alias("day"), "users_7d")
         .orderBy("day")
     )
+
+
+@register(
+    "ev_interp_hourly_value",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id,
+             date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM events WHERE user_id < 5 GROUP BY user_id
+    ),
+    spine AS (
+      SELECT b.user_id, g.h
+      FROM bounds b, LATERAL unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS g(h)
+    ),
+    hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS vc
+      FROM events WHERE user_id < 5 GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT s.user_id, s.h, hourly.vc,
+             last_value(hourly.vc IGNORE NULLS) OVER w_prev AS prev_c,
+             last_value(CASE WHEN hourly.vc IS NOT NULL THEN s.h END IGNORE NULLS)
+               OVER w_prev AS prev_h,
+             first_value(hourly.vc IGNORE NULLS) OVER w_next AS next_c,
+             first_value(CASE WHEN hourly.vc IS NOT NULL THEN s.h END IGNORE NULLS)
+               OVER w_next AS next_h
+      FROM spine s LEFT JOIN hourly ON hourly.user_id = s.user_id AND hourly.h = s.h
+      WINDOW
+        w_prev AS (PARTITION BY s.user_id ORDER BY s.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY s.user_id ORDER BY s.h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, CAST(h AS STRING) AS hour_start,
+           (vc IS NOT NULL) AS observed,
+           CASE
+             WHEN vc IS NOT NULL THEN CAST(vc AS DOUBLE) / 100.0
+             WHEN prev_c IS NULL THEN CAST(next_c AS DOUBLE) / 100.0
+             WHEN next_c IS NULL THEN CAST(prev_c AS DOUBLE) / 100.0
+             ELSE CAST(prev_c * date_diff('hour', prev_h, next_h)
+                       + (next_c - prev_c) * date_diff('hour', prev_h, h) AS DOUBLE)
+                  / (CAST(date_diff('hour', prev_h, next_h) AS DOUBLE) * 100.0)
+           END AS interp_value
+    FROM j ORDER BY user_id, hour_start
+    """,
+)
+def ev_interp_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the hourly spine — the sibling of
+    ev_gapfill_hourly_value's forward fill: interior gaps take the
+    time-weighted blend of the surrounding observations, leading gaps
+    backfill, trailing gaps hold.
+
+    Determinism across engines: observed hourly values stay integer
+    cents, the interpolation numerator (prev*DH + (next-prev)*dh) is
+    computed entirely in integers, and both engines perform the SAME
+    single double division at the end — no accumulated float drift.
+    Scale shape: two ordered windows per user over the spine (rows ~
+    |hours|, not |events|), same as sessionization state."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum(cents("value")).alias("vc"))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("vc").isNotNull(), F.col("h"))
+    j = (
+        spine.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "h",
+            "vc",
+            F.last("vc", ignorenulls=True).over(w_prev).alias("prev_c"),
+            F.last(obs_h, ignorenulls=True).over(w_prev).alias("prev_h"),
+            F.first("vc", ignorenulls=True).over(w_next).alias("next_c"),
+            F.first(obs_h, ignorenulls=True).over(w_next).alias("next_h"),
+        )
+    )
+    dh_total = F.expr("timestampdiff(HOUR, prev_h, next_h)").cast("long")
+    dh = F.expr("timestampdiff(HOUR, prev_h, h)").cast("long")
+    interp = (
+        (F.col("prev_c") * dh_total + (F.col("next_c") - F.col("prev_c")) * dh)
+        .cast("double")
+        / (dh_total.cast("double") * 100.0)
+    )
+    return (
+        j.select(
+            "user_id",
+            F.col("h").cast("string").alias("hour_start"),
+            F.col("vc").isNotNull().alias("observed"),
+            F.when(F.col("vc").isNotNull(), F.col("vc").cast("double") / 100.0)
+            .when(F.col("prev_c").isNull(), F.col("next_c").cast("double") / 100.0)
+            .when(F.col("next_c").isNull(), F.col("prev_c").cast("double") / 100.0)
+            .otherwise(interp)
+            .alias("interp_value"),
+            F.col("h").alias("_h"),
+        )
+        .orderBy("user_id", "_h")
+        .drop("_h")
+    )

@@ -332,3 +332,32 @@ def streaming_click_attribution_join(
     return imp.join(clk, cond, how).select(
         "imp_id", "user_id", "imp_ts", "click_id", "click_ts"
     )
+
+
+def streaming_static_enrich(
+    spark: SparkSession,
+    events_dir: str,
+    dim: DataFrame,
+    watermark: str = "1 hour",
+    window_size: str = "1 hour",
+) -> DataFrame:
+    """T8/J4: stream-static join — enrich each micro-batch with a
+    static dimension (user -> segment), then windowed per-segment
+    rollup.
+
+    Stream-static joins keep NO join state: every micro-batch
+    hash-joins the current static side, so the dimension can be
+    swapped between restarts without touching the checkpoint.  The
+    broadcast hint keeps the stream side shuffle-free at any scale —
+    the canonical enrichment layout for a 100 TB/day event firehose
+    against a bounded dimension."""
+    ev = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).json(events_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", window_size).alias("w"), F.col("segment"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "segment", "n_events", "sum_value")
+    )

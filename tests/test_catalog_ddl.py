@@ -1,0 +1,90 @@
+"""Catalog / DDL surface (SURVEY.md §2.1 S11): the reference's Glue
+crawler + Athena DDL, as Spark session-catalog operations — CTAS,
+external partitioned tables, MSCK REPAIR partition discovery, and
+INSERT INTO through the catalog.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture
+def table_name(spark):
+    name = f"ddl_test_{uuid.uuid4().hex[:8]}"
+    yield name
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_ctas_from_parquet(spark, table_name):
+    """CREATE TABLE AS SELECT materializes a managed parquet table the
+    session catalog can query and describe."""
+    spark.sql(
+        f"""
+        CREATE TABLE {table_name} USING PARQUET AS
+        SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(id, name)
+        """
+    )
+    assert spark.sql(f"SELECT COUNT(*) AS n FROM {table_name}").collect()[0]["n"] == 2
+    cols = [r["col_name"] for r in spark.sql(f"DESCRIBE TABLE {table_name}").collect()]
+    assert cols[:2] == ["id", "name"]
+
+
+def test_external_partitioned_table_msck_and_insert(spark, tmp_path, table_name):
+    """The Glue-crawler workflow: parquet partitions dropped externally
+    into a location, discovered by MSCK REPAIR, pruned on read, and
+    extended by INSERT INTO."""
+    base = tmp_path / "ext"
+    df = spark.createDataFrame(
+        [(1, "x", "Gauteng"), (2, "y", "Gauteng"), (3, "z", "Limpopo")],
+        "id long, name string, province string",
+    )
+    df.write.partitionBy("province").parquet(str(base))
+
+    spark.sql(
+        f"""
+        CREATE TABLE {table_name} (id BIGINT, name STRING, province STRING)
+        USING PARQUET PARTITIONED BY (province) LOCATION '{base}'
+        """
+    )
+    # external partitions are invisible until discovered (the crawler hop)
+    assert spark.sql(f"SELECT COUNT(*) AS n FROM {table_name}").collect()[0]["n"] == 0
+    spark.sql(f"MSCK REPAIR TABLE {table_name}")
+    assert spark.sql(f"SELECT COUNT(*) AS n FROM {table_name}").collect()[0]["n"] == 3
+
+    # a partition dir dropped in AFTER registration (new crawl cycle)
+    extra = spark.createDataFrame([(4, "w", "Mpumalanga")], df.schema)
+    extra.write.mode("append").partitionBy("province").parquet(str(base))
+    spark.sql(f"MSCK REPAIR TABLE {table_name}")
+    assert spark.sql(f"SELECT COUNT(*) AS n FROM {table_name}").collect()[0]["n"] == 4
+
+    # partition pruning: a province predicate must prune, not scan-all
+    pruned = spark.sql(f"SELECT id FROM {table_name} WHERE province = 'Limpopo'")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "partition filters: [isnotnull(province" in plan.lower() or "Limpopo" in plan
+    assert [r["id"] for r in pruned.collect()] == [3]
+
+    # INSERT INTO through the catalog lands in the right partition dir
+    spark.sql(f"INSERT INTO {table_name} PARTITION (province='Limpopo') VALUES (5, 'q')")
+    got = spark.read.parquet(str(base / "province=Limpopo"))
+    assert sorted(r["id"] for r in got.collect()) == [3, 5]
+
+
+def test_partition_listing_matches_catalog(spark, tmp_path, table_name):
+    """SHOW PARTITIONS reflects exactly the discovered directories."""
+    base = tmp_path / "ext2"
+    spark.createDataFrame(
+        [(1, "KZN"), (2, "WC")], "id long, province string"
+    ).write.partitionBy("province").parquet(str(base))
+    spark.sql(
+        f"""
+        CREATE TABLE {table_name} (id BIGINT, province STRING)
+        USING PARQUET PARTITIONED BY (province) LOCATION '{base}'
+        """
+    )
+    spark.sql(f"MSCK REPAIR TABLE {table_name}")
+    parts = sorted(r["partition"] for r in spark.sql(f"SHOW PARTITIONS {table_name}").collect())
+    assert parts == ["province=KZN", "province=WC"]

@@ -339,3 +339,42 @@ def test_streaming_stream_stream_join_left_outer_emits_expired(spark, tmp_path):
     rows = spark.read.parquet(str(out_dir)).select("imp_id", "click_id").collect()
     pairs = {(r.imp_id, r.click_id) for r in rows}
     assert (10, None) in pairs, f"expired impression not emitted: {pairs}"
+
+
+def test_streaming_static_enrich_join(spark, tmp_path):
+    """J4/T8: stream-static join drops dim-less users, aggregates per
+    segment, and keeps no join state (static side re-evaluated per
+    batch)."""
+    from specialsid_spark.streaming.pipeline import streaming_static_enrich
+
+    ev_dir = tmp_path / "events"
+    ev_dir.mkdir()
+    _write_events(
+        ev_dir / "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:05:00", "user_id": 1, "event_type": "click", "value": 2.0},
+            {"event_id": 2, "ts": "2024-01-01 10:15:00", "user_id": 2, "event_type": "click", "value": 3.0},
+            {"event_id": 3, "ts": "2024-01-01 10:25:00", "user_id": 1, "event_type": "view", "value": 5.0},
+            # user 99 has no dim row -> inner join drops it
+            {"event_id": 4, "ts": "2024-01-01 10:35:00", "user_id": 99, "event_type": "click", "value": 7.0},
+        ],
+    )
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, segment string"
+    )
+    agg = streaming_static_enrich(spark, str(ev_dir), dim)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("static_enrich_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {
+        (str(r["win_start"]), r["segment"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM static_enrich_test").collect()
+    }
+    assert rows[("2024-01-01 10:00:00", "gold")] == (2, 7.0)
+    assert rows[("2024-01-01 10:00:00", "silver")] == (1, 3.0)
+    assert len(rows) == 2  # user 99 contributed nothing
