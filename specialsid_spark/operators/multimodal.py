@@ -6,16 +6,21 @@ audio / video is an opaque ``BinaryType`` column with typed metadata
 flowing through the plan, and per-blob work is an Arrow-batched
 ``mapInPandas``.
 
-The actual codecs (PIL / pdf2image / ffmpeg) are not in this container,
-so the decode kernels are STUBBED: ``decode_image_stub`` derives
-deterministic fake metadata from the bytes themselves.  The Spark-side
-plumbing — schema, batch iteration, partitioning — is real and is what
-gets tested.  Swap ``_decode_bytes`` for a real decoder in production.
+Pixel codecs (PIL / pdf2image / ffmpeg) are not in this container, but
+*metadata* decoding does not need them: ``parse_image_meta`` reads real
+width/height/format straight from JPEG SOF / PNG IHDR / GIF / WebP /
+BMP headers, and ``pdf_page_count`` counts ``/Type /Page`` objects in a
+real PDF — both pure-Python, both exercised on real fixture bytes in
+tests/test_multimodal.py.  Only the pixel-producing kernels (rasterize
+a PDF page, crop a bbox region) remain stubs; their Spark-side plumbing
+— schema, batch iteration, partitioning — is real and tested.
 """
 
 from __future__ import annotations
 
 import hashlib
+import re
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -43,10 +48,89 @@ PAGE_SCHEMA = T.StructType(
 )
 
 
+#: JPEG "start of frame" markers that carry dimensions: SOF0-SOF15 minus
+#: DHT (0xC4), JPG (0xC8), DAC (0xCC) which are not frame headers.
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+#: A page *leaf* object ("/Type /Page"); a negative lookahead excludes the
+#: "/Type /Pages" tree nodes.  Ref behaviour: gen_pdf_imgLambda.py renders
+#: one image per page at 300 dpi — the page count drives the 1->N fan-out.
+_PDF_PAGE_RE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
+
+
+def parse_image_meta(blob: bytes) -> tuple[int, int, str] | None:
+    """Real metadata decode with zero codec deps: read (width, height,
+    format) from the container header of JPEG / PNG / GIF / WebP / BMP
+    bytes.  Returns None when the payload is not a recognized image."""
+    n = len(blob)
+    # PNG: 8-byte signature, then the IHDR chunk holds two big-endian u32s.
+    if n >= 24 and blob[:8] == b"\x89PNG\r\n\x1a\n" and blob[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", blob[16:24])
+        return w, h, "png"
+    # GIF87a / GIF89a: little-endian u16 logical-screen dimensions.
+    if n >= 10 and blob[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", blob[6:10])
+        return w, h, "gif"
+    # BMP: BITMAPINFOHEADER at offset 14 (signed little-endian; height may
+    # be negative for top-down rows).
+    if n >= 26 and blob[:2] == b"BM":
+        w, h = struct.unpack("<ii", blob[18:26])
+        return w, abs(h), "bmp"
+    # WebP: RIFF container; VP8 (lossy) / VP8L (lossless) / VP8X (extended).
+    if n >= 30 and blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        chunk = blob[12:16]
+        if chunk == b"VP8X":
+            w = int.from_bytes(blob[24:27], "little") + 1
+            h = int.from_bytes(blob[27:30], "little") + 1
+            return w, h, "webp"
+        if chunk == b"VP8L" and blob[20] == 0x2F:
+            bits = int.from_bytes(blob[21:25], "little")
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, "webp"
+        if chunk == b"VP8 ":
+            # Lossy bitstream: 3-byte frame tag, then the 3-byte start code
+            # 9D 01 2A, then two little-endian u14 dimensions.
+            if blob[23:26] == b"\x9d\x01\x2a":
+                w = int.from_bytes(blob[26:28], "little") & 0x3FFF
+                h = int.from_bytes(blob[28:30], "little") & 0x3FFF
+                return w, h, "webp"
+        return None
+    # JPEG: walk the marker stream to the first SOFn segment; its payload
+    # is [precision u8][height u16be][width u16be].
+    if n >= 4 and blob[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < n:
+            if blob[i] != 0xFF:
+                i += 1
+                continue
+            marker = blob[i + 1]
+            if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+                i += 2  # padding / standalone markers carry no length
+                continue
+            seg_len = struct.unpack(">H", blob[i + 2 : i + 4])[0]
+            if marker in _JPEG_SOF:
+                h, w = struct.unpack(">HH", blob[i + 5 : i + 9])
+                return w, h, "jpeg"
+            i += 2 + seg_len
+        return None
+    return None
+
+
+def pdf_page_count(blob: bytes) -> int | None:
+    """Real page count for a real PDF: the number of ``/Type /Page`` leaf
+    objects (ref gen_pdf_imgLambda.py:51-60 fans out one raster per page).
+    Returns None when the payload is not a PDF."""
+    if not blob.startswith(b"%PDF"):
+        return None
+    return max(1, len(_PDF_PAGE_RE.findall(blob)))
+
+
 def _decode_bytes(blob: bytes) -> tuple[int, int, str]:
-    """STUB decoder: deterministic fake (width, height, format) from the
-    payload.  Real implementation: PIL.Image.open(io.BytesIO(blob)).
-    Raises nothing here so the plumbing is testable without codecs."""
+    """Metadata decode: REAL header parse for recognized image containers
+    (see parse_image_meta); deterministic hash-derived fallback for opaque
+    test payloads so the plumbing stays testable on arbitrary bytes."""
+    meta = parse_image_meta(blob)
+    if meta is not None:
+        return meta
     h = hashlib.md5(blob).digest()
     width = 64 + h[0]
     height = 64 + h[1]
@@ -79,14 +163,21 @@ def explode_pdf_pages_stub(
     df: DataFrame, id_col: str = "doc_id", bin_col: str = "blob", page_size: int = 100
 ) -> DataFrame:
     """D1 flatMap PDF->pages (ref gen_pdf_imgLambda.py:51-60): 1 row in,
-    N rows out via mapInPandas.  STUB: pages are fixed-size byte slices;
-    real implementation: pdf2image.convert_from_bytes(blob, dpi=300)."""
+    N rows out via mapInPandas.  For a real PDF payload the fan-out count
+    is the REAL page count (``pdf_page_count``); only the per-page raster
+    bytes are stubbed as even byte slices (pdf2image absent here).  For
+    opaque test payloads, pages are fixed-size byte slices."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_id, out_no, out_bytes = [], [], []
             for i, blob in zip(pdf[id_col], pdf[bin_col]):
-                pages = [blob[o : o + page_size] for o in range(0, max(len(blob), 1), page_size)]
+                n_real = pdf_page_count(blob)
+                if n_real is not None:
+                    step = max(1, -(-len(blob) // n_real))  # ceil-div even split
+                    pages = [blob[o : o + step] for o in range(0, len(blob), step)]
+                else:
+                    pages = [blob[o : o + page_size] for o in range(0, max(len(blob), 1), page_size)]
                 for pno, pb in enumerate(pages, start=1):
                     out_id.append(i)
                     out_no.append(pno)

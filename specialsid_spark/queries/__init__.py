@@ -50,25 +50,32 @@ def _load_modules() -> None:
     global _LOADED
     if _LOADED:
         return
-    # import for side effect of @register
+    # import for side effect of @register.
+    #
+    # ORDER MATTERS: the driver checks queries in registration order and may
+    # stop when its per-round budget runs out (round 1 stopped at entry 50).
+    # Modules whose queries had no driver-side green row in round 1 are loaded
+    # FIRST (tpch2/tpch/subqueries/text/similarity/windows/setops/retail/
+    # multimodal/vectors/streaming_q), then the modules that were already
+    # verified green in CORRECTNESS_r01.json.
     from specialsid_spark.queries import (  # noqa: F401
+        tpch2,
+        tpch,
+        subqueries,
+        text,
+        similarity,
+        windows,
+        setops,
+        retail,
+        multimodal,
+        vectors,
+        streaming_q,
         aggregates,
         curation,
         dedup,
         events,
         fuzzy,
         joins,
-        multimodal,
-        retail,
-        setops,
-        similarity,
-        streaming_q,
-        subqueries,
-        text,
-        tpch,
-        tpch2,
-        vectors,
-        windows,
     )
 
     _LOADED = True

@@ -6,11 +6,90 @@ import hashlib
 
 from pyspark.sql import functions as F
 
+import struct
+
 from specialsid_spark.operators.multimodal import (
     crop_stub,
     decode_image_stub,
     explode_pdf_pages_stub,
+    parse_image_meta,
+    pdf_page_count,
 )
+
+
+def _jpeg(w: int, h: int) -> bytes:
+    """Minimal-but-real JPEG byte stream: SOI, APP0, SOF0 with the given
+    dimensions, EOI.  Any SOF-aware parser reads the same (w, h)."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _png(w: int, h: int) -> bytes:
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    return b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 8
+
+
+def _gif(w: int, h: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+
+
+def _bmp(w: int, h: int) -> bytes:
+    return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h) + b"\x00" * 10
+
+
+def _pdf(n_pages: int) -> bytes:
+    body = b"%PDF-1.4\n1 0 obj << /Type /Pages /Count " + str(n_pages).encode() + b" >> endobj\n"
+    for i in range(n_pages):
+        body += str(i + 2).encode() + b" 0 obj << /Type /Page /Parent 1 0 R >> endobj\n"
+    return body + b"%%EOF"
+
+
+def test_parse_image_meta_real_headers():
+    assert parse_image_meta(_jpeg(640, 480)) == (640, 480, "jpeg")
+    assert parse_image_meta(_png(1920, 1080)) == (1920, 1080, "png")
+    assert parse_image_meta(_gif(320, 200)) == (320, 200, "gif")
+    assert parse_image_meta(_bmp(800, 600)) == (800, 600, "bmp")
+    assert parse_image_meta(_bmp(800, -600)) == (800, 600, "bmp")  # top-down BMP
+    assert parse_image_meta(b"x" * 250) is None  # opaque bytes -> fallback path
+    assert parse_image_meta(b"") is None
+
+
+def test_pdf_page_count_real_pdf():
+    assert pdf_page_count(_pdf(3)) == 3  # /Type /Pages tree node NOT counted
+    assert pdf_page_count(_pdf(1)) == 1
+    assert pdf_page_count(b"not a pdf") is None
+
+
+def test_decode_real_jpeg_through_spark(spark):
+    """The round-1 gap: decode must report TRUE dimensions for real bytes."""
+    df = spark.createDataFrame(
+        [(1, _jpeg(640, 480)), (2, _png(12, 34)), (3, b"opaque")],
+        "doc_id long, blob binary",
+    )
+    out = {r["doc_id"]: r for r in decode_image_stub(df).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["format"]) == (640, 480, "jpeg")
+    assert (out[2]["width"], out[2]["height"], out[2]["format"]) == (12, 34, "png")
+    assert out[3]["format"] in ("jpeg", "png", "webp")  # deterministic fallback
+
+
+def test_pdf_explode_uses_real_page_count(spark):
+    df = spark.createDataFrame([(1, _pdf(4)), (2, b"y" * 150)], "doc_id long, blob binary")
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in explode_pdf_pages_stub(df, page_size=100)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts[1] == 4  # real PDF -> real page count drives the fan-out
+    assert counts[2] == 2  # opaque bytes -> fixed-size slicing
 
 
 def _blob_df(spark):
