@@ -64,7 +64,6 @@ def test_no_accidental_cartesian_products(spark, qs):
         "join_cross_region_status",  # deliberate tiny cross join
         "join_range_price_bands",  # non-equi range join
         "sim_ivf_topk",  # broadcast centroid cross join (8 rows)
-        "dedup_embedding_cosine_top20",  # all-pairs by design (vec_id <)
         "dedup_ngram_jaccard_pairs",  # blocked self-join w/ inequality
         "sim_topk_bruteforce",  # query-side broadcast scoring
         "fuzzy_levenshtein_blocked",  # blocked self-join w/ inequality
@@ -75,6 +74,16 @@ def test_no_accidental_cartesian_products(spark, qs):
         df = fn(spark, SF_DIR)
         p = plan_of(spark, df)
         assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
+
+
+def test_embedding_top20_is_blocked_equijoin(spark, qs):
+    # round-1 `weak`: the registered embedding-dedup must tile the n^2
+    # work over block-pair keys (equi-join, bounded tasks) — no cartesian
+    # or nested-loop node, and a top-k sort, never a global one
+    p = plan_of(spark, qs["dedup_embedding_cosine_top20"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p
 
 
 def test_text_pipelines_scan_documents_once(spark, qs):
