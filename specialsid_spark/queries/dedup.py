@@ -20,13 +20,17 @@ from specialsid_spark.catalog import load, load_parallel
 from specialsid_spark.operators.textops import (
     SQL_MINHASH_BASES,
     SQL_TOKEN_DIGEST16,
+    SQL_TOKEN_MD5S,
     band_key,
+    digest16_block,
     minhash_bases,
     minhash_component,
     simhash16_from_digests,
+    sql_digest16_block,
     sql_minhash_component,
     sql_simhash16_digests,
     token_digest16,
+    token_md5s,
     tokens,
     word_shingles,
 )
@@ -76,13 +80,24 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAX_SHINGLE_DF = 64  # stop-shingle cap: boilerplate shared by >64 docs
+# is excluded from BOTH the blocking join and the set sizes.  At test SFs
+# no shingle reaches it (max df: 7 at sf0.01, 25 at sf0.1 — results are
+# byte-identical with or without), but at corpus scale it bounds the
+# hottest join key to df^2 <= 4096 pair rows, making the self-join
+# skew-proof where a viral boilerplate shingle would otherwise produce
+# a billion-row key group.
+
+
 @register(
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
     sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
-    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
-    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    keep AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING COUNT(*) <= {_MAX_SHINGLE_DF}),
+    ex AS (SELECT doc_id, shingle FROM ex0 JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
       FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -98,12 +113,19 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram Jaccard near-dup: explode shingles, self-join on shared
-    shingle (the blocking step), exact integer set arithmetic."""
-    # exploded shingles are read 3x (two join sides + sizes): persist;
-    # shingles are distinct per doc, so set size == row count
-    ex = _exploded_shingles(spark, sf_dir).persist()
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n_sh"))
+    """3-gram Jaccard near-dup: explode shingles, drop stop-shingles
+    (df > 64: boilerplate contributes nothing to
+    discrimination and everything to join skew), self-join on shared
+    shingle (the blocking step), exact integer set arithmetic over the
+    kept shingle sets."""
+    # exploded shingles are read 4x (df filter, two join sides, sizes):
+    # persist; shingles are distinct per doc, so set size == row count
+    ex0 = _exploded_shingles(spark, sf_dir).persist()
+    keep = ex0.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _MAX_SHINGLE_DF
+    ).select("shingle")
+    ex = ex0.join(keep, "shingle").persist()
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
@@ -131,7 +153,20 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_MINHASH = 8  # 8 components -> 4 bands of 2
+_N_MINHASH = 16  # 16 components -> 4 bands of 4 (production shape)
+_BAND_R = 4  # rows per band; candidate threshold s* = (1/b)^(1/r) ~ 0.71
+_N_BANDS = _N_MINHASH // _BAND_R
+
+
+def _sql_bands() -> str:
+    """DuckDB twin of the band projection: one row per (doc, band)."""
+    rows = []
+    for bi in range(_N_BANDS):
+        comps = " || '|' || ".join(
+            f"mh{_BAND_R * bi + j}::VARCHAR" for j in range(_BAND_R)
+        )
+        rows.append(f"SELECT doc_id, {bi} AS band, md5({comps}) AS bkey FROM sigs")
+    return "bands AS (" + " UNION ALL ".join(rows) + ")"
 
 
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,7 +209,7 @@ def _sql_minhash_sigs() -> str:
     """,
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (8 components) — the strongly-checked core of
+    """MinHash signatures (16 components) — the strongly-checked core of
     the LSH pipeline: every signature value hash-compared cross-engine."""
     return _minhash_sigs(spark, sf_dir).orderBy("doc_id")
 
@@ -183,12 +218,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh_candidates",
     oracle=f"""
     WITH {_sql_minhash_sigs()},
-    bands AS (
-      SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '|' || mh1::VARCHAR) AS bkey FROM sigs
-      UNION ALL SELECT doc_id, 1, md5(mh2::VARCHAR || '|' || mh3::VARCHAR) FROM sigs
-      UNION ALL SELECT doc_id, 2, md5(mh4::VARCHAR || '|' || mh5::VARCHAR) FROM sigs
-      UNION ALL SELECT doc_id, 3, md5(mh6::VARCHAR || '|' || mh7::VARCHAR) FROM sigs
-    )
+    {_sql_bands()}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
@@ -196,19 +226,23 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: 4 bands of 2 rows; docs sharing any band bucket are
-    candidate near-dups.  Join key = (band, bucket-hash): at scale the
-    shuffle carries doc_id + 16-byte keys only."""
-    # signature table is tiny (|docs| x 8 hashes): persist it so the
+    """LSH banding: 4 bands of 4 rows; docs sharing any band bucket are
+    candidate near-dups (threshold s* = (1/4)^(1/4) ~ 0.71 — the
+    real near-dup regime, vs 0.5 for the round-1 4x2 toy shape).
+    Join key = (band, bucket-hash): at scale the shuffle carries
+    doc_id + 16-byte keys only."""
+    # signature table is tiny (|docs| x 16 hashes): persist it so the
     # shingle+md5 pipeline runs ONCE, not once per band per join side
     sigs = _minhash_sigs(spark, sf_dir).persist()
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
-                band_key(F.col(f"mh{2 * bi}"), F.col(f"mh{2 * bi + 1}")).alias("bkey"),
+                band_key(
+                    *[F.col(f"mh{_BAND_R * bi + j}") for j in range(_BAND_R)]
+                ).alias("bkey"),
             )
-            for bi in range(_N_MINHASH // 2)
+            for bi in range(_N_BANDS)
         ]
     )
     # single projection + explode (not a 4-way union): one subtree, so
@@ -349,12 +383,7 @@ def dedup_embedding_cosine_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cc_clusters",
     oracle=f"""
     WITH RECURSIVE {_sql_minhash_sigs()},
-    bands AS (
-      SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '|' || mh1::VARCHAR) AS bkey FROM sigs
-      UNION ALL SELECT doc_id, 1, md5(mh2::VARCHAR || '|' || mh3::VARCHAR) FROM sigs
-      UNION ALL SELECT doc_id, 2, md5(mh4::VARCHAR || '|' || mh5::VARCHAR) FROM sigs
-      UNION ALL SELECT doc_id, 3, md5(mh6::VARCHAR || '|' || mh7::VARCHAR) FROM sigs
-    ),
+    {_sql_bands()},
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -390,14 +419,22 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a declarative twin.
     """
     pairs = dedup_minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    # localCheckpoint (not persist) everywhere in the loop: each round's
+    # plan would otherwise embed every prior round's join — lineage (and
+    # optimizer time) snowballs with iteration count.  Checkpointing
+    # truncates the lineage so round N plans against a materialized
+    # scan, keeping per-iteration planning O(1).
     edges = (
         pairs.selectExpr("doc_a AS a", "doc_b AS b")
         .unionAll(pairs.selectExpr("doc_b AS a", "doc_a AS b"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("a").alias("doc")).distinct().withColumn(
-        "cluster_id", F.col("doc")
-    ).persist()
+    labels = (
+        edges.select(F.col("a").alias("doc"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(20):  # diameter bound; converges far earlier
         neighbor_min = (
             edges.join(labels, edges.b == labels.doc)
@@ -412,7 +449,7 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -420,35 +457,21 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    out = (
+    return (
         labels.select("doc", F.col("cluster_id").cast("long"))
         .withColumnRenamed("doc", "doc_id")
         .orderBy("doc_id")
-        # the loop already converged; materialize the result locally so
-        # the iteration caches can be dropped before returning (leaving
-        # them registered would let the CacheManager substitute cached
-        # subtrees into OTHER queries' plans in the same session)
-        .localCheckpoint(eager=True)
     )
-    edges.unpersist()
-    labels.unpersist()
-    return out.orderBy("doc_id")
 
 
 @register(
     "pipeline_corpus_curation",
     oracle=f"""
     WITH {_sql_minhash_sigs()},
-    bands AS (
-      SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '|' || mh1::VARCHAR) AS bkey FROM sigs
-      UNION ALL SELECT doc_id, 1, md5(mh2::VARCHAR || '|' || mh3::VARCHAR) FROM sigs
-      UNION ALL SELECT doc_id, 2, md5(mh4::VARCHAR || '|' || mh5::VARCHAR) FROM sigs
-      UNION ALL SELECT doc_id, 3, md5(mh6::VARCHAR || '|' || mh7::VARCHAR) FROM sigs
-    ),
+    {_sql_bands()},
     near_dupes AS (
       SELECT DISTINCT b.doc_id
       FROM bands a JOIN bands b
@@ -587,6 +610,130 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_a", "doc_b")
     )
     return out
+
+
+def _sql_simhash64_sigs() -> str:
+    """DuckDB CTEs producing (doc_id, blk0..blk3): 64-bit SimHash as four
+    16-bit blocks, one md5 per token."""
+    dig_cols = ", ".join(
+        f"{sql_digest16_block('md5s', b)} AS d{b}" for b in range(4)
+    )
+    blk_cols = ", ".join(
+        f"{sql_simhash16_digests(f'd{b}')} AS blk{b}" for b in range(4)
+    )
+    return f"""
+    t AS (SELECT doc_id, list_distinct({_SQL_TOKENS}) AS toks FROM documents),
+    m AS (SELECT doc_id, {SQL_TOKEN_MD5S.format(toks="toks")} AS md5s FROM t),
+    g AS (SELECT doc_id, {dig_cols} FROM m),
+    sigs AS (SELECT doc_id, {blk_cols} FROM g)
+    """
+
+
+def _simhash64_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, blk0..blk3): production-width SimHash.  Three-projection
+    shape so nothing re-derives: (1) per-token md5 strings (ONE hash per
+    token), (2) four 16-bit digest arrays carved from the md5s, (3) 64
+    bit-vote aggregates reading the named digest arrays."""
+    d = load_parallel(spark, sf_dir, "documents")
+    t = d.select("doc_id", token_md5s(F.array_distinct(tokens("text"))).alias("md5s"))
+    g = t.select(
+        "doc_id", *[digest16_block(F.col("md5s"), b).alias(f"d{b}") for b in range(4)]
+    )
+    return g.select(
+        "doc_id",
+        *[simhash16_from_digests(F.col(f"d{b}")).alias(f"blk{b}") for b in range(4)],
+    )
+
+
+@register(
+    "dedup_simhash64_blocks",
+    oracle=f"""
+    WITH {_sql_simhash64_sigs()}
+    SELECT doc_id, blk0, blk1, blk2, blk3 FROM sigs ORDER BY doc_id
+    """,
+)
+def dedup_simhash64_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures, stored AS their four 16-bit blocks —
+    the layout the radius-3 pair join needs, and sign-safe in both
+    engines (no 1<<63 overflow games)."""
+    return _simhash64_sigs(spark, sf_dir).orderBy("doc_id")
+
+
+@register(
+    "dedup_simhash64_radius3_pairs",
+    oracle=f"""
+    WITH {_sql_simhash64_sigs()},
+    probes AS (
+      SELECT doc_id, 0 AS band, blk0 AS v FROM sigs
+      UNION ALL SELECT doc_id, 1, blk1 FROM sigs
+      UNION ALL SELECT doc_id, 2, blk2 FROM sigs
+      UNION ALL SELECT doc_id, 3, blk3 FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM probes a JOIN probes b
+        ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa.blk0, sb.blk0)) + bit_count(xor(sa.blk1, sb.blk1))
+              + bit_count(xor(sa.blk2, sb.blk2)) + bit_count(xor(sa.blk3, sb.blk3))
+              AS BIGINT) AS hamming
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = doc_a
+    JOIN sigs sb ON sb.doc_id = doc_b
+    WHERE bit_count(xor(sa.blk0, sb.blk0)) + bit_count(xor(sa.blk1, sb.blk1))
+        + bit_count(xor(sa.blk2, sb.blk2)) + bit_count(xor(sa.blk3, sb.blk3)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash64_radius3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash pairs within Hamming radius 3 — the production
+    near-dup shape (16-bit saturates at corpus scale; 64-bit keeps the
+    false-positive rate workable).
+
+    Pigeonhole blocking: 3 flipped bits across 4 disjoint 16-bit blocks
+    leave >= 1 block untouched, so every radius-3 pair shares at least
+    one exact (block_idx, block_value) key — candidate generation is a
+    4-row-per-doc equi-join, EXACT for the stated radius, never
+    |docs|^2.  Verification is integer xor+popcount on the candidates.
+    """
+    sigs = _simhash64_sigs(spark, sf_dir).localCheckpoint(eager=True)
+    probes = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"blk{b}").alias("v"))
+                    for b in range(4)
+                ]
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.band").alias("band"), F.col("p.v").alias("v"))
+    a = probes.alias("a")
+    b = probes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(*[F.col(c).alias(f"a_{c}") for c in sigs.columns])
+    sb = sigs.select(*[F.col(c).alias(f"b_{c}") for c in sigs.columns])
+    ham = sum(
+        F.bit_count(F.col(f"a_blk{i}").bitwiseXOR(F.col(f"b_blk{i}")))
+        for i in range(4)
+    )
+    return (
+        cand.join(sa, F.col("a_doc_id") == F.col("doc_a"))
+        .join(sb, F.col("b_doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 _SPAN_K = 8  # exact-substring span length, in tokens

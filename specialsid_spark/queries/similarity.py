@@ -170,6 +170,7 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _N_CENTROIDS = 8  # coarse-quantizer cells (stand-in for k-means output)
+_N_PROBE = 2  # query-side cells searched (multi-probe recall lever)
 
 
 @register(
@@ -178,24 +179,23 @@ _N_CENTROIDS = 8  # coarse-quantizer cells (stand-in for k-means output)
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
     cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < {_N_CENTROIDS}),
-    assign AS (
-      SELECT vec_id, cid FROM (
-        SELECT a.vec_id, cent.cid,
-               row_number() OVER (
-                 PARTITION BY a.vec_id
-                 ORDER BY list_dot_product(a.v, cent.cv) / (a.nrm * cent.cn) DESC, cent.cid
-               ) AS rn
-        FROM n a CROSS JOIN cent
-      ) WHERE rn = 1
+    ranked_cells AS (
+      SELECT a.vec_id, cent.cid,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.v, cent.cv) / (a.nrm * cent.cn) DESC, cent.cid
+             ) AS rn
+      FROM n a CROSS JOIN cent
     ),
+    assign AS (SELECT vec_id, cid FROM ranked_cells WHERE rn = 1),
+    qprobe AS (SELECT vec_id, cid FROM ranked_cells WHERE rn <= {_N_PROBE} AND vec_id < 10),
     scored AS (
       SELECT qa.vec_id AS query_id, na.vec_id AS neighbor_id,
              list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS cs
-      FROM assign qa
+      FROM qprobe qa
       JOIN assign na ON na.cid = qa.cid AND na.vec_id <> qa.vec_id
       JOIN n q ON q.vec_id = qa.vec_id
       JOIN n x ON x.vec_id = na.vec_id
-      WHERE qa.vec_id < 10
     ), ranked AS (
       SELECT query_id, neighbor_id, cs,
              row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rk
@@ -209,13 +209,16 @@ _N_CENTROIDS = 8  # coarse-quantizer cells (stand-in for k-means output)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest of 8 fixed
     centroid vectors (a deterministic stand-in for a trained k-means
-    coarse quantizer — vec_id < 8), then search only the query's cell.
+    coarse quantizer — vec_id < 8), then search the query's top-2
+    cells (multi-probe, nprobe=2: the classic recall lever — most
+    missed neighbors sit just across the nearest cell boundary).
 
     Scale shape: the centroid table is broadcast for assignment (one
     map-side pass over the corpus, no shuffle of the vectors), and
-    candidate generation is an equi-join on cell id — per-cell work,
-    never |Q|x|N|.  nprobe=1 here; multi-probe = union of the next
-    cells by centroid score."""
+    candidate generation is an equi-join on cell id — per-cell work
+    scaled by nprobe, never |Q|x|N|.  Each corpus vector lives in
+    exactly one cell and the probed cells are distinct, so no pair is
+    scored twice."""
     e = load_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )
@@ -228,15 +231,17 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("cent_cs").desc(), F.col("cid")
     )
-    assign = (
+    ranked_cells = (
         e.crossJoin(F.broadcast(cent))
         .select("vec_id", "cid", cs_cent.alias("cent_cs"))
         .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
     )
+    assign = ranked_cells.filter(F.col("rn") == 1).select("vec_id", "cid")
+    qprobe = ranked_cells.filter(
+        (F.col("rn") <= _N_PROBE) & (F.col("vec_id") < 10)
+    ).select("vec_id", "cid")
     va = e.join(assign, "vec_id")
-    q = va.filter(F.col("vec_id") < 10).select(
+    q = e.join(qprobe, "vec_id").select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("nrm").alias("qn"),

@@ -19,6 +19,7 @@ from __future__ import annotations
 import re
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -70,21 +71,45 @@ def catalogue_links_df(spark: SparkSession, html: str) -> DataFrame:
     )
 
 
+FETCHED_SCHEMA = T.StructType(
+    [
+        T.StructField("href", T.StringType()),
+        T.StructField("pdf_bytes", T.BinaryType()),
+    ]
+)
+
+
 def fetch_unique_pdfs(
     links: DataFrame,
-    fetcher: Callable[[str], bytes],
+    fetcher: Callable[[str], bytes] | None = None,
+    fetcher_factory: Callable[[], Callable[[str], bytes]] | None = None,
 ) -> DataFrame:
     """S2+D5: dedup hrefs BEFORE the expensive fetch, download once per
     unique URL inside the executors, then re-join to provinces — the
     reference's ``url_to_path`` memo as a dataflow.
 
-    ``fetcher`` must be a serializable function (e.g. a module-level
-    requests.Session wrapper); injected for testability.
-    """
+    The downloader is a ``mapInPandas`` partition kernel, not a per-row
+    UDF: ``fetcher_factory`` is invoked ONCE per partition (build a
+    ``requests.Session`` there — connection pooling across every URL in
+    the partition), then applied to the partition's hrefs.  A plain
+    ``fetcher`` function is accepted for tests/simple callers and wrapped
+    into a trivial factory.  Both must be serializable (module-level or
+    closure over picklable state)."""
+    if fetcher_factory is None:
+        if fetcher is None:
+            raise ValueError("pass fetcher or fetcher_factory")
+        fetcher_factory = lambda: fetcher  # noqa: E731
+
     unique = links.select("href").dropDuplicates(["href"])
 
-    fetch_udf = F.udf(lambda u: fetcher(u), T.BinaryType())
-    fetched = unique.withColumn("pdf_bytes", fetch_udf(F.col("href")))
+    def download(batches):
+        get = fetcher_factory()  # one session per partition
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"href": pdf["href"], "pdf_bytes": [get(u) for u in pdf["href"]]}
+            )
+
+    fetched = unique.mapInPandas(download, FETCHED_SCHEMA)
     # small link table: broadcast re-join fan-out to provinces
     return links.join(F.broadcast(fetched), "href", "inner").select(
         "province", "date_slug", "href", "pdf_bytes"

@@ -23,6 +23,34 @@ def test_query_runs(spark, sf_dir, name, fn):
         assert rows, f"{name} returned no rows at sf0.001"
 
 
+def test_approx_count_distinct_within_rsd_bound(spark):
+    # agg_approx_count_distinct is the one rows-only aggregate (HLL
+    # sketches differ across engines, so no value oracle) — bound it
+    # instead: each group's estimate must sit within 5% of the exact
+    # distinct count (the query requests rsd=0.02)
+    from pyspark.sql import functions as F
+
+    from specialsid_spark.catalog import load
+    from specialsid_spark.queries.aggregates import agg_approx_count_distinct
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        approx = {
+            r["l_returnflag"]: r["approx_parts"]
+            for r in agg_approx_count_distinct(spark, sf_dir).collect()
+        }
+        exact = {
+            r["l_returnflag"]: r["exact"]
+            for r in load(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.count_distinct("l_partkey").alias("exact"))
+            .collect()
+        }
+        assert set(approx) == set(exact)
+        for flag, est in approx.items():
+            rel_err = abs(est - exact[flag]) / exact[flag]
+            assert rel_err <= 0.05, f"{sf_dir} {flag}: {est} vs {exact[flag]} ({rel_err:.1%})"
+
+
 def test_every_oracle_has_query():
     qs, os_ = all_queries(), all_oracles()
     assert set(os_) <= set(qs)

@@ -12,7 +12,11 @@ from specialsid_spark.operators.extraction import (
     extract_products,
     products_to_json_rows,
 )
-from specialsid_spark.sources.web import catalogue_links_df, parse_catalogue_html
+from specialsid_spark.sources.web import (
+    catalogue_links_df,
+    fetch_unique_pdfs,
+    parse_catalogue_html,
+)
 
 _HTML = """
 <html><body>
@@ -53,6 +57,34 @@ def test_catalogue_links_filter_and_slug(spark):
     assert provinces == {"Eastern_Cape", "Gauteng"}  # Shop_now + non-pdf dropped (P4)
     slug = [r["date_slug"] for r in rows if r["province"] == "Eastern_Cape"][0]
     assert slug == "13_February_-_15_February_2026"
+
+
+def test_fetch_unique_pdfs_pools_and_dedups(spark):
+    # Eastern_Cape and Gauteng share one href: the fetch kernel must
+    # download it ONCE (dedup-before-fetch), then fan back out; the
+    # factory runs once per partition (pooled session), not per row
+    links = catalogue_links_df(spark, _HTML)
+
+    def factory():
+        session = {"n": 0}  # stand-in for a pooled requests.Session
+
+        def get(url: str) -> bytes:
+            session["n"] += 1
+            return f"PDF:{url}:req{session['n']}".encode()
+
+        return get
+
+    rows = fetch_unique_pdfs(links, fetcher_factory=factory).collect()
+    assert {r["province"] for r in rows} == {"Eastern_Cape", "Gauteng"}
+    fetched = {r["pdf_bytes"] for r in rows}
+    assert len(fetched) == 1  # one unique href -> one download, shared bytes
+    assert fetched.pop() == b"PDF:/files/ec_flyer.PDF:req1"
+
+
+def test_fetch_unique_pdfs_plain_fetcher_back_compat(spark):
+    links = catalogue_links_df(spark, _HTML)
+    out = fetch_unique_pdfs(links, fetcher=lambda u: b"x" + u.encode()).collect()
+    assert all(r["pdf_bytes"].startswith(b"x/") for r in out)
 
 
 def test_extraction_fallback_exhausted():
