@@ -40,6 +40,9 @@ HEADLINE = [
     "tpch_q21_sole_return_supplier",
     "join_market_basket_pairs",
     "dedup_repeated_spans",
+    "dedup_embedding_cosine_top20",
+    "dedup_simhash64_radius3_pairs",
+    "fuzzy_token_set_ratio",
     "pipeline_corpus_curation",
     "cur_gopher_repetition",
     "emb_quantize_int8",
