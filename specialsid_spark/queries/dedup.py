@@ -660,19 +660,52 @@ def _sql_simhash64_sigs() -> str:
 
 
 def _simhash64_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, blk0..blk3): production-width SimHash.  Three-projection
-    shape so nothing re-derives: (1) per-token md5 strings (ONE hash per
-    token), (2) four 16-bit digest arrays carved from the md5s, (3) 64
-    bit-vote aggregates reading the named digest arrays."""
+    """(doc_id, blk0..blk3): production-width SimHash.
+
+    Shape: explode distinct tokens -> ONE md5 + four 16-bit digest ints
+    per token -> groupBy(doc_id) with 64 codegen'd conditional SUMs
+    (bit b votes +1/-1) -> four block columns from the vote signs.
+
+    Why explode+agg instead of 64 array folds: Spark's higher-order
+    functions are CodegenFallback (interpreted per element), measured
+    ~4x slower here; plain SUM aggregates stay in whole-stage codegen
+    AND partial-aggregate map-side, so the shuffle carries one 64-int
+    partial per (doc, partition), not tokens."""
+    from specialsid_spark.operators.textops import _digest_bit_shift
+
     d = load_parallel(spark, sf_dir, "documents")
-    t = d.select("doc_id", token_md5s(F.array_distinct(tokens("text"))).alias("md5s"))
-    g = t.select(
-        "doc_id", *[digest16_block(F.col("md5s"), b).alias(f"d{b}") for b in range(4)]
-    )
-    return g.select(
+    ex = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    ).select("doc_id", F.md5("tok").alias("m"))
+    g = ex.select(
         "doc_id",
-        *[simhash16_from_digests(F.col(f"d{b}")).alias(f"blk{b}") for b in range(4)],
+        *[
+            F.conv(F.substring("m", 4 * b + 1, 4), 16, 10).cast("int").alias(f"d{b}")
+            for b in range(4)
+        ],
     )
+    votes = [
+        F.sum(
+            F.shiftright(F.col(f"d{b // 16}"), _digest_bit_shift(b % 16))
+            .bitwiseAND(F.lit(1))
+            .cast("int")
+            * 2
+            - 1
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    sigs = g.groupBy("doc_id").agg(*votes)
+    blk_cols = []
+    for blk in range(4):
+        bits = [
+            F.when(F.col(f"v{blk * 16 + b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(16)
+        ]
+        acc = bits[0]
+        for x in bits[1:]:
+            acc = acc + x
+        blk_cols.append(acc.cast("int").alias(f"blk{blk}"))
+    return sigs.select("doc_id", *blk_cols)
 
 
 @register(
@@ -725,11 +758,15 @@ def dedup_simhash64_radius3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     leave >= 1 block untouched, so every radius-3 pair shares at least
     one exact (block_idx, block_value) key — candidate generation is a
     4-row-per-doc equi-join, EXACT for the stated radius, never
-    |docs|^2.  Verification is integer xor+popcount on the candidates.
-    """
+    |docs|^2.  The full 4-block signature rides along on both probe
+    sides (4 ints — cheaper than re-joining the signature table onto
+    millions of candidate rows), so xor+popcount verification happens
+    IN the join projection and the dedup `distinct` runs on the small
+    post-filter pair set, not the raw candidates."""
     sigs = _simhash64_sigs(spark, sf_dir).localCheckpoint(eager=True)
     probes = sigs.select(
         "doc_id",
+        *[F.col(f"blk{b}") for b in range(4)],
         F.explode(
             F.array(
                 *[
@@ -738,30 +775,38 @@ def dedup_simhash64_radius3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
                 ]
             )
         ).alias("p"),
-    ).select("doc_id", F.col("p.band").alias("band"), F.col("p.v").alias("v"))
-    a = probes.alias("a")
-    b = probes.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.v") == F.col("b.v"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    ).select(
+        "doc_id",
+        *[F.col(f"blk{b}") for b in range(4)],
+        F.col("p.band").alias("band"),
+        F.col("p.v").alias("v"),
     )
-    sa = sigs.select(*[F.col(c).alias(f"a_{c}") for c in sigs.columns])
-    sb = sigs.select(*[F.col(c).alias(f"b_{c}") for c in sigs.columns])
+    a = probes.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"blk{b}").alias(f"a_blk{b}") for b in range(4)],
+        "band",
+        "v",
+    )
+    b = probes.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"blk{b}").alias(f"b_blk{b}") for b in range(4)],
+        F.col("band").alias("bband"),
+        F.col("v").alias("bv"),
+    )
     ham = sum(
         F.bit_count(F.col(f"a_blk{i}").bitwiseXOR(F.col(f"b_blk{i}")))
         for i in range(4)
     )
     return (
-        cand.join(sa, F.col("a_doc_id") == F.col("doc_a"))
-        .join(sb, F.col("b_doc_id") == F.col("doc_b"))
+        a.join(
+            b,
+            (F.col("band") == F.col("bband"))
+            & (F.col("v") == F.col("bv"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
         .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= 3)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
