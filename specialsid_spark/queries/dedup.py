@@ -811,6 +811,152 @@ def dedup_simhash64_radius3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _sql_simhash128_sigs() -> str:
+    """DuckDB CTEs producing (doc_id, blk0..blk3): 128-bit SimHash as
+    four 32-bit blocks — the full md5 width, one hash per token.  Plain
+    bit order (bit k of block b = bit k of the b-th 8-hex-digit slice)."""
+    dig_cols = ", ".join(
+        f"list_transform(md5s, m -> ('0x' || substring(m, {8 * b + 1}, 8))::BIGINT) AS d{b}"
+        for b in range(4)
+    )
+    blk_cols = ", ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN list_sum(list_transform(d{b}, v -> ((v >> {k}) & 1) * 2 - 1)) >= 0"
+            f" THEN {1 << k}::BIGINT ELSE 0 END"
+            for k in range(32)
+        )
+        + f") AS blk{b}"
+        for b in range(4)
+    )
+    return f"""
+    t AS (SELECT doc_id, list_distinct({_SQL_TOKENS}) AS toks FROM documents),
+    m AS (SELECT doc_id, {SQL_TOKEN_MD5S.format(toks="toks")} AS md5s FROM t),
+    g AS (SELECT doc_id, {dig_cols} FROM m),
+    sigs AS (SELECT doc_id, {blk_cols} FROM g)
+    """
+
+
+def _simhash128_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, blk0..blk3): 128-bit SimHash as four 32-bit blocks.
+    Same explode + codegen'd-SUM shape as :func:`_simhash64_sigs`."""
+    d = load_parallel(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    ).select("doc_id", F.md5("tok").alias("m"))
+    g = ex.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("m", 8 * b + 1, 8), 16, 10).cast("long").alias(f"d{b}")
+            for b in range(4)
+        ],
+    )
+    votes = [
+        F.sum(
+            F.shiftright(F.col(f"d{b}"), k).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+        ).alias(f"v{b}_{k}")
+        for b in range(4)
+        for k in range(32)
+    ]
+    sigs = g.groupBy("doc_id").agg(*votes)
+    blk_cols = []
+    for b in range(4):
+        bits = [
+            F.when(F.col(f"v{b}_{k}") >= 0, F.lit(1 << k).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for k in range(32)
+        ]
+        acc = bits[0]
+        for x in bits[1:]:
+            acc = acc + x
+        blk_cols.append(acc.alias(f"blk{b}"))
+    return sigs.select("doc_id", *blk_cols)
+
+
+@register(
+    "dedup_simhash128_radius3_pairs",
+    oracle=f"""
+    WITH {_sql_simhash128_sigs()},
+    probes AS (
+      SELECT doc_id, 0 AS band, blk0 AS v, blk0, blk1, blk2, blk3 FROM sigs
+      UNION ALL SELECT doc_id, 1, blk1, blk0, blk1, blk2, blk3 FROM sigs
+      UNION ALL SELECT doc_id, 2, blk2, blk0, blk1, blk2, blk3 FROM sigs
+      UNION ALL SELECT doc_id, 3, blk3, blk0, blk1, blk2, blk3 FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.blk0, b.blk0)) + bit_count(xor(a.blk1, b.blk1))
+              + bit_count(xor(a.blk2, b.blk2)) + bit_count(xor(a.blk3, b.blk3))
+              AS BIGINT) AS hamming
+    FROM probes a JOIN probes b
+      ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.blk0, b.blk0)) + bit_count(xor(a.blk1, b.blk1))
+        + bit_count(xor(a.blk2, b.blk2)) + bit_count(xor(a.blk3, b.blk3)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash128_radius3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale SimHash: 128-bit signatures, radius-3 pairs via
+    4x32-bit pigeonhole blocks.
+
+    Why it exists next to the 64-bit variant: a Hamming block join
+    saturates when corpus size approaches the block key space.  Measured
+    in the 16x scaling study: 4x16-bit blocks at 80k docs produce 195M
+    random block collisions (Spark 204s) — 2^16 keys cannot block 8e4
+    docs.  4x32-bit blocks give 2^32 keys: expected random collisions
+    at 80k docs ~ 3k pairs, and the join cost is driven by TRUE
+    near-dups again.  Rule: block width >= ~2*log2(corpus); at 100 TB
+    (1e10 docs) that argues 256-bit signatures with 4x64 blocks for
+    radius 3 — same plan, wider conv().  Signature cost is one md5 per
+    token regardless (blocks are slices of the same digest)."""
+    sigs = _simhash128_sigs(spark, sf_dir).localCheckpoint(eager=True)
+    probes = sigs.select(
+        "doc_id",
+        *[F.col(f"blk{b}") for b in range(4)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"blk{b}").alias("v"))
+                    for b in range(4)
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        *[F.col(f"blk{b}") for b in range(4)],
+        F.col("p.band").alias("band"),
+        F.col("p.v").alias("v"),
+    )
+    a = probes.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"blk{b}").alias(f"a_blk{b}") for b in range(4)],
+        "band",
+        "v",
+    )
+    b = probes.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"blk{b}").alias(f"b_blk{b}") for b in range(4)],
+        F.col("band").alias("bband"),
+        F.col("v").alias("bv"),
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a_blk{i}").bitwiseXOR(F.col(f"b_blk{i}")))
+        for i in range(4)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band") == F.col("bband"))
+            & (F.col("v") == F.col("bv"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 _SPAN_K = 8  # exact-substring span length, in tokens
 
 
