@@ -60,9 +60,15 @@ def kmeans_fit(
     """Lloyd's algorithm, `iterations` rounds from a deterministic seed
     (the k lexicographically-first rows by vec_id).  Returns the final
     micro-unit centroids and the assigned DataFrame."""
+    # localCheckpoint: the loop below builds 2 plans per iteration on
+    # top of mu_df (assignment + per-cluster sums) plus the seed and the
+    # final assignment — materializing the micro-unit projection once
+    # keeps every per-iteration plan a scan of k*dim-literal expressions
+    # over a cached frame instead of re-deriving parquet-scan+transform
+    # (measured 11.6s -> ~5s for the 3-iteration quantizer query)
     mu_df = df.select(
         "vec_id", _mu_vec(F.col(vec_col)).alias("mu")
-    )
+    ).localCheckpoint(eager=True)
     seed_rows = mu_df.orderBy("vec_id").limit(k).collect()
     centroids = [list(r.mu) for r in seed_rows]
 
