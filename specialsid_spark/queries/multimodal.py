@@ -44,15 +44,50 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("mm_decode_meta_stub")  # mapInPandas kernel: rows-only check
+@register(
+    "mm_decode_meta_stub",
+    # The mapInPandas kernel itself is non-SQL, but its OUTPUT contract is
+    # fully deterministic: real header parse for recognized image bytes
+    # (none exist among document texts — verified no magic-header
+    # collisions at every sf), md5-derived fallback otherwise.  DuckDB
+    # restates that fallback arithmetic exactly, upgrading this from a
+    # rows-only check to a value-compared one.
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha,
+           64 + ('0x' || substring(md5(text), 1, 2))::INT AS width,
+           64 + ('0x' || substring(md5(text), 3, 2))::INT AS height,
+           CASE (('0x' || substring(md5(text), 5, 2))::INT % 3)
+             WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
 def mm_decode_meta_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode stub: blob -> (n_bytes, sha, width, height, format)."""
+    """Arrow-batched decode: blob -> (n_bytes, sha, width, height, format).
+    Real header parse for real image containers; deterministic md5
+    fallback for opaque payloads (which is what document-text bytes are)."""
     return decode_image_stub(_as_binary(spark, sf_dir)).orderBy("doc_id")
 
 
-@register("mm_pdf_page_explode_stub")  # mapInPandas flatMap: rows-only check
+@register(
+    "mm_pdf_page_explode_stub",
+    # Same upgrade as mm_decode_meta_stub: the 1->N fan-out contract is
+    # deterministic — ceil(len/100) fixed-size slices for non-PDF bytes
+    # (no document text starts with %PDF; real PDFs use the real page
+    # count) and the slices partition the blob, so total_bytes == len.
+    oracle="""
+    SELECT doc_id,
+           CAST(ceil(greatest(octet_length(CAST(text AS BLOB)), 1) / 100.0) AS BIGINT)
+             AS n_pages,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS total_bytes
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
 def mm_pdf_page_explode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D1 flatMap 1->N: page counts + per-page sizes from the stub slicer."""
+    """D1 flatMap 1->N: page counts + per-page sizes from the page slicer."""
     pages = explode_pdf_pages_stub(_as_binary(spark, sf_dir))
     return (
         pages.groupBy("doc_id")
