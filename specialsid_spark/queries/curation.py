@@ -397,3 +397,120 @@ def cur_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@register(
+    "cur_source_caps",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc
+    FROM ranked
+    WHERE rk <= 50
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def cur_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps (the domain-cap every web-scale corpus
+    applies so no single source dominates the mixture): keep the top-50
+    docs per source by length, deterministic doc_id tie-break.
+
+    Scale shape: one shuffle on `source` + a rank window — and because
+    the predicate is rank <= K, Spark runs it as a WindowGroupLimit
+    (top-K per group pushed below the full sort), never materializing
+    the unbounded rank."""
+    d = load_parallel(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        d.select("doc_id", "source", "n_chars", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 50)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "cur_lang_mismatch",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang,
+                      string_split_regex(lower(trim(text)), '\\s+') AS toks
+               FROM documents),
+    v AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, t -> t IN ('the','and','of')))  AS v_en,
+             len(list_filter(toks, t -> t IN ('el','la','de')))    AS v_es,
+             len(list_filter(toks, t -> t IN ('le','la','et')))    AS v_fr,
+             len(list_filter(toks, t -> t IN ('der','die','und'))) AS v_de
+      FROM t
+    ),
+    guessed AS (
+      SELECT doc_id, lang,
+             CASE WHEN v_en >= v_es AND v_en >= v_fr AND v_en >= v_de THEN 'en'
+                  WHEN v_es >= v_fr AND v_es >= v_de THEN 'es'
+                  WHEN v_fr >= v_de THEN 'fr'
+                  ELSE 'de' END AS lang_guess
+      FROM v
+    )
+    SELECT lang, lang_guess,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS example_doc
+    FROM guessed
+    GROUP BY lang, lang_guess
+    ORDER BY lang, lang_guess
+    """,
+)
+def cur_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix — the QA pass that
+    catches mislabeled documents before they poison a per-language
+    mixture.  Reuses the stopword-vote heuristic of
+    `text_langid_heuristic` (same fixed tie-break), aggregated against
+    the table's declared `lang` column; one codegen'd scan + one tiny
+    groupBy."""
+    d = load_parallel(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", tokens("text").alias("toks"))
+
+    def _marker_filter(markers: tuple[str, ...]):
+        return lambda x: x.isin(*markers)
+
+    votes = {
+        lang: F.size(F.filter(F.col("toks"), _marker_filter(markers)))
+        for lang, markers in (
+            ("en", ("the", "and", "of")),
+            ("es", ("el", "la", "de")),
+            ("fr", ("le", "la", "et")),
+            ("de", ("der", "die", "und")),
+        )
+    }
+    guess = (
+        F.when(
+            (votes["en"] >= votes["es"])
+            & (votes["en"] >= votes["fr"])
+            & (votes["en"] >= votes["de"]),
+            "en",
+        )
+        .when((votes["es"] >= votes["fr"]) & (votes["es"] >= votes["de"]), "es")
+        .when(votes["fr"] >= votes["de"], "fr")
+        .otherwise("de")
+    )
+    return (
+        t.select("doc_id", "lang", guess.alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .orderBy("lang", "lang_guess")
+    )
