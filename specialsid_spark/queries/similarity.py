@@ -110,19 +110,32 @@ def sim_lsh_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Multi-probe masks: the query's own bucket plus every 1- and 2-bit
+#: flip of the 8-bit key (1 + 8 + 28 = 37 probes ~ 14% of buckets).
+_LSH_PROBE_MASKS = (
+    [0]
+    + [1 << i for i in range(8)]
+    + [(1 << i) | (1 << j) for i in range(8) for j in range(i + 1, 8)]
+)
+
+
 @register(
     "sim_lsh_bucketed_topk",
     oracle=f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     kb AS (
       SELECT vec_id, label, v,
-             {" || ".join(f"(CASE WHEN v[{d}] >= 0 THEN '1' ELSE '0' END)" for d in _LSH_DIMS)}
+             {" + ".join(f"(CASE WHEN v[{d}] >= 0 THEN {1 << i} ELSE 0 END)" for i, d in enumerate(_LSH_DIMS))}
                AS bucket
       FROM e
+    ),
+    probes AS (
+      SELECT a.vec_id, a.v, xor(a.bucket, m.mask) AS pbucket
+      FROM kb a CROSS JOIN (SELECT unnest({list(_LSH_PROBE_MASKS)}) AS mask) m
+      WHERE a.vec_id < 20
     ), scored AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_SQL_COS} AS cs
-      FROM kb a JOIN kb b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
-      WHERE a.vec_id < 20
+      FROM probes a JOIN kb b ON b.bucket = a.pbucket AND b.vec_id <> a.vec_id
     ), ranked AS (
       SELECT query_id, neighbor_id, cs,
              row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rk
@@ -134,19 +147,44 @@ def sim_lsh_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: score only within the query's LSH bucket —
-    the join is on the bucket key, so work scales with bucket sizes."""
+    """Approximate top-k via multi-probe sign-LSH: the query probes its
+    own 8-bit bucket plus every bucket within Hamming distance 2 (37
+    probes, ~14% of the key space) and scores only those candidates.
+
+    Measured recall@5 vs brute force (tests/test_ann_recall.py): ~0.01
+    single-bucket -> ~0.35-0.4 multi-probe on this corpus.  The honest
+    ceiling: sign-LSH is data-OBLIVIOUS, and these embeddings are
+    near-random (top-pair cosine ~0.5), so hyperplane buckets barely
+    correlate with the true neighborhood — `sim_ivf_topk`'s learned
+    cells reach recall ~1.0 at the same candidate budget.  That
+    contrast (oblivious vs learned partitioning) is the reason
+    production ANN uses IVF/k-means quantizers, and both shapes are
+    kept here deliberately.  Scale shape: probes explode ONLY the tiny
+    query side (37 rows per query); the corpus is hashed once and
+    joined on the bucket key."""
     e = load_parallel(spark, sf_dir, "embeddings")
     bits = [
-        F.when(F.element_at("embedding", d) >= 0, "1").otherwise("0") for d in _LSH_DIMS
+        F.when(F.element_at("embedding", d) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, d in enumerate(_LSH_DIMS)
     ]
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
     kb = e.select(
-        "vec_id", "label", "embedding", F.concat(*bits).alias("bucket"),
+        "vec_id", "label", "embedding", bucket.alias("bucket"),
         norm(F.col("embedding")).alias("nrm"),
     )
-    q = kb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
-        "bucket", F.col("nrm").alias("qn"),
+    q = (
+        kb.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+            "bucket", F.col("nrm").alias("qn"),
+            F.explode(F.array(*[F.lit(m) for m in _LSH_PROBE_MASKS])).alias("mask"),
+        )
+        .select(
+            "query_id", "qv", "qn",
+            F.col("bucket").bitwiseXOR(F.col("mask")).alias("pbucket"),
+        )
     )
     n = kb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"),
@@ -154,7 +192,7 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         F.broadcast(q)
-        .join(n, (F.col("bucket") == F.col("nbucket")) & (F.col("neighbor_id") != F.col("query_id")))
+        .join(n, (F.col("pbucket") == F.col("nbucket")) & (F.col("neighbor_id") != F.col("query_id")))
         .select(
             "query_id", "neighbor_id",
             (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cs"),

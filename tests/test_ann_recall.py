@@ -1,0 +1,47 @@
+"""ANN quality measurement: recall@5 of the approximate similarity
+paths against the exact brute-force ranking.
+
+Correctness of each path is oracle-checked (check_oracle.py); this
+pins the *quality* so a refactor that silently degrades recall fails.
+The two paths bracket the design space deliberately:
+
+* `sim_ivf_topk` — LEARNED partitioning (IVF cells): recall ~1.0 at
+  nprobe=2 on this corpus.
+* `sim_lsh_bucketed_topk` — data-OBLIVIOUS sign-LSH with Hamming-2
+  multi-probe: recall ~0.35-0.4, the honest ceiling for random
+  hyperplanes over near-random embeddings (top-pair cosine ~0.5).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from specialsid_spark.queries import all_queries
+
+
+def _topk_sets(df, qcol: str, ncol: str, k: int = 5):
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        s = out.setdefault(r[qcol], set())
+        if len(s) < k:
+            s.add(r[ncol])
+    return out
+
+
+@pytest.mark.parametrize(
+    "name,floor",
+    [("sim_ivf_topk", 0.9), ("sim_lsh_bucketed_topk", 0.25)],
+)
+def test_ann_recall_at_5(spark, name, floor):
+    qs = all_queries()
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        truth = _topk_sets(
+            qs["sim_topk_bruteforce"](spark, sf_dir), "query_id", "neighbor_id"
+        )
+        approx = _topk_sets(qs[name](spark, sf_dir), "query_id", "neighbor_id")
+        common = set(truth) & set(approx)
+        assert common, f"{name}: no overlapping query ids"
+        recall = sum(
+            len(truth[q] & approx[q]) / len(truth[q]) for q in common
+        ) / len(common)
+        assert recall >= floor, f"{name} at {sf_dir}: recall@5 {recall:.2f} < {floor}"
