@@ -76,6 +76,32 @@ def test_no_accidental_cartesian_products(spark, qs):
         assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
 
 
+def test_source_caps_uses_window_group_limit(spark, qs):
+    # rank<=K over a partition must push the per-group top-K below the
+    # sort (WindowGroupLimit) — never materialize the unbounded rank
+    p = plan_of(spark, qs["cur_source_caps"](spark, SF_DIR))
+    assert "WindowGroupLimit" in p
+
+
+def test_multiprobe_lsh_broadcasts_query_side(spark, qs):
+    # 37 probes x 20 queries = 740 rows: that side must broadcast; the
+    # corpus is hashed once and never shuffled by the probe fan-out
+    p = plan_of(spark, qs["sim_lsh_bucketed_topk"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_simhash128_pairs_no_cartesian_and_partial_agg(spark, qs):
+    p = plan_of(spark, qs["dedup_simhash128_radius3_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    # the pair query plans over a localCheckpoint of the signatures, so
+    # assert the vote aggregation's map-side combine on the sig builder
+    from specialsid_spark.queries.dedup import _simhash128_sigs
+
+    sp = plan_of(spark, _simhash128_sigs(spark, SF_DIR))
+    assert "partial_sum" in sp  # the 128 bit-votes combine map-side
+
+
 def test_embedding_top20_is_blocked_equijoin(spark, qs):
     # round-1 `weak`: the registered embedding-dedup must tile the n^2
     # work over block-pair keys (equi-join, bounded tasks) — no cartesian
