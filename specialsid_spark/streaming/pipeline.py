@@ -182,6 +182,30 @@ def streaming_dedup_within_watermark(
     )
 
 
+def streaming_content_dedup(
+    spark: SparkSession, docs_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """X1 ∘ T8: streaming exact deduplication by CONTENT — the streaming
+    twin of the batch `dedup_exact_hash` query.  Incoming documents are
+    keyed on md5(text) (16-byte state per distinct document, never the
+    text itself) and dropped if the same content was already seen inside
+    the watermark horizon.
+
+    This is how a continuously-ingesting corpus pipeline dedups at the
+    door: state is bounded by the watermark (an exact-once-ever dedup
+    instead keys the sink's idempotent writer, hop3 pattern), and the
+    keeper is first-arrival — deterministic under event time because
+    late data beyond the watermark is dropped by contract."""
+    docs = spark.readStream.schema("doc_id long, ts timestamp, text string").json(
+        docs_dir
+    )
+    return (
+        docs.withColumn("text_hash", F.md5("text"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+
+
 def streaming_session_counts(
     spark: SparkSession,
     events_dir: str,

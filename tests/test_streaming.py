@@ -124,6 +124,41 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert len(out) == 2  # (1, click) deduped, (2, view) kept
 
 
+def test_streaming_content_dedup(spark, tmp_path):
+    from specialsid_spark.streaming.pipeline import streaming_content_dedup
+
+    doc_dir = tmp_path / "docs_dd"
+    doc_dir.mkdir()
+    _write_events(
+        doc_dir / "b1.json",
+        [
+            {"doc_id": 1, "ts": "2024-01-01 10:00:00", "text": "alpha beta"},
+            {"doc_id": 2, "ts": "2024-01-01 10:05:00", "text": "gamma delta"},
+            {"doc_id": 3, "ts": "2024-01-01 10:10:00", "text": "alpha beta"},  # dup of 1
+        ],
+    )
+    _write_events(
+        doc_dir / "b2.json",
+        [
+            {"doc_id": 4, "ts": "2024-01-01 10:20:00", "text": "gamma delta"},  # dup of 2
+            {"doc_id": 5, "ts": "2024-01-01 10:30:00", "text": "epsilon"},
+        ],
+    )
+    dd = streaming_content_dedup(spark, str(doc_dir))
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("content_dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    time.sleep(0.5)
+    out = spark.sql("SELECT text FROM content_dedup_test").collect()
+    texts = sorted(r["text"] for r in out)
+    assert texts == ["alpha beta", "epsilon", "gamma delta"]  # one keeper per content
+
+
 def test_streaming_session_counts(spark, tmp_path):
     ev_dir = tmp_path / "events_sess"
     ev_dir.mkdir()
