@@ -373,3 +373,65 @@ def join_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(25)
     )
+
+
+_N_JOIN_SALTS = 8
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-replicated skew join, value-checked against the plain join
+    (the oracle states the UNSALTED equivalent — the technique must be
+    invisible in the result).
+
+    The 100 TB problem: a hot join key sends its entire fact volume to
+    one reducer.  Fix: the fact side tags each row with
+    salt = pmod(hash(row), 8), the dimension side replicates each row
+    8x (one per salt via posexplode), and the join key becomes
+    (key, salt) — a hot key now spreads over 8 reducers at the cost of
+    8x the DIMENSION rows only (dimensions are small; facts are not).
+    AQE's skew-join split covers sort-merge cases adaptively; explicit
+    salting is the deterministic tool when the skew is known and
+    extreme, and composes with any join type.  Aggregates here use
+    exact integer cents so salted and unsalted answers are
+    bit-identical."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    salted_fact = li.select(
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
+        F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(_N_JOIN_SALTS)).alias("salt"),
+    )
+    replicated_dim = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_JOIN_SALTS - 1))).alias("salt"),
+    )
+    revenue = cents("l_extendedprice").cast("decimal(38,0)") * (100 - cents("l_discount"))
+    return (
+        salted_fact.join(
+            replicated_dim,
+            (salted_fact.l_orderkey == replicated_dim.o_orderkey)
+            & (salted_fact.salt == replicated_dim.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            (F.sum(revenue).cast("double") / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )

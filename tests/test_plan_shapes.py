@@ -76,6 +76,17 @@ def test_no_accidental_cartesian_products(spark, qs):
         assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
 
 
+def test_salted_join_has_composite_key(spark, qs):
+    # the skew salt must be part of the physical join key (spreading a
+    # hot key over N reducers), not a post-join filter
+    p = plan_of(spark, qs["join_salted_skew"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    import re
+
+    keys = re.findall(r"Left keys \[2\]: \[(.*?)\]", p)
+    assert keys and any("salt" in k for k in keys), keys
+
+
 def test_source_caps_uses_window_group_limit(spark, qs):
     # rank<=K over a partition must push the per-group top-K below the
     # sort (WindowGroupLimit) — never materialize the unbounded rank
