@@ -108,27 +108,16 @@ def token_digest16(toks: Column) -> Column:
 SQL_TOKEN_DIGEST16 = "list_transform({toks}, t -> ('0x' || substring(md5(t), 1, 4))::INT)"
 
 
-def token_md5s(toks: Column) -> Column:
-    """Per-token md5 hex strings — hash ONCE, then carve as many digest
-    blocks as the signature width needs (see :func:`digest16_block`)."""
-    return F.transform(toks, lambda t: F.md5(t))
-
-
-def digest16_block(md5s: Column, block: int) -> Column:
-    """16-bit digest array from hex digits [4*block+1 .. 4*block+4] of a
-    per-token md5 array: four independent blocks per md5, so a 64-bit
-    SimHash costs exactly one hash per token."""
-    return F.transform(
-        md5s,
-        lambda m: F.conv(F.substring(m, 4 * block + 1, 4), 16, 10).cast("int"),
-    )
-
-
 SQL_TOKEN_MD5S = "list_transform({toks}, t -> md5(t))"
 
 
 def sql_digest16_block(md5s_expr: str, block: int) -> str:
-    """DuckDB twin of :func:`digest16_block`."""
+    """DuckDB 16-bit digest list from hex digits [4b+1 .. 4b+4] of a
+    per-token md5 list — four independent blocks per md5, so a 64-bit
+    SimHash costs one hash per token.  (The Spark side reaches the same
+    digests via explode + substring/conv inside `_simhash64_sigs`: the
+    explode+SUM shape stays in whole-stage codegen, where an array-fold
+    formulation would fall back to interpreted HOFs.)"""
     return (
         f"list_transform({md5s_expr}, m -> ('0x' || substring(m, {4 * block + 1}, 4))::INT)"
     )

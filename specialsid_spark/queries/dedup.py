@@ -22,7 +22,6 @@ from specialsid_spark.operators.textops import (
     SQL_TOKEN_DIGEST16,
     SQL_TOKEN_MD5S,
     band_key,
-    digest16_block,
     minhash_bases,
     minhash_component,
     simhash16_from_digests,
@@ -30,7 +29,6 @@ from specialsid_spark.operators.textops import (
     sql_minhash_component,
     sql_simhash16_digests,
     token_digest16,
-    token_md5s,
     tokens,
     word_shingles,
 )
