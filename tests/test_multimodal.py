@@ -51,6 +51,31 @@ def _pdf(n_pages: int) -> bytes:
     return body + b"%%EOF"
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=65535),
+        h=st.integers(min_value=1, max_value=65535),
+    )
+    def test_parse_image_meta_roundtrip_property(w, h):
+        # any (w, h) written into a real header must parse back exactly
+        assert parse_image_meta(_jpeg(w, h)) == (w, h, "jpeg")
+        assert parse_image_meta(_png(w, h)) == (w, h, "png")
+        assert parse_image_meta(_gif(w, h)) == (w, h, "gif")
+        assert parse_image_meta(_bmp(w, h)) == (w, h, "bmp")
+
+    @settings(max_examples=30, deadline=None)
+    @given(n=st.integers(min_value=1, max_value=200))
+    def test_pdf_page_count_roundtrip_property(n):
+        assert pdf_page_count(_pdf(n)) == n
+
+except ImportError:  # hypothesis is in the container, but stay import-safe
+    pass
+
+
 def test_parse_image_meta_real_headers():
     assert parse_image_meta(_jpeg(640, 480)) == (640, 480, "jpeg")
     assert parse_image_meta(_png(1920, 1080)) == (1920, 1080, "png")
