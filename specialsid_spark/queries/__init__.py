@@ -12,8 +12,11 @@ differs between engines; decimal addition does not).
 from __future__ import annotations
 
 from collections.abc import Callable
+from typing import TypeVar
 
 from pyspark.sql import DataFrame, SparkSession
+
+_T = TypeVar("_T")
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -33,14 +36,64 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+# The driver checks queries in registration order with a per-round budget
+# (~50 entries).  To guarantee every query eventually gets a driver-side
+# CORRECTNESS row, names with no green row in prior rounds are listed here
+# and surfaced FIRST in all_queries()/all_oracles(); everything else keeps
+# module registration order after them.  Round 3: the 34 names below are the
+# ones absent from CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json.
+_PRIORITY: tuple[str, ...] = (
+    "retail_clean_pipeline",
+    "clean_map_normalize_segment",
+    "clean_slugify_names",
+    "clean_path_derive",
+    "clean_bbox_crop_math",
+    "clean_cast_nullify",
+    "clean_defaults_coalesce",
+    "clean_filter_pushdown_suffix",
+    "retail_date_window_parse",
+    "retail_flyer_days",
+    "mm_binary_meta",
+    "mm_decode_meta_stub",
+    "mm_pdf_page_explode_stub",
+    "emb_centroid_per_label",
+    "emb_norm_bands",
+    "emb_quantize_int8",
+    "sim_kmeans_quantizer",
+    "cur_source_caps",
+    "cur_lang_mismatch",
+    "dedup_simhash64_blocks",
+    "dedup_simhash64_radius3_pairs",
+    "dedup_simhash128_radius3_pairs",
+    "fuzzy_token_set_ratio",
+    "join_asof_signup_before_error",
+    "join_broadcast_part_revenue",
+    "join_market_basket_pairs",
+    "join_salted_skew",
+    "sql_surface_revenue",
+    "sql_surface_cte_window",
+    "shape_unpivot_part_metrics",
+    "shape_posexplode_tokens",
+    "shape_pivot_lang_source",
+    "stream_pipeline_e2e",
+    "stream_batch_parity",
+)
+
+
+def _prioritized(d: dict[str, _T]) -> dict[str, _T]:
+    first = {n: d[n] for n in _PRIORITY if n in d}
+    rest = {n: v for n, v in d.items() if n not in first}
+    return {**first, **rest}
+
+
 def all_queries() -> dict[str, QueryFn]:
     _load_modules()
-    return dict(_QUERIES)
+    return _prioritized(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
     _load_modules()
-    return dict(_ORACLES)
+    return _prioritized(_ORACLES)
 
 
 _LOADED = False
