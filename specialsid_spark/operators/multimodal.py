@@ -72,8 +72,15 @@ def parse_image_meta(blob: bytes) -> tuple[int, int, str] | None:
         w, h = struct.unpack("<HH", blob[6:10])
         return w, h, "gif"
     # BMP: BITMAPINFOHEADER at offset 14 (signed little-endian; height may
-    # be negative for top-down rows).
-    if n >= 26 and blob[:2] == b"BM":
+    # be negative for top-down rows).  The 2-byte "BM" prefix alone is
+    # plausible English text, so also require a known DIB header size at
+    # offset 14 before taking this branch (12-byte BITMAPCOREHEADER is
+    # excluded: its dimensions are u16 at a different offset).
+    if (
+        n >= 26
+        and blob[:2] == b"BM"
+        and struct.unpack("<I", blob[14:18])[0] in (40, 52, 56, 64, 108, 124)
+    ):
         w, h = struct.unpack("<ii", blob[18:26])
         return w, abs(h), "bmp"
     # WebP: RIFF container; VP8 (lossy) / VP8L (lossless) / VP8X (extended).
@@ -174,8 +181,17 @@ def explode_pdf_pages_stub(
             for i, blob in zip(pdf[id_col], pdf[bin_col]):
                 n_real = pdf_page_count(blob)
                 if n_real is not None:
-                    step = max(1, -(-len(blob) // n_real))  # ceil-div even split
-                    pages = [blob[o : o + step] for o in range(0, len(blob), step)]
+                    # Index-boundary split: page p covers [p*len//n, (p+1)*len//n).
+                    # Unlike a ceil-div even split this emits EXACTLY n_real
+                    # slices for any blob length (a 9-byte 4-page PDF would
+                    # otherwise produce 3 slices, breaking the "fan-out count
+                    # is the real page count" contract).  Small pages may be
+                    # empty when n_real > len(blob).
+                    ln = len(blob)
+                    pages = [
+                        blob[p * ln // n_real : (p + 1) * ln // n_real]
+                        for p in range(n_real)
+                    ]
                 else:
                     pages = [blob[o : o + page_size] for o in range(0, max(len(blob), 1), page_size)]
                 for pno, pb in enumerate(pages, start=1):

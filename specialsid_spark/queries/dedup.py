@@ -293,6 +293,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_TILE_B = 8  # block count; tiles = B(B+1)/2 independent GEMM tasks
 
 
+def _emb_tile_memberships(e: DataFrame, B: int) -> DataFrame:
+    """Explode each vector into the tiles its block participates in.
+
+    A vector in block g belongs to every tile whose block pair includes
+    g: pk = i*B + j over {(g, j): j >= g} U {(i, g): i < g}.  A
+    cross-block pair meets in exactly ONE tile; a same-block pair meets
+    once in tile (g, g) under the id< filter inside the kernel.
+
+    The reverse arm uses slice(0..B-1, 1, blk) = [0, blk), which is
+    EMPTY at blk=0 — sequence(0, blk-1) would instead yield [0, -1]
+    there (Spark sequence steps -1 when start > stop), duplicating tile
+    (0,0) membership and fabricating a negative tile key.  Pinned by
+    tests/test_queries_smoke.py::test_emb_tile_memberships_exact."""
+    return e.select(
+        "vec_id",
+        "mu",
+        "blk",
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.sequence(F.col("blk"), F.lit(B - 1)),
+                    lambda j: F.col("blk") * B + j,
+                ),
+                F.transform(
+                    F.slice(F.sequence(F.lit(0), F.lit(B - 1)), 1, F.col("blk").cast("int")),
+                    lambda i: i * B + F.col("blk"),
+                ),
+            )
+        ).alias("pk"),
+    )
+
+
 @register(
     "dedup_embedding_cosine_top20",
     oracle="""
@@ -344,27 +376,7 @@ def dedup_embedding_cosine_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", mu.alias("mu"), (F.col("vec_id") % B).alias("blk")
     )
-    # A vector in block g belongs to every tile whose block pair
-    # includes g: pk = i*B + j over {(g, j): j >= g} U {(i, g): i < g}.
-    # A cross-block pair meets in exactly one tile; a same-block pair
-    # meets once in tile (g, g) under the id< filter inside the kernel.
-    tiles = e.select(
-        "vec_id",
-        "mu",
-        "blk",
-        F.explode(
-            F.concat(
-                F.transform(
-                    F.sequence(F.col("blk"), F.lit(B - 1)),
-                    lambda j: F.col("blk") * B + j,
-                ),
-                F.transform(
-                    F.sequence(F.lit(0), F.col("blk") - 1),
-                    lambda i: i * B + F.col("blk"),
-                ),
-            )
-        ).alias("pk"),
-    )
+    tiles = _emb_tile_memberships(e, B)
 
     def tile_topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pk = int(key[0])
@@ -386,16 +398,16 @@ def dedup_embedding_cosine_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         ia, ib = np.meshgrid(np.arange(len(ids_a)), np.arange(len(ids_b)), indexing="ij")
         keep = (ids_a[ia] < ids_b[ib]) if i == j else np.ones_like(ia, dtype=bool)
         flat_a, flat_b, flat_cs = ids_a[ia[keep]], ids_b[ib[keep]], cs[keep]
-        if len(flat_cs) > 20:  # per-tile partial top-k before the global rank
-            top = np.argpartition(-flat_cs, 20)[:20]
-            flat_a, flat_b, flat_cs = flat_a[top], flat_b[top], flat_cs[top]
-        return pd.DataFrame(
-            {
-                "vec_a": np.minimum(flat_a, flat_b),
-                "vec_b": np.maximum(flat_a, flat_b),
-                "cos_sim": flat_cs,
-            }
-        )
+        lo, hi = np.minimum(flat_a, flat_b), np.maximum(flat_a, flat_b)
+        if len(flat_cs) > 20:
+            # Partial top-k in ORACLE order (cos DESC, vec_a, vec_b), not by
+            # cos alone: exact integer cosines make ties real (duplicate
+            # embeddings all at 1.0), and an argpartition cut keeps an
+            # arbitrary tied subset while the oracle keeps the
+            # lexicographically smallest pairs.
+            order = np.lexsort((hi, lo, -flat_cs))[:20]
+            lo, hi, flat_cs = lo[order], hi[order], flat_cs[order]
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos_sim": flat_cs})
 
     scored = tiles.groupBy("pk").applyInPandas(
         tile_topk, "vec_a long, vec_b long, cos_sim double"

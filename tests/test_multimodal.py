@@ -41,7 +41,9 @@ def _gif(w: int, h: int) -> bytes:
 
 
 def _bmp(w: int, h: int) -> bytes:
-    return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h) + b"\x00" * 10
+    # 14-byte file header, then BITMAPINFOHEADER (size 40) — the sniff
+    # requires a real DIB header size at offset 14, not just "BM".
+    return b"BM" + b"\x00" * 12 + struct.pack("<I", 40) + struct.pack("<ii", w, h) + b"\x00" * 10
 
 
 def _pdf(n_pages: int) -> bytes:
@@ -157,3 +159,24 @@ def test_crop_stub_joins_and_filters(spark):
     assert len(out["Apples"]) == 40  # slice [10:50]
     assert out["NoBox"] is None  # P5 validity predicate
     assert len(out["Pears"]) == 5
+
+
+def test_bmp_sniff_rejects_text_starting_with_bm():
+    # ADVICE r2 (low): natural text starting with "BM" must not be parsed
+    # as a BMP — the sniff also requires a known DIB header size at
+    # offset 14 (40/52/56/64/108/124), which English text cannot supply.
+    assert parse_image_meta(b"BMW sales rose sharply in the third quarter of") is None
+    # ...but a real BITMAPINFOHEADER still parses
+    assert parse_image_meta(_bmp(33, 44)) == (33, 44, "bmp")
+
+
+def test_pdf_explode_exact_page_count_non_divisible(spark):
+    # ADVICE r2 (low): ceil-div even split could emit FEWER slices than
+    # the real page count (len=664, n=60 -> 56 slices).  Index-boundary
+    # split must emit exactly n_real pages that concatenate to the blob.
+    blob = b"%PDF" + b"/Type/Page " * 60  # 664 bytes, 60 page objects
+    assert pdf_page_count(blob) == 60
+    df = spark.createDataFrame([(1, blob)], "doc_id long, blob binary")
+    pages = explode_pdf_pages_stub(df).orderBy("page_no").collect()
+    assert len(pages) == 60
+    assert b"".join(bytes(r["page_bytes"]) for r in pages) == blob

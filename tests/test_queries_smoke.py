@@ -56,3 +56,39 @@ def test_every_oracle_has_query():
     assert set(os_) <= set(qs)
     # ≥90% of queries should be oracle-checked
     assert len(os_) >= 0.9 * len(qs) - 3
+
+
+def test_emb_tile_memberships_exact(spark):
+    # ADVICE r2 (high): blk=0 rows must NOT take the reverse arm — Spark's
+    # sequence(0, blk-1) yields [0, -1] at blk=0, duplicating tile (0,0)
+    # membership and fabricating tile pk=-8.  Pin the invariants: one tile
+    # row per (vec_id, pk), pk in [0, B^2), and every unordered block pair
+    # (i<=j) reachable from exactly the right member vectors.
+    from pyspark.sql import functions as F
+
+    from specialsid_spark.queries.dedup import _emb_tile_memberships
+
+    B = 4
+    e = spark.createDataFrame(
+        [(i, [i], i % B) for i in range(12)], "vec_id long, mu array<long>, blk long"
+    )
+    rows = _emb_tile_memberships(e, B).collect()
+    keys = [(r["vec_id"], r["pk"]) for r in rows]
+    assert len(keys) == len(set(keys)), "duplicate (vec_id, pk) tile membership"
+    assert all(0 <= r["pk"] < B * B for r in rows), "tile key out of range"
+    # each vector appears in exactly B tiles (its row and column of the
+    # upper-triangular tile grid)
+    per_vec = {}
+    for vid, _ in keys:
+        per_vec[vid] = per_vec.get(vid, 0) + 1
+    assert set(per_vec.values()) == {B}
+    # every unordered pair of vectors shares exactly one tile key whose
+    # block pair is (min(blk), max(blk))
+    by_vec = {}
+    for vid, pk in keys:
+        by_vec.setdefault(vid, set()).add(pk)
+    for a in range(12):
+        for b in range(a + 1, 12):
+            i, j = sorted((a % B, b % B))
+            shared = by_vec[a] & by_vec[b]
+            assert i * B + j in shared
