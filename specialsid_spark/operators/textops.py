@@ -115,7 +115,7 @@ def sql_digest16_block(md5s_expr: str, block: int) -> str:
     """DuckDB 16-bit digest list from hex digits [4b+1 .. 4b+4] of a
     per-token md5 list — four independent blocks per md5, so a 64-bit
     SimHash costs one hash per token.  (The Spark side reaches the same
-    digests via explode + substring/conv inside `_simhash64_sigs`: the
+    digests via explode + substring/conv inside `_simhash_block_sigs`: the
     explode+SUM shape stays in whole-stage codegen, where an array-fold
     formulation would fall back to interpreted HOFs.)"""
     return (

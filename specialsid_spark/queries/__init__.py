@@ -64,7 +64,7 @@ _PRIORITY: tuple[str, ...] = (
     "cur_lang_mismatch",
     "dedup_simhash64_blocks",
     "dedup_simhash64_radius3_pairs",
-    "dedup_simhash128_radius3_pairs",
+    "dedup_simhash_radius3_pairs",
     "fuzzy_token_set_ratio",
     "join_asof_signup_before_error",
     "join_broadcast_part_revenue",

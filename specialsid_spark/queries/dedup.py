@@ -652,181 +652,16 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _sql_simhash64_sigs() -> str:
-    """DuckDB CTEs producing (doc_id, blk0..blk3): 64-bit SimHash as four
-    16-bit blocks, one md5 per token."""
+def _sql_simhash_block_sigs(w: int) -> str:
+    """DuckDB CTEs producing (doc_id, blk0..blk3): a 4*w-bit SimHash as
+    four w-bit blocks.  Block b is voted from the bits of the b-th w-bit
+    slice of each token's single md5 (plain bit order: bit k of block b
+    = bit k of that slice) — one hash per token at ANY width; widening
+    the signature only widens the slices."""
+    hexw = w // 4
     dig_cols = ", ".join(
-        f"{sql_digest16_block('md5s', b)} AS d{b}" for b in range(4)
-    )
-    blk_cols = ", ".join(
-        f"{sql_simhash16_digests(f'd{b}')} AS blk{b}" for b in range(4)
-    )
-    return f"""
-    t AS (SELECT doc_id, list_distinct({_SQL_TOKENS}) AS toks FROM documents),
-    m AS (SELECT doc_id, {SQL_TOKEN_MD5S.format(toks="toks")} AS md5s FROM t),
-    g AS (SELECT doc_id, {dig_cols} FROM m),
-    sigs AS (SELECT doc_id, {blk_cols} FROM g)
-    """
-
-
-def _simhash64_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, blk0..blk3): production-width SimHash.
-
-    Shape: explode distinct tokens -> ONE md5 + four 16-bit digest ints
-    per token -> groupBy(doc_id) with 64 codegen'd conditional SUMs
-    (bit b votes +1/-1) -> four block columns from the vote signs.
-
-    Why explode+agg instead of 64 array folds: Spark's higher-order
-    functions are CodegenFallback (interpreted per element), measured
-    ~4x slower here; plain SUM aggregates stay in whole-stage codegen
-    AND partial-aggregate map-side, so the shuffle carries one 64-int
-    partial per (doc, partition), not tokens."""
-    from specialsid_spark.operators.textops import _digest_bit_shift
-
-    d = load_parallel(spark, sf_dir, "documents")
-    ex = d.select(
-        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
-    ).select("doc_id", F.md5("tok").alias("m"))
-    g = ex.select(
-        "doc_id",
-        *[
-            F.conv(F.substring("m", 4 * b + 1, 4), 16, 10).cast("int").alias(f"d{b}")
-            for b in range(4)
-        ],
-    )
-    votes = [
-        F.sum(
-            F.shiftright(F.col(f"d{b // 16}"), _digest_bit_shift(b % 16))
-            .bitwiseAND(F.lit(1))
-            .cast("int")
-            * 2
-            - 1
-        ).alias(f"v{b}")
-        for b in range(64)
-    ]
-    sigs = g.groupBy("doc_id").agg(*votes)
-    blk_cols = []
-    for blk in range(4):
-        bits = [
-            F.when(F.col(f"v{blk * 16 + b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-            for b in range(16)
-        ]
-        acc = bits[0]
-        for x in bits[1:]:
-            acc = acc + x
-        blk_cols.append(acc.cast("int").alias(f"blk{blk}"))
-    return sigs.select("doc_id", *blk_cols)
-
-
-@register(
-    "dedup_simhash64_blocks",
-    oracle=f"""
-    WITH {_sql_simhash64_sigs()}
-    SELECT doc_id, blk0, blk1, blk2, blk3 FROM sigs ORDER BY doc_id
-    """,
-)
-def dedup_simhash64_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signatures, stored AS their four 16-bit blocks —
-    the layout the radius-3 pair join needs, and sign-safe in both
-    engines (no 1<<63 overflow games)."""
-    return _simhash64_sigs(spark, sf_dir).orderBy("doc_id")
-
-
-@register(
-    "dedup_simhash64_radius3_pairs",
-    oracle=f"""
-    WITH {_sql_simhash64_sigs()},
-    probes AS (
-      SELECT doc_id, 0 AS band, blk0 AS v FROM sigs
-      UNION ALL SELECT doc_id, 1, blk1 FROM sigs
-      UNION ALL SELECT doc_id, 2, blk2 FROM sigs
-      UNION ALL SELECT doc_id, 3, blk3 FROM sigs
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM probes a JOIN probes b
-        ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           CAST(bit_count(xor(sa.blk0, sb.blk0)) + bit_count(xor(sa.blk1, sb.blk1))
-              + bit_count(xor(sa.blk2, sb.blk2)) + bit_count(xor(sa.blk3, sb.blk3))
-              AS BIGINT) AS hamming
-    FROM cand
-    JOIN sigs sa ON sa.doc_id = doc_a
-    JOIN sigs sb ON sb.doc_id = doc_b
-    WHERE bit_count(xor(sa.blk0, sb.blk0)) + bit_count(xor(sa.blk1, sb.blk1))
-        + bit_count(xor(sa.blk2, sb.blk2)) + bit_count(xor(sa.blk3, sb.blk3)) <= 3
-    ORDER BY doc_a, doc_b
-    """,
-)
-def dedup_simhash64_radius3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash pairs within Hamming radius 3 — the production
-    near-dup shape (16-bit saturates at corpus scale; 64-bit keeps the
-    false-positive rate workable).
-
-    Pigeonhole blocking: 3 flipped bits across 4 disjoint 16-bit blocks
-    leave >= 1 block untouched, so every radius-3 pair shares at least
-    one exact (block_idx, block_value) key — candidate generation is a
-    4-row-per-doc equi-join, EXACT for the stated radius, never
-    |docs|^2.  The full 4-block signature rides along on both probe
-    sides (4 ints — cheaper than re-joining the signature table onto
-    millions of candidate rows), so xor+popcount verification happens
-    IN the join projection and the dedup `distinct` runs on the small
-    post-filter pair set, not the raw candidates."""
-    sigs = _simhash64_sigs(spark, sf_dir).localCheckpoint(eager=True)
-    probes = sigs.select(
-        "doc_id",
-        *[F.col(f"blk{b}") for b in range(4)],
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"blk{b}").alias("v"))
-                    for b in range(4)
-                ]
-            )
-        ).alias("p"),
-    ).select(
-        "doc_id",
-        *[F.col(f"blk{b}") for b in range(4)],
-        F.col("p.band").alias("band"),
-        F.col("p.v").alias("v"),
-    )
-    a = probes.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"blk{b}").alias(f"a_blk{b}") for b in range(4)],
-        "band",
-        "v",
-    )
-    b = probes.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"blk{b}").alias(f"b_blk{b}") for b in range(4)],
-        F.col("band").alias("bband"),
-        F.col("v").alias("bv"),
-    )
-    ham = sum(
-        F.bit_count(F.col(f"a_blk{i}").bitwiseXOR(F.col(f"b_blk{i}")))
-        for i in range(4)
-    )
-    return (
-        a.join(
-            b,
-            (F.col("band") == F.col("bband"))
-            & (F.col("v") == F.col("bv"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
-        .filter(F.col("hamming") <= 3)
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    )
-
-
-def _sql_simhash128_sigs() -> str:
-    """DuckDB CTEs producing (doc_id, blk0..blk3): 128-bit SimHash as
-    four 32-bit blocks — the full md5 width, one hash per token.  Plain
-    bit order (bit k of block b = bit k of the b-th 8-hex-digit slice)."""
-    dig_cols = ", ".join(
-        f"list_transform(md5s, m -> ('0x' || substring(m, {8 * b + 1}, 8))::BIGINT) AS d{b}"
+        f"list_transform(md5s, m -> ('0x' || substring(m, {hexw * b + 1}, {hexw}))::BIGINT)"
+        f" AS d{b}"
         for b in range(4)
     )
     blk_cols = ", ".join(
@@ -834,7 +669,7 @@ def _sql_simhash128_sigs() -> str:
         + " + ".join(
             f"CASE WHEN list_sum(list_transform(d{b}, v -> ((v >> {k}) & 1) * 2 - 1)) >= 0"
             f" THEN {1 << k}::BIGINT ELSE 0 END"
-            for k in range(32)
+            for k in range(w)
         )
         + f") AS blk{b}"
         for b in range(4)
@@ -847,9 +682,28 @@ def _sql_simhash128_sigs() -> str:
     """
 
 
-def _simhash128_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, blk0..blk3): 128-bit SimHash as four 32-bit blocks.
-    Same explode + codegen'd-SUM shape as :func:`_simhash64_sigs`."""
+def _simhash_block_sigs(spark: SparkSession, sf_dir: str, w: int) -> DataFrame:
+    """(doc_id, blk0..blk3): THE SimHash kernel, parameterized by block
+    width ``w`` — signature width is 4*w bits (w=16 -> 64-bit, w=32 ->
+    128-bit; the radius-3 pigeonhole join downstream is width-agnostic).
+
+    Shape: explode distinct tokens -> ONE md5 + four w-bit digest ints
+    per token -> groupBy(doc_id) with 4*w codegen'd conditional SUMs
+    (bit k votes +1/-1) -> four block columns from the vote signs.
+
+    Why explode+agg instead of array folds: Spark's higher-order
+    functions are CodegenFallback (interpreted per element), measured
+    ~4x slower here; plain SUM aggregates stay in whole-stage codegen
+    AND partial-aggregate map-side, so the shuffle carries one 4*w-int
+    partial per (doc, partition), not tokens.
+
+    Width rule (measured, BASELINE.md §3): the block key space 2^w must
+    dwarf the corpus or pigeonhole blocking saturates into random
+    collisions — 4x16-bit blocks produced 195M collision rows at 80k
+    docs (205s at 16x) vs 33s for 4x32.  Block width >= ~2*log2(corpus):
+    w=32 carries ~1e6-1e8 docs; at 1e10 docs (100 TB) use a 256-bit
+    signature as 4x64-bit blocks — same plan, wider slices."""
+    hexw = w // 4
     d = load_parallel(spark, sf_dir, "documents")
     ex = d.select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
@@ -857,7 +711,7 @@ def _simhash128_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ex.select(
         "doc_id",
         *[
-            F.conv(F.substring("m", 8 * b + 1, 8), 16, 10).cast("long").alias(f"d{b}")
+            F.conv(F.substring("m", hexw * b + 1, hexw), 16, 10).cast("long").alias(f"d{b}")
             for b in range(4)
         ],
     )
@@ -866,7 +720,7 @@ def _simhash128_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftright(F.col(f"d{b}"), k).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
         ).alias(f"v{b}_{k}")
         for b in range(4)
-        for k in range(32)
+        for k in range(w)
     ]
     sigs = g.groupBy("doc_id").agg(*votes)
     blk_cols = []
@@ -875,7 +729,7 @@ def _simhash128_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col(f"v{b}_{k}") >= 0, F.lit(1 << k).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
-            for k in range(32)
+            for k in range(w)
         ]
         acc = bits[0]
         for x in bits[1:]:
@@ -884,10 +738,12 @@ def _simhash128_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.select("doc_id", *blk_cols)
 
 
-@register(
-    "dedup_simhash128_radius3_pairs",
-    oracle=f"""
-    WITH {_sql_simhash128_sigs()},
+def _sql_radius3_pairs(sigs_cte: str) -> str:
+    """DuckDB radius-3 pigeonhole pair join over any (doc_id, blk0..blk3)
+    signature CTE — width-agnostic (blocks are BIGINT either way)."""
+    ham = " + ".join(f"bit_count(xor(a.blk{i}, b.blk{i}))" for i in range(4))
+    return f"""
+    WITH {sigs_cte},
     probes AS (
       SELECT doc_id, 0 AS band, blk0 AS v, blk0, blk1, blk2, blk3 FROM sigs
       UNION ALL SELECT doc_id, 1, blk1, blk0, blk1, blk2, blk3 FROM sigs
@@ -895,31 +751,26 @@ def _simhash128_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT doc_id, 3, blk3, blk0, blk1, blk2, blk3 FROM sigs
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.blk0, b.blk0)) + bit_count(xor(a.blk1, b.blk1))
-              + bit_count(xor(a.blk2, b.blk2)) + bit_count(xor(a.blk3, b.blk3))
-              AS BIGINT) AS hamming
+           CAST({ham} AS BIGINT) AS hamming
     FROM probes a JOIN probes b
       ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.blk0, b.blk0)) + bit_count(xor(a.blk1, b.blk1))
-        + bit_count(xor(a.blk2, b.blk2)) + bit_count(xor(a.blk3, b.blk3)) <= 3
+    WHERE {ham} <= 3
     ORDER BY doc_a, doc_b
-    """,
-)
-def dedup_simhash128_radius3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus-scale SimHash: 128-bit signatures, radius-3 pairs via
-    4x32-bit pigeonhole blocks.
+    """
 
-    Why it exists next to the 64-bit variant: a Hamming block join
-    saturates when corpus size approaches the block key space.  Measured
-    in the 16x scaling study: 4x16-bit blocks at 80k docs produce 195M
-    random block collisions (Spark 204s) — 2^16 keys cannot block 8e4
-    docs.  4x32-bit blocks give 2^32 keys: expected random collisions
-    at 80k docs ~ 3k pairs, and the join cost is driven by TRUE
-    near-dups again.  Rule: block width >= ~2*log2(corpus); at 100 TB
-    (1e10 docs) that argues 256-bit signatures with 4x64 blocks for
-    radius 3 — same plan, wider conv().  Signature cost is one md5 per
-    token regardless (blocks are slices of the same digest)."""
-    sigs = _simhash128_sigs(spark, sf_dir).localCheckpoint(eager=True)
+
+def _radius3_pairs(sigs: DataFrame) -> DataFrame:
+    """Pairs within Hamming radius 3 over 4-block signatures, via
+    pigeonhole blocking: 3 flipped bits across 4 disjoint blocks leave
+    >= 1 block untouched, so every radius-3 pair shares at least one
+    exact (block_idx, block_value) key — candidate generation is a
+    4-row-per-doc equi-join, EXACT for the stated radius, never
+    |docs|^2.  The full 4-block signature rides along on both probe
+    sides (4 ints — cheaper than re-joining the signature table onto
+    millions of candidate rows), so xor+popcount verification happens
+    IN the join projection and the dedup `distinct` runs on the small
+    post-filter pair set, not the raw candidates."""
+    sigs = sigs.localCheckpoint(eager=True)
     probes = sigs.select(
         "doc_id",
         *[F.col(f"blk{b}") for b in range(4)],
@@ -965,6 +816,56 @@ def dedup_simhash128_radius3_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "dedup_simhash64_blocks",
+    oracle=f"""
+    WITH {_sql_simhash_block_sigs(16)}
+    SELECT doc_id, blk0, blk1, blk2, blk3 FROM sigs ORDER BY doc_id
+    """,
+)
+def dedup_simhash64_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures, stored AS their four 16-bit blocks —
+    the layout the radius-3 pair join needs, and sign-safe in both
+    engines (no 1<<63 overflow games).  Small-corpus instantiation of
+    the width-parameterized kernel (w=16)."""
+    return _simhash_block_sigs(spark, sf_dir, 16).orderBy("doc_id")
+
+
+@register(
+    "dedup_simhash64_radius3_pairs",
+    oracle=_sql_radius3_pairs(_sql_simhash_block_sigs(16)),
+)
+def dedup_simhash64_radius3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-CORPUS radius-3 SimHash pairs: 64-bit signatures as 4x16-bit
+    pigeonhole blocks.  Correct at any size, but 2^16 block keys saturate
+    near ~50k docs (measured: 195M random block collisions / 205s at 80k
+    docs) — beyond that use `dedup_simhash_radius3_pairs` (the 128-bit
+    production default; same kernel, w=32)."""
+    return _radius3_pairs(_simhash_block_sigs(spark, sf_dir, 16))
+
+
+@register(
+    "dedup_simhash_radius3_pairs",
+    oracle=_sql_radius3_pairs(_sql_simhash_block_sigs(32)),
+)
+def dedup_simhash_radius3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION SimHash near-dup: 128-bit signatures, radius-3 pairs
+    via 4x32-bit pigeonhole blocks (the width-parameterized kernel at
+    w=32; renamed from dedup_simhash128_radius3_pairs in round 3).
+
+    Why 128-bit is the default: a Hamming block join saturates when
+    corpus size approaches the block key space.  Measured in the 16x
+    scaling study: 4x16-bit blocks at 80k docs produce 195M random
+    block collisions (Spark 204s) — 2^16 keys cannot block 8e4 docs.
+    4x32-bit blocks give 2^32 keys: expected random collisions at 80k
+    docs ~ 3k pairs, and the join cost is driven by TRUE near-dups
+    again.  Rule: block width >= ~2*log2(corpus); at 100 TB (1e10 docs)
+    that argues 256-bit signatures with 4x64 blocks for radius 3 — same
+    plan, wider conv().  Signature cost is one md5 per token regardless
+    (blocks are slices of the same digest)."""
+    return _radius3_pairs(_simhash_block_sigs(spark, sf_dir, 32))
 
 
 _SPAN_K = 8  # exact-substring span length, in tokens

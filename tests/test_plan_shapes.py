@@ -102,15 +102,18 @@ def test_multiprobe_lsh_broadcasts_query_side(spark, qs):
     assert "CartesianProduct" not in p
 
 
-def test_simhash128_pairs_no_cartesian_and_partial_agg(spark, qs):
-    p = plan_of(spark, qs["dedup_simhash128_radius3_pairs"](spark, SF_DIR))
+def test_simhash_pairs_no_cartesian_and_partial_agg(spark, qs):
+    # production (128-bit) radius-3 pairs: width-parameterized kernel at w=32
+    p = plan_of(spark, qs["dedup_simhash_radius3_pairs"](spark, SF_DIR))
     assert "CartesianProduct" not in p
     # the pair query plans over a localCheckpoint of the signatures, so
     # assert the vote aggregation's map-side combine on the sig builder
-    from specialsid_spark.queries.dedup import _simhash128_sigs
+    # at BOTH registered widths
+    from specialsid_spark.queries.dedup import _simhash_block_sigs
 
-    sp = plan_of(spark, _simhash128_sigs(spark, SF_DIR))
-    assert "partial_sum" in sp  # the 128 bit-votes combine map-side
+    for w in (16, 32):
+        sp = plan_of(spark, _simhash_block_sigs(spark, SF_DIR, w))
+        assert "partial_sum" in sp, f"w={w} bit-votes must combine map-side"
 
 
 def test_embedding_top20_is_blocked_equijoin(spark, qs):
