@@ -16,21 +16,60 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from specialsid_spark.catalog import load_parallel
 from specialsid_spark.queries import register
 
 _CLOSE = 4  # edit-distance threshold for a "close" name pair
 
+_MAX_BLOCK = 256  # block-size cap: pair cost per block is |block|^2, so one
+# viral (brand, type) block would go quadratic at corpus scale with no
+# bound — the same failure mode the stop-shingle df cap closes for
+# Jaccard blocking.  Keep the _MAX_BLOCK lowest-partkey members per
+# block (deterministic, engine-portable), bounding any block's pair
+# cost to _MAX_BLOCK^2.  At test SFs the largest block is below the
+# cap (24 at sf0.01, 165 at sf0.1), so results are byte-identical with
+# or without; both oracles state the identical cap.
+
+
+def _sql_capped_part(select_cols: str) -> str:
+    """DuckDB CTE: `part` with at most _MAX_BLOCK rows per (brand, type)
+    block, keeping the lowest p_partkey members — the Spark twin is
+    :func:`_capped_parts`."""
+    return f"""
+    p0 AS (SELECT {select_cols},
+                  row_number() OVER (PARTITION BY p_brand, p_type
+                                     ORDER BY p_partkey) AS rn
+           FROM part),
+    p AS (SELECT * EXCLUDE (rn) FROM p0 WHERE rn <= {_MAX_BLOCK})
+    """
+
+
+def _capped_parts(p: DataFrame) -> DataFrame:
+    """Cap each (p_brand, p_type) block at its _MAX_BLOCK lowest-partkey
+    rows.  The row_number window shuffles on the SAME key as the
+    downstream self-join, so the exchange is reused, and Spark plans a
+    WindowGroupLimit: partitions are top-k-pruned map-side before the
+    shuffle, never fully sorted."""
+    w = Window.partitionBy("p_brand", "p_type").orderBy("p_partkey")
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MAX_BLOCK)
+        .drop("rn")
+    )
+
 
 @register(
     "fuzzy_levenshtein_blocked",
     oracle=f"""
+    WITH {_sql_capped_part("p_partkey, p_name, p_brand, p_type")}
     SELECT a.p_brand AS brand, a.p_type AS ptype,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(SUM(CASE WHEN levenshtein(a.p_name, b.p_name) <= {_CLOSE}
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
            CAST(MIN(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dist
-    FROM part a JOIN part b
+    FROM p a JOIN p b
       ON a.p_brand = b.p_brand AND a.p_type = b.p_type
      AND a.p_partkey < b.p_partkey
     GROUP BY a.p_brand, a.p_type
@@ -39,10 +78,13 @@ _CLOSE = 4  # edit-distance threshold for a "close" name pair
 )
 def fuzzy_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy match: per (brand, type) block, how many name pairs
-    are within edit distance {_CLOSE}, and the closest pair's distance."""
+    are within edit distance {_CLOSE}, and the closest pair's distance.
+    Blocks are capped at _MAX_BLOCK rows (see module note)."""
     # expression-heavy pair scoring (levenshtein x |block|^2): fan out
-    p = load_parallel(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", "p_brand", "p_type"
+    p = _capped_parts(
+        load_parallel(spark, sf_dir, "part").select(
+            "p_partkey", "p_name", "p_brand", "p_type"
+        )
     )
     a = p.alias("a")
     b = p.alias("b")
@@ -75,17 +117,18 @@ def _sql_tsr_ratio(x: str, y: str) -> str:
 @register(
     "fuzzy_token_set_ratio",
     oracle=f"""
-    WITH p AS (
+    WITH {_sql_capped_part("p_partkey, p_brand, p_type, p_name")},
+    pt AS (
       SELECT p_partkey, p_brand, p_type,
              list_sort(list_distinct(string_split_regex(lower(trim(p_name)), '\\s+'))) AS ts
-      FROM part
+      FROM p
     ),
     pairs AS (
       SELECT a.p_brand AS brand, a.p_type AS ptype,
              list_sort(list_intersect(a.ts, b.ts)) AS inter,
              list_sort(list_filter(a.ts, t -> NOT list_contains(b.ts, t))) AS dab,
              list_sort(list_filter(b.ts, t -> NOT list_contains(a.ts, t))) AS dba
-      FROM p a JOIN p b
+      FROM pt a JOIN pt b
         ON a.p_brand = b.p_brand AND a.p_type = b.p_type
        AND a.p_partkey < b.p_partkey
     ),
@@ -128,13 +171,14 @@ def fuzzy_token_set_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
       token_set_ratio = max(ratio(t0,t1), ratio(t0,t2), ratio(t1,t2))
 
     Same (brand, type) blocking as the levenshtein query — pair count
-    is sum over blocks of |block|^2, never |parts|^2.  Named
-    projections materialize the token sets and the three joined strings
-    once per pair, so levenshtein is the only per-pair recompute."""
+    is sum over blocks of |block|^2, never |parts|^2, and blocks are
+    capped at _MAX_BLOCK rows (see module note).  Named projections
+    materialize the token sets and the three joined strings once per
+    pair, so levenshtein is the only per-pair recompute."""
     ts = F.sort_array(F.array_distinct(F.split(F.lower(F.trim(F.col("p_name"))), r"\s+")))
-    p = load_parallel(spark, sf_dir, "part").select(
-        "p_partkey", "p_brand", "p_type", ts.alias("ts")
-    )
+    p = _capped_parts(
+        load_parallel(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type", "p_name")
+    ).select("p_partkey", "p_brand", "p_type", ts.alias("ts"))
     a = p.alias("a")
     b = p.alias("b")
     pairs = a.join(

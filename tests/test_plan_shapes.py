@@ -242,3 +242,16 @@ def test_q13_keeps_zero_order_customers(spark, qs):
     # degrade to an inner join that would drop zero-order customers
     p = plan_of(spark, qs["tpch_q13_customer_order_distribution"](spark, SF_DIR))
     assert "LeftOuter" in p
+
+
+def test_fuzzy_block_cap_is_group_limited(spark, qs):
+    # the block-size cap must plan as WindowGroupLimit (map-side top-k
+    # prune per (brand, type) group), not a full per-block sort, and the
+    # capped self-join stays an equi-join
+    for name in ["fuzzy_levenshtein_blocked", "fuzzy_token_set_ratio"]:
+        p = plan_of(spark, qs[name](spark, SF_DIR))
+        assert "WindowGroupLimit" in p, f"{name} lost the block-size cap"
+        assert "CartesianProduct" not in p
+        # any equi-join strategy is fine (broadcast at tiny SF, shuffle
+        # at scale) — the point is the block key is a real join key
+        assert any(j in p for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
