@@ -131,6 +131,58 @@ def pdf_page_count(blob: bytes) -> int | None:
     return max(1, len(_PDF_PAGE_RE.findall(blob)))
 
 
+def crop_bmp(blob: bytes, ymin: int, xmin: int, ymax: int, xmax: int) -> bytes | None:
+    """REAL pixel crop for uncompressed BMP bytes, dependency-free.
+
+    BMP is the one mainstream raster format whose pixel array is plain
+    bytes (BI_RGB, no entropy coding), so the reference's crop kernel
+    (pnp-cropperLambda.py:48-98, PIL ``img.crop((xmin, ymin, xmax,
+    ymax))``) can be reproduced exactly without a codec: locate the
+    pixel array via the data-offset field, slice ``[xmin, xmax)`` of
+    each scanline in ``[ymin, ymax)`` (top-down visual coordinates,
+    handling bottom-up row storage), re-pad scanlines to the 4-byte
+    stride rule, and emit a well-formed BITMAPINFOHEADER BMP.
+
+    The bbox is clamped to the image bounds (the P5/F7 validity+clamp
+    discipline).  Returns None when the payload is not an uncompressed
+    24/32-bit BMP — callers fall back to the byte-slice stub (JPEG/PDF
+    still need codecs this container doesn't have)."""
+    if len(blob) < 54 or blob[:2] != b"BM":
+        return None
+    data_off = int.from_bytes(blob[10:14], "little")
+    dib = int.from_bytes(blob[14:18], "little")
+    if dib not in (40, 52, 56, 64, 108, 124):
+        return None
+    w = int.from_bytes(blob[18:22], "little", signed=True)
+    h = int.from_bytes(blob[22:26], "little", signed=True)
+    bpp = int.from_bytes(blob[28:30], "little")
+    comp = int.from_bytes(blob[30:34], "little")
+    if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        return None
+    top_down, H = h < 0, abs(h)
+    ymin, ymax = max(0, min(H, ymin)), max(0, min(H, ymax))
+    xmin, xmax = max(0, min(w, xmin)), max(0, min(w, xmax))
+    cw, ch = xmax - xmin, ymax - ymin
+    if cw <= 0 or ch <= 0:
+        return None
+    bypp = bpp // 8
+    stride = (bpp * w + 31) // 32 * 4
+    out_stride = (bpp * cw + 31) // 32 * 4
+    pad = b"\x00" * (out_stride - cw * bypp)
+    rows = []
+    for y in range(ymin, ymax):  # top-down visual order
+        src_row = y if top_down else H - 1 - y
+        off = data_off + src_row * stride + xmin * bypp
+        row = blob[off : off + cw * bypp]
+        if len(row) < cw * bypp:
+            return None  # declared dimensions exceed the actual payload
+        rows.append(bytes(row) + pad)
+    rows.reverse()  # emit bottom-up (positive height), the common layout
+    px = b"".join(rows)
+    dib_out = struct.pack("<IiiHHIIiiII", 40, cw, ch, 1, bpp, 0, len(px), 2835, 2835, 0, 0)
+    return b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54) + dib_out + px
+
+
 def _decode_bytes(blob: bytes) -> tuple[int, int, str]:
     """Metadata decode: REAL header parse for recognized image containers
     (see parse_image_meta); deterministic hash-derived fallback for opaque
@@ -211,9 +263,12 @@ def explode_pdf_pages_stub(
 
 def crop_stub(products: DataFrame, images: DataFrame, on: str = "page_key") -> DataFrame:
     """D3/J1: products ⋈ page-image (broadcast the small image batch),
-    then a mapInPandas crop.  STUB crop: slice of bytes proportional to
-    the bbox; real implementation: PIL crop of the padded bbox
-    (ref pnp-cropperLambda.py:58-101)."""
+    then a mapInPandas crop (ref pnp-cropperLambda.py:58-101).
+
+    For an uncompressed BMP payload the crop produces REAL pixels
+    (:func:`crop_bmp` — exact scanline slicing, no codec needed); for
+    compressed formats (JPEG/PNG/...) it falls back to a byte-slice
+    STUB, since pixel codecs are absent from this container."""
     joined = products.join(F.broadcast(images), on)
 
     out_schema = T.StructType(
@@ -232,6 +287,10 @@ def crop_stub(products: DataFrame, images: DataFrame, on: str = "page_key") -> D
                     crops.append(None)
                     continue
                 ymin, xmin, ymax, xmax = (int(v) for v in bbox)
+                real = crop_bmp(bytes(blob), ymin, xmin, ymax, xmax)
+                if real is not None:
+                    crops.append(real)
+                    continue
                 lo = max(0, min(len(blob) - 1, ymin))
                 hi = max(lo + 1, min(len(blob), ymax))
                 crops.append(bytes(blob[lo:hi]))

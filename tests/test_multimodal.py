@@ -180,3 +180,84 @@ def test_pdf_explode_exact_page_count_non_divisible(spark):
     pages = explode_pdf_pages_stub(df).orderBy("page_no").collect()
     assert len(pages) == 60
     assert b"".join(bytes(r["page_bytes"]) for r in pages) == blob
+
+
+def _bmp24(w: int, h: int, color):
+    """Real bottom-up 24-bit BI_RGB BMP; color(x, y) -> (b, g, r) with
+    (x, y) in top-down visual coordinates."""
+    stride = (24 * w + 31) // 32 * 4
+    rows = []
+    for y in reversed(range(h)):  # bottom-up storage
+        row = b"".join(bytes(color(x, y)) for x in range(w))
+        rows.append(row + b"\x00" * (stride - 3 * w))
+    px = b"".join(rows)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0)
+    return b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54) + dib + px
+
+
+def _bmp_pixels(blob: bytes):
+    """Decode an uncompressed 24-bit BMP back to {(x, y): (b, g, r)} in
+    top-down coordinates (handles bottom-up storage)."""
+    from specialsid_spark.operators.multimodal import parse_image_meta
+
+    w, h, fmt = parse_image_meta(blob)
+    assert fmt == "bmp"
+    data_off = int.from_bytes(blob[10:14], "little")
+    signed_h = int.from_bytes(blob[22:26], "little", signed=True)
+    stride = (24 * w + 31) // 32 * 4
+    out = {}
+    for y in range(h):
+        src_row = y if signed_h < 0 else h - 1 - y
+        off = data_off + src_row * stride
+        for x in range(w):
+            out[(x, y)] = tuple(blob[off + 3 * x : off + 3 * x + 3])
+    return out
+
+
+def test_crop_bmp_pixel_exact():
+    from specialsid_spark.operators.multimodal import crop_bmp
+
+    color = lambda x, y: ((x * 7) % 256, (y * 11) % 256, (x + y) % 256)  # noqa: E731
+    blob = _bmp24(10, 6, color)
+    out = crop_bmp(blob, 1, 2, 5, 9)  # ymin=1, xmin=2, ymax=5, xmax=9 -> 7x4
+    assert out is not None
+    px = _bmp_pixels(out)
+    assert max(x for x, _ in px) == 6 and max(y for _, y in px) == 3
+    for (x, y), bgr in px.items():
+        assert bgr == color(x + 2, y + 1), (x, y)
+
+
+def test_crop_bmp_clamps_and_rejects():
+    from specialsid_spark.operators.multimodal import crop_bmp
+
+    color = lambda x, y: (x, y, 0)  # noqa: E731
+    blob = _bmp24(4, 3, color)
+    # bbox exceeding the image is clamped to bounds (P5/F7 discipline)
+    out = crop_bmp(blob, -5, -5, 99, 99)
+    assert out is not None
+    assert _bmp_pixels(out) == _bmp_pixels(blob)
+    # degenerate after clamping, non-BMP, and compressed payloads refuse
+    assert crop_bmp(blob, 3, 0, 3, 4) is None
+    assert crop_bmp(b"not a bmp at all, but long enough to index" * 3, 0, 0, 2, 2) is None
+    assert crop_bmp(_jpeg(64, 64), 0, 0, 2, 2) is None
+
+
+def test_crop_stub_real_pixels_for_bmp_through_spark(spark):
+    # D3 upgrade: the Spark-side crop emits REAL cropped pixels when the
+    # page image is an uncompressed BMP — not a byte-slice stand-in
+    from specialsid_spark.operators.multimodal import crop_bmp
+
+    color = lambda x, y: ((x * 3) % 256, (y * 5) % 256, (x ^ y) % 256)  # noqa: E731
+    blob = _bmp24(16, 9, color)
+    products = spark.createDataFrame(
+        [("k1", "Apples", [2, 3, 7, 11])],  # [ymin, xmin, ymax, xmax]
+        "page_key string, product_name string, bounding_box array<int>",
+    )
+    images = spark.createDataFrame([("k1", blob)], "page_key string, image_bytes binary")
+    [row] = crop_stub(products, images).collect()
+    got = bytes(row["crop_bytes"])
+    assert got == crop_bmp(blob, 2, 3, 7, 11)
+    px = _bmp_pixels(got)
+    assert max(x for x, _ in px) == 7 and max(y for _, y in px) == 4  # 8x5 crop
+    for (x, y), bgr in px.items():
+        assert bgr == color(x + 3, y + 2), (x, y)
