@@ -507,157 +507,15 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "pipeline_corpus_curation",
-    oracle=f"""
-    WITH {_sql_minhash_sigs()},
-    {_sql_bands()},
-    near_dupes AS (
-      SELECT DISTINCT b.doc_id
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-    ),
-    quality AS (
-      SELECT doc_id, text, toks,
-             len(toks) AS n_tokens,
-             len(list_filter(toks, t -> t IN ('the','and','of'))) AS v_en,
-             len(list_filter(toks, t -> t IN ('el','la','de')))   AS v_es,
-             len(list_filter(toks, t -> t IN ('le','la','et')))   AS v_fr,
-             len(list_filter(toks, t -> t IN ('der','die','und'))) AS v_de
-      FROM t JOIN documents USING (doc_id)
-      WHERE len(toks) BETWEEN 5 AND 1000
-        AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.1
-    ),
-    english AS (
-      SELECT doc_id, text, n_tokens FROM quality
-      WHERE v_en >= v_es AND v_en >= v_fr AND v_en >= v_de
-    ),
-    exact_keepers AS (
-      SELECT MIN(doc_id) AS doc_id FROM english GROUP BY md5(text)
-    )
-    SELECT e.doc_id, CAST(e.n_tokens AS BIGINT) AS n_tokens
-    FROM english e
-    JOIN exact_keepers k ON k.doc_id = e.doc_id
-    WHERE e.doc_id NOT IN (SELECT doc_id FROM near_dupes)
-    ORDER BY e.doc_id
-    """,
-)
-def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The end-to-end training-corpus curation pipeline as ONE dataflow:
-    quality gate (length + lexical diversity) -> language filter (en)
-    -> exact dedup (md5 keeper) -> near-dup removal (MinHash-LSH,
-    greedy keep-lowest-id) -> kept corpus.
-
-    Composition of the engine's curation operators, value-checked as a
-    whole.  Scale shape: three groupBys (signatures, exact hash, band
-    buckets) + one broadcast-able anti-join of doc_ids — everything
-    shuffles hashes/ids, never document text; the quality+language
-    pass is one codegen'd scan."""
-    d = load_parallel(spark, sf_dir, "documents")
-    t = d.select("doc_id", "text", tokens("text").alias("toks"))
-    n = F.size("toks")
-    votes = {
-        lang: F.size(F.filter(F.col("toks"), _markers_filter(markers)))
-        for lang, markers in _CURATION_MARKERS.items()
-    }
-    quality = t.filter(
-        n.between(5, 1000)
-        & (F.size(F.array_distinct("toks")).cast("double") / n > 0.1)
-    ).select("doc_id", "text", n.alias("n_tokens"), *[v.alias(f"v_{k}") for k, v in votes.items()])
-    english = quality.filter(
-        (F.col("v_en") >= F.col("v_es"))
-        & (F.col("v_en") >= F.col("v_fr"))
-        & (F.col("v_en") >= F.col("v_de"))
-    ).select("doc_id", "text", "n_tokens")
-    exact_keepers = english.groupBy(F.md5("text")).agg(
-        F.min("doc_id").alias("doc_id")
-    ).select("doc_id")
-    near_dupes = (
-        dedup_minhash_lsh_candidates(spark, sf_dir)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
-    return (
-        english.join(exact_keepers, "doc_id", "left_semi")
-        .join(near_dupes, "doc_id", "left_anti")
-        .select("doc_id", F.col("n_tokens").cast("long"))
-        .orderBy("doc_id")
-    )
-
-
-_CURATION_MARKERS = {
-    "en": ("the", "and", "of"),
-    "es": ("el", "la", "de"),
-    "fr": ("le", "la", "et"),
-    "de": ("der", "die", "und"),
-}
-
-
-def _markers_filter(markers):
-    # factory keeps the HOF lambda unary (PySpark infers arity)
-    return lambda x: x.isin(*markers)
-
-
-@register(
-    "dedup_simhash_hamming_pairs",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, list_distinct({_SQL_TOKENS}) AS toks FROM documents),
-    g AS (SELECT doc_id, {SQL_TOKEN_DIGEST16.format(toks="toks")} AS digs FROM t),
-    sigs AS (SELECT doc_id, {sql_simhash16_digests("digs")} AS sig FROM g),
-    probes AS (
-      SELECT doc_id, sig, sig AS probe FROM sigs
-      UNION ALL
-      SELECT doc_id, sig, xor(sig, (1 << b.b)) AS probe
-      FROM sigs, (SELECT unnest(range(0, 16)) AS b) b
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM probes a JOIN sigs b ON a.probe = b.sig AND a.doc_id < b.doc_id
-    ORDER BY doc_a, doc_b
-    """,
-)
-def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup PAIRS within Hamming distance <= 1, without any
-    pairwise comparison: each signature emits itself plus its 16
-    one-bit-flip probes (17 rows), and near-dup pairs fall out of an
-    equi-join probe==signature.
-
-    This is the classic Hamming-LSH trick: candidate generation cost is
-    |docs| x (d+1) tiny rows and one hash join — never |docs|^2 — and
-    generalizes to radius r via multi-bit flips.  The same shape at 64
-    bits with 4 16-bit blocks covers radius 3 exactly."""
-    d = load_parallel(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id", token_digest16(F.array_distinct(tokens("text"))).alias("digs")
-    )
-    # localCheckpoint (not persist): both join sides reuse the
-    # materialized signatures without registering a CacheManager entry
-    # that would substitute into other queries' plans in this session
-    sigs = t.select(
-        "doc_id", simhash16_from_digests(F.col("digs")).alias("sig")
-    ).localCheckpoint(eager=True)
-    flips = F.array(*[F.lit(1 << b) for b in range(16)])
-    probes = sigs.select(
-        "doc_id",
-        F.explode(
-            F.concat(F.array(F.col("sig")), F.transform(flips, lambda m: F.col("sig").bitwiseXOR(m)))
-        ).alias("probe"),
-    )
-    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("bsig"))
-    out = (
-        probes.join(b, (F.col("probe") == F.col("bsig")) & (F.col("doc_id") < F.col("doc_b")))
-        .select(F.col("doc_id").alias("doc_a"), "doc_b")
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    )
-    return out
-
-
-def _sql_simhash_block_sigs(w: int) -> str:
+def _sql_simhash_block_sigs(w: int, prefix: str = "", source: str = "documents") -> str:
     """DuckDB CTEs producing (doc_id, blk0..blk3): a 4*w-bit SimHash as
     four w-bit blocks.  Block b is voted from the bits of the b-th w-bit
     slice of each token's single md5 (plain bit order: bit k of block b
     = bit k of that slice) — one hash per token at ANY width; widening
-    the signature only widens the slices."""
+    the signature only widens the slices.  ``prefix`` namespaces the CTE
+    names so the fragment composes with other CTE chains, and ``source``
+    lets the signatures build over any (doc_id, text) relation (the
+    curation pipeline signatures only the quality/language survivors)."""
     hexw = w // 4
     dig_cols = ", ".join(
         f"list_transform(md5s, m -> ('0x' || substring(m, {hexw * b + 1}, {hexw}))::BIGINT)"
@@ -675,14 +533,16 @@ def _sql_simhash_block_sigs(w: int) -> str:
         for b in range(4)
     )
     return f"""
-    t AS (SELECT doc_id, list_distinct({_SQL_TOKENS}) AS toks FROM documents),
-    m AS (SELECT doc_id, {SQL_TOKEN_MD5S.format(toks="toks")} AS md5s FROM t),
-    g AS (SELECT doc_id, {dig_cols} FROM m),
-    sigs AS (SELECT doc_id, {blk_cols} FROM g)
+    {prefix}t AS (SELECT doc_id, list_distinct({_SQL_TOKENS}) AS toks FROM {source}),
+    {prefix}m AS (SELECT doc_id, {SQL_TOKEN_MD5S.format(toks="toks")} AS md5s FROM {prefix}t),
+    {prefix}g AS (SELECT doc_id, {dig_cols} FROM {prefix}m),
+    {prefix}sigs AS (SELECT doc_id, {blk_cols} FROM {prefix}g)
     """
 
 
-def _simhash_block_sigs(spark: SparkSession, sf_dir: str, w: int) -> DataFrame:
+def _simhash_block_sigs(
+    spark: SparkSession, sf_dir: str, w: int, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, blk0..blk3): THE SimHash kernel, parameterized by block
     width ``w`` — signature width is 4*w bits (w=16 -> 64-bit, w=32 ->
     128-bit; the radius-3 pigeonhole join downstream is width-agnostic).
@@ -702,9 +562,12 @@ def _simhash_block_sigs(spark: SparkSession, sf_dir: str, w: int) -> DataFrame:
     collisions — 4x16-bit blocks produced 195M collision rows at 80k
     docs (205s at 16x) vs 33s for 4x32.  Block width >= ~2*log2(corpus):
     w=32 carries ~1e6-1e8 docs; at 1e10 docs (100 TB) use a 256-bit
-    signature as 4x64-bit blocks — same plan, wider slices."""
+    signature as 4x64-bit blocks — same plan, wider slices.
+
+    ``docs`` overrides the source relation (any (doc_id, text) frame);
+    default is the full documents table."""
     hexw = w // 4
-    d = load_parallel(spark, sf_dir, "documents")
+    d = docs if docs is not None else load_parallel(spark, sf_dir, "documents")
     ex = d.select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
     ).select("doc_id", F.md5("tok").alias("m"))
@@ -816,6 +679,182 @@ def _radius3_pairs(sigs: DataFrame) -> DataFrame:
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "pipeline_corpus_curation",
+    oracle=f"""
+    WITH {_sql_minhash_sigs()},
+    {_sql_bands()},
+    near_dupes AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    quality AS (
+      SELECT doc_id, text, toks,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, t -> t IN ('the','and','of'))) AS v_en,
+             len(list_filter(toks, t -> t IN ('el','la','de')))   AS v_es,
+             len(list_filter(toks, t -> t IN ('le','la','et')))   AS v_fr,
+             len(list_filter(toks, t -> t IN ('der','die','und'))) AS v_de
+      FROM t JOIN documents USING (doc_id)
+      WHERE len(toks) BETWEEN 5 AND 1000
+        AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.1
+    ),
+    english AS (
+      SELECT doc_id, text, n_tokens FROM quality
+      WHERE v_en >= v_es AND v_en >= v_fr AND v_en >= v_de
+    ),
+    exact_keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM english GROUP BY md5(text)
+    ),
+    {_sql_simhash_block_sigs(32, prefix="sh_")},
+    sh_probes AS (
+      SELECT doc_id, 0 AS band, blk0 AS v, blk0, blk1, blk2, blk3 FROM sh_sigs
+      UNION ALL SELECT doc_id, 1, blk1, blk0, blk1, blk2, blk3 FROM sh_sigs
+      UNION ALL SELECT doc_id, 2, blk2, blk0, blk1, blk2, blk3 FROM sh_sigs
+      UNION ALL SELECT doc_id, 3, blk3, blk0, blk1, blk2, blk3 FROM sh_sigs
+    ),
+    sh_dupes AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh_probes a JOIN sh_probes b
+        ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.blk0, b.blk0)) + bit_count(xor(a.blk1, b.blk1))
+          + bit_count(xor(a.blk2, b.blk2)) + bit_count(xor(a.blk3, b.blk3)) <= 3
+    )
+    SELECT e.doc_id, CAST(e.n_tokens AS BIGINT) AS n_tokens
+    FROM english e
+    JOIN exact_keepers k ON k.doc_id = e.doc_id
+    WHERE e.doc_id NOT IN (SELECT doc_id FROM near_dupes)
+      AND e.doc_id NOT IN (SELECT doc_id FROM sh_dupes)
+    ORDER BY e.doc_id
+    """,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus curation pipeline as ONE dataflow:
+    quality gate (length + lexical diversity) -> language filter (en)
+    -> exact dedup (md5 keeper) -> near-dup removal (MinHash-LSH +
+    128-bit radius-3 SimHash, both greedy keep-lowest-id) -> kept
+    corpus.
+
+    Composition of the engine's curation operators, value-checked as a
+    whole, and every leg is the SCALE-SAFE variant: 16-component
+    MinHash over df-capped shingles, and the width-adequate SimHash
+    (4x32-bit pigeonhole blocks — the 64-bit variant saturates past
+    ~50k docs).  Scale shape: four groupBys (two signature builders,
+    exact hash, band buckets) + two broadcast-able anti-joins of
+    doc_ids — everything shuffles hashes/ids/blocks, never document
+    text; the quality+language pass is one codegen'd scan."""
+    d = load_parallel(spark, sf_dir, "documents")
+    t = d.select("doc_id", "text", tokens("text").alias("toks"))
+    n = F.size("toks")
+    votes = {
+        lang: F.size(F.filter(F.col("toks"), _markers_filter(markers)))
+        for lang, markers in _CURATION_MARKERS.items()
+    }
+    quality = t.filter(
+        n.between(5, 1000)
+        & (F.size(F.array_distinct("toks")).cast("double") / n > 0.1)
+    ).select("doc_id", "text", n.alias("n_tokens"), *[v.alias(f"v_{k}") for k, v in votes.items()])
+    english = quality.filter(
+        (F.col("v_en") >= F.col("v_es"))
+        & (F.col("v_en") >= F.col("v_fr"))
+        & (F.col("v_en") >= F.col("v_de"))
+    ).select("doc_id", "text", "n_tokens")
+    exact_keepers = english.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    near_dupes = (
+        dedup_minhash_lsh_candidates(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    # Both near-dup legs run at the ingest level (full table), like the
+    # exact-hash leg: measured at 16x, restricting the SimHash leg to
+    # quality/language survivors was SLOWER (the gate recomputes on the
+    # signature branch while ~all replicated docs pass it) — 16.3s vs
+    # 11.3s — so the simpler full-table shape wins at every tested SF.
+    simhash_dupes = (
+        _radius3_pairs(_simhash_block_sigs(spark, sf_dir, 32))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        english.join(exact_keepers, "doc_id", "left_semi")
+        .join(near_dupes, "doc_id", "left_anti")
+        .join(simhash_dupes, "doc_id", "left_anti")
+        .select("doc_id", F.col("n_tokens").cast("long"))
+        .orderBy("doc_id")
+    )
+
+
+_CURATION_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+}
+
+
+def _markers_filter(markers):
+    # factory keeps the HOF lambda unary (PySpark infers arity)
+    return lambda x: x.isin(*markers)
+
+
+@register(
+    "dedup_simhash_hamming_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, list_distinct({_SQL_TOKENS}) AS toks FROM documents),
+    g AS (SELECT doc_id, {SQL_TOKEN_DIGEST16.format(toks="toks")} AS digs FROM t),
+    sigs AS (SELECT doc_id, {sql_simhash16_digests("digs")} AS sig FROM g),
+    probes AS (
+      SELECT doc_id, sig, sig AS probe FROM sigs
+      UNION ALL
+      SELECT doc_id, sig, xor(sig, (1 << b.b)) AS probe
+      FROM sigs, (SELECT unnest(range(0, 16)) AS b) b
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM probes a JOIN sigs b ON a.probe = b.sig AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS within Hamming distance <= 1, without any
+    pairwise comparison: each signature emits itself plus its 16
+    one-bit-flip probes (17 rows), and near-dup pairs fall out of an
+    equi-join probe==signature.
+
+    This is the classic Hamming-LSH trick: candidate generation cost is
+    |docs| x (d+1) tiny rows and one hash join — never |docs|^2 — and
+    generalizes to radius r via multi-bit flips.  The same shape at 64
+    bits with 4 16-bit blocks covers radius 3 exactly."""
+    d = load_parallel(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", token_digest16(F.array_distinct(tokens("text"))).alias("digs")
+    )
+    # localCheckpoint (not persist): both join sides reuse the
+    # materialized signatures without registering a CacheManager entry
+    # that would substitute into other queries' plans in this session
+    sigs = t.select(
+        "doc_id", simhash16_from_digests(F.col("digs")).alias("sig")
+    ).localCheckpoint(eager=True)
+    flips = F.array(*[F.lit(1 << b) for b in range(16)])
+    probes = sigs.select(
+        "doc_id",
+        F.explode(
+            F.concat(F.array(F.col("sig")), F.transform(flips, lambda m: F.col("sig").bitwiseXOR(m)))
+        ).alias("probe"),
+    )
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("bsig"))
+    out = (
+        probes.join(b, (F.col("probe") == F.col("bsig")) & (F.col("doc_id") < F.col("doc_b")))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+    return out
+
 
 
 @register(

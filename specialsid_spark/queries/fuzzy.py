@@ -51,10 +51,21 @@ def _capped_parts(p: DataFrame) -> DataFrame:
     rows.  The row_number window shuffles on the SAME key as the
     downstream self-join, so the exchange is reused, and Spark plans a
     WindowGroupLimit: partitions are top-k-pruned map-side before the
-    shuffle, never fully sorted."""
+    shuffle, never fully sorted.
+
+    The repartition is BY NUM on purpose: the capped rows are a few MB,
+    so AQE would coalesce the window exchange to one partition — and
+    because the self-join then reuses that partitioning, the |block|^2
+    levenshtein scoring would run on a single task (measured: 3.5s vs
+    0.7s at sf0.1).  Shuffle bytes are a bad cost proxy when the
+    expensive work is downstream compute per pair; an explicit numbered
+    repartition pins the parallelism (REPARTITION_BY_NUM is exempt from
+    AQE coalescing)."""
+    n = int(p.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     w = Window.partitionBy("p_brand", "p_type").orderBy("p_partkey")
     return (
-        p.withColumn("rn", F.row_number().over(w))
+        p.repartition(n, "p_brand", "p_type")
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _MAX_BLOCK)
         .drop("rn")
     )
