@@ -159,7 +159,9 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells reach recall ~1.0 at the same candidate budget.  That
     contrast (oblivious vs learned partitioning) is the reason
     production ANN uses IVF/k-means quantizers, and both shapes are
-    kept here deliberately.  Scale shape: probes explode ONLY the tiny
+    kept here deliberately.  This entry is the SINGLE-TABLE baseline;
+    `sim_lsh_multitable_topk` is the production sign-LSH shape (4-table
+    OR-amplification, recall ≥0.8).  Scale shape: probes explode ONLY the tiny
     query side (37 rows per query); the corpus is hashed once and
     joined on the bucket key."""
     e = load_parallel(spark, sf_dir, "embeddings")
@@ -195,6 +197,158 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, (F.col("pbucket") == F.col("nbucket")) & (F.col("neighbor_id") != F.col("query_id")))
         .select(
             "query_id", "neighbor_id",
+            (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "rk", F.round("cs", 6).alias("cos_sim"))
+        .orderBy("query_id", "rk")
+    )
+
+
+#: Multi-table sign-LSH: 4 hash tables, each keyed on the signs of 8
+#: disjoint coordinates (table t covers the odd dims of the 16-dim slice
+#: [16t+1, 16t+16]).  OR-amplification: a true neighbor is a candidate
+#: if ANY table probes its bucket, so per-table capture p becomes
+#: 1-(1-p)^4 overall (measured: ~0.37 single-table -> ~0.9 here).
+_LSH_TABLES = tuple(tuple(range(16 * t + 1, 16 * t + 16, 2)) for t in range(4))
+
+
+def _sql_table_bucket(dims: tuple[int, ...]) -> str:
+    return " + ".join(
+        f"(CASE WHEN v[{d}] >= 0 THEN {1 << i} ELSE 0 END)" for i, d in enumerate(dims)
+    )
+
+
+@register(
+    "sim_lsh_multitable_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    keys AS (
+      SELECT vec_id, t.tid,
+             CASE t.tid
+               {" ".join(f"WHEN {t} THEN {_sql_table_bucket(dims)}" for t, dims in enumerate(_LSH_TABLES))}
+             END AS bucket
+      FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS tid) t
+    ),
+    probes AS (
+      SELECT k.vec_id, k.tid, xor(k.bucket, m.mask) AS pbucket
+      FROM keys k CROSS JOIN (SELECT unnest({list(_LSH_PROBE_MASKS)}) AS mask) m
+      WHERE k.vec_id < 20
+    ),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM probes p JOIN keys b ON b.tid = p.tid AND b.bucket = p.pbucket
+      WHERE b.vec_id <> p.vec_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id, {_SQL_COS} AS cs
+      FROM cand c
+      JOIN e a ON a.vec_id = c.query_id
+      JOIN e b ON b.vec_id = c.neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cs,
+             row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, round(cs, 6) AS cos_sim
+    FROM ranked WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production multi-TABLE sign-LSH top-k: 4 independent 8-bit hash
+    tables over disjoint coordinate slices, each probed to Hamming
+    distance 2, candidates unioned across tables (OR-amplification).
+
+    This is the standard fix for single-table sign-LSH's recall ceiling
+    (`sim_lsh_bucketed_topk` measures ~0.37 on this corpus): a true
+    neighbor only needs to collide in ONE of the L tables, so capture
+    goes 1-(1-p)^L.  Measured recall@5 ≥ 0.8 (tests/test_ann_recall.py)
+    at a candidate budget of 4×37 probes/query — still data-oblivious
+    (no training pass), sitting between the single-table baseline and
+    the learned `sim_ivf_topk` (recall ~1.0).
+
+    Scale shape: the corpus is hashed once into 4 (vec_id, tid, bucket)
+    key rows per vector — ids and one long each, never the vectors; the
+    probe fan-out (148 rows/query) explodes only the tiny query side
+    and is broadcast.  Candidates are DISTINCTed on (query, neighbor)
+    BEFORE vectors are fetched, so each surviving pair is scored once,
+    via an equi-join on vec_id that ships each corpus vector at most
+    once per query set."""
+    e = load_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+
+    def bucket_expr(dims: tuple[int, ...]):
+        b = F.lit(0)
+        for i, d in enumerate(dims):
+            b = b + F.when(F.element_at("embedding", d) >= 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+        return b
+
+    keys = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tid"), bucket_expr(dims).alias("bucket")
+                    )
+                    for t, dims in enumerate(_LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", F.col("tb.tid").alias("tid"), F.col("tb.bucket").alias("bucket"))
+    probes = (
+        keys.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "tid",
+            "bucket",
+            F.explode(F.array(*[F.lit(m) for m in _LSH_PROBE_MASKS])).alias("mask"),
+        )
+        .select(
+            "query_id", "tid", F.col("bucket").bitwiseXOR(F.col("mask")).alias("pbucket")
+        )
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(
+            keys.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("tid").alias("ntid"),
+                F.col("bucket").alias("nbucket"),
+            ),
+            (F.col("ntid") == F.col("tid"))
+            & (F.col("nbucket") == F.col("pbucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+    ).filter(F.col("query_id") < 20)
+    scored = (
+        cand.join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("nv"),
+                F.col("nrm").alias("nn"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
             (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cs"),
         )
     )
