@@ -84,16 +84,18 @@ def parse_image_meta(blob: bytes) -> tuple[int, int, str] | None:
         w, h = struct.unpack("<ii", blob[18:26])
         return w, abs(h), "bmp"
     # WebP: RIFF container; VP8 (lossy) / VP8L (lossless) / VP8X (extended).
-    if n >= 30 and blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+    # Per-chunk length guards: a minimal VP8L header is 25 bytes while
+    # VP8X/VP8 need 30 — a single n>=30 gate would reject tiny VP8L files.
+    if n >= 16 and blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
         chunk = blob[12:16]
-        if chunk == b"VP8X":
+        if chunk == b"VP8X" and n >= 30:
             w = int.from_bytes(blob[24:27], "little") + 1
             h = int.from_bytes(blob[27:30], "little") + 1
             return w, h, "webp"
-        if chunk == b"VP8L" and blob[20] == 0x2F:
+        if chunk == b"VP8L" and n >= 25 and blob[20] == 0x2F:
             bits = int.from_bytes(blob[21:25], "little")
             return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, "webp"
-        if chunk == b"VP8 ":
+        if chunk == b"VP8 " and n >= 30:
             # Lossy bitstream: 3-byte frame tag, then the 3-byte start code
             # 9D 01 2A, then two little-endian u14 dimensions.
             if blob[23:26] == b"\x9d\x01\x2a":
@@ -125,7 +127,15 @@ def parse_image_meta(blob: bytes) -> tuple[int, int, str] | None:
 def pdf_page_count(blob: bytes) -> int | None:
     """Real page count for a real PDF: the number of ``/Type /Page`` leaf
     objects (ref gen_pdf_imgLambda.py:51-60 fans out one raster per page).
-    Returns None when the payload is not a PDF."""
+    Returns None when the payload is not a PDF.
+
+    Handles classic and linearized PDFs, incremental-update files, and
+    whitespace-free ``/Type/Page`` dicts.  KNOWN LIMITATION: PDF 1.5+
+    object streams (``/ObjStm``) hold page dicts inside a Flate-compressed
+    stream, invisible to a byte scan — such files undercount to the
+    visible leaves (floor 1).  A full fix needs a decompressor + xref
+    parser; at that point use a real PDF library, which this container
+    lacks.  tests/test_multimodal.py pins both behaviors."""
     if not blob.startswith(b"%PDF"):
         return None
     return max(1, len(_PDF_PAGE_RE.findall(blob)))

@@ -565,40 +565,40 @@ def _simhash_block_sigs(
     signature as 4x64-bit blocks — same plan, wider slices.
 
     ``docs`` overrides the source relation (any (doc_id, text) frame);
-    default is the full documents table."""
+    default is the full documents table.
+
+    Implementation note: the 4*w vote sums are built as FOUR SQL
+    expression strings (one per block, parsed JVM-side by F.expr), not
+    4*w Python Column objects — the Column route costs ~1,500 py4j
+    round-trips and measured ~2s of DRIVER time per call at w=32,
+    dwarfing the 0.7s of actual executor work.  Wrapping each block's
+    32 conditional SUMs in one string keeps plan construction ~10 py4j
+    calls; Catalyst extracts the identical 4*w aggregate functions
+    either way, so the executed plan (map-side partial SUMs -> one
+    shuffle of 4*w-int partials keyed on doc_id) is unchanged."""
     hexw = w // 4
     d = docs if docs is not None else load_parallel(spark, sf_dir, "documents")
     ex = d.select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
-    ).select("doc_id", F.md5("tok").alias("m"))
-    g = ex.select(
+    ).selectExpr("doc_id", "md5(tok) AS m")
+    g = ex.selectExpr(
         "doc_id",
         *[
-            F.conv(F.substring("m", hexw * b + 1, hexw), 16, 10).cast("long").alias(f"d{b}")
+            f"CAST(conv(substring(m, {hexw * b + 1}, {hexw}), 16, 10) AS BIGINT) AS d{b}"
             for b in range(4)
         ],
     )
-    votes = [
-        F.sum(
-            F.shiftright(F.col(f"d{b}"), k).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
-        ).alias(f"v{b}_{k}")
-        for b in range(4)
-        for k in range(w)
-    ]
-    sigs = g.groupBy("doc_id").agg(*votes)
-    blk_cols = []
-    for b in range(4):
-        bits = [
-            F.when(F.col(f"v{b}_{k}") >= 0, F.lit(1 << k).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+    blk_exprs = [
+        " + ".join(
+            f"CASE WHEN sum(CAST(shiftright(d{b}, {k}) & 1 AS INT) * 2 - 1) >= 0"
+            f" THEN CAST({1 << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
             for k in range(w)
-        ]
-        acc = bits[0]
-        for x in bits[1:]:
-            acc = acc + x
-        blk_cols.append(acc.alias(f"blk{b}"))
-    return sigs.select("doc_id", *blk_cols)
+        )
+        for b in range(4)
+    ]
+    return g.groupBy("doc_id").agg(
+        *[F.expr(e).alias(f"blk{b}") for b, e in enumerate(blk_exprs)]
+    )
 
 
 def _sql_radius3_pairs(sigs_cte: str) -> str:

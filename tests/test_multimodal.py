@@ -53,6 +53,72 @@ def _pdf(n_pages: int) -> bytes:
     return body + b"%%EOF"
 
 
+def _webp_vp8x(w: int, h: int) -> bytes:
+    """Extended WebP: VP8X chunk carries canvas (w-1, h-1) as 24-bit LE."""
+    payload = (
+        b"WEBPVP8X"
+        + struct.pack("<I", 10)
+        + b"\x00\x00\x00\x00"  # flags + reserved
+        + (w - 1).to_bytes(3, "little")
+        + (h - 1).to_bytes(3, "little")
+    )
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def _webp_vp8l(w: int, h: int) -> bytes:
+    """Lossless WebP: 0x2F signature then 14-bit (w-1) | 14-bit (h-1)."""
+    bits = (w - 1) | ((h - 1) << 14)
+    payload = b"WEBPVP8L" + struct.pack("<I", 5) + b"\x2f" + struct.pack("<I", bits)
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def _webp_vp8(w: int, h: int) -> bytes:
+    """Lossy WebP: 3-byte frame tag, 9D 01 2A start code, two LE u14 dims."""
+    payload = (
+        b"WEBPVP8 "
+        + struct.pack("<I", 10)
+        + b"\x00\x00\x00"  # frame tag
+        + b"\x9d\x01\x2a"
+        + struct.pack("<HH", w, h)
+    )
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def _pdf_linearized(n_pages: int) -> bytes:
+    """Fast-web-view layout: a /Linearized param dict first, first page
+    object moved ahead of the /Pages tree, then an incremental-update
+    tail re-writing object 1 — the three structural quirks a naive
+    'count after the root' scan trips on."""
+    out = b"%PDF-1.6\n9 0 obj << /Linearized 1 /L 1234 /N " + str(n_pages).encode()
+    out += b" >> endobj\n"
+    out += b"2 0 obj <</Type/Page/Parent 1 0 R>> endobj\n"  # no whitespace
+    out += b"1 0 obj << /Type /Pages /Count " + str(n_pages).encode() + b" /Kids ["
+    out += b" ".join(str(i + 2).encode() + b" 0 R" for i in range(n_pages)) + b"] >> endobj\n"
+    for i in range(1, n_pages):
+        out += str(i + 2).encode() + b" 0 obj << /Type /Page /Parent 1 0 R >> endobj\n"
+    out += b"xref\ntrailer << /Root 3 0 R >>\nstartxref\n0\n%%EOF\n"
+    # incremental update: a re-written /Pages node must not be re-counted
+    out += b"1 0 obj << /Type /Pages /Count " + str(n_pages).encode() + b" >> endobj\n"
+    out += b"startxref\n0\n%%EOF"
+    return out
+
+
+def _pdf_objstm(n_visible: int) -> bytes:
+    """PDF 1.5 object-stream file: page dicts hidden inside a compressed
+    /ObjStm (zlib), plus `n_visible` classic page leaves outside it."""
+    import zlib
+
+    hidden = b"".join(
+        b"<< /Type /Page /Parent 1 0 R >>\n" for _ in range(5)
+    )
+    stm = zlib.compress(hidden)
+    out = b"%PDF-1.5\n4 0 obj << /Type /ObjStm /N 5 /Filter /FlateDecode >> stream\n"
+    out += stm + b"\nendstream endobj\n"
+    for i in range(n_visible):
+        out += str(i + 5).encode() + b" 0 obj << /Type /Page >> endobj\n"
+    return out + b"%%EOF"
+
+
 try:
     from hypothesis import given, settings
     from hypothesis import strategies as st
@@ -74,8 +140,57 @@ try:
     def test_pdf_page_count_roundtrip_property(n):
         assert pdf_page_count(_pdf(n)) == n
 
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=1 << 24),
+        h=st.integers(min_value=1, max_value=1 << 24),
+    )
+    def test_webp_vp8x_roundtrip_property(w, h):
+        assert parse_image_meta(_webp_vp8x(w, h)) == (w, h, "webp")
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=1 << 14),
+        h=st.integers(min_value=1, max_value=1 << 14),
+    )
+    def test_webp_vp8l_roundtrip_property(w, h):
+        assert parse_image_meta(_webp_vp8l(w, h)) == (w, h, "webp")
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=(1 << 14) - 1),
+        h=st.integers(min_value=1, max_value=(1 << 14) - 1),
+    )
+    def test_webp_vp8_lossy_roundtrip_property(w, h):
+        assert parse_image_meta(_webp_vp8(w, h)) == (w, h, "webp")
+
+    @settings(max_examples=30, deadline=None)
+    @given(n=st.integers(min_value=1, max_value=60))
+    def test_pdf_linearized_roundtrip_property(n):
+        # linearized layout + whitespace-free dict + incremental update
+        # must still count exactly n page leaves
+        assert pdf_page_count(_pdf_linearized(n)) == n
+
 except ImportError:  # hypothesis is in the container, but stay import-safe
     pass
+
+
+def test_webp_adversarial_bytes():
+    # truncated VP8L (missing the 0x2F signature byte) -> not parsed
+    assert parse_image_meta(b"RIFF\x00\x00\x00\x00WEBPVP8L\x05\x00\x00\x00") is None
+    # VP8 lossy without the 9D 01 2A start code -> not parsed
+    bad = b"RIFF\x0e\x00\x00\x00WEBPVP8 \x0a\x00\x00\x00\x00\x00\x00\x00\x00\x00\x40\x00\x30\x00"
+    assert parse_image_meta(bad) is None
+    # unknown first chunk (ANMF before VP8X is malformed) -> not parsed
+    assert parse_image_meta(b"RIFF\x20\x00\x00\x00WEBPANMF" + b"\x00" * 20) is None
+
+
+def test_pdf_objstm_documented_undercount():
+    """PDF 1.5 object streams hide page dicts inside FlateDecode data;
+    the byte scan counts only VISIBLE leaves (documented limitation in
+    pdf_page_count's docstring) and never returns less than 1."""
+    assert pdf_page_count(_pdf_objstm(2)) == 2  # visible leaves still counted
+    assert pdf_page_count(_pdf_objstm(0)) == 1  # all-hidden floors at 1
 
 
 def test_parse_image_meta_real_headers():

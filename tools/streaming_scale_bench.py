@@ -1,0 +1,144 @@
+"""Streaming-at-scale study: hop3 (pro-JSON -> cleaner -> partitioned
+clean zone) driven through Trigger.AvailableNow at 16x the sf0.1 volume,
+with batch/stream parity and exactly-once asserted at that scale.
+
+The fixture-scale streaming tests (tests/test_streaming.py) prove the
+semantics; this tool proves the semantics SURVIVE volume: ~320k product
+rows (derived deterministically from the 16x `part` table, the same
+replication the rest of the scaling study uses) flow through the real
+checkpointed streaming query, and the result multiset is checksummed
+against the identical batch dataflow — no collect, the checksum is a
+decimal SUM of xxhash64 over every output column.
+
+Prints one JSON line per phase; the summary row feeds BASELINE.md §3.
+
+Usage: python tools/streaming_scale_bench.py [x16_dir] [n_json_files]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def product_json_from_part(spark, part_path: str):
+    """Deterministic pro-zone product rows derived from the `part` table
+    (same derivation at any scale): key-dependent branches exercise every
+    normalization arm of the cleaner — brand map hits, the `^\\d+(kg|g|
+    ml|l)$` unit regex, null/`'None'` weight_volume, missing group_id."""
+    from pyspark.sql import functions as F
+
+    p = spark.read.parquet(part_path)
+    k = F.col("p_partkey")
+    return p.select(
+        F.concat(
+            F.lit("data/pro/json/PnP/"),
+            F.element_at(F.array(F.lit("Gauteng"), F.lit("WCape"), F.lit("KZN")), (k % 3 + 1).cast("int")),
+            F.lit("/"),
+            F.element_at(F.array(F.lit("2026-01-05_2026-01-11"), F.lit("2026-01-12_2026-01-18")), (k % 2 + 1).cast("int")),
+            F.lit("/page_"),
+            (k % 1000).cast("string"),
+            F.lit(".json"),
+        ).alias("source_path"),
+        F.col("p_name").alias("product_name"),
+        F.element_at(
+            F.array(F.lit("Pick n Pay"), F.lit("KOO"), F.lit("no name"), F.col("p_brand"), F.lit("")),
+            (k % 5 + 1).cast("int"),
+        ).alias("brand"),
+        (F.col("p_retailprice") / 100).alias("current_price"),
+        F.when(k % 4 == 0, F.col("p_retailprice") / 90).alias("was_price"),
+        F.when(k % 6 == 0, F.lit("None")).otherwise((k % 900).cast("string")).alias("weight_volume"),
+        F.element_at(
+            F.array(F.lit("500g"), F.lit("LITRES"), F.lit("each"), F.lit("2kg"), F.lit(""), F.lit("ml")),
+            (k % 6 + 1).cast("int"),
+        ).alias("unit"),
+        F.when(k % 3 == 0, F.lit("multi_buy")).alias("deal_type"),
+        F.when(k % 5 == 0, (k % 7).cast("int")).alias("multi_buy_quantity"),
+        F.array((k % 50).cast("int"), (k % 60).cast("int"), (k % 50 + 100).cast("int"), (k % 60 + 80).cast("int")).alias("bounding_box"),
+        F.when(k % 2 == 0, F.concat(F.lit("grp_"), (k % 500).cast("string"))).alias("group_id"),
+    )
+
+
+def checksum(df):
+    """Order-insensitive multiset checksum over every column: decimal SUM
+    of per-row xxhash64 (decimal so 320k hash sums cannot overflow ANSI
+    longs).  Equal multisets <=> equal (count, sum) with overwhelming
+    probability."""
+    from pyspark.sql import functions as F
+
+    row = df.select(
+        F.xxhash64(*[F.col(c).cast("string") if dict(df.dtypes)[c].startswith("array") else F.col(c) for c in df.columns]).cast("decimal(38,0)").alias("h")
+    )
+    out = row.agg(F.count(F.lit(1)).alias("n"), F.sum("h").alias("s")).collect()[0]
+    return int(out["n"]), int(out["s"])
+
+
+def main() -> None:
+    x16_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, ".bench_data/x16")
+    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+
+    from specialsid_spark.operators.clean import clean_products
+    from specialsid_spark.operators.extraction import PRODUCT_JSON_SCHEMA
+    from specialsid_spark.session import get_spark
+    from specialsid_spark.streaming.pipeline import hop3_json_to_clean
+
+    spark = get_spark("streaming_scale_bench")
+    work = tempfile.mkdtemp(prefix="stream16x_")
+    json_dir = os.path.join(work, "pro_json")
+    clean_dir = os.path.join(work, "clean")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        src = product_json_from_part(spark, os.path.join(x16_dir, "part.parquet"))
+        src.repartition(n_files).write.mode("overwrite").json(json_dir)
+        n_src = spark.read.schema(PRODUCT_JSON_SCHEMA).json(json_dir).count()
+        print(json.dumps({"phase": "generate", "rows": n_src, "files": n_files}))
+
+        # batch twin: same cleaner over the same JSON directory
+        t0 = time.time()
+        batch = clean_products(spark.read.schema(PRODUCT_JSON_SCHEMA).json(json_dir))
+        b_n, b_sum = checksum(batch)
+        t_batch = round(time.time() - t0, 2)
+        print(json.dumps({"phase": "batch", "rows": b_n, "sec": t_batch}))
+
+        # streaming run 1: availableNow drains the directory exactly once
+        t0 = time.time()
+        hop3_json_to_clean(spark, json_dir, clean_dir, ckpt).awaitTermination()
+        t_stream = round(time.time() - t0, 2)
+        s_n, s_sum = checksum(spark.read.schema(batch.schema).parquet(clean_dir))
+        print(json.dumps({"phase": "stream", "rows": s_n, "sec": t_stream}))
+        assert (s_n, s_sum) == (b_n, b_sum), (
+            f"PARITY FAIL: batch ({b_n}, {b_sum}) != stream ({s_n}, {s_sum})"
+        )
+
+        # streaming run 2 on the same checkpoint: exactly-once -> no growth
+        hop3_json_to_clean(spark, json_dir, clean_dir, ckpt).awaitTermination()
+        s2_n, s2_sum = checksum(spark.read.schema(batch.schema).parquet(clean_dir))
+        assert (s2_n, s2_sum) == (s_n, s_sum), "EXACTLY-ONCE FAIL: rerun changed the sink"
+
+        print(
+            json.dumps(
+                {
+                    "metric": "hop3_availableNow_16x",
+                    "rows": s_n,
+                    "stream_sec": t_stream,
+                    "batch_sec": t_batch,
+                    "parity": True,
+                    "exactly_once": True,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
