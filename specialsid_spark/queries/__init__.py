@@ -67,6 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_simhash_radius3_pairs",
     "fuzzy_token_set_ratio",
     "sim_lsh_multitable_topk",
+    "cur_pii_scrub",
     "join_asof_signup_before_error",
     "join_broadcast_part_revenue",
     "join_market_basket_pairs",

@@ -514,3 +514,71 @@ def cur_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "lang_guess")
     )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+@register(
+    "cur_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      -- deterministic PII injection (same derivation on both engines):
+      -- the synthetic corpus carries no PII, so the fixture plants an
+      -- email + an IP on every 5th document; the OPERATOR is the scrub
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 5 = 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com from 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.1'
+               ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{_PII_IPV4}', '<IP>', 'g')) AS scrubbed_md5
+    FROM aug
+    ORDER BY doc_id
+    """,
+)
+def cur_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for a training corpus: global regex redaction of
+    emails and IPv4 addresses, plus per-doc match counts for the
+    redaction audit trail.  Both regexes are written in the common
+    Java-regex/RE2 subset so Spark and the DuckDB oracle replace the
+    exact same spans; the value check compares md5 of the scrubbed text
+    (never shipping the text through the compare).
+
+    Scale shape: one codegen'd projection over the scan — no shuffle,
+    no UDF; regexp_replace/regexp_count are JVM-side and the audit
+    aggregate (if rolled up downstream) shuffles two ints per doc."""
+    d = load_parallel(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PII_IPV4)).cast("long").alias("n_ips"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"), _PII_IPV4, "<IP>"
+            )
+        ).alias("scrubbed_md5"),
+    ).orderBy("doc_id")

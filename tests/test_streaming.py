@@ -413,3 +413,43 @@ def test_streaming_static_enrich_join(spark, tmp_path):
     assert rows[("2024-01-01 10:00:00", "gold")] == (2, 7.0)
     assert rows[("2024-01-01 10:00:00", "silver")] == (1, 3.0)
     assert len(rows) == 2  # user 99 contributed nothing
+
+
+def test_hop3_batch_stream_parity_bulk(spark, tmp_path):
+    """Batch/stream parity for hop3 on a BULK corpus: the same product
+    JSON (derived deterministically from the sf0.01 `part` table, 2k
+    rows exercising every cleaner arm) must produce an identical result
+    multiset through the availableNow streaming query and the plain
+    batch dataflow, and re-running the stream must add nothing.  The
+    16x-volume twin of this check is tools/streaming_scale_bench.py
+    (scaling row in BASELINE.md §3)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+    )
+    from streaming_scale_bench import checksum, product_json_from_part
+
+    from specialsid_spark.operators.clean import clean_products
+    from specialsid_spark.operators.extraction import PRODUCT_JSON_SCHEMA
+    from specialsid_spark.streaming.pipeline import hop3_json_to_clean
+
+    json_dir = str(tmp_path / "pro_json")
+    clean_dir = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+
+    src = product_json_from_part(spark, "/root/testdata/sf0.01/part.parquet")
+    src.repartition(8).write.mode("overwrite").json(json_dir)
+
+    batch = clean_products(spark.read.schema(PRODUCT_JSON_SCHEMA).json(json_dir))
+    b_n, b_sum = checksum(batch)
+    assert b_n == 2000
+
+    hop3_json_to_clean(spark, json_dir, clean_dir, ckpt).awaitTermination()
+    streamed = spark.read.schema(batch.schema).parquet(clean_dir)
+    assert checksum(streamed) == (b_n, b_sum)
+
+    # exactly-once: the same checkpoint drains nothing new
+    hop3_json_to_clean(spark, json_dir, clean_dir, ckpt).awaitTermination()
+    assert checksum(spark.read.schema(batch.schema).parquet(clean_dir)) == (b_n, b_sum)
