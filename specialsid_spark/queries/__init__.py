@@ -68,6 +68,9 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_token_set_ratio",
     "sim_lsh_multitable_topk",
     "cur_pii_scrub",
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
     "join_asof_signup_before_error",
     "join_broadcast_part_revenue",
     "join_market_basket_pairs",
@@ -114,6 +117,7 @@ def _load_modules() -> None:
     # multimodal/vectors/streaming_q), then the modules that were already
     # verified green in CORRECTNESS_r01.json.
     from specialsid_spark.queries import (  # noqa: F401
+        tpch3,
         tpch2,
         tpch,
         subqueries,

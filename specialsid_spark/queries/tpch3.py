@@ -1,0 +1,252 @@
+"""TPC-H query shapes, batch 3 (Q1/Q2/Q11) — completes all 22.
+
+The reference's analytic surface is the Athena SQL catalogue over the
+clean zone (`infrastructure/main.tf:286-352`); Q1/Q2/Q11 are the three
+canonical shapes the first two batches had not yet covered: the full
+pricing-summary scan-aggregate, the correlated-minimum supplier lookup,
+and the scalar-subquery HAVING over an aggregate.
+
+Adaptations forced by the fixture schema (TESTDATA.md has no
+`partsupp`, `p_mfgr`, `s_address`):
+
+* Q2/Q11's part⇄supplier relation derives from `lineitem` (the only
+  such relation in the fixtures — same adaptation Q16 uses), with
+  "supply cost" = the minimum exact unit price a supplier ever charged
+  for the part (integer-cents `div` integer-quantity: exact and
+  identical in both engines).
+* Q2 keeps p_size = 15 but drops the '%BRASS' type predicate (the
+  fixture p_type domain is ECONOMY/STANDARD/…); p_brand stands in for
+  p_mfgr in the projection.
+* Q11's scope is the EUROPE *region* (fixture nations are synthetic
+  NATION_n; a single nation is degenerate at sf0.001), and the
+  "fraction of total" threshold becomes "value > 2× the average part
+  value" — the scalar-subquery-in-HAVING shape survives, and the
+  predicate stays non-degenerate at every SF instead of pinning a
+  fraction to one corpus size.
+
+Money arithmetic uses the integer-cents idiom (_determinism.py): all
+comparisons happen on exact integers, one double division at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from specialsid_spark.catalog import load
+from specialsid_spark.queries import register
+from specialsid_spark.queries._determinism import (
+    cents,
+    exact_sum,
+    money_avg,
+    money_sum,
+    sql_cents,
+    sql_money_avg,
+    sql_money_sum,
+)
+
+_QTY = "CAST(round(l_quantity) AS BIGINT)"
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM({_QTY}) AS BIGINT) AS sum_qty,
+      {sql_money_sum("l_extendedprice", "sum_base_price")},
+      CAST(SUM({sql_cents("l_extendedprice")} * (100 - {sql_cents("l_discount")})) AS DOUBLE)
+        / 10000.0 AS sum_disc_price,
+      CAST(SUM({sql_cents("l_extendedprice")} * (100 - {sql_cents("l_discount")})
+               * (100 + {sql_cents("l_tax")})) AS DOUBLE) / 1000000.0 AS sum_charge,
+      CAST(SUM({_QTY}) AS DOUBLE) / COUNT(*) AS avg_qty,
+      {sql_money_avg("l_extendedprice", "avg_price")},
+      CAST(SUM({sql_cents("l_discount")}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
+      CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 with the FULL column battery (the A1 sibling
+    `agg_pricing_summary` predates it and omits avg_qty/avg_disc).
+    Single scan -> partial aggregate -> one exchange on the 4-value
+    group key -> final aggregate: the canonical map-side-combine shape;
+    at 100 TB the shuffle carries a handful of exact-integer partials
+    per (partition, flag, status), never rows."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    price_c, disc_c, tax_c = cents("l_extendedprice"), cents("l_discount"), cents("l_tax")
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("long").alias("sum_qty"),
+            money_sum("l_extendedprice", "sum_base_price"),
+            (exact_sum(price_c * (100 - disc_c)).cast("double") / 10000.0).alias("sum_disc_price"),
+            (
+                exact_sum((price_c * (100 - disc_c)).cast("decimal(38,0)") * (100 + tax_c)).cast("double")
+                / 1000000.0
+            ).alias("sum_charge"),
+            (F.sum(qty).cast("double") / cnt.cast("double")).alias("avg_qty"),
+            money_avg("l_extendedprice", "avg_price"),
+            (exact_sum(disc_c).cast("double") / 100.0 / cnt.cast("double")).alias("avg_disc"),
+            cnt.cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_SQL_UNIT_COST = f"""
+    ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN({sql_cents("l_extendedprice")} // {_QTY}) AS cost_cents
+      FROM lineitem
+      WHERE {_QTY} > 0
+      GROUP BY 1, 2
+    )
+"""
+
+
+def _unit_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(partkey, suppkey, cost_cents): minimum exact unit price each
+    supplier ever charged for each part — the fixtures' stand-in for
+    partsupp.ps_supplycost.  Integer `div` on cents keeps both engines
+    bit-identical (no FP division in the comparison path)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "l_partkey AS partkey",
+            "l_suppkey AS suppkey",
+            f"{sql_cents('l_extendedprice')} AS price_c",
+            f"{_QTY} AS qty",
+        )
+        .filter(F.col("qty") > 0)
+        .selectExpr("partkey", "suppkey", "price_c div qty AS unit_c")
+        .groupBy("partkey", "suppkey")
+        .agg(F.min("unit_c").alias("cost_cents"))
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_SQL_UNIT_COST},
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    costs AS (
+      SELECT ps.partkey, ps.cost_cents, eu.s_name, eu.s_acctbal, eu.n_name
+      FROM ps JOIN eu ON ps.suppkey = eu.s_suppkey
+    ),
+    min_cost AS (SELECT partkey, MIN(cost_cents) AS mc FROM costs GROUP BY 1)
+    SELECT c.s_acctbal, c.s_name, c.n_name,
+           CAST(p.p_partkey AS BIGINT) AS p_partkey, p.p_brand,
+           CAST(c.cost_cents AS DOUBLE) / 100.0 AS supply_cost
+    FROM part p
+    JOIN costs c ON c.partkey = p.p_partkey
+    JOIN min_cost m ON m.partkey = p.p_partkey AND c.cost_cents = m.mc
+    WHERE p.p_size = 15
+    ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: for each size-15 part, the EUROPE supplier(s) charging the
+    regional minimum supply cost.  The classic correlated-MIN subquery,
+    decorrelated: per-part minimum as a groupBy re-joined on
+    (partkey, cost) — two shuffles on partkey that AQE plans back to
+    back on the same key, with region⋈nation⋈supplier broadcast into
+    the cost table.  TakeOrderedAndProject caps the result at 100."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") == 15).select("p_partkey", "p_brand")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = load(spark, sf_dir, "supplier")
+    eu = (
+        s.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = _unit_costs(spark, sf_dir).join(
+        F.broadcast(eu), F.col("suppkey") == F.col("s_suppkey")
+    ).select("partkey", "cost_cents", "s_name", "s_acctbal", "n_name")
+    min_cost = costs.groupBy("partkey").agg(F.min("cost_cents").alias("mc"))
+    return (
+        costs.join(min_cost, (costs.partkey == min_cost.partkey) & (costs.cost_cents == min_cost.mc))
+        .drop(min_cost.partkey)
+        .join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            "p_brand",
+            (F.col("cost_cents").cast("double") / 100.0).alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH eu AS (
+      SELECT s_suppkey
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    val AS (
+      SELECT l_partkey AS partkey,
+             SUM({sql_cents("l_extendedprice")} * {_QTY}) AS v
+      FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+      GROUP BY 1
+    ),
+    tot AS (SELECT SUM(v) AS tv, COUNT(*) AS np FROM val)
+    SELECT CAST(val.partkey AS BIGINT) AS p_partkey,
+           CAST(val.v AS DOUBLE) / 100.0 AS stock_value
+    FROM val, tot
+    WHERE val.v * tot.np > 2 * tot.tv
+    ORDER BY stock_value DESC, p_partkey
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11: parts whose EUROPE-supplied stock value exceeds 2× the
+    average part value — the scalar-subquery-in-HAVING shape.  The
+    scalar (total, count) aggregate is broadcast back over the per-part
+    values as a 1-row cross join, so the filter is map-side; the
+    comparison `v * np > 2 * tv` is exact integer arithmetic on both
+    engines (no fraction-of-total FP).  At 100 TB: one shuffle on
+    partkey for the value rollup, one 1-row broadcast — no global sort
+    until the final (small) result."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = load(spark, sf_dir, "supplier")
+    eu = (
+        s.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    val = (
+        li.join(F.broadcast(eu), li.l_suppkey == eu.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(exact_sum(cents("l_extendedprice") * qty).alias("v"))
+    )
+    tot = val.agg(F.sum("v").alias("tv"), F.count(F.lit(1)).alias("np"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("v") * F.col("np") > 2 * F.col("tv"))
+        .select(
+            F.col("partkey").cast("long").alias("p_partkey"),
+            (F.col("v").cast("double") / 100.0).alias("stock_value"),
+        )
+        .orderBy(F.col("stock_value").desc(), "p_partkey")
+    )
