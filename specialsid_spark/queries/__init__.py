@@ -71,6 +71,8 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q1_pricing_summary",
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",
+    "emb_pq_encode",
+    "sim_pq_adc_topk",
     "join_asof_signup_before_error",
     "join_broadcast_part_revenue",
     "join_market_basket_pairs",
@@ -117,6 +119,7 @@ def _load_modules() -> None:
     # multimodal/vectors/streaming_q), then the modules that were already
     # verified green in CORRECTNESS_r01.json.
     from specialsid_spark.queries import (  # noqa: F401
+        pq,
         tpch3,
         tpch2,
         tpch,

@@ -1,0 +1,353 @@
+"""Product quantization (SURVEY.md §2.11 X2 — the ANN *compression*
+path).
+
+IVF (sim_ivf_topk) bounds how many candidates a query scores; PQ bounds
+how much memory each candidate costs: a 64-dim float vector (256 B)
+becomes M=8 sub-codes into K=16-entry codebooks — 8 codes ≈ 4-8 B, a
+32-64× compression.  At 1e10 vectors (100 TB corpus) the PQ codes of
+the ENTIRE corpus fit in cluster memory (~80 GB), which is why
+production ANN is IVF+PQ (Jégou et al., "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011) — compose these operators with
+the IVF cells for the full IVFADC layout.
+
+Determinism: all distances/dot products run on micro-unit integers
+(floor(x·1e6)), so encode, distortion, and ADC scores are exact and
+bit-identical in Spark and DuckDB; codebooks are the subvectors of the
+first K corpus vectors (a deterministic stand-in for a trained
+codebook, same device as sim_ivf_topk's centroids).  Ties in the
+argmin break toward the lowest code id in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from specialsid_spark.catalog import load_parallel
+from specialsid_spark.queries import register
+
+_M = 8  # subvectors per vector (64 dims -> 8 dims each)
+_K = 16  # codebook entries per subvector
+_SUB = 8  # dims per subvector
+
+_SQL_MU = "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000) AS BIGINT))"
+
+#: Shared CTE chain: micro-unit vectors -> subvectors -> codebooks ->
+#: per-(vec, m) argmin codes with exact squared-L2 distances.
+_SQL_CODES = f"""
+    e AS (SELECT vec_id, {_SQL_MU} AS mu FROM embeddings),
+    ms AS (SELECT unnest(range(0, {_M})) AS m),
+    sub AS (
+      SELECT e.vec_id, ms.m, e.mu[{_SUB} * ms.m + 1 : {_SUB} * ms.m + {_SUB}] AS sv
+      FROM e CROSS JOIN ms
+    ),
+    cb AS (SELECT m, vec_id AS k, sv AS cv FROM sub WHERE vec_id < {_K}),
+    dist AS (
+      SELECT s.vec_id, s.m, c.k,
+             list_sum(list_transform(range(1, {_SUB + 1}),
+                                     i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d
+      FROM sub s JOIN cb c ON c.m = s.m
+    ),
+    codes AS (
+      SELECT vec_id, m, k AS code, d,
+             row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+      FROM dist
+    ),
+    chosen AS (SELECT vec_id, m, code, d FROM codes WHERE rn = 1)
+"""
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, code, d): the PQ encoder — argmin codebook entry per
+    subvector, exact integer squared-L2, ties to the lowest code.
+
+    Scale shape: the codebook is _M × _K tiny rows (broadcast); each
+    corpus vector meets _M × _K candidates map-side, and the argmin is
+    a WindowGroupLimit-able row_number over a _K-row group — no shuffle
+    wider than (vec_id, m) keys carrying one long each."""
+    e = load_parallel(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor(x * 1000000) AS BIGINT)) AS mu",
+    )
+    sub = e.selectExpr(
+        "vec_id", f"explode(sequence(0, {_M - 1})) AS m", "mu"
+    ).selectExpr("vec_id", "m", f"slice(mu, {_SUB} * m + 1, {_SUB}) AS sv")
+    cb = sub.filter(F.col("vec_id") < _K).selectExpr("m AS cm", "vec_id AS k", "sv AS cv")
+    dist = sub.join(F.broadcast(cb), F.col("m") == F.col("cm")).selectExpr(
+        "vec_id",
+        "m",
+        "k",
+        "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS d",
+    )
+    w = F.row_number().over(Window.partitionBy("vec_id", "m").orderBy("d", "k"))
+    return (
+        dist.withColumn("rn", w)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("k").alias("code"), "d")
+    )
+
+
+@register(
+    "emb_pq_encode",
+    oracle=f"""
+    WITH {_SQL_CODES}
+    SELECT vec_id,
+           list(code ORDER BY m) AS codes,
+           CAST(SUM(d) AS BIGINT) AS distortion
+    FROM chosen
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode: each vector's 8 sub-codes plus its exact quantization
+    distortion (Σ squared-L2 to the chosen codebook entries, micro-unit
+    integers).  The codes column IS the compressed corpus — 8 small
+    ints instead of 64 floats."""
+    codes = _pq_codes(spark, sf_dir)
+    return (
+        codes.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
+            ).alias("codes"),
+            F.sum("d").cast("long").alias("distortion"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle=f"""
+    WITH {_SQL_CODES},
+    qsub AS (SELECT vec_id AS qid, m, sv FROM sub WHERE vec_id < 5),
+    lut AS (
+      SELECT q.qid, c.m, c.k,
+             list_sum(list_transform(range(1, {_SUB + 1}), i -> q.sv[i] * c.cv[i])) AS pdot,
+             list_sum(list_transform(range(1, {_SUB + 1}), i -> c.cv[i] * c.cv[i])) AS c2
+      FROM qsub q JOIN cb c ON c.m = q.m
+    ),
+    qn AS (
+      SELECT vec_id AS qid, sqrt(CAST(list_sum(list_transform(mu, x -> x * x)) AS DOUBLE)) AS qnorm
+      FROM e WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT l.qid, ch.vec_id AS neighbor_id,
+             SUM(l.pdot) AS adot, SUM(l.c2) AS r2
+      FROM chosen ch
+      JOIN lut l ON l.m = ch.m AND l.k = ch.code
+      WHERE ch.vec_id <> l.qid
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT qid AS query_id, neighbor_id,
+             CAST(s.adot AS DOUBLE) / (q.qnorm * sqrt(CAST(s.r2 AS DOUBLE))) AS cs,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY CAST(s.adot AS DOUBLE) / (q.qnorm * sqrt(CAST(s.r2 AS DOUBLE))) DESC,
+                        neighbor_id
+             ) AS rk
+      FROM scored s JOIN qn q USING (qid)
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, round(cs, 6) AS adc_cos
+    FROM ranked WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ-compressed corpus:
+    the query stays full-precision, each neighbor is its 8 codes, and
+    the score is the dot product against the RECONSTRUCTED neighbor —
+    computed as Σ_m LUT[m][code_m], where the LUT holds the query's
+    exact partial dots with every codebook entry (M×K = 128 entries
+    per query, computed once).
+
+    This is the memory-bound ANN layout: the scoring join touches only
+    (vec_id, m, code) int triples and a broadcast 128-row LUT — the
+    original vectors are read once at encode time and never again.
+    Compose with the IVF cells (sim_ivf_topk) for full IVFADC.  The
+    approximation quality (vs exact brute force) is pinned by
+    tests/test_ann_recall.py."""
+    from pyspark.sql.window import Window
+
+    codes = _pq_codes(spark, sf_dir)
+    e = load_parallel(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor(x * 1000000) AS BIGINT)) AS mu",
+    )
+    qsub = (
+        e.filter(F.col("vec_id") < 5)
+        .selectExpr("vec_id AS qid", f"explode(sequence(0, {_M - 1})) AS m", "mu")
+        .selectExpr("qid", "m", f"slice(mu, {_SUB} * m + 1, {_SUB}) AS sv")
+    )
+    cb = (
+        e.filter(F.col("vec_id") < _K)
+        .selectExpr("vec_id AS k", f"explode(sequence(0, {_M - 1})) AS cm", "mu")
+        .selectExpr("k", "cm", f"slice(mu, {_SUB} * cm + 1, {_SUB}) AS cv")
+    )
+    lut = qsub.join(F.broadcast(cb), F.col("m") == F.col("cm")).selectExpr(
+        "qid",
+        "m AS lm",
+        "k",
+        "aggregate(zip_with(sv, cv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS pdot",
+        "aggregate(transform(cv, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS c2",
+    )
+    qn = e.filter(F.col("vec_id") < 5).selectExpr(
+        "vec_id AS qid",
+        "sqrt(CAST(aggregate(transform(mu, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)) AS qnorm",
+    )
+    scored = (
+        codes.join(
+            F.broadcast(lut),
+            (F.col("m") == F.col("lm"))
+            & (F.col("code") == F.col("k"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .groupBy("qid", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdot").alias("adot"), F.sum("c2").alias("r2"))
+    )
+    cs = F.col("adot").cast("double") / (F.col("qnorm") * F.sqrt(F.col("r2").cast("double")))
+    w = Window.partitionBy("qid").orderBy(F.col("cs").desc(), "neighbor_id")
+    return (
+        scored.join(F.broadcast(qn), "qid")
+        .withColumn("cs", cs)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("qid").alias("query_id"),
+            "neighbor_id",
+            "rk",
+            F.round("cs", 6).alias("adc_cos"),
+        )
+        .orderBy("query_id", "rk")
+    )
+
+
+_R = 50  # ADC shortlist size fed to exact re-ranking
+
+
+@register(
+    "sim_pq_rerank_topk",
+    oracle=f"""
+    WITH {_SQL_CODES},
+    qsub AS (SELECT vec_id AS qid, m, sv FROM sub WHERE vec_id < 5),
+    lut AS (
+      SELECT q.qid, c.m, c.k,
+             list_sum(list_transform(range(1, {_SUB + 1}), i -> q.sv[i] * c.cv[i])) AS pdot,
+             list_sum(list_transform(range(1, {_SUB + 1}), i -> c.cv[i] * c.cv[i])) AS c2
+      FROM qsub q JOIN cb c ON c.m = q.m
+    ),
+    adc AS (
+      SELECT l.qid, ch.vec_id AS neighbor_id, SUM(l.pdot) AS adot, SUM(l.c2) AS r2
+      FROM chosen ch JOIN lut l ON l.m = ch.m AND l.k = ch.code
+      WHERE ch.vec_id <> l.qid
+      GROUP BY 1, 2
+    ),
+    shortlist AS (
+      SELECT qid, neighbor_id,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(r2 AS DOUBLE)) DESC, neighbor_id
+             ) AS srk
+      FROM adc
+    ),
+    exact AS (
+      SELECT s.qid AS query_id, s.neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65), i -> q.mu[i] * n.mu[i])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(q.mu, x -> x * x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(n.mu, x -> x * x)) AS DOUBLE))) AS cs
+      FROM shortlist s
+      JOIN e q ON q.vec_id = s.qid
+      JOIN e n ON n.vec_id = s.neighbor_id
+      WHERE s.srk <= {_R}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cs,
+             row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rk
+      FROM exact
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, round(cs, 6) AS cos_sim
+    FROM ranked WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def sim_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ layout: ADC over the compressed corpus produces
+    a {_R}-candidate shortlist per query (memory-bound, codes only),
+    then ONLY those candidates' full vectors are fetched and re-scored
+    with the exact micro-unit cosine — recall recovers to near-exact
+    while the full-precision reads stay at R/|corpus| of the data.
+
+    Scale shape: stage 1 touches (vec_id, m, code) triples + a
+    broadcast LUT; stage 2 is an equi-join of R×|queries| ids against
+    the vector table (a semi-join-sized read, pushed to the scan at
+    real SFs).  Recall floor pinned in tests/test_ann_recall.py."""
+    codes = _pq_codes(spark, sf_dir)
+    e = load_parallel(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor(x * 1000000) AS BIGINT)) AS mu",
+    )
+    qsub = (
+        e.filter(F.col("vec_id") < 5)
+        .selectExpr("vec_id AS qid", f"explode(sequence(0, {_M - 1})) AS m", "mu")
+        .selectExpr("qid", "m", f"slice(mu, {_SUB} * m + 1, {_SUB}) AS sv")
+    )
+    cb = (
+        e.filter(F.col("vec_id") < _K)
+        .selectExpr("vec_id AS k", f"explode(sequence(0, {_M - 1})) AS cm", "mu")
+        .selectExpr("k", "cm", f"slice(mu, {_SUB} * cm + 1, {_SUB}) AS cv")
+    )
+    lut = qsub.join(F.broadcast(cb), F.col("m") == F.col("cm")).selectExpr(
+        "qid",
+        "m AS lm",
+        "k",
+        "aggregate(zip_with(sv, cv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS pdot",
+        "aggregate(transform(cv, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS c2",
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (F.col("m") == F.col("lm"))
+            & (F.col("code") == F.col("k"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .groupBy("qid", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdot").alias("adot"), F.sum("c2").alias("r2"))
+    )
+    ws = Window.partitionBy("qid").orderBy(
+        (F.col("adot").cast("double") / F.sqrt(F.col("r2").cast("double"))).desc(),
+        "neighbor_id",
+    )
+    shortlist = (
+        adc.withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= _R)
+        .select("qid", "neighbor_id")
+    )
+    nvec = e.selectExpr(
+        "vec_id AS nid",
+        "mu AS nmu",
+        "sqrt(CAST(aggregate(transform(mu, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)) AS nn",
+    )
+    qvec = e.filter(F.col("vec_id") < 5).selectExpr(
+        "vec_id AS qvid",
+        "mu AS qmu",
+        "sqrt(CAST(aggregate(transform(mu, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)) AS qn",
+    )
+    exact = (
+        shortlist.join(nvec, F.col("neighbor_id") == F.col("nid"))
+        .join(F.broadcast(qvec), F.col("qid") == F.col("qvid"))
+        .selectExpr(
+            "qid AS query_id",
+            "neighbor_id",
+            "CAST(aggregate(zip_with(qmu, nmu, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE) / (qn * nn) AS cs",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), "neighbor_id")
+    return (
+        exact.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "rk", F.round("cs", 6).alias("cos_sim"))
+        .orderBy("query_id", "rk")
+    )
