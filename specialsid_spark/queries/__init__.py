@@ -73,6 +73,8 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q11_important_stock",
     "emb_pq_encode",
     "sim_pq_adc_topk",
+    "sim_pq_rerank_topk",
+    "cur_contamination_bloom",
     "join_asof_signup_before_error",
     "join_broadcast_part_revenue",
     "join_market_basket_pairs",

@@ -582,3 +582,107 @@ def cur_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("scrubbed_md5"),
     ).orderBy("doc_id")
+
+
+_BLOOM_WORDS = 128  # 128 x 32-bit words = 4096-bit filter
+_BLOOM_K = 3  # hash functions (md5 hex slices)
+
+
+def _sql_bloom_words() -> str:
+    """DuckDB: the 128 bit_or word aggregates building the filter."""
+    return ", ".join(
+        f"bit_or(CASE WHEN p // 32 = {w} THEN (CAST(1 AS BIGINT) << CAST(p % 32 AS INT))"
+        f" ELSE 0 END) AS w{w}"
+        for w in range(_BLOOM_WORDS)
+    )
+
+
+@register(
+    "cur_contamination_bloom",
+    oracle=f"""
+    WITH ref AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 97 = 0),
+    bits AS (
+      SELECT (('0x' || substring(r.h, 8 * j.j + 1, 8))::BIGINT % {_BLOOM_WORDS * 32}) AS p
+      FROM ref r CROSS JOIN (SELECT unnest(range(0, {_BLOOM_K})) AS j) j
+    ),
+    bloom AS (
+      SELECT [{", ".join(f"w{w}" for w in range(_BLOOM_WORDS))}] AS bm
+      FROM (SELECT {_sql_bloom_words()} FROM bits)
+    ),
+    probes AS (
+      SELECT doc_id, md5(text) AS h,
+             list_transform(range(0, {_BLOOM_K}),
+                            j -> ('0x' || substring(md5(text), 8 * j + 1, 8))::BIGINT
+                                 % {_BLOOM_WORDS * 32}) AS ps
+      FROM documents
+    ),
+    flags AS (
+      SELECT p.doc_id,
+             len(list_filter(p.ps,
+                             q -> ((b.bm[CAST(q // 32 AS INT) + 1] >> CAST(q % 32 AS INT)) & 1) = 1))
+               = {_BLOOM_K} AS bloom_hit,
+             p.h IN (SELECT h FROM ref) AS exact_hit
+      FROM probes p CROSS JOIN bloom b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+           CAST(SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits,
+           CAST(SUM(CASE WHEN bloom_hit AND NOT exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_positives
+    FROM flags
+    """,
+)
+def cur_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination pre-screen — the scale path when the
+    reference set is too big to broadcast EXACTLY (1e9+ eval shingles):
+    a {_BLOOM_WORDS * 32}-bit / k={_BLOOM_K} filter is built as a
+    DISTRIBUTED bit_or aggregate (one shuffle of 128-long partials, the
+    SimHash expression-string pattern), broadcast as one 1-row array,
+    and every corpus document tests membership map-side.  Bloom "maybe"
+    hits then flow to the exact check — here computed for ALL docs so
+    the query also MEASURES the false-positive rate instead of assuming
+    the textbook formula; in production only the (tiny) maybe-set pays
+    the exact join.
+
+    The reference set is the deterministic doc_id %% 97 == 0 slice,
+    keyed by md5(text) — content hashes, never engine hashes, so both
+    engines build bit-identical filters."""
+    d = load_parallel(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 97 == 0).select(F.md5("text").alias("h"))
+    bits = ref.selectExpr(f"explode(sequence(0, {_BLOOM_K - 1})) AS j", "h").selectExpr(
+        f"CAST(conv(substring(h, 8 * j + 1, 8), 16, 10) AS BIGINT) % {_BLOOM_WORDS * 32} AS p"
+    )
+    word_exprs = [
+        f"bit_or(CASE WHEN p div 32 = {w} THEN shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))"
+        f" ELSE 0 END) AS w{w}"
+        for w in range(_BLOOM_WORDS)
+    ]
+    bloom = bits.groupBy().agg(
+        *[F.expr(e) for e in word_exprs]
+    ).selectExpr(f"array({', '.join(f'w{w}' for w in range(_BLOOM_WORDS))}) AS bm")
+    probes = d.selectExpr(
+        "doc_id",
+        "md5(text) AS h",
+        f"transform(sequence(0, {_BLOOM_K - 1}),"
+        f" j -> CAST(conv(substring(md5(text), 8 * j + 1, 8), 16, 10) AS BIGINT)"
+        f" % {_BLOOM_WORDS * 32}) AS ps",
+    )
+    flags = (
+        probes.crossJoin(F.broadcast(bloom))
+        .join(F.broadcast(ref.distinct().withColumnRenamed("h", "rh")),
+              F.col("h") == F.col("rh"), "left")
+        .selectExpr(
+            "doc_id",
+            f"forall(ps, q -> ((element_at(bm, CAST(q div 32 AS INT) + 1)"
+            f" >> CAST(q % 32 AS INT)) & 1) = 1) AS bloom_hit",
+            "rh IS NOT NULL AS exact_hit",
+        )
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).cast("long").alias("n_bloom_hits"),
+        F.sum(F.when(F.col("exact_hit"), 1).otherwise(0)).cast("long").alias("n_exact_hits"),
+        F.sum(F.when(F.col("bloom_hit") & ~F.col("exact_hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_positives"),
+    )
