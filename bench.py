@@ -47,6 +47,14 @@ HEADLINE = [
     "cur_gopher_repetition",
     "emb_quantize_int8",
     "ev_retention_cohorts",
+    # round-3 headline additions
+    "dedup_simhash_radius3_pairs",
+    "sim_lsh_multitable_topk",
+    "sim_pq_rerank_topk",
+    "cur_pii_scrub",
+    "cur_contamination_bloom",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
 ]
 
 
