@@ -193,6 +193,130 @@ def crop_bmp(blob: bytes, ymin: int, xmin: int, ymax: int, xmax: int) -> bytes |
     return b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54) + dib_out + px
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # colortype -> samples/pixel
+
+
+def decode_png(blob: bytes) -> tuple[int, int, int, bytearray] | None:
+    """REAL pixel decode for (non-interlaced, 8-bit) PNG bytes using
+    only the stdlib: concatenate IDAT chunks, zlib-inflate, and undo
+    the per-scanline filters (None/Sub/Up/Average/Paeth).  Returns
+    (width, height, channels, raw pixels row-major) or None when the
+    payload is not a PNG this decoder supports (16-bit, paletted, and
+    interlaced images fall back to the caller's stub path)."""
+    import zlib
+
+    if len(blob) < 33 or blob[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    w = h = bitd = ctype = interlace = None
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(blob):
+        (ln,) = struct.unpack(">I", blob[i : i + 4])
+        tag = blob[i + 4 : i + 8]
+        data = blob[i + 8 : i + 8 + ln]
+        if tag == b"IHDR":
+            w, h = struct.unpack(">II", data[:8])
+            bitd, ctype, _, _, interlace = data[8:13]
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        i += 12 + ln  # len + tag + data + crc
+    if not w or not h or bitd != 8 or ctype not in _PNG_CHANNELS or interlace:
+        return None
+    ch = _PNG_CHANNELS[ctype]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if f == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pr) & 0xFF
+        elif f != 0:
+            return None
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return w, h, ch, out
+
+
+def encode_png(w: int, h: int, ch: int, pixels: bytes | bytearray) -> bytes:
+    """Minimal PNG writer (8-bit, filter 0 per scanline) — stdlib only,
+    with correct chunk CRCs; round-trips through :func:`decode_png`."""
+    import zlib
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    stride = w * ch
+    raw = b"".join(
+        b"\x00" + bytes(pixels[y * stride : (y + 1) * stride]) for y in range(h)
+    )
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def crop_png(blob: bytes, ymin: int, xmin: int, ymax: int, xmax: int) -> bytes | None:
+    """REAL pixel crop for PNG bytes, dependency-free: full decode
+    (:func:`decode_png`), row/column slice in top-down visual
+    coordinates with bbox clamping (the P5/F7 validity+clamp
+    discipline), re-encode (:func:`encode_png`).  Returns None for
+    PNG variants the decoder does not support — callers fall back to
+    the byte-slice stub."""
+    dec = decode_png(blob)
+    if dec is None:
+        return None
+    w, h, ch, px = dec
+    ymin, ymax = max(0, min(h, ymin)), max(0, min(h, ymax))
+    xmin, xmax = max(0, min(w, xmin)), max(0, min(w, xmax))
+    cw, chh = xmax - xmin, ymax - ymin
+    if cw <= 0 or chh <= 0:
+        return None
+    stride = w * ch
+    out = bytearray()
+    for y in range(ymin, ymax):
+        off = y * stride + xmin * ch
+        out += px[off : off + cw * ch]
+    return encode_png(cw, chh, ch, out)
+
+
 def _decode_bytes(blob: bytes) -> tuple[int, int, str]:
     """Metadata decode: REAL header parse for recognized image containers
     (see parse_image_meta); deterministic hash-derived fallback for opaque
@@ -275,10 +399,11 @@ def crop_stub(products: DataFrame, images: DataFrame, on: str = "page_key") -> D
     """D3/J1: products ⋈ page-image (broadcast the small image batch),
     then a mapInPandas crop (ref pnp-cropperLambda.py:58-101).
 
-    For an uncompressed BMP payload the crop produces REAL pixels
-    (:func:`crop_bmp` — exact scanline slicing, no codec needed); for
-    compressed formats (JPEG/PNG/...) it falls back to a byte-slice
-    STUB, since pixel codecs are absent from this container."""
+    BMP and PNG payloads produce REAL cropped pixels (:func:`crop_bmp`
+    — exact scanline slicing; :func:`crop_png` — stdlib-zlib decode,
+    unfilter, slice, re-encode); JPEG/PDF still fall back to a
+    byte-slice STUB, since entropy codecs for those are absent from
+    this container."""
     joined = products.join(F.broadcast(images), on)
 
     out_schema = T.StructType(
@@ -298,6 +423,8 @@ def crop_stub(products: DataFrame, images: DataFrame, on: str = "page_key") -> D
                     continue
                 ymin, xmin, ymax, xmax = (int(v) for v in bbox)
                 real = crop_bmp(bytes(blob), ymin, xmin, ymax, xmax)
+                if real is None:
+                    real = crop_png(bytes(blob), ymin, xmin, ymax, xmax)
                 if real is not None:
                     crops.append(real)
                     continue

@@ -376,3 +376,124 @@ def test_crop_stub_real_pixels_for_bmp_through_spark(spark):
     assert max(x for x, _ in px) == 7 and max(y for _, y in px) == 4  # 8x5 crop
     for (x, y), bgr in px.items():
         assert bgr == color(x + 3, y + 2), (x, y)
+
+
+# --- PNG pixel kernels (stdlib-only decode/encode/crop) -------------------
+
+
+def _png_with_filters(w, h, ch, pixels, filters):
+    """Forward-filter `pixels` with the given per-row filter types and
+    wrap as a PNG — the INVERSE direction of the production decoder, so
+    a decode round-trip is a genuine two-implementation check."""
+    import struct as st
+    import zlib
+
+    stride = w * ch
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = bytes(pixels[y * stride : (y + 1) * stride])
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for x in range(stride):
+            a = line[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = line[x] - a
+            elif f == 2:
+                v = line[x] - b
+            elif f == 3:
+                v = line[x] - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = line[x] - pr
+            raw.append(v & 0xFF)
+        prev = line
+
+    def chunk(tag, data):
+        return st.pack(">I", len(data)) + tag + data + st.pack(
+            ">I", zlib.crc32(tag + data) & 0xFFFFFFFF
+        )
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = st.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _pix(w, h, ch, seed=7):
+    return bytes(((x * 31 + seed * 17) ^ (x >> 3)) & 0xFF for x in range(w * h * ch))
+
+
+def test_png_decode_all_filter_types():
+    from specialsid_spark.operators.multimodal import decode_png
+
+    px = _pix(9, 8, 3)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        blob = _png_with_filters(9, 8, 3, px, filters)
+        w, h, ch, out = decode_png(blob)
+        assert (w, h, ch) == (9, 8, 3)
+        assert bytes(out) == px, f"filters {filters} failed to round-trip"
+
+
+def test_png_encode_decode_roundtrip():
+    from specialsid_spark.operators.multimodal import decode_png, encode_png
+
+    for ch in (1, 2, 3, 4):
+        px = _pix(13, 6, ch)
+        w, h, c, out = decode_png(encode_png(13, 6, ch, px))
+        assert (w, h, c) == (13, 6, ch)
+        assert bytes(out) == px
+
+
+def test_crop_png_pixel_exact():
+    from specialsid_spark.operators.multimodal import crop_png, decode_png
+
+    w, h, ch = 12, 10, 3
+    px = _pix(w, h, ch)
+    blob = _png_with_filters(w, h, ch, px, [4])  # Paeth-filtered source
+    out = crop_png(blob, 2, 3, 7, 9)  # rows [2,7), cols [3,9)
+    cw, chh, c, cpx = decode_png(out)
+    assert (cw, chh, c) == (6, 5, 3)
+    for y in range(5):
+        row = px[(y + 2) * w * ch + 3 * ch : (y + 2) * w * ch + 9 * ch]
+        assert bytes(cpx[y * 6 * ch : (y + 1) * 6 * ch]) == row
+
+
+def test_crop_png_clamps_and_rejects():
+    from specialsid_spark.operators.multimodal import crop_png, decode_png
+
+    blob = _png_with_filters(5, 4, 1, _pix(5, 4, 1), [2])
+    # bbox exceeding bounds clamps to the image
+    out = crop_png(blob, -3, -3, 99, 99)
+    assert decode_png(out)[:3] == (5, 4, 1)
+    # degenerate and non-PNG payloads are refused
+    assert crop_png(blob, 3, 3, 3, 9) is None
+    assert crop_png(b"not a png", 0, 0, 2, 2) is None
+
+
+def test_crop_stub_real_pixels_for_png_through_spark(spark):
+    from specialsid_spark.operators.multimodal import crop_stub, decode_png
+
+    px = _pix(10, 8, 3)
+    blob = _png_with_filters(10, 8, 3, px, [1, 4])
+    products = spark.createDataFrame(
+        [("k1", "widget", [1, 2, 6, 9])],
+        "page_key string, product_name string, bounding_box array<int>",
+    )
+    images = spark.createDataFrame(
+        [("k1", bytearray(blob))], "page_key string, image_bytes binary"
+    )
+    row = crop_stub(products, images).collect()[0]
+    w, h, c, cpx = decode_png(bytes(row["crop_bytes"]))
+    assert (w, h, c) == (7, 5, 3)  # cols [2,9), rows [1,6)
+    assert bytes(cpx[:21]) == px[1 * 30 + 6 : 1 * 30 + 27]
