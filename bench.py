@@ -92,13 +92,14 @@ def main() -> None:
         .toPandas()
     )
 
-    # three runs per query, report the min (steady state, ClickBench-style):
+    # five runs per query, report the min (steady state, ClickBench-style):
     # run 1 pays per-plan codegen/JIT that a long-lived cluster amortizes,
-    # and min-of-3 damps the ±20% machine noise observed between runs
+    # and min-of-5 damps the host-level noise on this box (BASELINE.md
+    # records identical full runs 35% apart half an hour apart)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best, n = float("inf"), 0
-        for _ in range(3):
+        for _ in range(5):
             # drop persisted intermediates so each run recomputes from
             # parquet — min-of-2 measures steady-state JIT, not a cache
             spark.catalog.clearCache()

@@ -75,6 +75,8 @@ _PRIORITY: tuple[str, ...] = (
     "sim_pq_adc_topk",
     "sim_pq_rerank_topk",
     "cur_contamination_bloom",
+    "graph_pagerank_suppliers",
+    "agg_approx_percentiles",
     "join_asof_signup_before_error",
     "join_broadcast_part_revenue",
     "join_market_basket_pairs",
@@ -121,6 +123,7 @@ def _load_modules() -> None:
     # multimodal/vectors/streaming_q), then the modules that were already
     # verified green in CORRECTNESS_r01.json.
     from specialsid_spark.queries import (  # noqa: F401
+        graph,
         pq,
         tpch3,
         tpch2,

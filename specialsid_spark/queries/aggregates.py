@@ -480,3 +480,25 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register("agg_approx_percentiles")  # sketch internals differ across engines: rows-only
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 sketch family, quantile edition: `approx_percentile` (Greenwald-
+    Khanna on the JVM side) for p50/p90/p99 of extended price per return
+    flag.  Like the HLL entry this is rows-only by contract — DuckDB's
+    approx_quantile uses a different sketch so values cannot hash-match —
+    and the accuracy bound vs the EXACT percentiles is pinned by pytest
+    instead (tests/test_queries_smoke.py).  At 100 TB the sketch is the
+    only viable shape: exact percentiles need a full sort, the sketch is
+    one map-side pass + merge of bounded summaries."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile_approx(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("approx_pcts")
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,119 @@
+"""Graph analytics on the engine (SURVEY.md §2.11 EXT): PageRank.
+
+Connected components (dedup_cc_clusters) handles the equivalence-class
+side of graph work; this module adds the centrality side — power-
+iteration PageRank over the supplier co-purchase graph (suppliers are
+linked when they ship lines of the same order).
+
+Determinism across engines: every arithmetic step is EXACT integer
+micro-rank (10^12 units) — uniform init via integer division,
+per-edge contribution `rank div out_degree`, damping as
+`(15·base + 85·Σcontrib) div 100` — so Spark and DuckDB produce
+bit-identical ranks after any number of iterations (double-precision
+power iteration would diverge in the last ULPs because the two engines
+sum neighbor contributions in different orders).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from specialsid_spark.catalog import load
+from specialsid_spark.queries import register
+
+_ITERS = 3
+_UNIT = 10**12  # rank scale (micro-rank)
+
+_SQL_EDGES = """
+    edges AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    n AS (SELECT COUNT(*) AS cnt FROM deg)
+"""
+
+
+def _sql_iter(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT e.dst AS node,
+             ((15 * ({_UNIT} // n.cnt)) // 100
+              + (85 * SUM(p.r // dg.d)) // 100) AS r
+      FROM edges e
+      JOIN {prev} p ON p.node = e.src
+      JOIN deg dg ON dg.src = e.src
+      CROSS JOIN n
+      GROUP BY e.dst, n.cnt
+    )
+    """
+
+
+@register(
+    "graph_pagerank_suppliers",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    r0 AS (SELECT src AS node, ({_UNIT} // n.cnt) AS r FROM deg CROSS JOIN n),
+    {_sql_iter("r0", "r1")},
+    {_sql_iter("r1", "r2")},
+    {_sql_iter("r2", "r3")}
+    SELECT CAST(node AS BIGINT) AS s_suppkey, CAST(r AS BIGINT) AS rank_mu
+    FROM r3
+    ORDER BY rank_mu DESC, s_suppkey
+    LIMIT 20
+    """,
+)
+def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 suppliers by 3-iteration PageRank (damping 0.85) over the
+    co-purchase graph.
+
+    Scale shape: the edge list is built ONCE (a per-order self-join —
+    quadratic only in order size, which TPC-H bounds at 7 lines) and
+    localCheckpointed so each power iteration reuses the materialized
+    partitions instead of replaying the join; every iteration is one
+    shuffle of (node, bigint) pairs keyed on dst — the same
+    lineage-truncation discipline as dedup_cc_clusters, which is what
+    keeps plan depth constant at iteration 100 on a real cluster.  The
+    degree table rides the edge checkpoint (joined pre-checkpoint), so
+    iterations touch no base table at all."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)  # (src, dst, d), materialized once
+    n_nodes = ed.select("src").distinct().count()
+    base = _UNIT // n_nodes
+    ranks = (
+        ed.select("src").distinct().select(F.col("src").alias("node"), F.lit(base).alias("r"))
+    )
+    for _ in range(_ITERS):
+        # integer `div` everywhere — double division would disagree with
+        # the oracle's floor semantics in the last bit on some quotients
+        ranks = (
+            ed.join(ranks, ed.src == ranks.node)
+            .selectExpr("dst", "r div d AS contrib")
+            .groupBy("dst")
+            .agg(
+                F.expr(
+                    f"CAST({15 * base} AS BIGINT) div 100 + (85 * sum(contrib)) div 100"
+                ).alias("r")
+            )
+            .withColumnRenamed("dst", "node")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        ranks.select(F.col("node").cast("long").alias("s_suppkey"), F.col("r").alias("rank_mu"))
+        .orderBy(F.col("rank_mu").desc(), "s_suppkey")
+        .limit(20)
+    )

@@ -92,3 +92,25 @@ def test_emb_tile_memberships_exact(spark):
             i, j = sorted((a % B, b % B))
             shared = by_vec[a] & by_vec[b]
             assert i * B + j in shared
+
+
+def test_approx_percentiles_within_bound(spark):
+    # rows-only by contract (sketches differ across engines): instead of
+    # an oracle hash, pin the accuracy — each approximate percentile must
+    # land within 1% relative error of the exact percentile
+    sf_dir = "/root/testdata/sf0.01"
+    from pyspark.sql import functions as F
+
+    from specialsid_spark.catalog import load
+    from specialsid_spark.queries.aggregates import agg_approx_percentiles
+
+    exact = {
+        r["l_returnflag"]: r["pcts"]
+        for r in load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("pcts"))
+        .collect()
+    }
+    for r in agg_approx_percentiles(spark, sf_dir).collect():
+        for a, e in zip(r["approx_pcts"], exact[r["l_returnflag"]]):
+            assert abs(a - e) / e < 0.01, (r["l_returnflag"], a, e)
