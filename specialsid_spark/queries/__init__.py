@@ -77,6 +77,7 @@ _PRIORITY: tuple[str, ...] = (
     "cur_contamination_bloom",
     "graph_pagerank_suppliers",
     "agg_approx_percentiles",
+    "ev_transition_matrix",
     "join_asof_signup_before_error",
     "join_broadcast_part_revenue",
     "join_market_basket_pairs",

@@ -575,3 +575,61 @@ def ev_interp_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "_h")
         .drop("_h")
     )
+
+
+@register(
+    "ev_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS cnt
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, SUM(cnt) AS t FROM pairs GROUP BY 1)
+    SELECT p.from_type, p.to_type,
+           CAST(p.cnt AS BIGINT) AS n_transitions,
+           round(CAST(p.cnt AS DOUBLE) / CAST(tt.t AS DOUBLE), 6) AS prob
+    FROM pairs p JOIN tot tt USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+)
+def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event sequences: for each
+    (from, to) event-type pair, the transition count and empirical
+    probability.  The user-journey summary a product-analytics surface
+    computes (and the input to Markov attribution models).
+
+    Scale shape: `lead` shuffles once on user_id (same key every
+    event-time operator here uses — a pre-bucketed events table makes
+    it shuffle-free), the pair rollup shuffles (type, type) pairs —
+    cardinality |types|², tiny — and the per-from-state total reuses
+    that aggregate.  Probabilities divide two exact counts, so both
+    engines emit identical doubles."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("cnt").alias("t"))
+    return (
+        pairs.join(tot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("cnt").cast("long").alias("n_transitions"),
+            F.round(F.col("cnt").cast("double") / F.col("t").cast("double"), 6).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
