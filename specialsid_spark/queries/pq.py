@@ -351,3 +351,188 @@ def sim_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rk", F.round("cs", 6).alias("cos_sim"))
         .orderBy("query_id", "rk")
     )
+
+
+_N_CELLS = 8  # coarse IVF cells (same deterministic device as sim_ivf_topk)
+_N_PROBE = 2  # query-side cells searched
+_IVFPQ_R = 20  # ADC shortlist size per query
+
+
+@register(
+    "sim_ivfpq_topk",
+    oracle=f"""
+    WITH {_SQL_CODES},
+    nv AS (
+      SELECT vec_id, mu,
+             sqrt(CAST(list_sum(list_transform(mu, x -> x * x)) AS DOUBLE)) AS nrm
+      FROM e
+    ),
+    cent AS (SELECT vec_id AS cid, mu AS cv, nrm AS cn FROM nv WHERE vec_id < {_N_CELLS}),
+    ranked_cells AS (
+      SELECT a.vec_id, cent.cid,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY CAST(list_sum(list_transform(range(1, 65),
+                                                     i -> a.mu[i] * cent.cv[i])) AS DOUBLE)
+                        / (a.nrm * cent.cn) DESC, cent.cid
+             ) AS rn
+      FROM nv a CROSS JOIN cent
+    ),
+    assign AS (SELECT vec_id, cid FROM ranked_cells WHERE rn = 1),
+    qprobe AS (SELECT vec_id, cid FROM ranked_cells WHERE rn <= {_N_PROBE} AND vec_id < 10),
+    qsub AS (SELECT vec_id AS qid, m, sv FROM sub WHERE vec_id < 10),
+    lut AS (
+      SELECT q.qid, c.m, c.k,
+             list_sum(list_transform(range(1, {_SUB + 1}), i -> q.sv[i] * c.cv[i])) AS pdot,
+             list_sum(list_transform(range(1, {_SUB + 1}), i -> c.cv[i] * c.cv[i])) AS c2
+      FROM qsub q JOIN cb c ON c.m = q.m
+    ),
+    adc AS (
+      SELECT qa.vec_id AS qid, na.vec_id AS neighbor_id,
+             SUM(l.pdot) AS adot, SUM(l.c2) AS r2
+      FROM qprobe qa
+      JOIN assign na ON na.cid = qa.cid AND na.vec_id <> qa.vec_id
+      JOIN chosen ch ON ch.vec_id = na.vec_id
+      JOIN lut l ON l.qid = qa.vec_id AND l.m = ch.m AND l.k = ch.code
+      GROUP BY 1, 2
+    ),
+    shortlist AS (
+      SELECT qid, neighbor_id,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(r2 AS DOUBLE)) DESC, neighbor_id
+             ) AS srk
+      FROM adc
+    ),
+    exact AS (
+      SELECT s.qid AS query_id, s.neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65), i -> q.mu[i] * n.mu[i])) AS DOUBLE)
+               / (q.nrm * n.nrm) AS cs
+      FROM shortlist s
+      JOIN nv q ON q.vec_id = s.qid
+      JOIN nv n ON n.vec_id = s.neighbor_id
+      WHERE s.srk <= {_IVFPQ_R}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cs,
+             row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rk
+      FROM exact
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, round(cs, 6) AS cos_sim
+    FROM ranked WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVFADC (Jégou et al. 2011): coarse IVF cells bound WHICH
+    candidates each query scores (nprobe={_N_PROBE} of {_N_CELLS}
+    cells), PQ codes bound what each candidate COSTS to score (ADC
+    against a broadcast LUT, compressed domain only), and the exact
+    re-rank of the {_IVFPQ_R}-candidate shortlist recovers precision —
+    the composition of `sim_ivf_topk` × `sim_pq_adc_topk` ×
+    `sim_pq_rerank_topk` as one dataflow, which is the production ANN
+    layout at 1e10 vectors: cells prune the corpus, codes fit in
+    memory, full vectors are read only for R×|queries| rows.
+
+    Everything that ranks is deterministic cross-engine: cell
+    assignment and final cosines divide exact micro-unit integer dots
+    by IEEE sqrt norms (identical doubles both engines), ADC sums are
+    pure integers."""
+    codes = _pq_codes(spark, sf_dir)
+    e = load_parallel(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor(x * 1000000) AS BIGINT)) AS mu",
+    )
+    nv = e.selectExpr(
+        "vec_id",
+        "mu",
+        "sqrt(CAST(aggregate(transform(mu, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)) AS nrm",
+    )
+    cent = nv.filter(F.col("vec_id") < _N_CELLS).selectExpr(
+        "vec_id AS cid", "mu AS cv", "nrm AS cn"
+    )
+    ranked_cells = (
+        nv.crossJoin(F.broadcast(cent))
+        .selectExpr(
+            "vec_id",
+            "cid",
+            "CAST(aggregate(zip_with(mu, cv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE) / (nrm * cn) AS cell_cs",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("cell_cs").desc(), "cid")
+            ),
+        )
+    )
+    assign = ranked_cells.filter(F.col("rn") == 1).select("vec_id", "cid")
+    qprobe = ranked_cells.filter(
+        (F.col("rn") <= _N_PROBE) & (F.col("vec_id") < 10)
+    ).select(F.col("vec_id").alias("qid"), "cid")
+    qsub = (
+        e.filter(F.col("vec_id") < 10)
+        .selectExpr("vec_id AS qid", f"explode(sequence(0, {_M - 1})) AS m", "mu")
+        .selectExpr("qid", "m", f"slice(mu, {_SUB} * m + 1, {_SUB}) AS sv")
+    )
+    cb = (
+        e.filter(F.col("vec_id") < _K)
+        .selectExpr("vec_id AS k", f"explode(sequence(0, {_M - 1})) AS cm", "mu")
+        .selectExpr("k", "cm", f"slice(mu, {_SUB} * cm + 1, {_SUB}) AS cv")
+    )
+    lut = qsub.join(F.broadcast(cb), F.col("m") == F.col("cm")).selectExpr(
+        "qid AS lqid",
+        "m AS lm",
+        "k",
+        "aggregate(zip_with(sv, cv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS pdot",
+        "aggregate(transform(cv, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS c2",
+    )
+    cand = qprobe.join(
+        assign.selectExpr("vec_id AS neighbor_id", "cid AS ncid"),
+        (F.col("ncid") == F.col("cid")) & (F.col("neighbor_id") != F.col("qid")),
+    ).select("qid", "neighbor_id")
+    adc = (
+        cand.join(codes, F.col("vec_id") == F.col("neighbor_id"))
+        .join(
+            F.broadcast(lut),
+            (F.col("lqid") == F.col("qid"))
+            & (F.col("lm") == F.col("m"))
+            & (F.col("k") == F.col("code")),
+        )
+        .groupBy("qid", "neighbor_id")
+        .agg(F.sum("pdot").alias("adot"), F.sum("c2").alias("r2"))
+    )
+    ws = Window.partitionBy("qid").orderBy(
+        (F.col("adot").cast("double") / F.sqrt(F.col("r2").cast("double"))).desc(),
+        "neighbor_id",
+    )
+    shortlist = (
+        adc.withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= _IVFPQ_R)
+        .select("qid", "neighbor_id")
+    )
+    exact = (
+        shortlist.join(
+            nv.selectExpr("vec_id AS nid", "mu AS nmu", "nrm AS nn"),
+            F.col("neighbor_id") == F.col("nid"),
+        )
+        .join(
+            F.broadcast(
+                nv.filter(F.col("vec_id") < 10).selectExpr(
+                    "vec_id AS qvid", "mu AS qmu", "nrm AS qn"
+                )
+            ),
+            F.col("qid") == F.col("qvid"),
+        )
+        .selectExpr(
+            "qid AS query_id",
+            "neighbor_id",
+            "CAST(aggregate(zip_with(qmu, nmu, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE) / (qn * nn) AS cs",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), "neighbor_id")
+    return (
+        exact.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "rk", F.round("cs", 6).alias("cos_sim"))
+        .orderBy("query_id", "rk")
+    )
