@@ -74,6 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     "emb_pq_encode",
     "sim_pq_adc_topk",
     "sim_pq_rerank_topk",
+    "sim_ivfpq_topk",
     "cur_contamination_bloom",
     "graph_pagerank_suppliers",
     "agg_approx_percentiles",

@@ -44,6 +44,10 @@ def _topk_sets(df, qcol: str, ncol: str, k: int = 5):
         # which recovers most of the loss at R=50 (~10% of this corpus)
         ("sim_pq_adc_topk", 0.2),
         ("sim_pq_rerank_topk", 0.7),
+        # full IVFADC composition: cells prune to ~nprobe/cells of the
+        # corpus BEFORE the compressed-domain scoring, so it trades a
+        # little recall vs pq_rerank for touching 4x less data
+        ("sim_ivfpq_topk", 0.6),
     ],
 )
 def test_ann_recall_at_5(spark, name, floor):
