@@ -40,8 +40,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # (~50 entries).  To guarantee every query eventually gets a driver-side
 # CORRECTNESS row, names with no green row in prior rounds are listed here
 # and surfaced FIRST in all_queries()/all_oracles(); everything else keeps
-# module registration order after them.  Round 3: the 34 names below are the
-# ones absent from CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json.
+# module registration order after them.  Round 3: the list is the 34 names
+# absent from CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json plus the 14
+# operators new this round (48 ≤ the ~50 budget).
 _PRIORITY: tuple[str, ...] = (
     "retail_clean_pipeline",
     "clean_map_normalize_segment",
@@ -79,6 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_pagerank_suppliers",
     "agg_approx_percentiles",
     "ev_transition_matrix",
+    "text_unigram_surprisal",
     "join_asof_signup_before_error",
     "join_broadcast_part_revenue",
     "join_market_basket_pairs",

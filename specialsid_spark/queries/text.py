@@ -394,3 +394,69 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .orderBy("doc_id", "rk")
     )
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    w AS (SELECT doc_id, unnest(toks) AS word FROM t),
+    vocab AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+    n AS (SELECT SUM(c) AS total FROM vocab),
+    -- fixed-point log-prob: micro-nats as BIGINT.  floor(ln(p)*1e6) of
+    -- the SAME exact-count double is identical in both engines, and the
+    -- per-doc SUM is then exact integer arithmetic — no FP summation
+    -- order to disagree about.
+    lp AS (
+      SELECT v.word,
+             CAST(floor(ln(CAST(v.c AS DOUBLE) / CAST(n.total AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS lp_mu
+      FROM vocab v CROSS JOIN n
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(-SUM(lp.lp_mu) AS BIGINT) AS surprisal_mu,
+           CAST(-SUM(lp.lp_mu) AS DOUBLE) / (1000000.0 * COUNT(*)) AS nats_per_token
+    FROM w JOIN lp ON lp.word = w.word
+    GROUP BY w.doc_id
+    ORDER BY w.doc_id
+    """,
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model surprisal per document — the classic
+    perplexity-style quality signal (a doc whose tokens are corpus-rare
+    scores high; boilerplate scores low), used alongside the Gopher
+    rules to rank training data.
+
+    Determinism: token log-probs are snapped to micro-nat integers
+    (floor(ln(c/N)·1e6) — the ln of identical exact-count doubles is
+    IEEE-identical in both engines, and floor makes it an int), so the
+    per-doc total surprisal is an exact integer SUM with one final
+    double division — no cross-engine FP summation-order drift.
+
+    Scale shape: the vocabulary is one word-count aggregate (shuffles
+    (word, count) pairs); the corpus total is a 1-row broadcast; the
+    scoring join is words⋈vocab on the word key — at 100 TB the vocab
+    table is Zipf-bounded (millions of rows, broadcast or bucketed) and
+    each doc's score is a partial-aggregated integer sum."""
+    d = load_parallel(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(tokens("text")).alias("word"))
+    vocab = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    n = vocab.agg(F.sum("c").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(n)).selectExpr(
+        "word",
+        "CAST(floor(ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000) AS BIGINT) AS lp_mu",
+    )
+    return (
+        w.join(lp, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (-F.sum("lp_mu")).cast("long").alias("surprisal_mu"),
+            (
+                (-F.sum("lp_mu")).cast("double")
+                / (1000000.0 * F.count(F.lit(1)).cast("double"))
+            ).alias("nats_per_token"),
+        )
+        .orderBy("doc_id")
+    )
