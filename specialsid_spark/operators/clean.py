@@ -175,3 +175,54 @@ def compact_clean_zone(
         .parquet(path)
     )
     return {"files_before": before, "files_after": _count_files()}
+
+
+def merge_upsert_clean_zone(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...] = ("province", "date_range", "source_file", "product_name"),
+) -> dict[str, int]:
+    """MERGE (SCD1 upsert) into the partitioned clean zone without a
+    table format: rows whose business key matches an update are
+    replaced, new keys are inserted, and — the part that matters at
+    100 TB — only the Hive partitions PRESENT IN THE UPDATE BATCH are
+    rewritten.
+
+    Mechanics: the existing rows of affected partitions are read back
+    (partition pruning pushes the (province, date_range) filter to the
+    scan), survivors are selected with a LEFT ANTI join against the
+    update keys, and survivors ∪ updates is written with dynamic
+    partition overwrite — untouched partitions keep their files
+    byte-for-byte (asserted in tests/test_clean.py).  This is the
+    reference's `overwrite_partitions` upgraded from page-clobber to
+    key-level merge (`pnp-cleanerLambda.py:107-121` overwrites whole
+    partitions; a re-scrape of one page would drop its siblings).
+
+    Scale shape: one pruned scan of affected partitions, one anti-join
+    on the business key (broadcast when the update batch is small —
+    the common case for incremental loads), one partition-local write.
+    Returns {"updated": ..., "inserted": ..., "partitions_rewritten": ...}.
+    """
+    part_cols = ["province", "date_range"]
+    affected = updates.select(*part_cols).distinct()
+    existing = spark.read.schema(updates.schema).parquet(path)
+    in_affected = existing.join(F.broadcast(affected), part_cols, "left_semi")
+    survivors = in_affected.join(
+        F.broadcast(updates.select(*key_cols)), list(key_cols), "left_anti"
+    )
+    n_existing = in_affected.count()
+    n_survivors = survivors.count()
+    n_updates = updates.count()
+    merged = survivors.unionByName(updates)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*part_cols)
+        .parquet(path)
+    )
+    return {
+        "updated": n_existing - n_survivors,
+        "inserted": n_updates - (n_existing - n_survivors),
+        "partitions_rewritten": affected.count(),
+    }

@@ -182,3 +182,72 @@ def test_partition_pruning_on_clean_zone(spark, tmp_path):
     )
     assert "PartitionFilters: [isnotnull(province" in plan
     assert df.count() == 25
+
+
+def _full_rows(spark, rows):
+    cols = ["product_name", "province", "date_range", "source_file"]
+    df = spark.createDataFrame(rows, cols)
+    for name, dtype in [
+        ("brand", "string"), ("current_price", "double"), ("was_price", "double"),
+        ("weight_volume", "string"), ("unit", "string"), ("deal_type", "string"),
+        ("multi_buy_quantity", "int"), ("group_id", "string"),
+    ]:
+        df = df.withColumn(name, F.lit(None).cast(dtype))
+    return df.withColumn("bounding_box", F.lit(None).cast("array<int>"))
+
+
+def test_merge_upsert_key_level(spark, tmp_path):
+    """MERGE upsert: matched business keys replaced, new keys inserted,
+    SIBLING rows in the same partition preserved (key-level, not the
+    partition-clobber write_clean_zone performs), untouched partitions'
+    files byte-identical."""
+    import glob
+    import os
+
+    from specialsid_spark.operators.clean import merge_upsert_clean_zone
+
+    target = str(tmp_path / "clean")
+    base = _full_rows(
+        spark,
+        [
+            ("A", "Gauteng", "w1", "p1.json"),
+            ("Sibling", "Gauteng", "w1", "p2.json"),
+            ("B", "Natal", "w1", "p1.json"),
+        ],
+    ).withColumn("current_price", F.lit(1.0))
+    write_clean_zone(base, target)
+
+    def natal_files():
+        return sorted(
+            (p, os.path.getmtime(p), os.path.getsize(p))
+            for p in glob.glob(os.path.join(target, "province=Natal", "**", "*.parquet"), recursive=True)
+        )
+
+    before = natal_files()
+    upd = _full_rows(
+        spark,
+        [
+            ("A", "Gauteng", "w1", "p1.json"),      # update (key match)
+            ("New", "Gauteng", "w1", "p9.json"),     # insert (new key)
+        ],
+    ).withColumn("current_price", F.lit(2.0))
+    stats = merge_upsert_clean_zone(spark, target, upd)
+    assert stats == {"updated": 1, "inserted": 1, "partitions_rewritten": 1}
+
+    back = {
+        r["product_name"]: r["current_price"]
+        for r in spark.read.parquet(target).collect()
+    }
+    # A updated, Sibling SURVIVES (write_clean_zone would have dropped it),
+    # New inserted, Natal untouched
+    assert back == {"A": 2.0, "Sibling": 1.0, "New": 2.0, "B": 1.0}
+    assert natal_files() == before  # untouched partition: same files, bytes, mtimes
+
+    # idempotency: re-applying the same batch changes nothing but stats
+    stats2 = merge_upsert_clean_zone(spark, target, upd)
+    assert stats2 == {"updated": 2, "inserted": 0, "partitions_rewritten": 1}
+    back2 = {
+        r["product_name"]: r["current_price"]
+        for r in spark.read.parquet(target).collect()
+    }
+    assert back2 == back
