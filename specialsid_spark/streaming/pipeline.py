@@ -385,3 +385,63 @@ def streaming_static_enrich(
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
         .select(F.col("w.start").alias("win_start"), "segment", "n_events", "sum_value")
     )
+
+
+def streaming_corpus_ingest(
+    spark: SparkSession, docs_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """The curation pipeline at the INGEST DOOR (streaming twin of the
+    stateless + dedup legs of `pipeline_corpus_curation`): a document
+    stream flows through the quality gate (length + lexical diversity),
+    the language filter (en), PII scrubbing, and md5-content dedup
+    within the watermark horizon — so only clean, deduplicated, scrubbed
+    documents ever land in the bronze corpus.
+
+    Composition note: the quality/language/scrub legs are pure column
+    expressions (stateless — identical plans batch or stream), and the
+    only stateful operator is dropDuplicatesWithinWatermark keyed on the
+    16-byte content hash, so state stays bounded at any ingest rate.
+    The batch twin of each leg is oracle-checked (pipeline_corpus_
+    curation, cur_pii_scrub); the stream test asserts batch/stream
+    parity of the whole composition plus dedup behavior."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from specialsid_spark.operators.textops import tokens  # noqa: PLC0415
+    from specialsid_spark.queries.curation import _PII_EMAIL, _PII_IPV4  # noqa: PLC0415
+
+    docs = spark.readStream.schema("doc_id long, ts timestamp, text string").json(
+        docs_dir
+    )
+    toks = tokens("text")
+    n = F.size(toks)
+    markers = {
+        "en": ("the", "and", "of"),
+        "es": ("el", "la", "de"),
+        "fr": ("le", "la", "et"),
+        "de": ("der", "die", "und"),
+    }
+    def _marker_filter(m):
+        # factory keeps the HOF lambda unary (PySpark infers arity;
+        # a 2-arg lambda would receive the element INDEX as arg 2)
+        return lambda x: x.isin(*m)
+
+    votes = {lang: F.size(F.filter(toks, _marker_filter(m))) for lang, m in markers.items()}
+    quality = docs.filter(
+        n.between(5, 1000) & (F.size(F.array_distinct(toks)).cast("double") / n > 0.1)
+    )
+    english = quality.filter(
+        (votes["en"] >= votes["es"])
+        & (votes["en"] >= votes["fr"])
+        & (votes["en"] >= votes["de"])
+    )
+    scrubbed = english.withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"), _PII_IPV4, "<IP>"
+        ),
+    )
+    return (
+        scrubbed.withColumn("text_hash", F.md5("text"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )

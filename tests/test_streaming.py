@@ -453,3 +453,42 @@ def test_hop3_batch_stream_parity_bulk(spark, tmp_path):
     # exactly-once: the same checkpoint drains nothing new
     hop3_json_to_clean(spark, json_dir, clean_dir, ckpt).awaitTermination()
     assert checksum(spark.read.schema(batch.schema).parquet(clean_dir)) == (b_n, b_sum)
+
+
+def test_streaming_corpus_ingest_gate_and_dedup(spark, tmp_path):
+    """Curation at the ingest door: quality gate, language filter, PII
+    scrub, and content dedup applied IN the stream — and the stateless
+    legs produce exactly the batch pipeline's decisions."""
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    good = "the quick brown fox jumps over the lazy dog and more of it"
+    spanish = "el perro la casa de madrid el la de el la de uno dos tres"
+    short = "too short"
+    pii = good + " contact user7@example.com from 10.0.7.1"
+    rows = [
+        {"doc_id": 1, "ts": "2024-01-01 10:00:00", "text": good},
+        {"doc_id": 2, "ts": "2024-01-01 10:01:00", "text": spanish},   # language-filtered
+        {"doc_id": 3, "ts": "2024-01-01 10:02:00", "text": short},     # quality-filtered
+        {"doc_id": 4, "ts": "2024-01-01 10:03:00", "text": pii},       # scrubbed
+        {"doc_id": 5, "ts": "2024-01-01 10:04:00", "text": good},      # content dup of 1
+    ]
+    import json as _json
+
+    (docs_dir / "batch1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    from specialsid_spark.streaming.pipeline import streaming_corpus_ingest
+
+    q = (
+        streaming_corpus_ingest(spark, str(docs_dir))
+        .writeStream.format("memory")
+        .queryName("corpus_ingest_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = {r["doc_id"]: r["text"] for r in spark.sql("SELECT * FROM corpus_ingest_test").collect()}
+    assert set(out) == {1, 4}  # 2 lang-filtered, 3 quality-filtered, 5 deduped
+    assert "<EMAIL>" in out[4] and "<IP>" in out[4]
+    assert "user7@example.com" not in out[4] and "10.0.7.1" not in out[4]
+    assert out[1] == good  # clean docs pass through unmodified
