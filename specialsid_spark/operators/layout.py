@@ -1,0 +1,102 @@
+"""Data-layout operators: Z-order clustering for multi-dimensional
+scan pruning (SURVEY.md §2.1 S10 neighborhood — how the clean zone
+should be LAID OUT, not just partitioned).
+
+Hive partitioning prunes on the partition columns only; queries that
+filter on OTHER high-cardinality keys (orderkey ranges, part lookups)
+scan everything.  Z-ordering interleaves the bits of two sort keys so
+that range-partitioned, sorted files are simultaneously clustered on
+BOTH dimensions — every parquet footer then carries tight min/max
+ranges for both columns and engines skip non-overlapping row groups /
+files (the same device Delta/Iceberg OPTIMIZE ZORDER applies; public
+technique from Morton 1966).
+
+At 100 TB this is the difference between a point lookup touching a few
+files and touching the fleet: the write is one range-repartition +
+local sort (no extra shuffle beyond the one any clustered write needs),
+and the benefit is measured — not assumed — in tests/test_layout.py by
+reading back parquet row-group statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_ZBITS = 16  # bits interleaved per dimension (32-bit z-value)
+
+
+def zorder_key(a: Column | str, b: Column | str, bits: int = _ZBITS) -> Column:
+    """Morton (Z-order) interleave of the low `bits` bits of two
+    non-negative integer columns — one codegen'd integer expression,
+    no UDF.  Columns with larger domains should be rank-compressed
+    first (`F.ntile` or dividing by a scale) so the low bits carry
+    signal; the fixtures' keys fit 16 bits directly."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    terms = []
+    for k in range(bits):
+        terms.append(F.shiftleft(F.shiftright(ca.cast("long"), k).bitwiseAND(F.lit(1)), 2 * k))
+        terms.append(
+            F.shiftleft(F.shiftright(cb.cast("long"), k).bitwiseAND(F.lit(1)), 2 * k + 1)
+        )
+    z = terms[0]
+    for t in terms[1:]:
+        z = z.bitwiseOR(t)
+    return z
+
+
+def write_zordered(
+    df: DataFrame, path: str, col_a: str, col_b: str, n_files: int = 16
+) -> None:
+    """Write `df` clustered on the Z-order of (col_a, col_b): range
+    repartition by the z-value (files own disjoint z-ranges) plus a
+    within-partition sort (row groups within a file are tight too).
+    Exactly one shuffle — the same cost as any sorted write.
+
+    Both keys are min/max-scaled to the full interleave domain first —
+    WITHOUT this, a key with a wider bit-range dominates the high z
+    bits and the narrower dimension gets no clustering at all (measured
+    in the test: partkey overlap 1.0 unscaled vs ~0.2 scaled; the
+    min/max pass is one cheap aggregate)."""
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).collect()[0]
+    top = (1 << _ZBITS) - 1
+
+    def scaled(c: str, lo, hi) -> Column:
+        span = max(int(hi) - int(lo), 1)
+        return ((F.col(c).cast("long") - F.lit(int(lo))) * top / span).cast("long")
+
+    z = zorder_key(scaled(col_a, lo_a, hi_a), scaled(col_b, lo_b, hi_b))
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def rowgroup_overlap_fraction(path: str, column: str, lo, hi) -> float:
+    """Fraction of parquet row groups whose [min, max] stats for
+    `column` overlap [lo, hi] — i.e. the fraction a stats-pruning scan
+    must actually read.  Measured from the real footers via pyarrow."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = overlapping = 0
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(column)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            total += 1
+            if st is None or st.min is None:
+                overlapping += 1  # no stats -> engine must read it
+            elif not (st.max < lo or st.min > hi):
+                overlapping += 1
+    return overlapping / max(total, 1)

@@ -1,0 +1,51 @@
+"""Z-order layout: the pruning benefit is MEASURED from real parquet
+row-group statistics, not assumed."""
+
+from __future__ import annotations
+
+from specialsid_spark.catalog import load
+from specialsid_spark.operators.layout import (
+    rowgroup_overlap_fraction,
+    write_zordered,
+    zorder_key,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_zorder_key_interleaves_bits(spark):
+    df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
+    z = df.select(zorder_key("a", "b").alias("z")).collect()[0]["z"]
+    # a bits go to even positions, b bits to odd:
+    # a=101 -> 1<<0 | 0<<2 | 1<<4 ; b=011 -> 1<<1 | 1<<3 | 0<<5
+    assert z == (1 << 0) | (1 << 4) | (1 << 1) | (1 << 3)
+
+
+def test_zordered_write_prunes_both_dimensions(spark, tmp_path):
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    lo_o, hi_o = 100, 400          # narrow l_orderkey range
+    lo_p, hi_p = 50, 150           # narrow l_partkey range
+
+    # baseline layout: clustered on orderkey ONLY (the natural sort) —
+    # orderkey predicates prune, partkey predicates read ~everything
+    base = str(tmp_path / "orderkey_sorted")
+    (
+        li.repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.parquet(base)
+    )
+    zpath = str(tmp_path / "zordered")
+    write_zordered(li, zpath, "l_orderkey", "l_partkey")
+
+    base_part = rowgroup_overlap_fraction(base, "l_partkey", lo_p, hi_p)
+    z_order = rowgroup_overlap_fraction(zpath, "l_orderkey", lo_o, hi_o)
+    z_part = rowgroup_overlap_fraction(zpath, "l_partkey", lo_p, hi_p)
+
+    # single-key layout cannot prune the OTHER dimension
+    assert base_part > 0.9, f"unexpected: single-sort pruned partkey ({base_part})"
+    # z-order prunes BOTH dimensions substantially
+    assert z_order <= 0.5, f"z-layout failed to prune orderkey ({z_order})"
+    assert z_part <= 0.5, f"z-layout failed to prune partkey ({z_part})"
+
+    # and the data itself round-trips unchanged
+    assert spark.read.parquet(zpath).count() == li.count()
