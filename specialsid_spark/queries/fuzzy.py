@@ -254,3 +254,128 @@ def fuzzy_token_set_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand", "ptype")
     )
+
+
+def _sql_phonetic(expr: str, g: bool = False) -> str:
+    """Simplified soundex as a near-portable expression chain (the ONE
+    dialect difference: DuckDB's regexp_replace replaces only the first
+    match unless passed the 'g' flag, while Spark always replaces all —
+    set ``g=True`` for the DuckDB twin; everything else is identical, so
+    the blocking keys match by construction): uppercase first letter +
+    consonant-class digits, consecutive duplicates collapsed,
+    vowels/H/W/Y dropped, padded to 4.
+
+    Deliberately NOT engine-native soundex: Spark's `soundex()` applies
+    the full H/W-separator rule that plain SQL (RE2, no backreferences)
+    cannot restate exactly — a blocking key only needs to be phonetic
+    and IDENTICAL across engines, not museum-grade."""
+    flag = ", 'g'" if g else ""
+    first = f"upper(substring({expr}, 1, 1))"
+    digits = f"upper({expr})"
+    for chars, d in [
+        ("B", "1"), ("F", "1"), ("P", "1"), ("V", "1"),
+        ("C", "2"), ("G", "2"), ("J", "2"), ("K", "2"), ("Q", "2"),
+        ("S", "2"), ("X", "2"), ("Z", "2"),
+        ("D", "3"), ("T", "3"),
+        ("L", "4"),
+        ("M", "5"), ("N", "5"),
+        ("R", "6"),
+    ]:
+        digits = f"replace({digits}, '{chars}', '{d}')"
+    # collapse runs of the same digit (RE2-safe: one pass per digit class)
+    for d in "123456":
+        digits = f"regexp_replace({digits}, '{d}{d}+', '{d}'{flag})"
+    # drop everything that is not a class digit (vowels, H, W, Y, rest)
+    digits = f"regexp_replace({digits}, '[^1-6]', ''{flag})"
+    # drop the first letter's own digit when it leads, keep 3, pad
+    return (
+        f"substring(concat({first}, substring({digits}, "
+        f"CASE WHEN substring({digits}, 1, 1) = "
+        f"regexp_replace({_sql_first_digit(expr)}, '[^1-6]', '') THEN 2 ELSE 1 END), "
+        f"'000'), 1, 4)"
+    )
+
+
+def _sql_first_digit(expr: str) -> str:
+    d = f"upper(substring({expr}, 1, 1))"
+    for chars, dig in [
+        ("B", "1"), ("F", "1"), ("P", "1"), ("V", "1"),
+        ("C", "2"), ("G", "2"), ("J", "2"), ("K", "2"), ("Q", "2"),
+        ("S", "2"), ("X", "2"), ("Z", "2"),
+        ("D", "3"), ("T", "3"),
+        ("L", "4"),
+        ("M", "5"), ("N", "5"),
+        ("R", "6"),
+    ]:
+        d = f"replace({d}, '{chars}', '{dig}')"
+    return d
+
+
+_PHONETIC_SRC = "split_part(lower(trim(p_name)), ' ', 1)"
+_PHONETIC_KEY = _sql_phonetic(_PHONETIC_SRC)  # Spark dialect (replace-all default)
+_PHONETIC_KEY_DUCK = _sql_phonetic(_PHONETIC_SRC, g=True)
+
+
+@register(
+    "fuzzy_phonetic_blocked",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT p_partkey, p_name, {_PHONETIC_KEY_DUCK} AS pkey FROM part
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT keyed.*, row_number() OVER (PARTITION BY pkey ORDER BY p_partkey) AS rn
+        FROM keyed
+      ) WHERE rn <= 256
+    )
+    SELECT a.pkey,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN levenshtein(a.p_name, b.p_name) <= 4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+           CAST(MIN(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dist
+    FROM capped a JOIN capped b
+      ON a.pkey = b.pkey AND a.p_partkey < b.p_partkey
+    GROUP BY a.pkey
+    ORDER BY 1
+    """,
+)
+def fuzzy_phonetic_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking — the third classic fuzzy-match blocking key
+    (alongside attribute blocking and shingle/LSH blocking): names that
+    SOUND alike land in the same block even when edit distance from
+    typos is large, the case attribute blocks miss.  Block key =
+    simplified soundex of the first name token (the SAME portable
+    expression string runs on both engines — see `_sql_phonetic`);
+    blocks are capped at 256 rows like the other fuzzy legs, then
+    pairwise levenshtein within blocks only.
+
+    Scale shape: key derivation is one codegen'd projection; the
+    self-join shuffles on the phonetic key whose block sizes the cap
+    bounds — ΣB² stays linear-ish in rows at any corpus size."""
+    p = load_parallel(spark, sf_dir, "part").selectExpr(
+        "p_partkey", "p_name", f"{_PHONETIC_KEY} AS pkey"
+    )
+    w = Window.partitionBy("pkey").orderBy("p_partkey")
+    capped = (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 256)
+        .drop("rn")
+        .localCheckpoint(eager=False)
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.pkey") == F.col("b.pkey"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .groupBy(F.col("a.pkey").alias("pkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(dist <= 4, 1).otherwise(0)).alias("n_close"),
+            F.min(dist).cast("long").alias("min_dist"),
+        )
+        .orderBy("pkey")
+    )
