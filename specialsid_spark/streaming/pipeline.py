@@ -445,3 +445,62 @@ def streaming_corpus_ingest(
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["text_hash"])
     )
+
+
+def streaming_incremental_rollup(
+    spark: SparkSession,
+    events_dir: str,
+    summary_path: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """T3/A1 ∘ streaming: MAINTAIN a per-event-type summary table from a
+    stream via ``foreachBatch`` — each micro-batch's partial counts are
+    merged into the parquet summary (read-modify-write of a tiny
+    aggregate, NOT a rescan of history).  This is the incremental-view
+    pattern for metrics a 100 TB/day firehose feeds: state lives in the
+    summary table itself, so the streaming query needs no state store
+    at all, and exactly-once comes from the checkpoint (a batch is
+    merged once; on restart Spark replays only unmerged batches).
+
+    foreachBatch is the escape hatch for sinks Spark cannot express
+    declaratively (here: an aggregate UPSERT into plain parquet); the
+    batch function gets a NORMAL DataFrame, so the merge reuses the
+    same groupBy/unionByName operators as batch code."""
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os as _os  # noqa: PLC0415
+
+        partial = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
+        )
+        if _os.path.exists(summary_path):
+            current = batch_df.sparkSession.read.parquet(summary_path)
+            merged = (
+                current.unionByName(partial)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_value").alias("sum_value"),
+                )
+            )
+        else:
+            merged = partial
+        # tiny aggregate: collect-and-rewrite keeps the write atomic-ish
+        # (write to a temp dir then swap would be the production shape;
+        # at summary size the overwrite window is negligible)
+        merged.write.mode("overwrite").parquet(summary_path + "_next")
+        import shutil  # noqa: PLC0415
+
+        if _os.path.exists(summary_path):
+            shutil.rmtree(summary_path)
+        _os.rename(summary_path + "_next", summary_path)
+
+    ev = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).json(events_dir)
+    return (
+        ev.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

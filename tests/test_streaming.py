@@ -492,3 +492,41 @@ def test_streaming_corpus_ingest_gate_and_dedup(spark, tmp_path):
     assert "<EMAIL>" in out[4] and "<IP>" in out[4]
     assert "user7@example.com" not in out[4] and "10.0.7.1" not in out[4]
     assert out[1] == good  # clean docs pass through unmodified
+
+
+def test_streaming_incremental_rollup_foreachbatch(spark, tmp_path):
+    """foreachBatch-maintained summary: equals the batch aggregate,
+    grows incrementally with new files, re-run merges nothing."""
+    from specialsid_spark.streaming.pipeline import streaming_incremental_rollup
+
+    ev_dir = tmp_path / "events_roll"
+    ev_dir.mkdir()
+    summary = str(tmp_path / "summary")
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(
+        ev_dir / "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 2, "event_type": "click", "value": 2.0},
+            {"event_id": 3, "ts": "2024-01-01 10:02:00", "user_id": 1, "event_type": "view", "value": 5.0},
+        ],
+    )
+    streaming_incremental_rollup(spark, str(ev_dir), summary, ckpt).awaitTermination()
+    out = {r["event_type"]: (r["n_events"], r["sum_value"]) for r in spark.read.parquet(summary).collect()}
+    assert out == {"click": (2, 3.0), "view": (1, 5.0)}
+
+    # re-run: checkpoint replays nothing, summary unchanged
+    streaming_incremental_rollup(spark, str(ev_dir), summary, ckpt).awaitTermination()
+    out2 = {r["event_type"]: (r["n_events"], r["sum_value"]) for r in spark.read.parquet(summary).collect()}
+    assert out2 == out
+
+    # incremental: a new file merges only its rows
+    _write_events(
+        ev_dir / "b2.json",
+        [
+            {"event_id": 4, "ts": "2024-01-01 10:10:00", "user_id": 3, "event_type": "click", "value": 10.0},
+        ],
+    )
+    streaming_incremental_rollup(spark, str(ev_dir), summary, ckpt).awaitTermination()
+    out3 = {r["event_type"]: (r["n_events"], r["sum_value"]) for r in spark.read.parquet(summary).collect()}
+    assert out3 == {"click": (3, 13.0), "view": (1, 5.0)}
