@@ -62,6 +62,9 @@ def write_zordered(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).collect()[0]
+    if lo_a is None or lo_b is None:  # empty input: nothing to cluster
+        df.write.mode("overwrite").parquet(path)
+        return
     top = (1 << _ZBITS) - 1
 
     def scaled(c: str, lo, hi) -> Column:

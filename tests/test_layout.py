@@ -49,3 +49,10 @@ def test_zordered_write_prunes_both_dimensions(spark, tmp_path):
 
     # and the data itself round-trips unchanged
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_zordered_write_empty_input(spark, tmp_path):
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey").filter("l_orderkey < 0")
+    out = str(tmp_path / "empty_z")
+    write_zordered(li, out, "l_orderkey", "l_partkey")
+    assert spark.read.parquet(out).count() == 0
