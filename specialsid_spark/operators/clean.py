@@ -204,7 +204,22 @@ def merge_upsert_clean_zone(
     the common case for incremental loads), one partition-local write.
     Returns {"updated": ..., "inserted": ..., "partitions_rewritten": ...}.
     """
+    import os as _os
+
     part_cols = ["province", "date_range"]
+    if not _os.path.exists(path):  # first load: MERGE degenerates to insert
+        n = updates.count()
+        (
+            updates.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*part_cols)
+            .parquet(path)
+        )
+        return {
+            "updated": 0,
+            "inserted": n,
+            "partitions_rewritten": updates.select(*part_cols).distinct().count(),
+        }
     affected = updates.select(*part_cols).distinct()
     existing = spark.read.schema(updates.schema).parquet(path)
     in_affected = existing.join(F.broadcast(affected), part_cols, "left_semi")

@@ -251,3 +251,13 @@ def test_merge_upsert_key_level(spark, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert back2 == back
+
+
+def test_merge_upsert_first_load(spark, tmp_path):
+    from specialsid_spark.operators.clean import merge_upsert_clean_zone
+
+    target = str(tmp_path / "fresh_zone")
+    upd = _full_rows(spark, [("A", "Gauteng", "w1", "p1.json")])
+    stats = merge_upsert_clean_zone(spark, target, upd)
+    assert stats == {"updated": 0, "inserted": 1, "partitions_rewritten": 1}
+    assert spark.read.parquet(target).count() == 1
