@@ -41,8 +41,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # CORRECTNESS row, names with no green row in prior rounds are listed here
 # and surfaced FIRST in all_queries()/all_oracles(); everything else keeps
 # module registration order after them.  Round 3: the list is the 34 names
-# absent from CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json plus the 15
-# operators new this round (49 ≤ the ~50 budget).
+# absent from CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json plus the 16
+# operators new this round (50 = the ~50 budget).
 _PRIORITY: tuple[str, ...] = (
     "retail_clean_pipeline",
     "clean_map_normalize_segment",
@@ -82,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "ev_transition_matrix",
     "text_unigram_surprisal",
     "fuzzy_phonetic_blocked",
+    "ev_variant_props",
     "join_asof_signup_before_error",
     "join_broadcast_part_revenue",
     "join_market_basket_pairs",
