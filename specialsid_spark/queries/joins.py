@@ -435,3 +435,44 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+#: Gap-free hour-of-day histogram over a RECURSIVELY generated spine —
+#: ONE ANSI string executed verbatim by BOTH engines (Spark 4
+#: WITH RECURSIVE ≡ DuckDB's; Spark requires UNION ALL in the
+#: recursive step, which an acyclic monotone spine satisfies —
+#: cyclic-graph closures belong to the explicit checkpointed loop,
+#: see graph_pagerank_suppliers / dedup_cc_clusters).  The LEFT JOIN
+#: guarantees all 24 rows even for hours with zero events — the
+#: gap-free-bucket guarantee aggregation alone cannot give.
+_ANSI_RECURSIVE_SPINE_SQL = """
+    WITH RECURSIVE hours(h) AS (
+      SELECT 0
+      UNION ALL
+      SELECT h + 1 FROM hours WHERE h < 23
+    ),
+    ev AS (
+      SELECT EXTRACT(HOUR FROM ts) AS h, value FROM events
+    )
+    SELECT CAST(hours.h AS BIGINT) AS hour_of_day,
+           CAST(COUNT(ev.h) AS BIGINT) AS n_events,
+           CAST(COALESCE(SUM(CAST(round(ev.value * 100) AS BIGINT)), 0) AS DOUBLE) / 100.0
+             AS sum_value
+    FROM hours LEFT JOIN ev ON ev.h = hours.h
+    GROUP BY hours.h
+    ORDER BY hour_of_day
+    """
+
+
+@register("sql_surface_recursive_spine", oracle=_ANSI_RECURSIVE_SPINE_SQL)
+def sql_surface_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 surface, recursion edition: a WITH RECURSIVE spine (Spark 4
+    recursive CTEs) drives a gap-free hour-of-day histogram — the exact
+    oracle string run verbatim by spark.sql.  Recursive CTEs are the
+    declarative path for spine/hierarchy generation; unbounded cyclic
+    closures stay on the explicit checkpointed loop (dedup_cc_clusters,
+    graph_pagerank_suppliers) where lineage is truncated per step."""
+    from specialsid_spark.catalog import register_all  # noqa: PLC0415
+
+    register_all(spark, sf_dir)
+    return spark.sql(_ANSI_RECURSIVE_SPINE_SQL)
