@@ -497,3 +497,40 @@ def test_crop_stub_real_pixels_for_png_through_spark(spark):
     w, h, c, cpx = decode_png(bytes(row["crop_bytes"]))
     assert (w, h, c) == (7, 5, 3)  # cols [2,9), rows [1,6)
     assert bytes(cpx[:21]) == px[1 * 30 + 6 : 1 * 30 + 27]
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(min_value=2, max_value=24),
+        h=st.integers(min_value=2, max_value=20),
+        ch=st.sampled_from([1, 3, 4]),
+        seed=st.integers(min_value=0, max_value=255),
+        data=st.data(),
+    )
+    def test_crop_png_property_roundtrip(w, h, ch, seed, data):
+        """Any crop of any synthetic PNG (random filter mix) must decode
+        to exactly the corresponding pixel slice of the original."""
+        from specialsid_spark.operators.multimodal import crop_png, decode_png
+
+        px = _pix(w, h, ch, seed)
+        filters = data.draw(st.lists(st.integers(0, 4), min_size=1, max_size=5))
+        blob = _png_with_filters(w, h, ch, px, filters)
+        ymin = data.draw(st.integers(0, h - 1))
+        ymax = data.draw(st.integers(ymin + 1, h))
+        xmin = data.draw(st.integers(0, w - 1))
+        xmax = data.draw(st.integers(xmin + 1, w))
+        out = crop_png(blob, ymin, xmin, ymax, xmax)
+        cw, chh, c, cpx = decode_png(out)
+        assert (cw, chh, c) == (xmax - xmin, ymax - ymin, ch)
+        stride = w * ch
+        for y in range(ymin, ymax):
+            row = px[y * stride + xmin * ch : y * stride + xmax * ch]
+            o = (y - ymin) * cw * ch
+            assert bytes(cpx[o : o + cw * ch]) == row
+
+except ImportError:
+    pass
