@@ -491,14 +491,22 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the accuracy bound vs the EXACT percentiles is pinned by pytest
     instead (tests/test_queries_smoke.py).  At 100 TB the sketch is the
     only viable shape: exact percentiles need a full sort, the sketch is
-    one map-side pass + merge of bounded summaries."""
+    one map-side pass + merge of bounded summaries.
+
+    Output shape: three SCALAR double columns (p50/p90/p99), not an
+    array — the driver's pandas canonicalizer cannot sort array cells
+    (r1 HLL and r3 taught this twice; tools/check_oracle.py now rejects
+    nested output types outright)."""
     li = load(spark, sf_dir, "lineitem")
+    pcts = F.expr("percentile_approx(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
     return (
         li.groupBy("l_returnflag")
-        .agg(
-            F.expr(
-                "percentile_approx(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
-            ).alias("approx_pcts")
+        .agg(pcts.alias("_pcts"))
+        .select(
+            "l_returnflag",
+            F.col("_pcts")[0].alias("p50"),
+            F.col("_pcts")[1].alias("p90"),
+            F.col("_pcts")[2].alias("p99"),
         )
         .orderBy("l_returnflag")
     )

@@ -93,7 +93,7 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_SQL_CODES}
     SELECT vec_id,
-           list(code ORDER BY m) AS codes,
+           array_to_string(list(code ORDER BY m), ',') AS codes,
            CAST(SUM(d) AS BIGINT) AS distortion
     FROM chosen
     GROUP BY vec_id
@@ -104,13 +104,23 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ encode: each vector's 8 sub-codes plus its exact quantization
     distortion (Σ squared-L2 to the chosen codebook entries, micro-unit
     integers).  The codes column IS the compressed corpus — 8 small
-    ints instead of 64 floats."""
+    ints instead of 64 floats.
+
+    The codes are emitted as a comma-joined STRING, not array<int>: the
+    driver's pandas canonicalizer cannot sort array cells (this failed
+    the r3 gate; tools/check_oracle.py now rejects nested output
+    types).  The string is a bijective rendering of the code vector, so
+    the hash compare still proves every code exactly."""
     codes = _pq_codes(spark, sf_dir)
     return (
         codes.groupBy("vec_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "code"))),
+                    lambda s: s["code"],
+                ),
+                ",",
             ).alias("codes"),
             F.sum("d").cast("long").alias("distortion"),
         )

@@ -112,5 +112,32 @@ def test_approx_percentiles_within_bound(spark):
         .collect()
     }
     for r in agg_approx_percentiles(spark, sf_dir).collect():
-        for a, e in zip(r["approx_pcts"], exact[r["l_returnflag"]]):
+        approx = (r["p50"], r["p90"], r["p99"])
+        for a, e in zip(approx, exact[r["l_returnflag"]]):
             assert abs(a - e) / e < 0.01, (r["l_returnflag"], a, e)
+
+
+def test_no_registered_query_emits_nested_columns(spark, sf_dir):
+    # Driver-harness compatibility guard (shipped broken twice: r1 HLL,
+    # r3 emb_pq_encode + agg_approx_percentiles): the driver canonicalizes
+    # results via pandas sort_values, which raises `unhashable type` on
+    # array/map/struct cells.  Schema-only check — no execution — so the
+    # whole registry is covered in seconds.
+    from tools.check_oracle import nested_output_columns
+
+    offenders = {}
+    for name, fn in QUERIES:
+        if name.startswith("stream_"):  # exercised (expensively) elsewhere
+            continue
+        bad = nested_output_columns(fn(spark, sf_dir))
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"nested output columns break the driver gate: {offenders}"
+
+
+def test_nested_column_guard_detects_arrays(spark):
+    from tools.check_oracle import nested_output_columns
+
+    df = spark.createDataFrame([(1, [1, 2])], "id long, xs array<long>")
+    assert nested_output_columns(df) == ["xs"]
+    assert nested_output_columns(df.select("id")) == []

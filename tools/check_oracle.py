@@ -21,6 +21,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 
 
+def nested_output_columns(sdf) -> list[str]:
+    """Columns whose type the driver's pandas canonicalizer cannot sort.
+
+    The driver canonicalizes results with DataFrame.sort_values over every
+    column; array/map/struct cells arrive as python lists/dicts and raise
+    `TypeError: unhashable type` before any compare (this FAILED the gate
+    for agg_approx_count_distinct in r1 and emb_pq_encode /
+    agg_approx_percentiles in r3).  Registered queries must emit scalar
+    columns only — array_join / explode / per-element scalars instead.
+    """
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def norm_cell(v) -> str:
     if v is None:
         return "\\N"
@@ -65,6 +84,15 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
+            bad = nested_output_columns(sdf)
+            if bad:
+                print(
+                    f"FAIL {name}: driver-incompatible nested output columns {bad} "
+                    "(array/map/struct break the driver's pandas canonicalizer)"
+                )
+                failures.append(name)
+                n_fail += 1
+                continue
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception:
