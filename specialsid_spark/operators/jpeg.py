@@ -1,0 +1,611 @@
+"""Baseline JPEG codec, stdlib + numpy only (SURVEY.md §2.4 D1/D3, §2.11 X3).
+
+The reference pipeline is JPEG end-to-end: gen_pdf_imgLambda.py:53-60
+rasterizes PDF pages to JPEG and pnp-cropperLambda.py:96-98 crops those
+JPEGs with PIL.  This container has no PIL/cv2/ffmpeg, so the crop path
+for JPEG payloads was a byte-slice stub through round 3.  This module
+closes that gap with a from-scratch implementation of the baseline
+sequential DCT process (ITU-T T.81):
+
+* :func:`decode_jpeg` — marker parse (DQT/SOF0/SOF1/DHT/DRI/SOS),
+  canonical-Huffman entropy decode with byte-unstuffing and restart
+  markers, dequantize, de-zigzag, 8×8 IDCT (numpy matrix form), chroma
+  upsampling for 4:4:4 / 4:2:2 / 4:2:0, YCbCr→RGB.
+* :func:`encode_jpeg` — the forward path (FDCT, quality-scaled Annex K
+  quantization tables, Annex K standard Huffman tables, 4:4:4 or
+  grayscale), emitting a well-formed JFIF stream that this decoder and
+  any standard decoder can read.
+* :func:`crop_jpeg` — decode → pixel-space bbox slice (clamped, the
+  P5/F7 validity discipline) → re-encode.
+
+Scope (documented, test-pinned): baseline sequential only — no
+progressive (SOF2), arithmetic coding, 12-bit, or CMYK.  Unsupported
+streams return None and callers fall back to the byte-slice stub, so
+the operator degrades loudly-documented rather than wrongly.
+
+Determinism: the decoder is pure integer/float math with fixed
+rounding; encode(decode(x)) is bit-stable across runs, which is what
+the oracle hashing needs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Zigzag scan order: index i of the scan holds coefficient (row, col).
+_ZZ = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.1/K.2 reference quantization tables (in zigzag order here they
+# would be scrambled — these are in natural row-major order).
+_QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.float64,
+)
+_QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.float64,
+)
+
+# Annex K.3 standard Huffman tables: (BITS counts per code length 1..16,
+# HUFFVAL symbol list).
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# 8-point DCT-II basis: _C[u, x] = c(u)/2 * cos((2x+1)uπ/16); spatial =
+# _C.T @ coeff @ _C, coeff = _C @ spatial @ _C.T.
+_C = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _cu = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+        _C[_u, _x] = 0.5 * _cu * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+# ---------------------------------------------------------------- decode
+
+
+class _HuffTable:
+    """Canonical Huffman decoder per T.81 F.2.2.3 (MINCODE/MAXCODE/VALPTR)."""
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        code = 0
+        k = 0
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        self.vals = vals
+        for ln in range(1, 17):
+            if bits[ln - 1]:
+                self.valptr[ln] = k
+                self.mincode[ln] = code
+                code += bits[ln - 1]
+                k += bits[ln - 1]
+                self.maxcode[ln] = code - 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    byte-unstuffing; stops (returns marker) at any other 0xFF marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.p = pos
+        self.acc = 0
+        self.n = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> bool:
+        if self.p >= len(self.d):
+            return False
+        b = self.d[self.p]
+        if b == 0xFF:
+            if self.p + 1 < len(self.d) and self.d[self.p + 1] == 0x00:
+                self.p += 2
+            else:
+                self.marker = self.d[self.p + 1] if self.p + 1 < len(self.d) else None
+                return False
+        else:
+            self.p += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+        return True
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            if not self._fill():
+                # T.81 allows the final code to be padded with 1-bits.
+                self.acc = (self.acc << 8) | 0xFF
+                self.n += 8
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        return v
+
+    def huff(self, t: _HuffTable) -> int:
+        code = self.bits(1)
+        ln = 1
+        while code > t.maxcode[ln]:
+            if ln >= 16:
+                raise ValueError("bad huffman code")
+            code = (code << 1) | self.bits(1)
+            ln += 1
+        return t.vals[t.valptr[ln] + code - t.mincode[ln]]
+
+    def align_to_marker(self) -> int | None:
+        """Drop partial bits and consume a restart marker if present."""
+        self.acc = 0
+        self.n = 0
+        while self.p + 1 < len(self.d):
+            if self.d[self.p] == 0xFF and self.d[self.p + 1] != 0x00:
+                m = self.d[self.p + 1]
+                self.p += 2
+                self.marker = None
+                return m
+            self.p += 1
+        return None
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1: map t-bit magnitude to signed coefficient."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes] | None:
+    """Decode baseline-sequential JFIF bytes to raw pixels.
+
+    Returns ``(width, height, channels, pixels)`` with pixels row-major
+    interleaved (channels 1=gray or 3=RGB), or None for payloads this
+    decoder does not support (not a JPEG, progressive, arithmetic, …).
+    """
+    if len(blob) < 4 or blob[:2] != b"\xff\xd8":
+        return None
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, _HuffTable] = {}
+    ac_tabs: dict[int, _HuffTable] = {}
+    comps: list[dict] = []
+    w = h = 0
+    restart = 0
+    i = 2
+    n = len(blob)
+    try:
+        while i + 4 <= n:
+            if blob[i] != 0xFF:
+                i += 1
+                continue
+            m = blob[i + 1]
+            if m in (0xFF, 0x01) or 0xD0 <= m <= 0xD9:
+                i += 2
+                continue
+            ln = struct.unpack(">H", blob[i + 2 : i + 4])[0]
+            seg = blob[i + 4 : i + 2 + ln]
+            if m == 0xDB:  # DQT
+                j = 0
+                while j < len(seg):
+                    pq, tq = seg[j] >> 4, seg[j] & 0xF
+                    j += 1
+                    if pq:
+                        tab = np.frombuffer(seg[j : j + 128], dtype=">u2").astype(np.float64)
+                        j += 128
+                    else:
+                        tab = np.frombuffer(seg[j : j + 64], dtype=np.uint8).astype(np.float64)
+                        j += 64
+                    qt = np.zeros(64)
+                    qt[_ZZ] = tab  # stored in zigzag order
+                    qts[tq] = qt.reshape(8, 8)
+            elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+                _prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+                if _prec != 8:
+                    return None
+                for c in range(nc):
+                    cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            elif m == 0xC2:  # progressive: out of scope
+                return None
+            elif m == 0xC4:  # DHT
+                j = 0
+                while j < len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 0xF
+                    bits = list(seg[j + 1 : j + 17])
+                    nv = sum(bits)
+                    vals = list(seg[j + 17 : j + 17 + nv])
+                    (ac_tabs if tc else dc_tabs)[th] = _HuffTable(bits, vals)
+                    j += 17 + nv
+            elif m == 0xDD:  # DRI
+                restart = struct.unpack(">H", seg[:2])[0]
+            elif m == 0xDA:  # SOS — entropy data follows
+                ns = seg[0]
+                smap = {}
+                for c in range(ns):
+                    cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                    smap[cid] = (tabs >> 4, tabs & 0xF)
+                for comp in comps:
+                    comp["dc"], comp["ac"] = smap[comp["id"]]
+                return _decode_scan(blob, i + 2 + ln, w, h, comps, qts, dc_tabs, ac_tabs, restart)
+            i += 2 + ln
+    except (ValueError, IndexError, struct.error, KeyError):
+        return None
+    return None
+
+
+def _decode_scan(blob, pos, w, h, comps, qts, dc_tabs, ac_tabs, restart):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for c in comps:
+        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
+        planes.append(np.zeros((ph, pw), dtype=np.float64))
+    br = _BitReader(blob, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                m = br.align_to_marker()
+                if m is None or not (0xD0 <= m <= 0xD7):
+                    raise ValueError("missing restart marker")
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dt, at = dc_tabs[c["dc"]], ac_tabs[c["ac"]]
+                qt = qts[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64)
+                        t = br.huff(dt)
+                        diff = _extend(br.bits(t), t) if t else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.huff(at)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index out of range")
+                            zz[k] = _extend(br.bits(s), s)
+                            k += 1
+                        coeff = np.zeros(64)
+                        coeff[_ZZ] = zz
+                        block = _C.T @ (coeff.reshape(8, 8) * qt) @ _C + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_count += 1
+    # Upsample to full resolution and crop padding.
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, out.tobytes()
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    return w, h, 3, rgb.tobytes()
+
+
+# ---------------------------------------------------------------- encode
+
+
+def _build_enc(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) for canonical Huffman emission."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, ln: int) -> None:
+        self.acc = (self.acc << ln) | (code & ((1 << ln) - 1))
+        self.n += ln
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per T.81
+
+
+def _mag(v: int) -> tuple[int, int]:
+    """signed value -> (size category, magnitude bits)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    t = a.bit_length()
+    return t, (v if v > 0 else v + (1 << t) - 1)
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    qt = np.floor((base * s + 50) / 100)
+    return np.clip(qt, 1, 255)
+
+
+def _encode_block(wtr, block, qt, enc_dc, enc_ac, pred_val):
+    coeff = _C @ block @ _C.T
+    q = np.round(coeff / qt).astype(np.int64)
+    zz = q.reshape(-1)[_ZZ]
+    t, mag = _mag(int(zz[0]) - pred_val)
+    code, ln = enc_dc[t]
+    wtr.put(code, ln)
+    if t:
+        wtr.put(mag, t)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c0, l0 = enc_ac[0xF0]  # ZRL
+            wtr.put(c0, l0)
+            run -= 16
+        t, mag = _mag(v)
+        code, ln = enc_ac[(run << 4) | t]
+        wtr.put(code, ln)
+        wtr.put(mag, t)
+        run = 0
+    if run:
+        c0, l0 = enc_ac[0x00]  # EOB covers the trailing zero run
+        wtr.put(c0, l0)
+    return int(zz[0])
+
+
+def encode_jpeg(
+    w: int,
+    h: int,
+    ch: int,
+    pixels: bytes | bytearray,
+    quality: int = 90,
+    sampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode raw row-major pixels (1=gray, 3=RGB) as baseline JFIF with
+    Annex K tables scaled by ``quality``.  ``sampling`` is ``"444"`` or
+    ``"420"`` (RGB only; chroma box-averaged 2×2 — the dominant layout
+    of real-world JPEGs, so the decoder's upsampling path gets exercised
+    by streams this encoder emits).  ``restart_interval`` > 0 emits DRI
+    + RSTn markers every that many MCUs.  Deterministic byte-for-byte
+    for identical inputs."""
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(h, w, ch).astype(np.float64)
+    if ch == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    elif ch == 1:
+        planes = [arr[..., 0]]
+    else:
+        raise ValueError("encode_jpeg supports 1 (gray) or 3 (RGB) channels")
+    if sampling not in ("444", "420") or (sampling == "420" and ch != 3):
+        raise ValueError("sampling must be '444', or '420' with 3 channels")
+
+    qt_l = _scaled_qt(_QT_LUMA, quality).reshape(8, 8)
+    qt_c = _scaled_qt(_QT_CHROMA, quality).reshape(8, 8)
+    enc_dc = [_build_enc(*_DC_LUMA), _build_enc(*_DC_CHROMA)]
+    enc_ac = [_build_enc(*_AC_LUMA), _build_enc(*_AC_CHROMA)]
+
+    # Per-component sampling factors and planes (chroma pre-downsampled
+    # for 4:2:0 by 2×2 box mean, matching the decoder's replication
+    # upsample in expectation).
+    if sampling == "420":
+        sfac = [(2, 2), (1, 1), (1, 1)]
+        cplanes = [planes[0]]
+        for p in planes[1:]:
+            ph2, pw2 = (h + 1) // 2, (w + 1) // 2
+            pp = np.empty((ph2 * 2, pw2 * 2))
+            pp[:h, :w] = p
+            pp[h:, :w] = p[h - 1 : h, :]
+            pp[:, w:] = pp[:, w - 1 : w]
+            cplanes.append((pp[0::2, 0::2] + pp[1::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 1::2]) / 4.0)
+    else:
+        sfac = [(1, 1)] * ch
+        cplanes = planes
+
+    hmax = max(s[0] for s in sfac)
+    vmax = max(s[1] for s in sfac)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # Edge-replicate pad each plane to its MCU-aligned size, pre-shifted.
+    padded = []
+    for (sh, sv), p in zip(sfac, cplanes):
+        tw, th = mcux * 8 * sh, mcuy * 8 * sv
+        ph0, pw0 = p.shape
+        pp = np.empty((th, tw))
+        pp[:ph0, :pw0] = p
+        pp[ph0:, :pw0] = p[ph0 - 1 : ph0, :]
+        pp[:, pw0:] = pp[:, pw0 - 1 : pw0]
+        padded.append(pp - 128.0)
+
+    wtr = _BitWriter()
+    pred = [0] * len(cplanes)
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0] * len(cplanes)
+            for ci, pp in enumerate(padded):
+                sh, sv = sfac[ci]
+                tsel = 0 if ci == 0 else 1
+                qt = qt_l if ci == 0 else qt_c
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        pred[ci] = _encode_block(
+                            wtr,
+                            pp[y0 : y0 + 8, x0 : x0 + 8],
+                            qt,
+                            enc_dc[tsel],
+                            enc_ac[tsel],
+                            pred[ci],
+                        )
+            mcu_count += 1
+    wtr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dqt(tid: int, qt: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(int(v) for v in qt.reshape(-1)[_ZZ]))
+
+    def dht(tc: int, th: int, tab: tuple[list[int], list[int]]) -> bytes:
+        bits, vals = tab
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    nc = len(cplanes)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    sos = bytes([nc])
+    for ci in range(nc):
+        tsel = 0 if ci == 0 else 1
+        sh, sv = sfac[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, tsel])
+        sos += bytes([ci + 1, (tsel << 4) | tsel])
+    sos += bytes([0, 63, 0])  # full spectral selection, no approx
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt(0, qt_l)
+    if nc == 3:
+        out += dqt(1, qt_c)
+    out += seg(0xC0, sof)
+    out += dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_LUMA)
+    if nc == 3:
+        out += dht(0, 1, _DC_CHROMA) + dht(1, 1, _AC_CHROMA)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, sos)
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def crop_jpeg(blob: bytes, ymin: int, xmin: int, ymax: int, xmax: int) -> bytes | None:
+    """REAL pixel crop for baseline JPEG bytes (ref
+    pnp-cropperLambda.py:96-98 ``img.crop((xmin, ymin, xmax, ymax))``):
+    full decode, bbox slice in top-down visual coordinates with
+    clamping, re-encode as PNG (lossless — re-JPEG-ing a crop would
+    add a second generation loss the reference's PIL path does not).
+    Returns None when the payload is not a decodable baseline JPEG."""
+    from specialsid_spark.operators.multimodal import encode_png
+
+    dec = decode_jpeg(blob)
+    if dec is None:
+        return None
+    w, h, ch, px = dec
+    ymin, ymax = max(0, min(h, ymin)), max(0, min(h, ymax))
+    xmin, xmax = max(0, min(w, xmin)), max(0, min(w, xmax))
+    cw, chh = xmax - xmin, ymax - ymin
+    if cw <= 0 or chh <= 0:
+        return None
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+    crop = arr[ymin:ymax, xmin:xmax, :]
+    return encode_png(cw, chh, ch, crop.tobytes())

@@ -6,14 +6,19 @@ audio / video is an opaque ``BinaryType`` column with typed metadata
 flowing through the plan, and per-blob work is an Arrow-batched
 ``mapInPandas``.
 
-Pixel codecs (PIL / pdf2image / ffmpeg) are not in this container, but
-*metadata* decoding does not need them: ``parse_image_meta`` reads real
+Pixel codecs (PIL / pdf2image / ffmpeg) are not in this container, so
+every codec here is from scratch: ``parse_image_meta`` reads real
 width/height/format straight from JPEG SOF / PNG IHDR / GIF / WebP /
-BMP headers, and ``pdf_page_count`` counts ``/Type /Page`` objects in a
-real PDF — both pure-Python, both exercised on real fixture bytes in
-tests/test_multimodal.py.  Only the pixel-producing kernels (rasterize
-a PDF page, crop a bbox region) remain stubs; their Spark-side plumbing
-— schema, batch iteration, partitioning — is real and tested.
+BMP headers; ``pdf_page_count`` counts ``/Type /Page`` objects in a
+real PDF; ``crop_bmp`` / ``crop_png`` /
+``specialsid_spark.operators.jpeg.crop_jpeg`` produce REAL cropped
+pixels for the three mainstream raster formats (BMP scanline slice,
+stdlib-zlib PNG decode/unfilter, baseline-JPEG Huffman+IDCT); and
+``explode_pdf_pages`` emits each page's real embedded image for
+image-per-page PDFs (operators/pdf.py).  What remains stubbed: decoding
+progressive/arithmetic JPEG, 16-bit/paletted/interlaced PNG, and
+rendering vector/text PDF content — each degrades to a documented
+byte-slice fallback rather than failing.
 """
 
 from __future__ import annotations
@@ -352,21 +357,35 @@ def decode_image_stub(df: DataFrame, id_col: str = "doc_id", bin_col: str = "blo
     return df.mapInPandas(fn, IMAGE_META_SCHEMA)
 
 
-def explode_pdf_pages_stub(
+def explode_pdf_pages(
     df: DataFrame, id_col: str = "doc_id", bin_col: str = "blob", page_size: int = 100
 ) -> DataFrame:
     """D1 flatMap PDF->pages (ref gen_pdf_imgLambda.py:51-60): 1 row in,
-    N rows out via mapInPandas.  For a real PDF payload the fan-out count
-    is the REAL page count (``pdf_page_count``); only the per-page raster
-    bytes are stubbed as even byte slices (pdf2image absent here).  For
-    opaque test payloads, pages are fixed-size byte slices."""
+    N rows out via mapInPandas.
+
+    For an image-per-page PDF (the reference's scanned-catalogue case),
+    each output row carries the page's REAL image bytes — the embedded
+    DCTDecode JPEG verbatim or the FlateDecode samples re-encoded as
+    PNG (operators/pdf.py walks the /Pages tree in /Kids order).  For
+    other real PDFs the fan-out count is still the REAL page count
+    (``pdf_page_count``) with byte-slice page payloads (vector/text
+    content needs a full renderer — documented limitation).  Opaque
+    test payloads get fixed-size byte slices."""
+    from specialsid_spark.operators.pdf import extract_page_images
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_id, out_no, out_bytes = [], [], []
             for i, blob in zip(pdf[id_col], pdf[bin_col]):
+                blob = bytes(blob)
                 n_real = pdf_page_count(blob)
-                if n_real is not None:
+                imgs = extract_page_images(blob) if n_real is not None else None
+                if imgs and any(p is not None for p in imgs):
+                    pages = [
+                        p if p is not None else blob[0:0]  # unrenderable page: empty
+                        for p in imgs
+                    ]
+                elif n_real is not None:
                     # Index-boundary split: page p covers [p*len//n, (p+1)*len//n).
                     # Unlike a ceil-div even split this emits EXACTLY n_real
                     # slices for any blob length (a 9-byte 4-page PDF would
@@ -395,15 +414,25 @@ def explode_pdf_pages_stub(
     return df.mapInPandas(fn, PAGE_SCHEMA)
 
 
-def crop_stub(products: DataFrame, images: DataFrame, on: str = "page_key") -> DataFrame:
+#: Back-compat name from rounds 1-3; for image-per-page PDFs the pages
+#: are no longer stubs.
+explode_pdf_pages_stub = explode_pdf_pages
+
+
+def crop_regions(products: DataFrame, images: DataFrame, on: str = "page_key") -> DataFrame:
     """D3/J1: products ⋈ page-image (broadcast the small image batch),
     then a mapInPandas crop (ref pnp-cropperLambda.py:58-101).
 
-    BMP and PNG payloads produce REAL cropped pixels (:func:`crop_bmp`
-    — exact scanline slicing; :func:`crop_png` — stdlib-zlib decode,
-    unfilter, slice, re-encode); JPEG/PDF still fall back to a
-    byte-slice STUB, since entropy codecs for those are absent from
-    this container."""
+    BMP, PNG and baseline JPEG payloads all produce REAL cropped pixels
+    (:func:`crop_bmp` — exact scanline slicing; :func:`crop_png` —
+    stdlib-zlib decode, unfilter, slice, re-encode;
+    :func:`specialsid_spark.operators.jpeg.crop_jpeg` — from-scratch
+    baseline Huffman+IDCT decode, slice, lossless PNG re-encode, the
+    reference's actual image format).  Only payloads none of the three
+    decoders recognize (e.g. progressive JPEG, opaque test bytes) fall
+    back to a byte-slice stub."""
+    from specialsid_spark.operators.jpeg import crop_jpeg
+
     joined = products.join(F.broadcast(images), on)
 
     out_schema = T.StructType(
@@ -425,6 +454,8 @@ def crop_stub(products: DataFrame, images: DataFrame, on: str = "page_key") -> D
                 real = crop_bmp(bytes(blob), ymin, xmin, ymax, xmax)
                 if real is None:
                     real = crop_png(bytes(blob), ymin, xmin, ymax, xmax)
+                if real is None:
+                    real = crop_jpeg(bytes(blob), ymin, xmin, ymax, xmax)
                 if real is not None:
                     crops.append(real)
                     continue
@@ -440,3 +471,8 @@ def crop_stub(products: DataFrame, images: DataFrame, on: str = "page_key") -> D
             )
 
     return joined.mapInPandas(fn, out_schema)
+
+
+#: Back-compat name from rounds 1-3; the kernel is no longer a stub for
+#: BMP/PNG/baseline-JPEG payloads.
+crop_stub = crop_regions

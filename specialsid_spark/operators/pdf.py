@@ -1,0 +1,258 @@
+"""Byte-level PDF image extraction + a minimal image-PDF writer
+(SURVEY.md §2.4 D1 — ref gen_pdf_imgLambda.py:51-60 rasterizes each PDF
+page to a JPEG).
+
+The reference's PDFs are scanned retail catalogues: each page is one
+full-page raster image (a DCTDecode/JPEG or FlateDecode XObject).  For
+that class, "rasterize page N" IS "extract page N's image" — no vector
+renderer needed, just the PDF object graph:
+
+* :func:`extract_page_images` walks the ``/Pages`` tree in /Kids order
+  (true page order, not byte order), resolves each leaf page's
+  ``/Resources → /XObject`` reference, and returns the decoded image
+  per page — DCTDecode streams verbatim (they are standalone JPEGs;
+  specialsid_spark.operators.jpeg decodes them), FlateDecode raw
+  samples re-encoded as PNG.
+* :func:`build_image_pdf` writes a well-formed single-image-per-page
+  PDF (xref table, catalog, pages tree, per-page content stream) — the
+  fixture generator for tests AND the inverse sink (pages → scanned
+  catalogue).
+
+DOCUMENTED LIMITATION (same discipline as pdf_page_count's /ObjStm
+note): pages whose content is vector art, text, or an image variant
+outside DCTDecode/FlateDecode(8-bit gray/RGB) yield None for that page
+— callers fall back to the byte-slice stub.  A full renderer needs a
+PDF interpreter, which is out of scope for a byte-level scan.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+import zlib
+
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b", re.DOTALL)
+_STREAM_RE = re.compile(rb"stream\r?\n")
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R\b")
+_KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
+_NUM_RE = re.compile(rb"/(\w+)\s+(\d+)")
+
+
+def _parse_objects(blob: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """obj_num -> (dict/body bytes, raw stream bytes or None).
+
+    The stream length comes from a direct ``/Length N`` when present
+    (stream data may legally contain ``endstream``); otherwise the next
+    ``endstream`` token bounds it.
+    """
+    out: dict[int, tuple[bytes, bytes | None]] = {}
+    for m in _OBJ_RE.finditer(blob):
+        num = int(m.group(1))
+        end = blob.find(b"endobj", m.end())
+        if end < 0:
+            end = len(blob)
+        body = blob[m.end() : end]
+        sm = _STREAM_RE.search(body)
+        if sm is None:
+            out[num] = (body, None)
+            continue
+        head = body[: sm.start()]
+        lm = re.search(rb"/Length\s+(\d+)\b(?!\s+0\s+R)", head)
+        if lm:
+            data = body[sm.end() : sm.end() + int(lm.group(1))]
+        else:
+            se = body.find(b"endstream", sm.end())
+            data = body[sm.end() : se if se >= 0 else len(body)]
+            data = data.rstrip(b"\r\n")
+        out[num] = (head, data)
+    return out
+
+
+def _page_order(objs: dict[int, tuple[bytes, bytes | None]]) -> list[int]:
+    """Leaf page object numbers in true document order: walk /Kids of
+    the /Type /Pages root (nested trees recursed); fall back to byte
+    order of /Type /Page leaves when no tree exists."""
+    leaves = {
+        n
+        for n, (head, _) in objs.items()
+        if re.search(rb"/Type\s*/Page(?![a-zA-Z])", head)
+    }
+    roots = [
+        n
+        for n, (head, _) in objs.items()
+        if re.search(rb"/Type\s*/Pages\b", head)
+        and not re.search(rb"/Parent\b", head)
+    ]
+    order: list[int] = []
+    seen: set[int] = set()
+
+    def walk(n: int) -> None:
+        if n in seen or n not in objs:
+            return
+        seen.add(n)
+        head = objs[n][0]
+        if n in leaves:
+            order.append(n)
+            return
+        km = _KIDS_RE.search(head)
+        if km:
+            for rm in _REF_RE.finditer(km.group(1)):
+                walk(int(rm.group(1)))
+
+    for r in roots:
+        walk(r)
+    if not order:  # no tree (or damaged): byte order of the leaves
+        order = sorted(leaves, key=lambda n: _byte_pos(objs, n))
+    return order
+
+
+def _byte_pos(objs: dict[int, tuple[bytes, bytes | None]], n: int) -> int:
+    return n  # object numbers are assigned in byte order by every writer we accept
+
+
+def _resolve_dict(objs, head: bytes, key: bytes) -> bytes | None:
+    """Value of /key in a dict body, following one `N 0 R` indirection."""
+    m = re.search(rb"/" + key + rb"\s+(\d+)\s+0\s+R", head)
+    if m:
+        n = int(m.group(1))
+        return objs[n][0] if n in objs else None
+    m = re.search(rb"/" + key + rb"\s*(<<.*?>>|\[[^\]]*\])", head, re.DOTALL)
+    return m.group(1) if m else None
+
+
+def extract_image(head: bytes, data: bytes) -> bytes | None:
+    """Decode one /Subtype /Image XObject to standalone image bytes:
+    DCTDecode verbatim (a JPEG), FlateDecode 8-bit gray/RGB re-encoded
+    as PNG.  None for unsupported variants."""
+    from specialsid_spark.operators.multimodal import encode_png
+
+    nums = {k.decode(): int(v) for k, v in _NUM_RE.findall(head)}
+    w, h = nums.get("Width"), nums.get("Height")
+    if not w or not h:
+        return None
+    if re.search(rb"/Filter\s*/DCTDecode\b", head) or re.search(
+        rb"/Filter\s*\[\s*/DCTDecode\s*\]", head
+    ):
+        return bytes(data)
+    if re.search(rb"/Filter\s*/FlateDecode\b", head) or re.search(
+        rb"/Filter\s*\[\s*/FlateDecode\s*\]", head
+    ):
+        if nums.get("BitsPerComponent", 8) != 8:
+            return None
+        ch = 1 if re.search(rb"/DeviceGray\b", head) else 3
+        try:
+            raw = zlib.decompress(data)
+        except zlib.error:
+            return None
+        if len(raw) < w * h * ch:
+            return None
+        return encode_png(w, h, ch, raw[: w * h * ch])
+    return None
+
+
+def extract_page_images(blob: bytes) -> list[bytes | None] | None:
+    """Per-page image bytes for an image-per-page PDF, in true /Kids
+    page order.  A page whose image cannot be resolved or decoded gets
+    None; a non-PDF payload returns None outright."""
+    if not blob.startswith(b"%PDF"):
+        return None
+    objs = _parse_objects(blob)
+    pages = _page_order(objs)
+    if not pages:
+        return None
+    images = {
+        n: (head, data)
+        for n, (head, data) in objs.items()
+        if data is not None and re.search(rb"/Subtype\s*/Image\b", head)
+    }
+    out: list[bytes | None] = []
+    for pn in pages:
+        head = objs[pn][0]
+        res = _resolve_dict(objs, head, b"Resources")
+        img_bytes = None
+        if res is not None:
+            xm = re.search(rb"/XObject\s*<<(.*?)>>", res, re.DOTALL)
+            refs = _REF_RE.findall(xm.group(1)) if xm else _REF_RE.findall(res)
+            for r in refs:
+                n = int(r)
+                if n in images:
+                    img_bytes = extract_image(*images[n])
+                    if img_bytes is not None:
+                        break
+        out.append(img_bytes)
+    return out
+
+
+def build_image_pdf(page_images: list[bytes]) -> bytes:
+    """Minimal image-per-page PDF writer (the S8 sink inverse of
+    :func:`extract_page_images`): each input page is JPEG bytes
+    (embedded verbatim as a DCTDecode XObject — zero recompression,
+    exactly how scanners emit catalogues) or 8-bit gray/RGB PNG bytes
+    (decoded and embedded as a FlateDecode XObject).  Emits a classic
+    xref-table PDF readable by any viewer."""
+    from specialsid_spark.operators.multimodal import decode_png, parse_image_meta
+
+    objects: list[bytes] = []  # 1-indexed bodies, object n = index+1
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    catalog_num = add(b"")  # placeholder, filled after pages exist
+    pages_num = add(b"")
+    page_nums = []
+    for img in page_images:
+        meta = parse_image_meta(img)
+        if meta is None or meta[2] not in ("jpeg", "png"):
+            raise ValueError("build_image_pdf pages must be JPEG or PNG bytes")
+        w, h, fmt = meta
+        if fmt == "jpeg":
+            payload, filt, cs = img, b"/DCTDecode", b"/DeviceRGB"
+        else:
+            dec = decode_png(img)
+            if dec is None or dec[2] not in (1, 3):
+                raise ValueError("PNG page variant unsupported (need 8-bit gray/RGB)")
+            w, h, ch, px = dec
+            payload = zlib.compress(bytes(px))
+            filt = b"/FlateDecode"
+            cs = b"/DeviceGray" if ch == 1 else b"/DeviceRGB"
+        xobj = add(
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
+            b" /ColorSpace %s /BitsPerComponent 8 /Filter %s"
+            b" /Length %d >>\nstream\n" % (w, h, cs, filt, len(payload))
+            + payload
+            + b"\nendstream"
+        )
+        content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
+        cont_num = add(
+            b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
+        )
+        page_nums.append(
+            add(
+                b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 %d %d]"
+                b" /Resources << /XObject << /Im0 %d 0 R >> >>"
+                b" /Contents %d 0 R >>" % (pages_num, w, h, xobj, cont_num)
+            )
+        )
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    objects[pages_num - 1] = b"<< /Type /Pages /Kids [%s] /Count %d >>" % (
+        kids,
+        len(page_nums),
+    )
+    objects[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n" % (len(objects) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, catalog_num, xref_pos)
+    )
+    return bytes(out)

@@ -1,0 +1,209 @@
+"""Baseline JPEG codec + PDF image extraction (operators/jpeg.py,
+operators/pdf.py) — the round-4 kernels that close the last fake-bytes
+paths (ref gen_pdf_imgLambda.py renders JPEG pages;
+pnp-cropperLambda.py crops them with PIL)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from specialsid_spark.operators.jpeg import crop_jpeg, decode_jpeg, encode_jpeg
+from specialsid_spark.operators.multimodal import (
+    decode_png,
+    parse_image_meta,
+    pdf_page_count,
+)
+from specialsid_spark.operators.pdf import build_image_pdf, extract_page_images
+
+
+def _gradient(w: int, h: int) -> np.ndarray:
+    x = np.linspace(0, 255, w)
+    y = np.linspace(0, 255, h)
+    r = np.tile(x, (h, 1))
+    g = np.tile(y[:, None], (1, w))
+    return np.stack([r, g, (r + g) / 2], axis=-1).astype(np.uint8)
+
+
+def _decode_to_array(jb: bytes) -> np.ndarray:
+    w, h, ch, px = decode_jpeg(jb)
+    return np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+
+
+def test_uniform_gray_quality100_roundtrips_exactly():
+    # Analytic case: a uniform block has only a DC coefficient, and at
+    # quality 100 every quant step is 1, so decode(encode(x)) == x.
+    img = np.full((16, 24, 1), 77, dtype=np.uint8)
+    jb = encode_jpeg(24, 16, 1, img.tobytes(), quality=100)
+    assert parse_image_meta(jb) == (24, 16, "jpeg")
+    assert np.array_equal(_decode_to_array(jb), img)
+
+
+def test_uniform_rgb_small_error():
+    img = np.full((16, 16, 3), (200, 30, 90), dtype=np.uint8)
+    jb = encode_jpeg(16, 16, 3, img.tobytes(), quality=95)
+    diff = np.abs(_decode_to_array(jb).astype(int) - img.astype(int))
+    assert diff.max() <= 2  # YCbCr round-trip rounding only
+
+
+@pytest.mark.parametrize("sampling", ["444", "420"])
+@pytest.mark.parametrize("restart", [0, 2])
+def test_gradient_roundtrip_all_paths(sampling, restart):
+    img = _gradient(40, 24)
+    jb = encode_jpeg(
+        40, 24, 3, img.tobytes(), quality=95, sampling=sampling, restart_interval=restart
+    )
+    out = _decode_to_array(jb).astype(int)
+    diff = np.abs(out - img.astype(int))
+    # 4:4:4 at q95 is near-lossless; 4:2:0 adds chroma replication error.
+    assert diff.max() <= (2 if sampling == "444" else 12)
+    assert diff.mean() <= (1 if sampling == "444" else 4)
+
+
+def test_odd_dimensions_and_noise_decode():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    jb = encode_jpeg(23, 17, 3, img.tobytes(), quality=85, sampling="420", restart_interval=3)
+    w, h, ch, _ = decode_jpeg(jb)
+    assert (w, h, ch) == (23, 17, 3)
+
+
+def test_decode_rejects_non_jpeg_and_progressive():
+    assert decode_jpeg(b"not a jpeg") is None
+    # A fake progressive stream: SOI + SOF2 header.
+    fake = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+    assert decode_jpeg(fake) is None
+
+
+def test_crop_jpeg_equals_slice_of_decode():
+    img = _gradient(32, 20)
+    jb = encode_jpeg(32, 20, 3, img.tobytes(), quality=92)
+    full = _decode_to_array(jb)
+    png = crop_jpeg(jb, 3, 5, 17, 29)
+    w, h, ch, px = decode_png(png)
+    crop = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, ch)
+    assert np.array_equal(crop, full[3:17, 5:29, :])
+
+
+def test_crop_jpeg_clamps_bbox():
+    img = _gradient(16, 16)
+    jb = encode_jpeg(16, 16, 3, img.tobytes(), quality=92)
+    png = crop_jpeg(jb, -5, -5, 999, 999)
+    w, h, _, _ = decode_png(png)
+    assert (w, h) == (16, 16)
+    assert crop_jpeg(jb, 10, 10, 10, 12) is None  # empty bbox
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(8, 33),
+    h=st.integers(8, 33),
+    seed=st.integers(0, 2**31),
+    q=st.integers(60, 100),
+)
+def test_jpeg_roundtrip_bounded_error_property(w, h, seed, q):
+    # Any image, any quality >= 60: decoded output stays within the
+    # documented error envelope of baseline JPEG at that quality (smooth
+    # ramps; pure noise is where JPEG legitimately loses more).
+    x = np.linspace(0, 255, w)
+    y = np.linspace(seed % 200, 255, h)
+    img = np.stack(
+        [np.tile(x, (h, 1)), np.tile(y[:, None], (1, w)), np.full((h, w), seed % 256)],
+        axis=-1,
+    ).astype(np.uint8)
+    jb = encode_jpeg(w, h, 3, img.tobytes(), quality=q)
+    out = _decode_to_array(jb).astype(int)
+    assert np.abs(out - img.astype(int)).mean() <= 300.0 / q
+
+
+def test_pdf_roundtrip_dct_pages_byte_identical():
+    imgs = [
+        encode_jpeg(32, 24, 3, _gradient(32, 24).tobytes(), quality=90),
+        encode_jpeg(40, 24, 3, _gradient(40, 24).tobytes(), quality=90),
+    ]
+    pdf = build_image_pdf(imgs)
+    assert pdf_page_count(pdf) == 2
+    pages = extract_page_images(pdf)
+    assert pages == imgs  # DCTDecode streams embed and extract verbatim
+    for p in pages:
+        assert decode_jpeg(p) is not None
+
+
+def test_pdf_flate_pages_roundtrip_pixels():
+    from specialsid_spark.operators.multimodal import encode_png
+
+    img = _gradient(24, 16)
+    png = encode_png(24, 16, 3, img.tobytes())
+    pdf = build_image_pdf([png])
+    [page] = extract_page_images(pdf)
+    w, h, ch, px = decode_png(page)
+    assert (w, h, ch) == (24, 16, 3)
+    assert np.array_equal(
+        np.frombuffer(bytes(px), dtype=np.uint8).reshape(16, 24, 3), img
+    )  # Flate path is fully lossless
+
+
+def test_pdf_kids_order_not_byte_order():
+    # Reverse the Kids array by hand: extraction must follow /Kids, not
+    # object byte order.
+    imgs = [
+        encode_jpeg(16, 16, 3, np.full((16, 16, 3), v, np.uint8).tobytes(), quality=95)
+        for v in (10, 240)
+    ]
+    pdf = build_image_pdf(imgs)
+    import re
+
+    m = re.search(rb"/Kids \[(\d+) 0 R (\d+) 0 R\]", pdf)
+    swapped = pdf[: m.start(1)] + m.group(2) + pdf[m.end(1) : m.start(2)] + m.group(1) + pdf[m.end(2) :]
+    pages = extract_page_images(swapped)
+    assert pages == [imgs[1], imgs[0]]
+
+
+def test_pdf_extract_rejects_non_pdf():
+    assert extract_page_images(b"A" * 250) is None
+
+
+def test_explode_pdf_pages_emits_real_decodable_images(spark):
+    # D1 done-criterion: hop1 produces decodable page bytes for a real
+    # image-per-page PDF fixture.
+    from specialsid_spark.operators.multimodal import explode_pdf_pages
+
+    imgs = [
+        encode_jpeg(24, 16, 3, _gradient(24, 16).tobytes(), quality=90),
+        encode_jpeg(32, 16, 3, _gradient(32, 16).tobytes(), quality=90),
+    ]
+    pdf = build_image_pdf(imgs)
+    df = spark.createDataFrame(
+        [(1, bytearray(pdf)), (2, bytearray(b"opaque not pdf" * 20))],
+        "doc_id long, blob binary",
+    )
+    rows = explode_pdf_pages(df).orderBy("doc_id", "page_no").collect()
+    pdf_rows = [r for r in rows if r["doc_id"] == 1]
+    assert [bytes(r["page_bytes"]) for r in pdf_rows] == imgs
+    assert all(decode_jpeg(bytes(r["page_bytes"])) is not None for r in pdf_rows)
+    # opaque payload keeps the fixed-size slice behavior
+    assert len([r for r in rows if r["doc_id"] == 2]) == 3
+
+
+def test_crop_regions_real_pixels_for_jpeg_through_spark(spark):
+    from specialsid_spark.operators.multimodal import crop_regions
+
+    img = _gradient(32, 20)
+    jb = encode_jpeg(32, 20, 3, img.tobytes(), quality=92)
+    products = spark.createDataFrame(
+        [("p1", "Apple Juice", [2, 4, 18, 28])],
+        "page_key string, product_name string, bounding_box array<int>",
+    )
+    images = spark.createDataFrame(
+        [("p1", bytearray(jb))], "page_key string, image_bytes binary"
+    )
+    [row] = crop_regions(products, images).collect()
+    w, h, ch, px = decode_png(bytes(row["crop_bytes"]))
+    assert (w, h, ch) == (24, 16, 3)
+    full = _decode_to_array(jb)
+    assert np.array_equal(
+        np.frombuffer(bytes(px), dtype=np.uint8).reshape(16, 24, 3),
+        full[2:18, 4:28, :],
+    )
