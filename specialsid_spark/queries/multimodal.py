@@ -71,6 +71,172 @@ def mm_decode_meta_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_stub(_as_binary(spark, sf_dir)).orderBy("doc_id")
 
 
+# Deterministic JPEG fixture grammar shared by the two codec queries and
+# their SQL oracles: a 32×24 GRAYSCALE image per doc, tiled into 8×8
+# blocks where block (bi, bj) is uniform with value
+# (doc_id*31 + page*59 + bi*7 + bj*13) % 256.  Uniform blocks carry DC
+# only, and at quality 100 every quantizer step is 1, so
+# decode(encode(img)) == img EXACTLY — which lets DuckDB restate the
+# decoded pixel sums as pure integer arithmetic over (y, x) cells.  Any
+# codec defect (zigzag, Huffman table, DC prediction, IDCT, crop
+# offsets) lands in pix_sum and fails the hash compare.
+_IMG_W, _IMG_H = 32, 24
+_N_CODEC_DOCS = 64
+
+
+def _fixture_gray(doc_id: int, page: int):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:_IMG_H, 0:_IMG_W]
+    return (
+        (doc_id * 31 + page * 59 + (yy // 8) * 7 + (xx // 8) * 13) % 256
+    ).astype(np.uint8)
+
+
+_SQL_CELLS = f"""
+    docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    ys AS (SELECT unnest(range(0, {_IMG_H})) AS y),
+    xs AS (SELECT unnest(range(0, {_IMG_W})) AS x)
+"""
+
+
+@register(
+    "mm_jpeg_crop_pixels",
+    oracle=f"""
+    WITH {_SQL_CELLS},
+    bbox AS (
+      SELECT doc_id,
+             doc_id % 9 AS ymin, doc_id % 13 AS xmin,
+             least({_IMG_H}, doc_id % 9 + 8 + doc_id % 11) AS ymax,
+             least({_IMG_W}, doc_id % 13 + 10 + doc_id % 15) AS xmax
+      FROM docs
+    )
+    SELECT b.doc_id,
+           CAST(b.xmax - b.xmin AS INT) AS crop_w,
+           CAST(b.ymax - b.ymin AS INT) AS crop_h,
+           CAST(SUM((b.doc_id * 31 + (ys.y // 8) * 7 + (xs.x // 8) * 13) % 256)
+                AS BIGINT) AS pix_sum
+    FROM bbox b
+    CROSS JOIN ys CROSS JOIN xs
+    WHERE ys.y >= b.ymin AND ys.y < b.ymax AND xs.x >= b.xmin AND xs.x < b.xmax
+    GROUP BY 1, 2, 3
+    ORDER BY doc_id
+    """,
+)
+def mm_jpeg_crop_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/D3 with REAL JPEG pixels, oracle-hash-checked: per doc, build
+    the deterministic block image, encode as baseline JPEG (quality 100,
+    operators/jpeg.py — real Huffman/DCT stream), crop a doc-derived
+    bbox with crop_jpeg (decode → pixel slice → PNG), decode the PNG,
+    and report the crop dims + exact pixel sum.  DuckDB reproduces the
+    same numbers from the fixture arithmetic — a full cross-engine proof
+    that the from-scratch codec round-trips pixels.
+
+    Scale shape: one mapInPandas over a doc-id spine; every encode/
+    decode is per-row independent (Arrow-batched, embarrassingly
+    parallel), no shuffle at all before the final sort."""
+    import pandas as pd
+
+    from specialsid_spark.operators.jpeg import crop_jpeg, encode_jpeg
+    from specialsid_spark.operators.multimodal import decode_png
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                img = _fixture_gray(doc_id, 0)
+                jb = encode_jpeg(_IMG_W, _IMG_H, 1, img.tobytes(), quality=100)
+                ymin, xmin = doc_id % 9, doc_id % 13
+                ymax, xmax = ymin + 8 + doc_id % 11, xmin + 10 + doc_id % 15
+                png = crop_jpeg(jb, ymin, xmin, ymax, xmax)
+                w, h, _ch, px = decode_png(png)
+                out.append((doc_id, w, h, int(sum(px))))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "crop_w", "crop_h", "pix_sum"]
+            ).astype({"doc_id": "int64", "crop_w": "int32", "crop_h": "int32", "pix_sum": "int64"})
+
+    schema = "doc_id long, crop_w int, crop_h int, pix_sum long"
+    return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")
+
+
+@register(
+    "mm_pdf_page_images",
+    oracle=f"""
+    WITH {_SQL_CELLS},
+    pages AS (SELECT unnest(range(0, 2)) AS page_no)
+    SELECT d.doc_id, CAST(p.page_no + 1 AS INT) AS page_no,
+           CAST({_IMG_W} AS INT) AS width, CAST({_IMG_H} AS INT) AS height,
+           CAST(SUM((d.doc_id * 31 + p.page_no * 59 + (ys.y // 8) * 7
+                     + (xs.x // 8) * 13) % 256) AS BIGINT) AS pix_sum
+    FROM docs d CROSS JOIN pages p CROSS JOIN ys CROSS JOIN xs
+    GROUP BY 1, 2
+    ORDER BY doc_id, page_no
+    """,
+)
+def mm_pdf_page_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 end-to-end with REAL page rasters, oracle-hash-checked: per
+    doc, encode two deterministic JPEG pages, assemble a real PDF
+    (operators/pdf.py writer), run the production page explode
+    (explode_pdf_pages — /Pages-tree walk, DCTDecode extraction), then
+    DECODE each emitted page and report its dims + exact pixel sum.
+    The oracle restates the sums arithmetically, proving the PDF write →
+    parse → extract → JPEG-decode chain preserves every pixel.
+
+    Scale shape: same as mm_jpeg_crop_pixels — per-doc independent
+    mapInPandas work, then the explode's 1→N fan-out; the only shuffle
+    is the final order."""
+    import pandas as pd
+
+    from specialsid_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from specialsid_spark.operators.multimodal import explode_pdf_pages
+    from specialsid_spark.operators.pdf import build_image_pdf
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def build(batches):
+        for pdf in batches:
+            out_id, out_blob = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                pages = [
+                    encode_jpeg(
+                        _IMG_W, _IMG_H, 1, _fixture_gray(doc_id, p).tobytes(), quality=100
+                    )
+                    for p in range(2)
+                ]
+                out_id.append(doc_id)
+                out_blob.append(build_image_pdf(pages))
+            yield pd.DataFrame({"doc_id": pd.Series(out_id, dtype="int64"), "blob": out_blob})
+
+    pdfs = d.select("doc_id").mapInPandas(build, "doc_id long, blob binary")
+    pages = explode_pdf_pages(pdfs)
+
+    def measure(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, pno, pb in zip(pdf["doc_id"], pdf["page_no"], pdf["page_bytes"]):
+                w, h, _ch, px = decode_jpeg(bytes(pb))
+                out.append((int(doc_id), int(pno), w, h, int(sum(px))))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "page_no", "width", "height", "pix_sum"]
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "page_no": "int32",
+                    "width": "int32",
+                    "height": "int32",
+                    "pix_sum": "int64",
+                }
+            )
+
+    return pages.mapInPandas(
+        measure, "doc_id long, page_no int, width int, height int, pix_sum long"
+    ).orderBy("doc_id", "page_no")
+
+
 @register(
     "mm_pdf_page_explode_stub",
     # Same upgrade as mm_decode_meta_stub: the 1->N fan-out contract is
