@@ -203,12 +203,22 @@ def merge_upsert_clean_zone(
     on the business key (broadcast when the update batch is small —
     the common case for incremental loads), one partition-local write.
     Returns {"updated": ..., "inserted": ..., "partitions_rewritten": ...}.
+
+    Safety (ADVICE r3): `updates` is deduped on the business key up
+    front (last-writer ambiguity removed; duplicate keys in one batch
+    would otherwise skew the counts) and BOTH frames are materialized
+    with localCheckpoint before the write — the overwrite must never
+    lazily re-read the directory it is replacing (correctness would
+    otherwise silently depend on dynamic-overwrite staging order), and
+    a non-deterministic update source must not make the counted stats
+    disagree with the written data.
     """
     import os as _os
 
     part_cols = ["province", "date_range"]
+    updates = updates.dropDuplicates(list(key_cols)).localCheckpoint(eager=True)
+    n_updates = updates.count()
     if not _os.path.exists(path):  # first load: MERGE degenerates to insert
-        n = updates.count()
         (
             updates.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -217,7 +227,7 @@ def merge_upsert_clean_zone(
         )
         return {
             "updated": 0,
-            "inserted": n,
+            "inserted": n_updates,
             "partitions_rewritten": updates.select(*part_cols).distinct().count(),
         }
     affected = updates.select(*part_cols).distinct()
@@ -225,10 +235,9 @@ def merge_upsert_clean_zone(
     in_affected = existing.join(F.broadcast(affected), part_cols, "left_semi")
     survivors = in_affected.join(
         F.broadcast(updates.select(*key_cols)), list(key_cols), "left_anti"
-    )
+    ).localCheckpoint(eager=True)  # materialized BEFORE overwriting their source
     n_existing = in_affected.count()
     n_survivors = survivors.count()
-    n_updates = updates.count()
     merged = survivors.unionByName(updates)
     (
         merged.write.mode("overwrite")

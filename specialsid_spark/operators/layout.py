@@ -85,14 +85,18 @@ def write_zordered(
 def rowgroup_overlap_fraction(path: str, column: str, lo, hi) -> float:
     """Fraction of parquet row groups whose [min, max] stats for
     `column` overlap [lo, hi] — i.e. the fraction a stats-pruning scan
-    must actually read.  Measured from the real footers via pyarrow."""
+    must actually read.  Measured from the real footers via pyarrow.
+
+    Recursive glob (partitioned layouts nest files under key=value
+    dirs) and raises on zero row groups — returning 0.0 for an empty or
+    wrong path would read as perfect pruning (ADVICE r3)."""
     import glob
     import os
 
     import pyarrow.parquet as pq
 
     total = overlapping = 0
-    for f in glob.glob(os.path.join(path, "*.parquet")):
+    for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
         md = pq.ParquetFile(f).metadata
         idx = md.schema.to_arrow_schema().get_field_index(column)
         for rg in range(md.num_row_groups):
@@ -102,4 +106,6 @@ def rowgroup_overlap_fraction(path: str, column: str, lo, hi) -> float:
                 overlapping += 1  # no stats -> engine must read it
             elif not (st.max < lo or st.min > hi):
                 overlapping += 1
-    return overlapping / max(total, 1)
+    if total == 0:
+        raise FileNotFoundError(f"no parquet row groups under {path!r}")
+    return overlapping / total

@@ -907,6 +907,166 @@ def dedup_simhash_radius3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _radius3_pairs(_simhash_block_sigs(spark, sf_dir, 32))
 
 
+def _sql_simhash256_sigs() -> str:
+    """DuckDB CTEs for 256-bit SimHash signatures as 4 blocks × 2
+    unsigned 32-bit limbs (blk{b}h/blk{b}l).  Digest source is sha256
+    (md5's 128 bits cannot fill 256 signature bits); limbs stay in
+    [0, 2^32) so every value is representable and identical in BIGINT
+    on both engines — no 1<<63 sign games, no unsigned-cast dialect."""
+    dig_cols = ", ".join(
+        f"list_transform(shs, s -> ('0x' || substring(s, {16 * b + 1 + 8 * half}, 8))::BIGINT)"
+        f" AS d{b}{'h' if half == 0 else 'l'}"
+        for b in range(4)
+        for half in range(2)
+    )
+    limb_cols = ", ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN list_sum(list_transform(d{b}{hl}, v -> ((v >> {k}) & 1) * 2 - 1)) >= 0"
+            f" THEN {1 << k}::BIGINT ELSE 0 END"
+            for k in range(32)
+        )
+        + f") AS blk{b}{hl}"
+        for b in range(4)
+        for hl in ("h", "l")
+    )
+    return f"""
+    t AS (SELECT doc_id, list_distinct({_SQL_TOKENS}) AS toks FROM documents),
+    m AS (SELECT doc_id, list_transform(toks, t -> sha256(t)) AS shs FROM t),
+    g AS (SELECT doc_id, {dig_cols} FROM m),
+    sigs AS (SELECT doc_id, {limb_cols} FROM g)
+    """
+
+
+def _simhash256_block_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, blk0h, blk0l, …, blk3h, blk3l): the width-rule scale
+    instantiation — 256-bit signatures as 4×64-bit pigeonhole blocks,
+    each block carried as TWO unsigned 32-bit limbs.
+
+    Why limbs instead of w=64 in `_simhash_block_sigs`: a 64-bit block
+    value occupies the full BIGINT range — Spark's
+    CAST(conv(hex,16,10) AS BIGINT) nulls above 2^63-1 and DuckDB's
+    ('0x'…)::BIGINT overflows — so the one-column-per-block layout is
+    not representable cross-engine at w=64.  Two 32-bit limbs keep
+    every value in [0, 2^32), cost one extra join-key column, and the
+    pigeonhole/verify logic is unchanged (equal block ⇔ both limbs
+    equal; popcount distributes over limbs).
+
+    This is the 100 TB configuration by the kernel's own measured width
+    rule (block ≥ ~2·log2 corpus ⇒ 4×64 at 1e10 docs).  Same plan as
+    w=16/32: explode distinct tokens → one sha256 per token (256 digest
+    bits; md5 only has 128) → 256 codegen'd conditional SUM votes built
+    as 8 SQL expression strings (the py4j-cost lesson from r3) → limb
+    values from vote signs."""
+    d = load_parallel(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    ).selectExpr("doc_id", "sha2(tok, 256) AS m")
+    g = ex.selectExpr(
+        "doc_id",
+        *[
+            f"CAST(conv(substring(m, {16 * b + 1 + 8 * half}, 8), 16, 10) AS BIGINT)"
+            f" AS d{b}{'h' if half == 0 else 'l'}"
+            for b in range(4)
+            for half in range(2)
+        ],
+    )
+    limb_exprs = {
+        f"blk{b}{hl}": " + ".join(
+            f"CASE WHEN sum(CAST(shiftright(d{b}{hl}, {k}) & 1 AS INT) * 2 - 1) >= 0"
+            f" THEN CAST({1 << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            for k in range(32)
+        )
+        for b in range(4)
+        for hl in ("h", "l")
+    }
+    return g.groupBy("doc_id").agg(
+        *[F.expr(e).alias(name) for name, e in limb_exprs.items()]
+    )
+
+
+@register(
+    "dedup_simhash256_radius3_pairs",
+    oracle=f"""
+    WITH {_sql_simhash256_sigs()},
+    probes AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, blk{b}h AS vh, blk{b}l AS vl,"
+        " blk0h, blk0l, blk1h, blk1l, blk2h, blk2l, blk3h, blk3l FROM sigs"
+        for b in range(4)
+      )}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({" + ".join(
+             f"bit_count(xor(a.blk{i}{hl}, b.blk{i}{hl}))"
+             for i in range(4) for hl in ("h", "l")
+           )} AS BIGINT) AS hamming
+    FROM probes a JOIN probes b
+      ON a.band = b.band AND a.vh = b.vh AND a.vl = b.vl AND a.doc_id < b.doc_id
+    WHERE {" + ".join(
+      f"bit_count(xor(a.blk{i}{hl}, b.blk{i}{hl}))"
+      for i in range(4) for hl in ("h", "l")
+    )} <= 3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash256_radius3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB-CONFIGURATION SimHash near-dup: 256-bit signatures,
+    radius-3 pairs via 4×64-bit pigeonhole blocks (two 32-bit limbs per
+    block — see `_simhash256_block_sigs` for why).  2^64 block keys
+    dwarf any feasible corpus (the width rule's 1e10-doc prescription),
+    so block collisions are true near-dups essentially always; the
+    runnable proof that the documented scale path actually executes."""
+    sigs = _simhash256_block_sigs(spark, sf_dir).localCheckpoint(eager=True)
+    limb_names = [f"blk{b}{hl}" for b in range(4) for hl in ("h", "l")]
+    probes = sigs.select(
+        "doc_id",
+        *limb_names,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"blk{b}h").alias("vh"),
+                        F.col(f"blk{b}l").alias("vl"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("p"),
+    ).select("doc_id", *limb_names, "p.band", "p.vh", "p.vl")
+    a = probes.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(c).alias(f"a_{c}") for c in limb_names],
+        "band",
+        "vh",
+        "vl",
+    )
+    b = probes.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(c).alias(f"b_{c}") for c in limb_names],
+        F.col("band").alias("bband"),
+        F.col("vh").alias("bvh"),
+        F.col("vl").alias("bvl"),
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}"))) for c in limb_names
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band") == F.col("bband"))
+            & (F.col("vh") == F.col("bvh"))
+            & (F.col("vl") == F.col("bvl"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 _SPAN_K = 8  # exact-substring span length, in tokens
 
 

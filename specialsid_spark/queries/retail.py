@@ -418,3 +418,105 @@ def retail_flyer_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY t.date_range, t.day
         """
     )
+
+
+@register(
+    "clean_zone_merge_zorder",
+    # The oracle restates the MERGE semantics declaratively: final zone
+    # = base rows whose business key has no update, plus every update
+    # (both key-replacements and brand-new keys).  The Spark side runs
+    # the REAL maintenance machinery — first-load write, key-level
+    # merge_upsert into Hive partitions with dynamic overwrite, then a
+    # Z-order rewrite — and returns the zone read back from disk, so a
+    # hash match proves the physical pipeline preserves exactly the
+    # declared multiset (no lost siblings, no duplicate keys, no rows
+    # invented by the layout rewrite).
+    oracle="""
+    WITH base AS (
+      SELECT 'P'  || CAST(o_orderkey % 5 AS VARCHAR) AS province,
+             'dr' || CAST(o_orderkey % 3 AS VARCHAR) AS date_range,
+             'f'  || CAST(o_orderkey % 7 AS VARCHAR) AS source_file,
+             'prod_' || CAST(o_orderkey AS VARCHAR) AS product_name,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             o_orderkey AS ok
+      FROM orders WHERE o_orderkey < 4000
+    ),
+    upd AS (
+      SELECT province, date_range, source_file, product_name,
+             price_cents * 2 + 1 AS price_cents, ok
+      FROM base WHERE ok % 11 = 0
+      UNION ALL
+      SELECT province, date_range, source_file,
+             'xprod_' || CAST(ok AS VARCHAR) AS product_name,
+             price_cents + 7 AS price_cents, ok
+      FROM base WHERE ok % 13 = 0
+    ),
+    final AS (
+      SELECT b.province, b.date_range, b.source_file, b.product_name, b.price_cents
+      FROM base b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM upd u
+        WHERE u.province = b.province AND u.date_range = b.date_range
+          AND u.source_file = b.source_file AND u.product_name = b.product_name
+      )
+      UNION ALL
+      SELECT province, date_range, source_file, product_name, price_cents FROM upd
+    )
+    SELECT province, date_range, source_file, product_name, price_cents
+    FROM final
+    ORDER BY province, date_range, source_file, product_name
+    """,
+)
+def clean_zone_merge_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10's full upgraded surface, oracle-verified end-to-end: build a
+    deterministic clean zone from `orders`, MERGE an update batch
+    (key-level upsert, only affected Hive partitions rewritten —
+    operators/clean.py merge_upsert_clean_zone), rewrite the result
+    Z-ordered on (ok, price_cents) (operators/layout.py), and return
+    what is actually ON DISK afterwards.
+
+    Scale shape: the merge prunes to affected partitions and
+    broadcasts the update keys; the Z-order write is one
+    range-repartition + local sort.  Row-group pruning effectiveness is
+    measured separately in tests/test_layout.py; THIS query pins the
+    content contract of the maintenance path (ADVICE r3: the merge now
+    dedupes update keys and materializes survivors before overwriting
+    their source directory)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from specialsid_spark.operators.clean import merge_upsert_clean_zone
+    from specialsid_spark.operators.layout import write_zordered
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    base = o.selectExpr(
+        "concat('P',  CAST(o_orderkey % 5 AS STRING)) AS province",
+        "concat('dr', CAST(o_orderkey % 3 AS STRING)) AS date_range",
+        "concat('f',  CAST(o_orderkey % 7 AS STRING)) AS source_file",
+        "concat('prod_', CAST(o_orderkey AS STRING)) AS product_name",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents",
+        "o_orderkey AS ok",
+    )
+    updates = base.filter(F.col("ok") % 11 == 0).withColumn(
+        "price_cents", F.col("price_cents") * 2 + 1
+    ).unionByName(
+        base.filter(F.col("ok") % 13 == 0)
+        .withColumn("product_name", F.concat(F.lit("xprod_"), F.col("ok").cast("string")))
+        .withColumn("price_cents", F.col("price_cents") + 7)
+    )
+
+    work = Path(tempfile.mkdtemp(prefix="specialsid_zone_"))
+    zone, zpath = str(work / "zone"), str(work / "zone_z")
+    merge_upsert_clean_zone(spark, zone, base)       # first load (insert path)
+    merge_upsert_clean_zone(spark, zone, updates)    # key-level upsert
+    write_zordered(spark.read.parquet(zone), zpath, "ok", "price_cents")
+    out = (
+        spark.read.parquet(zpath)
+        .select("province", "date_range", "source_file", "product_name", "price_cents")
+        .orderBy("province", "date_range", "source_file", "product_name")
+    )
+    rows = out.collect()
+    df = spark.createDataFrame(rows, out.schema)
+    shutil.rmtree(work, ignore_errors=True)
+    return df.orderBy("province", "date_range", "source_file", "product_name")

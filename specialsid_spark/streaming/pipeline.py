@@ -459,8 +459,26 @@ def streaming_incremental_rollup(
     aggregate, NOT a rescan of history).  This is the incremental-view
     pattern for metrics a 100 TB/day firehose feeds: state lives in the
     summary table itself, so the streaming query needs no state store
-    at all, and exactly-once comes from the checkpoint (a batch is
-    merged once; on restart Spark replays only unmerged batches).
+    at all.
+
+    Effectively-once (ADVICE r3 — the checkpoint alone is NOT enough):
+    foreachBatch is at-least-once — a crash between a completed merge
+    and the checkpoint commit replays that batch on restart.  Two
+    mechanisms close every crash window:
+
+    * The applied batch_id travels INSIDE the summary directory (an
+      ``_BATCH_ID`` sidecar; Spark/pyarrow skip underscore files), so
+      the single atomic directory promote carries data and marker
+      together — there is no ordering where the data says "merged" and
+      the marker disagrees.  A replayed batch_id <= the summary's
+      recorded id is skipped.
+    * The swap keeps one complete generation on disk at every instant
+      (``summary -> _old``, ``_next -> summary``, drop ``_old``), and
+      the preamble recovers interrupted swaps (missing summary with
+      ``_old`` present -> restore; stale ``_next`` -> discard, its
+      batch replays).  With rmtree-then-rename, a crash between the
+      two would lose the whole summary while the checkpoint marks its
+      batches committed — unrecoverable, no upstream rescan path.
 
     foreachBatch is the escape hatch for sinks Spark cannot express
     declaratively (here: an aggregate UPSERT into plain parquet); the
@@ -469,7 +487,21 @@ def streaming_incremental_rollup(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         import os as _os  # noqa: PLC0415
+        import shutil  # noqa: PLC0415
 
+        nxt, old = summary_path + "_next", summary_path + "_old"
+        # Crash recovery: an interrupted swap leaves summary missing
+        # with _old complete; a _next from an unpromoted merge is stale
+        # (its batch_id was never committed, so it replays through us).
+        if not _os.path.exists(summary_path) and _os.path.exists(old):
+            _os.rename(old, summary_path)
+        if _os.path.exists(nxt):
+            shutil.rmtree(nxt)
+        marker = _os.path.join(summary_path, "_BATCH_ID")
+        if _os.path.exists(marker):
+            with open(marker) as fh:
+                if batch_id <= int(fh.read().strip() or -1):
+                    return  # crash-replayed batch: already merged
         partial = batch_df.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
         )
@@ -485,15 +517,16 @@ def streaming_incremental_rollup(
             )
         else:
             merged = partial
-        # tiny aggregate: collect-and-rewrite keeps the write atomic-ish
-        # (write to a temp dir then swap would be the production shape;
-        # at summary size the overwrite window is negligible)
-        merged.write.mode("overwrite").parquet(summary_path + "_next")
-        import shutil  # noqa: PLC0415
-
+        merged.write.mode("overwrite").parquet(nxt)
+        with open(_os.path.join(nxt, "_BATCH_ID"), "w") as fh:
+            fh.write(str(batch_id))  # marker promotes atomically with the data
+        if _os.path.exists(old):
+            shutil.rmtree(old)
         if _os.path.exists(summary_path):
-            shutil.rmtree(summary_path)
-        _os.rename(summary_path + "_next", summary_path)
+            _os.rename(summary_path, old)
+        _os.rename(nxt, summary_path)
+        if _os.path.exists(old):
+            shutil.rmtree(old)
 
     ev = spark.readStream.schema(
         "event_id long, ts timestamp, user_id long, event_type string, value double"

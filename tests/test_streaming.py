@@ -530,3 +530,68 @@ def test_streaming_incremental_rollup_foreachbatch(spark, tmp_path):
     streaming_incremental_rollup(spark, str(ev_dir), summary, ckpt).awaitTermination()
     out3 = {r["event_type"]: (r["n_events"], r["sum_value"]) for r in spark.read.parquet(summary).collect()}
     assert out3 == {"click": (3, 13.0), "view": (1, 5.0)}
+
+
+def test_streaming_incremental_rollup_replay_idempotent(spark, tmp_path):
+    """ADVICE r3: foreachBatch is at-least-once — wiping the checkpoint
+    replays batch 0 with identical data, and without the _BATCH_ID
+    guard the replay would double every count."""
+    import shutil
+
+    from specialsid_spark.streaming.pipeline import streaming_incremental_rollup
+
+    ev_dir = tmp_path / "events_replay"
+    ev_dir.mkdir()
+    summary = str(tmp_path / "summary")
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(
+        ev_dir / "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 2, "event_type": "view", "value": 2.0},
+        ],
+    )
+    streaming_incremental_rollup(spark, str(ev_dir), summary, ckpt).awaitTermination()
+    before = {r["event_type"]: (r["n_events"], r["sum_value"]) for r in spark.read.parquet(summary).collect()}
+    assert before == {"click": (1, 1.0), "view": (1, 2.0)}
+
+    # simulate the crash-before-checkpoint-commit replay: lose the
+    # checkpoint entirely, so Spark re-delivers batch 0 verbatim
+    shutil.rmtree(ckpt)
+    streaming_incremental_rollup(spark, str(ev_dir), summary, str(tmp_path / "ckpt2")).awaitTermination()
+    after = {r["event_type"]: (r["n_events"], r["sum_value"]) for r in spark.read.parquet(summary).collect()}
+    assert after == before, "replayed micro-batch was merged twice"
+
+
+def test_streaming_incremental_rollup_recovers_interrupted_swap(spark, tmp_path):
+    """ADVICE r3: a crash between `summary -> _old` and `_next ->
+    summary` must not lose the accumulated summary — the preamble
+    restores the complete _old generation and replays the batch."""
+    import os
+    import shutil
+
+    from specialsid_spark.streaming.pipeline import streaming_incremental_rollup
+
+    ev_dir = tmp_path / "events_swap"
+    ev_dir.mkdir()
+    summary = str(tmp_path / "summary")
+    _write_events(
+        ev_dir / "b1.json",
+        [{"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "click", "value": 3.0}],
+    )
+    streaming_incremental_rollup(spark, str(ev_dir), summary, str(tmp_path / "ck1")).awaitTermination()
+
+    # simulate the mid-swap crash state: summary renamed aside, a stale
+    # _next from the in-flight (uncommitted) merge left behind
+    os.rename(summary, summary + "_old")
+    shutil.copytree(summary + "_old", summary + "_next")
+
+    _write_events(
+        ev_dir / "b2.json",
+        [{"event_id": 2, "ts": "2024-01-01 10:05:00", "user_id": 2, "event_type": "click", "value": 4.0}],
+    )
+    streaming_incremental_rollup(spark, str(ev_dir), summary, str(tmp_path / "ck1")).awaitTermination()
+    out = {r["event_type"]: (r["n_events"], r["sum_value"]) for r in spark.read.parquet(summary).collect()}
+    assert out == {"click": (2, 7.0)}
+    assert not os.path.exists(summary + "_old")
+    assert not os.path.exists(summary + "_next")
