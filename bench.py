@@ -55,6 +55,12 @@ HEADLINE = [
     "cur_contamination_bloom",
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",
+    # round-4 headline addition (the 100 TB SimHash configuration; the
+    # codec/maintenance queries are correctness-gated but excluded here
+    # — their DuckDB oracles restate fixtures arithmetically rather
+    # than doing the codec work, so a wall-clock comparison would be
+    # meaningless)
+    "dedup_simhash256_radius3_pairs",
 ]
 
 
@@ -92,16 +98,23 @@ def main() -> None:
         .toPandas()
     )
 
-    # five runs per query, report the min (steady state, ClickBench-style):
-    # run 1 pays per-plan codegen/JIT that a long-lived cluster amortizes,
-    # and min-of-5 damps the host-level noise on this box (BASELINE.md
-    # records identical full runs 35% apart half an hour apart)
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best, n = float("inf"), 0
-        for _ in range(5):
+    # Five runs per query, report the min (steady state, ClickBench-style):
+    # run 1 pays per-plan codegen/JIT that a long-lived cluster amortizes.
+    # The rounds are INTERLEAVED (all queries once, then repeat), not five
+    # back-to-back runs per query: this box has multi-second host-level
+    # noise bursts (BASELINE.md records identical full runs 35% apart),
+    # and back-to-back samples all land inside the same burst — min-of-5
+    # then keeps the inflated number.  Interleaving spreads each query's
+    # five samples across the whole ~3-minute bench, so a burst hits
+    # different queries on different rounds and the per-query min filters
+    # it (round-4 protocol change; measured to tighten driver-run totals
+    # toward the recorded minima).
+    timings: dict[str, float] = {n: float("inf") for n in HEADLINE}
+    rows: dict[str, int] = {}
+    for _ in range(5):
+        for name in HEADLINE:
             # drop persisted intermediates so each run recomputes from
-            # parquet — min-of-2 measures steady-state JIT, not a cache
+            # parquet — the min measures steady-state JIT, not a cache
             spark.catalog.clearCache()
             t0 = time.time()
             df = qs[name](spark, sf_dir)
@@ -110,10 +123,11 @@ def main() -> None:
             # py4j pickles and was measured to add ~0.1-0.4s per query on
             # the 5k-100k-row results — overhead of the harness, not of
             # the query under test.
-            n = len(df.toPandas().index)
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+            rows[name] = len(df.toPandas().index)
+            timings[name] = min(timings[name], time.time() - t0)
+    for name in HEADLINE:
+        timings[name] = round(timings[name], 3)
+        print(f"# {name}: {timings[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -1,0 +1,53 @@
+"""Recall@5 of the ANN paths at the 16x corpus (160k vectors) — the
+scale where fixture-trained structures (codebooks/centroids from the
+first K vec_ids, i.e. a SAMPLE of the corpus) could degrade.  Feeds
+BASELINE.md §2 and the floors pinned in tests/test_ann_recall.py.
+
+Usage: python tools/ann_recall_scaled.py [x4|x16]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def topk_sets(df, qcol: str, ncol: str, k: int = 5):
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        s = out.setdefault(r[qcol], set())
+        if len(s) < k:
+            s.add(r[ncol])
+    return out
+
+
+def recall(truth, approx) -> float:
+    common = set(truth) & set(approx)
+    return sum(len(truth[q] & approx[q]) / len(truth[q]) for q in common) / len(common)
+
+
+def main() -> None:
+    label = sys.argv[1] if len(sys.argv) > 1 else "x16"
+    d = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_data", label)
+    from specialsid_spark.queries import all_queries
+    from specialsid_spark.session import get_spark
+
+    spark = get_spark("ann-recall-scaled")
+    qs = all_queries()
+    truth = topk_sets(qs["sim_topk_bruteforce"](spark, d), "query_id", "neighbor_id")
+    for name in (
+        "sim_ivf_topk",
+        "sim_lsh_multitable_topk",
+        "sim_pq_adc_topk",
+        "sim_pq_rerank_topk",
+        "sim_ivfpq_topk",
+    ):
+        approx = topk_sets(qs[name](spark, d), "query_id", "neighbor_id")
+        print(f"{name} @ {label}: recall@5 = {recall(truth, approx):.3f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
