@@ -1,0 +1,117 @@
+"""Audio (binary) column operators — WAV/PCM, stdlib + numpy only
+(SURVEY.md §2.11 X3: multimodal columns; the audio leg of the
+image/audio/video triad).
+
+Unlike JPEG (operators/jpeg.py had to implement an entropy codec),
+uncompressed PCM needs no codec at all: a RIFF/WAVE container is a
+header plus raw samples, so every operator here is REAL —
+``parse_wav_meta`` reads the fmt chunk, ``decode_wav`` yields the
+sample array, ``encode_wav`` writes a well-formed file, and the
+feature kernels (per-frame energy, nearest-neighbor resample, frame
+sampling) are plain integer arithmetic over those samples — which also
+makes them restateable in ANSI SQL, so the Spark chain is
+driver-hash-checked end-to-end (queries/multimodal.py
+``mm_wav_frame_energy``).
+
+Scope: PCM integer WAV (16-bit the common case, 8-bit unsigned
+supported); compressed codecs (MP3/AAC/FLAC) return None and callers
+fall back — same degrade-loudly discipline as the image stack.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def parse_wav_meta(blob: bytes) -> tuple[int, int, int, int] | None:
+    """(n_channels, sample_rate, bits_per_sample, n_frames) from a
+    RIFF/WAVE header, walking chunks to fmt and data (extra chunks —
+    LIST, fact, cue — are skipped, not assumed absent).  None when the
+    payload is not a PCM WAV."""
+    if len(blob) < 44 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt = None
+    data_len = None
+    while i + 8 <= len(blob):
+        tag = blob[i : i + 4]
+        (ln,) = struct.unpack("<I", blob[i + 4 : i + 8])
+        if tag == b"fmt " and i + 8 + 16 <= len(blob):
+            audio_fmt, nch, rate = struct.unpack("<HHI", blob[i + 8 : i + 16])
+            bits = struct.unpack("<H", blob[i + 22 : i + 24])[0]
+            if audio_fmt != 1:  # PCM only; compressed formats need codecs
+                return None
+            fmt = (nch, rate, bits)
+        elif tag == b"data":
+            data_len = min(ln, len(blob) - i - 8)
+        i += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data_len is None:
+        return None
+    nch, rate, bits = fmt
+    bytes_per_frame = nch * (bits // 8)
+    if bytes_per_frame == 0:
+        return None
+    return nch, rate, bits, data_len // bytes_per_frame
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, np.ndarray] | None:
+    """(sample_rate, n_channels, samples[frames, channels] int32) —
+    the REAL sample values (16-bit signed or 8-bit unsigned PCM)."""
+    meta = parse_wav_meta(blob)
+    if meta is None:
+        return None
+    nch, rate, bits, n_frames = meta
+    if bits not in (8, 16):
+        return None
+    i = 12
+    while i + 8 <= len(blob):
+        tag = blob[i : i + 4]
+        (ln,) = struct.unpack("<I", blob[i + 4 : i + 8])
+        if tag == b"data":
+            raw = blob[i + 8 : i + 8 + ln]
+            dt = np.int16 if bits == 16 else np.uint8
+            n = n_frames * nch
+            arr = np.frombuffer(raw[: n * (bits // 8)], dtype="<i2" if bits == 16 else "u1")
+            del dt
+            return rate, nch, arr.astype(np.int32).reshape(n_frames, nch)
+        i += 8 + ln + (ln & 1)
+    return None
+
+
+def encode_wav(rate: int, samples: np.ndarray) -> bytes:
+    """Write 16-bit PCM WAV from an int array of shape [frames, channels]
+    (values clipped to int16).  Deterministic byte-for-byte."""
+    arr = np.clip(np.asarray(samples), -32768, 32767).astype("<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    nch = arr.shape[1]
+    data = arr.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, nch, rate, rate * nch * 2, nch * 2, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def frame_energy(samples: np.ndarray, frame_len: int) -> list[int]:
+    """Σ sample² per fixed-length frame (mono input; the classic VAD /
+    silence-detection feature) — exact integer arithmetic, so the value
+    is reproducible cross-engine.  The final partial frame is included."""
+    x = np.asarray(samples, dtype=np.int64).reshape(-1)
+    return [
+        int(np.sum(x[o : o + frame_len] ** 2)) for o in range(0, len(x), frame_len)
+    ]
+
+
+def resample_nearest(samples: np.ndarray, from_rate: int, to_rate: int) -> np.ndarray:
+    """Nearest-neighbor resample: output frame j takes input frame
+    floor(j * from_rate / to_rate) — integer index arithmetic (no
+    interpolation), chosen precisely so the result is restateable in
+    SQL for the oracle.  Production quality would use a windowed-sinc
+    filter; the plumbing (shape, rate contract) is what this pins."""
+    x = np.asarray(samples)
+    n_out = (x.shape[0] * to_rate) // from_rate
+    idx = (np.arange(n_out, dtype=np.int64) * from_rate) // to_rate
+    return x[idx]

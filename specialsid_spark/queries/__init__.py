@@ -56,6 +56,7 @@ _PRIORITY: tuple[str, ...] = (
     "clean_zone_merge_zorder",
     "mm_jpeg_crop_pixels",
     "mm_pdf_page_images",
+    "mm_wav_frame_energy",
     # r3 rows re-verified after this round's changes (same families)
     "sim_pq_adc_topk",
     "sim_pq_rerank_topk",

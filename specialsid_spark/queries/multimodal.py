@@ -237,6 +237,86 @@ def mm_pdf_page_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "page_no")
 
 
+_WAV_N = 800  # PCM frames per fixture clip
+_WAV_FRAME = 256  # analysis frame length
+_WAV_RS_TO = 8000  # resample target rate (from 16000)
+
+
+@register(
+    "mm_wav_frame_energy",
+    # Fixture grammar: mono 16 kHz clip for doc_id with sample
+    # k = ((doc_id*7 + k*13) % 4096) - 2048.  The full WAV round-trip
+    # (encode -> parse -> decode -> resample -> frame energy) is exact
+    # integer arithmetic, so DuckDB restates it cell-by-cell: resampled
+    # frame j = original sample (j*16000)//8000 = 2j, energies are
+    # Σ sample² per 256-frame window.  Any header/layout/decode defect
+    # shifts samples and lands in the energy sums.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    ks AS (SELECT unnest(range(0, {_WAV_N * _WAV_RS_TO} // 16000)) AS j),
+    cells AS (
+      SELECT d.doc_id, ks.j // {_WAV_FRAME} AS frame_no,
+             ((d.doc_id * 7 + (ks.j * 2) * 13) % 4096) - 2048 AS s
+      FROM docs d CROSS JOIN ks
+    )
+    SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           CAST(SUM(s * s) AS BIGINT) AS energy
+    FROM cells
+    GROUP BY doc_id, frame_no
+    ORDER BY doc_id, frame_no
+    """,
+)
+def mm_wav_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3's audio leg, oracle-hash-checked and fully REAL (PCM needs no
+    codec): per doc, synthesize a deterministic mono clip, encode as a
+    16-bit RIFF/WAVE file (operators/audio.py), then run the production
+    chain — header parse, sample decode, nearest-neighbor resample
+    16 kHz→8 kHz, per-256-frame energy — and report exact integer
+    energies that DuckDB reproduces arithmetically.
+
+    Scale shape: per-row-independent mapInPandas (Arrow-batched); no
+    shuffle before the final sort."""
+    import pandas as pd
+
+    from specialsid_spark.operators.audio import (
+        decode_wav,
+        encode_wav,
+        frame_energy,
+        resample_nearest,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                k = np.arange(_WAV_N, dtype=np.int64)
+                samples = ((doc_id * 7 + k * 13) % 4096) - 2048
+                wav = encode_wav(16000, samples)
+                rate, nch, dec = decode_wav(wav)
+                assert (rate, nch) == (16000, 1)
+                rs = resample_nearest(dec[:, 0], rate, _WAV_RS_TO)
+                for fno, e in enumerate(frame_energy(rs, _WAV_FRAME)):
+                    n = min(_WAV_FRAME, len(rs) - fno * _WAV_FRAME)
+                    out.append((doc_id, fno, n, e))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_no", "n_samples", "energy"]
+            ).astype(
+                {"doc_id": "int64", "frame_no": "int32", "n_samples": "int32", "energy": "int64"}
+            )
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(fn, "doc_id long, frame_no int, n_samples int, energy long")
+        .orderBy("doc_id", "frame_no")
+    )
+
+
 @register(
     "mm_pdf_page_explode_stub",
     # Same upgrade as mm_decode_meta_stub: the 1->N fan-out contract is

@@ -207,3 +207,58 @@ def test_crop_regions_real_pixels_for_jpeg_through_spark(spark):
         np.frombuffer(bytes(px), dtype=np.uint8).reshape(16, 24, 3),
         full[2:18, 4:28, :],
     )
+
+
+# ---------------------------------------------------------------- audio
+
+
+def test_wav_roundtrip_exact():
+    from specialsid_spark.operators.audio import decode_wav, encode_wav, parse_wav_meta
+
+    x = np.arange(-500, 500, dtype=np.int64) * 17 % 30000 - 15000
+    wav = encode_wav(16000, x)
+    assert parse_wav_meta(wav) == (1, 16000, 16, 1000)
+    rate, nch, dec = decode_wav(wav)
+    assert (rate, nch) == (16000, 1)
+    assert np.array_equal(dec[:, 0], np.clip(x, -32768, 32767).astype(np.int16))
+
+
+def test_wav_stereo_and_extra_chunks():
+    from specialsid_spark.operators.audio import decode_wav, encode_wav, parse_wav_meta
+
+    x = np.stack([np.arange(100), np.arange(100) * -3], axis=1)
+    wav = encode_wav(44100, x)
+    # splice a LIST chunk between fmt and data: the parser must walk, not assume offsets
+    ln = len(wav)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + (7).to_bytes(4, "little") + b"INFOxyz" + b"\x00"  # odd len, padded
+    spliced = wav[:fmt_end] + extra + wav[fmt_end:]
+    spliced = b"RIFF" + (len(spliced) - 8 + len(extra)).to_bytes(4, "little") + spliced[8:]
+    assert len(spliced) > ln
+    assert parse_wav_meta(spliced) == (2, 44100, 16, 100)
+    rate, nch, dec = decode_wav(spliced)
+    assert nch == 2 and np.array_equal(dec, x)
+
+
+def test_wav_rejects_non_pcm_and_garbage():
+    from specialsid_spark.operators.audio import parse_wav_meta
+
+    assert parse_wav_meta(b"not audio at all" * 10) is None
+    # audio_fmt=3 (IEEE float) must be rejected
+    import struct as _s
+
+    bad = (
+        b"RIFF" + _s.pack("<I", 36) + b"WAVE"
+        + b"fmt " + _s.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+        + b"data" + _s.pack("<I", 0)
+    )
+    assert parse_wav_meta(bad) is None
+
+
+def test_wav_resample_and_energy():
+    from specialsid_spark.operators.audio import frame_energy, resample_nearest
+
+    x = np.arange(10)
+    assert list(resample_nearest(x, 4, 2)) == [0, 2, 4, 6, 8]
+    assert frame_energy(np.array([1, 2, 3, 4]), 2) == [5, 25]
+    assert frame_energy(np.array([1, 2, 3]), 2) == [5, 9]  # partial tail frame
