@@ -77,7 +77,14 @@ def main() -> None:
     # that benefit from runtime coalescing — a full-bench A/B showed a
     # net LOSS (30.4s vs 26.7s).  The bench therefore runs the same
     # adaptive config as production.
-    spark = get_spark("bench")
+    # The interleaved protocol keeps ~42 queries' worth of whole-stage
+    # codegen units alive at once; the generated-class cache defaults to
+    # 100 entries (JVM-static), which evicts every unit between rounds —
+    # measured as a uniform +0.1-2.5s per query proportional to plan
+    # complexity (two full runs at 45-51s vs the 30.6s recorded minima
+    # on a quiet box).  Size it to the working set so min-of-5 measures
+    # steady state, exactly like a long-lived cluster would.
+    spark = get_spark("bench", extra_conf={"spark.sql.codegen.cache.maxEntries": "5000"})
     qs = all_queries()
 
     # JVM/codegen warmup (not counted): exercise the vectorized parquet
