@@ -45,6 +45,13 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # The whole-stage-codegen class cache is JVM-static and defaults
+        # to 100 entries — a long-lived session cycling >100 distinct
+        # plans (this engine has 155 registered queries) silently evicts
+        # every compiled unit and recompiles per query, measured at
+        # +0.1-2.5s/query (BASELINE.md round-4 note).  Size it to the
+        # engine's working set.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
