@@ -1,0 +1,147 @@
+"""Video (binary) column operators — uncompressed AVI, stdlib + numpy
+only (SURVEY.md §2.11 X3: the video leg of the image/audio/video
+triad; the brief's "frame-sample" operator).
+
+Same discipline as the audio stack (operators/audio.py): the
+uncompressed case needs no codec, so everything here is REAL — an AVI
+is RIFF chunks (the walker generalizes WAV's), and a raw ``00db``
+video chunk is a bottom-up BGR24 DIB frame, i.e. exactly the pixel
+layout ``crop_bmp`` already slices.  ``parse_avi_meta`` reads the
+``avih`` main header, ``extract_frames`` yields the frame arrays,
+``sample_frames`` is the every-Nth-frame training-data operator, and
+``build_avi`` writes a well-formed file any player opens.
+
+Compressed codecs (H.264/VP9/…) return None — callers fall back, same
+degrade-loudly contract as JPEG-progressive and non-PCM audio.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _walk(blob: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_len) for RIFF chunks in
+    [start, end); LIST chunks yield ('LIST:' + type) and recurse via
+    the caller."""
+    i = start
+    while i + 8 <= end:
+        tag = blob[i : i + 4]
+        (ln,) = struct.unpack("<I", blob[i + 4 : i + 8])
+        yield tag, i + 8, min(ln, end - i - 8)
+        i += 8 + ln + (ln & 1)
+
+
+def parse_avi_meta(blob: bytes) -> tuple[int, int, int, int] | None:
+    """(width, height, n_frames, us_per_frame) from the ``avih`` main
+    header of a RIFF/AVI payload; None when not an AVI."""
+    if len(blob) < 24 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        return None
+    for tag, off, ln in _walk(blob, 12, len(blob)):
+        if tag == b"LIST" and blob[off : off + 4] == b"hdrl":
+            for t2, o2, l2 in _walk(blob, off + 4, off + ln):
+                if t2 == b"avih" and l2 >= 40:
+                    us_pf, _rate, _pad, _flags, n_frames = struct.unpack(
+                        "<IIIII", blob[o2 : o2 + 20]
+                    )
+                    w, h = struct.unpack("<II", blob[o2 + 32 : o2 + 40])
+                    return w, h, n_frames, us_pf
+    return None
+
+
+def extract_frames(blob: bytes) -> list[np.ndarray] | None:
+    """REAL frame decode for uncompressed (``00db`` DIB) AVI: each frame
+    as an RGB uint8 array [h, w, 3] in top-down visual order.  None for
+    non-AVI or compressed payloads (``00dc`` chunks)."""
+    meta = parse_avi_meta(blob)
+    if meta is None:
+        return None
+    w, h, _n, _us = meta
+    stride = (3 * w + 3) // 4 * 4
+    frames: list[np.ndarray] = []
+    for tag, off, ln in _walk(blob, 12, len(blob)):
+        if tag == b"LIST" and blob[off : off + 4] == b"movi":
+            for t2, o2, l2 in _walk(blob, off + 4, off + ln):
+                if t2 == b"00dc":
+                    return None  # compressed stream: needs a codec
+                if t2 == b"00db":
+                    if l2 < stride * h:
+                        return None
+                    rows = np.frombuffer(
+                        blob[o2 : o2 + stride * h], dtype=np.uint8
+                    ).reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+                    # DIB rows are bottom-up BGR; emit top-down RGB
+                    frames.append(rows[::-1, :, ::-1].copy())
+    return frames if frames else None
+
+
+def sample_frames(blob: bytes, every_n: int) -> list[tuple[int, np.ndarray]] | None:
+    """The training-data frame sampler: every Nth frame with its
+    original index — the 1-in-N decimation a video-captioning pipeline
+    feeds to the image models.  Returns [(frame_idx, rgb array)]."""
+    frames = extract_frames(blob)
+    if frames is None:
+        return None
+    return [(i, f) for i, f in enumerate(frames) if i % every_n == 0]
+
+
+def build_avi(frames: list[np.ndarray], fps: int = 25) -> bytes:
+    """Minimal uncompressed AVI writer: RGB uint8 [h, w, 3] frames (all
+    the same size) as bottom-up BGR24 ``00db`` chunks with the standard
+    hdrl (avih + strl/strh/strf) and idx1.  Deterministic
+    byte-for-byte; round-trips through :func:`extract_frames`."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w, _ = frames[0].shape
+    stride = (3 * w + 3) // 4 * 4
+    pad = stride - 3 * w
+    payloads = []
+    for f in frames:
+        if f.shape != (h, w, 3):
+            raise ValueError("all frames must share one size")
+        bgr_bottom_up = f[::-1, :, ::-1]
+        if pad:
+            rows = np.zeros((h, stride), dtype=np.uint8)
+            rows[:, : 3 * w] = bgr_bottom_up.reshape(h, 3 * w)
+            payloads.append(rows.tobytes())
+        else:
+            payloads.append(bgr_bottom_up.tobytes())
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return tag + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+
+    def lst(typ: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", typ + data)
+
+    frame_bytes = stride * h
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,  # us per frame
+        frame_bytes * fps,  # max bytes/sec
+        0,
+        0x10,  # AVIF_HASINDEX
+        len(frames),
+        0,
+        1,  # one stream
+        frame_bytes,
+        w,
+        h,
+        0, 0, 0, 0,
+    )
+    strh = b"vids" + b"DIB " + struct.pack(
+        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), frame_bytes, 0, 0, 0
+    ) + struct.pack("<hhhh", 0, 0, w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_chunks = b"".join(chunk(b"00db", p) for p in payloads)
+    movi = lst(b"movi", movi_chunks)
+    # idx1: one entry per frame (offset relative to 'movi' list data start)
+    idx = bytearray()
+    off = 4  # after the 'movi' fourcc
+    for p in payloads:
+        idx += b"00db" + struct.pack("<III", 0x10, off, len(p))
+        off += 8 + len(p) + (len(p) & 1)
+    body = hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body

@@ -57,6 +57,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_jpeg_crop_pixels",
     "mm_pdf_page_images",
     "mm_wav_frame_energy",
+    "mm_video_frame_sample",
     # r3 rows re-verified after this round's changes (same families)
     "sim_pq_adc_topk",
     "sim_pq_rerank_topk",

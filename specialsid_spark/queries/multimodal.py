@@ -317,6 +317,81 @@ def mm_wav_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VID_W, _VID_H, _VID_FRAMES, _VID_EVERY = 16, 12, 6, 2
+
+
+@register(
+    "mm_video_frame_sample",
+    # Fixture: per doc an uncompressed AVI of 6 uniform-color 16×12
+    # frames, color channels (doc*3+f*17, doc*5+f*29, doc*7+f*41) % 256.
+    # The chain build_avi -> parse_avi_meta -> sample_frames (every 2nd)
+    # is lossless, so DuckDB restates each sampled frame's pixel sum as
+    # (r+g+b)·w·h — any container/stride/row-order defect shifts bytes
+    # and lands in pix_sum.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    fs AS (SELECT unnest(range(0, {_VID_FRAMES})) AS f)
+    SELECT d.doc_id, CAST(fs.f AS INT) AS frame_idx,
+           CAST({_VID_W} AS INT) AS width, CAST({_VID_H} AS INT) AS height,
+           CAST((( (d.doc_id * 3 + fs.f * 17) % 256)
+               + ((d.doc_id * 5 + fs.f * 29) % 256)
+               + ((d.doc_id * 7 + fs.f * 41) % 256)) * {_VID_W * _VID_H} AS BIGINT)
+             AS pix_sum
+    FROM docs d CROSS JOIN fs
+    WHERE fs.f % {_VID_EVERY} = 0
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3's video leg + the brief's frame-sample operator, oracle-hash-
+    checked and fully REAL for the uncompressed case: per doc,
+    synthesize deterministic frames, write a real RIFF/AVI
+    (operators/video.py), then run the production chain — container
+    parse, 00db DIB frame decode (bottom-up BGR → top-down RGB),
+    every-Nth frame sampling — and report each sampled frame's exact
+    pixel sum.  Compressed streams (00dc) return None upstream and fall
+    back, same contract as progressive JPEG / non-PCM audio.
+
+    Scale shape: per-row-independent mapInPandas; no shuffle before
+    the final sort."""
+    import pandas as pd
+
+    from specialsid_spark.operators.video import build_avi, sample_frames
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                frames = []
+                for f in range(_VID_FRAMES):
+                    fr = np.empty((_VID_H, _VID_W, 3), np.uint8)
+                    fr[:, :, 0] = (doc_id * 3 + f * 17) % 256
+                    fr[:, :, 1] = (doc_id * 5 + f * 29) % 256
+                    fr[:, :, 2] = (doc_id * 7 + f * 41) % 256
+                    frames.append(fr)
+                avi = build_avi(frames, fps=25)
+                for idx, fr in sample_frames(avi, _VID_EVERY):
+                    out.append(
+                        (doc_id, idx, fr.shape[1], fr.shape[0], int(fr.astype(np.int64).sum()))
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "width", "height", "pix_sum"]
+            ).astype(
+                {"doc_id": "int64", "frame_idx": "int32", "width": "int32", "height": "int32", "pix_sum": "int64"}
+            )
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(fn, "doc_id long, frame_idx int, width int, height int, pix_sum long")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
 @register(
     "mm_pdf_page_explode_stub",
     # Same upgrade as mm_decode_meta_stub: the 1->N fan-out contract is

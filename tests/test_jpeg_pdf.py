@@ -262,3 +262,41 @@ def test_wav_resample_and_energy():
     assert list(resample_nearest(x, 4, 2)) == [0, 2, 4, 6, 8]
     assert frame_energy(np.array([1, 2, 3, 4]), 2) == [5, 25]
     assert frame_energy(np.array([1, 2, 3]), 2) == [5, 9]  # partial tail frame
+
+
+# ---------------------------------------------------------------- video
+
+
+def test_avi_roundtrip_exact_and_meta():
+    from specialsid_spark.operators.video import build_avi, extract_frames, parse_avi_meta
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (10, 13, 3), dtype=np.uint8) for _ in range(5)]
+    avi = build_avi(frames, fps=10)
+    assert parse_avi_meta(avi) == (13, 10, 5, 100000)
+    out = extract_frames(avi)
+    assert len(out) == 5
+    assert all(np.array_equal(a, b) for a, b in zip(frames, out))
+
+
+def test_avi_frame_sampling_indices():
+    from specialsid_spark.operators.video import build_avi, sample_frames
+
+    frames = [np.full((8, 8, 3), i, np.uint8) for i in range(7)]
+    avi = build_avi(frames, fps=25)
+    sampled = sample_frames(avi, 3)
+    assert [i for i, _ in sampled] == [0, 3, 6]
+    assert all(int(f[0, 0, 0]) == i for i, f in sampled)
+
+
+def test_avi_rejects_compressed_and_garbage():
+    import struct
+
+    from specialsid_spark.operators.video import build_avi, extract_frames, parse_avi_meta
+
+    assert parse_avi_meta(b"not a video" * 20) is None
+    # flip a frame chunk to 00dc (compressed): extraction must bail, not garble
+    avi = bytearray(build_avi([np.zeros((8, 8, 3), np.uint8)], fps=25))
+    i = avi.find(b"00db", avi.find(b"movi"))
+    avi[i : i + 4] = b"00dc"
+    assert extract_frames(bytes(avi)) is None
