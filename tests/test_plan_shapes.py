@@ -270,3 +270,29 @@ def test_fuzzy_block_cap_is_group_limited(spark, qs):
         # any equi-join strategy is fine (broadcast at tiny SF, shuffle
         # at scale) — the point is the block key is a real join key
         assert any(j in p for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_simhash256_pairs_no_cartesian_and_partial_agg(spark, qs):
+    # r4: the 100 TB-width instantiation keeps the w=32 kernel's plan
+    # shape — pigeonhole equi-join on (band, limb, limb), never a
+    # cartesian; the pairs query plans over a localCheckpoint of the
+    # signatures (like the w=32 test above), so the 256 vote SUMs'
+    # map-side combine is asserted on the signature builder directly
+    p = plan_of(spark, qs["dedup_simhash256_radius3_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    from specialsid_spark.queries.dedup import _simhash256_block_sigs
+
+    sp = plan_of(spark, _simhash256_block_sigs(spark, SF_DIR))
+    assert "partial_sum" in sp, "limb votes must combine map-side"
+
+
+def test_codec_queries_are_single_pass_map_pipelines(spark, qs):
+    # r4 codec queries: per-doc-independent mapInPandas over a pruned
+    # doc_id spine — the scan must not read the documents text column,
+    # and nothing may shuffle before the final sort
+    for name in ("mm_jpeg_crop_pixels", "mm_wav_frame_energy", "mm_video_frame_sample"):
+        p = plan_of(spark, qs[name](spark, SF_DIR))
+        assert "CartesianProduct" not in p, name
+        assert "text" not in p.split("ReadSchema")[1].split("\n")[0], name
+        assert p.count("MapInPandas") >= 1, name

@@ -595,3 +595,30 @@ def test_streaming_incremental_rollup_recovers_interrupted_swap(spark, tmp_path)
     assert out == {"click": (2, 7.0)}
     assert not os.path.exists(summary + "_old")
     assert not os.path.exists(summary + "_next")
+
+
+def test_hop1_emits_real_jpeg_pages_for_image_pdf(spark, tmp_path):
+    """r4 D1 closure at the STREAMING surface: a real image-per-page PDF
+    dropped in the raw zone must come out of hop1 as decodable JPEG
+    page bytes (not byte slices), in page order."""
+    import numpy as np
+
+    from specialsid_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from specialsid_spark.operators.pdf import build_image_pdf
+    from specialsid_spark.streaming.pipeline import hop1_pdf_to_pages
+
+    imgs = [
+        encode_jpeg(24, 16, 1, np.full((16, 24, 1), 40 + 10 * p, np.uint8).tobytes(), quality=100)
+        for p in range(3)
+    ]
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "catalogue.pdf").write_bytes(build_image_pdf(imgs))
+    pages_dir = str(tmp_path / "pages")
+    hop1_pdf_to_pages(spark, str(raw), pages_dir, str(tmp_path / "ck")).awaitTermination()
+    rows = spark.read.parquet(pages_dir).orderBy("page_no").collect()
+    assert [bytes(r["page_bytes"]) for r in rows] == imgs
+    for p, r in enumerate(rows):
+        w, h, ch, px = decode_jpeg(bytes(r["page_bytes"]))
+        assert (w, h, ch) == (24, 16, 1)
+        assert set(px) == {40 + 10 * p}  # uniform q100 gray is exact
