@@ -1,0 +1,274 @@
+"""GIF codec, stdlib-only (SURVEY.md §2.11 X3 — the fourth raster
+format with REAL pixels, after BMP/PNG/JPEG).
+
+GIF's only compression is LZW with variable-width codes (GIF89a spec
+appendix F); no DCT, no filters — so a complete decoder is ~100 lines:
+header + color tables, sub-block reassembly, LZW expansion, optional
+interlace reordering, palette lookup.  The encoder writes a real
+variable-width LZW stream (dictionary up to 4096 entries with CLEAR
+resets), so round-trip tests exercise the decoder against genuinely
+compressed data, and any standard viewer opens the output.
+
+Scope: static single-frame decode of the first image descriptor
+(animated GIFs: the first frame composited on the logical screen
+background; frame disposal/compositing of later frames is out of
+scope and documented).  Transparency index maps to the color-table
+entry (GIF has no partial alpha).
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytearray | None:
+    """GIF-flavor LZW: variable code width from min_code_size+1 up to
+    12 bits, CLEAR resets the table, EOI ends the stream.
+
+    Width convention (the giflib/de-facto one): the ENCODER checks
+    "next free code ≥ 2^width" immediately after writing each code and
+    before adding that code's new table entry — so the decoder, whose
+    table additions lag one code behind, must widen on a CODES-READ
+    counter (clear+2 + codes_read-1), not on its own entry counter.
+    Getting this wrong desyncs exactly at each width boundary."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # bit reader, LSB-first across the concatenated sub-block bytes
+    acc = n_bits = pos = 0
+
+    def read_code(width: int) -> int | None:
+        nonlocal acc, n_bits, pos
+        while n_bits < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << n_bits
+            n_bits += 8
+            pos += 1
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        return v
+
+    def fresh_table():
+        return {i: bytes([i]) for i in range(clear)}
+
+    table = fresh_table()
+    width = min_code_size + 1
+    prev: bytes | None = None
+    next_entry = eoi + 1
+    ncodes = 0  # data codes read since the last CLEAR
+    while True:
+        code = read_code(width)
+        if code is None or code == eoi:
+            return out
+        if code == clear:
+            table = fresh_table()
+            width = min_code_size + 1
+            next_entry = eoi + 1
+            prev = None
+            ncodes = 0
+            continue
+        ncodes += 1
+        if code in table:
+            entry = table[code]
+        elif code == next_entry and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None  # corrupt stream
+        out += entry
+        if prev is not None and next_entry < 4096:
+            table[next_entry] = prev + entry[:1]
+            next_entry += 1
+        # mirror the encoder's post-emit check: its next_code when it
+        # wrote data code #ncodes was clear+2 + (ncodes-1)
+        if clear + 2 + ncodes - 1 >= (1 << width) and width < 12:
+            width += 1
+        prev = entry
+
+
+def _lzw_encode(pixels: bytes, min_code_size: int) -> bytes:
+    """Real variable-width LZW (the inverse of :func:`_lzw_decode`,
+    same giflib width convention: check-then-add after each emit)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = n_bits = 0
+    width = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, n_bits, width
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+        # post-write width check against the CURRENT next free code
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+
+    emit(clear)
+    prev = b""
+    for b in pixels:
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prev = bytes([b])
+    if prev:
+        emit(table[prev])
+    emit(eoi)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(blob: bytes) -> tuple[int, int, int, bytearray] | None:
+    """First-frame decode to (width, height, 3, RGB pixels top-down) on
+    the logical screen (frame rect composited over the background
+    color).  None for non-GIF or corrupt payloads."""
+    if len(blob) < 13 or blob[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw, sh = struct.unpack("<HH", blob[6:10])
+    flags = blob[10]
+    bg_index = blob[11]
+    i = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = blob[i : i + 3 * n]
+        i += 3 * n
+    transparent = None
+    while i < len(blob):
+        b0 = blob[i]
+        if b0 == 0x3B:  # trailer
+            return None
+        if b0 == 0x21:  # extension
+            label = blob[i + 1]
+            j = i + 2
+            if label == 0xF9 and blob[j] >= 4:  # graphic control
+                gflags = blob[j + 1]
+                if gflags & 1:
+                    transparent = blob[j + 4]
+            while j < len(blob) and blob[j] != 0:
+                j += 1 + blob[j]
+            i = j + 1
+            continue
+        if b0 != 0x2C:  # not an image descriptor
+            return None
+        fx, fy, fw, fh = struct.unpack("<HHHH", blob[i + 1 : i + 9])
+        lflags = blob[i + 9]
+        i += 10
+        ct = gct
+        if lflags & 0x80:
+            n = 2 << (lflags & 7)
+            ct = blob[i : i + 3 * n]
+            i += 3 * n
+        if ct is None:
+            return None
+        min_code = blob[i]
+        i += 1
+        lzw = bytearray()
+        while i < len(blob) and blob[i] != 0:
+            ln = blob[i]
+            lzw += blob[i + 1 : i + 1 + ln]
+            i += 1 + ln
+        idx = _lzw_decode(bytes(lzw), min_code)
+        if idx is None or len(idx) < fw * fh:
+            return None
+        if lflags & 0x40:  # interlaced: reorder rows
+            rows = [idx[r * fw : (r + 1) * fw] for r in range(fh)]
+            ordered: list[bytes | None] = [None] * fh
+            src = 0
+            for start, step in _INTERLACE_PASSES:
+                for y in range(start, fh, step):
+                    ordered[y] = rows[src]
+                    src += 1
+            idx = bytearray().join(ordered)  # type: ignore[arg-type]
+        # composite the frame rect onto the logical screen
+        out = bytearray(sw * sh * 3)
+        if gct is not None and bg_index * 3 + 3 <= len(gct):
+            bg = gct[bg_index * 3 : bg_index * 3 + 3]
+            for p in range(sw * sh):
+                out[3 * p : 3 * p + 3] = bg
+        for y in range(min(fh, sh - fy)):
+            for x in range(min(fw, sw - fx)):
+                v = idx[y * fw + x]
+                if v == transparent:
+                    continue
+                o = 3 * ((fy + y) * sw + (fx + x))
+                out[o : o + 3] = ct[3 * v : 3 * v + 3]
+        return sw, sh, 3, out
+    return None
+
+
+def encode_gif(w: int, h: int, rgb: bytes | bytearray) -> bytes:
+    """Static GIF89a writer: palettizes the image (≤256 distinct colors
+    required — raises otherwise; this is GIF's own format limit) and
+    writes a real variable-width LZW stream."""
+    px = bytes(rgb)
+    colors: dict[bytes, int] = {}
+    idx = bytearray()
+    for p in range(w * h):
+        c = px[3 * p : 3 * p + 3]
+        k = colors.get(c)
+        if k is None:
+            k = len(colors)
+            if k == 256:
+                raise ValueError("encode_gif needs <=256 distinct colors")
+            colors[c] = k
+        idx.append(k)
+    n_bits = max(1, (len(colors) - 1).bit_length())
+    table_n = 1 << n_bits
+    ct = bytearray(3 * table_n)
+    for c, k in colors.items():
+        ct[3 * k : 3 * k + 3] = c
+    min_code = max(2, n_bits)
+    lzw = _lzw_encode(bytes(idx), min_code)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((n_bits - 1) & 7), 0, 0)
+    out += ct
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(min_code)
+    for o in range(0, len(lzw), 255):
+        chunk = lzw[o : o + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def crop_gif(blob: bytes, ymin: int, xmin: int, ymax: int, xmax: int) -> bytes | None:
+    """REAL pixel crop for GIF bytes: decode, clamped slice, lossless
+    PNG re-encode (same contract as crop_jpeg)."""
+    from specialsid_spark.operators.multimodal import encode_png
+
+    dec = decode_gif(blob)
+    if dec is None:
+        return None
+    w, h, ch, px = dec
+    ymin, ymax = max(0, min(h, ymin)), max(0, min(h, ymax))
+    xmin, xmax = max(0, min(w, xmin)), max(0, min(w, xmax))
+    cw, chh = xmax - xmin, ymax - ymin
+    if cw <= 0 or chh <= 0:
+        return None
+    out = bytearray()
+    for y in range(ymin, ymax):
+        o = 3 * (y * w + xmin)
+        out += px[o : o + 3 * cw]
+    return encode_png(cw, chh, 3, out)

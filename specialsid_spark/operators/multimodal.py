@@ -423,14 +423,17 @@ def crop_regions(products: DataFrame, images: DataFrame, on: str = "page_key") -
     """D3/J1: products ⋈ page-image (broadcast the small image batch),
     then a mapInPandas crop (ref pnp-cropperLambda.py:58-101).
 
-    BMP, PNG and baseline JPEG payloads all produce REAL cropped pixels
-    (:func:`crop_bmp` — exact scanline slicing; :func:`crop_png` —
-    stdlib-zlib decode, unfilter, slice, re-encode;
+    BMP, PNG, baseline JPEG and GIF payloads all produce REAL cropped
+    pixels (:func:`crop_bmp` — exact scanline slicing; :func:`crop_png`
+    — stdlib-zlib decode, unfilter, slice, re-encode;
     :func:`specialsid_spark.operators.jpeg.crop_jpeg` — from-scratch
     baseline Huffman+IDCT decode, slice, lossless PNG re-encode, the
-    reference's actual image format).  Only payloads none of the three
-    decoders recognize (e.g. progressive JPEG, opaque test bytes) fall
-    back to a byte-slice stub."""
+    reference's actual image format;
+    :func:`specialsid_spark.operators.gif.crop_gif` — LZW expansion,
+    interlace reorder, palette lookup).  Only payloads none of the
+    four decoders recognize (e.g. progressive JPEG, opaque test bytes)
+    fall back to a byte-slice stub."""
+    from specialsid_spark.operators.gif import crop_gif
     from specialsid_spark.operators.jpeg import crop_jpeg
 
     joined = products.join(F.broadcast(images), on)
@@ -456,6 +459,8 @@ def crop_regions(products: DataFrame, images: DataFrame, on: str = "page_key") -
                     real = crop_png(bytes(blob), ymin, xmin, ymax, xmax)
                 if real is None:
                     real = crop_jpeg(bytes(blob), ymin, xmin, ymax, xmax)
+                if real is None:
+                    real = crop_gif(bytes(blob), ymin, xmin, ymax, xmax)
                 if real is not None:
                     crops.append(real)
                     continue

@@ -300,3 +300,99 @@ def test_avi_rejects_compressed_and_garbage():
     i = avi.find(b"00db", avi.find(b"movi"))
     avi[i : i + 4] = b"00dc"
     assert extract_frames(bytes(avi)) is None
+
+
+# ---------------------------------------------------------------- gif
+
+
+def _blocky(w: int, h: int) -> np.ndarray:
+    img = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            img[y, x] = ((x // 5) * 40 % 256, (y // 4) * 50 % 256, ((x + y) // 7) * 30 % 256)
+    return img
+
+
+def test_gif_roundtrip_exact_and_crop():
+    from specialsid_spark.operators.gif import crop_gif, decode_gif, encode_gif
+
+    img = _blocky(30, 20)
+    gb = encode_gif(30, 20, img.tobytes())
+    assert parse_image_meta(gb) == (30, 20, "gif")
+    w, h, ch, px = decode_gif(gb)
+    assert (w, h, ch) == (30, 20, 3)
+    assert np.array_equal(np.frombuffer(bytes(px), np.uint8).reshape(20, 30, 3), img)
+    png = crop_gif(gb, 3, 5, 15, 25)
+    w2, h2, _, p2 = decode_png(png)
+    assert np.array_equal(
+        np.frombuffer(bytes(p2), np.uint8).reshape(h2, w2, 3), img[3:15, 5:25]
+    )
+
+
+def test_gif_lzw_dict_reset_roundtrip():
+    # >4096 dictionary entries forces a mid-stream CLEAR + width resets
+    from specialsid_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(1)
+    base = rng.integers(0, 255, (64, 200)).astype(np.uint8)
+    rgb = np.stack([base, (base * 3) % 255, (base * 7) % 255], axis=-1).astype(np.uint8)
+    gb = encode_gif(200, 64, rgb.tobytes())
+    w, h, _, px = decode_gif(gb)
+    assert np.array_equal(np.frombuffer(bytes(px), np.uint8).reshape(64, 200, 3), rgb)
+
+
+def test_gif_interlaced_decode():
+    # hand-build an interlaced GIF: rows stored in pass order, flag 0x40
+    import struct
+
+    from specialsid_spark.operators.gif import _INTERLACE_PASSES, _lzw_encode, decode_gif
+
+    w, h = 8, 11
+    img = np.arange(w * h, dtype=np.uint8).reshape(h, w) % 16
+    order = [y for start, step in _INTERLACE_PASSES for y in range(start, h, step)]
+    stored = np.concatenate([img[y] for y in order])
+    lzw = _lzw_encode(stored.tobytes(), 4)
+    ct = bytes(3 * 16)
+    ct = bytes(b for i in range(16) for b in (i * 16, i * 8, i * 4))
+    gb = bytearray(b"GIF89a")
+    gb += struct.pack("<HHBBB", w, h, 0x80 | 3, 0, 0) + ct
+    gb += b"," + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlace flag
+    gb.append(4)
+    for o in range(0, len(lzw), 255):
+        chunk = lzw[o : o + 255]
+        gb.append(len(chunk))
+        gb += chunk
+    gb += b"\x00\x3b"
+    dw, dh, _, px = decode_gif(bytes(gb))
+    out = np.frombuffer(bytes(px), np.uint8).reshape(dh, dw, 3)
+    expect = np.stack([img * 16, img * 8, img * 4], axis=-1).astype(np.uint8)
+    assert np.array_equal(out, expect)
+
+
+def test_gif_rejects_garbage_and_color_limit():
+    from specialsid_spark.operators.gif import decode_gif, encode_gif
+
+    assert decode_gif(b"not a gif" * 10) is None
+    rng = np.random.default_rng(2)
+    with pytest.raises(ValueError):
+        encode_gif(32, 32, bytes(rng.integers(0, 256, 32 * 32 * 3).astype(np.uint8)))
+
+
+def test_crop_regions_real_pixels_for_gif_through_spark(spark):
+    from specialsid_spark.operators.gif import encode_gif
+    from specialsid_spark.operators.multimodal import crop_regions
+
+    img = _blocky(24, 16)
+    gb = encode_gif(24, 16, img.tobytes())
+    products = spark.createDataFrame(
+        [("g1", "Gif Item", [2, 3, 14, 21])],
+        "page_key string, product_name string, bounding_box array<int>",
+    )
+    images = spark.createDataFrame(
+        [("g1", bytearray(gb))], "page_key string, image_bytes binary"
+    )
+    [row] = crop_regions(products, images).collect()
+    w, h, ch, px = decode_png(bytes(row["crop_bytes"]))
+    assert np.array_equal(
+        np.frombuffer(bytes(px), np.uint8).reshape(h, w, ch), img[2:14, 3:21]
+    )
