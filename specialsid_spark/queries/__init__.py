@@ -58,6 +58,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_pdf_page_images",
     "mm_wav_frame_energy",
     "mm_video_frame_sample",
+    "mm_gif_crop_pixels",
     # r3 rows re-verified after this round's changes (same families)
     "sim_pq_adc_topk",
     "sim_pq_rerank_topk",

@@ -317,6 +317,76 @@ def mm_wav_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_gif_crop_pixels",
+    # GIF's LZW is lossless, so unlike the JPEG fixture this one is
+    # per-PIXEL rich: gray value (x*7 + y*11 + doc_id*13) % 199 (<256
+    # distinct colors, GIF's own format limit).  The whole
+    # encode -> LZW-decode -> crop -> PNG -> decode chain must
+    # reproduce each pixel exactly for the sums to hash-match.
+    oracle=f"""
+    WITH {_SQL_CELLS},
+    bbox AS (
+      SELECT doc_id,
+             doc_id % 7 AS ymin, doc_id % 11 AS xmin,
+             least({_IMG_H}, doc_id % 7 + 9 + doc_id % 5) AS ymax,
+             least({_IMG_W}, doc_id % 11 + 12 + doc_id % 9) AS xmax
+      FROM docs
+    )
+    SELECT b.doc_id,
+           CAST(b.xmax - b.xmin AS INT) AS crop_w,
+           CAST(b.ymax - b.ymin AS INT) AS crop_h,
+           CAST(SUM((xs.x * 7 + ys.y * 11 + b.doc_id * 13) % 199) * 3 AS BIGINT)
+             AS pix_sum
+    FROM bbox b
+    CROSS JOIN ys CROSS JOIN xs
+    WHERE ys.y >= b.ymin AND ys.y < b.ymax AND xs.x >= b.xmin AND xs.x < b.xmax
+    GROUP BY 1, 2, 3
+    ORDER BY doc_id
+    """,
+)
+def mm_gif_crop_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/D3 for GIF, oracle-hash-checked with a PER-PIXEL fixture
+    (LZW is lossless, so no uniform-block restriction): build the
+    gray pattern, encode as real GIF89a (operators/gif.py — real
+    variable-width LZW stream), crop a doc-derived bbox via crop_gif
+    (LZW expand → palette → slice → PNG), decode, report exact pixel
+    sums (×3: the gray value lands in R=G=B).  Exercises dictionary
+    growth and width bumps on every doc."""
+    import pandas as pd
+
+    from specialsid_spark.operators.gif import crop_gif, encode_gif
+    from specialsid_spark.operators.multimodal import decode_png
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                yy, xx = np.mgrid[0:_IMG_H, 0:_IMG_W]
+                g = ((xx * 7 + yy * 11 + doc_id * 13) % 199).astype(np.uint8)
+                rgb = np.stack([g, g, g], axis=-1)
+                gb = encode_gif(_IMG_W, _IMG_H, rgb.tobytes())
+                ymin, xmin = doc_id % 7, doc_id % 11
+                ymax, xmax = ymin + 9 + doc_id % 5, xmin + 12 + doc_id % 9
+                png = crop_gif(gb, ymin, xmin, ymax, xmax)
+                w, h, _ch, px = decode_png(png)
+                out.append((doc_id, w, h, int(sum(px))))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "crop_w", "crop_h", "pix_sum"]
+            ).astype({"doc_id": "int64", "crop_w": "int32", "crop_h": "int32", "pix_sum": "int64"})
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(fn, "doc_id long, crop_w int, crop_h int, pix_sum long")
+        .orderBy("doc_id")
+    )
+
+
 _VID_W, _VID_H, _VID_FRAMES, _VID_EVERY = 16, 12, 6, 2
 
 
