@@ -1,0 +1,167 @@
+"""Compressed-media METADATA parsers — MP3 and MP4, stdlib-only
+(SURVEY.md §2.11 X3).
+
+The decode of compressed audio/video needs codecs this container does
+not have — but their METADATA does not (the same split as
+``parse_image_meta`` vs pixel decode): an MP3 frame header is four
+bytes of version/layer/bitrate/samplerate tables, and an MP4 is a box
+tree whose ``mvhd``/``tkhd`` boxes carry duration and track geometry
+in plain big-endian integers.  At 100 TB these parsers are what a
+corpus-stats pass runs — format histograms, duration sums, resolution
+filters — while actual transcodes are delegated to sidecar services.
+
+Writers for both fixture formats are included so tests and oracles
+exercise the parsers on well-formed files this code did not cheat
+into shape (the MP4 writer emits a real box tree; the MP3 writer
+emits real sync frames with correct length arithmetic).
+"""
+
+from __future__ import annotations
+
+import struct
+
+# MPEG-1 Layer III bitrate table (kbps), index 1..14; 0/15 invalid.
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)  # MPEG-1 samplerate index 0..2
+
+
+def parse_mp3_meta(blob: bytes) -> tuple[int, int, int, int] | None:
+    """(bitrate_kbps, sample_rate, n_frames, approx_ms) by walking the
+    MPEG-1 Layer III frame chain from the first sync word.  An ID3v2
+    tag, if present, is skipped via its declared (syncsafe) size.
+    Returns None when no valid frame chain exists.
+
+    Frame length per spec: 144 * bitrate / sample_rate + padding.
+    Duration: 1152 samples per MPEG-1 Layer III frame."""
+    i = 0
+    if blob[:3] == b"ID3" and len(blob) >= 10:
+        size = (
+            (blob[6] & 0x7F) << 21
+            | (blob[7] & 0x7F) << 14
+            | (blob[8] & 0x7F) << 7
+            | (blob[9] & 0x7F)
+        )
+        i = 10 + size
+    n_frames = 0
+    first = None
+    while i + 4 <= len(blob):
+        b0, b1, b2, _b3 = blob[i : i + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            if n_frames:
+                break  # chain ended
+            i += 1
+            continue
+        version = (b1 >> 3) & 3  # 3 = MPEG-1
+        layer = (b1 >> 1) & 3  # 1 = Layer III
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 3
+        pad = (b2 >> 1) & 1
+        if version != 3 or layer != 1 or br_idx in (0, 15) or sr_idx == 3:
+            if n_frames:
+                break
+            i += 1
+            continue
+        bitrate = _MP3_BITRATES[br_idx]
+        rate = _MP3_RATES[sr_idx]
+        if first is None:
+            first = (bitrate, rate)
+        frame_len = 144 * bitrate * 1000 // rate + pad
+        if frame_len < 4:
+            break
+        n_frames += 1
+        i += frame_len
+    if not n_frames or first is None:
+        return None
+    bitrate, rate = first
+    return bitrate, rate, n_frames, n_frames * 1152 * 1000 // rate
+
+
+def build_mp3(bitrate_kbps: int, sample_rate: int, n_frames: int) -> bytes:
+    """Well-formed MPEG-1 Layer III sync frames (silent payloads) —
+    the fixture generator for :func:`parse_mp3_meta`."""
+    br_idx = _MP3_BITRATES.index(bitrate_kbps)
+    sr_idx = _MP3_RATES.index(sample_rate)
+    out = bytearray()
+    for _ in range(n_frames):
+        hdr = bytes(
+            [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00]
+        )  # MPEG-1 Layer III, no padding, no CRC
+        frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+        out += hdr + b"\x00" * (frame_len - 4)
+    return bytes(out)
+
+
+def _walk_boxes(blob: bytes, start: int, end: int):
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", blob[i : i + 4])
+        tag = blob[i + 4 : i + 8]
+        if size == 1 and i + 16 <= end:  # 64-bit largesize
+            (size,) = struct.unpack(">Q", blob[i + 8 : i + 16])
+            yield tag, i + 16, i + size
+        else:
+            if size == 0:
+                size = end - i  # box extends to end of file
+            yield tag, i + 8, i + min(size, end - i)
+        if size < 8:
+            return
+        i += size
+
+
+def parse_mp4_meta(blob: bytes) -> tuple[int, int, int, int] | None:
+    """(duration_ms, n_tracks, width, height) from the ``moov`` box
+    tree: mvhd carries timescale+duration, each trak/tkhd its 16.16
+    fixed-point track geometry (the max across tracks is reported —
+    the video track; audio tracks are 0×0).  Returns None when the
+    payload is not an ISO-BMFF file with a moov."""
+    if len(blob) < 12 or blob[4:8] != b"ftyp":
+        return None
+    dur_ms = None
+    n_tracks = 0
+    w = h = 0
+    for tag, s, e in _walk_boxes(blob, 0, len(blob)):
+        if tag != b"moov":
+            continue
+        for t2, s2, e2 in _walk_boxes(blob, s, e):
+            if t2 == b"mvhd" and e2 - s2 >= 20:
+                ver = blob[s2]
+                if ver == 1:
+                    ts, dur = struct.unpack(">IQ", blob[s2 + 20 : s2 + 32])
+                else:
+                    ts, dur = struct.unpack(">II", blob[s2 + 12 : s2 + 20])
+                if ts:
+                    dur_ms = dur * 1000 // ts
+            elif t2 == b"trak":
+                n_tracks += 1
+                for t3, s3, e3 in _walk_boxes(blob, s2, e2):
+                    if t3 == b"tkhd" and e3 - s3 >= 84:
+                        ver = blob[s3]
+                        off = s3 + (96 if ver == 1 else 84) - 8
+                        tw, th = struct.unpack(">II", blob[off : off + 8])
+                        w = max(w, tw >> 16)
+                        h = max(h, th >> 16)
+    if dur_ms is None:
+        return None
+    return dur_ms, n_tracks, w, h
+
+
+def _box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def build_mp4(duration_ms: int, tracks: list[tuple[int, int]], timescale: int = 1000) -> bytes:
+    """Minimal ISO-BMFF fixture: ftyp + moov(mvhd + trak(tkhd) per
+    (width, height) entry; audio tracks pass (0, 0)).  No media data —
+    metadata structure only, which is exactly what the parser reads."""
+    mvhd = bytes(4) + struct.pack(
+        ">IIII", 0, 0, timescale, duration_ms * timescale // 1000
+    ) + bytes(80)
+    traks = b""
+    for tw, th in tracks:
+        # v0 tkhd payload is 84 bytes: ver/flags(4) + fixed fields and
+        # matrix (72) + width(4) + height(4)
+        tkhd = bytes(4) + bytes(72) + struct.pack(">II", tw << 16, th << 16)
+        traks += _box(b"trak", _box(b"tkhd", tkhd))
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + _box(
+        b"moov", _box(b"mvhd", mvhd) + traks
+    )

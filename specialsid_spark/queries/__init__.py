@@ -59,6 +59,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_wav_frame_energy",
     "mm_video_frame_sample",
     "mm_gif_crop_pixels",
+    "mm_media_meta",
     # r3 rows re-verified after this round's changes (same families)
     "sim_pq_adc_topk",
     "sim_pq_rerank_topk",

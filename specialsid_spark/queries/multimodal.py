@@ -387,6 +387,85 @@ def mm_gif_crop_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_media_meta",
+    # Fixture grammar: per doc an MP3 (bitrate cycling the table,
+    # 44100 Hz, 10+doc%20 frames) and an MP4 (duration 1000+doc*37 ms,
+    # video track (320+doc%64·16) × (240+doc%48·12) + one audio
+    # track).  Both parsers walk real byte formats the writers emit;
+    # DuckDB restates every derived field arithmetically, incl. the
+    # spec formulas (MP3 ms = frames·1152·1000/rate, integer division).
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    d AS (
+      SELECT doc_id,
+             CAST([32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                  [(doc_id % 14) + 1] AS BIGINT) AS bitrate,
+             10 + doc_id % 20 AS frames
+      FROM docs
+    )
+    SELECT doc_id,
+           bitrate AS mp3_bitrate_kbps,
+           CAST(44100 AS BIGINT) AS mp3_sample_rate,
+           CAST(frames AS BIGINT) AS mp3_frames,
+           CAST(frames * 1152 * 1000 // 44100 AS BIGINT) AS mp3_ms,
+           CAST(1000 + doc_id * 37 AS BIGINT) AS mp4_ms,
+           CAST(2 AS BIGINT) AS mp4_tracks,
+           CAST(320 + (doc_id % 64) * 16 AS BIGINT) AS mp4_width,
+           CAST(240 + (doc_id % 48) * 12 AS BIGINT) AS mp4_height
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 for COMPRESSED media, the metadata half (the split the image
+    stack already uses: headers need no codec).  Per doc, write a real
+    MP3 frame chain and a real ISO-BMFF box tree
+    (operators/media_meta.py), parse both back, and report every
+    derived field — frame counts and durations via the spec's own
+    integer formulas — for DuckDB to restate arithmetically.  This is
+    the corpus-stats pass a 100 TB multimodal lake runs: format/
+    duration/resolution histograms without decoding a single sample."""
+    import pandas as pd
+
+    from specialsid_spark.operators.media_meta import (
+        build_mp3,
+        build_mp4,
+        parse_mp3_meta,
+        parse_mp4_meta,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+    bitrates = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                mp3 = build_mp3(bitrates[doc_id % 14], 44100, 10 + doc_id % 20)
+                br, sr, nf, ms = parse_mp3_meta(mp3)
+                mp4 = build_mp4(
+                    1000 + doc_id * 37,
+                    [(320 + (doc_id % 64) * 16, 240 + (doc_id % 48) * 12), (0, 0)],
+                )
+                dur, ntr, w, h = parse_mp4_meta(mp4)
+                out.append((doc_id, br, sr, nf, ms, dur, ntr, w, h))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "mp3_bitrate_kbps", "mp3_sample_rate", "mp3_frames",
+                    "mp3_ms", "mp4_ms", "mp4_tracks", "mp4_width", "mp4_height",
+                ],
+            ).astype("int64")
+
+    schema = (
+        "doc_id long, mp3_bitrate_kbps long, mp3_sample_rate long, mp3_frames long,"
+        " mp3_ms long, mp4_ms long, mp4_tracks long, mp4_width long, mp4_height long"
+    )
+    return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")
+
+
 _VID_W, _VID_H, _VID_FRAMES, _VID_EVERY = 16, 12, 6, 2
 
 

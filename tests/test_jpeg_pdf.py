@@ -396,3 +396,27 @@ def test_crop_regions_real_pixels_for_gif_through_spark(spark):
     assert np.array_equal(
         np.frombuffer(bytes(px), np.uint8).reshape(h, w, ch), img[2:14, 3:21]
     )
+
+
+# ------------------------------------------------------------ media meta
+
+
+def test_mp3_frame_chain_and_id3_skip():
+    from specialsid_spark.operators.media_meta import build_mp3, parse_mp3_meta
+
+    mp3 = build_mp3(128, 44100, 30)
+    assert parse_mp3_meta(mp3) == (128, 44100, 30, 30 * 1152 * 1000 // 44100)
+    id3 = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 10]) + b"\x00" * 10 + mp3
+    assert parse_mp3_meta(id3) == parse_mp3_meta(mp3)
+    assert parse_mp3_meta(b"junk" * 100) is None
+    # 320 kbps / 32 kHz exercises the other table corners
+    assert parse_mp3_meta(build_mp3(320, 32000, 5))[:3] == (320, 32000, 5)
+
+
+def test_mp4_box_walk_and_track_geometry():
+    from specialsid_spark.operators.media_meta import build_mp4, parse_mp4_meta
+
+    mp4 = build_mp4(5500, [(640, 360), (0, 0)])
+    assert parse_mp4_meta(mp4) == (5500, 2, 640, 360)
+    assert parse_mp4_meta(build_mp4(90000, [(1920, 1080)])) == (90000, 1, 1920, 1080)
+    assert parse_mp4_meta(b"nope" * 30) is None
