@@ -18,10 +18,20 @@ sequential DCT process (ITU-T T.81):
 * :func:`crop_jpeg` — decode → pixel-space bbox slice (clamped, the
   P5/F7 validity discipline) → re-encode.
 
-Scope (documented, test-pinned): baseline sequential only — no
-progressive (SOF2), arithmetic coding, 12-bit, or CMYK.  Unsupported
-streams return None and callers fall back to the byte-slice stub, so
-the operator degrades loudly-documented rather than wrongly.
+Round 4 closed the baseline gap; this round's extension decodes
+PROGRESSIVE JPEG too (SOF2 — spectral selection AND successive
+approximation, per-scan coefficient accumulation, EOB runs,
+refinement correction bits, T.81 G.2), which is how a large share of
+real-world web JPEGs are written.  :func:`encode_jpeg_progressive`
+emits a multi-scan progressive stream (DC SA + per-component AC bands
+with one refinement pass) so the decoder's progressive paths are
+exercised by real streams.  A truncated progressive payload decodes
+to whatever scans arrived — progressive's defining property.
+
+Scope (documented, test-pinned): still no arithmetic coding, 12-bit,
+or CMYK.  Unsupported streams return None and callers fall back to
+the byte-slice stub, so the operator degrades loudly-documented
+rather than wrongly.
 
 Determinism: the decoder is pure integer/float math with fixed
 rounding; encode(decode(x)) is bit-stable across runs, which is what
@@ -228,7 +238,9 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes] | None:
 
     Returns ``(width, height, channels, pixels)`` with pixels row-major
     interleaved (channels 1=gray or 3=RGB), or None for payloads this
-    decoder does not support (not a JPEG, progressive, arithmetic, …).
+    decoder does not support (not a JPEG, arithmetic-coded, 12-bit …).
+    Baseline/extended sequential (SOF0/SOF1) AND progressive (SOF2,
+    spectral selection + successive approximation, r4) are supported.
     """
     if len(blob) < 4 or blob[:2] != b"\xff\xd8":
         return None
@@ -238,6 +250,9 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes] | None:
     comps: list[dict] = []
     w = h = 0
     restart = 0
+    progressive = False
+    coefs: list[np.ndarray] | None = None  # progressive coefficient state
+    scans_done = 0
     i = 2
     n = len(blob)
     try:
@@ -246,9 +261,13 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes] | None:
                 i += 1
                 continue
             m = blob[i + 1]
-            if m in (0xFF, 0x01) or 0xD0 <= m <= 0xD9:
+            if m in (0xFF, 0x01) or 0xD0 <= m <= 0xD8:
                 i += 2
                 continue
+            if m == 0xD9:  # EOI
+                if progressive and coefs is not None:
+                    return _reconstruct(w, h, comps, qts, coefs)
+                return None
             ln = struct.unpack(">H", blob[i + 2 : i + 4])[0]
             seg = blob[i + 4 : i + 2 + ln]
             if m == 0xDB:  # DQT
@@ -265,15 +284,14 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes] | None:
                     qt = np.zeros(64)
                     qt[_ZZ] = tab  # stored in zigzag order
                     qts[tq] = qt.reshape(8, 8)
-            elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            elif m in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
+                progressive = m == 0xC2
                 _prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
                 if _prec != 8:
                     return None
                 for c in range(nc):
                     cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                     comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            elif m == 0xC2:  # progressive: out of scope
-                return None
             elif m == 0xC4:  # DHT
                 j = 0
                 while j < len(seg):
@@ -288,16 +306,245 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes] | None:
             elif m == 0xDA:  # SOS — entropy data follows
                 ns = seg[0]
                 smap = {}
+                scan = []
                 for c in range(ns):
                     cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
                     smap[cid] = (tabs >> 4, tabs & 0xF)
-                for comp in comps:
-                    comp["dc"], comp["ac"] = smap[comp["id"]]
-                return _decode_scan(blob, i + 2 + ln, w, h, comps, qts, dc_tabs, ac_tabs, restart)
+                    ci = next(j for j, cc in enumerate(comps) if cc["id"] == cid)
+                    scan.append((ci, tabs >> 4, tabs & 0xF))
+                if not progressive:
+                    for comp in comps:
+                        comp["dc"], comp["ac"] = smap[comp["id"]]
+                    return _decode_scan(
+                        blob, i + 2 + ln, w, h, comps, qts, dc_tabs, ac_tabs, restart
+                    )
+                ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+                if coefs is None:
+                    coefs = _alloc_coefs(w, h, comps)
+                try:
+                    i = _decode_progressive_sos(
+                        blob, i + 2 + ln, w, h, comps, coefs, scan,
+                        ss, se, ahal >> 4, ahal & 0xF, restart, dc_tabs, ac_tabs,
+                    )
+                except (ValueError, IndexError, KeyError):
+                    # A truncated/damaged scan after >=1 complete one:
+                    # render what arrived (progressive's whole point).
+                    if scans_done:
+                        return _reconstruct(w, h, comps, qts, coefs)
+                    return None
+                scans_done += 1
+                continue
             i += 2 + ln
     except (ValueError, IndexError, struct.error, KeyError):
         return None
+    # Truncated progressive stream (no EOI): reconstruct what arrived —
+    # progressive's defining property is that every prefix is an image.
+    if progressive and coefs is not None:
+        try:
+            return _reconstruct(w, h, comps, qts, coefs)
+        except (ValueError, IndexError, KeyError):
+            return None
     return None
+
+
+def _mcu_geom(w: int, h: int, comps: list[dict]) -> tuple[int, int, int, int]:
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _alloc_coefs(w: int, h: int, comps: list[dict]) -> list[np.ndarray]:
+    """Per-component DCT coefficient planes [block_rows, block_cols, 64]
+    (zigzag index order), MCU-padded — the accumulation state that
+    progressive scans fill in over multiple passes."""
+    _hmax, _vmax, mcux, mcuy = _mcu_geom(w, h, comps)
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32) for c in comps
+    ]
+
+
+def _comp_block_dims(w: int, h: int, comps: list[dict], ci: int) -> tuple[int, int]:
+    """TRUE (unpadded) block grid of one component — the region a
+    non-interleaved progressive scan covers (T.81 A.2.2)."""
+    hmax, vmax, _mx, _my = _mcu_geom(w, h, comps)
+    cw = (w * comps[ci]["h"] + hmax - 1) // hmax
+    ch = (h * comps[ci]["v"] + vmax - 1) // vmax
+    return (cw + 7) // 8, (ch + 7) // 8
+
+
+def _decode_progressive_sos(
+    blob, pos, w, h, comps, coefs, scan, ss, se, ah, al, restart, dc_tabs, ac_tabs
+):
+    """One progressive scan (T.81 G.2): DC or AC band, first pass or
+    successive-approximation refinement.  Mutates `coefs`, returns the
+    byte position where entropy data ended (the next marker search
+    resumes there)."""
+    br = _BitReader(blob, pos)
+    hmax, vmax, mcux, mcuy = _mcu_geom(w, h, comps)
+
+    def check_restart(unit: int, state_reset) -> None:
+        if restart and unit and unit % restart == 0:
+            m = br.align_to_marker()
+            if m is None or not (0xD0 <= m <= 0xD7):
+                raise ValueError("missing restart marker in progressive scan")
+            state_reset()
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("DC scan must have Se=0")
+        pred = [0] * len(scan)
+
+        def reset() -> None:
+            pred[:] = [0] * len(scan)
+
+        def dc_unit(si: int, ci: int, dct: int, row: int, col: int) -> None:
+            if ah == 0:
+                t = br.huff(dc_tabs[dct])
+                diff = _extend(br.bits(t), t) if t else 0
+                pred[si] += diff
+                coefs[ci][row, col, 0] = pred[si] << al
+            elif br.bits(1):
+                coefs[ci][row, col, 0] |= 1 << al
+
+        unit = 0
+        if len(scan) == 1:
+            # non-interleaved: raster over the true block grid
+            ci, dct, _act = scan[0]
+            bw, bh = _comp_block_dims(w, h, comps, ci)
+            for row in range(bh):
+                for col in range(bw):
+                    check_restart(unit, reset)
+                    dc_unit(0, ci, dct, row, col)
+                    unit += 1
+        else:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    check_restart(unit, reset)
+                    for si, (ci, dct, _act) in enumerate(scan):
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_unit(si, ci, dct, my * c["v"] + by, mx * c["h"] + bx)
+                    unit += 1
+        return br.p
+
+    # AC scan: exactly one component, non-interleaved (T.81 B.2.3)
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    ci, _dct, act = scan[0]
+    at = ac_tabs[act]
+    bw, bh = _comp_block_dims(w, h, comps, ci)
+    state = {"eobrun": 0}
+
+    def reset_ac() -> None:
+        state["eobrun"] = 0
+
+    unit = 0
+    for row in range(bh):
+        for col in range(bw):
+            check_restart(unit, reset_ac)
+            unit += 1
+            band = coefs[ci][row, col]
+            if ah == 0:  # first pass for this band
+                if state["eobrun"] > 0:
+                    state["eobrun"] -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.huff(at)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r < 15:
+                            state["eobrun"] = (1 << r) - 1
+                            if r:
+                                state["eobrun"] += br.bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("AC index out of band")
+                    band[k] = _extend(br.bits(s), s) << al
+                    k += 1
+            else:  # refinement pass (T.81 G.2, libjpeg structure)
+                p1, m1 = 1 << al, -1 << al
+                k = ss
+                if state["eobrun"] == 0:
+                    while k <= se:
+                        rs = br.huff(at)
+                        r, s = rs >> 4, rs & 0xF
+                        val = 0
+                        if s == 0:
+                            if r < 15:
+                                state["eobrun"] = 1 << r
+                                if r:
+                                    state["eobrun"] += br.bits(r)
+                                break
+                            # r == 15: pass over 16 zero-history coeffs
+                        else:
+                            if s != 1:
+                                raise ValueError("bad refinement magnitude")
+                            val = p1 if br.bits(1) else m1
+                        while k <= se:
+                            if band[k] != 0:
+                                if br.bits(1) and (band[k] & p1) == 0:
+                                    band[k] += p1 if band[k] > 0 else m1
+                            else:
+                                if r == 0:
+                                    if s:
+                                        band[k] = val
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                if state["eobrun"] > 0:
+                    while k <= se:
+                        if band[k] != 0:
+                            if br.bits(1) and (band[k] & p1) == 0:
+                                band[k] += p1 if band[k] > 0 else m1
+                        k += 1
+                    state["eobrun"] -= 1
+    return br.p
+
+
+def _reconstruct(w, h, comps, qts, coefs):
+    """Coefficient planes -> pixels: dequantize, de-zigzag, IDCT per
+    block, then the shared upsample/crop/color tail."""
+    hmax, vmax, mcux, mcuy = _mcu_geom(w, h, comps)
+    planes = []
+    for ci, c in enumerate(comps):
+        qt = qts[c["tq"]]
+        arr = coefs[ci]
+        brows, bcols = arr.shape[0], arr.shape[1]
+        plane = np.zeros((brows * 8, bcols * 8))
+        for row in range(brows):
+            for col in range(bcols):
+                coeff = np.zeros(64)
+                coeff[_ZZ] = arr[row, col]
+                block = _C.T @ (coeff.reshape(8, 8) * qt) @ _C + 128.0
+                plane[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8] = block
+        planes.append(plane)
+    return _finish(w, h, comps, planes, hmax, vmax)
+
+
+def _finish(w, h, comps, planes, hmax, vmax):
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, out.tobytes()
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    return w, h, 3, rgb.tobytes()
 
 
 def _decode_scan(blob, pos, w, h, comps, qts, dc_tabs, ac_tabs, restart):
@@ -350,22 +597,7 @@ def _decode_scan(blob, pos, w, h, comps, qts, dc_tabs, ac_tabs, restart):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
-    # Upsample to full resolution and crop padding.
-    full = []
-    for ci, c in enumerate(comps):
-        p = planes[ci]
-        if c["h"] != hmax or c["v"] != vmax:
-            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-        full.append(p[:h, :w])
-    if len(comps) == 1:
-        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-        return w, h, 1, out.tobytes()
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
-    return w, h, 3, rgb.tobytes()
+    return _finish(w, h, comps, planes, hmax, vmax)
 
 
 # ---------------------------------------------------------------- encode
@@ -609,3 +841,253 @@ def crop_jpeg(blob: bytes, ymin: int, xmin: int, ymax: int, xmax: int) -> bytes 
     arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
     crop = arr[ymin:ymax, xmin:xmax, :]
     return encode_png(cw, chh, ch, crop.tobytes())
+
+
+def _quantized_coefs(w, h, ch, pixels, quality):
+    """Per-component quantized zigzag coefficient arrays [bh, bw, 64]
+    (4:4:4 / grayscale) plus the two quant tables — shared by the
+    progressive encoder."""
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(h, w, ch).astype(np.float64)
+    if ch == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    elif ch == 1:
+        planes = [arr[..., 0]]
+    else:
+        raise ValueError("1 (gray) or 3 (RGB) channels")
+    qt_l = _scaled_qt(_QT_LUMA, quality).reshape(8, 8)
+    qt_c = _scaled_qt(_QT_CHROMA, quality).reshape(8, 8)
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    out = []
+    for ci, p in enumerate(planes):
+        qt = qt_l if ci == 0 else qt_c
+        pp = np.empty((bh * 8, bw * 8))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1 : h, :]
+        pp[:, w:] = pp[:, w - 1 : w]
+        pp -= 128.0
+        coefs = np.zeros((bh, bw, 64), dtype=np.int32)
+        for by in range(bh):
+            for bx in range(bw):
+                block = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                q = np.round((_C @ block @ _C.T) / qt).astype(np.int64)
+                coefs[by, bx] = q.reshape(-1)[_ZZ]
+        out.append(coefs)
+    return out, qt_l, qt_c
+
+
+#: Flat AC Huffman table for progressive scans: the Annex K sequential
+#: tables lack the EOBn run symbols (0x10..0xE0) progressive emits, so
+#: the progressive encoder ships its own — 254 symbols at 8 bits + 2 at
+#: 9 (Kraft-complete minus the forbidden all-ones code, T.81 C.2).
+_AC_FLAT = ([0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0, 0], list(range(256)))
+
+
+def encode_jpeg_progressive(
+    w: int, h: int, ch: int, pixels: bytes | bytearray, quality: int = 90
+) -> bytes:
+    """Progressive JFIF encoder (SOF2), 4:4:4 / grayscale: DC first
+    pass at Al=1 + DC refinement, then per-component AC bands 1-5 and
+    6-63 at Al=1 with one refinement pass each — exercising spectral
+    selection, EOB runs, ZRL, and both successive-approximation
+    refinement paths (T.81 G.1.2).  Decodable by this module's decoder
+    and any standard viewer."""
+    coefs, qt_l, qt_c = _quantized_coefs(w, h, ch, pixels, quality)
+    nc = len(coefs)
+    bh, bw = coefs[0].shape[0], coefs[0].shape[1]
+    enc_dc = [_build_enc(*_DC_LUMA), _build_enc(*_DC_CHROMA)]
+    enc_ac = [_build_enc(*_AC_FLAT), _build_enc(*_AC_FLAT)]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dqt(tid: int, qt: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(int(v) for v in qt.reshape(-1)[_ZZ]))
+
+    def dht(tc: int, th: int, tab) -> bytes:
+        bits, vals = tab
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt(0, qt_l)
+    if nc == 3:
+        out += dqt(1, qt_c)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC2, sof)
+    out += dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_FLAT)
+    if nc == 3:
+        out += dht(0, 1, _DC_CHROMA) + dht(1, 1, _AC_FLAT)
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        pay = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            tsel = 0 if cid == 1 else 1
+            pay += bytes([cid, (tsel << 4) | tsel])
+        return seg(0xDA, pay + bytes([ss, se, (ah << 4) | al]))
+
+    def pt_ac(v: int, al: int) -> int:  # AC point transform: toward zero
+        return -((-v) >> al) if v < 0 else v >> al
+
+    # ---- DC first pass (interleaved, Al=1) and refinement (Al=0)
+    out += sos_header(list(range(1, nc + 1)), 0, 0, 0, 1)
+    wtr = _BitWriter()
+    pred = [0] * nc
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(nc):
+                tsel = 0 if ci == 0 else 1
+                v = int(coefs[ci][by, bx, 0]) >> 1  # DC point transform: floor
+                t, mag = _mag(v - pred[ci])
+                pred[ci] = v
+                code, ln = enc_dc[tsel][t]
+                wtr.put(code, ln)
+                if t:
+                    wtr.put(mag, t)
+    wtr.flush()
+    out += wtr.out
+
+    # ---- AC scans per component: two bands, first pass at Al=1
+    bands = [(1, 5), (6, 63)]
+    for ci in range(nc):
+        tsel = 0 if ci == 0 else 1
+        for ss, se in bands:
+            out += sos_header([ci + 1], ss, se, 0, 1)
+            wtr = _BitWriter()
+            eobrun = 0
+
+            def do_flush():
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    code, ln = enc_ac[tsel][r << 4]
+                    wtr.put(code, ln)
+                    if r:
+                        wtr.put(eobrun - (1 << r), r)
+                    eobrun = 0
+
+            for by in range(bh):
+                for bx in range(bw):
+                    band = [pt_ac(int(v), 1) for v in coefs[ci][by, bx, ss : se + 1]]
+                    kend = -1
+                    for idx, v in enumerate(band):
+                        if v:
+                            kend = idx
+                    if kend < 0:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            do_flush()
+                        continue
+                    do_flush()
+                    r = 0
+                    for idx in range(kend + 1):
+                        v = band[idx]
+                        if v == 0:
+                            r += 1
+                            continue
+                        while r > 15:
+                            code, ln = enc_ac[tsel][0xF0]
+                            wtr.put(code, ln)
+                            r -= 16
+                        t, mag = _mag(v)
+                        code, ln = enc_ac[tsel][(r << 4) | t]
+                        wtr.put(code, ln)
+                        wtr.put(mag, t)
+                        r = 0
+                    if kend < se - ss:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            do_flush()
+            do_flush()
+            wtr.flush()
+            out += wtr.out
+
+    # ---- DC refinement (interleaved, Ah=1, Al=0): one raw bit per block
+    out += sos_header(list(range(1, nc + 1)), 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(nc):
+                wtr.put(int(coefs[ci][by, bx, 0]) & 1, 1)
+    wtr.flush()
+    out += wtr.out
+
+    # ---- AC refinement per component/band (Ah=1, Al=0)
+    for ci in range(nc):
+        tsel = 0 if ci == 0 else 1
+        for ss, se in bands:
+            out += sos_header([ci + 1], ss, se, 1, 0)
+            wtr = _BitWriter()
+            eobrun = 0
+            eob_br: list[int] = []
+
+            def do_flush_r():
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    code, ln = enc_ac[tsel][r << 4]
+                    wtr.put(code, ln)
+                    if r:
+                        wtr.put(eobrun - (1 << r), r)
+                    for bit in eob_br:
+                        wtr.put(bit, 1)
+                    eob_br.clear()
+                    eobrun = 0
+
+            for by in range(bh):
+                for bx in range(bw):
+                    vals = [int(v) for v in coefs[ci][by, bx, ss : se + 1]]
+                    ab = [abs(v) for v in vals]  # Al=0: |v| >> 0
+                    # last newly-significant index: ZRLs beyond it must
+                    # fold into the EOB run, not be emitted (libjpeg's
+                    # `k <= EOB` guard) — the decoder reads no codes
+                    # for this block after the final inserted value
+                    eob_idx = -1
+                    for idx, t in enumerate(ab):
+                        if t == 1:
+                            eob_idx = idx
+                    r = 0
+                    br_bits: list[int] = []
+                    for idx, t in enumerate(ab):
+                        if t == 0:
+                            r += 1
+                            continue
+                        # drain pending ZRLs at EVERY nonzero coeff (a
+                        # history coeff's correction bit must ride the
+                        # code whose 16-zero walk passes it)
+                        while r > 15 and idx <= eob_idx:
+                            do_flush_r()
+                            code, ln = enc_ac[tsel][0xF0]
+                            wtr.put(code, ln)
+                            for bit in br_bits:
+                                wtr.put(bit, 1)
+                            br_bits = []
+                            r -= 16
+                        if t > 1:  # already significant: defer its bit
+                            br_bits.append(t & 1)
+                            continue
+                        do_flush_r()
+                        code, ln = enc_ac[tsel][(r << 4) | 1]
+                        wtr.put(code, ln)
+                        wtr.put(1 if vals[idx] > 0 else 0, 1)
+                        for bit in br_bits:
+                            wtr.put(bit, 1)
+                        br_bits = []
+                        r = 0
+                    if r > 0 or br_bits:
+                        eobrun += 1
+                        eob_br.extend(br_bits)
+                        if eobrun == 0x7FFF:
+                            do_flush_r()
+            do_flush_r()
+            wtr.flush()
+            out += wtr.out
+
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -420,3 +420,76 @@ def test_mp4_box_walk_and_track_geometry():
     assert parse_mp4_meta(mp4) == (5500, 2, 640, 360)
     assert parse_mp4_meta(build_mp4(90000, [(1920, 1080)])) == (90000, 1, 1920, 1080)
     assert parse_mp4_meta(b"nope" * 30) is None
+
+
+# ---------------------------------------------------------- progressive
+
+
+def test_progressive_decode_identical_to_baseline():
+    # Same quantized coefficients -> bit-identical reconstruction: any
+    # defect in spectral selection, EOB runs, or successive
+    # approximation (DC or AC refinement) breaks exact equality.
+    from specialsid_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(5)
+    cases = [
+        (24, 16, 1, 90, None),
+        (40, 24, 3, 90, None),
+        (33, 17, 3, 75, rng.integers(0, 256, (17, 33, 3)).astype(np.uint8)),
+        (64, 48, 3, 85, rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)),
+    ]
+    for w, h, ch, q, img in cases:
+        if img is None:
+            img = _gradient(w, h)[:, :, :ch]
+        base = decode_jpeg(encode_jpeg(w, h, ch, img.tobytes(), quality=q))
+        prog_bytes = encode_jpeg_progressive(w, h, ch, img.tobytes(), quality=q)
+        prog = decode_jpeg(prog_bytes)
+        assert prog is not None and prog[:3] == (w, h, ch)
+        assert prog[3] == base[3], f"{w}x{h}x{ch} q{q}: progressive != baseline"
+
+
+def test_progressive_is_sof2_and_crop_works():
+    from specialsid_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = _gradient(32, 20)
+    pb = encode_jpeg_progressive(32, 20, 3, img.tobytes(), quality=92)
+    assert b"\xff\xc2" in pb[:200]  # SOF2 frame marker present
+    full = _decode_to_array(pb)
+    png = crop_jpeg(pb, 3, 5, 17, 29)
+    w, h, ch, px = decode_png(png)
+    assert np.array_equal(
+        np.frombuffer(bytes(px), np.uint8).reshape(h, w, ch), full[3:17, 5:29, :]
+    )
+
+
+def test_progressive_truncated_prefix_still_decodes():
+    # progressive's defining property: every prefix is an image.  Cut
+    # the stream after ~60% — the decoder must return the scans that
+    # arrived rather than None.
+    from specialsid_spark.operators.jpeg import encode_jpeg_progressive
+
+    # big enough that entropy data dominates the (fat flat-table)
+    # headers — a 60% cut must land several scans in
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (80, 120, 3), dtype=np.uint8)
+    pb = encode_jpeg_progressive(120, 80, 3, img.tobytes(), quality=85)
+    cut = decode_jpeg(pb[: int(len(pb) * 0.6)])
+    assert cut is not None
+    w, h, ch, px = cut
+    assert (w, h, ch) == (120, 80, 3)
+    # the coarse approximation should still be recognizably close
+    full = _decode_to_array(pb).astype(int)
+    approx = np.frombuffer(px, np.uint8).reshape(80, 120, 3).astype(int)
+    assert np.abs(full - approx).mean() < 48
+
+
+@settings(max_examples=10, deadline=None)
+@given(w=st.integers(8, 40), h=st.integers(8, 40), seed=st.integers(0, 2**31), q=st.integers(50, 100))
+def test_progressive_equals_baseline_property(w, h, seed, q):
+    from specialsid_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(w, h, 3, img.tobytes(), quality=q))
+    prog = decode_jpeg(encode_jpeg_progressive(w, h, 3, img.tobytes(), quality=q))
+    assert prog is not None and prog[3] == base[3]
