@@ -198,67 +198,43 @@ def crop_bmp(blob: bytes, ymin: int, xmin: int, ymax: int, xmax: int) -> bytes |
     return b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54) + dib_out + px
 
 
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # colortype -> samples/pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # colortype -> samples/pixel
+
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
-def decode_png(blob: bytes) -> tuple[int, int, int, bytearray] | None:
-    """REAL pixel decode for (non-interlaced, 8-bit) PNG bytes using
-    only the stdlib: concatenate IDAT chunks, zlib-inflate, and undo
-    the per-scanline filters (None/Sub/Up/Average/Paeth).  Returns
-    (width, height, channels, raw pixels row-major) or None when the
-    payload is not a PNG this decoder supports (16-bit, paletted, and
-    interlaced images fall back to the caller's stub path)."""
-    import zlib
-
-    if len(blob) < 33 or blob[:8] != b"\x89PNG\r\n\x1a\n":
-        return None
-    w = h = bitd = ctype = interlace = None
-    idat = bytearray()
-    i = 8
-    while i + 8 <= len(blob):
-        (ln,) = struct.unpack(">I", blob[i : i + 4])
-        tag = blob[i + 4 : i + 8]
-        data = blob[i + 8 : i + 8 + ln]
-        if tag == b"IHDR":
-            w, h = struct.unpack(">II", data[:8])
-            bitd, ctype, _, _, interlace = data[8:13]
-        elif tag == b"IDAT":
-            idat += data
-        elif tag == b"IEND":
-            break
-        i += 12 + ln  # len + tag + data + crc
-    if not w or not h or bitd != 8 or ctype not in _PNG_CHANNELS or interlace:
-        return None
-    ch = _PNG_CHANNELS[ctype]
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error:
-        return None
-    stride = w * ch
-    if len(raw) < h * (stride + 1):
-        return None
+def _png_unfilter(raw: bytes, pos: int, w: int, h: int, bpp: int, stride: int):
+    """Undo per-scanline filters for one (sub-)image; returns
+    (rows bytes, new pos) or None on a bad filter byte/short data."""
     out = bytearray(h * stride)
     prev = bytearray(stride)
-    pos = 0
     for y in range(h):
+        if pos >= len(raw):
+            return None
         f = raw[pos]
         line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        if len(line) < stride:
+            return None
         pos += 1 + stride
         if f == 1:  # Sub
-            for x in range(ch, stride):
-                line[x] = (line[x] + line[x - ch]) & 0xFF
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
         elif f == 2:  # Up
             for x in range(stride):
                 line[x] = (line[x] + prev[x]) & 0xFF
         elif f == 3:  # Average
             for x in range(stride):
-                a = line[x - ch] if x >= ch else 0
+                a = line[x - bpp] if x >= bpp else 0
                 line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
         elif f == 4:  # Paeth
             for x in range(stride):
-                a = line[x - ch] if x >= ch else 0
+                a = line[x - bpp] if x >= bpp else 0
                 b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -267,7 +243,119 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytearray] | None:
             return None
         out[y * stride : (y + 1) * stride] = line
         prev = line
-    return w, h, ch, out
+    return out, pos
+
+
+def _png_samples(rows: bytes, w: int, h: int, ch: int, bitd: int, stride: int) -> list[int]:
+    """Unpack filtered rows to one flat int sample list (pixel-major),
+    expanding sub-byte depths and reducing 16-bit to its high byte."""
+    out: list[int] = []
+    if bitd == 8:
+        for y in range(h):
+            out.extend(rows[y * stride : y * stride + w * ch])
+    elif bitd == 16:
+        for y in range(h):
+            line = rows[y * stride : (y + 1) * stride]
+            out.extend(line[0 : 2 * w * ch : 2])
+    else:  # 1/2/4-bit, 1 channel (gray or palette indices)
+        per_byte = 8 // bitd
+        mask = (1 << bitd) - 1
+        for y in range(h):
+            line = rows[y * stride : (y + 1) * stride]
+            cnt = 0
+            for byte in line:
+                for k in range(per_byte - 1, -1, -1):
+                    if cnt == w:
+                        break
+                    out.append((byte >> (k * bitd)) & mask)
+                    cnt += 1
+    return out
+
+
+def decode_png(blob: bytes) -> tuple[int, int, int, bytearray] | None:
+    """REAL pixel decode for PNG bytes using only the stdlib — the full
+    practical spec surface: all five scanline filters, grayscale / RGB
+    / gray+alpha / RGBA, PALETTED images (PLTE lookup → RGB), sub-byte
+    bit depths 1/2/4 (expanded to 8-bit), 16-bit (reduced to the high
+    byte), and Adam7 INTERLACING (seven independently-filtered passes
+    re-woven).  Returns (width, height, channels, 8-bit pixels
+    row-major) or None when the payload is not a PNG or is corrupt."""
+    import zlib
+
+    if len(blob) < 33 or blob[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    w = h = bitd = ctype = interlace = None
+    idat = bytearray()
+    plte = b""
+    i = 8
+    while i + 8 <= len(blob):
+        (ln,) = struct.unpack(">I", blob[i : i + 4])
+        tag = blob[i + 4 : i + 8]
+        data = blob[i + 8 : i + 8 + ln]
+        if tag == b"IHDR":
+            w, h = struct.unpack(">II", data[:8])
+            bitd, ctype, _, _, interlace = data[8:13]
+        elif tag == b"PLTE":
+            plte = data
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        i += 12 + ln  # len + tag + data + crc
+    if not w or not h or ctype not in _PNG_CHANNELS or interlace not in (0, 1):
+        return None
+    ch = _PNG_CHANNELS[ctype]
+    if bitd not in (8, 16) and (bitd not in (1, 2, 4) or ctype not in (0, 3)):
+        return None
+    if ctype == 3 and (bitd == 16 or not plte):
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    bits_px = bitd * ch
+    bpp = max(1, bits_px // 8)
+
+    def stride_of(width: int) -> int:
+        return (width * bits_px + 7) // 8
+
+    samples = [0] * (w * h * ch)
+    if interlace:
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            res = _png_unfilter(raw, pos, pw, ph, bpp, stride_of(pw))
+            if res is None:
+                return None
+            rows, pos = res
+            sub = _png_samples(rows, pw, ph, ch, bitd, stride_of(pw))
+            for yy in range(ph):
+                for xx in range(pw):
+                    dst = ((y0 + yy * dy) * w + (x0 + xx * dx)) * ch
+                    src = (yy * pw + xx) * ch
+                    samples[dst : dst + ch] = sub[src : src + ch]
+    else:
+        res = _png_unfilter(raw, 0, w, h, bpp, stride_of(w))
+        if res is None:
+            return None
+        rows, _pos = res
+        samples = _png_samples(rows, w, h, ch, bitd, stride_of(w))
+        if len(samples) < w * h * ch:
+            return None
+    if ctype == 3:  # palette lookup -> RGB
+        out = bytearray(w * h * 3)
+        for p, idx in enumerate(samples):
+            if 3 * idx + 3 > len(plte):
+                return None
+            out[3 * p : 3 * p + 3] = plte[3 * idx : 3 * idx + 3]
+        return w, h, 3, out
+    if bitd in (1, 2, 4):  # expand gray to full 8-bit range
+        scale = 255 // ((1 << bitd) - 1)
+        return w, h, ch, bytearray(v * scale for v in samples)
+    return w, h, ch, bytearray(samples)
 
 
 def encode_png(w: int, h: int, ch: int, pixels: bytes | bytearray) -> bytes:

@@ -534,3 +534,121 @@ try:
 
 except ImportError:
     pass
+
+
+# ---------------------------------------------------- PNG variants (r4)
+
+
+def _png_chunk(tag, data):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _make_png(w, h, bitd, ctype, raw, plte=b"", interlace=0):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bitd, ctype, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte:
+        out += _png_chunk(b"PLTE", plte)
+    return out + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+
+
+def test_png_paletted_8_and_4_bit():
+    import numpy as np
+
+    from specialsid_spark.operators.multimodal import decode_png
+
+    w, h = 10, 6
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+    pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+    idx = (np.arange(w * h, dtype=np.uint8).reshape(h, w)) % 4
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    d = decode_png(_make_png(w, h, 8, 3, raw, plte))
+    assert d[:3] == (w, h, 3)
+    assert np.array_equal(
+        np.frombuffer(bytes(d[3]), np.uint8).reshape(h, w, 3), pal[idx.reshape(-1)].reshape(h, w, 3)
+    )
+    idx4 = (np.arange(w * h) % 3).astype(np.uint8).reshape(h, w)
+    rows = []
+    for y in range(h):
+        b = bytearray([0])
+        for i0 in range(0, w, 2):
+            b.append((idx4[y, i0] << 4) | (idx4[y, i0 + 1] if i0 + 1 < w else 0))
+        rows.append(bytes(b))
+    d = decode_png(_make_png(w, h, 4, 3, b"".join(rows), plte))
+    assert np.array_equal(
+        np.frombuffer(bytes(d[3]), np.uint8).reshape(h, w, 3),
+        pal[idx4.reshape(-1)].reshape(h, w, 3),
+    )
+
+
+def test_png_1bit_gray_and_16bit_rgb():
+    import numpy as np
+
+    from specialsid_spark.operators.multimodal import decode_png
+
+    w, h = 10, 6
+    g1 = (np.arange(w * h) % 2).astype(np.uint8).reshape(h, w)
+    rows = []
+    for y in range(h):
+        b = bytearray([0])
+        acc = n = 0
+        for x in range(w):
+            acc = (acc << 1) | int(g1[y, x])
+            n += 1
+            if n == 8:
+                b.append(acc)
+                acc = n = 0
+        if n:
+            b.append(acc << (8 - n))
+        rows.append(bytes(b))
+    d = decode_png(_make_png(w, h, 1, 0, b"".join(rows)))
+    assert np.array_equal(np.frombuffer(bytes(d[3]), np.uint8).reshape(h, w), g1 * 255)
+
+    img16 = (np.arange(w * h * 3, dtype=np.uint32) * 257 % 65536).astype(">u2").reshape(h, w, 3)
+    raw = b"".join(b"\x00" + img16[y].tobytes() for y in range(h))
+    d = decode_png(_make_png(w, h, 16, 2, raw))
+    assert np.array_equal(
+        np.frombuffer(bytes(d[3]), np.uint8).reshape(h, w, 3),
+        (img16.astype(np.uint32) >> 8).astype(np.uint8),
+    )
+
+
+def test_png_adam7_interlaced():
+    import numpy as np
+
+    from specialsid_spark.operators.multimodal import _ADAM7, decode_png
+
+    w, h = 13, 9
+    img = (np.arange(w * h * 3, dtype=np.uint32) % 256).astype(np.uint8).reshape(h, w, 3)
+    passes = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            passes.append(b"\x00" + sub[y].tobytes())
+    d = decode_png(_make_png(w, h, 8, 2, b"".join(passes), interlace=1))
+    assert d is not None
+    assert np.array_equal(np.frombuffer(bytes(d[3]), np.uint8).reshape(h, w, 3), img)
+
+
+def test_png_rejects_corrupt_variants():
+    from specialsid_spark.operators.multimodal import decode_png
+
+    # paletted without PLTE; bad bit depth for RGB
+    import numpy as np
+
+    idx = np.zeros((4, 4), np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(4))
+    assert decode_png(_make_png(4, 4, 8, 3, raw, plte=b"")) is None
+    assert decode_png(_make_png(4, 4, 2, 2, raw)) is None
