@@ -60,6 +60,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_video_frame_sample",
     "mm_gif_crop_pixels",
     "mm_media_meta",
+    "sql_surface_pipe_sqludf",
     # r3 rows re-verified after this round's changes (same families)
     "sim_pq_adc_topk",
     "sim_pq_rerank_topk",

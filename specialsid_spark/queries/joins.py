@@ -476,3 +476,48 @@ def sql_surface_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_all(spark, sf_dir)
     return spark.sql(_ANSI_RECURSIVE_SPINE_SQL)
+
+
+@register(
+    "sql_surface_pipe_sqludf",
+    # DuckDB restates the SAME semantics in classic SQL: the pipe
+    # operators and SQL-macro UDF are Spark-4 surface syntax, not new
+    # semantics, so the oracle is the desugared form.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT) * 2) AS BIGINT)
+             AS doubled_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_surface_pipe_sqludf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11, Spark-4 SQL surface additions in one statement: SQL pipe
+    syntax (`|>` — SIGMOD'24 "SQL Has Problems" pipeline form, shipped
+    in Spark 4), a declarative SQL UDF (CREATE FUNCTION … RETURN —
+    planned inline by Catalyst, NOT a Python UDF: it stays in codegen
+    and pushes down like any expression), and GROUP BY/ORDER BY ALL.
+    The oracle is the classic desugaring, proving surface and
+    semantics coincide."""
+    from specialsid_spark.catalog import register_all  # noqa: PLC0415
+
+    register_all(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION double_cents(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(round(x * 100) AS BIGINT) * 2"
+    )
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |> EXTEND double_cents(o_totalprice) AS dc
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     CAST(SUM(dc) AS BIGINT) AS doubled_cents
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, doubled_cents
+        """
+    )
