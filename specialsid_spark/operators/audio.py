@@ -71,10 +71,8 @@ def decode_wav(blob: bytes) -> tuple[int, int, np.ndarray] | None:
         (ln,) = struct.unpack("<I", blob[i + 4 : i + 8])
         if tag == b"data":
             raw = blob[i + 8 : i + 8 + ln]
-            dt = np.int16 if bits == 16 else np.uint8
             n = n_frames * nch
             arr = np.frombuffer(raw[: n * (bits // 8)], dtype="<i2" if bits == 16 else "u1")
-            del dt
             return rate, nch, arr.astype(np.int32).reshape(n_frames, nch)
         i += 8 + ln + (ln & 1)
     return None

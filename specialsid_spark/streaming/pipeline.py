@@ -537,3 +537,60 @@ def streaming_incremental_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_stateful_value_stats_tws(
+    spark: SparkSession, events_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """T8/U4 on Spark 4's NEW arbitrary-stateful API
+    (`transformWithStateInPandas`, the successor to
+    applyInPandasWithState): a per-user running (count, sum, max) of
+    event values kept in a typed ValueState inside a StatefulProcessor.
+
+    Why both APIs ship here: applyInPandasWithState (the r2 operator
+    above) is the stable classic; transformWithState is where Spark is
+    going — composable typed state (value/list/map), timers, and state
+    schema evolution — so a user migrating their custom operators finds
+    both surfaces re-expressed.  The state is one 3-field tuple per
+    user: bounded, shuffle-partitioned by key, exactly the shape that
+    scales to 100 TB/day keyed streams."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle  # noqa: PLC0415
+
+    ev = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).json(events_dir)
+
+    class ValueStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.state = handle.getValueState(
+                "stats", "n long, total double, mx double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, mx = (
+                self.state.get() if self.state.exists() else (0, 0.0, float("-inf"))
+            )
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    total += float(pdf["value"].sum())
+                    mx = max(mx, float(pdf["value"].max()))
+            self.state.update((n, total, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [total], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            ValueStats(),
+            outputStructType="user_id long, n_events long, sum_value double, max_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

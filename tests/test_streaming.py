@@ -7,6 +7,8 @@ from __future__ import annotations
 import json
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from specialsid_spark.operators.extraction import ExtractionConfig
@@ -622,3 +624,70 @@ def test_hop1_emits_real_jpeg_pages_for_image_pdf(spark, tmp_path):
         w, h, ch, px = decode_jpeg(bytes(r["page_bytes"]))
         assert (w, h, ch) == (24, 16, 1)
         assert set(px) == {40 + 10 * p}  # uniform q100 gray is exact
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState state server needs google.protobuf (absent in this container)",
+)
+def test_streaming_transform_with_state_value_stats(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: per-user (count, sum, max)
+    in a typed ValueState — state carries across micro-batches and the
+    result equals the batch aggregate."""
+    from specialsid_spark.streaming.pipeline import streaming_stateful_value_stats_tws
+
+    ev_dir = tmp_path / "events_tws"
+    ev_dir.mkdir()
+    _write_events(
+        ev_dir / "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "click", "value": 2.0},
+            {"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 1, "event_type": "view", "value": 7.0},
+            {"event_id": 3, "ts": "2024-01-01 10:02:00", "user_id": 2, "event_type": "click", "value": 5.0},
+        ],
+    )
+    out = streaming_stateful_value_stats_tws(spark, str(ev_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["max_value"])
+        for r in spark.sql("SELECT * FROM tws_stats").collect()
+    }
+    assert rows == {1: (2, 9.0, 7.0), 2: (1, 5.0, 5.0)}
+
+    # second micro-batch: state must accumulate, not reset
+    _write_events(
+        ev_dir / "b2.json",
+        [{"event_id": 4, "ts": "2024-01-01 10:10:00", "user_id": 1, "event_type": "click", "value": 10.0}],
+    )
+    q2 = (
+        streaming_stateful_value_stats_tws(spark, str(ev_dir))
+        .writeStream.format("memory")
+        .queryName("tws_stats2")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    rows2 = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["max_value"])
+        for r in spark.sql("SELECT * FROM tws_stats2").collect()
+    }
+    assert rows2[1] == (3, 19.0, 10.0)
