@@ -82,9 +82,10 @@ def main() -> None:
     # 100 entries (JVM-static), which evicts every unit between rounds —
     # measured as a uniform +0.1-2.5s per query proportional to plan
     # complexity (two full runs at 45-51s vs the 30.6s recorded minima
-    # on a quiet box).  Size it to the working set so min-of-5 measures
-    # steady state, exactly like a long-lived cluster would.
-    spark = get_spark("bench", extra_conf={"spark.sql.codegen.cache.maxEntries": "5000"})
+    # on a quiet box).  get_spark sizes spark.sql.codegen.cache.maxEntries
+    # to the engine's working set for EVERY session (session.py), so the
+    # bench inherits it rather than duplicating the value here.
+    spark = get_spark("bench")
     qs = all_queries()
 
     # JVM/codegen warmup (not counted): exercise the vectorized parquet

@@ -142,6 +142,13 @@ def decode_gif(blob: bytes) -> tuple[int, int, int, bytearray] | None:
     """First-frame decode to (width, height, 3, RGB pixels top-down) on
     the logical screen (frame rect composited over the background
     color).  None for non-GIF or corrupt payloads."""
+    try:
+        return _decode_gif_inner(blob)
+    except (IndexError, struct.error):
+        return None  # truncated/corrupt container: degrade, never raise
+
+
+def _decode_gif_inner(blob: bytes) -> tuple[int, int, int, bytearray] | None:
     if len(blob) < 13 or blob[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     sw, sh = struct.unpack("<HH", blob[6:10])

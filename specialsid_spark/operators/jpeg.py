@@ -291,7 +291,11 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes] | None:
                     return None
                 for c in range(nc):
                     cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                    if not (hv >> 4) or not (hv & 0xF):
+                        return None  # zero sampling factor: corrupt SOF
                     comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # lossless / arithmetic / differential: unsupported
             elif m == 0xC4:  # DHT
                 j = 0
                 while j < len(seg):
@@ -310,7 +314,11 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes] | None:
                 for c in range(ns):
                     cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
                     smap[cid] = (tabs >> 4, tabs & 0xF)
-                    ci = next(j for j, cc in enumerate(comps) if cc["id"] == cid)
+                    ci = next(
+                        (j for j, cc in enumerate(comps) if cc["id"] == cid), None
+                    )
+                    if ci is None:
+                        return None  # SOS references a component SOF never declared
                     scan.append((ci, tabs >> 4, tabs & 0xF))
                 if not progressive:
                     for comp in comps:
@@ -335,7 +343,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes] | None:
                 scans_done += 1
                 continue
             i += 2 + ln
-    except (ValueError, IndexError, struct.error, KeyError):
+    except (ValueError, IndexError, struct.error, KeyError, StopIteration, ZeroDivisionError):
         return None
     # Truncated progressive stream (no EOI): reconstruct what arrived —
     # progressive's defining property is that every prefix is an image.

@@ -125,7 +125,12 @@ def parse_mp4_meta(blob: bytes) -> tuple[int, int, int, int] | None:
         for t2, s2, e2 in _walk_boxes(blob, s, e):
             if t2 == b"mvhd" and e2 - s2 >= 20:
                 ver = blob[s2]
+                # version-aware size guards: a v1 box needs 32/96 bytes —
+                # a truncated v1 payload passing the v0 floor must degrade
+                # to None, not raise struct.error mid-corpus-scan
                 if ver == 1:
+                    if e2 - s2 < 32:
+                        return None
                     ts, dur = struct.unpack(">IQ", blob[s2 + 20 : s2 + 32])
                 else:
                     ts, dur = struct.unpack(">II", blob[s2 + 12 : s2 + 20])
@@ -134,9 +139,12 @@ def parse_mp4_meta(blob: bytes) -> tuple[int, int, int, int] | None:
             elif t2 == b"trak":
                 n_tracks += 1
                 for t3, s3, e3 in _walk_boxes(blob, s2, e2):
-                    if t3 == b"tkhd" and e3 - s3 >= 84:
-                        ver = blob[s3]
-                        off = s3 + (96 if ver == 1 else 84) - 8
+                    if t3 == b"tkhd":
+                        ver = blob[s3] if e3 > s3 else 0
+                        need = 96 if ver == 1 else 84
+                        if e3 - s3 < need:
+                            return None
+                        off = s3 + need - 8
                         tw, th = struct.unpack(">II", blob[off : off + 8])
                         w = max(w, tw >> 16)
                         h = max(h, th >> 16)

@@ -15,9 +15,10 @@ real PDF; ``crop_bmp`` / ``crop_png`` /
 pixels for the three mainstream raster formats (BMP scanline slice,
 stdlib-zlib PNG decode/unfilter, baseline-JPEG Huffman+IDCT); and
 ``explode_pdf_pages`` emits each page's real embedded image for
-image-per-page PDFs (operators/pdf.py).  What remains stubbed: decoding
-progressive/arithmetic JPEG, 16-bit/paletted/interlaced PNG, and
-rendering vector/text PDF content — each degrades to a documented
+image-per-page PDFs (operators/pdf.py).  PROGRESSIVE JPEG decodes too
+(operators/jpeg.py SOF2 path), and PNG covers palette/sub-byte/16-bit/
+Adam7-interlaced.  What remains stubbed: arithmetic-coded/12-bit JPEG
+and rendering vector/text PDF content — each degrades to a documented
 byte-slice fallback rather than failing.
 """
 
@@ -515,12 +516,12 @@ def crop_regions(products: DataFrame, images: DataFrame, on: str = "page_key") -
     pixels (:func:`crop_bmp` — exact scanline slicing; :func:`crop_png`
     — stdlib-zlib decode, unfilter, slice, re-encode;
     :func:`specialsid_spark.operators.jpeg.crop_jpeg` — from-scratch
-    baseline Huffman+IDCT decode, slice, lossless PNG re-encode, the
-    reference's actual image format;
+    Huffman+IDCT decode covering baseline AND progressive streams,
+    slice, lossless PNG re-encode, the reference's actual image format;
     :func:`specialsid_spark.operators.gif.crop_gif` — LZW expansion,
     interlace reorder, palette lookup).  Only payloads none of the
-    four decoders recognize (e.g. progressive JPEG, opaque test bytes)
-    fall back to a byte-slice stub."""
+    four decoders recognize (e.g. arithmetic-coded JPEG, opaque test
+    bytes) fall back to a byte-slice stub."""
     from specialsid_spark.operators.gif import crop_gif
     from specialsid_spark.operators.jpeg import crop_jpeg
 

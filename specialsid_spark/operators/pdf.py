@@ -43,7 +43,10 @@ def _parse_objects(blob: bytes) -> dict[int, tuple[bytes, bytes | None]]:
 
     The stream length comes from a direct ``/Length N`` when present
     (stream data may legally contain ``endstream``); otherwise the next
-    ``endstream`` token bounds it.
+    ``endstream`` token bounds it.  Byte offsets of each object go to
+    the companion :func:`_object_offsets` (incremental-update writers
+    assign object numbers out of byte order, so order-sensitive
+    fallbacks must not sort by number).
     """
     out: dict[int, tuple[bytes, bytes | None]] = {}
     for m in _OBJ_RE.finditer(blob):
@@ -68,7 +71,14 @@ def _parse_objects(blob: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     return out
 
 
-def _page_order(objs: dict[int, tuple[bytes, bytes | None]]) -> list[int]:
+def _object_offsets(blob: bytes) -> dict[int, int]:
+    """obj_num -> byte offset of its `N 0 obj` header."""
+    return {int(m.group(1)): m.start() for m in _OBJ_RE.finditer(blob)}
+
+
+def _page_order(
+    objs: dict[int, tuple[bytes, bytes | None]], offsets: dict[int, int]
+) -> list[int]:
     """Leaf page object numbers in true document order: walk /Kids of
     the /Type /Pages root (nested trees recursed); fall back to byte
     order of /Type /Page leaves when no tree exists."""
@@ -101,13 +111,9 @@ def _page_order(objs: dict[int, tuple[bytes, bytes | None]]) -> list[int]:
 
     for r in roots:
         walk(r)
-    if not order:  # no tree (or damaged): byte order of the leaves
-        order = sorted(leaves, key=lambda n: _byte_pos(objs, n))
+    if not order:  # no tree (or damaged): true byte order of the leaves
+        order = sorted(leaves, key=lambda n: offsets.get(n, n))
     return order
-
-
-def _byte_pos(objs: dict[int, tuple[bytes, bytes | None]], n: int) -> int:
-    return n  # object numbers are assigned in byte order by every writer we accept
 
 
 def _resolve_dict(objs, head: bytes, key: bytes) -> bytes | None:
@@ -157,7 +163,7 @@ def extract_page_images(blob: bytes) -> list[bytes | None] | None:
     if not blob.startswith(b"%PDF"):
         return None
     objs = _parse_objects(blob)
-    pages = _page_order(objs)
+    pages = _page_order(objs, _object_offsets(blob))
     if not pages:
         return None
     images = {
@@ -181,6 +187,24 @@ def extract_page_images(blob: bytes) -> list[bytes | None] | None:
                         break
         out.append(img_bytes)
     return out
+
+
+def _jpeg_components(jpg: bytes) -> int:
+    """Component count from the first SOF0/1/2 segment (3 = YCbCr)."""
+    i = 2
+    while i + 9 < len(jpg):
+        if jpg[i] != 0xFF:
+            i += 1
+            continue
+        m = jpg[i + 1]
+        if m in (0xFF, 0x01) or 0xD0 <= m <= 0xD9:
+            i += 2
+            continue
+        ln = struct.unpack(">H", jpg[i + 2 : i + 4])[0]
+        if m in (0xC0, 0xC1, 0xC2):
+            return jpg[i + 9]
+        i += 2 + ln
+    return 3
 
 
 def build_image_pdf(page_images: list[bytes]) -> bytes:
@@ -207,7 +231,11 @@ def build_image_pdf(page_images: list[bytes]) -> bytes:
             raise ValueError("build_image_pdf pages must be JPEG or PNG bytes")
         w, h, fmt = meta
         if fmt == "jpeg":
-            payload, filt, cs = img, b"/DCTDecode", b"/DeviceRGB"
+            payload, filt = img, b"/DCTDecode"
+            # component count from the SOF header: a 1-component (gray)
+            # DCT stream labeled /DeviceRGB is a spec violation strict
+            # renderers reject
+            cs = b"/DeviceGray" if _jpeg_components(img) == 1 else b"/DeviceRGB"
         else:
             dec = decode_png(img)
             if dec is None or dec[2] not in (1, 3):

@@ -70,11 +70,18 @@ def test_odd_dimensions_and_noise_decode():
     assert (w, h, ch) == (23, 17, 3)
 
 
-def test_decode_rejects_non_jpeg_and_progressive():
+def test_decode_rejects_non_jpeg_and_scanless_progressive():
     assert decode_jpeg(b"not a jpeg") is None
-    # A fake progressive stream: SOI + SOF2 header.
+    # A progressive header with NO scans: nothing to reconstruct -> None
+    # (full progressive streams DO decode — see the progressive tests).
     fake = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
     assert decode_jpeg(fake) is None
+    # arithmetic-coded (SOF9) and corrupt zero-sampling SOFs degrade to
+    # None instead of raising (review r4: StopIteration/ZeroDivision)
+    sof9 = b"\xff\xd8\xff\xc9\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+    assert decode_jpeg(sof9) is None
+    bad_hv = b"\xff\xd8\xff\xc0\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x00\x00" + b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+    assert decode_jpeg(bad_hv) is None
 
 
 def test_crop_jpeg_equals_slice_of_decode():
@@ -493,3 +500,59 @@ def test_progressive_equals_baseline_property(w, h, seed, q):
     base = decode_jpeg(encode_jpeg(w, h, 3, img.tobytes(), quality=q))
     prog = decode_jpeg(encode_jpeg_progressive(w, h, 3, img.tobytes(), quality=q))
     assert prog is not None and prog[3] == base[3]
+
+
+def test_codec_degrade_contract_never_raises():
+    """Review r4: every decoder's 'return None on unsupported/corrupt'
+    contract must hold for the crash reproductions found in review —
+    a raised exception inside mapInPandas kills the whole Spark task."""
+    import struct
+
+    from specialsid_spark.operators.gif import decode_gif
+    from specialsid_spark.operators.media_meta import _box, parse_mp4_meta
+
+    # JPEG: arithmetic-coded frame, zero sampling factor, SOS referencing
+    # an undeclared component
+    assert decode_jpeg(b"\xff\xd8\xff\xc9\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00") is None
+    assert (
+        decode_jpeg(
+            b"\xff\xd8\xff\xc0\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x00\x00"
+            + b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+        )
+        is None
+    )
+    assert (
+        decode_jpeg(
+            b"\xff\xd8\xff\xc0\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+            + b"\xff\xda\x00\x08\x01\x09\x00\x00\x3f\x00"
+        )
+        is None
+    )
+    # GIF: truncated extension / image descriptor
+    assert decode_gif(b"GIF89a" + bytes(7) + b"\x21") is None
+    assert decode_gif(b"GIF89a" + bytes(7) + b"\x2c\x00\x00") is None
+    # MP4: version-1 boxes shorter than their v1 size
+    assert parse_mp4_meta(
+        _box(b"ftyp", b"isom") + _box(b"moov", _box(b"mvhd", bytes([1]) + bytes(19)))
+    ) is None
+    assert parse_mp4_meta(
+        _box(b"ftyp", b"isom")
+        + _box(
+            b"moov",
+            _box(b"mvhd", bytes(4) + struct.pack(">IIII", 0, 0, 1000, 5000) + bytes(80))
+            + _box(b"trak", _box(b"tkhd", bytes([1]) + bytes(83))),
+        )
+    ) is None
+
+
+def test_pdf_grayscale_pages_labeled_devicegray():
+    # Review r4: a 1-component DCT stream labeled /DeviceRGB violates
+    # the PDF spec (strict renderers reject it)
+    gray = encode_jpeg(16, 16, 1, np.full((16, 16, 1), 50, np.uint8).tobytes(), quality=95)
+    rgb = encode_jpeg(16, 16, 3, np.full((16, 16, 3), 50, np.uint8).tobytes(), quality=95)
+    pdf = build_image_pdf([gray, rgb])
+    import re
+
+    dicts = re.findall(rb"/Subtype /Image[^>]*", pdf)
+    assert b"/DeviceGray" in dicts[0] and b"/DeviceRGB" in dicts[1]
+    assert extract_page_images(pdf) == [gray, rgb]

@@ -121,13 +121,15 @@ def test_no_registered_query_emits_nested_columns(spark, sf_dir):
     # Driver-harness compatibility guard (shipped broken twice: r1 HLL,
     # r3 emb_pq_encode + agg_approx_percentiles): the driver canonicalizes
     # results via pandas sort_values, which raises `unhashable type` on
-    # array/map/struct cells.  Schema-only check — no execution — so the
-    # whole registry is covered in seconds.
+    # array/map/struct cells.  Plan-build-only for ordinary queries; the
+    # side-effecting ones (streaming pipelines, the merge/Z-order zone
+    # builder — which run real work at plan-BUILD time) are skipped here
+    # and covered by check_oracle/other tests instead.
     from tools.check_oracle import nested_output_columns
 
     offenders = {}
     for name, fn in QUERIES:
-        if name.startswith("stream_"):  # exercised (expensively) elsewhere
+        if name.startswith("stream_") or name == "clean_zone_merge_zorder":
             continue
         bad = nested_output_columns(fn(spark, sf_dir))
         if bad:
