@@ -142,13 +142,28 @@ def decode_gif(blob: bytes) -> tuple[int, int, int, bytearray] | None:
     """First-frame decode to (width, height, 3, RGB pixels top-down) on
     the logical screen (frame rect composited over the background
     color).  None for non-GIF or corrupt payloads."""
+    frames = extract_gif_frames(blob, max_frames=1)
+    if not frames:
+        return None
+    w, h, px = frames[0]
+    return w, h, 3, px
+
+
+def extract_gif_frames(
+    blob: bytes, max_frames: int | None = None
+) -> list[tuple[int, int, bytearray]] | None:
+    """ALL frames of a (possibly animated) GIF as fully-composited
+    logical screens [(w, h, RGB pixels)], honoring per-frame disposal
+    methods (1/none: leave, 2: restore background, 3: restore
+    previous).  The video-pipeline twin of AVI's extract_frames — feed
+    to a frame sampler the same way.  None for non-GIF/corrupt."""
     try:
-        return _decode_gif_inner(blob)
+        return _gif_frames_inner(blob, max_frames)
     except (IndexError, struct.error):
         return None  # truncated/corrupt container: degrade, never raise
 
 
-def _decode_gif_inner(blob: bytes) -> tuple[int, int, int, bytearray] | None:
+def _gif_frames_inner(blob, max_frames):
     if len(blob) < 13 or blob[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     sw, sh = struct.unpack("<HH", blob[6:10])
@@ -160,24 +175,32 @@ def _decode_gif_inner(blob: bytes) -> tuple[int, int, int, bytearray] | None:
         n = 2 << (flags & 7)
         gct = blob[i : i + 3 * n]
         i += 3 * n
+    canvas = bytearray(sw * sh * 3)
+    bg = b"\x00\x00\x00"
+    if gct is not None and bg_index * 3 + 3 <= len(gct):
+        bg = gct[bg_index * 3 : bg_index * 3 + 3]
+    for p in range(sw * sh):
+        canvas[3 * p : 3 * p + 3] = bg
+    frames: list[tuple[int, int, bytearray]] = []
     transparent = None
+    disposal = 0
     while i < len(blob):
         b0 = blob[i]
         if b0 == 0x3B:  # trailer
-            return None
+            break
         if b0 == 0x21:  # extension
             label = blob[i + 1]
             j = i + 2
             if label == 0xF9 and blob[j] >= 4:  # graphic control
                 gflags = blob[j + 1]
-                if gflags & 1:
-                    transparent = blob[j + 4]
+                transparent = blob[j + 4] if gflags & 1 else None
+                disposal = (gflags >> 2) & 7
             while j < len(blob) and blob[j] != 0:
                 j += 1 + blob[j]
             i = j + 1
             continue
         if b0 != 0x2C:  # not an image descriptor
-            return None
+            return frames if frames else None
         fx, fy, fw, fh = struct.unpack("<HHHH", blob[i + 1 : i + 9])
         lflags = blob[i + 9]
         i += 10
@@ -187,7 +210,7 @@ def _decode_gif_inner(blob: bytes) -> tuple[int, int, int, bytearray] | None:
             ct = blob[i : i + 3 * n]
             i += 3 * n
         if ct is None:
-            return None
+            return frames if frames else None
         min_code = blob[i]
         i += 1
         lzw = bytearray()
@@ -195,9 +218,10 @@ def _decode_gif_inner(blob: bytes) -> tuple[int, int, int, bytearray] | None:
             ln = blob[i]
             lzw += blob[i + 1 : i + 1 + ln]
             i += 1 + ln
+        i += 1  # block terminator
         idx = _lzw_decode(bytes(lzw), min_code)
         if idx is None or len(idx) < fw * fh:
-            return None
+            return frames if frames else None
         if lflags & 0x40:  # interlaced: reorder rows
             rows = [idx[r * fw : (r + 1) * fw] for r in range(fh)]
             ordered: list[bytes | None] = [None] * fh
@@ -207,21 +231,94 @@ def _decode_gif_inner(blob: bytes) -> tuple[int, int, int, bytearray] | None:
                     ordered[y] = rows[src]
                     src += 1
             idx = bytearray().join(ordered)  # type: ignore[arg-type]
-        # composite the frame rect onto the logical screen
-        out = bytearray(sw * sh * 3)
-        if gct is not None and bg_index * 3 + 3 <= len(gct):
-            bg = gct[bg_index * 3 : bg_index * 3 + 3]
-            for p in range(sw * sh):
-                out[3 * p : 3 * p + 3] = bg
+        snapshot = bytearray(canvas) if disposal == 3 else None
         for y in range(min(fh, sh - fy)):
             for x in range(min(fw, sw - fx)):
                 v = idx[y * fw + x]
                 if v == transparent:
                     continue
                 o = 3 * ((fy + y) * sw + (fx + x))
-                out[o : o + 3] = ct[3 * v : 3 * v + 3]
-        return sw, sh, 3, out
-    return None
+                canvas[o : o + 3] = ct[3 * v : 3 * v + 3]
+        frames.append((sw, sh, bytearray(canvas)))
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
+        # post-frame disposal shapes the NEXT frame's base
+        if disposal == 2:  # restore frame rect to background
+            for y in range(min(fh, sh - fy)):
+                for x in range(min(fw, sw - fx)):
+                    o = 3 * ((fy + y) * sw + (fx + x))
+                    canvas[o : o + 3] = bg
+        elif disposal == 3 and snapshot is not None:
+            canvas = snapshot
+        transparent = None
+        disposal = 0
+    return frames if frames else None
+
+
+def sample_gif_frames(
+    blob: bytes, every_n: int
+) -> list[tuple[int, tuple[int, int, bytearray]]] | None:
+    """Every-Nth composited GIF frame with its index — the same
+    training-data decimation operator as video.sample_frames."""
+    frames = extract_gif_frames(blob)
+    if frames is None:
+        return None
+    return [(i, f) for i, f in enumerate(frames) if i % every_n == 0]
+
+
+def _palettize(w: int, h: int, rgb: bytes) -> tuple[int, bytearray, bytearray]:
+    """(table_size_bits, color table, index array); raises above GIF's
+    own 256-distinct-color format limit."""
+    colors: dict[bytes, int] = {}
+    idx = bytearray()
+    for p in range(w * h):
+        c = rgb[3 * p : 3 * p + 3]
+        k = colors.get(c)
+        if k is None:
+            k = len(colors)
+            if k == 256:
+                raise ValueError("GIF needs <=256 distinct colors per frame")
+            colors[c] = k
+        idx.append(k)
+    n_bits = max(1, (len(colors) - 1).bit_length())
+    ct = bytearray(3 * (1 << n_bits))
+    for c, k in colors.items():
+        ct[3 * k : 3 * k + 3] = c
+    return n_bits, ct, idx
+
+
+def _lzw_blocks(idx: bytes, min_code: int) -> bytes:
+    lzw = _lzw_encode(idx, min_code)
+    out = bytearray([min_code])
+    for o in range(0, len(lzw), 255):
+        chunk = lzw[o : o + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif_animation(
+    w: int, h: int, frames_rgb: list[bytes], disposals: list[int] | None = None
+) -> bytes:
+    """Animated GIF89a writer: full-canvas frames, each with its OWN
+    local color table (no shared-palette quantization needed) and a
+    graphic-control extension carrying its disposal method — the
+    fixture generator for :func:`extract_gif_frames`."""
+    if not frames_rgb:
+        raise ValueError("need at least one frame")
+    disposals = disposals or [1] * len(frames_rgb)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0, 0, 0)  # no global color table
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for rgb, disp in zip(frames_rgb, disposals):
+        n_bits, ct, idx = _palettize(w, h, bytes(rgb))
+        out += b"\x21\xf9\x04" + bytes([(disp & 7) << 2, 4, 0, 0, 0])  # GCE
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x80 | ((n_bits - 1) & 7))
+        out += ct
+        out += _lzw_blocks(bytes(idx), max(2, n_bits))
+    out += b"\x3b"
+    return bytes(out)
 
 
 def encode_gif(w: int, h: int, rgb: bytes | bytearray) -> bytes:
@@ -229,22 +326,8 @@ def encode_gif(w: int, h: int, rgb: bytes | bytearray) -> bytes:
     required — raises otherwise; this is GIF's own format limit) and
     writes a real variable-width LZW stream."""
     px = bytes(rgb)
-    colors: dict[bytes, int] = {}
-    idx = bytearray()
-    for p in range(w * h):
-        c = px[3 * p : 3 * p + 3]
-        k = colors.get(c)
-        if k is None:
-            k = len(colors)
-            if k == 256:
-                raise ValueError("encode_gif needs <=256 distinct colors")
-            colors[c] = k
-        idx.append(k)
-    n_bits = max(1, (len(colors) - 1).bit_length())
+    n_bits, ct, idx = _palettize(w, h, px)
     table_n = 1 << n_bits
-    ct = bytearray(3 * table_n)
-    for c, k in colors.items():
-        ct[3 * k : 3 * k + 3] = c
     min_code = max(2, n_bits)
     lzw = _lzw_encode(bytes(idx), min_code)
     out = bytearray(b"GIF89a")

@@ -556,3 +556,47 @@ def test_pdf_grayscale_pages_labeled_devicegray():
     dicts = re.findall(rb"/Subtype /Image[^>]*", pdf)
     assert b"/DeviceGray" in dicts[0] and b"/DeviceRGB" in dicts[1]
     assert extract_page_images(pdf) == [gray, rgb]
+
+
+def test_gif_animation_frames_and_sampling():
+    from specialsid_spark.operators.gif import (
+        encode_gif_animation,
+        extract_gif_frames,
+        sample_gif_frames,
+    )
+
+    frames = []
+    for i in range(5):
+        f = np.zeros((8, 10, 3), np.uint8)
+        f[:, :, 0] = 20 * i + 5
+        f[:, :, 1] = 200 - 30 * i
+        frames.append(f)
+    gb = encode_gif_animation(10, 8, [f.tobytes() for f in frames])
+    out = extract_gif_frames(gb)
+    assert len(out) == 5
+    for i, (w, h, px) in enumerate(out):
+        assert (w, h) == (10, 8)
+        assert np.array_equal(np.frombuffer(bytes(px), np.uint8).reshape(8, 10, 3), frames[i])
+    assert [i for i, _ in sample_gif_frames(gb, 2)] == [0, 2, 4]
+
+
+def test_gif_disposal_restore_background_and_previous():
+    # frame 1 paints a patch with disposal=2 (restore bg) vs 3 (restore
+    # previous): the NEXT frame's untouched region must reflect it
+    from specialsid_spark.operators.gif import encode_gif_animation, extract_gif_frames
+
+    base = np.full((8, 8, 3), 50, np.uint8)
+    patch = base.copy()
+    patch[2:6, 2:6] = (200, 10, 10)
+    tail = np.full((8, 8, 3), 50, np.uint8)  # same as base
+    for disp, desc in [(2, "background"), (3, "previous")]:
+        gb = encode_gif_animation(
+            8, 8, [base.tobytes(), patch.tobytes(), tail.tobytes()], disposals=[1, disp, 1]
+        )
+        out = extract_gif_frames(gb)
+        assert len(out) == 3
+        # frame 2 shows the patch; frame 3 (full-canvas repaint) shows base
+        f2 = np.frombuffer(bytes(out[1][2]), np.uint8).reshape(8, 8, 3)
+        assert np.array_equal(f2, patch), desc
+        f3 = np.frombuffer(bytes(out[2][2]), np.uint8).reshape(8, 8, 3)
+        assert np.array_equal(f3, tail), desc
