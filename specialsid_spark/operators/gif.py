@@ -9,11 +9,13 @@ variable-width LZW stream (dictionary up to 4096 entries with CLEAR
 resets), so round-trip tests exercise the decoder against genuinely
 compressed data, and any standard viewer opens the output.
 
-Scope: static single-frame decode of the first image descriptor
-(animated GIFs: the first frame composited on the logical screen
-background; frame disposal/compositing of later frames is out of
-scope and documented).  Transparency index maps to the color-table
-entry (GIF has no partial alpha).
+Scope: :func:`decode_gif` decodes the first image descriptor
+composited on the logical screen background;
+:func:`extract_gif_frames` (r4) extracts EVERY frame of an animated
+GIF with full disposal handling (none/keep, restore-to-background,
+restore-to-previous) and :func:`sample_gif_frames` takes every Nth
+composited frame.  Transparency index maps to the color-table entry
+(GIF has no partial alpha).
 """
 
 from __future__ import annotations
@@ -343,9 +345,18 @@ def encode_gif(w: int, h: int, rgb: bytes | bytearray) -> bytes:
     return bytes(out)
 
 
-def crop_gif(blob: bytes, ymin: int, xmin: int, ymax: int, xmax: int) -> bytes | None:
+def crop_gif(
+    blob: bytes,
+    ymin: int,
+    xmin: int,
+    ymax: int,
+    xmax: int,
+    out_format: str = "png",
+) -> bytes | None:
     """REAL pixel crop for GIF bytes: decode, clamped slice, lossless
-    PNG re-encode (same contract as crop_jpeg)."""
+    PNG re-encode by default (same contract and same
+    ``out_format="jpeg"`` reference-parity opt-in as
+    :func:`specialsid_spark.operators.jpeg.crop_jpeg`)."""
     from specialsid_spark.operators.multimodal import encode_png
 
     dec = decode_gif(blob)
@@ -361,4 +372,8 @@ def crop_gif(blob: bytes, ymin: int, xmin: int, ymax: int, xmax: int) -> bytes |
     for y in range(ymin, ymax):
         o = 3 * (y * w + xmin)
         out += px[o : o + 3 * cw]
+    if out_format == "jpeg":
+        from specialsid_spark.operators.jpeg import encode_jpeg
+
+        return encode_jpeg(cw, chh, 3, bytes(out), quality=90)
     return encode_png(cw, chh, 3, out)

@@ -538,6 +538,14 @@ def _reconstruct(w, h, comps, qts, coefs):
 
 
 def _finish(w, h, comps, planes, hmax, vmax):
+    # Integer-replication upsampling is only defined when every
+    # component's factor divides the max (4:4:4, 4:2:2, 4:2:0, 4:1:1 …).
+    # Non-dividing combos (e.g. 3:2) need fractional resampling — out of
+    # scope, and silently mis-shaping would corrupt pixels, so refuse
+    # explicitly (ADVICE r4; decode_jpeg maps this to None).
+    for c in comps:
+        if hmax % c["h"] or vmax % c["v"]:
+            raise ValueError("non-dividing sampling factors unsupported")
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -703,12 +711,13 @@ def encode_jpeg(
     restart_interval: int = 0,
 ) -> bytes:
     """Encode raw row-major pixels (1=gray, 3=RGB) as baseline JFIF with
-    Annex K tables scaled by ``quality``.  ``sampling`` is ``"444"`` or
-    ``"420"`` (RGB only; chroma box-averaged 2×2 — the dominant layout
-    of real-world JPEGs, so the decoder's upsampling path gets exercised
-    by streams this encoder emits).  ``restart_interval`` > 0 emits DRI
-    + RSTn markers every that many MCUs.  Deterministic byte-for-byte
-    for identical inputs."""
+    Annex K tables scaled by ``quality``.  ``sampling`` is ``"444"``,
+    ``"422"`` (RGB only; chroma box-averaged 2×1) or ``"420"`` (RGB
+    only; chroma box-averaged 2×2 — the dominant layout of real-world
+    JPEGs) so the decoder's isotropic AND anisotropic upsampling paths
+    get exercised by streams this encoder emits.  ``restart_interval``
+    > 0 emits DRI + RSTn markers every that many MCUs.  Deterministic
+    byte-for-byte for identical inputs."""
     arr = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(h, w, ch).astype(np.float64)
     if ch == 3:
         r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
@@ -721,8 +730,8 @@ def encode_jpeg(
         planes = [arr[..., 0]]
     else:
         raise ValueError("encode_jpeg supports 1 (gray) or 3 (RGB) channels")
-    if sampling not in ("444", "420") or (sampling == "420" and ch != 3):
-        raise ValueError("sampling must be '444', or '420' with 3 channels")
+    if sampling not in ("444", "422", "420") or (sampling != "444" and ch != 3):
+        raise ValueError("sampling must be '444', or '422'/'420' with 3 channels")
 
     qt_l = _scaled_qt(_QT_LUMA, quality).reshape(8, 8)
     qt_c = _scaled_qt(_QT_CHROMA, quality).reshape(8, 8)
@@ -742,6 +751,18 @@ def encode_jpeg(
             pp[h:, :w] = p[h - 1 : h, :]
             pp[:, w:] = pp[:, w - 1 : w]
             cplanes.append((pp[0::2, 0::2] + pp[1::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 1::2]) / 4.0)
+    elif sampling == "422":
+        # chroma halved horizontally only (2×1 box mean) — exercises the
+        # decoder's anisotropic upsample path (ADVICE r4: previously no
+        # in-repo encoder emitted 4:2:2)
+        sfac = [(2, 1), (1, 1), (1, 1)]
+        cplanes = [planes[0]]
+        for p in planes[1:]:
+            pw2 = (w + 1) // 2
+            pp = np.empty((h, pw2 * 2))
+            pp[:, :w] = p
+            pp[:, w:] = pp[:, w - 1 : w]
+            cplanes.append((pp[:, 0::2] + pp[:, 1::2]) / 2.0)
     else:
         sfac = [(1, 1)] * ch
         cplanes = planes
@@ -828,13 +849,28 @@ def encode_jpeg(
     return bytes(out)
 
 
-def crop_jpeg(blob: bytes, ymin: int, xmin: int, ymax: int, xmax: int) -> bytes | None:
+def crop_jpeg(
+    blob: bytes,
+    ymin: int,
+    xmin: int,
+    ymax: int,
+    xmax: int,
+    out_format: str = "png",
+) -> bytes | None:
     """REAL pixel crop for baseline JPEG bytes (ref
     pnp-cropperLambda.py:96-98 ``img.crop((xmin, ymin, xmax, ymax))``):
     full decode, bbox slice in top-down visual coordinates with
-    clamping, re-encode as PNG (lossless — re-JPEG-ing a crop would
-    add a second generation loss the reference's PIL path does not).
-    Returns None when the payload is not a decodable baseline JPEG."""
+    clamping, then re-encode.
+
+    PUBLIC CONTRACT — output byte format: the DEFAULT is PNG (lossless;
+    re-JPEG-ing a crop would add a second generation loss the
+    reference's PIL path does not).  This deliberately deviates from
+    the reference, which saves crops as JPEG quality 90
+    (pnp-cropperLambda.py:96-98 ``format='JPEG', quality=90`` into
+    ``*.jpg`` keys).  Consumers that need byte-format parity with the
+    reference pass ``out_format="jpeg"`` to get a quality-90 baseline
+    JPEG instead.  Returns None when the payload is not a decodable
+    JPEG."""
     from specialsid_spark.operators.multimodal import encode_png
 
     dec = decode_jpeg(blob)
@@ -848,6 +884,8 @@ def crop_jpeg(blob: bytes, ymin: int, xmin: int, ymax: int, xmax: int) -> bytes 
         return None
     arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
     crop = arr[ymin:ymax, xmin:xmax, :]
+    if out_format == "jpeg":
+        return encode_jpeg(cw, chh, ch, crop.tobytes(), quality=90)
     return encode_png(cw, chh, ch, crop.tobytes())
 
 

@@ -508,7 +508,12 @@ def explode_pdf_pages(
 explode_pdf_pages_stub = explode_pdf_pages
 
 
-def crop_regions(products: DataFrame, images: DataFrame, on: str = "page_key") -> DataFrame:
+def crop_regions(
+    products: DataFrame,
+    images: DataFrame,
+    on: str = "page_key",
+    out_format: str = "png",
+) -> DataFrame:
     """D3/J1: products ⋈ page-image (broadcast the small image batch),
     then a mapInPandas crop (ref pnp-cropperLambda.py:58-101).
 
@@ -517,11 +522,18 @@ def crop_regions(products: DataFrame, images: DataFrame, on: str = "page_key") -
     — stdlib-zlib decode, unfilter, slice, re-encode;
     :func:`specialsid_spark.operators.jpeg.crop_jpeg` — from-scratch
     Huffman+IDCT decode covering baseline AND progressive streams,
-    slice, lossless PNG re-encode, the reference's actual image format;
+    slice, re-encode, the reference's actual image format;
     :func:`specialsid_spark.operators.gif.crop_gif` — LZW expansion,
     interlace reorder, palette lookup).  Only payloads none of the
     four decoders recognize (e.g. arithmetic-coded JPEG, opaque test
-    bytes) fall back to a byte-slice stub."""
+    bytes) fall back to a byte-slice stub.
+
+    PUBLIC CONTRACT — ``crop_bytes`` format: PNG by default (lossless;
+    deliberate deviation from the reference's JPEG-quality-90 crops,
+    pnp-cropperLambda.py:96-98, to avoid a second generation loss).
+    Pass ``out_format="jpeg"`` for byte-format parity with the
+    reference (JPEG/GIF sources re-encode at quality 90; BMP/PNG crops
+    stay PNG — they were never JPEG in the reference either)."""
     from specialsid_spark.operators.gif import crop_gif
     from specialsid_spark.operators.jpeg import crop_jpeg
 
@@ -547,9 +559,9 @@ def crop_regions(products: DataFrame, images: DataFrame, on: str = "page_key") -
                 if real is None:
                     real = crop_png(bytes(blob), ymin, xmin, ymax, xmax)
                 if real is None:
-                    real = crop_jpeg(bytes(blob), ymin, xmin, ymax, xmax)
+                    real = crop_jpeg(bytes(blob), ymin, xmin, ymax, xmax, out_format)
                 if real is None:
-                    real = crop_gif(bytes(blob), ymin, xmin, ymax, xmax)
+                    real = crop_gif(bytes(blob), ymin, xmin, ymax, xmax, out_format)
                 if real is not None:
                     crops.append(real)
                     continue

@@ -38,42 +38,66 @@ _KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
 _NUM_RE = re.compile(rb"/(\w+)\s+(\d+)")
 
 
-def _parse_objects(blob: bytes) -> dict[int, tuple[bytes, bytes | None]]:
-    """obj_num -> (dict/body bytes, raw stream bytes or None).
+def _scan_objects(
+    blob: bytes,
+) -> tuple[dict[int, tuple[bytes, bytes | None]], dict[int, int]]:
+    """One pass over the raw bytes: obj_num -> (dict/body bytes, raw
+    stream bytes or None) plus obj_num -> byte offset of its
+    ``N 0 obj`` header.
 
     The stream length comes from a direct ``/Length N`` when present
     (stream data may legally contain ``endstream``); otherwise the next
-    ``endstream`` token bounds it.  Byte offsets of each object go to
-    the companion :func:`_object_offsets` (incremental-update writers
-    assign object numbers out of byte order, so order-sensitive
-    fallbacks must not sort by number).
+    ``endstream`` token bounds it.  Offsets matter because
+    incremental-update writers assign object numbers out of byte order,
+    so order-sensitive fallbacks must not sort by number.
+
+    ADVICE r4: any ``N 0 obj`` match that falls INSIDE a previously
+    captured stream extent is a coincidental ASCII sequence in binary
+    payload (a DCTDecode JPEG can contain anything) — honoring it would
+    truncate the enclosing object and corrupt page/image resolution for
+    the whole document.  The scan therefore advances a guard past every
+    stream it captures and skips matches behind it.
     """
-    out: dict[int, tuple[bytes, bytes | None]] = {}
+    objs: dict[int, tuple[bytes, bytes | None]] = {}
+    offsets: dict[int, int] = {}
+    guard = 0  # first byte past the last captured stream payload
     for m in _OBJ_RE.finditer(blob):
+        if m.start() < guard:
+            continue  # inside a previous object's binary stream
         num = int(m.group(1))
-        end = blob.find(b"endobj", m.end())
-        if end < 0:
-            end = len(blob)
-        body = blob[m.end() : end]
-        sm = _STREAM_RE.search(body)
-        if sm is None:
-            out[num] = (body, None)
+        body_start = m.end()
+        end = blob.find(b"endobj", body_start)
+        sm = _STREAM_RE.search(blob, body_start)
+        if sm is None or (0 <= end < sm.start()):
+            # no stream in this object (the `stream` match, if any,
+            # belongs to a later object)
+            body = blob[body_start : end if end >= 0 else len(blob)]
+            objs[num] = (body, None)
+            offsets[num] = m.start()
             continue
-        head = body[: sm.start()]
+        head = blob[body_start : sm.start()]
         lm = re.search(rb"/Length\s+(\d+)\b(?!\s+0\s+R)", head)
         if lm:
-            data = body[sm.end() : sm.end() + int(lm.group(1))]
+            dend = sm.end() + int(lm.group(1))
+            data = blob[sm.end() : dend]
         else:
-            se = body.find(b"endstream", sm.end())
-            data = body[sm.end() : se if se >= 0 else len(body)]
-            data = data.rstrip(b"\r\n")
-        out[num] = (head, data)
-    return out
+            se = blob.find(b"endstream", sm.end())
+            dend = se if se >= 0 else len(blob)
+            data = blob[sm.end() : dend].rstrip(b"\r\n")
+        guard = dend
+        objs[num] = (head, data)
+        offsets[num] = m.start()
+    return objs, offsets
+
+
+def _parse_objects(blob: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """obj_num -> (dict/body bytes, raw stream bytes or None)."""
+    return _scan_objects(blob)[0]
 
 
 def _object_offsets(blob: bytes) -> dict[int, int]:
     """obj_num -> byte offset of its `N 0 obj` header."""
-    return {int(m.group(1)): m.start() for m in _OBJ_RE.finditer(blob)}
+    return _scan_objects(blob)[1]
 
 
 def _page_order(
@@ -162,8 +186,8 @@ def extract_page_images(blob: bytes) -> list[bytes | None] | None:
     None; a non-PDF payload returns None outright."""
     if not blob.startswith(b"%PDF"):
         return None
-    objs = _parse_objects(blob)
-    pages = _page_order(objs, _object_offsets(blob))
+    objs, offsets = _scan_objects(blob)
+    pages = _page_order(objs, offsets)
     if not pages:
         return None
     images = {

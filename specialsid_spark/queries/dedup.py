@@ -534,7 +534,8 @@ def _sql_simhash_block_sigs(w: int, prefix: str = "", source: str = "documents")
     )
     return f"""
     {prefix}t AS (SELECT doc_id, list_distinct({_SQL_TOKENS}) AS toks FROM {source}),
-    {prefix}m AS (SELECT doc_id, {SQL_TOKEN_MD5S.format(toks="toks")} AS md5s FROM {prefix}t),
+    {prefix}m AS (SELECT doc_id, {SQL_TOKEN_MD5S.format(toks="toks")} AS md5s
+                  FROM {prefix}t WHERE len(toks) > 0),
     {prefix}g AS (SELECT doc_id, {dig_cols} FROM {prefix}m),
     {prefix}sigs AS (SELECT doc_id, {blk_cols} FROM {prefix}g)
     """
@@ -932,7 +933,8 @@ def _sql_simhash256_sigs() -> str:
     )
     return f"""
     t AS (SELECT doc_id, list_distinct({_SQL_TOKENS}) AS toks FROM documents),
-    m AS (SELECT doc_id, list_transform(toks, t -> sha256(t)) AS shs FROM t),
+    m AS (SELECT doc_id, list_transform(toks, t -> sha256(t)) AS shs FROM t
+          WHERE len(toks) > 0),
     g AS (SELECT doc_id, {dig_cols} FROM m),
     sigs AS (SELECT doc_id, {limb_cols} FROM g)
     """

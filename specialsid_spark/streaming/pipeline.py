@@ -486,8 +486,24 @@ def streaming_incremental_rollup(
     same groupBy/unionByName operators as batch code."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import json as _json  # noqa: PLC0415
         import os as _os  # noqa: PLC0415
         import shutil  # noqa: PLC0415
+
+        # Checkpoint identity: Spark writes `<checkpoint>/metadata`
+        # ({"id": <uuid>}) when a checkpoint is CREATED, and the id
+        # survives restarts but changes when the checkpoint dir is lost
+        # and recreated.  Batch ids restart at 0 in that case, so a
+        # bare batch_id <= marker comparison would silently skip fresh
+        # batches — and if NEW events arrived before the restart, the
+        # new checkpoint marks them committed: silent data loss.
+        # Recording the id next to the batch id turns that scenario
+        # into a loud failure instead.
+        query_id = ""
+        meta_file = _os.path.join(checkpoint_dir, "metadata")
+        if _os.path.exists(meta_file):
+            with open(meta_file) as fh:
+                query_id = _json.load(fh).get("id", "")
 
         nxt, old = summary_path + "_next", summary_path + "_old"
         # Crash recovery: an interrupted swap leaves summary missing
@@ -500,8 +516,21 @@ def streaming_incremental_rollup(
         marker = _os.path.join(summary_path, "_BATCH_ID")
         if _os.path.exists(marker):
             with open(marker) as fh:
-                if batch_id <= int(fh.read().strip() or -1):
-                    return  # crash-replayed batch: already merged
+                lines = fh.read().splitlines()
+            applied_id = int(lines[0].strip() or -1) if lines else -1
+            applied_query = lines[1].strip() if len(lines) > 1 else ""
+            if applied_query and query_id and applied_query != query_id:
+                raise ValueError(
+                    "streaming_incremental_rollup: summary at "
+                    f"{summary_path} was built by checkpoint id "
+                    f"{applied_query!r} but the current checkpoint is "
+                    f"{query_id!r} — the checkpoint dir was lost or "
+                    "recreated over an existing summary. Replaying into "
+                    "it could silently drop batches; delete the summary "
+                    "(full rebuild) or restore the original checkpoint."
+                )
+            if batch_id <= applied_id:
+                return  # crash-replayed batch: already merged
         partial = batch_df.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
         )
@@ -519,7 +548,9 @@ def streaming_incremental_rollup(
             merged = partial
         merged.write.mode("overwrite").parquet(nxt)
         with open(_os.path.join(nxt, "_BATCH_ID"), "w") as fh:
-            fh.write(str(batch_id))  # marker promotes atomically with the data
+            # marker promotes atomically with the data; line 2 pins the
+            # checkpoint identity the batch id is monotonic WITHIN
+            fh.write(f"{batch_id}\n{query_id}")
         if _os.path.exists(old):
             shutil.rmtree(old)
         if _os.path.exists(summary_path):

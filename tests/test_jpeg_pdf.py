@@ -48,7 +48,7 @@ def test_uniform_rgb_small_error():
     assert diff.max() <= 2  # YCbCr round-trip rounding only
 
 
-@pytest.mark.parametrize("sampling", ["444", "420"])
+@pytest.mark.parametrize("sampling", ["444", "422", "420"])
 @pytest.mark.parametrize("restart", [0, 2])
 def test_gradient_roundtrip_all_paths(sampling, restart):
     img = _gradient(40, 24)
@@ -57,9 +57,48 @@ def test_gradient_roundtrip_all_paths(sampling, restart):
     )
     out = _decode_to_array(jb).astype(int)
     diff = np.abs(out - img.astype(int))
-    # 4:4:4 at q95 is near-lossless; 4:2:0 adds chroma replication error.
+    # 4:4:4 at q95 is near-lossless; 4:2:2/4:2:0 add chroma replication error.
     assert diff.max() <= (2 if sampling == "444" else 12)
     assert diff.mean() <= (1 if sampling == "444" else 4)
+
+
+def test_jpeg_422_sof_and_odd_width():
+    """ADVICE r4: the 4:2:2 (anisotropic upsample) decode path now has
+    an in-repo encoder fixture — assert the SOF really is 2×1/1×1 and
+    odd widths survive the horizontal-only chroma halving."""
+    img = _gradient(33, 16)
+    jb = encode_jpeg(33, 16, 3, img.tobytes(), quality=92, sampling="422")
+    # SOF0 component 1 hv byte: high nibble h=2, low nibble v=1
+    sof_at = jb.find(b"\xff\xc0")
+    assert jb[sof_at + 11] == 0x21  # luma (2,1)
+    assert jb[sof_at + 14] == 0x11  # Cb (1,1)
+    out = _decode_to_array(jb).astype(int)
+    assert np.abs(out - img.astype(int)).mean() <= 4
+
+
+def test_jpeg_non_dividing_sampling_refused_explicitly():
+    """ADVICE r4: non-dividing factor combos (e.g. luma 3×1 with chroma
+    2×1 — hmax 3, 3 % 2 != 0) cannot be upsampled by integer
+    replication; _finish must refuse explicitly and decode_jpeg must
+    map that to None (not a swallowed shape mismatch)."""
+    from specialsid_spark.operators.jpeg import _finish
+
+    comps = [
+        {"id": 1, "h": 3, "v": 1, "tq": 0},
+        {"id": 2, "h": 2, "v": 1, "tq": 1},
+        {"id": 3, "h": 2, "v": 1, "tq": 1},
+    ]
+    planes = [np.zeros((8, 24)), np.zeros((8, 16)), np.zeros((8, 16))]
+    with pytest.raises(ValueError, match="non-dividing"):
+        _finish(24, 8, comps, planes, 3, 1)
+
+    # end-to-end: patch a valid 4:2:2 stream's SOF to the 3:2 combo —
+    # decoder must return None, never raise or emit garbage pixels
+    img = _gradient(24, 16)
+    jb = bytearray(encode_jpeg(24, 16, 3, img.tobytes(), quality=92, sampling="422"))
+    sof_at = jb.find(b"\xff\xc0")
+    jb[sof_at + 11] = 0x31  # luma (3,1): chroma (1,1) no longer divides hmax
+    assert decode_jpeg(bytes(jb)) is None
 
 
 def test_odd_dimensions_and_noise_decode():
@@ -92,6 +131,23 @@ def test_crop_jpeg_equals_slice_of_decode():
     w, h, ch, px = decode_png(png)
     crop = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, ch)
     assert np.array_equal(crop, full[3:17, 5:29, :])
+
+
+def test_crop_jpeg_out_format_jpeg_reference_parity():
+    """ADVICE r4: the reference emits JPEG quality-90 crops
+    (pnp-cropperLambda.py cropped_img.save(format='JPEG', quality=90));
+    out_format='jpeg' mirrors that byte format — output is a decodable
+    baseline JPEG of the crop's dimensions, close to the source pixels
+    (lossy, so approximate)."""
+    img = _gradient(32, 20)
+    jb = encode_jpeg(32, 20, 3, img.tobytes(), quality=92)
+    full = _decode_to_array(jb)
+    out = crop_jpeg(jb, 3, 5, 17, 29, out_format="jpeg")
+    assert out[:2] == b"\xff\xd8"
+    w, h, ch, px = decode_jpeg(out)
+    assert (w, h, ch) == (24, 14, 3)
+    crop = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, ch)
+    assert np.mean(np.abs(crop.astype(int) - full[3:17, 5:29, :].astype(int))) < 8
 
 
 def test_crop_jpeg_clamps_bbox():
@@ -170,6 +226,26 @@ def test_pdf_kids_order_not_byte_order():
 
 def test_pdf_extract_rejects_non_pdf():
     assert extract_page_images(b"A" * 250) is None
+
+
+def test_pdf_parser_ignores_obj_tokens_inside_stream_payloads():
+    """ADVICE r4: a binary DCTDecode payload may coincidentally contain
+    an ASCII `N 0 obj` sequence; honoring it as an object boundary
+    shadows a REAL object (here the /Pages tree, object 2, defined
+    before the payload) and corrupts page resolution for the whole
+    document.  The poison rides a JPEG COM segment so the payload stays
+    a fully valid JPEG."""
+    import struct
+
+    jb = encode_jpeg(24, 16, 3, _gradient(24, 16).tobytes(), quality=90)
+    poison = b"\n2 0 obj"
+    com = b"\xff\xfe" + struct.pack(">H", 2 + len(poison)) + poison
+    jb_poison = jb[:2] + com + jb[2:]
+    assert decode_jpeg(jb_poison) is not None
+    pdf = build_image_pdf([jb_poison, jb])
+    pages = extract_page_images(pdf)
+    assert pages is not None and len(pages) == 2
+    assert pages == [jb_poison, jb]  # both pages resolve, payload verbatim
 
 
 def test_explode_pdf_pages_emits_real_decodable_images(spark):

@@ -535,10 +535,14 @@ def test_streaming_incremental_rollup_foreachbatch(spark, tmp_path):
 
 
 def test_streaming_incremental_rollup_replay_idempotent(spark, tmp_path):
-    """ADVICE r3: foreachBatch is at-least-once — wiping the checkpoint
-    replays batch 0 with identical data, and without the _BATCH_ID
-    guard the replay would double every count."""
-    import shutil
+    """ADVICE r3: foreachBatch is at-least-once — a crash between the
+    merge and the checkpoint commit replays batch 0 with identical data
+    under the SAME checkpoint, and without the _BATCH_ID guard the
+    replay would double every count.  Simulated by deleting the
+    checkpoint's commit record for batch 0 while keeping its metadata
+    (so the checkpoint identity is unchanged — the r4-ADVICE identity
+    check must NOT fire here)."""
+    import os
 
     from specialsid_spark.streaming.pipeline import streaming_incremental_rollup
 
@@ -557,12 +561,53 @@ def test_streaming_incremental_rollup_replay_idempotent(spark, tmp_path):
     before = {r["event_type"]: (r["n_events"], r["sum_value"]) for r in spark.read.parquet(summary).collect()}
     assert before == {"click": (1, 1.0), "view": (1, 2.0)}
 
-    # simulate the crash-before-checkpoint-commit replay: lose the
-    # checkpoint entirely, so Spark re-delivers batch 0 verbatim
-    shutil.rmtree(ckpt)
-    streaming_incremental_rollup(spark, str(ev_dir), summary, str(tmp_path / "ckpt2")).awaitTermination()
+    # simulate crash-before-checkpoint-commit: drop the batch-0 commit
+    # marker (merge already ran, commit never recorded) — on restart
+    # Spark re-delivers batch 0 verbatim under the same checkpoint id
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):  # local ChecksumFs sidecar
+        os.remove(crc)
+    streaming_incremental_rollup(spark, str(ev_dir), summary, ckpt).awaitTermination()
     after = {r["event_type"]: (r["n_events"], r["sum_value"]) for r in spark.read.parquet(summary).collect()}
     assert after == before, "replayed micro-batch was merged twice"
+
+
+def test_streaming_incremental_rollup_fresh_checkpoint_fails_loudly(spark, tmp_path):
+    """ADVICE r4: a LOST/recreated checkpoint over a surviving summary
+    restarts batch ids at 0, and the bare batch_id guard would silently
+    skip the batch — data loss if new events arrived before the
+    restart.  The identity line in _BATCH_ID turns this into a loud
+    error instead."""
+    import shutil
+
+    import pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from specialsid_spark.streaming.pipeline import streaming_incremental_rollup
+
+    ev_dir = tmp_path / "events_fresh"
+    ev_dir.mkdir()
+    summary = str(tmp_path / "summary")
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(
+        ev_dir / "b1.json",
+        [{"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "click", "value": 1.0}],
+    )
+    streaming_incremental_rollup(spark, str(ev_dir), summary, ckpt).awaitTermination()
+
+    # checkpoint lost entirely; NEW events arrive before the restart —
+    # the exact silent-loss scenario: fresh checkpoint restarts at
+    # batch 0 and the old guard would mark the new events committed
+    shutil.rmtree(ckpt)
+    _write_events(
+        ev_dir / "b2.json",
+        [{"event_id": 2, "ts": "2024-01-01 10:05:00", "user_id": 2, "event_type": "view", "value": 2.0}],
+    )
+    with pytest.raises(StreamingQueryException, match="checkpoint"):
+        streaming_incremental_rollup(
+            spark, str(ev_dir), summary, str(tmp_path / "ckpt2")
+        ).awaitTermination()
 
 
 def test_streaming_incremental_rollup_recovers_interrupted_swap(spark, tmp_path):
