@@ -389,14 +389,12 @@ def _decode_progressive_sos(
     successive-approximation refinement.  Mutates `coefs`, returns the
     byte position where entropy data ended (the next marker search
     resumes there)."""
-    br = _BitReader(blob, pos)
+    br = _SegReader(blob, pos)
     hmax, vmax, mcux, mcuy = _mcu_geom(w, h, comps)
 
     def check_restart(unit: int, state_reset) -> None:
         if restart and unit and unit % restart == 0:
-            m = br.align_to_marker()
-            if m is None or not (0xD0 <= m <= 0xD7):
-                raise ValueError("missing restart marker in progressive scan")
+            br.advance_restart()
             state_reset()
 
     if ss == 0:  # DC scan
@@ -436,7 +434,7 @@ def _decode_progressive_sos(
                             for bx in range(c["h"]):
                                 dc_unit(si, ci, dct, my * c["v"] + by, mx * c["h"] + bx)
                     unit += 1
-        return br.p
+        return br.end
 
     # AC scan: exactly one component, non-interleaved (T.81 B.2.3)
     if len(scan) != 1:
@@ -477,6 +475,10 @@ def _decode_progressive_sos(
                     band[k] = _extend(br.bits(s), s) << al
                     k += 1
             else:  # refinement pass (T.81 G.2, libjpeg structure)
+                # this branch touches up to 63 coefficients per block;
+                # operate on a plain list (numpy scalar indexing is
+                # ~10× a list index) and write back once
+                bl = band.tolist()
                 p1, m1 = 1 << al, -1 << al
                 k = ss
                 if state["eobrun"] == 0:
@@ -496,44 +498,53 @@ def _decode_progressive_sos(
                                 raise ValueError("bad refinement magnitude")
                             val = p1 if br.bits(1) else m1
                         while k <= se:
-                            if band[k] != 0:
-                                if br.bits(1) and (band[k] & p1) == 0:
-                                    band[k] += p1 if band[k] > 0 else m1
+                            if bl[k] != 0:
+                                if br.bits(1) and (bl[k] & p1) == 0:
+                                    bl[k] += p1 if bl[k] > 0 else m1
                             else:
                                 if r == 0:
                                     if s:
-                                        band[k] = val
+                                        bl[k] = val
                                     k += 1
                                     break
                                 r -= 1
                             k += 1
                 if state["eobrun"] > 0:
                     while k <= se:
-                        if band[k] != 0:
-                            if br.bits(1) and (band[k] & p1) == 0:
-                                band[k] += p1 if band[k] > 0 else m1
+                        if bl[k] != 0:
+                            if br.bits(1) and (bl[k] & p1) == 0:
+                                bl[k] += p1 if bl[k] > 0 else m1
                         k += 1
                     state["eobrun"] -= 1
-    return br.p
+                band[:] = bl
+    return br.end
+
+
+def _idct_blocks(zz_blocks: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Batched dequantize + de-zigzag + 2-D IDCT: (nb, 64) zigzag-order
+    coefficient rows -> (nb, 8, 8) spatial blocks (+128 level shift).
+    ONE broadcast matmul pair per component instead of one per block —
+    the per-block numpy-call overhead dominated the old loop."""
+    nat = np.zeros_like(zz_blocks, dtype=np.float64)
+    nat[:, _ZZ] = zz_blocks
+    nat = nat.reshape(-1, 8, 8) * qt[None]
+    return _C.T @ nat @ _C + 128.0
 
 
 def _reconstruct(w, h, comps, qts, coefs):
-    """Coefficient planes -> pixels: dequantize, de-zigzag, IDCT per
-    block, then the shared upsample/crop/color tail."""
+    """Coefficient planes -> pixels: batched dequantize/de-zigzag/IDCT
+    per component, then the shared upsample/crop/color tail."""
     hmax, vmax, mcux, mcuy = _mcu_geom(w, h, comps)
     planes = []
     for ci, c in enumerate(comps):
-        qt = qts[c["tq"]]
         arr = coefs[ci]
         brows, bcols = arr.shape[0], arr.shape[1]
-        plane = np.zeros((brows * 8, bcols * 8))
-        for row in range(brows):
-            for col in range(bcols):
-                coeff = np.zeros(64)
-                coeff[_ZZ] = arr[row, col]
-                block = _C.T @ (coeff.reshape(8, 8) * qt) @ _C + 128.0
-                plane[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8] = block
-        planes.append(plane)
+        spatial = _idct_blocks(arr.reshape(-1, 64).astype(np.float64), qts[c["tq"]])
+        planes.append(
+            spatial.reshape(brows, bcols, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(brows * 8, bcols * 8)
+        )
     return _finish(w, h, comps, planes, hmax, vmax)
 
 
@@ -563,56 +574,232 @@ def _finish(w, h, comps, planes, hmax, vmax):
     return w, h, 3, rgb.tobytes()
 
 
+def _lut_of(t: _HuffTable) -> list[int]:
+    """65536-entry peek-16 decode table for a Huffman table: entry =
+    (symbol << 5) | code_length, 0 = invalid prefix.  ONE table lookup
+    replaces the old bit-at-a-time MINCODE/MAXCODE walk (up to 16
+    Python-level iterations per symbol) — the core of the r5 hot-loop
+    vectorization.  Built lazily, cached on the table (tables are
+    per-image, so the ~0.5 ms build amortizes over every block)."""
+    lut = getattr(t, "lut", None)
+    if lut is None:
+        lut = [0] * 65536
+        for ln in range(1, 17):
+            if t.maxcode[ln] < t.mincode[ln] or t.maxcode[ln] < 0:
+                continue
+            span = 1 << (16 - ln)
+            for code in range(t.mincode[ln], t.maxcode[ln] + 1):
+                sym = t.vals[t.valptr[ln] + code - t.mincode[ln]]
+                lut[code * span : (code + 1) * span] = [(sym << 5) | ln] * span
+        t.lut = lut
+    return lut
+
+
+def _entropy_segments(blob: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Entropy-coded data from ``pos`` to the first non-RST marker,
+    0xFF00-unstuffed and split at RSTn boundaries — one clean byte
+    string per restart interval, so the hot loop needs no per-byte
+    marker checks at all (bytes.find does the scanning at C speed).
+    Also returns the byte offset where entropy data ended (the 0xFF of
+    the terminating marker) so multi-scan callers can resume there."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    n = len(blob)
+    end = n
+    while True:
+        j = blob.find(b"\xff", i)
+        if j < 0:
+            cur += blob[i:]
+            break
+        cur += blob[i:j]
+        if j + 1 >= n:
+            end = j
+            break
+        nxt = blob[j + 1]
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i = j + 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i = j + 2
+        else:
+            end = j
+            break  # real marker: entropy data ends
+    segs.append(bytes(cur))
+    return segs, end
+
+
+class _SegReader:
+    """Chunked-refill MSB-first bit reader over pre-unstuffed entropy
+    segments — the progressive scans' counterpart of the inline fast
+    path in :func:`_decode_scan` (same 32-bit refills, same peek-16 LUT
+    Huffman).  ``advance_restart`` replaces align_to_marker: segments
+    were already split at RSTn boundaries."""
+
+    __slots__ = ("segs", "end", "si", "data", "p", "acc", "n")
+
+    def __init__(self, blob: bytes, pos: int) -> None:
+        self.segs, self.end = _entropy_segments(blob, pos)
+        self.si = 0
+        self.data = self.segs[0]
+        self.p = 0
+        self.acc = 0
+        self.n = 0
+
+    def _refill(self) -> None:
+        # T.81: the final code may be completed with 1-bit padding
+        self.acc = ((self.acc & ((1 << self.n) - 1)) << 32) | int.from_bytes(
+            self.data[self.p : self.p + 4].ljust(4, b"\xff"), "big"
+        )
+        self.n += 32
+        self.p += 4
+
+    def bits(self, k: int) -> int:
+        if self.n < k:
+            self._refill()
+        self.n -= k
+        return (self.acc >> self.n) & ((1 << k) - 1)
+
+    def huff(self, t: _HuffTable) -> int:
+        if self.n < 16:
+            self._refill()
+        e = _lut_of(t)[(self.acc >> (self.n - 16)) & 0xFFFF]
+        ln = e & 31
+        if ln == 0:
+            raise ValueError("bad huffman code")
+        self.n -= ln
+        return e >> 5
+
+    def advance_restart(self) -> None:
+        self.si += 1
+        if self.si >= len(self.segs):
+            raise ValueError("missing restart marker in progressive scan")
+        self.data = self.segs[self.si]
+        self.p = 0
+        self.acc = 0
+        self.n = 0
+
+
 def _decode_scan(blob, pos, w, h, comps, qts, dc_tabs, ac_tabs, restart):
+    """Baseline-sequential entropy decode, r5 fast path: peek-16 LUT
+    Huffman (one lookup + one bit-count bookkeeping per symbol), 32-bit
+    chunked refills from pre-unstuffed segments, coefficients gathered
+    as plain lists and IDCT'd in ONE batched matmul per component.
+    Semantics identical to the per-bit reference implementation (the
+    pixel-exact oracle suite and hypothesis round-trips pin this)."""
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    total_mcus = mcux * mcuy
+    nci = len(comps)
+
+    segs, _end = _entropy_segments(blob, pos)
+    per_seg = restart if restart else total_mcus
+    need_segs = (total_mcus + per_seg - 1) // per_seg
+    if len(segs) < need_segs:
+        raise ValueError("missing restart marker")
+
+    luts_dc = [_lut_of(dc_tabs[c["dc"]]) for c in comps]
+    luts_ac = [_lut_of(ac_tabs[c["ac"]]) for c in comps]
+    nblk = [(c["h"], c["v"]) for c in comps]
+    zz_lists: list[list[list[int]]] = [[] for _ in comps]
+
+    from_bytes = int.from_bytes  # local-name bindings: hot loop
+    done = 0
+    for si in range(need_segs):
+        data = segs[si]
+        acc = 0
+        nbits = 0
+        p = 0
+        pred = [0] * nci
+        for _mcu in range(min(per_seg, total_mcus - done)):
+            for ci in range(nci):
+                lut_d = luts_dc[ci]
+                lut_a = luts_ac[ci]
+                hh, vv = nblk[ci]
+                zl = zz_lists[ci]
+                for _b in range(hh * vv):
+                    zz = [0] * 64
+                    # ---- DC: one LUT hit + magnitude bits
+                    if nbits < 16:
+                        acc = ((acc & ((1 << nbits) - 1)) << 32) | from_bytes(
+                            data[p : p + 4].ljust(4, b"\xff"), "big"
+                        )
+                        nbits += 32
+                        p += 4
+                    e = lut_d[(acc >> (nbits - 16)) & 0xFFFF]
+                    ln = e & 31
+                    if ln == 0:
+                        raise ValueError("bad huffman code")
+                    nbits -= ln
+                    t = e >> 5
+                    if t:
+                        if nbits < t:
+                            acc = ((acc & ((1 << nbits) - 1)) << 32) | from_bytes(
+                                data[p : p + 4].ljust(4, b"\xff"), "big"
+                            )
+                            nbits += 32
+                            p += 4
+                        nbits -= t
+                        v = (acc >> nbits) & ((1 << t) - 1)
+                        pred[ci] += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+                    zz[0] = pred[ci]
+                    # ---- AC run-length loop
+                    k = 1
+                    while k < 64:
+                        if nbits < 16:
+                            acc = ((acc & ((1 << nbits) - 1)) << 32) | from_bytes(
+                                data[p : p + 4].ljust(4, b"\xff"), "big"
+                            )
+                            nbits += 32
+                            p += 4
+                        e = lut_a[(acc >> (nbits - 16)) & 0xFFFF]
+                        ln = e & 31
+                        if ln == 0:
+                            raise ValueError("bad huffman code")
+                        nbits -= ln
+                        rs = e >> 5
+                        s = rs & 0xF
+                        if s == 0:
+                            if rs >> 4 == 15:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("AC index out of range")
+                        if nbits < s:
+                            acc = ((acc & ((1 << nbits) - 1)) << 32) | from_bytes(
+                                data[p : p + 4].ljust(4, b"\xff"), "big"
+                            )
+                            nbits += 32
+                            p += 4
+                        nbits -= s
+                        v = (acc >> nbits) & ((1 << s) - 1)
+                        zz[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                        k += 1
+                    zl.append(zz)
+            done += 1
+
+    # ---- assemble: batched IDCT per component, MCU order -> block grid
     planes = []
-    for c in comps:
-        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
-        planes.append(np.zeros((ph, pw), dtype=np.float64))
-    br = _BitReader(blob, pos)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and mcu_count and mcu_count % restart == 0:
-                m = br.align_to_marker()
-                if m is None or not (0xD0 <= m <= 0xD7):
-                    raise ValueError("missing restart marker")
-                pred = [0] * len(comps)
-            for ci, c in enumerate(comps):
-                dt, at = dc_tabs[c["dc"]], ac_tabs[c["ac"]]
-                qt = qts[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64)
-                        t = br.huff(dt)
-                        diff = _extend(br.bits(t), t) if t else 0
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = br.huff(at)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index out of range")
-                            zz[k] = _extend(br.bits(s), s)
-                            k += 1
-                        coeff = np.zeros(64)
-                        coeff[_ZZ] = zz
-                        block = _C.T @ (coeff.reshape(8, 8) * qt) @ _C + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_count += 1
+    for ci, c in enumerate(comps):
+        hh, vv = nblk[ci]
+        brows, bcols = mcuy * vv, mcux * hh
+        spatial = _idct_blocks(np.array(zz_lists[ci], dtype=np.float64), qts[c["tq"]])
+        # block sequence is nested (my, mx, by, bx); meshgrid 'ij' +
+        # ravel reproduces exactly that order
+        mg = np.meshgrid(
+            np.arange(mcuy), np.arange(mcux), np.arange(vv), np.arange(hh), indexing="ij"
+        )
+        rows = (mg[0] * vv + mg[2]).ravel()
+        cols = (mg[1] * hh + mg[3]).ravel()
+        plane4 = np.zeros((brows, bcols, 8, 8))
+        plane4[rows, cols] = spatial
+        planes.append(plane4.transpose(0, 2, 1, 3).reshape(brows * 8, bcols * 8))
     return _finish(w, h, comps, planes, hmax, vmax)
 
 

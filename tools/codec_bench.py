@@ -1,0 +1,162 @@
+"""Codec decode-throughput bench (VERDICT r4 #1).
+
+The codec family is pixel-exact (oracle-proven); this tool measures the
+other axis that matters at 100 TB of images: decode MB/s per core.
+Numbers feed BASELINE.md §codec; the per-format figure × executor cores
+is the cluster-level decode budget (the mapInPandas decode plan is
+per-row-independent, so throughput scales linearly with cores).
+
+Fixtures are REALISTIC, not the uniform-block oracle grammar: smooth
+gradients + sinusoids + seeded noise, so Huffman streams carry real AC
+energy (a uniform image is all-EOB and flatters the entropy decoder by
+an order of magnitude).
+
+Usage: python tools/codec_bench.py [--quick]
+Prints one JSON line:
+  {"metric": "codec_decode_MBps_per_core", "formats": {...}}
+MB/s is decoded RGB pixel bytes per wall second, single core, min over
+rounds (matching the bench.py min-of-N discipline).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from specialsid_spark.operators.gif import decode_gif, encode_gif  # noqa: E402
+from specialsid_spark.operators.jpeg import (  # noqa: E402
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
+from specialsid_spark.operators.multimodal import decode_png, encode_png  # noqa: E402
+
+
+def realistic_rgb(w: int, h: int, seed: int) -> np.ndarray:
+    """Photo-like content: low-frequency structure + texture noise."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    base = (
+        110
+        + 60 * np.sin(2 * np.pi * xx / w * 3.1)
+        + 50 * np.cos(2 * np.pi * yy / h * 2.3)
+        + 35 * np.sin(2 * np.pi * (xx + yy) / (w + h) * 5.7)
+    )
+    img = np.stack(
+        [
+            base + rng.normal(0, 12, (h, w)),
+            np.roll(base, w // 7, axis=1) + rng.normal(0, 12, (h, w)),
+            np.roll(base, h // 5, axis=0) + rng.normal(0, 12, (h, w)),
+        ],
+        axis=-1,
+    )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def bench_one(name: str, blob: bytes, decode, pixel_bytes: int, rounds: int, reps: int):
+    """min-over-rounds decode seconds -> MB/s of decoded pixels."""
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = decode(blob)
+        dt = (time.perf_counter() - t0) / reps
+        best = min(best, dt)
+        assert out is not None, f"{name}: decode returned None"
+    return {
+        "decode_sec": round(best, 4),
+        "pixel_MBps": round(pixel_bytes / best / 1e6, 2),
+        "compressed_MBps": round(len(blob) / best / 1e6, 2),
+        "compressed_bytes": len(blob),
+    }
+
+
+def spark_scale() -> None:
+    """VERDICT r4 #1 scaling row: the codec queries end-to-end through
+    Spark at `_N_CODEC_DOCS` 64 (the oracle fixture size) and 2048 —
+    proving per-row-independent mapInPandas decode scales linearly with
+    docs and quantifying docs/s through the full plan (fixture encode in
+    executors + decode + aggregate + sort)."""
+    import specialsid_spark.queries.multimodal as mm
+    from specialsid_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("codec-scale")
+    rows = {}
+    for n_docs in (64, 2048):
+        mm._N_CODEC_DOCS = n_docs
+        for qname in ("mm_jpeg_crop_pixels", "mm_gif_crop_pixels", "mm_pdf_page_images"):
+            fn = getattr(mm, qname)
+            fn(spark, sf_dir).collect()  # warm plan
+            t0 = time.perf_counter()
+            n = len(fn(spark, sf_dir).collect())
+            dt = time.perf_counter() - t0
+            rows[f"{qname}@{n_docs}"] = {
+                "rows": n,
+                "sec": round(dt, 3),
+                "docs_per_sec": round(n_docs / dt, 1),
+            }
+            print(f"# {qname}@{n_docs}: {rows[f'{qname}@{n_docs}']}", file=sys.stderr)
+    print(json.dumps({"metric": "codec_spark_scaling", "sf_dir": sf_dir, "rows": rows}))
+    spark.stop()
+
+
+def main() -> None:
+    if "--spark-scale" in sys.argv:
+        spark_scale()
+        return
+    quick = "--quick" in sys.argv
+    w, h = (128, 96) if quick else (256, 192)
+    rounds, reps = (2, 1) if quick else (3, 2)
+    img = realistic_rgb(w, h, seed=42)
+    px_bytes = w * h * 3
+    gray = img[:, :, 0].copy()
+
+    fixtures = {
+        "jpeg_444_q85": (encode_jpeg(w, h, 3, img.tobytes(), quality=85), decode_jpeg),
+        "jpeg_420_q85": (
+            encode_jpeg(w, h, 3, img.tobytes(), quality=85, sampling="420"),
+            decode_jpeg,
+        ),
+        "jpeg_422_q85": (
+            encode_jpeg(w, h, 3, img.tobytes(), quality=85, sampling="422"),
+            decode_jpeg,
+        ),
+        "jpeg_progressive_q85": (
+            encode_jpeg_progressive(w, h, 3, img.tobytes(), quality=85),
+            decode_jpeg,
+        ),
+        "jpeg_gray_q85": (
+            encode_jpeg(w, h, 1, gray.tobytes(), quality=85),
+            decode_jpeg,
+        ),
+        "png_rgb": (encode_png(w, h, 3, img.tobytes()), decode_png),
+        # GIF is palettized: web-safe quantization (216 colors) keeps the
+        # texture while honoring the format's 256-color ceiling
+        "gif_rgb": (encode_gif(w, h, (img // 51 * 51).tobytes()), decode_gif),
+    }
+    out = {}
+    for name, (blob, dec) in fixtures.items():
+        pb = px_bytes if "gray" not in name else w * h
+        out[name] = bench_one(name, blob, dec, pb, rounds, reps)
+        print(f"# {name}: {out[name]}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "codec_decode_MBps_per_core",
+                "image": f"{w}x{h}",
+                "formats": out,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
