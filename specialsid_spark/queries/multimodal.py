@@ -237,6 +237,71 @@ def mm_pdf_page_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "page_no")
 
 
+@register(
+    "mm_pdf_text_extract",
+    # Fixture grammar (restated verbatim below in DuckDB string concat):
+    # page p of doc d carries two lines with doc-derived digits, literal
+    # parentheses, and a literal backslash — so every hash compare
+    # exercises escape handling, the TJ split, and multi-line Td breaks.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    pages AS (SELECT unnest(range(0, 2)) AS p),
+    txt AS (
+      SELECT d.doc_id, p.p,
+             'doc ' || d.doc_id || ' page ' || p.p
+             || ' alpha' || (d.doc_id * 7 + p.p) % 10 || chr(10)
+             || 'beta (v' || (d.doc_id * 3 + p.p) % 5 || ') gamma\\delta'
+             AS page_text
+      FROM docs d CROSS JOIN pages p
+    )
+    SELECT doc_id, CAST(p + 1 AS INT) AS page_no,
+           CAST(length(page_text) AS INT) AS n_chars, page_text
+    FROM txt
+    ORDER BY doc_id, page_no
+    """,
+)
+def mm_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1∘X4, VERDICT r4 #2 — PDF→TEXT for born-digital PDFs, the
+    missing LLM-corpus operator: per doc, write a real two-page text
+    PDF (operators/pdf.py build_text_pdf — Flate-compressed content
+    streams, kerned TJ first lines, Td line advances), then run the
+    from-scratch content-stream interpreter (extract_page_text: BT/ET
+    walk, Tj/'/\"/TJ show-text, escape + octal + hex string decoding)
+    and emit each page's recovered text verbatim.  The oracle restates
+    the fixture text in pure SQL — any defect in the writer, the Flate
+    round-trip, string escaping, or line-break reconstruction breaks
+    the hash.
+
+    Scale shape: identical to the codec queries — per-doc independent
+    mapInPandas, no shuffle before the final sort."""
+    import pandas as pd
+
+    from specialsid_spark.operators.pdf import build_text_pdf, extract_page_text
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                pages = [
+                    f"doc {doc_id} page {p} alpha{(doc_id * 7 + p) % 10}\n"
+                    f"beta (v{(doc_id * 3 + p) % 5}) gamma\\delta"
+                    for p in range(2)
+                ]
+                blob = build_text_pdf(pages)
+                texts = extract_page_text(blob)
+                for p, text in enumerate(texts):
+                    out.append((doc_id, p + 1, len(text), text))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "page_no", "n_chars", "page_text"]
+            ).astype({"doc_id": "int64", "page_no": "int32", "n_chars": "int32"})
+
+    schema = "doc_id long, page_no int, n_chars int, page_text string"
+    return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id", "page_no")
+
+
 _WAV_N = 800  # PCM frames per fixture clip
 _WAV_FRAME = 256  # analysis frame length
 _WAV_RS_TO = 8000  # resample target rate (from 16000)

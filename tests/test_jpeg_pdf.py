@@ -248,6 +248,76 @@ def test_pdf_parser_ignores_obj_tokens_inside_stream_payloads():
     assert pages == [jb_poison, jb]  # both pages resolve, payload verbatim
 
 
+def test_pdf_text_roundtrip_exact():
+    """VERDICT r4 #2: build_text_pdf → extract_page_text is exact per
+    page, through Flate-compressed and raw content streams, with
+    escapes, parens, backslashes, and multi-line breaks."""
+    from specialsid_spark.operators.pdf import build_text_pdf, extract_page_text
+
+    pages = [
+        "doc 5 page 0 alpha3\nbeta (v2) gamma\\delta",
+        "lone",
+        "",
+        "three\nline\npage with\ttab",
+    ]
+    for compress in (True, False):
+        got = extract_page_text(build_text_pdf(pages, compress=compress))
+        assert got == pages
+
+
+def test_pdf_text_extractor_operator_surface():
+    """Hand-built content streams exercise paths the writer never emits:
+    octal/hex strings, the ' operator, comments, dict skip, array
+    kerning, and multiple /Contents streams."""
+    import zlib as _zlib
+
+    from specialsid_spark.operators.pdf import _parse_content_text, extract_page_text
+
+    # octal escape, hex string, quote operator, comment, inline dict
+    content = (
+        b"BT /F1 12 Tf 72 720 Td\n"
+        b"(\\110i) Tj\n"  # octal \110 = 'H'
+        b"<20576F726C64> Tj\n"  # hex ' World'
+        b"(next line) '\n"  # ' = newline + show
+        b"% a comment (with parens) that must be skipped\n"
+        b"/Span << /ActualText (not shown) >> BDC (marked) Tj EMC\n"
+        b"ET"
+    )
+    assert _parse_content_text(content) == "Hi World\nnext linemarked"
+
+    # multiple /Contents streams concatenate in array order
+    c1 = _zlib.compress(b"BT 72 720 Td (part one) Tj ET")
+    c2 = _zlib.compress(b"BT 72 700 Td (part two) Tj ET")
+    head = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>\nendobj\n"
+    )
+    s1 = b"4 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(c1)
+    s2 = b"5 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(c2)
+    pdf = head + s1 + c1 + b"\nendstream\nendobj\n" + s2 + c2 + b"\nendstream\nendobj\n"
+    assert extract_page_text(pdf) == ["part one\npart two"]
+
+
+def test_pdf_text_degrades_to_none_not_garbage():
+    from specialsid_spark.operators.pdf import build_image_pdf, extract_page_text
+
+    assert extract_page_text(b"not a pdf at all") is None
+    # unsupported content filter -> that page is None (loud degrade)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 4 /Filter /LZWDecode >>\nstream\nABCD\nendstream\nendobj\n"
+    )
+    assert extract_page_text(pdf) == [None]
+    # an image-per-page PDF has no text operators: '' per page, not None
+    jb = encode_jpeg(16, 16, 1, np.full((16, 16, 1), 9, np.uint8).tobytes(), quality=100)
+    assert extract_page_text(build_image_pdf([jb, jb])) == ["", ""]
+
+
 def test_explode_pdf_pages_emits_real_decodable_images(spark):
     # D1 done-criterion: hop1 produces decodable page bytes for a real
     # image-per-page PDF fixture.
