@@ -14,8 +14,12 @@ driver-hash-checked end-to-end (queries/multimodal.py
 ``mm_wav_frame_energy``).
 
 Scope: PCM integer WAV (16-bit the common case, 8-bit unsigned
-supported); compressed codecs (MP3/AAC/FLAC) return None and callers
-fall back — same degrade-loudly discipline as the image stack.
+supported) AND — r5, VERDICT #3 — IMA/DVI ADPCM (format tag 0x0011,
+the classic 4-bit compressed WAV): :func:`decode_wav` dispatches to
+the block decoder, and :func:`encode_wav_ima` writes real compressed
+fixtures.  Remaining compressed codecs (MP3/AAC/FLAC) return None and
+callers fall back — same degrade-loudly discipline as the image
+stack.
 """
 
 from __future__ import annotations
@@ -58,10 +62,11 @@ def parse_wav_meta(blob: bytes) -> tuple[int, int, int, int] | None:
 
 def decode_wav(blob: bytes) -> tuple[int, int, np.ndarray] | None:
     """(sample_rate, n_channels, samples[frames, channels] int32) —
-    the REAL sample values (16-bit signed or 8-bit unsigned PCM)."""
+    the REAL sample values: 16-bit signed / 8-bit unsigned PCM, or
+    (r5) mono IMA-ADPCM via :func:`decode_wav_ima`."""
     meta = parse_wav_meta(blob)
     if meta is None:
-        return None
+        return decode_wav_ima(blob)  # non-PCM: the one compressed case we decode
     nch, rate, bits, n_frames = meta
     if bits not in (8, 16):
         return None
@@ -76,6 +81,147 @@ def decode_wav(blob: bytes) -> tuple[int, int, np.ndarray] | None:
             return rate, nch, arr.astype(np.int32).reshape(n_frames, nch)
         i += 8 + ln + (ln & 1)
     return None
+
+
+# ------------------------------------------------------ IMA/DVI ADPCM
+#
+# IMA ADPCM (WAV format tag 0x0011): 4 bits per sample, per-block
+# restart.  Block layout (mono): int16 predictor + uint8 step index +
+# 1 reserved byte, then nibble pairs low-first; the header predictor IS
+# output sample 0, each nibble yields one more sample, so
+# samples_per_block = (block_align - 4) * 2 + 1.
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(pred: int, idx: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM transition: (pred, idx) + 4-bit code -> new state.
+    Shift-sum diff formula (NOT ((2d+1)*step)>>4 — the flooring
+    differs), then clamp both; the SQL oracle restates exactly this."""
+    step = _IMA_STEPS[idx]
+    d = nib & 7
+    diff = step >> 3
+    if d & 4:
+        diff += step
+    if d & 2:
+        diff += step >> 1
+    if d & 1:
+        diff += step >> 2
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[d]))
+    return pred, idx
+
+
+def _wav_fmt_and_data(blob: bytes):
+    """(fmt_chunk_bytes, data_bytes) without the PCM gate, or None."""
+    if len(blob) < 20 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    fmt = data = None
+    i = 12
+    while i + 8 <= len(blob):
+        tag = blob[i : i + 4]
+        (ln,) = struct.unpack("<I", blob[i + 4 : i + 8])
+        if tag == b"fmt ":
+            fmt = blob[i + 8 : i + 8 + ln]
+        elif tag == b"data":
+            data = blob[i + 8 : i + 8 + min(ln, len(blob) - i - 8)]
+        i += 8 + ln + (ln & 1)
+    return None if fmt is None or data is None else (fmt, data)
+
+
+def decode_wav_ima(blob: bytes) -> tuple[int, int, np.ndarray] | None:
+    """(sample_rate, 1, samples[frames, 1] int32) for a MONO IMA-ADPCM
+    WAV (format 0x0011); None otherwise.  Stereo IMA interleaves
+    4-sample channel runs — out of scope, documented."""
+    fd = _wav_fmt_and_data(blob)
+    if fd is None or len(fd[0]) < 16:
+        return None
+    fmt, data = fd
+    audio_fmt, nch, rate = struct.unpack("<HHI", fmt[:8])
+    block_align = struct.unpack("<H", fmt[12:14])[0]
+    if audio_fmt != 0x11 or nch != 1 or block_align < 5:
+        return None
+    # fact chunk records the TRUE sample count (final-block padding
+    # nibbles would otherwise decode as trailing samples)
+    fact_n = None
+    m = blob.find(b"fact")
+    if m >= 0 and m + 12 <= len(blob):
+        fact_n = struct.unpack("<I", blob[m + 8 : m + 12])[0]
+    out: list[int] = []
+    for bo in range(0, len(data) - 4, block_align):
+        block = data[bo : bo + block_align]
+        if len(block) < 5:
+            break
+        pred = struct.unpack("<h", block[:2])[0]
+        idx = min(88, block[2])
+        out.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0xF, byte >> 4):  # low nibble first
+                pred, idx = _ima_step(pred, idx, nib)
+                out.append(pred)
+    if not out:
+        return None
+    if fact_n is not None:
+        out = out[:fact_n]
+    return rate, 1, np.asarray(out, dtype=np.int32).reshape(-1, 1)
+
+
+def encode_wav_ima(rate: int, samples: np.ndarray, block_align: int = 256) -> bytes:
+    """Write a mono IMA-ADPCM WAV (format 0x0011) from int16-range
+    samples — the compressed-fixture generator and inverse sink.
+    Standard greedy encoder: per nibble, pick the code whose decoded
+    step lands closest to the target (search over 16 codes keeps the
+    decoder the single source of transition truth)."""
+    x = np.clip(np.asarray(samples).reshape(-1), -32768, 32767).astype(np.int64)
+    spb = (block_align - 4) * 2 + 1
+    blocks = bytearray()
+    pos = 0
+    idx = 0
+    while pos < len(x):
+        chunk = x[pos : pos + spb]
+        pred = int(chunk[0])
+        blocks += struct.pack("<hBB", pred, idx, 0)
+        nibs: list[int] = []
+        for target in chunk[1:]:
+            best, best_err = 0, None
+            for nib in range(16):
+                p2, _ = _ima_step(pred, idx, nib)
+                err = abs(int(target) - p2)
+                if best_err is None or err < best_err:
+                    best, best_err = nib, err
+            pred, idx = _ima_step(pred, idx, best)
+            nibs.append(best)
+        if len(nibs) % 2:
+            nibs.append(0)
+        for a, b in zip(nibs[0::2], nibs[1::2]):
+            blocks.append(a | (b << 4))
+        # pad the final (short) block to block_align
+        pad = block_align - 4 - len(nibs) // 2
+        if pad > 0:
+            blocks += b"\x00" * pad
+        pos += spb
+    data = bytes(blocks)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, rate,
+        rate * block_align // spb if spb else rate,  # avg bytes/sec (informative)
+        block_align, 4, 2, spb,
+    )
+    fact = b"fact" + struct.pack("<II", 4, len(x))  # true sample count
+    hdr = b"RIFF" + struct.pack(
+        "<I", 4 + 8 + len(fmt) + len(fact) + 8 + len(data)
+    ) + b"WAVE"
+    return hdr + b"fmt " + struct.pack("<I", len(fmt)) + fmt + fact + b"data" + struct.pack("<I", len(data)) + data
 
 
 def encode_wav(rate: int, samples: np.ndarray) -> bytes:

@@ -52,9 +52,15 @@ def parse_avi_meta(blob: bytes) -> tuple[int, int, int, int] | None:
 
 
 def extract_frames(blob: bytes) -> list[np.ndarray] | None:
-    """REAL frame decode for uncompressed (``00db`` DIB) AVI: each frame
-    as an RGB uint8 array [h, w, 3] in top-down visual order.  None for
-    non-AVI or compressed payloads (``00dc`` chunks)."""
+    """REAL frame decode for AVI: each frame as an RGB uint8 array
+    [h, w, 3] in top-down visual order.  ``00db`` chunks are raw DIB
+    frames; ``00dc`` chunks (r5, VERDICT #3) are tried as MJPEG — each
+    frame is a standalone baseline/progressive JPEG that the in-repo
+    decoder already handles.  A ``00dc`` payload that is NOT a
+    decodable JPEG (H.264/VP9/...) degrades the whole extraction to
+    None — a partially-decoded video is worse than a loud skip."""
+    from specialsid_spark.operators.jpeg import decode_jpeg
+
     meta = parse_avi_meta(blob)
     if meta is None:
         return None
@@ -65,7 +71,14 @@ def extract_frames(blob: bytes) -> list[np.ndarray] | None:
         if tag == b"LIST" and blob[off : off + 4] == b"movi":
             for t2, o2, l2 in _walk(blob, off + 4, off + ln):
                 if t2 == b"00dc":
-                    return None  # compressed stream: needs a codec
+                    dec = decode_jpeg(blob[o2 : o2 + l2])
+                    if dec is None:
+                        return None  # compressed but not MJPEG: needs a codec
+                    fw, fh, ch, px = dec
+                    arr = np.frombuffer(px, dtype=np.uint8).reshape(fh, fw, ch)
+                    if ch == 1:
+                        arr = np.repeat(arr, 3, axis=2)
+                    frames.append(arr.copy())
                 if t2 == b"00db":
                     if l2 < stride * h:
                         return None
@@ -87,13 +100,21 @@ def sample_frames(blob: bytes, every_n: int) -> list[tuple[int, np.ndarray]] | N
     return [(i, f) for i, f in enumerate(frames) if i % every_n == 0]
 
 
-def build_avi(frames: list[np.ndarray], fps: int = 25) -> bytes:
-    """Minimal uncompressed AVI writer: RGB uint8 [h, w, 3] frames (all
-    the same size) as bottom-up BGR24 ``00db`` chunks with the standard
-    hdrl (avih + strl/strh/strf) and idx1.  Deterministic
-    byte-for-byte; round-trips through :func:`extract_frames`."""
+def build_avi(
+    frames: list[np.ndarray], fps: int = 25, codec: str = "DIB", quality: int = 90
+) -> bytes:
+    """Minimal AVI writer: RGB uint8 [h, w, 3] frames (all the same
+    size).  ``codec="DIB"`` (default) writes bottom-up BGR24 ``00db``
+    chunks; ``codec="MJPG"`` (r5) writes each frame as a standalone
+    baseline JPEG in a ``00dc`` chunk — real Motion-JPEG any player
+    opens, and the fixture generator for the compressed-video decode
+    path.  Standard hdrl (avih + strl/strh/strf) and idx1;
+    deterministic byte-for-byte; round-trips through
+    :func:`extract_frames`."""
     if not frames:
         raise ValueError("need at least one frame")
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError("codec must be 'DIB' or 'MJPG'")
     h, w, _ = frames[0].shape
     stride = (3 * w + 3) // 4 * 4
     pad = stride - 3 * w
@@ -101,6 +122,11 @@ def build_avi(frames: list[np.ndarray], fps: int = 25) -> bytes:
     for f in frames:
         if f.shape != (h, w, 3):
             raise ValueError("all frames must share one size")
+        if codec == "MJPG":
+            from specialsid_spark.operators.jpeg import encode_jpeg
+
+            payloads.append(encode_jpeg(w, h, 3, f.tobytes(), quality=quality))
+            continue
         bgr_bottom_up = f[::-1, :, ::-1]
         if pad:
             rows = np.zeros((h, stride), dtype=np.uint8)
@@ -115,7 +141,10 @@ def build_avi(frames: list[np.ndarray], fps: int = 25) -> bytes:
     def lst(typ: bytes, data: bytes) -> bytes:
         return chunk(b"LIST", typ + data)
 
-    frame_bytes = stride * h
+    frame_bytes = max(len(p) for p in payloads)
+    ctag = b"00db" if codec == "DIB" else b"00dc"
+    fcc = b"DIB " if codec == "DIB" else b"MJPG"
+    compression = 0 if codec == "DIB" else struct.unpack("<I", b"MJPG")[0]
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
         1_000_000 // fps,  # us per frame
@@ -130,18 +159,20 @@ def build_avi(frames: list[np.ndarray], fps: int = 25) -> bytes:
         h,
         0, 0, 0, 0,
     )
-    strh = b"vids" + b"DIB " + struct.pack(
+    strh = b"vids" + fcc + struct.pack(
         "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), frame_bytes, 0, 0, 0
     ) + struct.pack("<hhhh", 0, 0, w, h)
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, frame_bytes, 2835, 2835, 0, 0
+    )
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi_chunks = b"".join(chunk(b"00db", p) for p in payloads)
+    movi_chunks = b"".join(chunk(ctag, p) for p in payloads)
     movi = lst(b"movi", movi_chunks)
     # idx1: one entry per frame (offset relative to 'movi' list data start)
     idx = bytearray()
     off = 4  # after the 'movi' fourcc
     for p in payloads:
-        idx += b"00db" + struct.pack("<III", 0x10, off, len(p))
+        idx += ctag + struct.pack("<III", 0x10, off, len(p))
         off += 8 + len(p) + (len(p) & 1)
     body = hdrl + movi + chunk(b"idx1", bytes(idx))
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body

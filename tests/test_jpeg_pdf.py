@@ -448,11 +448,82 @@ def test_avi_rejects_compressed_and_garbage():
     from specialsid_spark.operators.video import build_avi, extract_frames, parse_avi_meta
 
     assert parse_avi_meta(b"not a video" * 20) is None
-    # flip a frame chunk to 00dc (compressed): extraction must bail, not garble
+    # flip a frame chunk to 00dc with a NON-JPEG payload (stands in for
+    # H.264/VP9): extraction must bail, not garble
     avi = bytearray(build_avi([np.zeros((8, 8, 3), np.uint8)], fps=25))
     i = avi.find(b"00db", avi.find(b"movi"))
     avi[i : i + 4] = b"00dc"
     assert extract_frames(bytes(avi)) is None
+
+
+def test_avi_mjpeg_roundtrip_and_sampling():
+    """r5 VERDICT #3: 00dc chunks whose payloads are standalone JPEGs
+    (Motion-JPEG) decode for real.  Uniform-8×8-block gray-as-RGB
+    frames at quality 100 round-trip EXACTLY (the mm_jpeg oracle
+    trick), so the assert is equality, not tolerance."""
+    from specialsid_spark.operators.video import build_avi, extract_frames, sample_frames
+
+    frames = []
+    for i in range(5):
+        yy, xx = np.mgrid[0:24, 0:32]
+        g = ((i * 31 + (yy // 8) * 7 + (xx // 8) * 13) % 256).astype(np.uint8)
+        frames.append(np.stack([g] * 3, axis=-1))
+    avi = build_avi(frames, fps=10, codec="MJPG", quality=100)
+    assert b"MJPG" in avi and b"00dc" in avi and b"00db" not in avi[avi.find(b"movi"):]
+    out = extract_frames(avi)
+    assert len(out) == 5
+    assert all(np.array_equal(a, b) for a, b in zip(frames, out))
+    assert [i for i, _ in sample_frames(avi, 2)] == [0, 2, 4]
+    # lossy quality still decodes (tolerance path)
+    avi90 = build_avi(frames, fps=10, codec="MJPG", quality=90)
+    out90 = extract_frames(avi90)
+    assert all(
+        np.abs(a.astype(int) - b.astype(int)).mean() < 4 for a, b in zip(frames, out90)
+    )
+
+
+def test_wav_ima_adpcm_roundtrip_and_determinism():
+    """r5 VERDICT #3: IMA-ADPCM (fmt 0x0011) decodes for real through
+    the decode_wav dispatch.  Encoder round-trip stays within ADPCM's
+    4-bit error envelope; a hand-built nibble stream decodes to the
+    exact sequence the reference transition recomputes."""
+    import struct
+
+    from specialsid_spark.operators.audio import (
+        _ima_step,
+        decode_wav,
+        decode_wav_ima,
+        encode_wav_ima,
+    )
+
+    t = np.arange(3000)
+    x = (4000 * np.sin(2 * np.pi * t / 80)).astype(np.int64)
+    wav = encode_wav_ima(16000, x)
+    rate, nch, dec = decode_wav(wav)  # dispatch path, not direct
+    assert (rate, nch) == (16000, 1)
+    assert dec.shape[0] == len(x)  # fact chunk truncates padding
+    err = np.abs(dec.reshape(-1) - x)
+    assert err.mean() < 60 and err.max() < 2000  # smooth signal: small slope error
+
+    # hand block: decoded samples == pure-Python transition reference
+    pred0, idx0 = -300, 30
+    nibs = [(7 * k) % 16 for k in range(128)]
+    body = bytearray(struct.pack("<hBB", pred0, idx0, 0))
+    for a, b in zip(nibs[0::2], nibs[1::2]):
+        body.append(a | (b << 4))
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 4000, len(body), 4, 2, 129)
+    wav2 = (
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + bytes(body)
+    )
+    got = decode_wav_ima(wav2)[2].reshape(-1).tolist()
+    want = [pred0]
+    p, i2 = pred0, idx0
+    for nib in nibs:
+        p, i2 = _ima_step(p, i2, nib)
+        want.append(p)
+    assert got == want
 
 
 # ---------------------------------------------------------------- gif
@@ -689,6 +760,32 @@ def test_codec_degrade_contract_never_raises():
             + _box(b"trak", _box(b"tkhd", bytes([1]) + bytes(83))),
         )
     ) is None
+    # r5 paths: truncated/garbage ADPCM and MJPEG must degrade, not raise
+    from specialsid_spark.operators.audio import decode_wav_ima
+    from specialsid_spark.operators.video import build_avi, extract_frames
+
+    assert decode_wav_ima(b"RIFF" + bytes(20)) is None  # not WAVE
+    # stereo ADPCM (interleaved channel runs): documented None
+    stereo_fmt = struct.pack("<HHIIHHHH", 0x11, 2, 8000, 4000, 256, 8, 4, 505)
+    wav = (
+        b"RIFF" + struct.pack("<I", 60) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(stereo_fmt)) + stereo_fmt
+        + b"data" + struct.pack("<I", 8) + bytes(8)
+    )
+    assert decode_wav_ima(wav) is None
+    # truncated ADPCM block (header only, no room for the 4-byte header)
+    mono_fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 4000, 256, 4, 2, 505)
+    wav2 = (
+        b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(mono_fmt)) + mono_fmt
+        + b"data" + struct.pack("<I", 3) + bytes(3)
+    )
+    assert decode_wav_ima(wav2) is None
+    # 00dc chunk that is NOT a JPEG (e.g. H.264): whole extraction None
+    avi = bytearray(build_avi([np.zeros((8, 8, 3), np.uint8)]))
+    i = avi.find(b"00db", avi.find(b"movi"))
+    avi[i : i + 4] = b"00dc"
+    assert extract_frames(bytes(avi)) is None
 
 
 def test_pdf_grayscale_pages_labeled_devicegray():
