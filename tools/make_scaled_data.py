@@ -27,10 +27,69 @@ SPECS = {
     "customer": ["c_custkey"],
     "part": ["p_partkey"],
     "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
     "events": ["event_id", "user_id"],
 }
 COPY = ["region", "nation", "supplier"]  # dims stay fixed-size
+
+
+def _scaled_embeddings(con, src: str, dst: str, n: int) -> int:
+    """NON-REPLICA embedding scale-up (VERDICT r4 #4): key-shifted exact
+    replication made 16× recall floors unfalsifiable — each query's true
+    top-5 were its own byte-identical copies, which share cells/buckets/
+    codes by construction.  Instead:
+
+    * copy 0: the original vectors (queries keep coming from vec_id<5);
+    * copies 1..⌈(n-1)/2⌉: BOUNDED perturbations — per-copy relative
+      noise σ = 0.12·i, so cosine(v, v_i) ≈ 1/√(1+σ²) spans ~0.993
+      down to ~0.77.  True top-5 becomes the least-perturbed replicas
+      at cosines ~0.99→0.86 — realistic near-dup distances the ANN
+      structures must resolve through real ranking;
+    * remaining copies: pure Gaussian DISTRACTORS at matched norm —
+      chaff that fills cells/buckets without being near anything.
+
+    Deterministic (fixed seed).  Returns total rows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = con.execute(
+        f"SELECT vec_id, embedding, label FROM '{src}' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    base = np.array([r[1] for r in rows], dtype=np.float32)
+    labels = np.array([r[2] for r in rows], dtype=np.int32)
+    base_rows = len(rows)
+    norms = np.linalg.norm(base, axis=1, keepdims=True)
+    rng = np.random.default_rng(20260814)
+    n_pert = max(1, (n - 1) // 2)
+    out_ids, out_vecs, out_labels = [ids], [base], [labels]
+    for i in range(1, n):
+        if i <= n_pert:
+            sigma = 0.12 * i
+            noise = rng.normal(0, 1, base.shape).astype(np.float32)
+            noise *= sigma * norms / np.linalg.norm(noise, axis=1, keepdims=True)
+            vecs = base + noise
+        else:
+            vecs = rng.normal(0, 1, base.shape).astype(np.float32) * (
+                norms.mean() / np.sqrt(base.shape[1])
+            )
+        out_ids.append(ids + i * base_rows)
+        out_vecs.append(vecs.astype(np.float32))
+        out_labels.append(labels)
+    all_ids = np.concatenate(out_ids)
+    all_vecs = np.concatenate(out_vecs)
+    all_labels = np.concatenate(out_labels)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(all_ids, pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(all_vecs.reshape(-1), pa.float32()), all_vecs.shape[1]
+            ).cast(pa.list_(pa.float32())),
+            "label": pa.array(all_labels, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, dst, row_group_size=131072)
+    return len(all_ids)
 
 
 def main() -> None:
@@ -66,6 +125,10 @@ def main() -> None:
                 """
             )
             print(f"x{n}/{t}: {base_rows * n} rows")
+        edst = os.path.join(out, "embeddings.parquet")
+        if not os.path.exists(edst):
+            erows = _scaled_embeddings(con, f"{SF_DIR}/embeddings.parquet", edst, n)
+            print(f"x{n}/embeddings: {erows} rows (perturbed + distractors)")
         for t in COPY:
             dst = os.path.join(out, f"{t}.parquet")
             if not os.path.exists(dst):
