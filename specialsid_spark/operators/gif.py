@@ -36,43 +36,42 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytearray | None:
     clear = 1 << min_code_size
     eoi = clear + 1
     out = bytearray()
-    # bit reader, LSB-first across the concatenated sub-block bytes
+    # r5 fast path: inline LSB-first bit reader with 4-byte chunked
+    # refills (the per-code closure call + per-byte fill was the GIF
+    # decoder's hot spot), dense LIST table instead of a dict (codes
+    # are contiguous 0..next_entry by construction), local-name binds.
     acc = n_bits = pos = 0
-
-    def read_code(width: int) -> int | None:
-        nonlocal acc, n_bits, pos
-        while n_bits < width:
-            if pos >= len(data):
-                return None
-            acc |= data[pos] << n_bits
-            n_bits += 8
-            pos += 1
-        v = acc & ((1 << width) - 1)
-        acc >>= width
-        n_bits -= width
-        return v
-
-    def fresh_table():
-        return {i: bytes([i]) for i in range(clear)}
-
-    table = fresh_table()
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]  # clear/eoi pads
+    table = base[:]
     width = min_code_size + 1
+    mask = (1 << width) - 1
     prev: bytes | None = None
     next_entry = eoi + 1
     ncodes = 0  # data codes read since the last CLEAR
+    from_bytes = int.from_bytes
     while True:
-        code = read_code(width)
-        if code is None or code == eoi:
+        if n_bits < width:
+            chunk = data[pos : pos + 4]
+            pos += len(chunk)
+            acc |= from_bytes(chunk, "little") << n_bits
+            n_bits += 8 * len(chunk)
+            if n_bits < width:
+                return out  # stream exhausted mid-code
+        code = acc & mask
+        acc >>= width
+        n_bits -= width
+        if code == eoi:
             return out
         if code == clear:
-            table = fresh_table()
+            table = base[:]
             width = min_code_size + 1
+            mask = (1 << width) - 1
             next_entry = eoi + 1
             prev = None
             ncodes = 0
             continue
         ncodes += 1
-        if code in table:
+        if code < next_entry:
             entry = table[code]
         elif code == next_entry and prev is not None:
             entry = prev + prev[:1]
@@ -80,12 +79,13 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytearray | None:
             return None  # corrupt stream
         out += entry
         if prev is not None and next_entry < 4096:
-            table[next_entry] = prev + entry[:1]
+            table.append(prev + entry[:1])
             next_entry += 1
         # mirror the encoder's post-emit check: its next_code when it
         # wrote data code #ncodes was clear+2 + (ncodes-1)
         if clear + 2 + ncodes - 1 >= (1 << width) and width < 12:
             width += 1
+            mask = (1 << width) - 1
         prev = entry
 
 
@@ -177,12 +177,10 @@ def _gif_frames_inner(blob, max_frames):
         n = 2 << (flags & 7)
         gct = blob[i : i + 3 * n]
         i += 3 * n
-    canvas = bytearray(sw * sh * 3)
     bg = b"\x00\x00\x00"
     if gct is not None and bg_index * 3 + 3 <= len(gct):
-        bg = gct[bg_index * 3 : bg_index * 3 + 3]
-    for p in range(sw * sh):
-        canvas[3 * p : 3 * p + 3] = bg
+        bg = bytes(gct[bg_index * 3 : bg_index * 3 + 3])
+    canvas = bytearray(bg * (sw * sh))
     frames: list[tuple[int, int, bytearray]] = []
     transparent = None
     disposal = 0
@@ -234,22 +232,31 @@ def _gif_frames_inner(blob, max_frames):
                     src += 1
             idx = bytearray().join(ordered)  # type: ignore[arg-type]
         snapshot = bytearray(canvas) if disposal == 3 else None
-        for y in range(min(fh, sh - fy)):
-            for x in range(min(fw, sw - fx)):
-                v = idx[y * fw + x]
-                if v == transparent:
-                    continue
-                o = 3 * ((fy + y) * sw + (fx + x))
-                canvas[o : o + 3] = ct[3 * v : 3 * v + 3]
+        # r5 fast path: vectorized palette lookup + masked composite
+        # (the per-pixel Python loop was quadratic-feeling on large
+        # frames); np.frombuffer over the bytearray writes in place
+        import numpy as np  # noqa: PLC0415
+
+        pal = np.zeros((256, 3), np.uint8)
+        pal[: len(ct) // 3] = np.frombuffer(ct[: len(ct) // 3 * 3], np.uint8).reshape(-1, 3)
+        vis_h, vis_w = min(fh, sh - fy), min(fw, sw - fx)
+        sub = np.frombuffer(bytes(idx[: fw * fh]), np.uint8).reshape(fh, fw)[
+            :vis_h, :vis_w
+        ]
+        canvas_np = np.frombuffer(canvas, np.uint8).reshape(sh, sw, 3)
+        region = canvas_np[fy : fy + vis_h, fx : fx + vis_w]
+        rgb = pal[sub]
+        if transparent is None:
+            region[:] = rgb
+        else:
+            m = sub != transparent
+            region[m] = rgb[m]
         frames.append((sw, sh, bytearray(canvas)))
         if max_frames is not None and len(frames) >= max_frames:
             return frames
         # post-frame disposal shapes the NEXT frame's base
         if disposal == 2:  # restore frame rect to background
-            for y in range(min(fh, sh - fy)):
-                for x in range(min(fw, sw - fx)):
-                    o = 3 * ((fy + y) * sw + (fx + x))
-                    canvas[o : o + 3] = bg
+            region[:] = np.frombuffer(bg, np.uint8)
         elif disposal == 3 and snapshot is not None:
             canvas = snapshot
         transparent = None

@@ -38,40 +38,71 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # The driver checks queries in registration order with a per-round budget
 # (~50 entries).  To guarantee every query eventually gets a driver-side
-# CORRECTNESS row, names with no green row in prior rounds are listed here
-# and surfaced FIRST in all_queries()/all_oracles(); everything else keeps
-# module registration order after them.  Round 4: head = the two r3 FAIL
-# rows (array-output shape fixed this round), the one never-reached query
-# (stream_batch_parity), then every operator new in round 4; the tail
-# re-surfaces high-value r3 rows so a budget of ~50 still re-verifies the
-# flagship families after the fixes.
+# CORRECTNESS row, names needing one are listed here and surfaced FIRST in
+# all_queries()/all_oracles(); everything else keeps module registration
+# order after them.  Round 5 (VERDICT #6 freshness rotation): head = the
+# three operators NEW this round (no driver row yet), then the entire
+# r1-checked cohort — the 50 queries whose only driver row dates to the
+# round-1 code state (every other query has an r2-r4 row; the local
+# exact-value gate re-proves all 158 each session, but the driver record
+# should age out too).  A ~50 budget covers the 3 new + 47 of the r1
+# cohort; the remaining 3 head the r6 rotation.
 _PRIORITY: tuple[str, ...] = (
-    # r3 FAILs, re-registered with driver-compatible scalar/string outputs
-    "emb_pq_encode",
-    "agg_approx_percentiles",
-    # only query never driver-reached in r1-r3
-    "stream_batch_parity",
-    # new in round 4
-    "dedup_simhash256_radius3_pairs",
-    "clean_zone_merge_zorder",
-    "mm_jpeg_crop_pixels",
-    "mm_pdf_page_images",
-    "mm_wav_frame_energy",
-    "mm_video_frame_sample",
-    "mm_gif_crop_pixels",
-    "mm_media_meta",
-    "sql_surface_pipe_sqludf",
-    # r3 rows re-verified after this round's changes (same families)
-    "sim_pq_adc_topk",
-    "sim_pq_rerank_topk",
-    "sim_ivfpq_topk",
-    "dedup_simhash_radius3_pairs",
-    "retail_clean_pipeline",
-    "clean_bbox_crop_math",
-    "mm_binary_meta",
-    "mm_decode_meta_stub",
-    "mm_pdf_page_explode_stub",
-    "stream_pipeline_e2e",
+    # new in round 5
+    "mm_pdf_text_extract",
+    "mm_video_mjpeg_frames",
+    "mm_wav_adpcm",
+    # the r1-checked cohort, stalest driver rows first-come
+    "agg_pricing_summary",
+    "agg_stats_orders",
+    "agg_count_distinct",
+    "agg_approx_count_distinct",
+    "agg_rollup_region_nation",
+    "agg_cube_status_priority",
+    "agg_grouping_sets",
+    "agg_collect_set",
+    "agg_udaf_price_range",
+    "agg_percentiles_price",
+    "agg_salted_heavy_hitter",
+    "agg_grouped_map_rank",
+    "agg_histogram_value_buckets",
+    "cur_train_test_split",
+    "cur_token_packing",
+    "cur_contamination_check",
+    "cur_gopher_repetition",
+    "cur_boilerplate_trigrams",
+    "cur_stratified_sample",
+    "cur_chunk_documents",
+    "cur_mixture_weights",
+    "dedup_exact_hash",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_candidates",
+    "dedup_simhash",
+    "dedup_embedding_cosine_top20",
+    "dedup_cc_clusters",
+    "pipeline_corpus_curation",
+    "dedup_simhash_hamming_pairs",
+    "dedup_repeated_spans",
+    "ev_tumbling_hourly",
+    "ev_sliding_1h_30m",
+    "ev_session_windows",
+    "ev_dedup_first_per_key",
+    "ev_json_props",
+    "ev_pivot_type_counts",
+    "ev_funnel_view_click_purchase",
+    "ev_retention_cohorts",
+    "ev_gapfill_hourly_value",
+    "win_range_interval_rolling",
+    "ev_rolling_7d_distinct_users",
+    "ev_interp_hourly_value",
+    "fuzzy_levenshtein_blocked",
+    "join_flagship_revenue",
+    "join_left_order_counts",
+    "join_semi_customers_with_f_orders",
+    "join_anti_parts_never_ordered",
+    "join_cross_region_status",
+    "join_range_price_bands",
 )
 
 

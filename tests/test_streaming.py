@@ -682,7 +682,20 @@ def _has_protobuf() -> bool:
 
 @pytest.mark.skipif(
     not _has_protobuf(),
-    reason="transformWithState state server needs google.protobuf (absent in this container)",
+    # The precise missing piece (probed r5): importing
+    # pyspark.sql.streaming.proto.StateMessage_pb2 — the generated
+    # client for the typed-state server — raises
+    # `ModuleNotFoundError: No module named 'google'` (google.protobuf
+    # is not installed and pip installs are disallowed in this
+    # container; a stub protobuf cannot satisfy the server's real
+    # varint wire format, so vendoring is not honest).  The operator
+    # itself (streaming/pipeline.py streaming_stateful_value_stats_tws)
+    # is implemented and this test runs wherever protobuf exists.
+    reason=(
+        "pyspark.sql.streaming.proto.StateMessage_pb2 import fails: "
+        "ModuleNotFoundError: No module named 'google' (google.protobuf "
+        "absent; pip install disallowed)"
+    ),
 )
 def test_streaming_transform_with_state_value_stats(spark, tmp_path):
     """Spark 4 transformWithStateInPandas: per-user (count, sum, max)
