@@ -508,6 +508,40 @@ def explode_pdf_pages(
 explode_pdf_pages_stub = explode_pdf_pages
 
 
+def explode_pdf_text(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "blob"
+) -> DataFrame:
+    """D1∘X4 (r5): the TEXT twin of :func:`explode_pdf_pages` — 1 PDF
+    row in, one row per page out carrying the page's EXTRACTED TEXT
+    (operators/pdf.py extract_page_text: content-stream interpreter
+    over born-digital PDFs).  Pages whose content stream cannot be
+    decoded emit NULL text (loud degrade); non-PDF payloads emit no
+    rows.  This is the hop a 100 TB PDF corpus runs to become an LLM
+    text corpus — per-row independent, Arrow-batched, no shuffle."""
+    from specialsid_spark.operators.pdf import extract_page_text
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_no, out_text = [], [], []
+            for i, blob in zip(pdf[id_col], pdf[bin_col]):
+                texts = extract_page_text(bytes(blob))
+                if texts is None:
+                    continue
+                for pno, t in enumerate(texts, start=1):
+                    out_id.append(i)
+                    out_no.append(pno)
+                    out_text.append(t)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_id, dtype="int64"),
+                    "page_no": pd.Series(out_no, dtype="int32"),
+                    "page_text": pd.Series(out_text, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(fn, "doc_id long, page_no int, page_text string")
+
+
 def crop_regions(
     products: DataFrame,
     images: DataFrame,

@@ -52,6 +52,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_pdf_text_extract",
     "mm_video_mjpeg_frames",
     "mm_wav_adpcm",
+    "mm_pdf_text_corpus_pipeline",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

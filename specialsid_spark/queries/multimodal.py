@@ -302,6 +302,75 @@ def mm_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id", "page_no")
 
 
+@register(
+    "mm_pdf_text_corpus_pipeline",
+    # Pages are substrings of the REAL documents.text (pure ASCII, no
+    # newlines — verified per sf), so DuckDB re-derives every page's
+    # text, char/token counts, and md5 without touching a PDF: the
+    # whole corpus hop (write → Flate → interpret → tokenize) must be
+    # an exact identity for the hash to pass.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    pages AS (
+      SELECT doc_id, 1 AS page_no, substr(text, 1, 120) AS pt FROM docs
+      UNION ALL
+      SELECT doc_id, 2 AS page_no, substr(text, 121, 120) AS pt FROM docs
+    )
+    SELECT doc_id, CAST(page_no AS INT) AS page_no,
+           CAST(length(pt) AS INT) AS n_chars,
+           CAST(CASE WHEN trim(pt) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(pt), '\\s+')) END AS INT)
+             AS n_tokens,
+           md5(pt) AS text_md5
+    FROM pages
+    ORDER BY doc_id, page_no
+    """,
+)
+def mm_pdf_text_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5 extension — the PDF→LLM-corpus hop END-TO-END on real corpus
+    text: take each document's actual text, paginate it into a
+    born-digital PDF (build_text_pdf), run the production
+    explode_pdf_text hop (mapInPandas content-stream interpretation),
+    then compute corpus statistics (char count, whitespace token
+    count, content hash) with JVM-side expressions on the extracted
+    text.  This is the dataflow a 100 TB PDF lake runs to feed a
+    training corpus; the oracle proves the text survives the full
+    round trip byte-for-byte.
+
+    Scale shape: build + extract are per-row-independent mapInPandas;
+    the token/hash metrics are whole-stage-codegen'd column
+    expressions; the only shuffle is the final sort."""
+    import pandas as pd
+
+    from specialsid_spark.operators.multimodal import explode_pdf_text
+    from specialsid_spark.operators.pdf import build_text_pdf
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def build(batches):
+        for pdf in batches:
+            out_id, out_blob = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                out_id.append(int(doc_id))
+                out_blob.append(build_text_pdf([text[:120], text[120:240]]))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(out_id, dtype="int64"), "blob": out_blob}
+            )
+
+    pdfs = d.select("doc_id", "text").mapInPandas(build, "doc_id long, blob binary")
+    pages = explode_pdf_text(pdfs)
+    return pages.select(
+        "doc_id",
+        "page_no",
+        F.length("page_text").cast("int").alias("n_chars"),
+        F.when(F.trim("page_text") == "", 0)
+        .otherwise(F.size(F.split(F.trim("page_text"), r"\s+")))
+        .cast("int")
+        .alias("n_tokens"),
+        F.md5(F.col("page_text").cast("binary")).alias("text_md5"),
+    ).orderBy("doc_id", "page_no")
+
+
 _WAV_N = 800  # PCM frames per fixture clip
 _WAV_FRAME = 256  # analysis frame length
 _WAV_RS_TO = 8000  # resample target rate (from 16000)

@@ -318,7 +318,19 @@ def test_pdf_text_degrades_to_none_not_garbage():
     assert extract_page_text(build_image_pdf([jb, jb])) == ["", ""]
 
 
-def test_explode_pdf_pages_emits_real_decodable_images(spark):
+def test_explode_pdf_text_hop(spark):
+    """The PDF→text corpus hop: born-digital PDFs explode into per-page
+    text rows; non-PDF payloads emit nothing; undecodable pages NULL."""
+    import pandas as pd
+
+    from specialsid_spark.operators.multimodal import explode_pdf_text
+    from specialsid_spark.operators.pdf import build_text_pdf
+
+    pdf1 = build_text_pdf(["alpha beta", "gamma (x) \\ delta"])
+    rows = [(1, bytearray(pdf1)), (2, bytearray(b"not a pdf"))]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "blob"]))
+    out = {(r["doc_id"], r["page_no"]): r["page_text"] for r in explode_pdf_text(df).collect()}
+    assert out == {(1, 1): "alpha beta", (1, 2): "gamma (x) \\ delta"}
     # D1 done-criterion: hop1 produces decodable page bytes for a real
     # image-per-page PDF fixture.
     from specialsid_spark.operators.multimodal import explode_pdf_pages
