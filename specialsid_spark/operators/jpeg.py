@@ -858,10 +858,23 @@ def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(qt, 1, 255)
 
 
-def _encode_block(wtr, block, qt, enc_dc, enc_ac, pred_val):
-    coeff = _C @ block @ _C.T
-    q = np.round(coeff / qt).astype(np.int64)
-    zz = q.reshape(-1)[_ZZ]
+def _fdct_plane(padded: np.ndarray, qt: np.ndarray) -> list:
+    """Batched FDCT + quantize + zigzag for one MCU-padded, level-
+    shifted plane: (bh·8, bw·8) -> nested python lists [bh][bw][64]
+    (zigzag order).  ONE broadcast matmul pair per component (r5 —
+    same fix as the decoder's _idct_blocks; the per-block `_C @ b @
+    _C.T` numpy-call overhead dominated encode).  tolist() because the
+    serial Huffman emitter below indexes scalars, where list access is
+    ~10× numpy scalar indexing."""
+    bh, bw = padded.shape[0] // 8, padded.shape[1] // 8
+    blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    q = np.round((_C @ blocks @ _C.T) / qt).astype(np.int64)
+    return q.reshape(bh, bw, 64)[:, :, _ZZ].tolist()
+
+
+def _encode_block(wtr, zz, enc_dc, enc_ac, pred_val):
+    """Huffman-emit one block's quantized zigzag coefficients (a plain
+    64-int list from :func:`_fdct_plane`)."""
     t, mag = _mag(int(zz[0]) - pred_val)
     code, ln = enc_dc[t]
     wtr.put(code, ln)
@@ -969,6 +982,11 @@ def encode_jpeg(
         pp[:, pw0:] = pp[:, pw0 - 1 : pw0]
         padded.append(pp - 128.0)
 
+    # r5: ALL blocks FDCT'd/quantized/zigzagged in one batched matmul
+    # per component before the serial Huffman emission loop
+    coefs = [
+        _fdct_plane(pp, qt_l if ci == 0 else qt_c) for ci, pp in enumerate(padded)
+    ]
     wtr = _BitWriter()
     pred = [0] * len(cplanes)
     mcu_count = 0
@@ -980,18 +998,15 @@ def encode_jpeg(
                 wtr.out += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
                 pred = [0] * len(cplanes)
-            for ci, pp in enumerate(padded):
+            for ci in range(len(padded)):
                 sh, sv = sfac[ci]
                 tsel = 0 if ci == 0 else 1
-                qt = qt_l if ci == 0 else qt_c
+                cc = coefs[ci]
                 for by in range(sv):
                     for bx in range(sh):
-                        y0 = (my * sv + by) * 8
-                        x0 = (mx * sh + bx) * 8
                         pred[ci] = _encode_block(
                             wtr,
-                            pp[y0 : y0 + 8, x0 : x0 + 8],
-                            qt,
+                            cc[my * sv + by][mx * sh + bx],
                             enc_dc[tsel],
                             enc_ac[tsel],
                             pred[ci],
@@ -1103,13 +1118,9 @@ def _quantized_coefs(w, h, ch, pixels, quality):
         pp[h:, :w] = p[h - 1 : h, :]
         pp[:, w:] = pp[:, w - 1 : w]
         pp -= 128.0
-        coefs = np.zeros((bh, bw, 64), dtype=np.int32)
-        for by in range(bh):
-            for bx in range(bw):
-                block = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                q = np.round((_C @ block @ _C.T) / qt).astype(np.int64)
-                coefs[by, bx] = q.reshape(-1)[_ZZ]
-        out.append(coefs)
+        blocks = pp.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        q = np.round((_C @ blocks @ _C.T) / qt).astype(np.int64)
+        out.append(q.reshape(bh, bw, 64)[:, :, _ZZ].astype(np.int32))
     return out, qt_l, qt_c
 
 

@@ -296,3 +296,13 @@ def test_codec_queries_are_single_pass_map_pipelines(spark, qs):
         assert "CartesianProduct" not in p, name
         assert "text" not in p.split("ReadSchema")[1].split("\n")[0], name
         assert p.count("MapInPandas") >= 1, name
+    # r5 codec/corpus queries: same shape (the corpus pipeline DOES
+    # read text — it is the input — but still must not shuffle before
+    # the final sort or cartesian anywhere)
+    for name in ("mm_video_mjpeg_frames", "mm_wav_adpcm", "mm_pdf_text_extract",
+                 "mm_pdf_text_corpus_pipeline"):
+        p = plan_of(spark, qs[name](spark, SF_DIR))
+        assert "CartesianProduct" not in p, name
+        assert p.count("MapInPandas") >= 1, name
+        if name != "mm_pdf_text_corpus_pipeline":
+            assert "text" not in p.split("ReadSchema")[1].split("\n")[0], name
