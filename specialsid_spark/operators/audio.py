@@ -63,7 +63,7 @@ def parse_wav_meta(blob: bytes) -> tuple[int, int, int, int] | None:
 def decode_wav(blob: bytes) -> tuple[int, int, np.ndarray] | None:
     """(sample_rate, n_channels, samples[frames, channels] int32) —
     the REAL sample values: 16-bit signed / 8-bit unsigned PCM, or
-    (r5) mono IMA-ADPCM via :func:`decode_wav_ima`."""
+    (r5) mono/stereo IMA-ADPCM via :func:`decode_wav_ima`."""
     meta = parse_wav_meta(blob)
     if meta is None:
         return decode_wav_ima(blob)  # non-PCM: the one compressed case we decode
@@ -140,40 +140,54 @@ def _wav_fmt_and_data(blob: bytes):
 
 
 def decode_wav_ima(blob: bytes) -> tuple[int, int, np.ndarray] | None:
-    """(sample_rate, 1, samples[frames, 1] int32) for a MONO IMA-ADPCM
-    WAV (format 0x0011); None otherwise.  Stereo IMA interleaves
-    4-sample channel runs — out of scope, documented."""
+    """(sample_rate, n_channels, samples[frames, ch] int32) for a mono
+    or stereo IMA-ADPCM WAV (format 0x0011); None otherwise.
+
+    Stereo layout (r5): one 4-byte state header per channel, then the
+    payload in alternating 4-byte (8-nibble) channel groups — left 8
+    samples, right 8 samples, … — de-interleaved back to frames."""
     fd = _wav_fmt_and_data(blob)
     if fd is None or len(fd[0]) < 16:
         return None
     fmt, data = fd
     audio_fmt, nch, rate = struct.unpack("<HHI", fmt[:8])
     block_align = struct.unpack("<H", fmt[12:14])[0]
-    if audio_fmt != 0x11 or nch != 1 or block_align < 5:
+    if audio_fmt != 0x11 or nch not in (1, 2) or block_align < 4 * nch + 1:
         return None
-    # fact chunk records the TRUE sample count (final-block padding
-    # nibbles would otherwise decode as trailing samples)
+    # fact chunk records the TRUE per-channel frame count (final-block
+    # padding nibbles would otherwise decode as trailing samples)
     fact_n = None
     m = blob.find(b"fact")
     if m >= 0 and m + 12 <= len(blob):
         fact_n = struct.unpack("<I", blob[m + 8 : m + 12])[0]
-    out: list[int] = []
-    for bo in range(0, len(data) - 4, block_align):
+    chans: list[list[int]] = [[] for _ in range(nch)]
+    for bo in range(0, len(data) - 4 * nch, block_align):
         block = data[bo : bo + block_align]
-        if len(block) < 5:
+        if len(block) < 4 * nch + 1:
             break
-        pred = struct.unpack("<h", block[:2])[0]
-        idx = min(88, block[2])
-        out.append(pred)
-        for byte in block[4:]:
-            for nib in (byte & 0xF, byte >> 4):  # low nibble first
-                pred, idx = _ima_step(pred, idx, nib)
-                out.append(pred)
-    if not out:
+        pred = [0] * nch
+        idx = [0] * nch
+        for c in range(nch):
+            pred[c] = struct.unpack("<h", block[4 * c : 4 * c + 2])[0]
+            idx[c] = min(88, block[4 * c + 2])
+            chans[c].append(pred[c])
+        payload = block[4 * nch :]
+        # data advances in 4-byte groups, cycling channels
+        for g in range(0, len(payload), 4):
+            c = (g // 4) % nch
+            for byte in payload[g : g + 4]:
+                for nib in (byte & 0xF, byte >> 4):  # low nibble first
+                    pred[c], idx[c] = _ima_step(pred[c], idx[c], nib)
+                    chans[c].append(pred[c])
+    if not chans[0]:
         return None
+    n = min(len(ch) for ch in chans)
     if fact_n is not None:
-        out = out[:fact_n]
-    return rate, 1, np.asarray(out, dtype=np.int32).reshape(-1, 1)
+        n = min(n, fact_n)
+    arr = np.empty((n, nch), dtype=np.int32)
+    for c in range(nch):
+        arr[:, c] = chans[c][:n]
+    return rate, nch, arr
 
 
 def encode_wav_ima(rate: int, samples: np.ndarray, block_align: int = 256) -> bytes:

@@ -71,6 +71,44 @@ def hop1_pdf_to_pages(
     )
 
 
+def hop1t_pdf_to_text(
+    spark: SparkSession,
+    raw_dir: str,
+    text_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """T1∘X4 (r5): the TEXT ingest door — binaryFile stream over the
+    raw zone (*.pdf) -> per-page extracted text (explode_pdf_text's
+    content-stream interpreter) -> parquet text zone.  The streaming
+    twin of mm_pdf_text_corpus_pipeline's batch hop: this is how a
+    100 TB born-digital PDF lake becomes an LLM text corpus
+    incrementally, exactly-once, with `maxFilesPerTrigger` bounding
+    each micro-batch.  Undecodable pages land as NULL text rows so
+    downstream curation can count them (loud degrade, never dropped
+    silently)."""
+    from specialsid_spark.operators.multimodal import explode_pdf_text
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("pathGlobFilter", "*.pdf")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(raw_dir).select(
+        F.xxhash64("path").alias("doc_id"), F.col("content").alias("blob")
+    )
+    return (
+        explode_pdf_text(raw)
+        .writeStream.format("parquet")
+        .option("path", text_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def hop2_pages_to_products_json(
     spark: SparkSession,
     pages_dir: str,

@@ -538,6 +538,46 @@ def test_wav_ima_adpcm_roundtrip_and_determinism():
     assert got == want
 
 
+def test_wav_ima_adpcm_stereo_deinterleave():
+    """r5: stereo IMA ADPCM — per-channel 4-byte state headers, then
+    alternating 4-byte/8-sample channel groups.  A hand-built block
+    with DIFFERENT nibble streams per channel must decode to exactly
+    the per-channel reference sequences, interleaved as frames."""
+    import struct
+
+    from specialsid_spark.operators.audio import _ima_step, decode_wav_ima
+
+    nibsL = [(5 * k) % 16 for k in range(32)]
+    nibsR = [(11 * k + 3) % 16 for k in range(32)]
+    predL, idxL, predR, idxR = 100, 10, -200, 40
+    body = bytearray()
+    body += struct.pack("<hBB", predL, idxL, 0)
+    body += struct.pack("<hBB", predR, idxR, 0)
+    for g in range(4):  # 4 groups per channel, alternating L/R
+        for nibs in (nibsL, nibsR):
+            seg = nibs[g * 8 : (g + 1) * 8]
+            for a, b in zip(seg[0::2], seg[1::2]):
+                body.append(a | (b << 4))
+    block = bytes(body)
+    fmt = struct.pack("<HHIIHHHH", 0x11, 2, 8000, 4000, len(block), 8, 4, 33)
+    wav = (
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(block)) + block
+    )
+    rate, nch, arr = decode_wav_ima(wav)
+    assert (rate, nch) == (8000, 2)
+    for ci, (nibs, p0, i0) in enumerate(
+        [(nibsL, predL, idxL), (nibsR, predR, idxR)]
+    ):
+        want = [p0]
+        p, i2 = p0, i0
+        for nib in nibs:
+            p, i2 = _ima_step(p, i2, nib)
+            want.append(p)
+        assert arr[:, ci].tolist() == want
+
+
 # ---------------------------------------------------------------- gif
 
 
@@ -777,7 +817,7 @@ def test_codec_degrade_contract_never_raises():
     from specialsid_spark.operators.video import build_avi, extract_frames
 
     assert decode_wav_ima(b"RIFF" + bytes(20)) is None  # not WAVE
-    # stereo ADPCM (interleaved channel runs): documented None
+    # stereo ADPCM whose data is TRUNCATED below one block's headers
     stereo_fmt = struct.pack("<HHIIHHHH", 0x11, 2, 8000, 4000, 256, 8, 4, 505)
     wav = (
         b"RIFF" + struct.pack("<I", 60) + b"WAVE"
@@ -785,6 +825,14 @@ def test_codec_degrade_contract_never_raises():
         + b"data" + struct.pack("<I", 8) + bytes(8)
     )
     assert decode_wav_ima(wav) is None
+    # >2 channels: out of scope, documented None
+    fmt51 = struct.pack("<HHIIHHHH", 0x11, 6, 8000, 4000, 256, 24, 12, 505)
+    wav51 = (
+        b"RIFF" + struct.pack("<I", 80) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt51)) + fmt51
+        + b"data" + struct.pack("<I", 40) + bytes(40)
+    )
+    assert decode_wav_ima(wav51) is None
     # truncated ADPCM block (header only, no room for the 4-byte header)
     mono_fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 4000, 256, 4, 2, 505)
     wav2 = (

@@ -644,6 +644,33 @@ def test_streaming_incremental_rollup_recovers_interrupted_swap(spark, tmp_path)
     assert not os.path.exists(summary + "_next")
 
 
+def test_hop1t_pdf_to_text_stream(spark, tmp_path):
+    """r5: the TEXT ingest door — born-digital PDFs dropped in the raw
+    zone stream out as per-page extracted text, exactly-once."""
+    from specialsid_spark.operators.pdf import build_text_pdf
+    from specialsid_spark.streaming.pipeline import hop1t_pdf_to_text
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "a.pdf").write_bytes(build_text_pdf(["first page text", "second (p)"]))
+    (raw / "b.pdf").write_bytes(build_text_pdf(["solo \\ page"]))
+    (raw / "noise.txt").write_bytes(b"ignored by the glob")
+    text_dir = str(tmp_path / "text")
+    ck = str(tmp_path / "ck_t")
+    hop1t_pdf_to_text(spark, str(raw), text_dir, ck).awaitTermination()
+    rows = spark.read.parquet(text_dir).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["page_no"], r["page_text"]))
+    texts = sorted(tuple(t for _, t in sorted(v)) for v in by_doc.values())
+    assert texts == sorted(
+        [("first page text", "second (p)"), ("solo \\ page",)]
+    )
+    # exactly-once: rerun against the same checkpoint adds nothing
+    hop1t_pdf_to_text(spark, str(raw), text_dir, ck).awaitTermination()
+    assert spark.read.parquet(text_dir).count() == 3
+
+
 def test_hop1_emits_real_jpeg_pages_for_image_pdf(spark, tmp_path):
     """r4 D1 closure at the STREAMING surface: a real image-per-page PDF
     dropped in the raw zone must come out of hop1 as decodable JPEG
