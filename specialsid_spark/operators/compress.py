@@ -1,0 +1,142 @@
+"""Compressed-payload operators for text corpora (SURVEY.md §2.11
+X3/X4 extension, r5): the wire formats a real 100 TB text lake
+actually arrives in — web dumps and corpus distributions ship as
+gzip / bzip2 / xz members, and the ingest door must decompress them
+member-by-member inside the plan (mapInPandas, per-row independent)
+rather than in a driver-side preprocessing pass.
+
+All three codecs are stdlib (zlib/bz2/lzma), so unlike the image
+stack nothing here needs a from-scratch entropy coder; the
+engineering is the DISPATCH (magic-byte sniffing, never trusting
+extensions), determinism (gzip writes mtime=0 and no filename so
+encode is byte-stable for the oracle hash), and the degrade contract
+(unknown/corrupt payloads -> None, never an exception inside a Spark
+task).
+
+ZIP archives get a LISTING operator (`zip_entries`) — central
+directory walk, no extraction — because navigating an archive's
+members is the corpus-curation step that runs long before anyone
+decompresses 100 TB.
+"""
+
+from __future__ import annotations
+
+import bz2
+import lzma
+import struct
+import zlib
+
+#: magic prefixes -> codec name
+_MAGICS = [
+    (b"\x1f\x8b", "gzip"),
+    (b"BZh", "bz2"),
+    (b"\xfd7zXZ\x00", "xz"),
+]
+
+
+def sniff_codec(blob: bytes) -> str | None:
+    """Codec name from magic bytes, or None — extensions lie, headers
+    don't."""
+    for magic, name in _MAGICS:
+        if blob.startswith(magic):
+            return name
+    return None
+
+
+def compress_text(data: bytes, codec: str) -> bytes:
+    """Deterministic single-member compress.  gzip pins mtime=0, no
+    filename, OS byte 255 ('unknown') so identical input -> identical
+    bytes on every host (the wrapper zlib.compressobj(wbits=31) writes
+    a current-timestamp header, which would break hash oracles)."""
+    if codec == "gzip":
+        co = zlib.compressobj(9, zlib.DEFLATED, -15)
+        deflated = co.compress(data) + co.flush()
+        hdr = b"\x1f\x8b\x08\x00" + struct.pack("<I", 0) + b"\x00\xff"
+        tail = struct.pack("<II", zlib.crc32(data) & 0xFFFFFFFF, len(data) & 0xFFFFFFFF)
+        return hdr + deflated + tail
+    if codec == "bz2":
+        return bz2.compress(data, 9)
+    if codec == "xz":
+        return lzma.compress(data, format=lzma.FORMAT_XZ, preset=6)
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+def decompress_auto(blob: bytes) -> bytes | None:
+    """Sniff + decompress one member; None for unknown magic or a
+    corrupt stream (degrade-loudly — a truncated member must not kill
+    the task)."""
+    codec = sniff_codec(bytes(blob[:8]))
+    if codec is None:
+        return None
+    try:
+        if codec == "gzip":
+            return zlib.decompress(blob, wbits=31)
+        if codec == "bz2":
+            return bz2.decompress(blob)
+        return lzma.decompress(blob)
+    except (zlib.error, OSError, EOFError, lzma.LZMAError, ValueError):
+        return None
+
+
+# ------------------------------------------------------------------- zip
+
+_EOCD_MAGIC = b"PK\x05\x06"
+_CDIR_MAGIC = b"PK\x01\x02"
+
+
+def zip_entries(blob: bytes) -> list[tuple[str, int, int]] | None:
+    """[(name, compressed_size, uncompressed_size)] from a ZIP's
+    central directory, in directory order — a LISTING, not an
+    extraction (the curation pass that decides what's worth
+    decompressing).  None for non-ZIP/corrupt payloads."""
+    if len(blob) < 22:
+        return None
+    # EOCD is within the last 64k+22 bytes (comment may pad it)
+    tail = blob[-(65536 + 22):]
+    p = tail.rfind(_EOCD_MAGIC)
+    if p < 0:
+        return None
+    try:
+        _disk, _cd_disk, _n_disk, n_entries, _cd_size, cd_off = struct.unpack(
+            "<HHHHII", tail[p + 4 : p + 20]
+        )
+    except struct.error:
+        return None
+    out: list[tuple[str, int, int]] = []
+    i = cd_off
+    for _ in range(n_entries):
+        if blob[i : i + 4] != _CDIR_MAGIC or i + 46 > len(blob):
+            return None
+        csize, usize = struct.unpack("<II", blob[i + 20 : i + 28])
+        nlen, elen, clen = struct.unpack("<HHH", blob[i + 28 : i + 34])
+        name = blob[i + 46 : i + 46 + nlen].decode("utf-8", "replace")
+        out.append((name, csize, usize))
+        i += 46 + nlen + elen + clen
+    return out
+
+
+def build_zip(entries: list[tuple[str, bytes]]) -> bytes:
+    """Deterministic STORED-method ZIP writer (fixture generator and
+    inverse sink for :func:`zip_entries`): fixed DOS timestamp, no
+    extra fields, any unzip opens it."""
+    out = bytearray()
+    cdir = bytearray()
+    for name, data in entries:
+        nb = name.encode("utf-8")
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        local_off = len(out)
+        common = struct.pack(
+            "<HHHHHIII", 20, 0, 0, 0x21, 0x5000, crc, len(data), len(data)
+        )
+        out += b"PK\x03\x04" + common + struct.pack("<HH", len(nb), 0) + nb + data
+        cdir += (
+            _CDIR_MAGIC
+            + struct.pack("<H", 20)  # version-made-by; `common` carries version-needed
+            + common
+            + struct.pack("<HHHHHII", len(nb), 0, 0, 0, 0, 0, local_off)
+            + nb
+        )
+    eocd = _EOCD_MAGIC + struct.pack(
+        "<HHHHIIH", 0, 0, len(entries), len(entries), len(cdir), len(out), 0
+    )
+    return bytes(out) + bytes(cdir) + eocd

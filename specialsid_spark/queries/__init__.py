@@ -53,6 +53,8 @@ _PRIORITY: tuple[str, ...] = (
     "mm_video_mjpeg_frames",
     "mm_wav_adpcm",
     "mm_pdf_text_corpus_pipeline",
+    "mm_compressed_text_roundtrip",
+    "mm_zip_archive_listing",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

@@ -371,6 +371,116 @@ def mm_pdf_text_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "page_no")
 
 
+@register(
+    "mm_compressed_text_roundtrip",
+    # Real corpora arrive gzip/bz2/xz-compressed; the oracle restates
+    # identity (decompress(compress(text)) == text) per doc without
+    # touching a codec — the hash fails if sniffing, the deterministic
+    # gzip header, or any stdlib wrapper mangles a byte.
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'gzip' WHEN 1 THEN 'bz2' ELSE 'xz' END
+             AS codec,
+           CAST(length(text) AS INT) AS n_chars,
+           md5(text) AS text_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def mm_compressed_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5 extension — the compressed-text ingest path: every document
+    compressed with its doc-derived codec (gzip member with pinned
+    mtime=0 header / bz2 / xz), then decompressed through the
+    magic-sniffing dispatch (operators/compress.py decompress_auto)
+    inside mapInPandas, emitting the RECOVERED text's length + md5.
+    This is the member-by-member decompression a 100 TB web-dump lake
+    runs at the ingest door — per-row independent, no shuffle before
+    the final sort."""
+    import pandas as pd
+
+    from specialsid_spark.operators.compress import compress_text, decompress_auto
+
+    d = load(spark, sf_dir, "documents")
+
+    def fn(batches):
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                codec = ("gzip", "bz2", "xz")[doc_id % 3]
+                raw = text.encode("utf-8")
+                back = decompress_auto(compress_text(raw, codec))
+                out.append(
+                    (doc_id, codec, len(back.decode("utf-8")),
+                     hashlib.md5(back).hexdigest())
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "codec", "n_chars", "text_md5"]
+            ).astype({"doc_id": "int64", "n_chars": "int32"})
+
+    return (
+        d.select("doc_id", "text")
+        .mapInPandas(fn, "doc_id long, codec string, n_chars int, text_md5 string")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "mm_zip_archive_listing",
+    # Fixture: a STORED-method ZIP per doc with 3 members holding text
+    # slices; the listing (central-directory walk, NO extraction) must
+    # recover each member's exact name and size — restated as substr
+    # lengths.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    parts AS (SELECT unnest(range(0, 3)) AS p)
+    SELECT d.doc_id,
+           'doc' || d.doc_id || '/part' || p.p || '.txt' AS member_name,
+           CAST(length(substr(d.text, p.p * 50 + 1, 50)) AS INT) AS n_bytes
+    FROM docs d CROSS JOIN parts p
+    ORDER BY doc_id, member_name
+    """,
+)
+def mm_zip_archive_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5 extension — archive NAVIGATION without extraction: per doc,
+    build a real STORED ZIP (operators/compress.py build_zip —
+    stdlib-zipfile-compatible) of 3 text-slice members, then list it
+    via the central-directory walk (zip_entries) and explode one row
+    per member.  Listing is the curation step that decides what is
+    worth decompressing at 100 TB; it reads the directory at the END
+    of the blob and never touches member payloads."""
+    import pandas as pd
+
+    from specialsid_spark.operators.compress import build_zip, zip_entries
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                members = [
+                    (f"doc{doc_id}/part{p}.txt",
+                     text[p * 50 : (p + 1) * 50].encode("utf-8"))
+                    for p in range(3)
+                ]
+                for name, csize, usize in zip_entries(build_zip(members)):
+                    assert csize == usize  # STORED
+                    out.append((doc_id, name, usize))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "member_name", "n_bytes"]
+            ).astype({"doc_id": "int64", "n_bytes": "int32"})
+
+    return (
+        d.select("doc_id", "text")
+        .mapInPandas(fn, "doc_id long, member_name string, n_bytes int")
+        .orderBy("doc_id", "member_name")
+    )
+
+
 _WAV_N = 800  # PCM frames per fixture clip
 _WAV_FRAME = 256  # analysis frame length
 _WAV_RS_TO = 8000  # resample target rate (from 16000)

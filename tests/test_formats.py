@@ -93,3 +93,48 @@ def test_runtime_bloom_filter_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# -------------------------------------------------- compressed corpus (r5)
+
+
+def test_compress_roundtrip_all_codecs_and_determinism():
+    from specialsid_spark.operators.compress import (
+        compress_text,
+        decompress_auto,
+        sniff_codec,
+    )
+
+    data = b"the quick brown corpus document \xe2\x9c\x93 " * 40
+    for codec in ("gzip", "bz2", "xz"):
+        blob = compress_text(data, codec)
+        assert sniff_codec(blob) == codec
+        assert decompress_auto(blob) == data
+        # byte-stable: the gzip header pins mtime=0/OS=255, others are
+        # deterministic by construction — required for hash oracles
+        assert compress_text(data, codec) == blob
+
+
+def test_compress_degrades_to_none():
+    from specialsid_spark.operators.compress import decompress_auto
+
+    assert decompress_auto(b"plain text, no magic") is None
+    assert decompress_auto(b"\x1f\x8b" + b"!corrupt stream!") is None
+    assert decompress_auto(b"BZh9 but not really bzip2 data") is None
+    assert decompress_auto(b"") is None
+
+
+def test_zip_listing_matches_stdlib_and_degrades():
+    import io
+    import zipfile
+
+    from specialsid_spark.operators.compress import build_zip, zip_entries
+
+    members = [("a/one.txt", b"hello"), ("two.bin", bytes(range(256)) * 4)]
+    z = build_zip(members)
+    assert zip_entries(z) == [("a/one.txt", 5, 5), ("two.bin", 1024, 1024)]
+    zf = zipfile.ZipFile(io.BytesIO(z))  # stdlib cross-check
+    assert zf.namelist() == ["a/one.txt", "two.bin"]
+    assert zf.read("a/one.txt") == b"hello"
+    assert zip_entries(b"not a zip at all, far too plain") is None
+    assert zip_entries(z[:-3]) is None  # truncated EOCD
