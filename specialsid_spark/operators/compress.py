@@ -115,6 +115,81 @@ def zip_entries(blob: bytes) -> list[tuple[str, int, int]] | None:
     return out
 
 
+# ------------------------------------------------------------------- tar
+#
+# WebDataset-style tar shards are the de-facto container for multimodal
+# training data (sample.jpg + sample.txt + sample.json members sharing
+# a key prefix); listing them is how a pipeline discovers samples.
+
+
+def tar_entries(blob: bytes) -> list[tuple[str, int, int]] | None:
+    """[(name, payload_offset, size)] for a (u)tar archive, in archive
+    order — regular files only (dirs/links skipped), no extraction.
+    None for non-tar/corrupt payloads.  payload_offset lets a caller
+    slice one member out of the blob without touching the rest."""
+    if len(blob) < 512:
+        return None
+    out: list[tuple[str, int, int]] = []
+    i = 0
+    saw_header = False
+    while i + 512 <= len(blob):
+        hdr = blob[i : i + 512]
+        if hdr == b"\x00" * 512:
+            break
+        # checksum: header bytes with the chksum field blanked
+        try:
+            stored = int(hdr[148:156].split(b"\x00")[0].strip() or b"0", 8)
+        except ValueError:
+            return None
+        calc = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        if stored != calc:
+            return None
+        saw_header = True
+        name = hdr[:100].split(b"\x00")[0].decode("utf-8", "replace")
+        if hdr[257:262] == b"ustar":
+            prefix = hdr[345:500].split(b"\x00")[0].decode("utf-8", "replace")
+            if prefix:
+                name = prefix + "/" + name
+        try:
+            size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
+        except ValueError:
+            return None
+        typeflag = hdr[156:157]
+        if typeflag in (b"0", b"\x00"):
+            out.append((name, i + 512, size))
+        i += 512 + (size + 511) // 512 * 512
+    return out if saw_header else None
+
+
+def build_tar(entries: list[tuple[str, bytes]]) -> bytes:
+    """Deterministic ustar writer (fixture generator / inverse sink of
+    :func:`tar_entries`): fixed mode/uid/mtime, stdlib tarfile opens
+    it."""
+    out = bytearray()
+    for name, data in entries:
+        nb = name.encode("utf-8")
+        if len(nb) > 100:
+            raise ValueError("name too long for this minimal writer")
+        hdr = bytearray(512)
+        hdr[0 : len(nb)] = nb
+        hdr[100:108] = b"0000644\x00"
+        hdr[108:116] = b"0000000\x00"
+        hdr[116:124] = b"0000000\x00"
+        hdr[124:136] = b"%011o\x00" % len(data)
+        hdr[136:148] = b"00000000000\x00"  # mtime 0: deterministic
+        hdr[148:156] = b" " * 8  # chksum blank for the calculation
+        hdr[156:157] = b"0"
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        chk = sum(hdr)
+        hdr[148:156] = b"%06o\x00 " % chk
+        out += hdr + data
+        pad = (512 - len(data) % 512) % 512
+        out += b"\x00" * pad
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
 def build_zip(entries: list[tuple[str, bytes]]) -> bytes:
     """Deterministic STORED-method ZIP writer (fixture generator and
     inverse sink for :func:`zip_entries`): fixed DOS timestamp, no

@@ -55,6 +55,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_pdf_text_corpus_pipeline",
     "mm_compressed_text_roundtrip",
     "mm_zip_archive_listing",
+    "mm_tar_webdataset_samples",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

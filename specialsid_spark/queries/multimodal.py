@@ -481,6 +481,72 @@ def mm_zip_archive_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_tar_webdataset_samples",
+    # WebDataset shards: tar members sharing a key prefix form one
+    # training sample.  The oracle restates member sizes from the
+    # fixture arithmetic; grouping correctness (2 members per key,
+    # exact byte totals) is what the hash checks.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    ss AS (SELECT unnest(range(0, 2)) AS s)
+    SELECT d.doc_id,
+           's' || d.doc_id || '_' || ss.s AS sample_key,
+           CAST(2 AS INT) AS n_members,
+           CAST(length(substr(d.text, ss.s * 30 + 1, 30))
+                + ((d.doc_id + 7 * ss.s) % 90 + 10) AS BIGINT) AS total_bytes
+    FROM docs d CROSS JOIN ss
+    ORDER BY doc_id, sample_key
+    """,
+)
+def mm_tar_webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5 extension — the WebDataset pattern end-to-end: per doc, write
+    a real ustar shard (operators/compress.py build_tar) holding two
+    samples of (caption .txt, payload .bin) member pairs, LIST it
+    without extraction (tar_entries), explode one row per member, and
+    reassemble samples by key prefix with a JVM-side groupBy.  This is
+    how multimodal training pipelines discover (image, caption) pairs
+    in 100 TB of tar shards — the listing reads headers only, and the
+    sample-assembly shuffle carries (key, size) pairs, never payloads.
+    """
+    import pandas as pd
+
+    from specialsid_spark.operators.compress import build_tar, tar_entries
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                members = []
+                for s in range(2):
+                    key = f"s{doc_id}_{s}"
+                    members.append((f"{key}.txt", text[s * 30 : (s + 1) * 30].encode()))
+                    members.append((f"{key}.bin", b"\xab" * ((doc_id + 7 * s) % 90 + 10)))
+                for name, _off, size in tar_entries(build_tar(members)):
+                    out.append((doc_id, name, size))
+            yield pd.DataFrame(out, columns=["doc_id", "member", "size"]).astype(
+                {"doc_id": "int64", "size": "int64"}
+            )
+
+    members = d.select("doc_id", "text").mapInPandas(
+        fn, "doc_id long, member string, size long"
+    )
+    return (
+        members.withColumn(
+            "sample_key", F.regexp_replace("member", r"\.[a-z]+$", "")
+        )
+        .groupBy("doc_id", "sample_key")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_members"),
+            F.sum("size").alias("total_bytes"),
+        )
+        .orderBy("doc_id", "sample_key")
+    )
+
+
 _WAV_N = 800  # PCM frames per fixture clip
 _WAV_FRAME = 256  # analysis frame length
 _WAV_RS_TO = 8000  # resample target rate (from 16000)

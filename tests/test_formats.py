@@ -138,3 +138,27 @@ def test_zip_listing_matches_stdlib_and_degrades():
     assert zf.read("a/one.txt") == b"hello"
     assert zip_entries(b"not a zip at all, far too plain") is None
     assert zip_entries(z[:-3]) is None  # truncated EOCD
+
+
+def test_tar_listing_matches_stdlib_and_degrades():
+    import io
+    import tarfile
+
+    from specialsid_spark.operators.compress import build_tar, tar_entries
+
+    t = build_tar(
+        [("s0.txt", b"caption zero"), ("s0.jpg", b"JPGBYTES" * 10), ("d/s1.txt", b"one")]
+    )
+    ents = tar_entries(t)
+    assert [(n, s) for n, _, s in ents] == [
+        ("s0.txt", 12), ("s0.jpg", 80), ("d/s1.txt", 3)
+    ]
+    # payload_offset slices a member without extraction machinery
+    n, off, s = ents[1]
+    assert t[off : off + s] == b"JPGBYTES" * 10
+    tf = tarfile.open(fileobj=io.BytesIO(t))  # stdlib cross-check
+    assert tf.getnames() == ["s0.txt", "s0.jpg", "d/s1.txt"]
+    assert tf.extractfile("s0.txt").read() == b"caption zero"
+    assert tar_entries(b"x" * 600) is None  # bad checksum
+    assert tar_entries(b"") is None
+    assert build_tar([("a.txt", b"x")]) == build_tar([("a.txt", b"x")])
