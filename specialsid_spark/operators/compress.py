@@ -115,6 +115,99 @@ def zip_entries(blob: bytes) -> list[tuple[str, int, int]] | None:
     return out
 
 
+# ------------------------------------------------------------------ warc
+#
+# WARC/1.0 is how web crawls (the largest LLM text source) ship:
+# records of headers + payload, usually as CONCATENATED PER-RECORD
+# GZIP MEMBERS (.warc.gz) so a reader can seek to a record and inflate
+# just that member.
+
+
+def split_gzip_members(blob: bytes) -> list[bytes] | None:
+    """Decompressed payloads of each gzip member in a multi-member
+    stream (the .warc.gz layout).  zlib's unused_data carries the
+    remainder after each member — no scanning for magic inside
+    compressed data (which can contain 1f 8b by chance).  None if the
+    stream does not start with a gzip member or any member is
+    corrupt."""
+    if not blob.startswith(b"\x1f\x8b"):
+        return None
+    out: list[bytes] = []
+    rest = bytes(blob)
+    while rest:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.append(d.decompress(rest) + d.flush())
+        except zlib.error:
+            return None
+        if not d.eof:
+            return None  # truncated final member
+        rest = d.unused_data
+        if rest and not rest.startswith(b"\x1f\x8b"):
+            return None
+    return out
+
+
+def warc_records(blob: bytes) -> list[tuple[str, str, int, int]] | None:
+    """[(warc_type, target_uri, payload_offset, payload_len)] for a
+    plain WARC/1.0 payload, record order.  Content-Length is
+    authoritative (payloads may contain anything, including things
+    that look like record boundaries).  None for non-WARC input."""
+    if not blob.startswith(b"WARC/1.0\r\n") and not blob.startswith(b"WARC/1.1\r\n"):
+        return None
+    out: list[tuple[str, str, int, int]] = []
+    i = 0
+    n = len(blob)
+    while i < n:
+        if blob[i : i + 5] != b"WARC/":
+            break
+        hdr_end = blob.find(b"\r\n\r\n", i)
+        if hdr_end < 0:
+            return None
+        headers: dict[str, str] = {}
+        for line in blob[i:hdr_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().decode("latin-1").lower()] = v.strip().decode("latin-1")
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            return None
+        payload_off = hdr_end + 4
+        out.append(
+            (
+                headers.get("warc-type", ""),
+                headers.get("warc-target-uri", ""),
+                payload_off,
+                clen,
+            )
+        )
+        i = payload_off + clen + 4  # records end with \r\n\r\n
+    return out if out else None
+
+
+def build_warc(records: list[tuple[str, str, bytes]], gz: bool = False) -> bytes:
+    """Deterministic WARC/1.0 writer: (warc_type, target_uri, payload)
+    records with fixed WARC-Date and content-derived record ids.
+    ``gz=True`` emits the production .warc.gz layout — one gzip member
+    PER RECORD, concatenated — which :func:`split_gzip_members`
+    reverses."""
+    out = bytearray()
+    for rec_type, uri, payload in records:
+        rid = zlib.crc32(payload) & 0xFFFFFFFF
+        hdr = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: " + rec_type.encode() + b"\r\n"
+            b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+            b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            b"WARC-Record-ID: <urn:crc32:%08x>\r\n" % rid
+            + b"Content-Length: %d\r\n" % len(payload)
+            + b"\r\n"
+        )
+        rec = hdr + payload + b"\r\n\r\n"
+        out += compress_text(rec, "gzip") if gz else rec
+    return bytes(out)
+
+
 # ------------------------------------------------------------------- tar
 #
 # WebDataset-style tar shards are the de-facto container for multimodal

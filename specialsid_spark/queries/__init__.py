@@ -56,6 +56,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_compressed_text_roundtrip",
     "mm_zip_archive_listing",
     "mm_tar_webdataset_samples",
+    "mm_warc_crawl_extract",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

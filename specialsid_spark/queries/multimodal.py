@@ -547,6 +547,75 @@ def mm_tar_webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_warc_crawl_extract",
+    # The body is a slice of the real document text, so DuckDB restates
+    # the extraction without touching WARC/gzip — any defect in the
+    # member split, record framing (Content-Length authoritative), or
+    # HTTP-body slicing breaks the hash.
+    oracle=f"""
+    SELECT doc_id,
+           'http://corpus.test/doc/' || doc_id AS uri,
+           CAST(length(substr(text, 1, 200)) AS INT) AS body_n_chars,
+           md5(substr(text, 1, 200)) AS body_md5
+    FROM documents WHERE doc_id < {_N_CODEC_DOCS}
+    ORDER BY doc_id
+    """,
+)
+def mm_warc_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5 extension — the web-crawl ingest chain Common Crawl consumers
+    run, end-to-end: per doc, write a production-layout .warc.gz (one
+    gzip member per record: request + response), split the members
+    (zlib unused_data walk — no magic-scanning inside compressed
+    data), parse WARC/1.0 record framing, keep the response, strip the
+    HTTP header block, and emit the recovered body's length + md5.
+    Per-row-independent mapInPandas; no shuffle before the final
+    sort."""
+    import pandas as pd
+
+    from specialsid_spark.operators.compress import (
+        build_warc,
+        split_gzip_members,
+        warc_records,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                uri = f"http://corpus.test/doc/{doc_id}"
+                body = text[:200].encode("utf-8")
+                http = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + body
+                wgz = build_warc(
+                    [("request", uri, b"GET / HTTP/1.1\r\n\r\n"), ("response", uri, http)],
+                    gz=True,
+                )
+                for member in split_gzip_members(wgz):
+                    for rtype, ruri, off, ln in warc_records(member):
+                        if rtype != "response":
+                            continue
+                        payload = member[off : off + ln]
+                        got = payload.split(b"\r\n\r\n", 1)[1]
+                        out.append(
+                            (doc_id, ruri, len(got.decode("utf-8")),
+                             hashlib.md5(got).hexdigest())
+                        )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "uri", "body_n_chars", "body_md5"]
+            ).astype({"doc_id": "int64", "body_n_chars": "int32"})
+
+    return (
+        d.select("doc_id", "text")
+        .mapInPandas(fn, "doc_id long, uri string, body_n_chars int, body_md5 string")
+        .orderBy("doc_id")
+    )
+
+
 _WAV_N = 800  # PCM frames per fixture clip
 _WAV_FRAME = 256  # analysis frame length
 _WAV_RS_TO = 8000  # resample target rate (from 16000)

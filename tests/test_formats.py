@@ -162,3 +162,33 @@ def test_tar_listing_matches_stdlib_and_degrades():
     assert tar_entries(b"x" * 600) is None  # bad checksum
     assert tar_entries(b"") is None
     assert build_tar([("a.txt", b"x")]) == build_tar([("a.txt", b"x")])
+
+
+def test_warc_records_and_gzip_members():
+    from specialsid_spark.operators.compress import (
+        build_warc,
+        split_gzip_members,
+        warc_records,
+    )
+
+    recs = [
+        ("request", "http://x.test/a", b"GET /a HTTP/1.1\r\n\r\n"),
+        # payload deliberately contains gzip magic AND a fake record
+        # boundary: Content-Length must stay authoritative
+        ("response", "http://x.test/a", b"\x1f\x8b fake\r\n\r\nWARC/1.0\r\n body"),
+    ]
+    w = build_warc(recs)
+    parsed = warc_records(w)
+    assert [(t, u) for t, u, _, _ in parsed] == [(t, u) for t, u, _ in recs]
+    for (t, u, off, ln), (_, _, payload) in zip(parsed, recs):
+        assert w[off : off + ln] == payload
+
+    wgz = build_warc(recs, gz=True)
+    members = split_gzip_members(wgz)
+    assert len(members) == 2
+    assert warc_records(members[1])[0][0] == "response"
+    assert build_warc(recs, gz=True) == wgz  # deterministic
+
+    assert warc_records(b"not a warc") is None
+    assert split_gzip_members(b"plain") is None
+    assert split_gzip_members(wgz[:-8]) is None  # truncated final member
