@@ -173,3 +173,52 @@ def build_mp4(duration_ms: int, tracks: list[tuple[int, int]], timescale: int = 
     return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + _box(
         b"moov", _box(b"mvhd", mvhd) + traks
     )
+
+
+# ------------------------------------------------------------------ flac
+
+
+def parse_flac_meta(blob: bytes) -> tuple[int, int, int, int] | None:
+    """(sample_rate, n_channels, bits_per_sample, total_samples) from a
+    FLAC STREAMINFO block (r5) — the third audio metadata format after
+    MP3/MP4.  STREAMINFO packs them as 20-bit rate / 3-bit channels-1 /
+    5-bit bits-1 / 36-bit total straddling byte boundaries, so this is
+    a genuine bit-field walk, not a struct.unpack.  None for non-FLAC
+    or a stream whose first block is not STREAMINFO (spec requires it
+    first)."""
+    if len(blob) < 4 + 4 + 34 or blob[:4] != b"fLaC":
+        return None
+    hdr = blob[4:8]
+    if hdr[0] & 0x7F != 0:  # block type 0 = STREAMINFO, required first
+        return None
+    ln = int.from_bytes(hdr[1:4], "big")
+    if ln < 34:
+        return None
+    b = blob[8 : 8 + 34]
+    # bytes 10..17 hold rate(20) | ch-1(3) | bits-1(5) | total(36)
+    v = int.from_bytes(b[10:18], "big")
+    rate = v >> 44
+    nch = ((v >> 41) & 0x7) + 1
+    bits = ((v >> 36) & 0x1F) + 1
+    total = v & ((1 << 36) - 1)
+    if rate == 0:
+        return None
+    return rate, nch, bits, total
+
+
+def build_flac_meta(
+    rate: int, nch: int, bits: int, total_samples: int
+) -> bytes:
+    """Minimal FLAC header fixture: fLaC magic + a last-metadata-block
+    STREAMINFO (no audio frames — metadata structure only, which is
+    what the parser reads)."""
+    import struct as _struct
+
+    v = (rate << 44) | ((nch - 1) << 41) | ((bits - 1) << 36) | total_samples
+    si = (
+        _struct.pack(">HH", 4096, 4096)  # min/max block size
+        + bytes(6)  # min/max frame size (24-bit each)
+        + v.to_bytes(8, "big")
+        + bytes(16)  # md5 of unencoded audio (zero: unknown)
+    )
+    return b"fLaC" + b"\x80" + len(si).to_bytes(3, "big") + si

@@ -57,6 +57,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_zip_archive_listing",
     "mm_tar_webdataset_samples",
     "mm_warc_crawl_extract",
+    "mm_flac_meta",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

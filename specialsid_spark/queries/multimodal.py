@@ -616,6 +616,61 @@ def mm_warc_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_flac_meta",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(([8000, 16000, 22050, 44100, 48000])[doc_id % 5 + 1] AS INT)
+             AS sample_rate,
+           CAST(doc_id % 2 + 1 AS INT) AS n_channels,
+           CAST(CASE doc_id % 2 WHEN 0 THEN 16 ELSE 24 END AS INT) AS bits,
+           CAST(doc_id * 1000 + 500 AS BIGINT) AS total_samples,
+           CAST((doc_id * 1000 + 500) * 1000
+                // ([8000, 16000, 22050, 44100, 48000])[doc_id % 5 + 1]
+                AS BIGINT) AS duration_ms
+    FROM documents WHERE doc_id < {_N_CODEC_DOCS}
+    ORDER BY doc_id
+    """,
+)
+def mm_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5 — FLAC joins the compressed-audio METADATA pass (MP3 frame
+    chain, MP4 box tree): per doc, build a real STREAMINFO header with
+    doc-derived fields and re-read them through the bit-field walk
+    (20-bit rate / 3-bit channels / 5-bit bits / 36-bit total straddle
+    byte boundaries — parse_flac_meta).  The corpus-duration stats a
+    100 TB audio lake computes without decoding a sample."""
+    import pandas as pd
+
+    from specialsid_spark.operators.media_meta import build_flac_meta, parse_flac_meta
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+    rates = (8000, 16000, 22050, 44100, 48000)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                blob = build_flac_meta(
+                    rates[doc_id % 5], doc_id % 2 + 1,
+                    16 if doc_id % 2 == 0 else 24, doc_id * 1000 + 500,
+                )
+                rate, nch, bits, total = parse_flac_meta(blob)
+                out.append((doc_id, rate, nch, bits, total, total * 1000 // rate))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "sample_rate", "n_channels", "bits",
+                         "total_samples", "duration_ms"],
+            ).astype(
+                {"doc_id": "int64", "sample_rate": "int32", "n_channels": "int32",
+                 "bits": "int32", "total_samples": "int64", "duration_ms": "int64"}
+            )
+
+    schema = ("doc_id long, sample_rate int, n_channels int, bits int,"
+              " total_samples long, duration_ms long")
+    return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")
+
+
 _WAV_N = 800  # PCM frames per fixture clip
 _WAV_FRAME = 256  # analysis frame length
 _WAV_RS_TO = 8000  # resample target rate (from 16000)

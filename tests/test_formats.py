@@ -192,3 +192,23 @@ def test_warc_records_and_gzip_members():
     assert warc_records(b"not a warc") is None
     assert split_gzip_members(b"plain") is None
     assert split_gzip_members(wgz[:-8]) is None  # truncated final member
+
+
+def test_flac_streaminfo_bitfields_and_degrade():
+    from specialsid_spark.operators.media_meta import build_flac_meta, parse_flac_meta
+
+    # straddling bit fields at awkward values
+    for rate, nch, bits, total in [
+        (44100, 2, 16, 1234567),
+        (8000, 1, 24, 0),
+        (192000, 8, 32, (1 << 36) - 1),  # field maxima
+    ]:
+        assert parse_flac_meta(build_flac_meta(rate, nch, bits, total)) == (
+            rate, nch, bits, total,
+        )
+    assert parse_flac_meta(b"not flac") is None
+    assert parse_flac_meta(b"fLaC" + bytes(40)) is None  # zero rate
+    # first block must be STREAMINFO (type 0)
+    bad = bytearray(build_flac_meta(44100, 2, 16, 10))
+    bad[4] = 0x84  # type 4 (VORBIS_COMMENT) first
+    assert parse_flac_meta(bytes(bad)) is None
