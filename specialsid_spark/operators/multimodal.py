@@ -359,6 +359,79 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytearray] | None:
     return w, h, ch, bytearray(samples)
 
 
+def decode_image(blob: bytes) -> tuple[int, int, int, bytes] | None:
+    """Decode ANY supported raster payload to (w, h, ch, pixels): PNG,
+    baseline/progressive JPEG, GIF, BMP — the single entry point the
+    resize/feature operators dispatch through.  None for unsupported
+    payloads (degrade contract)."""
+    from specialsid_spark.operators.gif import decode_gif
+    from specialsid_spark.operators.jpeg import decode_jpeg
+
+    dec = decode_png(blob)
+    if dec is None:
+        dec = decode_jpeg(blob)
+    if dec is None:
+        dec = decode_gif(blob)
+    if dec is None:
+        meta = parse_image_meta(blob)
+        if meta is not None and meta[2] == "bmp":
+            # full-frame crop = whole-image decode via the BMP slicer
+            png = crop_bmp(blob, 0, 0, meta[1], meta[0])
+            if png is not None:
+                dec = decode_png(png)
+    if dec is None:
+        return None
+    w, h, ch, px = dec
+    return w, h, ch, bytes(px)
+
+
+def resize_image_box(
+    blob: bytes, out_w: int, out_h: int, out_format: str = "png"
+) -> bytes | None:
+    """The training-data THUMBNAIL operator (brief: decode /
+    feature-extract / resize / frame-sample): area-average (box-filter)
+    downscale of any decodable raster payload, re-encoded as PNG
+    (default, lossless) or quality-90 JPEG.
+
+    When the source dims are integer multiples of the target, each
+    output pixel is the EXACT integer mean (floor) of its source box —
+    pure integer arithmetic, restatable in SQL for the oracle.
+    Non-dividing geometries use the same box sums over float area
+    weights, rounded — deterministic, but only the dividing path is
+    oracle-exact.  Upscaling returns None (a thumbnailer never
+    upscales; callers wanting enlargement should say so explicitly)."""
+    import numpy as np
+
+    dec = decode_image(blob)
+    if dec is None or out_w <= 0 or out_h <= 0:
+        return None
+    w, h, ch, px = dec
+    if out_w > w or out_h > h:
+        return None
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+    if w % out_w == 0 and h % out_h == 0:
+        sx, sy = w // out_w, h // out_h
+        sums = arr.reshape(out_h, sy, out_w, sx, ch).astype(np.int64).sum(axis=(1, 3))
+        small = (sums // (sx * sy)).astype(np.uint8)
+    else:
+        # general area-average: accumulate with fractional edge weights
+        xs = np.linspace(0, w, out_w + 1)
+        ys = np.linspace(0, h, out_h + 1)
+        small = np.empty((out_h, out_w, ch), np.uint8)
+        af = arr.astype(np.float64)
+        for oy in range(out_h):
+            y0, y1 = ys[oy], ys[oy + 1]
+            for ox in range(out_w):
+                x0, x1 = xs[ox], xs[ox + 1]
+                region = af[int(y0) : int(np.ceil(y1)), int(x0) : int(np.ceil(x1))]
+                small[oy, ox] = np.clip(np.round(region.mean(axis=(0, 1))), 0, 255)
+    if out_format == "jpeg":
+        from specialsid_spark.operators.jpeg import encode_jpeg
+
+        return encode_jpeg(out_w, out_h, ch, small.tobytes(), quality=90)
+    return encode_png(out_w, out_h, ch, small.tobytes())
+
+
 def encode_png(w: int, h: int, ch: int, pixels: bytes | bytearray) -> bytes:
     """Minimal PNG writer (8-bit, filter 0 per scanline) — stdlib only,
     with correct chunk CRCs; round-trips through :func:`decode_png`."""

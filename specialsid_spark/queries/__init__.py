@@ -58,6 +58,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_tar_webdataset_samples",
     "mm_warc_crawl_extract",
     "mm_flac_meta",
+    "mm_image_thumbnails",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

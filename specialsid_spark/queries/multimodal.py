@@ -671,6 +671,64 @@ def mm_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")
 
 
+@register(
+    "mm_image_thumbnails",
+    # 32×24 uniform-8×8-block JPEG → 4×3 box-filter thumb: each output
+    # pixel covers exactly one block, whose mean IS the block value, so
+    # the oracle restates the whole decode→resize→re-encode→decode
+    # chain as block arithmetic.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    bi AS (SELECT unnest(range(0, 3)) AS bi),
+    bj AS (SELECT unnest(range(0, 4)) AS bj)
+    SELECT d.doc_id, CAST(4 AS INT) AS thumb_w, CAST(3 AS INT) AS thumb_h,
+           CAST(SUM((d.doc_id * 31 + bi.bi * 7 + bj.bj * 13) % 256) AS BIGINT)
+             AS pix_sum
+    FROM docs d CROSS JOIN bi CROSS JOIN bj
+    GROUP BY 1
+    ORDER BY doc_id
+    """,
+)
+def mm_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5 — the training-data RESIZE operator (brief: decode /
+    feature-extract / resize / frame-sample): per doc, decode the
+    fixture JPEG through the any-format entry point and box-filter it
+    to a 4×3 thumbnail (resize_image_box — exact integer means on
+    dividing geometries), then decode the thumbnail PNG and report its
+    pixel sum.  Thumbnailing is how an image lake feeds vision-model
+    preprocessing at 100 TB; per-row-independent mapInPandas, no
+    shuffle before the final sort."""
+    import pandas as pd
+
+    from specialsid_spark.operators.jpeg import encode_jpeg
+    from specialsid_spark.operators.multimodal import decode_png, resize_image_box
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                img = _fixture_gray(doc_id, 0)
+                jb = encode_jpeg(_IMG_W, _IMG_H, 1, img.tobytes(), quality=100)
+                png = resize_image_box(jb, 4, 3)
+                w, h, _ch, px = decode_png(png)
+                out.append((doc_id, w, h, int(np.frombuffer(bytes(px), np.uint8).sum())))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "thumb_w", "thumb_h", "pix_sum"]
+            ).astype({"doc_id": "int64", "thumb_w": "int32", "thumb_h": "int32",
+                      "pix_sum": "int64"})
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(fn, "doc_id long, thumb_w int, thumb_h int, pix_sum long")
+        .orderBy("doc_id")
+    )
+
+
 _WAV_N = 800  # PCM frames per fixture clip
 _WAV_FRAME = 256  # analysis frame length
 _WAV_RS_TO = 8000  # resample target rate (from 16000)

@@ -652,3 +652,35 @@ def test_png_rejects_corrupt_variants():
     raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(4))
     assert decode_png(_make_png(4, 4, 8, 3, raw, plte=b"")) is None
     assert decode_png(_make_png(4, 4, 2, 2, raw)) is None
+
+
+def test_resize_image_box_exact_and_degrade():
+    """r5 resize operator: exact integer box means on dividing
+    geometries, deterministic general path, loud degrades."""
+    import numpy as np
+
+    from specialsid_spark.operators.jpeg import encode_jpeg
+    from specialsid_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        resize_image_box,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    g = ((5 * 31 + (yy // 8) * 7 + (xx // 8) * 13) % 256).astype(np.uint8)
+    jb = encode_jpeg(32, 24, 1, g.tobytes(), quality=100)
+    assert decode_image(jb)[:3] == (32, 24, 1)  # any-format entry point
+    thumb = decode_png(resize_image_box(jb, 4, 3))
+    arr = np.frombuffer(bytes(thumb[3]), np.uint8).reshape(3, 4)
+    want = np.array(
+        [[(5 * 31 + bi * 7 + bj * 13) % 256 for bj in range(4)] for bi in range(3)]
+    )
+    assert np.array_equal(arr, want)  # one block per output pixel, exact
+    # non-dividing path: deterministic, right dims
+    p = resize_image_box(jb, 5, 5)
+    assert p == resize_image_box(jb, 5, 5)
+    assert decode_png(p)[:2] == (5, 5)
+    # degrades: upscale, garbage, JPEG re-encode opt-in
+    assert resize_image_box(jb, 64, 64) is None
+    assert resize_image_box(b"garbage", 2, 2) is None
+    assert resize_image_box(jb, 4, 3, out_format="jpeg")[:2] == b"\xff\xd8"
