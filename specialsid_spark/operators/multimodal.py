@@ -210,7 +210,17 @@ _ADAM7 = (
 
 def _png_unfilter(raw: bytes, pos: int, w: int, h: int, bpp: int, stride: int):
     """Undo per-scanline filters for one (sub-)image; returns
-    (rows bytes, new pos) or None on a bad filter byte/short data."""
+    (rows bytes, new pos) or None on a bad filter byte/short data.
+
+    r5 fast paths: Up is one numpy row-add; Sub is a per-lane (mod
+    bpp) uint8 cumsum — exact, since uint8 addition wraps like the
+    spec's mod-256.  Average and Paeth have a nonlinear serial
+    dependency on the byte bpp positions back in the SAME row (>>1 /
+    abs-compare of a value being computed), so they stay per-byte
+    Python — the honest-throughput table in BASELINE.md §2b records
+    the per-filter cost difference."""
+    import numpy as np
+
     out = bytearray(h * stride)
     prev = bytearray(stride)
     for y in range(h):
@@ -221,25 +231,40 @@ def _png_unfilter(raw: bytes, pos: int, w: int, h: int, bpp: int, stride: int):
         if len(line) < stride:
             return None
         pos += 1 + stride
-        if f == 1:  # Sub
-            for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
-        elif f == 2:  # Up
-            for x in range(stride):
-                line[x] = (line[x] + prev[x]) & 0xFF
-        elif f == 3:  # Average
-            for x in range(stride):
-                a = line[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                a = line[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[x] = (line[x] + pr) & 0xFF
+        if f == 1:  # Sub: per-lane prefix sum mod 256
+            arr = np.frombuffer(line, np.uint8).copy()
+            nlanes = bpp
+            full = stride // nlanes
+            lanes = arr[: full * nlanes].reshape(full, nlanes)
+            np.cumsum(lanes, axis=0, dtype=np.uint8, out=lanes)
+            tail = arr[full * nlanes :]
+            if tail.size:  # stride not divisible by bpp (sub-byte depths)
+                for x in range(full * nlanes, stride):
+                    arr[x] = (arr[x] + arr[x - bpp]) & 0xFF
+            line = bytearray(arr.tobytes())
+        elif f == 2:  # Up: one vector add
+            line = bytearray(
+                (np.frombuffer(line, np.uint8) + np.frombuffer(prev, np.uint8)).tobytes()
+            )
+        elif f == 3:  # Average: per-lane loop, locals carry the recurrence
+            for r in range(bpp):
+                a = 0
+                for x in range(r, stride, bpp):
+                    a = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+                    line[x] = a
+        elif f == 4:  # Paeth: per-lane loop, a/c in locals (no branch on x)
+            for r in range(bpp):
+                a = c = 0
+                for x in range(r, stride, bpp):
+                    b = prev[x]
+                    p = a + b - c
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    a = (line[x] + pr) & 0xFF
+                    line[x] = a
+                    c = b
         elif f != 0:
             return None
         out[y * stride : (y + 1) * stride] = line
