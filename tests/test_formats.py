@@ -212,3 +212,75 @@ def test_flac_streaminfo_bitfields_and_degrade():
     bad = bytearray(build_flac_meta(44100, 2, 16, 10))
     bad[4] = 0x84  # type 4 (VORBIS_COMMENT) first
     assert parse_flac_meta(bytes(bad)) is None
+
+
+# ------------------------------------------------- property-based (r5)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.binary(min_size=0, max_size=2000), codec=st.sampled_from(["gzip", "bz2", "xz"]))
+def test_compress_roundtrip_property(data, codec):
+    from specialsid_spark.operators.compress import compress_text, decompress_auto
+
+    assert decompress_auto(compress_text(data, codec)) == data
+
+
+_names = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd"), whitelist_characters="_-./"),
+    min_size=1,
+    max_size=40,
+).filter(lambda s: not s.startswith("/") and ".." not in s)
+
+
+@settings(max_examples=20, deadline=None)
+@given(entries=st.lists(st.tuples(_names, st.binary(max_size=600)), min_size=1, max_size=5, unique_by=lambda e: e[0]))
+def test_tar_zip_listing_roundtrip_property(entries):
+    from specialsid_spark.operators.compress import (
+        build_tar,
+        build_zip,
+        tar_entries,
+        zip_entries,
+    )
+
+    t = build_tar(entries)
+    got = tar_entries(t)
+    assert [(n, s) for n, _, s in got] == [(n, len(d)) for n, d in entries]
+    for (n, off, s), (_, d) in zip(got, entries):
+        assert t[off : off + s] == d
+    z = build_zip(entries)
+    assert zip_entries(z) == [(n, len(d), len(d)) for n, d in entries]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    recs=st.lists(
+        st.tuples(st.sampled_from(["request", "response", "metadata"]), st.binary(max_size=500)),
+        min_size=1,
+        max_size=4,
+    ),
+    gz=st.booleans(),
+)
+def test_warc_roundtrip_property(recs, gz):
+    from specialsid_spark.operators.compress import (
+        build_warc,
+        split_gzip_members,
+        warc_records,
+    )
+
+    full = [(t, f"http://t.test/{i}", p) for i, (t, p) in enumerate(recs)]
+    blob = build_warc(full, gz=gz)
+    if gz:
+        members = split_gzip_members(blob)
+        assert len(members) == len(full)
+        parsed = [warc_records(m)[0] for m in members]
+        for m, (t, u, off, ln), (wt, wu, wp) in zip(members, parsed, full):
+            assert (t, u) == (wt, wu) and m[off : off + ln] == wp
+    else:
+        parsed = warc_records(blob)
+        assert len(parsed) == len(full)
+        for (t, u, off, ln), (wt, wu, wp) in zip(parsed, full):
+            assert (t, u) == (wt, wu) and blob[off : off + ln] == wp
