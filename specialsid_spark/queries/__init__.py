@@ -59,6 +59,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_warc_crawl_extract",
     "mm_flac_meta",
     "mm_image_thumbnails",
+    "mm_html_text_extract",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

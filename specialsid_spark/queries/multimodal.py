@@ -729,6 +729,64 @@ def mm_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_html_text_extract",
+    # documents.text is verified single-spaced ASCII with no <>&, so
+    # the extracted body is restatable as trimmed substrings joined by
+    # single spaces; script/style junk, comments, and entities in the
+    # fixture HTML must all vanish or decode for the hash to pass.
+    oracle=f"""
+    SELECT doc_id,
+           concat_ws(' ', 'doc ' || doc_id || ' & more',
+                     nullif(trim(substr(text, 1, 60)), ''),
+                     nullif(trim(substr(text, 61, 120)), '')) AS body_text,
+           CAST(length(concat_ws(' ', 'doc ' || doc_id || ' & more',
+                     nullif(trim(substr(text, 1, 60)), ''),
+                     nullif(trim(substr(text, 61, 120)), ''))) AS INT) AS n_chars
+    FROM documents WHERE doc_id < {_N_CODEC_DOCS}
+    ORDER BY doc_id
+    """,
+)
+def mm_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5 — HTML body extraction, the step between WARC response
+    payloads and a text corpus: per doc, assemble an HTML page whose
+    title (with an &amp; entity), h1, and p carry the document's real
+    text, salted with <script>/<style> junk and comments, then run
+    sources/web.py html_to_text (stdlib parser walk: skip-subtree
+    handling, charref decoding, whitespace normalization) and emit the
+    recovered body verbatim."""
+    import pandas as pd
+
+    from specialsid_spark.sources.web import html_to_text
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                h1, p = text[:60], text[60:180]
+                html = (
+                    f"<html><head><title>doc {doc_id} &amp; more</title>"
+                    "<script>var junk = '<p>not text</p>';</script>"
+                    "<style>.x{{color:red}}</style></head>"
+                    f"<body><!-- comment stays hidden --><h1>{h1}</h1>"
+                    f"<noscript>also hidden</noscript><p>{p}</p></body></html>"
+                )
+                body = html_to_text(html)
+                out.append((doc_id, body, len(body)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "body_text", "n_chars"]
+            ).astype({"doc_id": "int64", "n_chars": "int32"})
+
+    return (
+        d.select("doc_id", "text")
+        .mapInPandas(fn, "doc_id long, body_text string, n_chars int")
+        .orderBy("doc_id")
+    )
+
+
 _WAV_N = 800  # PCM frames per fixture clip
 _WAV_FRAME = 256  # analysis frame length
 _WAV_RS_TO = 8000  # resample target rate (from 16000)

@@ -42,6 +42,46 @@ _TILE_RE = re.compile(
 )
 
 
+def html_to_text(html: str) -> str:
+    """General HTML→text extraction (r5) — the crawl-processing twin of
+    the reference-specific :func:`parse_catalogue_html`: stdlib
+    html.parser walk that drops <script>/<style>/<template>/<noscript>
+    subtrees and comments, decodes character references, strips each
+    text node, and joins non-empty nodes with single spaces.  This is
+    the boilerplate-light body extraction a Common Crawl → LLM-corpus
+    pipeline applies to every WARC response payload (see
+    mm_html_text_extract / mm_warc_crawl_extract)."""
+    from html.parser import HTMLParser
+
+    class _Extract(HTMLParser):
+        _SKIP = {"script", "style", "template", "noscript"}
+
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.parts: list[str] = []
+            self._skip_depth = 0
+
+        def handle_starttag(self, tag: str, attrs) -> None:
+            if tag in self._SKIP:
+                self._skip_depth += 1
+
+        def handle_endtag(self, tag: str) -> None:
+            if tag in self._SKIP and self._skip_depth:
+                self._skip_depth -= 1
+
+        def handle_data(self, data: str) -> None:
+            if self._skip_depth:
+                return
+            t = " ".join(data.split())  # collapse internal whitespace
+            if t:
+                self.parts.append(t)
+
+    p = _Extract()
+    p.feed(html)
+    p.close()
+    return " ".join(p.parts)
+
+
 def parse_catalogue_html(html: str) -> list[tuple[str, str, str]]:
     """Pure DOM extraction: per-tile (province, date_text, href).
     Mirrors the query_selector_all walk (ref pnpscr.py:10-67)."""

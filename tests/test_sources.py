@@ -115,3 +115,23 @@ def test_mock_backend_counts():
     prods = MockVisionBackend("m").extract(b"some image bytes")
     assert 1 <= len(prods) <= 3
     assert all("product_name" in p for p in prods)
+
+
+def test_html_to_text_extraction():
+    """r5 crawl-processing op: script/style/noscript subtrees and
+    comments vanish, entities decode, whitespace normalizes."""
+    from specialsid_spark.sources.web import html_to_text
+
+    html = (
+        "<html><head><title>T &amp; U</title>"
+        "<script>var x = '<p>fake</p>';</script>"
+        "<style>.a{color:red}</style></head>"
+        "<body><!-- no --><h1>  Hello\n  world </h1>"
+        "<noscript>hidden</noscript>"
+        "<p>a &lt;tag&gt; &#65; end</p></body></html>"
+    )
+    assert html_to_text(html) == "T & U Hello world a <tag> A end"
+    # nested skip tags and unclosed markup degrade gracefully
+    assert html_to_text("<script><style>x</style></script>ok") == "ok"
+    assert html_to_text("plain, no tags") == "plain, no tags"
+    assert html_to_text("") == ""
