@@ -60,6 +60,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_flac_meta",
     "mm_image_thumbnails",
     "mm_html_text_extract",
+    "pipeline_crawl_to_corpus",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

@@ -787,6 +787,100 @@ def mm_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_crawl_to_corpus",
+    # The flagship crawl-ingest chain: every stage's output is
+    # derivable from documents.text, so one SQL expression restates
+    # the whole .warc.gz → gzip members → WARC framing → HTTP body →
+    # HTML extraction → token stats dataflow.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    body AS (
+      SELECT doc_id,
+             concat_ws(' ', 'doc ' || doc_id,
+                       nullif(trim(substr(text, 1, 80)), ''),
+                       nullif(trim(substr(text, 81, 160)), '')) AS b
+      FROM docs
+    )
+    SELECT doc_id,
+           'http://crawl.test/page/' || doc_id AS uri,
+           CAST(length(b) AS INT) AS n_chars,
+           CAST(len(regexp_split_to_array(b, '\\s+')) AS INT) AS n_tokens,
+           md5(b) AS body_md5
+    FROM body
+    ORDER BY doc_id
+    """,
+)
+def pipeline_crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5 FLAGSHIP ingest chain — what a Common Crawl consumer runs at
+    100 TB, end-to-end in one dataflow: per doc, write a
+    production-layout .warc.gz whose response carries an HTML page
+    built from the document's real text (plus script/style/comment
+    boilerplate), then: split per-record gzip members → parse WARC
+    framing → strip the HTTP header block → extract the HTML body
+    (html_to_text) → compute corpus stats (chars, whitespace tokens,
+    content hash).  Every byte of every stage is oracle-restated from
+    documents.text.
+
+    Scale shape: the whole chain is ONE per-row-independent
+    mapInPandas (members never leave the task that read them); the
+    token/hash stats are computed in the same pass; the only shuffle
+    is the final sort."""
+    import pandas as pd
+
+    from specialsid_spark.operators.compress import (
+        build_warc,
+        split_gzip_members,
+        warc_records,
+    )
+    from specialsid_spark.sources.web import html_to_text
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                uri = f"http://crawl.test/page/{doc_id}"
+                html = (
+                    f"<html><head><title>doc {doc_id}</title>"
+                    "<script>nope('<h1>fake</h1>');</script></head>"
+                    f"<body><!-- x --><h1>{text[:80]}</h1>"
+                    f"<style>.b{{}}</style><p>{text[80:240]}</p></body></html>"
+                )
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + html.encode("utf-8")
+                )
+                wgz = build_warc(
+                    [("request", uri, b"GET / HTTP/1.1\r\n\r\n"),
+                     ("response", uri, http)],
+                    gz=True,
+                )
+                for member in split_gzip_members(wgz):
+                    for rtype, ruri, off, ln in warc_records(member):
+                        if rtype != "response":
+                            continue
+                        payload = member[off : off + ln]
+                        body = html_to_text(
+                            payload.split(b"\r\n\r\n", 1)[1].decode("utf-8")
+                        )
+                        out.append(
+                            (doc_id, ruri, len(body),
+                             len(body.split()),
+                             hashlib.md5(body.encode()).hexdigest())
+                        )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "uri", "n_chars", "n_tokens", "body_md5"]
+            ).astype({"doc_id": "int64", "n_chars": "int32", "n_tokens": "int32"})
+
+    schema = "doc_id long, uri string, n_chars int, n_tokens int, body_md5 string"
+    return d.select("doc_id", "text").mapInPandas(fn, schema).orderBy("doc_id")
+
+
 _WAV_N = 800  # PCM frames per fixture clip
 _WAV_FRAME = 256  # analysis frame length
 _WAV_RS_TO = 8000  # resample target rate (from 16000)
