@@ -1,0 +1,521 @@
+"""FLAC audio codec — from-scratch encode/decode, stdlib + numpy only
+(SURVEY.md §2.11 X3: multimodal columns; closes the "FLAC sample
+decode" edge left documented-as-degrade in r4/r5: operators/audio.py
+previously returned None for every compressed format except
+IMA-ADPCM).
+
+FLAC is the one *losslessly* compressed audio format in the corpus
+triad (MP3/MP4 stay metadata-only — lossy sample decode needs a
+filterbank and cannot be byte-exactly restated cross-engine), which is
+exactly what makes it oracle-able: decode(encode(x)) == x bit-for-bit,
+so a DuckDB oracle can restate the *samples themselves* from the
+fixture formula without restating the codec.
+
+Implemented surface (FLAC format spec, implemented from the public
+bitstream description — no reference code exists for this;
+the reference repo pipes audio to external services and has no codec):
+
+* frame header: fixed-blocksize strategy, UTF-8 frame numbers, 16-bit
+  blocksize-at-end encoding, CRC-8 (poly 0x07) verified on decode;
+* subframes: CONSTANT, VERBATIM, FIXED orders 0-4, LPC any order
+  (decode side), wasted-bits unary prefix;
+* residual: Rice method 0 (4-bit params) and 1 (5-bit), any partition
+  order, escape-to-raw partitions;
+* stereo decorrelation: independent, left/side, right/side, mid/side
+  (side channel carries bits+1, the spec's extra bit);
+* frame footer CRC-16 (poly 0x8005) verified on decode.
+
+The encoder emits FIXED subframes (best of orders 0-2 by exact coded
+size), single-partition Rice, and any of the four channel modes — a
+real compressor: the roundtrip test measures actual compression on
+smooth signals.  Scale shape: like every codec here, callers run it
+per-row inside mapInPandas — embarrassingly parallel, no shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from specialsid_spark.operators.media_meta import parse_flac_meta
+
+# ------------------------------------------------------------------ CRC
+
+_CRC8_TBL = []
+for _b in range(256):
+    _c = _b
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x07) & 0xFF if _c & 0x80 else (_c << 1) & 0xFF
+    _CRC8_TBL.append(_c)
+
+_CRC16_TBL = []
+for _b in range(256):
+    _c = _b << 8
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x8005) & 0xFFFF if _c & 0x8000 else (_c << 1) & 0xFFFF
+    _CRC16_TBL.append(_c)
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _CRC8_TBL[c ^ b]
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = ((c << 8) & 0xFFFF) ^ _CRC16_TBL[(c >> 8) ^ b]
+    return c
+
+
+# ------------------------------------------------------------ bit I/O
+
+
+class _BitWriter:
+    """MSB-first bit accumulator."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            self.out.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def write_unary(self, q: int) -> None:
+        """FLAC unary: q zero-bits terminated by a one-bit."""
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+    def bit_length(self) -> int:
+        return len(self.out) * 8 + self.n
+
+
+class _BitReader:
+    """MSB-first reader with a cached int buffer (chunked refills, the
+    same discipline that made the JPEG decoder fast)."""
+
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos  # byte position of next refill
+        self.acc = 0
+        self.n = 0
+
+    def _refill(self, need: int) -> None:
+        while self.n < need:
+            chunk = self.data[self.pos : self.pos + 8]
+            if not chunk:
+                raise EOFError("flac bitstream exhausted")
+            self.acc = (self.acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+            self.n += 8 * len(chunk)
+            self.pos += len(chunk)
+
+    def read(self, nbits: int) -> int:
+        if nbits == 0:
+            return 0
+        self._refill(nbits)
+        self.n -= nbits
+        v = self.acc >> self.n
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        return v - (1 << nbits) if v >> (nbits - 1) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while True:
+            if self.n == 0:
+                self._refill(1)
+            if self.acc == 0:  # all remaining buffered bits are zeros
+                q += self.n
+                self.n = 0
+                continue
+            top = self.acc.bit_length()
+            q += self.n - top
+            self.n = top - 1  # consume zeros AND the terminating 1
+            self.acc &= (1 << self.n) - 1
+            return q
+
+    def byte_pos(self) -> int:
+        """Byte offset of the next unread bit (requires alignment)."""
+        return self.pos - self.n // 8
+
+    def align(self) -> None:
+        self.n -= self.n % 8
+        self.acc &= (1 << self.n) - 1
+
+
+# -------------------------------------------------------- frame pieces
+
+_SIZE_CODE = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
+_CODE_SIZE = {v: k for k, v in _SIZE_CODE.items()}
+
+
+def _utf8_number(n: int) -> bytes:
+    """FLAC's extended UTF-8 coding for frame/sample numbers."""
+    if n < 0x80:
+        return bytes([n])
+    for nbytes, limit in ((2, 11), (3, 16), (4, 21), (5, 26), (6, 31), (7, 36)):
+        if n < (1 << limit):
+            lead = (0xFF << (8 - nbytes)) & 0xFF if nbytes < 7 else 0xFE
+            shift = 6 * (nbytes - 1)
+            out = [lead | (n >> shift)]
+            for i in range(nbytes - 1):
+                shift -= 6
+                out.append(0x80 | ((n >> shift) & 0x3F))
+            return bytes(out)
+    raise ValueError("frame number too large")
+
+
+def _read_utf8_number(r: _BitReader) -> int:
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 2 or nbytes > 7:
+        raise ValueError("bad utf8 frame number")
+    v = b0 & (mask - 1)
+    for _ in range(nbytes - 1):
+        c = r.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("bad utf8 continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _fold(r: np.ndarray) -> np.ndarray:
+    """Zigzag residual→unsigned (v>=0 → 2v, v<0 → -2v-1)."""
+    r = r.astype(np.int64)
+    return np.where(r >= 0, r << 1, (-r << 1) - 1)
+
+
+def _best_rice_param(u: np.ndarray) -> tuple[int, int]:
+    """(param, total_bits) minimizing quotient-unary + param bits."""
+    best_p, best_bits = 0, None
+    for p in range(15):
+        bits = int(np.sum(u >> p)) + len(u) * (p + 1)
+        if best_bits is None or bits < best_bits:
+            best_p, best_bits = p, bits
+    return best_p, best_bits
+
+
+def _write_residual(w: _BitWriter, resid: np.ndarray) -> None:
+    """Rice method 0, partition order 0, one param for the frame."""
+    u = _fold(resid)
+    p, _ = _best_rice_param(u)
+    w.write(0, 2)  # method 0: 4-bit rice params
+    w.write(0, 4)  # partition order 0
+    w.write(p, 4)
+    for v in u.tolist():
+        w.write_unary(int(v) >> p)
+        if p:
+            w.write(int(v) & ((1 << p) - 1), p)
+
+
+def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
+    return np.diff(x.astype(np.int64), n=order) if order else x.astype(np.int64)
+
+
+def _write_subframe(w: _BitWriter, x: np.ndarray, bps: int) -> None:
+    """CONSTANT when flat, else best FIXED of orders 0-2 by exact
+    Rice-coded size."""
+    x = x.astype(np.int64)
+    w.write(0, 1)  # zero pad
+    if len(x) and np.all(x == x[0]):
+        w.write(0, 6)  # CONSTANT
+        w.write(0, 1)  # no wasted bits
+        w.write(int(x[0]), bps)
+        return
+    best = None
+    for order in range(0, 3):
+        if len(x) <= order:
+            continue
+        r = _fixed_residual(x, order)
+        _, bits = _best_rice_param(_fold(r))
+        cost = bits + order * bps
+        if best is None or cost < best[2]:
+            best = (order, r, cost)
+    order, resid, _ = best
+    w.write(0x08 | order, 6)  # FIXED, order
+    w.write(0, 1)  # no wasted bits
+    for v in x[:order].tolist():
+        w.write(int(v), bps)
+    _write_residual(w, resid)
+
+
+def encode_flac(
+    rate: int,
+    samples: np.ndarray,
+    block_size: int = 4096,
+    bits: int = 16,
+    stereo_mode: str = "independent",
+) -> bytes:
+    """Encode int samples ([n] mono or [n, 2] stereo) to a real FLAC
+    stream: STREAMINFO + fixed-blocksize frames, FIXED subframes,
+    single-partition Rice.  ``stereo_mode`` ∈ independent | left_side |
+    right_side | mid_side selects the decorrelation (spec channel
+    assignments 8/9/10; side channel written at bits+1)."""
+    x = np.asarray(samples, dtype=np.int64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, nch = x.shape
+    if nch == 1:
+        stereo_mode = "independent"
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    if x.min() < lo or x.max() > hi:
+        raise ValueError("samples exceed bits_per_sample range")
+    from specialsid_spark.operators.media_meta import build_flac_meta
+
+    head = build_flac_meta(rate, nch, bits, n)
+    out = bytearray(head)
+    chan_assign = {"independent": nch - 1, "left_side": 8,
+                   "right_side": 9, "mid_side": 10}[stereo_mode]
+    for frame_no, off in enumerate(range(0, n, block_size)):
+        blk = x[off : off + block_size]
+        bs = blk.shape[0]
+        hdr = bytearray()
+        w = _BitWriter()
+        w.write(0b11111111111110, 14)  # sync
+        w.write(0, 1)  # reserved
+        w.write(0, 1)  # fixed-blocksize strategy
+        w.write(0b0111, 4)  # blocksize: 16 bits at end
+        w.write(0, 4)  # rate: from STREAMINFO
+        w.write(chan_assign, 4)
+        w.write(_SIZE_CODE[bits], 3)
+        w.write(0, 1)  # reserved
+        hdr += w.out
+        hdr += _utf8_number(frame_no)
+        hdr += struct.pack(">H", bs - 1)
+        hdr.append(_crc8(bytes(hdr)))
+        fw = _BitWriter()
+        fw.out = bytearray(hdr)
+        if stereo_mode == "independent":
+            for c in range(nch):
+                _write_subframe(fw, blk[:, c], bps=bits)
+        else:
+            left, right = blk[:, 0], blk[:, 1]
+            side = left - right
+            if stereo_mode == "left_side":
+                _write_subframe(fw, left, bps=bits)
+                _write_subframe(fw, side, bps=bits + 1)
+            elif stereo_mode == "right_side":
+                _write_subframe(fw, side, bps=bits + 1)
+                _write_subframe(fw, right, bps=bits)
+            else:  # mid_side
+                mid = (left + right) >> 1
+                _write_subframe(fw, mid, bps=bits)
+                _write_subframe(fw, side, bps=bits + 1)
+        fw.align()
+        frame = bytes(fw.out)
+        out += frame + struct.pack(">H", _crc16(frame))
+    return bytes(out)
+
+
+# ------------------------------------------------------------- decode
+
+
+def _read_residual(r: _BitReader, bs: int, order: int) -> np.ndarray:
+    method = r.read(2)
+    if method > 1:
+        raise ValueError("reserved residual method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    part_order = r.read(4)
+    nparts = 1 << part_order
+    if bs % nparts:
+        raise ValueError("blocksize not divisible by partitions")
+    out = np.empty(bs - order, dtype=np.int64)
+    w = 0
+    for part in range(nparts):
+        cnt = bs // nparts - (order if part == 0 else 0)
+        p = r.read(pbits)
+        if p == escape:
+            raw = r.read(5)
+            for i in range(cnt):
+                out[w + i] = r.read_signed(raw) if raw else 0
+        else:
+            for i in range(cnt):
+                q = r.read_unary()
+                u = (q << p) | r.read(p) if p else q
+                out[w + i] = (u >> 1) if not (u & 1) else -((u + 1) >> 1)
+        w += cnt
+    return out
+
+
+def _restore_fixed(warmup: np.ndarray, resid: np.ndarray, order: int) -> np.ndarray:
+    """Integrate the order-k difference sequence back to samples —
+    k cumsums (numpy), not a per-sample Python loop."""
+    if order == 0:
+        return resid.copy()
+    seeds = []
+    arr = warmup.astype(np.int64)
+    for _ in range(order):
+        seeds.append(int(arr[-1]))
+        arr = np.diff(arr)
+    seq = resid.astype(np.int64)
+    for o in range(order - 1, -1, -1):
+        seq = seeds[o] + np.cumsum(seq)
+    return np.concatenate([warmup.astype(np.int64), seq])
+
+
+def _read_subframe(r: _BitReader, bs: int, bps: int) -> np.ndarray:
+    if r.read(1):
+        raise ValueError("subframe pad bit set")
+    t = r.read(6)
+    wasted = 0
+    if r.read(1):  # wasted-bits flag: unary(k-1)
+        wasted = r.read_unary() + 1
+        bps -= wasted
+    if t == 0:  # CONSTANT
+        x = np.full(bs, r.read_signed(bps), dtype=np.int64)
+    elif t == 1:  # VERBATIM
+        x = np.array([r.read_signed(bps) for _ in range(bs)], dtype=np.int64)
+    elif 8 <= t <= 12:  # FIXED order t-8
+        order = t - 8
+        warm = np.array([r.read_signed(bps) for _ in range(order)], dtype=np.int64)
+        resid = _read_residual(r, bs, order)
+        x = _restore_fixed(warm, resid, order)
+    elif t >= 32:  # LPC order (t & 31) + 1
+        order = (t & 31) + 1
+        warm = [r.read_signed(bps) for _ in range(order)]
+        prec = r.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid qlp precision")
+        shift = r.read_signed(5)
+        coefs = [r.read_signed(prec) for _ in range(order)]
+        resid = _read_residual(r, bs, order)
+        x = np.empty(bs, dtype=np.int64)
+        x[:order] = warm
+        for i in range(order, bs):
+            acc = 0
+            for j in range(order):
+                acc += coefs[j] * int(x[i - 1 - j])
+            x[i] = int(resid[i - order]) + (acc >> shift)
+    else:
+        raise ValueError("reserved subframe type")
+    return x << wasted if wasted else x
+
+
+_BS_FIXED = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+             8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+             13: 8192, 14: 16384, 15: 32768}
+
+
+def decode_flac(blob: bytes) -> tuple[int, int, np.ndarray] | None:
+    """(sample_rate, n_channels, samples[frames, ch] int32) for a FLAC
+    stream, or None when the payload is not FLAC / uses a reserved
+    feature / fails a CRC.  Lossless: output equals the encoder input
+    exactly — the property the oracle leans on."""
+    meta = parse_flac_meta(blob)
+    if meta is None:
+        return None
+    rate, nch, bits, total = meta
+    # skip metadata blocks to the first frame
+    pos = 4
+    while pos + 4 <= len(blob):
+        hdr = blob[pos : pos + 4]
+        last = hdr[0] & 0x80
+        pos += 4 + int.from_bytes(hdr[1:4], "big")
+        if last:
+            break
+    try:
+        chans: list[np.ndarray] = []
+        while pos + 2 <= len(blob):
+            if total and chans and chans[0].shape[0] >= total:
+                break
+            r = _BitReader(blob, pos)
+            sync = r.read(14)
+            if sync != 0b11111111111110:
+                return None
+            r.read(1)  # reserved
+            r.read(1)  # blocking strategy (frame numbers either way)
+            bs_code = r.read(4)
+            rate_code = r.read(4)
+            chan_assign = r.read(4)
+            size_code = r.read(3)
+            r.read(1)  # reserved
+            _read_utf8_number(r)
+            if bs_code == 6:
+                bs = r.read(8) + 1
+            elif bs_code == 7:
+                bs = r.read(16) + 1
+            elif bs_code in _BS_FIXED:
+                bs = _BS_FIXED[bs_code]
+            else:
+                return None
+            if rate_code == 12:
+                r.read(8)
+            elif rate_code in (13, 14):
+                r.read(16)
+            hdr_end = r.byte_pos()
+            crc = r.read(8)
+            if _crc8(blob[pos:hdr_end]) != crc:
+                return None
+            bps = _CODE_SIZE.get(size_code, bits) if size_code else bits
+            if chan_assign < 8:
+                fn = chan_assign + 1
+                subs = [_read_subframe(r, bs, bps) for _ in range(fn)]
+            elif chan_assign == 8:  # left/side
+                left = _read_subframe(r, bs, bps)
+                side = _read_subframe(r, bs, bps + 1)
+                subs = [left, left - side]
+            elif chan_assign == 9:  # right/side
+                side = _read_subframe(r, bs, bps + 1)
+                right = _read_subframe(r, bs, bps)
+                subs = [side + right, right]
+            elif chan_assign == 10:  # mid/side
+                mid = _read_subframe(r, bs, bps)
+                side = _read_subframe(r, bs, bps + 1)
+                m2 = (mid << 1) | (side & 1)
+                subs = [(m2 + side) >> 1, (m2 - side) >> 1]
+            else:
+                return None
+            if len(subs) != nch:
+                return None
+            r.align()
+            frame_end = r.byte_pos()
+            if frame_end + 2 > len(blob):
+                return None
+            crc16 = struct.unpack(">H", blob[frame_end : frame_end + 2])[0]
+            if _crc16(blob[pos:frame_end]) != crc16:
+                return None
+            if not chans:
+                chans = [s for s in subs]
+            else:
+                chans = [np.concatenate([c, s]) for c, s in zip(chans, subs)]
+            pos = frame_end + 2
+            if total and chans[0].shape[0] >= total:
+                break
+    except (EOFError, ValueError):
+        return None
+    if not chans:
+        return None
+    n = chans[0].shape[0]
+    if total:
+        n = min(n, total)
+    arr = np.empty((n, nch), dtype=np.int32)
+    for c in range(nch):
+        arr[:, c] = chans[c][:n]
+    return rate, nch, arr

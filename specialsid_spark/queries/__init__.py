@@ -61,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_image_thumbnails",
     "mm_html_text_extract",
     "pipeline_crawl_to_corpus",
+    "mm_flac_roundtrip",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

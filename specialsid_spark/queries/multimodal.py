@@ -672,6 +672,94 @@ def mm_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_flac_roundtrip",
+    # FLAC is lossless, so the oracle restates the decoded SAMPLES from
+    # the fixture formula — any defect anywhere in the codec (rice,
+    # fixed predictors, CRC, stereo decorrelation) changes the decoded
+    # values and fails the hash.  doc_id % 4 cycles all four channel
+    # assignments, so every decorrelation mode is driver-checked.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    idx AS (SELECT doc_id, unnest(range(0, 600 + (doc_id % 5) * 37)) AS i
+            FROM docs),
+    s AS (SELECT doc_id, i,
+            ((doc_id * 37 + i * 11) % 201) - 100 AS l,
+            ((doc_id * 13 + i * 7) % 101) - 50 AS r
+          FROM idx)
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+           CAST(count(*) AS INT) AS n_samples,
+           (['independent', 'left_side', 'right_side', 'mid_side'])
+             [doc_id % 4 + 1] AS mode,
+           CAST(sum(l * l) AS BIGINT) AS energy_l,
+           CAST(sum(r * r) AS BIGINT) AS energy_r,
+           CAST(sum((l - r) * (i + 1)) AS BIGINT) AS wsum
+    FROM s GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def mm_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5 — FLAC SAMPLE decode (closing the compressed-lossless-audio
+    stub): per doc, synthesize a stereo clip from doc-id arithmetic,
+    encode it to a real FLAC stream (fixed predictors + Rice,
+    operators/flac.py), decode it back, VERIFY losslessness in-kernel
+    (raises on any mismatch — no silent degrade for our own bytes),
+    and emit per-channel energy + a cross-channel weighted sum from the
+    DECODED samples.  doc_id % 4 cycles independent / left-side /
+    right-side / mid-side so all four spec channel assignments are
+    exercised under the driver hash.  Scale shape: per-row-independent
+    mapInPandas; the only shuffle is the final sort."""
+    import pandas as pd
+
+    from specialsid_spark.operators.flac import decode_flac, encode_flac
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+    modes = ("independent", "left_side", "right_side", "mid_side")
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 600 + (doc_id % 5) * 37
+                i = np.arange(n, dtype=np.int64)
+                left = (doc_id * 37 + i * 11) % 201 - 100
+                right = (doc_id * 13 + i * 7) % 101 - 50
+                rate = 8000 + (doc_id % 3) * 4000
+                mode = modes[doc_id % 4]
+                blob = encode_flac(
+                    rate, np.stack([left, right], axis=1),
+                    block_size=256, stereo_mode=mode,
+                )
+                got = decode_flac(blob)
+                if got is None:
+                    raise ValueError(f"flac decode failed for doc {doc_id}")
+                drate, nch, s = got
+                if drate != rate or nch != 2 or not (
+                    np.array_equal(s[:, 0], left) and np.array_equal(s[:, 1], right)
+                ):
+                    raise ValueError(f"flac roundtrip mismatch for doc {doc_id}")
+                out.append((
+                    doc_id, rate, n, mode,
+                    int(np.sum(s[:, 0].astype(np.int64) ** 2)),
+                    int(np.sum(s[:, 1].astype(np.int64) ** 2)),
+                    int(np.sum((s[:, 0].astype(np.int64) - s[:, 1]) * (i + 1))),
+                ))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "sample_rate", "n_samples", "mode",
+                         "energy_l", "energy_r", "wsum"],
+            ).astype({"doc_id": "int64", "sample_rate": "int32",
+                      "n_samples": "int32", "energy_l": "int64",
+                      "energy_r": "int64", "wsum": "int64"})
+
+    schema = ("doc_id long, sample_rate int, n_samples int, mode string,"
+              " energy_l long, energy_r long, wsum long")
+    return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")
+
+
+@register(
     "mm_image_thumbnails",
     # 32×24 uniform-8×8-block JPEG → 4×3 box-filter thumb: each output
     # pixel covers exactly one block, whose mean IS the block value, so

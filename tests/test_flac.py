@@ -1,0 +1,215 @@
+"""FLAC codec tests — roundtrip property, decorrelation modes, CRC
+guards, and hand-built frames covering decoder paths the encoder never
+emits (LPC, Rice method 1, partition orders, escape partitions,
+wasted bits, VERBATIM)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from specialsid_spark.operators.flac import (
+    _BitWriter,
+    _crc8,
+    _crc16,
+    _utf8_number,
+    decode_flac,
+    encode_flac,
+)
+from specialsid_spark.operators.media_meta import build_flac_meta
+
+
+def test_mono_roundtrip_multiblock():
+    rng = np.random.default_rng(1)
+    x = (np.cumsum(rng.integers(-40, 41, 3000)) % 5000 - 2500).astype(np.int64)
+    blob = encode_flac(16000, x, block_size=512)
+    rate, nch, s = decode_flac(blob)
+    assert (rate, nch) == (16000, 1)
+    assert np.array_equal(s[:, 0], x)
+    # it actually compresses a smooth signal
+    assert len(blob) < 2 * len(x)
+
+
+@pytest.mark.parametrize(
+    "mode", ["independent", "left_side", "right_side", "mid_side"]
+)
+def test_stereo_modes_lossless(mode):
+    rng = np.random.default_rng(2)
+    left = (np.cumsum(rng.integers(-30, 31, 1500)) % 4000 - 2000).astype(np.int64)
+    right = left + rng.integers(-64, 65, 1500)
+    st2 = np.stack([left, right], axis=1)
+    rate, nch, s = decode_flac(encode_flac(44100, st2, block_size=333, stereo_mode=mode))
+    assert nch == 2
+    assert np.array_equal(s, st2)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+    st.sampled_from([64, 100, 4096]),
+)
+def test_roundtrip_property(vals, bs):
+    x = np.array(vals, dtype=np.int64)
+    rate, nch, s = decode_flac(encode_flac(8000, x, block_size=bs))
+    assert np.array_equal(s[:, 0], x)
+
+
+def test_constant_and_edges():
+    for xs in ([7] * 200, [0], [-32768, 32767] * 5):
+        a = np.array(xs)
+        _, _, s = decode_flac(encode_flac(8000, a, block_size=64))
+        assert np.array_equal(s[:, 0], a)
+
+
+def test_crc_corruption_returns_none():
+    x = np.arange(500) % 97 - 48
+    blob = bytearray(encode_flac(8000, x, block_size=256))
+    blob[-30] ^= 0x40  # frame body: CRC-16 must catch it
+    assert decode_flac(bytes(blob)) is None
+
+
+def test_non_flac_returns_none():
+    assert decode_flac(b"RIFF....WAVE") is None
+    assert decode_flac(b"") is None
+    assert decode_flac(b"fLaC\x00\x00\x00\x01\x00") is None
+
+
+# --------------------------------------------------- hand-built frames
+
+
+def _frame_header(bs: int, chan_assign: int = 0, size_code: int = 4) -> bytearray:
+    w = _BitWriter()
+    w.write(0b11111111111110, 14)
+    w.write(0, 2)
+    w.write(0b0111, 4)  # 16-bit blocksize at end
+    w.write(0, 4)  # rate from STREAMINFO
+    w.write(chan_assign, 4)
+    w.write(size_code, 3)
+    w.write(0, 1)
+    hdr = bytearray(w.out)
+    hdr += _utf8_number(0)
+    hdr += struct.pack(">H", bs - 1)
+    hdr.append(_crc8(bytes(hdr)))
+    return hdr
+
+
+def _finish_frame(fw: _BitWriter) -> bytes:
+    fw.align()
+    frame = bytes(fw.out)
+    return frame + struct.pack(">H", _crc16(frame))
+
+
+def _rice_write(fw, resid, p, pbits=4):
+    for v in resid:
+        u = (v << 1) if v >= 0 else ((-v) << 1) - 1
+        fw.write_unary(u >> p)
+        if p:
+            fw.write(u & ((1 << p) - 1), p)
+
+
+def test_decode_verbatim_subframe():
+    bs = 16
+    xs = list(range(-8, 8))
+    fw = _BitWriter()
+    fw.out = _frame_header(bs)
+    fw.write(0, 1)
+    fw.write(1, 6)  # VERBATIM
+    fw.write(0, 1)
+    for v in xs:
+        fw.write(v & 0xFFFF, 16)
+    blob = build_flac_meta(8000, 1, 16, bs) + _finish_frame(fw)
+    _, _, s = decode_flac(blob)
+    assert s[:, 0].tolist() == xs
+
+
+def test_decode_rice_method1_and_partitions():
+    """FIXED order 1 with 5-bit rice params and partition order 2."""
+    bs = 16
+    x = np.array([3 * i + (i % 3) for i in range(bs)], dtype=np.int64)
+    resid = np.diff(x)
+    fw = _BitWriter()
+    fw.out = _frame_header(bs)
+    fw.write(0, 1)
+    fw.write(0x08 | 1, 6)  # FIXED order 1
+    fw.write(0, 1)
+    fw.write(int(x[0]) & 0xFFFF, 16)  # warmup
+    fw.write(1, 2)  # residual method 1: 5-bit params
+    fw.write(2, 4)  # partition order 2 -> 4 partitions of 4
+    w = 0
+    for part in range(4):
+        cnt = 4 - (1 if part == 0 else 0)
+        fw.write(1, 5)  # param 1
+        _rice_write(fw, resid[w : w + cnt].tolist(), 1, pbits=5)
+        w += cnt
+    blob = build_flac_meta(8000, 1, 16, bs) + _finish_frame(fw)
+    _, _, s = decode_flac(blob)
+    assert np.array_equal(s[:, 0], x)
+
+
+def test_decode_escape_partition():
+    """Escape code (param 0b1111) -> raw n-bit residuals."""
+    bs = 8
+    x = np.array([1000, -2000, 3000, -4000, 5000, -6000, 7000, -8000])
+    fw = _BitWriter()
+    fw.out = _frame_header(bs)
+    fw.write(0, 1)
+    fw.write(0x08 | 0, 6)  # FIXED order 0 (residual = samples)
+    fw.write(0, 1)
+    fw.write(0, 2)  # method 0
+    fw.write(0, 4)  # partition order 0
+    fw.write(0xF, 4)  # escape
+    fw.write(14, 5)  # 14-bit raw
+    for v in x.tolist():
+        fw.write(v & 0x3FFF, 14)
+    blob = build_flac_meta(8000, 1, 16, bs) + _finish_frame(fw)
+    _, _, s = decode_flac(blob)
+    assert np.array_equal(s[:, 0], x)
+
+
+def test_decode_wasted_bits():
+    """Samples all divisible by 4 stored with 2 wasted bits."""
+    bs = 8
+    x = np.array([4, 8, -12, 16, 20, -24, 28, 32])
+    shifted = x >> 2
+    fw = _BitWriter()
+    fw.out = _frame_header(bs)
+    fw.write(0, 1)
+    fw.write(1, 6)  # VERBATIM at bps-2
+    fw.write(1, 1)  # wasted-bits flag
+    fw.write_unary(1)  # k-1 = 1 -> 2 wasted bits
+    for v in shifted.tolist():
+        fw.write(v & 0x3FFF, 14)
+    blob = build_flac_meta(8000, 1, 16, bs) + _finish_frame(fw)
+    _, _, s = decode_flac(blob)
+    assert np.array_equal(s[:, 0], x)
+
+
+def test_decode_lpc_subframe():
+    """Order-2 LPC: coeffs (2, -1) shift 0 == the FIXED order-2
+    predictor, so the expected samples are directly derivable."""
+    bs = 12
+    x = np.array([i * i % 50 - 25 for i in range(bs)], dtype=np.int64)
+    resid = x[2:] - (2 * x[1:-1] - x[:-2])
+    fw = _BitWriter()
+    fw.out = _frame_header(bs)
+    fw.write(0, 1)
+    fw.write(0x20 | (2 - 1), 6)  # LPC order 2
+    fw.write(0, 1)
+    for v in x[:2].tolist():
+        fw.write(v & 0xFFFF, 16)
+    fw.write(4 - 1, 4)  # qlp precision 4
+    fw.write(0, 5)  # shift 0
+    fw.write(2 & 0xF, 4)  # coeff a1 = 2
+    fw.write(-1 & 0xF, 4)  # coeff a2 = -1
+    fw.write(0, 2)
+    fw.write(0, 4)
+    p = 2
+    fw.write(p, 4)
+    _rice_write(fw, resid.tolist(), p)
+    blob = build_flac_meta(8000, 1, 16, bs) + _finish_frame(fw)
+    _, _, s = decode_flac(blob)
+    assert np.array_equal(s[:, 0], x)
