@@ -17,9 +17,11 @@ Scope: PCM integer WAV (16-bit the common case, 8-bit unsigned
 supported) AND — r5, VERDICT #3 — IMA/DVI ADPCM (format tag 0x0011,
 the classic 4-bit compressed WAV): :func:`decode_wav` dispatches to
 the block decoder, and :func:`encode_wav_ima` writes real compressed
-fixtures.  Remaining compressed codecs (MP3/AAC/FLAC) return None and
-callers fall back — same degrade-loudly discipline as the image
-stack.
+fixtures.  r5 extension: G.711 A-law/µ-law (format tags 6/7,
+closed-form expansion, SQL-restatable) via :func:`decode_wav_g711`;
+FLAC sample decode lives in operators/flac.py.  Remaining compressed
+codecs (MP3/AAC) return None and callers fall back — same
+degrade-loudly discipline as the image stack.
 """
 
 from __future__ import annotations
@@ -66,7 +68,8 @@ def decode_wav(blob: bytes) -> tuple[int, int, np.ndarray] | None:
     (r5) mono/stereo IMA-ADPCM via :func:`decode_wav_ima`."""
     meta = parse_wav_meta(blob)
     if meta is None:
-        return decode_wav_ima(blob)  # non-PCM: the one compressed case we decode
+        out = decode_wav_ima(blob)  # non-PCM: ADPCM first, then G.711
+        return out if out is not None else decode_wav_g711(blob)
     nch, rate, bits, n_frames = meta
     if bits not in (8, 16):
         return None
@@ -236,6 +239,65 @@ def encode_wav_ima(rate: int, samples: np.ndarray, block_align: int = 256) -> by
         "<I", 4 + 8 + len(fmt) + len(fact) + 8 + len(data)
     ) + b"WAVE"
     return hdr + b"fmt " + struct.pack("<I", len(fmt)) + fmt + fact + b"data" + struct.pack("<I", len(data)) + data
+
+
+# ------------------------------------------------------- G.711 a/µ-law
+#
+# Telephony companding (WAV format tags 6 = A-law, 7 = µ-law): 8 bits
+# per sample, a closed-form piecewise-exponential decode — which makes
+# the decoded values restatable in ANSI SQL bit arithmetic, so the
+# Spark decode chain is hash-checked over ALL 256 code points.
+
+
+def _g711_luts() -> tuple[np.ndarray, np.ndarray]:
+    """(alaw_lut, ulaw_lut): 256-entry code→int16 decode tables from
+    the canonical G.711 expansion formulas."""
+    c = np.arange(256, dtype=np.int64)
+    # A-law: invert even bits, then segment/mantissa expansion
+    a = c ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 7
+    mag = np.where(
+        seg == 0, t + 8, np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0))
+    )
+    alaw = np.where(a & 0x80, mag, -mag)
+    # µ-law: bitwise complement, biased exponential expansion
+    u = ~c & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+    ulaw = np.where(u & 0x80, 0x84 - t, t - 0x84)
+    return alaw.astype(np.int32), ulaw.astype(np.int32)
+
+
+_ALAW_LUT, _ULAW_LUT = _g711_luts()
+
+
+def decode_wav_g711(blob: bytes) -> tuple[int, int, np.ndarray] | None:
+    """(sample_rate, n_channels, samples[frames, ch] int32) for an
+    A-law (fmt 6) or µ-law (fmt 7) WAV; None otherwise."""
+    fd = _wav_fmt_and_data(blob)
+    if fd is None or len(fd[0]) < 16:
+        return None
+    fmt, data = fd
+    audio_fmt, nch, rate = struct.unpack("<HHI", fmt[:8])
+    if audio_fmt not in (6, 7) or nch < 1:
+        return None
+    lut = _ALAW_LUT if audio_fmt == 6 else _ULAW_LUT
+    codes = np.frombuffer(data, dtype=np.uint8)
+    n = len(codes) // nch
+    return rate, nch, lut[codes[: n * nch]].reshape(n, nch).astype(np.int32)
+
+
+def encode_wav_g711(rate: int, codes: np.ndarray, law: str, nch: int = 1) -> bytes:
+    """Write an A-law/µ-law WAV whose data section IS the given 8-bit
+    code array — the fixture writer (decode is the operator under
+    test; the companding encoder is the telephone exchange's job)."""
+    data = np.asarray(codes, dtype=np.uint8).tobytes()
+    tag = 6 if law == "alaw" else 7
+    fmt = struct.pack("<HHIIHH", tag, nch, rate, rate * nch, nch, 8)
+    fact = b"fact" + struct.pack("<II", 4, len(data) // nch)
+    hdr = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + len(fact) + 8 + len(data)) + b"WAVE"
+    return (hdr + b"fmt " + struct.pack("<I", len(fmt)) + fmt + fact
+            + b"data" + struct.pack("<I", len(data)) + data)
 
 
 def encode_wav(rate: int, samples: np.ndarray) -> bytes:

@@ -62,6 +62,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_html_text_extract",
     "pipeline_crawl_to_corpus",
     "mm_flac_roundtrip",
+    "mm_wav_g711",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

@@ -760,6 +760,90 @@ def mm_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_wav_g711",
+    # G.711 expansion is a closed-form piecewise-exponential over the
+    # 8-bit code, so the oracle restates the DECODED sample values with
+    # pure bit arithmetic — the whole fmt-tag-6/7 WAV decode chain is
+    # value-compared, all 256 code points covered by the fixture sweep.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    idx AS (SELECT doc_id, unnest(range(0, 400 + (doc_id % 7) * 16)) AS i
+            FROM docs),
+    cc AS (SELECT doc_id, i, (doc_id * 7 + i * 3) % 256 AS c FROM idx),
+    dec AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN
+          (CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END) *
+          (CASE ((xor(c, 85) >> 4) & 7)
+             WHEN 0 THEN ((xor(c, 85) & 15) << 4) + 8
+             WHEN 1 THEN ((xor(c, 85) & 15) << 4) + 264
+             ELSE (((xor(c, 85) & 15) << 4) + 264)
+                  << (((xor(c, 85) >> 4) & 7) - 1)
+           END)
+        ELSE
+          CASE WHEN (255 - c) >= 128
+            THEN 132 - (((((255 - c) & 15) << 3) + 132)
+                        << (((255 - c) >> 4) & 7))
+            ELSE (((((255 - c) & 15) << 3) + 132)
+                  << (((255 - c) >> 4) & 7)) - 132
+          END
+        END AS v
+      FROM cc)
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'alaw' ELSE 'mulaw' END AS law,
+           CAST(count(*) AS INT) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS sum_samples,
+           CAST(sum(v * v) AS BIGINT) AS energy,
+           CAST(min(v) AS INT) AS vmin,
+           CAST(max(v) AS INT) AS vmax
+    FROM dec GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def mm_wav_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5 — G.711 A-law/µ-law WAV decode (telephony audio, WAV format
+    tags 6/7): per doc, write a WAV whose data section sweeps the code
+    space from doc-id arithmetic, decode through the LUT built from the
+    canonical expansion formulas (operators/audio.py decode_wav_g711,
+    dispatched from the shared decode_wav entry point), and emit
+    sum/energy/min/max of the decoded int16 samples.  Per-row mapInPandas;
+    the only shuffle is the final sort."""
+    import pandas as pd
+
+    from specialsid_spark.operators.audio import decode_wav, encode_wav_g711
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 400 + (doc_id % 7) * 16
+                i = np.arange(n, dtype=np.int64)
+                codes = (doc_id * 7 + i * 3) % 256
+                law = "alaw" if doc_id % 2 == 0 else "mulaw"
+                got = decode_wav(encode_wav_g711(8000, codes, law))
+                if got is None:
+                    raise ValueError(f"g711 decode failed for doc {doc_id}")
+                _, _, s = got
+                v = s[:, 0].astype(np.int64)
+                out.append((doc_id, law, n, int(v.sum()),
+                            int(np.sum(v * v)), int(v.min()), int(v.max())))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "law", "n_samples", "sum_samples",
+                              "energy", "vmin", "vmax"],
+            ).astype({"doc_id": "int64", "n_samples": "int32",
+                      "sum_samples": "int64", "energy": "int64",
+                      "vmin": "int32", "vmax": "int32"})
+
+    schema = ("doc_id long, law string, n_samples int, sum_samples long,"
+              " energy long, vmin int, vmax int")
+    return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")
+
+
+@register(
     "mm_image_thumbnails",
     # 32×24 uniform-8×8-block JPEG → 4×3 box-filter thumb: each output
     # pixel covers exactly one block, whose mean IS the block value, so

@@ -903,3 +903,42 @@ def test_gif_disposal_restore_background_and_previous():
         assert np.array_equal(f2, patch), desc
         f3 = np.frombuffer(bytes(out[2][2]), np.uint8).reshape(8, 8, 3)
         assert np.array_equal(f3, tail), desc
+
+
+def test_wav_g711_decode_and_dispatch():
+    """G.711 A-law/µ-law (fmt tags 6/7): canonical table extremes,
+    exhaustive LUT decode through the shared decode_wav entry point,
+    and degrade on malformed input."""
+    from specialsid_spark.operators.audio import (
+        _ALAW_LUT,
+        _ULAW_LUT,
+        decode_wav,
+        decode_wav_g711,
+        encode_wav_g711,
+    )
+
+    # canonical G.711 extremes (public spec tables)
+    assert _ULAW_LUT[0x00] == -32124 and _ULAW_LUT[0x80] == 32124
+    assert _ULAW_LUT[0x7F] == 0 and _ULAW_LUT[0xFF] == 0
+    assert _ALAW_LUT[0x2A] == -32256 and _ALAW_LUT[0xAA] == 32256
+    assert _ALAW_LUT[0x55] == -8 and _ALAW_LUT[0xD5] == 8
+    # µ-law decode is odd-symmetric in the sign bit
+    assert np.array_equal(_ULAW_LUT[:128], -_ULAW_LUT[128:])
+    codes = np.arange(256, dtype=np.uint8)
+    for law, lut in (("alaw", _ALAW_LUT), ("mulaw", _ULAW_LUT)):
+        rate, nch, s = decode_wav(encode_wav_g711(16000, codes, law))
+        assert (rate, nch) == (16000, 1)
+        assert np.array_equal(s[:, 0], lut[codes])
+    # stereo interleave
+    rate, nch, s = decode_wav(encode_wav_g711(8000, codes, "alaw", nch=2))
+    assert nch == 2 and s.shape == (128, 2)
+    assert np.array_equal(s.reshape(-1), _ALAW_LUT[codes])
+    # degrade: PCM and garbage blobs are not G.711
+    assert decode_wav_g711(b"RIFF" + bytes(30)) is None
+    import struct as _s
+
+    pcm_fmt = _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (b"RIFF" + _s.pack("<I", 36) + b"WAVE"
+           + b"fmt " + _s.pack("<I", 16) + pcm_fmt
+           + b"data" + _s.pack("<I", 0))
+    assert decode_wav_g711(wav) is None
