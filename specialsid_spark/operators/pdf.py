@@ -319,17 +319,110 @@ def _skip_dict(data: bytes, i: int) -> int:
     return n
 
 
-def _parse_content_text(data: bytes) -> str:
+def _parse_tounicode_cmap(data: bytes) -> dict[int, str]:
+    """code→unicode map from a ToUnicode CMap stream: bfchar entries,
+    bfrange with an incrementing destination, and bfrange with an
+    explicit destination array (all three spec forms).  Destination hex
+    is UTF-16BE (may be multiple code units); the increment form adds
+    to the LAST code unit, per spec."""
+    cmap: dict[int, str] = {}
+
+    def _utf16(hexdigits: bytes) -> str:
+        h = hexdigits.decode()
+        if len(h) % 4:
+            h = h.zfill((len(h) + 3) // 4 * 4)
+        return bytes.fromhex(h).decode("utf-16-be", "replace")
+
+    for sec in re.findall(rb"beginbfchar(.*?)endbfchar", data, re.DOTALL):
+        for src, dst in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", sec
+        ):
+            cmap[int(src, 16)] = _utf16(dst)
+    for sec in re.findall(rb"beginbfrange(.*?)endbfrange", data, re.DOTALL):
+        for m in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+            rb"(?:<([0-9A-Fa-f]+)>|\[(.*?)\])",
+            sec,
+            re.DOTALL,
+        ):
+            lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+            if m.group(3) is not None:
+                base = _utf16(m.group(3))
+                units = [ord(u) for u in base]
+                for k in range(hi - lo + 1):
+                    cmap[lo + k] = "".join(
+                        chr(u) for u in units[:-1] + [units[-1] + k]
+                    )
+            else:
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(4))
+                for k, d in enumerate(dsts[: hi - lo + 1]):
+                    cmap[lo + k] = _utf16(d)
+    return cmap
+
+
+def _page_fonts(objs: dict, page_head: bytes) -> dict[str, dict[int, str] | None]:
+    """Resource-name → decode map for a page's /Font dict: a ToUnicode
+    CMap dict for Type0 (CID) fonts, None for simple fonts (whose
+    strings are byte-per-glyph)."""
+    res = _resolve_dict(objs, page_head, b"Resources")
+    if res is None:
+        return {}
+    fdict = _resolve_dict(objs, res, b"Font")
+    if fdict is None:
+        return {}
+    fonts: dict[str, dict[int, str] | None] = {}
+    for name, ref in re.findall(rb"/(\w+)\s+(\d+)\s+0\s+R", fdict):
+        fn = int(ref)
+        if fn not in objs:
+            continue
+        fhead = objs[fn][0]
+        if not re.search(rb"/Subtype\s*/Type0\b", fhead):
+            fonts[name.decode("latin-1")] = None
+            continue
+        cmap: dict[int, str] = {}
+        tum = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", fhead)
+        if tum and int(tum.group(1)) in objs:
+            chead, cdata = objs[int(tum.group(1))]
+            if cdata is not None:
+                if re.search(rb"/FlateDecode\b", chead):
+                    try:
+                        cdata = zlib.decompress(cdata)
+                    except zlib.error:
+                        cdata = b""
+                cmap = _parse_tounicode_cmap(cdata)
+        fonts[name.decode("latin-1")] = cmap
+    return fonts
+
+
+def _parse_content_text(
+    data: bytes, fonts: dict[str, dict[int, str] | None] | None = None
+) -> str:
     """Show-text strings from one page's (decoded) content stream, in
     stream order; Td/TD/T*/Tm/'/" and ET are line boundaries.  TJ array
     elements concatenate (kerning numbers are positioning, not
-    spacing — documented simplification)."""
+    spacing — documented simplification).
+
+    CID support (r5): ``fonts`` maps /Tf resource names to a ToUnicode
+    CMap for Type0 fonts (strings are then 2-byte big-endian codes) or
+    None for simple fonts (byte-per-glyph latin-1, the pre-r5
+    behavior).  The active font follows Tf through the stream."""
     lines: list[str] = []
     cur: list[str] = []
     pending: list[str] = []
     in_text = False
     i = 0
     n = len(data)
+    last_name = ""
+    cur_cmap: dict[int, str] | None = None
+
+    def show(s: str) -> str:
+        if cur_cmap is None:
+            return s
+        b = s.encode("latin-1")
+        return "".join(
+            cur_cmap.get((b[k] << 8) | b[k + 1], "�")
+            for k in range(0, len(b) - 1, 2)
+        )
 
     def break_line() -> None:
         if cur:
@@ -359,6 +452,7 @@ def _parse_content_text(data: bytes) -> str:
             j = i + 1
             while j < n and data[j] not in _DELIMS:
                 j += 1
+            last_name = data[i + 1 : j].decode("latin-1")
             i = j
             continue
         if c == 0x25:  # % comment to EOL
@@ -384,15 +478,20 @@ def _parse_content_text(data: bytes) -> str:
             break_line()
             pending.clear()
             continue
+        if tok == b"Tf":  # text font persists across BT blocks
+            if fonts is not None:
+                cur_cmap = fonts.get(last_name)
+            pending.clear()
+            continue
         if not in_text:
             pending.clear()
             continue
         if tok in (b"Tj", b"TJ"):
-            cur.extend(pending)
+            cur.extend(show(s) for s in pending)
             pending.clear()
         elif tok in (b"'", b'"'):  # move-to-next-line + show
             break_line()
-            cur.extend(pending[-1:])
+            cur.extend(show(s) for s in pending[-1:])
             pending.clear()
         elif tok in (b"Td", b"TD", b"T*", b"Tm"):
             break_line()
@@ -448,7 +547,12 @@ def extract_page_text(blob: bytes) -> list[str | None] | None:
     out: list[str | None] = []
     for pn in pages:
         content = _content_bytes(objs, objs[pn][0])
-        out.append(None if content is None else _parse_content_text(content))
+        if content is None:
+            out.append(None)
+        else:
+            out.append(
+                _parse_content_text(content, _page_fonts(objs, objs[pn][0]))
+            )
     return out
 
 
@@ -519,21 +623,7 @@ def build_text_pdf(pages: list[str], compress: bool = True) -> bytes:
     )
     objects[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
 
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = [0]
-    for i, body in enumerate(objects, start=1):
-        offsets.append(len(out))
-        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
-    xref_pos = len(out)
-    out += b"xref\n0 %d\n" % (len(objects) + 1)
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += b"%010d 00000 n \n" % off
-    out += (
-        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objects) + 1, catalog_num, xref_pos)
-    )
-    return bytes(out)
+    return _assemble_pdf(objects, catalog_num)
 
 
 def _jpeg_components(jpg: bytes) -> int:
@@ -616,6 +706,12 @@ def build_image_pdf(page_images: list[bytes]) -> bytes:
     )
     objects[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
 
+    return _assemble_pdf(objects, catalog_num)
+
+
+def _assemble_pdf(objects: list[bytes], catalog_num: int) -> bytes:
+    """Serialize numbered objects + xref + trailer (shared by the
+    text / CID-text / image page writers)."""
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for i, body in enumerate(objects, start=1):
@@ -631,3 +727,125 @@ def build_image_pdf(page_images: list[bytes]) -> bytes:
         % (len(objects) + 1, catalog_num, xref_pos)
     )
     return bytes(out)
+
+
+def build_cid_text_pdf(pages: list[str], compress: bool = True) -> bytes:
+    """Type0/Identity-H text-PDF writer — the CID-font counterpart of
+    :func:`build_text_pdf` and the fixture generator for the
+    `mm_pdf_cid_text` oracle.  Per page, the first line is shown in a
+    simple Type1 font (/F1) and every further line in a 2-byte CID
+    font (/F2) as hex strings, so extraction must follow Tf through
+    the stream.  The ToUnicode CMap deliberately uses all three spec
+    entry forms: one incrementing bfrange for a-z, bfchar entries for
+    half the remaining vocabulary, and an explicit-array bfrange for
+    the other half.  Codes start at 0x0200 — nothing is
+    latin-1-coincident, so a decoder that ignored the CMap would
+    produce garbage, not accidentally-right text."""
+    vocab: list[str] = []
+    seen: set[str] = set()
+    for text in pages:
+        for line in text.split("\n")[1:]:
+            for ch in line:
+                if not ("a" <= ch <= "z") and ch not in seen:
+                    seen.add(ch)
+                    vocab.append(ch)
+    code_of: dict[str, int] = {chr(0x61 + k): 0x0200 + k for k in range(26)}
+    for k, ch in enumerate(vocab):
+        code_of[ch] = 0x0300 + k
+
+    half = (len(vocab) + 1) // 2
+    cmap_lines = [
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap",
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange",
+        b"1 beginbfrange\n<0200> <0219> <0061>\nendbfrange",
+    ]
+    if half:
+        cmap_lines.append(b"%d beginbfchar" % half)
+        for k in range(half):
+            cmap_lines.append(b"<%04X> <%04X>" % (0x0300 + k, ord(vocab[k])))
+        cmap_lines.append(b"endbfchar")
+    if len(vocab) > half:
+        arr = b" ".join(b"<%04X>" % ord(c) for c in vocab[half:])
+        cmap_lines.append(
+            b"1 beginbfrange\n<%04X> <%04X> [%s]\nendbfrange"
+            % (0x0300 + half, 0x0300 + len(vocab) - 1, arr)
+        )
+    cmap_lines.append(b"endcmap\nend\nend")
+    cmap_stream = b"\n".join(cmap_lines)
+
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    catalog_num = add(b"")
+    pages_num = add(b"")
+    f1_num = add(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" /Encoding /WinAnsiEncoding >>"
+    )
+    cmap_data = cmap_stream
+    filt = b""
+    if compress:
+        cmap_data = zlib.compress(cmap_data)
+        filt = b" /Filter /FlateDecode"
+    cmap_num = add(
+        b"<< /Length %d%s >>\nstream\n" % (len(cmap_data), filt)
+        + cmap_data
+        + b"\nendstream"
+    )
+    desc_num = add(
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fixture"
+        b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+        b" /Supplement 0 >> >>"
+    )
+    f2_num = add(
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture-Identity"
+        b" /Encoding /Identity-H /DescendantFonts [%d 0 R]"
+        b" /ToUnicode %d 0 R >>" % (desc_num, cmap_num)
+    )
+
+    def hexstr(line: str) -> bytes:
+        return b"<" + b"".join(b"%04X" % code_of[c] for c in line) + b">"
+
+    page_nums = []
+    for text in pages:
+        lines = text.split("\n")
+        ops = [b"BT /F1 12 Tf 72 720 Td",
+               b"(%s) Tj" % _pdf_escape(lines[0]),
+               b"/F2 12 Tf"]
+        for li, line in enumerate(lines[1:]):
+            ops.append(b"0 -14 Td")
+            if li % 2 and len(line) > 1:  # hex strings inside TJ arrays too
+                h = len(line) // 2
+                ops.append(
+                    b"[%s -2 %s] TJ" % (hexstr(line[:h]), hexstr(line[h:]))
+                )
+            else:
+                ops.append(b"%s Tj" % hexstr(line))
+        ops.append(b"ET")
+        content = b"\n".join(ops)
+        cfilt = b""
+        if compress:
+            content = zlib.compress(content)
+            cfilt = b" /Filter /FlateDecode"
+        cont_num = add(
+            b"<< /Length %d%s >>\nstream\n" % (len(content), cfilt)
+            + content
+            + b"\nendstream"
+        )
+        page_nums.append(
+            add(
+                b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
+                b" /Resources << /Font << /F1 %d 0 R /F2 %d 0 R >> >>"
+                b" /Contents %d 0 R >>" % (pages_num, f1_num, f2_num, cont_num)
+            )
+        )
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    objects[pages_num - 1] = b"<< /Type /Pages /Kids [%s] /Count %d >>" % (
+        kids,
+        len(page_nums),
+    )
+    objects[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
+    return _assemble_pdf(objects, catalog_num)

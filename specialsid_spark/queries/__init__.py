@@ -63,6 +63,7 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_crawl_to_corpus",
     "mm_flac_roundtrip",
     "mm_wav_g711",
+    "mm_pdf_cid_text",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

@@ -844,6 +844,75 @@ def mm_wav_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_pdf_cid_text",
+    # The CID page text derives from documents.text slices, and the
+    # writer/extractor pair is an identity on the page string (split on
+    # \n, rejoin with \n), so the oracle restates the extracted text
+    # with plain string concat — any defect in the Type0 font graph,
+    # the ToUnicode CMap (all three entry forms are in every fixture),
+    # 2-byte hex show-strings, or the Tf font switch breaks the hash.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, text FROM documents
+                  WHERE doc_id < {_N_CODEC_DOCS}),
+    pg AS (
+      SELECT doc_id,
+             'doc ' || doc_id || ' p0' || chr(10)
+               || substr(text, 1, 50) || chr(10)
+               || substr(text, 51, 50) AS p0,
+             'doc ' || doc_id || ' p1' || chr(10)
+               || substr(text, 101, 50) || chr(10)
+               || substr(text, 151, 50) AS p1
+      FROM docs
+    )
+    SELECT doc_id, CAST(2 AS INT) AS n_pages,
+           CAST(length(p0) + length(p1) AS INT) AS n_chars,
+           md5(p0 || chr(30) || p1) AS text_md5
+    FROM pg ORDER BY doc_id
+    """,
+)
+def mm_pdf_cid_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5 — CID-FONT PDF text extraction (closing the 'CID-font PDF
+    text' stub): per doc, write a two-page Type0/Identity-H PDF whose
+    body lines are real documents.text slices shown as 2-byte hex CID
+    strings (operators/pdf.py build_cid_text_pdf — ToUnicode CMap with
+    bfchar + incrementing bfrange + array bfrange, Flate-compressed
+    streams, mid-page Tf switch from a simple font header line), run
+    extract_page_text (which now resolves /Font resources and decodes
+    through the CMap), and emit per-doc page count, char count, and a
+    hash of the recovered text.  Per-row mapInPandas; the only shuffle
+    is the final sort."""
+    import pandas as pd
+
+    from specialsid_spark.operators.pdf import build_cid_text_pdf, extract_page_text
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                pages = [
+                    f"doc {doc_id} p0\n{text[0:50]}\n{text[50:100]}",
+                    f"doc {doc_id} p1\n{text[100:150]}\n{text[150:200]}",
+                ]
+                got = extract_page_text(build_cid_text_pdf(pages))
+                if got is None or any(g is None for g in got):
+                    raise ValueError(f"cid text extract failed for doc {doc_id}")
+                joined = "\x1e".join(got)
+                out.append((doc_id, len(got), sum(len(g) for g in got),
+                            hashlib.md5(joined.encode()).hexdigest()))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_pages", "n_chars", "text_md5"],
+            ).astype({"doc_id": "int64", "n_pages": "int32", "n_chars": "int32"})
+
+    schema = "doc_id long, n_pages int, n_chars int, text_md5 string"
+    return d.select("doc_id", "text").mapInPandas(fn, schema).orderBy("doc_id")
+
+
+@register(
     "mm_image_thumbnails",
     # 32×24 uniform-8×8-block JPEG → 4×3 box-filter thumb: each output
     # pixel covers exactly one block, whose mean IS the block value, so

@@ -942,3 +942,56 @@ def test_wav_g711_decode_and_dispatch():
            + b"fmt " + _s.pack("<I", 16) + pcm_fmt
            + b"data" + _s.pack("<I", 0))
     assert decode_wav_g711(wav) is None
+
+
+def test_pdf_cid_text_roundtrip_exact():
+    """Type0/Identity-H pages with a ToUnicode CMap extract exactly,
+    including non-latin1 text, empty lines, and the Tf font switch
+    mid-page; all three CMap entry forms are in every fixture."""
+    from specialsid_spark.operators.pdf import build_cid_text_pdf, extract_page_text
+
+    pages = [
+        "doc 0\nplain lowercase line\nMIXED Case & «unicode» ±5°\n\ntail",
+        "doc 1\nsécond pagé — em-dash\nshort",
+    ]
+    assert extract_page_text(build_cid_text_pdf(pages)) == pages
+    # uncompressed CMap/content path
+    assert extract_page_text(build_cid_text_pdf(pages, compress=False)) == pages
+
+
+def test_pdf_cid_codes_are_not_latin1():
+    """A decoder that ignores the CMap must get GARBAGE, not the right
+    answer: raw 2-byte codes decode to nothing like the input text."""
+    from specialsid_spark.operators.pdf import (
+        _parse_content_text,
+        build_cid_text_pdf,
+        extract_page_text,
+        _parse_objects,
+        _content_bytes,
+    )
+
+    pages = ["h\nhello cid"]
+    pdf = build_cid_text_pdf(pages)
+    objs = _parse_objects(pdf)
+    page_head = next(h for h, d in objs.values() if b"/Type /Page " in h or b"/Type /Page/" in h or (b"/Type /Page" in h and b"/Pages" not in h))
+    content = _content_bytes(objs, page_head)
+    naive = _parse_content_text(content)  # no fonts dict -> latin-1 pass
+    assert "hello cid" not in naive
+    assert extract_page_text(pdf) == pages
+
+
+def test_tounicode_cmap_forms():
+    """bfchar, incrementing bfrange, and array bfrange all parse; the
+    increment applies to the last UTF-16 code unit."""
+    from specialsid_spark.operators.pdf import _parse_tounicode_cmap
+
+    cm = _parse_tounicode_cmap(
+        b"begincmap\n"
+        b"2 beginbfchar\n<0010> <0041>\n<0011> <00660066>\nendbfchar\n"
+        b"1 beginbfrange\n<0020> <0022> <0061>\nendbfrange\n"
+        b"1 beginbfrange\n<0030> <0031> [<0058> <0059>]\nendbfrange\n"
+        b"endcmap"
+    )
+    assert cm[0x10] == "A" and cm[0x11] == "ff"
+    assert (cm[0x20], cm[0x21], cm[0x22]) == ("a", "b", "c")
+    assert (cm[0x30], cm[0x31]) == ("X", "Y")
