@@ -1,0 +1,131 @@
+"""Content-defined chunking (Gear rolling hash) — the storage-level
+dedup primitive the fixed-window chunker (queries/curation.py
+cur_chunk_documents) cannot replace: CDC boundaries depend only on
+LOCAL content, so inserting one character early in a document shifts
+every fixed window but leaves all later CDC chunks (and their hashes)
+identical — which is what makes chunk-level dedup effective on a
+100 TB corpus of near-duplicate crawls.
+
+Design constraints here mirror the rest of the codec/dedup family:
+
+* The hash is the classic Gear construction restricted to an exact
+  32-step memory: ``h(i) = Σ_{k=0..31} G(c[i-k]) · 2^k  (mod 2^32)``
+  with a multiplicative gear table ``G(v) = v · 2654435761 mod 2^32``
+  (Knuth's constant).  Shifting left one step per character gives each
+  character influence over exactly 32 positions — and, crucially, the
+  closed form is restatable in ANSI SQL as 32 lag() terms, so the
+  DuckDB oracle value-checks every boundary.
+* A position ``i`` is a cut-point iff ``i >= 31`` (full window) and
+  ``h(i) mod mask_mod == 0``; the chunk ends AT ``i`` inclusive.
+  No min/max clamping in this operator — clamps make boundary
+  eligibility depend on the previous boundary (sequential state) and
+  buy little at corpus scale; production FastCDC adds them for
+  pathological inputs, documented divergence.
+* Spark-side execution is per-document numpy inside mapInPandas (32
+  shifted adds, no per-char Python): a per-char explode + window
+  would inflate rows ~300× and shuffle them; per-doc independence
+  keeps CDC embarrassingly parallel with zero shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+GEAR_MULT = 2654435761  # Knuth multiplicative constant
+WINDOW = 32
+_M32 = 1 << 32
+
+
+def gear_hashes(codepoints: np.ndarray) -> np.ndarray:
+    """Rolling Gear hash at every position of a codepoint array:
+    ``h[i] = Σ_{k=0..min(31,i)} G(c[i-k]) << k  mod 2^32``."""
+    c = np.asarray(codepoints, dtype=np.uint64)
+    gv = (c * np.uint64(GEAR_MULT)) % np.uint64(_M32)
+    h = np.zeros(len(c), dtype=np.uint64)
+    for k in range(WINDOW):
+        if k >= len(c):
+            break
+        t = (gv << np.uint64(k)) & np.uint64(_M32 - 1)
+        h[k:] += t[: len(c) - k]
+    return h % np.uint64(_M32)
+
+
+def cdc_boundaries(text: str, mask_mod: int = 64) -> list[int]:
+    """Cut-point positions (inclusive chunk-end indices) for a string:
+    ``i`` such that ``i >= 31`` and ``gear_hash(i) % mask_mod == 0``.
+    ``mask_mod`` sets the expected chunk length (power of two)."""
+    if len(text) == 0:
+        return []
+    c = np.frombuffer(text.encode("utf-32-le"), dtype="<u4")
+    h = gear_hashes(c)
+    idx = np.nonzero((np.arange(len(c)) >= WINDOW - 1) & (h % mask_mod == 0))[0]
+    return idx.tolist()
+
+
+def cdc_chunks(text: str, mask_mod: int = 64) -> list[tuple[int, int, str]]:
+    """(start, length, chunk_text) triples covering the string, split
+    after each content-defined cut-point.  A document shorter than the
+    window (or with no cut-points) is one chunk."""
+    cuts = cdc_boundaries(text, mask_mod)
+    out = []
+    start = 0
+    for b in cuts:
+        out.append((start, b + 1 - start, text[start : b + 1]))
+        start = b + 1
+    if start < len(text):
+        out.append((start, len(text) - start, text[start:]))
+    return out
+
+
+def sql_cdc_chunks(
+    docs_cte: str, mask_mod: int = 64, window_name: str = "w"
+) -> str:
+    """DuckDB SQL restating :func:`cdc_chunks` over a CTE named
+    ``docs_cte`` with columns (doc_id, text): the 32 lag() terms of the
+    Gear closed form, the cut-point predicate, a running cut count as
+    chunk id, then per-chunk reassembly via ordered string_agg.
+    Returns a SELECT producing (doc_id, chunk_idx, start_pos,
+    chunk_len, chunk_md5)."""
+    terms = " + ".join(
+        f"(COALESCE(lag(gv, {k}) OVER {window_name}, 0) * {1 << k}) % {_M32}"
+        for k in range(WINDOW)
+    )
+    return f"""
+    pos AS (
+      SELECT doc_id, unnest(range(0, length(text))) AS i, text
+      FROM {docs_cte}
+    ),
+    ch AS (
+      SELECT doc_id, i, substr(text, CAST(i + 1 AS INT), 1) AS c FROM pos
+    ),
+    g AS (
+      SELECT doc_id, i, c,
+             (unicode(c) * {GEAR_MULT}) % {_M32} AS gv
+      FROM ch
+    ),
+    h AS (
+      SELECT doc_id, i, c,
+             ({terms}) % {_M32} AS hv
+      FROM g WINDOW {window_name} AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    b AS (
+      SELECT doc_id, i, c,
+             CASE WHEN i >= {WINDOW - 1} AND hv % {mask_mod} = 0
+                  THEN 1 ELSE 0 END AS is_cut
+      FROM h
+    ),
+    cid AS (
+      SELECT doc_id, i, c,
+             COALESCE(SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_idx
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(min(i) AS INT) AS start_pos,
+           CAST(count(*) AS INT) AS chunk_len,
+           md5(string_agg(c, '' ORDER BY i)) AS chunk_md5
+    FROM cid
+    GROUP BY doc_id, chunk_idx
+    """

@@ -64,6 +64,8 @@ _PRIORITY: tuple[str, ...] = (
     "mm_flac_roundtrip",
     "mm_wav_g711",
     "mm_pdf_cid_text",
+    "cur_cdc_chunks",
+    "cur_cdc_dedup_stats",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

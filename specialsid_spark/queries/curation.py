@@ -686,3 +686,102 @@ def cur_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_false_positives"),
     )
+
+
+from specialsid_spark.operators.cdc import sql_cdc_chunks  # noqa: E402
+
+
+@register(
+    "cur_cdc_chunks",
+    # The Gear closed form (32-step memory) is restated as 32 lag()
+    # terms in SQL — every boundary position and every chunk hash is
+    # value-compared, over the WHOLE documents table (no codec cost).
+    oracle="WITH docs AS (SELECT doc_id, text FROM documents),\n"
+    + sql_cdc_chunks("docs")
+    + "ORDER BY doc_id, chunk_idx",
+)
+def cur_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (Gear rolling hash, operators/cdc.py):
+    split every document at positions where the 32-char Gear hash hits
+    the mask — boundaries depend only on local content, so chunk hashes
+    survive upstream insertions/deletions, which is what makes
+    chunk-level exact-dedup effective on a near-duplicate crawl corpus
+    (fixed windows — cur_chunk_documents — lose all alignment after one
+    inserted byte).
+
+    Scale shape: per-document numpy inside mapInPandas — 32 shifted
+    adds per doc, no per-char Python, no row inflation, zero shuffle
+    before the final sort.  Downstream dedup is then a groupBy on
+    chunk_md5 (hash-only shuffle), same as dedup_exact_hash."""
+    import pandas as pd
+
+    from specialsid_spark.operators.cdc import cdc_chunks
+
+    d = load_parallel(spark, sf_dir, "documents")
+
+    def fn(batches):
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for ci, (start, ln, chunk) in enumerate(cdc_chunks(text)):
+                    out.append((int(doc_id), ci, start, ln,
+                                hashlib.md5(chunk.encode()).hexdigest()))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "chunk_idx", "start_pos",
+                              "chunk_len", "chunk_md5"],
+            ).astype({"doc_id": "int64", "chunk_idx": "int64",
+                      "start_pos": "int32", "chunk_len": "int32"})
+
+    schema = ("doc_id long, chunk_idx long, start_pos int, chunk_len int,"
+              " chunk_md5 string")
+    return (
+        d.select("doc_id", "text")
+        .mapInPandas(fn, schema)
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@register(
+    "cur_cdc_dedup_stats",
+    # Chunk-level dedup over CDC chunks: how much of the corpus is
+    # duplicated content at chunk granularity — the number a storage /
+    # curation pass reports before deciding to dedup.  Restated by
+    # grouping the oracle chunk listing on its hash.
+    oracle="WITH docs AS (SELECT doc_id, text FROM documents),\n"
+    "chunks AS (WITH " + sql_cdc_chunks("docs") + "),\n"
+    """
+    g AS (
+      SELECT chunk_md5, count(*) AS n_copies, sum(chunk_len) AS total_chars,
+             min(chunk_len) AS chunk_len
+      FROM chunks GROUP BY chunk_md5
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_unique_chunks,
+           CAST(sum(n_copies) AS BIGINT) AS n_chunks,
+           CAST(sum(total_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN n_copies > 1 THEN (n_copies - 1) * chunk_len
+                         ELSE 0 END) AS BIGINT) AS dup_chars
+    FROM g
+    """,
+)
+def cur_cdc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level CDC dedup accounting: unique vs total chunks and
+    the chars reclaimable by keeping one copy per chunk hash.  The
+    shuffle carries (md5, len) only — never chunk text — so the 100 TB
+    version moves ~48 bytes per chunk."""
+    chunks = cur_cdc_chunks(spark, sf_dir)
+    g = chunks.groupBy("chunk_md5").agg(
+        F.count("*").alias("n_copies"),
+        F.sum("chunk_len").alias("total_chars"),
+        F.min("chunk_len").alias("chunk_len"),
+    )
+    return g.agg(
+        F.count("*").cast("long").alias("n_unique_chunks"),
+        F.sum("n_copies").cast("long").alias("n_chunks"),
+        F.sum("total_chars").cast("long").alias("total_chars"),
+        F.sum(
+            F.when(F.col("n_copies") > 1,
+                   (F.col("n_copies") - 1) * F.col("chunk_len")).otherwise(0)
+        ).cast("long").alias("dup_chars"),
+    )
