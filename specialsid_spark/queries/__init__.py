@@ -66,6 +66,8 @@ _PRIORITY: tuple[str, ...] = (
     "mm_pdf_cid_text",
     "cur_cdc_chunks",
     "cur_cdc_dedup_stats",
+    "sim_binary_hamming_topk",
+    "sim_binary_rerank_topk",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

