@@ -43,6 +43,8 @@ def main() -> None:
         "sim_pq_adc_topk",
         "sim_pq_rerank_topk",
         "sim_ivfpq_topk",
+        "sim_binary_hamming_topk",
+        "sim_binary_rerank_topk",
     ):
         approx = topk_sets(qs[name](spark, d), "query_id", "neighbor_id")
         print(f"{name} @ {label}: recall@5 = {recall(truth, approx):.3f}")

@@ -147,6 +147,37 @@ def main() -> None:
         out[name] = bench_one(name, blob, dec, pb, rounds, reps)
         print(f"# {name}: {out[name]}", file=sys.stderr)
 
+    # ---- audio codecs (r5): decoded-sample MB/s on realistic signal
+    from specialsid_spark.operators.audio import (
+        decode_wav,
+        encode_wav_g711,
+        encode_wav_ima,
+    )
+    from specialsid_spark.operators.flac import decode_flac, encode_flac
+
+    n_samp = 20_000 if quick else 80_000
+    rng = np.random.default_rng(7)
+    t = np.arange(n_samp)
+    sig = (
+        6000 * np.sin(2 * np.pi * t / 200)
+        + 2500 * np.sin(2 * np.pi * t / 37)
+        + rng.normal(0, 400, n_samp)
+    ).astype(np.int64)
+    sig = np.clip(sig, -32768, 32767)
+    sample_bytes = n_samp * 2
+    audio = {
+        "flac_fixed_rice": (encode_flac(16000, sig, block_size=4096), decode_flac),
+        "wav_ima_adpcm": (encode_wav_ima(16000, sig), decode_wav),
+        "wav_g711_mulaw": (
+            encode_wav_g711(16000, (rng.integers(0, 256, n_samp)), "mulaw"),
+            decode_wav,
+        ),
+    }
+    for name, (blob, dec) in audio.items():
+        sb = n_samp if "g711" in name else sample_bytes  # g711 decodes 8-bit codes
+        out[name] = bench_one(name, blob, dec, sb, rounds, reps)
+        print(f"# {name}: {out[name]}", file=sys.stderr)
+
     print(
         json.dumps(
             {
