@@ -68,6 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     "cur_cdc_dedup_stats",
     "sim_binary_hamming_topk",
     "sim_binary_rerank_topk",
+    "clean_snapshot_time_travel",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

@@ -520,3 +520,85 @@ def clean_zone_merge_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame(rows, out.schema)
     shutil.rmtree(work, ignore_errors=True)
     return df.orderBy("province", "date_range", "source_file", "product_name")
+
+
+@register(
+    "clean_snapshot_time_travel",
+    # Each version's content derives from orders by a key predicate, so
+    # the oracle restates every historical state: v1 = keys%4==0
+    # (first commit), v2 = v1 plus keys%4==1 (append lineage),
+    # v3 = keys%4==2 only (overwrite drops prior files from the view).
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS ok,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 4000
+    )
+    SELECT 1 AS version, 'append' AS op,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM o WHERE ok % 4 = 0
+    UNION ALL
+    SELECT 2, 'append', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM o WHERE ok % 4 IN (0, 1)
+    UNION ALL
+    SELECT 3, 'overwrite', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM o WHERE ok % 4 = 2
+    ORDER BY version
+    """,
+)
+def clean_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 extension — manifest-based snapshot commits with TIME TRAVEL
+    (operators/snapshot.py): three commits against a fresh table
+    (append, append, overwrite), then every historical version read
+    back THROUGH ITS MANIFEST and aggregated.  The oracle restates
+    each version's expected content from `orders`, so the whole
+    commit/manifest/time-travel protocol is value-checked: a manifest
+    that leaked files across an overwrite, lost an append, or resolved
+    versions out of order changes the per-version sums.
+
+    Scale shape: commits are normal parquet writes plus one manifest
+    rename (O(1) metadata); reads list the manifest's files instead of
+    the directory — at 100 TB that is the difference between an
+    object-store LIST storm and one small JSON read."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from specialsid_spark.operators.snapshot import snapshot_commit, snapshot_read
+    from specialsid_spark.queries._determinism import cents
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select(
+            F.col("o_orderkey").alias("ok"),
+            cents("o_totalprice").alias("cents_v"),
+        )
+    )
+    work = Path(tempfile.mkdtemp(prefix="specialsid_snap_"))
+    t = str(work / "tbl")
+    try:
+        ops = []
+        snapshot_commit(o.filter(F.col("ok") % 4 == 0), t, mode="append")
+        ops.append((1, "append"))
+        snapshot_commit(o.filter(F.col("ok") % 4 == 1), t, mode="append")
+        ops.append((2, "append"))
+        snapshot_commit(o.filter(F.col("ok") % 4 == 2), t, mode="overwrite")
+        ops.append((3, "overwrite"))
+        rows = []
+        for version, op in ops:
+            agg = (
+                snapshot_read(spark, t, version)
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("cents_v").cast("long").alias("s"),
+                )
+                .collect()[0]
+            )
+            rows.append((version, op, agg["n"], agg["s"]))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, op string, n_rows long, sum_cents long"
+    ).orderBy("version")

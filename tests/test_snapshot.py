@@ -1,0 +1,97 @@
+"""Manifest snapshots (operators/snapshot.py): commit atomicity,
+append/overwrite lineage, time travel, snapshot isolation, vacuum
+safety."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from specialsid_spark.operators.snapshot import (
+    snapshot_commit,
+    snapshot_read,
+    snapshot_vacuum,
+    snapshot_versions,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 10 AS v")
+
+
+def test_append_overwrite_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    assert snapshot_versions(t) == []
+    assert snapshot_commit(_df(spark, 0, 100), t) == 1
+    assert snapshot_commit(_df(spark, 100, 150), t, mode="append") == 2
+    assert snapshot_commit(_df(spark, 500, 520), t, mode="overwrite") == 3
+    assert snapshot_versions(t) == [1, 2, 3]
+    assert snapshot_read(spark, t, 1).count() == 100
+    assert snapshot_read(spark, t, 2).count() == 150
+    assert snapshot_read(spark, t).count() == 20  # latest = overwrite
+    # v2 content is exactly v1 ∪ the appended batch
+    got = sorted(r.id for r in snapshot_read(spark, t, 2).collect())
+    assert got == list(range(150))
+
+
+def test_snapshot_isolation_reader_pinned(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 50), t)
+    pinned = snapshot_read(spark, t)  # resolves v1's file list NOW
+    snapshot_commit(_df(spark, 50, 60), t, mode="append")
+    snapshot_commit(_df(spark, 0, 5), t, mode="overwrite")
+    assert pinned.count() == 50  # unaffected by later commits
+    assert snapshot_read(spark, t).count() == 5
+
+
+def test_crash_before_manifest_is_invisible(spark, tmp_path):
+    """Data files without a manifest (simulated crash mid-commit) never
+    appear to readers and are vacuumable."""
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 10), t)
+    # orphan: a data dir that never got its manifest
+    orphan = Path(t) / "data" / "v9-deadbeef"
+    _df(spark, 0, 99).write.parquet(str(orphan))
+    assert snapshot_read(spark, t).count() == 10
+    removed = snapshot_vacuum(t, keep_last=5)
+    assert all(r.startswith("data/v9-deadbeef") for r in removed) and removed
+    assert snapshot_read(spark, t).count() == 10
+
+
+def test_vacuum_keeps_retained_versions_readable(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 30), t)
+    snapshot_commit(_df(spark, 30, 40), t, mode="append")
+    snapshot_commit(_df(spark, 100, 105), t, mode="overwrite")
+    removed = snapshot_vacuum(t, keep_last=2)
+    # v1's files are still referenced by v2 (append lineage): NOT removed
+    assert snapshot_versions(t) == [2, 3]
+    assert snapshot_read(spark, t, 2).count() == 40
+    assert snapshot_read(spark, t, 3).count() == 5
+    assert removed == []  # every v1 file lives on in v2
+    with pytest.raises(ValueError):
+        snapshot_read(spark, t, 1)
+
+
+def test_vacuum_drops_overwritten_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 30), t)
+    snapshot_commit(_df(spark, 100, 105), t, mode="overwrite")
+    snapshot_commit(_df(spark, 200, 210), t, mode="overwrite")
+    removed = snapshot_vacuum(t, keep_last=2)
+    assert removed and all(r.startswith("data/v1-") for r in removed)
+    assert snapshot_read(spark, t, 2).count() == 5
+    assert snapshot_read(spark, t, 3).count() == 10
+
+
+def test_manifest_records_lineage(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 10), t)
+    snapshot_commit(_df(spark, 10, 20), t, mode="append")
+    m = json.loads((Path(t) / "_manifests" / "v2.json").read_text())
+    assert m["parent"] == 1 and m["op"] == "append"
+    assert all(f.startswith("data/") for f in m["files"])
+    with pytest.raises(ValueError):
+        snapshot_commit(_df(spark, 0, 1), t, mode="merge")
