@@ -1,0 +1,110 @@
+"""Byte-pair-encoding tokenizer: real merge training + application
+(SURVEY.md §2.11 X4 upgrade — `text_bpe_token_count` counts tokens
+with a BPE-ish regex; this module implements the actual algorithm, the
+one a 100 TB pre-training pipeline runs to fit its tokenizer).
+
+Distribution shape (the part that matters at scale):
+
+* **Word counting is the only corpus-scale pass** — a tokenize +
+  groupBy(word) count, hash-shuffled, exactly `text_wordcount_global`.
+* **Training** consumes the top-V (count, word) rows — a bounded
+  driver-side loop over at most V·avg_len symbols per iteration, the
+  same "collect k small things per iteration" contract as the k-means
+  quantizer (operators/kmeans.py).  V and n_merges are hyperparameters
+  (32k merges in production GPT-2; fixtures use dozens), NEVER
+  corpus-proportional.
+* **Application never touches full text rows**: segment the DISTINCT
+  words (tiny relative to the corpus — Heaps' law), then broadcast-join
+  the word→segmentation map back onto token occurrences.  Python cost
+  is O(|vocab|), not O(corpus).
+
+Determinism: pair selection breaks count ties lexicographically, so
+the merge list is a pure function of the word counts on any engine /
+any partitioning.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+_EOW = "</w>"  # end-of-word marker, per the original BPE formulation
+
+
+def train_bpe(
+    word_counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` merges from (word, count) pairs.  Classic
+    Sennrich BPE: words start as character sequences + ``</w>``; each
+    iteration merges the most frequent adjacent symbol pair
+    (ties broken by lexicographic pair order, making training fully
+    deterministic)."""
+    words: list[tuple[list[str], int]] = [
+        (list(w) + [_EOW], c) for w, c in word_counts if w
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, c in words:
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        for syms, _ in words:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == best[0] and syms[i + 1] == best[1]:
+                    syms[i : i + 2] = [merged]
+                else:
+                    i += 1
+    return merges
+
+
+def apply_bpe(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Segment one word with a trained merge table (pair → rank):
+    repeatedly merge the LOWEST-rank adjacent pair until none applies
+    — the GPT-2 application order, which reproduces training
+    segmentations exactly."""
+    if not word:
+        return []
+    syms = list(word) + [_EOW]
+    while len(syms) > 1:
+        best_rank = None
+        best_i = -1
+        for i, (a, b) in enumerate(zip(syms, syms[1:])):
+            r = ranks.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def merge_ranks(merges: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
+    return {pair: i for i, pair in enumerate(merges)}
+
+
+def segment_training_order(
+    word: str, merges: list[tuple[str, str]]
+) -> list[str]:
+    """Segment one word by applying each merge exhaustively IN TRAINING
+    ORDER — the definition of what training did to a word, and the
+    semantics the SQL oracle restates with iterated string ``replace``
+    (left-to-right non-overlapping merge of a pair (x, y) can never
+    create a fresh occurrence of (x, y): that would need x+y == x or
+    x+y == y, so one pass over the original occurrence positions is
+    exact, and bounded replace passes converge to it)."""
+    if not word:
+        return []
+    syms = list(word) + [_EOW]
+    for a, b in merges:
+        i = 0
+        while i < len(syms) - 1:
+            if syms[i] == a and syms[i + 1] == b:
+                syms[i : i + 2] = [a + b]
+            else:
+                i += 1
+    return syms

@@ -69,6 +69,9 @@ _PRIORITY: tuple[str, ...] = (
     "sim_binary_hamming_topk",
     "sim_binary_rerank_topk",
     "clean_snapshot_time_travel",
+    "text_bpe_train_merges",
+    "text_bpe_segment_vocab",
+    "text_bpe_apply_corpus",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

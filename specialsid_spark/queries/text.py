@@ -465,3 +465,252 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Real BPE (operators/bpe.py): train merges on the corpus word counts, then
+# apply them — the tokenizer-fitting pass a pre-training pipeline runs.
+# The reference estimates token counts with a regex (text_bpe_token_count
+# above); these three queries implement the actual Sennrich algorithm with
+# a DuckDB oracle that RE-DERIVES training as a generated unrolled CTE
+# chain: per-iteration pair counts -> argmax (count DESC, pair ASC) ->
+# merge application via iterated string replace (left-to-right
+# non-overlapping merge of (x, y) can never create a new (x, y) — that
+# would need x+y == x or x+y == y — so bounded replace passes over a
+# space-joined symbol string converge exactly to BPE's scan).
+#
+# Scale shape: word counting is the only corpus-scale pass (explode ->
+# groupBy, shuffles (word, count)); training consumes the top-V rows
+# driver-side (the k-means "collect k small things" contract — V and
+# n_merges are hyperparameters, never corpus-proportional); application
+# segments only the DISTINCT words (Heaps-law bounded) in an
+# Arrow-batched mapInPandas, then broadcast-joins the word->n_tokens map
+# back onto per-doc word counts.  Python cost is O(|vocab|), not
+# O(corpus).
+
+_BPE_WORD_RE = "[a-z]+"
+_BPE_V = 120          # vocabulary rows collected for training
+_BPE_NMERGES = 12     # merges learned (fixture-scale; production ~32k)
+_BPE_MAXLEN = 16      # word-length cap => <= 17 symbols
+_BPE_PASSES = 6       # replace passes; ceil(log2(max pair runs)) + margin
+
+
+def _bpe_rep_expr(expr: str, k: int) -> str:
+    """Iterated replace applying merge b{k} to a space-sentineled symbol
+    string: one pass merges greedy non-overlapping occurrences but skips
+    those sharing a separator space with a prior match; each pass halves
+    the skipped runs, so _BPE_PASSES passes are exact for <= 17 symbols."""
+    pat = f"' ' || b{k}.a || ' ' || b{k}.b || ' '"
+    rep = f"' ' || b{k}.a || b{k}.b || ' '"
+    for _ in range(_BPE_PASSES):
+        expr = f"replace({expr}, {pat}, {rep})"
+    return expr
+
+
+def _bpe_train_ctes() -> str:
+    """CTE chain: w0 = top-V words as char sequences; per iteration k,
+    p{k} = pair counts, b{k} = best pair, w{k+1} = merged vocab."""
+    parts = [
+        f"""w0 AS MATERIALIZED (
+      SELECT word, cnt,
+             ' ' || array_to_string(list_transform(range(1, length(word) + 1),
+                                                   i -> word[i]), ' ')
+                 || ' </w> ' AS syms
+      FROM (
+        SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '{_BPE_WORD_RE}')) AS tok
+              FROM documents)
+        WHERE length(tok) <= {_BPE_MAXLEN}
+        GROUP BY tok
+        ORDER BY cnt DESC, tok
+        LIMIT {_BPE_V}
+      )
+    )"""
+    ]
+    for k in range(_BPE_NMERGES):
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+      SELECT pr.a AS a, pr.b AS b, SUM(cnt) AS n
+      FROM (
+        SELECT cnt,
+               unnest(list_transform(range(1, len(l)),
+                      i -> struct_pack(a := l[i], b := l[i+1]))) AS pr
+        FROM (SELECT cnt, str_split(trim(syms), ' ') AS l FROM w{k})
+      )
+      GROUP BY pr.a, pr.b
+    ),
+    b{k} AS MATERIALIZED (SELECT a, b FROM p{k} ORDER BY n DESC, a, b LIMIT 1),
+    w{k + 1} AS MATERIALIZED (
+      SELECT word, cnt, {_bpe_rep_expr("syms", k)} AS syms FROM w{k}, b{k}
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_parallel(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(_BPE_WORD_RE), 0)
+            ).alias("word")
+        )
+        .where(F.length("word") <= _BPE_MAXLEN)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _bpe_trained(spark: SparkSession, sf_dir: str):
+    """(merges, top rows) — the bounded driver-side training step."""
+    from specialsid_spark.operators.bpe import train_bpe
+
+    top = (
+        _bpe_word_counts(spark, sf_dir)
+        .orderBy(F.desc("cnt"), "word")
+        .limit(_BPE_V)
+        .collect()
+    )
+    merges = train_bpe([(r["word"], int(r["cnt"])) for r in top], _BPE_NMERGES)
+    return merges, top
+
+
+_BPE_TRAIN_ORACLE = (
+    "WITH " + _bpe_train_ctes() + ",\n    m AS (\n"
+    + "\n      UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs FROM b{k}"
+        for k in range(_BPE_NMERGES)
+    )
+    + "\n    )\n"
+    "    SELECT merge_rank, lhs, rhs, lhs || rhs AS merged FROM m ORDER BY merge_rank"
+)
+
+
+@register("text_bpe_train_merges", oracle=_BPE_TRAIN_ORACLE)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the merge table.  The corpus-scale pass is the word count
+    (explode -> groupBy); training itself is a bounded driver loop over
+    the top-V (word, count) rows, deterministic under any partitioning
+    (ties break on (count DESC, pair ASC))."""
+    merges, _ = _bpe_trained(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "merge_rank bigint, lhs string, rhs string, merged string",
+    ).orderBy("merge_rank")
+
+
+_BPE_SEGMENT_ORACLE = (
+    "WITH " + _bpe_train_ctes() + f"""
+    SELECT word, cnt, trim(syms) AS segmentation,
+           CAST(len(str_split(trim(syms), ' ')) AS BIGINT) AS n_tokens
+    FROM w{_BPE_NMERGES} ORDER BY word"""
+)
+
+
+@register("text_bpe_segment_vocab", oracle=_BPE_SEGMENT_ORACLE)
+def text_bpe_segment_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order segmentation of the training vocabulary itself —
+    pinned against the oracle's w{n} table, so the SQL restatement of the
+    merge APPLICATION (iterated replace) is verified per word."""
+    from specialsid_spark.operators.bpe import segment_training_order
+
+    merges, top = _bpe_trained(spark, sf_dir)
+    rows = []
+    for r in top:
+        segs = segment_training_order(r["word"], merges)
+        rows.append((r["word"], int(r["cnt"]), " ".join(segs), len(segs)))
+    return spark.createDataFrame(
+        rows, "word string, cnt bigint, segmentation string, n_tokens bigint"
+    ).orderBy("word")
+
+
+def _bpe_apply_ctes() -> str:
+    """aw0..aw{n}: ALL distinct corpus words (not just top-V) pushed
+    through the learned merges — the application chain."""
+    parts = [
+        f"""aw0 AS MATERIALIZED (
+      SELECT word,
+             ' ' || array_to_string(list_transform(range(1, length(word) + 1),
+                                                   i -> word[i]), ' ')
+                 || ' </w> ' AS syms
+      FROM (
+        SELECT DISTINCT tok AS word
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '{_BPE_WORD_RE}')) AS tok
+              FROM documents)
+        WHERE length(tok) <= {_BPE_MAXLEN}
+      )
+    )"""
+    ]
+    for k in range(_BPE_NMERGES):
+        parts.append(
+            f"""aw{k + 1} AS MATERIALIZED (
+      SELECT word, {_bpe_rep_expr("syms", k)} AS syms FROM aw{k}, b{k}
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+_BPE_APPLY_ORACLE = (
+    "WITH " + _bpe_train_ctes() + ",\n    " + _bpe_apply_ctes() + f""",
+    occ AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '{_BPE_WORD_RE}')) AS tok
+        FROM documents
+      ) WHERE length(tok) <= {_BPE_MAXLEN}
+    )
+    SELECT occ.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(str_split(trim(aw.syms), ' '))) AS BIGINT) AS n_bpe_tokens
+    FROM occ JOIN aw{_BPE_NMERGES} aw ON occ.tok = aw.word
+    GROUP BY occ.doc_id ORDER BY occ.doc_id"""
+)
+
+
+@register("text_bpe_apply_corpus", oracle=_BPE_APPLY_ORACLE)
+def text_bpe_apply_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide tokenization cost under the trained BPE: segment the
+    DISTINCT words (Arrow-batched mapInPandas, merges in the closure),
+    broadcast-join word -> n_tokens back onto per-doc word counts.  The
+    shuffle carries (doc_id, word, count); Python touches |vocab| words
+    once — the 100 TB application shape."""
+    import pandas as pd
+
+    from specialsid_spark.operators.bpe import segment_training_order
+
+    merges, _ = _bpe_trained(spark, sf_dir)
+    d = load_parallel(spark, sf_dir, "documents")
+    occ = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(_BPE_WORD_RE), 0)
+            ).alias("word"),
+        )
+        .where(F.length("word") <= _BPE_MAXLEN)
+    )
+    per_doc = occ.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n_occ"))
+    distinct_words = per_doc.select("word").distinct()
+
+    def seg_counts(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_tokens": [
+                        len(segment_training_order(w, merges))
+                        for w in pdf["word"]
+                    ],
+                }
+            )
+
+    seg = distinct_words.mapInPandas(seg_counts, "word string, n_tokens bigint")
+    return (
+        per_doc.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("n_tokens")).cast("long").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,102 @@
+"""BPE tokenizer (operators/bpe.py): the Sennrich worked example,
+apply/train consistency (GPT-2 rank-greedy application reproduces
+training segmentations), and reconstruction invariants."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from specialsid_spark.operators.bpe import (
+    _EOW,
+    apply_bpe,
+    merge_ranks,
+    segment_training_order,
+    train_bpe,
+)
+
+
+def _train_segment(word: str, merges) -> list[str]:
+    """Independent reference: apply merges in TRAINING order (each
+    merge exhaustively, in sequence) — the definition of what training
+    did to a word.  Kept inline (not imported) so the module's
+    segment_training_order is checked against it, not against itself."""
+    syms = list(word) + [_EOW]
+    for a, b in merges:
+        i = 0
+        while i < len(syms) - 1:
+            if syms[i] == a and syms[i + 1] == b:
+                syms[i : i + 2] = [a + b]
+            else:
+                i += 1
+    return syms
+
+
+def test_sennrich_worked_example():
+    counts = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = train_bpe(counts, 4)
+    # most frequent first pair: ('e','s') occurs 6+3=9 times, then
+    # ('es','t') 9, then ('est','</w>') 9, then ('l','o') 7
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", _EOW)
+    assert merges[3] == ("l", "o")
+    ranks = merge_ranks(merges)
+    assert apply_bpe("newest", ranks) == ["n", "e", "w", "est</w>"]
+    assert apply_bpe("lowest", ranks) == ["lo", "w", "est</w>"]  # unseen word
+
+
+def test_apply_matches_training_segmentation():
+    counts = [("banana", 4), ("bandana", 2), ("ananas", 3), ("band", 5)]
+    merges = train_bpe(counts, 8)
+    ranks = merge_ranks(merges)
+    for w, _ in counts:
+        assert apply_bpe(w, ranks) == _train_segment(w, merges)
+
+
+def test_reconstruction_and_empty():
+    merges = train_bpe([("aa", 3), ("ab", 2)], 3)
+    ranks = merge_ranks(merges)
+    for w in ("aa", "ab", "abc", "zzz", "a"):
+        segs = apply_bpe(w, ranks)
+        assert "".join(segs) == w + _EOW
+    assert apply_bpe("", ranks) == []
+    assert train_bpe([("", 5)], 3) == []  # empty words contribute nothing
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="abcd", min_size=1, max_size=6),
+                  st.integers(1, 9)),
+        min_size=1, max_size=8,
+    ),
+    st.integers(0, 12),
+)
+def test_property_apply_equals_training_order(vocab, n_merges):
+    merges = train_bpe(vocab, n_merges)
+    ranks = merge_ranks(merges)
+    for w, _ in vocab:
+        got = apply_bpe(w, ranks)
+        assert got == _train_segment(w, merges)
+        assert "".join(got) == w + _EOW
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="abcd", min_size=1, max_size=6),
+                  st.integers(1, 9)),
+        min_size=1, max_size=8,
+    ),
+    st.integers(0, 12),
+    st.text(alphabet="abcde", min_size=1, max_size=8),
+)
+def test_property_module_segment_matches_reference(vocab, n_merges, word):
+    merges = train_bpe(vocab, n_merges)
+    assert segment_training_order(word, merges) == _train_segment(word, merges)
+
+
+def test_determinism_under_input_order():
+    a = [("cat", 3), ("car", 3), ("bat", 2)]
+    assert train_bpe(a, 5) == train_bpe(list(reversed(a)), 5)
