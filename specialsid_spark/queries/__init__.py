@@ -72,6 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_train_merges",
     "text_bpe_segment_vocab",
     "text_bpe_apply_corpus",
+    "sim_kmeans_quantizer",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

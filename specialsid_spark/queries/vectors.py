@@ -190,13 +190,83 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_kmeans_quantizer")
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+_KMEANS_DIM = 64
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled-Lloyd DuckDB restatement of sim_kmeans_quantizer.
+
+    Viable because operators/kmeans.py is EXACT integer arithmetic:
+    micro-unit snap, int64 distances, floor-division centroid updates —
+    so three unrolled (assign -> floored-mean) CTE stages land on
+    bit-identical centroids on any engine.  Every CTE is MATERIALIZED:
+    each stage is referenced twice, and inlining the chain would
+    re-evaluate it exponentially (same lesson as the BPE oracle)."""
+    d2 = (
+        f"list_sum(list_transform(range(1, {_KMEANS_DIM + 1}),"
+        " i -> (m.mu[i] - c.mu[i]) * (m.mu[i] - c.mu[i])))"
+    )
+    parts = [
+        f"""mu AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mu
+      FROM embeddings
+    ),
+    c0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, mu
+      FROM (SELECT vec_id, mu FROM mu ORDER BY vec_id LIMIT {_KMEANS_K})
+    )"""
+    ]
+    for t in range(_KMEANS_ITERS):
+        parts.append(
+            f"""a{t} AS MATERIALIZED (
+      SELECT vec_id, mu, cid, d FROM (
+        SELECT m.vec_id, m.mu, c.cid, {d2} AS d,
+               row_number() OVER (PARTITION BY m.vec_id ORDER BY {d2}, c.cid) AS rn
+        FROM mu m, c{t} c
+      ) WHERE rn = 1
+    ),
+    s{t} AS MATERIALIZED (
+      SELECT cid, pos, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+      FROM (SELECT cid, unnest(mu) AS v,
+                   unnest(range(1, {_KMEANS_DIM + 1})) AS pos FROM a{t})
+      GROUP BY cid, pos
+    ),
+    c{t + 1} AS MATERIALIZED (
+      SELECT c.cid, COALESCE(n.mu, c.mu) AS mu
+      FROM c{t} c LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS mu
+                             FROM s{t} GROUP BY cid) n ON c.cid = n.cid
+    )"""
+        )
+    parts.append(
+        f"""afin AS MATERIALIZED (
+      SELECT vec_id, cid, d FROM (
+        SELECT m.vec_id, c.cid, {d2} AS d,
+               row_number() OVER (PARTITION BY m.vec_id ORDER BY {d2}, c.cid) AS rn
+        FROM mu m, c{_KMEANS_ITERS} c
+      ) WHERE rn = 1
+    )"""
+    )
+    return (
+        "WITH " + ",\n    ".join(parts) + """
+    SELECT g.cid, g.n_vectors, t.total_inertia_mu2
+    FROM (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM afin GROUP BY cid) g,
+         (SELECT CAST(SUM(d) AS BIGINT) AS total_inertia_mu2 FROM afin) t
+    ORDER BY g.cid"""
+    )
+
+
+@register("sim_kmeans_quantizer", oracle=_kmeans_oracle())
 def sim_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer training: 3 Lloyd iterations of k=8 k-means
     over the embedding corpus (operators/kmeans.py), reporting cluster
-    sizes and exact integer inertia share.  Iterative — no single SQL
-    oracle (driver records rows-only); assignment-level parity against
-    a numpy reference is proven by tests/test_kmeans.py instead.
+    sizes and exact integer inertia.  The iterative loop is restated by
+    an unrolled-CTE DuckDB oracle (_kmeans_oracle) — hash-green because
+    every arithmetic step is on the int64 micro-unit lattice; numpy
+    assignment-level parity is additionally proven by tests/test_kmeans.py.
     """
     from specialsid_spark.operators.kmeans import inertia, kmeans_fit
 
