@@ -73,6 +73,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_segment_vocab",
     "text_bpe_apply_corpus",
     "sim_kmeans_quantizer",
+    "cur_ngram_decontaminate",
+    "text_bigram_surprisal",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

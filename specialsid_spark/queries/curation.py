@@ -785,3 +785,99 @@ def cur_cdc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (F.col("n_copies") - 1) * F.col("chunk_len")).otherwise(0)
         ).cast("long").alias("dup_chars"),
     )
+
+
+_DECON_K = 5        # n-gram width for eval-overlap decontamination
+_DECON_MOD = 17     # doc_id % MOD == 0 -> held-out "benchmark" slice
+_SQL_GRAMS5 = (
+    "list_transform(range(1, greatest(len(toks) - 3, 1)),"
+    " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||"
+    " toks[i+3] || ' ' || toks[i+4])"
+)
+
+
+@register(
+    "cur_ngram_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, list_distinct({_SQL_GRAMS5}) AS grams FROM t),
+    eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+           WHERE doc_id % {_DECON_MOD} = 0),
+    tg AS (SELECT doc_id, unnest(grams) AS gram FROM g
+           WHERE doc_id % {_DECON_MOD} <> 0),
+    hits AS (
+      SELECT tg.doc_id, COUNT(*) AS n_hits
+      FROM tg JOIN eg ON tg.gram = eg.gram
+      GROUP BY tg.doc_id
+    )
+    SELECT g.doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_eval_hits,
+           round(CAST(COALESCE(n_hits, 0) AS DOUBLE)
+                 / CAST(greatest(len(grams), 1) AS DOUBLE), 6) AS contaminated_frac,
+           COALESCE(n_hits, 0) > 0 AS is_contaminated
+    FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
+    WHERE g.doc_id % {_DECON_MOD} <> 0
+    ORDER BY g.doc_id
+    """,
+)
+def cur_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination by n-gram overlap (the GPT-3/PaLM
+    recipe): a held-out benchmark slice (doc_id % 17 == 0 stands in for
+    the eval suite) contributes its distinct 5-gram shingles; every
+    training document reports how many of ITS distinct 5-grams appear in
+    that set, plus the contaminated fraction and a drop flag.
+
+    Scale shape: real eval suites are tiny next to the corpus, so their
+    distinct-gram table broadcasts; the training corpus is shingled
+    ONCE — each exploded distinct gram picks up a hit flag from a
+    broadcast left join map-side, and one groupBy(doc_id) produces both
+    the gram count and the hit count.  The corpus text is never
+    shuffled, only (doc_id, gram-hit) aggregates; the doc spine rejoin
+    is a column-pruned id scan."""
+    from specialsid_spark.operators.textops import word_shingles  # noqa: PLC0415
+
+    d = load_parallel(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % _DECON_MOD == 0
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    # localCheckpoint: the shingle array feeds THREE consumers (eval-gram
+    # set, train explode, doc spine).  Without the lineage break Catalyst
+    # inlines the regex split into every gram reference AND pushes the
+    # generator's size()>0 filter below the repartition into the
+    # single-file scan task — measured 20s serial vs 0.9s materialized
+    # at sf0.1.  Materializing (doc_id, grams) once on the repartitioned
+    # layout is exactly the working set both passes need.
+    g = t.select(
+        "doc_id", word_shingles(F.col("toks"), k=_DECON_K).alias("grams")
+    ).localCheckpoint(eager=True)
+    eg = (
+        g.where(is_eval)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    marked = (
+        g.where(~is_eval)
+        .select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(eg), "gram", "left")
+    )
+    stats = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams_agg"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+    )
+    spine = d.select("doc_id").where(~is_eval)
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    n_grams = F.coalesce(F.col("n_grams_agg"), F.lit(0))
+    return (
+        spine.join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_grams.cast("long").alias("n_grams"),
+            n_hits.cast("long").alias("n_eval_hits"),
+            F.round(
+                n_hits.cast("double") / F.greatest(n_grams, F.lit(1)).cast("double"), 6
+            ).alias("contaminated_frac"),
+            (n_hits > 0).alias("is_contaminated"),
+        )
+        .orderBy("doc_id")
+    )

@@ -714,3 +714,86 @@ def text_bpe_apply_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_SQL_BIGRAMS = (
+    "list_transform(range(1, greatest(len(toks), 1)),"
+    " i -> toks[i] || ' ' || toks[i+1])"
+)
+
+
+@register(
+    "text_bigram_surprisal",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    bg AS (SELECT doc_id, unnest({_SQL_BIGRAMS}) AS bg FROM t),
+    c AS (SELECT bg, COUNT(*) AS c12 FROM bg GROUP BY bg),
+    l AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(c12) AS c1
+          FROM c GROUP BY 1),
+    -- conditional log-prob ln(c(w1 w2) / c(w1 .)) in micro-nats:
+    -- floor of the SAME exact-count double is identical cross-engine,
+    -- and the per-doc reduction is then pure integer arithmetic (the
+    -- text_unigram_surprisal idiom, one conditioning level up).
+    lp AS (
+      SELECT c.bg,
+             CAST(floor(ln(CAST(c.c12 AS DOUBLE) / CAST(l.c1 AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS lp_mu
+      FROM c JOIN l ON string_split(c.bg, ' ')[1] = l.w1
+    )
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(-SUM(lp.lp_mu) AS BIGINT) AS surprisal_mu,
+           CAST(-SUM(lp.lp_mu) AS DOUBLE) / (1000000.0 * COUNT(*)) AS nats_per_bigram
+    FROM bg JOIN lp ON lp.bg = bg.bg
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model surprisal per document: mean conditional
+    -ln P(w2 | w1) under the corpus's own bigram counts — a sharper
+    fluency/quality signal than the unigram model (boilerplate and
+    templated text score near zero; shuffled or rare-transition text
+    scores high).  No smoothing term: every scored bigram is by
+    construction present in the corpus counts.
+
+    Scale shape: two count aggregates (bigram types, then left-context
+    totals derived FROM the bigram types, so the corpus is tokenized
+    once), a types-level join to form log-probs, and one occurrence
+    join + integer sum per doc.  Shuffles carry (bigram, count) pairs —
+    vocabulary-squared bounded, not corpus bounded — and all
+    floating-point is a single floor(ln(...)) per bigram TYPE."""
+    from specialsid_spark.operators.textops import word_kgrams
+
+    d = load_parallel(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    bg = t.select("doc_id", F.explode(word_kgrams(F.col("toks"), k=2)).alias("bg"))
+    c = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    left = (
+        c.groupBy(F.split("bg", " ").getItem(0).alias("w1"))
+        .agg(F.sum("c12").alias("c1"))
+    )
+    lp = c.join(
+        left, F.split(c["bg"], " ").getItem(0) == left["w1"]
+    ).select(
+        "bg",
+        F.floor(
+            F.log(F.col("c12").cast("double") / F.col("c1").cast("double"))
+            * F.lit(1000000)
+        )
+        .cast("long")
+        .alias("lp_mu"),
+    )
+    return (
+        bg.join(lp, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (-F.sum("lp_mu")).cast("long").alias("surprisal_mu"),
+            (
+                (-F.sum("lp_mu")).cast("double")
+                / (F.lit(1000000.0) * F.count(F.lit(1)).cast("double"))
+            ).alias("nats_per_bigram"),
+        )
+        .orderBy("doc_id")
+    )
