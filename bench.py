@@ -61,6 +61,13 @@ HEADLINE = [
     # than doing the codec work, so a wall-clock comparison would be
     # meaningless)
     "dedup_simhash256_radius3_pairs",
+    # round-5 headline additions: the BPE application pass, eval-set
+    # decontamination, and bigram-LM scoring are real corpus-scale
+    # dataflows (the BPE TRAINING queries are excluded — their cost is
+    # the bounded driver loop, not a distributed comparison)
+    "text_bpe_apply_corpus",
+    "cur_ngram_decontaminate",
+    "text_bigram_surprisal",
 ]
 
 
