@@ -75,6 +75,8 @@ _PRIORITY: tuple[str, ...] = (
     "sim_kmeans_quantizer",
     "cur_ngram_decontaminate",
     "text_bigram_surprisal",
+    "agg_hll_manual",
+    "agg_countmin_topk",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

@@ -510,3 +510,214 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic distributed sketches.  agg_approx_count_distinct above is
+# rows-only by necessity (Spark's HLL++ and DuckDB's HLL serialize
+# differently); these two implement the sketches THEMSELVES from md5-derived
+# hashes, so every register/counter — and therefore the estimate — is
+# bit-identical cross-engine and the oracle is a full value check.  This is
+# the 100 TB aggregation pattern in miniature: a sketch is a tiny, MERGEABLE
+# summary (map-side partial MAX/SUM per partition, one k-sized exchange),
+# where the exact answer would shuffle the corpus.
+# --------------------------------------------------------------------------
+
+_HLL_M = 1024  # registers (2^10)
+# alpha_1024 * m^2 * 2^33 = 0.7209200438 * 2^53, precomputed to ONE double
+# literal so both engines divide the identical numerator
+_HLL_NUM = 6493470481243203.0
+
+
+def _sql_bitlen_case(var: str) -> str:
+    """Engine-portable integer bit-length of a 32-bit value: a generated
+    descending CASE — no float log2 (libm last-ulp risk at 2^k
+    boundaries), no bin() (zero-padding differs across engines)."""
+    arms = " ".join(
+        f"WHEN {var} >= {1 << (b - 1)} THEN {b}" for b in range(32, 0, -1)
+    )
+    return f"(CASE {arms} ELSE 0 END)"
+
+
+# first 32-bit word of md5 -> register index (low 10 bits); second word ->
+# rho (leading zeros + 1).  {h} is a hex-string md5 expression; {w2} the
+# second word as BIGINT.
+_HLL_RHO = f"(33 - {_sql_bitlen_case('{w2}')})"
+
+
+@register(
+    "agg_hll_manual",
+    oracle=f"""
+    WITH h AS (
+      SELECT l_returnflag, md5(CAST(l_orderkey AS VARCHAR)) AS hh
+      FROM lineitem
+    ),
+    br AS (
+      SELECT l_returnflag,
+             ('0x' || substring(hh, 1, 8))::BIGINT % {_HLL_M} AS bucket,
+             {_HLL_RHO.format(w2="(('0x' || substring(hh, 9, 8))::BIGINT)")} AS rho
+      FROM h
+    ),
+    regs AS (
+      SELECT l_returnflag, bucket, MAX(rho) AS mj
+      FROM br GROUP BY l_returnflag, bucket
+    ),
+    agg AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n_hit,
+             SUM(CAST(power(2, 33 - mj) AS BIGINT)) AS s_hit
+      FROM regs GROUP BY l_returnflag
+    ),
+    ex AS (
+      SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_exact
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT agg.l_returnflag,
+           CAST(ex.n_exact AS BIGINT) AS n_exact,
+           CAST(agg.n_hit AS BIGINT) AS n_registers_hit,
+           CAST(agg.s_hit + ({_HLL_M} - agg.n_hit) * 8589934592 AS BIGINT) AS s33,
+           round(CAST(6493470481243203.0 AS DOUBLE)
+                 / CAST(agg.s_hit + ({_HLL_M} - agg.n_hit) * 8589934592 AS DOUBLE),
+                 3) AS hll_estimate
+    FROM agg JOIN ex ON agg.l_returnflag = ex.l_returnflag
+    ORDER BY agg.l_returnflag
+    """,
+)
+def agg_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built in-engine from md5 hashes: register = low 10
+    bits of the first 32-bit md5 word, rho = leading-zero count + 1 of
+    the second word (integer CASE, no float log).  The harmonic sum is
+    kept on the dyadic-integer lattice — sum(2^(33-Mj)) is exact BIGINT,
+    absent registers contribute 2^33 — so the only float op is ONE
+    multiply-divide of exact doubles (alpha_1024 * m^2 * 2^33 = alpha *
+    2^53), identical cross-engine.  Raw HLL estimate, no small-range
+    correction (documented: at the GATE SFs 0.01/0.1 every group is well
+    past 2.5m and measured error is 0.3-4%, matching 1.04/sqrt(m); the
+    tiny sf0.001 fixture sits inside the small-range regime and the raw
+    estimate overshoots there — tests pin the 0.01 accuracy).
+
+    Scale shape: groupBy(flag, bucket) MAX(rho) partial-aggregates
+    map-side, so the exchange carries at most |groups| * 1024 register
+    rows regardless of corpus size; registers merge with MAX — the
+    mergeability that makes HLL the 100 TB distinct-count operator."""
+    li = load(spark, sf_dir, "lineitem")
+    h = li.select(
+        "l_returnflag", F.md5(F.col("l_orderkey").cast("string")).alias("hh")
+    )
+    br = h.select(
+        "l_returnflag",
+        (F.conv(F.substring("hh", 1, 8), 16, 10).cast("long") % _HLL_M).alias(
+            "bucket"
+        ),
+        F.expr(
+            _HLL_RHO.format(w2="CAST(conv(substring(hh, 9, 8), 16, 10) AS BIGINT)")
+        ).alias("rho"),
+    )
+    regs = br.groupBy("l_returnflag", "bucket").agg(F.max("rho").alias("mj"))
+    agg = regs.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.sum(F.pow(F.lit(2.0), 33 - F.col("mj")).cast("long")).alias("s_hit"),
+    )
+    ex = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_exact")
+    )
+    s33 = F.col("s_hit") + (_HLL_M - F.col("n_hit")) * F.lit(8589934592)
+    return (
+        agg.join(ex, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_hit").cast("long").alias("n_registers_hit"),
+            s33.cast("long").alias("s33"),
+            F.round(
+                F.lit(6493470481243203.0) / s33.cast("double"), 3
+            ).alias("hll_estimate"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_CMS_D = 4    # hash rows
+_CMS_W = 512  # counters per row
+
+
+@register(
+    "agg_countmin_topk",
+    oracle=f"""
+    WITH cells AS (
+      SELECT t.j,
+             ('0x' || substring(md5(CAST(t.j AS VARCHAR) || ':' ||
+                                    CAST(l_suppkey AS VARCHAR)), 1, 8))::BIGINT
+               % {_CMS_W} AS col
+      FROM lineitem CROSS JOIN range({_CMS_D}) t(j)
+    ),
+    sketch AS (
+      SELECT j, col, COUNT(*) AS c FROM cells GROUP BY j, col
+    ),
+    exact AS (
+      SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey
+    ),
+    top10 AS (
+      SELECT l_suppkey, n FROM exact ORDER BY n DESC, l_suppkey LIMIT 10
+    ),
+    cand AS (
+      SELECT tp.l_suppkey, tp.n, t.j,
+             ('0x' || substring(md5(CAST(t.j AS VARCHAR) || ':' ||
+                                    CAST(tp.l_suppkey AS VARCHAR)), 1, 8))::BIGINT
+               % {_CMS_W} AS col
+      FROM top10 tp CROSS JOIN range({_CMS_D}) t(j)
+    )
+    SELECT cand.l_suppkey,
+           CAST(cand.n AS BIGINT) AS exact_n,
+           CAST(MIN(sketch.c) AS BIGINT) AS cms_estimate,
+           CAST(MIN(sketch.c) - cand.n AS BIGINT) AS overestimate
+    FROM cand JOIN sketch ON cand.j = sketch.j AND cand.col = sketch.col
+    GROUP BY cand.l_suppkey, cand.n
+    ORDER BY exact_n DESC, cand.l_suppkey
+    """,
+)
+def agg_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: a {_CMS_D}x{_CMS_W} counter
+    matrix from md5-derived hashes, point-queried for the true top-10
+    suppliers and compared against their exact frequencies.  The
+    one-sided error invariant (estimate >= exact, always) is emitted as
+    an explicit column, so the oracle value-checks the sketch property
+    itself, not just the numbers.
+
+    Scale shape: the build is one groupBy over (row, counter) cells —
+    map-side partial SUM, an exchange of at most d*w = {_CMS_D * _CMS_W}
+    rows per partition, mergeable by addition across partitions,
+    streams, and days (the reason CMS is the standard streaming
+    heavy-hitter structure).  Point queries broadcast against the
+    d*w-row sketch."""
+    li = load(spark, sf_dir, "lineitem")
+    j = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("j")
+
+    def cms_col(jc: F.Column, key: F.Column) -> F.Column:
+        h = F.md5(F.concat(jc.cast("string"), F.lit(":"), key.cast("string")))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _CMS_W
+
+    cells = li.select("l_suppkey", j).select(
+        "j", cms_col(F.col("j"), F.col("l_suppkey")).alias("col")
+    )
+    sketch = cells.groupBy("j", "col").agg(F.count(F.lit(1)).alias("c"))
+    exact = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    top10 = exact.orderBy(F.desc("n"), "l_suppkey").limit(10)
+    cand = top10.select("l_suppkey", "n", j).select(
+        "l_suppkey",
+        "n",
+        "j",
+        cms_col(F.col("j"), F.col("l_suppkey")).alias("col"),
+    )
+    return (
+        cand.join(F.broadcast(sketch), ["j", "col"])
+        .groupBy("l_suppkey", "n")
+        .agg(F.min("c").alias("cms"))
+        .select(
+            "l_suppkey",
+            F.col("n").cast("long").alias("exact_n"),
+            F.col("cms").cast("long").alias("cms_estimate"),
+            (F.col("cms") - F.col("n")).cast("long").alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_n"), "l_suppkey")
+    )

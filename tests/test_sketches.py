@@ -1,0 +1,46 @@
+"""Deterministic sketch queries (queries/aggregates.py): the md5-built
+HLL and count-min carry real probabilistic guarantees — pin them, not
+just cross-engine equality (the oracle gate already proves that).
+
+HLL accuracy is pinned at sf0.01: sf0.001's ~1.1k distinct orders per
+flag sit inside the 2.5m small-range regime where the RAW estimate
+(deliberately uncorrected, see the query docstring) overshoots.
+"""
+
+from __future__ import annotations
+
+from specialsid_spark.queries import all_queries
+
+SF001 = "/root/testdata/sf0.01"
+
+
+def test_hll_manual_accuracy(spark):
+    rows = all_queries()["agg_hll_manual"](spark, SF001).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.n_exact > 2.5 * 1024, "fixture must be past small-range"
+        rel = abs(r.hll_estimate - r.n_exact) / r.n_exact
+        # 1.04/sqrt(1024) ~ 3.3% expected sigma; 10% is a 3-sigma bound
+        assert rel < 0.10, (r.l_returnflag, rel)
+        # registers and the dyadic sum stay on the integer lattice
+        assert 0 < r.n_registers_hit <= 1024
+        assert r.s33 > 0
+
+
+def test_countmin_one_sided_and_tight(spark, sf_dir):
+    rows = all_queries()["agg_countmin_topk"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    total = sum(r.exact_n for r in rows)  # lower bound on stream size N
+    for r in rows:
+        # the CMS guarantee: never underestimates...
+        assert r.overestimate >= 0
+        assert r.cms_estimate == r.exact_n + r.overestimate
+    # ...and with d=4 rows the min is within e*N/w of exact whp; the
+    # true N is bounded by the whole fixture (~6k rows at sf0.001), so
+    # a generous 5%-of-top-counts bound stays red on a broken hash mix
+    n_stream = max(total, 6000)
+    for r in rows:
+        assert r.overestimate <= max(64, 0.05 * n_stream), (
+            r.l_suppkey,
+            r.overestimate,
+        )
