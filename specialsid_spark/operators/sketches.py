@@ -1,0 +1,66 @@
+"""Deterministic sketch primitives shared by the batch queries
+(queries/aggregates.py) and the streaming ingest door
+(streaming/pipeline.py).
+
+Everything here is engine-portable integer arithmetic on md5-derived
+words: register index = low 10 bits of the first 32-bit md5 word, rho =
+leading-zero count + 1 of the second word via a generated integer CASE
+(no float log2 — libm last-ulp differences at 2^k boundaries would
+desynchronize engines; no bin() — zero-padding differs).  The HLL
+harmonic sum stays on the dyadic-integer lattice (sum of 2^(33-mj) as
+exact BIGINT), so registers built by Spark, DuckDB, or an incremental
+streaming merge are bit-identical and MERGE BY MAX — the property that
+makes HLL the 100 TB distinct-count structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HLL_M = 1024  # registers (2^10)
+# alpha_1024 * m^2 * 2^33 = 0.7209200438 * 2^53, precomputed to ONE double
+# literal so every consumer divides the identical numerator
+HLL_NUM = 6493470481243203.0
+# an absent register contributes 2^(33-0) to the dyadic harmonic sum
+HLL_EMPTY_TERM = 8589934592  # 2^33
+
+
+def sql_bitlen_case(var: str) -> str:
+    """Engine-portable integer bit-length of a 32-bit value: a generated
+    descending CASE."""
+    arms = " ".join(
+        f"WHEN {var} >= {1 << (b - 1)} THEN {b}" for b in range(32, 0, -1)
+    )
+    return f"(CASE {arms} ELSE 0 END)"
+
+
+SQL_HLL_RHO = f"(33 - {sql_bitlen_case('{w2}')})"
+
+
+def hll_bucket(md5_hex: Column) -> Column:
+    """Register index from an md5 hex-string column (low 10 bits of the
+    first 32-bit word)."""
+    return F.conv(F.substring(md5_hex, 1, 8), 16, 10).cast("long") % HLL_M
+
+
+def hll_rho(md5_hex_col_name: str) -> Column:
+    """rho (leading zeros + 1 of the second 32-bit word) as an expression
+    over a NAMED md5 hex-string column."""
+    return F.expr(
+        SQL_HLL_RHO.format(
+            w2=f"CAST(conv(substring({md5_hex_col_name}, 9, 8), 16, 10) AS BIGINT)"
+        )
+    )
+
+
+def hll_s33(s_hit: Column, n_hit: Column) -> Column:
+    """Exact dyadic harmonic sum over ALL m registers, given the sum and
+    count over the registers that were hit."""
+    return s_hit + (HLL_M - n_hit) * F.lit(HLL_EMPTY_TERM)
+
+
+def hll_estimate(s33: Column) -> Column:
+    """Raw HLL estimate — the ONLY float op, one divide of exact
+    doubles, identical cross-engine."""
+    return F.lit(HLL_NUM) / s33.cast("double")

@@ -523,26 +523,17 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # where the exact answer would shuffle the corpus.
 # --------------------------------------------------------------------------
 
-_HLL_M = 1024  # registers (2^10)
-# alpha_1024 * m^2 * 2^33 = 0.7209200438 * 2^53, precomputed to ONE double
-# literal so both engines divide the identical numerator
-_HLL_NUM = 6493470481243203.0
-
-
-def _sql_bitlen_case(var: str) -> str:
-    """Engine-portable integer bit-length of a 32-bit value: a generated
-    descending CASE — no float log2 (libm last-ulp risk at 2^k
-    boundaries), no bin() (zero-padding differs across engines)."""
-    arms = " ".join(
-        f"WHEN {var} >= {1 << (b - 1)} THEN {b}" for b in range(32, 0, -1)
-    )
-    return f"(CASE {arms} ELSE 0 END)"
-
-
-# first 32-bit word of md5 -> register index (low 10 bits); second word ->
-# rho (leading zeros + 1).  {h} is a hex-string md5 expression; {w2} the
-# second word as BIGINT.
-_HLL_RHO = f"(33 - {_sql_bitlen_case('{w2}')})"
+# Sketch primitives live in operators/sketches.py — shared with the
+# streaming ingest door (streaming_hll_registers maintains the SAME
+# registers incrementally, merged by MAX).
+from specialsid_spark.operators.sketches import (  # noqa: E402
+    HLL_M as _HLL_M,
+    SQL_HLL_RHO as _HLL_RHO,
+    hll_bucket,
+    hll_estimate,
+    hll_rho,
+    hll_s33,
+)
 
 
 @register(
@@ -606,12 +597,8 @@ def agg_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     br = h.select(
         "l_returnflag",
-        (F.conv(F.substring("hh", 1, 8), 16, 10).cast("long") % _HLL_M).alias(
-            "bucket"
-        ),
-        F.expr(
-            _HLL_RHO.format(w2="CAST(conv(substring(hh, 9, 8), 16, 10) AS BIGINT)")
-        ).alias("rho"),
+        hll_bucket(F.col("hh")).alias("bucket"),
+        hll_rho("hh").alias("rho"),
     )
     regs = br.groupBy("l_returnflag", "bucket").agg(F.max("rho").alias("mj"))
     agg = regs.groupBy("l_returnflag").agg(
@@ -621,7 +608,7 @@ def agg_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("n_exact")
     )
-    s33 = F.col("s_hit") + (_HLL_M - F.col("n_hit")) * F.lit(8589934592)
+    s33 = hll_s33(F.col("s_hit"), F.col("n_hit"))
     return (
         agg.join(ex, "l_returnflag")
         .select(
@@ -629,9 +616,7 @@ def agg_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_exact").cast("long").alias("n_exact"),
             F.col("n_hit").cast("long").alias("n_registers_hit"),
             s33.cast("long").alias("s33"),
-            F.round(
-                F.lit(6493470481243203.0) / s33.cast("double"), 3
-            ).alias("hll_estimate"),
+            F.round(hll_estimate(s33), 3).alias("hll_estimate"),
         )
         .orderBy("l_returnflag")
     )

@@ -485,6 +485,77 @@ def streaming_corpus_ingest(
     )
 
 
+def crash_safe_summary_merge(
+    batch_df: DataFrame,
+    batch_id: int,
+    summary_path: str,
+    checkpoint_dir: str,
+    combine,
+    context: str,
+) -> None:
+    """The effectively-once summary-maintenance protocol, factored out of
+    :func:`streaming_incremental_rollup` (see its docstring for the full
+    crash-window analysis) so any foreachBatch-maintained table — count
+    rollups, HLL registers, CMS counters — gets the identical
+    guarantees:
+
+    * checkpoint-identity pinning (a fresh checkpoint over an old
+      summary fails loudly instead of silently dropping batches),
+    * ``_BATCH_ID`` sidecar promoted atomically WITH the data,
+    * keep-one-generation swap with interrupted-swap recovery.
+
+    ``combine(current: DataFrame | None) -> DataFrame`` produces the
+    merged summary from the existing one (None on first batch)."""
+    import json as _json  # noqa: PLC0415
+    import os as _os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    query_id = ""
+    meta_file = _os.path.join(checkpoint_dir, "metadata")
+    if _os.path.exists(meta_file):
+        with open(meta_file) as fh:
+            query_id = _json.load(fh).get("id", "")
+
+    nxt, old = summary_path + "_next", summary_path + "_old"
+    if not _os.path.exists(summary_path) and _os.path.exists(old):
+        _os.rename(old, summary_path)
+    if _os.path.exists(nxt):
+        shutil.rmtree(nxt)
+    marker = _os.path.join(summary_path, "_BATCH_ID")
+    if _os.path.exists(marker):
+        with open(marker) as fh:
+            lines = fh.read().splitlines()
+        applied_id = int(lines[0].strip() or -1) if lines else -1
+        applied_query = lines[1].strip() if len(lines) > 1 else ""
+        if applied_query and query_id and applied_query != query_id:
+            raise ValueError(
+                f"{context}: summary at {summary_path} was built by "
+                f"checkpoint id {applied_query!r} but the current "
+                f"checkpoint is {query_id!r} — the checkpoint dir was "
+                "lost or recreated over an existing summary. Replaying "
+                "into it could silently drop batches; delete the summary "
+                "(full rebuild) or restore the original checkpoint."
+            )
+        if batch_id <= applied_id:
+            return  # crash-replayed batch: already merged
+    current = (
+        batch_df.sparkSession.read.parquet(summary_path)
+        if _os.path.exists(summary_path)
+        else None
+    )
+    merged = combine(current)
+    merged.write.mode("overwrite").parquet(nxt)
+    with open(_os.path.join(nxt, "_BATCH_ID"), "w") as fh:
+        fh.write(f"{batch_id}\n{query_id}")
+    if _os.path.exists(old):
+        shutil.rmtree(old)
+    if _os.path.exists(summary_path):
+        _os.rename(summary_path, old)
+    _os.rename(nxt, summary_path)
+    if _os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def streaming_incremental_rollup(
     spark: SparkSession,
     events_dir: str,
@@ -524,57 +595,14 @@ def streaming_incremental_rollup(
     same groupBy/unionByName operators as batch code."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        import json as _json  # noqa: PLC0415
-        import os as _os  # noqa: PLC0415
-        import shutil  # noqa: PLC0415
-
-        # Checkpoint identity: Spark writes `<checkpoint>/metadata`
-        # ({"id": <uuid>}) when a checkpoint is CREATED, and the id
-        # survives restarts but changes when the checkpoint dir is lost
-        # and recreated.  Batch ids restart at 0 in that case, so a
-        # bare batch_id <= marker comparison would silently skip fresh
-        # batches — and if NEW events arrived before the restart, the
-        # new checkpoint marks them committed: silent data loss.
-        # Recording the id next to the batch id turns that scenario
-        # into a loud failure instead.
-        query_id = ""
-        meta_file = _os.path.join(checkpoint_dir, "metadata")
-        if _os.path.exists(meta_file):
-            with open(meta_file) as fh:
-                query_id = _json.load(fh).get("id", "")
-
-        nxt, old = summary_path + "_next", summary_path + "_old"
-        # Crash recovery: an interrupted swap leaves summary missing
-        # with _old complete; a _next from an unpromoted merge is stale
-        # (its batch_id was never committed, so it replays through us).
-        if not _os.path.exists(summary_path) and _os.path.exists(old):
-            _os.rename(old, summary_path)
-        if _os.path.exists(nxt):
-            shutil.rmtree(nxt)
-        marker = _os.path.join(summary_path, "_BATCH_ID")
-        if _os.path.exists(marker):
-            with open(marker) as fh:
-                lines = fh.read().splitlines()
-            applied_id = int(lines[0].strip() or -1) if lines else -1
-            applied_query = lines[1].strip() if len(lines) > 1 else ""
-            if applied_query and query_id and applied_query != query_id:
-                raise ValueError(
-                    "streaming_incremental_rollup: summary at "
-                    f"{summary_path} was built by checkpoint id "
-                    f"{applied_query!r} but the current checkpoint is "
-                    f"{query_id!r} — the checkpoint dir was lost or "
-                    "recreated over an existing summary. Replaying into "
-                    "it could silently drop batches; delete the summary "
-                    "(full rebuild) or restore the original checkpoint."
-                )
-            if batch_id <= applied_id:
-                return  # crash-replayed batch: already merged
         partial = batch_df.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
         )
-        if _os.path.exists(summary_path):
-            current = batch_df.sparkSession.read.parquet(summary_path)
-            merged = (
+
+        def combine(current: DataFrame | None) -> DataFrame:
+            if current is None:
+                return partial
+            return (
                 current.unionByName(partial)
                 .groupBy("event_type")
                 .agg(
@@ -582,20 +610,15 @@ def streaming_incremental_rollup(
                     F.sum("sum_value").alias("sum_value"),
                 )
             )
-        else:
-            merged = partial
-        merged.write.mode("overwrite").parquet(nxt)
-        with open(_os.path.join(nxt, "_BATCH_ID"), "w") as fh:
-            # marker promotes atomically with the data; line 2 pins the
-            # checkpoint identity the batch id is monotonic WITHIN
-            fh.write(f"{batch_id}\n{query_id}")
-        if _os.path.exists(old):
-            shutil.rmtree(old)
-        if _os.path.exists(summary_path):
-            _os.rename(summary_path, old)
-        _os.rename(nxt, summary_path)
-        if _os.path.exists(old):
-            shutil.rmtree(old)
+
+        crash_safe_summary_merge(
+            batch_df,
+            batch_id,
+            summary_path,
+            checkpoint_dir,
+            combine,
+            "streaming_incremental_rollup",
+        )
 
     ev = spark.readStream.schema(
         "event_id long, ts timestamp, user_id long, event_type string, value double"
@@ -606,6 +629,92 @@ def streaming_incremental_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_hll_registers(
+    spark: SparkSession,
+    events_dir: str,
+    summary_path: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """T8 ∘ sketches: maintain per-event-type HyperLogLog registers
+    (operators/sketches.py — the SAME md5-derived registers the batch
+    query agg_hll_manual builds) incrementally at the ingest door.
+
+    Each micro-batch reduces to its partial (event_type, bucket,
+    max-rho) rows and MAX-merges them into the parquet register table
+    under the crash-safe protocol of :func:`crash_safe_summary_merge`.
+    MAX-merge is idempotent AND associative — precisely why HLL is the
+    distinct-count structure a 100 TB/day firehose can maintain: the
+    summary is at most |types| * 1024 rows forever, replays cannot
+    inflate it, and registers built on different days / partitions /
+    engines combine losslessly.  Distinct user_id per event type is the
+    demo target (the classic "daily uniques" metric)."""
+    from specialsid_spark.operators.sketches import hll_bucket, hll_rho
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        h = batch_df.select(
+            "event_type", F.md5(F.col("user_id").cast("string")).alias("hh")
+        )
+        partial = (
+            h.select(
+                "event_type",
+                hll_bucket(F.col("hh")).alias("bucket"),
+                hll_rho("hh").alias("rho"),
+            )
+            .groupBy("event_type", "bucket")
+            .agg(F.max("rho").alias("mj"))
+        )
+
+        def combine(current: DataFrame | None) -> DataFrame:
+            if current is None:
+                return partial
+            return (
+                current.withColumnRenamed("mj", "rho")
+                .unionByName(partial.withColumnRenamed("mj", "rho"))
+                .groupBy("event_type", "bucket")
+                .agg(F.max("rho").alias("mj"))
+            )
+
+        crash_safe_summary_merge(
+            batch_df,
+            batch_id,
+            summary_path,
+            checkpoint_dir,
+            combine,
+            "streaming_hll_registers",
+        )
+
+    ev = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).json(events_dir)
+    return (
+        ev.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def hll_summary_estimates(spark: SparkSession, summary_path: str) -> DataFrame:
+    """Read a maintained register table and produce per-type distinct
+    estimates — the exact dyadic arithmetic of agg_hll_manual, so a
+    register table maintained by the STREAM yields bit-identical
+    estimates to one built by the batch query over the same rows."""
+    from specialsid_spark.operators.sketches import hll_estimate, hll_s33
+
+    regs = spark.read.parquet(summary_path)
+    agg = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.sum(F.pow(F.lit(2.0), 33 - F.col("mj")).cast("long")).alias("s_hit"),
+    )
+    s33 = hll_s33(F.col("s_hit"), F.col("n_hit"))
+    return agg.select(
+        "event_type",
+        F.col("n_hit").cast("long").alias("n_registers_hit"),
+        s33.cast("long").alias("s33"),
+        F.round(hll_estimate(s33), 3).alias("hll_estimate"),
+    ).orderBy("event_type")
 
 
 def streaming_stateful_value_stats_tws(

@@ -44,3 +44,91 @@ def test_countmin_one_sided_and_tight(spark, sf_dir):
             r.l_suppkey,
             r.overestimate,
         )
+
+
+def _write_events(path, rows):
+    import json
+
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+def _batch_registers(spark, rows):
+    """The batch twin: registers over the same rows via sketches.py."""
+    from pyspark.sql import functions as F
+
+    from specialsid_spark.operators.sketches import hll_bucket, hll_rho
+
+    df = spark.createDataFrame(
+        [(r["event_type"], r["user_id"]) for r in rows],
+        "event_type string, user_id long",
+    )
+    h = df.select("event_type", F.md5(F.col("user_id").cast("string")).alias("hh"))
+    return {
+        (r["event_type"], r["bucket"]): r["mj"]
+        for r in h.select(
+            "event_type",
+            hll_bucket(F.col("hh")).alias("bucket"),
+            hll_rho("hh").alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("mj"))
+        .collect()
+    }
+
+
+def test_streaming_hll_registers_match_batch_and_replay(spark, tmp_path):
+    """Registers maintained incrementally over two micro-batches equal
+    the batch build over the union; a checkpointed re-run merges
+    nothing (MAX-merge idempotence under the crash-safe protocol)."""
+    from specialsid_spark.streaming.pipeline import (
+        hll_summary_estimates,
+        streaming_hll_registers,
+    )
+
+    ev_dir = tmp_path / "ev"
+    ev_dir.mkdir()
+    summary = str(tmp_path / "hll_summary")
+    ckpt = str(tmp_path / "hll_ckpt")
+    b1 = [
+        {"event_id": i, "ts": "2024-01-01 10:00:00", "user_id": 100 + i,
+         "event_type": "click" if i % 2 else "view", "value": 1.0}
+        for i in range(40)
+    ]
+    _write_events(ev_dir / "b1.json", b1)
+    streaming_hll_registers(spark, str(ev_dir), summary, ckpt).awaitTermination()
+
+    b2 = [
+        {"event_id": 1000 + i, "ts": "2024-01-01 11:00:00", "user_id": 120 + i,
+         "event_type": "click", "value": 1.0}
+        for i in range(40)
+    ]
+    _write_events(ev_dir / "b2.json", b2)
+    streaming_hll_registers(spark, str(ev_dir), summary, ckpt).awaitTermination()
+
+    got = {
+        (r["event_type"], r["bucket"]): r["mj"]
+        for r in spark.read.parquet(summary).collect()
+    }
+    assert got == _batch_registers(spark, b1 + b2)
+
+    # re-run with nothing new: checkpoint replays nothing, bytes equal
+    streaming_hll_registers(spark, str(ev_dir), summary, ckpt).awaitTermination()
+    again = {
+        (r["event_type"], r["bucket"]): r["mj"]
+        for r in spark.read.parquet(summary).collect()
+    }
+    assert again == got
+
+    # estimates come out of the maintained table with the batch formula;
+    # 60 distinct users per type at m=1024 sits deep in the small-range
+    # regime, so only sanity (positive, register count consistent) is
+    # asserted here — accuracy is pinned at scale in test_hll_manual
+    est = {r["event_type"]: r for r in hll_summary_estimates(spark, summary).collect()}
+    n_click = len({r["user_id"] for r in b1 + b2 if r["event_type"] == "click"})
+    assert est["click"]["n_registers_hit"] == len(
+        {b for (t, b) in got if t == "click"}
+    )
+    assert est["click"]["hll_estimate"] > 0
+    assert n_click > 0
