@@ -1,0 +1,53 @@
+"""PCA over an embedding corpus, split the way 100 TB demands:
+
+* corpus-scale: the exact-integer Gram matrix aggregation
+  (queries/vectors.py emb_gram_matrix — d(d+1)/2 partial sums per
+  partition, oracle-verified), and the projection (a per-row dot
+  product against broadcast components);
+* driver-scale: the d x d eigendecomposition below — numpy on at most
+  a few thousand floats, the k-means "collect k small things"
+  contract.
+
+Determinism note: the Gram matrix is bit-exact cross-engine (integer
+micro-units), but eigenvectors of a symmetric matrix are only defined
+up to sign and, under eigenvalue ties, rotation — so the eigen step is
+pinned by a numpy-parity test (tests/test_sketches.py) rather than a
+SQL oracle, and signs are canonicalized (largest-|component| positive)
+to make the output reproducible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+
+
+def gram_to_matrix(rows, dim: int) -> np.ndarray:
+    """(dim_i, dim_j, g_mu2) upper-triangle rows -> full symmetric
+    float64 matrix in (micro-unit)^2 units."""
+    g = np.zeros((dim, dim), dtype=np.float64)
+    for r in rows:
+        g[r["dim_i"], r["dim_j"]] = g[r["dim_j"], r["dim_i"]] = float(r["g_mu2"])
+    return g
+
+
+def pca_components(gram: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k principal directions of the (uncentered) second-moment
+    matrix: eigh (ascending) reversed, sign-canonicalized so each
+    component's largest-|entry| is positive."""
+    vals, vecs = np.linalg.eigh(gram)
+    order = np.argsort(vals)[::-1][:k]
+    vals, vecs = vals[order], vecs[:, order]
+    for c in range(vecs.shape[1]):
+        i = int(np.argmax(np.abs(vecs[:, c])))
+        if vecs[i, c] < 0:
+            vecs[:, c] = -vecs[:, c]
+    return vals, vecs
+
+
+def fit_pca(gram_df: DataFrame, dim: int = 64, k: int = 8):
+    """Collect the (bounded) Gram result and return (eigvals, d x k
+    component matrix).  The collect is d(d+1)/2 rows regardless of
+    corpus size."""
+    return pca_components(gram_to_matrix(gram_df.collect(), dim), k)

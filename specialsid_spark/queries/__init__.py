@@ -77,6 +77,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_bigram_surprisal",
     "agg_hll_manual",
     "agg_countmin_topk",
+    "emb_gram_matrix",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

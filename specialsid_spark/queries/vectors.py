@@ -285,3 +285,72 @@ def sim_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         assigned.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+_GRAM_DIM = 64
+
+
+def _gram_oracle() -> str:
+    """Upper-triangle Gram matrix on the exact micro-unit lattice: the
+    per-pair products are int64 (|mu| <= ~2e6 -> product <= 4e12, summed
+    over the corpus well inside BIGINT), so SUM is exact on any engine
+    and any partitioning."""
+    return f"""
+    WITH mu AS MATERIALIZED (
+      SELECT list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mu
+      FROM embeddings
+    ),
+    p AS (
+      SELECT i.i AS i, j.j AS j
+      FROM range(1, {_GRAM_DIM + 1}) i(i), range(1, {_GRAM_DIM + 1}) j(j)
+      WHERE i.i <= j.j
+    )
+    SELECT p.i - 1 AS dim_i, p.j - 1 AS dim_j,
+           CAST(SUM(mu.mu[p.i] * mu.mu[p.j]) AS BIGINT) AS g_mu2
+    FROM mu, p
+    GROUP BY p.i, p.j
+    ORDER BY dim_i, dim_j"""
+
+
+@register("emb_gram_matrix", oracle=_gram_oracle())
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed half of PCA/whitening over an embedding corpus:
+    the uncentered second-moment (Gram) matrix X^T X as exact integer
+    micro-unit products — d(d+1)/2 upper-triangle cells.  At 100 TB the
+    eigendecomposition is a driver-side numpy call on this d x d result
+    (the k-means "collect k small things" contract); the corpus-scale
+    work is THIS aggregation, whose exchange carries 2080 partial sums
+    per partition, not vectors.
+
+    Plan-construction discipline: the 2080 product terms are ONE
+    generated selectExpr string (JVM-parsed once; 2080 py4j Column
+    calls would cost minutes — the SimHash kernel lesson), and the mu
+    projection is localCheckpointed so the 2080 references hit a
+    materialized array instead of re-deriving the float->micro transform
+    per term (the cur_ngram_decontaminate lesson)."""
+    e = load_parallel(spark, sf_dir, "embeddings")
+    mu_df = e.selectExpr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mu"
+    ).localCheckpoint(eager=True)
+    pairs = [(i, j) for i in range(_GRAM_DIM) for j in range(i, _GRAM_DIM)]
+    prods = "array(" + ",".join(f"mu[{i}] * mu[{j}]" for i, j in pairs) + ") AS prods"
+    pair_df = spark.createDataFrame(
+        [(pos, i, j) for pos, (i, j) in enumerate(pairs)],
+        "pos int, dim_i int, dim_j int",
+    )
+    sums = (
+        mu_df.selectExpr(prods)
+        .select(F.posexplode("prods").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("g_mu2"))
+    )
+    return (
+        sums.join(F.broadcast(pair_df), "pos")
+        .select(
+            F.col("dim_i").cast("long").alias("dim_i"),
+            F.col("dim_j").cast("long").alias("dim_j"),
+            F.col("g_mu2").cast("long").alias("g_mu2"),
+        )
+        .orderBy("dim_i", "dim_j")
+    )

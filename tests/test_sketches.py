@@ -132,3 +132,29 @@ def test_streaming_hll_registers_match_batch_and_replay(spark, tmp_path):
     )
     assert est["click"]["hll_estimate"] > 0
     assert n_click > 0
+
+
+def test_pca_from_gram_matches_numpy(spark):
+    """The split PCA (distributed exact-integer Gram + driver eigh)
+    reproduces numpy PCA done directly on the micro-unit matrix."""
+    import numpy as np
+
+    from specialsid_spark.operators.pca import fit_pca, pca_components
+    from specialsid_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    gram_df = all_queries()["emb_gram_matrix"](spark, sf)
+    vals, vecs = fit_pca(gram_df, dim=64, k=8)
+
+    # independent reference: numpy all the way from the parquet floats
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()["embedding"]
+    x = np.floor(np.stack(emb.to_numpy()).astype(np.float64) * 1_000_000)
+    ref_vals, ref_vecs = pca_components(x.T @ x, 8)
+
+    assert np.allclose(vals, ref_vals, rtol=1e-12)
+    assert np.allclose(vecs, ref_vecs, atol=1e-9)
+    # components are orthonormal and explain descending variance
+    assert np.allclose(vecs.T @ vecs, np.eye(8), atol=1e-9)
+    assert all(vals[i] >= vals[i + 1] for i in range(7))
