@@ -696,6 +696,76 @@ def streaming_hll_registers(
     )
 
 
+def streaming_cms_counters(
+    spark: SparkSession,
+    events_dir: str,
+    summary_path: str,
+    checkpoint_dir: str,
+    d: int = 4,
+    w: int = 512,
+) -> StreamingQuery:
+    """T8 ∘ sketches, the frequency twin of streaming_hll_registers: a
+    count-min counter matrix over event user_ids maintained per
+    micro-batch.  CMS counters merge by ADDITION — which is NOT
+    idempotent under replay, so unlike the MAX-merged HLL this sink is
+    only correct because crash_safe_summary_merge's _BATCH_ID guard
+    makes each batch effectively-once (the same reason the count
+    rollup is safe).  The summary is d*w rows forever; heavy-hitter
+    point queries read it with min-over-rows, batch or streaming
+    alike."""
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        j = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("j")
+        cells = batch_df.select(F.col("user_id").cast("string").alias("k"), j)
+        partial = (
+            cells.select(
+                "j",
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("k"))),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % w
+                ).alias("col"),
+            )
+            .groupBy("j", "col")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+        def combine(current: DataFrame | None) -> DataFrame:
+            if current is None:
+                return partial
+            return (
+                current.unionByName(partial)
+                .groupBy("j", "col")
+                .agg(F.sum("c").alias("c"))
+            )
+
+        crash_safe_summary_merge(
+            batch_df,
+            batch_id,
+            summary_path,
+            checkpoint_dir,
+            combine,
+            "streaming_cms_counters",
+        )
+
+    ev = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).json(events_dir)
+    return (
+        ev.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def hll_summary_estimates(spark: SparkSession, summary_path: str) -> DataFrame:
     """Read a maintained register table and produce per-type distinct
     estimates — the exact dyadic arithmetic of agg_hll_manual, so a

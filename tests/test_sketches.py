@@ -158,3 +158,74 @@ def test_pca_from_gram_matches_numpy(spark):
     # components are orthonormal and explain descending variance
     assert np.allclose(vecs.T @ vecs, np.eye(8), atol=1e-9)
     assert all(vals[i] >= vals[i + 1] for i in range(7))
+
+
+def test_streaming_cms_counters_match_batch_and_replay(spark, tmp_path):
+    """CMS counters maintained over two micro-batches equal one batch
+    build over the union, and a checkpointed re-run adds nothing —
+    SUM-merge is only safe because the _BATCH_ID guard makes each batch
+    effectively-once."""
+    from pyspark.sql import functions as F
+
+    from specialsid_spark.streaming.pipeline import streaming_cms_counters
+
+    ev_dir = tmp_path / "ev_cms"
+    ev_dir.mkdir()
+    summary = str(tmp_path / "cms_summary")
+    ckpt = str(tmp_path / "cms_ckpt")
+    b1 = [
+        {"event_id": i, "ts": "2024-01-01 10:00:00", "user_id": i % 7,
+         "event_type": "click", "value": 1.0}
+        for i in range(50)
+    ]
+    b2 = [
+        {"event_id": 100 + i, "ts": "2024-01-01 11:00:00", "user_id": i % 3,
+         "event_type": "view", "value": 1.0}
+        for i in range(30)
+    ]
+    _write_events(ev_dir / "b1.json", b1)
+    streaming_cms_counters(spark, str(ev_dir), summary, ckpt).awaitTermination()
+    _write_events(ev_dir / "b2.json", b2)
+    streaming_cms_counters(spark, str(ev_dir), summary, ckpt).awaitTermination()
+
+    got = {
+        (r["j"], r["col"]): r["c"] for r in spark.read.parquet(summary).collect()
+    }
+    # batch reference over the union, same hash derivation
+    df = spark.createDataFrame(
+        [(str(r["user_id"]),) for r in b1 + b2], "k string"
+    )
+    j = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("j")
+    ref = {
+        (r["j"], r["col"]): r["c"]
+        for r in df.select("k", j)
+        .select(
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("k"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 512
+            ).alias("col"),
+        )
+        .groupBy("j", "col")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == ref
+    # total mass invariant: every row of the matrix sums to the stream size
+    for row in range(4):
+        assert sum(c for (jj, _), c in got.items() if jj == row) == len(b1) + len(b2)
+
+    # replay: re-run with the same checkpoint adds nothing
+    streaming_cms_counters(spark, str(ev_dir), summary, ckpt).awaitTermination()
+    again = {
+        (r["j"], r["col"]): r["c"] for r in spark.read.parquet(summary).collect()
+    }
+    assert again == got
