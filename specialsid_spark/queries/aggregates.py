@@ -19,6 +19,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from specialsid_spark.catalog import load
 from specialsid_spark.queries import register
@@ -705,4 +706,112 @@ def agg_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms") - F.col("n")).cast("long").alias("overestimate"),
         )
         .orderBy(F.desc("exact_n"), "l_suppkey")
+    )
+
+
+_KMV_K = 256
+
+
+@register(
+    "agg_kmv_corpus_overlap",
+    oracle=f"""
+    WITH u AS (
+      SELECT DISTINCT o_custkey AS k,
+             o_orderkey % 2 AS side
+      FROM orders
+    ),
+    h AS (
+      SELECT side, k,
+             ('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT AS hv
+      FROM (SELECT DISTINCT side, k FROM u)
+    ),
+    ranked AS (
+      SELECT side, hv,
+             row_number() OVER (PARTITION BY side ORDER BY hv, hv) AS rn
+      FROM (SELECT DISTINCT side, hv FROM h)
+    ),
+    sk AS (SELECT side, hv FROM ranked WHERE rn <= {_KMV_K}),
+    thr AS (
+      SELECT MAX(CASE WHEN side = 0 THEN hv END) AS t0,
+             MAX(CASE WHEN side = 1 THEN hv END) AS t1
+      FROM sk
+    ),
+    uni AS (
+      SELECT DISTINCT hv FROM sk
+    ),
+    uranked AS (
+      SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM uni
+    ),
+    usk AS (SELECT hv FROM uranked WHERE rn <= {_KMV_K}),
+    inter AS (
+      SELECT COUNT(*) AS n_inter FROM usk
+      WHERE hv IN (SELECT hv FROM sk WHERE side = 0)
+        AND hv IN (SELECT hv FROM sk WHERE side = 1)
+    )
+    SELECT CAST({_KMV_K} AS BIGINT) AS k,
+           CAST((SELECT MAX(rn) FROM uranked) AS BIGINT) AS n_union_sketch,
+           CAST(inter.n_inter AS BIGINT) AS n_inter_sketch,
+           round(CAST(inter.n_inter AS DOUBLE) / {_KMV_K}.0, 6) AS jaccard_est,
+           CAST((SELECT COUNT(DISTINCT u0.k) FROM u u0, u u1
+                 WHERE u0.side = 0 AND u1.side = 1 AND u0.k = u1.k) AS BIGINT)
+             AS n_inter_exact
+    FROM inter
+    """,
+)
+def agg_kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) overlap estimation between two corpus
+    slices — the sketch that answers "how much do these two snapshots /
+    sources overlap" without joining them: keep each side's k smallest
+    md5 values; the Jaccard estimate is the fraction of the union
+    sketch's k values present in both sides.  Every value is an exact
+    integer (md5 word, row_number rank), so both engines build
+    bit-identical sketches; the estimate is one division.
+
+    Scale shape: per-side top-k-smallest is a partial top-k per
+    partition folded into one k-sized final heap (Spark's
+    TakeOrderedAndProject-style aggregation under the window-limit
+    rewrite) — the exchange carries at most k values per side, and two
+    100 TB corpora compare via 2k integers."""
+    o = load(spark, sf_dir, "orders")
+    u = o.select(
+        F.col("o_custkey").alias("k"), (F.col("o_orderkey") % 2).alias("side")
+    ).distinct()
+    h = u.select(
+        "side",
+        F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    wnd = Window.partitionBy("side").orderBy("hv")
+    sk = (
+        h.withColumn("rn", F.row_number().over(wnd))
+        .where(F.col("rn") <= _KMV_K)
+        .select("side", "hv")
+    )
+    s0 = sk.where(F.col("side") == 0).select("hv")
+    s1 = sk.where(F.col("side") == 1).select("hv")
+    uni = s0.union(s1).distinct()
+    usk = (
+        uni.withColumn("rn", F.row_number().over(Window.orderBy("hv")))
+        .where(F.col("rn") <= _KMV_K)
+    )
+    n_union_sketch = uni.count()
+    n_inter = (
+        usk.join(s0, "hv", "semi").join(s1, "hv", "semi").count()
+    )
+    exact = u.where(F.col("side") == 0).select("k").intersect(
+        u.where(F.col("side") == 1).select("k")
+    ).count()
+    return spark.createDataFrame(
+        [
+            (
+                _KMV_K,
+                n_union_sketch,
+                n_inter,
+                round(n_inter / _KMV_K, 6),
+                exact,
+            )
+        ],
+        "k bigint, n_union_sketch bigint, n_inter_sketch bigint, "
+        "jaccard_est double, n_inter_exact bigint",
     )

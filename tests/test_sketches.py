@@ -229,3 +229,30 @@ def test_streaming_cms_counters_match_batch_and_replay(spark, tmp_path):
         (r["j"], r["col"]): r["c"] for r in spark.read.parquet(summary).collect()
     }
     assert again == got
+
+
+def test_kmv_overlap_estimate_near_truth(spark):
+    """KMV Jaccard estimate vs ground truth at sf0.01: k=256 gives
+    sigma ~ 1/sqrt(k) ~ 6%; assert a 3-sigma band.  Truth is computed
+    independently from the parquet."""
+    import duckdb
+
+    from specialsid_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    row = all_queries()["agg_kmv_corpus_overlap"](spark, sf).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    inter, union = con.execute(
+        """
+        WITH a AS (SELECT DISTINCT o_custkey k FROM orders WHERE o_orderkey % 2 = 0),
+             b AS (SELECT DISTINCT o_custkey k FROM orders WHERE o_orderkey % 2 = 1)
+        SELECT (SELECT COUNT(*) FROM a JOIN b USING (k)),
+               (SELECT COUNT(*) FROM (SELECT k FROM a UNION SELECT k FROM b))
+        """
+    ).fetchone()
+    truth = inter / union
+    assert row.n_inter_exact == inter
+    assert abs(row.jaccard_est - truth) < 0.18, (row.jaccard_est, truth)
