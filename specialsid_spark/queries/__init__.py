@@ -79,6 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_countmin_topk",
     "emb_gram_matrix",
     "agg_kmv_corpus_overlap",
+    "cur_weighted_sample",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

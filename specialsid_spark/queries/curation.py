@@ -881,3 +881,46 @@ def cur_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_WS_CAP = 200  # tokens at which sampling probability saturates at 1
+
+
+@register(
+    "cur_weighted_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+      FROM documents
+    )
+    SELECT doc_id, n_tokens
+    FROM t
+    WHERE hv * {_WS_CAP} < 4294967296 * n_tokens
+    ORDER BY doc_id
+    """,
+)
+def cur_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional Bernoulli sampling (importance sampling for
+    corpus downsizing): keep each doc with probability min(1,
+    n_tokens / {_WS_CAP}), decided by an EXACT integer cross-
+    multiplication against a 32-bit md5 word — hv * CAP < 2^32 * w.
+    No floats anywhere, so the sample is bit-reproducible across
+    engines, runs, partitionings, and cluster sizes (rand()-based
+    sampling is none of these), and re-running a 100 TB downsample
+    yields the identical corpus — the property dataset versioning
+    needs.  Pure map-side filter; nothing shuffles but the output."""
+    d = load_parallel(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    return (
+        t.where(F.col("hv") * _WS_CAP < F.lit(4294967296) * F.col("n_tokens"))
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    )
