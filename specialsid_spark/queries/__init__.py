@@ -80,6 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "emb_gram_matrix",
     "agg_kmv_corpus_overlap",
     "cur_weighted_sample",
+    "mm_jpeg12_roundtrip",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

@@ -1628,3 +1628,90 @@ def mm_pdf_page_explode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_J12_W, _J12_H = 32, 24  # 4 x 3 blocks of 8x8
+
+
+@register(
+    "mm_jpeg12_roundtrip",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    b AS (SELECT doc_id, t.b AS b FROM docs, range(12) t(b))
+    SELECT doc_id,
+           CAST({_J12_W} AS INT) AS width,
+           CAST({_J12_H} AS INT) AS height,
+           CAST(SUM(((doc_id * 173 + b * 521) % 4096) * 64) AS BIGINT) AS sample_sum,
+           CAST(MIN((doc_id * 173 + b * 521) % 4096) AS BIGINT) AS min_block,
+           CAST(MAX((doc_id * 173 + b * 521) % 4096) AS BIGINT) AS max_block,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM b GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def mm_jpeg12_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 (r5 continuation): 12-bit grayscale JPEG round-trip — the
+    DICOM-style sample depth the 8-bit decoder degrades on
+    (operators/jpeg12.py closes the stub).  Per doc: build a
+    deterministic 12-bit uniform-block image, encode at quality 100
+    with restart intervals (quant floor 2 makes uniform blocks exactly
+    recoverable: DC = 8*(v-2048) is even, so /2 and *2/8 are exact on
+    the integer lattice), decode, and report sample sums/extremes plus
+    a per-pixel mismatch count against the expected blocks.  DuckDB
+    re-derives every number from the fixture arithmetic; n_mismatch is
+    pinned to literal zero — pixel-exactness, not just checksum
+    agreement.
+
+    Same distribution shape as the codec family: per-row-independent
+    mapInPandas over the doc-id spine, fixtures generated in executors,
+    no shuffle before the final sort."""
+    import numpy as np
+    import pandas as pd
+
+    from specialsid_spark.operators.jpeg12 import decode_jpeg12, encode_jpeg12
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                vals = np.array(
+                    [(doc_id * 173 + bi * 521) % 4096 for bi in range(12)]
+                ).reshape(3, 4)
+                img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype("<u2")
+                jb = encode_jpeg12(
+                    _J12_W, _J12_H, img.tobytes(), quality=100, restart_interval=2
+                )
+                w, h, samples = decode_jpeg12(jb)
+                dec = np.frombuffer(samples, dtype="<u2").reshape(h, w)
+                out.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        int(dec.astype(np.int64).sum()),
+                        int(vals.min()),
+                        int(vals.max()),
+                        int((dec != img).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height", "sample_sum",
+                    "min_block", "max_block", "n_mismatch",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64", "width": "int32", "height": "int32",
+                    "sample_sum": "int64", "min_block": "int64",
+                    "max_block": "int64", "n_mismatch": "int64",
+                }
+            )
+
+    schema = (
+        "doc_id long, width int, height int, sample_sum long, "
+        "min_block long, max_block long, n_mismatch long"
+    )
+    return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")

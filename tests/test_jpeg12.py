@@ -1,0 +1,85 @@
+"""12-bit grayscale JPEG (operators/jpeg12.py): uniform-block
+exactness, extreme DC-diff categories, bounded error on random images,
+restart intervals, and the degrade contracts in both directions."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from specialsid_spark.operators.jpeg import decode_jpeg
+from specialsid_spark.operators.jpeg12 import decode_jpeg12, encode_jpeg12
+
+
+def _roundtrip(img: np.ndarray, **kw) -> np.ndarray:
+    h, w = img.shape
+    out = decode_jpeg12(encode_jpeg12(w, h, img.astype("<u2").tobytes(), **kw))
+    assert out is not None and out[0] == w and out[1] == h
+    return np.frombuffer(out[2], dtype="<u2").reshape(h, w)
+
+
+def test_uniform_blocks_exact_q100():
+    rng = np.random.default_rng(3)
+    blocks = rng.integers(0, 4096, (3, 4))
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    assert np.array_equal(_roundtrip(img, quality=100), img)
+
+
+def test_extreme_dc_diffs_exact():
+    """0 and 4095 checkerboard blocks drive DC diff categories to the
+    12-bit-only range (>11) — the path the 8-bit Annex K tables cannot
+    express."""
+    blocks = np.array([[0, 4095, 0, 4095], [4095, 0, 4095, 0], [0, 4095, 0, 4095]])
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    assert np.array_equal(_roundtrip(img, quality=100), img)
+
+
+def test_random_bounded_error_q100():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 4096, (24, 32))
+    err = np.abs(_roundtrip(img, quality=100).astype(int) - img)
+    # quant floor 2: worst-case reconstruction error stays small
+    assert err.max() <= 8
+
+
+def test_restart_interval_identical_pixels():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 4096, (24, 40))
+    assert np.array_equal(
+        _roundtrip(img, quality=100),
+        _roundtrip(img, quality=100, restart_interval=3),
+    )
+
+
+def test_degrade_contracts_both_directions():
+    img = np.full((8, 8), 1234)
+    jb12 = encode_jpeg12(8, 8, img.astype("<u2").tobytes(), quality=90)
+    assert decode_jpeg(jb12) is None  # 8-bit decoder refuses 12-bit
+    from specialsid_spark.operators.jpeg import encode_jpeg
+
+    jb8 = encode_jpeg(8, 8, 1, bytes(64), quality=90)
+    assert decode_jpeg12(jb8) is None  # 12-bit decoder refuses 8-bit
+    assert decode_jpeg12(b"not a jpeg") is None
+    assert decode_jpeg12(b"\xff\xd8\xff\xd9") is None
+
+
+def test_out_of_range_samples_raise():
+    import pytest
+
+    with pytest.raises(ValueError):
+        encode_jpeg12(8, 8, np.full((8, 8), 5000, dtype="<u2").tobytes())
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(1, 30), st.integers(1, 30), st.integers(0, 4095), st.integers(0, 1000)
+)
+def test_property_odd_dims_roundtrip(w, h, base, seed):
+    rng = np.random.default_rng(seed)
+    img = np.clip(
+        base + rng.integers(-40, 41, (h, w)), 0, 4095
+    )
+    dec = _roundtrip(img, quality=100).astype(int)
+    assert dec.shape == (h, w)
+    assert np.abs(dec - img).max() <= 8
