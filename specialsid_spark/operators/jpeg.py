@@ -238,7 +238,8 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes] | None:
 
     Returns ``(width, height, channels, pixels)`` with pixels row-major
     interleaved (channels 1=gray or 3=RGB), or None for payloads this
-    decoder does not support (not a JPEG, arithmetic-coded, 12-bit …).
+    decoder does not support (not a JPEG, arithmetic-coded; 12-bit
+    grayscale has its own decoder in operators/jpeg12.py).
     Baseline/extended sequential (SOF0/SOF1) AND progressive (SOF2,
     spectral selection + successive approximation, r4) are supported.
     """
