@@ -714,3 +714,38 @@ def crop_regions(
 #: Back-compat name from rounds 1-3; the kernel is no longer a stub for
 #: BMP/PNG/baseline-JPEG payloads.
 crop_stub = crop_regions
+
+
+def image_patches(
+    w: int, h: int, ch: int, pixels: bytes | bytearray, patch: int
+) -> list[tuple[int, int, int, int]]:
+    """ViT-style patch statistics: split a decoded image into a
+    (h//patch) x (w//patch) grid and return one row per patch —
+    (patch_row, patch_col, pix_sum, pix_sq_sum) summed over all
+    channels, exact int64.  Dimensions must divide evenly (the resize
+    operator exists to make them); raises otherwise rather than
+    silently truncating the margin.
+
+    This is the patch-grid half of multimodal training prep (the
+    projection to embeddings is a model, not an engine op); sums and
+    square-sums are what normalization / dead-patch filtering need,
+    and they stay on the integer lattice so cross-engine oracles can
+    restate them exactly."""
+    import numpy as np
+
+    if w % patch or h % patch:
+        raise ValueError(f"{w}x{h} not divisible by patch {patch}")
+    arr = (
+        np.frombuffer(bytes(pixels), dtype=np.uint8)
+        .reshape(h, w, ch)
+        .astype(np.int64)
+    )
+    pr, pc = h // patch, w // patch
+    grid = arr.reshape(pr, patch, pc, patch, ch)
+    sums = grid.sum(axis=(1, 3, 4))
+    sqs = (grid * grid).sum(axis=(1, 3, 4))
+    return [
+        (r, c, int(sums[r, c]), int(sqs[r, c]))
+        for r in range(pr)
+        for c in range(pc)
+    ]

@@ -81,6 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_kmv_corpus_overlap",
     "cur_weighted_sample",
     "mm_jpeg12_roundtrip",
+    "mm_image_patchify",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

@@ -1715,3 +1715,85 @@ def mm_jpeg12_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_block long, max_block long, n_mismatch long"
     )
     return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")
+
+
+_PAT_W, _PAT_H, _PATCH = 48, 32, 16  # 6x4 blocks -> 3x2 patches
+
+
+@register(
+    "mm_image_patchify",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    g AS (
+      SELECT doc_id, pr.p AS pr, pc.p AS pc,
+             (doc_id * 31 + (pr.p * 2 + i.i) * 7 + (pc.p * 2 + j.j) * 13) % 256 AS val
+      FROM docs, range(2) pr(p), range(3) pc(p), range(2) i(i), range(2) j(j)
+    )
+    SELECT doc_id,
+           CAST(pr AS INT) AS patch_row,
+           CAST(pc AS INT) AS patch_col,
+           CAST(SUM(val) * 64 AS BIGINT) AS pix_sum,
+           CAST(SUM(val * val) * 64 AS BIGINT) AS pix_sq_sum,
+           CAST(4 * SUM(val * val) - SUM(val) * SUM(val) AS BIGINT) AS ivar16
+    FROM g GROUP BY doc_id, pr, pc
+    ORDER BY doc_id, patch_row, patch_col
+    """,
+)
+def mm_image_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 (r5 continuation): ViT-style patch extraction over decoded
+    images — the preprocessing grid a multimodal training pipeline
+    computes per image.  Per doc: build the deterministic block
+    fixture, round-trip it through the REAL JPEG codec (quality 100,
+    uniform 8x8 blocks decode pixel-exact), then image_patches() cuts
+    16x16 patches and emits exact integer sums/square-sums; ivar16 =
+    4*(sum of the 4 block values squared) - (their sum)^2 is the patch
+    variance on the integer lattice (x16), the dead/flat-patch filter
+    signal.  DuckDB re-derives every number from the block arithmetic
+    — codec, patch grid, and statistics all value-checked at once.
+
+    Same shape as the codec family: per-row-independent mapInPandas,
+    no shuffle before the final sort."""
+    import numpy as np
+    import pandas as pd
+
+    from specialsid_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from specialsid_spark.operators.multimodal import image_patches
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                yy, xx = np.mgrid[0:_PAT_H, 0:_PAT_W]
+                img = ((doc_id * 31 + (yy // 8) * 7 + (xx // 8) * 13) % 256).astype(
+                    np.uint8
+                )
+                jb = encode_jpeg(_PAT_W, _PAT_H, 1, img.tobytes(), quality=100)
+                w, h, ch, px = decode_jpeg(jb)
+                for pr, pc, s, q in image_patches(w, h, ch, px, _PATCH):
+                    # 64 pixels per 8x8 block: pull stats back to the
+                    # 4-block lattice for the exact variance form
+                    s4, q4 = s // 64, q // 64
+                    out.append((doc_id, pr, pc, s, q, 4 * q4 - s4 * s4))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "patch_row", "patch_col",
+                    "pix_sum", "pix_sq_sum", "ivar16",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64", "patch_row": "int32", "patch_col": "int32",
+                    "pix_sum": "int64", "pix_sq_sum": "int64", "ivar16": "int64",
+                }
+            )
+
+    schema = (
+        "doc_id long, patch_row int, patch_col int, "
+        "pix_sum long, pix_sq_sum long, ivar16 long"
+    )
+    return d.select("doc_id").mapInPandas(fn, schema).orderBy(
+        "doc_id", "patch_row", "patch_col"
+    )
