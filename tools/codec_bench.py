@@ -35,6 +35,7 @@ from specialsid_spark.operators.jpeg import (  # noqa: E402
     encode_jpeg,
     encode_jpeg_progressive,
 )
+from specialsid_spark.operators.jpeg12 import decode_jpeg12, encode_jpeg12  # noqa: E402
 from specialsid_spark.operators.multimodal import decode_png, encode_png  # noqa: E402
 
 
@@ -136,6 +137,15 @@ def main() -> None:
             encode_jpeg(w, h, 1, gray.tobytes(), quality=85),
             decode_jpeg,
         ),
+        # 12-bit grayscale (operators/jpeg12): decoded bytes are uint16,
+        # so pixel_bytes is w*h*2 (handled below via the name check)
+        "jpeg12_gray_q85": (
+            encode_jpeg12(
+                w, h, ((gray.astype(np.uint16) << 4) | (gray >> 4)).astype("<u2").tobytes(),
+                quality=85,
+            ),
+            decode_jpeg12,
+        ),
         "png_rgb": (encode_png(w, h, 3, img.tobytes()), decode_png),
         # GIF is palettized: web-safe quantization (216 colors) keeps the
         # texture while honoring the format's 256-color ceiling
@@ -144,6 +154,8 @@ def main() -> None:
     out = {}
     for name, (blob, dec) in fixtures.items():
         pb = px_bytes if "gray" not in name else w * h
+        if name.startswith("jpeg12"):
+            pb = w * h * 2
         out[name] = bench_one(name, blob, dec, pb, rounds, reps)
         print(f"# {name}: {out[name]}", file=sys.stderr)
 
