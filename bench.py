@@ -68,6 +68,15 @@ HEADLINE = [
     "text_bpe_apply_corpus",
     "cur_ngram_decontaminate",
     "text_bigram_surprisal",
+    # round-5 continuation: the deterministic sketch/sampling family —
+    # real corpus-scale comparisons (the codec-style queries stay
+    # excluded for the usual reason: their oracles restate fixtures,
+    # not the codec work)
+    "agg_hll_manual",
+    "agg_countmin_topk",
+    "agg_kmv_corpus_overlap",
+    "cur_weighted_sample",
+    "emb_gram_matrix",
 ]
 
 

@@ -323,25 +323,39 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     work is THIS aggregation, whose exchange carries 2080 partial sums
     per partition, not vectors.
 
-    Plan-construction discipline: the 2080 product terms are ONE
-    generated selectExpr string (JVM-parsed once; 2080 py4j Column
-    calls would cost minutes — the SimHash kernel lesson), and the mu
-    projection is localCheckpointed so the 2080 references hit a
-    materialized array instead of re-deriving the float->micro transform
-    per term (the cur_ngram_decontaminate lesson)."""
+    Implementation: each Arrow batch contributes ONE partial Gram via
+    an exact int64 numpy matmul (X^T X — BLAS-free integer path, no
+    float rounding), emitted as d(d+1)/2 (pos, partial) rows; the final
+    groupBy(pos) sums a few thousand rows per partition.  This replaced
+    a 2080-term generated selectExpr whose Catalyst analysis alone cost
+    ~4 s per run — when a reduction is a dense matrix product, one
+    numpy call per batch beats thousands of codegen'd expressions."""
+    import numpy as np
+    import pandas as pd
+
     e = load_parallel(spark, sf_dir, "embeddings")
-    mu_df = e.selectExpr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mu"
-    ).localCheckpoint(eager=True)
     pairs = [(i, j) for i in range(_GRAM_DIM) for j in range(i, _GRAM_DIM)]
-    prods = "array(" + ",".join(f"mu[{i}] * mu[{j}]" for i, j in pairs) + ") AS prods"
+    iu = np.triu_indices(_GRAM_DIM)
     pair_df = spark.createDataFrame(
         [(pos, i, j) for pos, (i, j) in enumerate(pairs)],
         "pos int, dim_i int, dim_j int",
     )
+
+    def partial_gram(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1_000_000
+            ).astype(np.int64)
+            g = x.T @ x  # exact: |mu| <= ~2e6 -> products < 2^63 summed
+            yield pd.DataFrame(
+                {"pos": np.arange(len(pairs)), "v": g[iu]}
+            )
+
     sums = (
-        mu_df.selectExpr(prods)
-        .select(F.posexplode("prods").alias("pos", "v"))
+        e.select("embedding")
+        .mapInPandas(partial_gram, "pos int, v long")
         .groupBy("pos")
         .agg(F.sum("v").alias("g_mu2"))
     )
