@@ -82,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "cur_weighted_sample",
     "mm_jpeg12_roundtrip",
     "mm_image_patchify",
+    "mm_wav_vad_segments",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

@@ -1797,3 +1797,106 @@ def mm_image_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").mapInPandas(fn, schema).orderBy(
         "doc_id", "patch_row", "patch_col"
     )
+
+
+_VAD_N = 2048       # samples per clip -> exactly 8 frames of 256
+_VAD_THRESH = 1_000_000  # frame-energy threshold (quiet ~ 5e3, voiced ~ 3e8)
+
+
+@register(
+    "mm_wav_vad_segments",
+    # Fixture grammar: "voiced" bursts — frame block b = k // 256 is
+    # active when (doc_id + b) % 3 != 0; active samples follow the
+    # usual ramp ((doc_id*7 + k*13) % 4096) - 2048, quiet ones a tiny
+    # (k % 16) - 8 dither.  The segmentation itself is the point: it
+    # runs as gaps-and-islands SQL over (doc, frame) rows on BOTH
+    # engines (frame_no - row_number() per doc = island id), so the
+    # oracle checks the distributed segmentation logic, not a Python
+    # run-length loop.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    ks AS (SELECT unnest(range(0, {_VAD_N})) AS k),
+    cells AS (
+      SELECT d.doc_id, ks.k // 256 AS frame_no,
+             CASE WHEN (d.doc_id + ks.k // 256) % 3 <> 0
+                  THEN ((d.doc_id * 7 + ks.k * 13) % 4096) - 2048
+                  ELSE (ks.k % 16) - 8 END AS s
+      FROM docs d CROSS JOIN ks
+    ),
+    fe AS (
+      SELECT doc_id, frame_no, SUM(s * s) AS energy
+      FROM cells GROUP BY doc_id, frame_no
+    ),
+    act AS (
+      SELECT doc_id, frame_no, energy,
+             frame_no - row_number() OVER (PARTITION BY doc_id ORDER BY frame_no)
+               AS island
+      FROM fe WHERE energy > {_VAD_THRESH}
+    )
+    SELECT doc_id,
+           CAST(MIN(frame_no) AS INT) AS start_frame,
+           CAST(MAX(frame_no) AS INT) AS end_frame,
+           CAST(COUNT(*) AS INT) AS n_frames,
+           CAST(SUM(energy) AS BIGINT) AS seg_energy
+    FROM act GROUP BY doc_id, island
+    ORDER BY doc_id, start_frame
+    """,
+)
+def mm_wav_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 audio ∘ windowing: energy-threshold voice-activity detection
+    with run-length segment merging — the preprocessing that turns raw
+    audio into training utterances.  The WAV chain (synthesize burst
+    clip -> encode RIFF -> parse -> decode -> per-256 frame energy)
+    runs per-row in mapInPandas; the SEGMENTATION is deliberately a
+    distributed gaps-and-islands window computation over the (doc,
+    frame) rows (island = frame_no - row_number per doc), the same SQL
+    both engines execute — at 100 TB of audio the frame table is the
+    shuffle payload (2 ints + 1 long per frame), never the samples."""
+    import pandas as pd
+
+    from specialsid_spark.operators.audio import (
+        decode_wav,
+        encode_wav,
+        frame_energy,
+    )
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                k = np.arange(_VAD_N, dtype=np.int64)
+                active = (doc_id + k // 256) % 3 != 0
+                ramp = ((doc_id * 7 + k * 13) % 4096) - 2048
+                quiet = (k % 16) - 8
+                samples = np.where(active, ramp, quiet)
+                wav = encode_wav(16000, samples)
+                _rate, _nch, dec = decode_wav(wav)
+                for fno, e in enumerate(frame_energy(dec[:, 0], 256)):
+                    out.append((doc_id, fno, e))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_no", "energy"]
+            ).astype({"doc_id": "int64", "frame_no": "int32", "energy": "int64"})
+
+    fe = d.select("doc_id").mapInPandas(fn, "doc_id long, frame_no int, energy long")
+    act = fe.where(F.col("energy") > _VAD_THRESH).withColumn(
+        "island",
+        F.col("frame_no")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("frame_no")),
+    )
+    return (
+        act.groupBy("doc_id", "island")
+        .agg(
+            F.min("frame_no").cast("int").alias("start_frame"),
+            F.max("frame_no").cast("int").alias("end_frame"),
+            F.count(F.lit(1)).cast("int").alias("n_frames"),
+            F.sum("energy").cast("long").alias("seg_energy"),
+        )
+        .drop("island")
+        .orderBy("doc_id", "start_frame")
+    )
