@@ -83,6 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_jpeg12_roundtrip",
     "mm_image_patchify",
     "mm_wav_vad_segments",
+    "text_zipf_slope",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

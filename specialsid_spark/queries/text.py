@@ -797,3 +797,77 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_ZIPF_TOP = 1000  # ranks fitted
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH wc AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest({_SQL_TOKENS}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS r
+      FROM wc
+    ),
+    pts AS (
+      -- milli-nat fixed point: floor(ln * 1e3) of exact integers is the
+      -- same double -> same floor on both engines, and every sum below
+      -- is then exact int64 (the surprisal idiom at regression scale;
+      -- milli not micro so n*Sxy stays inside int64)
+      SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS y
+      FROM ranked WHERE r <= {_ZIPF_TOP}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           round(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+                 / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE), 6)
+             AS zipf_slope
+    FROM pts
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law slope of the corpus vocabulary: least-squares fit of
+    ln(freq) on ln(rank) over the top-{_ZIPF_TOP} words — the classic
+    corpus-health diagnostic (natural text sits near -1; templated or
+    synthetic corpora drift).  Log points snap to milli-nat integers so
+    all regression sums are exact int64; the slope is one double
+    division at the end.  The word count is the only corpus-scale pass;
+    the fit consumes {_ZIPF_TOP} rows."""
+    from pyspark.sql.window import Window
+
+    d = load_parallel(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = wc.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("n"), "tok"))
+    ).where(F.col("r") <= _ZIPF_TOP)
+    pts = ranked.select(
+        F.floor(F.log(F.col("r").cast("double")) * 1000).cast("long").alias("x"),
+        F.floor(F.log(F.col("n").cast("double")) * 1000).cast("long").alias("y"),
+    )
+    cnt = F.count(F.lit(1))
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy, sxx = F.sum(F.col("x") * F.col("y")), F.sum(F.col("x") * F.col("x"))
+    return pts.agg(
+        cnt.cast("long").alias("n_points"),
+        sx.cast("long").alias("sx"),
+        sy.cast("long").alias("sy"),
+        sxy.cast("long").alias("sxy"),
+        sxx.cast("long").alias("sxx"),
+        F.round(
+            (cnt * sxy - sx * sy).cast("double") / (cnt * sxx - sx * sx).cast("double"),
+            6,
+        ).alias("zipf_slope"),
+    )
