@@ -556,6 +556,53 @@ def crash_safe_summary_merge(
         shutil.rmtree(old)
 
 
+def streaming_decontaminate_ingest(
+    spark: SparkSession,
+    docs_dir: str,
+    eval_grams: frozenset[str],
+    k: int = 5,
+    max_frac: float = 0.0,
+) -> DataFrame:
+    """Curation ∘ T1: the eval-set decontamination gate at the ingest
+    door — the streaming twin of cur_ngram_decontaminate.  Documents
+    whose distinct k-gram overlap with the benchmark set exceeds
+    ``max_frac`` (default: ANY overlap) never enter the corpus.
+
+    The eval-gram set ships to executors once via the closure (real
+    eval suites are a few million shingles — broadcast territory), and
+    the check runs inside ONE Arrow-batched mapInPandas per micro-batch:
+    stateless, no shuffle, no state store, identical semantics batch or
+    stream.  Returns the surviving stream with per-doc overlap columns
+    so downstream audits can see what was near-missed; the caller
+    attaches the sink."""
+    import pandas as pd  # noqa: PLC0415
+
+    docs = spark.readStream.schema("doc_id long, ts timestamp, text string").json(
+        docs_dir
+    )
+
+    def gate(batches):
+        for pdf in batches:
+            keep_rows = []
+            for doc_id, ts, text in zip(pdf["doc_id"], pdf["ts"], pdf["text"]):
+                toks = str(text).lower().split()
+                grams = {
+                    " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+                }
+                n_hits = len(grams & eval_grams)
+                frac = n_hits / max(len(grams), 1)
+                if frac <= max_frac:
+                    keep_rows.append((doc_id, ts, text, len(grams), n_hits))
+            yield pd.DataFrame(
+                keep_rows,
+                columns=["doc_id", "ts", "text", "n_grams", "n_eval_hits"],
+            )
+
+    return docs.mapInPandas(
+        gate, "doc_id long, ts timestamp, text string, n_grams long, n_eval_hits long"
+    )
+
+
 def streaming_incremental_rollup(
     spark: SparkSession,
     events_dir: str,

@@ -256,3 +256,58 @@ def test_kmv_overlap_estimate_near_truth(spark):
     truth = inter / union
     assert row.n_inter_exact == inter
     assert abs(row.jaccard_est - truth) < 0.18, (row.jaccard_est, truth)
+
+
+def test_streaming_decontaminate_ingest(spark, tmp_path):
+    """The ingest-door decontamination gate drops exactly the docs
+    whose 5-grams overlap the eval set, batch/stream identical; a
+    re-run replays nothing (checkpointed file source)."""
+    import json
+
+    from specialsid_spark.streaming.pipeline import streaming_decontaminate_ingest
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    sink = str(tmp_path / "clean_docs")
+    ckpt = str(tmp_path / "ckpt_decon")
+    eval_text = "alpha beta gamma delta epsilon zeta"
+    toks = eval_text.split()
+    eval_grams = frozenset(
+        " ".join(toks[i : i + 5]) for i in range(len(toks) - 4)
+    )
+    rows = [
+        {"doc_id": 1, "ts": "2024-01-01 10:00:00",
+         "text": "clean words only nothing shared here at all today ok"},
+        {"doc_id": 2, "ts": "2024-01-01 10:01:00",
+         "text": "prefix alpha beta gamma delta epsilon suffix"},  # contaminated
+        {"doc_id": 3, "ts": "2024-01-01 10:02:00",
+         "text": "alpha beta gamma delta unrelated tail words"},  # 4-gram only: clean
+    ]
+    with open(docs_dir / "b1.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    q = (
+        streaming_decontaminate_ingest(spark, str(docs_dir), eval_grams)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {r["doc_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert set(out) == {1, 3}
+    assert out[3]["n_eval_hits"] == 0  # 4-gram overlap is below the k=5 radar
+    assert out[1]["n_grams"] == len(rows[0]["text"].split()) - 4
+
+    # exactly-once: re-run processes nothing new
+    q2 = (
+        streaming_decontaminate_ingest(spark, str(docs_dir), eval_grams)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(sink).count() == 2
