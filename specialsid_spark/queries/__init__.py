@@ -84,6 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_image_patchify",
     "mm_wav_vad_segments",
     "text_zipf_slope",
+    "clean_snapshot_diff",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

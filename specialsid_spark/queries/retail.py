@@ -602,3 +602,84 @@ def clean_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, op string, n_rows long, sum_cents long"
     ).orderBy("version")
+
+
+@register(
+    "clean_snapshot_diff",
+    # Version contents derive from orders by key predicates (v1 =
+    # keys%3==0, v2 appends %3==1, v3 overwrites to %3==2), so each
+    # diff's inserts/deletes are restatable: v1->v2 inserts %3==1 only
+    # (the shared v1 file is pruned via the manifest); v2->v3 deletes
+    # %3 in (0,1) and inserts %3==2.
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS ok,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents_v
+      FROM orders WHERE o_orderkey < 4000
+    )
+    SELECT 1 AS from_v, 2 AS to_v, 'insert' AS change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents_v) AS BIGINT) AS sum_cents
+    FROM o WHERE ok % 3 = 1
+    UNION ALL
+    SELECT 2, 3, 'delete', CAST(count(*) AS BIGINT), CAST(sum(cents_v) AS BIGINT)
+    FROM o WHERE ok % 3 IN (0, 1)
+    UNION ALL
+    SELECT 2, 3, 'insert', CAST(count(*) AS BIGINT), CAST(sum(cents_v) AS BIGINT)
+    FROM o WHERE ok % 3 = 2
+    ORDER BY from_v, change_type
+    """,
+)
+def clean_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 extension — CDC between snapshot versions (the Delta
+    `table_changes` idea on plain manifests; operators/snapshot.py
+    snapshot_diff).  Three commits (append, append, overwrite), then
+    the row-level diffs v1->v2 and v2->v3 aggregated by change type.
+    The oracle restates every insert/delete set from `orders`, so the
+    whole diff protocol — manifest file-list symmetric difference,
+    multiset exceptAll, schema carry — is value-checked.
+
+    Scale shape: immutable data files shared by both manifests cancel
+    and are never read (the v1 file is pruned from the v1->v2 diff),
+    so an append-mostly table diffs in time proportional to its
+    changed files — the property that makes incremental downstream
+    refresh viable at 100 TB."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from specialsid_spark.operators.snapshot import snapshot_commit, snapshot_diff
+    from specialsid_spark.queries._determinism import cents
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select(
+            F.col("o_orderkey").alias("ok"),
+            cents("o_totalprice").alias("cents_v"),
+        )
+    )
+    work = Path(tempfile.mkdtemp(prefix="specialsid_snapdiff_"))
+    t = str(work / "tbl")
+    try:
+        snapshot_commit(o.filter(F.col("ok") % 3 == 0), t, mode="append")
+        snapshot_commit(o.filter(F.col("ok") % 3 == 1), t, mode="append")
+        snapshot_commit(o.filter(F.col("ok") % 3 == 2), t, mode="overwrite")
+        rows = []
+        for v_from, v_to in ((1, 2), (2, 3)):
+            agg = (
+                snapshot_diff(spark, t, v_from, v_to)
+                .groupBy("change_type")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("cents_v").cast("long").alias("sum_cents"),
+                )
+                .collect()
+            )
+            for r in agg:
+                rows.append((v_from, v_to, r["change_type"], r["n_rows"], r["sum_cents"]))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "from_v int, to_v int, change_type string, n_rows long, sum_cents long"
+    ).orderBy("from_v", "change_type")

@@ -95,3 +95,42 @@ def test_manifest_records_lineage(spark, tmp_path):
     assert all(f.startswith("data/") for f in m["files"])
     with pytest.raises(ValueError):
         snapshot_commit(_df(spark, 0, 1), t, mode="merge")
+
+
+def test_snapshot_diff_rows_and_file_pruning(spark, tmp_path):
+    """snapshot_diff returns multiset-correct inserts/deletes AND never
+    reads files shared by both manifests (immutable files cancel)."""
+    from specialsid_spark.operators.snapshot import snapshot_diff
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 10), t)                    # v1: ids 0..9
+    snapshot_commit(_df(spark, 10, 15), t, mode="append")    # v2: +10..14
+    snapshot_commit(_df(spark, 5, 12), t, mode="overwrite")  # v3: 5..11
+
+    d12 = snapshot_diff(spark, t, 1, 2)
+    rows = {(r["change_type"], r["id"]) for r in d12.collect()}
+    assert rows == {("insert", k) for k in range(10, 15)}
+    # pruning: the shared v1 file never enters the scan
+    scanned = {f.rsplit("/", 1)[-1] for f in d12.inputFiles()}
+    v1_files = {
+        f.rsplit("/", 1)[-1]
+        for f in json.loads((Path(t) / "_manifests" / "v1.json").read_text())["files"]
+    }
+    assert scanned and not (scanned & v1_files)
+
+    # overwrite diff: ids 5..11 exist in BOTH versions but in different
+    # files — exceptAll cancels them by VALUE, so only true changes
+    # remain: deletes 0..4 and 12..14, no inserts
+    d23 = snapshot_diff(spark, t, 2, 3)
+    got = {(r["change_type"], r["id"]) for r in d23.collect()}
+    assert got == {("delete", k) for k in [*range(0, 5), *range(12, 15)]}
+
+
+def test_snapshot_diff_identical_versions_empty(spark, tmp_path):
+    from specialsid_spark.operators.snapshot import snapshot_diff
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 8), t)
+    snapshot_commit(_df(spark, 100, 101), t, mode="append")
+    # v1 vs v1-like subset: compare v2 with itself
+    assert snapshot_diff(spark, t, 2, 2).count() == 0
