@@ -85,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_wav_vad_segments",
     "text_zipf_slope",
     "clean_snapshot_diff",
+    "clean_snapshot_incremental_refresh",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",
