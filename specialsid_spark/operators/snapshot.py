@@ -87,8 +87,16 @@ def snapshot_commit(
         if p.is_file()
     )
     files = new_files
+    inherited_stats: dict = {}
     if mode == "append" and versions:
-        files = _read_manifest(path, versions[-1])["files"] + new_files
+        parent = _read_manifest(path, versions[-1])
+        files = parent["files"] + new_files
+        # column statistics recorded by snapshot_commit_stats stay valid
+        # for inherited (immutable) files — carry them forward so a
+        # stats-less append never blinds the scan pruner retroactively
+        inherited_stats = {
+            f: s for f, s in parent.get("stats", {}).items() if f in set(files)
+        }
     mdir = _manifest_dir(path)
     mdir.mkdir(parents=True, exist_ok=True)
     manifest = {
@@ -97,6 +105,8 @@ def snapshot_commit(
         "op": mode,
         "files": files,
     }
+    if inherited_stats:
+        manifest["stats"] = inherited_stats
     tmp = mdir / f"v{new_version}.json.tmp"
     tmp.write_text(json.dumps(manifest, indent=1))
     os.rename(tmp, mdir / f"v{new_version}.json")  # THE commit point
@@ -186,3 +196,115 @@ def snapshot_diff(
     added = b.exceptAll(a).withColumn("change_type", F.lit("insert"))
     removed = a.exceptAll(b).withColumn("change_type", F.lit("delete"))
     return added.unionByName(removed)
+
+
+def _file_stats(root: Path, rel: str, cols: list[str]) -> dict:
+    """Per-file min/max for ``cols``, read from the parquet FOOTER the
+    file already carries (no data scan).  Columns without usable
+    statistics are simply absent — scan() treats that as 'always
+    read'."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(str(root / rel)).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        rgm = md.row_group(rg)
+        for ci in range(rgm.num_columns):
+            cm = rgm.column(ci)
+            name = cm.path_in_schema
+            st = cm.statistics
+            if name in cols and st is not None and st.has_min_max:
+                mins[name] = st.min if name not in mins else min(mins[name], st.min)
+                maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
+    return {c: [mins[c], maxs[c]] for c in mins}
+
+
+def snapshot_commit_stats(
+    df: DataFrame, path: str, stats_cols: list[str], mode: str = "append"
+) -> int:
+    """snapshot_commit + per-file min/max column statistics in the
+    manifest (the Iceberg idea: the manifest carries enough metadata to
+    prune files BEFORE any read).  Stats come from the parquet footers
+    of the just-written files; appended manifests inherit the parent's
+    stats for retained files."""
+    root = Path(path)
+    parent_versions = snapshot_versions(path)
+    parent_stats = (
+        _read_manifest(path, parent_versions[-1]).get("stats", {})
+        if parent_versions
+        else {}
+    )
+    v = snapshot_commit(df, path, mode=mode)
+    m = _read_manifest(path, v)
+    stats = {}
+    for rel in m["files"]:
+        if rel in parent_stats:
+            stats[rel] = parent_stats[rel]
+        else:
+            stats[rel] = _file_stats(root, rel, stats_cols)
+    m["stats"] = stats
+    mdir = _manifest_dir(path)
+    tmp = mdir / f"v{v}.json.tmp"
+    tmp.write_text(json.dumps(m, indent=1))
+    os.rename(tmp, mdir / f"v{v}.json")
+    return v
+
+
+def snapshot_scan(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Read only the files whose manifest [min, max] for ``col``
+    intersects [lo, hi]; files without recorded stats are always read
+    (pruning must never drop data).  Returns (DataFrame ALREADY
+    filtered to the predicate, n_files_scanned, n_files_total) — the
+    file counts are the observable pruning effect.
+
+    At 100 TB this is the step BEFORE partition pruning even starts
+    paying: a filter on a clustered column touches the few files whose
+    range matches, decided from one small JSON instead of an
+    object-store LIST + footer fetch per file."""
+    versions = snapshot_versions(path)
+    v = versions[-1] if version is None else version
+    m = _read_manifest(path, v)
+    stats = m.get("stats", {})
+    keep = []
+    for rel in m["files"]:
+        rng = stats.get(rel, {}).get(col)
+        if rng is None or (rng[0] <= hi and rng[1] >= lo):
+            keep.append(rel)
+    from pyspark.sql import functions as F
+
+    # everything pruned: schema-only empty frame from the full file list
+    src = keep if keep else m["files"]
+    df = spark.read.parquet(*[str(Path(path) / f) for f in src])
+    if not keep:
+        df = df.limit(0)
+    return (
+        df.filter((F.col(col) >= lo) & (F.col(col) <= hi)),
+        len(keep),
+        len(m["files"]),
+    )
+
+
+def snapshot_compact(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> int:
+    """Rewrite the CURRENT version's content as ``target_files`` files
+    in a new version (op recorded as 'compact') — content-identical,
+    small-file debt paid, history intact (the old version still time-
+    travels until vacuumed)."""
+    cur = snapshot_read(spark, path)
+    v = snapshot_commit(cur.coalesce(target_files), path, mode="overwrite")
+    m = _read_manifest(path, v)
+    m["op"] = "compact"
+    mdir = _manifest_dir(path)
+    tmp = mdir / f"v{v}.json.tmp"
+    tmp.write_text(json.dumps(m, indent=1))
+    os.rename(tmp, mdir / f"v{v}.json")
+    return v

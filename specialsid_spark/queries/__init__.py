@@ -86,6 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_zipf_slope",
     "clean_snapshot_diff",
     "clean_snapshot_incremental_refresh",
+    "clean_snapshot_stats_pruning",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

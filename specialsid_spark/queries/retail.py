@@ -786,3 +786,112 @@ def clean_snapshot_incremental_refresh(spark: SparkSession, sf_dir: str) -> Data
     return spark.createDataFrame(
         out, "version int, grp long, n_rows long, sum_cents long"
     ).orderBy("version", "grp")
+
+
+@register(
+    "clean_snapshot_stats_pruning",
+    # Three single-file commits over the sorted key's rank thirds
+    # (chunk = floor((rn-1)*3/n) — non-empty at any SF); the scan band
+    # is the [p40, p60] rank band, strictly inside the middle chunk,
+    # so exactly ONE of the three files matches the manifest stats.
+    # n_files_* are literals: if pruning breaks (scans all) or
+    # over-prunes (drops rows), counts or aggregates go red.
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS ok,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents_v
+      FROM orders WHERE o_orderkey < 6000
+    ),
+    r AS (
+      SELECT ok, cents_v,
+             row_number() OVER (ORDER BY ok) AS rn,
+             count(*) OVER () AS n
+      FROM o
+    ),
+    b AS (
+      SELECT MIN(CASE WHEN rn = CAST(floor(0.4 * n) + 1 AS BIGINT) THEN ok END) AS lo,
+             MIN(CASE WHEN rn = CAST(floor(0.6 * n) AS BIGINT) THEN ok END) AS hi
+      FROM r
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents_v) AS BIGINT) AS sum_cents,
+           CAST(min(ok) AS BIGINT) AS min_ok,
+           CAST(max(ok) AS BIGINT) AS max_ok,
+           1 AS n_files_scanned,
+           3 AS n_files_total
+    FROM r, b WHERE r.ok >= b.lo AND r.ok <= b.hi
+    """,
+)
+def clean_snapshot_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 extension — manifest column statistics + file pruning (the
+    Iceberg core mechanic on plain manifests): each commit records its
+    files' min/max for the cluster key straight from the parquet
+    FOOTERS (no data scan), and a range scan consults only the
+    manifest to decide which files to open.  Three commits over the
+    sorted key's rank thirds; a predicate on the [p40, p60] key band
+    opens exactly 1 of 3 files — the counts are part of the
+    oracle-checked result, so the pruning effect itself is
+    value-verified, not just the rows.
+
+    Scale shape: predicate-to-file resolution is one small JSON read;
+    the alternative at 100 TB is LIST + per-file footer fetch over
+    every object — the manifest turns O(files) metadata I/O into O(1).
+    """
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql.window import Window
+
+    from specialsid_spark.operators.snapshot import (
+        snapshot_commit_stats,
+        snapshot_scan,
+    )
+    from specialsid_spark.queries._determinism import cents
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 6000)
+        .select(
+            F.col("o_orderkey").alias("ok"),
+            cents("o_totalprice").alias("cents_v"),
+        )
+    )
+    ranked = o.withColumn("rn", F.row_number().over(Window.orderBy("ok")))
+    n = ranked.count()
+    chunk = F.floor((F.col("rn") - 1) * 3 / n)
+    lo, hi = (
+        ranked.where(
+            F.col("rn").isin(int(0.4 * n) + 1, int(0.6 * n))
+        )
+        .agg(F.min("ok"), F.max("ok"))
+        .collect()[0]
+    )
+    work = Path(tempfile.mkdtemp(prefix="specialsid_snapstats_"))
+    t = str(work / "tbl")
+    try:
+        for c in range(3):
+            part = (
+                ranked.where(chunk == c).select("ok", "cents_v").coalesce(1)
+            )
+            snapshot_commit_stats(part, t, ["ok"], mode="append")
+        scan, n_scanned, n_total = snapshot_scan(spark, t, "ok", lo, hi)
+        agg = scan.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents_v").cast("long").alias("sum_cents"),
+            F.min("ok").cast("long").alias("min_ok"),
+            F.max("ok").cast("long").alias("max_ok"),
+        ).collect()[0]
+        rows = [
+            (
+                agg["n_rows"], agg["sum_cents"], agg["min_ok"], agg["max_ok"],
+                n_scanned, n_total,
+            )
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_rows long, sum_cents long, min_ok long, max_ok long, "
+        "n_files_scanned int, n_files_total int",
+    )

@@ -134,3 +134,52 @@ def test_snapshot_diff_identical_versions_empty(spark, tmp_path):
     snapshot_commit(_df(spark, 100, 101), t, mode="append")
     # v1 vs v1-like subset: compare v2 with itself
     assert snapshot_diff(spark, t, 2, 2).count() == 0
+
+
+def test_snapshot_stats_scan_boundaries(spark, tmp_path):
+    """Stats pruning: straddling predicates read both files, stat-less
+    files are always read, and pruning never drops rows."""
+    from specialsid_spark.operators.snapshot import (
+        snapshot_commit_stats,
+        snapshot_scan,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit_stats(_df(spark, 0, 10).coalesce(1), t, ["id"])
+    snapshot_commit_stats(
+        _df(spark, 10, 20).coalesce(1), t, ["id"], mode="append"
+    )
+    # inside file 1 only
+    df, scanned, total = snapshot_scan(spark, t, "id", 2, 5)
+    assert (scanned, total) == (1, 2) and df.count() == 4
+    # straddles both
+    df, scanned, total = snapshot_scan(spark, t, "id", 8, 12)
+    assert (scanned, total) == (2, 2) and df.count() == 5
+    # outside everything
+    df, scanned, total = snapshot_scan(spark, t, "id", 100, 200)
+    assert (scanned, total) == (0, 2) or df.count() == 0
+    # a commit without stats for the column is never pruned
+    snapshot_commit(_df(spark, 50, 55).coalesce(1), t, mode="append")
+    from specialsid_spark.operators.snapshot import snapshot_commit_stats as _s
+    df, scanned, total = snapshot_scan(spark, t, "id", 2, 5)
+    assert total == 3 and scanned == 2  # file 1 (match) + stat-less file
+    assert df.count() == 4
+
+
+def test_snapshot_compact_content_identical(spark, tmp_path):
+    from specialsid_spark.operators.snapshot import snapshot_compact
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 10), t)
+    snapshot_commit(_df(spark, 10, 20), t, mode="append")
+    before = sorted((r["id"], r["v"]) for r in snapshot_read(spark, t).collect())
+    n_files_before = len(
+        json.loads((Path(t) / "_manifests" / "v2.json").read_text())["files"]
+    )
+    v = snapshot_compact(spark, t)
+    m = json.loads((Path(t) / "_manifests" / f"v{v}.json").read_text())
+    assert m["op"] == "compact" and len(m["files"]) == 1 < n_files_before
+    after = sorted((r["id"], r["v"]) for r in snapshot_read(spark, t).collect())
+    assert after == before
+    # history intact: v2 still time-travels
+    assert snapshot_read(spark, t, 2).count() == 20
