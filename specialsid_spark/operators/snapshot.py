@@ -114,11 +114,20 @@ def snapshot_commit(
 
 
 def snapshot_read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """The table as of ``version`` (default: latest).  Resolves the
     manifest once; the returned DataFrame's file list is pinned, so
-    later commits do not affect it (snapshot isolation)."""
+    later commits do not affect it (snapshot isolation).
+
+    ``merge_schema=True`` enables ADDITIVE schema evolution: a version
+    whose files carry different (widened) schemas reads as their union,
+    with NULLs for columns a file predates — immutable files are never
+    rewritten for a column add, which at 100 TB is the difference
+    between a metadata operation and a full-table rewrite."""
     versions = snapshot_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshot at {path}")
@@ -128,7 +137,10 @@ def snapshot_read(
     files = _read_manifest(path, v)["files"]
     if not files:
         return spark.createDataFrame([], schema="dummy string").limit(0)
-    return spark.read.parquet(*[str(Path(path) / f) for f in files])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[str(Path(path) / f) for f in files])
 
 
 def snapshot_vacuum(path: str, keep_last: int = 2) -> list[str]:

@@ -183,3 +183,31 @@ def test_snapshot_compact_content_identical(spark, tmp_path):
     assert after == before
     # history intact: v2 still time-travels
     assert snapshot_read(spark, t, 2).count() == 20
+
+
+def test_snapshot_schema_evolution_additive(spark, tmp_path):
+    """A later append may carry NEW columns; merge_schema reads the
+    union with NULLs for rows that predate the column, old files
+    untouched (column add = metadata op, not a rewrite)."""
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 5), t)  # id, v
+    wide = spark.range(5, 8).selectExpr("id", "id * 10 AS v", "id + 100 AS extra")
+    snapshot_commit(wide, t, mode="append")
+
+    cur = snapshot_read(spark, t, merge_schema=True)
+    assert set(cur.columns) == {"id", "v", "extra"}
+    rows = {r["id"]: r["extra"] for r in cur.collect()}
+    assert all(rows[k] is None for k in range(0, 5))
+    assert all(rows[k] == k + 100 for k in range(5, 8))
+    # old files on disk were never rewritten
+    import json as _json
+
+    v1_files = _json.loads(
+        (Path(t) / "_manifests" / "v1.json").read_text()
+    )["files"]
+    v2_files = _json.loads(
+        (Path(t) / "_manifests" / "v2.json").read_text()
+    )["files"]
+    assert set(v1_files) <= set(v2_files)
+    # time travel still reads v1 with its ORIGINAL schema
+    assert set(snapshot_read(spark, t, 1).columns) == {"id", "v"}
