@@ -87,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "clean_snapshot_diff",
     "clean_snapshot_incremental_refresh",
     "clean_snapshot_stats_pruning",
+    "dedup_prefix_filter_pairs",
     # the r1-checked cohort, stalest driver rows first-come
     "agg_pricing_summary",
     "agg_stats_orders",

@@ -1127,3 +1127,109 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_PF_TAU_NUM, _PF_TAU_DEN = 3, 5  # Jaccard threshold 0.6 as an exact rational
+_PF_DOCS = 400                   # fixed doc subset (exists at every SF)
+
+
+@register(
+    "dedup_prefix_filter_pairs",
+    # The oracle is DELIBERATELY brute force — all pairs over the
+    # 400-doc subset with exact set arithmetic — so it independently
+    # verifies the prefix filter's COMPLETENESS (a pruned true pair
+    # would be a missing row), not just the verified candidates.
+    # Threshold compares as integers: J >= 3/5 <=> 5*inter >= 3*union.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct({_SQL_TOKENS}) AS toks
+      FROM documents WHERE doc_id < {_PF_DOCS}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_inter,
+           CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+                AS BIGINT) AS n_union
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE {_PF_TAU_DEN} * len(list_intersect(a.toks, b.toks))
+          >= {_PF_TAU_NUM} * (len(a.toks) + len(b.toks)
+                              - len(list_intersect(a.toks, b.toks)))
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-threshold Jaccard similarity join via prefix filtering —
+    the AllPairs/PPJoin family (X1's deterministic counterpart to
+    MinHash-LSH: no false negatives by construction, no probability).
+    Tokens get a GLOBAL rarity order (frequency asc, token asc); each
+    doc indexes only its p = n - ceil(tau*n) + 1 rarest tokens, and the
+    completeness lemma guarantees every pair with J >= tau shares an
+    indexed token.  Candidates then verify with exact integer set
+    arithmetic (5*inter >= 3*union — no float threshold).
+
+    Scale shape: the candidate join is keyed on PREFIX tokens only —
+    rare by construction, so buckets stay small where a plain
+    token-join would explode on stopwords; the verify join carries
+    (pair, token) rows for candidate pairs only.  This is the standard
+    exact sim-join plan at corpus scale; MinHash-LSH remains the
+    approximate fallback when tau must be low."""
+    from pyspark.sql.window import Window
+
+    d = load_parallel(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _PF_DOCS
+    )
+    dtok = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .distinct()
+    )
+    n_by_doc = dtok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    rarity = (
+        dtok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("grank", F.row_number().over(Window.orderBy("df", "tok")))
+    )
+    ranked = (
+        dtok.join(F.broadcast(rarity.select("tok", "grank")), "tok")
+        .join(F.broadcast(n_by_doc), "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("grank")),
+        )
+    )
+    prefix = ranked.where(
+        F.col("rn")
+        <= F.col("n") - F.expr(f"({_PF_TAU_NUM} * n + {_PF_TAU_DEN - 1}) div {_PF_TAU_DEN}") + 1
+    ).select("doc_id", "tok")
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    inter = (
+        cands.join(dtok.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            dtok.alias("tb"),
+            (F.col("doc_b") == F.col("tb.doc_id"))
+            & (F.col("ta.tok") == F.col("tb.tok")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = n_by_doc.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = n_by_doc.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    u = F.col("na") + F.col("nb") - F.col("n_inter")
+    return (
+        inter.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .where(_PF_TAU_DEN * F.col("n_inter") >= _PF_TAU_NUM * u)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            u.cast("long").alias("n_union"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
