@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from specialsid_spark.catalog import load
+from specialsid_spark.catalog import load, load_parallel
 from specialsid_spark.queries import register
 from specialsid_spark.queries._determinism import (
     cents,
@@ -631,9 +631,12 @@ _CMS_W = 512  # counters per row
     "agg_countmin_topk",
     oracle=f"""
     WITH cells AS (
+      -- one md5 per key; the d hash rows are disjoint 32-bit slices of
+      -- the 128-bit digest (independent for CMS purposes, 4x fewer
+      -- digests than hashing (j, key) pairs)
       SELECT t.j,
-             ('0x' || substring(md5(CAST(t.j AS VARCHAR) || ':' ||
-                                    CAST(l_suppkey AS VARCHAR)), 1, 8))::BIGINT
+             ('0x' || substring(md5(CAST(l_suppkey AS VARCHAR)),
+                                1 + 8 * CAST(t.j AS INT), 8))::BIGINT
                % {_CMS_W} AS col
       FROM lineitem CROSS JOIN range({_CMS_D}) t(j)
     ),
@@ -648,8 +651,8 @@ _CMS_W = 512  # counters per row
     ),
     cand AS (
       SELECT tp.l_suppkey, tp.n, t.j,
-             ('0x' || substring(md5(CAST(t.j AS VARCHAR) || ':' ||
-                                    CAST(tp.l_suppkey AS VARCHAR)), 1, 8))::BIGINT
+             ('0x' || substring(md5(CAST(tp.l_suppkey AS VARCHAR)),
+                                1 + 8 * CAST(t.j AS INT), 8))::BIGINT
                % {_CMS_W} AS col
       FROM top10 tp CROSS JOIN range({_CMS_D}) t(j)
     )
@@ -675,13 +678,18 @@ def agg_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per partition, mergeable by addition across partitions,
     streams, and days (the reason CMS is the standard streaming
     heavy-hitter structure).  Point queries broadcast against the
-    d*w-row sketch."""
-    li = load(spark, sf_dir, "lineitem")
+    d*w-row sketch.  load_parallel matters here: the hash/explode work
+    dominates and the single-row-group fixture would serialize it on
+    one task."""
+    li = load_parallel(spark, sf_dir, "lineitem")
     j = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("j")
 
     def cms_col(jc: F.Column, key: F.Column) -> F.Column:
-        h = F.md5(F.concat(jc.cast("string"), F.lit(":"), key.cast("string")))
-        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _CMS_W
+        # one digest per key; row j reads hex chars [8j, 8j+8)
+        h = F.md5(key.cast("string"))
+        return (
+            F.conv(F.substring(h, 1 + 8 * jc, 8), 16, 10).cast("long") % _CMS_W
+        )
 
     cells = li.select("l_suppkey", j).select(
         "j", cms_col(F.col("j"), F.col("l_suppkey")).alias("col")

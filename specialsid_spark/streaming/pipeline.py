@@ -769,11 +769,10 @@ def streaming_cms_counters(
                 "j",
                 (
                     F.conv(
-                        F.substring(
-                            F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("k"))),
-                            1,
-                            8,
-                        ),
+                        # row j = hex chars [8j, 8j+8) of ONE digest per
+                        # key — same derivation as agg_countmin_topk, so
+                        # batch and streaming counters are THE SAME sketch
+                        F.substring(F.md5(F.col("k")), 1 + 8 * F.col("j"), 8),
                         16,
                         10,
                     ).cast("long")

@@ -203,11 +203,7 @@ def test_streaming_cms_counters_match_batch_and_replay(spark, tmp_path):
             "j",
             (
                 F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("k"))),
-                        1,
-                        8,
-                    ),
+                    F.substring(F.md5(F.col("k")), 1 + 8 * F.col("j"), 8),
                     16,
                     10,
                 ).cast("long")
