@@ -591,7 +591,11 @@ def agg_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: groupBy(flag, bucket) MAX(rho) partial-aggregates
     map-side, so the exchange carries at most |groups| * 1024 register
     rows regardless of corpus size; registers merge with MAX — the
-    mergeability that makes HLL the 100 TB distinct-count operator."""
+    mergeability that makes HLL the 100 TB distinct-count operator.
+    (Unlike the CMS build, load_parallel LOSES here — the query scans
+    lineitem twice (registers + exact-count comparison column), and two
+    added exchanges cost more than the fan-out saves; measured 1.7 s
+    plain vs 2.5 s repartitioned at sf0.1.)"""
     li = load(spark, sf_dir, "lineitem")
     h = li.select(
         "l_returnflag", F.md5(F.col("l_orderkey").cast("string")).alias("hh")
