@@ -19,9 +19,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 HLL_M = 1024  # registers (2^10)
-# alpha_1024 * m^2 * 2^33 = 0.7209200438 * 2^53, precomputed to ONE double
-# literal so every consumer divides the identical numerator
-HLL_NUM = 6493470481243203.0
+# alpha_1024 * m^2 * 2^33 = (0.7213 / (1 + 1.079/1024)) * 2^53
+#                         = 0.7205407583220416 * 2^53,
+# precomputed to ONE double literal so every consumer divides the
+# identical numerator.  (Earlier rounds shipped 6493470481243203.0 =
+# alpha_2048 * 2^53 by mistake — a systematic +0.053% bias the oracle
+# could not see because both engines shared the constant.)
+HLL_NUM = 6490054181368802.0
 # an absent register contributes 2^(33-0) to the dyadic harmonic sum
 HLL_EMPTY_TERM = 8589934592  # 2^33
 

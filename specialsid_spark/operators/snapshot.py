@@ -148,9 +148,14 @@ def snapshot_vacuum(path: str, keep_last: int = 2) -> list[str]:
     delete data files no retained manifest references.  Returns the
     deleted file list (relative paths).  Never touches files a
     retained version can still read."""
+    if keep_last < 1:
+        # keep_last=0 would retain NOTHING and delete every data file and
+        # manifest including the latest committed version — refuse rather
+        # than let an innocuous-looking argument destroy the table
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     root = Path(path)
     versions = snapshot_versions(path)
-    retained = versions[-keep_last:] if keep_last > 0 else []
+    retained = versions[-keep_last:]
     live: set[str] = set()
     for v in retained:
         live.update(_read_manifest(path, v)["files"])
@@ -212,14 +217,19 @@ def snapshot_diff(
 
 def _file_stats(root: Path, rel: str, cols: list[str]) -> dict:
     """Per-file min/max for ``cols``, read from the parquet FOOTER the
-    file already carries (no data scan).  Columns without usable
-    statistics are simply absent — scan() treats that as 'always
-    read'."""
+    file already carries (no data scan).  A column is recorded ONLY if
+    every row group in the file has usable min/max for it — a partial
+    range (some writers omit stats for oversized binary values) would
+    under-cover the file and make scan() prune a file that still holds
+    matching rows, violating the 'pruning never drops data' invariant.
+    Columns without complete statistics are simply absent — scan()
+    treats that as 'always read'."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(str(root / rel)).metadata
     mins: dict = {}
     maxs: dict = {}
+    hits: dict = {}
     for rg in range(md.num_row_groups):
         rgm = md.row_group(rg)
         for ci in range(rgm.num_columns):
@@ -229,7 +239,12 @@ def _file_stats(root: Path, rel: str, cols: list[str]) -> dict:
             if name in cols and st is not None and st.has_min_max:
                 mins[name] = st.min if name not in mins else min(mins[name], st.min)
                 maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
-    return {c: [mins[c], maxs[c]] for c in mins}
+                hits[name] = hits.get(name, 0) + 1
+    return {
+        c: [mins[c], maxs[c]]
+        for c in mins
+        if hits[c] == md.num_row_groups
+    }
 
 
 def snapshot_commit_stats(

@@ -568,7 +568,7 @@ from specialsid_spark.operators.sketches import (  # noqa: E402
            CAST(ex.n_exact AS BIGINT) AS n_exact,
            CAST(agg.n_hit AS BIGINT) AS n_registers_hit,
            CAST(agg.s_hit + ({_HLL_M} - agg.n_hit) * 8589934592 AS BIGINT) AS s33,
-           round(CAST(6493470481243203.0 AS DOUBLE)
+           round(CAST(6490054181368802.0 AS DOUBLE)
                  / CAST(agg.s_hit + ({_HLL_M} - agg.n_hit) * 8589934592 AS DOUBLE),
                  3) AS hll_estimate
     FROM agg JOIN ex ON agg.l_returnflag = ex.l_returnflag
@@ -763,7 +763,9 @@ _KMV_K = 256
     SELECT CAST({_KMV_K} AS BIGINT) AS k,
            CAST((SELECT MAX(rn) FROM uranked) AS BIGINT) AS n_union_sketch,
            CAST(inter.n_inter AS BIGINT) AS n_inter_sketch,
-           round(CAST(inter.n_inter AS DOUBLE) / {_KMV_K}.0, 6) AS jaccard_est,
+           round(CAST(inter.n_inter AS DOUBLE)
+                 / LEAST({_KMV_K}, (SELECT MAX(rn) FROM uranked)), 6)
+             AS jaccard_est,
            CAST((SELECT COUNT(DISTINCT u0.k) FROM u u0, u u1
                  WHERE u0.side = 0 AND u1.side = 1 AND u0.k = u1.k) AS BIGINT)
              AS n_inter_exact
@@ -820,7 +822,11 @@ def agg_kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _KMV_K,
                 n_union_sketch,
                 n_inter,
-                round(n_inter / _KMV_K, 6),
+                # standard KMV: divide by the union SKETCH size, which is
+                # capped at k but can be smaller at small scale factors /
+                # narrow slices (dividing by the fixed k underestimates
+                # Jaccard there)
+                round(n_inter / min(_KMV_K, n_union_sketch), 6),
                 exact,
             )
         ],

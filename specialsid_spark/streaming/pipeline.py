@@ -585,6 +585,13 @@ def streaming_decontaminate_ingest(
         for pdf in batches:
             keep_rows = []
             for doc_id, ts, text in zip(pdf["doc_id"], pdf["ts"], pdf["text"]):
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    # NULL/NaN text must surface as an undecodable doc
+                    # (n_grams=0, passes the gate vacuously) — NOT be
+                    # stringified to the literal token 'nan'/'None',
+                    # which would fabricate a bogus 1-gram document
+                    keep_rows.append((doc_id, ts, None, 0, 0))
+                    continue
                 toks = str(text).lower().split()
                 grams = {
                     " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)

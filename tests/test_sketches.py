@@ -278,6 +278,8 @@ def test_streaming_decontaminate_ingest(spark, tmp_path):
          "text": "prefix alpha beta gamma delta epsilon suffix"},  # contaminated
         {"doc_id": 3, "ts": "2024-01-01 10:02:00",
          "text": "alpha beta gamma delta unrelated tail words"},  # 4-gram only: clean
+        {"doc_id": 4, "ts": "2024-01-01 10:03:00",
+         "text": None},  # NULL text: must surface as n_grams=0, not token 'nan'
     ]
     with open(docs_dir / "b1.json", "w") as fh:
         for r in rows:
@@ -292,9 +294,12 @@ def test_streaming_decontaminate_ingest(spark, tmp_path):
     )
     q.awaitTermination()
     out = {r["doc_id"]: r for r in spark.read.parquet(sink).collect()}
-    assert set(out) == {1, 3}
+    assert set(out) == {1, 3, 4}
     assert out[3]["n_eval_hits"] == 0  # 4-gram overlap is below the k=5 radar
     assert out[1]["n_grams"] == len(rows[0]["text"].split()) - 4
+    # NULL text passes through flagged undecodable, never the 'nan' token
+    assert out[4]["text"] is None
+    assert out[4]["n_grams"] == 0 and out[4]["n_eval_hits"] == 0
 
     # exactly-once: re-run processes nothing new
     q2 = (
@@ -306,4 +311,4 @@ def test_streaming_decontaminate_ingest(spark, tmp_path):
         .start()
     )
     q2.awaitTermination()
-    assert spark.read.parquet(sink).count() == 2
+    assert spark.read.parquet(sink).count() == 3

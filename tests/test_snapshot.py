@@ -86,6 +86,44 @@ def test_vacuum_drops_overwritten_files(spark, tmp_path):
     assert snapshot_read(spark, t, 3).count() == 10
 
 
+def test_vacuum_refuses_to_destroy_table(spark, tmp_path):
+    """keep_last < 1 would retain nothing — delete every data file and
+    manifest including the latest committed version.  Refuse loudly."""
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 10), t)
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="keep_last"):
+            snapshot_vacuum(t, keep_last=bad)
+    assert snapshot_read(spark, t).count() == 10  # untouched
+
+
+def test_file_stats_require_complete_row_group_coverage(spark, tmp_path):
+    """A column whose min/max is missing from SOME row groups must be
+    absent from the file's recorded stats (partial ranges under-cover
+    the file and would make scan() prune rows that exist)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from specialsid_spark.operators.snapshot import _file_stats
+
+    root = tmp_path
+    # two row groups; disable stats for column 'b' only
+    tbl = pa.table({"a": list(range(10)), "b": list(range(10, 20))})
+    pq.write_table(
+        tbl,
+        str(root / "f.parquet"),
+        row_group_size=5,
+        write_statistics=["a"],
+    )
+    stats = _file_stats(root, "f.parquet", ["a", "b"])
+    assert stats == {"a": [0, 9]}  # 'b' has no complete coverage → absent
+
+    # sanity: full coverage records both
+    pq.write_table(tbl, str(root / "g.parquet"), row_group_size=5)
+    stats2 = _file_stats(root, "g.parquet", ["a", "b"])
+    assert stats2 == {"a": [0, 9], "b": [10, 19]}
+
+
 def test_manifest_records_lineage(spark, tmp_path):
     t = str(tmp_path / "tbl")
     snapshot_commit(_df(spark, 0, 10), t)
