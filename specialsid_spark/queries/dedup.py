@@ -1171,7 +1171,20 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-join would explode on stopwords; the verify join carries
     (pair, token) rows for candidate pairs only.  This is the standard
     exact sim-join plan at corpus scale; MinHash-LSH remains the
-    approximate fallback when tau must be low."""
+    approximate fallback when tau must be low.
+
+    The prefix-selection lemma needs only a TOTAL order on tokens, not
+    a materialized dense rank — ``(df, tok)`` already is one, so the
+    per-doc window orders by it directly.  (r5 shipped a
+    ``row_number().over(Window.orderBy(df, tok))`` global rank — a
+    no-partitionBy window that funnels the entire vocabulary through
+    ONE task; deleted.)  The document token-count rides the same
+    per-doc window partition as a COUNT(*) frame — no extra join — and
+    the per-doc length lookups in the verify step are shuffle joins
+    keyed on the candidate pair's own doc keys: broadcasting a
+    one-row-per-document table would be O(corpus) executor memory at
+    1e9+ docs.  Only the tok→df join may broadcast (vocabulary is
+    Heaps-bounded, << corpus); it is left unhinted for AQE to decide."""
     from pyspark.sql.window import Window
 
     d = load_parallel(spark, sf_dir, "documents").filter(
@@ -1182,18 +1195,12 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     n_by_doc = dtok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    rarity = (
-        dtok.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("grank", F.row_number().over(Window.orderBy("df", "tok")))
-    )
+    df_by_tok = dtok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id")
     ranked = (
-        dtok.join(F.broadcast(rarity.select("tok", "grank")), "tok")
-        .join(F.broadcast(n_by_doc), "doc_id")
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("grank")),
-        )
+        dtok.join(df_by_tok, "tok")
+        .withColumn("rn", F.row_number().over(wdoc.orderBy("df", "tok")))
+        .withColumn("n", F.count(F.lit(1)).over(wdoc))
     )
     prefix = ranked.where(
         F.col("rn")
@@ -1222,8 +1229,8 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = n_by_doc.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     u = F.col("na") + F.col("nb") - F.col("n_inter")
     return (
-        inter.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
         .where(_PF_TAU_DEN * F.col("n_inter") >= _PF_TAU_NUM * u)
         .select(
             "doc_a",

@@ -481,13 +481,15 @@ def clean_zone_merge_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured separately in tests/test_layout.py; THIS query pins the
     content contract of the maintenance path (ADVICE r3: the merge now
     dedupes update keys and materializes survivors before overwriting
-    their source directory)."""
-    import shutil
-    import tempfile
+    their source directory).  The result is returned LAZILY over the
+    written zone (session-scoped workdir, cleaned at process exit) —
+    collecting it first just to free a temp dir would be the exact
+    driver-side materialization this engine tells users to avoid."""
     from pathlib import Path
 
     from specialsid_spark.operators.clean import merge_upsert_clean_zone
     from specialsid_spark.operators.layout import write_zordered
+    from specialsid_spark.session import session_workdir
 
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
     base = o.selectExpr(
@@ -506,20 +508,16 @@ def clean_zone_merge_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("price_cents", F.col("price_cents") + 7)
     )
 
-    work = Path(tempfile.mkdtemp(prefix="specialsid_zone_"))
+    work = Path(session_workdir("specialsid_zone_"))
     zone, zpath = str(work / "zone"), str(work / "zone_z")
     merge_upsert_clean_zone(spark, zone, base)       # first load (insert path)
     merge_upsert_clean_zone(spark, zone, updates)    # key-level upsert
     write_zordered(spark.read.parquet(zone), zpath, "ok", "price_cents")
-    out = (
+    return (
         spark.read.parquet(zpath)
         .select("province", "date_range", "source_file", "product_name", "price_cents")
         .orderBy("province", "date_range", "source_file", "product_name")
     )
-    rows = out.collect()
-    df = spark.createDataFrame(rows, out.schema)
-    shutil.rmtree(work, ignore_errors=True)
-    return df.orderBy("province", "date_range", "source_file", "product_name")
 
 
 @register(
@@ -560,13 +558,15 @@ def clean_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: commits are normal parquet writes plus one manifest
     rename (O(1) metadata); reads list the manifest's files instead of
     the directory — at 100 TB that is the difference between an
-    object-store LIST storm and one small JSON read."""
-    import shutil
-    import tempfile
+    object-store LIST storm and one small JSON read.  Per-version
+    aggregates are a LAZY unionByName over the manifest-pinned reads
+    (session-scoped workdir) — nothing is collected driver-side."""
+    from functools import reduce
     from pathlib import Path
 
     from specialsid_spark.operators.snapshot import snapshot_commit, snapshot_read
     from specialsid_spark.queries._determinism import cents
+    from specialsid_spark.session import session_workdir
 
     o = (
         load(spark, sf_dir, "orders")
@@ -576,32 +576,21 @@ def clean_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents("o_totalprice").alias("cents_v"),
         )
     )
-    work = Path(tempfile.mkdtemp(prefix="specialsid_snap_"))
+    work = Path(session_workdir("specialsid_snap_"))
     t = str(work / "tbl")
-    try:
-        ops = []
-        snapshot_commit(o.filter(F.col("ok") % 4 == 0), t, mode="append")
-        ops.append((1, "append"))
-        snapshot_commit(o.filter(F.col("ok") % 4 == 1), t, mode="append")
-        ops.append((2, "append"))
-        snapshot_commit(o.filter(F.col("ok") % 4 == 2), t, mode="overwrite")
-        ops.append((3, "overwrite"))
-        rows = []
-        for version, op in ops:
-            agg = (
-                snapshot_read(spark, t, version)
-                .agg(
-                    F.count(F.lit(1)).cast("long").alias("n"),
-                    F.sum("cents_v").cast("long").alias("s"),
-                )
-                .collect()[0]
-            )
-            rows.append((version, op, agg["n"], agg["s"]))
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "version int, op string, n_rows long, sum_cents long"
-    ).orderBy("version")
+    snapshot_commit(o.filter(F.col("ok") % 4 == 0), t, mode="append")
+    snapshot_commit(o.filter(F.col("ok") % 4 == 1), t, mode="append")
+    snapshot_commit(o.filter(F.col("ok") % 4 == 2), t, mode="overwrite")
+    per_version = [
+        snapshot_read(spark, t, version).agg(
+            F.lit(version).alias("version"),
+            F.lit(op).alias("op"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents_v").cast("long").alias("sum_cents"),
+        )
+        for version, op in ((1, "append"), (2, "append"), (3, "overwrite"))
+    ]
+    return reduce(lambda a, b: a.unionByName(b), per_version).orderBy("version")
 
 
 @register(
@@ -643,13 +632,14 @@ def clean_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     and are never read (the v1 file is pruned from the v1->v2 diff),
     so an append-mostly table diffs in time proportional to its
     changed files — the property that makes incremental downstream
-    refresh viable at 100 TB."""
-    import shutil
-    import tempfile
+    refresh viable at 100 TB.  Both diffs aggregate LAZILY and union —
+    no driver-side materialization (session-scoped workdir)."""
+    from functools import reduce
     from pathlib import Path
 
     from specialsid_spark.operators.snapshot import snapshot_commit, snapshot_diff
     from specialsid_spark.queries._determinism import cents
+    from specialsid_spark.session import session_workdir
 
     o = (
         load(spark, sf_dir, "orders")
@@ -659,30 +649,30 @@ def clean_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents("o_totalprice").alias("cents_v"),
         )
     )
-    work = Path(tempfile.mkdtemp(prefix="specialsid_snapdiff_"))
+    work = Path(session_workdir("specialsid_snapdiff_"))
     t = str(work / "tbl")
-    try:
-        snapshot_commit(o.filter(F.col("ok") % 3 == 0), t, mode="append")
-        snapshot_commit(o.filter(F.col("ok") % 3 == 1), t, mode="append")
-        snapshot_commit(o.filter(F.col("ok") % 3 == 2), t, mode="overwrite")
-        rows = []
-        for v_from, v_to in ((1, 2), (2, 3)):
-            agg = (
-                snapshot_diff(spark, t, v_from, v_to)
-                .groupBy("change_type")
-                .agg(
-                    F.count(F.lit(1)).cast("long").alias("n_rows"),
-                    F.sum("cents_v").cast("long").alias("sum_cents"),
-                )
-                .collect()
-            )
-            for r in agg:
-                rows.append((v_from, v_to, r["change_type"], r["n_rows"], r["sum_cents"]))
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "from_v int, to_v int, change_type string, n_rows long, sum_cents long"
-    ).orderBy("from_v", "change_type")
+    snapshot_commit(o.filter(F.col("ok") % 3 == 0), t, mode="append")
+    snapshot_commit(o.filter(F.col("ok") % 3 == 1), t, mode="append")
+    snapshot_commit(o.filter(F.col("ok") % 3 == 2), t, mode="overwrite")
+    per_diff = [
+        snapshot_diff(spark, t, v_from, v_to)
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents_v").cast("long").alias("sum_cents"),
+        )
+        .select(
+            F.lit(v_from).alias("from_v"),
+            F.lit(v_to).alias("to_v"),
+            "change_type",
+            "n_rows",
+            "sum_cents",
+        )
+        for v_from, v_to in ((1, 2), (2, 3))
+    ]
+    return reduce(lambda a, b: a.unionByName(b), per_diff).orderBy(
+        "from_v", "change_type"
+    )
 
 
 @register(
@@ -723,15 +713,20 @@ def clean_snapshot_incremental_refresh(spark: SparkSession, sf_dir: str) -> Data
 
     Scale shape: each refresh reads only the diff (manifest-pruned
     changed files), aggregates it to |groups| signed partials, and
-    merges driver-side into the bounded summary (the streaming-rollup
-    contract) — at 100 TB the refresh cost tracks the day's changes,
-    never the table."""
-    import shutil
-    import tempfile
+    folds them into the summary as a LAZY union-and-reaggregate —
+    summary(v+1) = groupBy(summary(v) ∪ signed diff partials) with
+    zero-count groups filtered out.  Nothing is collected driver-side,
+    so the summary never has to fit on the driver; at 100 TB the
+    refresh cost tracks the day's changes, never the table.  (In a
+    production loop each version's summary would be checkpointed — the
+    foreachBatch rollup in streaming/pipeline.py is exactly that; here
+    the three-version lineage is shallow and left lazy.)"""
+    from functools import reduce
     from pathlib import Path
 
     from specialsid_spark.operators.snapshot import snapshot_commit, snapshot_diff, snapshot_read
     from specialsid_spark.queries._determinism import cents
+    from specialsid_spark.session import session_workdir
 
     o = (
         load(spark, sf_dir, "orders")
@@ -741,51 +736,55 @@ def clean_snapshot_incremental_refresh(spark: SparkSession, sf_dir: str) -> Data
             cents("o_totalprice").alias("cents_v"),
         )
     )
-    work = Path(tempfile.mkdtemp(prefix="specialsid_snapivm_"))
+    work = Path(session_workdir("specialsid_snapivm_"))
     t = str(work / "tbl")
-    try:
-        snapshot_commit(o.filter(F.col("ok") % 3 == 0), t, mode="append")
-        snapshot_commit(o.filter(F.col("ok") % 3 == 1), t, mode="append")
-        snapshot_commit(o.filter(F.col("ok") % 3 == 2), t, mode="overwrite")
+    snapshot_commit(o.filter(F.col("ok") % 3 == 0), t, mode="append")
+    snapshot_commit(o.filter(F.col("ok") % 3 == 1), t, mode="append")
+    snapshot_commit(o.filter(F.col("ok") % 3 == 2), t, mode="overwrite")
 
-        grp = (F.col("ok") % 7).cast("long").alias("grp")
-        base = (
-            snapshot_read(spark, t, 1)
-            .groupBy(grp)
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n"),
-                F.sum("cents_v").cast("long").alias("s"),
-            )
-            .collect()
+    grp = (F.col("ok") % 7).cast("long").alias("grp")
+    summary = (
+        snapshot_read(spark, t, 1)
+        .groupBy(grp)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents_v").cast("long").alias("sum_cents"),
         )
-        summary = {r["grp"]: [r["n"], r["s"]] for r in base}
-        out = [(1, g, n, sv) for g, (n, sv) in summary.items()]
-        for v_from, v_to in ((1, 2), (2, 3)):
-            sign = F.when(F.col("change_type") == "insert", F.lit(1)).otherwise(
-                F.lit(-1)
+    )
+    versions = [(1, summary)]
+    for v_from, v_to in ((1, 2), (2, 3)):
+        sign = F.when(F.col("change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        deltas = (
+            snapshot_diff(spark, t, v_from, v_to)
+            .select(grp, sign.alias("sgn"), "cents_v")
+            .groupBy("grp")
+            .agg(
+                F.sum("sgn").cast("long").alias("n_rows"),
+                F.sum(F.col("sgn") * F.col("cents_v")).cast("long").alias("sum_cents"),
             )
-            deltas = (
-                snapshot_diff(spark, t, v_from, v_to)
-                .select(grp, sign.alias("sgn"), "cents_v")
-                .groupBy("grp")
-                .agg(
-                    F.sum("sgn").cast("long").alias("dn"),
-                    F.sum(F.col("sgn") * F.col("cents_v")).cast("long").alias("ds"),
-                )
-                .collect()
+        )
+        # retraction: zero-count groups leave the summary entirely —
+        # the classic IVM subtlety (a zombie zero-count group would
+        # survive a naive merge and mismatch the full-recompute oracle)
+        summary = (
+            summary.unionByName(deltas)
+            .groupBy("grp")
+            .agg(
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                F.sum("sum_cents").cast("long").alias("sum_cents"),
             )
-            for r in deltas:
-                cur = summary.setdefault(r["grp"], [0, 0])
-                cur[0] += r["dn"]
-                cur[1] += r["ds"]
-            # retraction: zero-count groups leave the summary entirely
-            summary = {g: v for g, v in summary.items() if v[0] > 0}
-            out.extend((v_to, g, n, sv) for g, (n, sv) in summary.items())
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        out, "version int, grp long, n_rows long, sum_cents long"
-    ).orderBy("version", "grp")
+            .where(F.col("n_rows") > 0)
+        )
+        versions.append((v_to, summary))
+    labeled = [
+        s.select(F.lit(v).alias("version"), "grp", "n_rows", "sum_cents")
+        for v, s in versions
+    ]
+    return reduce(lambda a, b: a.unionByName(b), labeled).orderBy(
+        "version", "grp"
+    )
 
 
 @register(
@@ -837,8 +836,6 @@ def clean_snapshot_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     the alternative at 100 TB is LIST + per-file footer fetch over
     every object — the manifest turns O(files) metadata I/O into O(1).
     """
-    import shutil
-    import tempfile
     from pathlib import Path
 
     from pyspark.sql.window import Window
@@ -848,6 +845,7 @@ def clean_snapshot_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_scan,
     )
     from specialsid_spark.queries._determinism import cents
+    from specialsid_spark.session import session_workdir
 
     o = (
         load(spark, sf_dir, "orders")
@@ -867,31 +865,26 @@ def clean_snapshot_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ok"), F.max("ok"))
         .collect()[0]
     )
-    work = Path(tempfile.mkdtemp(prefix="specialsid_snapstats_"))
+    work = Path(session_workdir("specialsid_snapstats_"))
     t = str(work / "tbl")
-    try:
-        for c in range(3):
-            part = (
-                ranked.where(chunk == c).select("ok", "cents_v").coalesce(1)
-            )
-            snapshot_commit_stats(part, t, ["ok"], mode="append")
-        scan, n_scanned, n_total = snapshot_scan(spark, t, "ok", lo, hi)
-        agg = scan.agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum("cents_v").cast("long").alias("sum_cents"),
-            F.min("ok").cast("long").alias("min_ok"),
-            F.max("ok").cast("long").alias("max_ok"),
-        ).collect()[0]
-        rows = [
-            (
-                agg["n_rows"], agg["sum_cents"], agg["min_ok"], agg["max_ok"],
-                n_scanned, n_total,
-            )
-        ]
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "n_rows long, sum_cents long, min_ok long, max_ok long, "
-        "n_files_scanned int, n_files_total int",
+    for c in range(3):
+        part = (
+            ranked.where(chunk == c).select("ok", "cents_v").coalesce(1)
+        )
+        snapshot_commit_stats(part, t, ["ok"], mode="append")
+    # n_scanned / n_total come from the MANIFEST (one small JSON read),
+    # not from any data collect; the data aggregate itself stays lazy
+    scan, n_scanned, n_total = snapshot_scan(spark, t, "ok", lo, hi)
+    return scan.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents_v").cast("long").alias("sum_cents"),
+        F.min("ok").cast("long").alias("min_ok"),
+        F.max("ok").cast("long").alias("max_ok"),
+    ).select(
+        "n_rows",
+        "sum_cents",
+        "min_ok",
+        "max_ok",
+        F.lit(n_scanned).cast("int").alias("n_files_scanned"),
+        F.lit(n_total).cast("int").alias("n_files_total"),
     )

@@ -178,9 +178,19 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(eu), F.col("suppkey") == F.col("s_suppkey")
     ).select("partkey", "cost_cents", "s_name", "s_acctbal", "n_name")
     min_cost = costs.groupBy("partkey").agg(F.min("cost_cents").alias("mc"))
+    # alias both sides explicitly: `costs.partkey == min_cost.partkey`
+    # traces both Columns to the same self-join lineage and relied on
+    # Spark's disambiguation heuristic ("trivially true equals
+    # predicate" warning) — qualified aliases make the (partkey, cost)
+    # equi-join unambiguous and resolution-change-proof
+    c, m = costs.alias("c"), min_cost.alias("m")
     return (
-        costs.join(min_cost, (costs.partkey == min_cost.partkey) & (costs.cost_cents == min_cost.mc))
-        .drop(min_cost.partkey)
+        c.join(
+            m,
+            (F.col("c.partkey") == F.col("m.partkey"))
+            & (F.col("c.cost_cents") == F.col("m.mc")),
+        )
+        .drop(F.col("m.partkey"))
         .join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
         .select(
             "s_acctbal", "s_name", "n_name",

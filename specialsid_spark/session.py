@@ -58,3 +58,21 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def session_workdir(prefix: str = "specialsid_work_") -> str:
+    """A scratch directory whose lifetime is the PROCESS, not the query.
+
+    Maintenance-demo queries (merge, snapshot lineage) write a small
+    working table and return a DataFrame over it.  Deleting the dir
+    before returning would force the query to collect() its whole result
+    driver-side first — the anti-pattern users would then copy.  Instead
+    the dir lives until interpreter exit (atexit), so the registered
+    query stays lazy end-to-end and models the scale-safe shape."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d

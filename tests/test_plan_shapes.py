@@ -87,6 +87,38 @@ def test_salted_join_has_composite_key(spark, qs):
     assert keys and any("salt" in k for k in keys), keys
 
 
+def test_prefix_filter_pairs_scale_shape(spark, qs):
+    """The exact sim-join must not carry (a) a no-partitionBy window —
+    the r5 global token rank funneled the whole vocabulary through ONE
+    task — or (b) hint-FORCED broadcasts of the one-row-per-document
+    length table (O(corpus) executor memory at 1e9 docs)."""
+    p = plan_of(spark, qs["dedup_prefix_filter_pairs"](spark, SF_DIR))
+    assert "SinglePartition" not in p
+    # with auto-broadcast disabled, only hint-forced BroadcastExchanges
+    # could survive; there must be none (Catalyst MAY still pick
+    # broadcasts from stats at real thresholds — that is its call)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p2 = plan_of(spark, qs["dedup_prefix_filter_pairs"](spark, SF_DIR))
+        assert "BroadcastExchange" not in p2
+        assert "SinglePartition" not in p2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_tpch_q2_min_cost_join_carries_both_keys(spark, qs):
+    """The decorrelated min-cost self-join must be a 2-key equi-join on
+    (partkey, cost) — if same-lineage Column disambiguation ever
+    degrades the partkey equality to a trivially-true predicate, the
+    join silently becomes cost-only and matches minima across parts."""
+    import re
+
+    p = plan_of(spark, qs["tpch_q2_min_cost_supplier"](spark, SF_DIR))
+    keys = re.findall(r"Left keys \[2\]: \[(.*?)\]", p)
+    assert any("partkey" in k and "cost_cents" in k for k in keys), keys
+
+
 def test_source_caps_uses_window_group_limit(spark, qs):
     # rank<=K over a partition must push the per-group top-K below the
     # sort (WindowGroupLimit) — never materialize the unbounded rank
