@@ -135,15 +135,30 @@ def pdf_page_count(blob: bytes) -> int | None:
     objects (ref gen_pdf_imgLambda.py:51-60 fans out one raster per page).
     Returns None when the payload is not a PDF.
 
-    Handles classic and linearized PDFs, incremental-update files, and
-    whitespace-free ``/Type/Page`` dicts.  KNOWN LIMITATION: PDF 1.5+
-    object streams (``/ObjStm``) hold page dicts inside a Flate-compressed
-    stream, invisible to a byte scan — such files undercount to the
-    visible leaves (floor 1).  A full fix needs a decompressor + xref
-    parser; at that point use a real PDF library, which this container
-    lacks.  tests/test_multimodal.py pins both behaviors."""
+    Handles classic and linearized PDFs, incremental-update files,
+    whitespace-free ``/Type/Page`` dicts, and — since r6 — PDF 1.5+
+    object streams: page dicts packed inside Flate-compressed
+    ``/Type /ObjStm`` streams are inflated by the object scanner
+    (operators/pdf.py `_expand_object_streams`), which the earlier
+    byte-only scan could not see (it undercounted most modern
+    born-digital PDFs to the visible leaves).  The raw regex remains
+    the fallback for damaged files whose object graph won't parse.
+    tests/test_multimodal.py pins both behaviors."""
     if not blob.startswith(b"%PDF"):
         return None
+    try:
+        from specialsid_spark.operators.pdf import _scan_objects
+
+        objs, _ = _scan_objects(blob)
+        n = sum(
+            1
+            for head, _data in objs.values()
+            if re.search(rb"/Type\s*/Page(?![a-zA-Z])", head)
+        )
+        if n:
+            return n
+    except Exception:  # noqa: BLE001 — damaged graph: fall back to bytes
+        pass
     return max(1, len(_PDF_PAGE_RE.findall(blob)))
 
 

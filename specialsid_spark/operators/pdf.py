@@ -87,7 +87,209 @@ def _scan_objects(
         guard = dend
         objs[num] = (head, data)
         offsets[num] = m.start()
+    _expand_object_streams(objs, offsets)
     return objs, offsets
+
+
+def _expand_object_streams(
+    objs: dict[int, tuple[bytes, bytes | None]], offsets: dict[int, int]
+) -> None:
+    """Inflate PDF 1.5 ``/Type /ObjStm`` compressed-object streams and
+    lift their member objects into the object map (r6 — closes the
+    documented r5 gap: most modern born-digital PDFs keep page dicts,
+    font dicts, and the catalog inside object streams, invisible to the
+    top-level byte scan, which silently shrank the PDF→text corpus).
+
+    An ObjStm's decoded payload is ``/N`` pairs of ``objnum offset``
+    integers (the header, ``/First`` bytes long) followed by the
+    concatenated object bodies; members never contain streams (spec
+    7.5.7), so each lifts as ``(body, None)``.  Authority rule without
+    a full xref walk: a member object REPLACES a same-numbered
+    top-level object only when its ObjStm appears later in the file
+    (incremental updates append), and member offsets order after their
+    container so /Kids-less fallback ordering stays byte-faithful."""
+    streams = [
+        (n, head, data)
+        for n, (head, data) in objs.items()
+        if data is not None and re.search(rb"/Type\s*/ObjStm\b", head)
+    ]
+    for n, head, data in streams:
+        if re.search(rb"/Filter\s*/FlateDecode\b", head) or re.search(
+            rb"/Filter\s*\[\s*/FlateDecode\s*\]", head
+        ):
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                continue
+        elif re.search(rb"/Filter\b", head):
+            continue  # other filters unsupported — leave members invisible
+        nums = {k.decode(): int(v) for k, v in _NUM_RE.findall(head)}
+        count, first = nums.get("N"), nums.get("First")
+        if not count or first is None:
+            continue
+        pairs = re.findall(rb"(\d+)\s+(\d+)", data[:first])[:count]
+        base = offsets.get(n, 0)
+        for idx, (num_b, off_b) in enumerate(pairs):
+            num, off = int(num_b), int(off_b)
+            end = (
+                first + int(pairs[idx + 1][1])
+                if idx + 1 < len(pairs)
+                else len(data)
+            )
+            body = data[first + off : end]
+            if num in objs and offsets.get(num, -1) > base:
+                continue  # existing top-level definition is newer
+            objs[num] = (body, None)
+            offsets[num] = base + idx + 1
+
+
+def _png_unpredict(data: bytes, columns: int) -> bytes:
+    """Undo PNG row predictors (PDF /Predictor >= 10) on a stream of
+    ``columns``-byte rows, each prefixed by its filter-type byte.  Only
+    the filters real xref-stream writers emit (None/Sub/Up/Average/
+    Paeth) — bytes-per-pixel is 1 in the PDF predictor scheme."""
+    out = bytearray()
+    rowlen = columns + 1
+    prev = bytearray(columns)
+    for r in range(0, len(data) - rowlen + 1, rowlen):
+        ft = data[r]
+        row = bytearray(data[r + 1 : r + rowlen])
+        if ft == 1:  # Sub
+            for i in range(1, columns):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(columns):
+                a = row[i - 1] if i else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(columns):
+                a = row[i - 1] if i else 0
+                b, c = prev[i], (prev[i - 1] if i else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def read_xref(
+    blob: bytes,
+) -> tuple[dict[int, tuple[int, int, int]], dict[str, int]]:
+    """The file's cross-reference information, from CLASSIC ``xref``
+    tables and/or PDF 1.5 ``/Type /XRef`` cross-reference STREAMS
+    (r6): follow ``startxref`` to the newest section, then the
+    ``/Prev`` chain backwards, newest entry per object winning.
+
+    Returns ``(entries, trailer)`` where ``entries[objnum] = (type, a,
+    b)`` — type 0 free (a=next free, b=gen), type 1 regular (a=byte
+    offset, b=gen), type 2 compressed (a=ObjStm number, b=index within
+    it) — and ``trailer`` carries ``Size``/``Root``/``Info`` object
+    numbers where present.  Xref streams decode FlateDecode and the
+    PNG row predictors (/DecodeParms /Predictor >= 10) real writers
+    emit; /Index subsections and defaulted /W fields are honored."""
+    entries: dict[int, tuple[int, int, int]] = {}
+    trailer: dict[str, int] = {}
+    m = re.search(rb"startxref\s+(\d+)\s*%%EOF\s*$", blob[-256:], re.DOTALL)
+    pos = int(m.group(1)) if m else -1
+    seen: set[int] = set()
+    while 0 <= pos < len(blob) and pos not in seen:
+        seen.add(pos)
+        if blob[pos : pos + 4] == b"xref":  # classic table
+            i = pos + 4
+            while True:
+                sm = re.match(rb"\s*(\d+)\s+(\d+)\s*\r?\n", blob[i:])
+                if not sm:
+                    break
+                start, cnt = int(sm.group(1)), int(sm.group(2))
+                i += sm.end()
+                for k in range(cnt):
+                    e = blob[i : i + 20]
+                    i += 20
+                    num = start + k
+                    if num in entries:
+                        continue
+                    typ = 1 if e[17:18] == b"n" else 0
+                    entries[num] = (typ, int(e[0:10]), int(e[11:16]))
+            tm = re.search(rb"trailer\s*<<", blob[i : i + 4096])
+            tdict = blob[i + tm.start() : i + 4096] if tm else b""
+            pos = -1
+            for key in ("Size", "Root", "Info", "Prev"):
+                km = re.search(
+                    rb"/" + key.encode() + rb"\s+(\d+)", tdict
+                )
+                if km:
+                    if key == "Prev":
+                        pos = int(km.group(1))
+                    else:
+                        trailer.setdefault(key, int(km.group(1)))
+            continue
+        # xref STREAM: an `N 0 obj` with /Type /XRef at this offset
+        om = _OBJ_RE.match(blob, pos)
+        if not om:
+            break
+        end = blob.find(b"endobj", om.end())
+        seg = blob[om.end() : end if end >= 0 else len(blob)]
+        sm = _STREAM_RE.search(seg)
+        if sm is None or not re.search(rb"/Type\s*/XRef\b", seg[: sm.start()]):
+            break
+        head = seg[: sm.start()]
+        lm = re.search(rb"/Length\s+(\d+)\b", head)
+        data = seg[sm.end() : sm.end() + int(lm.group(1))] if lm else seg[sm.end() :]
+        if re.search(rb"/FlateDecode\b", head):
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                break
+        pm = re.search(rb"/Predictor\s+(\d+)", head)
+        wm = re.search(rb"/W\s*\[([^\]]*)\]", head)
+        if not wm:
+            break
+        w = [int(x) for x in re.findall(rb"\d+", wm.group(1))]
+        if pm and int(pm.group(1)) >= 10:
+            data = _png_unpredict(data, sum(w))
+        size_m = re.search(rb"/Size\s+(\d+)", head)
+        size = int(size_m.group(1)) if size_m else 0
+        im = re.search(rb"/Index\s*\[([^\]]*)\]", head)
+        idx = (
+            [int(x) for x in re.findall(rb"\d+", im.group(1))]
+            if im
+            else [0, size]
+        )
+        rowlen = sum(w)
+        r = 0
+        for s in range(0, len(idx) - 1, 2):
+            start, cnt = idx[s], idx[s + 1]
+            for k in range(cnt):
+                if r + rowlen > len(data):
+                    break
+                row = data[r : r + rowlen]
+                r += rowlen
+                fields = []
+                o = 0
+                for width in w:
+                    # width 0: field defaults (type defaults to 1)
+                    fields.append(
+                        int.from_bytes(row[o : o + width], "big") if width else 0
+                    )
+                    o += width
+                typ = fields[0] if w[0] else 1
+                num = start + k
+                if num not in entries:
+                    entries[num] = (typ, fields[1], fields[2])
+        pos = -1
+        for key in ("Size", "Root", "Info", "Prev"):
+            km = re.search(rb"/" + key.encode() + rb"\s+(\d+)", head)
+            if km:
+                if key == "Prev":
+                    pos = int(km.group(1))
+                else:
+                    trailer.setdefault(key, int(km.group(1)))
+    return entries, trailer
 
 
 def _parse_objects(blob: bytes) -> dict[int, tuple[bytes, bytes | None]]:
@@ -562,7 +764,9 @@ def _pdf_escape(s: str) -> bytes:
     return b.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)")
 
 
-def build_text_pdf(pages: list[str], compress: bool = True) -> bytes:
+def build_text_pdf(
+    pages: list[str], compress: bool = True, layout: str = "classic"
+) -> bytes:
     """Minimal text-PDF writer — the inverse sink of
     :func:`extract_page_text` and the fixture generator for its oracle.
     One page per input string; lines (split on \\n) become Helvetica
@@ -570,7 +774,11 @@ def build_text_pdf(pages: list[str], compress: bool = True) -> bytes:
     each page is emitted as a kerned TJ array split mid-string so the
     extractor's TJ-concatenation path is exercised by every fixture.
     Content streams are FlateDecoded by default (the dominant
-    born-digital layout)."""
+    born-digital layout).  ``layout="objstm"`` (r6) emits the MODERN
+    PDF 1.5 file layout — catalog/pages/page/font dicts packed in a
+    compressed ``/Type /ObjStm``, cross-reference as a predictor-coded
+    ``/Type /XRef`` stream — the fixture source for the object-stream
+    readers."""
     objects: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -623,6 +831,8 @@ def build_text_pdf(pages: list[str], compress: bool = True) -> bytes:
     )
     objects[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
 
+    if layout == "objstm":
+        return _assemble_pdf_objstm(objects, catalog_num)
     return _assemble_pdf(objects, catalog_num)
 
 
@@ -707,6 +917,85 @@ def build_image_pdf(page_images: list[bytes]) -> bytes:
     objects[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
 
     return _assemble_pdf(objects, catalog_num)
+
+
+def _assemble_pdf_objstm(objects: list[bytes], catalog_num: int) -> bytes:
+    """Serialize in the MODERN (PDF 1.5+) layout: every non-stream
+    object is packed into one Flate-compressed ``/Type /ObjStm``, and
+    the cross-reference is a ``/Type /XRef`` STREAM with type-2
+    (compressed-object) entries, /W [1 4 2] fields and PNG Up
+    prediction (/Predictor 12) — the layout most born-digital PDFs use
+    and the fixture generator for the r6 object-stream readers.  Stream
+    objects (contents, CMaps, images) stay top-level, as the spec
+    requires."""
+    n = len(objects)
+    objstm_num, xref_num = n + 1, n + 2
+    packed = [
+        (i + 1, body)
+        for i, body in enumerate(objects)
+        if not _STREAM_RE.search(body)
+    ]
+    packed_idx = {num: k for k, (num, _) in enumerate(packed)}
+    header = b" ".join(b"%d %d" % (num, off) for num, off in _objstm_offsets(packed))
+    payload = header + b"\n" + b"".join(body for _, body in packed)
+    first = len(header) + 1
+    zdata = zlib.compress(payload)
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for i, body in enumerate(objects, start=1):
+        if i in packed_idx:
+            continue
+        offsets[i] = len(out)
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    offsets[objstm_num] = len(out)
+    out += (
+        b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode"
+        b" /Length %d >>\nstream\n" % (objstm_num, len(packed), first, len(zdata))
+        + zdata
+        + b"\nendstream\nendobj\n"
+    )
+    xref_pos = len(out)
+    size = n + 3
+    rows = bytearray()
+    prev = bytes(7)
+    for num in range(size):
+        if num == 0:
+            raw = bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+        elif num in packed_idx:
+            raw = (
+                bytes([2])
+                + objstm_num.to_bytes(4, "big")
+                + packed_idx[num].to_bytes(2, "big")
+            )
+        elif num == xref_num:
+            raw = bytes([1]) + xref_pos.to_bytes(4, "big") + (0).to_bytes(2, "big")
+        else:
+            raw = bytes([1]) + offsets[num].to_bytes(4, "big") + (0).to_bytes(2, "big")
+        # PNG Up filter per row (/Predictor 12)
+        rows += bytes([2]) + bytes((raw[i] - prev[i]) & 0xFF for i in range(7))
+        prev = raw
+    zx = zlib.compress(bytes(rows))
+    out += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /Root %d 0 R /W [1 4 2]"
+        b" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >>"
+        b" /Length %d >>\nstream\n" % (xref_num, size, catalog_num, len(zx))
+        + zx
+        + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
+    return bytes(out)
+
+
+def _objstm_offsets(packed: list[tuple[int, bytes]]) -> list[tuple[int, int]]:
+    """(objnum, offset-within-concatenated-bodies) pairs for an ObjStm
+    header."""
+    pairs = []
+    off = 0
+    for num, body in packed:
+        pairs.append((num, off))
+        off += len(body)
+    return pairs
 
 
 def _assemble_pdf(objects: list[bytes], catalog_num: int) -> bytes:

@@ -40,66 +40,16 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # (~50 entries).  To guarantee every query eventually gets a driver-side
 # CORRECTNESS row, names needing one are listed here and surfaced FIRST in
 # all_queries()/all_oracles(); everything else keeps module registration
-# order after them.  Round 5 (VERDICT #6 freshness rotation): head = the
-# three operators NEW this round (no driver row yet), then the entire
-# r1-checked cohort — the 50 queries whose only driver row dates to the
-# round-1 code state (every other query has an r2-r4 row; the local
-# exact-value gate re-proves all 158 each session, but the driver record
-# should age out too).  A ~50 budget covers the 3 new + 47 of the r1
-# cohort; the remaining 3 head the r6 rotation.
+# order after them.  Round 6 (VERDICT #4 freshness rotation, computed
+# from CORRECTNESS_r01-r05.json): head = the 1 query NEW this round (no
+# driver row yet), then the full 39-query cohort whose NEWEST driver row
+# still dates to round 1, then the r2-latest cohort (26) — a ~50 budget
+# covers 1 + 39 + ~10 of those, leaving no query older than r2 after
+# this round; the r2 remainder heads the r7 rotation.
 _PRIORITY: tuple[str, ...] = (
-    # new in round 5
-    "mm_pdf_text_extract",
-    "mm_video_mjpeg_frames",
-    "mm_wav_adpcm",
-    "mm_pdf_text_corpus_pipeline",
-    "mm_compressed_text_roundtrip",
-    "mm_zip_archive_listing",
-    "mm_tar_webdataset_samples",
-    "mm_warc_crawl_extract",
-    "mm_flac_meta",
-    "mm_image_thumbnails",
-    "mm_html_text_extract",
-    "pipeline_crawl_to_corpus",
-    "mm_flac_roundtrip",
-    "mm_wav_g711",
-    "mm_pdf_cid_text",
-    "cur_cdc_chunks",
-    "cur_cdc_dedup_stats",
-    "sim_binary_hamming_topk",
-    "sim_binary_rerank_topk",
-    "clean_snapshot_time_travel",
-    "text_bpe_train_merges",
-    "text_bpe_segment_vocab",
-    "text_bpe_apply_corpus",
-    "sim_kmeans_quantizer",
-    "cur_ngram_decontaminate",
-    "text_bigram_surprisal",
-    "agg_hll_manual",
-    "agg_countmin_topk",
-    "emb_gram_matrix",
-    "agg_kmv_corpus_overlap",
-    "cur_weighted_sample",
-    "mm_jpeg12_roundtrip",
-    "mm_image_patchify",
-    "mm_wav_vad_segments",
-    "text_zipf_slope",
-    "clean_snapshot_diff",
-    "clean_snapshot_incremental_refresh",
-    "clean_snapshot_stats_pruning",
-    "dedup_prefix_filter_pairs",
-    # the r1-checked cohort, stalest driver rows first-come
-    "agg_pricing_summary",
-    "agg_stats_orders",
-    "agg_count_distinct",
-    "agg_approx_count_distinct",
-    "agg_rollup_region_nation",
-    "agg_cube_status_priority",
-    "agg_grouping_sets",
-    "agg_collect_set",
-    "agg_udaf_price_range",
-    "agg_percentiles_price",
-    "agg_salted_heavy_hitter",
+    # new in round 6
+    "mm_pdf_objstm_text",
+    # newest driver row = r1 (39)
     "agg_grouped_map_rank",
     "agg_histogram_value_buckets",
     "cur_train_test_split",
@@ -139,6 +89,33 @@ _PRIORITY: tuple[str, ...] = (
     "join_anti_parts_never_ordered",
     "join_cross_region_status",
     "join_range_price_bands",
+    # newest driver row = r2 (26)
+    "text_langid_heuristic",
+    "text_fingerprint",
+    "text_bigram_top20",
+    "text_wordcount_global",
+    "text_bpe_token_count",
+    "text_winnow_fingerprints",
+    "text_tfidf_top_terms",
+    "sim_topk_bruteforce",
+    "sim_lsh_sign_buckets",
+    "sim_lsh_bucketed_topk",
+    "sim_ivf_topk",
+    "sim_topk_pandas_udf",
+    "win_topk_cheapest_parts",
+    "win_lag_order_delta",
+    "win_moving_avg_supplier",
+    "win_rank_dense_size",
+    "win_running_total",
+    "win_ntile_acctbal",
+    "win_value_functions",
+    "sort_topn_orders",
+    "sort_multi_col",
+    "sort_limit_offset",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "set_union_all_counts",
 )
 
 

@@ -303,6 +303,100 @@ def mm_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_pdf_objstm_text",
+    # Same fixture text grammar as mm_pdf_text_extract, but the PDFs are
+    # written in the MODERN (PDF 1.5) layout: page/font/catalog dicts
+    # packed in a Flate-compressed /Type /ObjStm, cross-reference as a
+    # predictor-coded /Type /XRef stream.  The structural literals are
+    # part of the oracle: the writer packs exactly 3 + n_pages dicts
+    # (catalog, pages root, font, each page) into the ObjStm, and
+    # pdf_page_count must see BOTH pages even though no /Type /Page is
+    # visible to a raw byte scan.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    pages AS (SELECT unnest(range(0, 2)) AS p),
+    txt AS (
+      SELECT d.doc_id, p.p,
+             'objstm doc ' || d.doc_id || ' pg ' || p.p
+             || ' k' || (d.doc_id * 11 + p.p) % 10 || chr(10)
+             || 'packed (x' || (d.doc_id * 5 + p.p) % 7 || ') tail\\end'
+             AS page_text
+      FROM docs d CROSS JOIN pages p
+    )
+    SELECT doc_id, CAST(p + 1 AS INT) AS page_no,
+           CAST(length(page_text) AS INT) AS n_chars, page_text,
+           5 AS n_objstm_objects, 2 AS n_pages_counted
+    FROM txt
+    ORDER BY doc_id, page_no
+    """,
+)
+def mm_pdf_objstm_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6 — OBJECT-STREAM PDFs end-to-end (the r5 verdict's top gap:
+    most modern born-digital PDFs keep their page dicts inside
+    compressed /ObjStm streams, which a top-level byte scan cannot
+    see).  Per doc, write a two-page text PDF in the PDF 1.5 layout
+    (operators/pdf.py ``build_text_pdf(layout="objstm")`` — one
+    Flate-compressed object stream holding every dict, plus a
+    /Type /XRef cross-reference STREAM with PNG-Up predictor), then
+    extract with the same production readers: ``extract_page_text``
+    (whose object scanner now inflates ObjStms transparently),
+    ``read_xref`` (xref-stream decode: /W fields, /Index, predictor
+    undo — the type-2 entry count proves the compressed-object map was
+    actually read), and ``pdf_page_count`` (sees packed page dicts).
+
+    Scale shape: identical to the codec queries — per-doc independent
+    mapInPandas, no shuffle before the final sort."""
+    import pandas as pd
+
+    from specialsid_spark.operators.multimodal import pdf_page_count
+    from specialsid_spark.operators.pdf import (
+        build_text_pdf,
+        extract_page_text,
+        read_xref,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                pages = [
+                    f"objstm doc {doc_id} pg {p} k{(doc_id * 11 + p) % 10}\n"
+                    f"packed (x{(doc_id * 5 + p) % 7}) tail\\end"
+                    for p in range(2)
+                ]
+                blob = build_text_pdf(pages, layout="objstm")
+                texts = extract_page_text(blob)
+                entries, _trailer = read_xref(blob)
+                n_packed = sum(1 for e in entries.values() if e[0] == 2)
+                n_pages = pdf_page_count(blob)
+                for p, text in enumerate(texts):
+                    out.append(
+                        (doc_id, p + 1, len(text), text, n_packed, n_pages)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "page_no", "n_chars", "page_text",
+                    "n_objstm_objects", "n_pages_counted",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64", "page_no": "int32", "n_chars": "int32",
+                    "n_objstm_objects": "int32", "n_pages_counted": "int32",
+                }
+            )
+
+    schema = (
+        "doc_id long, page_no int, n_chars int, page_text string, "
+        "n_objstm_objects int, n_pages_counted int"
+    )
+    return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id", "page_no")
+
+
+@register(
     "mm_pdf_text_corpus_pipeline",
     # Pages are substrings of the REAL documents.text (pure ASCII, no
     # newlines — verified per sf), so DuckDB re-derives every page's
@@ -317,6 +411,7 @@ def mm_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, 2 AS page_no, substr(text, 121, 120) AS pt FROM docs
     )
     SELECT doc_id, CAST(page_no AS INT) AS page_no,
+           CASE WHEN doc_id % 2 = 0 THEN 'classic' ELSE 'objstm' END AS layout,
            CAST(length(pt) AS INT) AS n_chars,
            CAST(CASE WHEN trim(pt) = '' THEN 0
                 ELSE len(regexp_split_to_array(trim(pt), '\\s+')) END AS INT)
@@ -335,7 +430,10 @@ def mm_pdf_text_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, content hash) with JVM-side expressions on the extracted
     text.  This is the dataflow a 100 TB PDF lake runs to feed a
     training corpus; the oracle proves the text survives the full
-    round trip byte-for-byte.
+    round trip byte-for-byte.  Since r6 the corpus is MIXED-LAYOUT —
+    even docs write classic-xref PDFs, odd docs the PDF 1.5
+    ObjStm/XRef-stream layout — so the one production hop is proven
+    over both file generations in the same run (real lakes hold both).
 
     Scale shape: build + extract are per-row-independent mapInPandas;
     the token/hash metrics are whole-stage-codegen'd column
@@ -351,8 +449,12 @@ def mm_pdf_text_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out_id, out_blob = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                out_id.append(int(doc_id))
-                out_blob.append(build_text_pdf([text[:120], text[120:240]]))
+                doc_id = int(doc_id)
+                layout = "classic" if doc_id % 2 == 0 else "objstm"
+                out_id.append(doc_id)
+                out_blob.append(
+                    build_text_pdf([text[:120], text[120:240]], layout=layout)
+                )
             yield pd.DataFrame(
                 {"doc_id": pd.Series(out_id, dtype="int64"), "blob": out_blob}
             )
@@ -362,6 +464,9 @@ def mm_pdf_text_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.select(
         "doc_id",
         "page_no",
+        F.when(F.col("doc_id") % 2 == 0, "classic")
+        .otherwise("objstm")
+        .alias("layout"),
         F.length("page_text").cast("int").alias("n_chars"),
         F.when(F.trim("page_text") == "", 0)
         .otherwise(F.size(F.split(F.trim("page_text"), r"\s+")))

@@ -995,3 +995,106 @@ def test_tounicode_cmap_forms():
     assert cm[0x10] == "A" and cm[0x11] == "ff"
     assert (cm[0x20], cm[0x21], cm[0x22]) == ("a", "b", "c")
     assert (cm[0x30], cm[0x31]) == ("X", "Y")
+
+
+# --------------------------------------------------------- r6: ObjStm / XRef
+
+
+def test_objstm_layout_text_roundtrip():
+    """Modern-layout PDFs (dicts packed in /ObjStm, XRef stream) must
+    extract identically to the classic layout."""
+    from specialsid_spark.operators.multimodal import pdf_page_count
+    from specialsid_spark.operators.pdf import build_text_pdf, extract_page_text
+
+    pages = ["first page\nline (two)\\esc", "second\nmore text here", "third"]
+    classic = build_text_pdf(pages)
+    modern = build_text_pdf(pages, layout="objstm")
+    assert modern.startswith(b"%PDF-1.5")
+    # no /Type /Page visible to a raw byte scan in the modern file
+    assert b"/Type /Page " not in modern and b"/Type /Page/" not in modern
+    assert extract_page_text(modern) == pages
+    assert extract_page_text(classic) == pages
+    assert pdf_page_count(modern) == 3 == pdf_page_count(classic)
+
+
+def test_read_xref_stream_entries_and_trailer():
+    from specialsid_spark.operators.pdf import build_text_pdf, read_xref
+
+    pages = ["a\nbc", "d\nef"]
+    modern = build_text_pdf(pages, layout="objstm")
+    entries, trailer = read_xref(modern)
+    # packed: catalog + pages root + font + 2 page dicts = 5 type-2 rows
+    assert sum(1 for e in entries.values() if e[0] == 2) == 5
+    # top-level: 2 content streams + ObjStm + XRef stream = 4 type-1 rows
+    type1 = {n: e for n, e in entries.items() if e[0] == 1}
+    assert len(type1) == 4
+    # every type-1 offset lands on that object's "N 0 obj" header
+    for num, (_t, off, _gen) in type1.items():
+        assert modern[off:].startswith(b"%d 0 obj" % num)
+    assert trailer["Root"] == 1 and trailer["Size"] == len(entries)
+
+
+def test_read_xref_classic_table():
+    from specialsid_spark.operators.pdf import build_text_pdf, read_xref
+
+    classic = build_text_pdf(["x\nyz"])
+    entries, trailer = read_xref(classic)
+    assert entries[0][0] == 0  # free head
+    for num, (t, off, _g) in entries.items():
+        if t == 1:
+            assert classic[off:].startswith(b"%d 0 obj" % num)
+    assert trailer["Root"] == 1
+
+
+def test_read_xref_prev_chain_newest_wins():
+    """Incremental update: an appended xref section with /Prev chains to
+    the original; the NEWEST entry per object must win."""
+    import re as _re
+
+    from specialsid_spark.operators.pdf import build_text_pdf, read_xref
+
+    base = build_text_pdf(["v1 text\nbody"])
+    old_start = int(_re.search(rb"startxref\s+(\d+)", base).group(1))
+    entries0, _ = read_xref(base)
+    old_off_obj1 = entries0[1][1]
+    # append a replacement catalog (object 1) + a new xref section
+    upd = bytearray(base)
+    new_off = len(upd)
+    upd += b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R /Version /1.4 >>\nendobj\n"
+    xref_pos = len(upd)
+    upd += b"xref\n1 1\n%010d 00000 n \n" % new_off
+    upd += (
+        b"trailer\n<< /Size %d /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(entries0), old_start, xref_pos)
+    )
+    entries, trailer = read_xref(bytes(upd))
+    assert entries[1] == (1, new_off, 0) and entries[1][1] != old_off_obj1
+    assert len(entries) == len(entries0)  # older sections fill the rest
+
+
+def test_png_unpredict_filters():
+    """Each PNG row filter undoes exactly (Sub/Up/Average/Paeth)."""
+    from specialsid_spark.operators.pdf import _png_unpredict
+
+    raw = [bytes([10, 20, 30]), bytes([13, 24, 35]), bytes([1, 2, 250])]
+    enc = bytearray()
+    prev = bytes(3)
+    for ri, row in enumerate(raw):
+        ft = [0, 2, 4][ri]  # None, Up, Paeth
+        enc.append(ft)
+        if ft == 0:
+            enc += row
+        elif ft == 2:
+            enc += bytes((row[i] - prev[i]) & 0xFF for i in range(3))
+        else:  # Paeth (bpp=1)
+            out = bytearray()
+            for i in range(3):
+                a = row[i - 1] if i else 0
+                b, c = prev[i], (prev[i - 1] if i else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((row[i] - pred) & 0xFF)
+            enc += out
+        prev = row
+    assert _png_unpredict(bytes(enc), 3) == b"".join(raw)

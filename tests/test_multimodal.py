@@ -185,12 +185,40 @@ def test_webp_adversarial_bytes():
     assert parse_image_meta(b"RIFF\x20\x00\x00\x00WEBPANMF" + b"\x00" * 20) is None
 
 
-def test_pdf_objstm_documented_undercount():
-    """PDF 1.5 object streams hide page dicts inside FlateDecode data;
-    the byte scan counts only VISIBLE leaves (documented limitation in
-    pdf_page_count's docstring) and never returns less than 1."""
+def test_pdf_objstm_damaged_falls_back_to_visible_leaves():
+    """r6: WELL-FORMED object streams are inflated and their packed
+    page dicts counted (tests/test_jpeg_pdf.py covers that path via the
+    repo's own objstm writer).  THIS fixture's ObjStm is damaged — no
+    /First, no header pair table — so its members stay invisible and
+    the count falls back to visible leaves, floored at 1."""
     assert pdf_page_count(_pdf_objstm(2)) == 2  # visible leaves still counted
     assert pdf_page_count(_pdf_objstm(0)) == 1  # all-hidden floors at 1
+
+
+def test_pdf_objstm_wellformed_counts_hidden_pages():
+    """A spec-correct ObjStm (header pairs + /First) makes its packed
+    page dicts visible to pdf_page_count — the r5 undercount is gone."""
+    import zlib as _z
+
+    bodies = [b"<< /Type /Page /Parent 1 0 R >>" for _ in range(5)]
+    header = b""
+    off = 0
+    for k, b in enumerate(bodies):
+        header += b"%d %d " % (10 + k, off)
+        off += len(b)
+    payload = header + b"\n" + b"".join(bodies)
+    first = len(header) + 1
+    stm = _z.compress(payload)
+    out = (
+        b"%PDF-1.5\n4 0 obj << /Type /ObjStm /N 5 /First "
+        + str(first).encode()
+        + b" /Filter /FlateDecode /Length "
+        + str(len(stm)).encode()
+        + b" >>\nstream\n"
+        + stm
+        + b"\nendstream endobj\n%%EOF"
+    )
+    assert pdf_page_count(out) == 5
 
 
 def test_parse_image_meta_real_headers():
