@@ -19,9 +19,11 @@ the classic 4-bit compressed WAV): :func:`decode_wav` dispatches to
 the block decoder, and :func:`encode_wav_ima` writes real compressed
 fixtures.  r5 extension: G.711 A-law/µ-law (format tags 6/7,
 closed-form expansion, SQL-restatable) via :func:`decode_wav_g711`;
-FLAC sample decode lives in operators/flac.py.  Remaining compressed
-codecs (MP3/AAC) return None and callers fall back — same
-degrade-loudly discipline as the image stack.
+FLAC sample decode lives in operators/flac.py; MPEG-1 Layer I subband
+decode (r6) in operators/mp1.py.  Remaining compressed codecs (MPEG
+Layer II/III, AAC) return None and callers fall back — same
+degrade-loudly discipline as the image stack (Layer II's allocation
+tables are non-derivable spec data; see operators/mp1.py).
 """
 
 from __future__ import annotations

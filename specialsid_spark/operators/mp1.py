@@ -1,0 +1,237 @@
+"""MPEG-1 Audio Layer I — real bitstream decode to subband samples
+(SURVEY.md §2.11 X3 extension; r6, VERDICT #7).
+
+Layer I is the one MPEG audio layer whose entire bitstream semantics
+are FORMULA-derivable from the spec text (ISO/IEC 11172-3 §2.4.2.4):
+
+* header: 32-bit syncword/layer/bitrate/samplerate/padding/mode fields;
+* per-subband 4-bit allocation, nb = alloc + 1 bits (alloc 0 = silent,
+  15 forbidden);
+* 6-bit scalefactor index per allocated subband, value
+  sf = 2.0 * 2^(-idx/3) (the closed form behind spec Table 3-B.1);
+* 12 samples x 32 subbands, sample-major, each an nb-bit unsigned code
+  over 2^nb - 1 quantization steps (the all-ones code never occurs);
+* requantization s'' = (2c + 2 - 2^nb) / (2^nb - 1), s = sf * s'' —
+  the closed form of the spec's two-step: the transmitted code's MSB
+  is the inverted sign, and two's-complement of (c XOR 2^(nb-1)) is
+  c - 2^(nb-1) for every c, so s''' = (c - 2^(nb-1)) / 2^(nb-1) and
+  s'' = (2^nb / (2^nb - 1)) * (s''' + 2^(1-nb)) collapses as above.
+
+What is NOT here, and why (the repo's no-guessed-spec-data rule, same
+as the arithmetic-JPEG QM-coder Qe table):
+
+* **Layer II** (`decode` returns None): its bit-allocation tables
+  3-B.2a-d and grouping classes are tabulated spec DATA with no
+  generating formula — an approximate recollection would make this
+  encoder/decoder pair agree with itself while silently mis-decoding
+  every real MP2 file.  Loud None beats plausible garbage.
+* **PCM synthesis** (:func:`synthesize_pcm`): the 512-tap synthesis
+  window of spec Table 3-B.3 is tabulated data (no closed form).  The
+  matrixing cosine bank IS derivable, but matrix-only synthesis would
+  be spec-deviant output; decoding stops at the true subband samples,
+  which are the lossless content of the stream (the window is a fixed
+  post-filter).
+
+The bitrate/samplerate header tables are shared public knowledge
+(operators/media_meta.py uses the Layer III siblings for mm_media_meta).
+"""
+
+from __future__ import annotations
+
+import struct
+
+# Layer I bitrate table (kbps), index 1..14; 0 = free format, 15 invalid
+_L1_BITRATES = (
+    0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448,
+)
+_L1_RATES = (44100, 48000, 32000)  # MPEG-1 samplerate index 0..2
+
+N_SUBBANDS = 32
+N_SAMPLES = 12  # per subband per Layer I frame
+
+
+class _BitReader:
+    """MSB-first bit reader (the MPEG audio bit order)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def write(self, v: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            self.bits.append((v >> k) & 1)
+
+    def bytes(self, pad_to: int = 0) -> bytes:
+        out = bytearray()
+        for o in range(0, len(self.bits), 8):
+            b = 0
+            for bit in self.bits[o : o + 8]:
+                b = (b << 1) | bit
+            b <<= max(0, 8 - len(self.bits[o : o + 8]))
+            out.append(b)
+        while len(out) < pad_to:
+            out.append(0)
+        return bytes(out)
+
+
+def mp1_frame_len(bitrate_kbps: int, sample_rate: int, padding: int = 0) -> int:
+    """Layer I frame length in bytes: (12*bitrate/rate + pad) slots of
+    4 bytes (slot size 4 is Layer-I-specific)."""
+    return (12 * bitrate_kbps * 1000 // sample_rate + padding) * 4
+
+
+def encode_mp1_frame(
+    bitrate_kbps: int,
+    sample_rate: int,
+    alloc: list[int],
+    sf_idx: list[int],
+    codes: list[list[int]],
+) -> bytes:
+    """One mono (single_channel) Layer I frame from explicit allocation
+    / scalefactor-index / code arrays — the fixture writer whose output
+    any conformant Layer I parser must re-read bit-exactly.  ``codes``
+    is [subband][sample] with values < 2^(alloc[sb]+1); silent subbands
+    (alloc 0) carry no scalefactor and no codes, per spec."""
+    if len(alloc) != N_SUBBANDS:
+        raise ValueError("need 32 allocation entries")
+    hdr = 0xFFF  # sync
+    hdr = (hdr << 1) | 1          # ID: MPEG-1
+    hdr = (hdr << 2) | 0b11       # layer I
+    hdr = (hdr << 1) | 1          # no CRC
+    hdr = (hdr << 4) | _L1_BITRATES.index(bitrate_kbps)
+    hdr = (hdr << 2) | _L1_RATES.index(sample_rate)
+    hdr = (hdr << 1) | 0          # padding
+    hdr = (hdr << 1) | 0          # private
+    hdr = (hdr << 2) | 0b11       # mode: single_channel
+    hdr = (hdr << 2) | 0          # mode_extension
+    hdr = (hdr << 1) | 0          # copyright
+    hdr = (hdr << 1) | 1          # original
+    hdr = (hdr << 2) | 0          # emphasis
+    w = _BitWriter()
+    for sb in range(N_SUBBANDS):
+        if not 0 <= alloc[sb] <= 14:
+            raise ValueError("allocation 15 is forbidden")
+        w.write(alloc[sb], 4)
+    for sb in range(N_SUBBANDS):
+        if alloc[sb]:
+            if not 0 <= sf_idx[sb] <= 62:
+                raise ValueError("scalefactor index out of range")
+            w.write(sf_idx[sb], 6)
+    for s in range(N_SAMPLES):  # sample-major interleave, per spec
+        for sb in range(N_SUBBANDS):
+            if alloc[sb]:
+                nb = alloc[sb] + 1
+                c = codes[sb][s]
+                # 2^nb - 1 steps: the all-ones code is outside the
+                # quantizer (its requantized value would exceed 1.0)
+                if not 0 <= c < (1 << nb) - 1:
+                    raise ValueError("code out of range for allocation")
+                w.write(c, nb)
+    flen = mp1_frame_len(bitrate_kbps, sample_rate)
+    body = w.bytes(pad_to=flen - 4)
+    if len(body) > flen - 4:
+        raise ValueError("audio data overflows the frame for this bitrate")
+    return struct.pack(">I", hdr) + body
+
+
+def decode_mp1_frames(
+    blob: bytes,
+) -> tuple[int, int, list[dict]] | None:
+    """Parse every mono Layer I frame: returns (sample_rate,
+    bitrate_kbps, frames) where each frame dict carries ``alloc`` (32
+    ints), ``sf_idx`` (32 ints, 0 where silent), and ``codes``
+    ([subband][sample] raw unsigned codes).  None when the payload does
+    not start with a mono MPEG-1 Layer I frame."""
+    frames: list[dict] = []
+    rate = bitrate = None
+    i = 0
+    n = len(blob)
+    while i + 4 <= n:
+        b0, b1, b2, _b3 = blob[i : i + 4]
+        if b0 != 0xFF or (b1 >> 5) != 0b111:
+            break
+        if (b1 >> 4) & 1 != 1 or (b1 >> 1) & 3 != 0b11:  # MPEG-1 Layer I
+            break
+        br_idx = b2 >> 4
+        sr_idx = (b2 >> 2) & 3
+        pad = (b2 >> 1) & 1
+        if br_idx in (0, 15) or sr_idx == 3:
+            break
+        mode = blob[i + 3] >> 6
+        if mode != 0b11:  # mono only (stereo needs the bound logic)
+            return None
+        bitrate = _L1_BITRATES[br_idx]
+        rate = _L1_RATES[sr_idx]
+        flen = mp1_frame_len(bitrate, rate, pad)
+        if i + flen > n:
+            break
+        r = _BitReader(blob[i + 4 : i + flen])
+        alloc = [r.read(4) for _ in range(N_SUBBANDS)]
+        if any(a == 15 for a in alloc):
+            return None  # forbidden allocation: corrupt stream
+        sf_idx = [r.read(6) if alloc[sb] else 0 for sb in range(N_SUBBANDS)]
+        codes = [[0] * N_SAMPLES for _ in range(N_SUBBANDS)]
+        for s in range(N_SAMPLES):
+            for sb in range(N_SUBBANDS):
+                if alloc[sb]:
+                    codes[sb][s] = r.read(alloc[sb] + 1)
+        frames.append({"alloc": alloc, "sf_idx": sf_idx, "codes": codes})
+        i += flen
+    if not frames:
+        return None
+    return rate, bitrate, frames
+
+
+def mp1_requantize(code: int, alloc: int, sf_idx: int) -> float:
+    """The true decoded subband sample value: s = sf * (2c + 2 - 2^nb)
+    / (2^nb - 1), sf = 2 * 2^(-idx/3)."""
+    nb = alloc + 1
+    return 2.0 * 2.0 ** (-sf_idx / 3) * (2 * code + 2 - (1 << nb)) / ((1 << nb) - 1)
+
+
+def mp1_requantize_micro(code: int, alloc: int, sf_idx: int) -> int:
+    """Exact-integer requantization in MICRO units (value * 10^6,
+    truncated toward zero), defined ONLY for sf_idx % 3 == 0 — there
+    sf = 2^(1 - idx/3) is a power of two and the whole value is the
+    rational (num * sf_num * 10^6) / ((2^nb - 1) * sf_den), which both
+    engines evaluate with exact int64 arithmetic (the cross-engine
+    float-determinism rule: no libm, no rounding-mode dependence)."""
+    if sf_idx % 3:
+        raise ValueError("micro form needs a power-of-two scalefactor")
+    nb = alloc + 1
+    num = 2 * code + 2 - (1 << nb)
+    e = 1 - sf_idx // 3  # sf = 2^e
+    scaled = abs(num) * 1_000_000
+    if e >= 0:
+        scaled <<= e
+    den = ((1 << nb) - 1) << max(0, -e)
+    q = scaled // den
+    return -q if num < 0 else q
+
+
+def decode(blob: bytes):
+    """Layer II/III dispatch guard: returns None loudly — see module
+    docstring (allocation tables are non-derivable spec data)."""
+    return None
+
+
+def synthesize_pcm(frames):  # pragma: no cover - documented stub
+    """PCM output needs the 512-tap synthesis window (spec Table 3-B.3,
+    tabulated data with no generating formula).  Refusing beats
+    shipping a matrix-only synthesis that no conformance stream would
+    match.  Returns None; subband samples from decode_mp1_frames are
+    the lossless stream content."""
+    return None

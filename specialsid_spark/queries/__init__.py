@@ -49,6 +49,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _PRIORITY: tuple[str, ...] = (
     # new in round 6
     "mm_pdf_objstm_text",
+    "mm_mp1_subband_decode",
     # newest driver row = r1 (39)
     "agg_grouped_map_rank",
     "agg_histogram_value_buckets",

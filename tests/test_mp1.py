@@ -1,0 +1,97 @@
+"""MPEG-1 Layer I bitstream codec (operators/mp1.py): frame round
+trips, bit-packing across byte boundaries, requantization arithmetic,
+and the documented Layer II / PCM-synthesis refusals."""
+
+from __future__ import annotations
+
+import pytest
+
+from specialsid_spark.operators.mp1 import (
+    _BitReader,
+    _BitWriter,
+    decode,
+    decode_mp1_frames,
+    encode_mp1_frame,
+    mp1_frame_len,
+    mp1_requantize,
+    mp1_requantize_micro,
+    synthesize_pcm,
+)
+
+
+def _fixture(doc: int):
+    alloc = [0 if (doc + sb) % 5 == 0 else 1 + (doc * 3 + sb) % 8 for sb in range(32)]
+    sfi = [3 * ((doc * 2 + sb) % 21) for sb in range(32)]
+    codes = [
+        [(doc * 131 + (sb + 1) * (s + 7) * 97) % ((1 << (alloc[sb] + 1)) - 1)
+         if alloc[sb] else 0 for s in range(12)]
+        for sb in range(32)
+    ]
+    return alloc, sfi, codes
+
+
+def test_frame_roundtrip_all_fields():
+    for doc in (0, 1, 7, 63):
+        alloc, sfi, codes = _fixture(doc)
+        blob = encode_mp1_frame(448, 32000, alloc, sfi, codes)
+        assert len(blob) == mp1_frame_len(448, 32000)
+        rate, br, frames = decode_mp1_frames(blob)
+        assert (rate, br, len(frames)) == (32000, 448, 1)
+        fr = frames[0]
+        assert fr["alloc"] == alloc
+        assert fr["sf_idx"] == [s if a else 0 for s, a in zip(sfi, alloc)]
+        assert fr["codes"] == codes
+
+
+def test_multiframe_stream_and_garbage_tail():
+    alloc, sfi, codes = _fixture(3)
+    f = encode_mp1_frame(448, 32000, alloc, sfi, codes)
+    _r, _b, frames = decode_mp1_frames(f * 3 + b"\x12garbage")
+    assert len(frames) == 3
+    assert decode_mp1_frames(b"notaudio") is None
+
+
+def test_bitrw_arbitrary_widths():
+    w = _BitWriter()
+    vals = [(1, 1), (5, 3), (1000, 11), (0, 2), (16383, 14), (7, 4)]
+    for v, n in vals:
+        w.write(v, n)
+    r = _BitReader(w.bytes())
+    assert [r.read(n) for _v, n in vals] == [v for v, _n in vals]
+
+
+def test_requantize_closed_form():
+    # nb=2 -> 3 steps: codes {0,1,2} -> s'' {-2/3, 0, 2/3}, x sf=2 at idx 0
+    assert mp1_requantize(0, 1, 0) == pytest.approx(2 * (-2) / 3)
+    assert mp1_requantize(1, 1, 0) == 0.0
+    assert mp1_requantize(2, 1, 0) == pytest.approx(2 * 2 / 3)
+    # the all-ones code sits outside the quantizer; the encoder refuses it
+    alloc, sfi, codes = _fixture(2)
+    bad_codes = [list(cs) for cs in codes]
+    sb_used = next(i for i, a in enumerate(alloc) if a)
+    bad_codes[sb_used][0] = (1 << (alloc[sb_used] + 1)) - 1
+    with pytest.raises(ValueError):
+        encode_mp1_frame(448, 32000, alloc, sfi, bad_codes)
+    # micro form matches the float form where defined
+    for c, a, s in [(0, 1, 0), (3, 1, 6), (200, 7, 30), (5, 4, 60)]:
+        assert mp1_requantize_micro(c, a, s) == int(mp1_requantize(c, a, s) * 1e6)
+    with pytest.raises(ValueError):
+        mp1_requantize_micro(1, 1, 4)  # non-power-of-two scalefactor
+
+
+def test_forbidden_values_raise_or_refuse():
+    alloc, sfi, codes = _fixture(2)
+    bad = list(alloc)
+    bad[0] = 15
+    with pytest.raises(ValueError):
+        encode_mp1_frame(448, 32000, bad, sfi, codes)
+    # Layer II / PCM synthesis: documented loud refusals, never garbage
+    assert decode(b"\xff\xfd\x90\x00" + b"\x00" * 100) is None
+    assert synthesize_pcm([]) is None
+
+
+def test_stereo_mode_refused():
+    alloc, sfi, codes = _fixture(1)
+    f = bytearray(encode_mp1_frame(448, 32000, alloc, sfi, codes))
+    f[3] &= 0x3F  # mode 00 = stereo: decoder must refuse, not mis-parse
+    assert decode_mp1_frames(bytes(f)) is None
