@@ -63,14 +63,20 @@ def _read_manifest(path: str, version: int) -> dict:
 
 
 def snapshot_commit(
-    df: DataFrame, path: str, mode: str = "append"
+    df: DataFrame, path: str, mode: str = "append", tag: str | None = None
 ) -> int:
     """Write ``df``'s rows as new immutable parquet files and commit a
     new manifest version; returns the committed version number.
 
     ``mode='append'`` keeps the previous version's files and adds the
     new ones; ``'overwrite'`` references only the new files (old data
-    files remain on disk for time travel until vacuumed)."""
+    files remain on disk for time travel until vacuumed).
+
+    ``tag`` (r6) records an idempotency token IN the manifest — commit
+    and token become visible in the same atomic rename, which is what
+    lets a streaming writer make "commit micro-batch N exactly once"
+    crash-safe: on replay, :func:`snapshot_version_by_tag` finds the
+    already-committed version instead of appending the batch twice."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown snapshot mode {mode!r}")
     root = Path(path)
@@ -105,12 +111,23 @@ def snapshot_commit(
         "op": mode,
         "files": files,
     }
+    if tag is not None:
+        manifest["tag"] = tag
     if inherited_stats:
         manifest["stats"] = inherited_stats
     tmp = mdir / f"v{new_version}.json.tmp"
     tmp.write_text(json.dumps(manifest, indent=1))
     os.rename(tmp, mdir / f"v{new_version}.json")  # THE commit point
     return new_version
+
+
+def snapshot_version_by_tag(path: str, tag: str) -> int | None:
+    """The version whose manifest carries ``tag``, or None — the replay
+    check for tagged (streaming) commits."""
+    for v in snapshot_versions(path):
+        if _read_manifest(path, v).get("tag") == tag:
+            return v
+    return None
 
 
 def snapshot_read(

@@ -685,6 +685,113 @@ def streaming_incremental_rollup(
     )
 
 
+def streaming_snapshot_ivm(
+    spark: SparkSession,
+    docs_dir: str,
+    table_path: str,
+    summary_path: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """S10 ∘ T3 ∘ streaming (r6, VERDICT #9): the snapshot-IVM loop at
+    the ingest door — each micro-batch is COMMITTED to the manifest
+    snapshot table, and the downstream summary is maintained from the
+    resulting SNAPSHOT DIFF (signed partial aggregates, zero-count
+    retraction), never from a rescan.  This is the streaming twin of
+    the batch `clean_snapshot_incremental_refresh` query: identical
+    diff→signed-partials→union-reaggregate algebra, so stream and batch
+    produce the same summary by construction.
+
+    Exactly-once has TWO halves here, each with its own token carried
+    atomically with its data:
+
+    * the TABLE commit: ``snapshot_commit(tag=batch-N)`` records the
+      batch id inside the manifest (one atomic rename covers both), so
+      a crash-replayed batch finds its version via
+      ``snapshot_version_by_tag`` instead of appending twice;
+    * the SUMMARY merge: :func:`crash_safe_summary_merge`'s _BATCH_ID
+      sidecar + generation swap, unchanged.
+
+    A replay therefore re-derives the SAME diff (manifests are
+    immutable) and the merge layer decides idempotently whether it was
+    applied.  At 100 TB the refresh cost tracks each batch's changed
+    files — the manifest prunes everything else."""
+    from specialsid_spark.operators.snapshot import (
+        snapshot_commit,
+        snapshot_diff,
+        snapshot_read,
+        snapshot_version_by_tag,
+        snapshot_versions,
+    )
+
+    grp = (F.col("doc_id") % 7).cast("long").alias("grp")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tag = f"stream-batch-{batch_id}"
+        v = snapshot_version_by_tag(table_path, tag)
+        if v is None:
+            parents = snapshot_versions(table_path)
+            v = snapshot_commit(batch_df, table_path, mode="append", tag=tag)
+            parent = parents[-1] if parents else None
+        else:
+            parent = v - 1 if v > 1 else None
+        if parent is None:
+            deltas = (
+                snapshot_read(batch_df.sparkSession, table_path, v)
+                .groupBy(grp)
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("value").cast("long").alias("sum_value"),
+                )
+            )
+        else:
+            sign = F.when(F.col("change_type") == "insert", F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+            deltas = (
+                snapshot_diff(batch_df.sparkSession, table_path, parent, v)
+                .select(grp, sign.alias("sgn"), "value")
+                .groupBy("grp")
+                .agg(
+                    F.sum("sgn").cast("long").alias("n_rows"),
+                    F.sum(F.col("sgn") * F.col("value"))
+                    .cast("long")
+                    .alias("sum_value"),
+                )
+            )
+
+        def combine(current: DataFrame | None) -> DataFrame:
+            if current is None:
+                return deltas
+            return (
+                current.unionByName(deltas)
+                .groupBy("grp")
+                .agg(
+                    F.sum("n_rows").cast("long").alias("n_rows"),
+                    F.sum("sum_value").cast("long").alias("sum_value"),
+                )
+                .where(F.col("n_rows") > 0)  # retraction drops the group
+            )
+
+        crash_safe_summary_merge(
+            batch_df,
+            batch_id,
+            summary_path,
+            checkpoint_dir,
+            combine,
+            "streaming_snapshot_ivm",
+        )
+
+    docs = spark.readStream.schema("doc_id long, ts timestamp, value long").json(
+        docs_dir
+    )
+    return (
+        docs.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_hll_registers(
     spark: SparkSession,
     events_dir: str,
