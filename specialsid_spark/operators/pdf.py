@@ -1018,7 +1018,9 @@ def _assemble_pdf(objects: list[bytes], catalog_num: int) -> bytes:
     return bytes(out)
 
 
-def build_cid_text_pdf(pages: list[str], compress: bool = True) -> bytes:
+def build_cid_text_pdf(
+    pages: list[str], compress: bool = True, layout: str = "classic"
+) -> bytes:
     """Type0/Identity-H text-PDF writer — the CID-font counterpart of
     :func:`build_text_pdf` and the fixture generator for the
     `mm_pdf_cid_text` oracle.  Per page, the first line is shown in a
@@ -1137,4 +1139,6 @@ def build_cid_text_pdf(pages: list[str], compress: bool = True) -> bytes:
         len(page_nums),
     )
     objects[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
+    if layout == "objstm":
+        return _assemble_pdf_objstm(objects, catalog_num)
     return _assemble_pdf(objects, catalog_num)

@@ -1098,3 +1098,15 @@ def test_png_unpredict_filters():
             enc += out
         prev = row
     assert _png_unpredict(bytes(enc), 3) == b"".join(raw)
+
+
+def test_cid_text_pdf_objstm_layout():
+    """CID/Type0 PDFs in the modern layout (font + descendant dicts in
+    the ObjStm, CMap stream top-level) extract identically."""
+    from specialsid_spark.operators.pdf import build_cid_text_pdf, extract_page_text
+
+    pages = ["head\nhello cid world", "second\nmore glyphs: xyz"]
+    modern = build_cid_text_pdf(pages, layout="objstm")
+    assert modern.startswith(b"%PDF-1.5")
+    assert extract_page_text(modern) == pages
+    assert extract_page_text(build_cid_text_pdf(pages)) == pages

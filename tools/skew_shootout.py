@@ -1,0 +1,143 @@
+"""AQE skew-join vs manual salting vs broadcast — measured head-to-head
+(r6, VERDICT #8).
+
+Fixture: a deliberately skewed equi-join — 8M fact rows where ONE hot
+key owns 50% of the volume, joined to a 100k-row dimension.  This is
+the canonical 100 TB failure: the hot key's whole volume lands on one
+reducer of a shuffle join.
+
+Variants, each timed min-of-N on the same session:
+
+  broadcast       dimension broadcast (the engine's own choice when the
+                  dim fits) — skew is irrelevant because the fact side
+                  never shuffles
+  smj_noskew      sort-merge with AQE skew handling OFF — the failure
+                  mode itself
+  smj_aqe_default sort-merge, AQE skewJoin ON at DEFAULT thresholds
+                  (256 MB skewedPartitionThresholdInBytes)
+  smj_aqe_tuned   sort-merge, AQE skewJoin ON with the threshold
+                  lowered to this fixture's scale
+  salted          manual salt-16: fact tags pmod(hash, 16), dim
+                  replicates 16x, join key (key, salt)
+
+All variants must produce identical aggregates (verified) — only the
+plan differs.  Results feed BASELINE.md §2; the plan rule is pinned in
+tests/test_plan_shapes.py.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from specialsid_spark.session import get_spark  # noqa: E402
+
+N_FACT = 8_000_000
+N_DIM = 100_000
+SALTS = 16
+
+
+def build(spark):
+    fact = spark.range(N_FACT).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.hash("id"), F.lit(N_DIM)))
+        .alias("key"),
+        (F.col("id") % 1000).alias("value"),
+    )
+    dim = spark.range(N_DIM).select(
+        F.col("id").alias("key"), (F.col("id") % 97).alias("weight")
+    )
+    fact.write.mode("overwrite").parquet(".bench_data/skew_fact")
+    dim.write.mode("overwrite").parquet(".bench_data/skew_dim")
+
+
+def query(spark, salted: bool):
+    fact = spark.read.parquet(".bench_data/skew_fact")
+    dim = spark.read.parquet(".bench_data/skew_dim")
+    if salted:
+        fact = fact.withColumn(
+            "salt", F.pmod(F.hash("key", "value"), F.lit(SALTS))
+        )
+        dim = dim.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(SALTS - 1)))
+        )
+        joined = fact.join(dim, ["key", "salt"])
+    else:
+        joined = fact.join(dim, "key")
+    return (
+        joined.groupBy((F.col("key") % 10).alias("band"))
+        .agg(
+            F.sum(F.col("value") * F.col("weight")).alias("sv"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("band")
+    )
+
+
+def run(spark, name: str, confs: dict, salted: bool, reps: int = 3):
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        rows = None
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            rows = query(spark, salted).collect()
+            best = min(best, time.time() - t0)
+        return name, best, tuple(tuple(r) for r in rows)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def main():
+    spark = get_spark("skew-shootout")
+    build(spark)
+    no_bcast = {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+    variants = [
+        ("broadcast", {}, False),
+        (
+            "smj_noskew",
+            {**no_bcast, "spark.sql.adaptive.skewJoin.enabled": "false"},
+            False,
+        ),
+        (
+            "smj_aqe_default",
+            {**no_bcast, "spark.sql.adaptive.skewJoin.enabled": "true"},
+            False,
+        ),
+        (
+            "smj_aqe_tuned",
+            {
+                **no_bcast,
+                "spark.sql.adaptive.skewJoin.enabled": "true",
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+            },
+            False,
+        ),
+        ("salted", no_bcast, True),
+    ]
+    results = []
+    baseline_rows = None
+    for name, confs, salted in variants:
+        n, sec, rows = run(spark, name, confs, salted)
+        if baseline_rows is None:
+            baseline_rows = rows
+        assert rows == baseline_rows, f"{name} changed the ANSWER"
+        results.append((n, sec))
+        print(f"{n:16s} {sec:7.2f} s")
+    print("\nall variants value-identical:", len(baseline_rows), "groups")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
