@@ -1110,3 +1110,26 @@ def test_cid_text_pdf_objstm_layout():
     assert modern.startswith(b"%PDF-1.5")
     assert extract_page_text(modern) == pages
     assert extract_page_text(build_cid_text_pdf(pages)) == pages
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    objstm=st.booleans(),
+)
+def test_text_pdf_roundtrip_property(texts, objstm):
+    """Any printable-ASCII page set must survive write→extract exactly,
+    in BOTH file layouts (classic xref table and ObjStm/XRef-stream)."""
+    from specialsid_spark.operators.pdf import build_text_pdf, extract_page_text
+
+    layout = "objstm" if objstm else "classic"
+    blob = build_text_pdf(texts, layout=layout)
+    assert extract_page_text(blob) == texts
