@@ -194,8 +194,10 @@ def read_xref(
     emit; /Index subsections and defaulted /W fields are honored."""
     entries: dict[int, tuple[int, int, int]] = {}
     trailer: dict[str, int] = {}
-    m = re.search(rb"startxref\s+(\d+)\s*%%EOF\s*$", blob[-256:], re.DOTALL)
-    pos = int(m.group(1)) if m else -1
+    # the LAST startxref in the tail wins (incremental updates append;
+    # real files often carry stray bytes after %%EOF, so no $ anchor)
+    tail_matches = re.findall(rb"startxref\s+(\d+)", blob[-2048:])
+    pos = int(tail_matches[-1]) if tail_matches else -1
     seen: set[int] = set()
     while 0 <= pos < len(blob) and pos not in seen:
         seen.add(pos)
