@@ -77,6 +77,15 @@ HEADLINE = [
     "agg_kmv_corpus_overlap",
     "cur_weighted_sample",
     "emb_gram_matrix",
+    # round-6 additions: semantic dedup (SemDeDup — the published
+    # embedding-space near-dup prune) and frontier-URL canonicalization
+    # are real corpus-scale dataflows; the format roundtrips and the
+    # bucketed-join demo are excluded (their cost is fixture IO, not a
+    # distributed comparison)
+    "dedup_semantic_prune",
+    "cur_url_canonicalize",
+    "text_naive_bayes_confusion",
+    "graph_triangle_count",
 ]
 
 

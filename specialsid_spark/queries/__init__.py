@@ -50,6 +50,14 @@ _PRIORITY: tuple[str, ...] = (
     # new in round 6
     "mm_pdf_objstm_text",
     "mm_mp1_subband_decode",
+    "dedup_semantic_prune",
+    "cur_url_canonicalize",
+    "text_naive_bayes_confusion",
+    "graph_triangle_count",
+    "join_bucketed_colocated",
+    "src_csv_roundtrip",
+    "src_orc_roundtrip",
+    "src_jsonl_roundtrip",
     # newest driver row = r1 (39)
     "agg_grouped_map_rank",
     "agg_histogram_value_buckets",
@@ -152,6 +160,7 @@ def _load_modules() -> None:
     # multimodal/vectors/streaming_q), then the modules that were already
     # verified green in CORRECTNESS_r01.json.
     from specialsid_spark.queries import (  # noqa: F401
+        formats,
         graph,
         pq,
         tpch3,

@@ -924,3 +924,146 @@ def cur_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens")
         .orderBy("doc_id")
     )
+
+
+# Messy-URL fixture construction: four query-string spellings of the
+# same parameters, default ports, mixed-case scheme/host, fragments,
+# trailing slashes — every variant of doc groups sharing doc_id % 50
+# canonicalizes to the same URL.
+_SQL_RAW_URL = """
+      CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://' ||
+      'WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM' ||
+      CASE WHEN doc_id % 3 = 0 THEN
+        CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END ELSE '' END ||
+      '/a/' || CAST(doc_id % 50 AS VARCHAR) ||
+      CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+      CASE doc_id % 4
+        WHEN 0 THEN '?b=2&a=1'
+        WHEN 1 THEN '?a=1&b=2'
+        WHEN 2 THEN '?utm_source=x&a=1&b=2'
+        ELSE '?a=1&utm_campaign=y&b=2' END ||
+      CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END
+"""
+
+
+def _raw_url() -> F.Column:
+    """Spark twin of _SQL_RAW_URL."""
+    did = F.col("doc_id")
+    scheme = F.when(did % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    port = F.when(
+        did % 3 == 0, F.when(did % 2 == 0, F.lit(":80")).otherwise(F.lit(":443"))
+    ).otherwise(F.lit(""))
+    q = (
+        F.when(did % 4 == 0, F.lit("?b=2&a=1"))
+        .when(did % 4 == 1, F.lit("?a=1&b=2"))
+        .when(did % 4 == 2, F.lit("?utm_source=x&a=1&b=2"))
+        .otherwise(F.lit("?a=1&utm_campaign=y&b=2"))
+    )
+    return F.concat(
+        scheme,
+        F.lit("://WWW.Example"),
+        (did % 7).cast("string"),
+        F.lit(".COM"),
+        port,
+        F.lit("/a/"),
+        (did % 50).cast("string"),
+        F.when(did % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        q,
+        F.when(did % 11 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+@register(
+    "cur_url_canonicalize",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_SQL_RAW_URL} AS url FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)) AS hostport,
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS q
+      FROM raw
+    ),
+    canon AS (
+      SELECT doc_id,
+             scheme || '://' ||
+             CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$',  '')
+                  WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                  ELSE hostport END ||
+             CASE WHEN path IN ('', '/') THEN '/'
+                  ELSE regexp_replace(path, '/$', '') END ||
+             CASE WHEN len(list_filter(string_split(q, '&'),
+                                       p -> NOT starts_with(p, 'utm_'))) = 0 THEN ''
+                  ELSE '?' || array_to_string(
+                         list_sort(list_filter(string_split(q, '&'),
+                                               p -> NOT starts_with(p, 'utm_'))), '&')
+             END AS curl
+      FROM parts
+    ),
+    groups AS (
+      SELECT curl, CAST(COUNT(*) AS BIGINT) AS n_raw FROM canon GROUP BY curl
+    )
+    SELECT n_raw AS group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(('0x' || substring(md5(curl), 1, 8))::BIGINT) AS BIGINT) AS curl_ck
+    FROM groups
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def cur_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL canonicalization — the dedup step BEFORE any
+    fetch happens (reference scope: the reference's scraper visits a
+    hand-curated URL list, reference main.py; at crawl scale the
+    frontier itself needs dedup).  Rules: lowercase scheme+host, strip
+    default ports (:80/:443), drop fragments, drop utm_* tracking
+    params, sort the remaining query params, trim trailing slashes.
+    Fixture URLs are derived deterministically from doc_id with every
+    messiness class injected; the output is the canonical-group-size
+    histogram plus a canonical-string checksum, so any canonicalization
+    drift breaks the hash.  All string ops are native Column expressions
+    (zero Python in the hot path); pure map work until the group-by on
+    the canonical key — at 100 TB that shuffle carries canonical URLs
+    only, and the histogram is map-side combinable."""
+    d = load_parallel(spark, sf_dir, "documents")
+    raw = d.select("doc_id", _raw_url().alias("url"))
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]*)", 1))
+    path = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
+    q = F.regexp_extract("url", r"\?([^#]*)", 1)
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    kept = F.array_sort(
+        F.filter(F.split(q, "&"), lambda p: ~p.startswith("utm_"))
+    )
+    curl = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(path.isin("", "/"), F.lit("/")).otherwise(
+            F.regexp_replace(path, r"/$", "")
+        ),
+        F.when(F.size(kept) == 0, F.lit("")).otherwise(
+            F.concat(F.lit("?"), F.array_join(kept, "&"))
+        ),
+    )
+    groups = (
+        raw.select(curl.alias("curl"))
+        .groupBy("curl")
+        .agg(F.count(F.lit(1)).alias("n_raw"))
+    )
+    return (
+        groups.groupBy(F.col("n_raw").alias("group_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(
+                F.conv(F.substring(F.md5("curl"), 1, 8), 16, 10).cast("long")
+            ).alias("curl_ck"),
+        )
+        .orderBy("group_size")
+    )

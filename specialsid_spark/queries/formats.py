@@ -1,0 +1,151 @@
+"""Interchange-format source/sink roundtrips (SURVEY.md §2.1/§2.6
+adjacent): CSV, ORC, and JSON-lines alongside the parquet the rest of
+the engine reads.
+
+Each query WRITES the documents table to the format under test in a
+session-scoped scratch dir, READS it back with an explicit schema, and
+aggregates content checksums — so a hash-green oracle proves the bytes
+survive the sink+source pair, not just that the write succeeded.  The
+oracle computes the same checksums straight from the parquet view: any
+quoting, escaping, null-vs-empty, or type-coercion defect in the
+roundtrip breaks the hash.
+
+The CSV leg deliberately injects an adversarial column (embedded
+commas, double quotes, and a newline, derived from doc_id) because the
+fixture text itself is benign — a CSV roundtrip that never exercises
+quoting proves nothing.
+
+100 TB story: all three are plain distributed scans/writes — one file
+per task, no shuffle on either side of the roundtrip; the aggregate is
+a map-side-combine groupBy on low-cardinality keys.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from specialsid_spark.catalog import load
+from specialsid_spark.queries import register
+from specialsid_spark.session import session_workdir
+
+# scratch roundtrip outputs, written once per (format, sf_dir) per process
+_WRITTEN: dict[tuple[str, str], str] = {}
+
+
+def _roundtrip_dir(fmt: str, sf_dir: str) -> tuple[str, bool]:
+    key = (fmt, os.path.abspath(sf_dir))
+    if key in _WRITTEN:
+        return _WRITTEN[key], True
+    d = os.path.join(session_workdir(f"fmt_{fmt}_"), "out")
+    _WRITTEN[key] = d
+    return d, False
+
+
+# md5-prefix content checksum: first 8 hex digits as int64, summed.
+def _ck(col: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _sql_ck(expr: str) -> str:
+    return f"('0x' || substring(md5({expr}), 1, 8))::BIGINT"
+
+
+# adversarial CSV content: commas, double quotes, and an embedded
+# newline — every RFC-4180 quoting hazard in one value
+def _tricky(doc_id: F.Column) -> F.Column:
+    return F.concat(
+        F.lit('v,"'), doc_id.cast("string"), F.lit('"\n,'), doc_id.cast("string")
+    )
+
+
+_SQL_TRICKY = "'v,\"' || CAST(doc_id AS VARCHAR) || '\"' || chr(10) || ',' || CAST(doc_id AS VARCHAR)"
+
+
+_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("tricky", T.StringType()),
+    ]
+)
+
+
+def _summarize(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(_ck(F.col("text"))).alias("text_ck"),
+            F.sum(_ck(F.col("tricky"))).alias("tricky_ck"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_SUMMARY = f"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM({_sql_ck("text")}) AS BIGINT) AS text_ck,
+           CAST(SUM({_sql_ck(_SQL_TRICKY)}) AS BIGINT) AS tricky_ck
+    FROM documents
+    GROUP BY lang ORDER BY lang
+"""
+
+
+def _docs_with_tricky(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").withColumn(
+        "tricky", _tricky(F.col("doc_id"))
+    )
+
+
+@register("src_csv_roundtrip", oracle=_SQL_SUMMARY)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source: RFC-4180 double-quote escaping (escape='\"',
+    not the backslash default), quoteAll on the way out, multiLine on
+    the way back (the adversarial column embeds a real newline).  The
+    checksum aggregate proves value-level fidelity through the quoting
+    layer.  multiLine=True makes a CSV file non-splittable — acceptable
+    for many small files (one task each), the documented trade-off for
+    embedded-newline data at scale."""
+    out, done = _roundtrip_dir("csv", sf_dir)
+    if not done:
+        _docs_with_tricky(spark, sf_dir).write.mode("overwrite").options(
+            header=True, quoteAll=True, escape='"'
+        ).csv(out)
+    back = spark.read.schema(_DOCS_SCHEMA).options(
+        header=True, escape='"', multiLine=True
+    ).csv(out)
+    return _summarize(back)
+
+
+@register("src_orc_roundtrip", oracle=_SQL_SUMMARY)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source (Spark-native columnar alternative to parquet;
+    same predicate-pushdown/column-pruning machinery).  Types survive
+    natively — the checksum aggregate guards against value corruption,
+    and the explicit schema read guards against type drift."""
+    out, done = _roundtrip_dir("orc", sf_dir)
+    if not done:
+        _docs_with_tricky(spark, sf_dir).write.mode("overwrite").orc(out)
+    return _summarize(spark.read.schema(_DOCS_SCHEMA).orc(out))
+
+
+@register("src_jsonl_roundtrip", oracle=_SQL_SUMMARY)
+def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source — the interchange format crawl corpora
+    actually ship in.  Spark writes one JSON object per line (splittable
+    on read, unlike multiLine CSV); the embedded newline in the
+    adversarial column must round-trip as the two-character escape \\n
+    inside the JSON string, which the checksum proves."""
+    out, done = _roundtrip_dir("jsonl", sf_dir)
+    if not done:
+        _docs_with_tricky(spark, sf_dir).write.mode("overwrite").json(out)
+    return _summarize(spark.read.schema(_DOCS_SCHEMA).json(out))

@@ -521,3 +521,78 @@ def sql_surface_pipe_sqludf(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT o_orderpriority, n_orders, doubled_cents
         """
     )
+
+
+_BUCKETS = 8
+_BUCKETED_TBLS: dict[str, tuple[str, str]] = {}  # abs sf_dir -> table names
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders+lineitem ONCE per (process, sf_dir) as tables
+    bucketed by the join key — the write pays the shuffle; every later
+    join of the two tables on that key is exchange-free."""
+    import hashlib
+    import os
+
+    from specialsid_spark.session import session_workdir
+
+    key = os.path.abspath(sf_dir)
+    if key in _BUCKETED_TBLS:
+        return _BUCKETED_TBLS[key]
+    suf = hashlib.md5(key.encode()).hexdigest()[:8]
+    ot, lt = f"orders_bkt_{suf}", f"lineitem_bkt_{suf}"
+    base = session_workdir("bktjoin_")
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(base, "orders"))
+        .saveAsTable(ot)
+    )
+    (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(base, "lineitem"))
+        .saveAsTable(lt)
+    )
+    _BUCKETED_TBLS[key] = (ot, lt)
+    return ot, lt
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS gross
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 at the physical-layout level: a fact⋈fact equi-join with ZERO
+    exchanges, via tables bucketed (and sorted) on the join key.  This
+    is the canonical 100 TB pattern for a join that runs every day on
+    the same keys — pay the partitioning shuffle once at write time
+    (`bucketBy(n, key)`), and every subsequent sort-merge join reads
+    co-located buckets with no Exchange in the plan at all
+    (test_plan_shapes.py pins this).  The `merge` hint keeps the demo
+    on SMJ even at fixture scale where the engine would broadcast;
+    at 100 TB neither side fits a broadcast and SMJ is the real plan.
+    """
+    ot, lt = _bucketed_tables(spark, sf_dir)
+    o = spark.table(ot)
+    li = spark.table(lt).hint("merge")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(cents("l_extendedprice")).cast("double") / 100.0).alias("gross"),
+        )
+        .orderBy("priority")
+    )

@@ -871,3 +871,139 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+@register(
+    "text_naive_bayes_confusion",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS tok FROM documents
+    ),
+    v AS (SELECT COUNT(DISTINCT tok) AS v FROM t),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    cls AS MATERIALIZED (
+      SELECT lang AS c_lang, COUNT(*) AS tot FROM t GROUP BY 1
+    ),
+    prior AS MATERIALIZED (
+      SELECT lang AS c_lang,
+             CAST(floor(ln(CAST(COUNT(*) AS DOUBLE) / CAST(nd.n AS DOUBLE))
+                        * 1000000) AS BIGINT) AS prior_mu
+      FROM documents CROSS JOIN nd GROUP BY lang, nd.n
+    ),
+    lp AS MATERIALIZED (
+      SELECT t.lang AS c_lang, t.tok,
+             CAST(floor(ln(CAST(COUNT(*) + 1 AS DOUBLE)
+                           / CAST(cls.tot + v.v AS DOUBLE)) * 1000000) AS BIGINT)
+               AS lp_mu
+      FROM t JOIN cls ON cls.c_lang = t.lang CROSS JOIN v
+      GROUP BY t.lang, t.tok, cls.tot, v.v
+    ),
+    unseen AS MATERIALIZED (
+      SELECT c_lang,
+             CAST(floor(ln(1.0 / CAST(cls.tot + v.v AS DOUBLE)) * 1000000) AS BIGINT)
+               AS unseen_mu
+      FROM cls CROSS JOIN v
+    ),
+    lk AS MATERIALIZED (
+      SELECT t.doc_id, t.lang AS actual, u.c_lang,
+             SUM(COALESCE(lp.lp_mu, u.unseen_mu)) AS like_mu
+      FROM t CROSS JOIN unseen u
+      LEFT JOIN lp ON lp.c_lang = u.c_lang AND lp.tok = t.tok
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT l.doc_id, l.actual, l.c_lang,
+             row_number() OVER (PARTITION BY l.doc_id
+                                ORDER BY l.like_mu + p.prior_mu DESC, l.c_lang) AS rn
+      FROM lk l JOIN prior p ON p.c_lang = l.c_lang
+    )
+    SELECT actual, c_lang AS predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM scored WHERE rn = 1
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def text_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained AND scored in-engine (the classic
+    distributed text classifier — the quality/language gate a curation
+    pipeline trains on weak labels): Laplace-smoothed per-class token
+    log-probabilities in integer micro-nats, argmax over class scores,
+    reported as the (actual lang × predicted) confusion matrix.
+
+    Determinism: like text_bigram_surprisal, the ONLY float op is one
+    floor(ln(ratio)*1e6) per (token, class) TYPE — identical expression
+    both engines — and scores are exact int64 sums of those micro-nats,
+    so the argmax (ties broken by class name) is bit-stable across
+    engines and partitionings.
+
+    Scale shape: training is two count aggregates (per-class totals,
+    per-(class, token) counts — vocabulary-bounded, not corpus-bounded);
+    scoring is one explode + broadcast of the 5-row class table + a
+    (class, token)-keyed join; the vocabulary scalar and doc total are
+    the only driver-side values (bounded).  The exploded token
+    projection is localCheckpointed once and feeds training and scoring
+    (the round-5 multi-consumer lesson)."""
+    d = load_parallel(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("tok")
+    ).localCheckpoint(eager=True)
+    v = t.select("tok").distinct().count()
+    n_docs_total = d.count()
+    cls = t.groupBy(F.col("lang").alias("c_lang")).agg(
+        F.count(F.lit(1)).alias("tot")
+    )
+    prior = d.groupBy(F.col("lang").alias("c_lang")).agg(
+        F.floor(
+            F.log(
+                F.count(F.lit(1)).cast("double") / F.lit(float(n_docs_total))
+            )
+            * F.lit(1000000)
+        )
+        .cast("long")
+        .alias("prior_mu")
+    )
+    lp = (
+        t.groupBy(F.col("lang").alias("c_lang"), "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(cls, "c_lang")
+        .select(
+            "c_lang",
+            "tok",
+            F.floor(
+                F.log(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("tot") + F.lit(v)).cast("double")
+                )
+                * F.lit(1000000)
+            )
+            .cast("long")
+            .alias("lp_mu"),
+        )
+    )
+    unseen = cls.select(
+        "c_lang",
+        F.floor(
+            F.log(F.lit(1.0) / (F.col("tot") + F.lit(v)).cast("double"))
+            * F.lit(1000000)
+        )
+        .cast("long")
+        .alias("unseen_mu"),
+    )
+    lk = (
+        t.crossJoin(F.broadcast(unseen))
+        .join(lp, ["c_lang", "tok"], "left")
+        .groupBy("doc_id", F.col("lang").alias("actual"), "c_lang")
+        .agg(F.sum(F.coalesce("lp_mu", "unseen_mu")).alias("like_mu"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("like_mu") + F.col("prior_mu")).desc(), F.col("c_lang")
+    )
+    pred = (
+        lk.join(F.broadcast(prior), "c_lang")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return (
+        pred.groupBy("actual", F.col("c_lang").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )

@@ -195,8 +195,9 @@ _KMEANS_ITERS = 3
 _KMEANS_DIM = 64
 
 
-def _kmeans_oracle() -> str:
-    """Unrolled-Lloyd DuckDB restatement of sim_kmeans_quantizer.
+def _kmeans_cte_parts() -> list[str]:
+    """Shared unrolled-Lloyd CTE chain (through the final assignment
+    `afin`) used by the quantizer AND the semantic-dedup oracles.
 
     Viable because operators/kmeans.py is EXACT integer arithmetic:
     micro-unit snap, int64 distances, floor-division centroid updates —
@@ -250,6 +251,12 @@ def _kmeans_oracle() -> str:
       ) WHERE rn = 1
     )"""
     )
+    return parts
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB restatement of sim_kmeans_quantizer (see _kmeans_cte_parts)."""
+    parts = _kmeans_cte_parts()
     return (
         "WITH " + ",\n    ".join(parts) + """
     SELECT g.cid, g.n_vectors, t.total_inertia_mu2
@@ -285,6 +292,132 @@ def sim_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         assigned.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540) cosine threshold,
+# as an exact rational: cos >= sqrt(900/10000) = 0.30.  The fixture
+# embeddings are near-orthogonal random vectors (pairwise cosine p99 ~
+# 0.29, max ~0.51), so 0.30 exercises a non-trivial prune; production
+# corpora use ~0.95+ — the threshold is a constant, not the algorithm.
+_SEMDEDUP_TAU2_NUM = 900
+_SEMDEDUP_TAU2_DEN = 10_000
+
+
+def _semdedup_oracle() -> str:
+    """Unrolled-Lloyd chain (shared with the quantizer) + within-cluster
+    pairwise cosine test on the exact integer lattice: dot and the two
+    squared norms are int64-exact, so `dot^2 * DEN >= NUM * n2a * n2b`
+    (HUGEINT here, DECIMAL(38,0) on the Spark side) decides identically
+    on both engines — no float comparison anywhere."""
+    parts = _kmeans_cte_parts()
+    parts.append(
+        f"""av AS MATERIALIZED (
+      SELECT a.vec_id, a.cid, m.mu,
+             list_sum(list_transform(m.mu, x -> x * x)) AS n2
+      FROM afin a JOIN mu m USING (vec_id)
+    ),
+    pairs AS MATERIALIZED (
+      SELECT cid, prune_id FROM (
+        SELECT a.cid AS cid, b.vec_id AS prune_id,
+               list_sum(list_transform(range(1, {_KMEANS_DIM + 1}),
+                                       i -> a.mu[i] * b.mu[i])) AS dot,
+               a.n2 AS n2a, b.n2 AS n2b
+        FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      ) WHERE dot > 0
+          AND CAST(dot AS HUGEINT) * dot * {_SEMDEDUP_TAU2_DEN}
+              >= {_SEMDEDUP_TAU2_NUM} * CAST(n2a AS HUGEINT) * n2b
+    )"""
+    )
+    return (
+        "WITH " + ",\n    ".join(parts) + """
+    SELECT g.cid, g.n_vectors,
+           COALESCE(p.n_dup_pairs, 0) AS n_dup_pairs,
+           COALESCE(p.n_pruned, 0) AS n_pruned,
+           g.n_vectors - COALESCE(p.n_pruned, 0) AS n_kept
+    FROM (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vectors
+          FROM av GROUP BY cid) g
+    LEFT JOIN (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+                      CAST(COUNT(DISTINCT prune_id) AS BIGINT) AS n_pruned
+               FROM pairs GROUP BY cid) p USING (cid)
+    ORDER BY g.cid"""
+    )
+
+
+@register("dedup_semantic_prune", oracle=_semdedup_oracle())
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (semantic deduplication, Abbas et al. 2023): k-means the
+    embedding corpus, then prune any vector whose within-cluster cosine
+    to a lower-id vector reaches the threshold — the published recipe
+    for collapsing semantically-near-duplicate training documents whose
+    text-level hashes differ.
+
+    100 TB story: clustering first turns the quadratic pairwise scan
+    into k independent within-cluster scans (n^2/k work, and in
+    production k is chosen so clusters fit one task); the pair join
+    shuffles on `cid` only and carries micro-unit vectors, never text.
+    The cosine test is exact integer arithmetic end-to-end (dot^2 * DEN
+    >= NUM * |a|^2 * |b|^2 on DECIMAL(38,0) — values <= ~1e28, inside
+    38 digits), so the keep/prune decision is bit-identical across
+    engines and partitionings.  Reference scope: the reference engine
+    has no embedding ops; this extends SURVEY.md §2.11 X1/X2 as the
+    brief's training-data-pipeline family requires."""
+    from specialsid_spark.operators.kmeans import kmeans_fit
+
+    e = load_parallel(spark, sf_dir, "embeddings")
+    _, assigned = kmeans_fit(e, k=8, iterations=3)
+    n2 = F.aggregate(
+        F.transform(F.col("mu"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    # localCheckpoint (not persist): the assignment column is a k*dim-
+    # literal when-chain — analyzing it TWICE through the self-join's
+    # alias resolution costs seconds of pure Catalyst time; cutting the
+    # lineage makes both join sides a scan of the materialized frame
+    av = assigned.select("vec_id", "cid", "mu", n2.alias("n2")).localCheckpoint(
+        eager=True
+    )
+    a, b = av.alias("a"), av.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.mu"), F.col("b.mu"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dec = "decimal(38,0)"
+    raw = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.cid").alias("cid"),
+        F.col("b.vec_id").alias("prune_id"),
+        dot.alias("dot"),
+        F.col("a.n2").alias("n2a"),
+        F.col("b.n2").alias("n2b"),
+    )
+    pairs = raw.filter(
+        (F.col("dot") > 0)
+        & (
+            F.col("dot").cast(dec) * F.col("dot") * F.lit(_SEMDEDUP_TAU2_DEN)
+            >= F.lit(_SEMDEDUP_TAU2_NUM) * F.col("n2a").cast(dec) * F.col("n2b")
+        )
+    )
+    sizes = av.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vectors"))
+    stats = pairs.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("prune_id").alias("n_pruned"),
+    )
+    out = (
+        sizes.join(stats, "cid", "left")
+        .select(
+            "cid",
+            "n_vectors",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_pruned", F.lit(0)).alias("n_pruned"),
+            (F.col("n_vectors") - F.coalesce("n_pruned", F.lit(0))).alias("n_kept"),
+        )
+        .orderBy("cid")
+    )
+    return out
 
 
 _GRAM_DIM = 64

@@ -338,3 +338,69 @@ def test_codec_queries_are_single_pass_map_pipelines(spark, qs):
         assert p.count("MapInPandas") >= 1, name
         if name != "mm_pdf_text_corpus_pipeline":
             assert "text" not in p.split("ReadSchema")[1].split("\n")[0], name
+
+
+def test_bucketed_join_has_no_exchange_before_smj(spark, qs):
+    """join_bucketed_colocated: both sides are bucketed by the join key,
+    so the sort-merge join must consume bucketed scans directly — zero
+    Exchange between the scans and the SMJ.  (The only Exchange allowed
+    in the whole plan is the tiny post-join aggregate on priority.)"""
+    import re
+
+    p = plan_of(spark, qs["join_bucketed_colocated"](spark, SF_DIR))
+    assert "SortMergeJoin" in p
+    # both scans must actually use the bucketed layout
+    assert p.count("SelectedBucketsCount: 8 out of 8") == 2, p[:1500]
+    # the join subtree must be exchange-free: in the formatted tree the
+    # SMJ's children (scans+sorts) print BELOW the SortMergeJoin line,
+    # so no Exchange may appear after it in the tree block
+    tree = p.split("\n\n")[0]
+    below_smj = tree[tree.index("SortMergeJoin") :]
+    assert "Exchange" not in below_smj, below_smj
+    # whole plan carries exactly the two post-join exchanges (partial->
+    # final aggregate on priority + the orderBy range exchange)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_exchanges == 2, f"expected only post-join exchanges, got {n_exchanges}"
+
+
+def test_aqe_skew_split_fires_at_tuned_threshold(spark):
+    """BASELINE.md §2d rule: AQE's skew split does NOT fire at the
+    256 MB default on mid-size hot partitions — it must be tuned to the
+    deployment's partition-size envelope.  Pin the mechanism: with a
+    low threshold, the final SMJ reports isSkew=true on the hot-key
+    join; with defaults at this fixture size it does not."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(200_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.hash("id"), F.lit(1000)))
+        .alias("key"),
+        (F.col("id") % 100).alias("v"),
+    )
+    dim = spark.range(1000).select(F.col("id").alias("key"), F.lit(1).alias("w"))
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try:
+        df = fact.join(dim, "key").groupBy().agg(F.sum(F.col("v") * F.col("w")))
+        df.collect()  # AQE finalizes the plan only on execution
+        final = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "isSkew=true" in final or "skew=true" in final, final[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
