@@ -86,6 +86,7 @@ HEADLINE = [
     "cur_url_canonicalize",
     "text_naive_bayes_confusion",
     "graph_triangle_count",
+    "agg_exact_percentiles",
 ]
 
 

@@ -58,6 +58,7 @@ _PRIORITY: tuple[str, ...] = (
     "src_csv_roundtrip",
     "src_orc_roundtrip",
     "src_jsonl_roundtrip",
+    "agg_exact_percentiles",
     # newest driver row = r1 (39)
     "agg_grouped_map_rank",
     "agg_histogram_value_buckets",

@@ -833,3 +833,65 @@ def agg_kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k bigint, n_union_sketch bigint, n_inter_sketch bigint, "
         "jaccard_est double, n_inter_exact bigint",
     )
+
+
+# One ANSI string both engines run verbatim (the sql_surface discipline):
+# exact linear-interpolated percentiles computed from first principles —
+# row_number rank selection + an explicit interpolation formula — so the
+# arithmetic is OURS, not each engine's quantile implementation, and the
+# only doubles are the same literal expression on both sides.
+_ANSI_EXACT_PCTL_SQL = """
+    WITH t AS (
+      SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem
+    ),
+    r AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM t
+    ),
+    px AS (
+      SELECT gg.g, gg.n, probs.p,
+             CAST(floor(probs.p * (gg.n - 1)) AS BIGINT) + 1 AS lo_rn,
+             CAST(ceil(probs.p * (gg.n - 1)) AS BIGINT) + 1 AS hi_rn,
+             probs.p * (gg.n - 1) - floor(probs.p * (gg.n - 1)) AS frac
+      FROM (SELECT DISTINCT g, n FROM r) gg
+      CROSS JOIN (SELECT CAST(0.5 AS DOUBLE) AS p
+                  UNION ALL SELECT CAST(0.9 AS DOUBLE)
+                  UNION ALL SELECT CAST(0.99 AS DOUBLE)) probs
+    ),
+    sel AS (
+      SELECT px.g, px.p, px.frac,
+             MAX(CASE WHEN r.rn = px.lo_rn THEN r.v END) AS lov,
+             MAX(CASE WHEN r.rn = px.hi_rn THEN r.v END) AS hiv
+      FROM px JOIN r ON r.g = px.g AND r.rn IN (px.lo_rn, px.hi_rn)
+      GROUP BY px.g, px.p, px.frac
+    )
+    SELECT g AS l_returnflag, p AS pctl,
+           CAST(floor((CAST(lov AS DOUBLE) + (hiv - lov) * frac) * 10000)
+                AS BIGINT) AS price_microdollar
+    FROM sel
+    ORDER BY g, p
+"""
+
+
+@register("agg_exact_percentiles", oracle=_ANSI_EXACT_PCTL_SQL)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 per group with linear interpolation, computed
+    from first principles (rank selection over a per-group sort) rather
+    than each engine's quantile built-in — engines differ in the ULPs of
+    their interpolation formulas, so the formula is written ONCE and run
+    verbatim on both (the sql_surface discipline).  All inputs integer
+    cents; the one double expression (lov + (hiv-lov)*frac, floored to
+    micro-dollars) is textually identical cross-engine.
+
+    Complements the sketch family: `agg_approx_percentile_*` (engine GK,
+    rows-only) is the 100 TB path; THIS is the exact oracle-grade
+    baseline, and its cost shape — one shuffle on the group key + a
+    per-group sort, rank probes pushed as two-row conditional
+    aggregates — is the honest price of exactness at scale."""
+    from specialsid_spark.catalog import register_all  # noqa: PLC0415
+
+    register_all(spark, sf_dir)
+    return spark.sql(_ANSI_EXACT_PCTL_SQL)
