@@ -671,3 +671,62 @@ def ev_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# One ANSI string both engines run verbatim (the sql_surface
+# discipline).  alpha=1/2 EWMA over the last 16 events, zero-padded
+# history, all arithmetic exact integer cents in Q16 fixed point
+# (weights 2^15..2^0 over 2^16) — the geometric tail past 16 terms is
+# below one Q16 unit per cent, i.e. the truncation IS the fixed-point
+# rounding.  16 lag() probes share ONE window sort per engine.
+_ANSI_EWMA_SQL = """
+    WITH t AS (
+      SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    sm AS (
+      SELECT user_id,
+             COALESCE(lag(v, 0) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) * 32768
+          + COALESCE(lag(v, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) * 16384
+          + COALESCE(lag(v, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) * 8192
+          + COALESCE(lag(v, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) * 4096
+          + COALESCE(lag(v, 4) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) * 2048
+          + COALESCE(lag(v, 5) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) * 1024
+          + COALESCE(lag(v, 6) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) * 512
+          + COALESCE(lag(v, 7) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) * 256
+          + COALESCE(lag(v, 8) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) * 128
+          + COALESCE(lag(v, 9) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) * 64
+          + COALESCE(lag(v, 10) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) * 32
+          + COALESCE(lag(v, 11) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) * 16
+          + COALESCE(lag(v, 12) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) * 8
+          + COALESCE(lag(v, 13) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) * 4
+          + COALESCE(lag(v, 14) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) * 2
+          + COALESCE(lag(v, 15) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) * 1
+               AS ewma_q16,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      FROM t
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           CAST(ewma_q16 AS BIGINT) AS ewma_cents_q16
+    FROM sm WHERE rn = 1
+    ORDER BY user_id
+"""
+
+
+@register("ev_ewma_user_value", oracle=_ANSI_EWMA_SQL)
+def ev_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    '''Per-user exponentially-weighted moving average of event value
+    (alpha=1/2, 16-term truncated) at each user\'s latest event — the
+    classic streaming smoother, computed batch-side in exact Q16
+    fixed-point integer arithmetic so both engines agree bit-for-bit
+    (double-precision recursive EWMA is order-sensitive in the last
+    ULPs).  One shared ANSI string runs verbatim on both engines; the
+    16 lag() probes share a single (user_id, ts) window sort, so the
+    cost at 100 TB is one shuffle on user_id + one per-partition sort —
+    the same shape as any sessionization pass.'''
+    from specialsid_spark.catalog import register_all  # noqa: PLC0415
+
+    register_all(spark, sf_dir)
+    return spark.sql(_ANSI_EWMA_SQL)
