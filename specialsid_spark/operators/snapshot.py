@@ -352,3 +352,66 @@ def snapshot_compact(
     tmp.write_text(json.dumps(m, indent=1))
     os.rename(tmp, mdir / f"v{v}.json")
     return v
+
+
+def snapshot_delete(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> tuple[int, int, int]:
+    """Copy-on-write row-level ``DELETE WHERE col BETWEEN lo AND hi``:
+    the manifest stats decide which files can possibly hold matching
+    rows; only THOSE are rewritten (minus the deleted rows), every
+    other file is carried into the new version untouched (shared bytes,
+    stats carried forward).  Files without recorded stats for ``col``
+    are conservatively rewritten — the mirror image of snapshot_scan's
+    "pruning must never drop data" invariant: here, skipping a file may
+    never retain deleted rows.  Returns (new_version,
+    n_files_rewritten, n_files_total_before).
+
+    At 100 TB this is THE mechanic that makes deletes affordable: cost
+    tracks the files whose [min, max] intersects the predicate (on a
+    clustered key, a handful), not table size, and history stays
+    time-travelable because old files are never mutated."""
+    from pyspark.sql import functions as F
+
+    root = Path(path)
+    versions = snapshot_versions(path)
+    if not versions:
+        raise ValueError(f"no snapshot versions at {path!r}")
+    m = _read_manifest(path, versions[-1])
+    stats = m.get("stats", {})
+    touched, untouched = [], []
+    for rel in m["files"]:
+        rng = stats.get(rel, {}).get(col)
+        if rng is None or (rng[0] <= hi and rng[1] >= lo):
+            touched.append(rel)
+        else:
+            untouched.append(rel)
+    new_version = versions[-1] + 1
+    new_files: list[str] = []
+    if touched:
+        commit_id = f"v{new_version}-{uuid.uuid4().hex[:8]}"
+        data_dir = root / "data" / commit_id
+        kept = spark.read.parquet(*[str(root / f) for f in touched]).filter(
+            ~((F.col(col) >= lo) & (F.col(col) <= hi))
+        )
+        kept.write.mode("error").parquet(str(data_dir))
+        new_files = sorted(
+            str(p.relative_to(root))
+            for p in data_dir.rglob("*.parquet")
+            if p.is_file()
+        )
+    files = untouched + new_files
+    manifest = {
+        "version": new_version,
+        "parent": versions[-1],
+        "op": "delete",
+        "files": files,
+    }
+    inherited = {f: s for f, s in stats.items() if f in set(untouched)}
+    if inherited:
+        manifest["stats"] = inherited
+    mdir = _manifest_dir(path)
+    tmp = mdir / f"v{new_version}.json.tmp"
+    tmp.write_text(json.dumps(manifest, indent=1))
+    os.rename(tmp, mdir / f"v{new_version}.json")
+    return new_version, len(touched), len(m["files"])

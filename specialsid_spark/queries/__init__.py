@@ -60,6 +60,7 @@ _PRIORITY: tuple[str, ...] = (
     "src_jsonl_roundtrip",
     "agg_exact_percentiles",
     "ev_ewma_user_value",
+    "clean_snapshot_delete_rows",
     # newest driver row = r1 (39)
     "agg_grouped_map_rank",
     "agg_histogram_value_buckets",

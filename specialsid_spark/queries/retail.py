@@ -888,3 +888,99 @@ def clean_snapshot_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_scanned).cast("int").alias("n_files_scanned"),
         F.lit(n_total).cast("int").alias("n_files_total"),
     )
+
+
+@register(
+    "clean_snapshot_delete_rows",
+    # Same three rank-third commits as clean_snapshot_stats_pruning;
+    # DELETE of the [p40, p60] key band touches ONLY the middle file
+    # (stats prove the other two can't match), so n_files_rewritten is
+    # a literal 1 of 3 — if the pruning mirror-invariant breaks (skips
+    # a matching file, or rewrites all), counts or aggregates go red.
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS ok,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents_v
+      FROM orders WHERE o_orderkey < 6000
+    ),
+    r AS (
+      SELECT ok, cents_v,
+             row_number() OVER (ORDER BY ok) AS rn,
+             count(*) OVER () AS n
+      FROM o
+    ),
+    b AS (
+      SELECT MIN(CASE WHEN rn = CAST(floor(0.4 * n) + 1 AS BIGINT) THEN ok END) AS lo,
+             MIN(CASE WHEN rn = CAST(floor(0.6 * n) AS BIGINT) THEN ok END) AS hi
+      FROM r
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents_v) AS BIGINT) AS sum_cents,
+           CAST(min(ok) AS BIGINT) AS min_ok,
+           CAST(max(ok) AS BIGINT) AS max_ok,
+           1 AS n_files_rewritten,
+           3 AS n_files_before
+    FROM r, b WHERE NOT (r.ok >= b.lo AND r.ok <= b.hi)
+    """,
+)
+def clean_snapshot_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 extension — copy-on-write row-level DELETE on the snapshot
+    table (the remaining lakehouse verb after append / overwrite /
+    compact / merge / diff / IVM): manifest stats route the predicate
+    to the files that can possibly match; only those are rewritten
+    minus the deleted rows, untouched files are SHARED into the new
+    version byte-identically, and the pre-delete version still
+    time-travels.  The rewrite count is part of the oracle-checked
+    result, so the file-level cost bound — not just the surviving rows
+    — is value-verified.
+
+    Scale shape: delete cost tracks files intersecting the predicate
+    (one file here; a handful on any clustered key at 100 TB), never
+    table size."""
+    from pathlib import Path
+
+    from pyspark.sql.window import Window
+
+    from specialsid_spark.operators.snapshot import (
+        snapshot_commit_stats,
+        snapshot_delete,
+        snapshot_read,
+    )
+    from specialsid_spark.queries._determinism import cents
+    from specialsid_spark.session import session_workdir
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 6000)
+        .select(
+            F.col("o_orderkey").alias("ok"),
+            cents("o_totalprice").alias("cents_v"),
+        )
+    )
+    ranked = o.withColumn("rn", F.row_number().over(Window.orderBy("ok")))
+    n = ranked.count()
+    chunk = F.floor((F.col("rn") - 1) * 3 / n)
+    lo, hi = (
+        ranked.where(F.col("rn").isin(int(0.4 * n) + 1, int(0.6 * n)))
+        .agg(F.min("ok"), F.max("ok"))
+        .collect()[0]
+    )
+    work = Path(session_workdir("specialsid_snapdel_"))
+    t = str(work / "tbl")
+    for c in range(3):
+        part = ranked.where(chunk == c).select("ok", "cents_v").coalesce(1)
+        snapshot_commit_stats(part, t, ["ok"], mode="append")
+    _, n_rewritten, n_before = snapshot_delete(spark, t, "ok", lo, hi)
+    return snapshot_read(spark, t).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents_v").cast("long").alias("sum_cents"),
+        F.min("ok").cast("long").alias("min_ok"),
+        F.max("ok").cast("long").alias("max_ok"),
+    ).select(
+        "n_rows",
+        "sum_cents",
+        "min_ok",
+        "max_ok",
+        F.lit(n_rewritten).cast("int").alias("n_files_rewritten"),
+        F.lit(n_before).cast("int").alias("n_files_before"),
+    )

@@ -249,3 +249,65 @@ def test_snapshot_schema_evolution_additive(spark, tmp_path):
     assert set(v1_files) <= set(v2_files)
     # time travel still reads v1 with its ORIGINAL schema
     assert set(snapshot_read(spark, t, 1).columns) == {"id", "v"}
+
+
+def test_delete_rewrites_only_intersecting_files(spark, tmp_path):
+    """Copy-on-write DELETE: stats route the predicate to one file; the
+    other files are SHARED (same relative paths) into the new version,
+    the deleted rows are gone, and the pre-delete version still
+    time-travels."""
+    from specialsid_spark.operators.snapshot import (
+        _read_manifest,
+        snapshot_commit_stats,
+        snapshot_delete,
+    )
+
+    t = str(tmp_path / "tbl")
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        snapshot_commit_stats(
+            _df(spark, lo, hi).coalesce(1), t, ["id"], mode="append"
+        )
+    v, n_rewritten, n_before = snapshot_delete(spark, t, "id", 120, 180)
+    assert (v, n_rewritten, n_before) == (4, 1, 3)
+    got = sorted(r.id for r in snapshot_read(spark, t).collect())
+    assert got == list(range(120)) + list(range(181, 300))
+    # untouched files are carried over verbatim (shared, not copied)
+    before = set(_read_manifest(t, 3)["files"])
+    after = set(_read_manifest(t, 4)["files"])
+    assert len(before & after) == 2
+    # stats for shared files survive; pre-delete version time-travels
+    assert set(_read_manifest(t, 4)["stats"]) == before & after
+    assert snapshot_read(spark, t, 3).count() == 300
+
+
+def test_delete_missing_stats_is_conservative(spark, tmp_path):
+    """A file with no recorded stats must be rewritten (skipping could
+    retain deleted rows) even when a stats-bearing sibling is pruned."""
+    from specialsid_spark.operators.snapshot import (
+        snapshot_commit,
+        snapshot_commit_stats,
+        snapshot_delete,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit_stats(_df(spark, 0, 100).coalesce(1), t, ["id"])
+    snapshot_commit(_df(spark, 100, 200).coalesce(1), t, mode="append")
+    # predicate intersects the stats-bearing file AND the stats-less
+    # file must be rewritten conservatively: both files touched
+    _, n_rewritten, n_before = snapshot_delete(spark, t, "id", 10, 20)
+    assert (n_rewritten, n_before) == (2, 2)
+    got = sorted(r.id for r in snapshot_read(spark, t).collect())
+    assert got == list(range(10)) + list(range(21, 200))
+
+
+def test_delete_no_match_rewrites_nothing(spark, tmp_path):
+    from specialsid_spark.operators.snapshot import (
+        snapshot_commit_stats,
+        snapshot_delete,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit_stats(_df(spark, 0, 100).coalesce(1), t, ["id"])
+    v, n_rewritten, _ = snapshot_delete(spark, t, "id", 1000, 2000)
+    assert n_rewritten == 0
+    assert snapshot_read(spark, t, v).count() == 100
