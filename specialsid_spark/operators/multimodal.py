@@ -127,6 +127,11 @@ def parse_image_meta(blob: bytes) -> tuple[int, int, str] | None:
                 return w, h, "jpeg"
             i += 2 + seg_len
         return None
+    # PNM P5/P6 (binary graymap/pixmap): ASCII header + raw raster
+    if n >= 2 and blob[0:1] == b"P" and blob[1:2] in b"56":
+        from specialsid_spark.operators.pnm import pnm_meta
+
+        return pnm_meta(blob)
     return None
 
 
@@ -407,11 +412,15 @@ def decode_image(blob: bytes) -> tuple[int, int, int, bytes] | None:
     from specialsid_spark.operators.gif import decode_gif
     from specialsid_spark.operators.jpeg import decode_jpeg
 
+    from specialsid_spark.operators.pnm import decode_pnm
+
     dec = decode_png(blob)
     if dec is None:
         dec = decode_jpeg(blob)
     if dec is None:
         dec = decode_gif(blob)
+    if dec is None:
+        dec = decode_pnm(blob)
     if dec is None:
         meta = parse_image_meta(blob)
         if meta is not None and meta[2] == "bmp":

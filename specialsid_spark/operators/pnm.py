@@ -1,0 +1,91 @@
+"""PNM (portable anymap) binary rasters: P5 graymap / P6 pixmap —
+the interchange format image pipelines use between tools precisely
+because it is header + raw bytes (SURVEY.md §2.11 X3; the reference
+engine has no image codecs — multimodal columns are this repo's
+extension brief).
+
+Scope: binary variants only (P5/P6), 8-bit (maxval <= 255).  The ASCII
+variants (P1-P3) and 16-bit maxvals return None loudly — same honest
+degrade contract as every other codec here.
+
+Header grammar (the part implementations get wrong): magic, then
+width/height/maxval as ASCII decimals separated by arbitrary
+whitespace, with `#` comments allowed anywhere BETWEEN tokens, then
+EXACTLY ONE whitespace byte before the raster.  decode_pnm tolerates
+all of it; encode_pnm emits a comment line deliberately so round-trip
+fixtures exercise the tolerant path.
+"""
+
+from __future__ import annotations
+
+
+def encode_pnm(w: int, h: int, ch: int, pixels: bytes) -> bytes:
+    """P5 (ch=1) / P6 (ch=3), maxval 255.  ``pixels`` is row-major,
+    interleaved for P6.  A comment line is emitted on purpose (see
+    module docstring)."""
+    if ch not in (1, 3):
+        raise ValueError(f"PNM encodes 1 or 3 channels, got {ch}")
+    if len(pixels) != w * h * ch:
+        raise ValueError(f"raster size {len(pixels)} != {w}x{h}x{ch}")
+    magic = b"P5" if ch == 1 else b"P6"
+    header = magic + b"\n# specialsid_spark pnm\n" + f"{w} {h}\n255\n".encode()
+    return header + bytes(pixels)
+
+
+def _next_token(blob: bytes, pos: int) -> tuple[int, int] | None:
+    """(token_start, token_end) of the next header token at/after pos,
+    skipping whitespace and # comments; None if the header ends."""
+    n = len(blob)
+    while pos < n:
+        c = blob[pos]
+        if c in b" \t\r\n\x0b\x0c":
+            pos += 1
+        elif c == 0x23:  # '#' comment to end of line
+            while pos < n and blob[pos] not in b"\r\n":
+                pos += 1
+        else:
+            start = pos
+            while pos < n and blob[pos] not in b" \t\r\n\x0b\x0c":
+                pos += 1
+            return start, pos
+    return None
+
+
+def decode_pnm(blob: bytes) -> tuple[int, int, int, bytes] | None:
+    """(w, h, ch, row-major pixels) or None (not P5/P6, 16-bit maxval,
+    malformed header, truncated raster)."""
+    if len(blob) < 2 or blob[0:1] != b"P" or blob[1:2] not in b"56":
+        return None
+    ch = 1 if blob[1:2] == b"5" else 3
+    pos = 2
+    vals = []
+    for _ in range(3):
+        tok = _next_token(blob, pos)
+        if tok is None:
+            return None
+        s, pos = tok
+        t = blob[s:pos]
+        if not t.isdigit():
+            return None
+        vals.append(int(t))
+    w, h, maxval = vals
+    if w <= 0 or h <= 0 or maxval != 255:
+        return None  # 16-bit (maxval>255) out of scope, loudly
+    # exactly one whitespace byte separates maxval from the raster
+    if pos >= len(blob) or blob[pos] not in b" \t\r\n\x0b\x0c":
+        return None
+    pos += 1
+    need = w * h * ch
+    raster = blob[pos : pos + need]
+    if len(raster) != need:
+        return None
+    return w, h, ch, bytes(raster)
+
+
+def pnm_meta(blob: bytes) -> tuple[int, int, str] | None:
+    """(width, height, 'pnm') — the parse_image_meta contract."""
+    dec = decode_pnm(blob)  # header parse dominates; raster check cheap
+    if dec is None:
+        return None
+    w, h, _ch, _px = dec
+    return w, h, "pnm"

@@ -61,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_exact_percentiles",
     "ev_ewma_user_value",
     "clean_snapshot_delete_rows",
+    "mm_pnm_roundtrip",
     # newest driver row = r1 (39)
     "agg_grouped_map_rank",
     "agg_histogram_value_buckets",

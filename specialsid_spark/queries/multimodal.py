@@ -2136,3 +2136,89 @@ def mm_mp1_subband_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(fn, schema)
         .orderBy("doc_id", "subband")
     )
+
+
+@register(
+    "mm_pnm_roundtrip",
+    oracle=f"""
+    WITH {_SQL_CELLS},
+    cs AS (SELECT unnest(range(0, 3)) AS c)
+    SELECT d.doc_id,
+           CAST({_IMG_W} AS INT) AS w, CAST({_IMG_H} AS INT) AS h,
+           CAST(3 AS INT) AS ch,
+           CAST(SUM(CASE WHEN cs.c = 0 THEN
+                 (d.doc_id * 31 + (ys.y // 8) * 7 + (xs.x // 8) * 13) % 256
+                 END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN cs.c = 1 THEN
+                 (d.doc_id * 31 + 17 + (ys.y // 8) * 7 + (xs.x // 8) * 13) % 256
+                 END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN cs.c = 2 THEN
+                 (d.doc_id * 31 + 34 + (ys.y // 8) * 7 + (xs.x // 8) * 13) % 256
+                 END) AS BIGINT) AS sum_b
+    FROM docs d CROSS JOIN ys CROSS JOIN xs CROSS JOIN cs
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def mm_pnm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: PNM (P6 binary pixmap) encode→decode round-trip with
+    per-channel pixel sums value-checked against the fixture
+    arithmetic.  encode_pnm deliberately emits a `#` comment line so
+    every round-trip exercises the tolerant header path (whitespace +
+    comments between tokens — the part PNM readers classically get
+    wrong).  The decoded raster also flows through the universal
+    `decode_image` entry point, so resize/patchify accept PNM payloads
+    from this commit on.
+
+    Scale shape: identical to every codec query — one mapInPandas over
+    a doc-id spine, per-row independent, no shuffle before the sort."""
+    import numpy as np
+    import pandas as pd
+
+    from specialsid_spark.operators.multimodal import decode_image
+    from specialsid_spark.operators.pnm import encode_pnm
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                yy, xx = np.mgrid[0:_IMG_H, 0:_IMG_W]
+                chans = [
+                    ((doc_id * 31 + c * 17 + (yy // 8) * 7 + (xx // 8) * 13) % 256).astype(
+                        np.uint8
+                    )
+                    for c in range(3)
+                ]
+                px = np.stack(chans, axis=-1).tobytes()
+                blob = encode_pnm(_IMG_W, _IMG_H, 3, px)
+                w, h, ch, back = decode_image(blob)
+                arr = np.frombuffer(back, dtype=np.uint8).reshape(h, w, ch)
+                out.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        ch,
+                        int(arr[:, :, 0].sum()),
+                        int(arr[:, :, 1].sum()),
+                        int(arr[:, :, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "w", "h", "ch", "sum_r", "sum_g", "sum_b"]
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "w": "int32",
+                    "h": "int32",
+                    "ch": "int32",
+                    "sum_r": "int64",
+                    "sum_g": "int64",
+                    "sum_b": "int64",
+                }
+            )
+
+    schema = "doc_id long, w int, h int, ch int, sum_r long, sum_g long, sum_b long"
+    return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")

@@ -712,3 +712,56 @@ def test_resize_image_box_exact_and_degrade():
     assert resize_image_box(jb, 64, 64) is None
     assert resize_image_box(b"garbage", 2, 2) is None
     assert resize_image_box(jb, 4, 3, out_format="jpeg")[:2] == b"\xff\xd8"
+
+
+class TestPnm:
+    def test_roundtrip_gray_and_rgb(self):
+        from specialsid_spark.operators.pnm import decode_pnm, encode_pnm
+
+        g = bytes(range(12))
+        assert decode_pnm(encode_pnm(4, 3, 1, g)) == (4, 3, 1, g)
+        rgb = bytes(i % 251 for i in range(4 * 3 * 3))
+        assert decode_pnm(encode_pnm(4, 3, 3, rgb)) == (4, 3, 3, rgb)
+
+    def test_header_tolerance_comments_everywhere(self):
+        from specialsid_spark.operators.pnm import decode_pnm
+
+        g = bytes(range(6))
+        blob = b"P5 # c1\n # c2\n 3\t#c3\n2\n#c4\n255 " + g
+        assert decode_pnm(blob) == (3, 2, 1, g)
+
+    def test_refusals_are_loud_none(self):
+        from specialsid_spark.operators.pnm import decode_pnm, encode_pnm
+
+        g = bytes(range(6))
+        ok = encode_pnm(3, 2, 1, g)
+        assert decode_pnm(b"P2\n3 2\n255\n...") is None  # ASCII variant
+        assert decode_pnm(ok.replace(b"255", b"65535")) is None  # 16-bit
+        assert decode_pnm(ok[:-1]) is None  # truncated raster
+        assert decode_pnm(b"P5\n3 x\n255\n" + g) is None  # bad token
+
+    def test_universal_decode_and_meta_dispatch(self):
+        from specialsid_spark.operators.multimodal import (
+            decode_image,
+            parse_image_meta,
+        )
+        from specialsid_spark.operators.pnm import encode_pnm
+
+        g = bytes(i % 256 for i in range(16 * 8))
+        blob = encode_pnm(16, 8, 1, g)
+        assert parse_image_meta(blob) == (16, 8, "pnm")
+        assert decode_image(blob) == (16, 8, 1, g)
+
+    def test_resize_accepts_pnm(self):
+        from specialsid_spark.operators.multimodal import (
+            decode_png,
+            resize_image_box,
+        )
+        from specialsid_spark.operators.pnm import encode_pnm
+
+        # uniform 2x2 blocks -> exact means survive a 2x downscale
+        g = bytes((x // 2 + (y // 2) * 8) % 256 for y in range(8) for x in range(16))
+        thumb = resize_image_box(encode_pnm(16, 8, 1, g), 8, 4)
+        w, h, _ch, px = decode_png(thumb)
+        assert (w, h) == (8, 4)
+        assert bytes(px) == bytes((x + y * 8) % 256 for y in range(4) for x in range(8))
