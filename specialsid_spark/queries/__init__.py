@@ -62,6 +62,7 @@ _PRIORITY: tuple[str, ...] = (
     "ev_ewma_user_value",
     "clean_snapshot_delete_rows",
     "mm_pnm_roundtrip",
+    "cur_pseudonymize_ids",
     # newest driver row = r1 (39)
     "agg_grouped_map_rank",
     "agg_histogram_value_buckets",

@@ -1067,3 +1067,74 @@ def cur_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_size")
     )
+
+
+_PSEUDO_KEY = "corpus-v1"  # rotation-versioned pseudonymization key
+
+
+@register(
+    "cur_pseudonymize_ids",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id,
+             substring(sha256('{_PSEUDO_KEY}:' || CAST(user_id AS VARCHAR)), 1, 16)
+               AS pseud
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    j AS (
+      SELECT e.event_type, p.pseud
+      FROM events e JOIN p ON p.user_id = e.user_id
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT pseud) AS BIGINT) AS n_pseudonyms,
+           CAST(SUM(('0x' || substring(pseud, 1, 8))::BIGINT) AS BIGINT) AS pseud_ck
+    FROM j
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def cur_pseudonymize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed ID pseudonymization for training corpora: user ids are
+    replaced by a truncated sha256 of a versioned key + the id — the
+    standard practice that keeps identities unlinkable outside the key
+    holder while staying CONSISTENT (the same user maps to the same
+    pseudonym, so dedup / session / retention analyses still work on
+    the pseudonymized corpus — n_pseudonyms per event_type equals the
+    true distinct-user count, which the oracle checks).  Not an HMAC:
+    inputs here are fixed-format `key:id` strings, so length-extension
+    is irrelevant; a production deployment with attacker-supplied
+    strings would use a real HMAC.
+
+    Scale shape: the pseudonym map is one distinct + map-side hash per
+    id (no driver state, no lookup table to ship); the join keys on
+    user_id and would co-partition with any session/retention pass."""
+    from specialsid_spark.catalog import load  # noqa: PLC0415
+
+    e = load(spark, sf_dir, "events")
+    p = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.substring(
+                F.sha2(
+                    F.concat(F.lit(_PSEUDO_KEY + ":"), F.col("user_id").cast("string")),
+                    256,
+                ),
+                1,
+                16,
+            ).alias("pseud"),
+        )
+    )
+    return (
+        e.join(p, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("pseud").alias("n_pseudonyms"),
+            F.sum(
+                F.conv(F.substring("pseud", 1, 8), 16, 10).cast("long")
+            ).alias("pseud_ck"),
+        )
+        .orderBy("event_type")
+    )
