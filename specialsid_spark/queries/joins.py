@@ -538,7 +538,12 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     key = os.path.abspath(sf_dir)
     if key in _BUCKETED_TBLS:
-        return _BUCKETED_TBLS[key]
+        ot, lt = _BUCKETED_TBLS[key]
+        # the cache is process-scoped but tables are SESSION-scoped: a
+        # fresh SparkSession in the same process must rebuild
+        if spark.catalog.tableExists(ot) and spark.catalog.tableExists(lt):
+            return ot, lt
+        del _BUCKETED_TBLS[key]
     suf = hashlib.md5(key.encode()).hexdigest()[:8]
     ot, lt = f"orders_bkt_{suf}", f"lineitem_bkt_{suf}"
     base = session_workdir("bktjoin_")
