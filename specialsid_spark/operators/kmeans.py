@@ -27,27 +27,45 @@ def _mu_vec(col: Column) -> Column:
     return F.transform(col, lambda x: F.floor(x.cast("double") * _MICRO).cast("long"))
 
 
-def _dist2(vec: Column, centroid: list[int]) -> Column:
+def _dist2_sql(vec: str, centroid: list[int]) -> str:
     """Exact squared euclidean distance between a micro-unit vector
     column and a python-int centroid (|diff| <= 2e6 -> diff^2 <= 4e12,
-    x 64 dims < 2^63: no overflow)."""
-    carr = F.array(*[F.lit(int(c)).cast("long") for c in centroid])
-    return F.aggregate(
-        F.zip_with(vec, carr, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    x 64 dims < 2^63: no overflow).
+
+    Built as ONE SQL string, not a py4j Column tree: a 64-literal array
+    times k centroids times one expression per iteration was ~500 py4j
+    round-trips per assignment — measured at 1.3 s of pure driver-side
+    plan construction PER LLOYD ITERATION at any data size (the
+    SimHash-kernel lesson, BASELINE.md).  The string form is one call."""
+    arr = "array(" + ",".join(f"{int(c)}L" for c in centroid) + ")"
+    return (
+        f"aggregate(zip_with({vec}, {arr}, (a, b) -> (a - b) * (a - b)), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
     )
+
+
+def _dist2(vec: Column, centroid: list[int]) -> Column:  # noqa: ARG001
+    """Column twin of :func:`_dist2_sql` for single-use call sites
+    (inertia); `vec` must be the literal column name string \"mu\"."""
+    return F.expr(_dist2_sql("mu", centroid))
 
 
 def assign_clusters(mu_df: DataFrame, centroids: list[list[int]]) -> DataFrame:
     """Add `cid`: index of the nearest centroid (ties -> lowest cid).
-    One pass, no shuffle — the centroid matrix is a plan literal."""
-    dists = [_dist2(F.col("mu"), c) for c in centroids]
-    best = F.least(*dists)
-    cid = F.lit(len(centroids) - 1)
-    for i in range(len(centroids) - 2, -1, -1):
-        cid = F.when(dists[i] == best, F.lit(i)).otherwise(cid)
-    return mu_df.withColumn("cid", cid)
+    One pass, no shuffle — the centroid matrix is a plan literal.
+    Two-step select so the CASE ranks cheap column refs, not k inlined
+    re-evaluations of each distance aggregate."""
+    k = len(centroids)
+    d_exprs = [f"{_dist2_sql('mu', c)} AS d{i}" for i, c in enumerate(centroids)]
+    with_d = mu_df.selectExpr("*", *d_exprs)
+    best = "least(" + ",".join(f"d{i}" for i in range(k)) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = {best} THEN {i}" for i in range(k - 1))
+        + f" ELSE {k - 1} END AS cid"
+    )
+    keep = [c for c in mu_df.columns]
+    return with_d.selectExpr(*keep, case)
 
 
 def kmeans_fit(
