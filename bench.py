@@ -87,6 +87,7 @@ HEADLINE = [
     "text_naive_bayes_confusion",
     "graph_triangle_count",
     "agg_exact_percentiles",
+    "sim_ivf_trained_topk",
 ]
 
 

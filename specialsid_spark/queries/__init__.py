@@ -63,6 +63,7 @@ _PRIORITY: tuple[str, ...] = (
     "clean_snapshot_delete_rows",
     "mm_pnm_roundtrip",
     "cur_pseudonymize_ids",
+    "sim_ivf_trained_topk",
     # newest driver row = r1 (39)
     "agg_grouped_map_rank",
     "agg_histogram_value_buckets",

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from specialsid_spark.catalog import load_parallel
 from specialsid_spark.queries import register
@@ -500,4 +501,133 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("g_mu2").cast("long").alias("g_mu2"),
         )
         .orderBy("dim_i", "dim_j")
+    )
+
+
+_IVF_NPROBE = 2
+_IVF_NQUERY = 10
+_IVF_TOPK = 5
+
+
+def _ivf_trained_oracle() -> str:
+    """Unrolled-Lloyd chain + cell-pruned search: probe ranks by the
+    same exact integer L2 the training used; the final cosine is one
+    double expression over exact integer dots/norms (the
+    sim_topk_pandas_udf idiom)."""
+    d2 = (
+        f"list_sum(list_transform(range(1, {_KMEANS_DIM + 1}),"
+        " i -> (m.mu[i] - c.mu[i]) * (m.mu[i] - c.mu[i])))"
+    )
+    parts = _kmeans_cte_parts()
+    parts.append(
+        f"""qprobe AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT m.vec_id, c.cid,
+               row_number() OVER (PARTITION BY m.vec_id ORDER BY {d2}, c.cid) AS rn
+        FROM mu m, c{_KMEANS_ITERS} c
+        WHERE m.vec_id < {_IVF_NQUERY}
+      ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, {_KMEANS_DIM + 1}),
+                                          i -> qm.mu[i] * nm.mu[i])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(qm.mu, x -> x * x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(nm.mu, x -> x * x)) AS DOUBLE)))
+               AS cs
+      FROM qprobe q
+      JOIN afin a ON a.cid = q.cid AND a.vec_id <> q.vec_id
+      JOIN mu qm ON qm.vec_id = q.vec_id
+      JOIN mu nm ON nm.vec_id = a.vec_id
+    )"""
+    )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, round(cs, 6) AS cos_sim
+    FROM (SELECT query_id, neighbor_id, cs,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cs DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= {_IVF_TOPK}
+    ORDER BY query_id, rk"""
+    )
+
+
+@register("sim_ivf_trained_topk", oracle=_ivf_trained_oracle())
+def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF pipeline END-TO-END in one oracle-checked query:
+    train the coarse quantizer in-engine (3 Lloyd iterations,
+    operators/kmeans.py — the exact-integer lattice the unrolled-CTE
+    oracle re-derives), assign the corpus, then answer top-5 queries by
+    searching only each query's nprobe=2 nearest cells.  sim_ivf_topk
+    demonstrated the search shape over a fixed quantizer; this closes
+    the loop training→index→search with every stage value-verified.
+
+    Scale shape: training collects only k×d centroids per iteration;
+    assignment is one map-side pass (centroids are plan literals);
+    candidate generation is an equi-join on cell id with per-cell work
+    scaled by nprobe — never |Q|×|N|."""
+    from specialsid_spark.operators.kmeans import _dist2_sql, kmeans_fit
+
+    e = load_parallel(spark, sf_dir, "embeddings")
+    centroids, assigned = kmeans_fit(e, k=_KMEANS_K, iterations=_KMEANS_ITERS)
+    assigned = assigned.localCheckpoint(eager=True)
+    # query-side probe: rank cells by the SAME exact integer L2 the
+    # training used (one selectExpr, SQL-string distances)
+    k = len(centroids)
+    d_exprs = [f"{_dist2_sql('mu', c)} AS d{i}" for i, c in enumerate(centroids)]
+    qd = (
+        assigned.filter(F.col("vec_id") < _IVF_NQUERY)
+        .selectExpr("vec_id", "mu", *d_exprs)
+    )
+    pairs = qd.select(
+        "vec_id",
+        "mu",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(i) for i in range(k)]),
+                F.array(*[F.col(f"d{i}") for i in range(k)]),
+            )
+        ).alias("z"),
+    ).select(
+        "vec_id", "mu", F.col("z.0").alias("cid"), F.col("z.1").alias("d")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    qprobe = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("mu").alias("qmu"), "cid")
+    )
+    nbr = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("mu").alias("nmu"), "cid"
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qmu"), F.col("nmu"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    n2 = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    scored = (
+        F.broadcast(qprobe)
+        .join(nbr, (nbr.cid == qprobe.cid) & (F.col("neighbor_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot.cast("double")
+                / (
+                    F.sqrt(n2(F.col("qmu")).cast("double"))
+                    * F.sqrt(n2(F.col("nmu")).cast("double"))
+                )
+            ).alias("cs"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rk") <= _IVF_TOPK)
+        .select("query_id", "neighbor_id", "rk", F.round("cs", 6).alias("cos_sim"))
+        .orderBy("query_id", "rk")
     )
