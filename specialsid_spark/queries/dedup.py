@@ -63,19 +63,22 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) rows.
+def _exploded_shingles_df(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) rows from any (doc_id, text) frame.
 
     The token array MUST go through a named projection before the
     shingle transform: the per-gram lambda references it k times, and an
     inline ``split`` expression is re-evaluated on every reference
     (measured 7x slower).  The multi-referenced projection survives
     CollapseProject, so each row tokenizes exactly once."""
-    d = load_parallel(spark, sf_dir, "documents")
     tk = d.select("doc_id", tokens("text").alias("toks"))
     return tk.select(
         "doc_id", F.explode(word_shingles(F.col("toks"), k=3)).alias("shingle")
     )
+
+
+def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _exploded_shingles_df(load_parallel(spark, sf_dir, "documents"))
 
 
 _MAX_SHINGLE_DF = 64  # stop-shingle cap: boilerplate shared by >64 docs
@@ -167,8 +170,10 @@ def _sql_bands() -> str:
     return "bands AS (" + " UNION ALL ".join(rows) + ")"
 
 
-def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ex = _exploded_shingles(spark, sf_dir)
+def _minhash_sigs_df(d: DataFrame) -> DataFrame:
+    """MinHash signatures from any (doc_id, text) frame — shared by the
+    registered batch queries AND the streaming near-dup ingest gate."""
+    ex = _exploded_shingles_df(d)
     # md5 through a named projection -> hashed exactly once per shingle
     hashed = ex.select("doc_id", F.md5("shingle").alias("h"))
     u1, u2 = minhash_bases(F.col("h"))
@@ -183,6 +188,35 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(_N_MINHASH)
     ]
     return based.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_sigs_df(load_parallel(spark, sf_dir, "documents"))
+
+
+def _band_structs() -> F.Column:
+    """array<struct<band, bkey>> over the mh0..mhN signature columns."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                band_key(
+                    *[F.col(f"mh{_BAND_R * bi + j}") for j in range(_BAND_R)]
+                ).alias("bkey"),
+            )
+            for bi in range(_N_BANDS)
+        ]
+    )
+
+
+def lsh_band_keys(d: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) LSH banding for any (doc_id, text) frame —
+    the building block the streaming ingest gate shares with the batch
+    candidate join."""
+    sigs = _minhash_sigs_df(d)
+    return sigs.select("doc_id", F.explode(_band_structs()).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
 
 
 def _sql_minhash_sigs() -> str:
@@ -232,20 +266,9 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature table is tiny (|docs| x 16 hashes): persist it so the
     # shingle+md5 pipeline runs ONCE, not once per band per join side
     sigs = _minhash_sigs(spark, sf_dir).persist()
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                band_key(
-                    *[F.col(f"mh{_BAND_R * bi + j}") for j in range(_BAND_R)]
-                ).alias("bkey"),
-            )
-            for bi in range(_N_BANDS)
-        ]
-    )
     # single projection + explode (not a 4-way union): one subtree, so
     # the self-join below reuses one exchange instead of re-deriving
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+    bands = sigs.select("doc_id", F.explode(_band_structs()).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
     )
     a = bands.alias("a")

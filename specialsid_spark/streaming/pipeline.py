@@ -1002,3 +1002,110 @@ def streaming_stateful_value_stats_tws(
             timeMode="None",
         )
     )
+
+
+def streaming_neardup_ingest(
+    spark: SparkSession,
+    docs_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """X1 ∘ T8 (r6): MinHash-LSH NEAR-dup gating at the ingest door —
+    the near-dup twin of `streaming_content_dedup` (which is exact-hash
+    only).  Each micro-batch's documents are banded with the SAME
+    signature kernel as the batch pipeline (dedup.lsh_band_keys, 16
+    components, 4 bands of 4, s* ≈ 0.71) and a document is dropped when
+    ANY of its band buckets was already occupied — by a prior batch
+    (the persisted index) or by a lower-id document in the same batch —
+    exactly the batch pipeline's greedy keep-lowest-id rule, so a
+    stream over ordered slices reproduces the batch survivor set
+    bit-for-bit (tested).
+
+    State design for 100 TB: the index holds (band, bkey) pairs — 16
+    bytes per band per SEEN document, never text or signatures — and is
+    maintained under crash_safe_summary_merge (checkpoint-identity
+    pinning, _BATCH_ID sidecar, generation swap), so replays are
+    idempotent.  Kept doc_ids ride the same summary table as
+    kind='doc' rows: one atomic swap covers the index AND the
+    survivor list.  A production variant would age bands out with a
+    retention horizon the same way the watermark bounds
+    streaming_content_dedup's state."""
+    from specialsid_spark.queries.dedup import lsh_band_keys
+
+    docs = spark.readStream.schema("doc_id long, ts timestamp, text string").json(
+        docs_dir
+    )
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        bands = lsh_band_keys(batch_df.select("doc_id", "text")).localCheckpoint(
+            eager=True
+        )
+
+        def combine(current: DataFrame | None) -> DataFrame:
+            if current is None:
+                prior_bands = None
+                prior_rows = None
+            else:
+                current = current.localCheckpoint(eager=True)
+                prior_bands = current.filter(F.col("kind") == "band").select(
+                    "band", "bkey"
+                )
+                prior_rows = current
+            # dup if any band bucket is occupied by a prior batch ...
+            hit_prior = (
+                bands.join(prior_bands, ["band", "bkey"], "left_semi")
+                if prior_bands is not None
+                else bands.limit(0)
+            )
+            # ... or by a lower-id doc of the SAME batch
+            mins = bands.groupBy("band", "bkey").agg(F.min("doc_id").alias("m"))
+            hit_intra = bands.join(mins, ["band", "bkey"]).filter(
+                F.col("doc_id") > F.col("m")
+            )
+            dups = (
+                hit_prior.select("doc_id")
+                .unionByName(hit_intra.select("doc_id"))
+                .distinct()
+            )
+            kept = (
+                batch_df.select("doc_id")
+                .distinct()
+                .join(dups, "doc_id", "left_anti")
+                .select(
+                    F.lit("doc").alias("kind"),
+                    F.lit(None).cast("int").alias("band"),
+                    F.lit(None).cast("string").alias("bkey"),
+                    "doc_id",
+                )
+            )
+            new_bands = bands.select("band", "bkey").distinct().select(
+                F.lit("band").alias("kind"),
+                F.col("band").cast("int").alias("band"),
+                "bkey",
+                F.lit(None).cast("long").alias("doc_id"),
+            )
+            out = kept.unionByName(new_bands)
+            if prior_rows is not None:
+                out = (
+                    prior_rows.select("kind", "band", "bkey", "doc_id")
+                    .unionByName(out)
+                    .distinct()
+                )
+            return out
+
+        crash_safe_summary_merge(
+            batch_df,
+            batch_id,
+            index_path,
+            checkpoint_dir,
+            combine,
+            "streaming_neardup_ingest",
+        )
+
+    return (
+        docs.writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -883,3 +883,103 @@ def test_streaming_snapshot_ivm_replay_idempotent_both_halves(spark, tmp_path):
         for r in spark.read.parquet(summary).collect()
     }
     assert after == before, "replayed batch merged twice"
+
+
+def test_streaming_neardup_parity_with_batch_lsh(spark, tmp_path):
+    """The near-dup ingest gate must reproduce the batch pipeline's
+    greedy keep-lowest-id survivor set when the stream delivers ordered
+    slices: survivors == all docs minus every doc_b of the batch LSH
+    candidate join over the same corpus."""
+    from pyspark.sql import functions as F
+
+    from specialsid_spark.queries.dedup import lsh_band_keys
+    from specialsid_spark.streaming.pipeline import streaming_neardup_ingest
+
+    # corpus with REAL near-dups: base docs + light token edits
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank today",
+        "spark shuffles data between stages when wide dependencies appear in plans",
+        "minhash banding buckets similar documents together with high probability",
+        "completely unrelated text about cooking pasta with garlic and olive oil",
+    ]
+    rows = []
+    for i in range(16):
+        t = base[i % 4]
+        if i >= 8:
+            t = t.replace("the", "a") if i % 2 else t + " extra token"
+        rows.append({"doc_id": i, "ts": "2024-01-01 10:00:00", "text": t})
+
+    docs_dir = tmp_path / "docs_nd"
+    docs_dir.mkdir()
+    index = str(tmp_path / "nd_index")
+    ckpt = str(tmp_path / "nd_ckpt")
+    # two ordered slices
+    _write_docs(docs_dir / "b1.json", rows[:8])
+    streaming_neardup_ingest(spark, str(docs_dir), index, ckpt).awaitTermination()
+    _write_docs(docs_dir / "b2.json", rows[8:])
+    streaming_neardup_ingest(spark, str(docs_dir), index, ckpt).awaitTermination()
+
+    kept_stream = {
+        r.doc_id
+        for r in spark.read.parquet(index).filter(F.col("kind") == "doc").collect()
+    }
+
+    # batch survivor set over the same corpus
+    all_docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    )
+    bands = lsh_band_keys(all_docs)
+    a, b = bands.alias("a"), bands.alias("b")
+    dup_b = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    kept_batch = {
+        r.doc_id
+        for r in all_docs.select("doc_id").join(dup_b, "doc_id", "left_anti").collect()
+    }
+    assert kept_stream == kept_batch
+    # sanity: the gate actually dropped near-dups
+    assert len(kept_stream) < 16
+
+
+def test_streaming_neardup_replay_idempotent(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from specialsid_spark.streaming.pipeline import streaming_neardup_ingest
+
+    docs_dir = tmp_path / "docs_ndr"
+    docs_dir.mkdir()
+    index = str(tmp_path / "ndr_index")
+    ckpt = str(tmp_path / "ndr_ckpt")
+    _write_docs(
+        docs_dir / "b1.json",
+        [
+            {"doc_id": i, "ts": "2024-01-01 10:00:00", "text": f"unique text {i} " * 5}
+            for i in range(6)
+        ],
+    )
+    streaming_neardup_ingest(spark, str(docs_dir), index, ckpt).awaitTermination()
+    before = sorted(
+        r.doc_id
+        for r in spark.read.parquet(index).filter(F.col("kind") == "doc").collect()
+    )
+    # crash window: merge ran, checkpoint commit record lost
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    streaming_neardup_ingest(spark, str(docs_dir), index, ckpt).awaitTermination()
+    after = sorted(
+        r.doc_id
+        for r in spark.read.parquet(index).filter(F.col("kind") == "doc").collect()
+    )
+    assert after == before
