@@ -64,6 +64,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_pnm_roundtrip",
     "cur_pseudonymize_ids",
     "sim_ivf_trained_topk",
+    "ev_ols_trend_by_type",
     # newest driver row = r1 (39)
     "agg_grouped_map_rank",
     "agg_histogram_value_buckets",

@@ -730,3 +730,62 @@ def ev_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_all(spark, sf_dir)
     return spark.sql(_ANSI_EWMA_SQL)
+
+
+@register(
+    "ev_ols_trend_by_type",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+             CAST(floor((epoch(ts) - 1704067200) / 3600) AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx
+      FROM t GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_hour
+    FROM s ORDER BY event_type
+    """,
+)
+def ev_ols_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend (is the metric drifting?) — slope of event
+    value over time per event_type, the zipf-slope integer-regression
+    idiom applied per group: x = whole hours since the epoch base, y =
+    exact cents, all five regression sums exact integers (DECIMAL(38,0)
+    / HUGEINT accumulators — n·sxy exceeds 2^63 past ~sf1), and the one
+    double division is textually identical on both engines (identical
+    exact integers → identical IEEE doubles, so determinism survives
+    even past 2^53 where the CAST itself rounds).
+
+    Scale shape: a five-sum map-side-combine aggregate on a
+    low-cardinality key — the cheapest possible shape; no window, no
+    sort, one tiny exchange."""
+    ev = load(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    x = F.floor((F.unix_timestamp("ts") - F.lit(1704067200)) / 3600).cast("long")
+    y = cents("value")
+    t = ev.select("event_type", x.alias("x"), y.alias("y"))
+    s = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(num / den, 6).alias("slope_cents_per_hour"),
+    ).orderBy("event_type")
