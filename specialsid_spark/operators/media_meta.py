@@ -222,3 +222,149 @@ def build_flac_meta(
         + bytes(16)  # md5 of unencoded audio (zero: unknown)
     )
     return b"fLaC" + b"\x80" + len(si).to_bytes(3, "big") + si
+
+
+# ---------------------------------------------------------------------------
+# EXIF (r6): the image-side metadata standard — a TIFF IFD tree inside a
+# JPEG APP1 segment.  Same split as the MP3/MP4 walkers above: a corpus
+# stats/provenance pass needs camera make, orientation, capture time and
+# pixel dims WITHOUT decoding pixels.  Both byte orders (II little / MM
+# big endian) are parsed and written.
+
+_EXIF_TAG_WIDTH = 0x0100   # ImageWidth (LONG)
+_EXIF_TAG_HEIGHT = 0x0101  # ImageLength (LONG)
+_EXIF_TAG_MAKE = 0x010F    # Make (ASCII)
+_EXIF_TAG_ORIENT = 0x0112  # Orientation (SHORT)
+_EXIF_TAG_DATETIME = 0x0132  # DateTime (ASCII, "YYYY:MM:DD HH:MM:SS")
+
+
+def parse_exif(blob: bytes) -> dict | None:
+    """Walk a JPEG's APP1/Exif segment: returns {byte_order, width,
+    height, orientation, make, datetime} (missing tags absent), or None
+    when there is no well-formed Exif APP1.  Only IFD0 is read — the
+    provenance tags live there; offset-typed values are followed into
+    the TIFF body with bounds checks (truncated files degrade to None,
+    never an exception)."""
+    if len(blob) < 4 or blob[0:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(blob):
+        if blob[i] != 0xFF:
+            return None
+        marker = blob[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > len(blob):
+            return None
+        seg_len = struct.unpack(">H", blob[i + 2 : i + 4])[0]
+        if marker == 0xE1 and blob[i + 4 : i + 10] == b"Exif\x00\x00":
+            tiff = blob[i + 10 : i + 2 + seg_len]
+            return _parse_tiff_ifd0(tiff)
+        if marker == 0xDA:  # SOS: entropy data follows, no more APP1
+            return None
+        i += 2 + seg_len
+    return None
+
+
+def _parse_tiff_ifd0(t: bytes) -> dict | None:
+    if len(t) < 8:
+        return None
+    if t[0:2] == b"II":
+        e = "<"
+    elif t[0:2] == b"MM":
+        e = ">"
+    else:
+        return None
+    if struct.unpack(e + "H", t[2:4])[0] != 42:
+        return None
+    ifd = struct.unpack(e + "I", t[4:8])[0]
+    if ifd + 2 > len(t):
+        return None
+    n = struct.unpack(e + "H", t[ifd : ifd + 2])[0]
+    out: dict = {"byte_order": "II" if e == "<" else "MM"}
+    sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    names = {
+        _EXIF_TAG_WIDTH: "width",
+        _EXIF_TAG_HEIGHT: "height",
+        _EXIF_TAG_MAKE: "make",
+        _EXIF_TAG_ORIENT: "orientation",
+        _EXIF_TAG_DATETIME: "datetime",
+    }
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        if off + 12 > len(t):
+            return None
+        tag, typ, cnt = struct.unpack(e + "HHI", t[off : off + 8])
+        if tag not in names or typ not in sizes:
+            continue
+        nbytes = sizes[typ] * cnt
+        if nbytes <= 4:
+            raw = t[off + 8 : off + 8 + nbytes]
+        else:
+            voff = struct.unpack(e + "I", t[off + 8 : off + 12])[0]
+            if voff + nbytes > len(t):
+                return None
+            raw = t[voff : voff + nbytes]
+        if typ == 2:  # ASCII, NUL-terminated
+            out[names[tag]] = raw.rstrip(b"\x00").decode("ascii", "replace")
+        elif typ == 3:
+            out[names[tag]] = struct.unpack(e + "H", raw[:2])[0]
+        elif typ == 4:
+            out[names[tag]] = struct.unpack(e + "I", raw[:4])[0]
+    return out
+
+
+def build_exif_app1(
+    width: int,
+    height: int,
+    make: str,
+    orientation: int,
+    datetime: str,
+    big_endian: bool,
+) -> bytes:
+    """A well-formed APP1/Exif segment (IFD0 with the five provenance
+    tags; ASCII values stored out-of-line with correct offsets) — the
+    fixture writer for tests and the oracle query."""
+    e = ">" if big_endian else "<"
+    mk = make.encode("ascii") + b"\x00"
+    dt = datetime.encode("ascii") + b"\x00"
+    n = 5
+    data_off = 8 + 2 + 12 * n + 4  # header + count + entries + next-IFD
+    entries = []
+
+    def entry(tag: int, typ: int, cnt: int, val: bytes) -> bytes:
+        return struct.pack(e + "HHI", tag, typ, cnt) + val
+
+    entries.append(entry(_EXIF_TAG_WIDTH, 4, 1, struct.pack(e + "I", width)))
+    entries.append(entry(_EXIF_TAG_HEIGHT, 4, 1, struct.pack(e + "I", height)))
+    entries.append(
+        entry(_EXIF_TAG_MAKE, 2, len(mk), struct.pack(e + "I", data_off))
+    )
+    # SHORT value occupies the first 2 of the 4 inline bytes in BOTH
+    # byte orders (TIFF packs inline values at the field start)
+    entries.append(
+        entry(_EXIF_TAG_ORIENT, 3, 1, struct.pack(e + "H", orientation) + b"\x00\x00")
+    )
+    entries.append(
+        entry(_EXIF_TAG_DATETIME, 2, len(dt), struct.pack(e + "I", data_off + len(mk)))
+    )
+    tiff = (
+        (b"MM" if big_endian else b"II")
+        + struct.pack(e + "H", 42)
+        + struct.pack(e + "I", 8)
+        + struct.pack(e + "H", n)
+        + b"".join(entries)
+        + struct.pack(e + "I", 0)  # no next IFD
+        + mk
+        + dt
+    )
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def insert_app1(jpeg: bytes, app1: bytes) -> bytes:
+    """Splice an APP1 segment right after SOI of an existing JPEG."""
+    if jpeg[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    return jpeg[0:2] + app1 + jpeg[2:]

@@ -65,6 +65,7 @@ _PRIORITY: tuple[str, ...] = (
     "cur_pseudonymize_ids",
     "sim_ivf_trained_topk",
     "ev_ols_trend_by_type",
+    "mm_exif_meta",
     # newest driver row = r1 (39)
     "agg_grouped_map_rank",
     "agg_histogram_value_buckets",

@@ -2222,3 +2222,96 @@ def mm_pnm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "doc_id long, w int, h int, ch int, sum_r long, sum_g long, sum_b long"
     return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")
+
+
+@register(
+    "mm_exif_meta",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS})
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(320 + doc_id % 17 AS BIGINT) AS width,
+           CAST(240 + doc_id % 13 AS BIGINT) AS height,
+           CAST(1 + doc_id % 8 AS INT) AS orientation,
+           'Cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+           '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+             || ' 12:00:00' AS dt
+    FROM docs ORDER BY doc_id
+    """,
+)
+def mm_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: EXIF provenance metadata — the TIFF IFD walk inside a JPEG
+    APP1 segment (operators/media_meta.py parse_exif), the image-side
+    twin of the MP3/MP4/FLAC metadata parsers.  Fixtures are REAL JPEGs
+    (encode_jpeg) with an APP1 spliced after SOI, alternating II/MM
+    byte orders so both endian paths are value-verified; ASCII tags are
+    stored out-of-line with true TIFF offsets.  At 100 TB this is the
+    camera-make / orientation / capture-time histogram pass a
+    multimodal corpus runs before any pixel work.
+
+    Scale shape: the usual codec-query shape — mapInPandas over a
+    doc-id spine, per-row independent, no shuffle before the sort."""
+    import numpy as np
+    import pandas as pd
+
+    from specialsid_spark.operators.jpeg import encode_jpeg
+    from specialsid_spark.operators.media_meta import (
+        build_exif_app1,
+        insert_app1,
+        parse_exif,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                img = np.full((8, 8), (doc_id * 31) % 256, dtype=np.uint8)
+                jpeg = encode_jpeg(8, 8, 1, img.tobytes(), quality=100)
+                app1 = build_exif_app1(
+                    320 + doc_id % 17,
+                    240 + doc_id % 13,
+                    f"Cam{doc_id % 5}",
+                    1 + doc_id % 8,
+                    f"2024:01:{1 + doc_id % 28:02d} 12:00:00",
+                    big_endian=bool(doc_id % 2),
+                )
+                m = parse_exif(insert_app1(jpeg, app1))
+                out.append(
+                    (
+                        doc_id,
+                        m["byte_order"],
+                        m["width"],
+                        m["height"],
+                        m["orientation"],
+                        m["make"],
+                        m["datetime"],
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "byte_order",
+                    "width",
+                    "height",
+                    "orientation",
+                    "make",
+                    "dt",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "width": "int64",
+                    "height": "int64",
+                    "orientation": "int32",
+                }
+            )
+
+    schema = (
+        "doc_id long, byte_order string, width long, height long, "
+        "orientation int, make string, dt string"
+    )
+    return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")

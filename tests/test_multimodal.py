@@ -765,3 +765,38 @@ class TestPnm:
         w, h, _ch, px = decode_png(thumb)
         assert (w, h) == (8, 4)
         assert bytes(px) == bytes((x + y * 8) % 256 for y in range(4) for x in range(8))
+
+
+class TestExif:
+    def test_both_byte_orders_roundtrip(self):
+        from specialsid_spark.operators.media_meta import (
+            build_exif_app1,
+            insert_app1,
+            parse_exif,
+        )
+
+        for be, order in ((False, "II"), (True, "MM")):
+            app1 = build_exif_app1(640, 480, "ACME Cam", 6, "2024:01:02 03:04:05", be)
+            m = parse_exif(insert_app1(b"\xff\xd8\xff\xd9", app1))
+            assert m == {
+                "byte_order": order,
+                "width": 640,
+                "height": 480,
+                "make": "ACME Cam",
+                "orientation": 6,
+                "datetime": "2024:01:02 03:04:05",
+            }
+
+    def test_degrade_contract(self):
+        from specialsid_spark.operators.media_meta import (
+            build_exif_app1,
+            insert_app1,
+            parse_exif,
+        )
+
+        assert parse_exif(b"\xff\xd8\xff\xd9") is None  # no APP1
+        jpeg = insert_app1(
+            b"\xff\xd8\xff\xd9", build_exif_app1(1, 1, "x", 1, "d", False)
+        )
+        assert parse_exif(jpeg[:20]) is None  # truncated TIFF body
+        assert parse_exif(b"notajpeg") is None
