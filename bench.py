@@ -88,6 +88,7 @@ HEADLINE = [
     "graph_triangle_count",
     "agg_exact_percentiles",
     "sim_ivf_trained_topk",
+    "ev_ols_trend_by_type",
 ]
 
 
