@@ -44,10 +44,11 @@ def _dist2_sql(vec: str, centroid: list[int]) -> str:
     )
 
 
-def _dist2(vec: Column, centroid: list[int]) -> Column:  # noqa: ARG001
+def _dist2(vec: str, centroid: list[int]) -> Column:
     """Column twin of :func:`_dist2_sql` for single-use call sites
-    (inertia); `vec` must be the literal column name string \"mu\"."""
-    return F.expr(_dist2_sql("mu", centroid))
+    (inertia); ``vec`` is the vector column NAME so the signature can't
+    lie about which column the distance is computed on."""
+    return F.expr(_dist2_sql(vec, centroid))
 
 
 def assign_clusters(mu_df: DataFrame, centroids: list[list[int]]) -> DataFrame:
@@ -117,9 +118,9 @@ def kmeans_fit(
 
 def inertia(assigned: DataFrame, centroids: list[list[int]]) -> int:
     """Total within-cluster squared distance (exact integer)."""
-    chain = _dist2(F.col("mu"), centroids[0])
+    chain = _dist2("mu", centroids[0])
     for i in range(1, len(centroids)):
-        chain = F.when(F.col("cid") == i, _dist2(F.col("mu"), centroids[i])).otherwise(
+        chain = F.when(F.col("cid") == i, _dist2("mu", centroids[i])).otherwise(
             chain
         )
     row = assigned.agg(F.sum(chain).alias("total")).collect()[0]

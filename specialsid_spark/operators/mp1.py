@@ -178,7 +178,13 @@ def decode_mp1_frames(
         flen = mp1_frame_len(bitrate, rate, pad)
         if i + flen > n:
             break
-        r = _BitReader(blob[i + 4 : i + flen])
+        # protection_bit == 0 means a 16-bit CRC sits between the header
+        # and the allocation bits; skip it so the bit reader doesn't
+        # parse the checksum as allocation data and return plausible
+        # garbage (the CRC itself is not verified — polynomial check is
+        # out of scope, but frame layout must be honored).
+        crc_skip = 2 if (b1 & 1) == 0 else 0
+        r = _BitReader(blob[i + 4 + crc_skip : i + flen])
         alloc = [r.read(4) for _ in range(N_SUBBANDS)]
         if any(a == 15 for a in alloc):
             return None  # forbidden allocation: corrupt stream

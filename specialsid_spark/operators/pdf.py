@@ -252,6 +252,8 @@ def read_xref(
         if not wm:
             break
         w = [int(x) for x in re.findall(rb"\d+", wm.group(1))]
+        if len(w) < 3:  # malformed /W: degrade, don't IndexError below
+            break
         if pm and int(pm.group(1)) >= 10:
             data = _png_unpredict(data, sum(w))
         size_m = re.search(rb"/Size\s+(\d+)", head)

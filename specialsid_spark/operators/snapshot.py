@@ -391,8 +391,14 @@ def snapshot_delete(
     if touched:
         commit_id = f"v{new_version}-{uuid.uuid4().hex[:8]}"
         data_dir = root / "data" / commit_id
+        # NULL keys can never match a BETWEEN predicate, but the naive
+        # ~(col >= lo AND col <= hi) evaluates to NULL for them and a
+        # filter drops NULL — which would silently delete NULL-key rows
+        # from rewritten files while identical rows in stats-pruned
+        # files survive.  Keep NULLs explicitly so "rewrite may never
+        # delete non-matching rows" holds regardless of file layout.
         kept = spark.read.parquet(*[str(root / f) for f in touched]).filter(
-            ~((F.col(col) >= lo) & (F.col(col) <= hi))
+            F.col(col).isNull() | ~((F.col(col) >= lo) & (F.col(col) <= hi))
         )
         kept.write.mode("error").parquet(str(data_dir))
         new_files = sorted(

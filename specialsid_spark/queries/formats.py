@@ -36,13 +36,18 @@ from specialsid_spark.session import session_workdir
 _WRITTEN: dict[tuple[str, str], str] = {}
 
 
-def _roundtrip_dir(fmt: str, sf_dir: str) -> tuple[str, bool]:
+def _roundtrip_dir(fmt: str, sf_dir: str, write) -> str:
+    """Write-once scratch dir: ``write(dir)`` runs at most once per
+    (format, sf_dir) per process, and the dir is recorded as done only
+    AFTER the write succeeds — a failed first write is retried on the
+    next call instead of every later caller reading a missing or
+    partial directory."""
     key = (fmt, os.path.abspath(sf_dir))
-    if key in _WRITTEN:
-        return _WRITTEN[key], True
-    d = os.path.join(session_workdir(f"fmt_{fmt}_"), "out")
-    _WRITTEN[key] = d
-    return d, False
+    if key not in _WRITTEN:
+        d = os.path.join(session_workdir(f"fmt_{fmt}_"), "out")
+        write(d)
+        _WRITTEN[key] = d
+    return _WRITTEN[key]
 
 
 # md5-prefix content checksum: first 8 hex digits as int64, summed.
@@ -115,11 +120,14 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     layer.  multiLine=True makes a CSV file non-splittable — acceptable
     for many small files (one task each), the documented trade-off for
     embedded-newline data at scale."""
-    out, done = _roundtrip_dir("csv", sf_dir)
-    if not done:
-        _docs_with_tricky(spark, sf_dir).write.mode("overwrite").options(
-            header=True, quoteAll=True, escape='"'
-        ).csv(out)
+    out = _roundtrip_dir(
+        "csv",
+        sf_dir,
+        lambda d: _docs_with_tricky(spark, sf_dir)
+        .write.mode("overwrite")
+        .options(header=True, quoteAll=True, escape='"')
+        .csv(d),
+    )
     back = spark.read.schema(_DOCS_SCHEMA).options(
         header=True, escape='"', multiLine=True
     ).csv(out)
@@ -132,9 +140,11 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     same predicate-pushdown/column-pruning machinery).  Types survive
     natively — the checksum aggregate guards against value corruption,
     and the explicit schema read guards against type drift."""
-    out, done = _roundtrip_dir("orc", sf_dir)
-    if not done:
-        _docs_with_tricky(spark, sf_dir).write.mode("overwrite").orc(out)
+    out = _roundtrip_dir(
+        "orc",
+        sf_dir,
+        lambda d: _docs_with_tricky(spark, sf_dir).write.mode("overwrite").orc(d),
+    )
     return _summarize(spark.read.schema(_DOCS_SCHEMA).orc(out))
 
 
@@ -145,7 +155,9 @@ def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     on read, unlike multiLine CSV); the embedded newline in the
     adversarial column must round-trip as the two-character escape \\n
     inside the JSON string, which the checksum proves."""
-    out, done = _roundtrip_dir("jsonl", sf_dir)
-    if not done:
-        _docs_with_tricky(spark, sf_dir).write.mode("overwrite").json(out)
+    out = _roundtrip_dir(
+        "jsonl",
+        sf_dir,
+        lambda d: _docs_with_tricky(spark, sf_dir).write.mode("overwrite").json(d),
+    )
     return _summarize(spark.read.schema(_DOCS_SCHEMA).json(out))

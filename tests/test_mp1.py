@@ -51,6 +51,24 @@ def test_multiframe_stream_and_garbage_tail():
     assert decode_mp1_frames(b"notaudio") is None
 
 
+def test_crc_protected_frame_skips_checksum():
+    """protection_bit == 0 puts a 16-bit CRC between header and
+    allocation; the parser must skip it, not read it as allocation
+    data.  Built by clearing the protection bit and shifting the body
+    right by the 2 CRC bytes (448 kbps leaves ample zero padding)."""
+    alloc, sfi, codes = _fixture(5)
+    f = bytearray(encode_mp1_frame(448, 32000, alloc, sfi, codes))
+    flen = mp1_frame_len(448, 32000)
+    assert f[flen - 2 :] == b"\x00\x00"  # tail is padding: safe to shift
+    f[1] &= ~1  # protection_bit = 0 -> CRC present
+    protected = bytes(f[:4]) + b"\xDE\xAD" + bytes(f[4 : flen - 2])
+    assert len(protected) == flen
+    rate, br, frames = decode_mp1_frames(protected)
+    assert (rate, br, len(frames)) == (32000, 448, 1)
+    assert frames[0]["alloc"] == alloc
+    assert frames[0]["codes"] == codes
+
+
 def test_bitrw_arbitrary_widths():
     w = _BitWriter()
     vals = [(1, 1), (5, 3), (1000, 11), (0, 2), (16383, 14), (7, 4)]

@@ -300,6 +300,29 @@ def test_delete_missing_stats_is_conservative(spark, tmp_path):
     assert got == list(range(10)) + list(range(21, 200))
 
 
+def test_delete_keeps_null_key_rows(spark, tmp_path):
+    """NULL-key rows never match a BETWEEN predicate, so a rewrite must
+    carry them — the naive ~(col BETWEEN lo AND hi) filter evaluates to
+    NULL for them and would silently drop them from rewritten files
+    (layout-dependent data loss)."""
+    from specialsid_spark.operators.snapshot import (
+        snapshot_commit,
+        snapshot_delete,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, 'a'), (5, 'b'), (CAST(NULL AS BIGINT),"
+        " 'n1'), (9, 'c'), (NULL, 'n2') AS t(id, v)"
+    ).coalesce(1)
+    snapshot_commit(df, t)  # no stats -> file is conservatively rewritten
+    _, n_rewritten, _ = snapshot_delete(spark, t, "id", 4, 6)
+    assert n_rewritten == 1
+    rows = snapshot_read(spark, t).collect()
+    assert sorted(r.v for r in rows) == ["a", "c", "n1", "n2"]
+    assert sum(1 for r in rows if r.id is None) == 2
+
+
 def test_delete_no_match_rewrites_nothing(spark, tmp_path):
     from specialsid_spark.operators.snapshot import (
         snapshot_commit_stats,
