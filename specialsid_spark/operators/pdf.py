@@ -566,24 +566,134 @@ def _parse_tounicode_cmap(data: bytes) -> dict[int, str]:
     return cmap
 
 
-def _page_fonts(objs: dict, page_head: bytes) -> dict[str, dict[int, str] | None]:
-    """Resource-name → decode map for a page's /Font dict: a ToUnicode
-    CMap dict for Type0 (CID) fonts, None for simple fonts (whose
-    strings are byte-per-glyph)."""
+# Adobe-Glyph-List subset: the full CP-1252 0x80-0x9F glyph set (the
+# names /Differences arrays remap with in WinAnsi documents) plus the
+# common ASCII/Latin-1 punctuation and accented-letter names.  Values
+# are from the published Adobe Glyph List / Unicode CP-1252 mapping.
+_AGL = {
+    "Euro": "€", "quotesinglbase": "‚", "florin": "ƒ",
+    "quotedblbase": "„", "ellipsis": "…", "dagger": "†",
+    "daggerdbl": "‡", "circumflex": "ˆ", "perthousand": "‰",
+    "Scaron": "Š", "guilsinglleft": "‹", "OE": "Œ",
+    "Zcaron": "Ž", "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”", "bullet": "•",
+    "endash": "–", "emdash": "—", "tilde": "˜",
+    "trademark": "™", "scaron": "š", "guilsinglright": "›",
+    "oe": "œ", "zcaron": "ž", "Ydieresis": "Ÿ",
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~", "exclamdown": "¡",
+    "cent": "¢", "sterling": "£", "currency": "¤",
+    "yen": "¥", "section": "§", "copyright": "©",
+    "guillemotleft": "«", "registered": "®", "degree": "°",
+    "plusminus": "±", "micro": "µ", "paragraph": "¶",
+    "periodcentered": "·", "guillemotright": "»",
+    "questiondown": "¿", "multiply": "×", "divide": "÷",
+    "Agrave": "À", "Aacute": "Á", "Adieresis": "Ä",
+    "Ccedilla": "Ç", "Egrave": "È", "Eacute": "É",
+    "Ntilde": "Ñ", "Odieresis": "Ö", "Udieresis": "Ü",
+    "agrave": "à", "aacute": "á", "adieresis": "ä",
+    "ccedilla": "ç", "egrave": "è", "eacute": "é",
+    "iacute": "í", "ntilde": "ñ", "oacute": "ó",
+    "odieresis": "ö", "uacute": "ú", "udieresis": "ü",
+    "szlig": "ß", "ydieresis": "ÿ",
+}
+
+
+def _glyph_to_unicode(name: str) -> str:
+    """Glyph name → character: AGL subset, single-char names (A-Z…),
+    and the algorithmic uniXXXX / uXXXX(XX) forms; U+FFFD otherwise."""
+    if name in _AGL:
+        return _AGL[name]
+    if len(name) == 1:
+        return name
+    m = re.fullmatch(r"uni([0-9A-Fa-f]{4})", name)
+    if m is None:
+        m = re.fullmatch(r"u([0-9A-Fa-f]{4,6})", name)
+    return chr(int(m.group(1), 16)) if m else "�"
+
+
+def _cp1252_char(i: int) -> str:
+    """WinAnsiEncoding byte → char via the stdlib CP-1252 codec; the
+    five undefined codes (0x81 8D 8F 90 9D) pass through as-is."""
+    try:
+        return bytes([i]).decode("cp1252")
+    except UnicodeDecodeError:
+        return chr(i)
+
+
+def _simple_encoding_table(objs: dict, fhead: bytes) -> list[str] | None:
+    """256-entry byte→char table for a simple font's /Encoding, or None
+    for the latin-1 default.  Honors /WinAnsiEncoding (as a bare name
+    OR as /BaseEncoding inside an encoding dict, direct or via one
+    ``N 0 R`` indirection) and /Differences arrays (code then
+    consecutive glyph names, per the PDF spec).  Other base encodings
+    (MacRoman, MacExpert) fall back to latin-1 + differences —
+    documented simplification; WinAnsi is the overwhelmingly dominant
+    simple-font encoding in born-digital documents."""
+    enc = None
+    m = re.search(rb"/Encoding\s+(\d+)\s+0\s+R", fhead)
+    if m:
+        n = int(m.group(1))
+        enc = objs[n][0] if n in objs else None
+    else:
+        m = re.search(rb"/Encoding\s*(<<.*?>>)", fhead, re.DOTALL)
+        if m:
+            enc = m.group(1)
+        else:
+            m = re.search(rb"/Encoding\s*/(\w+)", fhead)
+            if m:
+                enc = b"/" + m.group(1)
+    if enc is None:
+        return None
+    win = b"WinAnsiEncoding" in enc
+    table = [_cp1252_char(i) if win else chr(i) for i in range(256)]
+    dm = re.search(rb"/Differences\s*\[(.*?)\]", enc, re.DOTALL)
+    if dm:
+        code = 0
+        for num, nm in re.findall(rb"(\d+)|/([^\s/\[\]<>()]+)", dm.group(1)):
+            if num:
+                code = int(num)
+            elif code < 256:
+                table[code] = _glyph_to_unicode(nm.decode("latin-1"))
+                code += 1
+    elif not win:
+        return None  # unknown base encoding, no differences: latin-1
+    return table
+
+
+# a font's decode recipe: ("cid", ToUnicode cmap) for Type0 fonts
+# (2-byte codes) or ("simple", table-or-None) for byte-per-glyph fonts
+FontMap = tuple[str, dict[int, str] | list[str] | None]
+
+
+def _page_fonts(objs: dict, page_head: bytes) -> dict[str, FontMap]:
+    """Resource-name → decode recipe for a page's /Font dict: a
+    ToUnicode CMap for Type0 (CID) fonts, an /Encoding-derived byte
+    table (WinAnsi + /Differences) for simple fonts."""
     res = _resolve_dict(objs, page_head, b"Resources")
     if res is None:
         return {}
     fdict = _resolve_dict(objs, res, b"Font")
     if fdict is None:
         return {}
-    fonts: dict[str, dict[int, str] | None] = {}
+    fonts: dict[str, FontMap] = {}
     for name, ref in re.findall(rb"/(\w+)\s+(\d+)\s+0\s+R", fdict):
         fn = int(ref)
         if fn not in objs:
             continue
         fhead = objs[fn][0]
         if not re.search(rb"/Subtype\s*/Type0\b", fhead):
-            fonts[name.decode("latin-1")] = None
+            fonts[name.decode("latin-1")] = (
+                "simple",
+                _simple_encoding_table(objs, fhead),
+            )
             continue
         cmap: dict[int, str] = {}
         tum = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", fhead)
@@ -596,22 +706,24 @@ def _page_fonts(objs: dict, page_head: bytes) -> dict[str, dict[int, str] | None
                     except zlib.error:
                         cdata = b""
                 cmap = _parse_tounicode_cmap(cdata)
-        fonts[name.decode("latin-1")] = cmap
+        fonts[name.decode("latin-1")] = ("cid", cmap)
     return fonts
 
 
 def _parse_content_text(
-    data: bytes, fonts: dict[str, dict[int, str] | None] | None = None
+    data: bytes, fonts: dict[str, FontMap] | None = None
 ) -> str:
     """Show-text strings from one page's (decoded) content stream, in
     stream order; Td/TD/T*/Tm/'/" and ET are line boundaries.  TJ array
     elements concatenate (kerning numbers are positioning, not
     spacing — documented simplification).
 
-    CID support (r5): ``fonts`` maps /Tf resource names to a ToUnicode
-    CMap for Type0 fonts (strings are then 2-byte big-endian codes) or
-    None for simple fonts (byte-per-glyph latin-1, the pre-r5
-    behavior).  The active font follows Tf through the stream."""
+    CID support (r5): ``fonts`` maps /Tf resource names to a decode
+    recipe — ("cid", ToUnicode cmap) for Type0 fonts (strings are
+    2-byte big-endian codes) or ("simple", table) for byte-per-glyph
+    fonts, where ``table`` is the /Encoding-derived 256-entry byte→char
+    map (WinAnsi = CP-1252, /Differences honored; r7) or None for the
+    latin-1 default.  The active font follows Tf through the stream."""
     lines: list[str] = []
     cur: list[str] = []
     pending: list[str] = []
@@ -619,16 +731,21 @@ def _parse_content_text(
     i = 0
     n = len(data)
     last_name = ""
-    cur_cmap: dict[int, str] | None = None
+    cur_font: FontMap | None = None
 
     def show(s: str) -> str:
-        if cur_cmap is None:
+        if cur_font is None:
             return s
-        b = s.encode("latin-1")
-        return "".join(
-            cur_cmap.get((b[k] << 8) | b[k + 1], "�")
-            for k in range(0, len(b) - 1, 2)
-        )
+        mode, mp = cur_font
+        if mode == "cid":
+            b = s.encode("latin-1")
+            return "".join(
+                mp.get((b[k] << 8) | b[k + 1], "�")
+                for k in range(0, len(b) - 1, 2)
+            )
+        if mp is None:  # simple font, default encoding: latin-1 as-is
+            return s
+        return "".join(mp[b] for b in s.encode("latin-1"))
 
     def break_line() -> None:
         if cur:
@@ -686,7 +803,7 @@ def _parse_content_text(
             continue
         if tok == b"Tf":  # text font persists across BT blocks
             if fonts is not None:
-                cur_cmap = fonts.get(last_name)
+                cur_font = fonts.get(last_name)
             pending.clear()
             continue
         if not in_text:
@@ -762,14 +879,30 @@ def extract_page_text(blob: bytes) -> list[str | None] | None:
     return out
 
 
-def _pdf_escape(s: str) -> bytes:
-    """Escape a text line for a PDF literal string."""
-    b = s.encode("latin-1", "replace")
+def _pdf_escape(s: str, char_to_code: dict[str, int] | None = None) -> bytes:
+    """Escape a text line for a PDF literal string.  Bytes are CP-1252
+    (the /WinAnsiEncoding the writer's font dict declares — curly
+    quotes, em-dash, € land in 0x80-0x9F, NOT latin-1's C1 controls);
+    ``char_to_code`` overrides individual characters with /Differences
+    remap codes."""
+    if char_to_code:
+        out = bytearray()
+        for ch in s:
+            if ch in char_to_code:
+                out.append(char_to_code[ch])
+            else:
+                out += ch.encode("cp1252", "replace")
+        b = bytes(out)
+    else:
+        b = s.encode("cp1252", "replace")
     return b.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)")
 
 
 def build_text_pdf(
-    pages: list[str], compress: bool = True, layout: str = "classic"
+    pages: list[str],
+    compress: bool = True,
+    layout: str = "classic",
+    differences: dict[int, str] | None = None,
 ) -> bytes:
     """Minimal text-PDF writer — the inverse sink of
     :func:`extract_page_text` and the fixture generator for its oracle.
@@ -782,18 +915,42 @@ def build_text_pdf(
     PDF 1.5 file layout — catalog/pages/page/font dicts packed in a
     compressed ``/Type /ObjStm``, cross-reference as a predictor-coded
     ``/Type /XRef`` stream — the fixture source for the object-stream
-    readers."""
+    readers.
+
+    ``differences`` (r7): code → glyph-name remaps, emitted as a
+    ``/Differences`` array inside an encoding dict (BaseEncoding
+    WinAnsi) AND honored when encoding the page text — characters whose
+    glyph the array names are written with the remapped codes, so a
+    reader that ignores /Differences provably mis-decodes them."""
     objects: list[bytes] = []
 
     def add(body: bytes) -> int:
         objects.append(body)
         return len(objects)
 
+    char_to_code = None
+    enc: bytes = b" /Encoding /WinAnsiEncoding"
+    if differences:
+        parts = b" ".join(
+            b"%d /%s" % (code, name.encode("latin-1"))
+            for code, name in sorted(differences.items())
+        )
+        enc = (
+            b" /Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding"
+            b" /Differences [ " + parts + b" ] >>"
+        )
+        char_to_code = {
+            _glyph_to_unicode(name): code
+            for code, name in differences.items()
+        }
+
+    def esc(s: str) -> bytes:
+        return _pdf_escape(s, char_to_code)
+
     catalog_num = add(b"")
     pages_num = add(b"")
     font_num = add(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
-        b" /Encoding /WinAnsiEncoding >>"
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica" + enc + b" >>"
     )
     page_nums = []
     for text in pages:
@@ -801,15 +958,14 @@ def build_text_pdf(
         for li, line in enumerate(text.split("\n")):
             if li > 0:
                 ops.append(b"0 -14 Td")
-            esc = _pdf_escape(line)
             if li == 0 and len(line) > 1:
                 half = len(line) // 2
                 ops.append(
                     b"[(%s) -2 (%s)] TJ"
-                    % (_pdf_escape(line[:half]), _pdf_escape(line[half:]))
+                    % (esc(line[:half]), esc(line[half:]))
                 )
             else:
-                ops.append(b"(%s) Tj" % esc)
+                ops.append(b"(%s) Tj" % esc(line))
         ops.append(b"ET")
         content = b"\n".join(ops)
         filt = b""

@@ -85,14 +85,40 @@ def cur_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc order, shard = (cumsum-1) div budget — each training shard gets
     ~{_TOKENS_PER_SHARD} tokens regardless of document-length skew.
 
-    Scale note: the global running sum is a single range-partitioned
-    window (Spark sorts once); at 100 TB pack per partition-group
-    (e.g. per source/date bucket) so no global order is needed."""
+    The cumsum is the classic DISTRIBUTED two-pass prefix sum, not a
+    global window (which would funnel the whole corpus through one
+    task): range-partition on doc_id (disjoint ascending key ranges,
+    so partition id order == global doc order), aggregate one subtotal
+    per partition, exclusive-scan those <=n_partitions numbers on the
+    driver (the same bounded-collect class as the 1-row min/max
+    bounds), and add each partition's offset to a WITHIN-partition
+    running sum.  Every window in the plan is partitioned by pid — no
+    SinglePartition Exchange anywhere (pinned in test_plan_shapes.py).
+    The localCheckpoint pins partition ids: both the subtotal job and
+    the final pass must see the identical placement."""
     d = load_parallel(spark, sf_dir, "documents")
     t = d.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c = t.select(
-        "doc_id", "n_tokens", F.sum("n_tokens").over(w).alias("cum_tokens")
+    part = (
+        t.repartitionByRange(32, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    subs = part.groupBy("pid").agg(F.sum("n_tokens").alias("sub")).collect()
+    run, offsets = 0, {}
+    for r in sorted(subs, key=lambda r: r.pid):
+        offsets[r.pid] = run
+        run += r.sub
+    off = F.create_map(
+        *[F.lit(x) for pid_o in sorted(offsets.items()) for x in pid_o]
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = part.select(
+        "n_tokens",
+        (off[F.col("pid")] + F.sum("n_tokens").over(w)).alias("cum_tokens"),
     )
     shard = ((F.col("cum_tokens") - 1) / _TOKENS_PER_SHARD).cast("long")
     return (

@@ -397,6 +397,77 @@ def mm_pdf_objstm_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_pdf_winansi_text",
+    # Fixture grammar: page text mixes CP-1252 0x80-0x9F characters
+    # decoded through the font's declared /WinAnsiEncoding (‘ ’ … † ‡)
+    # with characters the /Differences array REMAPS to 0xD0-0xD7 codes
+    # (€ “ ” —) — a decoder conflating WinAnsi with latin-1, or
+    # ignoring /Differences, produces C1 controls / Ð Ñ Ò × and breaks
+    # the hash.  The oracle restates the text as a UTF-8 SQL literal.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    txt AS (
+      SELECT doc_id,
+             'doc ' || doc_id || ' “w' || (doc_id * 7) % 10 || '” — €'
+             || (doc_id * 3) % 100 || chr(10)
+             || '‘beta…’ †(v' || (doc_id * 5) % 7 || ')‡'
+               AS page_text
+      FROM docs
+    )
+    SELECT doc_id, CAST(length(page_text) AS INT) AS n_chars, page_text
+    FROM txt
+    ORDER BY doc_id
+    """,
+)
+def mm_pdf_winansi_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 VERDICT #2 — WinAnsi + /Differences simple-font text.  Per
+    doc, write a one-page PDF whose font declares ``/BaseEncoding
+    /WinAnsiEncoding`` with a ``/Differences`` array remapping
+    Euro/quotedblleft/quotedblright/emdash onto 0xD0-0xD7, and whose
+    text also uses un-remapped 0x80-0x9F WinAnsi characters; extract
+    with the production reader (operators/pdf.py
+    ``_simple_encoding_table``: CP-1252 base via the stdlib codec,
+    glyph-name resolution through the AGL subset).  Reference parity:
+    the reference's PDFs (pnp.co.za grocery flyers,
+    scripts/scr/pnpscrLambda.py:110-142) are real-world WinAnsi
+    documents full of smart quotes and dashes.
+
+    Scale shape: per-doc independent mapInPandas, no shuffle before
+    the final sort — identical to the codec queries."""
+    import pandas as pd
+
+    from specialsid_spark.operators.pdf import build_text_pdf, extract_page_text
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+    diffs = {
+        0xD0: "Euro",
+        0xD1: "quotedblleft",
+        0xD2: "quotedblright",
+        0xD7: "emdash",
+    }
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                text = (
+                    f"doc {doc_id} “w{(doc_id * 7) % 10}” — "
+                    f"€{(doc_id * 3) % 100}\n"
+                    f"‘beta…’ †(v{(doc_id * 5) % 7})‡"
+                )
+                blob = build_text_pdf([text], differences=diffs)
+                got = extract_page_text(blob)[0]
+                out.append((doc_id, len(got), got))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_chars", "page_text"]
+            ).astype({"doc_id": "int64", "n_chars": "int32"})
+
+    schema = "doc_id long, n_chars int, page_text string"
+    return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")
+
+
+@register(
     "mm_pdf_text_corpus_pipeline",
     # Pages are substrings of the REAL documents.text (pure ASCII, no
     # newlines — verified per sf), so DuckDB re-derives every page's

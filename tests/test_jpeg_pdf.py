@@ -1133,3 +1133,56 @@ def test_text_pdf_roundtrip_property(texts, objstm):
     layout = "objstm" if objstm else "classic"
     blob = build_text_pdf(texts, layout=layout)
     assert extract_page_text(blob) == texts
+
+
+def test_winansi_text_roundtrip():
+    """Characters in CP-1252's 0x80-0x9F block (curly quotes, em-dash,
+    €, ellipsis) must survive write→extract: the writer declares
+    /WinAnsiEncoding and encodes CP-1252; a latin-1 decoder would
+    return C1 control characters instead."""
+    from specialsid_spark.operators.pdf import build_text_pdf, extract_page_text
+
+    pages = ["“smart” — €42\n‘single’ … †‡ ™ œŒ žŽ", "plain ascii\nétudes — naïve"]
+    for layout in ("classic", "objstm"):
+        blob = build_text_pdf(pages, layout=layout)
+        assert extract_page_text(blob) == pages, layout
+        # the raw bytes must actually exercise 0x80-0x9F (not latin-1)
+        assert "—".encode("cp1252") == b"\x97"
+
+
+def test_differences_remap_roundtrip():
+    """/Differences overrides individual codes: the writer encodes the
+    named glyphs at remapped positions, and a reader ignoring the array
+    would decode the UNDERLYING WinAnsi characters instead."""
+    from specialsid_spark.operators.pdf import build_text_pdf, extract_page_text
+
+    diffs = {0xD0: "Euro", 0xD1: "quotedblleft", 0xD7: "emdash"}
+    pages = ["price €9 “quoted” — done\nplain tail"]
+    blob = build_text_pdf(pages, differences=diffs)
+    assert extract_page_text(blob) == pages
+    # the € really is stored as code 0xD0 (WinAnsi Ð), not CP-1252 0x80
+    assert b"\xd0" in blob and "€".encode("cp1252") not in blob
+
+
+def test_differences_without_winansi_base():
+    """A /Differences array on a font with no WinAnsi base still
+    applies over the latin-1 default table."""
+    from specialsid_spark.operators.pdf import _simple_encoding_table
+
+    fhead = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+        b" /Encoding << /Differences [ 65 /Euro /emdash 200 /uni0416 ] >> >>"
+    )
+    t = _simple_encoding_table({}, fhead)
+    assert t[65] == "€" and t[66] == "—" and t[200] == "Ж"
+    assert t[0x41 - 1] == "@" and t[0x80] == "\x80"  # latin-1 base elsewhere
+
+
+def test_glyph_name_forms():
+    from specialsid_spark.operators.pdf import _glyph_to_unicode
+
+    assert _glyph_to_unicode("Euro") == "€"
+    assert _glyph_to_unicode("A") == "A"
+    assert _glyph_to_unicode("uni20AC") == "€"
+    assert _glyph_to_unicode("u1F600") == "😀"
+    assert _glyph_to_unicode("nosuchglyphname") == "�"

@@ -107,6 +107,16 @@ def test_prefix_filter_pairs_scale_shape(spark, qs):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_token_packing_has_no_global_window(spark, qs):
+    """The shard cumsum must be the distributed two-pass prefix sum:
+    every window is partitioned by pid, so NO SinglePartition Exchange
+    may appear anywhere in the plan (the r6 version funneled the whole
+    corpus through one running-sum task)."""
+    p = plan_of(spark, qs["cur_token_packing"](spark, SF_DIR))
+    assert "SinglePartition" not in p
+    assert "Window" in p  # the within-partition running sum is still a window
+
+
 def test_tpch_q2_min_cost_join_carries_both_keys(spark, qs):
     """The decorrelated min-cost self-join must be a 2-key equi-join on
     (partkey, cost) — if same-lineage Column disambiguation ever
