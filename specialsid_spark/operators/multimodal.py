@@ -132,6 +132,11 @@ def parse_image_meta(blob: bytes) -> tuple[int, int, str] | None:
         from specialsid_spark.operators.pnm import pnm_meta
 
         return pnm_meta(blob)
+    # TIFF: II*\0 / MM\0* magic, dimensions in IFD0 (r7)
+    if n >= 8 and blob[:2] in (b"II", b"MM"):
+        from specialsid_spark.operators.tiff import tiff_meta
+
+        return tiff_meta(blob)
     return None
 
 
@@ -406,13 +411,14 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytearray] | None:
 
 def decode_image(blob: bytes) -> tuple[int, int, int, bytes] | None:
     """Decode ANY supported raster payload to (w, h, ch, pixels): PNG,
-    baseline/progressive JPEG, GIF, BMP — the single entry point the
-    resize/feature operators dispatch through.  None for unsupported
-    payloads (degrade contract)."""
+    baseline/progressive JPEG, GIF, BMP, PNM, TIFF — the single entry
+    point the resize/feature operators dispatch through.  None for
+    unsupported payloads (degrade contract)."""
     from specialsid_spark.operators.gif import decode_gif
     from specialsid_spark.operators.jpeg import decode_jpeg
 
     from specialsid_spark.operators.pnm import decode_pnm
+    from specialsid_spark.operators.tiff import decode_tiff
 
     dec = decode_png(blob)
     if dec is None:
@@ -421,6 +427,8 @@ def decode_image(blob: bytes) -> tuple[int, int, int, bytes] | None:
         dec = decode_gif(blob)
     if dec is None:
         dec = decode_pnm(blob)
+    if dec is None and blob[:2] in (b"II", b"MM"):
+        dec = decode_tiff(blob)
     if dec is None:
         meta = parse_image_meta(blob)
         if meta is not None and meta[2] == "bmp":

@@ -1,0 +1,423 @@
+"""Baseline TIFF (revision 6.0): strip-organized 8-bit grayscale and
+RGB rasters, uncompressed / PackBits / LZW, BOTH byte orders (II little
+and MM big endian), horizontal-differencing predictor honored.
+
+TIFF is the one staple scan/document format the codec family lacked
+(VERDICT r6 #3); everything here derives from the public TIFF 6.0
+specification.  The IFD walk mirrors operators/media_meta.py's Exif
+reader (Exif IS an embedded TIFF IFD); the LZW here is written fresh
+rather than reusing operators/gif.py's because the two flavors differ
+in exactly the ways that silently corrupt data: TIFF packs code bits
+MSB-first (GIF is LSB-first), starts at 9-bit codes over a 256-symbol
+alphabet, and uses the "early change" width rule — the code width
+bumps when the table size reaches 2^w - 1, one entry earlier than
+GIF's 2^w.
+
+Scope / honest degrades (same contract as every codec in this repo):
+8 bits per sample only, strip-based only (tiled TIFFs return None),
+Photometric 1 (BlackIsZero) and 2 (RGB) only — WhiteIsZero, palette,
+CMYK, and other compressions (Group 3/4 fax, JPEG-in-TIFF, Deflate)
+return None loudly.
+
+Reference parity note: the reference engine has no image codecs at all
+(its rasters are produced by a pdf2image Lambda,
+scripts/pdfscr/pdf-img/gen_pdf_imgLambda.py:71-87); TIFF support is
+part of this repo's multimodal extension brief.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_COMP_NONE = 1
+_COMP_LZW = 5
+_COMP_PACKBITS = 32773
+
+_CLEAR = 256
+_EOI = 257
+
+
+# ---------------------------------------------------------------- PackBits
+
+def packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits (TIFF 6.0 §9): runs of 3+ identical bytes become
+    (257-n, byte); everything else is literal-copied in <=128 chunks."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # measure the run starting here
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        run = j - i
+        if run >= 3:
+            out.append(257 - run & 0xFF)
+            out.append(data[i])
+            i = j
+            continue
+        # literal stretch: until the next >=3 run or 128 bytes
+        lit_start = i
+        while i < n and i - lit_start < 128:
+            j = i + 1
+            while j < n and j - i < 128 and data[j] == data[i]:
+                j += 1
+            if j - i >= 3:
+                break
+            i = j
+        out.append(i - lit_start - 1)
+        out += data[lit_start:i]
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, expected: int | None = None) -> bytearray | None:
+    """Inverse of :func:`packbits_encode`; None on truncation.  When
+    ``expected`` is given, decoding stops exactly there (strips may be
+    padded) and returns None if the stream falls short."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and (expected is None or len(out) < expected):
+        c = data[i]
+        i += 1
+        if c == 128:  # noop, per spec
+            continue
+        if c < 128:  # literal copy of c+1 bytes
+            if i + c + 1 > n:
+                return None
+            out += data[i : i + c + 1]
+            i += c + 1
+        else:  # repeat next byte 257-c times
+            if i >= n:
+                return None
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+    if expected is not None and len(out) < expected:
+        return None
+    return out
+
+
+# ---------------------------------------------------------------- TIFF LZW
+
+def lzw_encode_tiff(data: bytes) -> bytes:
+    """TIFF-flavor LZW: MSB-first bit packing, 9->12 bit codes,
+    early-change width rule (bump when table size reaches 2^w - 1,
+    checked before each emitted code), CLEAR at 4094 entries."""
+    out = bytearray()
+    acc = nacc = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            nacc -= 8
+            out.append((acc >> nacc) & 0xFF)
+            acc &= (1 << nacc) - 1
+
+    def fresh() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(256)}
+
+    table = fresh()
+    next_code = _EOI + 1
+    emit(_CLEAR)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code == 4094:
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+            emit(_CLEAR)
+            table = fresh()
+            next_code = _EOI + 1
+            width = 9
+        w = bytes([b])
+    if next_code == (1 << width) - 1 and width < 12:
+        width += 1
+    if w:
+        emit(table[w])
+    emit(_EOI)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode_tiff(data: bytes, expected: int | None = None) -> bytearray | None:
+    """Inverse of :func:`lzw_encode_tiff` per the TIFF 6.0 §13 decoder
+    pseudocode; None on corrupt streams."""
+    out = bytearray()
+    acc = nacc = pos = 0
+    width = 9
+    n = len(data)
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = base[:]
+    prev: bytes | None = None
+
+    while True:
+        # Early change, decoder side: the decoder's table lags the
+        # encoder's by exactly one entry (its add for code k happens
+        # after reading code k+1), so where the encoder widens when its
+        # next free code hits 2^w - 1, the decoder must widen when its
+        # TABLE LENGTH hits 2^w - 2 — the classic off-by-one that
+        # desyncs both streams precisely at each width boundary.
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        while nacc < width:
+            if pos >= n:
+                return out if expected is None or len(out) >= expected else None
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nacc += 8
+        nacc -= width
+        code = (acc >> nacc) & ((1 << width) - 1)
+        acc &= (1 << nacc) - 1
+        if code == _EOI:
+            return out
+        if code == _CLEAR:
+            table = base[:]
+            width = 9
+            prev = None
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None  # corrupt stream
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        prev = entry
+        if expected is not None and len(out) >= expected:
+            return out
+
+
+# ------------------------------------------------------------------ writer
+
+def build_tiff(
+    w: int,
+    h: int,
+    ch: int,
+    pixels: bytes,
+    compression: str = "none",
+    big_endian: bool = False,
+    rows_per_strip: int = 8,
+    predictor: int = 1,
+) -> bytes:
+    """A conformant baseline TIFF: 8-bit gray (ch=1, Photometric 1) or
+    interleaved RGB (ch=3, Photometric 2), multiple strips, ascending
+    IFD tag order, out-of-line value areas with correct offsets.
+    ``compression``: "none" | "packbits" | "lzw"; ``predictor=2``
+    applies horizontal differencing before compression (LZW only, the
+    combination real scanners emit)."""
+    if ch not in (1, 3):
+        raise ValueError(f"TIFF writer handles 1 or 3 channels, got {ch}")
+    if len(pixels) != w * h * ch:
+        raise ValueError(f"raster size {len(pixels)} != {w}x{h}x{ch}")
+    comp = {"none": _COMP_NONE, "lzw": _COMP_LZW, "packbits": _COMP_PACKBITS}[
+        compression
+    ]
+    if predictor == 2 and comp != _COMP_LZW:
+        raise ValueError("predictor 2 is paired with LZW")
+    e = ">" if big_endian else "<"
+
+    rowlen = w * ch
+    strips: list[bytes] = []
+    for y0 in range(0, h, rows_per_strip):
+        raw = bytearray(pixels[y0 * rowlen : min(y0 + rows_per_strip, h) * rowlen])
+        if predictor == 2:
+            nrows = len(raw) // rowlen
+            for r in range(nrows):
+                row = r * rowlen
+                for i in range(rowlen - 1, ch - 1, -1):
+                    raw[row + i] = (raw[row + i] - raw[row + i - ch]) & 0xFF
+        if comp == _COMP_PACKBITS:
+            strips.append(packbits_encode(bytes(raw)))
+        elif comp == _COMP_LZW:
+            strips.append(lzw_encode_tiff(bytes(raw)))
+        else:
+            strips.append(bytes(raw))
+
+    nstrips = len(strips)
+    # entries: (tag, type, count, value-or-bytes); type 3=SHORT 4=LONG
+    entries: list[tuple[int, int, int, object]] = [
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (258, 3, ch, b"".join(struct.pack(e + "H", 8) for _ in range(ch))),
+        (259, 3, 1, comp),
+        (262, 3, 1, 1 if ch == 1 else 2),
+        (273, 4, nstrips, None),  # strip offsets, patched below
+        (277, 3, 1, ch),
+        (278, 4, 1, rows_per_strip),
+        (279, 4, nstrips, b"".join(struct.pack(e + "I", len(s)) for s in strips)),
+    ]
+    if predictor == 2:
+        entries.append((317, 3, 1, 2))
+
+    ifd_off = 8
+    ifd_len = 2 + 12 * len(entries) + 4
+    extra_off = ifd_off + ifd_len  # out-of-line value area
+    extra = bytearray()
+
+    def value_field(typ: int, cnt: int, val: object) -> bytes:
+        nonlocal extra
+        if isinstance(val, bytes):
+            if len(val) <= 4:
+                return val + b"\x00" * (4 - len(val))
+            off = extra_off + len(extra)
+            extra += val
+            return struct.pack(e + "I", off)
+        fmt = "H" if typ == 3 else "I"
+        b = struct.pack(e + fmt, val)
+        return b + b"\x00" * (4 - len(b))
+
+    # first pass to size the value area so strip offsets are known
+    sizes = 0
+    for _tag, typ, _cnt, val in entries:
+        if isinstance(val, bytes) and len(val) > 4:
+            sizes += len(val)
+    strip_area = extra_off + sizes
+    if nstrips > 1:
+        strip_area += 4 * nstrips  # the offsets array itself goes out-of-line
+    offs = []
+    pos = strip_area
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    strip_off_bytes = b"".join(struct.pack(e + "I", o) for o in offs)
+    entries[5] = (273, 4, nstrips, strip_off_bytes if nstrips > 1 else offs[0])
+
+    ifd = bytearray(struct.pack(e + "H", len(entries)))
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack(e + "HHI", tag, typ, cnt)
+        ifd += value_field(typ, cnt, val)
+    ifd += struct.pack(e + "I", 0)  # next-IFD terminator
+
+    header = (b"MM" if big_endian else b"II") + struct.pack(e + "HI", 42, ifd_off)
+    return header + bytes(ifd) + bytes(extra) + b"".join(strips)
+
+
+# ----------------------------------------------------------------- reader
+
+def _read_ifd(blob: bytes) -> tuple[str, dict[int, tuple[int, list[int] | bytes]]] | None:
+    """(endianness, tag -> (type, values)) for IFD0; ASCII/BYTE values
+    stay bytes, SHORT/LONG become int lists.  None when not a TIFF."""
+    if len(blob) < 8:
+        return None
+    if blob[:2] == b"II":
+        e = "<"
+    elif blob[:2] == b"MM":
+        e = ">"
+    else:
+        return None
+    if struct.unpack(e + "H", blob[2:4])[0] != 42:
+        return None
+    ifd = struct.unpack(e + "I", blob[4:8])[0]
+    if ifd + 2 > len(blob):
+        return None
+    n = struct.unpack(e + "H", blob[ifd : ifd + 2])[0]
+    sizes = {1: 1, 2: 1, 3: 2, 4: 4}
+    out: dict[int, tuple[int, list[int] | bytes]] = {}
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        if off + 12 > len(blob):
+            return None
+        tag, typ, cnt = struct.unpack(e + "HHI", blob[off : off + 8])
+        if typ not in sizes:
+            continue
+        nbytes = sizes[typ] * cnt
+        if nbytes <= 4:
+            raw = blob[off + 8 : off + 8 + nbytes]
+        else:
+            voff = struct.unpack(e + "I", blob[off + 8 : off + 12])[0]
+            if voff + nbytes > len(blob):
+                return None
+            raw = blob[voff : voff + nbytes]
+        if typ in (1, 2):
+            out[tag] = (typ, raw)
+        else:
+            fmt = "H" if typ == 3 else "I"
+            out[tag] = (
+                typ,
+                list(struct.unpack(e + str(cnt) + fmt, raw[: nbytes])),
+            )
+    return ("II" if e == "<" else "MM"), out
+
+
+def tiff_meta(blob: bytes) -> tuple[int, int, str] | None:
+    """(width, height, "tiff") from the IFD without touching pixels."""
+    r = _read_ifd(blob)
+    if r is None:
+        return None
+    _order, tags = r
+    if 256 not in tags or 257 not in tags:
+        return None
+    return tags[256][1][0], tags[257][1][0], "tiff"
+
+
+def decode_tiff(blob: bytes) -> tuple[int, int, int, bytes] | None:
+    """(w, h, ch, row-major interleaved pixels) for a baseline strip
+    TIFF, or None (unsupported photometric / compression / bit depth,
+    tiled layout, truncated strips — the degrade contract)."""
+    r = _read_ifd(blob)
+    if r is None:
+        return None
+    _order, tags = r
+    need = (256, 257, 273, 279)
+    if any(t not in tags for t in need):
+        return None
+    w = tags[256][1][0]
+    h = tags[257][1][0]
+    comp = tags[259][1][0] if 259 in tags else _COMP_NONE
+    photo = tags[262][1][0] if 262 in tags else 1
+    ch = tags[277][1][0] if 277 in tags else 1
+    if photo not in (1, 2) or ch not in (1, 3) or (photo == 2) != (ch == 3):
+        return None
+    bits = tags[258][1] if 258 in tags else [8] * ch
+    if isinstance(bits, bytes) or any(b != 8 for b in bits):
+        return None
+    if comp not in (_COMP_NONE, _COMP_LZW, _COMP_PACKBITS):
+        return None
+    predictor = tags[317][1][0] if 317 in tags else 1
+    if predictor not in (1, 2):
+        return None
+    rows_per_strip = tags[278][1][0] if 278 in tags else h
+    offs = tags[273][1]
+    cnts = tags[279][1]
+    if isinstance(offs, bytes) or isinstance(cnts, bytes) or len(offs) != len(cnts):
+        return None
+    rowlen = w * ch
+    out = bytearray()
+    for si, (o, c) in enumerate(zip(offs, cnts)):
+        if o + c > len(blob):
+            return None
+        nrows = min(rows_per_strip, h - si * rows_per_strip)
+        if nrows <= 0:
+            return None
+        expected = nrows * rowlen
+        raw = blob[o : o + c]
+        if comp == _COMP_PACKBITS:
+            dec = packbits_decode(raw, expected)
+        elif comp == _COMP_LZW:
+            dec = lzw_decode_tiff(raw, expected)
+        else:
+            dec = bytearray(raw)
+        if dec is None or len(dec) < expected:
+            return None
+        dec = dec[:expected]
+        if predictor == 2:
+            for rr in range(nrows):
+                row = rr * rowlen
+                for i in range(ch, rowlen):
+                    dec[row + i] = (dec[row + i] + dec[row + i - ch]) & 0xFF
+        out += dec
+    if len(out) != h * rowlen:
+        return None
+    return w, h, ch, bytes(out)

@@ -2296,6 +2296,110 @@ def mm_pnm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_tiff_roundtrip",
+    # Fixture raster: value = (doc*29 + c*19 + (y//4)*5 + x*3) % 256 —
+    # the x*3 term gives every row a horizontal gradient, so the
+    # predictor-2 differencing path transforms real data, not zeros.
+    # Per doc the raster roundtrips through BOTH compressions (PackBits
+    # and LZW+predictor2), alternating byte order by doc parity; the
+    # sums come from the LZW decode, the dims from the PackBits decode,
+    # and any mismatch between the two rasters poisons the sums to -1.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    ys AS (SELECT unnest(range(0, {_IMG_H})) AS y),
+    xs AS (SELECT unnest(range(0, {_IMG_W})) AS x),
+    cs AS (SELECT unnest(range(0, 3)) AS c)
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST({_IMG_W} AS INT) AS w, CAST({_IMG_H} AS INT) AS h,
+           CAST(3 AS INT) AS ch,
+           CAST(SUM(CASE WHEN cs.c = 0 THEN
+                 (d.doc_id * 29 + (ys.y // 4) * 5 + xs.x * 3) % 256
+                 END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN cs.c = 1 THEN
+                 (d.doc_id * 29 + 19 + (ys.y // 4) * 5 + xs.x * 3) % 256
+                 END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN cs.c = 2 THEN
+                 (d.doc_id * 29 + 38 + (ys.y // 4) * 5 + xs.x * 3) % 256
+                 END) AS BIGINT) AS sum_b
+    FROM docs d CROSS JOIN ys CROSS JOIN xs CROSS JOIN cs
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def mm_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 VERDICT #3 — X3: baseline TIFF encode→decode round-trip
+    (operators/tiff.py) value-checked against the fixture arithmetic.
+    Each doc's RGB raster is written as a multi-strip TIFF TWICE —
+    PackBits and LZW with horizontal-differencing predictor 2 — in the
+    byte order chosen by doc parity (II even / MM odd), decoded through
+    the universal ``decode_image`` entry point, and cross-compared:
+    the emitted per-channel sums use the LZW raster, the emitted dims
+    use the PackBits raster, and a raster mismatch poisons the sums so
+    the hash can't pass on a half-working decoder.  The TIFF-flavor
+    LZW (MSB-first bit packing, early-change width rule) is exactly
+    where a GIF-LZW reuse would silently corrupt — the fixture rasters
+    are large enough to cross the 9→10-bit boundary.
+
+    Scale shape: identical to every codec query — one mapInPandas over
+    a doc-id spine, per-row independent, no shuffle before the sort."""
+    import numpy as np
+    import pandas as pd
+
+    from specialsid_spark.operators.multimodal import decode_image
+    from specialsid_spark.operators.tiff import build_tiff
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                yy, xx = np.mgrid[0:_IMG_H, 0:_IMG_W]
+                chans = [
+                    ((doc_id * 29 + c * 19 + (yy // 4) * 5 + xx * 3) % 256).astype(
+                        np.uint8
+                    )
+                    for c in range(3)
+                ]
+                px = np.stack(chans, axis=-1).tobytes()
+                be = doc_id % 2 == 1
+                pb = build_tiff(
+                    _IMG_W, _IMG_H, 3, px, "packbits", be, rows_per_strip=6
+                )
+                lz = build_tiff(
+                    _IMG_W, _IMG_H, 3, px, "lzw", be, rows_per_strip=6, predictor=2
+                )
+                w, h, ch, back_pb = decode_image(pb)
+                _w2, _h2, _c2, back_lz = decode_image(lz)
+                ok = back_pb == back_lz == px
+                arr = np.frombuffer(back_lz, dtype=np.uint8).reshape(h, w, ch)
+                sums = [int(arr[:, :, c].sum()) if ok else -1 for c in range(3)]
+                out.append(
+                    (doc_id, "MM" if be else "II", w, h, ch, *sums)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "byte_order", "w", "h", "ch",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64", "w": "int32", "h": "int32",
+                    "ch": "int32", "sum_r": "int64", "sum_g": "int64",
+                    "sum_b": "int64",
+                }
+            )
+
+    schema = (
+        "doc_id long, byte_order string, w int, h int, ch int, "
+        "sum_r long, sum_g long, sum_b long"
+    )
+    return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")
+
+
+@register(
     "mm_exif_meta",
     oracle=f"""
     WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS})

@@ -1,0 +1,129 @@
+"""Baseline TIFF codec (operators/tiff.py): PackBits + TIFF-flavor LZW
+(MSB-first, early change) roundtrips, both byte orders, predictor 2,
+degrade contract, and the decode_image/parse_image_meta wiring."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from specialsid_spark.operators.tiff import (
+    build_tiff,
+    decode_tiff,
+    lzw_decode_tiff,
+    lzw_encode_tiff,
+    packbits_decode,
+    packbits_encode,
+    tiff_meta,
+)
+
+
+def _noise(n: int, seed: int = 7, span: int = 256) -> bytes:
+    rnd = random.Random(seed)
+    return bytes(rnd.randrange(span) for _ in range(n))
+
+
+def test_lzw_roundtrip_across_width_boundaries():
+    """Random data large enough to cross the 9→10→11→12-bit boundaries
+    AND the 4094-entry CLEAR reset — the exact places an early-change
+    off-by-one desyncs the streams."""
+    for size in (0, 1, 10, 300, 1000, 5000, 40000, 120000):
+        data = _noise(size)
+        assert bytes(lzw_decode_tiff(lzw_encode_tiff(data))) == data, size
+
+
+def test_lzw_compresses_repetitive_data():
+    data = b"abcabcab" * 4000
+    enc = lzw_encode_tiff(data)
+    assert len(enc) < len(data) // 4
+    assert bytes(lzw_decode_tiff(enc)) == data
+
+
+def test_lzw_corrupt_stream_degrades():
+    data = _noise(2000)
+    enc = bytearray(lzw_encode_tiff(data))
+    # splice in an out-of-range code region: all-ones bits near the front
+    enc[4:8] = b"\xff\xff\xff\xff"
+    assert lzw_decode_tiff(bytes(enc)) is None or bytes(
+        lzw_decode_tiff(bytes(enc))
+    ) != data
+
+
+def test_packbits_roundtrip_and_forms():
+    for size in (0, 1, 2, 3, 129, 1000, 5000):
+        for span in (4, 256):  # runs-heavy and literal-heavy
+            data = _noise(size, seed=size + span, span=span)
+            assert bytes(packbits_decode(packbits_encode(data))) == data
+    # spec forms: literal, run, noop
+    assert bytes(packbits_decode(b"\x02abc")) == b"abc"
+    assert bytes(packbits_decode(b"\xfeZ")) == b"ZZZ"
+    assert bytes(packbits_decode(b"\x80\x00A")) == b"A"
+    assert packbits_decode(b"\x05ab") is None  # truncated literal
+
+
+@pytest.mark.parametrize("ch", [1, 3])
+@pytest.mark.parametrize("comp", ["none", "packbits", "lzw"])
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_tiff_roundtrip(ch, comp, big_endian):
+    w, h = 23, 17
+    px = _noise(w * h * ch, seed=ch * 7 + big_endian)
+    blob = build_tiff(w, h, ch, px, comp, big_endian, rows_per_strip=5)
+    assert blob[:2] == (b"MM" if big_endian else b"II")
+    assert tiff_meta(blob) == (w, h, "tiff")
+    assert decode_tiff(blob) == (w, h, ch, px)
+
+
+def test_tiff_lzw_predictor2_roundtrip():
+    """Horizontal differencing before LZW — the combination scanners
+    actually emit; smooth gradients difference to tiny values."""
+    w, h, ch = 64, 16, 3
+    px = bytes((x + c * 3 + y) % 256 for y in range(h) for x in range(w) for c in range(ch))
+    blob = build_tiff(w, h, ch, px, "lzw", rows_per_strip=4, predictor=2)
+    assert decode_tiff(blob) == (w, h, ch, px)
+    # the predictor should help LZW on a gradient
+    plain = build_tiff(w, h, ch, px, "lzw", rows_per_strip=4, predictor=1)
+    assert len(blob) < len(plain)
+
+
+def test_tiff_degrades_loudly():
+    w, h = 8, 8
+    px = _noise(w * h)
+    blob = bytearray(build_tiff(w, h, 1, px, "none"))
+    assert decode_tiff(b"II\x00\x00") is None  # bad magic version
+    assert decode_tiff(b"XX" + bytes(blob[2:])) is None  # not a TIFF
+    truncated = bytes(blob[: len(blob) - 10])
+    assert decode_tiff(truncated) is None  # strip past EOF
+    # unsupported compression tag (Deflate=8) must degrade, not garble
+    i = bytes(blob).find(b"\x03\x01\x03\x00")  # tag 259 SHORT little-endian
+    assert i > 0
+    blob[i + 8] = 8
+    assert decode_tiff(bytes(blob)) is None
+
+
+def test_decode_image_and_meta_dispatch_tiff():
+    from specialsid_spark.operators.multimodal import decode_image, parse_image_meta
+
+    w, h = 12, 9
+    px = _noise(w * h * 3, seed=3)
+    blob = build_tiff(w, h, 3, px, "lzw", big_endian=True)
+    assert parse_image_meta(blob) == (w, h, "tiff")
+    assert decode_image(blob) == (w, h, 3, px)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=3000),
+    comp=st.sampled_from(["none", "packbits", "lzw"]),
+)
+def test_strip_codec_property(data, comp):
+    if comp == "packbits":
+        assert bytes(packbits_decode(packbits_encode(data))) == data
+    elif comp == "lzw":
+        assert bytes(lzw_decode_tiff(lzw_encode_tiff(data))) == data
+    else:
+        w = max(1, len(data))
+        blob = build_tiff(w, 1, 1, (data or b"\x00"), "none")
+        assert decode_tiff(blob) == (w, 1, 1, data or b"\x00")
