@@ -267,6 +267,66 @@ def parse_exif(blob: bytes) -> dict | None:
     return None
 
 
+# sub-IFD pointers in IFD0 and the tags inside them (Exif 2.3 spec)
+_EXIF_TAG_EXIFIFD = 0x8769   # pointer to the Exif sub-IFD (LONG)
+_EXIF_TAG_GPSIFD = 0x8825    # pointer to the GPS sub-IFD (LONG)
+_EXIF_TAG_EXPOSURE = 0x829A  # ExposureTime (RATIONAL)
+_EXIF_TAG_FNUMBER = 0x829D   # FNumber (RATIONAL)
+_EXIF_TAG_ISO = 0x8827       # ISOSpeedRatings (SHORT)
+_GPS_TAG_LAT_REF = 0x0001    # 'N'/'S' (ASCII)
+_GPS_TAG_LAT = 0x0002        # deg/min/sec (RATIONAL x3)
+_GPS_TAG_LON_REF = 0x0003    # 'E'/'W' (ASCII)
+_GPS_TAG_LON = 0x0004        # deg/min/sec (RATIONAL x3)
+
+_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _walk_ifd(t: bytes, e: str, ifd: int) -> dict[int, tuple[int, bytes]] | None:
+    """tag → (type, raw value bytes) for one IFD at offset ``ifd``;
+    offset-typed values are followed with bounds checks (truncation
+    degrades to None, never an exception)."""
+    if ifd + 2 > len(t):
+        return None
+    n = struct.unpack(e + "H", t[ifd : ifd + 2])[0]
+    out: dict[int, tuple[int, bytes]] = {}
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        if off + 12 > len(t):
+            return None
+        tag, typ, cnt = struct.unpack(e + "HHI", t[off : off + 8])
+        if typ not in _TIFF_TYPE_SIZES:
+            continue
+        nbytes = _TIFF_TYPE_SIZES[typ] * cnt
+        if nbytes <= 4:
+            raw = t[off + 8 : off + 8 + nbytes]
+        else:
+            voff = struct.unpack(e + "I", t[off + 8 : off + 12])[0]
+            if voff + nbytes > len(t):
+                return None
+            raw = t[voff : voff + nbytes]
+        out[tag] = (typ, raw)
+    return out
+
+
+def _typed(e: str, typ: int, raw: bytes):
+    """Decode one IFD value: ASCII → str, SHORT/LONG → int, RATIONAL →
+    (numerator, denominator) tuples — rationals stay EXACT integer
+    pairs (1/60 s is not 0.0166…; oracles compare integers)."""
+    if typ == 2:
+        return raw.rstrip(b"\x00").decode("ascii", "replace")
+    if typ == 3:
+        return struct.unpack(e + "H", raw[:2])[0]
+    if typ == 4:
+        return struct.unpack(e + "I", raw[:4])[0]
+    if typ == 5:
+        pairs = [
+            struct.unpack(e + "II", raw[i : i + 8])
+            for i in range(0, len(raw) - 7, 8)
+        ]
+        return pairs[0] if len(pairs) == 1 else pairs
+    return None
+
+
 def _parse_tiff_ifd0(t: bytes) -> dict | None:
     if len(t) < 8:
         return None
@@ -279,11 +339,10 @@ def _parse_tiff_ifd0(t: bytes) -> dict | None:
     if struct.unpack(e + "H", t[2:4])[0] != 42:
         return None
     ifd = struct.unpack(e + "I", t[4:8])[0]
-    if ifd + 2 > len(t):
+    tags = _walk_ifd(t, e, ifd)
+    if tags is None:
         return None
-    n = struct.unpack(e + "H", t[ifd : ifd + 2])[0]
     out: dict = {"byte_order": "II" if e == "<" else "MM"}
-    sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
     names = {
         _EXIF_TAG_WIDTH: "width",
         _EXIF_TAG_HEIGHT: "height",
@@ -291,27 +350,33 @@ def _parse_tiff_ifd0(t: bytes) -> dict | None:
         _EXIF_TAG_ORIENT: "orientation",
         _EXIF_TAG_DATETIME: "datetime",
     }
-    for k in range(n):
-        off = ifd + 2 + 12 * k
-        if off + 12 > len(t):
-            return None
-        tag, typ, cnt = struct.unpack(e + "HHI", t[off : off + 8])
-        if tag not in names or typ not in sizes:
-            continue
-        nbytes = sizes[typ] * cnt
-        if nbytes <= 4:
-            raw = t[off + 8 : off + 8 + nbytes]
-        else:
-            voff = struct.unpack(e + "I", t[off + 8 : off + 12])[0]
-            if voff + nbytes > len(t):
-                return None
-            raw = t[voff : voff + nbytes]
-        if typ == 2:  # ASCII, NUL-terminated
-            out[names[tag]] = raw.rstrip(b"\x00").decode("ascii", "replace")
-        elif typ == 3:
-            out[names[tag]] = struct.unpack(e + "H", raw[:2])[0]
-        elif typ == 4:
-            out[names[tag]] = struct.unpack(e + "I", raw[:4])[0]
+    for tag, name in names.items():
+        if tag in tags:
+            out[name] = _typed(e, *tags[tag])
+    # Exif sub-IFD (r7): ExposureTime / FNumber as exact rational
+    # pairs, ISO as an int — the capture-settings provenance tags
+    if _EXIF_TAG_EXIFIFD in tags:
+        sub = _walk_ifd(t, e, _typed(e, *tags[_EXIF_TAG_EXIFIFD]))
+        if sub:
+            for tag, name in (
+                (_EXIF_TAG_EXPOSURE, "exposure"),
+                (_EXIF_TAG_FNUMBER, "fnumber"),
+                (_EXIF_TAG_ISO, "iso"),
+            ):
+                if tag in sub:
+                    out[name] = _typed(e, *sub[tag])
+    # GPS sub-IFD (r7): lat/lon as [deg, min, sec] rational triples
+    if _EXIF_TAG_GPSIFD in tags:
+        gps = _walk_ifd(t, e, _typed(e, *tags[_EXIF_TAG_GPSIFD]))
+        if gps:
+            for tag, name in (
+                (_GPS_TAG_LAT_REF, "gps_lat_ref"),
+                (_GPS_TAG_LAT, "gps_lat"),
+                (_GPS_TAG_LON_REF, "gps_lon_ref"),
+                (_GPS_TAG_LON, "gps_lon"),
+            ):
+                if tag in gps:
+                    out[name] = _typed(e, *gps[tag])
     return out
 
 
@@ -322,43 +387,133 @@ def build_exif_app1(
     orientation: int,
     datetime: str,
     big_endian: bool,
+    exposure: tuple[int, int] | None = None,
+    fnumber: tuple[int, int] | None = None,
+    iso: int | None = None,
+    gps: tuple[str, list, str, list] | None = None,
 ) -> bytes:
     """A well-formed APP1/Exif segment (IFD0 with the five provenance
     tags; ASCII values stored out-of-line with correct offsets) — the
-    fixture writer for tests and the oracle query."""
+    fixture writer for tests and the oracle query.
+
+    r7: ``exposure``/``fnumber`` ((num, den) RATIONALs) and ``iso``
+    emit a real Exif sub-IFD behind the 0x8769 pointer; ``gps`` =
+    (lat_ref, [(d,n),(m,n),(s,n)] triple, lon_ref, triple) emits a GPS
+    sub-IFD behind 0x8825 — the layout real cameras write."""
+    return _build_exif_app1(
+        width, height, make, orientation, datetime, big_endian,
+        exposure=exposure, fnumber=fnumber, iso=iso, gps=gps,
+    )
+
+
+def _ifd_bytes(e: str, entries: list[tuple[int, int, object]], ifd_off: int) -> bytes:
+    """One serialized IFD (entry table in ascending tag order, next-IFD
+    terminator, out-of-line value area directly after) for entries of
+    (tag, type, value): ASCII bytes (NUL already appended), int lists
+    for SHORT/LONG, (num, den) tuple lists for RATIONAL."""
+    n = len(entries)
+    data_off = ifd_off + 2 + 12 * n + 4
+    extra = bytearray()
+    out = bytearray(struct.pack(e + "H", n))
+    for tag, typ, vals in sorted(entries):
+        if typ == 2:
+            raw = vals
+            cnt = len(raw)
+        elif typ == 3:
+            raw = b"".join(struct.pack(e + "H", v) for v in vals)
+            cnt = len(vals)
+        elif typ == 4:
+            raw = b"".join(struct.pack(e + "I", v) for v in vals)
+            cnt = len(vals)
+        elif typ == 5:
+            raw = b"".join(struct.pack(e + "II", a, b) for a, b in vals)
+            cnt = len(vals)
+        else:
+            raise ValueError(f"unsupported IFD type {typ}")
+        out += struct.pack(e + "HHI", tag, typ, cnt)
+        if len(raw) <= 4:
+            # inline values pack at the field START in both byte orders
+            out += raw + b"\x00" * (4 - len(raw))
+        else:
+            out += struct.pack(e + "I", data_off + len(extra))
+            extra += raw
+    out += struct.pack(e + "I", 0)  # next-IFD terminator
+    return bytes(out + extra)
+
+
+def _ifd_size(entries: list[tuple[int, int, object]]) -> int:
+    size = 2 + 12 * len(entries) + 4
+    for _tag, typ, vals in entries:
+        nbytes = (
+            len(vals) if typ == 2 else _TIFF_TYPE_SIZES[typ] * len(vals)
+        )
+        if nbytes > 4:
+            size += nbytes
+    return size
+
+
+def _build_exif_app1(
+    width: int,
+    height: int,
+    make: str,
+    orientation: int,
+    datetime: str,
+    big_endian: bool,
+    exposure: tuple[int, int] | None = None,
+    fnumber: tuple[int, int] | None = None,
+    iso: int | None = None,
+    gps: tuple[str, list, str, list] | None = None,
+) -> bytes:
     e = ">" if big_endian else "<"
-    mk = make.encode("ascii") + b"\x00"
-    dt = datetime.encode("ascii") + b"\x00"
-    n = 5
-    data_off = 8 + 2 + 12 * n + 4  # header + count + entries + next-IFD
-    entries = []
-
-    def entry(tag: int, typ: int, cnt: int, val: bytes) -> bytes:
-        return struct.pack(e + "HHI", tag, typ, cnt) + val
-
-    entries.append(entry(_EXIF_TAG_WIDTH, 4, 1, struct.pack(e + "I", width)))
-    entries.append(entry(_EXIF_TAG_HEIGHT, 4, 1, struct.pack(e + "I", height)))
-    entries.append(
-        entry(_EXIF_TAG_MAKE, 2, len(mk), struct.pack(e + "I", data_off))
-    )
-    # SHORT value occupies the first 2 of the 4 inline bytes in BOTH
-    # byte orders (TIFF packs inline values at the field start)
-    entries.append(
-        entry(_EXIF_TAG_ORIENT, 3, 1, struct.pack(e + "H", orientation) + b"\x00\x00")
-    )
-    entries.append(
-        entry(_EXIF_TAG_DATETIME, 2, len(dt), struct.pack(e + "I", data_off + len(mk)))
-    )
+    ifd0: list[tuple[int, int, object]] = [
+        (_EXIF_TAG_WIDTH, 4, [width]),
+        (_EXIF_TAG_HEIGHT, 4, [height]),
+        (_EXIF_TAG_MAKE, 2, make.encode("ascii") + b"\x00"),
+        (_EXIF_TAG_ORIENT, 3, [orientation]),
+        (_EXIF_TAG_DATETIME, 2, datetime.encode("ascii") + b"\x00"),
+    ]
+    exif_ifd: list[tuple[int, int, object]] = []
+    if exposure is not None:
+        exif_ifd.append((_EXIF_TAG_EXPOSURE, 5, [exposure]))
+    if fnumber is not None:
+        exif_ifd.append((_EXIF_TAG_FNUMBER, 5, [fnumber]))
+    if iso is not None:
+        exif_ifd.append((_EXIF_TAG_ISO, 3, [iso]))
+    gps_ifd: list[tuple[int, int, object]] = []
+    if gps is not None:
+        lat_ref, lat, lon_ref, lon = gps
+        gps_ifd = [
+            (_GPS_TAG_LAT_REF, 2, lat_ref.encode("ascii") + b"\x00"),
+            (_GPS_TAG_LAT, 5, list(lat)),
+            (_GPS_TAG_LON_REF, 2, lon_ref.encode("ascii") + b"\x00"),
+            (_GPS_TAG_LON, 5, list(lon)),
+        ]
+    # layout: IFD0 @ 8, Exif sub-IFD after it, GPS sub-IFD after that —
+    # pointer values need the sizes, so count the pointer entries first
+    n0 = len(ifd0) + (1 if exif_ifd else 0) + (1 if gps_ifd else 0)
+    ifd0_sized = list(ifd0)
+    if exif_ifd:
+        ifd0_sized.append((_EXIF_TAG_EXIFIFD, 4, [0]))
+    if gps_ifd:
+        ifd0_sized.append((_EXIF_TAG_GPSIFD, 4, [0]))
+    assert len(ifd0_sized) == n0
+    exif_off = 8 + _ifd_size(ifd0_sized)
+    gps_off = exif_off + (_ifd_size(exif_ifd) if exif_ifd else 0)
+    final = list(ifd0)
+    if exif_ifd:
+        final.append((_EXIF_TAG_EXIFIFD, 4, [exif_off]))
+    if gps_ifd:
+        final.append((_EXIF_TAG_GPSIFD, 4, [gps_off]))
     tiff = (
         (b"MM" if big_endian else b"II")
         + struct.pack(e + "H", 42)
         + struct.pack(e + "I", 8)
-        + struct.pack(e + "H", n)
-        + b"".join(entries)
-        + struct.pack(e + "I", 0)  # no next IFD
-        + mk
-        + dt
+        + _ifd_bytes(e, final, 8)
     )
+    if exif_ifd:
+        tiff += _ifd_bytes(e, exif_ifd, exif_off)
+    if gps_ifd:
+        tiff += _ifd_bytes(e, gps_ifd, gps_off)
     body = b"Exif\x00\x00" + tiff
     return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
 

@@ -2410,7 +2410,22 @@ def mm_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(1 + doc_id % 8 AS INT) AS orientation,
            'Cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
            '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
-             || ' 12:00:00' AS dt
+             || ' 12:00:00' AS dt,
+           CAST(1 AS BIGINT) AS exp_num,
+           CAST(60 + doc_id % 200 AS BIGINT) AS exp_den,
+           CAST(28 + doc_id % 40 AS BIGINT) AS fnum_num,
+           CAST(10 AS BIGINT) AS fnum_den,
+           CAST(100 * (1 + doc_id % 32) AS INT) AS iso,
+           CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END AS lat_ref,
+           CAST((doc_id * 3) % 90 AS BIGINT) AS lat_deg,
+           CAST((doc_id * 7) % 60 AS BIGINT) AS lat_min,
+           CAST((doc_id * 11) % 600 AS BIGINT) AS lat_sec_num,
+           CAST(10 AS BIGINT) AS lat_sec_den,
+           CASE WHEN doc_id % 3 = 0 THEN 'E' ELSE 'W' END AS lon_ref,
+           CAST((doc_id * 5) % 180 AS BIGINT) AS lon_deg,
+           CAST((doc_id * 13) % 60 AS BIGINT) AS lon_min,
+           CAST((doc_id * 17) % 600 AS BIGINT) AS lon_sec_num,
+           CAST(10 AS BIGINT) AS lon_sec_den
     FROM docs ORDER BY doc_id
     """,
 )
@@ -2452,8 +2467,28 @@ def mm_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                     1 + doc_id % 8,
                     f"2024:01:{1 + doc_id % 28:02d} 12:00:00",
                     big_endian=bool(doc_id % 2),
+                    exposure=(1, 60 + doc_id % 200),
+                    fnumber=(28 + doc_id % 40, 10),
+                    iso=100 * (1 + doc_id % 32),
+                    gps=(
+                        "N" if doc_id % 2 == 0 else "S",
+                        [
+                            ((doc_id * 3) % 90, 1),
+                            ((doc_id * 7) % 60, 1),
+                            ((doc_id * 11) % 600, 10),
+                        ],
+                        "E" if doc_id % 3 == 0 else "W",
+                        [
+                            ((doc_id * 5) % 180, 1),
+                            ((doc_id * 13) % 60, 1),
+                            ((doc_id * 17) % 600, 10),
+                        ],
+                    ),
                 )
                 m = parse_exif(insert_app1(jpeg, app1))
+                lat, lon = m["gps_lat"], m["gps_lon"]
+                # deg/min are den-1 rationals: assert and emit the ints
+                assert lat[0][1] == lat[1][1] == lon[0][1] == lon[1][1] == 1
                 out.append(
                     (
                         doc_id,
@@ -2463,18 +2498,32 @@ def mm_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                         m["orientation"],
                         m["make"],
                         m["datetime"],
+                        m["exposure"][0],
+                        m["exposure"][1],
+                        m["fnumber"][0],
+                        m["fnumber"][1],
+                        m["iso"],
+                        m["gps_lat_ref"],
+                        lat[0][0],
+                        lat[1][0],
+                        lat[2][0],
+                        lat[2][1],
+                        m["gps_lon_ref"],
+                        lon[0][0],
+                        lon[1][0],
+                        lon[2][0],
+                        lon[2][1],
                     )
                 )
             yield pd.DataFrame(
                 out,
                 columns=[
-                    "doc_id",
-                    "byte_order",
-                    "width",
-                    "height",
-                    "orientation",
-                    "make",
-                    "dt",
+                    "doc_id", "byte_order", "width", "height",
+                    "orientation", "make", "dt",
+                    "exp_num", "exp_den", "fnum_num", "fnum_den", "iso",
+                    "lat_ref", "lat_deg", "lat_min", "lat_sec_num",
+                    "lat_sec_den", "lon_ref", "lon_deg", "lon_min",
+                    "lon_sec_num", "lon_sec_den",
                 ],
             ).astype(
                 {
@@ -2482,11 +2531,22 @@ def mm_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "width": "int64",
                     "height": "int64",
                     "orientation": "int32",
+                    "exp_num": "int64", "exp_den": "int64",
+                    "fnum_num": "int64", "fnum_den": "int64",
+                    "iso": "int32",
+                    "lat_deg": "int64", "lat_min": "int64",
+                    "lat_sec_num": "int64", "lat_sec_den": "int64",
+                    "lon_deg": "int64", "lon_min": "int64",
+                    "lon_sec_num": "int64", "lon_sec_den": "int64",
                 }
             )
 
     schema = (
         "doc_id long, byte_order string, width long, height long, "
-        "orientation int, make string, dt string"
+        "orientation int, make string, dt string, "
+        "exp_num long, exp_den long, fnum_num long, fnum_den long, "
+        "iso int, lat_ref string, lat_deg long, lat_min long, "
+        "lat_sec_num long, lat_sec_den long, lon_ref string, "
+        "lon_deg long, lon_min long, lon_sec_num long, lon_sec_den long"
     )
     return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")

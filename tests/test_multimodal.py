@@ -787,6 +787,31 @@ class TestExif:
                 "datetime": "2024:01:02 03:04:05",
             }
 
+    def test_sub_ifds_rationals_exact(self):
+        """Exif (0x8769) and GPS (0x8825) sub-IFDs: ExposureTime /
+        FNumber / GPS coordinates come back as EXACT integer rational
+        pairs, both byte orders."""
+        from specialsid_spark.operators.media_meta import (
+            build_exif_app1,
+            insert_app1,
+            parse_exif,
+        )
+
+        lat = [(51, 1), (30, 1), (125, 10)]
+        lon = [(0, 1), (7, 1), (390, 10)]
+        for be in (False, True):
+            app1 = build_exif_app1(
+                640, 480, "CamX", 1, "2024:05:01 09:30:00", be,
+                exposure=(1, 125), fnumber=(28, 10), iso=400,
+                gps=("N", lat, "W", lon),
+            )
+            m = parse_exif(insert_app1(b"\xff\xd8\xff\xd9", app1))
+            assert m["exposure"] == (1, 125)
+            assert m["fnumber"] == (28, 10)
+            assert m["iso"] == 400
+            assert (m["gps_lat_ref"], m["gps_lat"]) == ("N", lat)
+            assert (m["gps_lon_ref"], m["gps_lon"]) == ("W", lon)
+
     def test_degrade_contract(self):
         from specialsid_spark.operators.media_meta import (
             build_exif_app1,
