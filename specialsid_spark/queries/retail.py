@@ -891,6 +891,109 @@ def clean_snapshot_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "clean_snapshot_update_rows",
+    # Same three rank-third commits as the DELETE twin; UPDATE of the
+    # [p40, p60] key band (cents_v += 12345) touches ONLY the middle
+    # file, so n_files_rewritten is a literal 1 of 3 — and the sum
+    # aggregate moves by exactly 12345 * n_matched, value-checking
+    # that ONLY matched rows were rewritten and carried rows are
+    # byte-faithful.
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS ok,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents_v
+      FROM orders WHERE o_orderkey < 6000
+    ),
+    r AS (
+      SELECT ok, cents_v,
+             row_number() OVER (ORDER BY ok) AS rn,
+             count(*) OVER () AS n
+      FROM o
+    ),
+    b AS (
+      SELECT MIN(CASE WHEN rn = CAST(floor(0.4 * n) + 1 AS BIGINT) THEN ok END) AS lo,
+             MIN(CASE WHEN rn = CAST(floor(0.6 * n) AS BIGINT) THEN ok END) AS hi
+      FROM r
+    ),
+    u AS (
+      SELECT r.ok,
+             CASE WHEN r.ok >= b.lo AND r.ok <= b.hi
+                  THEN r.cents_v + 12345 ELSE r.cents_v END AS cents_v,
+             CASE WHEN r.ok >= b.lo AND r.ok <= b.hi THEN 1 ELSE 0 END AS hit
+      FROM r, b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents_v) AS BIGINT) AS sum_cents,
+           CAST(sum(hit) AS BIGINT) AS n_updated,
+           1 AS n_files_rewritten,
+           3 AS n_files_before
+    FROM u
+    """,
+)
+def clean_snapshot_update_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 extension, r7 VERDICT #8 — copy-on-write row-level UPDATE,
+    completing the snapshot DML trio (insert/merge r4-r5, delete r6):
+    manifest stats route the SET to the single file whose key range
+    intersects the predicate; matched rows get ``cents_v + 12345``,
+    every other row — in rewritten AND shared files — carries
+    verbatim, and the pre-update version still time-travels.  The
+    rewrite count and the exactly-shifted sum are both value-checked.
+
+    Scale shape: identical to DELETE — cost tracks
+    predicate-intersecting files, never table size."""
+    from pathlib import Path
+
+    from pyspark.sql.window import Window
+
+    from specialsid_spark.operators.snapshot import (
+        snapshot_commit_stats,
+        snapshot_read,
+        snapshot_update,
+    )
+    from specialsid_spark.queries._determinism import cents
+    from specialsid_spark.session import session_workdir
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 6000)
+        .select(
+            F.col("o_orderkey").alias("ok"),
+            cents("o_totalprice").alias("cents_v"),
+        )
+    )
+    ranked = o.withColumn("rn", F.row_number().over(Window.orderBy("ok")))
+    n = ranked.count()
+    chunk = F.floor((F.col("rn") - 1) * 3 / n)
+    lo, hi = (
+        ranked.where(F.col("rn").isin(int(0.4 * n) + 1, int(0.6 * n)))
+        .agg(F.min("ok"), F.max("ok"))
+        .collect()[0]
+    )
+    work = Path(session_workdir("specialsid_snapupd_"))
+    t = str(work / "tbl")
+    for c in range(3):
+        part = ranked.where(chunk == c).select("ok", "cents_v").coalesce(1)
+        snapshot_commit_stats(part, t, ["ok"], mode="append")
+    _, n_rewritten, n_before = snapshot_update(
+        spark, t, "ok", lo, hi, {"cents_v": "cents_v + 12345"}
+    )
+    cur = snapshot_read(spark, t)
+    return cur.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents_v").cast("long").alias("sum_cents"),
+        F.sum(
+            ((F.col("ok") >= lo) & (F.col("ok") <= hi)).cast("long")
+        ).alias("n_updated"),
+    ).select(
+        "n_rows",
+        "sum_cents",
+        "n_updated",
+        F.lit(n_rewritten).cast("int").alias("n_files_rewritten"),
+        F.lit(n_before).cast("int").alias("n_files_before"),
+    )
+
+
+@register(
     "clean_snapshot_delete_rows",
     # Same three rank-third commits as clean_snapshot_stats_pruning;
     # DELETE of the [p40, p60] key band touches ONLY the middle file

@@ -300,6 +300,65 @@ def test_delete_missing_stats_is_conservative(spark, tmp_path):
     assert got == list(range(10)) + list(range(21, 200))
 
 
+def test_update_rewrites_only_intersecting_files(spark, tmp_path):
+    """Copy-on-write UPDATE: stats route the predicate to one file of
+    three; matched rows get the SET expression, unmatched rows in the
+    rewritten file carry verbatim, the other two files are SHARED
+    (identical relative paths), rewritten-file stats are refreshed,
+    and the pre-update version still time-travels."""
+    from specialsid_spark.operators.snapshot import (
+        _read_manifest,
+        snapshot_commit_stats,
+        snapshot_update,
+    )
+
+    t = str(tmp_path / "tbl")
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        snapshot_commit_stats(
+            _df(spark, lo, hi).coalesce(1), t, ["id"], mode="append"
+        )
+    v, n_rewritten, n_before = snapshot_update(
+        spark, t, "id", 120, 180, {"v": "v + 1000000"}
+    )
+    assert (v, n_rewritten, n_before) == (4, 1, 3)
+    rows = {r.id: r.v for r in snapshot_read(spark, t).collect()}
+    assert len(rows) == 300
+    for i in range(300):
+        assert rows[i] == i * 10 + (1000000 if 120 <= i <= 180 else 0), i
+    before = set(_read_manifest(t, 3)["files"])
+    after_m = _read_manifest(t, 4)
+    assert len(before & set(after_m["files"])) == 2
+    # the rewritten file carries freshly computed stats on the tracked
+    # column, so later predicate routing keeps working after the UPDATE
+    new_file = (set(after_m["files"]) - before).pop()
+    assert after_m["stats"][new_file]["id"] == [100, 199]
+    # pre-update version time-travels with original values
+    old = {r.id: r.v for r in snapshot_read(spark, t, 3).collect()}
+    assert old[150] == 1500
+
+
+def test_update_keeps_null_key_rows_and_validates_set(spark, tmp_path):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from specialsid_spark.operators.snapshot import (
+        snapshot_commit,
+        snapshot_update,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, 10), (5, 50), (CAST(NULL AS BIGINT), 99),"
+        " (9, 90) AS t(id, v)"
+    ).coalesce(1)
+    snapshot_commit(df, t)
+    with pytest.raises(ValueError, match="SET targets"):
+        snapshot_update(spark, t, "id", 4, 6, {"nope": "1"})
+    _, n_rewritten, _ = snapshot_update(spark, t, "id", 4, 6, {"v": "v * 2"})
+    assert n_rewritten == 1
+    rows = {(r.id, r.v) for r in snapshot_read(spark, t).collect()}
+    assert rows == {(1, 10), (5, 100), (None, 99), (9, 90)}
+
+
 def test_delete_keeps_null_key_rows(spark, tmp_path):
     """NULL-key rows never match a BETWEEN predicate, so a rewrite must
     carry them — the naive ~(col BETWEEN lo AND hi) filter evaluates to
