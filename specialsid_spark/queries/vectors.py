@@ -567,10 +567,21 @@ def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is one map-side pass (centroids are plan literals);
     candidate generation is an equi-join on cell id with per-cell work
     scaled by nprobe — never |Q|×|N|."""
-    from specialsid_spark.operators.kmeans import _dist2_sql, kmeans_fit
+    from specialsid_spark.operators.kmeans import kmeans_fit
 
     e = load_parallel(spark, sf_dir, "embeddings")
     centroids, assigned = kmeans_fit(e, k=_KMEANS_K, iterations=_KMEANS_ITERS)
+    return _ivf_search(assigned, centroids)
+
+
+def _ivf_search(assigned: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """The IVF search stage shared by the inline-trained and
+    from-table quantizer queries (identical results are BY
+    CONSTRUCTION): probe each query's nprobe nearest cells by the same
+    exact-integer L2 training used, equi-join candidates on cell id,
+    exact cosine rerank.  ``assigned`` carries (vec_id, mu, cid)."""
+    from specialsid_spark.operators.kmeans import _dist2_sql
+
     assigned = assigned.localCheckpoint(eager=True)
     # query-side probe: rank cells by the SAME exact integer L2 the
     # training used (one selectExpr, SQL-string distances)
@@ -631,3 +642,75 @@ def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rk", F.round("cs", 6).alias("cos_sim"))
         .orderBy("query_id", "rk")
     )
+
+
+# trained-quantizer snapshot tables, one per (process, sf_dir) — the
+# cache must re-check the path still exists (workdirs are per-session)
+_IVF_INDEX_TABLES: dict[str, str] = {}
+
+
+def ivf_index_commit(spark: SparkSession, sf_dir: str) -> str:
+    """Train the coarse quantizer ONCE and commit it to a snapshot
+    table (rows: cid, centroid array<bigint> on the exact micro-unit
+    lattice) — the 100 TB deployment shape: a trained index is an
+    ARTIFACT with versioned history, not a per-query side effect.
+    Returns the table path; re-trains only when the table is gone."""
+    import os
+    from pathlib import Path
+
+    from specialsid_spark.operators.kmeans import kmeans_fit
+    from specialsid_spark.operators.snapshot import snapshot_commit
+    from specialsid_spark.session import session_workdir
+
+    key = os.path.abspath(sf_dir)
+    t = _IVF_INDEX_TABLES.get(key)
+    if t is not None and Path(t).exists():
+        return t
+    e = load_parallel(spark, sf_dir, "embeddings")
+    centroids, _assigned = kmeans_fit(e, k=_KMEANS_K, iterations=_KMEANS_ITERS)
+    t = str(Path(session_workdir("specialsid_ivfidx_")) / "quantizer")
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cid int, centroid array<bigint>",
+    )
+    snapshot_commit(df.coalesce(1), t)
+    _IVF_INDEX_TABLES[key] = t
+    return t
+
+
+def ivf_centroids_from_table(
+    spark: SparkSession, table: str, version: int | None = None
+) -> list[list[int]]:
+    """Load a quantizer version from its snapshot table (k rows — the
+    bounded-collect class); time travel via ``version`` reproduces any
+    historical index exactly."""
+    from specialsid_spark.operators.snapshot import snapshot_read
+
+    rows = snapshot_read(spark, table, version).collect()
+    return [list(r.centroid) for r in sorted(rows, key=lambda r: r.cid)]
+
+
+@register("sim_ivf_from_table_topk", oracle=_ivf_trained_oracle())
+def sim_ivf_from_table_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 VERDICT #6 — IVF search against a PERSISTED quantizer: the
+    index is trained once and committed to a snapshot lakehouse table
+    (``ivf_index_commit``), then THIS query loads the centroids back
+    from the table (time-travelable — every index version stays
+    reproducible) and runs the identical search stage as
+    ``sim_ivf_trained_topk``.  Same oracle as the inline-trained twin:
+    training is deterministic, so from-table results must match
+    exactly — which is precisely the artifact-integrity property a
+    production pipeline needs from a persisted index.
+
+    Scale shape: search cost is unchanged (cell-keyed candidate join);
+    training cost amortizes across every query that loads the table
+    instead of re-running Lloyd — at 100 TB the difference between a
+    usable ANN service and an accidental training job per query."""
+    from specialsid_spark.operators.kmeans import _mu_vec, assign_clusters
+
+    table = ivf_index_commit(spark, sf_dir)
+    centroids = ivf_centroids_from_table(spark, table)
+    e = load_parallel(spark, sf_dir, "embeddings")
+    mu_df = e.select("vec_id", _mu_vec(F.col("embedding")).alias("mu"))
+    assigned = assign_clusters(mu_df, centroids)
+    return _ivf_search(assigned, centroids)

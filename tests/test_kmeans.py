@@ -55,3 +55,43 @@ def test_kmeans_inertia_decreases(spark, sf_dir):
         if prev is not None:
             assert cur <= prev, f"inertia rose at iteration {iters}"
         prev = cur
+
+
+def test_ivf_index_time_travel_reproduces_search(spark, sf_dir, tmp_path):
+    """A persisted quantizer is a versioned artifact: overwriting the
+    index with a retrained version must NOT change what a time-traveled
+    search over the old version returns."""
+    from specialsid_spark.operators.snapshot import snapshot_commit
+    from specialsid_spark.queries.vectors import (
+        _ivf_search,
+        ivf_centroids_from_table,
+    )
+    from specialsid_spark.operators.kmeans import _mu_vec, assign_clusters
+    from pyspark.sql import functions as F
+
+    e = load(spark, sf_dir, "embeddings")
+    c1, _ = kmeans_fit(e, k=4, iterations=1)
+    c2, _ = kmeans_fit(e, k=4, iterations=3)
+    assert c1 != c2  # otherwise the test proves nothing
+
+    t = str(tmp_path / "quantizer")
+    for cs in (c1, c2):
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cs)], "cid int, centroid array<bigint>"
+        )
+        snapshot_commit(df.coalesce(1), t, mode="overwrite")
+
+    assert ivf_centroids_from_table(spark, t, 1) == c1
+    assert ivf_centroids_from_table(spark, t) == c2
+
+    mu_df = e.select("vec_id", _mu_vec(F.col("embedding")).alias("mu"))
+
+    def run(cs):
+        return [
+            tuple(r)
+            for r in _ivf_search(assign_clusters(mu_df, cs), cs).collect()
+        ]
+
+    # time-traveled index == the exact historical search
+    assert run(ivf_centroids_from_table(spark, t, 1)) == run(c1)
+    assert run(ivf_centroids_from_table(spark, t)) == run(c2)
