@@ -1009,6 +1009,7 @@ def streaming_neardup_ingest(
     docs_dir: str,
     index_path: str,
     checkpoint_dir: str,
+    retention_seconds: int | None = None,
 ) -> StreamingQuery:
     """X1 ∘ T8 (r6): MinHash-LSH NEAR-dup gating at the ingest door —
     the near-dup twin of `streaming_content_dedup` (which is exact-hash
@@ -1027,9 +1028,18 @@ def streaming_neardup_ingest(
     pinning, _BATCH_ID sidecar, generation swap), so replays are
     idempotent.  Kept doc_ids ride the same summary table as
     kind='doc' rows: one atomic swap covers the index AND the
-    survivor list.  A production variant would age bands out with a
-    retention horizon the same way the watermark bounds
-    streaming_content_dedup's state."""
+    survivor list.
+
+    Retention horizon (r7, VERDICT #5): with ``retention_seconds`` set,
+    every band row carries ``last_seen`` = the max EVENT time of the
+    docs that touched it, and rows older than (batch max event time -
+    horizon) are evicted BEFORE gating — so a later near-dup of an
+    expired document is ADMITTED, the index size is bounded by the
+    horizon's document flow instead of growing monotonically forever,
+    and — because the cutoff derives from event time in the data, not
+    wall clock — replays stay byte-idempotent.  The same idea as the
+    watermark bounding streaming_content_dedup's state, applied to a
+    foreachBatch-owned table."""
     from specialsid_spark.queries.dedup import lsh_band_keys
 
     docs = spark.readStream.schema("doc_id long, ts timestamp, text string").json(
@@ -1038,23 +1048,44 @@ def streaming_neardup_ingest(
 
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        bands = lsh_band_keys(batch_df.select("doc_id", "text")).localCheckpoint(
-            eager=True
+        bands = (
+            lsh_band_keys(batch_df.select("doc_id", "text"))
+            .join(batch_df.select("doc_id", "ts"), "doc_id")
+            .localCheckpoint(eager=True)
         )
+        cutoff = None
+        if retention_seconds is not None:
+            # event-time horizon: data-derived (replay-idempotent),
+            # 1-row bounded collect
+            mx = batch_df.agg(F.max("ts")).collect()[0][0]
+            if mx is not None:
+                import datetime as _dt  # noqa: PLC0415
+
+                cutoff = mx - _dt.timedelta(seconds=retention_seconds)
 
         def combine(current: DataFrame | None) -> DataFrame:
             if current is None:
                 prior_bands = None
-                prior_rows = None
+                prior_docs = None
             else:
                 current = current.localCheckpoint(eager=True)
                 prior_bands = current.filter(F.col("kind") == "band").select(
-                    "band", "bkey"
+                    "band", "bkey", "last_seen"
                 )
-                prior_rows = current
+                if cutoff is not None:
+                    # evict BEFORE gating: an expired bucket no longer
+                    # blocks, and no longer occupies state
+                    prior_bands = prior_bands.filter(
+                        F.col("last_seen") >= F.lit(cutoff)
+                    )
+                prior_docs = current.filter(F.col("kind") == "doc")
             # dup if any band bucket is occupied by a prior batch ...
             hit_prior = (
-                bands.join(prior_bands, ["band", "bkey"], "left_semi")
+                bands.join(
+                    prior_bands.select("band", "bkey"),
+                    ["band", "bkey"],
+                    "left_semi",
+                )
                 if prior_bands is not None
                 else bands.limit(0)
             )
@@ -1077,21 +1108,35 @@ def streaming_neardup_ingest(
                     F.lit(None).cast("int").alias("band"),
                     F.lit(None).cast("string").alias("bkey"),
                     "doc_id",
+                    F.lit(None).cast("timestamp").alias("last_seen"),
                 )
             )
-            new_bands = bands.select("band", "bkey").distinct().select(
-                F.lit("band").alias("kind"),
-                F.col("band").cast("int").alias("band"),
-                "bkey",
-                F.lit(None).cast("long").alias("doc_id"),
+            new_bands = bands.groupBy("band", "bkey").agg(
+                F.max("ts").alias("last_seen")
             )
-            out = kept.unionByName(new_bands)
-            if prior_rows is not None:
-                out = (
-                    prior_rows.select("kind", "band", "bkey", "doc_id")
-                    .unionByName(out)
-                    .distinct()
+            all_bands = (
+                new_bands.unionByName(prior_bands)
+                if prior_bands is not None
+                else new_bands
+            )
+            band_rows = (
+                all_bands.groupBy("band", "bkey")
+                .agg(F.max("last_seen").alias("last_seen"))
+                .select(
+                    F.lit("band").alias("kind"),
+                    F.col("band").cast("int").alias("band"),
+                    "bkey",
+                    F.lit(None).cast("long").alias("doc_id"),
+                    "last_seen",
                 )
+            )
+            out = kept.unionByName(band_rows)
+            if prior_docs is not None:
+                out = out.unionByName(
+                    prior_docs.select(
+                        "kind", "band", "bkey", "doc_id", "last_seen"
+                    )
+                ).distinct()
             return out
 
         crash_safe_summary_merge(

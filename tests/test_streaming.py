@@ -983,3 +983,97 @@ def test_streaming_neardup_replay_idempotent(spark, tmp_path):
         for r in spark.read.parquet(index).filter(F.col("kind") == "doc").collect()
     )
     assert after == before
+
+
+def test_streaming_neardup_retention_ages_buckets_out(spark, tmp_path):
+    """With a retention horizon, a band bucket last seen before
+    (batch max event time - horizon) is evicted BEFORE gating: a later
+    near-dup of the expired document is ADMITTED, and the persisted
+    index stays bounded (the expired band rows are gone) — while
+    inside the horizon the same near-dup is still dropped."""
+    from pyspark.sql import functions as F
+
+    from specialsid_spark.streaming.pipeline import streaming_neardup_ingest
+
+    text = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = text + " extra token"
+
+    def run(tag, batches, retention):
+        docs_dir = tmp_path / f"docs_{tag}"
+        docs_dir.mkdir()
+        index = str(tmp_path / f"{tag}_index")
+        ckpt = str(tmp_path / f"{tag}_ckpt")
+        for i, rows in enumerate(batches):
+            _write_docs(docs_dir / f"b{i}.json", rows)
+            streaming_neardup_ingest(
+                spark, str(docs_dir), index, ckpt, retention_seconds=retention
+            ).awaitTermination()
+        idx = spark.read.parquet(index)
+        kept = {r.doc_id for r in idx.filter(F.col("kind") == "doc").collect()}
+        n_bands = idx.filter(F.col("kind") == "band").count()
+        return kept, n_bands
+
+    b1 = [{"doc_id": 1, "ts": "2024-01-01 10:00:00", "text": text}]
+    b2 = [{"doc_id": 2, "ts": "2024-01-01 12:00:00", "text": near}]
+
+    # near-dup arrives 2 h later; 1 h horizon -> bucket expired -> ADMITTED
+    kept, n_bands = run("age", [b1, b2], retention=3600)
+    assert kept == {1, 2}
+    # the expired doc-1 bands were evicted; only doc-2's bands remain
+    assert n_bands == 4
+
+    # same flow inside the horizon (1 day) -> still DROPPED
+    kept, n_bands = run("keep", [b1, b2], retention=86400)
+    assert kept == {1}
+
+    # bounded state under continuous ingest: distinct texts, 1 h apart,
+    # 90 min horizon -> at most ~2 batches' bands alive at any time
+    batches = [
+        [{
+            "doc_id": i,
+            "ts": f"2024-01-01 {10 + i:02d}:00:00",
+            "text": f"wholly distinct document number {i} " * 3,
+        }]
+        for i in range(6)
+    ]
+    kept, n_bands = run("bound", batches, retention=5400)
+    assert kept == set(range(6))  # all unique: every doc admitted
+    assert n_bands <= 2 * 4  # horizon bound, NOT 6 batches x 4 bands
+
+
+def test_streaming_neardup_retention_replay_idempotent(spark, tmp_path):
+    """The event-time cutoff derives from the data, so replaying a
+    batch after a lost commit record reproduces the identical index."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from specialsid_spark.streaming.pipeline import streaming_neardup_ingest
+
+    docs_dir = tmp_path / "docs_rr"
+    docs_dir.mkdir()
+    index = str(tmp_path / "rr_index")
+    ckpt = str(tmp_path / "rr_ckpt")
+    _write_docs(
+        docs_dir / "b1.json",
+        [
+            {"doc_id": i, "ts": f"2024-01-01 10:{i:02d}:00", "text": f"unique text {i} " * 5}
+            for i in range(6)
+        ],
+    )
+    streaming_neardup_ingest(
+        spark, str(docs_dir), index, ckpt, retention_seconds=3600
+    ).awaitTermination()
+    snap = lambda: sorted(  # noqa: E731
+        (r.kind, r.band, r.bkey, r.doc_id, str(r.last_seen))
+        for r in spark.read.parquet(index).collect()
+    )
+    before = snap()
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    streaming_neardup_ingest(
+        spark, str(docs_dir), index, ckpt, retention_seconds=3600
+    ).awaitTermination()
+    assert snap() == before
