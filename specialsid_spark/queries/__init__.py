@@ -40,65 +40,20 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # (~50 entries).  To guarantee every query eventually gets a driver-side
 # CORRECTNESS row, names needing one are listed here and surfaced FIRST in
 # all_queries()/all_oracles(); everything else keeps module registration
-# order after them.  Round 6 (VERDICT #4 freshness rotation, computed
-# from CORRECTNESS_r01-r05.json): head = the 1 query NEW this round (no
-# driver row yet), then the full 39-query cohort whose NEWEST driver row
-# still dates to round 1, then the r2-latest cohort (26) — a ~50 budget
-# covers 1 + 39 + ~10 of those, leaving no query older than r2 after
-# this round; the r2 remainder heads the r7 rotation.
+# order after them.  Round 7 (VERDICT #4, recomputed from
+# CORRECTNESS_r01-r06.json): head = the 4 queries NEW this round (no
+# driver row yet), then the 7-query cohort whose NEWEST driver row still
+# dates to round 1 (the r6 rotation's budget ran out before them), then
+# the full r2 cohort (26), then the head of the r3 cohort — a ~50 budget
+# covers 4 + 7 + 26 + ~13 of those, leaving no registered query's newest
+# row older than r3 after this round.
 _PRIORITY: tuple[str, ...] = (
-    # new in round 6
-    "mm_pdf_objstm_text",
-    "mm_mp1_subband_decode",
-    "dedup_semantic_prune",
-    "cur_url_canonicalize",
-    "text_naive_bayes_confusion",
-    "graph_triangle_count",
-    "join_bucketed_colocated",
-    "src_csv_roundtrip",
-    "src_orc_roundtrip",
-    "src_jsonl_roundtrip",
-    "agg_exact_percentiles",
-    "ev_ewma_user_value",
-    "clean_snapshot_delete_rows",
-    "mm_pnm_roundtrip",
-    "cur_pseudonymize_ids",
-    "sim_ivf_trained_topk",
-    "ev_ols_trend_by_type",
-    "mm_exif_meta",
-    # newest driver row = r1 (39)
-    "agg_grouped_map_rank",
-    "agg_histogram_value_buckets",
-    "cur_train_test_split",
-    "cur_token_packing",
-    "cur_contamination_check",
-    "cur_gopher_repetition",
-    "cur_boilerplate_trigrams",
-    "cur_stratified_sample",
-    "cur_chunk_documents",
-    "cur_mixture_weights",
-    "dedup_exact_hash",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_candidates",
-    "dedup_simhash",
-    "dedup_embedding_cosine_top20",
-    "dedup_cc_clusters",
-    "pipeline_corpus_curation",
-    "dedup_simhash_hamming_pairs",
-    "dedup_repeated_spans",
-    "ev_tumbling_hourly",
-    "ev_sliding_1h_30m",
-    "ev_session_windows",
-    "ev_dedup_first_per_key",
-    "ev_json_props",
-    "ev_pivot_type_counts",
-    "ev_funnel_view_click_purchase",
-    "ev_retention_cohorts",
-    "ev_gapfill_hourly_value",
-    "win_range_interval_rolling",
-    "ev_rolling_7d_distinct_users",
-    "ev_interp_hourly_value",
+    # new in round 7
+    "mm_pdf_winansi_text",
+    "mm_tiff_roundtrip",
+    "clean_snapshot_update_rows",
+    "sim_ivf_from_table_topk",
+    # newest driver row = r1 (7)
     "fuzzy_levenshtein_blocked",
     "join_flagship_revenue",
     "join_left_order_counts",
@@ -133,6 +88,24 @@ _PRIORITY: tuple[str, ...] = (
     "set_intersect",
     "set_except",
     "set_union_all_counts",
+    # newest driver row = r3 (head of 33; remainder rotates in r8)
+    "text_unigram_surprisal",
+    "sim_lsh_multitable_topk",
+    "shape_unpivot_part_metrics",
+    "shape_posexplode_tokens",
+    "shape_pivot_lang_source",
+    "clean_map_normalize_segment",
+    "clean_slugify_names",
+    "clean_path_derive",
+    "clean_cast_nullify",
+    "clean_defaults_coalesce",
+    "clean_filter_pushdown_suffix",
+    "retail_date_window_parse",
+    "retail_flyer_days",
+    "emb_centroid_per_label",
+    "emb_norm_bands",
+    "emb_quantize_int8",
+    "cur_source_caps",
 )
 
 
