@@ -89,6 +89,14 @@ HEADLINE = [
     "agg_exact_percentiles",
     "sim_ivf_trained_topk",
     "ev_ols_trend_by_type",
+    # round-7 additions: the scale-safe token packing (distributed
+    # two-pass prefix sum — the r6 single-partition window rewritten)
+    # and search-from-persisted-index (training amortizes across calls:
+    # min-of-5 shows the steady-state search cost, which is the point).
+    # The new codec queries (TIFF, WinAnsi PDF) and the snapshot UPDATE
+    # stay excluded for the usual fixture-IO reason.
+    "cur_token_packing",
+    "sim_ivf_from_table_topk",
 ]
 
 

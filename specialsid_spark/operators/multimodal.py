@@ -541,6 +541,28 @@ def crop_png(blob: bytes, ymin: int, xmin: int, ymax: int, xmax: int) -> bytes |
     return encode_png(cw, chh, ch, out)
 
 
+def crop_raster(blob: bytes, ymin: int, xmin: int, ymax: int, xmax: int) -> bytes | None:
+    """Generic pixel crop through the universal ``decode_image`` entry
+    point (r7): covers the formats without a format-specific cropper —
+    TIFF and PNM — with the same clamp discipline as :func:`crop_png`;
+    output is always PNG (lossless re-encode)."""
+    dec = decode_image(blob)
+    if dec is None:
+        return None
+    w, h, ch, px = dec
+    ymin, ymax = max(0, min(h, ymin)), max(0, min(h, ymax))
+    xmin, xmax = max(0, min(w, xmin)), max(0, min(w, xmax))
+    cw, chh = xmax - xmin, ymax - ymin
+    if cw <= 0 or chh <= 0:
+        return None
+    stride = w * ch
+    out = bytearray()
+    for y in range(ymin, ymax):
+        off = y * stride + xmin * ch
+        out += px[off : off + cw * ch]
+    return encode_png(cw, chh, ch, out)
+
+
 def _decode_bytes(blob: bytes) -> tuple[int, int, str]:
     """Metadata decode: REAL header parse for recognized image containers
     (see parse_image_meta); deterministic hash-derived fallback for opaque
@@ -726,6 +748,9 @@ def crop_regions(
                     real = crop_jpeg(bytes(blob), ymin, xmin, ymax, xmax, out_format)
                 if real is None:
                     real = crop_gif(bytes(blob), ymin, xmin, ymax, xmax, out_format)
+                if real is None:
+                    # TIFF / PNM: the universal-decoder crop path (r7)
+                    real = crop_raster(bytes(blob), ymin, xmin, ymax, xmax)
                 if real is not None:
                     crops.append(real)
                     continue

@@ -127,3 +127,23 @@ def test_strip_codec_property(data, comp):
         w = max(1, len(data))
         blob = build_tiff(w, 1, 1, (data or b"\x00"), "none")
         assert decode_tiff(blob) == (w, 1, 1, data or b"\x00")
+
+
+def test_crop_regions_handles_tiff_payloads():
+    """crop_raster: a TIFF page image yields a REAL pixel crop (PNG),
+    not the byte-slice stub."""
+    from specialsid_spark.operators.multimodal import crop_raster, decode_image
+    from specialsid_spark.operators.pnm import encode_pnm
+
+    w, h = 16, 12
+    px = _noise(w * h * 3, seed=11)
+    blob = build_tiff(w, h, 3, px, "lzw", rows_per_strip=4)
+    crop = crop_raster(blob, 2, 3, 10, 13)
+    assert crop is not None and crop[:8] == b"\x89PNG\r\n\x1a\n"
+    cw, chh, cch, cpx = decode_image(crop)
+    assert (cw, chh, cch) == (10, 8, 3)
+    row = lambda y: px[(y * w + 3) * 3 : (y * w + 13) * 3]  # noqa: E731
+    assert bytes(cpx) == b"".join(row(y) for y in range(2, 10))
+    # PNM goes through the same path
+    crop2 = crop_raster(encode_pnm(w, h, 3, px), 2, 3, 10, 13)
+    assert crop2 is not None and decode_image(crop2)[3] == cpx
