@@ -53,6 +53,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_tiff_roundtrip",
     "clean_snapshot_update_rows",
     "sim_ivf_from_table_topk",
+    "dedup_image_dhash_pairs",
     # newest driver row = r1 (7)
     "fuzzy_levenshtein_blocked",
     "join_flagship_revenue",

@@ -2400,6 +2400,162 @@ def mm_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_image_dhash_pairs",
+    # Fixture images (36x32 gray): odd docs perturb their even sibling
+    # (+3 on a sparse diagonal mask), so the 32 planted near-dup pairs
+    # MUST surface; genuine dHash collisions between unrelated docs
+    # surface too — both engines compute them identically.  The box
+    # average (4x4 -> 9x8 grid) stays on the integer lattice (sum//16),
+    # so the hash is exact cross-engine.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    xs AS (SELECT unnest(range(0, 36)) AS x),
+    ys AS (SELECT unnest(range(0, 32)) AS y),
+    px AS (
+      SELECT d.doc_id, ys.y, xs.x,
+             (((d.doc_id - d.doc_id % 2) * 31 + xs.x)
+                * ((d.doc_id - d.doc_id % 2) % 9 + 2)
+              + ys.y * ((d.doc_id - d.doc_id % 2) % 5 + 1)
+              + (xs.x // 4) * (ys.y // 4) * ((d.doc_id - d.doc_id % 2) % 7)
+              + CASE WHEN d.doc_id % 2 = 1 AND (xs.x + ys.y) % 13 = 0
+                     THEN 3 ELSE 0 END
+             ) % 256 AS v
+      FROM docs d CROSS JOIN xs CROSS JOIN ys
+    ),
+    cells AS (
+      SELECT doc_id, y // 4 AS cy, x // 4 AS cx, SUM(v) // 16 AS cv
+      FROM px GROUP BY 1, 2, 3
+    ),
+    bits AS (
+      SELECT a.doc_id, a.cy * 8 + a.cx AS pos,
+             CASE WHEN b.cv > a.cv THEN 1 ELSE 0 END AS bit
+      FROM cells a JOIN cells b
+        ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+      WHERE a.cx < 8
+    ),
+    hashes AS (
+      SELECT doc_id,
+             SUM(CASE WHEN pos < 32
+                 THEN bit * (CAST(1 AS BIGINT) << pos) ELSE 0 END) AS h0,
+             SUM(CASE WHEN pos >= 32
+                 THEN bit * (CAST(1 AS BIGINT) << (pos - 32)) ELSE 0 END) AS h1
+      FROM bits GROUP BY 1
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.h0, b.h0))
+                + bit_count(xor(a.h1, b.h1)) AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 ∘ X3 (r7) — IMAGE near-duplicate detection via difference
+    hash: the multimodal member of the dedup family (MinHash/SimHash/
+    SemDeDup handle text and embeddings; corpora also carry re-encoded
+    / lightly-retouched image dups).  Per doc the fixture raster is
+    written as a REAL TIFF (LZW strips) and decoded back through
+    ``decode_image`` — the codec runs inside the dedup pipeline, not
+    beside it — then box-averaged to a 9×8 grid (integer lattice,
+    sum // 16) whose horizontal gradient signs form a 64-bit dHash in
+    two 32-bit halves.  Candidate pairs come from the SimHash-style
+    pigeonhole block join (4 × 16-bit blocks: any pair within Hamming
+    radius 3 must agree on ≥1 block), then the exact Hamming distance
+    filters.
+
+    Scale shape: hashing is per-doc mapInPandas (embarrassingly
+    parallel); the self-join carries only (block, value) pairs — 4 rows
+    of 10 bytes per image, never pixels — and block equality bounds
+    the candidate set exactly as dedup_simhash64_radius3_pairs does at
+    1e9 docs."""
+    import numpy as np
+    import pandas as pd
+
+    from specialsid_spark.operators.multimodal import decode_image
+    from specialsid_spark.operators.tiff import build_tiff
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                base = doc_id - (doc_id % 2)
+                yy, xx = np.mgrid[0:32, 0:36]
+                a = (
+                    ((base * 31 + xx) * (base % 9 + 2)
+                     + yy * (base % 5 + 1)
+                     + (xx // 4) * (yy // 4) * (base % 7))
+                ) % 256
+                if doc_id % 2:
+                    a = (a + 3 * (((xx + yy) % 13) == 0)) % 256
+                blob = build_tiff(36, 32, 1, a.astype(np.uint8).tobytes(), "lzw")
+                w, h, _ch, px = decode_image(blob)
+                cells = (
+                    np.frombuffer(px, dtype=np.uint8)
+                    .reshape(h, w)
+                    .reshape(8, 4, 9, 4)
+                    .astype(np.int64)
+                    .sum(axis=(1, 3))
+                    // 16
+                )
+                grad = (cells[:, 1:] > cells[:, :-1]).astype(np.int64).ravel()
+                h0 = int((grad[:32] << np.arange(32)).sum())
+                h1 = int((grad[32:] << np.arange(32)).sum())
+                out.append((doc_id, h0, h1))
+            yield pd.DataFrame(out, columns=["doc_id", "h0", "h1"]).astype(
+                {"doc_id": "int64", "h0": "int64", "h1": "int64"}
+            )
+
+    hashes = (
+        d.select("doc_id")
+        .mapInPandas(fn, "doc_id long, h0 long, h1 long")
+        .localCheckpoint(eager=True)
+    )
+    # pigeonhole block join: 4 x 16-bit blocks, radius 3 -> >=1 equal
+    blocks = hashes.select(
+        "doc_id",
+        "h0",
+        "h1",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("blk"), (F.col("h0") % 65536).alias("bv")),
+                F.struct(
+                    F.lit(1).alias("blk"),
+                    (F.col("h0") / 65536).cast("long").alias("bv"),
+                ),
+                F.struct(F.lit(2).alias("blk"), (F.col("h1") % 65536).alias("bv")),
+                F.struct(
+                    F.lit(3).alias("blk"),
+                    (F.col("h1") / 65536).cast("long").alias("bv"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "h0", "h1", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                F.bit_count(F.col("a.h0").bitwiseXOR(F.col("b.h0")))
+                + F.bit_count(F.col("a.h1").bitwiseXOR(F.col("b.h1")))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+@register(
     "mm_exif_meta",
     oracle=f"""
     WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS})
