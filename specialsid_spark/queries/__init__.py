@@ -54,6 +54,7 @@ _PRIORITY: tuple[str, ...] = (
     "clean_snapshot_update_rows",
     "sim_ivf_from_table_topk",
     "dedup_image_dhash_pairs",
+    "ev_scd2_user_segments",
     # newest driver row = r1 (7)
     "fuzzy_levenshtein_blocked",
     "join_flagship_revenue",

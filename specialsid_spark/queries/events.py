@@ -789,3 +789,61 @@ def ev_ols_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_events"),
         F.round(num / den, 6).alias("slope_cents_per_hour"),
     ).orderBy("event_type")
+
+
+_ANSI_SCD2_SQL = """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value < 21 THEN 'low'
+                  WHEN value < 57 THEN 'mid'
+                  ELSE 'high' END AS segment
+      FROM events
+    ),
+    o AS (
+      SELECT user_id, ts, event_id, segment,
+             lag(segment) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev_seg
+      FROM e
+    ),
+    chg AS (
+      SELECT user_id, ts, event_id, segment
+      FROM o WHERE prev_seg IS NULL OR segment <> prev_seg
+    )
+    SELECT user_id, segment,
+           CAST(valid_from AS STRING) AS valid_from,
+           CAST(valid_to AS STRING) AS valid_to,
+           CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT)
+             AS is_current
+    FROM (
+      SELECT user_id, segment, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM chg
+    )
+    ORDER BY user_id, valid_from
+"""
+
+
+@register("ev_scd2_user_segments", oracle=_ANSI_SCD2_SQL)
+def ev_scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 build (r7) — the dimension-
+    maintenance pass every warehouse pipeline runs: derive each user's
+    value-band segment per event, keep only CHANGE points (lag() over
+    the per-user event order, event_id as the deterministic tiebreak),
+    and close each change's validity interval with lead() — open
+    intervals (valid_to IS NULL) are the current rows.  One shared
+    ANSI string runs verbatim on both engines (the ev_ewma lesson:
+    textual identity kills dialect-mismatch bugs); timestamps are
+    emitted as CAST(... AS STRING), which both engines render
+    identically for micro-precision values.
+
+    Scale shape: one shuffle on user_id + one per-partition sort
+    serves BOTH window functions (same partitioning and ordering —
+    Catalyst runs them in a single Window node pair over one sort);
+    change-point compaction shrinks the data before the interval
+    close, exactly how an SCD2 build over 100 TB of change logs
+    stays one-pass."""
+    from specialsid_spark.catalog import register_all  # noqa: PLC0415
+
+    register_all(spark, sf_dir)
+    return spark.sql(_ANSI_SCD2_SQL)
