@@ -97,6 +97,9 @@ HEADLINE = [
     # stay excluded for the usual fixture-IO reason.
     "cur_token_packing",
     "sim_ivf_from_table_topk",
+    # DOULION runs the FULL dense co-purchase graph (the exact count is
+    # deliberately sliced); its sampled join is the graph-scale path
+    "graph_triangle_doulion",
 ]
 
 

@@ -55,6 +55,7 @@ _PRIORITY: tuple[str, ...] = (
     "sim_ivf_from_table_topk",
     "dedup_image_dhash_pairs",
     "ev_scd2_user_segments",
+    "graph_triangle_doulion",
     # newest driver row = r1 (7)
     "fuzzy_levenshtein_blocked",
     "join_flagship_revenue",

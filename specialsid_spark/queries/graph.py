@@ -204,3 +204,89 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_edges).cast("long").alias("n_edges"),
         F.lit(n_nodes).cast("long").alias("n_nodes"),
     )
+
+
+@register(
+    "graph_triangle_doulion",
+    oracle="""
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    sampled AS MATERIALIZED (
+      SELECT u, v FROM edges
+      WHERE ('0x' || substring(md5(CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR)), 1, 8))::BIGINT % 4 = 0
+    ),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM sampled e1
+      JOIN sampled e2 ON e2.u = e1.v
+      JOIN sampled e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST(tri.t * 64 AS BIGINT) AS est_triangles,
+           CAST(tri.t AS BIGINT) AS sampled_triangles,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges_full,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sampled) AS n_edges_sampled
+    FROM tri
+    """,
+)
+def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION (Tsourakakis et al., KDD'09) — the published answer to
+    the dense-graph problem graph_triangle_count's docstring names:
+    keep each edge with probability p (here the DETERMINISTIC coin
+    md5(u_v) % 4 == 0, p = 1/4, so both engines and every rerun sample
+    the identical subgraph), count triangles exactly on the sampled
+    graph, scale by 1/p³ = 64 for an unbiased estimate.  Runs on the
+    FULL supplier co-purchase projection — the near-complete graph
+    whose exact count measured 23 s at sf0.1 — because the sampled
+    triangle join costs p³ of the dense join while edge construction
+    stays the cheap per-order self-join.
+
+    Scale shape: at 100 TB the p knob trades variance for join volume
+    (variance ∝ 1/p³ per the paper's Chebyshev bound); the sampling
+    coin is a hash of the edge itself, so no state, no RNG service,
+    and exact reproducibility — the same property every sampling
+    operator in this repo keys on."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.col("u").cast("string"), F.col("v").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 4
+    )
+    sampled = edges.filter(coin == 0).localCheckpoint(eager=True)
+    e1, e2, e3 = sampled.alias("e1"), sampled.alias("e2"), sampled.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    n_full = edges.count()
+    n_samp = sampled.count()
+    return tri.select(
+        (F.col("t") * 64).cast("long").alias("est_triangles"),
+        F.col("t").cast("long").alias("sampled_triangles"),
+        F.lit(n_full).cast("long").alias("n_edges_full"),
+        F.lit(n_samp).cast("long").alias("n_edges_sampled"),
+    )
