@@ -56,6 +56,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_image_dhash_pairs",
     "ev_scd2_user_segments",
     "graph_triangle_doulion",
+    "src_xml_roundtrip",
     # newest driver row = r1 (7)
     "fuzzy_levenshtein_blocked",
     "join_flagship_revenue",

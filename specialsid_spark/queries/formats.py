@@ -95,14 +95,18 @@ def _summarize(df: DataFrame) -> DataFrame:
     )
 
 
-_SQL_SUMMARY = f"""
+def _sql_summary(tricky_expr: str) -> str:
+    return f"""
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
            CAST(SUM({_sql_ck("text")}) AS BIGINT) AS text_ck,
-           CAST(SUM({_sql_ck(_SQL_TRICKY)}) AS BIGINT) AS tricky_ck
+           CAST(SUM({_sql_ck(tricky_expr)}) AS BIGINT) AS tricky_ck
     FROM documents
     GROUP BY lang ORDER BY lang
 """
+
+
+_SQL_SUMMARY = _sql_summary(_SQL_TRICKY)
 
 
 def _docs_with_tricky(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,3 +165,55 @@ def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda d: _docs_with_tricky(spark, sf_dir).write.mode("overwrite").json(d),
     )
     return _summarize(spark.read.schema(_DOCS_SCHEMA).json(out))
+
+
+# XML-hostile content: raw markup chars (< > &), an attribute-style
+# quote, the CDATA end marker, a literal pre-escaped entity (&amp;)
+# that a naive double-unescape would corrupt, and a real newline.
+def _tricky_xml(doc_id: F.Column) -> F.Column:
+    return F.concat(
+        F.lit('<t &a="'),
+        doc_id.cast("string"),
+        F.lit('">]]>\n&amp;'),
+        doc_id.cast("string"),
+    )
+
+
+_SQL_TRICKY_XML = (
+    "'<t &a=\"' || CAST(doc_id AS VARCHAR) || '\">]]>' || chr(10)"
+    " || '&amp;' || CAST(doc_id AS VARCHAR)"
+)
+
+
+@register("src_xml_roundtrip", oracle=_sql_summary(_SQL_TRICKY_XML))
+def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source (r7) — Spark 4's NATIVE XML data source (the
+    spark-xml package folded into core), the fourth interchange format
+    after CSV/ORC/JSONL: feeds and enterprise dumps still arrive as
+    XML.  The adversarial column packs every XML escaping hazard — raw
+    < > & and ", the CDATA terminator ]]>, a literal &amp; entity that
+    a double-unescape would corrupt, and an embedded newline — and the
+    checksum aggregate proves value-level fidelity through the entity
+    escaping layer both ways.
+
+    Scale note: like multiLine CSV, XML rows can span lines, so files
+    split on the rowTag boundary scanner — many medium files
+    parallelize; one giant file is the anti-pattern (documented
+    trade-off shared with every row-spanning text format)."""
+    out = _roundtrip_dir(
+        "xml",
+        sf_dir,
+        lambda d: load(spark, sf_dir, "documents")
+        .withColumn("tricky", _tricky_xml(F.col("doc_id")))
+        .write.mode("overwrite")
+        .format("xml")
+        .options(rootTag="docs", rowTag="doc")
+        .save(d),
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema(_DOCS_SCHEMA)
+        .load(out)
+    )
+    return _summarize(back)
