@@ -57,6 +57,7 @@ _PRIORITY: tuple[str, ...] = (
     "ev_scd2_user_segments",
     "graph_triangle_doulion",
     "src_xml_roundtrip",
+    "pipeline_entity_resolution",
     # newest driver row = r1 (7)
     "fuzzy_levenshtein_blocked",
     "join_flagship_revenue",

@@ -379,3 +379,141 @@ def fuzzy_phonetic_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pkey")
     )
+
+
+@register(
+    "pipeline_entity_resolution",
+    oracle=f"""
+    WITH RECURSIVE keyed AS (
+      SELECT p_partkey, p_name, p_brand,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+             {_PHONETIC_KEY_DUCK} AS pkey
+      FROM part
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT keyed.*, row_number() OVER (PARTITION BY pkey ORDER BY p_partkey) AS rn
+        FROM keyed
+      ) WHERE rn <= 256
+    ),
+    pairs AS (
+      SELECT a.p_partkey AS pa, b.p_partkey AS pb
+      FROM capped a JOIN capped b
+        ON a.pkey = b.pkey AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 4
+    ),
+    edges AS (SELECT pa AS a, pb AS b FROM pairs
+              UNION ALL SELECT pb, pa FROM pairs),
+    nodes AS (SELECT DISTINCT a AS k FROM edges),
+    reach(k, root) AS (
+      SELECT k, k FROM nodes
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.k
+    ),
+    lab AS (SELECT k, MIN(root) AS cluster_id FROM reach GROUP BY k)
+    SELECT CAST(l.cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MAX(CASE WHEN c.p_partkey = l.cluster_id THEN c.p_name END)
+             AS canonical_name,
+           MIN(c.p_brand) AS brand_min,
+           CAST(SUM(c.cents) AS BIGINT) AS sum_cents
+    FROM lab l JOIN capped c ON c.p_partkey = l.k
+    GROUP BY l.cluster_id
+    ORDER BY cluster_id
+    """,
+)
+def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ENTITY-RESOLUTION pipeline in one oracle-checked query
+    (r7) — block → match → cluster → survivorship, the composition a
+    retail catalog actually runs (the reference's brand/unit
+    normalization is the per-record half; this is the cross-record
+    half):
+
+    1. BLOCK on the portable phonetic key (same soundex-style chain as
+       fuzzy_phonetic_blocked, 256-row block caps — ΣB² stays bounded);
+    2. MATCH within blocks by levenshtein(name) <= 4 (pairwise only
+       inside blocks, never corpus×corpus);
+    3. CLUSTER matches via min-label-propagation connected components
+       (the dedup_cc_clusters kernel; the oracle states the same
+       fixpoint as a recursive CTE);
+    4. SURVIVORSHIP: each cluster's golden record is its lowest-key
+       member (canonical name carried), with deterministic merge rules
+       for the rest (min brand, exact integer-cents price sum).
+
+    Scale shape: every stage is bounded — key projection is codegen'd,
+    the match join shuffles on pkey with capped blocks, CC iterations
+    shuffle |edges| with lineage-truncating checkpoints, survivorship
+    is one groupBy on cluster_id."""
+    p = load_parallel(spark, sf_dir, "part").selectExpr(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "CAST(round(p_retailprice * 100) AS BIGINT) AS cents",
+        f"{_PHONETIC_KEY} AS pkey",
+    )
+    w = Window.partitionBy("pkey").orderBy("p_partkey")
+    capped = (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 256)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.pkey") == F.col("b.pkey"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 4)
+        .select(F.col("a.p_partkey").alias("pa"), F.col("b.p_partkey").alias("pb"))
+    )
+    edges = (
+        pairs.selectExpr("pa AS a", "pb AS b")
+        .unionAll(pairs.selectExpr("pb AS a", "pa AS b"))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("k"))
+        .distinct()
+        .withColumn("cluster_id", F.col("k"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # diameter bound; near-dup clusters are shallow
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.k)
+            .groupBy(F.col("a").alias("k"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "k", "left")
+            .select(
+                "k",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "k")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.join(capped, labels.k == capped.p_partkey)
+        .groupBy(F.col("cluster_id").cast("long").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(
+                F.when(F.col("p_partkey") == F.col("cluster_id"), F.col("p_name"))
+            ).alias("canonical_name"),
+            F.min("p_brand").alias("brand_min"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("cluster_id")
+    )
