@@ -58,6 +58,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_triangle_doulion",
     "src_xml_roundtrip",
     "pipeline_entity_resolution",
+    "src_python_datasource_scan",
     # newest driver row = r1 (7)
     "fuzzy_levenshtein_blocked",
     "join_flagship_revenue",

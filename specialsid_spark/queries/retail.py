@@ -1087,3 +1087,95 @@ def clean_snapshot_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_rewritten).cast("int").alias("n_files_rewritten"),
         F.lit(n_before).cast("int").alias("n_files_before"),
     )
+
+
+@register(
+    "src_python_datasource_scan",
+    # Same three rank-third commits as the DELETE/UPDATE twins; the
+    # [p40, p60] band is read through the custom Python DataSource
+    # whose pushFilters prunes the manifest to the single intersecting
+    # file at PLANNING time (pytest pins the partition count; Spark
+    # re-applies the filters row-level, so values stay exact).
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS ok,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents_v
+      FROM orders WHERE o_orderkey < 6000
+    ),
+    r AS (
+      SELECT ok, cents_v,
+             row_number() OVER (ORDER BY ok) AS rn,
+             count(*) OVER () AS n
+      FROM o
+    ),
+    b AS (
+      SELECT MIN(CASE WHEN rn = CAST(floor(0.4 * n) + 1 AS BIGINT) THEN ok END) AS lo,
+             MIN(CASE WHEN rn = CAST(floor(0.6 * n) AS BIGINT) THEN ok END) AS hi
+      FROM r
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents_v) AS BIGINT) AS sum_cents,
+           CAST(min(ok) AS BIGINT) AS min_ok,
+           CAST(max(ok) AS BIGINT) AS max_ok
+    FROM r, b WHERE r.ok >= b.lo AND r.ok <= b.hi
+    """,
+)
+def src_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family, r7 — the Spark 4 PYTHON DATASOURCE surface
+    (sources/pyds.py): the snapshot table format exposed as a
+    first-class `spark.read.format(...)` source with partition
+    planning FROM THE MANIFEST (one InputPartition per file) and
+    planning-time filter pushdown (pushFilters prunes files by the
+    manifest's per-file [min, max] — the snapshot_scan contract behind
+    the standard reader API).  Reads are pyarrow RecordBatches — the
+    vectorized path, no per-row Python.  The band filter must land on
+    exactly one of the three committed files (pinned by
+    tests/test_pyds.py); values are exact because Spark re-applies
+    every filter row-level.
+
+    Scale shape: planning cost is one small JSON manifest; scan
+    parallelism is file-granular; pruning work is O(files), not
+    O(rows)."""
+    from pathlib import Path
+
+    from pyspark.sql.window import Window
+
+    from specialsid_spark.operators.snapshot import snapshot_commit_stats
+    from specialsid_spark.queries._determinism import cents
+    from specialsid_spark.sources.pyds import register_snapshot_source
+    from specialsid_spark.session import session_workdir
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 6000)
+        .select(
+            F.col("o_orderkey").alias("ok"),
+            cents("o_totalprice").alias("cents_v"),
+        )
+    )
+    ranked = o.withColumn("rn", F.row_number().over(Window.orderBy("ok")))
+    n = ranked.count()
+    chunk = F.floor((F.col("rn") - 1) * 3 / n)
+    lo, hi = (
+        ranked.where(F.col("rn").isin(int(0.4 * n) + 1, int(0.6 * n)))
+        .agg(F.min("ok"), F.max("ok"))
+        .collect()[0]
+    )
+    work = Path(session_workdir("specialsid_pyds_"))
+    t = str(work / "tbl")
+    for c in range(3):
+        part = ranked.where(chunk == c).select("ok", "cents_v").coalesce(1)
+        snapshot_commit_stats(part, t, ["ok"], mode="append")
+    register_snapshot_source(spark)
+    df = (
+        spark.read.format("specialsid_snapshot")
+        .schema("ok long, cents_v long")
+        .option("path", t)
+        .load()
+    )
+    return df.filter((F.col("ok") >= lo) & (F.col("ok") <= hi)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents_v").cast("long").alias("sum_cents"),
+        F.min("ok").cast("long").alias("min_ok"),
+        F.max("ok").cast("long").alias("max_ok"),
+    )

@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource filter pushdown (sources/pyds.py): planning-
+        # time manifest-file pruning inside pushFilters(); off by
+        # default in Spark 4, correctness-neutral (all filters are
+        # returned unsupported and re-applied row-level)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # fixture events.parquet stores TIMESTAMP(NANOS); read as long, convert in catalog.load
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

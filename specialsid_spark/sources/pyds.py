@@ -1,0 +1,140 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource`) over the
+manifest-snapshot table format (operators/snapshot.py) — the newest
+extension surface in the engine's source family (SURVEY.md §2.1: the
+reference's "query surface" is a catalog over files; this is the
+programmable version of that idea).
+
+What it demonstrates, each a first-class capability of the new API:
+
+* **Partition planning from metadata**: `partitions()` returns one
+  `InputPartition` per manifest FILE — the Iceberg/Delta pattern where
+  the table format, not a directory listing, decides the parallelism.
+* **Filter pushdown into Python** (`pushFilters`): comparison filters
+  on stats-tracked columns prune entire files at PLANNING time using
+  the manifest's per-file [min, max] — the same never-drop-data
+  contract as `snapshot_scan` (a file without stats is always read).
+  Every filter is returned as unsupported so Spark re-applies it
+  row-level: pruning is a performance layer, never a correctness one.
+* **Arrow-batch reads**: `read()` yields pyarrow RecordBatches straight
+  from the parquet file — the vectorized path, no per-row Python.
+
+At 100 TB this shape is how a Python-implemented table format stays
+usable: planning cost is one small JSON manifest, scan parallelism is
+file-granular, and the row data never materializes as Python objects.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+
+def _latest_manifest(path: str) -> dict:
+    mdir = Path(path) / "_manifests"
+    versions = sorted(
+        int(p.stem[1:]) for p in mdir.glob("v*.json") if p.stem[1:].isdigit()
+    )
+    if not versions:
+        raise ValueError(f"no snapshot versions at {path!r}")
+    return json.loads((mdir / f"v{versions[-1]}.json").read_text())
+
+
+class SnapshotFilePartition(InputPartition):
+    def __init__(self, file_path: str) -> None:
+        self.file_path = file_path
+
+
+class SnapshotReader(DataSourceReader):
+    def __init__(self, path: str) -> None:
+        self._root = path
+        m = _latest_manifest(path)
+        self._files: list[str] = list(m["files"])
+        self._stats: dict = m.get("stats", {})
+
+    def pushFilters(self, filters: list[Filter]):  # noqa: N802 (API name)
+        """Prune manifest files whose [min, max] cannot satisfy an
+        AND-ed comparison filter on a stats-tracked top-level column.
+        Returns ALL filters as unsupported — Spark re-applies them
+        row-level, so a pruning bug can only cost performance if it
+        keeps too much, and the never-drop rule (stats-less file or
+        un-prunable filter shape => keep) covers the rest."""
+        for f in filters:
+            bound = self._bound(f)
+            if bound is None:
+                continue
+            col, lo, hi = bound
+            kept = []
+            for rel in self._files:
+                rng = self._stats.get(rel, {}).get(col)
+                if rng is None or (rng[0] <= hi and rng[1] >= lo):
+                    kept.append(rel)
+            self._files = kept
+        return filters  # Spark re-applies everything row-level
+
+    @staticmethod
+    def _bound(f: Filter):
+        """(column, lo, hi) survivable range for one comparison filter
+        on a top-level column, or None when the shape is un-prunable."""
+        inf = float("inf")
+        if not isinstance(
+            f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+        ):
+            return None
+        if len(f.attribute) != 1 or not isinstance(f.value, (int, float)):
+            return None
+        col = f.attribute[0]
+        if isinstance(f, EqualTo):
+            return col, f.value, f.value
+        if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+            # conservative: treat strict > as >= (may keep one extra file)
+            return col, f.value, inf
+        return col, -inf, f.value
+
+    def partitions(self):
+        return [
+            SnapshotFilePartition(os.path.join(self._root, rel))
+            for rel in self._files
+        ]
+
+    def read(self, partition: SnapshotFilePartition):
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        yield from pq.read_table(partition.file_path).to_batches()
+
+
+class SnapshotDataSource(DataSource):
+    """``spark.read.format("specialsid_snapshot").schema(ddl)
+    .option("path", table).load()`` — schema is caller-declared (the
+    engine's snapshot tables are written by this repo, so the schema is
+    always known; inference would re-open a file at planning time)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "specialsid_snapshot"
+
+    def reader(self, schema) -> SnapshotReader:
+        return SnapshotReader(self.options["path"])
+
+
+_REGISTERED: set[int] = set()
+
+
+def register_snapshot_source(spark) -> None:
+    """Idempotent per-session registration."""
+    key = id(spark)
+    if key not in _REGISTERED:
+        spark.dataSource.register(SnapshotDataSource)
+        _REGISTERED.add(key)

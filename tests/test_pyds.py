@@ -1,0 +1,72 @@
+"""Custom Python DataSource (sources/pyds.py): manifest partition
+planning, planning-time filter pruning, never-drop conservatism."""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    IsNotNull,
+    LessThanOrEqual,
+)
+
+from specialsid_spark.operators.snapshot import (
+    snapshot_commit,
+    snapshot_commit_stats,
+)
+from specialsid_spark.sources.pyds import SnapshotReader, register_snapshot_source
+
+
+def _table(spark, tmp_path, with_stats=True):
+    t = str(tmp_path / "tbl")
+    commit = snapshot_commit_stats if with_stats else None
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        df = spark.range(lo, hi).selectExpr("id", "id * 10 AS v").coalesce(1)
+        if with_stats:
+            snapshot_commit_stats(df, t, ["id"], mode="append")
+        else:
+            snapshot_commit(df, t, mode="append")
+    return t
+
+
+def test_read_and_rowlevel_filter(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    register_snapshot_source(spark)
+    df = (
+        spark.read.format("specialsid_snapshot")
+        .schema("id long, v long")
+        .option("path", t)
+        .load()
+    )
+    assert df.count() == 300
+    got = df.filter("id >= 120 AND id <= 180").selectExpr(
+        "count(*) AS n", "sum(v) AS s"
+    ).collect()[0]
+    assert (got.n, got.s) == (61, 91500)
+
+
+def test_planning_time_file_pruning(spark, tmp_path):
+    r = SnapshotReader(_table(spark, tmp_path))
+    assert len(r.partitions()) == 3
+    r.pushFilters([GreaterThanOrEqual(("id",), 120), LessThanOrEqual(("id",), 180)])
+    assert len(r.partitions()) == 1
+    r2 = SnapshotReader(_table(spark, tmp_path / "b"))
+    r2.pushFilters([EqualTo(("id",), 250)])
+    assert len(r2.partitions()) == 1
+    # strict > is treated conservatively as >= (may keep one extra file)
+    r3 = SnapshotReader(_table(spark, tmp_path / "c"))
+    r3.pushFilters([GreaterThan(("id",), 199)])
+    assert len(r3.partitions()) == 2
+
+
+def test_pruning_is_conservative(spark, tmp_path):
+    # stats-less files are always kept; un-prunable filters keep all
+    t = _table(spark, tmp_path, with_stats=False)
+    r = SnapshotReader(t)
+    r.pushFilters([EqualTo(("id",), 50)])
+    assert len(r.partitions()) == 3
+    t2 = _table(spark, tmp_path / "b")
+    r2 = SnapshotReader(t2)
+    r2.pushFilters([IsNotNull(("id",))])
+    assert len(r2.partitions()) == 3
