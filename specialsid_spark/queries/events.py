@@ -837,12 +837,11 @@ def ev_scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted as CAST(... AS STRING), which both engines render
     identically for micro-precision values.
 
-    Scale shape: one shuffle on user_id + one per-partition sort
-    serves BOTH window functions (same partitioning and ordering —
-    Catalyst runs them in a single Window node pair over one sort);
-    change-point compaction shrinks the data before the interval
-    close, exactly how an SCD2 build over 100 TB of change logs
-    stays one-pass."""
+    Scale shape: both windows hash-partition on user_id, so the lead()
+    over change points reuses the lag() stage's Exchange (one shuffle
+    total; its own local sort runs over the already-COMPACTED change
+    rows, a small fraction of the log) — exactly how an SCD2 build
+    over 100 TB of change logs stays one-shuffle."""
     from specialsid_spark.catalog import register_all  # noqa: PLC0415
 
     register_all(spark, sf_dir)
