@@ -32,6 +32,7 @@ from pathlib import Path
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -42,14 +43,26 @@ from pyspark.sql.datasource import (
 )
 
 
-def _latest_manifest(path: str) -> dict:
+def _versions(path: str) -> list[int]:
     mdir = Path(path) / "_manifests"
-    versions = sorted(
+    if not mdir.is_dir():
+        return []
+    return sorted(
         int(p.stem[1:]) for p in mdir.glob("v*.json") if p.stem[1:].isdigit()
     )
+
+
+def _manifest(path: str, version: int) -> dict:
+    return json.loads(
+        (Path(path) / "_manifests" / f"v{version}.json").read_text()
+    )
+
+
+def _latest_manifest(path: str) -> dict:
+    versions = _versions(path)
     if not versions:
         raise ValueError(f"no snapshot versions at {path!r}")
-    return json.loads((mdir / f"v{versions[-1]}.json").read_text())
+    return _manifest(path, versions[-1])
 
 
 class SnapshotFilePartition(InputPartition):
@@ -115,11 +128,68 @@ class SnapshotReader(DataSourceReader):
         yield from pq.read_table(partition.file_path).to_batches()
 
 
+class SnapshotStreamReader(DataSourceStreamReader):
+    """The snapshot table as a STREAM SOURCE — every committed version
+    is a micro-batch (the Delta/Iceberg "table as a change stream"
+    pattern, via the Python DataSourceStreamReader API):
+
+    * offsets are manifest VERSION numbers ({"version": N}), so the
+      checkpoint pins exactly which commits were consumed —
+      exactly-once across restarts for free;
+    * the first batch delivers the table as of the latest version at
+      start (versions 1..N together), then each later commit streams
+      only its NEW files;
+    * APPEND-ONLY contract: a non-append version (overwrite / delete /
+      update / compact) raises instead of silently emitting wrong
+      deltas — rewritten files would double-deliver rows.  That is the
+      same loud contract streaming readers of real lakehouse tables
+      default to.
+    """
+
+    def __init__(self, path: str) -> None:
+        self._root = path
+
+    def initialOffset(self) -> dict:  # noqa: N802 (API name)
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        vs = _versions(self._root)
+        return {"version": vs[-1] if vs else 0}
+
+    def partitions(self, start: dict, end: dict):
+        parts: list[SnapshotFilePartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            m = _manifest(self._root, v)
+            if v > 1 and m.get("op", "append") != "append":
+                raise ValueError(
+                    f"version {v} is op={m.get('op')!r}: the snapshot "
+                    "stream source is append-only (rewritten files "
+                    "would double-deliver rows)"
+                )
+            prev = set(_manifest(self._root, v - 1)["files"]) if v > 1 else set()
+            for rel in m["files"]:
+                if rel not in prev:
+                    parts.append(
+                        SnapshotFilePartition(os.path.join(self._root, rel))
+                    )
+        return parts
+
+    def read(self, partition: SnapshotFilePartition):
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        yield from pq.read_table(partition.file_path).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the Spark checkpoint; nothing to clean
+
+
 class SnapshotDataSource(DataSource):
     """``spark.read.format("specialsid_snapshot").schema(ddl)
     .option("path", table).load()`` — schema is caller-declared (the
     engine's snapshot tables are written by this repo, so the schema is
-    always known; inference would re-open a file at planning time)."""
+    always known; inference would re-open a file at planning time).
+    ``spark.readStream`` on the same format tails the table's commits
+    (see :class:`SnapshotStreamReader`)."""
 
     @classmethod
     def name(cls) -> str:
@@ -127,6 +197,9 @@ class SnapshotDataSource(DataSource):
 
     def reader(self, schema) -> SnapshotReader:
         return SnapshotReader(self.options["path"])
+
+    def streamReader(self, schema) -> SnapshotStreamReader:  # noqa: N802
+        return SnapshotStreamReader(self.options["path"])
 
 
 _REGISTERED: set[int] = set()

@@ -70,3 +70,67 @@ def test_pruning_is_conservative(spark, tmp_path):
     r2 = SnapshotReader(t2)
     r2.pushFilters([IsNotNull(("id",))])
     assert len(r2.partitions()) == 3
+
+
+def _run_stream(spark, t, out, ck):
+    q = (
+        spark.readStream.format("specialsid_snapshot")
+        .schema("id long, v long")
+        .option("path", t)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_stream_source_tails_commits_exactly_once(spark, tmp_path):
+    """Snapshot commits as micro-batches: the first batch delivers the
+    table as of stream start, later commits stream only their new
+    files, and a re-run with no new commits emits nothing (offsets =
+    version numbers in the checkpoint)."""
+    t, out, ck = (str(tmp_path / n) for n in ("tbl", "out", "ck"))
+    snapshot_commit(
+        spark.range(0, 5).selectExpr("id", "id*10 AS v").coalesce(1), t
+    )
+    snapshot_commit(
+        spark.range(5, 8).selectExpr("id", "id*10 AS v").coalesce(1),
+        t,
+        mode="append",
+    )
+    register_snapshot_source(spark)
+    _run_stream(spark, t, out, ck)
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(range(8))
+    snapshot_commit(
+        spark.range(8, 10).selectExpr("id", "id*10 AS v").coalesce(1),
+        t,
+        mode="append",
+    )
+    _run_stream(spark, t, out, ck)
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(range(10))
+    _run_stream(spark, t, out, ck)  # no new commits -> no duplicates
+    assert spark.read.parquet(out).count() == 10
+
+
+def test_stream_source_rejects_non_append(spark, tmp_path):
+    """A rewriting commit (overwrite) must fail the stream loudly —
+    rewritten files would double-deliver rows."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    t, out, ck = (str(tmp_path / n) for n in ("tbl", "out", "ck"))
+    snapshot_commit(
+        spark.range(0, 5).selectExpr("id", "id*10 AS v").coalesce(1), t
+    )
+    register_snapshot_source(spark)
+    _run_stream(spark, t, out, ck)
+    snapshot_commit(
+        spark.range(0, 3).selectExpr("id", "id*10 AS v").coalesce(1),
+        t,
+        mode="overwrite",
+    )
+    with pytest.raises(StreamingQueryException, match="append-only"):
+        _run_stream(spark, t, out, ck)
