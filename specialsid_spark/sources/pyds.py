@@ -27,10 +27,14 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from pathlib import Path
+
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -40,6 +44,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 
@@ -183,13 +188,88 @@ class SnapshotStreamReader(DataSourceStreamReader):
         pass  # offsets live in the Spark checkpoint; nothing to clean
 
 
+@dataclass
+class SnapshotCommitMessage(WriterCommitMessage):
+    rel_files: list[str]
+
+
+class SnapshotArrowWriter(DataSourceArrowWriter):
+    """``df.write.format("specialsid_snapshot")`` — the WRITE half of
+    the custom source, and a live demonstration of why manifest table
+    formats make distributed writes atomic for free: each task streams
+    its Arrow batches into a uniquely-named parquet file under
+    ``data/`` and reports the path in its commit message; only the
+    driver-side ``commit()`` — which runs IFF every task succeeded —
+    publishes those paths as a new manifest version.  Files from
+    failed/speculative tasks are never referenced by any manifest, so
+    they are invisible to every reader and reclaimable by vacuum: no
+    rename dance, no output committer, no partial table ever visible.
+    """
+
+    def __init__(self, path: str, overwrite: bool) -> None:
+        self._root = path
+        self._overwrite = overwrite
+        self._commit_id = f"w-{uuid.uuid4().hex[:12]}"
+
+    def write(self, iterator):
+        import pyarrow as pa  # noqa: PLC0415
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        batches = list(iterator)
+        if not batches:
+            return SnapshotCommitMessage([])
+        rel = os.path.join(
+            "data", self._commit_id, f"part-{uuid.uuid4().hex[:12]}.parquet"
+        )
+        dest = Path(self._root) / rel
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        pq.write_table(pa.Table.from_batches(batches), str(dest))
+        return SnapshotCommitMessage([rel])
+
+    def commit(self, messages) -> None:
+        new_files = sorted(
+            rel for m in messages if m is not None for rel in m.rel_files
+        )
+        versions = _versions(self._root)
+        parent = versions[-1] if versions else 0
+        files = new_files
+        stats = {}
+        if not self._overwrite and parent:
+            pm = _manifest(self._root, parent)
+            files = pm["files"] + new_files
+            stats = pm.get("stats", {})
+        manifest = {
+            "version": parent + 1,
+            "parent": parent,
+            "op": "overwrite" if self._overwrite and parent else "append",
+            "files": files,
+        }
+        if stats:
+            manifest["stats"] = stats
+        mdir = Path(self._root) / "_manifests"
+        mdir.mkdir(parents=True, exist_ok=True)
+        tmp = mdir / f"v{parent + 1}.json.tmp"
+        tmp.write_text(json.dumps(manifest, indent=1))
+        os.rename(tmp, mdir / f"v{parent + 1}.json")
+
+    def abort(self, messages) -> None:
+        for m in messages or []:
+            if m is None:
+                continue
+            for rel in m.rel_files:
+                p = Path(self._root) / rel
+                if p.exists():
+                    p.unlink()
+
+
 class SnapshotDataSource(DataSource):
     """``spark.read.format("specialsid_snapshot").schema(ddl)
     .option("path", table).load()`` — schema is caller-declared (the
     engine's snapshot tables are written by this repo, so the schema is
     always known; inference would re-open a file at planning time).
     ``spark.readStream`` on the same format tails the table's commits
-    (see :class:`SnapshotStreamReader`)."""
+    (see :class:`SnapshotStreamReader`); ``df.write`` commits new
+    manifest versions (see :class:`SnapshotArrowWriter`)."""
 
     @classmethod
     def name(cls) -> str:
@@ -200,6 +280,9 @@ class SnapshotDataSource(DataSource):
 
     def streamReader(self, schema) -> SnapshotStreamReader:  # noqa: N802
         return SnapshotStreamReader(self.options["path"])
+
+    def writer(self, schema, overwrite: bool) -> SnapshotArrowWriter:
+        return SnapshotArrowWriter(self.options["path"], overwrite)
 
 
 _REGISTERED: set[int] = set()
