@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _MICRO = 1_000_000
 
@@ -125,3 +126,87 @@ def inertia(assigned: DataFrame, centroids: list[list[int]]) -> int:
         )
     row = assigned.agg(F.sum(chain).alias("total")).collect()[0]
     return int(row.total)
+
+
+def _floored_mean(s: int, n: int) -> int:
+    """floor(s / n) on integers, matching both floor semantics and the
+    per-dimension centroid update used throughout (negatives floor
+    toward -inf, not toward zero)."""
+    return s // n if s >= 0 else -((-s + n - 1) // n)
+
+
+def kmeans_fit_grouped(
+    sub: DataFrame,
+    k: int,
+    iterations: int,
+    dim: int,
+    group_col: str = "m",
+    vec_col: str = "sv",
+) -> tuple[dict[tuple[int, int], list[int]], DataFrame]:
+    """GROUPED Lloyd's algorithm: one independent k-means per value of
+    ``group_col`` over micro-unit vectors in ``vec_col`` — the product-
+    quantization trainer (one codebook per subspace), r7.  Same exact-
+    integer discipline as :func:`kmeans_fit` (int64 distances,
+    floored-mean updates, ties to the lowest cid, empty clusters keep
+    position) and the same deterministic seed (each group's
+    lexicographically-first k rows by vec_id, i.e. vec_ids 0..k-1).
+
+    Instead of plan-literal centroid expressions (fine for ONE k×d
+    matrix, unwieldy for groups×k×d), each iteration broadcasts the
+    groups×k centroid table and ranks candidates with one window —
+    assignments shuffle (vec, group) keys only, and the driver collects
+    groups×k×dim bounded rows per iteration.  Returns ({(group, cid):
+    centroid}, final assignment DataFrame with a `cid` column)."""
+    spark = sub.sparkSession
+    sub = sub.localCheckpoint(eager=True)
+    seed = sub.filter(F.col("vec_id") < k).select(
+        F.col(group_col).cast("int").alias("g"),
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col(vec_col).alias("cv"),
+    )
+    cents: dict[tuple[int, int], list[int]] = {
+        (r.g, r.cid): list(r.cv) for r in seed.collect()
+    }
+
+    def assign(c: dict) -> DataFrame:
+        cb = spark.createDataFrame(
+            [(g, cid, cv) for (g, cid), cv in sorted(c.items())],
+            f"{group_col} int, cid int, cv array<bigint>",
+        )
+        d = sub.join(F.broadcast(cb), group_col).withColumn(
+            "d",
+            F.aggregate(
+                F.zip_with(F.col(vec_col), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        w = F.row_number().over(
+            Window.partitionBy("vec_id", group_col).orderBy("d", "cid")
+        )
+        return (
+            d.withColumn("rn", w)
+            .filter(F.col("rn") == 1)
+            .select("vec_id", group_col, vec_col, "cid")
+        )
+
+    for _ in range(iterations):
+        assigned = assign(cents)
+        sums = (
+            assigned.select(group_col, "cid", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy(group_col, "cid", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = {key: list(cv) for key, cv in cents.items()}  # empty keep position
+        acc: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
+        for r in sums:
+            acc.setdefault((r[0], r[1]), []).append((r.pos, r.s, r.n))
+        for key, entries in acc.items():
+            vec = [0] * dim
+            for pos, s, n in entries:
+                vec[pos] = _floored_mean(s, n)
+            new[key] = vec
+        cents = new
+
+    return cents, assign(cents)

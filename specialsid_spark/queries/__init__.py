@@ -59,6 +59,7 @@ _PRIORITY: tuple[str, ...] = (
     "src_xml_roundtrip",
     "pipeline_entity_resolution",
     "src_python_datasource_scan",
+    "sim_pq_trained_adc_topk",
     # newest driver row = r1 (7)
     "fuzzy_levenshtein_blocked",
     "join_flagship_revenue",

@@ -546,3 +546,232 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rk", F.round("cs", 6).alias("cos_sim"))
         .orderBy("query_id", "rk")
     )
+
+
+# ------------------------- trained PQ (r7) -------------------------
+
+_PQ_ITERS = 2  # Lloyd rounds per subspace (seed = the first-K device)
+
+
+def _sql_trained_adc() -> str:
+    """Oracle for sim_pq_trained_adc_topk: the _SQL_CODES subvector
+    prefix, then one unrolled Lloyd chain PER SUBSPACE — expressed as a
+    single grouped chain (the m column rides through every CTE), so 8
+    codebooks train in the same 2 unrolled iterations — then the ADC
+    scoring of sim_pq_adc_topk against the TRAINED codebook.  Exact
+    because every step is the same integer lattice as
+    operators/kmeans.py kmeans_fit_grouped (int64 distances,
+    floored-mean updates, ties to the lowest cid, empty clusters keep
+    position via the COALESCE left join)."""
+    d2 = (
+        f"list_sum(list_transform(range(1, {_SUB + 1}),"
+        " i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])))"
+    )
+    parts = [
+        f"e AS (SELECT vec_id, {_SQL_MU} AS mu FROM embeddings)",
+        f"ms AS (SELECT unnest(range(0, {_M})) AS m)",
+        f"""sub AS MATERIALIZED (
+      SELECT e.vec_id, ms.m, e.mu[{_SUB} * ms.m + 1 : {_SUB} * ms.m + {_SUB}] AS sv
+      FROM e CROSS JOIN ms
+    )""",
+        f"""tc0 AS MATERIALIZED (
+      SELECT m, CAST(vec_id AS INT) AS cid, sv AS cv FROM sub WHERE vec_id < {_K}
+    )""",
+    ]
+    for t in range(_PQ_ITERS):
+        parts.append(
+            f"""ta{t} AS MATERIALIZED (
+      SELECT vec_id, m, sv, cid FROM (
+        SELECT s.vec_id, s.m, s.sv, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {d2}, c.cid) AS rn
+        FROM sub s JOIN tc{t} c ON c.m = s.m
+      ) WHERE rn = 1
+    ),
+    ts{t} AS MATERIALIZED (
+      SELECT m, cid, pos,
+             CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+      FROM (SELECT m, cid, unnest(sv) AS v,
+                   unnest(range(1, {_SUB + 1})) AS pos FROM ta{t})
+      GROUP BY 1, 2, 3
+    ),
+    tc{t + 1} AS MATERIALIZED (
+      SELECT c.m, c.cid, COALESCE(n.cv, c.cv) AS cv
+      FROM tc{t} c LEFT JOIN (SELECT m, cid, list(cm ORDER BY pos) AS cv
+                              FROM ts{t} GROUP BY m, cid) n
+        ON n.m = c.m AND n.cid = c.cid
+    )"""
+        )
+    tf = f"tc{_PQ_ITERS}"
+    parts.append(
+        f"""chosen AS MATERIALIZED (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT s.vec_id, s.m, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {d2}, c.cid) AS rn
+        FROM sub s JOIN {tf} c ON c.m = s.m
+      ) WHERE rn = 1
+    ),
+    qsub AS (SELECT vec_id AS qid, m, sv FROM sub WHERE vec_id < 5),
+    lut AS (
+      SELECT q.qid, c.m, c.cid AS k,
+             list_sum(list_transform(range(1, {_SUB + 1}), i -> q.sv[i] * c.cv[i])) AS pdot,
+             list_sum(list_transform(range(1, {_SUB + 1}), i -> c.cv[i] * c.cv[i])) AS c2
+      FROM qsub q JOIN {tf} c ON c.m = q.m
+    ),
+    qn AS (
+      SELECT vec_id AS qid,
+             sqrt(CAST(list_sum(list_transform(mu, x -> x * x)) AS DOUBLE)) AS qnorm
+      FROM e WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT l.qid, ch.vec_id AS neighbor_id,
+             SUM(l.pdot) AS adot, SUM(l.c2) AS r2
+      FROM chosen ch
+      JOIN lut l ON l.m = ch.m AND l.k = ch.code
+      WHERE ch.vec_id <> l.qid
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT qid AS query_id, neighbor_id,
+             CAST(s.adot AS DOUBLE) / (q.qnorm * sqrt(CAST(s.r2 AS DOUBLE))) AS cs,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY CAST(s.adot AS DOUBLE) / (q.qnorm * sqrt(CAST(s.r2 AS DOUBLE))) DESC,
+                        neighbor_id
+             ) AS rk
+      FROM scored s JOIN qn q USING (qid)
+    )"""
+    )
+    return (
+        "WITH " + ",\n    ".join(parts) + """
+    SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, round(cs, 6) AS adc_cos
+    FROM ranked WHERE rk <= 5
+    ORDER BY query_id, rk"""
+    )
+
+
+def _subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_parallel(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor(x * 1000000) AS BIGINT)) AS mu",
+    )
+    return e.selectExpr(
+        "vec_id", f"explode(sequence(0, {_M - 1})) AS m", "mu"
+    ).selectExpr("vec_id", "m", f"slice(mu, {_SUB} * m + 1, {_SUB}) AS sv")
+
+
+# trained-codebook snapshot tables, one per (process, sf_dir)
+_PQ_INDEX_TABLES: dict[str, str] = {}
+
+
+def pq_codebook_commit(spark: SparkSession, sf_dir: str) -> str:
+    """Train the per-subspace codebooks ONCE (kmeans_fit_grouped, the
+    grouped exact-integer Lloyd) and commit them to a snapshot table
+    (rows: m, cid, cv) — the PQ half of the persisted-index story
+    (ivf_index_commit is the coarse half): a 100 TB pipeline trains
+    codebooks once and encodes/searches many times, with every
+    codebook version time-travelable."""
+    import os
+    from pathlib import Path
+
+    from specialsid_spark.operators.kmeans import kmeans_fit_grouped
+    from specialsid_spark.operators.snapshot import snapshot_commit
+    from specialsid_spark.session import session_workdir
+
+    key = os.path.abspath(sf_dir)
+    t = _PQ_INDEX_TABLES.get(key)
+    if t is not None and Path(t).exists():
+        return t
+    sub = _subvectors(spark, sf_dir)
+    cents, _ = kmeans_fit_grouped(sub, k=_K, iterations=_PQ_ITERS, dim=_SUB)
+    df = spark.createDataFrame(
+        [(m, cid, cv) for (m, cid), cv in sorted(cents.items())],
+        "m int, cid int, cv array<bigint>",
+    )
+    t = str(Path(session_workdir("specialsid_pqidx_")) / "codebook")
+    snapshot_commit(df.coalesce(1), t)
+    _PQ_INDEX_TABLES[key] = t
+    return t
+
+
+@register("sim_pq_trained_adc_topk", oracle=_sql_trained_adc())
+def sim_pq_trained_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 — TRAINED product quantization end-to-end, from the PERSISTED
+    codebook: per-subspace codebooks are trained in-engine
+    (kmeans_fit_grouped: one exact-integer Lloyd per subspace, seeded
+    by the first-K device the untrained PQ queries use), committed to
+    a snapshot table (pq_codebook_commit — versioned, time-travelable),
+    loaded back, and used to encode the corpus and answer ADC top-5 —
+    the trained twin of sim_pq_adc_topk, completing the
+    train→persist→search trilogy for BOTH halves of IVFADC (coarse
+    cells landed in sim_ivf_from_table_topk).
+
+    Every stage is value-verified: the oracle re-derives the grouped
+    Lloyd as one unrolled MATERIALIZED CTE chain (the m column rides
+    through it, so 8 codebooks train in the same two iterations) and
+    re-scores ADC exactly.
+
+    Scale shape: training collects only M×K×8 integers per iteration;
+    encoding meets a broadcast 128-row codebook map-side; the scoring
+    join touches (vec_id, m, code) triples and a broadcast LUT — the
+    sf-independent PQ promise."""
+    from specialsid_spark.operators.snapshot import snapshot_read
+
+    table = pq_codebook_commit(spark, sf_dir)
+    cb = snapshot_read(spark, table).selectExpr("m AS cm", "cid AS k", "cv")
+    sub = _subvectors(spark, sf_dir).localCheckpoint(eager=True)
+    d = sub.join(F.broadcast(cb), F.col("m") == F.col("cm")).selectExpr(
+        "vec_id",
+        "m",
+        "k",
+        "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS d",
+    )
+    w = F.row_number().over(Window.partitionBy("vec_id", "m").orderBy("d", "k"))
+    chosen = (
+        d.withColumn("rn", w)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("k").alias("code"))
+    )
+    qsub = sub.filter(F.col("vec_id") < 5).selectExpr("vec_id AS qid", "m AS qm", "sv")
+    lut = qsub.join(F.broadcast(cb), F.col("qm") == F.col("cm")).selectExpr(
+        "qid",
+        "qm AS lm",
+        "k",
+        "aggregate(zip_with(sv, cv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS pdot",
+        "aggregate(transform(cv, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS c2",
+    )
+    e = load_parallel(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor(x * 1000000) AS BIGINT)) AS mu",
+    )
+    qn = e.filter(F.col("vec_id") < 5).selectExpr(
+        "vec_id AS qid",
+        "sqrt(CAST(aggregate(transform(mu, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)) AS qnorm",
+    )
+    scored = (
+        chosen.join(
+            F.broadcast(lut),
+            (F.col("lm") == F.col("m"))
+            & (F.col("k") == F.col("code"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .groupBy("qid", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdot").alias("adot"), F.sum("c2").alias("r2"))
+    )
+    cs = F.col("adot").cast("double") / (
+        F.col("qnorm") * F.sqrt(F.col("r2").cast("double"))
+    )
+    wr = Window.partitionBy("qid").orderBy(cs.desc(), "neighbor_id")
+    return (
+        scored.join(F.broadcast(qn), "qid")
+        .withColumn("rk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("qid").alias("query_id"),
+            "neighbor_id",
+            "rk",
+            F.round(cs, 6).alias("adc_cos"),
+        )
+        .orderBy("query_id", "rk")
+    )

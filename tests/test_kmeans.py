@@ -95,3 +95,25 @@ def test_ivf_index_time_travel_reproduces_search(spark, sf_dir, tmp_path):
     # time-traveled index == the exact historical search
     assert run(ivf_centroids_from_table(spark, t, 1)) == run(c1)
     assert run(ivf_centroids_from_table(spark, t)) == run(c2)
+
+
+def test_grouped_kmeans_matches_ungrouped_on_single_group(spark, sf_dir):
+    """kmeans_fit_grouped over one group (the full 64-dim vectors with
+    a constant m) must land on exactly kmeans_fit's centroids and
+    assignments — same seed device, same integer lattice."""
+    from pyspark.sql import functions as F
+
+    from specialsid_spark.operators.kmeans import _mu_vec, kmeans_fit_grouped
+
+    e = load(spark, sf_dir, "embeddings")
+    plain_c, plain_a = kmeans_fit(e, k=4, iterations=2)
+    sub = e.select(
+        "vec_id",
+        F.lit(0).alias("m"),
+        _mu_vec(F.col("embedding")).alias("sv"),
+    )
+    cents, assigned = kmeans_fit_grouped(sub, k=4, iterations=2, dim=64)
+    assert [cents[(0, i)] for i in range(4)] == plain_c
+    got = {r.vec_id: r.cid for r in assigned.collect()}
+    want = {r.vec_id: r.cid for r in plain_a.select("vec_id", "cid").collect()}
+    assert got == want
