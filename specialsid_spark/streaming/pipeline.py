@@ -1154,3 +1154,111 @@ def streaming_neardup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_scd2_maintain(
+    spark: SparkSession,
+    events_dir: str,
+    dim_path: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """T8 ∘ lakehouse (r7): STREAMING SCD Type 2 dimension maintenance —
+    the incremental twin of the batch ``ev_scd2_user_segments`` build.
+    The maintained table holds the dimension's CHANGE POINTS
+    (user_id, ts, event_id, segment); validity intervals derive from
+    them with one lead() at read time, so the stored state is exactly
+    the information content of the dimension, nothing derived.
+
+    Per micro-batch (under crash_safe_summary_merge, so replays are
+    effectively-once): each user's last stored change point seeds a
+    lag() window over that user's new events in event order, and only
+    genuine segment transitions append.  Contract: event time moves
+    forward across batches per user (the file-source + watermark
+    arrangement every hop here uses); a late event older than a stored
+    change point would need interval splitting — the documented
+    re-derivation path is replaying the affected users through the
+    batch build.
+
+    At 100 TB: state grows with segment TRANSITIONS (the dimension's
+    true size), not event volume; each batch shuffles once on user_id."""
+    ev = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, value double"
+    ).json(events_dir)
+
+    segment = (
+        F.when(F.col("value") < 21, "low")
+        .when(F.col("value") < 57, "mid")
+        .otherwise("high")
+    )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window  # noqa: PLC0415
+
+        batch = batch_df.select(
+            "user_id", "ts", "event_id", segment.alias("segment")
+        ).localCheckpoint(eager=True)
+
+        def combine(current: DataFrame | None) -> DataFrame:
+            rows = batch.withColumn("is_state", F.lit(0))
+            if current is not None:
+                current = current.localCheckpoint(eager=True)
+                wlast = Window.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+                last = (
+                    current.withColumn("rn", F.row_number().over(wlast))
+                    .filter(F.col("rn") == 1)
+                    .select("user_id", "ts", "event_id", "segment")
+                    .withColumn("is_state", F.lit(1))
+                )
+                rows = rows.unionByName(last)
+            w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+            changed = (
+                rows.withColumn("prev", F.lag("segment").over(w))
+                .filter(
+                    (F.col("is_state") == 0)
+                    & (F.col("prev").isNull() | (F.col("prev") != F.col("segment")))
+                )
+                .select("user_id", "ts", "event_id", "segment")
+            )
+            if current is None:
+                return changed
+            return current.select(
+                "user_id", "ts", "event_id", "segment"
+            ).unionByName(changed)
+
+        crash_safe_summary_merge(
+            batch_df, batch_id, dim_path, checkpoint_dir, combine,
+            "streaming_scd2_maintain",
+        )
+
+    return (
+        ev.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def scd2_intervals(spark: SparkSession, dim_path: str) -> DataFrame:
+    """Materialize SCD2 validity intervals from the maintained
+    change-point table: one lead() per user, open intervals are
+    current — identical output contract to ev_scd2_user_segments."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    cp = spark.read.parquet(dim_path)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        cp.withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "segment",
+            F.col("ts").cast("string").alias("valid_from"),
+            F.col("valid_to").cast("string"),
+            F.when(F.lead("ts").over(w).isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from")
+    )

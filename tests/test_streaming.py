@@ -1077,3 +1077,55 @@ def test_streaming_neardup_retention_replay_idempotent(spark, tmp_path):
         spark, str(docs_dir), index, ckpt, retention_seconds=3600
     ).awaitTermination()
     assert snap() == before
+
+
+def test_streaming_scd2_parity_with_batch_build(spark, tmp_path):
+    """The incrementally-maintained SCD2 dimension must equal the batch
+    ev_scd2_user_segments build over the same events, delivered as two
+    ordered slices — change points, intervals, and is_current flags."""
+    from specialsid_spark.streaming.pipeline import (
+        scd2_intervals,
+        streaming_scd2_maintain,
+    )
+
+    rows = []
+    vals = [5.0, 30.0, 30.5, 80.0, 10.0, 10.1, 60.0, 20.0]
+    eid = 0
+    for u in (1, 2, 3):
+        for i, v in enumerate(vals):
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": f"2024-01-0{1 + i // 4} 0{i % 4}:0{u}:00",
+                    "user_id": u,
+                    "value": v + u,  # shift bands per user
+                }
+            )
+            eid += 1
+    rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+
+    ev_dir = tmp_path / "scd_events"
+    ev_dir.mkdir()
+    dim = str(tmp_path / "scd_dim")
+    ckpt = str(tmp_path / "scd_ckpt")
+    half = len(rows) // 2
+    _write_docs(ev_dir / "b1.json", rows[:half])
+    streaming_scd2_maintain(spark, str(ev_dir), dim, ckpt).awaitTermination()
+    _write_docs(ev_dir / "b2.json", rows[half:])
+    streaming_scd2_maintain(spark, str(ev_dir), dim, ckpt).awaitTermination()
+
+    got = [tuple(r) for r in scd2_intervals(spark, dim).collect()]
+
+    # batch twin over the SAME events via the shared ANSI string
+    from specialsid_spark.queries.events import _ANSI_SCD2_SQL
+
+    full = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["user_id"], "x", r["value"]) for r in rows],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type", "value"
+    )
+    full.createOrReplaceTempView("events")
+    want = [tuple(r) for r in spark.sql(_ANSI_SCD2_SQL).collect()]
+    assert got == want
+    assert len(got) > 6  # real transitions, not one row per user
