@@ -60,6 +60,7 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_entity_resolution",
     "src_python_datasource_scan",
     "sim_pq_trained_adc_topk",
+    "mm_image_convolve",
     # newest driver row = r1 (7)
     "fuzzy_levenshtein_blocked",
     "join_flagship_revenue",

@@ -2706,3 +2706,94 @@ def mm_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lon_deg long, lon_min long, lon_sec_num long, lon_sec_den long"
     )
     return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")
+
+
+@register(
+    "mm_image_convolve",
+    # Fixture raster: v = (doc*23 + x*(doc%7+3) + y*7 + (x*y)%11) % 256
+    # (the doc-dependent horizontal slope makes BOTH features
+    # discriminate across docs).  Features: valid-mode 3x3 box blur
+    # (integer // 9 — stays on the lattice) summed over the interior,
+    # and the central-difference horizontal gradient |v(x+1)-v(x-1)|
+    # summed — the two classic cheap image-quality signals (softness /
+    # edge energy) a multimodal curation pass uses to filter blank or
+    # noise pages.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    xs AS (SELECT unnest(range(0, 20)) AS x),
+    ys AS (SELECT unnest(range(0, 16)) AS y),
+    px AS (
+      SELECT d.doc_id, xs.x, ys.y,
+             (d.doc_id*23 + xs.x*(d.doc_id % 7 + 3) + ys.y*7
+              + (xs.x*ys.y) % 11) % 256 AS v
+      FROM docs d CROSS JOIN xs CROSS JOIN ys
+    ),
+    ctr AS (SELECT doc_id, x, y FROM px
+            WHERE x BETWEEN 1 AND 18 AND y BETWEEN 1 AND 14),
+    blur AS (
+      SELECT c.doc_id, c.x, c.y, SUM(p.v) // 9 AS b
+      FROM ctr c JOIN px p ON p.doc_id = c.doc_id
+       AND p.x BETWEEN c.x - 1 AND c.x + 1 AND p.y BETWEEN c.y - 1 AND c.y + 1
+      GROUP BY 1, 2, 3
+    ),
+    grad AS (
+      SELECT l.doc_id, SUM(abs(r.v - l.v)) AS g
+      FROM px l JOIN px r ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 2
+      WHERE l.y BETWEEN 1 AND 14
+      GROUP BY 1
+    )
+    SELECT b.doc_id, CAST(SUM(b.b) AS BIGINT) AS blur_sum,
+           CAST(MIN(g.g) AS BIGINT) AS grad_sum
+    FROM blur b JOIN grad g ON g.doc_id = b.doc_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def mm_image_convolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 feature-extract (r7): integer convolution features over
+    decoded rasters — valid-mode 3×3 box blur (// 9, exact lattice)
+    and central-difference horizontal edge energy.  Each doc's fixture
+    raster roundtrips through the REAL PNM codec before the kernels
+    run (encode_pnm → decode_image), so the features are computed the
+    way a pipeline computes them: on decoder output, not on synthetic
+    arrays.  The DuckDB oracle restates pixels, the 3×3 neighborhood
+    sum, and the gradient as joins over the coordinate grid.
+
+    Scale shape: the usual codec-query shape — per-doc independent
+    mapInPandas, one numpy pass per raster, no shuffle before the
+    sort; at 100 TB these are the cheap per-image map features that
+    gate which images deserve expensive model inference."""
+    import numpy as np
+    import pandas as pd
+
+    from specialsid_spark.operators.multimodal import decode_image
+    from specialsid_spark.operators.pnm import encode_pnm
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+    W, H = 20, 16
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                yy, xx = np.mgrid[0:H, 0:W]
+                a = (
+                    (doc_id * 23 + xx * (doc_id % 7 + 3) + yy * 7 + (xx * yy) % 11)
+                    % 256
+                ).astype(np.uint8)
+                _w, _h, _c, px = decode_image(encode_pnm(W, H, 1, a.tobytes()))
+                a = np.frombuffer(px, dtype=np.uint8).reshape(H, W).astype(np.int64)
+                s = sum(
+                    a[1 + dy : H - 1 + dy, 1 + dx : W - 1 + dx]
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                )
+                blur = (s // 9).sum()
+                grad = np.abs(a[1 : H - 1, 2:] - a[1 : H - 1, : W - 2]).sum()
+                out.append((doc_id, int(blur), int(grad)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "blur_sum", "grad_sum"]
+            ).astype({"doc_id": "int64", "blur_sum": "int64", "grad_sum": "int64"})
+
+    schema = "doc_id long, blur_sum long, grad_sum long"
+    return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")
