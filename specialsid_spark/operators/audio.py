@@ -337,3 +337,21 @@ def resample_nearest(samples: np.ndarray, from_rate: int, to_rate: int) -> np.nd
     n_out = (x.shape[0] * to_rate) // from_rate
     idx = (np.arange(n_out, dtype=np.int64) * from_rate) // to_rate
     return x[idx]
+
+
+def decimate_box(samples: np.ndarray, factor: int) -> np.ndarray:
+    """Anti-aliased integer-factor downsample: each output sample is
+    the FLOORED MEAN of its `factor`-long input block (the box filter —
+    the simplestlow-pass that keeps the arithmetic on the integer
+    lattice, so the result is restateable in SQL for the oracle).  The
+    trailing partial block is dropped: a decimator's contract is
+    uniform output spacing, and a short tail block would average fewer
+    samples.  Complements :func:`resample_nearest` (which picks, and
+    therefore aliases); production quality is a windowed-sinc filter —
+    the plumbing and the anti-alias CONTRACT are what this pins."""
+    x = np.asarray(samples, dtype=np.int64).reshape(-1)
+    n_out = x.shape[0] // factor
+    if n_out == 0:
+        return x[:0]
+    blocks = x[: n_out * factor].reshape(n_out, factor)
+    return np.floor_divide(blocks.sum(axis=1), factor)

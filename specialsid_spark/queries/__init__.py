@@ -61,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "src_python_datasource_scan",
     "sim_pq_trained_adc_topk",
     "mm_image_convolve",
+    "mm_wav_decimate",
     # newest driver row = r1 (7)
     "fuzzy_levenshtein_blocked",
     "join_flagship_revenue",

@@ -2797,3 +2797,84 @@ def mm_image_convolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "doc_id long, blur_sum long, grad_sum long"
     return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")
+
+
+@register(
+    "mm_wav_decimate",
+    # Same clip grammar as mm_wav_frame_energy; decimation by 4 is a
+    # floored block mean, restated below as floor(SUM/4) per 4-sample
+    # block (floor(), not a dialect-dependent integer division —
+    # negative sums floor toward -inf in both engines' floor()).
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    ks AS (SELECT unnest(range(0, {_WAV_N})) AS k),
+    cells AS (
+      SELECT d.doc_id, ks.k // 4 AS blk,
+             ((d.doc_id * 7 + ks.k * 13) % 4096) - 2048 AS s
+      FROM docs d CROSS JOIN ks
+    ),
+    dec AS (
+      SELECT doc_id, blk,
+             CAST(floor(CAST(SUM(s) AS DOUBLE) / 4) AS BIGINT) AS v
+      FROM cells GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INT) AS n_out,
+           CAST(SUM(v) AS BIGINT) AS dec_sum,
+           CAST(SUM(v * v) AS BIGINT) AS dec_energy
+    FROM dec GROUP BY 1 ORDER BY 1
+    """,
+)
+def mm_wav_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 audio, r7 — ANTI-ALIASED downsampling: decimate_box averages
+    each 4-sample block (floored mean, exact integer lattice) where
+    resample_nearest PICKS every 4th sample and aliases.  The full
+    chain runs for real per doc — synthesize, encode RIFF/WAVE 16-bit,
+    parse + decode, decimate 16 kHz→4 kHz — and the oracle restates
+    the block means cell-by-cell, so a header/layout/decode defect OR
+    a wrong filter lands in the sums.
+
+    Scale shape: the codec-query convention — per-doc independent
+    mapInPandas, no shuffle before the sort."""
+    import pandas as pd
+
+    from specialsid_spark.operators.audio import (
+        decimate_box,
+        decode_wav,
+        encode_wav,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                k = np.arange(_WAV_N, dtype=np.int64)
+                samples = ((doc_id * 7 + k * 13) % 4096) - 2048
+                blob = encode_wav(16000, samples.astype(np.int16))
+                _rate, _nch, back = decode_wav(blob)
+                dec = decimate_box(back, 4)
+                out.append(
+                    (
+                        doc_id,
+                        int(dec.shape[0]),
+                        int(dec.sum()),
+                        int((dec * dec).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_out", "dec_sum", "dec_energy"]
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "n_out": "int32",
+                    "dec_sum": "int64",
+                    "dec_energy": "int64",
+                }
+            )
+
+    schema = "doc_id long, n_out int, dec_sum long, dec_energy long"
+    return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")

@@ -825,3 +825,19 @@ class TestExif:
         )
         assert parse_exif(jpeg[:20]) is None  # truncated TIFF body
         assert parse_exif(b"notajpeg") is None
+
+
+def test_decimate_box_exact_and_contract():
+    """Floored block means (negatives floor toward -inf), trailing
+    partial block dropped, and the anti-alias property: a Nyquist-rate
+    alternation that nearest-pick preserves (aliasing) averages flat."""
+    import numpy as np
+
+    from specialsid_spark.operators.audio import decimate_box, resample_nearest
+
+    assert decimate_box(np.array([1, 2, 3, 4, 5, 6, 7]), 2).tolist() == [1, 3, 5]
+    assert decimate_box(np.array([-5, -6, 3, 4]), 2).tolist() == [-6, 3]
+    assert decimate_box(np.array([1]), 2).tolist() == []
+    alt = np.tile([1000, -1000], 8)  # +f_nyquist tone
+    assert set(resample_nearest(alt, 16000, 8000).tolist()) == {1000}  # aliased
+    assert set(decimate_box(alt, 2).tolist()) == {0}  # filtered out
