@@ -423,6 +423,55 @@ def snapshot_delete(
     return new_version, len(touched), len(m["files"])
 
 
+def snapshot_clone(src: str, dst: str) -> int:
+    """ZERO-COPY shallow clone (the Delta `SHALLOW CLONE` verb): a v1
+    manifest at ``dst`` referencing the source's CURRENT data files by
+    ABSOLUTE path — no bytes move.  Works because every reader resolves
+    files with ``Path(root) / rel``, and pathlib ignores the left side
+    when the right side is absolute, so external references read
+    transparently; stats carry over, so predicate routing keeps
+    working.  From then on the clone diverges copy-on-write: appends
+    land under the clone's own data dir, DELETE/UPDATE rewrite only
+    the files their predicate touches (into the clone), and shared
+    source files stay shared.  The clone's vacuum can never delete
+    source bytes (it scans only its own data dir).
+
+    Caveat, same as every shallow clone: vacuuming the SOURCE past the
+    cloned version breaks the clone's shared references — retention
+    policy must outlive clones (docstring contract, as in Delta).
+
+    At 100 TB this is how dev/test tables, experiment branches, and
+    reproducibility pins are made: O(manifest) cost for a full-table
+    copy-on-write branch."""
+    if snapshot_versions(dst):
+        raise ValueError(f"destination {dst!r} already has versions")
+    src_root = Path(src).resolve()
+    versions = snapshot_versions(src)
+    if not versions:
+        raise ValueError(f"no snapshot versions at {src!r}")
+    m = _read_manifest(src, versions[-1])
+    abs_files = [str(src_root / f) for f in m["files"]]
+    manifest = {
+        "version": 1,
+        "parent": 0,
+        "op": "clone",
+        "source": str(src_root),
+        "source_version": versions[-1],
+        "files": abs_files,
+    }
+    stats = m.get("stats", {})
+    if stats:
+        manifest["stats"] = {
+            str(src_root / f): s for f, s in stats.items() if f in set(m["files"])
+        }
+    mdir = _manifest_dir(dst)
+    mdir.mkdir(parents=True, exist_ok=True)
+    tmp = mdir / "v1.json.tmp"
+    tmp.write_text(json.dumps(manifest, indent=1))
+    os.rename(tmp, mdir / "v1.json")
+    return 1
+
+
 def snapshot_update(
     spark: SparkSession,
     path: str,

@@ -393,3 +393,62 @@ def test_delete_no_match_rewrites_nothing(spark, tmp_path):
     v, n_rewritten, _ = snapshot_delete(spark, t, "id", 1000, 2000)
     assert n_rewritten == 0
     assert snapshot_read(spark, t, v).count() == 100
+
+
+def test_shallow_clone_zero_copy_then_diverges(spark, tmp_path):
+    """CLONE: reads equal the source with zero bytes copied; appends
+    and copy-on-write DELETEs diverge the clone without touching the
+    source; the source keeps evolving without affecting the clone."""
+    from specialsid_spark.operators.snapshot import (
+        _read_manifest,
+        snapshot_clone,
+        snapshot_commit,
+        snapshot_commit_stats,
+        snapshot_delete,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    for lo, hi in ((0, 100), (100, 200)):
+        snapshot_commit_stats(
+            _df(spark, lo, hi).coalesce(1), src, ["id"], mode="append"
+        )
+    assert snapshot_clone(src, dst) == 1
+    # zero copy: the clone has no data files of its own yet
+    assert not (Path(dst) / "data").exists()
+    assert snapshot_read(spark, dst).count() == 200
+    assert _read_manifest(dst, 1)["op"] == "clone"
+
+    # divergence: append to the clone (with stats, so the later DELETE
+    # can prune it), source unchanged
+    snapshot_commit_stats(
+        _df(spark, 200, 250).coalesce(1), dst, ["id"], mode="append"
+    )
+    assert snapshot_read(spark, dst).count() == 250
+    assert snapshot_read(spark, src).count() == 200
+
+    # copy-on-write DELETE on the clone: stats routed (carried from the
+    # source manifest), only the intersecting shared file is rewritten
+    # INTO the clone, the other shared file stays shared
+    _, n_rewritten, n_before = snapshot_delete(spark, dst, "id", 120, 180)
+    assert (n_rewritten, n_before) == (1, 3)
+    got = sorted(r.id for r in snapshot_read(spark, dst).collect())
+    assert got == list(range(120)) + list(range(181, 250))
+    assert snapshot_read(spark, src).count() == 200  # source intact
+    shared = [f for f in _read_manifest(dst, 3)["files"] if f.startswith("/")]
+    assert len(shared) == 1  # one source file still shared by absolute path
+
+    # source evolution does not affect the pinned clone
+    snapshot_commit(_df(spark, 900, 910).coalesce(1), src, mode="overwrite")
+    assert snapshot_read(spark, dst).count() == 189  # clone view unchanged
+    assert snapshot_read(spark, src).count() == 10
+
+
+def test_clone_refuses_nonempty_destination(spark, tmp_path):
+    from specialsid_spark.operators.snapshot import snapshot_clone, snapshot_commit
+
+    src, dst = str(tmp_path / "s"), str(tmp_path / "d")
+    snapshot_commit(_df(spark, 0, 10), src)
+    snapshot_commit(_df(spark, 0, 5), dst)
+    with pytest.raises(ValueError, match="already has versions"):
+        snapshot_clone(src, dst)
