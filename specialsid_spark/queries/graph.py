@@ -273,7 +273,19 @@ def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 4
     )
     sampled = edges.filter(coin == 0).localCheckpoint(eager=True)
-    e1, e2, e3 = sampled.alias("e1"), sampled.alias("e2"), sampled.alias("e3")
+    n_full = edges.count()
+    n_samp = sampled.count()
+    # localCheckpointed frames carry no size stats, so AQE cannot make
+    # its own SMJ->BHJ call here; apply AQE's rule manually with the
+    # EXACT count just computed (a (u, v) long pair is ~16 bytes + row
+    # overhead; 500k rows ~ tens of MB, inside the session's 64 MB
+    # broadcast threshold).  Above the gate the join stays a shuffle —
+    # this is a runtime-sized decision, not a forced hint.
+    e1 = sampled.alias("e1")
+    if n_samp <= 500_000:
+        e2, e3 = F.broadcast(sampled.alias("e2")), F.broadcast(sampled.alias("e3"))
+    else:
+        e2, e3 = sampled.alias("e2"), sampled.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))
         .join(
@@ -282,8 +294,6 @@ def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("t"))
     )
-    n_full = edges.count()
-    n_samp = sampled.count()
     return tri.select(
         (F.col("t") * 64).cast("long").alias("est_triangles"),
         F.col("t").cast("long").alias("sampled_triangles"),
