@@ -62,6 +62,7 @@ _PRIORITY: tuple[str, ...] = (
     "sim_pq_trained_adc_topk",
     "mm_image_convolve",
     "mm_wav_decimate",
+    "clean_snapshot_clone_rows",
     # newest driver row = r1 (7)
     "fuzzy_levenshtein_blocked",
     "join_flagship_revenue",

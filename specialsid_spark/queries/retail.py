@@ -1109,3 +1109,85 @@ def src_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ok").cast("long").alias("min_ok"),
         F.max("ok").cast("long").alias("max_ok"),
     )
+
+
+@register(
+    "clean_snapshot_clone_rows",
+    # Banded fixture again: CLONE the 3-file table zero-copy, DELETE
+    # the [p40, p60] band on the CLONE only.  The oracle value-checks
+    # BOTH tables after the fact — the source aggregate unchanged, the
+    # clone missing exactly the band — plus the divergence literals:
+    # 1 of 3 files rewritten in the clone, 2 still shared by reference.
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS ok,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents_v
+      FROM orders WHERE o_orderkey < 6000
+    ),
+    r AS (
+      SELECT ok, cents_v,
+             row_number() OVER (ORDER BY ok) AS rn,
+             count(*) OVER () AS n
+      FROM o
+    ),
+    b AS (
+      SELECT MIN(CASE WHEN rn = CAST(floor(0.4 * n) + 1 AS BIGINT) THEN ok END) AS lo,
+             MIN(CASE WHEN rn = CAST(floor(0.6 * n) AS BIGINT) THEN ok END) AS hi
+      FROM r
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM r) AS src_rows,
+           (SELECT CAST(sum(cents_v) AS BIGINT) FROM r) AS src_cents,
+           CAST(count(*) AS BIGINT) AS clone_rows,
+           CAST(sum(cents_v) AS BIGINT) AS clone_cents,
+           1 AS n_files_rewritten,
+           2 AS n_files_shared
+    FROM r, b WHERE NOT (r.ok >= b.lo AND r.ok <= b.hi)
+    """,
+)
+def clean_snapshot_clone_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 extension, r7 — zero-copy SHALLOW CLONE with copy-on-write
+    divergence, value-verified end to end: clone the 3-file banded
+    table (snapshot_clone — a v1 manifest referencing the source's
+    files by absolute path, no bytes moved), DELETE the [p40, p60]
+    band on the CLONE, and aggregate BOTH tables.  The source must be
+    bit-unchanged, the clone must miss exactly the band, the stats
+    carried through the clone must have routed the delete to 1 of 3
+    files, and 2 source files must still be shared by reference.
+
+    At 100 TB this is the experiment-branch verb: O(manifest) to
+    branch a petabyte table, copy-on-write cost proportional to what
+    the branch actually changes."""
+    from specialsid_spark.operators.snapshot import (
+        snapshot_clone,
+        snapshot_delete,
+        snapshot_read,
+    )
+    from specialsid_spark.session import session_workdir
+
+    src, lo, hi = _banded_snapshot_table(spark, sf_dir, "specialsid_clone_")
+    from pathlib import Path
+
+    dst = str(Path(session_workdir("specialsid_clonedst_")) / "tbl")
+    snapshot_clone(src, dst)
+    _, n_rewritten, _ = snapshot_delete(spark, dst, "ok", lo, hi)
+    from specialsid_spark.operators.snapshot import _read_manifest
+
+    n_shared = sum(
+        1 for f in _read_manifest(dst, 2)["files"] if f.startswith("/")
+    )
+    src_agg = snapshot_read(spark, src).agg(
+        F.count(F.lit(1)).cast("long").alias("src_rows"),
+        F.sum("cents_v").cast("long").alias("src_cents"),
+    )
+    clone_agg = snapshot_read(spark, dst).agg(
+        F.count(F.lit(1)).cast("long").alias("clone_rows"),
+        F.sum("cents_v").cast("long").alias("clone_cents"),
+    )
+    return src_agg.crossJoin(clone_agg).select(
+        "src_rows",
+        "src_cents",
+        "clone_rows",
+        "clone_cents",
+        F.lit(n_rewritten).cast("int").alias("n_files_rewritten"),
+        F.lit(n_shared).cast("int").alias("n_files_shared"),
+    )
