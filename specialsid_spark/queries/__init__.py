@@ -63,6 +63,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_image_convolve",
     "mm_wav_decimate",
     "clean_snapshot_clone_rows",
+    "dedup_incremental_batch",
     # newest driver row = r1 (7)
     "fuzzy_levenshtein_blocked",
     "join_flagship_revenue",

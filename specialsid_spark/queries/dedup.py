@@ -1263,3 +1263,82 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH {_sql_minhash_sigs()},
+    {_sql_bands()},
+    cb AS (SELECT band, bkey FROM bands WHERE doc_id % 5 <> 0),
+    bb AS (SELECT doc_id, band, bkey FROM bands WHERE doc_id % 5 = 0),
+    hitc AS (SELECT DISTINCT b.doc_id FROM bb b
+             JOIN cb c ON c.band = b.band AND c.bkey = b.bkey),
+    mins AS (SELECT band, bkey, MIN(doc_id) AS m FROM bb GROUP BY 1, 2),
+    hiti AS (SELECT DISTINCT b.doc_id FROM bb b
+             JOIN mins m ON m.band = b.band AND m.bkey = b.bkey
+                        AND b.doc_id > m.m)
+    SELECT d.doc_id,
+           CAST(CASE WHEN hc.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS hit_corpus,
+           CAST(CASE WHEN hi.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS hit_intra,
+           CAST(CASE WHEN hc.doc_id IS NULL AND hi.doc_id IS NULL
+                THEN 1 ELSE 0 END AS INT) AS admitted
+    FROM (SELECT DISTINCT doc_id FROM bb) d
+    LEFT JOIN hitc hc ON hc.doc_id = d.doc_id
+    LEFT JOIN hiti hi ON hi.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1, r7 — INCREMENTAL near-dup dedup: gate a NEW batch (every
+    5th doc, the scale-invariant split) against an EXISTING deduped
+    corpus (the rest) without ever pairing the corpus with itself —
+    the daily-ingest shape whose cost is |batch| × bands, not
+    |corpus|².  A batch doc is dropped when any of its MinHash-LSH
+    band buckets is already occupied by the corpus (left-semi against
+    the corpus's (band, bkey) index — the SAME bytes-per-doc state the
+    streaming ingest gate persists) or by a lower-id doc of the same
+    batch (greedy keep-lowest, the batch pipeline's rule).  Both hit
+    kinds are emitted per doc, so the oracle value-checks the DECISION
+    decomposition, not just the survivor count.
+
+    At 100 TB: the corpus index is (band, bkey) pairs — rebuildable
+    from signatures, shareable with the streaming gate — and the gate
+    shuffles only the batch's band keys."""
+    d = load_parallel(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    cb = lsh_band_keys(corpus).select("band", "bkey").distinct()
+    bb = lsh_band_keys(batch).localCheckpoint(eager=True)
+    hitc = (
+        bb.join(cb, ["band", "bkey"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit_corpus", F.lit(1))
+    )
+    mins = bb.groupBy("band", "bkey").agg(F.min("doc_id").alias("m"))
+    hiti = (
+        bb.join(mins, ["band", "bkey"])
+        .filter(F.col("doc_id") > F.col("m"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit_intra", F.lit(1))
+    )
+    return (
+        bb.select("doc_id")
+        .distinct()
+        .join(hitc, "doc_id", "left")
+        .join(hiti, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("hit_corpus", F.lit(0)).cast("int").alias("hit_corpus"),
+            F.coalesce("hit_intra", F.lit(0)).cast("int").alias("hit_intra"),
+            (
+                F.coalesce("hit_corpus", F.lit(0)) + F.coalesce("hit_intra", F.lit(0))
+                == 0
+            ).cast("int").alias("admitted"),
+        )
+        .orderBy("doc_id")
+    )
