@@ -423,6 +423,37 @@ def snapshot_delete(
     return new_version, len(touched), len(m["files"])
 
 
+def snapshot_restore(path: str, version: int) -> int:
+    """The RESTORE verb (Delta's `RESTORE TABLE ... TO VERSION`): make
+    an OLD version current again by committing a NEW version that
+    references the old version's files — zero-copy, and the mistake
+    being undone stays in history (time travel still reads it), so a
+    restore is itself auditable and reversible.  The restored version
+    inherits the old version's stats (same files, same ranges).
+
+    At 100 TB this is the incident-response verb: undoing a bad
+    overwrite costs one manifest write, not a table copy."""
+    versions = snapshot_versions(path)
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    m = _read_manifest(path, version)
+    new_version = versions[-1] + 1
+    manifest = {
+        "version": new_version,
+        "parent": versions[-1],
+        "op": "restore",
+        "restored_from": version,
+        "files": list(m["files"]),
+    }
+    if m.get("stats"):
+        manifest["stats"] = m["stats"]
+    mdir = _manifest_dir(path)
+    tmp = mdir / f"v{new_version}.json.tmp"
+    tmp.write_text(json.dumps(manifest, indent=1))
+    os.rename(tmp, mdir / f"v{new_version}.json")
+    return new_version
+
+
 def snapshot_clone(src: str, dst: str) -> int:
     """ZERO-COPY shallow clone (the Delta `SHALLOW CLONE` verb): a v1
     manifest at ``dst`` referencing the source's CURRENT data files by

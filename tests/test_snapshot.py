@@ -452,3 +452,51 @@ def test_clone_refuses_nonempty_destination(spark, tmp_path):
     snapshot_commit(_df(spark, 0, 5), dst)
     with pytest.raises(ValueError, match="already has versions"):
         snapshot_clone(src, dst)
+
+
+def test_restore_undoes_bad_overwrite_and_keeps_history(spark, tmp_path):
+    """RESTORE: one manifest write makes the old version current again;
+    the mistake stays time-travelable; vacuum retention decides when
+    its files actually go away; restoring a restore works."""
+    from specialsid_spark.operators.snapshot import (
+        _read_manifest,
+        snapshot_restore,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 100), t)                     # v1: good
+    snapshot_commit(_df(spark, 900, 903), t, mode="overwrite")  # v2: oops
+    v = snapshot_restore(t, 1)
+    assert v == 3
+    assert sorted(r.id for r in snapshot_read(spark, t).collect()) == list(range(100))
+    assert snapshot_read(spark, t, 2).count() == 3  # the mistake is auditable
+    m = _read_manifest(t, 3)
+    assert m["op"] == "restore" and m["restored_from"] == 1
+    # the restore shares v1's files — zero copy
+    assert set(m["files"]) == set(_read_manifest(t, 1)["files"])
+    # restore of the restore-target errors out of range
+    with pytest.raises(ValueError, match="not in"):
+        snapshot_restore(t, 99)
+    # vacuum keeping the last 2 versions retains v1's files (v3 refs them)
+    removed = snapshot_vacuum(t, keep_last=2)
+    assert snapshot_read(spark, t).count() == 100
+    assert all(r.startswith("data/v2-") for r in removed)
+
+
+def test_restore_carries_stats_for_pruning(spark, tmp_path):
+    from specialsid_spark.operators.snapshot import (
+        snapshot_commit_stats,
+        snapshot_restore,
+        snapshot_scan,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit_stats(_df(spark, 0, 100).coalesce(1), t, ["id"])
+    snapshot_commit_stats(
+        _df(spark, 100, 200).coalesce(1), t, ["id"], mode="append"
+    )
+    snapshot_commit(_df(spark, 0, 1), t, mode="overwrite")
+    snapshot_restore(t, 2)
+    scan, n_scanned, n_total = snapshot_scan(spark, t, "id", 150, 160)
+    assert (n_scanned, n_total) == (1, 2)  # stats survived the restore
+    assert scan.count() == 11
