@@ -356,7 +356,12 @@ def _parse_tiff_ifd0(t: bytes) -> dict | None:
     # Exif sub-IFD (r7): ExposureTime / FNumber as exact rational
     # pairs, ISO as an int — the capture-settings provenance tags
     if _EXIF_TAG_EXIFIFD in tags:
-        sub = _walk_ifd(t, e, _typed(e, *tags[_EXIF_TAG_EXIFIFD]))
+        # follow the pointer only when it decodes as an int (SHORT/LONG):
+        # a malformed APP1 typing it RATIONAL/BYTE/ASCII yields a
+        # tuple/None/str and _walk_ifd would raise — breaking the
+        # never-raise degrade contract on untrusted corpus blobs
+        off = _typed(e, *tags[_EXIF_TAG_EXIFIFD])
+        sub = _walk_ifd(t, e, off) if isinstance(off, int) else None
         if sub:
             for tag, name in (
                 (_EXIF_TAG_EXPOSURE, "exposure"),
@@ -367,7 +372,8 @@ def _parse_tiff_ifd0(t: bytes) -> dict | None:
                     out[name] = _typed(e, *sub[tag])
     # GPS sub-IFD (r7): lat/lon as [deg, min, sec] rational triples
     if _EXIF_TAG_GPSIFD in tags:
-        gps = _walk_ifd(t, e, _typed(e, *tags[_EXIF_TAG_GPSIFD]))
+        off = _typed(e, *tags[_EXIF_TAG_GPSIFD])
+        gps = _walk_ifd(t, e, off) if isinstance(off, int) else None
         if gps:
             for tag, name in (
                 (_GPS_TAG_LAT_REF, "gps_lat_ref"),

@@ -63,7 +63,11 @@ def packbits_encode(data: bytes) -> bytes:
                 j += 1
             if j - i >= 3:
                 break
-            i = j
+            # clamp: a 2-run can step the literal past 128 bytes, and a
+            # 129-byte literal emits control byte 128 — the spec's noop,
+            # which silently desyncs the decoder.  Split the 2-run; its
+            # tail restarts the next chunk.
+            i = min(j, lit_start + 128)
         out.append(i - lit_start - 1)
         out += data[lit_start:i]
     return bytes(out)
@@ -143,6 +147,14 @@ def lzw_encode_tiff(data: bytes) -> bytes:
         width += 1
     if w:
         emit(table[w])
+        # The final data code assigns no encoder entry, but the decoder
+        # still appends one after reading it — catching up its usual
+        # one-entry lag.  Its width check before reading EOI therefore
+        # fires at table length == next_code, i.e. when next_code has
+        # reached 2^w - 2: mirror that bump here or EOI is written at w
+        # bits while the decoder reads it at w+1.
+        if next_code == (1 << width) - 2 and width < 12:
+            width += 1
     emit(_EOI)
     if nacc:
         out.append((acc << (8 - nacc)) & 0xFF)
@@ -330,7 +342,10 @@ def _read_ifd(blob: bytes) -> tuple[str, dict[int, tuple[int, list[int] | bytes]
         if off + 12 > len(blob):
             return None
         tag, typ, cnt = struct.unpack(e + "HHI", blob[off : off + 8])
-        if typ not in sizes:
+        if typ not in sizes or cnt == 0:
+            # count-0 entries are malformed; keeping them as empty value
+            # lists would turn downstream [0] indexing into task crashes
+            # on untrusted corpus blobs (the never-raise degrade contract)
             continue
         nbytes = sizes[typ] * cnt
         if nbytes <= 4:

@@ -7,6 +7,12 @@ schema + order-insensitive value hash — so every computed column is
 aliased identically on both sides, and money aggregates go through
 DECIMAL(18,2) so the two engines sum exactly (double summation order
 differs between engines; decimal addition does not).
+
+Rule (VERDICT r7 #1): a query must NEVER depend on session-builder-only
+conf — the driver runs queries on its own default session (session.py
+never executes there).  Any conf a query needs (e.g.
+``spark.sql.python.filterPushdown.enabled`` for Python DataSources)
+must be ``spark.conf.set`` at runtime inside the query / its helper.
 """
 
 from __future__ import annotations

@@ -289,7 +289,15 @@ _REGISTERED: set[int] = set()
 
 
 def register_snapshot_source(spark) -> None:
-    """Idempotent per-session registration."""
+    """Idempotent per-session registration.
+
+    Also force-enables Python filter pushdown at RUNTIME: Spark 4
+    hard-errors ([DATA_SOURCE_PUSHDOWN_DISABLED]) when a reader
+    implements ``pushFilters()`` under the default-false conf, and a
+    host session (e.g. the correctness driver's) won't have run our
+    session builder — never depend on session-builder-only conf.
+    """
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     key = id(spark)
     if key not in _REGISTERED:
         spark.dataSource.register(SnapshotDataSource)

@@ -1069,14 +1069,26 @@ def streaming_neardup_ingest(
                 prior_docs = None
             else:
                 current = current.localCheckpoint(eager=True)
+                if "last_seen" not in current.columns:
+                    # index table persisted by a pre-retention release:
+                    # tolerate the missing column so the first
+                    # post-upgrade micro-batch doesn't fail analysis
+                    current = current.withColumn(
+                        "last_seen", F.lit(None).cast("timestamp")
+                    )
                 prior_bands = current.filter(F.col("kind") == "band").select(
                     "band", "bkey", "last_seen"
                 )
                 if cutoff is not None:
                     # evict BEFORE gating: an expired bucket no longer
-                    # blocks, and no longer occupies state
+                    # blocks, and no longer occupies state.  NULL
+                    # last_seen (legacy pre-retention rows) = unknown
+                    # age: keep — the gate may only err toward blocking,
+                    # never toward wrongly admitting a dup; the row
+                    # picks up a real last_seen on its next touch.
                     prior_bands = prior_bands.filter(
-                        F.col("last_seen") >= F.lit(cutoff)
+                        F.col("last_seen").isNull()
+                        | (F.col("last_seen") >= F.lit(cutoff))
                     )
                 prior_docs = current.filter(F.col("kind") == "doc")
             # dup if any band bucket is occupied by a prior batch ...

@@ -841,3 +841,36 @@ def test_decimate_box_exact_and_contract():
     alt = np.tile([1000, -1000], 8)  # +f_nyquist tone
     assert set(resample_nearest(alt, 16000, 8000).tolist()) == {1000}  # aliased
     assert set(decimate_box(alt, 2).tolist()) == {0}  # filtered out
+
+
+def test_parse_exif_malformed_subifd_pointer_type_degrades():
+    """ADVICE r7 (medium): an APP1 whose Exif/GPS sub-IFD pointer tag is
+    typed RATIONAL/ASCII made _typed return a tuple/str and _walk_ifd
+    raise TypeError — violating parse_exif's never-raise contract."""
+    import struct
+
+    from specialsid_spark.operators.media_meta import (
+        build_exif_app1,
+        insert_app1,
+        parse_exif,
+    )
+
+    for be in (False, True):
+        e = ">" if be else "<"
+        app1 = build_exif_app1(
+            640, 480, "ACME", 1, "2024:01:02 03:04:05", be,
+            exposure=(1, 60), fnumber=(28, 10), iso=200,
+            gps=("N", [(40, 1), (26, 1), (461, 100)],
+                 "W", [(79, 1), (58, 1), (5600, 100)]),
+        )
+        jpg = insert_app1(b"\xff\xd8\xff\xd9", app1)
+        base = parse_exif(jpg)
+        assert base is not None and "exposure" in base
+        for bad_typ in (1, 2, 5):
+            for tag in (0x8769, 0x8825):
+                good = struct.pack(e + "HH", tag, 4)
+                bad = struct.pack(e + "HH", tag, bad_typ)
+                assert good in jpg
+                m = parse_exif(jpg.replace(good, bad))
+                # degrade: no raise; IFD0 tags still present
+                assert m is not None and m["width"] == 640

@@ -205,3 +205,22 @@ def test_writer_orphan_files_are_invisible(spark, tmp_path):
         .load()
     )
     assert back.count() == 20
+
+
+def test_query_green_on_default_conf_session(spark, tmp_path):
+    """VERDICT r7 #1: the correctness driver builds its own session
+    where spark.sql.python.filterPushdown.enabled defaults to FALSE and
+    Spark 4 hard-errors on a reader implementing pushFilters() under
+    it.  register_snapshot_source must force the conf at runtime so the
+    query is green on any host session."""
+    conf = "spark.sql.python.filterPushdown.enabled"
+    prior = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "false")
+        from specialsid_spark.queries.retail import src_python_datasource_scan
+
+        row = src_python_datasource_scan(spark, "/root/testdata/sf0.001").collect()[0]
+        assert row["n_rows"] > 0 and row["sum_cents"] > 0
+        assert spark.conf.get(conf) == "true"
+    finally:
+        spark.conf.set(conf, prior)

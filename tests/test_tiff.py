@@ -147,3 +147,54 @@ def test_crop_regions_handles_tiff_payloads():
     # PNM goes through the same path
     crop2 = crop_raster(encode_pnm(w, h, 3, px), 2, 3, 10, 13)
     assert crop2 is not None and decode_image(crop2)[3] == cpx
+
+
+def test_packbits_literal_never_exceeds_128():
+    """ADVICE r7 (high): a 2-run stepping the literal stretch past 128
+    bytes emitted control byte 128 (the spec noop) and desynced the
+    decoder.  Exact reproducer from the advice plus a fuzz sweep."""
+    data = bytes(range(127)) + b"\xff\xff" + b"\x01\x02\x03"
+    assert bytes(packbits_decode(packbits_encode(data))) == data
+    import random
+
+    rng = random.Random(8)
+    for _ in range(200):
+        n = rng.randrange(0, 400)
+        data = bytes(rng.choice((rng.randrange(256), 0xAA)) for _ in range(n))
+        assert bytes(packbits_decode(packbits_encode(data))) == data
+
+
+def test_lzw_eoi_width_agreement_fuzz():
+    """ADVICE r7 (high): when the decoder's post-final-code table length
+    lands exactly on 2^w - 2 it widened before reading EOI while the
+    encoder wrote EOI at w bits.  Sweep every length through the 9-bit
+    boundary region plus random payloads."""
+    import random
+
+    rng = random.Random(42)
+    for n in range(240, 270):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        dec = lzw_decode_tiff(lzw_encode_tiff(data))
+        assert dec is not None and bytes(dec) == data, n
+    for _ in range(100):
+        n = rng.randrange(0, 3000)
+        data = bytes(rng.randrange(256) for _ in range(n))
+        dec = lzw_decode_tiff(lzw_encode_tiff(data))
+        assert dec is not None and bytes(dec) == data, n
+
+
+def test_read_ifd_skips_count_zero_entries():
+    """ADVICE r7 (medium): a cnt=0 width tag made tiff_meta/decode_tiff
+    raise IndexError instead of the None degrade."""
+    import struct as _s
+
+    from specialsid_spark.operators.tiff import tiff_meta, decode_tiff
+
+    # minimal II TIFF with one IFD whose width tag has count 0
+    ifd = _s.pack("<H", 2)
+    ifd += _s.pack("<HHI", 256, 4, 0) + b"\x00" * 4  # width, cnt=0
+    ifd += _s.pack("<HHI", 257, 4, 1) + _s.pack("<I", 5)
+    ifd += _s.pack("<I", 0)
+    blob = b"II" + _s.pack("<HI", 42, 8) + ifd
+    assert tiff_meta(blob) is None
+    assert decode_tiff(blob) is None
