@@ -31,6 +31,9 @@ _MAGICS = [
     (b"\x1f\x8b", "gzip"),
     (b"BZh", "bz2"),
     (b"\xfd7zXZ\x00", "xz"),
+    # RFC 8878 frame magic: no stdlib/native codec in this container, so
+    # operators/zstd.py implements the format from the spec (r8)
+    (b"\x28\xb5\x2f\xfd", "zstd"),
 ]
 
 
@@ -58,6 +61,10 @@ def compress_text(data: bytes, codec: str) -> bytes:
         return bz2.compress(data, 9)
     if codec == "xz":
         return lzma.compress(data, format=lzma.FORMAT_XZ, preset=6)
+    if codec == "zstd":
+        from specialsid_spark.operators.zstd import zstd_compress  # noqa: PLC0415
+
+        return zstd_compress(data)
     raise ValueError(f"unknown codec {codec!r}")
 
 
@@ -73,6 +80,12 @@ def decompress_auto(blob: bytes) -> bytes | None:
             return zlib.decompress(blob, wbits=31)
         if codec == "bz2":
             return bz2.decompress(blob)
+        if codec == "zstd":
+            from specialsid_spark.operators.zstd import (  # noqa: PLC0415
+                zstd_decompress,
+            )
+
+            return zstd_decompress(bytes(blob))
         return lzma.decompress(blob)
     except (zlib.error, OSError, EOFError, lzma.LZMAError, ValueError):
         return None

@@ -1,0 +1,1270 @@
+"""Zstandard (RFC 8878) — pure-Python frame decoder + conformant
+encoder, from the published spec only.
+
+Modern LLM corpora (HF dataset shards, Common Crawl derivatives)
+overwhelmingly ship ``.jsonl.zst``; Python 3.11 has no stdlib zstd and
+this engine must not depend on optional native packages, so the ingest
+door implements the format itself (VERDICT r7 #2) — the same
+from-scratch entropy-coding family as operators/jpeg.py (Huffman) and
+operators/flac.py (Rice):
+
+* **Decoder**: the full RFC 8878 frame surface — raw / RLE /
+  compressed blocks; literals raw / RLE / Huffman-compressed /
+  treeless; Huffman tree descriptions both direct (4-bit weights) and
+  FSE-compressed; sequence code tables in all four modes (predefined /
+  RLE / FSE-compressed / repeat); repeat-offset history; multi-frame
+  and skippable-frame input; xxHash64 content-checksum verification.
+  Dictionary frames (Dictionary_ID != 0) degrade to None — loudly, per
+  the codec-family contract (untrusted corpus blobs must never raise).
+* **Encoder**: deterministic, spec-conformant frames mixing raw, RLE,
+  and really-compressed blocks (greedy hash-chain LZ77 -> sequences
+  over the PREDEFINED FSE tables + Huffman literals with direct or
+  FSE-compressed weight descriptions).  FSE *encoding* inverts the
+  decode table directly: each symbol's decode states partition
+  [0, table_size) by their (baseline, 2^bits) ranges, so the
+  predecessor state for any target is unique — found by scan, exact by
+  construction.
+
+Tests cross-validate BOTH directions against the reference
+implementation (the container's ``zstd`` CLI): real zstd-compressed
+data through this decoder, and this encoder's frames through the
+reference decompressor.
+
+Scale shape: one frame per document, decoded inside mapInPandas —
+embarrassingly parallel, no shuffle; frame history is bounded by the
+document, never the corpus.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_MAGIC = b"\x28\xb5\x2f\xfd"
+_SKIPPABLE_LO = 0x184D2A50
+_SKIPPABLE_HI = 0x184D2A5F
+
+
+class _Corrupt(Exception):
+    """Internal: malformed stream.  Public entry points catch it and
+    return None (degrade-loudly; a bad corpus blob must not kill a
+    Spark task)."""
+
+
+# --------------------------------------------------------------- xxHash64
+
+_XP1 = 0x9E3779B185EBCA87
+_XP2 = 0xC2B2AE3D27D4EB4F
+_XP3 = 0x165667B19E3779F9
+_XP4 = 0x85EBCA77C2B2AE63
+_XP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """xxHash64 (public spec) — zstd's Content_Checksum is its low 32
+    bits with seed 0."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XP1 + _XP2) & _M64
+        v2 = (seed + _XP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XP1) & _M64
+        while i + 32 <= n:
+            k1, k2, k3, k4 = struct.unpack_from("<QQQQ", data, i)
+            v1 = (_rotl64((v1 + k1 * _XP2) & _M64, 31) * _XP1) & _M64
+            v2 = (_rotl64((v2 + k2 * _XP2) & _M64, 31) * _XP1) & _M64
+            v3 = (_rotl64((v3 + k3 * _XP2) & _M64, 31) * _XP1) & _M64
+            v4 = (_rotl64((v4 + k4 * _XP2) & _M64, 31) * _XP1) & _M64
+            i += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl64((v * _XP2) & _M64, 31) * _XP1) & _M64
+            h = (h * _XP1 + _XP4) & _M64
+    else:
+        h = (seed + _XP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        (k,) = struct.unpack_from("<Q", data, i)
+        h ^= (_rotl64((k * _XP2) & _M64, 31) * _XP1) & _M64
+        h = (_rotl64(h, 27) * _XP1 + _XP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        (k,) = struct.unpack_from("<I", data, i)
+        h ^= (k * _XP1) & _M64
+        h = (_rotl64(h, 23) * _XP2 + _XP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XP5) & _M64
+        h = (_rotl64(h, 11) * _XP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+# ----------------------------------------------------------------- bit IO
+
+class _Fwd:
+    """Forward little-endian bit reader (FSE table descriptions)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        end = self.pos + n
+        if end > len(self.data) * 8:
+            raise _Corrupt("forward bitstream overrun")
+        lo_byte = self.pos >> 3
+        hi_byte = (end + 7) >> 3
+        chunk = int.from_bytes(self.data[lo_byte:hi_byte], "little")
+        val = (chunk >> (self.pos & 7)) & ((1 << n) - 1)
+        self.pos = end
+        return val
+
+    def rewind(self, n: int) -> None:
+        self.pos -= n
+
+    def byte_pos(self) -> int:
+        """Current position rounded up to a byte boundary."""
+        return (self.pos + 7) >> 3
+
+
+class _Back:
+    """Backward bit reader (FSE / Huffman payload streams): the writer
+    packs bits LSB-first; the reader starts below the final byte's
+    sentinel 1-bit and walks down.  Reads past the start zero-fill the
+    LOW bits (the FSE end-of-stream convention) and drive ``pos``
+    negative, which callers use as the exhaustion signal."""
+
+    __slots__ = ("n", "pos")
+
+    def __init__(self, data: bytes) -> None:
+        if not data or data[-1] == 0:
+            raise _Corrupt("backward bitstream: missing sentinel")
+        self.n = int.from_bytes(data, "little")
+        self.pos = (len(data) - 1) * 8 + data[-1].bit_length() - 1
+
+    def read(self, w: int) -> int:
+        if w == 0:
+            return 0
+        self.pos -= w
+        if self.pos >= 0:
+            return (self.n >> self.pos) & ((1 << w) - 1)
+        return (self.n << -self.pos) & ((1 << w) - 1)
+
+    def peek(self, w: int) -> int:
+        p = self.pos - w
+        if p >= 0:
+            return (self.n >> p) & ((1 << w) - 1)
+        return (self.n << -p) & ((1 << w) - 1)
+
+
+class _BackWriter:
+    """Collects (value, width) ops in DECODER-READ order, then packs
+    them so a :class:`_Back` reader yields them back in that order
+    (i.e. physically written in reverse, sentinel bit on top)."""
+
+    __slots__ = ("ops",)
+
+    def __init__(self) -> None:
+        self.ops: list[tuple[int, int]] = []
+
+    def emit(self, value: int, width: int) -> None:
+        if width:
+            self.ops.append((value, width))
+
+    def to_bytes(self) -> bytes:
+        n = 0
+        pos = 0
+        for v, w in reversed(self.ops):
+            n |= v << pos
+            pos += w
+        n |= 1 << pos  # sentinel
+        pos += 1
+        return n.to_bytes((pos + 7) // 8, "little")
+
+
+class _FwdWriter:
+    """Forward LSB-first bit writer (FSE table descriptions)."""
+
+    __slots__ = ("n", "pos")
+
+    def __init__(self) -> None:
+        self.n = 0
+        self.pos = 0
+
+    def write(self, value: int, width: int) -> None:
+        self.n |= value << self.pos
+        self.pos += width
+
+    def to_bytes(self) -> bytes:
+        return self.n.to_bytes((self.pos + 7) // 8 or 1, "little")
+
+
+# -------------------------------------------------------------------- FSE
+
+def _fse_table(
+    counts: list[int], al: int
+) -> tuple[list[int], list[int], list[int]]:
+    """RFC 8878 §4.1.1: decode table (symbols, nbits, baseline) from
+    normalized counts.  -1 counts ("less than 1" probability) occupy
+    single cells at the table's end; the rest spread with the
+    (size/2 + size/8 + 3) step."""
+    size = 1 << al
+    symbols = [0] * size
+    high = size - 1
+    for s, c in enumerate(counts):
+        if c == -1:
+            if high < 0:
+                raise _Corrupt("FSE: too many low-prob symbols")
+            symbols[high] = s
+            high -= 1
+    pos = 0
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    total = 0
+    for s, c in enumerate(counts):
+        if c <= 0:
+            continue
+        total += c
+        for _ in range(c):
+            symbols[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0 or total != high + 1:
+        raise _Corrupt("FSE: counts do not fill the table")
+    ctr = [c if c > 0 else 1 for c in counts]
+    nbits = [0] * size
+    base = [0] * size
+    for i in range(size):
+        s = symbols[i]
+        x = ctr[s]
+        ctr[s] += 1
+        nb = al - (x.bit_length() - 1)
+        nbits[i] = nb
+        base[i] = (x << nb) - size
+    return symbols, nbits, base
+
+
+def _read_ncount(fwd: _Fwd, max_al: int, max_symbol: int) -> tuple[list[int], int]:
+    """RFC 8878 §4.1.1 normalized-count parse (forward bitstream,
+    variable-width values with the low/threshold trick, 2-bit zero
+    repeats); ends byte-aligned."""
+    al = fwd.read(4) + 5
+    if al > max_al:
+        raise _Corrupt(f"FSE accuracy log {al} > {max_al}")
+    remaining = (1 << al) + 1
+    counts: list[int] = []
+    while remaining > 1:
+        if len(counts) > max_symbol:
+            raise _Corrupt("FSE: too many symbols")
+        nb = remaining.bit_length()
+        thr = 1 << (nb - 1)
+        mx = 2 * thr - 1 - remaining
+        v = fwd.read(nb)
+        if (v & (thr - 1)) < mx:
+            fwd.rewind(1)
+            v &= thr - 1
+        elif v >= thr:
+            v -= mx
+        proba = v - 1
+        counts.append(proba)
+        remaining -= -proba if proba < 0 else proba
+        if proba == 0:
+            while True:
+                rep = fwd.read(2)
+                counts.extend([0] * rep)
+                if rep != 3:
+                    break
+    fwd.pos = fwd.byte_pos() * 8  # align
+    return counts, al
+
+
+def _write_ncount(counts: list[int], al: int) -> bytes:
+    """Inverse of :func:`_read_ncount`."""
+    w = _FwdWriter()
+    w.write(al - 5, 4)
+    remaining = (1 << al) + 1
+    i = 0
+    while remaining > 1:
+        c = counts[i]
+        i += 1
+        v = c + 1
+        nb = remaining.bit_length()
+        thr = 1 << (nb - 1)
+        mx = 2 * thr - 1 - remaining
+        if v < mx:
+            w.write(v, nb - 1)
+        else:
+            w.write(v if v < thr else v + mx, nb)
+        remaining -= -c if c < 0 else c
+        if c == 0:
+            z = 0
+            while i < len(counts) and counts[i] == 0:
+                z += 1
+                i += 1
+            while True:
+                r = min(z, 3)
+                w.write(r, 2)
+                z -= r
+                if r != 3:
+                    break
+    return w.to_bytes()
+
+
+class _FseEncoder:
+    """FSE encoder over a DECODE table: for each symbol, its states'
+    (baseline, 2^bits) ranges partition [0, size) exactly, so the
+    predecessor of any target state is unique."""
+
+    def __init__(self, symbols: list[int], nbits: list[int], base: list[int]):
+        self.nbits = nbits
+        self.base = base
+        self.by_sym: dict[int, list[int]] = {}
+        for i, s in enumerate(symbols):
+            self.by_sym.setdefault(s, []).append(i)
+
+    def prev(self, target: int, sym: int) -> tuple[int, int, int]:
+        """(state, bits_value, bits_width) such that the decoder at
+        ``state`` emits ``sym`` and transitions to ``target``."""
+        for i in self.by_sym[sym]:
+            if self.base[i] <= target < self.base[i] + (1 << self.nbits[i]):
+                return i, target - self.base[i], self.nbits[i]
+        raise _Corrupt(f"FSE encode: symbol {sym} unreachable")
+
+    def any_state(self, sym: int, need_bits: bool = False) -> int:
+        """A state emitting ``sym``; with ``need_bits``, one whose
+        outgoing transition reads >0 bits (required for the state whose
+        zero-fill update signals two-lane-FSE stream exhaustion)."""
+        states = self.by_sym.get(sym)
+        if not states:
+            raise _Corrupt(f"FSE encode: symbol {sym} has no states")
+        if need_bits:
+            for i in states:
+                if self.nbits[i] > 0:
+                    return i
+            raise _Corrupt(f"FSE encode: symbol {sym} has only 0-bit states")
+        return states[0]
+
+
+# ------------------------------------------------------ sequence code maps
+
+# (baseline, extra_bits) per code — RFC 8878 §3.1.1.3.2.1.1
+_LL_CODE = [(i, 0) for i in range(16)] + [
+    (16, 1), (18, 1), (20, 1), (22, 1), (24, 2), (28, 2), (32, 3), (40, 3),
+    (48, 4), (64, 6), (128, 7), (256, 8), (512, 9), (1024, 10), (2048, 11),
+    (4096, 12), (8192, 13), (16384, 14), (32768, 15), (65536, 16),
+]
+_ML_CODE = [(i + 3, 0) for i in range(32)] + [
+    (35, 1), (37, 1), (39, 1), (41, 1), (43, 2), (47, 2), (51, 3), (59, 3),
+    (67, 4), (83, 4), (99, 5), (131, 7), (259, 8), (515, 9), (1027, 10),
+    (2051, 11), (4099, 12), (8195, 13), (16387, 14), (32771, 15), (65539, 16),
+]
+
+# predefined FSE distributions — RFC 8878 §3.1.1.3.2.2
+_LL_DEFAULT = (
+    [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+     2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+     -1, -1, -1, -1],
+    6,
+)
+_ML_DEFAULT = (
+    [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
+     -1, -1, -1, -1, -1],
+    6,
+)
+_OF_DEFAULT = (
+    [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1],
+    5,
+)
+
+_MAX_AL = {"ll": 9, "of": 8, "ml": 9}
+_MAX_SYM = {"ll": 35, "of": 31, "ml": 52}
+
+
+def _ll_code_of(v: int) -> int:
+    if v < 16:
+        return v
+    for c in range(len(_LL_CODE) - 1, 15, -1):
+        if v >= _LL_CODE[c][0]:
+            return c
+    raise _Corrupt("LL value out of range")
+
+
+def _ml_code_of(v: int) -> int:
+    if v < 3:
+        raise _Corrupt("match length < 3")
+    if v < 35:
+        return v - 3
+    for c in range(len(_ML_CODE) - 1, 31, -1):
+        if v >= _ML_CODE[c][0]:
+            return c
+    raise _Corrupt("ML value out of range")
+
+
+# ---------------------------------------------------------------- Huffman
+
+def _huf_complete(explicit: list[int]) -> tuple[list[int], int]:
+    """Append the implicit last weight (completing sum(2^(w-1)) to a
+    power of two) and return (full weights, table_log)."""
+    total = sum((1 << (w - 1)) for w in explicit if w > 0)
+    if total == 0:
+        raise _Corrupt("Huffman: empty weights")
+    tl = total.bit_length()  # next power of two strictly above total
+    left = (1 << tl) - total
+    if left & (left - 1):
+        raise _Corrupt("Huffman: weights do not complete a power of two")
+    if tl > 11:
+        raise _Corrupt("Huffman: table log > 11")
+    return explicit + [left.bit_length()], tl
+
+
+def _huf_read_weights(data: bytes) -> tuple[list[int], int, int]:
+    """Parse a Huffman tree description: (full weights incl. implicit
+    last, table_log, bytes consumed)."""
+    if not data:
+        raise _Corrupt("Huffman: empty tree description")
+    hb = data[0]
+    if hb >= 128:  # direct 4-bit weights
+        n = hb - 127
+        nbytes = (n + 1) // 2
+        if 1 + nbytes > len(data):
+            raise _Corrupt("Huffman: truncated direct weights")
+        ws = []
+        for i in range(n):
+            b = data[1 + i // 2]
+            ws.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+        consumed = 1 + nbytes
+    else:  # FSE-compressed weights, 2 interleaved states
+        comp = data[1 : 1 + hb]
+        if len(comp) < hb:
+            raise _Corrupt("Huffman: truncated FSE weights")
+        fwd = _Fwd(comp)
+        counts, al = _read_ncount(fwd, 6, 255)
+        symbols, nbits, base = _fse_table(counts, al)
+        rest = comp[fwd.byte_pos() :]
+        back = _Back(rest)
+        st1 = back.read(al)
+        st2 = back.read(al)
+        if back.pos < 0:
+            raise _Corrupt("Huffman: FSE weight stream too short")
+        ws = []
+        while True:
+            ws.append(symbols[st1])
+            st1 = base[st1] + back.read(nbits[st1])
+            if back.pos < 0:
+                ws.append(symbols[st2])
+                break
+            ws.append(symbols[st2])
+            st2 = base[st2] + back.read(nbits[st2])
+            if back.pos < 0:
+                ws.append(symbols[st1])
+                break
+            if len(ws) > 255:
+                raise _Corrupt("Huffman: too many weights")
+        consumed = 1 + hb
+    full, tl = _huf_complete(ws)
+    return full, tl, consumed
+
+
+def _huf_decode_table(weights: list[int], tl: int) -> list[tuple[int, int]]:
+    """2^tl-cell peek table of (symbol, nbits): symbols sorted by
+    weight ascending (same weight: natural order), each spanning
+    2^(w-1) consecutive cells."""
+    table: list[tuple[int, int]] = []
+    for w, s in sorted((w, s) for s, w in enumerate(weights) if w > 0):
+        table.extend([(s, tl + 1 - w)] * (1 << (w - 1)))
+    if len(table) != 1 << tl:
+        raise _Corrupt("Huffman: table incomplete")
+    return table
+
+
+def _huf_codes(weights: list[int], tl: int) -> dict[int, tuple[int, int]]:
+    """symbol -> (code_value, nbits) consistent with the decode table."""
+    codes: dict[int, tuple[int, int]] = {}
+    pos = 0
+    for w, s in sorted((w, s) for s, w in enumerate(weights) if w > 0):
+        span = 1 << (w - 1)
+        codes[s] = (pos >> (w - 1), tl + 1 - w)
+        pos += span
+    return codes
+
+
+def _huf_decode_stream(
+    table: list[tuple[int, int]], tl: int, data: bytes, m: int
+) -> bytearray:
+    back = _Back(data)
+    out = bytearray()
+    for _ in range(m):
+        s, nb = table[back.peek(tl)]
+        back.pos -= nb
+        if back.pos < 0:
+            raise _Corrupt("Huffman: stream underrun")
+        out.append(s)
+    if back.pos != 0:
+        raise _Corrupt("Huffman: stream not fully consumed")
+    return out
+
+
+def _huf_encode_stream(
+    codes: dict[int, tuple[int, int]], data: bytes
+) -> bytes:
+    w = _BackWriter()
+    for b in data:
+        w.emit(*codes[b])
+    return w.to_bytes()
+
+
+def _huf_pick_weights(data: bytes) -> tuple[list[int], int] | None:
+    """Greedy power-of-two count assignment: every present symbol
+    starts at count 1; the best (count/frequency) doubling candidate
+    absorbs the remainder until counts sum to 2^tl exactly.  Valid by
+    construction (Kraft-exact); near-optimal is not required — raw
+    literals win whenever this loses.  None when <2 distinct symbols
+    (RLE territory)."""
+    freq: dict[int, int] = {}
+    for b in data:
+        freq[b] = freq.get(b, 0) + 1
+    if len(freq) < 2:
+        return None
+    nsym = len(freq)
+    tl = max(5, (nsym - 1).bit_length())
+    tl = min(tl + 2, 11)
+    target = 1 << tl
+    counts = {s: 1 for s in freq}
+    remaining = target - nsym
+    while remaining > 0:
+        best = None
+        best_score = -1.0
+        for s, c in counts.items():
+            if c <= remaining and c < (1 << (tl - 1)):
+                score = freq[s] / c
+                if score > best_score:
+                    best_score = score
+                    best = s
+        if best is None:  # unreachable by the divisibility argument
+            raise _Corrupt("Huffman weight assignment stuck")
+        remaining -= counts[best]
+        counts[best] *= 2
+    # saturate: the reference decoder validates a true Huffman shape —
+    # at least two (and an even number of) weight-1 symbols, i.e. the
+    # longest code reaches depth table_log.  Dividing every count by
+    # the minimum count (a power of two) forces min weight to exactly 1
+    # without changing any code length; evenness then follows from the
+    # power-of-two total.
+    m = min(counts.values())
+    if m > 1:
+        counts = {s: c // m for s, c in counts.items()}
+        tl -= m.bit_length() - 1
+    last = max(freq)
+    weights = [0] * (last + 1)
+    for s, c in counts.items():
+        weights[s] = c.bit_length()  # count = 2^(w-1)
+    return weights, tl
+
+
+def _huf_write_tree(weights: list[int]) -> bytes:
+    """Serialize weights (all but the last present symbol — its weight
+    is implicit): direct 4-bit form when <=128 weights fit, else
+    FSE-compressed."""
+    last = max(s for s, w in enumerate(weights) if w > 0)
+    explicit = weights[:last]  # weight of `last` is implicit
+    if len(explicit) <= 128 and all(w <= 15 for w in explicit):
+        out = bytearray([127 + len(explicit)])
+        for i in range(0, len(explicit), 2):
+            hi = explicit[i]
+            lo = explicit[i + 1] if i + 1 < len(explicit) else 0
+            out.append((hi << 4) | lo)
+        return bytes(out)
+    # FSE-compressed weights (2 interleaved states).  Decoder protocol
+    # (RFC 8878 §4.2.1.2): init st1, init st2 (al bits each), then
+    # alternate decode(st1)/decode(st2) — each emit peeks its symbol
+    # then reads the state's transition bits — stopping when a read
+    # drives the bit offset NEGATIVE, at which point the OTHER lane's
+    # current symbol is peeked as the final weight.  So for n weights:
+    # transition bits are written for emits 0..n-3; emit n-2's
+    # transition is the zero-fill exhaustion read (its state must have
+    # nbits > 0, enforced via any_state(need_bits=True)); emit n-1 is
+    # the final peek, no state at all beyond its lane's chain.
+    seq = list(explicit)
+    n_emits = len(seq)
+    if n_emits < 2 or len(set(seq)) < 2:
+        # a 1-weight stream or single-symbol FSE table cannot express
+        # the exhaustion protocol; caller falls back to raw literals
+        raise _Corrupt("Huffman: weights unsuitable for FSE description")
+    maxw = max(explicit)
+    freq = [0] * (maxw + 1)
+    for w in explicit:
+        freq[w] += 1
+    counts, al = _normalize_counts(freq, max_al=6)
+    desc = _write_ncount(counts, al)
+    symbols, nbits, base = _fse_table(counts, al)
+    enc = _FseEncoder(symbols, nbits, base)
+    lane_syms: list[list[int]] = [seq[0::2], seq[1::2]]
+    exhaust_lane = (n_emits - 2) % 2  # lane whose last emit is n-2
+    lane_updates: list[list[tuple[int, int]]] = [[], []]
+    lane_init = [0, 0]
+    for lane in (0, 1):
+        syms = lane_syms[lane]
+        cur = enc.any_state(syms[-1], need_bits=(lane == exhaust_lane))
+        ups: list[tuple[int, int]] = []
+        for s in reversed(syms[:-1]):
+            prev_state, bits, width = enc.prev(cur, s)
+            ups.append((bits, width))
+            cur = prev_state
+        ups.reverse()  # ups[k] = transition after the lane's k-th emit
+        lane_updates[lane] = ups
+        lane_init[lane] = cur
+    ops = _BackWriter()
+    ops.emit(lane_init[0], al)
+    ops.emit(lane_init[1], al)
+    ui = [0, 0]
+    for k in range(n_emits):
+        lane = k % 2
+        if ui[lane] < len(lane_updates[lane]):
+            ops.emit(*lane_updates[lane][ui[lane]])
+            ui[lane] += 1
+    payload = desc + ops.to_bytes()
+    if len(payload) >= 128:
+        raise _Corrupt("Huffman tree description too large")
+    return bytes([len(payload)]) + payload
+
+
+def _normalize_counts(freq: list[int], max_al: int) -> tuple[list[int], int]:
+    """Normalize raw frequencies to counts summing to 2^al (every
+    present symbol >= 1), for FSE table descriptions."""
+    present = [i for i, f in enumerate(freq) if f > 0]
+    if not present:
+        raise _Corrupt("normalize: no symbols")
+    total = sum(freq)
+    al = max(5, (len(present) - 1).bit_length() + 1)
+    al = min(al, max_al)
+    size = 1 << al
+    while size < len(present):  # must fit one slot per symbol
+        al += 1
+        size <<= 1
+        if al > max_al:
+            raise _Corrupt("normalize: too many symbols for max accuracy")
+    counts = [0] * len(freq)
+    acc = 0
+    for s in present:
+        c = max(1, (freq[s] * size) // total)
+        counts[s] = c
+        acc += c
+    # fix to exact sum: trim from / add to the largest counts
+    while acc > size:
+        s = max(present, key=lambda t: counts[t])
+        if counts[s] <= 1:
+            raise _Corrupt("normalize: cannot trim")
+        counts[s] -= 1
+        acc -= 1
+    while acc < size:
+        s = max(present, key=lambda t: freq[t] / counts[t])
+        counts[s] += 1
+        acc += 1
+    return counts, al
+
+
+# ------------------------------------------------------------ block decode
+
+class _FrameTables:
+    """Per-frame decoder state that persists across blocks: the last
+    Huffman table (treeless literals) and the last LL/OF/ML sequence
+    tables (mode 3 = repeat), plus the repeat-offset history."""
+
+    def __init__(self) -> None:
+        self.huf: tuple[list[tuple[int, int]], int] | None = None
+        self.seq: dict[str, tuple] = {}
+        self.rep = [1, 4, 8]
+
+
+def _decode_literals(
+    block: bytes, ft: _FrameTables
+) -> tuple[bytes, int]:
+    """(literals, bytes consumed) for the literals section."""
+    if not block:
+        raise _Corrupt("empty literals section")
+    b0 = block[0]
+    ltype = b0 & 3
+    sf = (b0 >> 2) & 3
+    if ltype in (0, 1):  # raw / RLE
+        if sf in (0, 2):
+            regen = b0 >> 3
+            hdr = 1
+        elif sf == 1:
+            if len(block) < 2:
+                raise _Corrupt("literals header truncated")
+            regen = (b0 >> 4) + (block[1] << 4)
+            hdr = 2
+        else:
+            if len(block) < 3:
+                raise _Corrupt("literals header truncated")
+            regen = (b0 >> 4) + (block[1] << 4) + (block[2] << 12)
+            hdr = 3
+        if ltype == 0:
+            if hdr + regen > len(block):
+                raise _Corrupt("raw literals truncated")
+            return bytes(block[hdr : hdr + regen]), hdr + regen
+        if hdr + 1 > len(block):
+            raise _Corrupt("RLE literals truncated")
+        return bytes([block[hdr]]) * regen, hdr + 1
+    # compressed (2) / treeless (3)
+    if sf == 0:
+        if len(block) < 3:
+            raise _Corrupt("literals header truncated")
+        regen = (b0 >> 4) + ((block[1] & 0x3F) << 4)
+        comp = (block[1] >> 6) + (block[2] << 2)
+        hdr = 3
+        streams = 1
+    elif sf == 1:
+        if len(block) < 3:
+            raise _Corrupt("literals header truncated")
+        regen = (b0 >> 4) + ((block[1] & 0x3F) << 4)
+        comp = (block[1] >> 6) + (block[2] << 2)
+        hdr = 3
+        streams = 4
+    elif sf == 2:
+        if len(block) < 4:
+            raise _Corrupt("literals header truncated")
+        regen = (b0 >> 4) + (block[1] << 4) + ((block[2] & 0x3) << 12)
+        comp = (block[2] >> 2) + (block[3] << 6)
+        hdr = 4
+        streams = 4
+    else:
+        if len(block) < 5:
+            raise _Corrupt("literals header truncated")
+        regen = (b0 >> 4) + (block[1] << 4) + ((block[2] & 0x3F) << 12)
+        comp = (block[2] >> 6) + (block[3] << 2) + (block[4] << 10)
+        hdr = 5
+        streams = 4
+    if hdr + comp > len(block):
+        raise _Corrupt("compressed literals truncated")
+    body = block[hdr : hdr + comp]
+    if ltype == 2:
+        weights, tl, used = _huf_read_weights(body)
+        table = _huf_decode_table(weights, tl)
+        ft.huf = (table, tl)
+        body = body[used:]
+    else:  # treeless: reuse
+        if ft.huf is None:
+            raise _Corrupt("treeless literals with no prior table")
+        table, tl = ft.huf
+    if streams == 1:
+        lits = _huf_decode_stream(table, tl, body, regen)
+    else:
+        if len(body) < 6:
+            raise _Corrupt("4-stream jump table truncated")
+        s1, s2, s3 = struct.unpack_from("<HHH", body, 0)
+        p = 6
+        sizes = [s1, s2, s3, len(body) - 6 - s1 - s2 - s3]
+        if sizes[3] <= 0:
+            raise _Corrupt("4-stream sizes inconsistent")
+        per = (regen + 3) // 4
+        ns = [per, per, per, regen - 3 * per]
+        if ns[3] < 0:
+            raise _Corrupt("4-stream regen inconsistent")
+        lits = bytearray()
+        for sz, m in zip(sizes, ns):
+            lits += _huf_decode_stream(table, tl, body[p : p + sz], m)
+            p += sz
+    if len(lits) != regen:
+        raise _Corrupt("literals regen mismatch")
+    return bytes(lits), hdr + comp
+
+
+def _seq_table(
+    kind: str, mode: int, data: bytes, pos: int, ft: _FrameTables
+) -> tuple[tuple, int]:
+    """Resolve one sequence code table per its 2-bit mode; returns
+    ((symbols, nbits, base, al) | ('rle', code), new pos)."""
+    if mode == 0:  # predefined
+        counts, al = {"ll": _LL_DEFAULT, "of": _OF_DEFAULT, "ml": _ML_DEFAULT}[kind]
+        t = (*_fse_table(counts, al), al)
+    elif mode == 1:  # RLE: 1 byte = the code for every sequence
+        if pos >= len(data):
+            raise _Corrupt("RLE table byte missing")
+        t = ("rle", data[pos])
+        pos += 1
+    elif mode == 2:  # FSE-compressed description
+        fwd = _Fwd(data[pos:])
+        counts, al = _read_ncount(fwd, _MAX_AL[kind], _MAX_SYM[kind])
+        t = (*_fse_table(counts, al), al)
+        pos += fwd.byte_pos()
+    else:  # repeat
+        if kind not in ft.seq:
+            raise _Corrupt("repeat mode with no prior table")
+        t = ft.seq[kind]
+    ft.seq[kind] = t
+    return t, pos
+
+
+class _SeqState:
+    """One FSE lane of the interleaved sequences bitstream (or its RLE
+    degenerate: a fixed code, no bits)."""
+
+    __slots__ = ("table", "state")
+
+    def __init__(self, table: tuple, back: _Back) -> None:
+        self.table = table
+        if table[0] == "rle":
+            self.state = -1
+        else:
+            al = table[3]
+            self.state = back.read(al)
+
+    def code(self) -> int:
+        if self.table[0] == "rle":
+            return self.table[1]
+        return self.table[0][self.state]
+
+    def update(self, back: _Back) -> None:
+        if self.table[0] != "rle":
+            _, nbits, base, _ = self.table
+            self.state = base[self.state] + back.read(nbits[self.state])
+
+
+def _decode_sequences(
+    block: bytes, pos: int, ft: _FrameTables
+) -> list[tuple[int, int, int]]:
+    """Parse + decode the sequences section: [(ll, offset, ml), ...]."""
+    if pos >= len(block):
+        raise _Corrupt("missing sequences header")
+    b0 = block[pos]
+    if b0 == 0:
+        return []
+    if b0 < 128:
+        nseq = b0
+        pos += 1
+    elif b0 < 255:
+        if pos + 2 > len(block):
+            raise _Corrupt("sequences header truncated")
+        nseq = ((b0 - 128) << 8) + block[pos + 1]
+        pos += 2
+    else:
+        if pos + 3 > len(block):
+            raise _Corrupt("sequences header truncated")
+        nseq = block[pos + 1] + (block[pos + 2] << 8) + 0x7F00
+        pos += 3
+    if pos >= len(block):
+        raise _Corrupt("sequences modes missing")
+    modes = block[pos]
+    pos += 1
+    if modes & 3:
+        raise _Corrupt("reserved sequence mode bits set")
+    ll_t, pos = _seq_table("ll", (modes >> 6) & 3, block, pos, ft)
+    of_t, pos = _seq_table("of", (modes >> 4) & 3, block, pos, ft)
+    ml_t, pos = _seq_table("ml", (modes >> 2) & 3, block, pos, ft)
+    back = _Back(block[pos:])
+    ll_s = _SeqState(ll_t, back)
+    of_s = _SeqState(of_t, back)
+    ml_s = _SeqState(ml_t, back)
+    if back.pos < 0:
+        raise _Corrupt("sequence bitstream too short")
+    out: list[tuple[int, int, int]] = []
+    for i in range(nseq):
+        ofc = of_s.code()
+        if ofc > 31:
+            raise _Corrupt("offset code out of range")
+        of_val = (1 << ofc) + back.read(ofc)
+        mlc = ml_s.code()
+        ml_base, ml_bits = _ML_CODE[mlc]
+        ml = ml_base + back.read(ml_bits)
+        llc = ll_s.code()
+        ll_base, ll_bits = _LL_CODE[llc]
+        ll = ll_base + back.read(ll_bits)
+        # repeat-offset resolution
+        rep = ft.rep
+        if of_val > 3:
+            offset = of_val - 3
+            ft.rep = [offset, rep[0], rep[1]]
+        else:
+            idx = of_val - 1 + (1 if ll == 0 else 0)
+            if idx == 0:
+                offset = rep[0]
+            elif idx == 1:
+                offset = rep[1]
+                ft.rep = [rep[1], rep[0], rep[2]]
+            elif idx == 2:
+                offset = rep[2]
+                ft.rep = [rep[2], rep[0], rep[1]]
+            else:
+                offset = rep[0] - 1
+                if offset == 0:
+                    raise _Corrupt("repeat offset underflow")
+                ft.rep = [offset, rep[0], rep[1]]
+        out.append((ll, offset, ml))
+        if i + 1 < nseq:
+            ll_s.update(back)
+            ml_s.update(back)
+            of_s.update(back)
+            if back.pos < 0:
+                raise _Corrupt("sequence bitstream underrun")
+    if back.pos != 0:
+        raise _Corrupt("sequence bitstream not fully consumed")
+    return out
+
+
+def _decode_block(block: bytes, frame_out: bytearray, ft: _FrameTables) -> None:
+    literals, pos = _decode_literals(block, ft)
+    seqs = _decode_sequences(block, pos, ft)
+    lit_pos = 0
+    for ll, offset, ml in seqs:
+        if lit_pos + ll > len(literals):
+            raise _Corrupt("literals overrun")
+        frame_out += literals[lit_pos : lit_pos + ll]
+        lit_pos += ll
+        start = len(frame_out) - offset
+        if start < 0:
+            raise _Corrupt("match offset beyond history")
+        if offset >= ml:
+            frame_out += frame_out[start : start + ml]
+        else:  # overlapping copy: repeat the pattern
+            chunk = bytes(frame_out[start:])
+            frame_out += (chunk * (ml // offset + 1))[:ml]
+    frame_out += literals[lit_pos:]
+
+
+# ------------------------------------------------------------ frame decode
+
+def zstd_decompress(blob: bytes) -> bytes | None:
+    """Decode a Zstandard stream (one or more frames, skippable frames
+    allowed); None on anything malformed or out of scope (dictionary
+    frames) — degrade-loudly, never raise on untrusted input."""
+    try:
+        out = bytearray()
+        pos = 0
+        n = len(blob)
+        saw_frame = False
+        while pos < n:
+            if pos + 4 > n:
+                raise _Corrupt("truncated magic")
+            magic = struct.unpack_from("<I", blob, pos)[0]
+            if _SKIPPABLE_LO <= magic <= _SKIPPABLE_HI:
+                if pos + 8 > n:
+                    raise _Corrupt("truncated skippable frame")
+                sz = struct.unpack_from("<I", blob, pos + 4)[0]
+                pos += 8 + sz
+                continue
+            if blob[pos : pos + 4] != _MAGIC:
+                raise _Corrupt("bad magic")
+            pos += 4
+            pos, frame = _decode_frame(blob, pos)
+            out += frame
+            saw_frame = True
+        if not saw_frame:
+            raise _Corrupt("no frames")
+        return bytes(out)
+    except (_Corrupt, IndexError, struct.error, ValueError):
+        return None
+
+
+def _decode_frame(blob: bytes, pos: int) -> tuple[int, bytearray]:
+    n = len(blob)
+    fhd = blob[pos]
+    pos += 1
+    fcs_flag = fhd >> 6
+    single_seg = (fhd >> 5) & 1
+    if fhd & 8:
+        raise _Corrupt("reserved FHD bit set")
+    has_checksum = (fhd >> 2) & 1
+    did_flag = fhd & 3
+    if not single_seg:
+        pos += 1  # window descriptor (history kept in full anyway)
+    did_size = (0, 1, 2, 4)[did_flag]
+    if did_size:
+        did = int.from_bytes(blob[pos : pos + did_size], "little")
+        if did != 0:
+            raise _Corrupt("dictionary frames unsupported")
+        pos += did_size
+    fcs_size = (1 if single_seg else 0, 2, 4, 8)[fcs_flag]
+    fcs = None
+    if fcs_size:
+        if pos + fcs_size > n:
+            raise _Corrupt("truncated FCS")
+        fcs = int.from_bytes(blob[pos : pos + fcs_size], "little")
+        if fcs_size == 2:
+            fcs += 256
+        pos += fcs_size
+    ft = _FrameTables()
+    frame_out = bytearray()
+    while True:
+        if pos + 3 > n:
+            raise _Corrupt("truncated block header")
+        h = blob[pos] | (blob[pos + 1] << 8) | (blob[pos + 2] << 16)
+        pos += 3
+        last = h & 1
+        btype = (h >> 1) & 3
+        bsize = h >> 3
+        if btype == 0:  # raw
+            if pos + bsize > n:
+                raise _Corrupt("truncated raw block")
+            frame_out += blob[pos : pos + bsize]
+            pos += bsize
+        elif btype == 1:  # RLE
+            if pos + 1 > n:
+                raise _Corrupt("truncated RLE block")
+            frame_out += bytes([blob[pos]]) * bsize
+            pos += 1
+        elif btype == 2:  # compressed
+            if pos + bsize > n:
+                raise _Corrupt("truncated compressed block")
+            _decode_block(blob[pos : pos + bsize], frame_out, ft)
+            pos += bsize
+        else:
+            raise _Corrupt("reserved block type")
+        if last:
+            break
+    if fcs is not None and len(frame_out) != fcs:
+        raise _Corrupt("frame content size mismatch")
+    if has_checksum:
+        if pos + 4 > n:
+            raise _Corrupt("truncated checksum")
+        want = struct.unpack_from("<I", blob, pos)[0]
+        pos += 4
+        if (xxh64(bytes(frame_out)) & 0xFFFFFFFF) != want:
+            raise _Corrupt("content checksum mismatch")
+    return pos, frame_out
+
+
+# ------------------------------------------------------------ frame encode
+
+# 64 KiB (legal: Block_Maximum_Size is an upper bound) — also keeps the
+# largest possible literal run below LL code 35's 131071 ceiling
+_BLOCK_MAX = 64 * 1024
+
+
+def _lz_parse(data: bytes) -> list[tuple[int, int, int]]:
+    """Greedy hash-chain LZ77: [(lit_len, offset, match_len), ...] with
+    trailing literals encoded as a final (lit_len, 0, 0) marker."""
+    n = len(data)
+    seqs: list[tuple[int, int, int]] = []
+    table: dict[bytes, int] = {}
+    i = 0
+    lit_start = 0
+    while i + 4 <= n:
+        key = data[i : i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is not None and i - j <= (1 << 20):
+            # extend the match
+            ml = 4
+            while i + ml < n and data[j + ml] == data[i + ml] and ml < 65535:
+                ml += 1
+            if ml >= 4:
+                seqs.append((i - lit_start, i - j, ml))
+                # index a few positions inside the match for chain quality
+                for k in range(i + 1, min(i + ml, n - 4), 7):
+                    table[data[k : k + 4]] = k
+                i += ml
+                lit_start = i
+                continue
+        i += 1
+    if lit_start < n or not seqs:
+        seqs.append((n - lit_start, 0, 0))
+    return seqs
+
+
+def _encode_literals_section(lits: bytes) -> bytes:
+    """Smallest of raw / RLE / Huffman-compressed literals sections."""
+    regen = len(lits)
+    # raw
+    if regen < 32:
+        return _raw_lit_hdr(regen, 0) + lits
+    if len(set(lits)) == 1:
+        return _raw_lit_hdr(regen, 1) + lits[:1]
+    picked = _huf_pick_weights(lits)
+    raw_section = _raw_lit_hdr(regen, 0) + lits
+    if picked is None:
+        return raw_section
+    weights, tl = picked
+    try:
+        full, tl2 = _huf_complete_from_counts(weights)
+        codes = _huf_codes(full, tl2)
+        tree = _huf_write_tree(full)
+    except _Corrupt:
+        return raw_section  # degenerate weight shape: raw wins
+    if regen <= 1023:
+        stream = _huf_encode_stream(codes, lits)
+        comp = len(tree) + len(stream)
+        if comp > 1023 or 3 + comp >= len(raw_section):
+            return raw_section
+        b0 = 2 | (0 << 2) | ((regen & 0xF) << 4)
+        b1 = (regen >> 4) | ((comp & 3) << 6)
+        b2 = comp >> 2
+        return bytes([b0, b1, b2]) + tree + stream
+    # 4-stream, size format 10 (14-bit sizes)
+    per = (regen + 3) // 4
+    parts = [lits[0:per], lits[per : 2 * per], lits[2 * per : 3 * per],
+             lits[3 * per :]]
+    streams = [_huf_encode_stream(codes, p) for p in parts]
+    if any(len(s) > 0xFFFF for s in streams[:3]):
+        return raw_section
+    jump = struct.pack("<HHH", len(streams[0]), len(streams[1]), len(streams[2]))
+    body = tree + jump + b"".join(streams)
+    comp = len(body)
+    if comp >= 1 << 14 or regen >= 1 << 14 or 4 + comp >= len(raw_section):
+        return raw_section
+    b0 = 2 | (2 << 2) | ((regen & 0xF) << 4)
+    b1 = (regen >> 4) & 0xFF
+    b2 = (regen >> 12) | ((comp & 0x3F) << 2)
+    b3 = comp >> 6
+    return bytes([b0, b1, b2, b3]) + body
+
+
+def _huf_complete_from_counts(weights: list[int]) -> tuple[list[int], int]:
+    """Weights from _huf_pick_weights already sum to a full power of
+    two INCLUDING the last present symbol; reuse completion math to
+    derive the table log (the serialized form drops the last weight)."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    tl = total.bit_length() - 1
+    if (1 << tl) != total:
+        raise _Corrupt("internal: counts not a power of two")
+    return weights, tl
+
+
+def _raw_lit_hdr(regen: int, ltype: int) -> bytes:
+    if regen < 32:
+        return bytes([ltype | (0 << 2) | (regen << 3)])
+    if regen < 4096:
+        return bytes([ltype | (1 << 2) | ((regen & 0xF) << 4), regen >> 4])
+    return bytes(
+        [ltype | (3 << 2) | ((regen & 0xF) << 4), (regen >> 4) & 0xFF, regen >> 12]
+    )
+
+
+_PRED_TABLES: dict[str, tuple] = {}
+
+
+def _pred(kind: str) -> tuple[_FseEncoder, int]:
+    if kind not in _PRED_TABLES:
+        counts, al = {"ll": _LL_DEFAULT, "of": _OF_DEFAULT, "ml": _ML_DEFAULT}[kind]
+        symbols, nbits, base = _fse_table(counts, al)
+        _PRED_TABLES[kind] = (_FseEncoder(symbols, nbits, base), al)
+    return _PRED_TABLES[kind]
+
+
+def _encode_sequences_section(seqs: list[tuple[int, int, int]]) -> bytes:
+    """Sequences with all three code tables in PREDEFINED mode."""
+    nseq = len(seqs)
+    if nseq == 0:
+        return b"\x00"
+    if nseq < 128:
+        hdr = bytes([nseq])
+    elif nseq < 0x7F00:
+        hdr = bytes([128 + (nseq >> 8), nseq & 0xFF])
+    else:
+        hdr = bytes([255, nseq & 0xFF, (nseq - 0x7F00) >> 8])
+    hdr += b"\x00"  # all predefined
+    ll_e, ll_al = _pred("ll")
+    of_e, of_al = _pred("of")
+    ml_e, ml_al = _pred("ml")
+    # codes + extra bits per sequence
+    rows = []
+    for ll, offset, ml in seqs:
+        of_val = offset + 3
+        ofc = of_val.bit_length() - 1
+        mlc = _ml_code_of(ml)
+        llc = _ll_code_of(ll)
+        rows.append(
+            (
+                llc, ofc, mlc,
+                (of_val - (1 << ofc), ofc),
+                (ml - _ML_CODE[mlc][0], _ML_CODE[mlc][1]),
+                (ll - _LL_CODE[llc][0], _LL_CODE[llc][1]),
+            )
+        )
+    # FSE states, decoder order: init LL, OF, ML; per seq read OF/ML/LL
+    # extra bits; then (not last) update LL, ML, OF.  Work lanes backward.
+    def lane_states(enc: _FseEncoder, codes: list[int]):
+        cur = enc.any_state(codes[-1])
+        updates: list[tuple[int, int]] = []
+        for c in reversed(codes[:-1]):
+            prev_state, bits, width = enc.prev(cur, c)
+            updates.append((bits, width))
+            cur = prev_state
+        updates.reverse()  # updates[k] read after emitting seq k
+        return cur, updates
+
+    ll_init, ll_upd = lane_states(ll_e, [r[0] for r in rows])
+    of_init, of_upd = lane_states(of_e, [r[1] for r in rows])
+    ml_init, ml_upd = lane_states(ml_e, [r[2] for r in rows])
+    w = _BackWriter()
+    w.emit(ll_init, ll_al)
+    w.emit(of_init, of_al)
+    w.emit(ml_init, ml_al)
+    for k, (_llc, _ofc, _mlc, of_x, ml_x, ll_x) in enumerate(rows):
+        w.emit(*of_x)
+        w.emit(*ml_x)
+        w.emit(*ll_x)
+        if k + 1 < nseq:
+            w.emit(*ll_upd[k])
+            w.emit(*ml_upd[k])
+            w.emit(*of_upd[k])
+    return hdr + w.to_bytes()
+
+
+def _compress_block(data: bytes) -> bytes | None:
+    """One compressed-block body, or None when it wouldn't beat raw."""
+    parsed = _lz_parse(data)
+    lits = bytearray()
+    seqs: list[tuple[int, int, int]] = []
+    pos = 0
+    for ll, offset, ml in parsed:
+        lits += data[pos : pos + ll]
+        pos += ll + ml
+        if offset:
+            seqs.append((ll, offset, ml))
+    body = _encode_literals_section(bytes(lits)) + _encode_sequences_section(seqs)
+    if len(body) >= len(data):
+        return None
+    return body
+
+
+def zstd_compress(data: bytes, level_blocks: bool = True) -> bytes:
+    """A deterministic, conformant single-frame Zstandard stream:
+    single-segment frame with explicit content size + xxh64 checksum;
+    per 128 KiB block the smallest of RLE / compressed / raw."""
+    n = len(data)
+    if n <= 255:
+        fhd = (0 << 6) | (1 << 5) | (1 << 2)
+        head = bytes([fhd, n])
+    elif n <= 65535 + 256:
+        fhd = (1 << 6) | (1 << 5) | (1 << 2)
+        head = bytes([fhd]) + struct.pack("<H", n - 256)
+    else:
+        fhd = (2 << 6) | (1 << 5) | (1 << 2)
+        head = bytes([fhd]) + struct.pack("<I", n)
+    out = bytearray(_MAGIC + head)
+    if n == 0:
+        out += b"\x01\x00\x00"  # last raw block, size 0
+    blocks = [data[i : i + _BLOCK_MAX] for i in range(0, n, _BLOCK_MAX)]
+    for bi, blk in enumerate(blocks):
+        last = 1 if bi == len(blocks) - 1 else 0
+        if len(set(blk)) == 1:
+            h = last | (1 << 1) | (len(blk) << 3)
+            out += h.to_bytes(3, "little") + blk[:1]
+            continue
+        body = _compress_block(blk) if level_blocks else None
+        if body is not None:
+            h = last | (2 << 1) | (len(body) << 3)
+            out += h.to_bytes(3, "little") + body
+        else:
+            h = last | (0 << 1) | (len(blk) << 3)
+            out += h.to_bytes(3, "little") + blk
+    out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
+    return bytes(out)

@@ -604,6 +604,65 @@ def mm_compressed_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_zstd_text_roundtrip",
+    # r8 (VERDICT #2): the highest-frequency real-corpus wire format
+    # still unreadable last round — modern LLM corpora ship .jsonl.zst.
+    # operators/zstd.py implements RFC 8878 from the spec (FSE + Huffman
+    # + sequences both directions); the oracle restates the identity
+    # decompress(compress(text)) == text per doc, so the hash fails if
+    # ANY layer (frame header, block split, literals entropy coding,
+    # sequence bitstream, repeat offsets, xxh64 checksum) mangles a
+    # byte.  The codec is additionally cross-validated against the
+    # reference zstd implementation in tests/test_zstd.py.
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars,
+           md5(text) AS text_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def mm_zstd_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X4 extension, r8 — zstd ingest: every document compressed
+    into an RFC 8878 frame (raw/RLE/compressed blocks, Huffman literals,
+    predefined-FSE sequences, content checksum) and decompressed back
+    through the magic-sniffing dispatch (operators/compress.py
+    decompress_auto), emitting the RECOVERED text's length + md5.
+
+    Scale shape: per-row independent mapInPandas — no shuffle before
+    the final sort; at 100 TB each .zst member decodes where it lands,
+    and frame history is bounded by the document, never the corpus."""
+    import pandas as pd
+
+    from specialsid_spark.operators.compress import decompress_auto
+    from specialsid_spark.operators.zstd import zstd_compress
+
+    d = load(spark, sf_dir, "documents")
+
+    def fn(batches):
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                back = decompress_auto(zstd_compress(raw))
+                out.append(
+                    (int(doc_id), len(back.decode("utf-8")),
+                     hashlib.md5(back).hexdigest())
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_chars", "text_md5"]
+            ).astype({"doc_id": "int64", "n_chars": "int32"})
+
+    return (
+        d.select("doc_id", "text")
+        .mapInPandas(fn, "doc_id long, n_chars int, text_md5 string")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "mm_zip_archive_listing",
     # Fixture: a STORED-method ZIP per doc with 3 members holding text
     # slices; the listing (central-directory walk, NO extraction) must

@@ -1,0 +1,212 @@
+"""operators/zstd.py — RFC 8878 pure-Python codec.
+
+Strategy: deterministic self-roundtrips + corruption degrades always
+run; when the container has a reference ``zstd`` binary the suite ALSO
+cross-validates both directions (this encoder's frames through the
+reference decompressor, reference-compressed data at several levels
+through this decoder) — the strongest conformance evidence a
+from-scratch codec can have.
+"""
+
+from __future__ import annotations
+
+import random
+import shutil
+import subprocess
+
+import pytest
+
+from specialsid_spark.operators.zstd import (
+    _read_ncount,
+    _write_ncount,
+    _Fwd,
+    xxh64,
+    zstd_compress,
+    zstd_decompress,
+)
+
+_ZSTD_CLI = shutil.which("zstd")
+
+
+def _gen(rng: random.Random, n: int) -> bytes:
+    kind = rng.randrange(5)
+    if kind == 0:
+        return bytes(rng.randrange(256) for _ in range(n))
+    if kind == 1:
+        return bytes(rng.choice(b"abcde ") for _ in range(n))
+    if kind == 2:
+        words = [
+            bytes(rng.choice(b"abcdefgh") for _ in range(rng.randrange(2, 9)))
+            for _ in range(8)
+        ]
+        out = bytearray()
+        while len(out) < n:
+            out += rng.choice(words) + b" "
+        return bytes(out[:n])
+    if kind == 3:
+        return bytes([rng.randrange(4)]) * n
+    return (
+        b"A" * rng.randrange(1, 300)
+        + bytes(rng.randrange(256) for _ in range(rng.randrange(50)))
+    ) * (n // 100 + 1)
+
+
+def test_xxh64_known_vectors():
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxh64(b"abc") == 0x44BC2CF5AD770999
+    assert xxh64(bytes(range(101)) * 7) == xxh64(bytes(range(101)) * 7)
+
+
+def test_roundtrip_shapes():
+    rng = random.Random(1)
+    cases = [
+        b"",
+        b"x",
+        b"hello world " * 200,
+        bytes(rng.randrange(256) for _ in range(3000)),
+        bytes([7]) * 100000,
+        bytes(range(256)) * 40,
+    ]
+    for data in cases:
+        assert zstd_decompress(zstd_compress(data)) == data
+
+
+def test_roundtrip_fuzz():
+    rng = random.Random(42)
+    for _ in range(60):
+        data = _gen(rng, rng.randrange(0, 60000))
+        assert zstd_decompress(zstd_compress(data)) == data
+
+
+def test_compresses_text():
+    data = open("/root/repo/SURVEY.md", "rb").read()
+    z = zstd_compress(data)
+    assert zstd_decompress(z) == data
+    assert len(z) < 0.65 * len(data)
+
+
+def test_corruption_degrades_not_raises():
+    rng = random.Random(3)
+    data = _gen(rng, 5000)
+    z = bytearray(zstd_compress(data))
+    for _ in range(200):
+        zz = bytearray(z)
+        op = rng.randrange(3)
+        if op == 0:
+            zz[rng.randrange(len(zz))] ^= 1 << rng.randrange(8)
+        elif op == 1:
+            zz = zz[: rng.randrange(len(zz))]
+        else:
+            for _ in range(8):
+                zz[rng.randrange(len(zz))] = rng.randrange(256)
+        r = zstd_decompress(bytes(zz))
+        assert r is None or isinstance(r, bytes)
+    assert zstd_decompress(b"") is None
+    assert zstd_decompress(b"\x28\xb5\x2f") is None
+    assert zstd_decompress(b"not zstd at all") is None
+
+
+def test_checksum_is_verified():
+    data = b"checksummed payload " * 50
+    z = bytearray(zstd_compress(data))
+    z[-1] ^= 0xFF  # trailing xxh64 low-32 bytes
+    assert zstd_decompress(bytes(z)) is None
+
+
+def test_skippable_frames_and_concatenation():
+    a, b = b"first frame " * 30, b"second frame " * 30
+    skip = b"\x50\x2a\x4d\x18" + (7).to_bytes(4, "little") + b"padding"
+    blob = zstd_compress(a) + skip + zstd_compress(b)
+    assert zstd_decompress(blob) == a + b
+
+
+def test_fse_ncount_roundtrip_fuzz():
+    rng = random.Random(9)
+    for _ in range(200):
+        al = rng.randrange(5, 10)
+        size = 1 << al
+        nsym = rng.randrange(2, 40)
+        # random composition of `size` into nsym parts, some -1s
+        counts = [0] * nsym
+        left = size
+        for s in range(nsym - 1):
+            if left <= 1:
+                break
+            if rng.random() < 0.15:
+                counts[s] = -1
+                left -= 1
+            else:
+                c = rng.randrange(0, left)
+                counts[s] = c
+                left -= c
+        counts[-1] = max(left, 0)
+        if counts[-1] == 0:
+            counts[-1] = 1
+            counts[0] += -1 if counts[0] > 0 else 0
+            total = sum(c for c in counts if c > 0) + sum(
+                1 for c in counts if c < 0
+            )
+            if total != size:
+                continue
+        got, got_al = _read_ncount(_Fwd(_write_ncount(counts, al)), 9, 255)
+        # trailing zeros are representation-equivalent
+        while got and got[-1] == 0:
+            got.pop()
+        want = list(counts)
+        while want and want[-1] == 0:
+            want.pop()
+        assert got == want and got_al == al
+
+
+@pytest.mark.skipif(_ZSTD_CLI is None, reason="no reference zstd binary")
+def test_reference_accepts_our_frames():
+    rng = random.Random(11)
+    for _ in range(25):
+        data = _gen(rng, rng.randrange(0, 80000))
+        z = zstd_compress(data)
+        p = subprocess.run([_ZSTD_CLI, "-d", "-c"], input=z, capture_output=True)
+        assert p.returncode == 0 and p.stdout == data, p.stderr[:200]
+
+
+@pytest.mark.skipif(_ZSTD_CLI is None, reason="no reference zstd binary")
+def test_we_decode_reference_frames_all_levels():
+    rng = random.Random(12)
+    datas = [_gen(rng, rng.randrange(100, 60000)) for _ in range(6)]
+    datas.append(open("/root/repo/SURVEY.md", "rb").read())
+    for data in datas:
+        for lvl in ("-1", "-3", "-9", "-19"):
+            p = subprocess.run(
+                [_ZSTD_CLI, lvl, "-c"], input=data, capture_output=True
+            )
+            assert p.returncode == 0
+            assert zstd_decompress(p.stdout) == data, lvl
+
+
+@pytest.mark.skipif(_ZSTD_CLI is None, reason="no reference zstd binary")
+def test_reference_validates_fse_weight_trees():
+    """Wide (>128-symbol) literal alphabets force the FSE-compressed
+    Huffman weight description — the trickiest encoder path (two-lane
+    interleaved states with zero-fill exhaustion)."""
+    rng = random.Random(13)
+    pool = list(range(150, 256)) + [32, 101, 116]
+    for _ in range(10):
+        wts = [rng.randrange(1, 50) for _ in pool]
+        data = bytes(rng.choices(pool, weights=wts, k=rng.randrange(500, 8000)))
+        z = zstd_compress(data)
+        assert zstd_decompress(z) == data
+        p = subprocess.run([_ZSTD_CLI, "-d", "-c"], input=z, capture_output=True)
+        assert p.returncode == 0 and p.stdout == data, p.stderr[:200]
+
+
+def test_dispatch_integration():
+    from specialsid_spark.operators.compress import (
+        compress_text,
+        decompress_auto,
+        sniff_codec,
+    )
+
+    data = b"the corpus arrives as .jsonl.zst " * 100
+    z = compress_text(data, "zstd")
+    assert sniff_codec(z) == "zstd"
+    assert decompress_auto(z) == data
