@@ -604,6 +604,98 @@ def mm_compressed_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_pdf_rasterize_page",
+    # r8 (VERDICT #3): the last reference-capability delta — rastering
+    # a text+vector+image page to pixels (the reference does it with
+    # Poppler for its vision hop).  Fixture: writer-generated page with
+    # a gray rect fill, a 12pt text line, and an 8x8 gray image placed
+    # 1:1 — every coordinate integral at dpi 72, so ink coverage and
+    # the gray-channel sum have closed forms the oracle restates from
+    # doc_id arithmetic: glyph boxes are round(0.4*12)x(0.6*12) = 5x7
+    # px advancing 6 px, the rect is (40 + doc_id%8)x30 at color
+    # (doc_id*7)%200, image pixels are (doc_id*5+k)%200.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    base AS (
+      SELECT doc_id,
+             3 + length(CAST(doc_id AS VARCHAR)) AS n_chars,
+             (40 + doc_id % 8) * 30 AS rect_area,
+             (doc_id * 7) % 200 AS rect_color,
+             (SELECT SUM((doc_id * 5 + k.k) % 200)
+              FROM (SELECT unnest(range(0, 64)) AS k) k) AS img_sum
+      FROM docs
+    )
+    SELECT doc_id,
+           612 AS width, 792 AS height,
+           CAST(rect_area + 64 + n_chars * 35 AS BIGINT) AS ink_px,
+           CAST(255 * 612 * 792
+                - 255 * n_chars * 35
+                - (255 - rect_color) * rect_area
+                - (255 * 64 - img_sum) AS BIGINT) AS gray_sum
+    FROM base
+    ORDER BY doc_id
+    """,
+)
+def mm_pdf_rasterize_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 completion, r8 — deterministic PDF page RASTERIZATION
+    (operators/pdfraster.py): content-stream interpreter painting rect
+    fills, glyph-box text runs, and image XObjects into an RGB buffer
+    at dpi 72 (reference parity: gen_pdf_imgLambda.py:51-60 rasters any
+    page for the vision hop).  The query builds each doc's fixture
+    page, rasters it, and emits exact ink coverage + gray-channel sum —
+    a wrong pixel anywhere (transform math, y-flip, glyph advance,
+    image scaling, rounding) shifts the sums.
+
+    Scale shape: per-row independent mapInPandas, buffer bounded by
+    page size x dpi^2 — no shuffle before the final sort."""
+    import numpy as np
+    import pandas as pd
+
+    from specialsid_spark.operators.pdfraster import (
+        build_raster_pdf,
+        rasterize_page,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                text = f"DOC{doc_id}"
+                rw = 40 + doc_id % 8
+                rc = (doc_id * 7) % 200
+                ipx = bytes((doc_id * 5 + k) % 200 for k in range(64))
+                blob = build_raster_pdf(text, (100, 100, rw, 30, rc), (8, 8, ipx))
+                r = rasterize_page(blob)
+                if r is None:  # degrade surfaces as an impossible row
+                    out.append((doc_id, -1, -1, -1, -1))
+                    continue
+                w, h, _ch, px = r
+                buf = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+                gray = buf[:, :, 0]
+                out.append(
+                    (doc_id, w, h,
+                     int((gray != 255).sum()),
+                     int(gray.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "ink_px", "gray_sum"]
+            ).astype({"doc_id": "int64", "width": "int32", "height": "int32",
+                      "ink_px": "int64", "gray_sum": "int64"})
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            fn,
+            "doc_id long, width int, height int, ink_px long, gray_sum long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "mm_zstd_text_roundtrip",
     # r8 (VERDICT #2): the highest-frequency real-corpus wire format
     # still unreadable last round — modern LLM corpora ship .jsonl.zst.

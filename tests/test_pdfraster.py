@@ -1,0 +1,91 @@
+"""operators/pdfraster.py — deterministic PDF page rasterization."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from specialsid_spark.operators.jpeg import encode_jpeg
+from specialsid_spark.operators.pdf import build_image_pdf, build_text_pdf
+from specialsid_spark.operators.pdfraster import (
+    build_raster_pdf,
+    rasterize_page,
+)
+
+
+def _gray(r):
+    w, h, ch, px = r
+    assert ch == 3
+    return np.frombuffer(px, np.uint8).reshape(h, w, 3)[:, :, 0]
+
+
+def test_fixture_pixel_exactness():
+    for doc_id in (0, 7, 13, 60):
+        text = f"DOC{doc_id}"
+        rw = 40 + doc_id % 8
+        rc = (doc_id * 7) % 200
+        ipx = bytes((doc_id * 5 + k) % 200 for k in range(64))
+        pdf = build_raster_pdf(text, (100, 100, rw, 30, rc), (8, 8, ipx))
+        gray = _gray(rasterize_page(pdf)).astype(np.int64)
+        n = len(text)
+        glyph_area = n * 5 * 7
+        rect_area = rw * 30
+        assert int((gray != 255).sum()) == glyph_area + rect_area + 64
+        expect = (
+            255 * 612 * 792
+            - 255 * glyph_area
+            - (255 - rc) * rect_area
+            - (255 * 64 - sum(ipx))
+        )
+        assert int(gray.sum()) == expect
+        # the image lands 1:1 at its declared spot, row order intact
+        sub = gray[792 - 308 : 792 - 300, 300:308]
+        assert (sub == np.array(list(ipx)).reshape(8, 8)).all()
+
+
+def test_text_pdf_pages_rasterize():
+    pdf = build_text_pdf(["Hello raster world\nsecond line", "page two"])
+    g0 = _gray(rasterize_page(pdf, 0))
+    g1 = _gray(rasterize_page(pdf, 1))
+    ink0, ink1 = int((g0 != 255).sum()), int((g1 != 255).sum())
+    assert ink0 > ink1 > 0
+    # glyph-box model: ink = 35 px per non-space char (12 pt, dpi 72)
+    n1 = sum(1 for c in "page two" if not c.isspace())
+    assert ink1 == 35 * n1
+
+
+def test_objstm_layout_rasterizes():
+    pdf = build_text_pdf(["objstm layout page"], layout="objstm")
+    assert int((_gray(rasterize_page(pdf)) != 255).sum()) > 0
+
+
+def test_image_pdf_rasterizes_via_jpeg_decode():
+    w, h = 64, 48
+    pixels = bytes(((x * 3 + y * 5) % 256) for y in range(h) for x in range(w))
+    pdf = build_image_pdf([encode_jpeg(w, h, 1, pixels, quality=90)])
+    r = rasterize_page(pdf)
+    assert r is not None and (r[0], r[1]) == (w, h)
+    assert int((_gray(r) != 255).sum()) > 0.9 * w * h
+
+
+def test_dpi_scales_buffer():
+    pdf = build_raster_pdf("x", (100, 100, 40, 30, 90), (8, 8, bytes([5] * 64)))
+    r = rasterize_page(pdf, dpi=36)
+    assert (r[0], r[1]) == (306, 396)
+    # the rect halves in each dimension
+    gray = _gray(r)
+    assert int((gray == 90).sum()) == 20 * 15
+
+
+def test_vector_content_degrades_loudly():
+    pdf = build_raster_pdf("x", (10, 10, 5, 5, 9), (8, 8, bytes(64)))
+    # splice a curve fill into the content stream
+    bad = pdf.replace(b" re\n", b" m\n", 1)
+    assert rasterize_page(bad) is None
+    assert rasterize_page(b"not a pdf") is None
+    assert rasterize_page(b"%PDF-1.4 truncated") is None
+
+
+def test_rotated_ctm_degrades():
+    pdf = build_raster_pdf("x", (10, 10, 5, 5, 9), (8, 8, bytes(64)))
+    bad = pdf.replace(b"8 0 0 8", b"8 1 1 8", 1)  # skewed image placement
+    assert rasterize_page(bad) is None
