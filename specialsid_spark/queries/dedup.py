@@ -1152,6 +1152,118 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_exactsubstr_corpus",
+    # r8 (VERDICT #4): the DEDUPLICATED CORPUS itself, not just stats —
+    # ExactSubstr's output (Lee et al. 2022) at span granularity.  The
+    # oracle recomputes owner selection, interval coverage, and the
+    # survivor text md5 end-to-end; a single kept/removed token
+    # anywhere flips a hash.
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, u.i AS s,
+             md5(array_to_string(toks[u.i:u.i+{_SPAN_K - 1}], ' ')) AS span
+      FROM t CROSS JOIN LATERAL (
+        SELECT unnest(range(1, greatest(len(toks) - {_SPAN_K - 1}, 0) + 1)) AS i) u
+    ),
+    gd AS (SELECT span, COUNT(DISTINCT doc_id) AS nd,
+                  min({{'d': doc_id, 's': s}}) AS own
+           FROM g GROUP BY span),
+    rem AS (
+      SELECT g.doc_id, g.s
+      FROM g JOIN gd USING (span)
+      WHERE gd.nd >= 2 AND NOT (g.doc_id = gd.own.d AND g.s = gd.own.s)
+    ),
+    cov AS (SELECT DISTINCT doc_id, s + o.o AS pos
+            FROM rem CROSS JOIN (SELECT unnest(range(0, {_SPAN_K})) AS o) o),
+    tok AS (SELECT doc_id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) AS pos FROM t),
+    kept AS (SELECT tok.* FROM tok ANTI JOIN cov USING (doc_id, pos)),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_md5
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(agg.kept_md5, md5('')) AS kept_md5
+    FROM t LEFT JOIN agg USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def dedup_exactsubstr_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup OUTPUT (r8): remove all but one occurrence of
+    every cross-document duplicated {_SPAN_K}-token span and emit the
+    surviving corpus (per doc: kept-token count + survivor-text md5).
+    Rules, restated verbatim by the oracle: a span is duplicated when
+    it occurs in >= 2 distinct docs; its OWNER occurrence is the
+    lexicographic min (doc_id, start); every non-owner occurrence's
+    token interval [start, start+k) is removed, overlaps unioned by
+    position-distinct.
+
+    This is the sorted-shingle-runs formulation of Lee et al.'s
+    suffix-array pass: span identity travels as a 32-hex md5, so the
+    duplicate GROUPing shuffles constant-width hashes; coverage
+    explodes each removed span into k (doc_id, pos) int pairs — k-fold
+    on REMOVED spans only, never the corpus — and the final anti-join
+    + per-doc rollup shuffle (doc_id, pos) ints.  No UDF anywhere; at
+    100 TB nothing in the plan carries span TEXT past the map side."""
+    from specialsid_spark.operators.textops import word_kgrams
+
+    d = load_parallel(spark, sf_dir, "documents")
+    tk = d.select("doc_id", tokens("text").alias("toks")).localCheckpoint()
+    grams = tk.select(
+        "doc_id", F.posexplode(word_kgrams(F.col("toks"), k=_SPAN_K))
+    ).select("doc_id", F.col("pos").alias("s"), F.md5("col").alias("span"))
+    gd = grams.groupBy("span").agg(
+        F.countDistinct("doc_id").alias("nd"),
+        F.min(F.struct("doc_id", "s")).alias("own"),
+    )
+    rem = (
+        grams.join(gd, "span")
+        .filter(
+            (F.col("nd") >= 2)
+            & ~(
+                (F.col("doc_id") == F.col("own.doc_id"))
+                & (F.col("s") == F.col("own.s"))
+            )
+        )
+        .select("doc_id", "s")
+    )
+    cov = rem.select(
+        "doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + _SPAN_K - 1)).alias("pos")
+    ).distinct()
+    tok = tk.select("doc_id", F.posexplode("toks")).select(
+        "doc_id", "pos", F.col("col").alias("tok")
+    )
+    kept = tok.join(cov, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x.tok,
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+    return (
+        tk.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("kept_md5"), F.md5(F.lit(""))).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _PF_TAU_NUM, _PF_TAU_DEN = 3, 5  # Jaccard threshold 0.6 as an exact rational
 _PF_DOCS = 400                   # fixed doc subset (exists at every SF)
 
