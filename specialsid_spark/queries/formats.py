@@ -185,6 +185,135 @@ _SQL_TRICKY_XML = (
 )
 
 
+# Avro adversarial nested/nullable rendering: the nested value lives
+# only inside the Avro file; the summary flattens it to a canonical
+# string both engines can checksum.  opt is a union[null,string] that
+# is actually null every 3rd row; tags an array<long> that is empty
+# every 2nd row; props a map with a union[null,long] value.
+_SQL_TRICKY_AVRO = (
+    "(CASE WHEN doc_id % 3 = 0 THEN '~' ELSE 'v' || CAST(doc_id AS VARCHAR) END)"
+    " || '|' || (CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id AS VARCHAR) || ','"
+    " || CAST(doc_id * 2 AS VARCHAR) ELSE '' END)"
+    " || '|' || (CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id AS VARCHAR) ELSE '~' END)"
+    " || ':' || CAST(doc_id * 7 AS VARCHAR)"
+)
+
+
+@register("src_avro_roundtrip", oracle=_sql_summary(_SQL_TRICKY_AVRO))
+def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro OCF sink + source (r8, VERDICT #5) — the one mainstream
+    interchange format the engine couldn't read: the container has
+    avro core but no spark-avro connector, so operators/avro.py
+    implements the public spec (binary encoding + object container,
+    deflate codec) and this query drives it through Spark both ways.
+
+    WRITE: each task serializes its partition into one .avro file
+    (mapInPandas; records carry an adversarial nested value — a
+    union-null string, an array<long> empty on half the rows, and a
+    map with union-null values — the encodings where an Avro
+    implementation actually goes wrong).  READ: binaryFile scan of the
+    written files → OCF decode → flatten the nested value to a
+    canonical string → the shared checksum summary.  The oracle
+    restates the flattening from doc_id arithmetic, so a green hash
+    proves union-branch indices, array/map block framing, and the
+    deflate layer all survived.  The wire format is additionally
+    cross-validated against the JVM's independent avro-1.12.1 reader
+    in tests/test_avro.py.
+
+    100 TB story: same shape as the CSV/ORC/JSONL/XML legs — one file
+    per task on write, splittable-by-file on read, no shuffle until
+    the low-cardinality summary groupBy.  (A production sink would add
+    Spark's commit protocol for task retries; the scratch-dir write
+    here keeps the query self-contained.)"""
+    import pandas as pd
+
+    from specialsid_spark.operators.avro import read_ocf, write_ocf
+
+    _AVRO_SCHEMA = {
+        "type": "record",
+        "name": "Doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "text", "type": "string"},
+            {"name": "lang", "type": "string"},
+            {"name": "n_chars", "type": "long"},
+            {"name": "opt", "type": ["null", "string"]},
+            {"name": "tags", "type": {"type": "array", "items": "long"}},
+            {"name": "props", "type": {"type": "map", "values": ["null", "long"]}},
+        ],
+    }
+
+    def make_writer(d: str):
+        def write_part(batches):
+            import uuid
+
+            rows = []
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    i = int(r.doc_id)
+                    rows.append(
+                        {
+                            "doc_id": i,
+                            "text": r.text,
+                            "lang": r.lang,
+                            "n_chars": int(r.n_chars),
+                            "opt": None if i % 3 == 0 else f"v{i}",
+                            "tags": [i, i * 2] if i % 2 == 1 else [],
+                            "props": {"k": i if i % 2 == 0 else None, "j": i * 7},
+                        }
+                    )
+            if rows:
+                path = os.path.join(d, f"part-{uuid.uuid4().hex}.avro")
+                with open(path, "wb") as f:
+                    f.write(write_ocf(_AVRO_SCHEMA, rows, codec="deflate"))
+            yield pd.DataFrame({"n": [len(rows)]})
+
+        return write_part
+
+    def write(d: str) -> None:
+        os.makedirs(d, exist_ok=True)
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "n_chars"
+        )
+        docs.mapInPandas(make_writer(d), "n long").agg(F.sum("n")).collect()
+
+    out = _roundtrip_dir("avro", sf_dir, write)
+
+    def read_part(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                _, recs = read_ocf(bytes(blob))
+                for r in recs:
+                    opt = "~" if r["opt"] is None else r["opt"]
+                    tags = ",".join(str(t) for t in r["tags"])
+                    k = "~" if r["props"]["k"] is None else str(r["props"]["k"])
+                    rows.append(
+                        (
+                            r["doc_id"],
+                            r["text"],
+                            r["lang"],
+                            r["n_chars"],
+                            f"{opt}|{tags}|{k}:{r['props']['j']}",
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "lang", "n_chars", "tricky"]
+            ).astype({"doc_id": "int64", "n_chars": "int64"})
+
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(out)
+        .select("content")
+        .mapInPandas(
+            read_part,
+            "doc_id long, text string, lang string, n_chars long, tricky string",
+        )
+    )
+    return _summarize(back)
+
+
 @register("src_xml_roundtrip", oracle=_sql_summary(_SQL_TRICKY_XML))
 def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML sink + source (r7) — Spark 4's NATIVE XML data source (the

@@ -1,0 +1,187 @@
+"""Avro OCF codec (operators/avro.py): python roundtrips over every
+supported type, container-level framing, and — the strong check —
+cross-validation against the JVM's independent avro-1.12.1
+implementation in both directions (our bytes read by Java, Java's
+bytes read by us)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from specialsid_spark.operators.avro import (
+    MAGIC,
+    read_ocf,
+    write_ocf,
+)
+
+_SCHEMA = {
+    "type": "record",
+    "name": "Doc",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "text", "type": "string"},
+        {"name": "opt", "type": ["null", "string"]},
+        {"name": "tags", "type": {"type": "array", "items": "long"}},
+        {"name": "props", "type": {"type": "map", "values": ["null", "long"]}},
+        {"name": "kind", "type": {"type": "enum", "name": "Kind", "symbols": ["A", "B", "C"]}},
+        {"name": "fp", "type": {"type": "fixed", "name": "FP", "size": 4}},
+        {"name": "score", "type": "double"},
+        {"name": "ratio", "type": "float"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "blob", "type": "bytes"},
+    ],
+}
+
+
+def _recs(n: int) -> list[dict]:
+    return [
+        {
+            "doc_id": i,
+            "text": f"héllo {i}\n\x00tail",
+            "opt": None if i % 3 == 0 else str(i),
+            "tags": [i, i * 2, -i] if i % 2 else [],
+            "props": {"k": None if i % 2 else i, "j": i * 7},
+            "kind": ["A", "B", "C"][i % 3],
+            "fp": bytes([i & 255] * 4),
+            "score": i * 1.5,
+            "ratio": float(i),
+            "flag": bool(i % 2),
+            "blob": bytes([i & 255, 255 - (i & 255)]),
+        }
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_roundtrip_all_types(codec):
+    recs = _recs(50)
+    blob = write_ocf(_SCHEMA, recs, codec=codec)
+    assert blob.startswith(MAGIC)
+    schema, back = read_ocf(blob)
+    assert schema == json.loads(json.dumps(_SCHEMA))
+    assert back == recs
+
+
+def test_multi_block_and_empty():
+    recs = _recs(2500)  # > default block_records → multiple data blocks
+    blob = write_ocf(_SCHEMA, recs, block_records=100)
+    assert read_ocf(blob)[1] == recs
+    assert read_ocf(write_ocf(_SCHEMA, []))[1] == []
+
+
+def test_long_zigzag_extremes():
+    vals = [0, -1, 1, 2**62, -(2**62), 63, -64]
+    assert read_ocf(write_ocf("long", vals))[1] == vals
+
+
+def test_deterministic_bytes():
+    # byte-stable writer: same input → same file (oracle property)
+    a = write_ocf(_SCHEMA, _recs(10))
+    b = write_ocf(_SCHEMA, _recs(10))
+    assert a == b
+
+
+def test_malformed_raises():
+    good = write_ocf("long", [1, 2, 3])
+    with pytest.raises(ValueError):
+        read_ocf(b"NOPE" + good[4:])
+    # corrupt the sync marker at the end
+    with pytest.raises(ValueError):
+        read_ocf(good[:-16] + bytes(16))
+
+
+def test_named_type_reference():
+    # a fixed type declared once, referenced by name in a later field
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "a", "type": {"type": "fixed", "name": "H", "size": 2}},
+            {"name": "b", "type": "H"},
+        ],
+    }
+    recs = [{"a": b"xy", "b": b"zw"}]
+    assert read_ocf(write_ocf(schema, recs))[1] == recs
+
+
+def _jvm_read(spark, blob: bytes) -> list[str]:
+    jvm = spark._jvm
+    sbi = jvm.org.apache.avro.file.SeekableByteArrayInput(bytearray(blob))
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        sbi, jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    out = []
+    while rdr.hasNext():
+        out.append(str(rdr.next()))
+    rdr.close()
+    return out
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_jvm_reads_our_bytes(spark, codec):
+    """Independent implementation agreement: the JVM's avro-1.12.1
+    DataFileReader must parse our writer's bytes record-for-record."""
+    schema = {
+        "type": "record",
+        "name": "Doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "text", "type": "string"},
+            {"name": "opt", "type": ["null", "string"]},
+            {"name": "tags", "type": {"type": "array", "items": "long"}},
+        ],
+    }
+    recs = [
+        {"doc_id": i, "text": f"x{i}", "opt": None if i % 2 else str(i), "tags": [i, i + 1]}
+        for i in range(25)
+    ]
+    out = _jvm_read(spark, write_ocf(schema, recs, codec=codec))
+    assert len(out) == 25
+    assert out[0] == '{"doc_id": 0, "text": "x0", "opt": "0", "tags": [0, 1]}'
+    assert out[1] == '{"doc_id": 1, "text": "x1", "opt": null, "tags": [1, 2]}'
+
+
+def test_we_read_jvm_bytes(spark):
+    """Reverse direction: bytes produced by the JVM writer parse back
+    through read_ocf with identical values."""
+    jvm = spark._jvm
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "Doc",
+            "fields": [
+                {"name": "doc_id", "type": "long"},
+                {"name": "text", "type": "string"},
+                {"name": "opt", "type": ["null", "string"]},
+            ],
+        }
+    )
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    w = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    )
+    w.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    w.create(jschema, baos)
+    for i in range(20):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(jschema)
+        rec.put("doc_id", i)
+        rec.put("text", f"t{i}")
+        rec.put("opt", None if i % 2 else f"o{i}")
+        w.append(rec)
+    w.close()
+    blob = bytes(baos.toByteArray())
+    _, back = read_ocf(blob)
+    assert back == [
+        {"doc_id": i, "text": f"t{i}", "opt": None if i % 2 else f"o{i}"}
+        for i in range(20)
+    ]
+
+
+def test_query_registered():
+    from specialsid_spark.queries import all_oracles, all_queries
+
+    assert "src_avro_roundtrip" in all_queries()
+    assert "src_avro_roundtrip" in all_oracles()
