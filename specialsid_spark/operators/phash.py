@@ -1,0 +1,91 @@
+"""Perceptual hash (pHash) — DCT-based image fingerprint, integer-exact.
+
+dHash (queries/multimodal.py dedup_image_dhash_pairs) compares local
+gradient signs, so requantization noise from a JPEG recompress can flip
+bits on near-tie cells; pHash compares the 8×8 LOW-frequency block of a
+32×32 DCT against its median, which quantization barely moves — the
+standard robust image near-dup fingerprint (same family the reference's
+image pipeline would need for re-encoded flyer scans).
+
+Everything is INTEGER arithmetic so the Spark kernel and the DuckDB
+oracle agree bit-for-bit: the DCT basis is a fixed-point table
+``K[u][x] = round(1024·cos(π·(2x+1)·u/64))`` for u∈[0,8), x∈[0,32),
+generated once here and embedded verbatim in BOTH the numpy kernel and
+the SQL oracle's literal-values CTE.  Coefficient
+``D[v][u] = Σ_y Σ_x px[y][x]·K[v][y]·K[u][x]`` (int64-safe:
+|D| ≤ 255·1024²·1024 < 2^48); the 64-bit hash sets bit ``v·8+u`` when
+D[v][u] exceeds the lower median (33rd-smallest, 0-based index 32) of
+the 64 coefficients — an order statistic, so engine-independent.
+"""
+
+from __future__ import annotations
+
+import math
+
+# fixed-point DCT-II basis, scale 2^10.  Shared single source of truth:
+# phash64 indexes it as a numpy array; sql_dct_table() renders the same
+# integers as SQL literal rows.
+DCT_N = 32  # input edge
+DCT_K = 8  # low-frequency block edge
+DCT_SCALE = 1024
+
+DCT_TABLE: list[list[int]] = [
+    [round(DCT_SCALE * math.cos(math.pi * (2 * x + 1) * u / (2 * DCT_N))) for x in range(DCT_N)]
+    for u in range(DCT_K)
+]
+
+
+def sql_dct_table() -> str:
+    """The basis table as SQL literal rows: ``(u, x, c)`` triples for a
+    ``VALUES``-backed CTE — identical integers to DCT_TABLE."""
+    rows = ", ".join(
+        f"({u}, {x}, {c})" for u, row in enumerate(DCT_TABLE) for x, c in enumerate(row)
+    )
+    return f"(VALUES {rows})"
+
+
+def phash64(arr) -> tuple[int, int]:
+    """64-bit pHash of a 32×32 uint8 array → (low 32 bits, high 32 bits).
+
+    Bit ``v·8+u`` = 1 iff D[v][u] > lower-median(all 64 coefficients).
+    """
+    import numpy as np
+
+    if arr.shape != (DCT_N, DCT_N):
+        raise ValueError(f"phash64 wants {DCT_N}x{DCT_N}, got {arr.shape}")
+    k = np.asarray(DCT_TABLE, dtype=np.int64)  # (8, 32)
+    px = arr.astype(np.int64)
+    d = k @ px @ k.T  # D[v][u] = sum K[v][y] px[y][x] K[u][x]
+    flat = d.ravel()  # index v*8+u
+    median = np.sort(flat)[32]
+    bits = (flat > median).astype(np.int64)
+    h0 = int((bits[:32] << np.arange(32)).sum())
+    h1 = int((bits[32:] << np.arange(32)).sum())
+    return h0, h1
+
+
+def dhash64(arr) -> tuple[int, int]:
+    """64-bit dHash of a 32×32 uint8 array (4×4 box-average to a 9×8
+    grid is the query's shape; here the 32×32 input is box-averaged to
+    9×8 by taking a 36-wide wrap — instead, for a square input we
+    average 4×4 cells of the first 32 columns into an 8×8 grid and use
+    vertical+horizontal gradients).  Used by tests to contrast
+    robustness with phash64 on the SAME input; the oracle-checked query
+    keeps its own 36×32 fixture shape."""
+    import numpy as np
+
+    if arr.shape != (DCT_N, DCT_N):
+        raise ValueError(f"dhash64 wants {DCT_N}x{DCT_N}, got {arr.shape}")
+    cells = arr.astype(np.int64).reshape(8, 4, 8, 4).sum(axis=(1, 3)) // 16
+    gh = (cells[:, 1:] > cells[:, :-1]).astype(np.int64)  # 8x7
+    gv = (cells[1:, :] > cells[:-1, :]).astype(np.int64)  # 7x8
+    bits = np.concatenate([gh.ravel(), gv.ravel()[:8]])  # 64 bits
+    h0 = int((bits[:32] << np.arange(32)).sum())
+    h1 = int((bits[32:] << np.arange(32)).sum())
+    return h0, h1
+
+
+def hamming64(a: tuple[int, int], b: tuple[int, int]) -> int:
+    return bin((a[0] ^ b[0]) & 0xFFFFFFFF).count("1") + bin(
+        (a[1] ^ b[1]) & 0xFFFFFFFF
+    ).count("1")

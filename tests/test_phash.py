@@ -1,0 +1,91 @@
+"""pHash (operators/phash.py + dedup_image_phash_pairs): integer-DCT
+basis stability, hash mechanics, and the robustness claim — a real
+JPEG recompress that dHash scatters and pHash survives."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from specialsid_spark.operators.phash import (
+    DCT_TABLE,
+    dhash64,
+    hamming64,
+    phash64,
+)
+
+
+def test_dct_table_pinned():
+    # u=0 row is the DC basis: cos(0) scaled = exactly 1024 everywhere.
+    assert DCT_TABLE[0] == [1024] * 32
+    # spot-pin a few fixed-point values — any change to scale or
+    # rounding breaks every stored hash AND the SQL oracle.
+    assert DCT_TABLE[1][0] == round(1024 * np.cos(np.pi * 1 / 64)) == 1023
+    assert DCT_TABLE[7][31] == round(1024 * np.cos(np.pi * 63 * 7 / 64))
+    assert len(DCT_TABLE) == 8 and all(len(r) == 32 for r in DCT_TABLE)
+
+
+def test_phash_identity_and_sensitivity():
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    assert phash64(a) == phash64(a.copy())
+    assert hamming64(phash64(a), phash64(a)) == 0
+    # structurally different image → far hash
+    b = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    assert hamming64(phash64(a), phash64(b)) > 10
+
+
+def test_phash_halves_are_32bit():
+    rng = np.random.default_rng(2)
+    for _ in range(5):
+        h0, h1 = phash64(rng.integers(0, 256, (32, 32)).astype(np.uint8))
+        assert 0 <= h0 < 2**32 and 0 <= h1 < 2**32
+
+
+def _natural_image(seed: int) -> np.ndarray:
+    """1/f-spectrum fixture: random low-band DCT coefficients with
+    amplitude ~1/(u+v), inverse-transformed — the spectral shape of a
+    natural photo, where pHash's robustness story actually applies."""
+    k = np.array(
+        [[np.cos(np.pi * (2 * x + 1) * u / 64) for x in range(32)] for u in range(16)]
+    )
+    rng = np.random.default_rng(seed)
+    C = np.zeros((16, 16))
+    for v in range(16):
+        for u in range(16):
+            if u + v > 0:
+                C[v, u] = rng.normal() * 500.0 / (1 + u + v)
+    img = k.T @ C @ k
+    return (
+        (128 + 100 * img / np.abs(img).max() + rng.integers(-4, 5, (32, 32)))
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+
+
+def test_phash_survives_recompress_where_dhash_breaks():
+    """The reason pHash exists next to dHash: recompress a JPEG at low
+    quality (the classic image near-dup in a crawled corpus) and the
+    low-band DCT signs barely move while box-average gradient signs
+    flip on near-tie cells.  Deterministic fixture (seed 7): pHash
+    hamming 2 <= 3 < dHash hamming 6."""
+    from specialsid_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    def roundtrip(img: np.ndarray, q: int) -> np.ndarray:
+        blob = encode_jpeg(32, 32, 1, img.tobytes(), quality=q)
+        _w, _h, _ch, px = decode_jpeg(blob)
+        return np.frombuffer(px, dtype=np.uint8).reshape(32, 32)
+
+    a = roundtrip(_natural_image(7), 95)  # the "original" upload
+    b = roundtrip(a, 30)  # re-encoded thumbnail/mirror
+    dp = hamming64(phash64(a), phash64(b))
+    dd = hamming64(dhash64(a), dhash64(b))
+    assert dp <= 3, f"pHash should hold under recompress, got {dp}"
+    assert dd > 3, f"dHash should break on this fixture, got {dd}"
+    assert dp < dd
+
+
+def test_query_registered():
+    from specialsid_spark.queries import all_oracles, all_queries
+
+    assert "dedup_image_phash_pairs" in all_queries()
+    assert "dedup_image_phash_pairs" in all_oracles()
