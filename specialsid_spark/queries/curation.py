@@ -1164,3 +1164,176 @@ def cur_pseudonymize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_MIX_BUDGET = 20000  # global token budget apportioned across sources
+
+
+@register(
+    "cur_domain_mixture",
+    # r8 (VERDICT #7) — the static data-mixing step every pretraining
+    # run performs: integer largest-remainder apportionment of a global
+    # token budget across sources, deterministic greedy fill per
+    # source, stride-scheduling interleave keys.  The oracle recomputes
+    # every stage; sum(target_tokens) == budget EXACTLY by
+    # construction, and interleave_ck pins the emission order.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+      FROM documents
+    ),
+    src AS (
+      SELECT source, ('0x' || substring(md5(source), 1, 2))::INT % 7 + 1 AS w
+      FROM (SELECT DISTINCT source FROM t)
+    ),
+    tot AS (SELECT SUM(w) AS tw FROM src),
+    quota AS (
+      SELECT s.source, s.w,
+             ({_MIX_BUDGET} * s.w) // tt.tw AS q,
+             ({_MIX_BUDGET} * s.w) % tt.tw AS rem
+      FROM src s CROSS JOIN tot tt
+    ),
+    sq AS (SELECT SUM(q) AS sumq FROM quota),
+    tgt AS (
+      SELECT source, w,
+             q + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                           <= {_MIX_BUDGET} - (SELECT sumq FROM sq)
+                      THEN 1 ELSE 0 END AS target_tokens
+      FROM quota
+    ),
+    ordered AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY hv, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ),
+    kept AS (
+      SELECT o.doc_id, o.source, o.n_tokens, g.w, g.target_tokens,
+             row_number() OVER (PARTITION BY o.source
+                                ORDER BY o.cum, o.doc_id) AS k
+      FROM ordered o JOIN tgt g USING (source)
+      WHERE o.cum - o.n_tokens < g.target_tokens
+    )
+    SELECT source, CAST(w AS INT) AS weight,
+           CAST(target_tokens AS BIGINT) AS target_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+           CAST(SUM(k * (420 // w) * (doc_id % 997)) AS BIGINT) AS interleave_ck
+    FROM kept
+    GROUP BY source, w, target_tokens
+    ORDER BY source
+    """,
+)
+def cur_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling (r8, VERDICT #7): given per-source
+    weights and a global token budget, emit the deterministic weighted
+    mixture — the static data-mixing step between "curated corpus" and
+    "training run" (composes cur_source_caps + cur_weighted_sample).
+
+    Three integer-exact stages, no floats anywhere:
+    1. APPORTION: largest-remainder method splits the budget across
+       sources exactly (floor quotas, +1 to the sources with the
+       largest remainders) — Σ target_tokens == budget, always.
+    2. FILL: within each source, docs in md5-priority order (a
+       deterministic shuffle) accumulate until the first prefix that
+       reaches the target; a source with fewer tokens than its target
+       contributes everything it has (the exhaustion path is exercised
+       at sf0.01: high-weight sources run out).
+    3. INTERLEAVE: each kept doc gets a stride-scheduling virtual time
+       k·(420/w) (420 = lcm(1..7), so strides are exact integers);
+       merging all sources by vtime yields the classic
+       weighted-fair-queueing interleave without ANY global sort —
+       the checksum Σ vtime·(doc_id % 997) pins the order per source.
+
+    Scale shape: one shuffle on `source` for the cumulative-sum window
+    (partitioned, never global); the apportionment windows run on the
+    DISTINCT-SOURCE frame — a handful of rows, broadcast back.  At
+    100 TB with ~dozens of domains this is a per-source streaming scan
+    plus two broadcast joins; the interleave is rank arithmetic, not a
+    sort."""
+    d = load_parallel(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    src = (
+        t.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                F.conv(F.substring(F.md5("source"), 1, 2), 16, 10).cast("int") % 7 + 1
+            ).alias("w"),
+        )
+    )
+    tot = src.agg(F.sum("w").alias("tw"))
+    quota = src.join(F.broadcast(tot)).select(
+        "source",
+        "w",
+        (F.lit(_MIX_BUDGET) * F.col("w") / F.col("tw")).cast("long").alias("q"),
+        (F.lit(_MIX_BUDGET) * F.col("w") % F.col("tw")).alias("rem"),
+    )
+    sumq = quota.agg(F.sum("q").alias("sumq"))
+    # largest-remainder ranking runs on the distinct-source frame (a
+    # handful of rows) — the one place an unpartitioned window is the
+    # RIGHT shape, not a scale hazard.
+    wr = Window.orderBy(F.col("rem").desc(), "source")
+    tgt = (
+        quota.join(F.broadcast(sumq))
+        .select(
+            "source",
+            "w",
+            (
+                F.col("q")
+                + F.when(
+                    F.row_number().over(wr) <= F.lit(_MIX_BUDGET) - F.col("sumq"), 1
+                ).otherwise(0)
+            ).alias("target_tokens"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("hv", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordered = t.select(
+        "doc_id", "source", "n_tokens", F.sum("n_tokens").over(wcum).alias("cum")
+    )
+    wk = Window.partitionBy("source").orderBy("cum", "doc_id")
+    kept = (
+        ordered.join(F.broadcast(tgt), "source")
+        .filter(F.col("cum") - F.col("n_tokens") < F.col("target_tokens"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "w",
+            "target_tokens",
+            F.row_number().over(wk).alias("k"),
+        )
+    )
+    return (
+        kept.groupBy("source", "w", "target_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("kept_tokens"),
+            F.sum(
+                F.col("k") * (F.lit(420) / F.col("w")).cast("long") * (F.col("doc_id") % 997)
+            ).alias("interleave_ck"),
+        )
+        .select(
+            "source",
+            F.col("w").cast("int").alias("weight"),
+            F.col("target_tokens").cast("long").alias("target_tokens"),
+            "n_kept",
+            "kept_tokens",
+            "interleave_ck",
+        )
+        .orderBy("source")
+    )

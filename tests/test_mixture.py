@@ -1,0 +1,32 @@
+"""cur_domain_mixture invariants: exact budget apportionment, greedy
+fill semantics, and the exhaustion path."""
+
+from __future__ import annotations
+
+
+def test_mixture_budget_and_fill(spark, sf_dir):
+    from specialsid_spark.queries import all_queries
+    from specialsid_spark.queries.curation import _MIX_BUDGET
+
+    rows = all_queries()["cur_domain_mixture"](spark, sf_dir).collect()
+    assert rows, "mixture emitted no sources"
+    # largest-remainder apportionment is EXACT: targets sum to budget
+    assert sum(r.target_tokens for r in rows) == _MIX_BUDGET
+    for r in rows:
+        assert r.n_kept >= 1
+        assert r.kept_tokens >= 1
+        # greedy prefix semantics: either the source hit its target
+        # (kept >= target, overshooting by at most the last doc), or it
+        # exhausted (kept everything it had, short of target)
+        if r.kept_tokens < r.target_tokens:
+            # exhausted source: must have kept every doc of that source
+            from specialsid_spark.catalog import load_parallel
+
+            n_src = (
+                load_parallel(spark, sf_dir, "documents")
+                .filter(f"source = '{r.source}'")
+                .count()
+            )
+            assert r.n_kept == n_src, (r.source, r.n_kept, n_src)
+    # weights live in [1, 7] by construction
+    assert all(1 <= r.weight <= 7 for r in rows)
