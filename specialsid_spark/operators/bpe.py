@@ -108,3 +108,14 @@ def segment_training_order(
             else:
                 i += 1
     return syms
+
+
+def decode_bpe(segments: list[str]) -> str:
+    """Detokenize: the exact inverse of segmentation.  Concatenating
+    the segments reconstructs the character sequence plus the ``</w>``
+    marker, which is stripped — BPE merges only ever concatenate
+    adjacent symbols, so no separator ambiguity exists and
+    ``decode_bpe(segment_training_order(w, m)) == w`` for every word
+    and every merge table (pinned corpus-wide by
+    text_bpe_decode_parity's oracle)."""
+    return "".join(segments).removesuffix(_EOW)

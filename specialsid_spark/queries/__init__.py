@@ -46,83 +46,66 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # (~50 entries).  To guarantee every query eventually gets a driver-side
 # CORRECTNESS row, names needing one are listed here and surfaced FIRST in
 # all_queries()/all_oracles(); everything else keeps module registration
-# order after them.  Round 7 (VERDICT #4, recomputed from
-# CORRECTNESS_r01-r06.json): head = the 4 queries NEW this round (no
-# driver row yet), then the 7-query cohort whose NEWEST driver row still
-# dates to round 1 (the r6 rotation's budget ran out before them), then
-# the full r2 cohort (26), then the head of the r3 cohort — a ~50 budget
-# covers 4 + 7 + 26 + ~13 of those, leaving no registered query's newest
-# row older than r3 after this round.
+# order after them.  Round 8 (VERDICT #9, recomputed from
+# CORRECTNESS_r01-r07.json): head = the 7 queries NEW this round (no
+# driver row yet), then the full 31-query cohort whose NEWEST driver row
+# dates to round 3, then the first 12 of the 50-query r4 cohort — exactly
+# a 50 budget, leaving no registered query's newest row older than r4
+# after this round.
 _PRIORITY: tuple[str, ...] = (
-    # new in round 7
-    "mm_pdf_winansi_text",
-    "mm_tiff_roundtrip",
-    "clean_snapshot_update_rows",
-    "sim_ivf_from_table_topk",
-    "dedup_image_dhash_pairs",
-    "ev_scd2_user_segments",
-    "graph_triangle_doulion",
-    "src_xml_roundtrip",
-    "pipeline_entity_resolution",
-    "src_python_datasource_scan",
-    "sim_pq_trained_adc_topk",
-    "mm_image_convolve",
-    "mm_wav_decimate",
-    "clean_snapshot_clone_rows",
-    "dedup_incremental_batch",
-    # newest driver row = r1 (7)
-    "fuzzy_levenshtein_blocked",
-    "join_flagship_revenue",
-    "join_left_order_counts",
-    "join_semi_customers_with_f_orders",
-    "join_anti_parts_never_ordered",
-    "join_cross_region_status",
-    "join_range_price_bands",
-    # newest driver row = r2 (26)
-    "text_langid_heuristic",
-    "text_fingerprint",
-    "text_bigram_top20",
-    "text_wordcount_global",
-    "text_bpe_token_count",
-    "text_winnow_fingerprints",
-    "text_tfidf_top_terms",
-    "sim_topk_bruteforce",
-    "sim_lsh_sign_buckets",
-    "sim_lsh_bucketed_topk",
-    "sim_ivf_topk",
-    "sim_topk_pandas_udf",
-    "win_topk_cheapest_parts",
-    "win_lag_order_delta",
-    "win_moving_avg_supplier",
-    "win_rank_dense_size",
-    "win_running_total",
-    "win_ntile_acctbal",
-    "win_value_functions",
-    "sort_topn_orders",
-    "sort_multi_col",
-    "sort_limit_offset",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_union_all_counts",
-    # newest driver row = r3 (head of 33; remainder rotates in r8)
-    "text_unigram_surprisal",
-    "sim_lsh_multitable_topk",
-    "shape_unpivot_part_metrics",
-    "shape_posexplode_tokens",
-    "shape_pivot_lang_source",
-    "clean_map_normalize_segment",
-    "clean_slugify_names",
-    "clean_path_derive",
+    # new in round 8
+    "src_avro_roundtrip",
+    "dedup_image_phash_pairs",
+    "cur_domain_mixture",
+    "text_bpe_decode_parity",
+    "mm_zstd_text_roundtrip",
+    "mm_pdf_rasterize_page",
+    "dedup_exactsubstr_corpus",
+    # newest driver row = r3 (31)
     "clean_cast_nullify",
     "clean_defaults_coalesce",
     "clean_filter_pushdown_suffix",
-    "retail_date_window_parse",
-    "retail_flyer_days",
+    "clean_map_normalize_segment",
+    "clean_path_derive",
+    "clean_slugify_names",
+    "cur_contamination_bloom",
+    "cur_lang_mismatch",
+    "cur_pii_scrub",
+    "cur_source_caps",
+    "dedup_simhash64_blocks",
+    "dedup_simhash64_radius3_pairs",
     "emb_centroid_per_label",
     "emb_norm_bands",
     "emb_quantize_int8",
-    "cur_source_caps",
+    "ev_transition_matrix",
+    "ev_variant_props",
+    "fuzzy_phonetic_blocked",
+    "fuzzy_token_set_ratio",
+    "join_asof_signup_before_error",
+    "join_broadcast_part_revenue",
+    "join_market_basket_pairs",
+    "join_salted_skew",
+    "retail_date_window_parse",
+    "retail_flyer_days",
+    "shape_pivot_lang_source",
+    "shape_posexplode_tokens",
+    "shape_unpivot_part_metrics",
+    "sql_surface_cte_window",
+    "sql_surface_recursive_spine",
+    "sql_surface_revenue",
+    # newest driver row = r4 (head of 50; remainder rotates in r9)
+    "agg_approx_percentiles",
+    "clean_bbox_crop_math",
+    "clean_zone_merge_zorder",
+    "dedup_simhash256_radius3_pairs",
+    "dedup_simhash_radius3_pairs",
+    "emb_pq_encode",
+    "graph_pagerank_suppliers",
+    "mm_binary_meta",
+    "mm_decode_meta_stub",
+    "mm_gif_crop_pixels",
+    "mm_jpeg_crop_pixels",
+    "mm_media_meta",
 )
 
 

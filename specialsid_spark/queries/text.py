@@ -716,6 +716,84 @@ def text_bpe_apply_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "text_bpe_decode_parity",
+    # r8 (VERDICT #6) — decode/detokenize parity: segment every corpus
+    # word, DECODE the segments back, and md5 the canonical (sorted)
+    # per-doc word multiset of the RECONSTRUCTION.  The oracle md5s the
+    # same multiset straight from the raw text, so the hash passes iff
+    # decode is the exact inverse of segmentation for every occurrence
+    # of every word in the corpus.
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_extract_all(lower(text), '{_BPE_WORD_RE}'),
+                                t -> length(t) <= {_BPE_MAXLEN})) AS BIGINT) AS n_words,
+           md5(array_to_string(
+                 list_sort(list_filter(regexp_extract_all(lower(text), '{_BPE_WORD_RE}'),
+                                       t -> length(t) <= {_BPE_MAXLEN})),
+                 ' ')) AS roundtrip_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_bpe_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE decode surface (r8): tokenize -> detokenize must be the
+    identity over the corpus.  Spark segments the DISTINCT words with
+    the trained merges, decodes each segmentation back
+    (operators/bpe.py decode_bpe), broadcast-joins the decoded form
+    onto the exploded occurrences, and hashes each doc's sorted
+    reconstructed word multiset; the oracle hashes the ORIGINAL words.
+    Any merge-table defect that loses or mangles a character (or the
+    end-of-word marker) lands in the md5.
+
+    Scale shape: identical to text_bpe_apply_corpus — Python touches
+    only the Heaps-law-bounded distinct vocabulary; the corpus-scale
+    legs are an explode, a broadcast join, and a per-doc collect_list
+    of plain lowercase tokens."""
+    import pandas as pd
+
+    from specialsid_spark.operators.bpe import decode_bpe, segment_training_order
+
+    merges, _ = _bpe_trained(spark, sf_dir)
+    d = load_parallel(spark, sf_dir, "documents")
+    occ = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(_BPE_WORD_RE), 0)
+            ).alias("word"),
+        )
+        .where(F.length("word") <= _BPE_MAXLEN)
+    )
+    distinct_words = occ.select("word").distinct()
+
+    def seg_decode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "decoded": [
+                        decode_bpe(segment_training_order(w, merges))
+                        for w in pdf["word"]
+                    ],
+                }
+            )
+
+    dec = distinct_words.mapInPandas(seg_decode, "word string, decoded string")
+    return (
+        occ.join(F.broadcast(dec), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("decoded")), " ")
+            ).alias("roundtrip_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _SQL_BIGRAMS = (
     "list_transform(range(1, greatest(len(toks), 1)),"
     " i -> toks[i] || ' ' || toks[i+1])"
