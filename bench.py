@@ -100,6 +100,14 @@ HEADLINE = [
     # DOULION runs the FULL dense co-purchase graph (the exact count is
     # deliberately sliced); its sampled join is the graph-scale path
     "graph_triangle_doulion",
+    # round-8 additions: the domain-mixture apportionment, the BPE
+    # decode-parity pass, and ExactSubstr span-removal are real
+    # corpus-scale dataflows.  The Avro/zstd roundtrips and pHash stay
+    # excluded for the usual fixture-IO reason (zstd throughput is
+    # recorded in BASELINE §2b via tools/codec_bench.py instead).
+    "cur_domain_mixture",
+    "text_bpe_decode_parity",
+    "dedup_exactsubstr_corpus",
 ]
 
 

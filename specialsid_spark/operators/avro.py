@@ -17,12 +17,13 @@ exotica noted):
 * containers  — OCF magic ``Obj\\x01``, file-metadata map
   (``avro.schema``/``avro.codec``), 16-byte sync marker, data blocks
   (object count + byte size + payload + sync)
-* codecs      — ``null`` and ``deflate`` (raw DEFLATE per spec,
-  stdlib zlib wbits=-15)
+* codecs      — ``null``, ``deflate`` (raw DEFLATE per spec, stdlib
+  zlib wbits=-15) and ``snappy`` (operators/snappy.py pure-Python
+  block codec + the spec's 4-byte big-endian CRC32 suffix)
 * not implemented — logical-type adjustment (values pass through as
-  their underlying primitive, as the spec allows readers to do) and
-  the snappy codec (no library in the container; unknown codecs raise
-  with the codec name so callers see WHY, not a silent None).
+  their underlying primitive, as the spec allows readers to do);
+  unknown codecs raise with the codec name so callers see WHY, not a
+  silent None.
 
 Array/map encoding: readers accept both the positive-count and the
 negative-count-with-size block forms; the writer emits the simple
@@ -286,7 +287,7 @@ def write_ocf(
     into one OCF byte string.  `sync` must be 16 bytes when given;
     default derives deterministically from the schema so identical
     inputs produce identical files (byte-stable oracle property)."""
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"unsupported codec: {codec!r}")
     schema_json = json.dumps(schema, separators=(",", ":"), sort_keys=True)
     if sync is None:
@@ -317,6 +318,10 @@ def write_ocf(
         payload = buf.getvalue()
         if codec == "deflate":
             payload = zlib.compress(payload, 9)[2:-4]  # raw DEFLATE per spec
+        elif codec == "snappy":
+            from specialsid_spark.operators.snappy import avro_snappy_encode
+
+            payload = avro_snappy_encode(payload)
         write_long(out, count)
         write_long(out, len(payload))
         out.write(payload)
@@ -355,7 +360,7 @@ def read_ocf(blob: bytes):
             meta[k] = _read_bytes(buf)
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"unsupported codec: {codec!r}")
     sync = buf.read(16)
     if len(sync) != 16:
@@ -375,6 +380,10 @@ def read_ocf(blob: bytes):
             raise EOFError("block truncated")
         if codec == "deflate":
             payload = zlib.decompress(payload, wbits=-15)
+        elif codec == "snappy":
+            from specialsid_spark.operators.snappy import avro_snappy_decode
+
+            payload = avro_snappy_decode(payload)
         pbuf = io.BytesIO(payload)
         for _ in range(n):
             records.append(decode_value(pbuf, schema, names))

@@ -205,7 +205,8 @@ def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     interchange format the engine couldn't read: the container has
     avro core but no spark-avro connector, so operators/avro.py
     implements the public spec (binary encoding + object container,
-    deflate codec) and this query drives it through Spark both ways.
+    deflate + snappy codecs) and this query drives it through Spark
+    both ways.
 
     WRITE: each task serializes its partition into one .avro file
     (mapInPandas; records carry an adversarial nested value — a
@@ -216,7 +217,8 @@ def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical string → the shared checksum summary.  The oracle
     restates the flattening from doc_id arithmetic, so a green hash
     proves union-branch indices, array/map block framing, and the
-    deflate layer all survived.  The wire format is additionally
+    compression layers (snappy on even-leading files, deflate on the
+    rest) all survived.  The wire format is additionally
     cross-validated against the JVM's independent avro-1.12.1 reader
     in tests/test_avro.py.
 
@@ -263,9 +265,13 @@ def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                         }
                     )
             if rows:
+                # exercise BOTH block codecs across the file set,
+                # chosen deterministically by partition content — the
+                # reader must dispatch per-file on avro.codec metadata
+                codec = "snappy" if rows[0]["doc_id"] % 2 == 0 else "deflate"
                 path = os.path.join(d, f"part-{uuid.uuid4().hex}.avro")
                 with open(path, "wb") as f:
-                    f.write(write_ocf(_AVRO_SCHEMA, rows, codec="deflate"))
+                    f.write(write_ocf(_AVRO_SCHEMA, rows, codec=codec))
             yield pd.DataFrame({"n": [len(rows)]})
 
         return write_part

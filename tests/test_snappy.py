@@ -1,0 +1,116 @@
+"""Snappy block codec (operators/snappy.py): roundtrips, malformed
+input, and cross-validation against the JVM's snappy-java (an
+independent C-backed implementation) in both directions."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from specialsid_spark.operators.snappy import (
+    avro_snappy_decode,
+    avro_snappy_encode,
+    snappy_compress,
+    snappy_decompress,
+)
+
+
+def _cases() -> list[bytes]:
+    rng = random.Random(5)
+    cases = [
+        b"",
+        b"a",
+        b"abc",
+        b"aaaa" * 100,  # overlapping RLE-style copies
+        bytes(range(256)) * 10,
+        open("/root/repo/SURVEY.md", "rb").read(),  # real prose, >64KiB
+    ]
+    pool = b"the quick brown fox jumps over the lazy dog 0123456789"
+    for _ in range(20):
+        n = rng.randrange(0, 50000)
+        cases.append(bytes(rng.choices(pool, k=n)))
+        cases.append(bytes(rng.randrange(256) for _ in range(min(n, 3000))))
+    return cases
+
+
+def test_roundtrip():
+    for i, c in enumerate(_cases()):
+        assert snappy_decompress(snappy_compress(c)) == c, i
+
+
+def test_compresses_prose():
+    text = open("/root/repo/SURVEY.md", "rb").read()
+    assert len(snappy_compress(text)) < len(text) * 0.75
+
+
+def test_avro_framing_crc():
+    data = b"hello snappy avro" * 50
+    framed = avro_snappy_encode(data)
+    assert avro_snappy_decode(framed) == data
+    bad = framed[:-1] + bytes([framed[-1] ^ 1])
+    with pytest.raises(ValueError):
+        avro_snappy_decode(bad)
+
+
+def test_malformed_raises():
+    good = snappy_compress(b"abcdefgh" * 30)
+    with pytest.raises(ValueError):
+        snappy_decompress(good[:-3])  # truncated body
+    with pytest.raises(ValueError):
+        # copy before any output: tag 0b10, len 4, offset 1
+        snappy_decompress(b"\x04" + bytes([0b00001110, 1, 0]))
+
+
+def _jvm_snappy(spark):
+    return spark._jvm.org.xerial.snappy.Snappy
+
+
+def test_jvm_decompresses_our_bytes(spark):
+    S = _jvm_snappy(spark)
+    for c in _cases():
+        z = snappy_compress(c)
+        if not c:
+            # snappy-java returns an empty array for the empty stream
+            assert bytes(S.uncompress(bytearray(z))) == b""
+            continue
+        assert bytes(S.uncompress(bytearray(z))) == c
+
+
+def test_we_decompress_jvm_bytes(spark):
+    S = _jvm_snappy(spark)
+    for c in _cases():
+        z = bytes(S.compress(bytearray(c)))
+        assert snappy_decompress(z) == c
+
+
+def test_avro_snappy_ocf_roundtrip_and_jvm_read(spark):
+    """OCF with the spec's snappy codec: our writer → our reader, and
+    our writer → the JVM avro-1.12.1 reader (which pulls snappy-java
+    for the codec) — both must agree."""
+    from specialsid_spark.operators.avro import read_ocf, write_ocf
+
+    schema = {
+        "type": "record",
+        "name": "Doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "text", "type": "string"},
+        ],
+    }
+    recs = [{"doc_id": i, "text": f"payload {i} " * 20} for i in range(200)]
+    blob = write_ocf(schema, recs, codec="snappy")
+    assert read_ocf(blob)[1] == recs
+
+    jvm = spark._jvm
+    sbi = jvm.org.apache.avro.file.SeekableByteArrayInput(bytearray(blob))
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        sbi, jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    n = 0
+    while rdr.hasNext():
+        rec = rdr.next()
+        assert rec.get("doc_id") == n
+        n += 1
+    rdr.close()
+    assert n == 200

@@ -190,6 +190,20 @@ def main() -> None:
         out[name] = bench_one(name, blob, dec, sb, rounds, reps)
         print(f"# {name}: {out[name]}", file=sys.stderr)
 
+    # ---- zstd (r8): decompressed-byte MB/s on realistic text — the
+    # wire format LLM corpora actually ship (.jsonl.zst).  Fixture is
+    # repo prose (SURVEY.md) tiled to size: natural-language entropy,
+    # real match structure for the sequence decoder.
+    from specialsid_spark.operators.zstd import zstd_compress, zstd_decompress
+
+    text = open(os.path.join(os.path.dirname(__file__), "..", "SURVEY.md"), "rb").read()
+    doc = (text * ((200_000 // len(text)) + 1))[: 50_000 if quick else 200_000]
+    zblob = zstd_compress(doc)
+    out["zstd_text"] = bench_one(
+        "zstd_text", zblob, lambda b: (1, 1, 1, zstd_decompress(b)), len(doc), rounds, reps
+    )
+    print(f"# zstd_text (ratio {len(doc)/len(zblob):.2f}:1): {out['zstd_text']}", file=sys.stderr)
+
     print(
         json.dumps(
             {
