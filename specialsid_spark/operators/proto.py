@@ -1,0 +1,251 @@
+"""Protocol Buffers wire format — pure Python, from the public
+encoding spec (protobuf.dev/programming-guides/encoding).
+
+Why: protobuf is the dominant wire format for event/log ingest, and
+Spark's own ``from_protobuf`` requires both the spark-protobuf
+connector and compiled descriptors — neither is in the container.
+This module implements the wire format directly: a schema-less field
+walker (the UnknownFieldSet-equivalent every proto parser contains)
+plus a descriptor-driven encoder/decoder for the subset an ingest
+pipeline needs.
+
+Wire types: 0 varint, 1 fixed64 (LE), 2 length-delimited, 5 fixed32
+(LE).  Groups (3/4) are rejected with a ValueError naming the wire
+type — deprecated since proto2 and absent from modern streams.
+
+Descriptors are plain dicts — ``{field_no: (name, type)}`` — with
+types ``int64`` (varint, two's-complement for negatives), ``sint64``
+(zigzag), ``bool``, ``fixed64``, ``double``, ``fixed32``, ``float``,
+``string``, ``bytes``, ``("message", subdescriptor)``, and
+``("repeated", T)`` (message-typed repeats arrive as one element per
+occurrence; packed varint repeats are detected by wire type 2 on a
+scalar field, per proto3's default).  Unknown fields are skipped by
+wire type — the forward-compatibility contract that makes protobuf
+protobuf.
+
+Cross-validation: tests/test_proto.py drives the ORC-shaded JVM
+protobuf runtime (org.apache.orc.protobuf.CodedOutputStream /
+UnknownFieldSet) via py4j — Java-written bytes parse identically
+here, and our bytes parse under the Java UnknownFieldSet walker.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def _uvarint(n: int) -> bytes:
+    if n < 0:
+        n &= (1 << 64) - 1  # two's-complement 64-bit, per spec
+    out = bytearray()
+    while n >= 0x80:
+        out.append((n & 0x7F) | 0x80)
+        n >>= 7
+    out.append(n)
+    return bytes(out)
+
+
+def _read_uvarint(data: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("proto: varint truncated")
+        b = data[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return acc, pos
+        shift += 7
+        if shift >= 70:
+            raise ValueError("proto: varint too long")
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+# ---------------------------------------------------------------------------
+# schema-less walk (wire-level)
+# ---------------------------------------------------------------------------
+
+
+def walk_fields(data: bytes) -> list[tuple[int, int, int | bytes]]:
+    """Parse a message into (field_no, wire_type, raw value) triples:
+    varints as ints (unsigned), fixed32/64 as ints (unsigned LE),
+    LEN fields as bytes.  Exactly what a parser does with unknown
+    fields; raises on truncation or deprecated group wire types."""
+    out = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        tag, pos = _read_uvarint(data, pos)
+        field_no, wt = tag >> 3, tag & 7
+        if field_no == 0:
+            raise ValueError("proto: field number 0 is reserved")
+        if wt == 0:
+            v, pos = _read_uvarint(data, pos)
+        elif wt == 1:
+            if pos + 8 > n:
+                raise ValueError("proto: fixed64 truncated")
+            v = int.from_bytes(data[pos : pos + 8], "little")
+            pos += 8
+        elif wt == 2:
+            ln, pos = _read_uvarint(data, pos)
+            if pos + ln > n:
+                raise ValueError("proto: length-delimited field truncated")
+            v = data[pos : pos + ln]
+            pos += ln
+        elif wt == 5:
+            if pos + 4 > n:
+                raise ValueError("proto: fixed32 truncated")
+            v = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+        else:
+            raise ValueError(f"proto: unsupported wire type {wt} (group?)")
+        out.append((field_no, wt, v))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# descriptor-driven encode/decode
+# ---------------------------------------------------------------------------
+
+_WIRE_OF = {
+    "int64": 0,
+    "sint64": 0,
+    "bool": 0,
+    "fixed64": 1,
+    "double": 1,
+    "fixed32": 5,
+    "float": 5,
+    "string": 2,
+    "bytes": 2,
+}
+
+
+def _scalar_bytes(typ: str, value) -> tuple[int, bytes]:
+    if typ == "int64":
+        return 0, _uvarint(int(value))
+    if typ == "sint64":
+        return 0, _uvarint(_zigzag(int(value)))
+    if typ == "bool":
+        return 0, _uvarint(1 if value else 0)
+    if typ == "fixed64":
+        return 1, struct.pack("<Q", value & (1 << 64) - 1)
+    if typ == "double":
+        return 1, struct.pack("<d", float(value))
+    if typ == "fixed32":
+        return 5, struct.pack("<I", value & 0xFFFFFFFF)
+    if typ == "float":
+        return 5, struct.pack("<f", float(value))
+    if typ == "string":
+        b = value.encode("utf-8")
+        return 2, _uvarint(len(b)) + b
+    if typ == "bytes":
+        b = bytes(value)
+        return 2, _uvarint(len(b)) + b
+    raise ValueError(f"proto: unknown scalar type {typ!r}")
+
+
+def encode_message(descriptor: dict, values: dict) -> bytes:
+    """Encode ``values`` (keyed by field NAME) per ``descriptor``
+    ({field_no: (name, type)}).  Missing/None fields are omitted (the
+    proto3 default-absence rule).  Repeated varint scalars are PACKED
+    (proto3 default); repeated strings/bytes/messages one-per-tag."""
+    by_name = {name: (no, typ) for no, (name, typ) in descriptor.items()}
+    out = bytearray()
+    for name in values:
+        if name not in by_name:
+            raise ValueError(f"proto: field {name!r} not in descriptor")
+    for no in sorted(descriptor):
+        name, typ = descriptor[no]
+        v = values.get(name)
+        if v is None:
+            continue
+        if isinstance(typ, tuple) and typ[0] == "message":
+            body = encode_message(typ[1], v)
+            out += _uvarint(no << 3 | 2) + _uvarint(len(body)) + body
+        elif isinstance(typ, tuple) and typ[0] == "repeated":
+            inner = typ[1]
+            if not v:
+                continue
+            if isinstance(inner, tuple) and inner[0] == "message":
+                for item in v:
+                    body = encode_message(inner[1], item)
+                    out += _uvarint(no << 3 | 2) + _uvarint(len(body)) + body
+            elif _WIRE_OF.get(inner) == 0:  # packed varints
+                payload = b"".join(_scalar_bytes(inner, x)[1] for x in v)
+                out += _uvarint(no << 3 | 2) + _uvarint(len(payload)) + payload
+            else:
+                for item in v:
+                    wt, b = _scalar_bytes(inner, item)
+                    out += _uvarint(no << 3 | wt) + b
+        else:
+            wt, b = _scalar_bytes(typ, v)
+            out += _uvarint(no << 3 | wt) + b
+    return bytes(out)
+
+
+def _scalar_value(typ: str, wt: int, raw):
+    if typ == "int64":
+        if wt != 0:
+            raise ValueError("proto: int64 expects varint")
+        return raw - (1 << 64) if raw >= 1 << 63 else raw
+    if typ == "sint64":
+        if wt != 0:
+            raise ValueError("proto: sint64 expects varint")
+        return _unzigzag(raw)
+    if typ == "bool":
+        return bool(raw)
+    if typ == "fixed64":
+        return raw
+    if typ == "double":
+        return struct.unpack("<d", struct.pack("<Q", raw))[0]
+    if typ == "fixed32":
+        return raw
+    if typ == "float":
+        return struct.unpack("<f", struct.pack("<I", raw))[0]
+    if typ == "string":
+        return raw.decode("utf-8")
+    if typ == "bytes":
+        return raw
+    raise ValueError(f"proto: unknown scalar type {typ!r}")
+
+
+def decode_message(descriptor: dict, data: bytes) -> dict:
+    """Decode per descriptor; unknown field numbers are SKIPPED (kept
+    out of the result — forward compatibility), repeated fields
+    accumulate in arrival order, packed varint blocks unpack, and
+    later occurrences of a singular field win (the spec's last-one-wins
+    merge rule)."""
+    out: dict = {}
+    for field_no, wt, raw in walk_fields(data):
+        if field_no not in descriptor:
+            continue  # unknown field: skip by wire type (already parsed)
+        name, typ = descriptor[field_no]
+        if isinstance(typ, tuple) and typ[0] == "message":
+            if wt != 2:
+                raise ValueError(f"proto: message field {name} expects LEN")
+            out[name] = decode_message(typ[1], raw)
+        elif isinstance(typ, tuple) and typ[0] == "repeated":
+            inner = typ[1]
+            bucket = out.setdefault(name, [])
+            if isinstance(inner, tuple) and inner[0] == "message":
+                if wt != 2:
+                    raise ValueError(f"proto: repeated message {name} expects LEN")
+                bucket.append(decode_message(inner[1], raw))
+            elif _WIRE_OF.get(inner) == 0 and wt == 2:
+                pos = 0  # packed block
+                while pos < len(raw):
+                    v, pos = _read_uvarint(raw, pos)
+                    bucket.append(_scalar_value(inner, 0, v))
+            else:
+                bucket.append(_scalar_value(inner, wt, raw))
+        else:
+            out[name] = _scalar_value(typ, wt, raw)
+    return out

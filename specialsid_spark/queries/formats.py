@@ -352,3 +352,97 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(out)
     )
     return _summarize(back)
+
+
+@register(
+    "src_protobuf_scan",
+    # Fixture messages are deterministic doc_id/text derivations, so
+    # the oracle restates every decoded field arithmetically; the
+    # writer also injects field 99 (absent from the reader descriptor)
+    # to pin the unknown-field skip path corpus-wide.
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           lang,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(-2 * doc_id + doc_id % 7 AS BIGINT) AS tag_sum
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def src_protobuf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf wire-format ingest (r8) — the dominant event/log wire
+    format, unreadable by stock Spark without the spark-protobuf
+    connector + compiled descriptors (neither in the container).
+    operators/proto.py implements the public encoding spec; each doc
+    is encoded as a message exercising every wire type — varint,
+    zigzag sint64 (PACKED repeated, with negatives), nested
+    length-delimited message, UTF-8 string — plus an unknown field the
+    reader descriptor omits, then decoded back and flattened.  A green
+    hash proves tag framing, packed-block unpacking, zigzag signs,
+    nested recursion, and unknown-field skipping all survive.  The
+    wire format is byte-identical to the JVM protobuf runtime's
+    CodedOutputStream (tests/test_proto.py).
+
+    Scale shape: per-row independent mapInPandas, no shuffle before
+    the final sort — the same embarrassingly-parallel plan as every
+    codec query."""
+    import pandas as pd
+
+    from specialsid_spark.operators.proto import decode_message, encode_message
+
+    _WRITE_DESC = {
+        1: ("doc_id", "int64"),
+        2: ("text", "string"),
+        3: ("tags", ("repeated", "sint64")),
+        4: ("meta", ("message", {1: ("lang", "string"), 2: ("n_chars", "int64")})),
+        99: ("debug_note", "string"),  # unknown to the reader
+    }
+    _READ_DESC = {
+        1: ("doc_id", "int64"),
+        2: ("text", "string"),
+        3: ("tags", ("repeated", "sint64")),
+        4: ("meta", ("message", {1: ("lang", "string"), 2: ("n_chars", "int64")})),
+    }
+
+    d = load(spark, sf_dir, "documents")
+
+    def fn(batches):
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                i = int(r.doc_id)
+                blob = encode_message(
+                    _WRITE_DESC,
+                    {
+                        "doc_id": i,
+                        "text": r.text,
+                        "tags": [i, -i * 3, i % 7],
+                        "meta": {"lang": r.lang, "n_chars": int(r.n_chars)},
+                        "debug_note": f"writer-only {i}",
+                    },
+                )
+                m = decode_message(_READ_DESC, blob)
+                assert "debug_note" not in m
+                out.append(
+                    (
+                        m["doc_id"],
+                        hashlib.md5(m["text"].encode()).hexdigest(),
+                        m["meta"]["lang"],
+                        m["meta"]["n_chars"],
+                        sum(m["tags"]),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "text_md5", "lang", "n_chars", "tag_sum"]
+            ).astype({"doc_id": "int64", "n_chars": "int64", "tag_sum": "int64"})
+
+    return (
+        d.select("doc_id", "text", "lang", "n_chars")
+        .mapInPandas(
+            fn, "doc_id long, text_md5 string, lang string, n_chars long, tag_sum long"
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,141 @@
+"""Protobuf wire format (operators/proto.py): roundtrips over every
+wire type, unknown-field skip, malformed input, and cross-validation
+against the JVM protobuf runtime (ORC-shaded CodedOutputStream /
+UnknownFieldSet) via py4j."""
+
+from __future__ import annotations
+
+import pytest
+
+from specialsid_spark.operators.proto import (
+    decode_message,
+    encode_message,
+    walk_fields,
+)
+
+DESC = {
+    1: ("doc_id", "int64"),
+    2: ("text", "string"),
+    3: ("score", "double"),
+    4: ("tags", ("repeated", "sint64")),
+    5: ("meta", ("message", {1: ("lang", "string"), 2: ("n", "int64")})),
+    6: ("names", ("repeated", "string")),
+    7: ("flag", "bool"),
+    8: ("f32", "fixed32"),
+    9: ("neg", "int64"),
+    10: ("ratio", "float"),
+    11: ("raw", "bytes"),
+    12: ("f64", "fixed64"),
+}
+
+MSG = {
+    "doc_id": 42,
+    "text": "héllo\n\x00tail",
+    "score": 1.5,
+    "tags": [0, -1, 2, -300, 2**40],
+    "meta": {"lang": "en", "n": 7},
+    "names": ["a", "b", ""],
+    "flag": True,
+    "f32": 0xDEADBEEF,
+    "neg": -5,
+    "ratio": 2.0,
+    "raw": b"\x00\xff\x80",
+    "f64": 2**63 + 3,
+}
+
+
+def test_roundtrip_all_types():
+    assert decode_message(DESC, encode_message(DESC, MSG)) == MSG
+
+
+def test_unknown_field_skipped():
+    blob = encode_message(DESC, MSG)
+    small = {1: ("doc_id", "int64"), 5: ("meta", ("message", {1: ("lang", "string")}))}
+    assert decode_message(small, blob) == {"doc_id": 42, "meta": {"lang": "en"}}
+
+
+def test_negative_int64_ten_bytes():
+    # spec: negative int64 encodes as 10-byte two's-complement varint
+    blob = encode_message({9: ("neg", "int64")}, {"neg": -1})
+    assert len(blob) == 11  # 1 tag + 10 varint bytes
+    assert decode_message({9: ("neg", "int64")}, blob) == {"neg": -1}
+
+
+def test_packed_and_unpacked_repeats_mix():
+    # a reader must accept BOTH packed (wt 2) and per-tag (wt 0)
+    # encodings of a repeated varint field (spec requirement)
+    packed = encode_message({4: ("tags", ("repeated", "sint64"))}, {"tags": [1, -2, 3]})
+    # hand-build the unpacked form: three wt-0 occurrences of field 4
+    from specialsid_spark.operators.proto import _scalar_bytes, _uvarint
+
+    unpacked = b"".join(
+        _uvarint(4 << 3 | 0) + _scalar_bytes("sint64", v)[1] for v in [1, -2, 3]
+    )
+    want = {"tags": [1, -2, 3]}
+    assert decode_message({4: ("tags", ("repeated", "sint64"))}, packed) == want
+    assert decode_message({4: ("tags", ("repeated", "sint64"))}, unpacked) == want
+
+
+def test_last_one_wins_merge():
+    a = encode_message({1: ("x", "int64")}, {"x": 1})
+    b = encode_message({1: ("x", "int64")}, {"x": 9})
+    assert decode_message({1: ("x", "int64")}, a + b) == {"x": 9}
+
+
+def test_malformed_raises():
+    good = encode_message(DESC, MSG)
+    with pytest.raises(ValueError):
+        walk_fields(good[:-1])  # truncated
+    with pytest.raises(ValueError):
+        walk_fields(b"\x00\x01")  # field number 0
+    with pytest.raises(ValueError):
+        walk_fields(bytes([1 << 3 | 3]))  # group wire type
+
+
+def test_jvm_bytes_identical_and_parseable(spark):
+    """Two-way JVM agreement: Java CodedOutputStream produces the SAME
+    bytes for the same scalar fields, and Java UnknownFieldSet parses
+    our encoder's output."""
+    jvm = spark._jvm
+    P = jvm.org.apache.orc.protobuf
+    baos = jvm.java.io.ByteArrayOutputStream()
+    cos = P.CodedOutputStream.newInstance(baos)
+    cos.writeInt64(1, 42)
+    cos.writeString(2, "héllo\n")
+    cos.writeDouble(3, 1.5)
+    cos.writeSInt64(4, -300)
+    cos.writeBool(7, True)
+    cos.writeFixed32(8, 0xDEADBEEF - (1 << 32))  # java int is signed
+    cos.writeInt64(9, -5)
+    cos.flush()
+    jb = bytes(baos.toByteArray())
+
+    desc = {
+        1: ("doc_id", "int64"),
+        2: ("text", "string"),
+        3: ("score", "double"),
+        4: ("s", "sint64"),
+        7: ("flag", "bool"),
+        8: ("f32", "fixed32"),
+        9: ("neg", "int64"),
+    }
+    vals = {
+        "doc_id": 42,
+        "text": "héllo\n",
+        "score": 1.5,
+        "s": -300,
+        "flag": True,
+        "f32": 0xDEADBEEF,
+        "neg": -5,
+    }
+    assert encode_message(desc, vals) == jb
+    assert decode_message(desc, jb) == vals
+    ufs = P.UnknownFieldSet.parseFrom(encode_message(DESC, MSG))
+    assert "42" in str(ufs)
+
+
+def test_query_registered():
+    from specialsid_spark.queries import all_oracles, all_queries
+
+    assert "src_protobuf_scan" in all_queries()
+    assert "src_protobuf_scan" in all_oracles()
