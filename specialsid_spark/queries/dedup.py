@@ -1454,3 +1454,111 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_PARA_LEN = 12  # tokens per pseudo-paragraph (fixture text has no \n\n)
+
+
+@register(
+    "dedup_paragraph_exact",
+    # Keep the globally-FIRST occurrence of every paragraph (min
+    # (doc_id, pidx)), drop the rest — the RefinedWeb/Falcon-style
+    # paragraph-granular exact dedup between document-level and
+    # span-level.  kept_md5 reconstructs each pruned document exactly,
+    # so a hash-green row proves which occurrences survived AND their
+    # order, not just counts.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, p.i AS pidx,
+             array_to_string(ts[p.i*{_PARA_LEN}+1 : p.i*{_PARA_LEN}+{_PARA_LEN}], ' ') AS para
+      FROM toks, (SELECT unnest(range(0, 64)) AS i) p
+      WHERE p.i*{_PARA_LEN} < len(ts)
+    ),
+    ranked AS (
+      SELECT doc_id, pidx, para,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, pidx) AS rk
+      FROM paras
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(string_agg(CASE WHEN rk = 1 THEN para END, ' '
+                                   ORDER BY pidx), '')) AS kept_md5
+    FROM ranked
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 (r8) — paragraph-granular exact dedup, the middle rung of
+    the dedup ladder (document-level dedup_exact_hash above,
+    ExactSubstr spans below): boilerplate paragraphs repeated across
+    crawled pages are the classic contamination Falcon/RefinedWeb
+    prune at this granularity.  Fixture texts carry no newlines, so
+    paragraphs are non-overlapping 12-token chunks (_PARA_LEN).
+
+    Scale shape: paragraph construction is a shuffle-free projection
+    (transform over the token array); the dedup shuffle is keyed on
+    the paragraph CONTENT hash carrying only (hash, doc_id, pidx) —
+    ~40 bytes per paragraph, never the corpus; the winner-per-group
+    min is a partial-aggregating window.  Reconstruction is one
+    per-doc groupBy.  At 100 TB this is exactly two shuffles of
+    hash-sized rows."""
+    from pyspark.sql.window import Window
+
+    d = load_parallel(spark, sf_dir, "documents")
+    paras = (
+        d.select("doc_id", tokens("text").alias("ts"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        ((F.size("ts") - 1) / _PARA_LEN).cast("int"),
+                    ),
+                    lambda i: F.array_join(
+                        F.slice("ts", i * _PARA_LEN + 1, _PARA_LEN), " "
+                    ),
+                )
+            ).alias("pidx", "para"),
+        )
+    )
+    w = Window.partitionBy(F.md5("para"), "para")
+    kept = paras.select(
+        "doc_id",
+        "pidx",
+        "para",
+        (
+            F.min(F.struct("doc_id", "pidx")).over(w)
+            == F.struct("doc_id", "pidx")
+        ).alias("is_first"),
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("is_first").cast("long")).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("is_first"),
+                                    F.struct("pidx", "para"),
+                                )
+                            )
+                        ),
+                        lambda s: s["para"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )

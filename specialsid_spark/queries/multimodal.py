@@ -3204,3 +3204,175 @@ def dedup_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint dedup (r8) — the audio member of the near-dup family
+# ---------------------------------------------------------------------------
+
+def _audio_fp_oracle() -> str:
+    """dedup_audio_fingerprint_pairs oracle: the integer spectral
+    fingerprint — 9 frames x 32 samples, 8 bands via the SAME
+    fixed-point DCT basis as pHash (operators/phash.py DCT_TABLE,
+    embedded as literal rows), temporal-gradient bits, 64-bit packing,
+    radius-3 pair join — restated in SQL."""
+    from specialsid_spark.operators.phash import sql_dct_table
+
+    return f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    ts AS (SELECT unnest(range(0, 288)) AS t),
+    sig AS (
+      SELECT d.doc_id, ts.t, ts.t // 32 AS f, ts.t % 32 AS tt,
+             ((ts.t * (2 + ((d.doc_id - d.doc_id % 2) * (ts.t // 32 + 1)) % 15)) % 64)
+               * (25 + (d.doc_id - d.doc_id % 2) % 9)
+             + ((ts.t * (1 + ((d.doc_id - d.doc_id % 2) * 3 + (ts.t // 32) * 7) % 9)
+                 + (d.doc_id - d.doc_id % 2) % 23) % 32)
+               * (15 + (d.doc_id - d.doc_id % 2) % 13)
+             - 2200
+             + CASE WHEN d.doc_id % 2 = 1
+                    THEN 3 * (1 - 2 * (ts.t % 2)) ELSE 0 END AS x
+      FROM docs d CROSS JOIN ts
+    ),
+    ct(u, cx, c) AS {sql_dct_table()},
+    spec AS (
+      SELECT s.doc_id, s.f, k.u,
+             SUM(CAST(s.x AS BIGINT) * k.c) AS d
+      FROM sig s JOIN ct k ON k.cx = s.tt
+      GROUP BY 1, 2, 3
+    ),
+    bits AS (
+      SELECT a.doc_id, (a.f - 1) * 8 + a.u AS pos,
+             CASE WHEN a.d > b.d THEN 1 ELSE 0 END AS bit
+      FROM spec a JOIN spec b
+        ON b.doc_id = a.doc_id AND b.u = a.u AND b.f = a.f - 1
+      WHERE a.f >= 1
+    ),
+    hashes AS (
+      SELECT doc_id,
+             SUM(CASE WHEN pos < 32
+                 THEN bit * (CAST(1 AS BIGINT) << pos) ELSE 0 END) AS h0,
+             SUM(CASE WHEN pos >= 32
+                 THEN bit * (CAST(1 AS BIGINT) << (pos - 32)) ELSE 0 END) AS h1
+      FROM bits GROUP BY 1
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.h0, b.h0))
+                + bit_count(xor(a.h1, b.h1)) AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 3
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "dedup_audio_fingerprint_pairs",
+    # Fixture "melodies" (288-sample int16 PCM): per-frame fundamentals
+    # stepping with the doc base — adjacent-frame spectra genuinely
+    # differ, so gradient bits carry per-doc structure (zero genuine
+    # collisions at 64 docs, min unrelated hamming 4); odd docs overlay
+    # a +-3 Nyquist dither on their even sibling — the signature of a
+    # lossy audio re-encode — which the band coefficients barely see
+    # (all 32 planted pairs land at hamming 0).
+    oracle=_audio_fp_oracle(),
+)
+def dedup_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 ∘ X3 (r8) — AUDIO near-duplicate detection, completing the
+    modality dedup family (text MinHash/SimHash, embedding SemDeDup,
+    image dHash/pHash, audio here): a chromaprint-style spectral
+    fingerprint — frame the PCM, take 8 fixed-point DCT bands per
+    frame (the SAME integer basis as pHash), and set one bit per
+    (frame, band) from the temporal gradient sign, giving a 64-bit
+    fingerprint robust to re-encode dither but discriminative across
+    melodies.  Every raster round-trips a REAL PCM16 WAV
+    (operators/audio.py encode_wav/decode_wav), so the audio codec
+    runs inside the dedup pipeline.
+
+    Integer-exact cross-engine: spectral coefficients are int64 sums
+    of sample x basis products; no floats anywhere.  Candidate pairs
+    come from the same 4x16-bit pigeonhole block join as
+    SimHash/dHash/pHash — radius-3 recall by pigeonhole, 4 tiny rows
+    per clip, never all-pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from specialsid_spark.operators.audio import decode_wav, encode_wav
+    from specialsid_spark.operators.phash import DCT_TABLE
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        K = np.asarray(DCT_TABLE, dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                base = doc_id - (doc_id % 2)
+                t = np.arange(288)
+                f = t // 32
+                k1 = 2 + (base * (f + 1)) % 15
+                k2 = 1 + (base * 3 + f * 7) % 9
+                x = (
+                    ((t * k1) % 64) * (25 + base % 9)
+                    + ((t * k2 + base % 23) % 32) * (15 + base % 13)
+                    - 2200
+                )
+                if doc_id % 2:
+                    x = x + 3 * (1 - 2 * (t % 2))
+                blob = encode_wav(16000, x.astype(np.int16))
+                _rate, _nch, samples = decode_wav(blob)
+                frames = samples.astype(np.int64).reshape(9, 32)
+                D = frames @ K.T
+                bits = (D[1:] > D[:-1]).astype(np.int64).ravel()
+                h0 = int((bits[:32] << np.arange(32)).sum())
+                h1 = int((bits[32:] << np.arange(32)).sum())
+                out.append((doc_id, h0, h1))
+            yield pd.DataFrame(out, columns=["doc_id", "h0", "h1"]).astype(
+                {"doc_id": "int64", "h0": "int64", "h1": "int64"}
+            )
+
+    hashes = (
+        d.select("doc_id")
+        .mapInPandas(fn, "doc_id long, h0 long, h1 long")
+        .localCheckpoint(eager=True)
+    )
+    blocks = hashes.select(
+        "doc_id",
+        "h0",
+        "h1",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("blk"), (F.col("h0") % 65536).alias("bv")),
+                F.struct(
+                    F.lit(1).alias("blk"),
+                    (F.col("h0") / 65536).cast("long").alias("bv"),
+                ),
+                F.struct(F.lit(2).alias("blk"), (F.col("h1") % 65536).alias("bv")),
+                F.struct(
+                    F.lit(3).alias("blk"),
+                    (F.col("h1") / 65536).cast("long").alias("bv"),
+                ),
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id", "h0", "h1", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv")
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                F.bit_count(F.col("a.h0").bitwiseXOR(F.col("b.h0")))
+                + F.bit_count(F.col("a.h1").bitwiseXOR(F.col("b.h1")))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+    return pairs.orderBy("doc_a", "doc_b")
