@@ -1085,3 +1085,221 @@ def text_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("actual", "predicted")
     )
+
+
+@register(
+    "text_inverted_index",
+    # Build the postings: per term — document frequency, collection
+    # frequency, and a positions checksum over the full posting list
+    # (sum over postings of doc_id * 1000003 + position), so the hash
+    # pins every (doc, position) pair, not just counts.  Top-200 terms
+    # by (df DESC, term) keeps the output bounded at any sf.
+    oracle="""
+    WITH occ AS (
+      SELECT doc_id, p.i AS pos,
+             string_split_regex(lower(trim(text)), '\\s+')[p.i + 1] AS term
+      FROM documents, (SELECT unnest(range(0, 512)) AS i) p
+      WHERE p.i < len(string_split_regex(lower(trim(text)), '\\s+'))
+    ),
+    stats AS (
+      SELECT term,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+             CAST(COUNT(*) AS BIGINT) AS cf,
+             CAST(SUM(doc_id * 1000003 + pos) AS BIGINT) AS postings_ck
+      FROM occ GROUP BY term
+    )
+    SELECT term, df, cf, postings_ck
+    FROM stats
+    ORDER BY df DESC, term
+    LIMIT 200
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 (r8) — inverted-index construction, the classic MapReduce
+    workload and the backbone of corpus search/decontamination at
+    scale: posexplode tokens → per-term postings with POSITIONS.  The
+    checksum covers every (doc_id, position) pair in every posting
+    list, so a green hash proves the index content exactly; df/cf are
+    the term statistics a BM25 scorer consumes.
+
+    Scale shape: one explode + one groupBy keyed on term —
+    map-side-combining aggregates (sum/count), never materialized
+    posting arrays in the shuffle; the top-200 cut is a
+    TakeOrderedAndProject.  At 100 TB the postings themselves would
+    stream to a partitioned sink keyed by term range; the stats here
+    are the index-build's verification pass."""
+    d = load_parallel(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
+    )
+    return (
+        occ.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("cf"),
+            F.sum(F.col("doc_id") * 1000003 + F.col("pos")).alias("postings_ck"),
+        )
+        .orderBy(F.desc("df"), "term")
+        .limit(200)
+    )
+
+
+@register(
+    "text_phrase_search",
+    # Exact phrase query over the positional index: the phrase
+    # "table hash" matches where both terms occur at consecutive
+    # positions in one document (~46 matching docs at sf0.01, so the
+    # hash discriminates).  The oracle re-derives
+    # matches by scanning token arrays directly — two independent
+    # algorithms (positional self-join vs array scan) must agree on
+    # every (doc, position) hit.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, p.i AS pos
+      FROM toks, (SELECT unnest(range(0, 512)) AS i) p
+      WHERE p.i + 1 < len(ts)
+        AND ts[p.i + 1] = 'table' AND ts[p.i + 2] = 'hash'
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(MIN(pos) AS BIGINT) AS first_pos
+    FROM hits GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 (r8) — positional phrase query THROUGH the inverted index
+    (not an array scan): postings for each phrase term join on
+    (doc_id, consecutive positions) — the canonical intersect-postings
+    algorithm every search engine runs.  The oracle independently
+    re-derives matches by direct token-array scanning, so the two
+    algorithms cross-check each other.
+
+    Scale shape: per-term posting scans joined on (doc_id,
+    pos+offset) — each join side comes pre-filtered by term and
+    carries ~16-byte rows; AQE sizes the build sides at runtime, and
+    a longer phrase is just one more position-shifted join."""
+    d = load_parallel(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
+    ).localCheckpoint(eager=True)
+    t0 = occ.filter(F.col("term") == "table").select("doc_id", "pos")
+    t1 = occ.filter(F.col("term") == "hash").select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    hits = t0.join(t1, ["doc_id", "pos"])
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("pos").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_bm25_topk",
+    # Cross-engine float determinism, by construction: NO ln() (libm
+    # vs JVM log differ in ULPs — the engine-quantile lesson), idf is
+    # the exact rational (N-df+0.5)/(df+0.5); avgdl enters as the
+    # INTEGER token-sum (double division of exact ints is correctly
+    # rounded and identical everywhere); the 3 per-term partial scores
+    # are added in FIXED textual order (never a SUM aggregate, whose
+    # order is engine-dependent); round(,4) eats any residual ULP.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM toks),
+    tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+    occ AS (
+      SELECT doc_id, ts[p.i + 1] AS term
+      FROM toks, (SELECT unnest(range(0, 512)) AS i) p
+      WHERE p.i < len(ts) AND ts[p.i + 1] IN ('table', 'hash', 'merge')
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM occ GROUP BY 1, 2),
+    df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM occ GROUP BY 1),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             ((tot.n - df.df + 0.5) / (df.df + 0.5))
+               * ((tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl * tot.n) / tot.s))) AS w
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+    ),
+    scores AS (
+      SELECT doc_id,
+             round(COALESCE(MAX(CASE WHEN term = 'table' THEN w END), 0)
+                   + COALESCE(MAX(CASE WHEN term = 'hash' THEN w END), 0)
+                   + COALESCE(MAX(CASE WHEN term = 'merge' THEN w END), 0), 4) AS score
+      FROM w GROUP BY doc_id
+    )
+    SELECT doc_id, score
+    FROM scores
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 (r8) — BM25 ranked retrieval over the corpus for the query
+    {table, hash, merge}: term-frequency saturation (k1=1.2) and
+    document-length normalization (b=0.75), the scoring function
+    behind every production search stack and the data-curation
+    "query-relevance filter" pattern.  The idf uses the exact
+    rational form (no logarithm) so both engines compute bit-identical
+    doubles — see the oracle comment for the full determinism
+    contract.
+
+    Scale shape: tf is an explode + map-side-combining groupBy
+    pre-filtered to the query terms (the scan prunes everything
+    else); df and the length-sum are tiny broadcast aggregates;
+    scoring is a projection and the top-20 a TakeOrderedAndProject.
+    A 100 TB corpus scores in one pass with only query-term postings
+    ever shuffled."""
+    d = load_parallel(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("ts")).localCheckpoint(eager=True)
+    dl = t.select("doc_id", F.size("ts").cast("long").alias("dl"))
+    tot = dl.agg(
+        F.sum("dl").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    occ = t.select(
+        "doc_id", F.explode("ts").alias("term")
+    ).filter(F.col("term").isin("table", "hash", "merge"))
+    tf = occ.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df = occ.groupBy("term").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    w = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "term",
+            (
+                ((F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+                * (
+                    (F.col("tf") * F.lit(2.2))
+                    / (
+                        F.col("tf")
+                        + F.lit(1.2)
+                        * (
+                            F.lit(0.25)
+                            + F.lit(0.75) * (F.col("dl") * F.col("n")) / F.col("s")
+                        )
+                    )
+                )
+            ).alias("w"),
+        )
+    )
+    scores = w.groupBy("doc_id").agg(
+        F.round(
+            F.coalesce(F.max(F.when(F.col("term") == "table", F.col("w"))), F.lit(0.0))
+            + F.coalesce(F.max(F.when(F.col("term") == "hash", F.col("w"))), F.lit(0.0))
+            + F.coalesce(F.max(F.when(F.col("term") == "merge", F.col("w"))), F.lit(0.0)),
+            4,
+        ).alias("score")
+    )
+    return scores.orderBy(F.desc("score"), "doc_id").limit(20)
