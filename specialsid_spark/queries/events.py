@@ -846,3 +846,98 @@ def ev_scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_all(spark, sf_dir)
     return spark.sql(_ANSI_SCD2_SQL)
+
+
+_M4_BUCKET_US = 6 * 3600 * 1_000_000  # 6-hour buckets
+
+
+@register(
+    "ev_m4_downsample",
+    # M4 aggregation (Jugel et al., VLDB 2014): per (series, time
+    # bucket) keep first/last/min/max — the downsample that provably
+    # preserves the pixel-perfect line rendering.  Integer-exact:
+    # timestamps as epoch micros, values floored to integer millis,
+    # and every argmin/argmax given a TOTAL order (value, t, event_id)
+    # so ties break identically in both engines.
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type,
+             epoch_us(ts) AS t,
+             CAST(floor(value * 1000) AS BIGINT) AS v,
+             event_id,
+             epoch_us(ts) // {_M4_BUCKET_US} AS bucket
+      FROM events
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY event_type, bucket ORDER BY t, event_id) AS rf,
+        row_number() OVER (PARTITION BY event_type, bucket ORDER BY t DESC, event_id DESC) AS rl,
+        row_number() OVER (PARTITION BY event_type, bucket ORDER BY v, t, event_id) AS rmin,
+        row_number() OVER (PARTITION BY event_type, bucket ORDER BY v DESC, t, event_id) AS rmax
+      FROM pts
+    )
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pts,
+           CAST(MAX(CASE WHEN rf = 1 THEN t END) AS BIGINT) AS t_first,
+           CAST(MAX(CASE WHEN rf = 1 THEN v END) AS BIGINT) AS v_first,
+           CAST(MAX(CASE WHEN rl = 1 THEN t END) AS BIGINT) AS t_last,
+           CAST(MAX(CASE WHEN rl = 1 THEN v END) AS BIGINT) AS v_last,
+           CAST(MAX(CASE WHEN rmin = 1 THEN t END) AS BIGINT) AS t_min,
+           CAST(MAX(CASE WHEN rmin = 1 THEN v END) AS BIGINT) AS v_min,
+           CAST(MAX(CASE WHEN rmax = 1 THEN t END) AS BIGINT) AS t_max,
+           CAST(MAX(CASE WHEN rmax = 1 THEN v END) AS BIGINT) AS v_max
+    FROM ranked
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def ev_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family extension (r8) — M4 time-series downsampling: the
+    published visualization-oriented aggregation (first/last/min/max
+    per pixel-column bucket) that renders identically to the full
+    series at a fraction of the points.  The engine-side algorithm is
+    the one a dashboard backend runs over raw 100 TB telemetry before
+    plotting.
+
+    Scale shape: ONE shuffle on (event_type, bucket) feeding four
+    rank windows over the same partitioning (Spark reuses the single
+    sort), then a map-side-combining groupBy on the same key — no
+    global window, no second shuffle.  min_by/max_by would halve the
+    window work but leave ties engine-undefined; the rank formulation
+    is the determinism contract."""
+    # ts is TIMESTAMP_NTZ; cast->timestamp interprets in the session
+    # zone, so pin it at RUNTIME (never rely on session-builder conf —
+    # the r7 lesson) to match the oracle's tz-free epoch_us.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pts = e.select(
+        "event_type",
+        t_us.alias("t"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v"),
+        "event_id",
+        F.floor(t_us / _M4_BUCKET_US).cast("long").alias("bucket"),
+    )
+    pw = Window.partitionBy("event_type", "bucket")
+    ranked = pts.select(
+        "*",
+        F.row_number().over(pw.orderBy("t", "event_id")).alias("rf"),
+        F.row_number().over(pw.orderBy(F.desc("t"), F.desc("event_id"))).alias("rl"),
+        F.row_number().over(pw.orderBy("v", "t", "event_id")).alias("rmin"),
+        F.row_number().over(pw.orderBy(F.desc("v"), "t", "event_id")).alias("rmax"),
+    )
+    return (
+        ranked.groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pts"),
+            F.max(F.when(F.col("rf") == 1, F.col("t"))).alias("t_first"),
+            F.max(F.when(F.col("rf") == 1, F.col("v"))).alias("v_first"),
+            F.max(F.when(F.col("rl") == 1, F.col("t"))).alias("t_last"),
+            F.max(F.when(F.col("rl") == 1, F.col("v"))).alias("v_last"),
+            F.max(F.when(F.col("rmin") == 1, F.col("t"))).alias("t_min"),
+            F.max(F.when(F.col("rmin") == 1, F.col("v"))).alias("v_min"),
+            F.max(F.when(F.col("rmax") == 1, F.col("t"))).alias("t_max"),
+            F.max(F.when(F.col("rmax") == 1, F.col("v"))).alias("v_max"),
+        )
+        .orderBy("event_type", "bucket")
+    )
