@@ -18,10 +18,10 @@ types ``int64`` (varint, two's-complement for negatives), ``sint64``
 (zigzag), ``bool``, ``fixed64``, ``double``, ``fixed32``, ``float``,
 ``string``, ``bytes``, ``("message", subdescriptor)``, and
 ``("repeated", T)`` (message-typed repeats arrive as one element per
-occurrence; packed varint repeats are detected by wire type 2 on a
-scalar field, per proto3's default).  Unknown fields are skipped by
-wire type — the forward-compatibility contract that makes protobuf
-protobuf.
+occurrence; packed numeric repeats — varint AND fixed-width — are
+detected by wire type 2 on a scalar field, per proto3's default).
+Unknown fields are skipped by wire type — the forward-compatibility
+contract that makes protobuf protobuf.
 
 Cross-validation: tests/test_proto.py drives the ORC-shaded JVM
 protobuf runtime (org.apache.orc.protobuf.CodedOutputStream /
@@ -155,8 +155,9 @@ def _scalar_bytes(typ: str, value) -> tuple[int, bytes]:
 def encode_message(descriptor: dict, values: dict) -> bytes:
     """Encode ``values`` (keyed by field NAME) per ``descriptor``
     ({field_no: (name, type)}).  Missing/None fields are omitted (the
-    proto3 default-absence rule).  Repeated varint scalars are PACKED
-    (proto3 default); repeated strings/bytes/messages one-per-tag."""
+    proto3 default-absence rule).  Repeated numeric scalars are PACKED
+    (proto3 default, fixed-width included); repeated
+    strings/bytes/messages one-per-tag."""
     by_name = {name: (no, typ) for no, (name, typ) in descriptor.items()}
     out = bytearray()
     for name in values:
@@ -178,7 +179,9 @@ def encode_message(descriptor: dict, values: dict) -> bytes:
                 for item in v:
                     body = encode_message(inner[1], item)
                     out += _uvarint(no << 3 | 2) + _uvarint(len(body)) + body
-            elif _WIRE_OF.get(inner) == 0:  # packed varints
+            elif _WIRE_OF.get(inner) in (0, 1, 5):  # packed numeric scalars
+                # proto3 packs ALL numeric repeated scalars by default —
+                # varints AND fixed-width (double/float/fixed64/fixed32).
                 payload = b"".join(_scalar_bytes(inner, x)[1] for x in v)
                 out += _uvarint(no << 3 | 2) + _uvarint(len(payload)) + payload
             else:
@@ -201,18 +204,32 @@ def _scalar_value(typ: str, wt: int, raw):
             raise ValueError("proto: sint64 expects varint")
         return _unzigzag(raw)
     if typ == "bool":
+        if wt != 0:
+            raise ValueError("proto: bool expects varint")
         return bool(raw)
     if typ == "fixed64":
+        if wt != 1:
+            raise ValueError("proto: fixed64 expects wire type 1")
         return raw
     if typ == "double":
+        if wt != 1:
+            raise ValueError("proto: double expects wire type 1")
         return struct.unpack("<d", struct.pack("<Q", raw))[0]
     if typ == "fixed32":
+        if wt != 5:
+            raise ValueError("proto: fixed32 expects wire type 5")
         return raw
     if typ == "float":
+        if wt != 5:
+            raise ValueError("proto: float expects wire type 5")
         return struct.unpack("<f", struct.pack("<I", raw))[0]
     if typ == "string":
+        if wt != 2:
+            raise ValueError("proto: string expects LEN")
         return raw.decode("utf-8")
     if typ == "bytes":
+        if wt != 2:
+            raise ValueError("proto: bytes expects LEN")
         return raw
     raise ValueError(f"proto: unknown scalar type {typ!r}")
 
@@ -220,7 +237,8 @@ def _scalar_value(typ: str, wt: int, raw):
 def decode_message(descriptor: dict, data: bytes) -> dict:
     """Decode per descriptor; unknown field numbers are SKIPPED (kept
     out of the result — forward compatibility), repeated fields
-    accumulate in arrival order, packed varint blocks unpack, and
+    accumulate in arrival order, packed numeric blocks (varint and
+    fixed-width) unpack, and
     later occurrences of a singular field win (the spec's last-one-wins
     merge rule)."""
     out: dict = {}
@@ -240,10 +258,22 @@ def decode_message(descriptor: dict, data: bytes) -> dict:
                     raise ValueError(f"proto: repeated message {name} expects LEN")
                 bucket.append(decode_message(inner[1], raw))
             elif _WIRE_OF.get(inner) == 0 and wt == 2:
-                pos = 0  # packed block
+                pos = 0  # packed varint block
                 while pos < len(raw):
                     v, pos = _read_uvarint(raw, pos)
                     bucket.append(_scalar_value(inner, 0, v))
+            elif _WIRE_OF.get(inner) in (1, 5) and wt == 2:
+                # packed fixed-width block (proto3 packs these too):
+                # 8-byte strides for double/fixed64, 4 for float/fixed32.
+                stride = 8 if _WIRE_OF[inner] == 1 else 4
+                if len(raw) % stride:
+                    raise ValueError(
+                        f"proto: packed {inner} block length {len(raw)} "
+                        f"not a multiple of {stride}"
+                    )
+                for p in range(0, len(raw), stride):
+                    word = int.from_bytes(raw[p : p + stride], "little")
+                    bucket.append(_scalar_value(inner, _WIRE_OF[inner], word))
             else:
                 bucket.append(_scalar_value(inner, wt, raw))
         else:

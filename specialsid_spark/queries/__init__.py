@@ -46,66 +46,64 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # (~50 entries).  To guarantee every query eventually gets a driver-side
 # CORRECTNESS row, names needing one are listed here and surfaced FIRST in
 # all_queries()/all_oracles(); everything else keeps module registration
-# order after them.  Round 8 (VERDICT #9, recomputed from
-# CORRECTNESS_r01-r07.json): head = the 7 queries NEW this round (no
-# driver row yet), then the full 31-query cohort whose NEWEST driver row
-# dates to round 3, then the first 12 of the 50-query r4 cohort — exactly
-# a 50 budget, leaving no registered query's newest row older than r4
-# after this round.
+# order after them.  Round 9 (VERDICT r8 #1, recomputed from
+# CORRECTNESS_r01-r08.json): head = queries NEW this round, then
+# src_python_datasourcescan (red in r7, fix verified locally — needs its
+# green driver row), then the 7 r8-late queries registered after the r8
+# driver run (no row at all), then the 38-query cohort whose newest row
+# dates to r4 — after this round no registered query's newest row
+# predates r5.
 _PRIORITY: tuple[str, ...] = (
-    # new in round 8
-    "src_avro_roundtrip",
-    "dedup_image_phash_pairs",
-    "cur_domain_mixture",
-    "text_bpe_decode_parity",
-    "mm_zstd_text_roundtrip",
-    "mm_pdf_rasterize_page",
-    "dedup_exactsubstr_corpus",
-    # newest driver row = r3 (31)
-    "clean_cast_nullify",
-    "clean_defaults_coalesce",
-    "clean_filter_pushdown_suffix",
-    "clean_map_normalize_segment",
-    "clean_path_derive",
-    "clean_slugify_names",
-    "cur_contamination_bloom",
-    "cur_lang_mismatch",
-    "cur_pii_scrub",
-    "cur_source_caps",
-    "dedup_simhash64_blocks",
-    "dedup_simhash64_radius3_pairs",
-    "emb_centroid_per_label",
-    "emb_norm_bands",
-    "emb_quantize_int8",
-    "ev_transition_matrix",
-    "ev_variant_props",
-    "fuzzy_phonetic_blocked",
-    "fuzzy_token_set_ratio",
-    "join_asof_signup_before_error",
-    "join_broadcast_part_revenue",
-    "join_market_basket_pairs",
-    "join_salted_skew",
-    "retail_date_window_parse",
-    "retail_flyer_days",
-    "shape_pivot_lang_source",
-    "shape_posexplode_tokens",
-    "shape_unpivot_part_metrics",
-    "sql_surface_cte_window",
-    "sql_surface_recursive_spine",
-    "sql_surface_revenue",
-    # newest driver row = r4 (head of 50; remainder rotates in r9)
-    "agg_approx_percentiles",
-    "clean_bbox_crop_math",
-    "clean_zone_merge_zorder",
-    "dedup_simhash256_radius3_pairs",
-    "dedup_simhash_radius3_pairs",
-    "emb_pq_encode",
-    "graph_pagerank_suppliers",
-    "mm_binary_meta",
-    "mm_decode_meta_stub",
-    "mm_gif_crop_pixels",
-    "mm_jpeg_crop_pixels",
-    "mm_media_meta",
+    # new in round 9 (no driver row yet)
+    # red in r7; runtime-conf fix verified locally via check_oracle
+    "src_python_datasource_scan",
+    # registered after the r8 driver run (no driver row yet)
+    "dedup_audio_fingerprint_pairs",
+    "dedup_paragraph_exact",
+    "ev_m4_downsample",
+    "src_protobuf_scan",
+    "text_bm25_topk",
+    "text_inverted_index",
+    "text_phrase_search",
+    # newest driver row = r4 (38)
+    "mm_pdf_page_explode_stub",
+    "mm_pdf_page_images",
+    "mm_video_frame_sample",
+    "mm_wav_frame_energy",
+    "retail_clean_pipeline",
+    "sim_ivfpq_topk",
+    "sim_pq_adc_topk",
+    "sim_pq_rerank_topk",
+    "sql_surface_pipe_sqludf",
+    "stream_batch_parity",
+    "stream_pipeline_e2e",
+    "subq_corr_above_nation_avg",
+    "subq_multi_supplier_orders",
+    "subq_scalar_above_avg",
+    "text_quality_score",
+    "text_token_stats",
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_by_linestatus",
+    "tpch_q13_customer_order_distribution",
+    "tpch_q14_promo_revenue_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_variety",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_above_avg_part_shippers",
+    "tpch_q21_sole_return_supplier",
+    "tpch_q22_dormant_customers",
 )
 
 

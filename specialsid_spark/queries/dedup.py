@@ -1475,7 +1475,10 @@ _PARA_LEN = 12  # tokens per pseudo-paragraph (fixture text has no \n\n)
     paras AS (
       SELECT doc_id, p.i AS pidx,
              array_to_string(ts[p.i*{_PARA_LEN}+1 : p.i*{_PARA_LEN}+{_PARA_LEN}], ' ') AS para
-      FROM toks, (SELECT unnest(range(0, 64)) AS i) p
+      FROM toks,
+           (SELECT unnest(range(0, (
+              SELECT CAST(CEIL(MAX(len(ts)) / {_PARA_LEN}.0) AS BIGINT)
+              FROM toks))) AS i) p
       WHERE p.i*{_PARA_LEN} < len(ts)
     ),
     ranked AS (

@@ -905,12 +905,17 @@ def ev_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     global window, no second shuffle.  min_by/max_by would halve the
     window work but leave ties engine-undefined; the rank formulation
     is the determinism contract."""
-    # ts is TIMESTAMP_NTZ; cast->timestamp interprets in the session
-    # zone, so pin it at RUNTIME (never rely on session-builder conf —
-    # the r7 lesson) to match the oracle's tz-free epoch_us.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # ts is TIMESTAMP_NTZ; computing epoch micros via cast->timestamp
+    # would depend on the session zone, and mutating
+    # spark.sql.session.timeZone here would leak into later queries
+    # on the same session (ADVICE r8).  timestamp_diff against an NTZ
+    # epoch literal is tz-independent — no session conf touched.
     e = load(spark, sf_dir, "events")
-    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    t_us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts"),
+    )
     pts = e.select(
         "event_type",
         t_us.alias("t"),

@@ -1098,7 +1098,10 @@ def text_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH occ AS (
       SELECT doc_id, p.i AS pos,
              string_split_regex(lower(trim(text)), '\\s+')[p.i + 1] AS term
-      FROM documents, (SELECT unnest(range(0, 512)) AS i) p
+      FROM documents,
+           (SELECT unnest(range(0, (
+              SELECT MAX(len(string_split_regex(lower(trim(text)), '\\s+')))
+              FROM documents))) AS i) p
       WHERE p.i < len(string_split_regex(lower(trim(text)), '\\s+'))
     ),
     stats AS (
@@ -1160,7 +1163,7 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     hits AS (
       SELECT doc_id, p.i AS pos
-      FROM toks, (SELECT unnest(range(0, 512)) AS i) p
+      FROM toks, (SELECT unnest(range(0, (SELECT MAX(len(ts)) FROM toks))) AS i) p
       WHERE p.i + 1 < len(ts)
         AND ts[p.i + 1] = 'table' AND ts[p.i + 2] = 'hash'
     )
@@ -1219,7 +1222,7 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n FROM dl),
     occ AS (
       SELECT doc_id, ts[p.i + 1] AS term
-      FROM toks, (SELECT unnest(range(0, 512)) AS i) p
+      FROM toks, (SELECT unnest(range(0, (SELECT MAX(len(ts)) FROM toks))) AS i) p
       WHERE p.i < len(ts) AND ts[p.i + 1] IN ('table', 'hash', 'merge')
     ),
     tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM occ GROUP BY 1, 2),

@@ -76,6 +76,62 @@ def test_packed_and_unpacked_repeats_mix():
     assert decode_message({4: ("tags", ("repeated", "sint64"))}, unpacked) == want
 
 
+def test_packed_fixed_width_repeats():
+    # proto3 packs fixed-width numeric repeats by default too — the
+    # encoder must emit one wt-2 block and the decoder must unpack it
+    # at the right stride (8 for double/fixed64, 4 for float/fixed32).
+    for typ, vals, stride in [
+        ("double", [1.5, -2.25, 0.0], 8),
+        ("fixed64", [0, 1, 2**63 + 3], 8),
+        ("float", [0.5, -4.0], 4),
+        ("fixed32", [0xDEADBEEF, 7], 4),
+    ]:
+        desc = {3: ("xs", ("repeated", typ))}
+        blob = encode_message(desc, {"xs": vals})
+        fields = walk_fields(blob)
+        assert fields == [(3, 2, fields[0][2])]  # ONE packed block
+        assert len(fields[0][2]) == stride * len(vals)
+        assert decode_message(desc, blob) == {"xs": vals}
+        # a reader must also accept the unpacked per-tag form
+        from specialsid_spark.operators.proto import _scalar_bytes, _uvarint
+
+        wt = 1 if stride == 8 else 5
+        unpacked = b"".join(
+            _uvarint(3 << 3 | wt) + _scalar_bytes(typ, v)[1] for v in vals
+        )
+        assert decode_message(desc, unpacked) == {"xs": vals}
+
+
+def test_packed_fixed_width_bad_block_length():
+    # a packed double block whose length isn't a multiple of 8 is corrupt
+    from specialsid_spark.operators.proto import _uvarint
+
+    desc = {3: ("xs", ("repeated", "double"))}
+    blob = _uvarint(3 << 3 | 2) + _uvarint(5) + b"\x00" * 5
+    with pytest.raises(ValueError, match="multiple of 8"):
+        decode_message(desc, blob)
+
+
+def test_scalar_wire_type_validated():
+    # a fixed64-typed field arriving as a varint is a wire error, not
+    # a silent misdecode
+    from specialsid_spark.operators.proto import _uvarint
+
+    blob = _uvarint(1 << 3 | 0) + _uvarint(7)  # wt 0
+    for typ in ["fixed64", "double"]:
+        with pytest.raises(ValueError, match="wire type 1"):
+            decode_message({1: ("x", typ)}, blob)
+    for typ in ["fixed32", "float"]:
+        with pytest.raises(ValueError, match="wire type 5"):
+            decode_message({1: ("x", typ)}, blob)
+    blob32 = _uvarint(1 << 3 | 5) + b"\x01\x00\x00\x00"  # wt 5
+    for typ in ["string", "bytes"]:
+        with pytest.raises(ValueError, match="LEN"):
+            decode_message({1: ("x", typ)}, blob32)
+    with pytest.raises(ValueError, match="varint"):
+        decode_message({1: ("x", "bool")}, blob32)
+
+
 def test_last_one_wins_merge():
     a = encode_message({1: ("x", "int64")}, {"x": 1})
     b = encode_message({1: ("x", "int64")}, {"x": 9})

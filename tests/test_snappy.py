@@ -4,6 +4,7 @@ independent C-backed implementation) in both directions."""
 
 from __future__ import annotations
 
+import os.path
 import random
 
 import pytest
@@ -16,6 +17,9 @@ from specialsid_spark.operators.snappy import (
 )
 
 
+_SURVEY = os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+
+
 def _cases() -> list[bytes]:
     rng = random.Random(5)
     cases = [
@@ -24,7 +28,7 @@ def _cases() -> list[bytes]:
         b"abc",
         b"aaaa" * 100,  # overlapping RLE-style copies
         bytes(range(256)) * 10,
-        open("/root/repo/SURVEY.md", "rb").read(),  # real prose, >64KiB
+        open(_SURVEY, "rb").read(),  # real prose, >64KiB
     ]
     pool = b"the quick brown fox jumps over the lazy dog 0123456789"
     for _ in range(20):
@@ -40,7 +44,7 @@ def test_roundtrip():
 
 
 def test_compresses_prose():
-    text = open("/root/repo/SURVEY.md", "rb").read()
+    text = open(_SURVEY, "rb").read()
     assert len(snappy_compress(text)) < len(text) * 0.75
 
 
