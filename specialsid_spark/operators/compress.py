@@ -34,6 +34,9 @@ _MAGICS = [
     # RFC 8878 frame magic: no stdlib/native codec in this container, so
     # operators/zstd.py implements the format from the spec (r8)
     (b"\x28\xb5\x2f\xfd", "zstd"),
+    # LZ4 frame magic: same story — operators/lz4.py implements the
+    # public block + frame formats (r9)
+    (b"\x04\x22\x4d\x18", "lz4"),
 ]
 
 
@@ -65,6 +68,10 @@ def compress_text(data: bytes, codec: str) -> bytes:
         from specialsid_spark.operators.zstd import zstd_compress  # noqa: PLC0415
 
         return zstd_compress(data)
+    if codec == "lz4":
+        from specialsid_spark.operators.lz4 import lz4_frame_compress  # noqa: PLC0415
+
+        return lz4_frame_compress(data)
     raise ValueError(f"unknown codec {codec!r}")
 
 
@@ -86,6 +93,12 @@ def decompress_auto(blob: bytes) -> bytes | None:
             )
 
             return zstd_decompress(bytes(blob))
+        if codec == "lz4":
+            from specialsid_spark.operators.lz4 import (  # noqa: PLC0415
+                lz4_frame_decompress,
+            )
+
+            return lz4_frame_decompress(bytes(blob))
         return lzma.decompress(blob)
     except (zlib.error, OSError, EOFError, lzma.LZMAError, ValueError):
         return None

@@ -1,0 +1,330 @@
+"""LZ4 block + frame formats — pure Python, from the public specs
+(github.com/lz4/lz4: lz4_Block_format.md, lz4_Frame_format.md).
+
+LZ4 completes the big-data codec family next to snappy, zstd and the
+stdlib trio: it is Spark's default shuffle/event-log codec, ORC and
+parquet both offer it, and corpus distributions ship ``.lz4`` members.
+The container has lz4-java on the JVM side (Spark's own dependency)
+and the ``lz4`` CLI but no Python binding; this module supplies the
+Python half, in-family with operators/snappy.py (greedy hash-table LZ,
+token-prefixed sequences instead of snappy's tagged elements).
+
+Block format: sequences of [token | literal-length LSIC | literals |
+2-byte LE offset | match-length LSIC].  Token high nibble = literal
+length (15 = extended by 255-saturated bytes), low nibble = match
+length - 4 (same extension).  Spec end rules the encoder honors: the
+last 5 bytes are always literals, no match starts within the final 12
+bytes, offsets are 1..65535 (the hash table keeps only the latest
+occurrence, so farther offsets are never chosen).
+
+Frame format: magic ``04 22 4D 18``, FLG/BD descriptor + xxHash32
+header checksum, 4-byte-size-prefixed data blocks (high bit =
+stored/uncompressed), EndMark, optional content checksum.  The writer
+pins a deterministic descriptor (v01, independent blocks, content size
++ content checksum, 4 MiB max block) so identical input -> identical
+frame bytes for the hash oracles; the reader accepts any conformant
+descriptor, verifies every checksum it finds, skips skippable frames,
+and concatenates multi-frame streams.
+
+xxHash32 is implemented from its public spec (github.com/Cyan4973/
+xxHash doc/xxhash_spec.md) — the frame's header/block/content
+checksums all need it, and nothing in the container exposes one to
+Python.  Cross-validation: tests/test_lz4.py round-trips against the
+``lz4`` CLI and the JVM's lz4-java (Spark's own jar) in both
+directions.
+
+Decode is bounds-checked and raises ValueError on malformed input;
+ingest callers wanting the degrade-to-None contract wrap it
+(operators/compress.py decompress_auto).
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ------------------------------------------------------------------ xxh32
+
+_P1 = 2654435761
+_P2 = 2246822519
+_P3 = 3266489917
+_P4 = 668265263
+_P5 = 374761393
+_M32 = 0xFFFFFFFF
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    """xxHash32 from the public spec — the frame format's checksum."""
+    n = len(data)
+    i = 0
+    if n >= 16:
+        v1 = (seed + _P1 + _P2) & _M32
+        v2 = (seed + _P2) & _M32
+        v3 = seed & _M32
+        v4 = (seed - _P1) & _M32
+        while i + 16 <= n:
+            for _ in (0,):  # keep the four lane updates adjacent
+                v1 = (_rotl((v1 + int.from_bytes(data[i : i + 4], "little") * _P2) & _M32, 13) * _P1) & _M32
+                v2 = (_rotl((v2 + int.from_bytes(data[i + 4 : i + 8], "little") * _P2) & _M32, 13) * _P1) & _M32
+                v3 = (_rotl((v3 + int.from_bytes(data[i + 8 : i + 12], "little") * _P2) & _M32, 13) * _P1) & _M32
+                v4 = (_rotl((v4 + int.from_bytes(data[i + 12 : i + 16], "little") * _P2) & _M32, 13) * _P1) & _M32
+            i += 16
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M32
+    else:
+        h = (seed + _P5) & _M32
+    h = (h + n) & _M32
+    while i + 4 <= n:
+        h = (h + int.from_bytes(data[i : i + 4], "little") * _P3) & _M32
+        h = (_rotl(h, 17) * _P4) & _M32
+        i += 4
+    while i < n:
+        h = (h + data[i] * _P5) & _M32
+        h = (_rotl(h, 11) * _P1) & _M32
+        i += 1
+    h ^= h >> 15
+    h = (h * _P2) & _M32
+    h ^= h >> 13
+    h = (h * _P3) & _M32
+    h ^= h >> 16
+    return h
+
+
+# ------------------------------------------------------------------ block
+
+_MFLIMIT = 12  # no match may start within the final 12 bytes (spec)
+_LASTLITERALS = 5  # the final 5 bytes are always literals (spec)
+_MINMATCH = 4
+_MAX_OFFSET = 0xFFFF
+
+
+def _lsic(v: int) -> bytes:
+    """Linear small-integer code: 255-saturated additive bytes."""
+    out = bytearray()
+    while v >= 255:
+        out.append(255)
+        v -= 255
+    out.append(v)
+    return bytes(out)
+
+
+def lz4_block_compress(data: bytes) -> bytes:
+    """Greedy hash-table LZ emitting LZ4 sequences — the reference
+    encoder's fast strategy, so ratios land in family with C lz4."""
+    n = len(data)
+    out = bytearray()
+
+    def emit(lit_start: int, lit_end: int, offset: int | None, mlen: int) -> None:
+        lit_len = lit_end - lit_start
+        ml = 0 if offset is None else mlen - _MINMATCH
+        token = (min(lit_len, 15) << 4) | (min(ml, 15) if offset is not None else 0)
+        out.append(token)
+        if lit_len >= 15:
+            out.extend(_lsic(lit_len - 15))
+        out.extend(data[lit_start:lit_end])
+        if offset is not None:
+            out.extend(struct.pack("<H", offset))
+            if ml >= 15:
+                out.extend(_lsic(ml - 15))
+
+    if n < _MFLIMIT + 1:  # too short for any match per the end rules
+        emit(0, n, None, 0)
+        return bytes(out)
+
+    table: dict[int, int] = {}
+    i = 0
+    lit_start = 0
+    match_limit = n - _MFLIMIT  # last legal match START (exclusive)
+    copy_limit = n - _LASTLITERALS  # last byte a match may COVER (exclusive)
+    while i < match_limit:
+        k = int.from_bytes(data[i : i + 4], "little")
+        cand = table.get(k)
+        table[k] = i
+        if (
+            cand is not None
+            and i - cand <= _MAX_OFFSET
+            and data[cand : cand + 4] == data[i : i + 4]
+        ):
+            m = _MINMATCH
+            while i + m < copy_limit and data[cand + m] == data[i + m]:
+                m += 1
+            emit(lit_start, i, i - cand, m)
+            i += m
+            lit_start = i
+        else:
+            i += 1
+    emit(lit_start, n, None, 0)
+    return bytes(out)
+
+
+def lz4_block_decompress(blob: bytes) -> bytes:
+    """Sequence walker: bounds-checked, overlap-correct match copies
+    (offset < length replicates the pattern, per the spec's example)."""
+    out = bytearray()
+    pos = 0
+    n = len(blob)
+
+    def read_lsic(base: int, pos: int) -> tuple[int, int]:
+        v = base
+        while True:
+            if pos >= n:
+                raise ValueError("lz4: length bytes truncated")
+            b = blob[pos]
+            pos += 1
+            v += b
+            if b != 255:
+                return v, pos
+
+    while pos < n:
+        token = blob[pos]
+        pos += 1
+        lit = token >> 4
+        if lit == 15:
+            lit, pos = read_lsic(15, pos)
+        if pos + lit > n:
+            raise ValueError("lz4: literals truncated")
+        out += blob[pos : pos + lit]
+        pos += lit
+        if pos == n:
+            break  # final sequence: literals only, no offset
+        if pos + 2 > n:
+            raise ValueError("lz4: offset truncated")
+        offset = blob[pos] | (blob[pos + 1] << 8)
+        pos += 2
+        if offset == 0:
+            raise ValueError("lz4: zero offset is invalid")
+        if offset > len(out):
+            raise ValueError("lz4: offset reaches before output start")
+        ml = token & 0xF
+        if ml == 15:
+            ml, pos = read_lsic(15, pos)
+        ml += _MINMATCH
+        start = len(out) - offset
+        if offset >= ml:
+            out += out[start : start + ml]
+        else:
+            # overlapping copy: the offset-sized tail repeats
+            pattern = bytes(out[start:])
+            out += (pattern * (ml // offset + 1))[:ml]
+    return bytes(out)
+
+
+# ------------------------------------------------------------------ frame
+
+LZ4F_MAGIC = b"\x04\x22\x4d\x18"
+_SKIP_MAGIC_LO = 0x184D2A50
+_SKIP_MAGIC_HI = 0x184D2A5F
+_BLOCK_MAX = {4: 64 << 10, 5: 256 << 10, 6: 1 << 20, 7: 4 << 20}
+
+
+def lz4_frame_compress(data: bytes) -> bytes:
+    """One deterministic frame: v01 descriptor with independent blocks,
+    content size + content checksum, 4 MiB max block size.  Blocks that
+    don't shrink are stored uncompressed (high size bit), per spec."""
+    flg = 0x40 | 0x20 | 0x08 | 0x04  # v01 | B.Indep | C.Size | C.Checksum
+    bd = 7 << 4  # 4 MiB block maximum
+    desc = bytes([flg, bd]) + struct.pack("<Q", len(data))
+    out = bytearray(LZ4F_MAGIC + desc)
+    out.append((xxh32(desc) >> 8) & 0xFF)
+    block_max = _BLOCK_MAX[7]
+    for off in range(0, len(data), block_max):
+        chunk = data[off : off + block_max]
+        comp = lz4_block_compress(chunk)
+        if len(comp) < len(chunk):
+            out += struct.pack("<I", len(comp)) + comp
+        else:
+            out += struct.pack("<I", len(chunk) | 0x80000000) + chunk
+    out += struct.pack("<I", 0)  # EndMark
+    out += struct.pack("<I", xxh32(data))
+    return bytes(out)
+
+
+def lz4_frame_decompress(blob: bytes) -> bytes:
+    """Decode a conformant frame stream: any descriptor flags, block
+    checksums verified when present, skippable frames skipped, multiple
+    concatenated frames concatenated.  Dictionary frames raise — there
+    is no side channel for the dictionary at ingest."""
+    out = bytearray()
+    pos = 0
+    n = len(blob)
+    saw_frame = False
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError("lz4: frame magic truncated")
+        magic = int.from_bytes(blob[pos : pos + 4], "little")
+        if _SKIP_MAGIC_LO <= magic <= _SKIP_MAGIC_HI:
+            if pos + 8 > n:
+                raise ValueError("lz4: skippable frame header truncated")
+            skip = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+            pos += 8 + skip
+            if pos > n:
+                raise ValueError("lz4: skippable frame body truncated")
+            continue
+        if blob[pos : pos + 4] != LZ4F_MAGIC:
+            raise ValueError(f"lz4: bad frame magic {blob[pos:pos + 4]!r}")
+        pos += 4
+        if pos + 2 > n:
+            raise ValueError("lz4: frame descriptor truncated")
+        flg, bd = blob[pos], blob[pos + 1]
+        if (flg >> 6) != 0b01:
+            raise ValueError(f"lz4: unsupported frame version {flg >> 6}")
+        has_bchk = bool(flg & 0x10)
+        has_csize = bool(flg & 0x08)
+        has_cchk = bool(flg & 0x04)
+        has_dict = bool(flg & 0x01)
+        if flg & 0x02:
+            raise ValueError("lz4: reserved FLG bit set")
+        if (bd >> 4) & 0x7 not in _BLOCK_MAX or bd & 0x8F:
+            raise ValueError("lz4: bad BD byte")
+        desc_len = 2 + (8 if has_csize else 0) + (4 if has_dict else 0)
+        if pos + desc_len + 1 > n:
+            raise ValueError("lz4: frame descriptor truncated")
+        desc = blob[pos : pos + desc_len]
+        hc = blob[pos + desc_len]
+        if ((xxh32(desc) >> 8) & 0xFF) != hc:
+            raise ValueError("lz4: header checksum mismatch")
+        if has_dict:
+            raise ValueError("lz4: dictionary frames unsupported at ingest")
+        content_size = (
+            int.from_bytes(blob[pos + 2 : pos + 10], "little") if has_csize else None
+        )
+        pos += desc_len + 1
+        frame_start = len(out)
+        while True:
+            if pos + 4 > n:
+                raise ValueError("lz4: block size truncated")
+            word = int.from_bytes(blob[pos : pos + 4], "little")
+            pos += 4
+            if word == 0:  # EndMark
+                break
+            stored = bool(word & 0x80000000)
+            size = word & 0x7FFFFFFF
+            if pos + size > n:
+                raise ValueError("lz4: block body truncated")
+            body = blob[pos : pos + size]
+            pos += size
+            if has_bchk:
+                if pos + 4 > n:
+                    raise ValueError("lz4: block checksum truncated")
+                if int.from_bytes(blob[pos : pos + 4], "little") != xxh32(body):
+                    raise ValueError("lz4: block checksum mismatch")
+                pos += 4
+            out += body if stored else lz4_block_decompress(body)
+        if has_cchk:
+            if pos + 4 > n:
+                raise ValueError("lz4: content checksum truncated")
+            if int.from_bytes(blob[pos : pos + 4], "little") != xxh32(
+                bytes(out[frame_start:])
+            ):
+                raise ValueError("lz4: content checksum mismatch")
+            pos += 4
+        if content_size is not None and len(out) - frame_start != content_size:
+            raise ValueError(
+                f"lz4: content size {len(out) - frame_start} != declared {content_size}"
+            )
+        saw_frame = True
+    if not saw_frame:
+        raise ValueError("lz4: no frame present")
+    return bytes(out)

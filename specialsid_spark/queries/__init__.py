@@ -55,6 +55,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # predates r5.
 _PRIORITY: tuple[str, ...] = (
     # new in round 9 (no driver row yet)
+    "mm_lz4_text_roundtrip",
     # red in r7; runtime-conf fix verified locally via check_oracle
     "src_python_datasource_scan",
     # registered after the r8 driver run (no driver row yet)

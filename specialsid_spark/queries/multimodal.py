@@ -755,6 +755,64 @@ def mm_zstd_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_lz4_text_roundtrip",
+    # r9 (VERDICT #3): LZ4 joins the codec family — Spark's own
+    # shuffle/event-log codec and a common corpus member format.
+    # operators/lz4.py implements the public block + frame formats
+    # (greedy sequence encoder, xxh32 header/content checksums); the
+    # oracle restates the identity decompress(compress(text)) == text
+    # per doc, so the hash fails if ANY layer (token/LSIC lengths,
+    # offsets, overlap copies, frame descriptor, checksums) mangles a
+    # byte.  Cross-validated against the lz4 CLI and the JVM's
+    # lz4-java in tests/test_lz4.py.
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars,
+           md5(text) AS text_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def mm_lz4_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X4 extension, r9 — LZ4 ingest: every document compressed into
+    an LZ4 frame and decompressed back through the magic-sniffing
+    dispatch (operators/compress.py decompress_auto), emitting the
+    RECOVERED text's length + md5.
+
+    Scale shape: per-row independent mapInPandas — no shuffle before
+    the final sort; at 100 TB each .lz4 member decodes where it lands,
+    match history bounded by the member (independent blocks)."""
+    import pandas as pd
+
+    from specialsid_spark.operators.compress import decompress_auto
+    from specialsid_spark.operators.lz4 import lz4_frame_compress
+
+    d = load(spark, sf_dir, "documents")
+
+    def fn(batches):
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                back = decompress_auto(lz4_frame_compress(raw))
+                out.append(
+                    (int(doc_id), len(back.decode("utf-8")),
+                     hashlib.md5(back).hexdigest())
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_chars", "text_md5"]
+            ).astype({"doc_id": "int64", "n_chars": "int32"})
+
+    return (
+        d.select("doc_id", "text")
+        .mapInPandas(fn, "doc_id long, n_chars int, text_md5 string")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "mm_zip_archive_listing",
     # Fixture: a STORED-method ZIP per doc with 3 members holding text
     # slices; the listing (central-directory walk, NO extraction) must

@@ -1,0 +1,180 @@
+"""LZ4 block + frame codec (operators/lz4.py): xxh32 spec vectors,
+roundtrips, malformed input, and cross-validation against BOTH
+independent implementations in the container — the ``lz4`` CLI (frame
+level) and the JVM's lz4-java, Spark's own shuffle codec dependency
+(block level) — in both directions."""
+
+from __future__ import annotations
+
+import os.path
+import random
+import shutil
+import struct
+import subprocess
+
+import pytest
+
+from specialsid_spark.operators.lz4 import (
+    lz4_block_compress,
+    lz4_block_decompress,
+    lz4_frame_compress,
+    lz4_frame_decompress,
+    xxh32,
+)
+
+_SURVEY = os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+
+
+def _cases() -> list[bytes]:
+    rng = random.Random(9)
+    cases = [
+        b"",
+        b"a",
+        b"abcd",
+        b"aaaa" * 100,  # overlapping (offset < length) copies
+        bytes(range(256)) * 10,
+        open(_SURVEY, "rb").read(),  # real prose, >64KiB
+    ]
+    pool = b"the quick brown fox jumps over the lazy dog 0123456789"
+    for _ in range(20):
+        n = rng.randrange(0, 50000)
+        cases.append(bytes(rng.choices(pool, k=n)))
+        cases.append(bytes(rng.randrange(256) for _ in range(min(n, 3000))))
+    return cases
+
+
+def test_xxh32_spec_vectors():
+    # published reference vectors (xxhash_spec.md / xxhsum)
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"a") == 0x550D7456
+    assert xxh32(b"abc") == 0x32D153FF
+    assert xxh32(b"a", seed=1) == 0xF514706F
+
+
+def test_block_roundtrip():
+    for i, c in enumerate(_cases()):
+        assert lz4_block_decompress(lz4_block_compress(c)) == c, i
+
+
+def test_frame_roundtrip():
+    for i, c in enumerate(_cases()):
+        assert lz4_frame_decompress(lz4_frame_compress(c)) == c, i
+
+
+def test_compresses_prose():
+    text = open(_SURVEY, "rb").read()
+    assert len(lz4_frame_compress(text)) < len(text) * 0.75
+
+
+def test_end_rules_hold():
+    # spec: last 5 bytes literal, no match starting in the final 12 —
+    # an input whose only repetition sits at the tail must stay literal
+    data = b"0123456789ab" + b"0123456789ab"
+    blob = lz4_block_compress(data)
+    assert lz4_block_decompress(blob) == data
+
+
+def test_overlap_copy_semantics():
+    # offset=1, length>>1 is the RLE idiom: hand-build and decode
+    # token: 1 literal, match len 15+LSIC; offset 1
+    blob = bytes([0x1F]) + b"x" + struct.pack("<H", 1) + bytes([200]) + bytes([0x00])
+    out = lz4_block_decompress(blob)
+    assert out == b"x" * (1 + 15 + 200 + 4)
+
+
+def test_malformed_raises():
+    good_frame = lz4_frame_compress(b"abcdefgh" * 30)
+    with pytest.raises(ValueError):
+        lz4_frame_decompress(good_frame[:-3])  # truncated checksum
+    with pytest.raises(ValueError):
+        lz4_frame_decompress(b"\x00\x11\x22\x33" + good_frame[4:])  # bad magic
+    bad_hc = bytearray(good_frame)
+    bad_hc[6] ^= 1  # descriptor byte -> header checksum mismatch
+    with pytest.raises(ValueError):
+        lz4_frame_decompress(bytes(bad_hc))
+    bad_body = bytearray(good_frame)
+    bad_body[-6] ^= 1  # flip a content byte -> content checksum mismatch
+    with pytest.raises(ValueError):
+        lz4_frame_decompress(bytes(bad_body))
+    with pytest.raises(ValueError):
+        # zero offset is invalid
+        lz4_block_decompress(bytes([0x10]) + b"x" + struct.pack("<H", 0))
+    with pytest.raises(ValueError):
+        # offset before output start
+        lz4_block_decompress(bytes([0x10]) + b"x" + struct.pack("<H", 9))
+    with pytest.raises(ValueError):
+        lz4_frame_decompress(b"")  # no frame at all
+
+
+def test_skippable_and_concatenated_frames():
+    a, b = b"first frame " * 20, b"second frame " * 20
+    skip = struct.pack("<I", 0x184D2A50) + struct.pack("<I", 7) + b"payload"
+    stream = lz4_frame_compress(a) + skip + lz4_frame_compress(b)
+    assert lz4_frame_decompress(stream) == a + b
+
+
+def test_dispatch_sniffs_lz4():
+    from specialsid_spark.operators.compress import (
+        compress_text,
+        decompress_auto,
+        sniff_codec,
+    )
+
+    data = b"dispatch me " * 50
+    blob = compress_text(data, "lz4")
+    assert sniff_codec(blob) == "lz4"
+    assert decompress_auto(blob) == data
+    assert decompress_auto(blob[:-2]) is None  # degrade, never raise
+
+
+# ------------------------------------------------------------- CLI x-val
+
+_LZ4_CLI = shutil.which("lz4")
+
+
+@pytest.mark.skipif(_LZ4_CLI is None, reason="lz4 CLI not installed")
+def test_cli_decodes_our_frames():
+    for c in _cases():
+        r = subprocess.run(
+            [_LZ4_CLI, "-d", "-c"], input=lz4_frame_compress(c), capture_output=True
+        )
+        assert r.returncode == 0, r.stderr
+        assert r.stdout == c
+
+
+@pytest.mark.skipif(_LZ4_CLI is None, reason="lz4 CLI not installed")
+def test_we_decode_cli_frames():
+    data = open(_SURVEY, "rb").read()
+    # several compression levels, block sizes, and checksum options
+    for args in (["-1"], ["-9"], ["-1", "--content-size"], ["-9", "-BX"], ["-1", "-B4"]):
+        r = subprocess.run([_LZ4_CLI, *args, "-c"], input=data, capture_output=True)
+        assert r.returncode == 0, (args, r.stderr)
+        assert lz4_frame_decompress(r.stdout) == data, args
+
+
+# ------------------------------------------------------------- JVM x-val
+
+
+def _jvm_lz4(spark):
+    return spark._jvm.net.jpountz.lz4.LZ4Factory.fastestInstance()
+
+
+def test_jvm_decompresses_our_blocks(spark):
+    fac = _jvm_lz4(spark)
+    dec = fac.fastDecompressor()
+    for c in _cases():
+        if not c:
+            continue  # lz4-java block API has no empty-block concept
+        z = lz4_block_compress(c)
+        assert bytes(dec.decompress(bytearray(z), len(c))) == c
+
+
+def test_we_decompress_jvm_blocks(spark):
+    fac = _jvm_lz4(spark)
+    for name in ("fastCompressor", "highCompressor"):
+        comp = getattr(fac, name)()
+        for c in _cases():
+            if not c:
+                continue
+            z = bytes(comp.compress(bytearray(c)))
+            assert lz4_block_decompress(z) == c, name

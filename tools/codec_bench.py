@@ -204,6 +204,17 @@ def main() -> None:
     )
     print(f"# zstd_text (ratio {len(doc)/len(zblob):.2f}:1): {out['zstd_text']}", file=sys.stderr)
 
+    # ---- lz4 (r9): same fixture — Spark's shuffle codec and the
+    # fast-path member format; expect it well above zstd (no entropy
+    # stage, sequences only).
+    from specialsid_spark.operators.lz4 import lz4_frame_compress, lz4_frame_decompress
+
+    lblob = lz4_frame_compress(doc)
+    out["lz4_text"] = bench_one(
+        "lz4_text", lblob, lambda b: (1, 1, 1, lz4_frame_decompress(b)), len(doc), rounds, reps
+    )
+    print(f"# lz4_text (ratio {len(doc)/len(lblob):.2f}:1): {out['lz4_text']}", file=sys.stderr)
+
     print(
         json.dumps(
             {
