@@ -1,0 +1,190 @@
+"""Unigram language-model tokenizer (SentencePiece-style) — trained
+with deterministic hard-EM, applied with Viterbi segmentation.
+
+The published unigram LM tokenizer (Kudo 2018, "Subword
+Regularization") models a word's segmentation probability as the
+product of independent piece probabilities and trains by EM over the
+corpus likelihood.  This module implements the deterministic variant a
+distributed pipeline can oracle-check end to end:
+
+* **Seed inventory**: every substring of the training words up to
+  ``max_piece_len`` chars, frequency-weighted by word count; all
+  single characters are always kept (the coverage floor that makes
+  every word segmentable), plus the top ``n_multi`` multi-char pieces
+  by (freq DESC, piece ASC).
+* **Hard-EM** (Viterbi-EM): each round segments every training word
+  with the current model and re-estimates piece frequencies from the
+  chosen segmentations — the E-step's expected counts collapsed onto
+  the argmax path.  Full EM's fractional posteriors are float-order-
+  dependent and cannot be restated exactly in a second engine; the
+  hard variant keeps every count an INTEGER, so the model after any
+  number of rounds is bit-identical anywhere.  Single characters that
+  fall out of use are floored at frequency 1 (coverage).
+* **Scoring determinism contract** (the BM25 discipline): a path's
+  score is the LEFT-FOLD product of ``freq/total`` IEEE doubles —
+  division and multiplication are correctly rounded, so any engine
+  that folds in the same order computes the same bits.  Ties break on
+  (score DESC, n_pieces ASC, segmentation ASC).
+* **Two segmenters**: ``best_segmentation`` exhaustively enumerates
+  all compositions (bounded by piece length: <= tetranacci(len) ~ 1.5k
+  paths for 12-char words) — semantically identical to the DuckDB
+  recursive-CTE oracle by construction.  ``viterbi_segment`` is the
+  O(len * piece_len) DP the corpus-scale apply path uses; it carries
+  the same (score, n_pieces, seg) key per prefix so its answer matches
+  the exhaustive enumeration (tests pin the agreement on the corpus
+  vocabulary).
+
+Scale shape mirrors operators/bpe.py: training consumes the top-V
+(word, count) rows driver-side (V is a hyperparameter, never
+corpus-proportional); application touches only the Heaps-law-bounded
+DISTINCT words inside mapInPandas.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+
+def piece_freqs(
+    word_counts: list[tuple[str, int]], max_piece_len: int = 4
+) -> dict[str, int]:
+    """Substring inventory: freq(piece) = sum over words of
+    word_count * occurrences(piece in word), all occurrence positions."""
+    c: Counter[str] = Counter()
+    for w, n in word_counts:
+        ln = len(w)
+        for i in range(ln):
+            for pl in range(1, min(max_piece_len, ln - i) + 1):
+                c[w[i : i + pl]] += n
+    return dict(c)
+
+
+def seed_vocab(
+    word_counts: list[tuple[str, int]],
+    max_piece_len: int = 4,
+    n_multi: int = 200,
+) -> dict[str, int]:
+    """All single chars (coverage floor) + top-n_multi longer pieces
+    by (freq DESC, piece ASC)."""
+    freqs = piece_freqs(word_counts, max_piece_len)
+    vocab = {p: f for p, f in freqs.items() if len(p) == 1}
+    multis = sorted(
+        ((p, f) for p, f in freqs.items() if len(p) > 1),
+        key=lambda x: (-x[1], x[0]),
+    )[:n_multi]
+    vocab.update(multis)
+    return vocab
+
+
+def best_segmentation(
+    word: str, vocab: dict[str, int], total: int, max_piece_len: int = 4
+) -> tuple[str, int, float]:
+    """Exhaustive argmax over ALL segmentations into vocab pieces:
+    (segmentation joined by spaces, n_pieces, score).  Key order is
+    (score DESC, n_pieces ASC, seg ASC); the score is the left-fold
+    double product of freq/total — exactly the recursive-CTE oracle's
+    arithmetic, association and tie order."""
+    totd = float(total)
+    best: tuple[tuple[float, int, str], str, int, float] | None = None
+    stack: list[tuple[int, float, str, int]] = [(0, 1.0, "", 0)]
+    ln = len(word)
+    while stack:
+        pos, score, seg, np_ = stack.pop()
+        if pos == ln:
+            key = (-score, np_, seg)
+            if best is None or key < best[0]:
+                best = (key, seg, np_, score)
+            continue
+        for pl in range(1, min(max_piece_len, ln - pos) + 1):
+            f = vocab.get(word[pos : pos + pl])
+            if f is not None:
+                piece = word[pos : pos + pl]
+                stack.append(
+                    (
+                        pos + pl,
+                        score * (f / totd),
+                        piece if np_ == 0 else seg + " " + piece,
+                        np_ + 1,
+                    )
+                )
+    if best is None:
+        raise ValueError(f"unigram: {word!r} not segmentable under vocab")
+    return best[1], best[2], best[3]
+
+
+def viterbi_segment(
+    word: str, vocab: dict[str, int], total: int, max_piece_len: int = 4
+) -> list[str]:
+    """O(len * max_piece_len) DP — the corpus-scale apply path.  Each
+    prefix keeps the best (score DESC, n_pieces ASC, seg ASC) key, so
+    the answer agrees with best_segmentation (pinned by tests); the
+    left-fold product association is identical because extending a
+    prefix multiplies its stored score once per piece."""
+    totd = float(total)
+    ln = len(word)
+    # per position: (key=(-score, np, seg), score, np, seg)
+    best: list[tuple[tuple[float, int, str], float, int, str] | None] = [
+        None
+    ] * (ln + 1)
+    best[0] = ((-1.0, 0, ""), 1.0, 0, "")
+    for pos in range(ln):
+        cur = best[pos]
+        if cur is None:
+            continue
+        _, score, np_, seg = cur
+        for pl in range(1, min(max_piece_len, ln - pos) + 1):
+            piece = word[pos : pos + pl]
+            f = vocab.get(piece)
+            if f is None:
+                continue
+            ns = score * (f / totd)
+            nseg = piece if np_ == 0 else seg + " " + piece
+            cand = ((-ns, np_ + 1, nseg), ns, np_ + 1, nseg)
+            j = pos + pl
+            if best[j] is None or cand[0] < best[j][0]:
+                best[j] = cand
+    end = best[ln]
+    if end is None:
+        raise ValueError(f"unigram: {word!r} not segmentable under vocab")
+    return end[3].split(" ")
+
+
+def hard_em_round(
+    word_counts: list[tuple[str, int]],
+    vocab: dict[str, int],
+    max_piece_len: int = 4,
+) -> dict[str, int]:
+    """One Viterbi-EM round: segment every word under ``vocab``,
+    re-count pieces weighted by word frequency, floor unused single
+    chars of the training alphabet at 1."""
+    total = sum(vocab.values())
+    counts: Counter[str] = Counter()
+    for w, n in word_counts:
+        seg, _, _ = best_segmentation(w, vocab, total, max_piece_len)
+        for p in seg.split(" "):
+            counts[p] += n
+    for w, _ in word_counts:
+        for ch in w:
+            if ch not in counts:
+                counts[ch] = 1
+    return dict(counts)
+
+
+def train_unigram(
+    word_counts: list[tuple[str, int]],
+    max_piece_len: int = 4,
+    n_multi: int = 200,
+    em_rounds: int = 2,
+) -> dict[str, int]:
+    """Seed + ``em_rounds`` hard-EM rounds -> final integer-frequency
+    model.  Deterministic for any input order (counts are exact)."""
+    vocab = seed_vocab(word_counts, max_piece_len, n_multi)
+    for _ in range(em_rounds):
+        vocab = hard_em_round(word_counts, vocab, max_piece_len)
+    return vocab
+
+
+def decode_unigram(pieces: list[str]) -> str:
+    """Detokenize — pieces are verbatim substrings, so decode is
+    concatenation (no end-of-word marker in the unigram scheme)."""
+    return "".join(pieces)

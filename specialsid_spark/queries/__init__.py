@@ -56,6 +56,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _PRIORITY: tuple[str, ...] = (
     # new in round 9 (no driver row yet)
     "mm_lz4_text_roundtrip",
+    "text_unigram_segment",
+    "text_unigram_decode_parity",
     # red in r7; runtime-conf fix verified locally via check_oracle
     "src_python_datasource_scan",
     # registered after the r8 driver run (no driver row yet)

@@ -1306,3 +1306,232 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score")
     )
     return scores.orderBy(F.desc("score"), "doc_id").limit(20)
+
+
+# --------------------------------------------------------------------------
+# Unigram LM tokenizer (operators/unigram.py, r9 VERDICT #4): the
+# SentencePiece-style counterpart to the BPE family above.  Training is
+# deterministic hard-EM (integer piece counts every round — full EM's
+# fractional posteriors are float-order-dependent and could not be
+# restated exactly in a second engine); segmentation maximizes the
+# LEFT-FOLD double product of freq/total piece probabilities with ties
+# on (score DESC, n_pieces ASC, seg ASC) — the BM25 determinism
+# discipline (IEEE division/multiplication are correctly rounded, so
+# any engine folding in the same order computes the same bits).  The
+# oracle RE-DERIVES the whole thing in DuckDB: substring seed inventory,
+# per-round recursive-CTE enumeration of ALL segmentations (bounded by
+# the 4-char piece cap: <= tetranacci(12) ~ 1.5k paths per word),
+# row_number argmax, and integer recount with the single-char coverage
+# floor — two independent implementations of training AND application
+# that must agree on every piece of every word.
+#
+# Scale shape (the BPE contract): the corpus-scale pass is the word
+# count (explode -> groupBy, shuffles (word, count)); training consumes
+# the top-V rows driver-side (V, piece length, EM rounds are
+# hyperparameters, never corpus-proportional); corpus-wide application
+# (the parity query) segments only the Heaps-law-bounded DISTINCT words
+# in mapInPandas and broadcast-joins back.
+
+_UNI_V = 150          # training universe: top-V corpus words
+_UNI_MAXLEN = 12      # word-length cap
+_UNI_PLEN = 4         # max piece length
+_UNI_MULTI = 200      # multi-char seed pieces kept
+_UNI_EM = 2           # hard-EM rounds
+_UNI_WORD_RE = "[a-z]+"
+
+
+def _unigram_ctes() -> str:
+    """Generated CTE chain: words -> substring seed vocab ->
+    (enumerate + argmax + recount) per hard-EM round."""
+    parts = [
+        f"""words AS MATERIALIZED (
+      SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS wfreq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '{_UNI_WORD_RE}')) AS tok
+            FROM documents)
+      WHERE length(tok) <= {_UNI_MAXLEN}
+      GROUP BY tok
+      ORDER BY wfreq DESC, tok
+      LIMIT {_UNI_V}
+    ),
+    subs AS MATERIALIZED (
+      SELECT piece, CAST(SUM(wfreq) AS BIGINT) AS freq FROM (
+        SELECT substr(word, s.i + 1, l.l) AS piece, wfreq
+        FROM words,
+             (SELECT unnest(range(0, {_UNI_MAXLEN})) AS i) s,
+             (SELECT unnest(range(1, {_UNI_PLEN} + 1)) AS l) l
+        WHERE s.i + l.l <= length(word))
+      GROUP BY piece
+    ),
+    chars AS MATERIALIZED (SELECT piece AS ch FROM subs WHERE length(piece) = 1),
+    vocab0 AS MATERIALIZED (
+      SELECT piece, freq FROM subs WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, freq FROM (
+        SELECT piece, freq FROM subs WHERE length(piece) > 1
+        ORDER BY freq DESC, piece LIMIT {_UNI_MULTI}) t
+    )"""
+    ]
+    for t in range(_UNI_EM + 1):
+        parts.append(
+            f"""tot{t} AS MATERIALIZED (SELECT CAST(SUM(freq) AS BIGINT) AS tot FROM vocab{t}),
+    paths{t} AS MATERIALIZED (
+      SELECT word, score, seg, np FROM (
+        WITH RECURSIVE p AS (
+          SELECT word, 0 AS pos, CAST(1 AS DOUBLE) AS score,
+                 CAST('' AS VARCHAR) AS seg, 0 AS np
+          FROM words
+          UNION ALL
+          SELECT p.word, p.pos + length(v.piece),
+                 p.score * (CAST(v.freq AS DOUBLE) / CAST(t.tot AS DOUBLE)),
+                 CASE WHEN p.np = 0 THEN v.piece ELSE p.seg || ' ' || v.piece END,
+                 p.np + 1
+          FROM p, vocab{t} v, tot{t} t
+          WHERE p.pos < length(p.word)
+            AND substr(p.word, p.pos + 1, length(v.piece)) = v.piece
+        ) SELECT * FROM p WHERE pos = length(word)
+      )
+    ),
+    best{t} AS MATERIALIZED (
+      SELECT word, seg, np FROM (
+        SELECT word, seg, np,
+               row_number() OVER (PARTITION BY word
+                                  ORDER BY score DESC, np ASC, seg ASC) AS rk
+        FROM paths{t}) WHERE rk = 1
+    )"""
+        )
+        if t < _UNI_EM:
+            parts.append(
+                f"""cnt{t + 1} AS MATERIALIZED (
+      SELECT piece, CAST(SUM(wfreq) AS BIGINT) AS freq FROM (
+        SELECT w.wfreq, unnest(str_split(b.seg, ' ')) AS piece
+        FROM best{t} b JOIN words w USING (word))
+      GROUP BY piece
+    ),
+    vocab{t + 1} AS MATERIALIZED (
+      SELECT piece, freq FROM cnt{t + 1}
+      UNION ALL
+      SELECT ch AS piece, CAST(1 AS BIGINT) AS freq FROM chars
+      WHERE ch NOT IN (SELECT piece FROM cnt{t + 1})
+    )"""
+            )
+    return ",\n    ".join(parts)
+
+
+_UNIGRAM_SEGMENT_ORACLE = (
+    "WITH " + _unigram_ctes() + f"""
+    SELECT w.word, w.wfreq, CAST(b.np AS BIGINT) AS n_pieces, b.seg AS segmentation
+    FROM best{_UNI_EM} b JOIN words w USING (word)
+    ORDER BY w.wfreq DESC, w.word"""
+)
+
+
+def _unigram_word_counts(spark: SparkSession, sf_dir: str) -> list[tuple[str, int]]:
+    d = load_parallel(spark, sf_dir, "documents")
+    top = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(_UNI_WORD_RE), 0)
+            ).alias("word")
+        )
+        .where(F.length("word") <= _UNI_MAXLEN)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(_UNI_V)
+        .collect()
+    )
+    return [(r["word"], int(r["cnt"])) for r in top]
+
+
+@register("text_unigram_segment", oracle=_UNIGRAM_SEGMENT_ORACLE)
+def text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the unigram LM (seed substrings -> 2 hard-EM rounds) and
+    segment the training vocabulary under the final model.  The Spark
+    side enumerates segmentations exhaustively (operators/unigram.py
+    best_segmentation) — semantically identical to the oracle's
+    recursive CTE by construction; the DP fast path is pinned against
+    it in tests and exercised by text_unigram_decode_parity."""
+    from specialsid_spark.operators.unigram import best_segmentation, train_unigram
+
+    wc = _unigram_word_counts(spark, sf_dir)
+    vocab = train_unigram(wc, _UNI_PLEN, _UNI_MULTI, _UNI_EM)
+    total = sum(vocab.values())
+    rows = []
+    for w, n in wc:
+        seg, np_, _score = best_segmentation(w, vocab, total, _UNI_PLEN)
+        rows.append((w, n, np_, seg))
+    return spark.createDataFrame(
+        rows, "word string, wfreq bigint, n_pieces bigint, segmentation string"
+    ).orderBy(F.desc("wfreq"), "word")
+
+
+@register(
+    "text_unigram_decode_parity",
+    # Decode/detokenize parity over the FULL corpus (the bpe twin's
+    # discipline): Viterbi-segment every distinct word with the trained
+    # model, decode by concatenation, md5 the canonical per-doc word
+    # multiset of the RECONSTRUCTION; the oracle md5s the same multiset
+    # straight from the raw text.  Passes iff decode inverts
+    # segmentation for every occurrence of every word.
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_extract_all(lower(text), '{_UNI_WORD_RE}'),
+                                t -> length(t) <= {_UNI_MAXLEN})) AS BIGINT) AS n_words,
+           md5(array_to_string(
+                 list_sort(list_filter(regexp_extract_all(lower(text), '{_UNI_WORD_RE}'),
+                                       t -> length(t) <= {_UNI_MAXLEN})),
+                 ' ')) AS roundtrip_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_unigram_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide unigram application: the O(len * piece_len) Viterbi
+    DP segments the DISTINCT words inside mapInPandas (Python cost is
+    Heaps-bounded, never corpus-proportional), decode is concatenation,
+    and the reconstruction is broadcast-joined onto the exploded
+    occurrences and hashed per doc."""
+    import pandas as pd
+
+    from specialsid_spark.operators.unigram import (
+        decode_unigram,
+        train_unigram,
+        viterbi_segment,
+    )
+
+    wc = _unigram_word_counts(spark, sf_dir)
+    vocab = train_unigram(wc, _UNI_PLEN, _UNI_MULTI, _UNI_EM)
+    total = sum(vocab.values())
+    d = load_parallel(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(_UNI_WORD_RE), 0)
+        ).alias("word"),
+    ).where(F.length("word") <= _UNI_MAXLEN)
+    distinct_words = occ.select("word").distinct()
+
+    def seg_decode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "decoded": [
+                        decode_unigram(viterbi_segment(w, vocab, total, _UNI_PLEN))
+                        for w in pdf["word"]
+                    ],
+                }
+            )
+
+    dec = distinct_words.mapInPandas(seg_decode, "word string, decoded string")
+    return (
+        occ.join(F.broadcast(dec), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("decoded")), " ")
+            ).alias("roundtrip_md5"),
+        )
+        .orderBy("doc_id")
+    )

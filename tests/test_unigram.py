@@ -1,0 +1,135 @@
+"""Unigram LM tokenizer (operators/unigram.py): Viterbi-DP vs
+exhaustive-enumeration agreement, decode identity, hard-EM coverage,
+and determinism over input order."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from specialsid_spark.operators.unigram import (
+    best_segmentation,
+    decode_unigram,
+    hard_em_round,
+    piece_freqs,
+    seed_vocab,
+    train_unigram,
+    viterbi_segment,
+)
+
+_WORDS = [
+    ("internal", 40),
+    ("internals", 12),
+    ("nation", 55),
+    ("national", 20),
+    ("intern", 8),
+    ("inter", 5),
+    ("terminal", 9),
+    ("ternary", 3),
+    ("aaaaaaaaaaaa", 2),  # degenerate repetition
+    ("x", 1),  # single char word
+    ("qzvj", 1),  # rare chars, no reuse
+]
+
+
+def _rand_words(rng: random.Random, n: int) -> list[tuple[str, int]]:
+    pool = "abcdefgh"  # small alphabet -> many shared substrings/ties
+    seen = {}
+    for _ in range(n):
+        w = "".join(rng.choices(pool, k=rng.randrange(1, 13)))
+        seen[w] = seen.get(w, 0) + rng.randrange(1, 50)
+    return sorted(seen.items())
+
+
+def test_piece_freqs_counts_all_occurrences():
+    f = piece_freqs([("aaa", 2)], max_piece_len=2)
+    assert f == {"a": 6, "aa": 4}  # 3 and 2 positions x count 2
+
+
+def test_seed_vocab_keeps_all_single_chars():
+    v = seed_vocab(_WORDS, n_multi=3)
+    for w, _ in _WORDS:
+        for ch in w:
+            assert ch in v
+    assert sum(1 for p in v if len(p) > 1) == 3
+
+
+def test_decode_is_identity_everywhere():
+    vocab = train_unigram(_WORDS)
+    total = sum(vocab.values())
+    for w, _ in _WORDS:
+        seg, np_, _ = best_segmentation(w, vocab, total)
+        assert decode_unigram(seg.split(" ")) == w
+        assert np_ == len(seg.split(" "))
+        assert decode_unigram(viterbi_segment(w, vocab, total)) == w
+
+
+def test_dp_matches_exhaustive_on_fixture_and_random():
+    rng = random.Random(42)
+    for wc in (_WORDS, _rand_words(rng, 200), _rand_words(rng, 200)):
+        vocab = train_unigram(wc, em_rounds=1)
+        total = sum(vocab.values())
+        for w, _ in wc:
+            seg, _, score = best_segmentation(w, vocab, total)
+            dp = viterbi_segment(w, vocab, total)
+            assert " ".join(dp) == seg, (w, dp, seg)
+            assert score > 0.0
+
+
+def test_hard_em_floors_unused_chars():
+    # after a round, every alphabet char must still be in the model
+    vocab = seed_vocab(_WORDS)
+    v1 = hard_em_round(_WORDS, vocab)
+    for w, _ in _WORDS:
+        for ch in w:
+            assert ch in v1
+    # all counts integral and positive
+    assert all(isinstance(f, int) and f >= 1 for f in v1.values())
+
+
+def test_training_deterministic_under_input_order():
+    rng = random.Random(7)
+    shuffled = list(_WORDS)
+    rng.shuffle(shuffled)
+    assert train_unigram(_WORDS) == train_unigram(shuffled)
+
+
+def test_em_improves_or_holds_corpus_likelihood():
+    # hard-EM's objective: total Viterbi log-likelihood must not get
+    # worse as rounds proceed on the training set
+    import math
+
+    def ll(wc, vocab):
+        total = sum(vocab.values())
+        s = 0.0
+        for w, n in wc:
+            _, _, score = best_segmentation(w, vocab, total)
+            s += n * math.log(score)
+        return s
+
+    v0 = seed_vocab(_WORDS)
+    v1 = hard_em_round(_WORDS, v0)
+    v2 = hard_em_round(_WORDS, v1)
+    # seed inventory inflates the denominator with never-used pieces,
+    # so round 1 must improve; round 2 must not regress materially
+    assert ll(_WORDS, v1) >= ll(_WORDS, v0)
+    assert ll(_WORDS, v2) >= ll(_WORDS, v1) - 1e-9
+
+
+def test_unsegmentable_raises():
+    vocab = {"a": 3, "b": 1}
+    with pytest.raises(ValueError):
+        best_segmentation("abc", vocab, 4)
+    with pytest.raises(ValueError):
+        viterbi_segment("abc", vocab, 4)
+
+
+def test_left_fold_score_bits():
+    # the determinism contract: score is the left-fold product of
+    # freq/total doubles — pin the exact bits against a manual fold
+    vocab = {"ab": 7, "a": 3, "b": 2, "c": 5, "abc": 1}
+    total = 18
+    seg, np_, score = best_segmentation("abc", vocab, total)
+    assert seg == "ab c" and np_ == 2
+    assert score == (1.0 * (7 / 18.0)) * (5 / 18.0)
