@@ -17,10 +17,18 @@ Honest scope (documented, enforced loudly):
   -1/1000 em).  No font programs: the goal is layout-faithful ink
   placement with closed-form geometry an oracle can restate, not type
   rendering.
-* **Degrades to None**: non-rect path fills (curves — the vector-heavy
-  case), rotated/skewed CTMs, unsupported color spaces or filters,
-  anything malformed.  Per the codec-family contract the public entry
-  point never raises on untrusted input.
+* **Path fills** (``m``/``l``/``c``/``v``/``y``/``h`` … ``f``/``f*``,
+  r9): cubic Beziers flatten to a FIXED 16-segment polyline (a
+  deterministic tolerance an oracle can restate — t = k/16 is exact in
+  binary, the Horner-free polynomial uses one pinned association
+  order), then integer scanline coverage fills pixel centers with
+  nonzero-winding or even-odd rules — the same exact-coverage
+  discipline as the rect fill.  Path points transform through ANY
+  affine CTM (rotation included); a pure-``re`` path keeps the r8
+  round()-based fast fill bit-for-bit.
+* **Degrades to None**: rotated/skewed image placement, unsupported
+  color spaces or filters, anything malformed.  Per the codec-family
+  contract the public entry point never raises on untrusted input.
 
 Scale shape: one page rasterizes independently inside mapInPandas —
 embarrassingly parallel, buffer bounded by page size × DPI², never by
@@ -51,6 +59,12 @@ from specialsid_spark.operators.pdf import (
 GLYPH_ADVANCE = 0.5
 GLYPH_W = 0.4
 GLYPH_H = 0.6
+
+# fixed Bezier flattening: 16 uniform-parameter segments.  t = k/16 is
+# exactly representable, and the evaluation below uses one pinned
+# association order, so the flattened polyline's doubles are
+# reproducible in any IEEE engine (the DuckDB oracle re-derives them).
+BEZIER_SEGS = 16
 
 
 class _Degrade(Exception):
@@ -292,6 +306,78 @@ def _place_image(buf, m, img) -> None:
         ]
 
 
+def _flatten_cubic(p0, p1, p2, p3) -> list[tuple[float, float]]:
+    """16 uniform-t samples of the cubic (excluding p0) — control
+    points already in DEVICE space (affine maps commute with Bezier
+    construction, so transforming controls first is exact).  The
+    polynomial association order is pinned: u*u*u*x0 + 3*u*u*t*x1 +
+    3*u*t*t*x2 + t*t*t*x3, left-assoc — the oracle restates it
+    verbatim."""
+    pts = []
+    for k in range(1, BEZIER_SEGS + 1):
+        t = k / BEZIER_SEGS
+        u = 1.0 - t
+        x = u * u * u * p0[0] + 3 * u * u * t * p1[0] + 3 * u * t * t * p2[0] + t * t * t * p3[0]
+        y = u * u * u * p0[1] + 3 * u * u * t * p1[1] + 3 * u * t * t * p2[1] + t * t * t * p3[1]
+        pts.append((x, y))
+    return pts
+
+
+def _fill_path(buf, subpaths, color, evenodd: bool) -> None:
+    """Integer scanline coverage: pixel (px, py) is painted iff its
+    center (px+0.5, py+0.5) is inside per the fill rule.  Crossing x =
+    x0 + (cy - y0) * (x1 - x0) / (y1 - y0) and the span bounds
+    ceil(x - 0.5) are the exact double expressions the oracle
+    restates.  Open subpaths are implicitly closed (the ``f``
+    operator's contract); horizontal edges never cross a half-integer
+    scanline test and are dropped."""
+    import math
+
+    edges = []
+    for sp in subpaths:
+        if len(sp) < 2:
+            continue
+        pts = sp if sp[-1] == sp[0] else [*sp, sp[0]]
+        for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+            if y0 != y1:
+                edges.append((x0, y0, x1, y1))
+    if not edges:
+        return
+    ymin = max(0, math.floor(min(min(e[1], e[3]) for e in edges)))
+    ymax = min(buf.shape[0] - 1, math.ceil(max(max(e[1], e[3]) for e in edges)))
+    width = buf.shape[1]
+    for py in range(ymin, ymax + 1):
+        cy = py + 0.5
+        xs = []
+        for x0, y0, x1, y1 in edges:
+            if (y0 <= cy < y1) or (y1 <= cy < y0):
+                xs.append(
+                    (x0 + (cy - y0) * (x1 - x0) / (y1 - y0), 1 if y1 > y0 else -1)
+                )
+        if not xs:
+            continue
+        xs.sort()
+        spans = []
+        if evenodd:
+            for i in range(0, len(xs) - 1, 2):
+                spans.append((xs[i][0], xs[i + 1][0]))
+        else:
+            wind = 0
+            xl = 0.0
+            for x, d in xs:
+                prev = wind
+                wind += d
+                if prev == 0 and wind != 0:
+                    xl = x
+                elif prev != 0 and wind == 0:
+                    spans.append((xl, x))
+        for xl, xr in spans:
+            a = max(0, math.ceil(xl - 0.5))
+            b = min(width, math.ceil(xr - 0.5))
+            if b > a:
+                buf[py, a:b] = color
+
+
 def _glyph_boxes(buf, m, pen_x, size, text, color) -> float:
     """Paint the glyph-box run for ``text`` starting at text-space
     ``pen_x`` (baseline y=0) and return the advanced pen position."""
@@ -307,8 +393,10 @@ def _run(content, buf, s, hpx, ox, oy, objs, xobjects) -> None:
     ctm = base
     stack: list[tuple] = []
     fill = np.array([0, 0, 0], dtype=np.uint8)
-    rects: list[tuple] = []
-    path_complex = False
+    rects: list[tuple] = []  # (x, y, w, h, ctm): the pure-re fast path
+    subpaths: list[list[tuple[float, float]]] = []  # device-space polygons
+    cur: list[tuple[float, float]] | None = None
+    complex_path = False  # any m/l/c/v/y/h seen since the last paint
     # text state
     tm = tlm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
     pen = 0.0
@@ -346,19 +434,85 @@ def _run(content, buf, s, hpx, ox, oy, objs, xobjects) -> None:
                 dtype=np.uint8,
             )
         elif op == b"re":
-            rects.append((num(4), num(3), num(2), num(1)))
-        elif op in (b"m", b"l", b"c", b"v", b"y", b"h"):
-            path_complex = True
+            x, y, w, h = num(4), num(3), num(2), num(1)
+            rects.append((x, y, w, h, ctm))
+            # also record the polygon form in case the path goes complex
+            subpaths.append(
+                [
+                    _apply(ctm, x, y),
+                    _apply(ctm, x + w, y),
+                    _apply(ctm, x + w, y + h),
+                    _apply(ctm, x, y + h),
+                ]
+            )
+            cur = None
+        elif op == b"m":
+            cur = [_apply(ctm, num(2), num(1))]
+            subpaths.append(cur)
+            complex_path = True
+        elif op == b"l":
+            if cur is None:
+                raise _Degrade("l without current point")
+            cur.append(_apply(ctm, num(2), num(1)))
+            complex_path = True
+        elif op in (b"c", b"v", b"y"):
+            if cur is None:
+                raise _Degrade("curve without current point")
+            p0 = cur[-1]
+            if op == b"c":
+                p1 = _apply(ctm, num(6), num(5))
+                p2 = _apply(ctm, num(4), num(3))
+                p3 = _apply(ctm, num(2), num(1))
+            elif op == b"v":  # first control = current point
+                p1 = p0
+                p2 = _apply(ctm, num(4), num(3))
+                p3 = _apply(ctm, num(2), num(1))
+            else:  # y: second control = endpoint
+                p1 = _apply(ctm, num(4), num(3))
+                p3 = _apply(ctm, num(2), num(1))
+                p2 = p3
+            cur.extend(_flatten_cubic(p0, p1, p2, p3))
+            complex_path = True
+        elif op == b"h":
+            if cur:
+                cur.append(cur[0])
+                cur = None  # a following segment op starts a new subpath
+            complex_path = True
         elif op in (b"f", b"F", b"f*", b"b", b"B", b"b*", b"B*"):
-            if path_complex:
-                raise _Degrade("non-rect path fill (vector content)")
-            for x, y, w, h in rects:
-                _fill_rect(buf, ctm, x, y, w, h, fill)
+            if complex_path:
+                # general scanline fill (rect subpaths recorded above
+                # participate); even-odd for the starred variants
+                _fill_path(buf, subpaths, fill, op in (b"f*", b"b*", b"B*"))
+            else:
+                # pure-re path: the r8 round()-based exact rect fill,
+                # bit-for-bit (falls back to scanline when rotated)
+                for x, y, w, h, m_ in rects:
+                    if _axis_aligned(m_):
+                        _fill_rect(buf, m_, x, y, w, h, fill)
+                    else:
+                        _fill_path(
+                            buf,
+                            [
+                                [
+                                    _apply(m_, x, y),
+                                    _apply(m_, x + w, y),
+                                    _apply(m_, x + w, y + h),
+                                    _apply(m_, x, y + h),
+                                ]
+                            ],
+                            fill,
+                            False,
+                        )
             rects = []
+            subpaths = []
+            cur = None
+            complex_path = False
         elif op in (b"n", b"S", b"s"):
             # clip consume / stroke: strokes are out of the ink model
             rects = []
-            path_complex = False
+            subpaths = []
+            cur = None
+            complex_path = False
         elif op == b"W" or op == b"W*":
             pass  # clip intent: next n/f consumes
         elif op == b"BT":
@@ -425,12 +579,17 @@ def build_raster_pdf(
     rect: tuple[int, int, int, int, int],
     image: tuple[int, int, bytes],
     image_at: tuple[int, int] = (300, 300),
+    curve: tuple[int, int, int, int, int] | None = None,
 ) -> bytes:
     """Oracle-fixture writer: one page (612×792) with a gray rect fill
     (x, y, w, h, color 0-255), a 12 pt text line at (72, 700), and an
     8-bit gray image (w, h, pixels) placed 1:1 in points at
     ``image_at`` — every coordinate integral so the dpi-72 raster has
-    closed-form pixel sums."""
+    closed-form pixel sums.  ``curve`` (r9) adds a filled cubic arch
+    (x0, y0, w, b, color): ``m`` at (x0, y0), one ``c`` with control
+    points (x0+20, y0+b) and (x0+w-20, y0+b) to (x0+w, y0), closed
+    with ``h`` — a symmetric x-monotone region whose 16-segment
+    flattened scanline coverage the oracle re-derives exactly."""
     from specialsid_spark.operators.pdf import (  # noqa: PLC0415
         _assemble_pdf,
         _pdf_escape,
@@ -457,15 +616,20 @@ def build_raster_pdf(
         + payload
         + b"\nendstream"
     )
-    content = b"\n".join(
-        [
-            b"%d %d %d %d re" % (rx, ry, rw, rh),
-            b"%.6f g f" % (rc / 255.0),
-            b"0 g BT /F1 12 Tf 72 700 Td (%s) Tj ET" % _pdf_escape(text),
-            b"q %d 0 0 %d %d %d cm /Im1 Do Q"
-            % (iw, ih, image_at[0], image_at[1]),
-        ]
-    )
+    lines = [
+        b"%d %d %d %d re" % (rx, ry, rw, rh),
+        b"%.6f g f" % (rc / 255.0),
+        b"0 g BT /F1 12 Tf 72 700 Td (%s) Tj ET" % _pdf_escape(text),
+        b"q %d 0 0 %d %d %d cm /Im1 Do Q" % (iw, ih, image_at[0], image_at[1]),
+    ]
+    if curve is not None:
+        cx, cy, cw, cb, cc = curve
+        lines.append(
+            b"%.6f g %d %d m %d %d %d %d %d %d c h f 0 g"
+            % (cc / 255.0, cx, cy, cx + 20, cy + cb, cx + cw - 20, cy + cb,
+               cx + cw, cy)
+        )
+    content = b"\n".join(lines)
     cont_num = add(
         b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
     )

@@ -613,7 +613,12 @@ def mm_compressed_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the gray-channel sum have closed forms the oracle restates from
     # doc_id arithmetic: glyph boxes are round(0.4*12)x(0.6*12) = 5x7
     # px advancing 6 px, the rect is (40 + doc_id%8)x30 at color
-    # (doc_id*7)%200, image pixels are (doc_id*5+k)%200.
+    # (doc_id*7)%200, image pixels are (doc_id*5+k)%200.  The r9 curve
+    # block re-derives the Bezier arch's scanline coverage EXACTLY:
+    # device control points, 16 uniform-t samples with the pinned
+    # association order (t = k/16 is exact in binary, so every double
+    # matches operators/pdfraster.py bit-for-bit), edge crossings at
+    # pixel centers, ceil(x-0.5) span bounds.
     oracle=f"""
     WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
     base AS (
@@ -624,16 +629,64 @@ def mm_compressed_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
              (SELECT SUM((doc_id * 5 + k.k) % 200)
               FROM (SELECT unnest(range(0, 64)) AS k) k) AS img_sum
       FROM docs
+    ),
+    curve AS (
+      SELECT doc_id,
+             CAST(420 + doc_id % 5 AS DOUBLE) AS x0,
+             CAST(692 AS DOUBLE) AS y0d,
+             CAST(80 + doc_id % 7 AS DOUBLE) AS w,
+             CAST(40 + doc_id % 9 AS DOUBLE) AS b,
+             (doc_id * 11) % 200 AS cc
+      FROM docs
+    ),
+    cpts AS (
+      SELECT doc_id, k,
+             u*u*u*x0 + 3*u*u*t*(x0+20) + 3*u*t*t*(x0+w-20) + t*t*t*(x0+w) AS px,
+             u*u*u*y0d + 3*u*u*t*(y0d-b) + 3*u*t*t*(y0d-b) + t*t*t*y0d AS py
+      FROM (
+        SELECT doc_id, x0, y0d, w, b, kk.k AS k,
+               CAST(kk.k AS DOUBLE) / 16 AS t,
+               1.0 - CAST(kk.k AS DOUBLE) / 16 AS u
+        FROM curve, (SELECT unnest(range(0, 17)) AS k) kk
+      )
+    ),
+    cedges AS (
+      SELECT a.doc_id, a.px AS ex0, a.py AS ey0, c2.px AS ex1, c2.py AS ey1
+      FROM cpts a JOIN cpts c2 ON c2.doc_id = a.doc_id AND c2.k = a.k + 1
+      WHERE a.py <> c2.py
+    ),
+    crossings AS (
+      SELECT e.doc_id, sl.py AS row_y,
+             e.ex0 + ((CAST(sl.py AS DOUBLE) + 0.5) - e.ey0)
+                     * (e.ex1 - e.ex0) / (e.ey1 - e.ey0) AS cx
+      FROM cedges e, (SELECT unnest(range(600, 792)) AS py) sl
+      WHERE (e.ey0 <= CAST(sl.py AS DOUBLE) + 0.5
+             AND CAST(sl.py AS DOUBLE) + 0.5 < e.ey1)
+         OR (e.ey1 <= CAST(sl.py AS DOUBLE) + 0.5
+             AND CAST(sl.py AS DOUBLE) + 0.5 < e.ey0)
+    ),
+    cspans AS (
+      SELECT doc_id, row_y,
+             CAST(ceil(MAX(cx) - 0.5) AS BIGINT)
+               - CAST(ceil(MIN(cx) - 0.5) AS BIGINT) AS npx
+      FROM crossings GROUP BY doc_id, row_y
+    ),
+    cink AS (
+      SELECT c.doc_id, c.cc,
+             CAST(COALESCE(SUM(s.npx), 0) AS BIGINT) AS curve_ink
+      FROM curve c LEFT JOIN cspans s ON s.doc_id = c.doc_id
+      GROUP BY c.doc_id, c.cc
     )
-    SELECT doc_id,
+    SELECT b.doc_id,
            612 AS width, 792 AS height,
-           CAST(rect_area + 64 + n_chars * 35 AS BIGINT) AS ink_px,
+           CAST(b.rect_area + 64 + b.n_chars * 35 + ci.curve_ink AS BIGINT) AS ink_px,
            CAST(255 * 612 * 792
-                - 255 * n_chars * 35
-                - (255 - rect_color) * rect_area
-                - (255 * 64 - img_sum) AS BIGINT) AS gray_sum
-    FROM base
-    ORDER BY doc_id
+                - 255 * b.n_chars * 35
+                - (255 - b.rect_color) * b.rect_area
+                - (255 * 64 - b.img_sum)
+                - (255 - ci.cc) * ci.curve_ink AS BIGINT) AS gray_sum
+    FROM base b JOIN cink ci ON ci.doc_id = b.doc_id
+    ORDER BY b.doc_id
     """,
 )
 def mm_pdf_rasterize_page(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -667,7 +720,16 @@ def mm_pdf_rasterize_page(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rw = 40 + doc_id % 8
                 rc = (doc_id * 7) % 200
                 ipx = bytes((doc_id * 5 + k) % 200 for k in range(64))
-                blob = build_raster_pdf(text, (100, 100, rw, 30, rc), (8, 8, ipx))
+                curve = (
+                    420 + doc_id % 5,
+                    100,
+                    80 + doc_id % 7,
+                    40 + doc_id % 9,
+                    (doc_id * 11) % 200,
+                )
+                blob = build_raster_pdf(
+                    text, (100, 100, rw, 30, rc), (8, 8, ipx), curve=curve
+                )
                 r = rasterize_page(blob)
                 if r is None:  # degrade surfaces as an impossible row
                     out.append((doc_id, -1, -1, -1, -1))

@@ -76,13 +76,123 @@ def test_dpi_scales_buffer():
     assert int((gray == 90).sum()) == 20 * 15
 
 
-def test_vector_content_degrades_loudly():
-    pdf = build_raster_pdf("x", (10, 10, 5, 5, 9), (8, 8, bytes(64)))
-    # splice a curve fill into the content stream
-    bad = pdf.replace(b" re\n", b" m\n", 1)
-    assert rasterize_page(bad) is None
+def test_malformed_degrades_loudly():
     assert rasterize_page(b"not a pdf") is None
     assert rasterize_page(b"%PDF-1.4 truncated") is None
+    # a curve op with no current point is malformed content
+    pdf = build_raster_pdf("x", (10, 10, 5, 5, 9), (8, 8, bytes(64)))
+    bad = pdf.replace(b" re\n", b" c\n", 1)
+    assert rasterize_page(bad) is None
+
+
+def test_curve_fill_matches_scanline_restatement():
+    # the r9 Bezier arch: flatten at fixed 16 segments with the pinned
+    # association order, then scanline-count pixel centers — this test
+    # re-derives coverage independently (the same arithmetic the DuckDB
+    # oracle restates) and pins the raster against it
+    import math
+
+    for doc_id in (0, 7, 13, 33, 60):
+        x0 = float(420 + doc_id % 5)
+        w = float(80 + doc_id % 7)
+        b = float(40 + doc_id % 9)
+        cc = (doc_id * 11) % 200
+        y0d = 692.0
+        ctrl = [(x0, y0d), (x0 + 20.0, y0d - b), (x0 + w - 20.0, y0d - b), (x0 + w, y0d)]
+        pts = [ctrl[0]]
+        for k in range(1, 17):
+            t = k / 16
+            u = 1.0 - t
+            pts.append(
+                (
+                    u * u * u * ctrl[0][0] + 3 * u * u * t * ctrl[1][0]
+                    + 3 * u * t * t * ctrl[2][0] + t * t * t * ctrl[3][0],
+                    u * u * u * ctrl[0][1] + 3 * u * u * t * ctrl[1][1]
+                    + 3 * u * t * t * ctrl[2][1] + t * t * t * ctrl[3][1],
+                )
+            )
+        edges = [
+            (pts[i][0], pts[i][1], pts[i + 1][0], pts[i + 1][1])
+            for i in range(16)
+            if pts[i][1] != pts[i + 1][1]
+        ]
+        ink = 0
+        rows = set()
+        for py in range(600, 792):
+            cy = py + 0.5
+            xs = [
+                e[0] + (cy - e[1]) * (e[2] - e[0]) / (e[3] - e[1])
+                for e in edges
+                if (e[1] <= cy < e[3]) or (e[3] <= cy < e[1])
+            ]
+            if xs:
+                n = math.ceil(max(xs) - 0.5) - math.ceil(min(xs) - 0.5)
+                if n > 0:
+                    ink += n
+                    rows.add(py)
+        pdf = build_raster_pdf(
+            "Q",
+            (100, 100, 40, 30, 90),
+            (8, 8, bytes(64)),
+            curve=(int(x0), 100, int(w), int(b), cc),
+        )
+        gray = _gray(rasterize_page(pdf))
+        region = gray[600:792, 400:560]
+        assert int((region == cc).sum()) == ink if cc != 90 else True
+        assert int((gray[sorted(rows)[0]] == cc).sum()) > 0
+
+
+def test_path_operators_l_v_y_and_evenodd():
+    # triangle via m/l/h under f: area by scanline; v and y curve forms
+    # must behave as degenerate c (controls at endpoints)
+    pdf = build_raster_pdf("x", (10, 10, 5, 5, 9), (8, 8, bytes(64)))
+    # right triangle (200,200)-(260,200)-(200,260), user space
+    tri = b"0 g 200 200 m 260 200 l 200 260 l h f"
+    pdf2 = _splice_content(pdf, tri)
+    g = _gray(rasterize_page(pdf2))
+    # device rows 792-260 .. 792-200; row width shrinks by 1 per row
+    tri_ink = int((g[792 - 260 : 792 - 200, 195:270] == 0).sum())
+    # pixel-center coverage row py holds (py - 532) centers: 0+1+...+59
+    assert tri_ink == sum(range(60))
+    # v/y degenerate curves produce straight edges -> same triangle
+    tri_vy = b"0 g 200 200 m 260 200 260 200 v 200 260 200 260 y h f"
+    g2 = _gray(rasterize_page(_splice_content(pdf, tri_vy)))
+    assert (
+        g2[792 - 260 : 792 - 200, 195:270] == g[792 - 260 : 792 - 200, 195:270]
+    ).all()
+
+
+def test_rotated_rect_fills_via_scanline():
+    # a 45-degree rotated square no longer degrades: diamond coverage
+    pdf = build_raster_pdf("x", (10, 10, 5, 5, 9), (8, 8, bytes(64)))
+    ops = b"q 0.707107 0.707107 -0.707107 0.707107 300 300 cm 0 g 0 0 40 40 re f Q"
+    r = rasterize_page(_splice_content(pdf, ops))
+    assert r is not None
+    g = _gray(r)
+    diamond = int((g[400:560, 230:370] == 0).sum())
+    # a 40x40 square has area 1600; rasterized diamond coverage is
+    # within a perimeter band of it
+    assert abs(diamond - 1600) < 120
+
+
+def _splice_content(pdf: bytes, extra: bytes) -> bytes:
+    """Append ops to the fixture's content stream (re-lengths it)."""
+    import re as _re
+
+    m = _re.search(rb"<< /Length (\d+) >>\nstream\n", pdf)
+    n = int(m.group(1))
+    start = m.end()
+    body = pdf[start : start + n] + b"\n" + extra
+    out = (
+        pdf[: m.start()]
+        + b"<< /Length %d >>\nstream\n" % len(body)
+        + body
+        + pdf[start + n :]
+    )
+    # xref offsets shift; the reader tolerates this only if we rebuild —
+    # build_raster_pdf output is parsed via full-scan fallback, so keep
+    # offsets consistent by reassembling through the scan path
+    return out
 
 
 def test_rotated_ctm_degrades():
