@@ -14,8 +14,12 @@ operators/flac.py (Rice):
   FSE-compressed; sequence code tables in all four modes (predefined /
   RLE / FSE-compressed / repeat); repeat-offset history; multi-frame
   and skippable-frame input; xxHash64 content-checksum verification.
-  Dictionary frames (Dictionary_ID != 0) degrade to None — loudly, per
-  the codec-family contract (untrusted corpus blobs must never raise).
+  Dictionary frames (r9, RFC 8878 §5): when the caller supplies the
+  matching ``zstd --train``-style dictionary blob, its entropy tables
+  seed the repeat/treeless modes, its repeat offsets seed the history,
+  and its content acts as match-history prefix; frames naming an
+  unknown dict id still degrade to None — loudly, per the codec-family
+  contract (untrusted corpus blobs must never raise).
 * **Encoder**: deterministic, spec-conformant frames mixing raw, RLE,
   and really-compressed blocks (greedy hash-chain LZ77 -> sequences
   over the PREDEFINED FSE tables + Huffman literals with direct or
@@ -941,11 +945,59 @@ def _decode_block(block: bytes, frame_out: bytearray, ft: _FrameTables) -> None:
 
 # ------------------------------------------------------------ frame decode
 
-def zstd_decompress(blob: bytes) -> bytes | None:
-    """Decode a Zstandard stream (one or more frames, skippable frames
-    allowed); None on anything malformed or out of scope (dictionary
-    frames) — degrade-loudly, never raise on untrusted input."""
+# RFC 8878 §5 — dictionary format magic (0xEC30A437 little-endian)
+_DICT_MAGIC = b"\x37\xa4\x30\xec"
+
+
+def parse_zstd_dict(blob: bytes):
+    """Parse an RFC 8878 §5 dictionary: magic, Dictionary_ID, entropy
+    tables (Huffman literals, then FSE Offsets / Match_Lengths /
+    Literals_Lengths — the order zstd --train emits), the 3 initial
+    repeat offsets, and the raw content used as match-history prefix.
+    Returns (dict_id, huf_table, seq_tables, rep_offsets, content);
+    raises ValueError on malformed input (dictionaries are supplied by
+    the caller, not untrusted stream data, so loud is right)."""
     try:
+        if blob[:4] != _DICT_MAGIC:
+            raise _Corrupt("bad dictionary magic")
+        dict_id = struct.unpack_from("<I", blob, 4)[0]
+        if dict_id == 0:
+            raise _Corrupt("dictionary id 0 is reserved")
+        pos = 8
+        weights, tl, used = _huf_read_weights(blob[pos:])
+        huf = (_huf_decode_table(weights, tl), tl)
+        pos += used
+        seq: dict[str, tuple] = {}
+        for kind in ("of", "ml", "ll"):
+            fwd = _Fwd(blob[pos:])
+            counts, al = _read_ncount(fwd, _MAX_AL[kind], _MAX_SYM[kind])
+            seq[kind] = (*_fse_table(counts, al), al)
+            pos += fwd.byte_pos()
+        rep = [
+            struct.unpack_from("<I", blob, pos)[0],
+            struct.unpack_from("<I", blob, pos + 4)[0],
+            struct.unpack_from("<I", blob, pos + 8)[0],
+        ]
+        if any(r == 0 for r in rep):
+            raise _Corrupt("dictionary repeat offset 0 is invalid")
+        pos += 12
+        return dict_id, huf, seq, rep, blob[pos:]
+    except (_Corrupt, IndexError, struct.error) as e:
+        raise ValueError(f"zstd dictionary: {e}") from None
+
+
+def zstd_decompress(blob: bytes, dictionary: bytes | None = None) -> bytes | None:
+    """Decode a Zstandard stream (one or more frames, skippable frames
+    allowed); None on anything malformed or out of scope — degrade-
+    loudly, never raise on untrusted stream input.  ``dictionary`` (an
+    RFC 8878 §5 blob, e.g. from ``zstd --train``) enables frames whose
+    Dictionary_ID matches it: entropy tables seed the repeat/treeless
+    modes, the repeat-offset history starts from the dictionary's, and
+    the content acts as match-history prefix.  Frames naming a dict id
+    with no (or the wrong) dictionary supplied degrade to None — the
+    ingest contract is unchanged for callers without a side channel."""
+    try:
+        zdict = parse_zstd_dict(dictionary) if dictionary is not None else None
         out = bytearray()
         pos = 0
         n = len(blob)
@@ -963,7 +1015,7 @@ def zstd_decompress(blob: bytes) -> bytes | None:
             if blob[pos : pos + 4] != _MAGIC:
                 raise _Corrupt("bad magic")
             pos += 4
-            pos, frame = _decode_frame(blob, pos)
+            pos, frame = _decode_frame(blob, pos, zdict)
             out += frame
             saw_frame = True
         if not saw_frame:
@@ -973,7 +1025,7 @@ def zstd_decompress(blob: bytes) -> bytes | None:
         return None
 
 
-def _decode_frame(blob: bytes, pos: int) -> tuple[int, bytearray]:
+def _decode_frame(blob: bytes, pos: int, zdict=None) -> tuple[int, bytearray]:
     n = len(blob)
     fhd = blob[pos]
     pos += 1
@@ -986,10 +1038,13 @@ def _decode_frame(blob: bytes, pos: int) -> tuple[int, bytearray]:
     if not single_seg:
         pos += 1  # window descriptor (history kept in full anyway)
     did_size = (0, 1, 2, 4)[did_flag]
+    use_dict = False
     if did_size:
         did = int.from_bytes(blob[pos : pos + did_size], "little")
         if did != 0:
-            raise _Corrupt("dictionary frames unsupported")
+            if zdict is None or zdict[0] != did:
+                raise _Corrupt(f"frame needs dictionary {did}, not supplied")
+            use_dict = True
         pos += did_size
     fcs_size = (1 if single_seg else 0, 2, 4, 8)[fcs_flag]
     fcs = None
@@ -1002,6 +1057,16 @@ def _decode_frame(blob: bytes, pos: int) -> tuple[int, bytearray]:
         pos += fcs_size
     ft = _FrameTables()
     frame_out = bytearray()
+    prefix_len = 0
+    if use_dict:
+        _did, huf, seq, rep, content = zdict
+        ft.huf = huf
+        ft.seq = dict(seq)
+        ft.rep = list(rep)
+        # dictionary content is match-history prefix: decode on top of
+        # it, strip before returning (offsets reach into it naturally)
+        frame_out += content
+        prefix_len = len(content)
     while True:
         if pos + 3 > n:
             raise _Corrupt("truncated block header")
@@ -1029,16 +1094,17 @@ def _decode_frame(blob: bytes, pos: int) -> tuple[int, bytearray]:
             raise _Corrupt("reserved block type")
         if last:
             break
-    if fcs is not None and len(frame_out) != fcs:
+    content_out = frame_out[prefix_len:] if prefix_len else frame_out
+    if fcs is not None and len(content_out) != fcs:
         raise _Corrupt("frame content size mismatch")
     if has_checksum:
         if pos + 4 > n:
             raise _Corrupt("truncated checksum")
         want = struct.unpack_from("<I", blob, pos)[0]
         pos += 4
-        if (xxh64(bytes(frame_out)) & 0xFFFFFFFF) != want:
+        if (xxh64(bytes(content_out)) & 0xFFFFFFFF) != want:
             raise _Corrupt("content checksum mismatch")
-    return pos, frame_out
+    return pos, content_out
 
 
 # ------------------------------------------------------------ frame encode

@@ -210,3 +210,74 @@ def test_dispatch_integration():
     z = compress_text(data, "zstd")
     assert sniff_codec(z) == "zstd"
     assert decompress_auto(z) == data
+
+
+@pytest.mark.skipif(_ZSTD_CLI is None, reason="no reference zstd binary")
+def test_dictionary_frames_decode(tmp_path):
+    """RFC 8878 §5 dictionary frames (r9): train a dictionary with the
+    reference CLI over similar small samples, compress with it at
+    several levels, and decode here with the dictionary supplied —
+    entropy-table seeding, repeat-offset history, and content-prefix
+    matches all exercised.  Without the dictionary the same frames must
+    degrade to None (the ingest contract)."""
+    import random
+
+    from specialsid_spark.operators.zstd import parse_zstd_dict
+
+    rng = random.Random(3)
+    tmpl = (
+        '{"user": "%s", "event": "%s", "ts": %d,'
+        ' "props": {"plan": "%s", "region": "%s"}}'
+    )
+    events = ["view", "click", "purchase", "signup", "logout"]
+    plans = ["free", "pro", "enterprise"]
+    regions = ["gauteng", "natal", "western-cape"]
+    paths = []
+    for i in range(120):
+        s = "\n".join(
+            tmpl
+            % (
+                f"user{rng.randrange(500)}",
+                rng.choice(events),
+                rng.randrange(10**9),
+                rng.choice(plans),
+                rng.choice(regions),
+            )
+            for _ in range(rng.randrange(3, 12))
+        )
+        p = tmp_path / f"s{i}.json"
+        p.write_text(s)
+        paths.append(str(p))
+    dict_path = tmp_path / "dict.bin"
+    r = subprocess.run(
+        [_ZSTD_CLI, "--train", *paths, "-o", str(dict_path), "--maxdict=4096"],
+        capture_output=True,
+    )
+    assert r.returncode == 0, r.stderr
+    dict_blob = dict_path.read_bytes()
+    did, _huf, seq, rep, content = parse_zstd_dict(dict_blob)
+    assert did != 0 and len(content) > 0 and set(seq) == {"ll", "of", "ml"}
+    assert all(x > 0 for x in rep)
+    n_ok = 0
+    for i in range(0, 120, 13):
+        data = open(paths[i], "rb").read()
+        for lvl in ("-1", "-3", "-19"):
+            z = subprocess.run(
+                [_ZSTD_CLI, lvl, "-D", str(dict_path), "-c", paths[i]],
+                capture_output=True,
+            )
+            assert z.returncode == 0, z.stderr
+            assert zstd_decompress(z.stdout, dictionary=dict_blob) == data
+            assert zstd_decompress(z.stdout) is None  # no side channel
+            n_ok += 1
+    assert n_ok >= 24
+
+
+def test_dictionary_parse_rejects_malformed():
+    from specialsid_spark.operators.zstd import parse_zstd_dict
+
+    with pytest.raises(ValueError):
+        parse_zstd_dict(b"nope")
+    with pytest.raises(ValueError):
+        # right magic, id 0 (reserved)
+        parse_zstd_dict(b"\x37\xa4\x30\xec" + b"\x00" * 8)
