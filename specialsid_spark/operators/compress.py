@@ -37,6 +37,8 @@ _MAGICS = [
     # LZ4 frame magic: same story — operators/lz4.py implements the
     # public block + frame formats (r9)
     (b"\x04\x22\x4d\x18", "lz4"),
+    # snappy framing format stream identifier (.sz / Hadoop / Kafka)
+    (b"\xff\x06\x00\x00sNaPpY", "snappy-framed"),
 ]
 
 
@@ -72,6 +74,12 @@ def compress_text(data: bytes, codec: str) -> bytes:
         from specialsid_spark.operators.lz4 import lz4_frame_compress  # noqa: PLC0415
 
         return lz4_frame_compress(data)
+    if codec == "snappy-framed":
+        from specialsid_spark.operators.snappy import (  # noqa: PLC0415
+            snappy_framed_compress,
+        )
+
+        return snappy_framed_compress(data)
     raise ValueError(f"unknown codec {codec!r}")
 
 
@@ -79,7 +87,7 @@ def decompress_auto(blob: bytes) -> bytes | None:
     """Sniff + decompress one member; None for unknown magic or a
     corrupt stream (degrade-loudly — a truncated member must not kill
     the task)."""
-    codec = sniff_codec(bytes(blob[:8]))
+    codec = sniff_codec(bytes(blob[:16]))  # longest magic is 10 bytes
     if codec is None:
         return None
     try:
@@ -99,6 +107,12 @@ def decompress_auto(blob: bytes) -> bytes | None:
             )
 
             return lz4_frame_decompress(bytes(blob))
+        if codec == "snappy-framed":
+            from specialsid_spark.operators.snappy import (  # noqa: PLC0415
+                snappy_framed_decompress,
+            )
+
+            return snappy_framed_decompress(bytes(blob))
         return lzma.decompress(blob)
     except (zlib.error, OSError, EOFError, lzma.LZMAError, ValueError):
         return None

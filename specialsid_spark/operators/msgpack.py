@@ -1,0 +1,348 @@
+"""MessagePack — pure Python, from the public spec
+(github.com/msgpack/msgpack/blob/master/spec.md).
+
+MessagePack is the other ubiquitous schemaless event wire format next
+to JSON and protobuf — Fluentd/Fluent Bit (the de-facto log shippers),
+Redis streams, and many telemetry SDKs emit it, so a 100 TB log lake's
+bronze zone routinely holds msgpack blobs.  Nothing in the container
+exposes a codec to Python (pip's vendored copy is an implementation
+detail tests may borrow for cross-validation, never the engine), so
+the ingest door implements the format itself, in-family with
+operators/proto.py.
+
+Encoder is CANONICAL-deterministic: always the smallest representation
+(fixint/uint8..64/int8..64 by range, fixstr/str8/16/32, bin8/16/32,
+fixarray/array16/32, fixmap/map16/32), float64 for all floats (Python
+floats are doubles; float32 would lose bits), map keys in the dict's
+iteration order (the caller fixes key order — identical input object
+-> identical bytes, the hash-oracle contract).  Timestamps are the
+spec's ext -1 in the smallest of its three layouts (32/64/96-bit).
+
+Decoder covers the full format incl. ext (returned as (code, bytes),
+timestamps decoded to (seconds, nanos)), is bounds-checked, rejects
+trailing bytes, and raises ValueError on malformed input; ingest
+callers wanting degrade-to-None wrap it.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_M64 = (1 << 64) - 1
+
+
+def _pack_into(out: bytearray, obj) -> None:
+    if obj is None:
+        out.append(0xC0)
+    elif obj is True:
+        out.append(0xC3)
+    elif obj is False:
+        out.append(0xC2)
+    elif isinstance(obj, int):
+        if -32 <= obj < 128:
+            out.append(obj & 0xFF)
+        elif obj >= 0:
+            if obj < 1 << 8:
+                out += b"\xcc" + bytes([obj])
+            elif obj < 1 << 16:
+                out += b"\xcd" + struct.pack(">H", obj)
+            elif obj < 1 << 32:
+                out += b"\xce" + struct.pack(">I", obj)
+            elif obj < 1 << 64:
+                out += b"\xcf" + struct.pack(">Q", obj)
+            else:
+                raise ValueError("msgpack: int out of 64-bit range")
+        else:
+            if obj >= -(1 << 7):
+                out += b"\xd0" + struct.pack(">b", obj)
+            elif obj >= -(1 << 15):
+                out += b"\xd1" + struct.pack(">h", obj)
+            elif obj >= -(1 << 31):
+                out += b"\xd2" + struct.pack(">i", obj)
+            elif obj >= -(1 << 63):
+                out += b"\xd3" + struct.pack(">q", obj)
+            else:
+                raise ValueError("msgpack: int out of 64-bit range")
+    elif isinstance(obj, float):
+        out += b"\xcb" + struct.pack(">d", obj)
+    elif isinstance(obj, str):
+        b = obj.encode("utf-8")
+        n = len(b)
+        if n < 32:
+            out.append(0xA0 | n)
+        elif n < 1 << 8:
+            out += b"\xd9" + bytes([n])
+        elif n < 1 << 16:
+            out += b"\xda" + struct.pack(">H", n)
+        elif n < 1 << 32:
+            out += b"\xdb" + struct.pack(">I", n)
+        else:
+            raise ValueError("msgpack: string too long")
+        out += b
+    elif isinstance(obj, (bytes, bytearray)):
+        n = len(obj)
+        if n < 1 << 8:
+            out += b"\xc4" + bytes([n])
+        elif n < 1 << 16:
+            out += b"\xc5" + struct.pack(">H", n)
+        elif n < 1 << 32:
+            out += b"\xc6" + struct.pack(">I", n)
+        else:
+            raise ValueError("msgpack: bin too long")
+        out += bytes(obj)
+    elif isinstance(obj, (list, tuple)):
+        n = len(obj)
+        if n < 16:
+            out.append(0x90 | n)
+        elif n < 1 << 16:
+            out += b"\xdc" + struct.pack(">H", n)
+        elif n < 1 << 32:
+            out += b"\xdd" + struct.pack(">I", n)
+        else:
+            raise ValueError("msgpack: array too long")
+        for v in obj:
+            _pack_into(out, v)
+    elif isinstance(obj, dict):
+        n = len(obj)
+        if n < 16:
+            out.append(0x80 | n)
+        elif n < 1 << 16:
+            out += b"\xde" + struct.pack(">H", n)
+        elif n < 1 << 32:
+            out += b"\xdf" + struct.pack(">I", n)
+        else:
+            raise ValueError("msgpack: map too long")
+        for k, v in obj.items():
+            _pack_into(out, k)
+            _pack_into(out, v)
+    elif isinstance(obj, Ext):
+        _pack_ext(out, obj.code, obj.data)
+    elif isinstance(obj, Timestamp):
+        _pack_into(out, obj.to_ext())
+    else:
+        raise ValueError(f"msgpack: unsupported type {type(obj).__name__}")
+
+
+def _pack_ext(out: bytearray, code: int, data: bytes) -> None:
+    n = len(data)
+    if n == 1:
+        out += b"\xd4"
+    elif n == 2:
+        out += b"\xd5"
+    elif n == 4:
+        out += b"\xd6"
+    elif n == 8:
+        out += b"\xd7"
+    elif n == 16:
+        out += b"\xd8"
+    elif n < 1 << 8:
+        out += b"\xc7" + bytes([n])
+    elif n < 1 << 16:
+        out += b"\xc8" + struct.pack(">H", n)
+    elif n < 1 << 32:
+        out += b"\xc9" + struct.pack(">I", n)
+    else:
+        raise ValueError("msgpack: ext too long")
+    out += struct.pack(">b", code)
+    out += data
+
+
+class Ext:
+    """An application ext value: (code, payload bytes)."""
+
+    __slots__ = ("code", "data")
+
+    def __init__(self, code: int, data: bytes) -> None:
+        self.code = code
+        self.data = bytes(data)
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, Ext)
+            and self.code == other.code
+            and self.data == other.data
+        )
+
+    def __repr__(self) -> str:
+        return f"Ext({self.code}, {self.data!r})"
+
+
+class Timestamp:
+    """The spec's ext -1 timestamp: (seconds since epoch, nanoseconds).
+    Encodes in the SMALLEST of the three layouts: 32-bit (0 <= sec <
+    2^32, nanos 0), 64-bit (30-bit nanos + 34-bit sec), else 96-bit."""
+
+    __slots__ = ("seconds", "nanos")
+
+    def __init__(self, seconds: int, nanos: int = 0) -> None:
+        if not 0 <= nanos < 1_000_000_000:
+            raise ValueError("msgpack: nanos out of range")
+        self.seconds = seconds
+        self.nanos = nanos
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, Timestamp)
+            and self.seconds == other.seconds
+            and self.nanos == other.nanos
+        )
+
+    def __repr__(self) -> str:
+        return f"Timestamp({self.seconds}, {self.nanos})"
+
+    def to_ext(self) -> Ext:
+        if self.nanos == 0 and 0 <= self.seconds < 1 << 32:
+            return Ext(-1, struct.pack(">I", self.seconds))
+        if 0 <= self.seconds < 1 << 34:
+            return Ext(-1, struct.pack(">Q", (self.nanos << 34) | self.seconds))
+        return Ext(-1, struct.pack(">Iq", self.nanos, self.seconds))
+
+    @staticmethod
+    def from_ext(data: bytes) -> Timestamp:
+        if len(data) == 4:
+            return Timestamp(struct.unpack(">I", data)[0])
+        if len(data) == 8:
+            (v,) = struct.unpack(">Q", data)
+            return Timestamp(v & ((1 << 34) - 1), v >> 34)
+        if len(data) == 12:
+            nanos, sec = struct.unpack(">Iq", data)
+            return Timestamp(sec, nanos)
+        raise ValueError("msgpack: bad timestamp ext length")
+
+
+def pack(obj) -> bytes:
+    """Canonical-deterministic encode (see module docstring)."""
+    out = bytearray()
+    _pack_into(out, obj)
+    return bytes(out)
+
+
+def unpack(blob: bytes):
+    """Decode ONE object; trailing bytes are an error (a log record is
+    one object — framing is the transport's job)."""
+    obj, pos = _unpack_at(blob, 0)
+    if pos != len(blob):
+        raise ValueError(f"msgpack: {len(blob) - pos} trailing bytes")
+    return obj
+
+
+def unpack_stream(blob: bytes) -> list:
+    """Decode a CONCATENATION of objects (the Fluentd forward-mode
+    framing: records back to back)."""
+    out = []
+    pos = 0
+    while pos < len(blob):
+        obj, pos = _unpack_at(blob, pos)
+        out.append(obj)
+    return out
+
+
+def _need(blob: bytes, pos: int, n: int) -> None:
+    if pos + n > len(blob):
+        raise ValueError("msgpack: truncated")
+
+
+def _unpack_at(blob: bytes, pos: int):
+    _need(blob, pos, 1)
+    b = blob[pos]
+    pos += 1
+    if b <= 0x7F:  # positive fixint
+        return b, pos
+    if b >= 0xE0:  # negative fixint
+        return b - 256, pos
+    if 0x80 <= b <= 0x8F:
+        return _unpack_map(blob, pos, b & 0xF)
+    if 0x90 <= b <= 0x9F:
+        return _unpack_array(blob, pos, b & 0xF)
+    if 0xA0 <= b <= 0xBF:
+        return _unpack_str(blob, pos, b & 0x1F)
+    if b == 0xC0:
+        return None, pos
+    if b == 0xC2:
+        return False, pos
+    if b == 0xC3:
+        return True, pos
+    if b in (0xC4, 0xC5, 0xC6):  # bin
+        w = (1, 2, 4)[b - 0xC4]
+        _need(blob, pos, w)
+        n = int.from_bytes(blob[pos : pos + w], "big")
+        pos += w
+        _need(blob, pos, n)
+        return blob[pos : pos + n], pos + n
+    if b in (0xC7, 0xC8, 0xC9):  # ext 8/16/32
+        w = (1, 2, 4)[b - 0xC7]
+        _need(blob, pos, w)
+        n = int.from_bytes(blob[pos : pos + w], "big")
+        pos += w
+        return _unpack_ext(blob, pos, n)
+    if b == 0xCA:
+        _need(blob, pos, 4)
+        return struct.unpack_from(">f", blob, pos)[0], pos + 4
+    if b == 0xCB:
+        _need(blob, pos, 8)
+        return struct.unpack_from(">d", blob, pos)[0], pos + 8
+    if b in (0xCC, 0xCD, 0xCE, 0xCF):  # uint
+        w = 1 << (b - 0xCC)
+        _need(blob, pos, w)
+        return int.from_bytes(blob[pos : pos + w], "big"), pos + w
+    if b in (0xD0, 0xD1, 0xD2, 0xD3):  # int
+        w = 1 << (b - 0xD0)
+        _need(blob, pos, w)
+        return int.from_bytes(blob[pos : pos + w], "big", signed=True), pos + w
+    if b in (0xD4, 0xD5, 0xD6, 0xD7, 0xD8):  # fixext 1/2/4/8/16
+        return _unpack_ext(blob, pos, 1 << (b - 0xD4))
+    if b == 0xD9:
+        _need(blob, pos, 1)
+        return _unpack_str(blob, pos + 1, blob[pos])
+    if b == 0xDA:
+        _need(blob, pos, 2)
+        return _unpack_str(blob, pos + 2, struct.unpack_from(">H", blob, pos)[0])
+    if b == 0xDB:
+        _need(blob, pos, 4)
+        return _unpack_str(blob, pos + 4, struct.unpack_from(">I", blob, pos)[0])
+    if b == 0xDC:
+        _need(blob, pos, 2)
+        return _unpack_array(blob, pos + 2, struct.unpack_from(">H", blob, pos)[0])
+    if b == 0xDD:
+        _need(blob, pos, 4)
+        return _unpack_array(blob, pos + 4, struct.unpack_from(">I", blob, pos)[0])
+    if b == 0xDE:
+        _need(blob, pos, 2)
+        return _unpack_map(blob, pos + 2, struct.unpack_from(">H", blob, pos)[0])
+    if b == 0xDF:
+        _need(blob, pos, 4)
+        return _unpack_map(blob, pos + 4, struct.unpack_from(">I", blob, pos)[0])
+    raise ValueError(f"msgpack: reserved/unknown type byte 0x{b:02x}")
+
+
+def _unpack_str(blob: bytes, pos: int, n: int):
+    _need(blob, pos, n)
+    return blob[pos : pos + n].decode("utf-8"), pos + n
+
+
+def _unpack_array(blob: bytes, pos: int, n: int):
+    out = []
+    for _ in range(n):
+        v, pos = _unpack_at(blob, pos)
+        out.append(v)
+    return out, pos
+
+
+def _unpack_map(blob: bytes, pos: int, n: int):
+    out = {}
+    for _ in range(n):
+        k, pos = _unpack_at(blob, pos)
+        if isinstance(k, (bytearray, dict, list)):
+            raise ValueError("msgpack: unhashable map key")
+        v, pos = _unpack_at(blob, pos)
+        out[k] = v
+    return out, pos
+
+
+def _unpack_ext(blob: bytes, pos: int, n: int):
+    _need(blob, pos, 1 + n)
+    code = struct.unpack_from(">b", blob, pos)[0]
+    data = blob[pos + 1 : pos + 1 + n]
+    if code == -1:
+        return Timestamp.from_ext(data), pos + 1 + n
+    return Ext(code, data), pos + 1 + n

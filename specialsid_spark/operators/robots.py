@@ -1,0 +1,144 @@
+"""robots.txt parsing + matching — RFC 9309 (Robots Exclusion
+Protocol), from the published spec.
+
+The reference is a web-scraping pipeline (its crawler walks retailer
+specials pages — sources/web.py documents the DOM contract); a
+100 TB crawl corpus is built under per-host politeness decisions, and
+those decisions must be computable INSIDE the plan (one robots.txt per
+host joined against millions of candidate URLs), not in a driver-side
+loop.  This module is the pure-Python kernel the Spark side calls via
+mapInPandas.
+
+Spec semantics implemented (RFC 9309 §2):
+
+* **Group selection**: groups are runs of ``User-agent`` lines
+  followed by rules; a crawler obeys the group whose user-agent token
+  is the LONGEST case-insensitive match for its product token, falling
+  back to the ``*`` group; if several ``User-agent`` lines head one
+  block of rules, the rules apply to all of them.
+* **Rule matching**: ``Allow``/``Disallow`` values are path prefixes
+  with ``*`` (any substring) and ``$`` (end anchor) wildcards; the
+  MOST SPECIFIC match (longest pattern, by octet length) wins; on a
+  length tie, Allow wins.  An empty ``Disallow:`` matches nothing
+  (allow-all); an unmatched path is allowed.
+* **Extras every real file carries**: ``Sitemap`` lines (collected,
+  group-independent) and ``Crawl-delay`` (non-standard but ubiquitous;
+  attached per group).  Unknown directives are ignored per spec.
+
+Scale shape: parse once per HOST (robots files are Heaps-bounded like
+distinct words — the web has far fewer hosts than URLs), broadcast or
+map-side join the parsed groups onto the URL stream, and evaluate
+``is_allowed`` per row inside Arrow batches.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class RobotsGroup:
+    agents: list[str]
+    # (is_allow, pattern) in file order; empty patterns are dropped
+    rules: list[tuple[bool, str]] = field(default_factory=list)
+    crawl_delay: float | None = None
+
+
+@dataclass
+class Robots:
+    groups: list[RobotsGroup]
+    sitemaps: list[str]
+
+
+def parse_robots(text: str) -> Robots:
+    """Line-oriented parse per RFC 9309 §2.1–2.2: ``#`` comments strip,
+    keys are case-insensitive, groups form at User-agent runs; rules
+    before any User-agent line are ignored (the spec's 'undefined'
+    made deterministic)."""
+    groups: list[RobotsGroup] = []
+    sitemaps: list[str] = []
+    cur: RobotsGroup | None = None
+    in_agent_run = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_agent_run and cur is not None:
+                cur.agents.append(val.lower())
+            else:
+                cur = RobotsGroup(agents=[val.lower()])
+                groups.append(cur)
+                in_agent_run = True
+            continue
+        in_agent_run = False
+        if key == "sitemap":
+            if val:
+                sitemaps.append(val)
+        elif cur is None:
+            continue  # rules before any User-agent line: ignored
+        elif key in ("allow", "disallow"):
+            if val:
+                cur.rules.append((key == "allow", val))
+            # an empty Disallow/Allow matches nothing (allow-all form)
+        elif key == "crawl-delay":
+            try:
+                cur.crawl_delay = float(val)
+            except ValueError:
+                pass  # malformed: ignore, per unknown-directive rule
+    return Robots(groups=groups, sitemaps=sitemaps)
+
+
+def _select_group(robots: Robots, agent: str) -> RobotsGroup | None:
+    """Longest user-agent token match (case-insensitive substring from
+    the start, per §2.2.1: the product token match), else the ``*``
+    group, else None (no applicable group: allow-all)."""
+    agent = agent.lower()
+    best: RobotsGroup | None = None
+    best_len = -1
+    star: RobotsGroup | None = None
+    for g in robots.groups:
+        for a in g.agents:
+            if a == "*":
+                if star is None:
+                    star = g
+            elif agent.startswith(a) and len(a) > best_len:
+                best, best_len = g, len(a)
+    return best if best is not None else star
+
+
+def _pattern_matches(pattern: str, path: str) -> bool:
+    """RFC 9309 §2.2.3 wildcard prefix match: ``*`` = any run of
+    octets, trailing ``$`` anchors the end; otherwise a prefix."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    parts = [re.escape(p) for p in pattern.split("*")]
+    rx = ".*".join(parts)
+    rx = "^" + rx + ("$" if anchored else "")
+    return re.match(rx, path) is not None
+
+
+def is_allowed(robots: Robots, agent: str, path: str) -> bool:
+    """Most-specific-match decision: longest matching pattern wins;
+    Allow wins length ties; no match (or no group) = allowed."""
+    g = _select_group(robots, agent)
+    if g is None:
+        return True
+    best_len = -1
+    best_allow = True
+    for allow, pattern in g.rules:
+        if _pattern_matches(pattern, path):
+            plen = len(pattern)
+            if plen > best_len or (plen == best_len and allow and not best_allow):
+                best_len, best_allow = plen, allow
+    return best_allow if best_len >= 0 else True
+
+
+def crawl_delay(robots: Robots, agent: str) -> float | None:
+    g = _select_group(robots, agent)
+    return g.crawl_delay if g is not None else None

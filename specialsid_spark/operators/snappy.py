@@ -190,3 +190,103 @@ def avro_snappy_decode(blob: bytes) -> bytes:
     if crc != zlib.crc32(data) & 0xFFFFFFFF:
         raise ValueError("avro-snappy: CRC mismatch")
     return data
+
+
+# --- The snappy FRAMING format (google/snappy framing_format.txt — the
+#     ".sz" / Hadoop / Kafka stream form): a stream-identifier chunk,
+#     then 64 KiB-max data chunks each carrying a MASKED CRC32C of the
+#     uncompressed bytes.  CRC32C (Castagnoli, polynomial 0x1EDC6F41
+#     reflected = 0x82F63B78) is implemented table-driven below — the
+#     container has no Python binding for it either.
+
+_CRC32C_TABLE: list[int] = []
+
+
+def _crc32c_table() -> list[int]:
+    if not _CRC32C_TABLE:
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            _CRC32C_TABLE.append(c)
+    return _CRC32C_TABLE
+
+
+def crc32c(data: bytes) -> int:
+    table = _crc32c_table()
+    c = 0xFFFFFFFF
+    for b in data:
+        c = table[(c ^ b) & 0xFF] ^ (c >> 8)
+    return c ^ 0xFFFFFFFF
+
+
+def _mask_crc(crc: int) -> int:
+    """The framing format's CRC mask (defends against CRC-of-CRC)."""
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+_FRAME_STREAM_ID = b"\xff\x06\x00\x00sNaPpY"
+_FRAME_MAX_CHUNK = 65536
+
+
+def snappy_framed_compress(data: bytes) -> bytes:
+    """Frame ``data`` as a snappy framing-format stream: identifier +
+    64 KiB-max chunks, each compressed (type 0x00) unless compression
+    does not shrink it, then stored (type 0x01) — per the spec's
+    recommendation."""
+    out = bytearray(_FRAME_STREAM_ID)
+    for off in range(0, len(data), _FRAME_MAX_CHUNK):
+        chunk = data[off : off + _FRAME_MAX_CHUNK]
+        crc = _mask_crc(crc32c(chunk))
+        comp = snappy_compress(chunk)
+        if len(comp) < len(chunk):
+            body = struct.pack("<I", crc) + comp
+            out += b"\x00" + struct.pack("<I", len(body))[:3] + body
+        else:
+            body = struct.pack("<I", crc) + chunk
+            out += b"\x01" + struct.pack("<I", len(body))[:3] + body
+    if not data:  # empty stream: identifier only is legal
+        pass
+    return bytes(out)
+
+
+def snappy_framed_decompress(blob: bytes) -> bytes:
+    """Decode a framing-format stream: verifies every chunk CRC, skips
+    padding (0xfe) and reserved-skippable (0x80-0xfd) chunks, rejects
+    reserved-unskippable ones (0x02-0x7f) per spec."""
+    if not blob.startswith(_FRAME_STREAM_ID):
+        raise ValueError("snappy-framed: missing stream identifier")
+    out = bytearray()
+    pos = len(_FRAME_STREAM_ID)
+    n = len(blob)
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError("snappy-framed: chunk header truncated")
+        ctype = blob[pos]
+        clen = blob[pos + 1] | (blob[pos + 2] << 8) | (blob[pos + 3] << 16)
+        pos += 4
+        if pos + clen > n:
+            raise ValueError("snappy-framed: chunk body truncated")
+        body = blob[pos : pos + clen]
+        pos += clen
+        if ctype == 0xFF:  # repeated stream identifier: re-validate
+            if body != _FRAME_STREAM_ID[4:]:
+                raise ValueError("snappy-framed: bad repeated identifier")
+        elif ctype in (0x00, 0x01):
+            if clen < 4:
+                raise ValueError("snappy-framed: chunk too short for CRC")
+            (want,) = struct.unpack("<I", body[:4])
+            payload = body[4:]
+            chunk = payload if ctype == 0x01 else snappy_decompress(payload)
+            if len(chunk) > _FRAME_MAX_CHUNK:
+                raise ValueError("snappy-framed: chunk exceeds 64 KiB limit")
+            if _mask_crc(crc32c(chunk)) != want:
+                raise ValueError("snappy-framed: CRC mismatch")
+            out += chunk
+        elif ctype == 0xFE or 0x80 <= ctype <= 0xFD:
+            continue  # padding / reserved skippable
+        else:
+            raise ValueError(
+                f"snappy-framed: reserved unskippable chunk 0x{ctype:02x}"
+            )
+    return bytes(out)

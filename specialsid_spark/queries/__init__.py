@@ -58,6 +58,8 @@ _PRIORITY: tuple[str, ...] = (
     "mm_lz4_text_roundtrip",
     "text_unigram_segment",
     "text_unigram_decode_parity",
+    "cur_robots_gate",
+    "src_msgpack_scan",
     # red in r7; runtime-conf fix verified locally via check_oracle
     "src_python_datasource_scan",
     # registered after the r8 driver run (no driver row yet)

@@ -1337,3 +1337,120 @@ def cur_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "cur_robots_gate",
+    # RFC 9309 politeness gate (r9): per doc, a fixture robots.txt
+    # exercising every spec behavior — group selection by longest
+    # user-agent token with * fallback, longest-match rule precedence,
+    # Allow-beats-Disallow ties, * and $ wildcards, the empty-Disallow
+    # allow-all form, Crawl-delay, Sitemap collection — against 8
+    # decision cases whose verdicts the oracle restates in closed form
+    # from doc_id arithmetic.  A parser or matcher defect anywhere
+    # flips an `allowed` flag and fails the hash.
+    oracle="""
+    WITH docs AS (SELECT doc_id FROM documents),
+    ks AS (SELECT unnest(range(0, 8)) AS k)
+    SELECT d.doc_id, CAST(ks.k AS INT) AS k,
+           CASE WHEN ks.k <= 5 THEN 'specialsbot'
+                WHEN ks.k = 6 THEN 'otherbot' ELSE 'emptybot' END AS agent,
+           CASE ks.k
+             WHEN 0 THEN '/public/page' || d.doc_id || '.html'
+             WHEN 1 THEN '/private/x' || d.doc_id || '.html'
+             WHEN 2 THEN '/private/specials-' || d.doc_id || '.html'
+             WHEN 3 THEN '/file' || d.doc_id || '.tmp'
+             WHEN 4 THEN '/file' || d.doc_id || '.tmp.bak'
+             WHEN 5 THEN '/private/specials-x' || d.doc_id || '.html'
+             WHEN 6 THEN '/public/page' || d.doc_id || '.html'
+             ELSE '/anything/' || d.doc_id
+           END AS path,
+           CAST(CASE WHEN ks.k IN (0, 2, 4, 7) THEN 1 ELSE 0 END AS BIGINT)
+             AS allowed,
+           CASE WHEN ks.k <= 5 THEN CAST(1 + d.doc_id % 5 AS DOUBLE) END
+             AS crawl_delay,
+           CAST(2 AS BIGINT) AS n_sitemaps
+    FROM docs d, ks
+    ORDER BY d.doc_id, k
+    """,
+)
+def cur_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-politeness decisions inside the plan (operators/robots.py
+    — RFC 9309 parse + most-specific-match).  The reference is a web
+    scraper; at 100 TB a crawl frontier joins ONE parsed robots file
+    per host (hosts are Heaps-bounded like distinct words) onto
+    millions of candidate URLs, so the eval is a per-row Arrow-batch
+    call with no shuffle — here each doc stands in for a host."""
+    import pandas as pd
+
+    from specialsid_spark.operators.robots import (
+        crawl_delay,
+        is_allowed,
+        parse_robots,
+    )
+
+    d = load_parallel(spark, sf_dir, "documents")
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                txt = (
+                    f"# retailer robots fixture {doc_id}\n"
+                    "User-agent: specialsbot\n"
+                    "Disallow: /private/\n"
+                    f"Allow: /private/specials-{doc_id}.html\n"
+                    "Disallow: /*.tmp$\n"
+                    f"Crawl-delay: {1 + doc_id % 5}\n"
+                    "\n"
+                    "User-agent: emptybot\n"
+                    "Disallow:\n"
+                    "\n"
+                    "User-agent: *\n"
+                    "Disallow: /\n"
+                    "\n"
+                    f"Sitemap: https://example.test/sitemap-{doc_id}.xml\n"
+                    "Sitemap: https://example.test/sitemap-extra.xml\n"
+                )
+                robots = parse_robots(txt)
+                cases = [
+                    ("specialsbot", f"/public/page{doc_id}.html"),
+                    ("specialsbot", f"/private/x{doc_id}.html"),
+                    ("specialsbot", f"/private/specials-{doc_id}.html"),
+                    ("specialsbot", f"/file{doc_id}.tmp"),
+                    ("specialsbot", f"/file{doc_id}.tmp.bak"),
+                    ("specialsbot", f"/private/specials-x{doc_id}.html"),
+                    ("otherbot", f"/public/page{doc_id}.html"),
+                    ("emptybot", f"/anything/{doc_id}"),
+                ]
+                for k, (agent, path) in enumerate(cases):
+                    out.append(
+                        (
+                            doc_id,
+                            k,
+                            agent,
+                            path,
+                            int(is_allowed(robots, agent, path)),
+                            crawl_delay(robots, agent),
+                            len(robots.sitemaps),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "k", "agent", "path",
+                    "allowed", "crawl_delay", "n_sitemaps",
+                ],
+            ).astype({"doc_id": "int64", "k": "int32", "allowed": "int64",
+                      "n_sitemaps": "int64"})
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            fn,
+            "doc_id long, k int, agent string, path string,"
+            " allowed long, crawl_delay double, n_sitemaps long",
+        )
+        .orderBy("doc_id", "k")
+    )

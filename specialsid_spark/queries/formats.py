@@ -446,3 +446,112 @@ def src_protobuf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "src_msgpack_scan",
+    # Fixture records are deterministic doc_id/text derivations, so the
+    # oracle restates every decoded field arithmetically.  Three
+    # records per doc arrive CONCATENATED (the Fluentd forward-mode
+    # framing) and must stream-decode; each exercises fixmap/fixarray,
+    # str vs bin, nested maps, negative ints, the ext -1 timestamp
+    # (both 32- and 64-bit layouts appear across docs), and an
+    # application ext that must round-trip code + payload.
+    oracle="""
+    SELECT doc_id,
+           CAST(3 AS BIGINT) AS n_records,
+           CAST(4800000003 + 9 * doc_id AS BIGINT) AS ts_sec_sum,
+           CAST((doc_id * 1) % 1000 + (doc_id * 2) % 1000 AS BIGINT) AS ts_nanos_sum,
+           md5(substr(text, 1, 50)) AS msg_md5,
+           md5(substr(text, 1, 8)) AS bin_md5,
+           CAST(3 - 3 * doc_id + 3 * (doc_id % 7) AS BIGINT) AS tag_sum,
+           CAST(1 AS BIGINT) AS ext_ok
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def src_msgpack_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MessagePack ingest (r9) — the Fluentd/Redis log wire format,
+    unreadable by stock Spark.  operators/msgpack.py implements the
+    public spec; each doc becomes a 3-record concatenated stream
+    (forward-mode framing) that is decoded back with unpack_stream and
+    flattened.  A green hash proves map/array framing, str-vs-bin
+    typing, negative-int widths, timestamp ext layouts, application
+    ext roundtrip, and stream segmentation all survive.
+
+    Scale shape: per-row independent mapInPandas, no shuffle before
+    the final sort — the codec-family plan."""
+    import hashlib
+
+    import pandas as pd
+
+    from specialsid_spark.operators.msgpack import (
+        Ext,
+        Timestamp,
+        pack,
+        unpack_stream,
+    )
+
+    d = load(spark, sf_dir, "documents")
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                i = int(r.doc_id)
+                recs = [
+                    {
+                        "doc_id": i,
+                        "seq": j,
+                        "ts": Timestamp(1_600_000_000 + i * 3 + j, (i * j) % 1000),
+                        "msg": r.text[:50],
+                        "tags": [j, -i, i % 7],
+                        "bin": r.text[:8].encode("utf-8"),
+                        "ext": Ext(7, b"\xab" * (1 + i % 4)),
+                        "nested": {"lang": r.lang, "neg": -(i + 1)},
+                    }
+                    for j in range(3)
+                ]
+                blob = b"".join(pack(rec) for rec in recs)
+                back = unpack_stream(blob)
+                assert back == recs  # full structural roundtrip
+                out.append(
+                    (
+                        i,
+                        len(back),
+                        sum(rec["ts"].seconds for rec in back),
+                        sum(rec["ts"].nanos for rec in back),
+                        hashlib.md5(back[0]["msg"].encode("utf-8")).hexdigest(),
+                        hashlib.md5(back[0]["bin"]).hexdigest(),
+                        sum(sum(rec["tags"]) for rec in back),
+                        int(
+                            all(
+                                rec["ext"] == Ext(7, b"\xab" * (1 + i % 4))
+                                for rec in back
+                            )
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_records", "ts_sec_sum", "ts_nanos_sum",
+                    "msg_md5", "bin_md5", "tag_sum", "ext_ok",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64", "n_records": "int64",
+                    "ts_sec_sum": "int64", "ts_nanos_sum": "int64",
+                    "tag_sum": "int64", "ext_ok": "int64",
+                }
+            )
+
+    return (
+        d.select("doc_id", "text", "lang")
+        .mapInPandas(
+            fn,
+            "doc_id long, n_records long, ts_sec_sum long, ts_nanos_sum long,"
+            " msg_md5 string, bin_md5 string, tag_sum long, ext_ok long",
+        )
+        .orderBy("doc_id")
+    )

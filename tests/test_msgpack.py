@@ -1,0 +1,173 @@
+"""MessagePack codec (operators/msgpack.py): roundtrips over the full
+type surface, canonical smallest-encoding pins, malformed input, and
+cross-validation against an independent implementation (pip's vendored
+msgpack, import-gated — borrowed as a test reference only, never an
+engine dependency)."""
+
+from __future__ import annotations
+
+import math
+import random
+import struct
+
+import pytest
+
+from specialsid_spark.operators.msgpack import (
+    Ext,
+    Timestamp,
+    pack,
+    unpack,
+    unpack_stream,
+)
+
+try:  # independent reference for cross-validation (vendored, pure)
+    from pip._vendor import msgpack as ref_msgpack
+except ImportError:  # pragma: no cover
+    ref_msgpack = None
+
+
+def _cases() -> list:
+    rng = random.Random(11)
+    return [
+        None,
+        True,
+        False,
+        0,
+        1,
+        127,
+        128,
+        255,
+        256,
+        65535,
+        65536,
+        2**32 - 1,
+        2**32,
+        2**64 - 1,
+        -1,
+        -32,
+        -33,
+        -128,
+        -129,
+        -(2**15),
+        -(2**31) - 1,
+        -(2**63),
+        0.0,
+        1.5,
+        -math.pi,
+        "",
+        "a",
+        "x" * 31,
+        "y" * 32,
+        "z" * 300,
+        "héllo☃",
+        b"",
+        b"\x00\xff" * 10,
+        bytes(rng.randrange(256) for _ in range(300)),
+        [],
+        [1, "two", 3.0, None, True],
+        list(range(20)),
+        {},
+        {"k": "v", "n": 1, "nested": {"a": [1, 2], "b": None}},
+        {i: i * i for i in range(20)},
+        Ext(5, b"\x01"),
+        Ext(42, b"0123456789abcdef"),
+        Ext(7, b"odd-length-payload"),
+    ]
+
+
+def test_roundtrip_full_surface():
+    for i, c in enumerate(_cases()):
+        assert unpack(pack(c)) == c, i
+
+
+def test_canonical_smallest_encodings():
+    # the deterministic-encoder contract: exact first bytes per range
+    assert pack(5) == b"\x05"
+    assert pack(-3) == b"\xfd"
+    assert pack(200)[0] == 0xCC
+    assert pack(70000)[0] == 0xCE
+    assert pack(-200)[0] == 0xD1
+    assert pack("abc")[0] == 0xA3
+    assert pack("x" * 40)[0] == 0xD9
+    assert pack(b"ab")[0] == 0xC4
+    assert pack([1])[0] == 0x91
+    assert pack({"a": 1})[0] == 0x81
+    assert pack(1.5)[0] == 0xCB  # always float64
+    assert pack(Ext(1, b"ab"))[0] == 0xD5  # fixext 2
+
+
+def test_timestamps_three_layouts():
+    for ts in (
+        Timestamp(0),
+        Timestamp(2**32 - 1),  # 32-bit
+        Timestamp(5, 999_999_999),  # 64-bit
+        Timestamp(2**34 - 1, 1),  # 64-bit upper edge
+        Timestamp(2**34, 7),  # 96-bit
+        Timestamp(-1, 0),  # pre-epoch -> 96-bit
+    ):
+        blob = pack(ts)
+        assert unpack(blob) == ts
+    assert len(pack(Timestamp(7)).removeprefix(b"\xd6\xff")) == 4
+    assert pack(Timestamp(5, 1))[:2] == b"\xd7\xff"
+    with pytest.raises(ValueError):
+        Timestamp(0, 10**9)
+
+
+def test_stream_framing():
+    objs = [{"r": i} for i in range(5)]
+    blob = b"".join(pack(o) for o in objs)
+    assert unpack_stream(blob) == objs
+    with pytest.raises(ValueError):
+        unpack(blob)  # trailing bytes after the first object
+
+
+def test_malformed_raises():
+    with pytest.raises(ValueError):
+        unpack(b"")
+    with pytest.raises(ValueError):
+        unpack(b"\xc1")  # the reserved byte
+    with pytest.raises(ValueError):
+        unpack(pack("hello")[:-1])  # truncated str body
+    with pytest.raises(ValueError):
+        unpack(b"\xdc\x00\x05" + pack(1))  # array16 claiming 5, has 1
+    with pytest.raises(ValueError):
+        unpack(b"\x81" + pack([1]) + pack(2))  # unhashable map key
+    with pytest.raises(ValueError):
+        pack(2**64)  # out of 64-bit range
+    with pytest.raises(ValueError):
+        pack(object())
+
+
+@pytest.mark.skipif(ref_msgpack is None, reason="no reference msgpack")
+def test_reference_decodes_our_bytes():
+    for c in _cases():
+        if isinstance(c, Ext):
+            continue  # Ext class types differ; covered below
+        got = ref_msgpack.unpackb(pack(c), strict_map_key=False, raw=False)
+        if isinstance(c, list):
+            got = list(got)
+        assert got == c, c
+    got = ref_msgpack.unpackb(pack(Ext(9, b"abcd")))
+    assert (got.code, got.data) == (9, b"abcd")
+
+
+@pytest.mark.skipif(ref_msgpack is None, reason="no reference msgpack")
+def test_we_decode_reference_bytes():
+    for c in _cases():
+        if isinstance(c, Ext):
+            blob = ref_msgpack.packb(ref_msgpack.ExtType(c.code, c.data))
+        else:
+            blob = ref_msgpack.packb(c)
+        assert unpack(blob) == c, c
+    # float32 from the reference (we always WRITE float64, must READ f32)
+    blob = b"\xca" + struct.pack(">f", 2.5)
+    assert unpack(blob) == 2.5
+
+
+@pytest.mark.skipif(ref_msgpack is None, reason="no reference msgpack")
+def test_byte_identical_to_reference_encoder():
+    # both encoders use the spec's smallest-form rule -> identical bytes
+    for c in _cases():
+        if isinstance(c, (Ext, float)) or c == -(2**63):
+            continue  # ref packs float via fallback too; skip edge impls
+        assert pack(c) == ref_msgpack.packb(c), c

@@ -1,0 +1,83 @@
+"""RFC 9309 robots.txt parser/matcher (operators/robots.py)."""
+
+from __future__ import annotations
+
+from specialsid_spark.operators.robots import (
+    Robots,
+    crawl_delay,
+    is_allowed,
+    parse_robots,
+)
+
+_SAMPLE = """
+# example per RFC 9309 §5
+User-agent: *
+Disallow: /admin/
+Allow: /admin/public
+Disallow: /*.gif$
+Crawl-delay: 2.5
+
+User-agent: examplebot
+User-agent: otherbot
+Disallow:
+
+Sitemap: https://example.test/a.xml
+sitemap: https://example.test/b.xml
+Unknown-directive: ignored
+"""
+
+
+def _r() -> Robots:
+    return parse_robots(_SAMPLE)
+
+
+def test_group_and_sitemap_parse():
+    r = _r()
+    assert len(r.groups) == 2
+    assert r.groups[0].agents == ["*"]
+    assert r.groups[1].agents == ["examplebot", "otherbot"]  # shared rules
+    assert r.sitemaps == ["https://example.test/a.xml", "https://example.test/b.xml"]
+    assert r.groups[0].crawl_delay == 2.5
+
+
+def test_longest_match_and_allow_tie():
+    r = _r()
+    assert not is_allowed(r, "somebot", "/admin/secret")
+    assert is_allowed(r, "somebot", "/admin/public/page")  # longer Allow wins
+    assert is_allowed(r, "somebot", "/other")
+
+
+def test_wildcards():
+    r = _r()
+    assert not is_allowed(r, "somebot", "/img/x.gif")  # /*.gif$ matches
+    assert is_allowed(r, "somebot", "/img/x.gif?v=1")  # $ anchors the end
+
+
+def test_agent_selection_longest_token():
+    r = parse_robots(
+        "User-agent: bot\nDisallow: /a\n\nUser-agent: bottington\nDisallow: /b\n"
+    )
+    # 'bottington/1.0' matches BOTH tokens; the longer one wins
+    assert is_allowed(r, "bottington/1.0", "/a")
+    assert not is_allowed(r, "bottington/1.0", "/b")
+    assert not is_allowed(r, "bot/2.0", "/a")
+
+
+def test_empty_disallow_is_allow_all():
+    r = _r()
+    assert is_allowed(r, "examplebot", "/admin/secret")
+    assert is_allowed(r, "OtherBot/9", "/img/x.gif")  # case-insensitive
+    assert crawl_delay(r, "examplebot") is None
+
+
+def test_no_groups_or_no_match_allows():
+    assert is_allowed(parse_robots(""), "anybot", "/x")
+    r = parse_robots("User-agent: special\nDisallow: /\n")
+    assert is_allowed(r, "unrelated", "/x")  # no * group, no token match
+
+
+def test_rules_before_user_agent_ignored_and_malformed_tolerated():
+    r = parse_robots("Disallow: /x\nCrawl-delay: nope\nUser-agent: *\nDisallow: /y\n")
+    assert is_allowed(r, "a", "/x")
+    assert not is_allowed(r, "a", "/y")
+    assert r.groups[0].crawl_delay is None

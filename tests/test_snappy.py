@@ -118,3 +118,93 @@ def test_avro_snappy_ocf_roundtrip_and_jvm_read(spark):
         n += 1
     rdr.close()
     assert n == 200
+
+
+# ------------------------------------------------- framing format (r9)
+
+
+def test_crc32c_known_vectors():
+    from specialsid_spark.operators.snappy import crc32c
+
+    assert crc32c(b"") == 0
+    assert crc32c(b"123456789") == 0xE3069283  # the canonical check value
+    assert crc32c(bytes(32)) == 0x8A9136AA  # RFC 3720 B.4 all-zeros
+    assert crc32c(bytes([0xFF] * 32)) == 0x62A8AB43  # RFC 3720 B.4 all-ones
+
+
+def test_framed_roundtrip_and_chunking():
+    from specialsid_spark.operators.snappy import (
+        snappy_framed_compress,
+        snappy_framed_decompress,
+    )
+
+    for c in [b"", b"a", b"hello " * 30000, open(_SURVEY, "rb").read()]:
+        blob = snappy_framed_compress(c)
+        assert blob.startswith(b"\xff\x06\x00\x00sNaPpY")
+        assert snappy_framed_decompress(blob) == c
+    # >64 KiB input must split into multiple chunks
+    big = snappy_framed_compress(b"x" * 200_000)
+    assert snappy_framed_decompress(big) == b"x" * 200_000
+
+
+def test_framed_crc_and_reserved_chunks():
+    import struct
+
+    from specialsid_spark.operators.snappy import (
+        snappy_framed_compress,
+        snappy_framed_decompress,
+    )
+
+    good = snappy_framed_compress(b"check me " * 100)
+    bad = bytearray(good)
+    bad[-1] ^= 1  # flip a payload byte -> CRC mismatch
+    with pytest.raises(ValueError):
+        snappy_framed_decompress(bytes(bad))
+    # padding + reserved-skippable chunks are skipped; unskippable raises
+    pad = b"\xfe" + struct.pack("<I", 3)[:3] + b"\x00\x00\x00"
+    skip = b"\x90" + struct.pack("<I", 2)[:3] + b"ab"
+    assert snappy_framed_decompress(good + pad + skip) == b"check me " * 100
+    unskip = b"\x02" + struct.pack("<I", 1)[:3] + b"x"
+    with pytest.raises(ValueError):
+        snappy_framed_decompress(good + unskip)
+    with pytest.raises(ValueError):
+        snappy_framed_decompress(b"not a stream")
+
+
+def test_framed_dispatch():
+    from specialsid_spark.operators.compress import (
+        compress_text,
+        decompress_auto,
+        sniff_codec,
+    )
+
+    data = b"framed dispatch " * 100
+    blob = compress_text(data, "snappy-framed")
+    assert sniff_codec(blob) == "snappy-framed"
+    assert decompress_auto(blob) == data
+    assert decompress_auto(blob[:-1]) is None
+
+
+def test_jvm_framed_cross_validation(spark):
+    """org.xerial.snappy ships SnappyFramed streams — decode ours there
+    and theirs here (both directions, via py4j)."""
+    jvm = spark._jvm
+    data = open(_SURVEY, "rb").read()[:100_000]
+    from specialsid_spark.operators.snappy import (
+        snappy_framed_compress,
+        snappy_framed_decompress,
+    )
+
+    # ours -> JVM
+    bin_ = jvm.java.io.ByteArrayInputStream(bytearray(snappy_framed_compress(data)))
+    fin = jvm.org.xerial.snappy.SnappyFramedInputStream(bin_)
+    bout = jvm.java.io.ByteArrayOutputStream()
+    fin.transferTo(bout)
+    fin.close()
+    assert bytes(bout.toByteArray()) == data
+    # JVM -> ours
+    bout2 = jvm.java.io.ByteArrayOutputStream()
+    fout = jvm.org.xerial.snappy.SnappyFramedOutputStream(bout2)
+    fout.write(bytearray(data))
+    fout.close()
+    assert snappy_framed_decompress(bytes(bout2.toByteArray())) == data

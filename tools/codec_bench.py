@@ -215,6 +215,24 @@ def main() -> None:
     )
     print(f"# lz4_text (ratio {len(doc)/len(lblob):.2f}:1): {out['lz4_text']}", file=sys.stderr)
 
+    # ---- snappy framing format (r9): same fixture — the .sz/Hadoop
+    # stream form (64 KiB chunks + masked CRC32C per chunk).
+    from specialsid_spark.operators.snappy import (
+        snappy_framed_compress,
+        snappy_framed_decompress,
+    )
+
+    sblob = snappy_framed_compress(doc)
+    out["snappy_framed_text"] = bench_one(
+        "snappy_framed_text", sblob,
+        lambda b: (1, 1, 1, snappy_framed_decompress(b)), len(doc), rounds, reps,
+    )
+    print(
+        f"# snappy_framed_text (ratio {len(doc)/len(sblob):.2f}:1):"
+        f" {out['snappy_framed_text']}",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
