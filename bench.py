@@ -108,6 +108,20 @@ HEADLINE = [
     "cur_domain_mixture",
     "text_bpe_decode_parity",
     "dedup_exactsubstr_corpus",
+    # round-9 additions: the retrieval family (inverted index, phrase
+    # intersect, BM25 ranking), paragraph-granular dedup, audio
+    # fingerprint near-dup, M4 downsampling, and the unigram-tokenizer
+    # decode-parity pass are real corpus-scale dataflows.  The LZ4
+    # roundtrip and unigram TRAINING stay excluded for the usual
+    # reasons (fixture IO / bounded driver loop); LZ4 throughput is in
+    # BASELINE §2b via tools/codec_bench.py.
+    "text_inverted_index",
+    "text_phrase_search",
+    "text_bm25_topk",
+    "dedup_paragraph_exact",
+    "dedup_audio_fingerprint_pairs",
+    "ev_m4_downsample",
+    "text_unigram_decode_parity",
 ]
 
 
