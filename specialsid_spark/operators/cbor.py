@@ -1,0 +1,313 @@
+"""CBOR (RFC 8949) — pure Python, from the published spec.
+
+CBOR is the third schemaless binary event format next to MessagePack
+and protobuf wire format (operators/msgpack.py, proto.py): IoT/COSE
+telemetry, WebAuthn attestations, and many sensor fleets emit it, so a
+log lake's bronze zone holds it.  No codec exists in the container;
+the ingest door implements the format itself.
+
+Encoder follows RFC 8949 §4.2.1 Core Deterministic Encoding: shortest
+preferred-form lengths for every integer/length, definite-length
+containers only, float64 for all Python floats (preferred
+serialization would shrink representable halves/singles; a pipeline
+hashing outputs values byte-stability over size, and §4.2.2 explicitly
+allows pinning one width).  Map keys encode in the dict's iteration
+order — identical input object -> identical bytes.
+
+Decoder covers the full surface: all five integer widths, byte/text
+strings (definite AND indefinite/chunked), arrays/maps (definite and
+indefinite), tags (returned as Tag(number, value); tag 1 epoch times
+stay tagged — interpretation is the reader's policy), simples,
+half/single/double floats (half decoded via the spec's own bit
+algorithm), and the break stop code only where legal.  Bounds-checked;
+ValueError on malformed input; rejects trailing bytes (one record per
+blob — framing belongs to the transport, same contract as msgpack).
+
+Cross-validation: tests/test_cbor.py pins the RFC 8949 Appendix A
+examples (the spec's own published hex <-> value table) in both
+directions where canonical, decode-only where not.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+
+class Tag:
+    """A tagged value: Tag(number, content)."""
+
+    __slots__ = ("number", "value")
+
+    def __init__(self, number: int, value) -> None:
+        self.number = number
+        self.value = value
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, Tag)
+            and self.number == other.number
+            and self.value == other.value
+        )
+
+    def __repr__(self) -> str:
+        return f"Tag({self.number}, {self.value!r})"
+
+
+class Simple:
+    """An unassigned simple value (major 7, not bool/null/undefined)."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value: int) -> None:
+        self.value = value
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, Simple) and self.value == other.value
+
+    def __repr__(self) -> str:
+        return f"Simple({self.value})"
+
+
+class Undefined:
+    """CBOR 'undefined' (0xf7) — distinct from null."""
+
+    _inst = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+    def __repr__(self) -> str:
+        return "undefined"
+
+
+UNDEFINED = Undefined()
+
+
+def _head(out: bytearray, major: int, arg: int) -> None:
+    """Shortest-form head (§4.2.1 rule 1)."""
+    mt = major << 5
+    if arg < 24:
+        out.append(mt | arg)
+    elif arg < 1 << 8:
+        out += bytes([mt | 24, arg])
+    elif arg < 1 << 16:
+        out.append(mt | 25)
+        out += struct.pack(">H", arg)
+    elif arg < 1 << 32:
+        out.append(mt | 26)
+        out += struct.pack(">I", arg)
+    elif arg < 1 << 64:
+        out.append(mt | 27)
+        out += struct.pack(">Q", arg)
+    else:
+        raise ValueError("cbor: argument exceeds 64 bits")
+
+
+def _encode_into(out: bytearray, obj) -> None:
+    if obj is None:
+        out.append(0xF6)
+    elif obj is UNDEFINED:
+        out.append(0xF7)
+    elif obj is True:
+        out.append(0xF5)
+    elif obj is False:
+        out.append(0xF4)
+    elif isinstance(obj, int):
+        if obj >= 0:
+            _head(out, 0, obj)
+        else:
+            _head(out, 1, -1 - obj)
+    elif isinstance(obj, float):
+        out.append(0xFB)
+        out += struct.pack(">d", obj)
+    elif isinstance(obj, (bytes, bytearray)):
+        _head(out, 2, len(obj))
+        out += bytes(obj)
+    elif isinstance(obj, str):
+        b = obj.encode("utf-8")
+        _head(out, 3, len(b))
+        out += b
+    elif isinstance(obj, (list, tuple)):
+        _head(out, 4, len(obj))
+        for v in obj:
+            _encode_into(out, v)
+    elif isinstance(obj, dict):
+        _head(out, 5, len(obj))
+        for k, v in obj.items():
+            _encode_into(out, k)
+            _encode_into(out, v)
+    elif isinstance(obj, Tag):
+        _head(out, 6, obj.number)
+        _encode_into(out, obj.value)
+    elif isinstance(obj, Simple):
+        if not 0 <= obj.value <= 255 or 24 <= obj.value < 32:
+            raise ValueError("cbor: invalid simple value")
+        if obj.value < 24:
+            out.append(0xE0 | obj.value)
+        else:
+            out += bytes([0xF8, obj.value])
+    else:
+        raise ValueError(f"cbor: unsupported type {type(obj).__name__}")
+
+
+def encode(obj) -> bytes:
+    out = bytearray()
+    _encode_into(out, obj)
+    return bytes(out)
+
+
+def decode(blob: bytes):
+    """Decode ONE data item; trailing bytes are an error."""
+    v, pos = _decode_at(blob, 0)
+    if pos != len(blob):
+        raise ValueError(f"cbor: {len(blob) - pos} trailing bytes")
+    return v
+
+
+def _need(blob: bytes, pos: int, n: int) -> None:
+    if pos + n > len(blob):
+        raise ValueError("cbor: truncated")
+
+
+def _read_arg(blob: bytes, pos: int, info: int) -> tuple[int | None, int]:
+    """(argument, new pos); None for indefinite (info 31)."""
+    if info < 24:
+        return info, pos
+    if info == 24:
+        _need(blob, pos, 1)
+        return blob[pos], pos + 1
+    if info == 25:
+        _need(blob, pos, 2)
+        return struct.unpack_from(">H", blob, pos)[0], pos + 2
+    if info == 26:
+        _need(blob, pos, 4)
+        return struct.unpack_from(">I", blob, pos)[0], pos + 4
+    if info == 27:
+        _need(blob, pos, 8)
+        return struct.unpack_from(">Q", blob, pos)[0], pos + 8
+    if info == 31:
+        return None, pos
+    raise ValueError(f"cbor: reserved additional info {info}")
+
+
+def _decode_half(h: int) -> float:
+    """RFC 8949 Appendix D's half-precision algorithm, verbatim."""
+    exp = (h >> 10) & 0x1F
+    mant = h & 0x3FF
+    if exp == 0:
+        val = mant * 2.0**-24
+    elif exp != 31:
+        val = (mant + 1024) * 2.0 ** (exp - 25)
+    else:
+        val = math.inf if mant == 0 else math.nan
+    return -val if h & 0x8000 else val
+
+
+def _decode_at(blob: bytes, pos: int):
+    _need(blob, pos, 1)
+    ib = blob[pos]
+    pos += 1
+    major, info = ib >> 5, ib & 0x1F
+    if major == 0:
+        arg, pos = _read_arg(blob, pos, info)
+        if arg is None:
+            raise ValueError("cbor: indefinite uint")
+        return arg, pos
+    if major == 1:
+        arg, pos = _read_arg(blob, pos, info)
+        if arg is None:
+            raise ValueError("cbor: indefinite negint")
+        return -1 - arg, pos
+    if major in (2, 3):
+        arg, pos = _read_arg(blob, pos, info)
+        if arg is None:  # indefinite: chunks of the SAME major, then break
+            parts = bytearray()
+            while True:
+                _need(blob, pos, 1)
+                if blob[pos] == 0xFF:
+                    pos += 1
+                    break
+                if blob[pos] >> 5 != major or blob[pos] & 0x1F == 31:
+                    raise ValueError("cbor: bad indefinite-string chunk")
+                n, p2 = _read_arg(blob, pos + 1, blob[pos] & 0x1F)
+                _need(blob, p2, n)
+                parts += blob[p2 : p2 + n]
+                pos = p2 + n
+            return (bytes(parts) if major == 2 else parts.decode("utf-8")), pos
+        _need(blob, pos, arg)
+        raw = blob[pos : pos + arg]
+        pos += arg
+        return (bytes(raw) if major == 2 else raw.decode("utf-8")), pos
+    if major == 4:
+        arg, pos = _read_arg(blob, pos, info)
+        out = []
+        if arg is None:
+            while True:
+                _need(blob, pos, 1)
+                if blob[pos] == 0xFF:
+                    return out, pos + 1
+                v, pos = _decode_at(blob, pos)
+                out.append(v)
+        for _ in range(arg):
+            v, pos = _decode_at(blob, pos)
+            out.append(v)
+        return out, pos
+    if major == 5:
+        arg, pos = _read_arg(blob, pos, info)
+        out = {}
+
+        def put(k, v):
+            if isinstance(k, (list, dict, bytearray)):
+                raise ValueError("cbor: unhashable map key")
+            out[k] = v
+
+        if arg is None:
+            while True:
+                _need(blob, pos, 1)
+                if blob[pos] == 0xFF:
+                    return out, pos + 1
+                k, pos = _decode_at(blob, pos)
+                v, pos = _decode_at(blob, pos)
+                put(k, v)
+        for _ in range(arg):
+            k, pos = _decode_at(blob, pos)
+            v, pos = _decode_at(blob, pos)
+            put(k, v)
+        return out, pos
+    if major == 6:
+        arg, pos = _read_arg(blob, pos, info)
+        if arg is None:
+            raise ValueError("cbor: indefinite tag")
+        v, pos = _decode_at(blob, pos)
+        return Tag(arg, v), pos
+    # major 7: simples, floats, break
+    if info < 20:
+        return Simple(info), pos
+    if info == 20:
+        return False, pos
+    if info == 21:
+        return True, pos
+    if info == 22:
+        return None, pos
+    if info == 23:
+        return UNDEFINED, pos
+    if info == 24:
+        _need(blob, pos, 1)
+        if blob[pos] < 32:
+            raise ValueError("cbor: non-minimal simple encoding")
+        return Simple(blob[pos]), pos + 1
+    if info == 25:
+        _need(blob, pos, 2)
+        return _decode_half(struct.unpack_from(">H", blob, pos)[0]), pos + 2
+    if info == 26:
+        _need(blob, pos, 4)
+        return struct.unpack_from(">f", blob, pos)[0], pos + 4
+    if info == 27:
+        _need(blob, pos, 8)
+        return struct.unpack_from(">d", blob, pos)[0], pos + 8
+    if info == 31:
+        raise ValueError("cbor: unexpected break stop code")
+    raise ValueError(f"cbor: reserved simple/float info {info}")

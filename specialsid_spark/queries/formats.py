@@ -555,3 +555,109 @@ def src_msgpack_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "src_cbor_scan",
+    # Fixture records are deterministic doc_id/text derivations; the
+    # oracle restates every decoded field arithmetically.  Each doc's
+    # record exercises uint/negint widths, text vs bytes, nested
+    # array/map, tag-1 epoch timestamps, half/indefinite forms on the
+    # DECODE side (a second wire blob written non-canonically by hand),
+    # and float64.
+    oracle="""
+    SELECT doc_id,
+           md5(substr(text, 1, 40)) AS msg_md5,
+           CAST(-(doc_id + 1) AS BIGINT) AS neg,
+           CAST(1700000000 + doc_id AS BIGINT) AS ts_epoch,
+           CAST(doc_id % 7 + (doc_id % 5) + (doc_id % 3) AS BIGINT) AS arr_sum,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(1 AS BIGINT) AS indef_ok
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def src_cbor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBOR ingest (r9) — RFC 8949, the IoT/COSE event format,
+    completing the schemaless-binary family (JSON/VARIANT, protobuf,
+    MessagePack, Avro).  operators/cbor.py implements the spec's core
+    deterministic encoding + full-surface decode; each doc round-trips
+    a canonical record AND decodes a hand-built NON-canonical twin
+    (indefinite-length text chunks + half-precision float) that must
+    yield the same values — the wire reality of permissive emitters.
+
+    Scale shape: per-row independent mapInPandas, no shuffle before
+    the final sort — the codec-family plan."""
+    import hashlib
+
+    import pandas as pd
+
+    from specialsid_spark.operators.cbor import Tag, decode, encode
+
+    d = load(spark, sf_dir, "documents")
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                i = int(r.doc_id)
+                rec = {
+                    "doc_id": i,
+                    "msg": r.text[:40],
+                    "neg": -(i + 1),
+                    "ts": Tag(1, 1_700_000_000 + i),
+                    "arr": [i % 7, i % 5, i % 3],
+                    "meta": {"lang": r.lang, "n_chars": int(r.n_chars)},
+                    "bin": r.text[:6].encode("utf-8"),
+                    "score": i / 8.0,
+                }
+                back = decode(encode(rec))
+                assert back == rec  # canonical roundtrip
+                # non-canonical twin: indefinite text chunks + half float
+                msg8 = r.text[:8]
+                b0 = msg8[:3].encode("utf-8")
+                b1 = msg8[3:].encode("utf-8")
+                indef = (
+                    b"\xa2"  # map(2)
+                    b"\x63msg"
+                    b"\x7f"  # text, indefinite
+                    + bytes([0x60 | len(b0)]) + b0
+                    + bytes([0x60 | len(b1)]) + b1
+                    + b"\xff"
+                    + b"\x61f" + b"\xf9\x3e\x00"  # half 1.5
+                )
+                twin = decode(indef)
+                indef_ok = int(twin == {"msg": msg8, "f": 1.5})
+                out.append(
+                    (
+                        back["doc_id"],
+                        hashlib.md5(back["msg"].encode("utf-8")).hexdigest(),
+                        back["neg"],
+                        back["ts"].value,
+                        sum(back["arr"]),
+                        back["meta"]["n_chars"],
+                        indef_ok,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "msg_md5", "neg", "ts_epoch",
+                    "arr_sum", "n_chars", "indef_ok",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64", "neg": "int64", "ts_epoch": "int64",
+                    "arr_sum": "int64", "n_chars": "int64", "indef_ok": "int64",
+                }
+            )
+
+    return (
+        d.select("doc_id", "text", "lang", "n_chars")
+        .mapInPandas(
+            fn,
+            "doc_id long, msg_md5 string, neg long, ts_epoch long,"
+            " arr_sum long, n_chars long, indef_ok long",
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,156 @@
+"""CBOR codec (operators/cbor.py): the RFC 8949 Appendix A example
+table (the spec's own published hex <-> value vectors), roundtrips,
+indefinite-length forms, and malformed input."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from specialsid_spark.operators.cbor import (
+    UNDEFINED,
+    Simple,
+    Tag,
+    decode,
+    encode,
+)
+
+# RFC 8949 Appendix A rows that are in CANONICAL (shortest, definite,
+# float64-or-int) form -> assert BOTH directions
+_CANONICAL = [
+    ("00", 0),
+    ("01", 1),
+    ("0a", 10),
+    ("17", 23),
+    ("1818", 24),
+    ("1819", 25),
+    ("1864", 100),
+    ("1903e8", 1000),
+    ("1a000f4240", 1000000),
+    ("1b000000e8d4a51000", 1000000000000),
+    ("1bffffffffffffffff", 18446744073709551615),
+    ("20", -1),
+    ("29", -10),
+    ("3863", -100),
+    ("3903e7", -1000),
+    ("3bffffffffffffffff", -18446744073709551616),
+    ("fb3ff199999999999a", 1.1),
+    ("fb7e37e43c8800759c", 1e300),
+    ("f4", False),
+    ("f5", True),
+    ("f6", None),
+    ("f7", UNDEFINED),
+    ("f0", Simple(16)),
+    ("f8ff", Simple(255)),
+    ("40", b""),
+    ("4401020304", b"\x01\x02\x03\x04"),
+    ("60", ""),
+    ("6161", "a"),
+    ("6449455446", "IETF"),
+    ("62225c", '"\\'),
+    ("62c3bc", "ü"),
+    ("63e6b0b4", "水"),
+    ("80", []),
+    ("83010203", [1, 2, 3]),
+    ("8301820203820405", [1, [2, 3], [4, 5]]),
+    (
+        "98190102030405060708090a0b0c0d0e0f101112131415161718181819",
+        list(range(1, 26)),
+    ),
+    ("a0", {}),
+    ("a201020304", {1: 2, 3: 4}),
+    ("a26161016162820203", {"a": 1, "b": [2, 3]}),
+    ("826161a161626163", ["a", {"b": "c"}]),
+    (
+        "a56161614161626142616361436164614461656145",
+        {"a": "A", "b": "B", "c": "C", "d": "D", "e": "E"},
+    ),
+    ("c11a514b67b0", Tag(1, 1363896240)),
+    ("d74401020304", Tag(23, b"\x01\x02\x03\x04")),
+    ("d818456449455446", Tag(24, b"\x64\x49\x45\x54\x46")),
+    (
+        "d82076687474703a2f2f7777772e6578616d706c652e636f6d",
+        Tag(32, "http://www.example.com"),
+    ),
+]
+
+# decode-only rows: halves/singles, non-preferred float widths,
+# indefinite-length containers (legal on the wire, never emitted)
+_DECODE_ONLY = [
+    ("f90000", 0.0),
+    ("f98000", -0.0),
+    ("f93c00", 1.0),
+    ("f93e00", 1.5),
+    ("f97bff", 65504.0),
+    ("f90001", 5.960464477539063e-8),
+    ("f90400", 0.00006103515625),
+    ("f9c400", -4.0),
+    ("f97c00", math.inf),
+    ("f9fc00", -math.inf),
+    ("fa47c35000", 100000.0),
+    ("fa7f7fffff", 3.4028234663852886e38),
+    ("fb41d452d9ec200000", 1363896240.5),
+    ("fbc010666666666666", -4.1),
+    ("5f42010243030405ff", b"\x01\x02\x03\x04\x05"),
+    ("7f657374726561646d696e67ff", "streaming"),
+    ("9fff", []),
+    ("9f018202039f0405ffff", [1, [2, 3], [4, 5]]),
+    ("83018202039f0405ff", [1, [2, 3], [4, 5]]),
+    ("9f0102030405060708090a0b0c0d0e0f101112131415161718181819ff",
+     list(range(1, 26))),
+    ("bf61610161629f0203ffff", {"a": 1, "b": [2, 3]}),
+    ("826161bf61626163ff", ["a", {"b": "c"}]),
+]
+
+
+def test_appendix_a_canonical_both_directions():
+    for hexs, value in _CANONICAL:
+        blob = bytes.fromhex(hexs)
+        assert decode(blob) == value, hexs
+        assert encode(value) == blob, (hexs, value)
+
+
+def test_appendix_a_decode_only():
+    for hexs, value in _DECODE_ONLY:
+        assert decode(bytes.fromhex(hexs)) == value, hexs
+
+
+def test_nan_halves_decode():
+    assert math.isnan(decode(bytes.fromhex("f97e00")))
+
+
+def test_roundtrip_nested():
+    obj = {
+        "ints": [0, -1, 2**40, -(2**40)],
+        "nested": {"t": Tag(1, 1700000000), "s": Simple(99)},
+        "bin": b"\x00\xff" * 50,
+        "f": -2.5,
+        "u": UNDEFINED,
+        "none": None,
+        7: True,
+    }
+    assert decode(encode(obj)) == obj
+
+
+def test_malformed_raises():
+    for bad in [
+        b"",
+        bytes.fromhex("1c"),  # reserved info 28
+        bytes.fromhex("18"),  # truncated arg
+        bytes.fromhex("44010203"),  # truncated bytes body
+        bytes.fromhex("8301"),  # array missing items
+        bytes.fromhex("ff"),  # lone break
+        bytes.fromhex("5f6161ff"),  # text chunk in byte string
+        bytes.fromhex("f817"),  # non-minimal simple
+        bytes.fromhex("0001"),  # trailing bytes
+        bytes.fromhex("a18001"),  # unhashable (array) map key
+    ]:
+        with pytest.raises(ValueError):
+            decode(bad)
+    with pytest.raises(ValueError):
+        encode(object())
+    with pytest.raises(ValueError):
+        encode(Simple(24))  # reserved simple range
+    with pytest.raises(ValueError):
+        encode(2**64)

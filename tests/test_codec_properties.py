@@ -1,0 +1,82 @@
+"""Property tests (hypothesis) for the r9 codec family: LZ4 block +
+frame, MessagePack, CBOR, snappy framing — roundtrip identity over
+arbitrary inputs, the strongest cheap invariant a codec has."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from specialsid_spark.operators.cbor import decode as cbor_decode
+from specialsid_spark.operators.cbor import encode as cbor_encode
+from specialsid_spark.operators.lz4 import (
+    lz4_block_compress,
+    lz4_block_decompress,
+    lz4_frame_compress,
+    lz4_frame_decompress,
+)
+from specialsid_spark.operators.msgpack import pack, unpack
+from specialsid_spark.operators.snappy import (
+    snappy_framed_compress,
+    snappy_framed_decompress,
+)
+
+# arbitrary bytes, biased toward compressible runs sometimes
+_blobs = st.one_of(
+    st.binary(max_size=5000),
+    st.builds(
+        lambda chunk, n: chunk * n,
+        st.binary(min_size=1, max_size=20),
+        st.integers(1, 400),
+    ),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_blobs)
+def test_lz4_block_roundtrip(data):
+    assert lz4_block_decompress(lz4_block_compress(data)) == data
+
+
+@settings(max_examples=100, deadline=None)
+@given(_blobs)
+def test_lz4_frame_roundtrip(data):
+    assert lz4_frame_decompress(lz4_frame_compress(data)) == data
+
+
+@settings(max_examples=100, deadline=None)
+@given(_blobs)
+def test_snappy_framed_roundtrip(data):
+    assert snappy_framed_decompress(snappy_framed_compress(data)) == data
+
+
+# msgpack/cbor object trees: scalars composed into arrays and
+# string-keyed maps (hashable keys keep the compare well-defined)
+_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**64 - 1),
+    st.floats(allow_nan=False),
+    st.text(max_size=60),
+    st.binary(max_size=60),
+)
+_objects = st.recursive(
+    _scalars,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=6),
+        st.dictionaries(st.text(max_size=8), inner, max_size=6),
+    ),
+    max_leaves=25,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_objects)
+def test_msgpack_roundtrip(obj):
+    assert unpack(pack(obj)) == obj
+
+
+@settings(max_examples=200, deadline=None)
+@given(_objects)
+def test_cbor_roundtrip(obj):
+    assert cbor_decode(cbor_encode(obj)) == obj
