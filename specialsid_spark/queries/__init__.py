@@ -61,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "cur_robots_gate",
     "src_msgpack_scan",
     "src_cbor_scan",
+    "text_perceptron_quality",
     # red in r7; runtime-conf fix verified locally via check_oracle
     "src_python_datasource_scan",
     # registered after the r8 driver run (no driver row yet)

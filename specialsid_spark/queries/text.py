@@ -1541,3 +1541,135 @@ def text_unigram_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Batch perceptron (r9): an in-engine trainable linear classifier whose
+# TRAINING is exactly restatable cross-engine.  SGD/logistic need exp()
+# and float SUMs (both order/ULP-dependent); the batch perceptron's
+# update is an INTEGER aggregate — w += Σ_{misclassified} y·x — so
+# every iteration's weights are exact under any partitioning, and the
+# oracle unrolls the whole trajectory as CTEs (the kmeans/BPE
+# discipline).  The fixture task is a planted linear concept over
+# integer token-count features (label = sign(m), m = 2·n_hash −
+# 2·n_join + n_scan − n_table + 1, training on the |m| >= 4 margin
+# slice — the batch variant converges only with a real margin, unlike
+# the online perceptron; measured trajectories reach 0 errors within
+# 8 rounds at sf0.001/0.01/0.1).  At 100 TB the same loop trains on
+# real quality labels — per iteration ONE corpus-scale aggregate
+# shuffling 5+1 integers per partition, weights living driver-side
+# (d is a hyperparameter, never corpus-proportional).
+
+_PCT_T = 8  # batch-perceptron iterations (trajectory rows 0.._PCT_T-1)
+_PCT_MARGIN = 4  # planted-concept margin for the training slice
+
+_PCT_FEATS_SQL = """
+      SELECT doc_id,
+             CAST(1 AS BIGINT) AS x0,
+             CAST(len(list_filter(ts, t -> t = 'hash')) AS BIGINT) AS x1,
+             CAST(len(list_filter(ts, t -> t = 'join')) AS BIGINT) AS x2,
+             CAST(len(list_filter(ts, t -> t = 'scan')) AS BIGINT) AS x3,
+             CAST(len(list_filter(ts, t -> t = 'table')) AS BIGINT) AS x4
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+            FROM documents)
+"""
+
+
+def _perceptron_ctes() -> str:
+    dot = "+".join(f"w.w{j} * f.x{j}" for j in range(5))
+    parts = [
+        f"""feats AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT doc_id, x0, x1, x2, x3, x4,
+               2 * x1 - 2 * x2 + x3 - x4 + 1 AS m,
+               CASE WHEN 2 * x1 - 2 * x2 + x3 - x4 + 1 > 0
+                    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+        FROM ({_PCT_FEATS_SQL}))
+      WHERE abs(m) >= {_PCT_MARGIN}
+    ),
+    u0 AS MATERIALIZED (SELECT {", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(5))})"""
+    ]
+    for k in range(_PCT_T):
+        upd = ", ".join(f"w.w{j} + m.d{j} AS w{j}" for j in range(5))
+        sums = ", ".join(
+            f"CAST(COALESCE(SUM(CASE WHEN f.y * ({dot}) <= 0 THEN f.y * f.x{j} END), 0)"
+            f" AS BIGINT) AS d{j}"
+            for j in range(5)
+        )
+        parts.append(
+            f"""m{k} AS MATERIALIZED (
+      SELECT {sums},
+             CAST(COALESCE(SUM(CASE WHEN f.y * ({dot}) <= 0 THEN 1 END), 0)
+                  AS BIGINT) AS nm
+      FROM feats f, u{k} w
+    ),
+    u{k + 1} AS MATERIALIZED (SELECT {upd} FROM u{k} w, m{k} m)"""
+        )
+    return ",\n    ".join(parts)
+
+
+_PERCEPTRON_ORACLE = (
+    "WITH " + _perceptron_ctes() + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS iter, w.w0, w.w1, w.w2, w.w3, w.w4,"
+        f" m.nm AS n_misclassified FROM u{k} w, m{k} m"
+        for k in range(_PCT_T)
+    )
+    + "\n    ORDER BY iter"
+)
+
+
+@register("text_perceptron_quality", oracle=_PERCEPTRON_ORACLE)
+def text_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the batch perceptron on the corpus and emit the full
+    trajectory: row k = the weights in force during iteration k and
+    how many training documents they misclassify (row 0 = the zero
+    vector, so n_misclassified = |slice|; the planted concept is
+    learned — 0 errors — within the 8 rounds at every test SF).  Each
+    iteration is one map-side-combining aggregate over a
+    localCheckpointed feature projection (one tokenize, T reuses); the
+    driver holds only the 5 integer weights."""
+    d = load_parallel(spark, sf_dir, "documents")
+    ts = tokens("text")
+    feats = d.select(
+        F.lit(1).cast("long").alias("x0"),
+        F.size(F.filter(ts, lambda t: t == F.lit("hash"))).cast("long").alias("x1"),
+        F.size(F.filter(ts, lambda t: t == F.lit("join"))).cast("long").alias("x2"),
+        F.size(F.filter(ts, lambda t: t == F.lit("scan"))).cast("long").alias("x3"),
+        F.size(F.filter(ts, lambda t: t == F.lit("table"))).cast("long").alias("x4"),
+    ).withColumn(
+        "m",
+        2 * F.col("x1") - 2 * F.col("x2") + F.col("x3") - F.col("x4") + 1,
+    )
+    feats = (
+        feats.filter(F.abs(F.col("m")) >= _PCT_MARGIN)
+        .withColumn(
+            "y", F.when(F.col("m") > 0, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = [0] * 5
+    rows = []
+    for k in range(_PCT_T):
+        dot = sum(F.col(f"x{j}") * F.lit(w[j]) for j in range(5))
+        mis = F.col("y") * dot <= 0
+        agg = feats.agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(mis, F.col("y") * F.col(f"x{j}"))), F.lit(0)
+                )
+                .cast("long")
+                .alias(f"d{j}")
+                for j in range(5)
+            ],
+            F.coalesce(F.sum(F.when(mis, F.lit(1))), F.lit(0))
+            .cast("long")
+            .alias("nm"),
+        ).collect()[0]
+        rows.append((k, *w, int(agg["nm"])))
+        w = [w[j] + int(agg[f"d{j}"]) for j in range(5)]
+    return spark.createDataFrame(
+        rows,
+        "iter bigint, w0 bigint, w1 bigint, w2 bigint, w3 bigint,"
+        " w4 bigint, n_misclassified bigint",
+    ).orderBy("iter")
