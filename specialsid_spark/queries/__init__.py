@@ -62,6 +62,9 @@ _PRIORITY: tuple[str, ...] = (
     "src_msgpack_scan",
     "src_cbor_scan",
     "text_perceptron_quality",
+    "join_interval_sweep_concurrency",
+    "ev_mad_anomaly",
+    "agg_equidepth_histogram",
     # red in r7; runtime-conf fix verified locally via check_oracle
     "src_python_datasource_scan",
     # registered after the r8 driver run (no driver row yet)

@@ -970,3 +970,62 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "pctl")
     )
+
+
+# One ANSI string both engines run verbatim: equi-DEPTH histogram with
+# integer-only boundary selection — b2_k = c[lo_k] + c[hi_k] is TWICE
+# the k/8 percentile in cents (rank selection, no interpolation
+# floats); a value lands in bucket = number of interior boundaries at
+# or below it (2*c >= b2_k), giving 8 population-balanced buckets.
+_ANSI_EQUIDEPTH_SQL = """
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    ),
+    r AS (
+      SELECT c, row_number() OVER (ORDER BY c) AS rn,
+             COUNT(*) OVER () AS n
+      FROM v
+    ),
+    b AS (
+      SELECT k.k AS k,
+             SUM(CASE WHEN rn = CAST(floor(k.k * (n - 1) / 8.0) AS BIGINT) + 1
+                      THEN c ELSE 0 END)
+           + SUM(CASE WHEN rn = CAST(ceil(k.k * (n - 1) / 8.0) AS BIGINT) + 1
+                      THEN c ELSE 0 END) AS b2
+      FROM r, (SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3
+               UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6
+               UNION ALL SELECT 7) k
+      GROUP BY k.k
+    ),
+    bucketed AS (
+      SELECT v.c,
+             (SELECT COUNT(*) FROM b WHERE 2 * v.c >= b.b2) AS bucket
+      FROM v
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(c) AS BIGINT) AS min_cents,
+           CAST(MAX(c) AS BIGINT) AS max_cents
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+"""
+
+
+@register("agg_equidepth_histogram", oracle=_ANSI_EQUIDEPTH_SQL)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family extension (r9) — equi-DEPTH histogram: 8 buckets each
+    holding ~1/8 of the orders (the histogram query optimizers and
+    data-profiling jobs actually want; the fixed-WIDTH variant is
+    agg_histogram_value_buckets).  Boundaries are exact k/8 percentiles
+    by rank selection with integer doubling — not one float in the
+    query, the same exactness discipline as ev_mad_anomaly.
+
+    Scale shape: one global sort for the ranked pass (the honest cost
+    of exact boundaries — at 100 TB the GK sketch replaces it and this
+    query referees its accuracy), then a broadcast of the 7 boundary
+    rows onto a map-side-combining bucket aggregate."""
+    from specialsid_spark.catalog import register_all  # noqa: PLC0415
+
+    register_all(spark, sf_dir)
+    return spark.sql(_ANSI_EQUIDEPTH_SQL)

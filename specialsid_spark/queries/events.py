@@ -946,3 +946,77 @@ def ev_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# One ANSI string both engines run verbatim: robust anomaly detection
+# via median/MAD with INTEGER-ONLY arithmetic — med2 = c[lo]+c[hi] is
+# TWICE the median in cents (rank selection, no interpolation floats),
+# mad4 = dev2[lo]+dev2[hi] is FOUR TIMES the MAD, and the anomaly test
+# dev > 5*MAD becomes the exact integer comparison 2*dev2 > 5*mad4.
+_ANSI_MAD_SQL = """
+    WITH v AS (
+      SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    r AS (
+      SELECT g, c, row_number() OVER (PARTITION BY g ORDER BY c) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM v
+    ),
+    med AS (
+      SELECT g, MAX(n) AS n,
+             SUM(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+                      THEN c ELSE 0 END)
+           + SUM(CASE WHEN rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
+                      THEN c ELSE 0 END) AS med2
+      FROM r GROUP BY g
+    ),
+    dev AS (
+      SELECT v.g, v.c, abs(2 * v.c - med.med2) AS dev2
+      FROM v JOIN med ON v.g = med.g
+    ),
+    dr AS (
+      SELECT g, dev2, row_number() OVER (PARTITION BY g ORDER BY dev2) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT g,
+             SUM(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+                      THEN dev2 ELSE 0 END)
+           + SUM(CASE WHEN rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
+                      THEN dev2 ELSE 0 END) AS mad4
+      FROM dr GROUP BY g
+    )
+    SELECT med.g AS event_type,
+           CAST(med.n AS BIGINT) AS n_events,
+           CAST(med.med2 AS BIGINT) AS median_2c,
+           CAST(mad.mad4 AS BIGINT) AS mad_4c,
+           CAST(SUM(CASE WHEN 2 * dev.dev2 > 5 * mad.mad4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalies
+    FROM dev
+    JOIN med ON dev.g = med.g
+    JOIN mad ON dev.g = mad.g
+    GROUP BY med.g, med.n, med.med2, mad.mad4
+    ORDER BY event_type
+"""
+
+
+@register("ev_mad_anomaly", oracle=_ANSI_MAD_SQL)
+def ev_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family extension (r9) — robust anomaly detection: flag events
+    whose value deviates from the per-type MEDIAN by more than 5 MADs
+    (median absolute deviation) — the robust-statistics alternative to
+    z-scores, immune to the outliers it hunts.  Exactness discipline:
+    rank selection with integer doubling instead of interpolation, so
+    there is NOT ONE float in the whole query (the engine-quantile
+    ULP lesson taken to its conclusion).
+
+    Scale shape: two shuffles on event_type (the ranked median passes)
+    + broadcast-sized med/mad joins.  At 100 TB the exact median is
+    the honest baseline; the GK sketch (agg_approx_percentiles) is the
+    one-pass production path and this query is its accuracy referee."""
+    from specialsid_spark.catalog import register_all  # noqa: PLC0415
+
+    register_all(spark, sf_dir)
+    return spark.sql(_ANSI_MAD_SQL)

@@ -601,3 +601,90 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "join_interval_sweep_concurrency",
+    # Interval ends are synthesized (the fixture lineitem carries only
+    # l_shipdate): duration = 1 + (l_orderkey*7 + l_linenumber) % 20
+    # days, end-exclusive.  Everything is INTEGER day numbers from a
+    # fixed epoch, so the sweep arithmetic is exact on both engines.
+    oracle="""
+    WITH iv AS (
+      SELECT l_suppkey AS s,
+             datediff('day', DATE '1990-01-01', l_shipdate) AS d0,
+             datediff('day', DATE '1990-01-01', l_shipdate)
+               + 1 + (l_orderkey * 7 + l_linenumber) % 20 AS d1
+      FROM lineitem
+    ),
+    g AS (
+      SELECT s, d, CAST(SUM(st) AS BIGINT) AS st, CAST(SUM(en) AS BIGINT) AS en
+      FROM (
+        SELECT s, d0 AS d, 1 AS st, 0 AS en FROM iv
+        UNION ALL
+        SELECT s, d1, 0, 1 FROM iv
+      ) b
+      GROUP BY s, d
+    ),
+    c AS (
+      SELECT s, d, SUM(st - en) OVER (PARTITION BY s ORDER BY d) AS conc
+      FROM g
+    ),
+    m AS (
+      SELECT s, CAST(MAX(conc) AS BIGINT) AS max_concurrent FROM c GROUP BY s
+    )
+    SELECT m.s AS l_suppkey, m.max_concurrent,
+           CAST(MIN(c.d) AS BIGINT) AS first_peak_day
+    FROM m JOIN c ON c.s = m.s AND c.conc = m.max_concurrent
+    GROUP BY m.s, m.max_concurrent
+    ORDER BY max_concurrent DESC, l_suppkey
+    LIMIT 100
+    """,
+)
+def join_interval_sweep_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 extension (r9) — interval-overlap CONCURRENCY without the
+    pair join: how many of a supplier's shipments are in flight at
+    once ([ship_day, ship_day + duration), end-exclusive).  The naive
+    answer is a per-key self-join on overlap — quadratic in per-key
+    density and the classic interval-join trap.  The boundary sweep is
+    the 100 TB shape: explode each interval into +1/-1 boundary rows,
+    pre-aggregate per (key, day) — map-side combine, so ties collapse
+    BEFORE the window and the running sum is tie-order-independent —
+    then ONE running sum per key gives the concurrency profile and its
+    max.  Linear in rows, one shuffle on the key, no pair blowup at
+    any density."""
+    li = load(spark, sf_dir, "lineitem")
+    d0 = F.datediff(F.col("l_shipdate"), F.lit("1990-01-01").cast("date"))
+    dur = 1 + (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 20
+    iv = li.select(
+        F.col("l_suppkey").alias("s"),
+        d0.alias("d0"),
+        (d0 + dur).alias("d1"),
+    )
+    b = iv.select("s", F.col("d0").alias("d"), F.lit(1).alias("st"), F.lit(0).alias("en")).unionAll(
+        iv.select("s", F.col("d1").alias("d"), F.lit(0).alias("st"), F.lit(1).alias("en"))
+    )
+    g = b.groupBy("s", "d").agg(
+        F.sum("st").cast("long").alias("st"), F.sum("en").cast("long").alias("en")
+    )
+    w = Window.partitionBy("s").orderBy("d")
+    c = g.select("s", "d", F.sum(F.col("st") - F.col("en")).over(w).alias("conc")).alias(
+        "c"
+    )
+    m = (
+        c.groupBy("s")
+        .agg(F.max("conc").cast("long").alias("max_concurrent"))
+        .select(F.col("s").alias("ms"), "max_concurrent")
+        .alias("m")
+    )
+    return (
+        m.join(
+            c,
+            (F.col("c.s") == F.col("m.ms"))
+            & (F.col("c.conc") == F.col("m.max_concurrent")),
+        )
+        .groupBy(F.col("m.ms").alias("l_suppkey"), "max_concurrent")
+        .agg(F.min("d").cast("long").alias("first_peak_day"))
+        .orderBy(F.desc("max_concurrent"), "l_suppkey")
+        .limit(100)
+    )
