@@ -1,0 +1,98 @@
+"""Q-digest — the order-independent deterministic quantile sketch
+(Shrivastava, Buragohain, Agrawal, Suri 2004, "Medians and Beyond"),
+completing this engine's deterministic sketch family next to the
+md5-built HLL / Count-Min / KMV (operators/sketches.py).
+
+Why another quantile path: the engine GK sketch
+(agg_approx_percentiles) is the production one-pass summary, but its
+internals are engine-specific so only a bound can be checked.  The
+q-digest is built from the VALUE HISTOGRAM of an integer domain, so it
+is bit-identical under ANY partitioning or arrival order — a second
+engine re-derives the exact same digest and every estimate
+hash-matches, the HLL-manual discipline applied to quantiles.
+
+Canonical construction (this module's spec, restated verbatim by the
+SQL oracle):
+
+* Domain ``[0, 2^L)``; heap node ids — root 1, node ``x`` at level
+  ``l`` covers ``[(x - 2^l) << (L-l), ((x - 2^l + 1) << (L-l)) - 1]``;
+  leaf for value ``v`` is ``2^L + v``.
+* Counts start at the leaves (the histogram).  One deterministic
+  bottom-up pass, levels ``L..1``: for every sibling pair with
+  combined ``cnt(left) + cnt(right) + cnt(parent) <= thr``
+  (``thr = max(1, n // k)``), the pair merges into the parent;
+  otherwise all three stay.  No randomness, no order dependence.
+* Quantile query for rank ``r``: nodes sorted by (range right end ASC,
+  level DESC — smaller ranges first on ties); the estimate is the
+  right end of the first node where the running count reaches ``r``.
+* Guarantee: every value's counted position sits below ≤ L ancestors
+  each holding ≤ thr, so the rank error is at most ``L * thr`` —
+  self-check flags in the query pin it against exact ranks.
+
+Scale shape: the histogram is one groupBy(value) — map-side combining,
+order-independent; its size is bounded by the DOMAIN (2^L), never the
+corpus, and the compression pass touches only histogram nodes.  At
+100 TB with a dense domain the same 26 merge levels run as DataFrame
+steps; at this fixture's domain the node table is collected (the
+"collect k small things" contract, with k domain-bounded).
+"""
+
+from __future__ import annotations
+
+
+def build_qdigest(hist: dict[int, int], level_bits: int, k: int) -> dict[int, int]:
+    """Compress a value histogram into a q-digest: {node_id: count}."""
+    n = sum(hist.values())
+    thr = max(1, n // k)
+    top = 1 << level_bits
+    cnt: dict[int, int] = {}
+    for v, c in hist.items():
+        if not 0 <= v < top:
+            raise ValueError(f"qdigest: value {v} outside [0, 2^{level_bits})")
+        cnt[top + v] = cnt.get(top + v, 0) + c
+    for lvl in range(level_bits, 0, -1):
+        lo, hi = 1 << lvl, 1 << (lvl + 1)
+        # only PRESENT sibling pairs (the domain can be 2^26 wide; the
+        # node table never is)
+        pairs = sorted({x & ~1 for x in cnt if lo <= x < hi})
+        for left in pairs:
+            cl = cnt.get(left, 0)
+            cr = cnt.get(left + 1, 0)
+            parent = left >> 1
+            cp = cnt.get(parent, 0)
+            if cl + cr + cp <= thr:
+                cnt[parent] = cl + cr + cp
+                cnt.pop(left, None)
+                cnt.pop(left + 1, None)
+    return cnt
+
+
+def _node_level(node: int) -> int:
+    return node.bit_length() - 1
+
+
+def node_range(node: int, level_bits: int) -> tuple[int, int]:
+    """Inclusive [lo, hi] value range a node covers."""
+    lvl = _node_level(node)
+    width = 1 << (level_bits - lvl)
+    lo = (node - (1 << lvl)) * width
+    return lo, lo + width - 1
+
+
+def qdigest_quantile(digest: dict[int, int], level_bits: int, rank: int) -> int:
+    """Estimate the value at 1-indexed ``rank``: walk nodes by
+    (right end ASC, level DESC) accumulating counts."""
+    order = sorted(
+        digest.items(),
+        key=lambda kv: (node_range(kv[0], level_bits)[1], -_node_level(kv[0])),
+    )
+    cum = 0
+    for node, c in order:
+        cum += c
+        if cum >= rank:
+            return node_range(node, level_bits)[1]
+    return node_range(order[-1][0], level_bits)[1] if order else 0
+
+
+def qdigest_size(digest: dict[int, int]) -> int:
+    return len(digest)

@@ -1029,3 +1029,185 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_all(spark, sf_dir)
     return spark.sql(_ANSI_EQUIDEPTH_SQL)
+
+
+# Q-digest (operators/qdigest.py): the order-independent deterministic
+# quantile sketch — unlike the engine GK sketch its construction is a
+# pure function of the VALUE HISTOGRAM, so the oracle re-derives the
+# EXACT digest (26 unrolled compression levels, the BPE-chain
+# discipline) and every estimate hash-matches.  Self-check columns pin
+# the published rank-error bound L*thr against exact ranks.
+_QD_L = 26          # domain [0, 2^26) covers o_totalprice cents (< 5e7)
+_QD_K = 64          # compression factor: thr = max(1, n // 64)
+
+
+def _qdigest_ctes() -> str:
+    top = 1 << _QD_L
+    parts = [
+        f"""hist AS MATERIALIZED (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    nk AS MATERIALIZED (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             GREATEST(1, CAST(floor(SUM(cnt) / {_QD_K}.0) AS BIGINT)) AS thr
+      FROM hist
+    ),
+    t{_QD_L} AS MATERIALIZED (
+      SELECT {top} + v AS node, cnt FROM hist
+    )"""
+    ]
+    for lvl in range(_QD_L, 0, -1):
+        lo, hi = 1 << lvl, 1 << (lvl + 1)
+        parts.append(
+            f"""p{lvl} AS MATERIALIZED (
+      SELECT CAST(floor(node / 2.0) AS BIGINT) AS par,
+             CAST(SUM(cnt) AS BIGINT) AS sc
+      FROM t{lvl} WHERE node >= {lo} AND node < {hi}
+      GROUP BY 1
+    ),
+    d{lvl} AS MATERIALIZED (
+      SELECT p.par, p.sc, COALESCE(tp.cnt, 0) AS cp,
+             CASE WHEN p.sc + COALESCE(tp.cnt, 0) <= nk.thr
+                  THEN 1 ELSE 0 END AS merged
+      FROM p{lvl} p
+      LEFT JOIN t{lvl} tp ON tp.node = p.par
+      CROSS JOIN nk
+    ),
+    t{lvl - 1} AS MATERIALIZED (
+      -- two equi-correlated anti-join predicates (an OR inside one
+      -- NOT EXISTS degrades to a nested loop): drop replaced parents,
+      -- drop merged children
+      SELECT t.node, t.cnt FROM t{lvl} t
+      WHERE NOT EXISTS (
+              SELECT 1 FROM d{lvl} d WHERE d.merged = 1 AND d.par = t.node)
+        AND NOT (t.node >= {lo} AND t.node < {hi} AND EXISTS (
+              SELECT 1 FROM d{lvl} d2 WHERE d2.merged = 1
+                AND d2.par = CAST(floor(t.node / 2.0) AS BIGINT)))
+      UNION ALL
+      SELECT par AS node, sc + cp AS cnt FROM d{lvl} WHERE merged = 1
+    )"""
+        )
+    lvl_case = "CASE " + " ".join(
+        f"WHEN node >= {1 << lv} THEN {lv}" for lv in range(_QD_L, -1, -1)
+    ) + " END"
+    parts.append(
+        f"""lab AS MATERIALIZED (
+      SELECT node, cnt, {lvl_case} AS lvl FROM t0
+    ),
+    walk AS MATERIALIZED (
+      SELECT node, cnt, lvl,
+             (node - CAST(pow(2, lvl) AS BIGINT) + 1)
+               * CAST(pow(2, {_QD_L} - lvl) AS BIGINT) - 1 AS rend,
+             SUM(cnt) OVER (ORDER BY
+               (node - CAST(pow(2, lvl) AS BIGINT) + 1)
+                 * CAST(pow(2, {_QD_L} - lvl) AS BIGINT) - 1 ASC,
+               lvl DESC) AS cum
+      FROM lab
+    ),
+    probs AS (SELECT CAST(0.5 AS DOUBLE) AS p
+              UNION ALL SELECT CAST(0.9 AS DOUBLE)
+              UNION ALL SELECT CAST(0.99 AS DOUBLE)),
+    targets AS MATERIALIZED (
+      SELECT probs.p, nk.n, nk.thr,
+             CAST(floor(probs.p * (nk.n - 1)) AS BIGINT) + 1 AS r
+      FROM probs CROSS JOIN nk
+    ),
+    hcum AS MATERIALIZED (
+      SELECT v, SUM(cnt) OVER (ORDER BY v) AS hc FROM hist
+    ),
+    est AS MATERIALIZED (
+      SELECT tg.p, tg.n, tg.thr, tg.r,
+             (SELECT MIN(w.rend) FROM walk w WHERE w.cum >= tg.r) AS est_cents,
+             (SELECT MIN(h.v) FROM hcum h WHERE h.hc >= tg.r) AS exact_cents
+      FROM targets tg
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+_QDIGEST_ORACLE = (
+    "WITH " + _qdigest_ctes() + f"""
+    SELECT e.p, e.n, e.thr,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM t0) AS digest_nodes,
+           CAST(e.est_cents AS BIGINT) AS est_cents,
+           CAST(e.exact_cents AS BIGINT) AS exact_cents,
+           CAST(COALESCE((SELECT SUM(h.cnt) FROM hist h
+                          WHERE h.v <= e.est_cents), 0) AS BIGINT) AS rank_le_est,
+           CAST(CASE WHEN abs(COALESCE((SELECT SUM(h.cnt) FROM hist h
+                                        WHERE h.v <= e.est_cents), 0) - e.r)
+                          <= {_QD_L} * e.thr
+                     THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+    FROM est e
+    ORDER BY e.p"""
+)
+
+
+@register("agg_qdigest_quantiles", oracle=_QDIGEST_ORACLE)
+def agg_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 sketch family, deterministic quantile edition: build the
+    q-digest over order prices and estimate p50/p90/p99, emitting the
+    digest size, each estimate, the exact rank-selected value, the
+    estimate's true rank, and the L*thr bound verdict.  The Spark-side
+    corpus pass is ONE map-side-combining groupBy(cents); the digest
+    compression runs on the domain-bounded node table (never
+    corpus-proportional — see operators/qdigest.py)."""
+    import math
+
+    from specialsid_spark.operators.qdigest import (
+        build_qdigest,
+        qdigest_quantile,
+        qdigest_size,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    hist_rows = (
+        o.groupBy(cents("o_totalprice").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    )
+    hist = {int(r["v"]): int(r["cnt"]) for r in hist_rows}
+    n = sum(hist.values())
+    thr = max(1, n // _QD_K)
+    digest = build_qdigest(hist, _QD_L, _QD_K)
+    svals = sorted(hist)
+    # cumulative histogram for exact rank selection + est ranks
+    cum = []
+    acc = 0
+    for v in svals:
+        acc += hist[v]
+        cum.append((v, acc))
+
+    def exact_at(r: int) -> int:
+        for v, c in cum:
+            if c >= r:
+                return v
+        return svals[-1]
+
+    def rank_le(x: int) -> int:
+        out = 0
+        for v, c in cum:
+            if v <= x:
+                out = c
+            else:
+                break
+        return out
+
+    rows = []
+    for p in (0.5, 0.9, 0.99):
+        r = int(math.floor(p * (n - 1))) + 1
+        est = qdigest_quantile(digest, _QD_L, r)
+        rl = rank_le(est)
+        rows.append(
+            (
+                p, n, thr, qdigest_size(digest), est, exact_at(r), rl,
+                int(abs(rl - r) <= _QD_L * thr),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "p double, n bigint, thr bigint, digest_nodes bigint,"
+        " est_cents bigint, exact_cents bigint, rank_le_est bigint,"
+        " within_bound bigint",
+    ).orderBy("p")

@@ -1,0 +1,140 @@
+"""Q-digest (operators/qdigest.py): construction invariants,
+order-independence, merge determinism, rank-error bound, and the
+degenerate shapes."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from specialsid_spark.operators.qdigest import (
+    build_qdigest,
+    node_range,
+    qdigest_quantile,
+    qdigest_size,
+)
+
+
+def _hist(vals):
+    h = {}
+    for v in vals:
+        h[v] = h.get(v, 0) + 1
+    return h
+
+
+def test_counts_preserved_and_compressed():
+    rng = random.Random(5)
+    vals = [rng.randrange(1 << 16) for _ in range(50_000)]
+    d = build_qdigest(_hist(vals), 16, 64)
+    assert sum(d.values()) == len(vals)
+    # the whole point: far fewer nodes than distinct values
+    assert qdigest_size(d) < 3 * 64
+
+
+def test_order_independence():
+    rng = random.Random(7)
+    vals = [rng.randrange(1 << 12) for _ in range(5000)]
+    a = build_qdigest(_hist(vals), 12, 32)
+    rng.shuffle(vals)
+    b = build_qdigest(_hist(vals), 12, 32)
+    assert a == b  # histogram in, digest out — arrival order irrelevant
+
+
+def test_rank_error_bound():
+    rng = random.Random(11)
+    for dist in (
+        [rng.randrange(1 << 20) for _ in range(80_000)],  # uniform
+        [int(abs(rng.gauss(5000, 800))) for _ in range(80_000)],  # clustered
+        [min((1 << 20) - 1, int(rng.expovariate(1e-4))) for _ in range(80_000)],
+    ):
+        h = _hist(dist)
+        n = len(dist)
+        L, k = 20, 64
+        d = build_qdigest(h, L, k)
+        thr = max(1, n // k)
+        sv = sorted(dist)
+        for p in (0.1, 0.5, 0.9, 0.99):
+            r = int(math.floor(p * (n - 1))) + 1
+            est = qdigest_quantile(d, L, r)
+            rank_le = sum(1 for v in dist if v <= est)
+            assert abs(rank_le - r) <= L * thr, (p, rank_le, r)
+            assert est >= sv[max(0, r - 1 - L * thr)]
+
+
+def test_node_ranges():
+    # root covers everything; leaves cover one value
+    assert node_range(1, 8) == (0, 255)
+    assert node_range(2, 8) == (0, 127)
+    assert node_range(3, 8) == (128, 255)
+    assert node_range((1 << 8) + 42, 8) == (42, 42)
+
+
+def test_small_inputs():
+    # n < k -> thr = 1: merges only where pairs+parent fit in 1 count
+    d = build_qdigest({5: 1}, 8, 64)
+    assert sum(d.values()) == 1
+    assert qdigest_quantile(d, 8, 1) >= 5
+    # empty digest
+    assert qdigest_quantile({}, 8, 1) == 0
+
+
+def test_out_of_domain_raises():
+    with pytest.raises(ValueError):
+        build_qdigest({1 << 10: 1}, 10, 16)
+    with pytest.raises(ValueError):
+        build_qdigest({-1: 1}, 10, 16)
+
+
+def test_skewed_heavy_value():
+    # one value holding most of the mass must stay near its leaf
+    h = {100: 90_000, 5000: 5_000, 60_000: 5_000}
+    L = 16
+    d = build_qdigest(h, L, 64)
+    n = 100_000
+    r50 = int(math.floor(0.5 * (n - 1))) + 1
+    est = qdigest_quantile(d, L, r50)
+    lo, hi = 100, 100 + (n // 64) * L  # heavy leaf unsplittable
+    assert lo <= est <= 5000  # p50 points at (or just past) the heavy value
+
+
+def test_sql_oracle_matches_python_kernel():
+    """The generated 26-level SQL restatement and the Python kernel
+    must produce the IDENTICAL digest-derived answers on synthetic
+    data (DuckDB only — the Spark side reuses the Python kernel)."""
+    import duckdb
+
+    from specialsid_spark.queries.aggregates import _QD_K, _QD_L, _QDIGEST_ORACLE
+
+    rng = random.Random(3)
+    prices = [round(rng.uniform(1000, 500000), 2) for _ in range(4000)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE orders(o_totalprice DOUBLE)")
+    con.executemany("INSERT INTO orders VALUES (?)", [(p,) for p in prices])
+    got = con.execute(_QDIGEST_ORACLE).fetchall()
+
+    hist = {}
+    for p in prices:
+        c = int(round(p * 100))
+        hist[c] = hist.get(c, 0) + 1
+    n = sum(hist.values())
+    thr = max(1, n // _QD_K)
+    d = build_qdigest(hist, _QD_L, _QD_K)
+    sv = sorted(hist)
+    for (p, gn, gthr, gnodes, gest, gexact, grank, gok), q in zip(
+        got, (0.5, 0.9, 0.99)
+    ):
+        r = int(math.floor(q * (n - 1))) + 1
+        est = qdigest_quantile(d, _QD_L, r)
+        acc = 0
+        exact = sv[-1]
+        for v in sv:
+            acc += hist[v]
+            if acc >= r:
+                exact = v
+                break
+        rank_le = sum(c for v, c in hist.items() if v <= est)
+        assert (p, gn, gthr, gnodes) == (q, n, thr, qdigest_size(d))
+        assert (gest, gexact, grank) == (est, exact, rank_le)
+        assert gok == int(abs(rank_le - r) <= _QD_L * thr) == 1
