@@ -1020,3 +1020,63 @@ def ev_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_all(spark, sf_dir)
     return spark.sql(_ANSI_MAD_SQL)
+
+
+# One ANSI string both engines run verbatim: classical seasonal
+# decomposition (trend = 2x24 centered moving average, seasonal =
+# hour-of-day mean of the detrended series).  Exactness: hourly totals
+# are integer cents; the centered MA is kept as the INTEGER window sum
+# T = sum[-12..+11] + sum[-11..+12] so the detrended value 48*y - T is
+# an exact integer; the only division is the final per-(type, hour)
+# mean — double division of exact integers, correctly rounded.
+_ANSI_SEASONAL_SQL = """
+    WITH hourly AS (
+      SELECT event_type AS g, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+      FROM events
+      GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    ma AS (
+      SELECT g, h, yc,
+             SUM(yc) OVER (PARTITION BY g ORDER BY h
+                           ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+           + SUM(yc) OVER (PARTITION BY g ORDER BY h
+                           ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS t48,
+             COUNT(*) OVER (PARTITION BY g ORDER BY h
+                            ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS n_a,
+             COUNT(*) OVER (PARTITION BY g ORDER BY h
+                            ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS n_b
+      FROM hourly
+    ),
+    det AS (
+      SELECT g, hour(h) AS hod, 48 * yc - t48 AS d48
+      FROM ma
+      WHERE n_a = 24 AND n_b = 24
+    )
+    SELECT g AS event_type, CAST(hod AS BIGINT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(d48) AS BIGINT) AS detrended_sum_48c,
+           CAST(SUM(d48) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 48.0 / 100.0
+             AS seasonal_value
+    FROM det
+    GROUP BY g, hod
+    ORDER BY event_type, hod
+"""
+
+
+@register("ev_seasonal_decompose", oracle=_ANSI_SEASONAL_SQL)
+def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family extension (r9) — classical seasonal decomposition of
+    the hourly telemetry total: the 2x24 centered moving average
+    removes the trend, and the hour-of-day mean of the detrended
+    series is the daily seasonal profile — the decomposition every
+    capacity dashboard runs before anomaly thresholds.
+
+    Scale shape: ONE shuffle on event_type for the hourly rollup
+    (map-side combining groupBy first, so the window sees |hours| rows
+    per type, never |events|), window sums reuse one sort, and the
+    final aggregate shuffles 24 rows per type."""
+    from specialsid_spark.catalog import register_all  # noqa: PLC0415
+
+    register_all(spark, sf_dir)
+    return spark.sql(_ANSI_SEASONAL_SQL)
