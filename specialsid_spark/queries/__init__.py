@@ -67,6 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_equidepth_histogram",
     "agg_qdigest_quantiles",
     "ev_seasonal_decompose",
+    "pipeline_retrieval_corpus",
     # red in r7; runtime-conf fix verified locally via check_oracle
     "src_python_datasource_scan",
     # registered after the r8 driver run (no driver row yet)

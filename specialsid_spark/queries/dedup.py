@@ -1565,3 +1565,167 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "pipeline_retrieval_corpus",
+    # Composition flagship (r9): paragraph-exact dedup -> rebuild the
+    # surviving corpus -> BM25 rank it.  Every stage's oracle fragment
+    # is already individually verified (dedup_paragraph_exact,
+    # text_bm25_topk); the composition re-derives document lengths,
+    # dfs and the corpus size FROM THE DEDUPED corpus, so a defect in
+    # either stage (or in how they hand off) shifts every score.  The
+    # BM25 float contract is unchanged: exact-rational idf, one
+    # pinned formula, fixed-order per-term addition, round(,4).
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, p.i AS pidx,
+             array_to_string(ts[p.i*{_PARA_LEN}+1 : p.i*{_PARA_LEN}+{_PARA_LEN}], ' ') AS para
+      FROM toks,
+           (SELECT unnest(range(0, (
+              SELECT CAST(CEIL(MAX(len(ts)) / {_PARA_LEN}.0) AS BIGINT)
+              FROM toks))) AS i) p
+      WHERE p.i*{_PARA_LEN} < len(ts)
+    ),
+    ranked AS (
+      SELECT doc_id, pidx, para,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, pidx) AS rk
+      FROM paras
+    ),
+    kt AS (
+      SELECT doc_id, pidx, string_split(para, ' ') AS pts
+      FROM ranked WHERE rk = 1
+    ),
+    dl AS (
+      SELECT doc_id, CAST(SUM(len(pts)) AS BIGINT) AS dl,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kt GROUP BY doc_id
+    ),
+    tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+    occ AS (
+      SELECT doc_id, term FROM (SELECT doc_id, unnest(pts) AS term FROM kt)
+      WHERE term IN ('table', 'hash', 'merge')
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM occ GROUP BY 1, 2),
+    df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM occ GROUP BY 1),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             ((tot.n - df.df + 0.5) / (df.df + 0.5))
+               * ((tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl * tot.n) / tot.s))) AS w
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+    ),
+    scores AS (
+      SELECT doc_id,
+             round(COALESCE(MAX(CASE WHEN term = 'table' THEN w END), 0)
+                   + COALESCE(MAX(CASE WHEN term = 'hash' THEN w END), 0)
+                   + COALESCE(MAX(CASE WHEN term = 'merge' THEN w END), 0), 4) AS score
+      FROM w GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.score, dl.n_kept, dl.dl
+    FROM scores s JOIN dl USING (doc_id)
+    ORDER BY s.score DESC, s.doc_id
+    LIMIT 20
+    """,
+)
+def pipeline_retrieval_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition flagship (r9) — search over the DEDUPLICATED
+    corpus: paragraph-exact dedup prunes cross-document boilerplate,
+    the survivors are re-assembled, and BM25 ranks them for the query
+    {table, hash, merge}.  Running retrieval after dedup is the
+    production order (duplicated boilerplate otherwise dominates both
+    dfs and the top-k) and the handoff is where real pipelines break —
+    the oracle recomputes every statistic from the deduped corpus.
+
+    Scale shape: the dedup stage is two hash-keyed shuffles of
+    ~40-byte rows, the rebuilt corpus never materializes text beyond
+    the kept paragraphs (localCheckpointed once, fanned into the
+    length and posting legs), and the BM25 stage shuffles only
+    query-term postings."""
+    from pyspark.sql.window import Window
+
+    d = load_parallel(spark, sf_dir, "documents")
+    paras = d.select("doc_id", tokens("text").alias("ts")).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), ((F.size("ts") - 1) / _PARA_LEN).cast("int")
+                ),
+                lambda i: F.array_join(
+                    F.slice("ts", i * _PARA_LEN + 1, _PARA_LEN), " "
+                ),
+            )
+        ).alias("pidx", "para"),
+    )
+    w0 = Window.partitionBy(F.md5("para"), "para")
+    kept = (
+        paras.withColumn(
+            "is_first",
+            F.min(F.struct("doc_id", "pidx")).over(w0)
+            == F.struct("doc_id", "pidx"),
+        )
+        .filter("is_first")
+        .select("doc_id", F.split("para", " ").alias("pts"))
+        .localCheckpoint(eager=True)
+    )
+    dl = kept.groupBy("doc_id").agg(
+        F.sum(F.size("pts")).cast("long").alias("dl"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    tot = dl.agg(
+        F.sum("dl").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    occ = kept.select("doc_id", F.explode("pts").alias("term")).filter(
+        F.col("term").isin("table", "hash", "merge")
+    )
+    tf = occ.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = occ.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    w = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "term",
+            (
+                ((F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+                * (
+                    (F.col("tf") * F.lit(2.2))
+                    / (
+                        F.col("tf")
+                        + F.lit(1.2)
+                        * (
+                            F.lit(0.25)
+                            + F.lit(0.75) * (F.col("dl") * F.col("n")) / F.col("s")
+                        )
+                    )
+                )
+            ).alias("w"),
+        )
+    )
+    scores = w.groupBy("doc_id").agg(
+        F.round(
+            F.coalesce(F.max(F.when(F.col("term") == "table", F.col("w"))), F.lit(0.0))
+            + F.coalesce(F.max(F.when(F.col("term") == "hash", F.col("w"))), F.lit(0.0))
+            + F.coalesce(
+                F.max(F.when(F.col("term") == "merge", F.col("w"))), F.lit(0.0)
+            ),
+            4,
+        ).alias("score")
+    )
+    return (
+        scores.join(dl, "doc_id")
+        .select("doc_id", "score", "n_kept", "dl")
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
