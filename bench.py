@@ -122,6 +122,20 @@ HEADLINE = [
     "dedup_audio_fingerprint_pairs",
     "ev_m4_downsample",
     "text_unigram_decode_parity",
+    # round-9 continuation: the integer-exact analytics family
+    # (interval sweep, MAD anomaly, equi-depth + q-digest quantiles,
+    # seasonal decomposition), the batch-perceptron trainer, and the
+    # dedup->BM25 composition — all real corpus-scale dataflows.  The
+    # robots/msgpack/cbor scans stay excluded (fixture-IO), unigram
+    # TRAINING stays excluded (bounded driver loop; its corpus-scale
+    # decode-parity pass is the headline entry above).
+    "join_interval_sweep_concurrency",
+    "ev_mad_anomaly",
+    "agg_equidepth_histogram",
+    "agg_qdigest_quantiles",
+    "ev_seasonal_decompose",
+    "text_perceptron_quality",
+    "pipeline_retrieval_corpus",
 ]
 
 
