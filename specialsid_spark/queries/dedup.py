@@ -1662,15 +1662,18 @@ def pipeline_retrieval_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pidx", "para"),
     )
-    w0 = Window.partitionBy(F.md5("para"), "para")
+    # winner-per-paragraph via a map-side-combining MIN aggregate —
+    # unlike dedup_paragraph_exact (which must LABEL every occurrence,
+    # hence its window), this stage only needs the winners, so the
+    # hash aggregate beats the sort window (measured 6.6x -> ~3x
+    # growth on 10x replica-heavy data)
     kept = (
-        paras.withColumn(
-            "is_first",
-            F.min(F.struct("doc_id", "pidx")).over(w0)
-            == F.struct("doc_id", "pidx"),
+        paras.groupBy(F.md5("para").alias("h"), "para")
+        .agg(F.min(F.struct("doc_id", "pidx")).alias("w"))
+        .select(
+            F.col("w.doc_id").alias("doc_id"),
+            F.split("para", " ").alias("pts"),
         )
-        .filter("is_first")
-        .select("doc_id", F.split("para", " ").alias("pts"))
         .localCheckpoint(eager=True)
     )
     dl = kept.groupBy("doc_id").agg(
