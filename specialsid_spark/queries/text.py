@@ -1673,3 +1673,209 @@ def text_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "iter bigint, w0 bigint, w1 bigint, w2 bigint, w3 bigint,"
         " w4 bigint, n_misclassified bigint",
     ).orderBy("iter")
+
+
+# --- Kneser-Ney perplexity filter (CCNet-style corpus quality gate) ---
+#
+# CCNet (Wenzek et al. 2020) scores every document with a language model
+# trained on a trusted reference corpus and buckets the corpus into
+# head/middle/tail by perplexity.  Here the reference slice is the
+# doc_id % 3 == 0 third of the corpus, the model is an interpolated
+# Kneser-Ney bigram LM (absolute discount D = 3/4, exact in binary),
+# and OOV tokens map to '<unk>' with +1-smoothed continuation mass.
+#
+# Float determinism: the probability of a (mapped) bigram TYPE is ONE
+# shared SQL expression — integer counts, dyadic constants, and
+# correctly-rounded divisions composed in one fixed association order —
+# evaluated verbatim by both engines, then floor(ln(p)*1e6) per type;
+# per-document scores are integer sums of those micro-nats.
+
+_KN_P = (
+    "CASE WHEN c12 IS NOT NULL THEN"
+    " (CAST(c12 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)"
+    " + 0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)"
+    " * (CAST(COALESCE(n1b, 0) + 1 AS DOUBLE) / CAST(tt + vv + 1 AS DOUBLE))"
+    " WHEN c1 IS NOT NULL THEN"
+    " 0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)"
+    " * (CAST(COALESCE(n1b, 0) + 1 AS DOUBLE) / CAST(tt + vv + 1 AS DOUBLE))"
+    " ELSE CAST(COALESCE(n1b, 0) + 1 AS DOUBLE) / CAST(tt + vv + 1 AS DOUBLE)"
+    " END"
+)
+_KN_LP_MU = f"CAST(FLOOR(LN({_KN_P}) * 1000000) AS BIGINT)"
+
+
+@register(
+    "text_kn_perplexity",
+    oracle=f"""
+    WITH tk AS MATERIALIZED (
+      SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents
+      WHERE len({_SQL_TOKENS}) >= 2
+    ),
+    pairs AS MATERIALIZED (
+      SELECT doc_id, ts[p.i] AS w1, ts[p.i + 1] AS w2
+      FROM tk, (SELECT unnest(range(1, (SELECT MAX(len(ts)) FROM tk))) AS i) p
+      WHERE p.i + 1 <= len(ts)
+    ),
+    tr AS MATERIALIZED (SELECT w1, w2 FROM pairs WHERE doc_id % 3 = 0),
+    c12 AS MATERIALIZED (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM tr GROUP BY w1, w2
+    ),
+    ctx AS MATERIALIZED (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1f
+      FROM c12 GROUP BY w1
+    ),
+    bwd AS MATERIALIZED (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM c12 GROUP BY w2
+    ),
+    voc AS MATERIALIZED (
+      SELECT DISTINCT tok FROM
+        (SELECT w1 AS tok FROM tr UNION ALL SELECT w2 AS tok FROM tr)
+    ),
+    tot AS MATERIALIZED (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c12) AS tt,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM voc) AS vv
+    ),
+    sp AS MATERIALIZED (
+      SELECT p.doc_id,
+             CASE WHEN v1.tok IS NULL THEN '<unk>' ELSE p.w1 END AS w1m,
+             CASE WHEN v2.tok IS NULL THEN '<unk>' ELSE p.w2 END AS w2m
+      FROM pairs p
+      LEFT JOIN voc v1 ON v1.tok = p.w1
+      LEFT JOIN voc v2 ON v2.tok = p.w2
+    ),
+    tys AS MATERIALIZED (SELECT DISTINCT w1m, w2m FROM sp),
+    lp AS MATERIALIZED (
+      SELECT t.w1m, t.w2m, {_KN_LP_MU} AS lp_mu
+      FROM tys t
+      LEFT JOIN c12 b ON b.w1 = t.w1m AND b.w2 = t.w2m
+      LEFT JOIN ctx x ON x.w1 = t.w1m
+      LEFT JOIN bwd d ON d.w2 = t.w2m
+      CROSS JOIN tot s
+    ),
+    docnll AS MATERIALIZED (
+      SELECT sp.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(-SUM(l.lp_mu) AS BIGINT) AS nll_mu
+      FROM sp JOIN lp l ON l.w1m = sp.w1m AND l.w2m = sp.w2m
+      GROUP BY sp.doc_id
+    )
+    SELECT doc_id, n_bigrams, nll_mu,
+           CAST(nll_mu AS DOUBLE) / (1000000.0 * CAST(n_bigrams AS DOUBLE))
+             AS nats_per_bigram,
+           CAST(NTILE(3) OVER (
+             ORDER BY CAST(nll_mu AS DOUBLE)
+                      / (1000000.0 * CAST(n_bigrams AS DOUBLE)), doc_id
+           ) AS BIGINT) AS ppl_bucket
+    FROM docnll
+    ORDER BY doc_id
+    """,
+)
+def text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 / curation — CCNet-style LM perplexity filter: train an
+    interpolated Kneser-Ney bigram LM on the doc_id % 3 == 0 reference
+    slice, score EVERY document's mean nats-per-bigram under it, and
+    bucket the corpus head/middle/tail (1/2/3) — the standard
+    pretraining-corpus quality gate (boilerplate scores low, noisy or
+    off-distribution text scores high).
+
+    The probability of each mapped bigram type is the shared `_KN_P`
+    expression (same string run by DuckDB), floor(ln*1e6)-quantized per
+    TYPE, then integer-summed per document.
+
+    Scale shape: tokenize once (localCheckpointed); every model table
+    (bigram types, context totals, continuation counts, vocab) is
+    vocabulary- not corpus-bounded, so the broadcast joins hold at any
+    corpus size; the only corpus-sized shuffles carry (doc_id, w1m,
+    w2m) occurrence rows into a map-side-combining sum.  The final
+    NTILE over documents is the verification-exact bucket assignment —
+    at 100 TB the cutoffs would be computed once by rank selection
+    (see agg_exact_percentiles) and applied as a projection instead of
+    a global sort."""
+    d = load_parallel(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("ts")).filter(F.size("ts") >= 2)
+    n = F.size("ts")
+    pair_arr = F.zip_with(
+        F.slice("ts", 1, n - 1),
+        F.slice(F.col("ts"), F.lit(2), n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = (
+        t.select("doc_id", F.explode(pair_arr).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+        .localCheckpoint(eager=True)
+    )
+    tr = pairs.filter(F.col("doc_id") % 3 == 0)
+    c12 = (
+        tr.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .localCheckpoint(eager=True)
+    )
+    ctx = c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1f"),
+    )
+    bwd = c12.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1b"))
+    voc = (
+        tr.select(F.col("w1").alias("tok"))
+        .unionAll(tr.select(F.col("w2").alias("tok")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    tot = c12.agg(F.count(F.lit(1)).cast("long").alias("tt")).crossJoin(
+        voc.agg(F.count(F.lit(1)).cast("long").alias("vv"))
+    )
+    sp = (
+        pairs.join(F.broadcast(voc.withColumnRenamed("tok", "v1")),
+                   F.col("w1") == F.col("v1"), "left")
+        .join(F.broadcast(voc.withColumnRenamed("tok", "v2")),
+              F.col("w2") == F.col("v2"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("v1").isNull(), F.lit("<unk>"))
+            .otherwise(F.col("w1")).alias("w1m"),
+            F.when(F.col("v2").isNull(), F.lit("<unk>"))
+            .otherwise(F.col("w2")).alias("w2m"),
+        )
+    )
+    tys = sp.select("w1m", "w2m").distinct()
+    lp = (
+        tys.join(
+            c12.select(F.col("w1").alias("a1"), F.col("w2").alias("a2"), "c12"),
+            (F.col("w1m") == F.col("a1")) & (F.col("w2m") == F.col("a2")),
+            "left",
+        )
+        .join(
+            F.broadcast(ctx.select(F.col("w1").alias("b1"), "c1", "n1f")),
+            F.col("w1m") == F.col("b1"),
+            "left",
+        )
+        .join(
+            F.broadcast(bwd.select(F.col("w2").alias("d2"), "n1b")),
+            F.col("w2m") == F.col("d2"),
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("w1m", "w2m", F.expr(_KN_LP_MU).alias("lp_mu"))
+    )
+    docnll = (
+        sp.join(lp, ["w1m", "w2m"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (-F.sum("lp_mu")).cast("long").alias("nll_mu"),
+        )
+    )
+    nats = F.col("nll_mu").cast("double") / (
+        F.lit(1000000.0) * F.col("n_bigrams").cast("double")
+    )
+    return docnll.select(
+        "doc_id",
+        "n_bigrams",
+        "nll_mu",
+        nats.alias("nats_per_bigram"),
+        F.ntile(3)
+        .over(Window.orderBy(nats, "doc_id"))
+        .cast("long")
+        .alias("ppl_bucket"),
+    ).orderBy("doc_id")

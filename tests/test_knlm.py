@@ -1,0 +1,52 @@
+"""Kneser-Ney perplexity filter: structural invariants beyond the
+value-level oracle (tools/check_oracle.py covers exactness)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from specialsid_spark.catalog import load
+from specialsid_spark.operators.textops import tokens
+from specialsid_spark.queries.text import text_kn_perplexity
+
+
+def test_kn_perplexity_invariants(spark, sf_dir):
+    out = text_kn_perplexity(spark, sf_dir)
+    rows = out.collect()
+    n = len(rows)
+    assert n > 0
+
+    # every document scores a finite positive NLL over len-1 bigrams
+    tok_n = {
+        r["doc_id"]: r["nt"]
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", F.size(tokens("text")).alias("nt"))
+        .collect()
+    }
+    for r in rows:
+        assert r["nll_mu"] > 0, r
+        assert r["n_bigrams"] == tok_n[r["doc_id"]] - 1, r
+        assert r["nats_per_bigram"] > 0.0
+
+    # NTILE(3) buckets are balanced to within one document
+    sizes = sorted(
+        out.groupBy("ppl_bucket").count().rdd.map(lambda r: r["count"]).collect()
+    )
+    assert len(sizes) == 3
+    assert sizes[-1] - sizes[0] <= 1
+
+    # bucket boundaries respect the per-bigram score ordering
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["ppl_bucket"], []).append(r["nats_per_bigram"])
+    assert max(by_bucket[1]) <= min(by_bucket[2])
+    assert max(by_bucket[2]) <= min(by_bucket[3])
+
+
+def test_kn_model_prefers_in_distribution_text(spark, sf_dir):
+    # a document whose bigrams all come from the training slice should
+    # score strictly lower (head-ier) than the corpus maximum: the LM
+    # must discriminate, not emit a constant
+    out = text_kn_perplexity(spark, sf_dir).collect()
+    nats = [r["nats_per_bigram"] for r in out]
+    assert max(nats) - min(nats) > 0.5, "LM scores are near-constant"
