@@ -1454,3 +1454,156 @@ def cur_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "k")
     )
+
+
+# --- DSIR: data selection with importance resampling (Xie et al. 2023) ---
+#
+# Select raw-corpus documents whose hashed-n-gram feature distribution
+# matches a trusted target slice: per-bucket importance log-weights
+# ln(p_target(b)/p_raw(b)) under +1-smoothed hashed-unigram bag models,
+# summed per document, then Gumbel-top-k sampling (deterministic Gumbel
+# noise derived from the doc-id content hash).  Weights are quantized
+# to integer micro-nats per BUCKET (512 buckets), so every per-document
+# score is an exact integer sum.
+
+_DSIR_B = 512
+_DSIR_LW = (
+    "CAST(FLOOR(LN("
+    "(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) * CAST(nr + 512 AS DOUBLE))"
+    " / (CAST(cr + 1 AS DOUBLE) * CAST(nt + 512 AS DOUBLE))"
+    ") * 1000000) AS BIGINT)"
+)
+_DSIR_GUMBEL = (
+    "CAST(FLOOR(-LN(-LN(CAST(ug + 1 AS DOUBLE) / 1048578.0)) * 1000000)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "cur_dsir_importance_sample",
+    oracle=f"""
+    WITH tk AS MATERIALIZED (
+      SELECT doc_id, lang, unnest({_SQL_TOKS}) AS tok FROM documents
+    ),
+    feat AS MATERIALIZED (
+      SELECT doc_id, lang,
+             ('0x' || substring(md5(tok), 1, 8))::BIGINT % {_DSIR_B} AS b
+      FROM tk
+    ),
+    tgt AS MATERIALIZED (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM feat
+      WHERE lang = 'en' GROUP BY b
+    ),
+    raw AS MATERIALIZED (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM feat GROUP BY b
+    ),
+    tot AS MATERIALIZED (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM feat WHERE lang = 'en')
+               AS nt,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM feat) AS nr
+    ),
+    lw AS MATERIALIZED (
+      SELECT b, {_DSIR_LW} AS lw_mu
+      FROM (SELECT r.b AS b, g.ct AS ct, r.cr AS cr, tot.nt AS nt,
+                   tot.nr AS nr
+            FROM raw r LEFT JOIN tgt g ON g.b = r.b, tot)
+    ),
+    docw AS MATERIALIZED (
+      SELECT f.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(l.lw_mu) AS BIGINT) AS logw_mu
+      FROM feat f JOIN lw l ON l.b = f.b
+      GROUP BY f.doc_id
+    ),
+    gm AS MATERIALIZED (
+      SELECT doc_id, n_tokens, logw_mu, {_DSIR_GUMBEL} AS gumbel_mu
+      FROM (SELECT *,
+              ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 1048576 AS ug
+            FROM docw)
+    ),
+    rk AS (
+      SELECT doc_id, n_tokens, logw_mu, gumbel_mu,
+             CAST(logw_mu + gumbel_mu AS BIGINT) AS score_mu,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY logw_mu + gumbel_mu DESC, doc_id) AS BIGINT) AS rnk,
+             COUNT(*) OVER () AS n_all
+      FROM gm
+    )
+    SELECT doc_id, n_tokens, logw_mu, gumbel_mu, score_mu, rnk
+    FROM rk WHERE rnk * 5 <= n_all
+    ORDER BY rnk
+    """,
+)
+def cur_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): pick the 20% of the
+    raw corpus that best matches a trusted target distribution — here
+    the English slice stands in for the target domain.  Hashed-unigram
+    bag models (md5 bucket % 512) with +1 smoothing give per-bucket
+    importance log-weights; a document's log-weight is the sum over its
+    token occurrences; Gumbel-top-k (noise derived from the doc-id
+    content hash, not rand()) performs the without-replacement sample.
+
+    Scale shape: the model is two 512-row aggregates + one 512-row
+    weight table broadcast to the per-token stream; the only
+    corpus-sized shuffle is the map-side-combining per-document sum.
+    The final row_number ranking is the verification-exact selection;
+    at 100 TB the cut would be a weight threshold from rank selection,
+    applied as a projection."""
+    d = load_parallel(spark, sf_dir, "documents")
+    feat = (
+        d.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+                % _DSIR_B
+            ).alias("b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tgt = feat.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    raw = feat.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    tot = feat.filter(F.col("lang") == "en").agg(
+        F.count(F.lit(1)).cast("long").alias("nt")
+    ).crossJoin(feat.agg(F.count(F.lit(1)).cast("long").alias("nr")))
+    lw = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("b", F.expr(_DSIR_LW).alias("lw_mu"))
+    )
+    docw = (
+        feat.join(F.broadcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lw_mu").cast("long").alias("logw_mu"),
+        )
+    )
+    gm = docw.withColumn(
+        "ug",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1048576,
+    ).select(
+        "doc_id", "n_tokens", "logw_mu", F.expr(_DSIR_GUMBEL).alias("gumbel_mu")
+    )
+    w = Window.orderBy(F.desc(F.col("logw_mu") + F.col("gumbel_mu")), F.col("doc_id"))
+    rk = gm.select(
+        "doc_id",
+        "n_tokens",
+        "logw_mu",
+        "gumbel_mu",
+        (F.col("logw_mu") + F.col("gumbel_mu")).cast("long").alias("score_mu"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_all"),
+    )
+    return (
+        rk.filter(F.col("rnk") * 5 <= F.col("n_all"))
+        .drop("n_all")
+        .orderBy("rnk")
+    )

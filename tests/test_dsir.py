@@ -1,0 +1,29 @@
+"""DSIR importance resampling: the selection must actually shift the
+corpus toward the target distribution (value-exactness is covered by
+the oracle gate; this pins the semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from specialsid_spark.catalog import load
+from specialsid_spark.queries.curation import cur_dsir_importance_sample
+
+
+def test_dsir_enriches_target_language(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    base = docs.agg(
+        F.avg(F.when(F.col("lang") == "en", 1.0).otherwise(0.0))
+    ).first()[0]
+    sel = cur_dsir_importance_sample(spark, sf_dir)
+    n_all = docs.count()
+    n_sel = sel.count()
+    # 20% cut, rounded down
+    assert n_sel == n_all // 5
+    picked = sel.join(docs, "doc_id").agg(
+        F.avg(F.when(F.col("lang") == "en", 1.0).otherwise(0.0))
+    ).first()[0]
+    assert picked > base, (picked, base)
+    # ranking is dense 1..k
+    rnks = [r["rnk"] for r in sel.select("rnk").collect()]
+    assert sorted(rnks) == list(range(1, n_sel + 1))
