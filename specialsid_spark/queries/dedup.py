@@ -1732,3 +1732,120 @@ def pipeline_retrieval_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(20)
     )
+
+
+# --- Content-defined chunking (gear-window CDC) chunk-level dedup ---
+#
+# The rsync/FastCDC idea at character granularity: a chunk boundary
+# falls after position i whenever a rolling hash of the last 8
+# characters hits 0 mod 64 (expected chunk ~64 chars), so boundaries
+# depend only on LOCAL content — an insertion early in a document
+# shifts every byte offset but leaves all downstream chunk identities
+# intact, which is exactly what offset-keyed chunking cannot do.  The
+# window hash is sum_{j=0..7} gear(char_{i-j}) * 2^j with
+# gear(c) = first 8 md5 hex digits of the single character c — integer
+# arithmetic end to end, restated verbatim by the DuckDB oracle.
+
+_CDC_WINDOW_SQL = " + ".join(
+    f"element_at(g, CAST(i - {j} AS INT)) * {1 << j}" for j in range(8)
+)
+_CDC_WINDOW_DUCK = " + ".join(f"g[i - {j}] * {1 << j}" for j in range(8))
+
+
+def cdc_chunks(d: DataFrame) -> DataFrame:
+    """Split (doc_id, text) rows at gear-window CDC boundaries; returns
+    (doc_id, chunk) with one row per chunk, in document order.  Pure
+    per-row projection — no shuffle."""
+    ga = d.selectExpr(
+        "doc_id",
+        "text",
+        "length(text) AS n",
+    ).selectExpr(
+        "doc_id",
+        "text",
+        "n",
+        "transform(sequence(1, n), i -> CAST(conv(substring(md5("
+        "substring(text, i, 1)), 1, 8), 16, 10) AS BIGINT)) AS g",
+    )
+    cu = ga.selectExpr(
+        "doc_id",
+        "text",
+        "concat(array(CAST(0 AS BIGINT)), "
+        "transform(filter(sequence(8, greatest(n, 8)), "
+        f"i -> i < n AND ({_CDC_WINDOW_SQL}) % 64 = 0), "
+        "i -> CAST(i AS BIGINT)), "
+        "array(CAST(n AS BIGINT))) AS cs",
+    )
+    return cu.selectExpr(
+        "doc_id",
+        "explode(transform(sequence(1, size(cs) - 1), "
+        "k -> substring(text, CAST(element_at(cs, k) + 1 AS INT), "
+        "CAST(element_at(cs, k + 1) - element_at(cs, k) AS INT)))) AS chunk",
+    )
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, text, length(text) AS n FROM documents
+    ),
+    ga AS MATERIALIZED (
+      SELECT doc_id, text, n,
+             list_transform(generate_series(1, n),
+               i -> ('0x' || substring(md5(substr(text, i, 1)), 1, 8))::BIGINT
+             ) AS g
+      FROM d
+    ),
+    cu AS MATERIALIZED (
+      SELECT doc_id, text,
+             list_concat(list_concat(
+               [CAST(0 AS BIGINT)],
+               list_transform(list_filter(generate_series(8, greatest(n, 8)),
+                 i -> i < n AND ({_CDC_WINDOW_DUCK}) % 64 = 0),
+                 i -> CAST(i AS BIGINT))),
+               [CAST(n AS BIGINT)]) AS cs
+      FROM ga
+    ),
+    chunks AS MATERIALIZED (
+      SELECT doc_id,
+             substr(text, CAST(cs[p.k] + 1 AS INT),
+                    CAST(cs[p.k + 1] - cs[p.k] AS INT)) AS chunk
+      FROM cu, (SELECT unnest(range(1, (SELECT MAX(len(cs)) FROM cu))) AS k) p
+      WHERE p.k + 1 <= len(cs)
+    )
+    SELECT md5(chunk) AS chunk_hash,
+           CAST(MIN(length(chunk)) AS BIGINT) AS chunk_len,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM chunks
+    GROUP BY md5(chunk)
+    ORDER BY n_occ DESC, chunk_hash
+    LIMIT 100
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — content-defined chunking dedup, the storage-level rung of
+    the granularity ladder (document -> paragraph -> span -> CHUNK):
+    split every document at gear-window rolling-hash boundaries
+    (~64-char expected chunks, 8-char window) and aggregate chunk
+    occurrences across the corpus; shared boilerplate shows up as
+    high-n_occ chunks regardless of where it sits in each document.
+
+    Scale shape: chunking is a pure per-row projection (one md5 per
+    character, embarrassingly parallel, no shuffle); the only shuffle
+    carries (chunk_hash, doc_id) pairs into a map-side-combining
+    aggregate, and the top-100 cut is a TakeOrderedAndProject.  Chunk
+    TEXT never leaves the map side — identity travels as md5."""
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = cdc_chunks(d)
+    return (
+        chunks.groupBy(F.md5("chunk").alias("chunk_hash"))
+        .agg(
+            F.min(F.length("chunk")).cast("long").alias("chunk_len"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+        )
+        .orderBy(F.desc("n_occ"), "chunk_hash")
+        .limit(100)
+    )

@@ -1,0 +1,47 @@
+"""Gear-window CDC chunking: the shift-robustness property that defines
+content-defined chunking (exactness vs DuckDB is the oracle gate)."""
+
+from __future__ import annotations
+
+from specialsid_spark.queries.dedup import cdc_chunks
+
+
+def _chunks(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {}
+    for r in cdc_chunks(df).collect():
+        out.setdefault(r["doc_id"], []).append(r["chunk"])
+    return out
+
+
+def test_cdc_chunks_partition_the_document(spark):
+    # non-periodic text: a purely repeating string has only
+    # period-many distinct windows, which may legitimately contain no
+    # boundary at all (one whole-document chunk)
+    text = " ".join(f"token{i} value{i * i}" for i in range(120))
+    got = _chunks(spark, [(1, text)])[1]
+    assert "".join(got) == text
+    assert all(len(c) > 0 for c in got)
+    assert len(got) > 3, "expected multiple ~64-char chunks"
+
+
+def test_cdc_boundaries_survive_a_prefix_insertion(spark):
+    # the defining CDC property: prepending bytes shifts every offset
+    # but must leave (almost) all downstream chunk identities intact —
+    # only chunks overlapping the first hash window may change
+    base = " ".join(f"sentence{i} about chunk{i % 7} topic{i * 3}" for i in range(150))
+    got = _chunks(spark, [(1, base), (2, "INSERTED PREFIX " + base)])
+    c1, c2 = set(got[1]), set(got[2])
+    shared = c1 & c2
+    assert len(shared) >= len(c1) - 2, (len(shared), len(c1))
+    # while a fixed-width (offset-keyed) chunker would share nothing:
+    fixed1 = {base[i : i + 64] for i in range(0, len(base), 64)}
+    pre = "INSERTED PREFIX " + base
+    fixed2 = {pre[i : i + 64] for i in range(0, len(pre), 64)}
+    assert len(fixed1 & fixed2) <= 1
+
+
+def test_cdc_short_document_is_one_chunk(spark):
+    got = _chunks(spark, [(1, "tiny"), (2, "exactly8")])
+    assert got[1] == ["tiny"]
+    assert got[2] == ["exactly8"]
