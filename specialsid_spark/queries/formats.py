@@ -661,3 +661,130 @@ def src_cbor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_SQL_TRICKY_ARROW = (
+    "(CASE WHEN doc_id % 3 = 0 THEN '~' ELSE 'v' || CAST(doc_id AS VARCHAR) END)"
+    " || '|' || (CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id AS VARCHAR) || ','"
+    " || CAST(doc_id * 2 AS VARCHAR) ELSE '' END)"
+    " || '|' || source"
+)
+
+
+@register("src_arrow_ipc_roundtrip", oracle=_sql_summary(_SQL_TRICKY_ARROW))
+def src_arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC (Feather v2) sink + source — the zero-copy interchange
+    format of the Python data stack (and Spark's own Arrow transfer
+    layer), driven end-to-end as FILES: each task serializes its
+    partition into one .arrow file, a binaryFile scan + mapInPandas
+    decodes them back.  pyarrow is the format's reference
+    implementation and is already the engine's Python<->JVM bridge, so
+    unlike Avro/proto/msgpack (operators/*.py, hand-written for want of
+    a connector) the codec here is the vendored library; what the query
+    proves is the Spark-side plumbing.
+
+    The file layout is made adversarial where IPC readers actually
+    break: MULTIPLE record batches per file (16-row chunks — framing,
+    not one monolithic batch), DICTIONARY-encoded string columns (the
+    reader must resolve dictionary batches before record batches), a
+    union-null string column (validity bitmaps), and a list<int64>
+    column empty on half the rows (offset buffers).  The checksum
+    summary restated by the oracle from doc_id arithmetic proves every
+    one of those survived.
+
+    100 TB story: one file per task on write, splittable-BY-FILE on
+    read (an .arrow file's record batches are independently seekable
+    via the footer, so a finer-grained reader could split within
+    files); no shuffle until the low-cardinality summary groupBy."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    def write(d: str) -> None:
+        os.makedirs(d, exist_ok=True)
+
+        def write_part(batches):
+            import uuid
+
+            rows = []
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    i = int(r.doc_id)
+                    rows.append(
+                        (
+                            i,
+                            r.text,
+                            r.lang,
+                            r.source,
+                            int(r.n_chars),
+                            None if i % 3 == 0 else f"v{i}",
+                            [i, i * 2] if i % 2 == 1 else [],
+                        )
+                    )
+            if rows:
+                cols = list(zip(*rows))
+                table = pa.table(
+                    {
+                        "doc_id": pa.array(cols[0], pa.int64()),
+                        "text": pa.array(cols[1], pa.utf8()),
+                        "lang": pa.array(cols[2], pa.utf8()).dictionary_encode(),
+                        "source": pa.array(cols[3], pa.utf8()).dictionary_encode(),
+                        "n_chars": pa.array(cols[4], pa.int64()),
+                        "opt": pa.array(cols[5], pa.utf8()),
+                        "tags": pa.array(cols[6], pa.list_(pa.int64())),
+                    }
+                )
+                path = os.path.join(d, f"part-{uuid.uuid4().hex}.arrow")
+                with pa.OSFile(path, "wb") as f, ipc.new_file(f, table.schema) as w:
+                    for b in table.to_batches(max_chunksize=16):
+                        w.write_batch(b)
+            yield pd.DataFrame({"n": [len(rows)]})
+
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        docs.mapInPandas(write_part, "n long").collect()
+
+    out = _roundtrip_dir("arrow", sf_dir, write)
+
+    def read_part(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                rd = ipc.open_file(pa.BufferReader(bytes(blob)))
+                for bi in range(rd.num_record_batches):
+                    b = rd.get_batch(bi)
+                    ids = b.column("doc_id").to_pylist()
+                    texts = b.column("text").to_pylist()
+                    langs = b.column("lang").to_pylist()
+                    srcs = b.column("source").to_pylist()
+                    ncs = b.column("n_chars").to_pylist()
+                    opts = b.column("opt").to_pylist()
+                    tags = b.column("tags").to_pylist()
+                    for i in range(b.num_rows):
+                        o = "~" if opts[i] is None else opts[i]
+                        t = ",".join(str(x) for x in tags[i])
+                        rows.append(
+                            (
+                                ids[i],
+                                texts[i],
+                                langs[i],
+                                ncs[i],
+                                f"{o}|{t}|{srcs[i]}",
+                            )
+                        )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "lang", "n_chars", "tricky"]
+            ).astype({"doc_id": "int64", "n_chars": "int64"})
+
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.arrow")
+        .load(out)
+        .select("content")
+        .mapInPandas(
+            read_part,
+            "doc_id long, text string, lang string, n_chars long, tricky string",
+        )
+    )
+    return _summarize(back)
