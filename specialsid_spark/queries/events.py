@@ -1080,3 +1080,88 @@ def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_all(spark, sf_dir)
     return spark.sql(_ANSI_SEASONAL_SQL)
+
+
+# One ANSI string both engines run verbatim: two-sided CUSUM changepoint
+# detection over per-type hourly totals.  The sequential recurrence
+# S_i = max(0, S_{i-1} + r_i) is evaluated WITHOUT recursion via the
+# prefix-sum identity S_i = C_i - min(0, min_{j<=i} C_j), so the whole
+# detector is two window passes.  Exactness: hourly totals are integer
+# cents; residuals are scaled by 4n so the slack term kappa = mu/4 and
+# the threshold H = 2*mu stay exact integers (r_up = 4n*y - 5*tot,
+# r_dn = 3*tot - 4n*y, H = 8*tot in the scaled units) — not one float
+# anywhere.
+_ANSI_CUSUM_SQL = """
+    WITH hourly AS (
+      SELECT event_type AS g, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+      FROM events
+      GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    base AS (
+      SELECT g, yc,
+             CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+             CAST(SUM(yc) OVER (PARTITION BY g) AS BIGINT) AS tot,
+             CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS BIGINT)
+               AS i
+      FROM hourly
+    ),
+    pre AS (
+      SELECT g, i, n, tot,
+             SUM(4 * n * yc - 5 * tot) OVER (PARTITION BY g ORDER BY i)
+               AS c_up,
+             SUM(3 * tot - 4 * n * yc) OVER (PARTITION BY g ORDER BY i)
+               AS c_dn
+      FROM base
+    ),
+    cus AS (
+      SELECT g, i, tot,
+             c_up - least(MIN(c_up) OVER (PARTITION BY g ORDER BY i),
+                          CAST(0 AS BIGINT)) AS s_up,
+             c_dn - least(MIN(c_dn) OVER (PARTITION BY g ORDER BY i),
+                          CAST(0 AS BIGINT)) AS s_dn
+      FROM pre
+    ),
+    agg AS (
+      SELECT g, MAX(i) AS n_hours,
+             MAX(s_up) AS peak_up, MAX(s_dn) AS peak_dn,
+             CAST(SUM(CASE WHEN s_up > 8 * tot THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_up_flags,
+             CAST(SUM(CASE WHEN s_dn > 8 * tot THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dn_flags
+      FROM cus GROUP BY g
+    ),
+    pk AS (
+      SELECT g, i AS peak_up_idx FROM (
+        SELECT g, i,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY s_up DESC, i) AS rn
+        FROM cus) t
+      WHERE rn = 1
+    )
+    SELECT a.g AS event_type, a.n_hours, p.peak_up_idx, a.peak_up,
+           a.n_up_flags, a.peak_dn, a.n_dn_flags
+    FROM agg a JOIN pk p ON p.g = a.g
+    ORDER BY event_type
+"""
+
+
+@register("ev_cusum_changepoint", oracle=_ANSI_CUSUM_SQL)
+def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family extension (r9) — two-sided CUSUM changepoint detection
+    (Page 1954) over per-type hourly revenue: the classical sequential
+    detector for sustained level shifts, complementary to ev_mad_anomaly
+    (point outliers) and ev_seasonal_decompose (periodic structure).
+    Slack kappa = mu/4, decision threshold H = 2*mu, both exact in the
+    4n-scaled integer units.  Emits per type the peak upward/downward
+    CUSUM, where the upward peak occurred, and how many hours breached
+    the threshold in each direction.
+
+    Scale shape: one groupBy to hourly grain, then window passes
+    partitioned by event_type — per-type state is a running sum and a
+    running min, the same two registers a streaming implementation
+    would carry (cf. streaming/pipeline.py's stateful ops).  No
+    recursion, no UDF, no float."""
+    from specialsid_spark.catalog import register_all  # noqa: PLC0415
+
+    register_all(spark, sf_dir)
+    return spark.sql(_ANSI_CUSUM_SQL)

@@ -1,0 +1,72 @@
+"""CUSUM changepoint detector: the window-based prefix-sum evaluation
+must equal the textbook sequential recurrence (exactness vs DuckDB is
+the oracle gate; this pins the algebraic identity and the detector's
+response to a planted shift)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from specialsid_spark.catalog import load
+from specialsid_spark.queries.events import ev_cusum_changepoint
+
+
+def _reference_cusum(ys: list[int]) -> tuple[int, int, int, int, int]:
+    """Direct S_i = max(0, S_{i-1} + r_i) recurrence on integer-cent
+    hourly totals, in the same 4n-scaled units as the query."""
+    n, tot = len(ys), sum(ys)
+    s_up = s_dn = 0
+    peak_up = peak_dn = 0
+    peak_up_idx = 1
+    n_up = n_dn = 0
+    for i, y in enumerate(ys, start=1):
+        s_up = max(0, s_up + (4 * n * y - 5 * tot))
+        s_dn = max(0, s_dn + (3 * tot - 4 * n * y))
+        if s_up > peak_up:
+            peak_up, peak_up_idx = s_up, i
+        peak_dn = max(peak_dn, s_dn)
+        if s_up > 8 * tot:
+            n_up += 1
+        if s_dn > 8 * tot:
+            n_dn += 1
+    return peak_up, peak_up_idx, n_up, peak_dn, n_dn
+
+
+def test_prefix_sum_identity_matches_recurrence(spark, sf_dir):
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("yc"))
+        .orderBy("event_type", "h")
+        .collect()
+    )
+    series: dict[str, list[int]] = {}
+    for r in hourly:
+        series.setdefault(r["event_type"], []).append(r["yc"])
+
+    got = {r["event_type"]: r for r in ev_cusum_changepoint(spark, sf_dir).collect()}
+    assert set(got) == set(series)
+    for g, ys in series.items():
+        peak_up, peak_up_idx, n_up, peak_dn, n_dn = _reference_cusum(ys)
+        r = got[g]
+        assert r["n_hours"] == len(ys), g
+        assert r["peak_up"] == peak_up, g
+        assert r["peak_up_idx"] == peak_up_idx, g
+        assert r["n_up_flags"] == n_up, g
+        assert r["peak_dn"] == peak_dn, g
+        assert r["n_dn_flags"] == n_dn, g
+
+
+def test_detector_flags_a_planted_level_shift():
+    # flat series: never breaches; shifted series: breaches after the
+    # change point and the peak lands at the end of the shifted run
+    flat = [100] * 48
+    pu, _, nu, pd_, nd = _reference_cusum(flat)
+    assert nu == 0 and nd == 0 and pu == 0 and pd_ == 0
+
+    # +100 over a mu=150 mean is borderline (nets exactly H after 24h);
+    # use an unambiguous 4x shift
+    shifted = [100] * 24 + [400] * 24
+    pu, idx, nu, _, _ = _reference_cusum(shifted)
+    assert nu > 0, "sustained +100 shift must breach H = 2*mu"
+    assert idx == 48, "upward CUSUM peaks at the end of the elevated run"
