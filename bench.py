@@ -136,6 +136,14 @@ HEADLINE = [
     "ev_seasonal_decompose",
     "text_perceptron_quality",
     "pipeline_retrieval_corpus",
+    # round-9 second wave: LM-based quality filtering (KN perplexity),
+    # DSIR importance resampling, content-defined chunk dedup, and
+    # CUSUM changepoints — all corpus-scale dataflows.  The Arrow IPC
+    # roundtrip stays excluded (fixture-IO like the other src_* legs).
+    "text_kn_perplexity",
+    "cur_dsir_importance_sample",
+    "dedup_cdc_chunks",
+    "ev_cusum_changepoint",
 ]
 
 

@@ -55,6 +55,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # predates r5.
 _PRIORITY: tuple[str, ...] = (
     # new in round 9 (no driver row yet)
+    "text_kn_perplexity",
+    "cur_dsir_importance_sample",
+    "dedup_cdc_chunks",
+    "src_arrow_ipc_roundtrip",
+    "ev_cusum_changepoint",
     "mm_lz4_text_roundtrip",
     "text_unigram_segment",
     "text_unigram_decode_parity",

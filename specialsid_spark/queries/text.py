@@ -1838,9 +1838,16 @@ def text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("w2")).alias("w2m"),
         )
     )
-    tys = sp.select("w1m", "w2m").distinct()
-    lp = (
-        tys.join(
+    # score each occurrence directly: one shuffle joins the occurrence
+    # stream to the bigram-type table (the only model table that is
+    # not vocabulary-bounded); context/continuation/totals broadcast.
+    # floor(ln(p)*1e6) is a pure function of the mapped type, so
+    # evaluating it per OCCURRENCE (codegen'd, no extra shuffle) gives
+    # the identical micro-nats the oracle derives per type — and saves
+    # the distinct + join-back pair of occurrence-stream shuffles
+    # (measured 6.9x -> ~2.5x growth on 10x data).
+    occ = (
+        sp.join(
             c12.select(F.col("w1").alias("a1"), F.col("w2").alias("a2"), "c12"),
             (F.col("w1m") == F.col("a1")) & (F.col("w2m") == F.col("a2")),
             "left",
@@ -1856,15 +1863,11 @@ def text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .crossJoin(F.broadcast(tot))
-        .select("w1m", "w2m", F.expr(_KN_LP_MU).alias("lp_mu"))
+        .select("doc_id", F.expr(_KN_LP_MU).alias("lp_mu"))
     )
-    docnll = (
-        sp.join(lp, ["w1m", "w2m"])
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            (-F.sum("lp_mu")).cast("long").alias("nll_mu"),
-        )
+    docnll = occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        (-F.sum("lp_mu")).cast("long").alias("nll_mu"),
     )
     nats = F.col("nll_mu").cast("double") / (
         F.lit(1000000.0) * F.col("n_bigrams").cast("double")
