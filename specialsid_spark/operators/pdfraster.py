@@ -26,9 +26,14 @@ Honest scope (documented, enforced loudly):
   discipline as the rect fill.  Path points transform through ANY
   affine CTM (rotation included); a pure-``re`` path keeps the r8
   round()-based fast fill bit-for-bit.
-* **Degrades to None**: rotated/skewed image placement, unsupported
-  color spaces or filters, anything malformed.  Per the codec-family
-  contract the public entry point never raises on untrusted input.
+* **Rotated/skewed CTMs** (r9 wave 2): rect and glyph-box fills route
+  through the scanline quad, image placement backward-warps each
+  device pixel center through the inverse CTM (nearest-neighbor) —
+  the axis-aligned cases keep their r8 round()-based code paths
+  bit-for-bit.
+* **Degrades to None**: unsupported color spaces or filters, singular
+  CTMs, anything malformed.  Per the codec-family contract the public
+  entry point never raises on untrusted input.
 
 Scale shape: one page rasterizes independently inside mapInPandas —
 embarrassingly parallel, buffer bounded by page size × DPI², never by
@@ -260,7 +265,22 @@ def rasterize_page(
 
 def _fill_rect(buf, m, x, y, w, h, color) -> None:
     if not _axis_aligned(m):
-        raise _Degrade("rotated/skewed rect fill")
+        # rotated/skewed CTM (r9): the rect is a quad in device space —
+        # route through the same integer scanline coverage as any path
+        _fill_path(
+            buf,
+            [
+                [
+                    _apply(m, x, y),
+                    _apply(m, x + w, y),
+                    _apply(m, x + w, y + h),
+                    _apply(m, x, y + h),
+                ]
+            ],
+            color,
+            False,
+        )
+        return
     xa, ya = _apply(m, x, y)
     xb, yb = _apply(m, x + w, y + h)
     px0, px1 = sorted((round(xa), round(xb)))
@@ -274,9 +294,15 @@ def _fill_rect(buf, m, x, y, w, h, color) -> None:
 
 
 def _place_image(buf, m, img) -> None:
-    """Nearest-neighbor placement of the unit-square image through m."""
+    """Nearest-neighbor placement of the unit-square image through m.
+
+    Axis-aligned CTMs keep the r8 round()-based placement bit-for-bit
+    (oracle-pinned); any other affine (rotation/skew, r9) inverse-maps
+    each device pixel center back to unit space and samples the texel
+    under it — the standard backward warp, all closed-form doubles."""
     if not _axis_aligned(m):
-        raise _Degrade("rotated/skewed image placement")
+        _place_image_affine(buf, m, img)
+        return
     w, h, ch, px = img
     xa, ya = _apply(m, 0.0, 0.0)
     xb, yb = _apply(m, 1.0, 1.0)
@@ -304,6 +330,45 @@ def _place_image(buf, m, img) -> None:
         buf[by0:by1, bx0:bx1] = sample[
             by0 - py0 : by1 - py0, bx0 - px0 : bx1 - px0
         ]
+
+
+def _place_image_affine(buf, m, img) -> None:
+    """Backward-warp placement for a general (non-axis-aligned) CTM:
+    for every device pixel center (X, Y) inside the transformed unit
+    square, (u, v) = m^-1 (X, Y); texel = image[floor((1-v)*h),
+    floor(u*w)] (image row 0 sits at unit y=1).  Pixel-center sampling
+    keeps the convention of _fill_path's scanline coverage."""
+    w, h, ch, px = img
+    a, b, c, d, e, f = m
+    det = a * d - b * c
+    if det == 0.0:
+        raise _Degrade("singular image CTM")
+    import math
+
+    corners = [_apply(m, u, v) for u in (0.0, 1.0) for v in (0.0, 1.0)]
+    px0 = max(0, math.floor(min(p[0] for p in corners)))
+    px1 = min(buf.shape[1], math.ceil(max(p[0] for p in corners)))
+    py0 = max(0, math.floor(min(p[1] for p in corners)))
+    py1 = min(buf.shape[0], math.ceil(max(p[1] for p in corners)))
+    if px1 <= px0 or py1 <= py0:
+        return
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+    X, Y = np.meshgrid(
+        np.arange(px0, px1, dtype=np.float64) + 0.5,
+        np.arange(py0, py1, dtype=np.float64) + 0.5,
+    )
+    u = (d * (X - e) - c * (Y - f)) / det
+    v = (-b * (X - e) + a * (Y - f)) / det
+    inside = (u >= 0.0) & (u < 1.0) & (v >= 0.0) & (v < 1.0)
+    if not inside.any():
+        return
+    cols = np.clip((u * w).astype(np.int64), 0, w - 1)
+    rows = np.clip(((1.0 - v) * h).astype(np.int64), 0, h - 1)
+    sample = arr[rows, cols]
+    if ch == 1:
+        sample = np.repeat(sample, 3, axis=2)
+    region = buf[py0:py1, px0:px1]
+    region[inside] = sample[inside]
 
 
 def _flatten_cubic(p0, p1, p2, p3) -> list[tuple[float, float]]:
@@ -485,24 +550,10 @@ def _run(content, buf, s, hpx, ox, oy, objs, xobjects) -> None:
                 _fill_path(buf, subpaths, fill, op in (b"f*", b"b*", b"B*"))
             else:
                 # pure-re path: the r8 round()-based exact rect fill,
-                # bit-for-bit (falls back to scanline when rotated)
+                # bit-for-bit (_fill_rect itself falls back to the
+                # scanline quad when the CTM is rotated/skewed)
                 for x, y, w, h, m_ in rects:
-                    if _axis_aligned(m_):
-                        _fill_rect(buf, m_, x, y, w, h, fill)
-                    else:
-                        _fill_path(
-                            buf,
-                            [
-                                [
-                                    _apply(m_, x, y),
-                                    _apply(m_, x + w, y),
-                                    _apply(m_, x + w, y + h),
-                                    _apply(m_, x, y + h),
-                                ]
-                            ],
-                            fill,
-                            False,
-                        )
+                    _fill_rect(buf, m_, x, y, w, h, fill)
             rects = []
             subpaths = []
             cur = None

@@ -195,7 +195,45 @@ def _splice_content(pdf: bytes, extra: bytes) -> bytes:
     return out
 
 
-def test_rotated_ctm_degrades():
+def test_singular_image_ctm_degrades():
     pdf = build_raster_pdf("x", (10, 10, 5, 5, 9), (8, 8, bytes(64)))
-    bad = pdf.replace(b"8 0 0 8", b"8 1 1 8", 1)  # skewed image placement
+    # rank-1 skew (det 0, not axis-aligned) -> _Degrade -> None; a
+    # zero matrix stays axis-aligned and degenerates to an EMPTY
+    # placement instead (no ink, no degrade)
+    bad = pdf.replace(b"8 0 0 8 300 300", b"8 8 8 8 300 300", 1)
     assert rasterize_page(bad) is None
+    empty = pdf.replace(b"8 0 0 8 300 300", b"0 0 0 0 300 300", 1)
+    assert rasterize_page(empty) is not None
+
+
+def test_rotated_image_placement_is_a_dihedral_of_axis_aligned():
+    # r9 wave 2: a 90-degree rotated placement of an asymmetric image
+    # must land in the same 8x8 device box as the axis-aligned one and
+    # equal it up to the rotation (some dihedral transform matches
+    # exactly — nearest-neighbor backward warp loses no pixels at
+    # integer geometry)
+    ipx = bytes(range(64))
+    pdf = build_raster_pdf("x", (10, 10, 5, 5, 9), (8, 8, ipx))
+    rot = pdf.replace(b"8 0 0 8 300 300", b"0 8 -8 0 308 300", 1)
+    a = _gray(rasterize_page(pdf))[484:492, 300:308]
+    b = _gray(rasterize_page(rot))[484:492, 300:308]
+    assert a.std() > 0  # asymmetric fixture, not a constant block
+    candidates = []
+    for k in range(4):
+        r = np.rot90(a, k)
+        candidates += [r, np.fliplr(r)]
+    assert any(np.array_equal(c, b) for c in candidates)
+
+
+def test_rotated_rect_fill_paints_the_rotated_area():
+    pdf = build_raster_pdf("x", (100, 100, 40, 30, 9), (8, 8, bytes(64)))
+    rot = pdf.replace(
+        b"100 100 40 30 re", b"q 0.8 0.6 -0.6 0.8 0 0 cm 100 100 40 30 re", 1
+    ).replace(b" g f", b" g f Q", 1)
+    g_axis = _gray(rasterize_page(pdf))
+    g_rot = _gray(rasterize_page(rot))
+    ink_axis = int((g_axis == 9).sum())
+    ink_rot = int((g_rot == 9).sum())
+    assert ink_axis == 40 * 30
+    # rotation preserves area up to perimeter-order pixel-center error
+    assert abs(ink_rot - 1200) < 150, ink_rot
