@@ -1,0 +1,103 @@
+"""WordPiece tokenizer (Schuster & Nakajima 2012; the BERT-family
+tokenizer) — the third tokenizer next to BPE (operators/bpe.py) and
+Unigram-LM (the SentencePiece counterpart, queries/text.py r9).
+
+Training is BPE-shaped but ranks candidate pairs by the WordPiece
+likelihood score count(ab) / (count(a) * count(b)) instead of raw pair
+frequency; word-internal symbols carry the ``##`` continuation prefix.
+Application is the real BERT algorithm: greedy longest-match-first
+against the vocabulary, whole word -> [UNK] on any dead end.
+
+Determinism contract (the BPE/BM25 discipline): the score is one IEEE
+double division of exact integers (products stay far below 2^53 at
+every test SF), computed with the identical expression by the DuckDB
+oracle; ties break lexicographically on the pair, so the merge list is
+a pure function of the word counts on any engine / any partitioning.
+
+Distribution shape: word counting is the only corpus-scale pass;
+training is a bounded driver loop over the top-V rows (V and n_merges
+are hyperparameters, never corpus-proportional); application segments
+only distinct words (Heaps-bounded) and broadcast-joins back.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+UNK = "[UNK]"
+
+
+def _init_syms(word: str) -> list[str]:
+    return [word[0]] + ["##" + c for c in word[1:]]
+
+
+def train_wordpiece(
+    word_counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` merges.  Each round scores every adjacent
+    symbol pair by count(ab) / (count(a) * count(b)) and merges the
+    best (ties: lexicographic pair order); the rhs of a merge is always
+    word-internal, so the merged symbol is lhs + rhs-without-##."""
+    words: list[tuple[list[str], int]] = [
+        (_init_syms(w), c) for w, c in word_counts if w
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_n: Counter = Counter()
+        sym_n: Counter = Counter()
+        for syms, c in words:
+            for s in syms:
+                sym_n[s] += c
+            for a, b in zip(syms, syms[1:]):
+                pair_n[(a, b)] += c
+        if not pair_n:
+            break
+        best = min(
+            pair_n.items(),
+            key=lambda kv: (-(kv[1] / (sym_n[kv[0][0]] * sym_n[kv[0][1]])), kv[0]),
+        )[0]
+        merges.append(best)
+        merged = best[0] + best[1][2:]
+        for syms, _ in words:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == best[0] and syms[i + 1] == best[1]:
+                    syms[i : i + 2] = [merged]
+                else:
+                    i += 1
+    return merges
+
+
+def wordpiece_vocab(
+    word_counts: list[tuple[str, int]], merges: list[tuple[str, str]]
+) -> set[str]:
+    """Alphabet (initial chars + ## continuation chars of the training
+    words) plus every merged piece — the HF WordPiece convention."""
+    voc: set[str] = set()
+    for w, _ in word_counts:
+        if w:
+            voc.update(_init_syms(w))
+    for a, b in merges:
+        voc.add(a + b[2:])
+    return voc
+
+
+def apply_wordpiece(
+    word: str, vocab: set[str], max_piece: int = 12
+) -> list[str]:
+    """Greedy longest-match-first segmentation; [UNK] for the whole
+    word when no piece matches at some position (the BERT behavior —
+    within the training alphabet the single-char fallback means greedy
+    never dead-ends, so [UNK] marks out-of-alphabet characters)."""
+    out: list[str] = []
+    pos = 0
+    while pos < len(word):
+        for ln in range(min(max_piece, len(word) - pos), 0, -1):
+            piece = word[pos : pos + ln] if pos == 0 else "##" + word[pos : pos + ln]
+            if piece in vocab:
+                out.append(piece)
+                pos += ln
+                break
+        else:
+            return [UNK]
+    return out

@@ -55,6 +55,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # predates r5.
 _PRIORITY: tuple[str, ...] = (
     # new in round 9 (no driver row yet)
+    "text_wordpiece_train_merges",
+    "text_wordpiece_segment_vocab",
     "text_kn_perplexity",
     "cur_dsir_importance_sample",
     "dedup_cdc_chunks",

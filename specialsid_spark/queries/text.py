@@ -1882,3 +1882,209 @@ def text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ppl_bucket"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# WordPiece tokenizer (operators/wordpiece.py): the BERT-family third
+# member of the tokenizer family (BPE r5, Unigram-LM r9).  Training is
+# the BPE CTE chain with the WordPiece LIKELIHOOD argmax — score =
+# count(ab) / (count(a) * count(b)), one IEEE double division of exact
+# integers computed by the identical expression on both engines, ties
+# lexicographic.  Application is greedy longest-match-first; the oracle
+# selects the greedy path from the full segmentation enumeration by
+# lexicographically-maximal piece-length key (valid because the
+# single-char fallback means greedy never dead-ends inside the training
+# alphabet, so the greedy prefix choice always completes).
+
+_WP_V = 120
+_WP_NMERGES = 12
+_WP_MAXLEN = 12
+_WP_WORD_RE = "[a-z]+"
+_WP_PASSES = 6
+
+
+def _wp_rep_expr(expr: str, k: int) -> str:
+    pat = f"' ' || b{k}.a || ' ' || b{k}.b || ' '"
+    rep = f"' ' || b{k}.a || substr(b{k}.b, 3) || ' '"
+    for _ in range(_WP_PASSES):
+        expr = f"replace({expr}, {pat}, {rep})"
+    return expr
+
+
+def _wp_train_ctes() -> str:
+    """w0 = top-V words as initial-char + ##-continuation sequences;
+    per round k: s{k} symbol counts, p{k} pair counts, b{k} likelihood
+    argmax, w{k+1} merged."""
+    parts = [
+        f"""w0 AS MATERIALIZED (
+      SELECT word, cnt,
+             ' ' || word[1] ||
+             CASE WHEN length(word) > 1
+                  THEN ' ' || array_to_string(
+                         list_transform(range(2, length(word) + 1),
+                                        i -> '##' || word[i]), ' ')
+                  ELSE '' END || ' ' AS syms
+      FROM (
+        SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '{_WP_WORD_RE}')) AS tok
+              FROM documents)
+        WHERE length(tok) <= {_WP_MAXLEN}
+        GROUP BY tok
+        ORDER BY cnt DESC, tok
+        LIMIT {_WP_V}
+      )
+    )"""
+    ]
+    for k in range(_WP_NMERGES):
+        parts.append(
+            f"""s{k} AS MATERIALIZED (
+      SELECT s, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+        SELECT cnt, unnest(str_split(trim(syms), ' ')) AS s FROM w{k})
+      GROUP BY s
+    ),
+    p{k} AS MATERIALIZED (
+      SELECT pr.a AS a, pr.b AS b, CAST(SUM(cnt) AS BIGINT) AS n
+      FROM (
+        SELECT cnt,
+               unnest(list_transform(range(1, len(l)),
+                      i -> struct_pack(a := l[i], b := l[i+1]))) AS pr
+        FROM (SELECT cnt, str_split(trim(syms), ' ') AS l FROM w{k})
+      )
+      GROUP BY pr.a, pr.b
+    ),
+    b{k} AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT p.a, p.b,
+               CAST(p.n AS DOUBLE) / CAST(sa.n * sb.n AS DOUBLE) AS score
+        FROM p{k} p
+        JOIN s{k} sa ON sa.s = p.a
+        JOIN s{k} sb ON sb.s = p.b) t
+      ORDER BY score DESC, a, b LIMIT 1
+    ),
+    w{k + 1} AS MATERIALIZED (
+      SELECT word, cnt, {_wp_rep_expr("syms", k)} AS syms FROM w{k}, b{k}
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _wp_word_counts(spark: SparkSession, sf_dir: str) -> list[tuple[str, int]]:
+    d = load_parallel(spark, sf_dir, "documents")
+    top = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(_WP_WORD_RE), 0)
+            ).alias("word")
+        )
+        .where(F.length("word") <= _WP_MAXLEN)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(_WP_V)
+        .collect()
+    )
+    return [(r["word"], int(r["cnt"])) for r in top]
+
+
+_WP_TRAIN_ORACLE = (
+    "WITH " + _wp_train_ctes() + ",\n    m AS (\n"
+    + "\n      UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs FROM b{k}"
+        for k in range(_WP_NMERGES)
+    )
+    + "\n    )\n"
+    "    SELECT merge_rank, lhs, rhs, lhs || substr(rhs, 3) AS merged"
+    " FROM m ORDER BY merge_rank"
+)
+
+
+@register("text_wordpiece_train_merges", oracle=_WP_TRAIN_ORACLE)
+def text_wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 (r9 wave 2) — WordPiece training: the BPE distribution shape
+    (corpus-scale word count, bounded driver loop over top-V rows) with
+    the likelihood argmax count(ab)/(count(a)*count(b)) — the objective
+    that makes WordPiece prefer pairs that are SURPRISINGLY frequent
+    relative to their parts, not just frequent."""
+    from specialsid_spark.operators.wordpiece import train_wordpiece
+
+    wc = _wp_word_counts(spark, sf_dir)
+    merges = train_wordpiece(wc, _WP_NMERGES)
+    return spark.createDataFrame(
+        [(i, a, b, a + b[2:]) for i, (a, b) in enumerate(merges)],
+        "merge_rank bigint, lhs string, rhs string, merged string",
+    ).orderBy("merge_rank")
+
+
+_WP_SEGMENT_ORACLE = (
+    "WITH " + _wp_train_ctes() + f""",
+    voc AS MATERIALIZED (
+      SELECT DISTINCT piece FROM (
+        SELECT unnest(str_split(trim(syms), ' ')) AS piece FROM w0
+        UNION ALL
+        {" UNION ALL ".join(f"SELECT a || substr(b, 3) AS piece FROM b{k}" for k in range(_WP_NMERGES))}
+      ) t
+    ),
+    paths AS MATERIALIZED (
+      SELECT word, seg, np, gkey FROM (
+        WITH RECURSIVE gp AS (
+          SELECT word, 0 AS pos, CAST('' AS VARCHAR) AS seg,
+                 CAST('' AS VARCHAR) AS gkey, 0 AS np
+          FROM w0
+          UNION ALL
+          SELECT gp.word,
+                 gp.pos + CASE WHEN gp.pos = 0 THEN length(v.piece)
+                               ELSE length(v.piece) - 2 END,
+                 CASE WHEN gp.np = 0 THEN v.piece
+                      ELSE gp.seg || ' ' || v.piece END,
+                 gp.gkey || chr(CAST(64 + CASE WHEN gp.pos = 0
+                                THEN length(v.piece)
+                                ELSE length(v.piece) - 2 END AS INTEGER)),
+                 gp.np + 1
+          FROM gp, voc v
+          WHERE gp.pos < length(gp.word)
+            AND CASE WHEN gp.pos = 0
+                     THEN v.piece = substr(gp.word, 1, length(v.piece))
+                     ELSE v.piece = '##' || substr(gp.word, gp.pos + 1,
+                                                   length(v.piece) - 2)
+                      AND length(v.piece) >= 3 END
+        ) SELECT * FROM gp WHERE pos = length(word)
+      ) q
+    ),
+    greedy AS MATERIALIZED (
+      SELECT word, seg, np FROM (
+        SELECT word, seg, np,
+               row_number() OVER (PARTITION BY word ORDER BY gkey DESC) AS rk
+        FROM paths) t WHERE rk = 1
+    )
+    SELECT w.word, w.cnt, g.seg AS segmentation,
+           CAST(g.np AS BIGINT) AS n_tokens
+    FROM greedy g JOIN w0 w USING (word)
+    ORDER BY w.word"""
+)
+
+
+@register("text_wordpiece_segment_vocab", oracle=_WP_SEGMENT_ORACLE)
+def text_wordpiece_segment_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match-first segmentation of the training
+    vocabulary under the trained WordPiece — the BERT tokenizer's
+    runtime algorithm, pinned against an oracle that derives the SAME
+    greedy path by a completely different construction (full
+    segmentation enumeration + lexicographically-maximal piece-length
+    key).  Two independent implementations of training AND greedy
+    application must agree on every piece of every word."""
+    from specialsid_spark.operators.wordpiece import (
+        apply_wordpiece,
+        train_wordpiece,
+        wordpiece_vocab,
+    )
+
+    wc = _wp_word_counts(spark, sf_dir)
+    merges = train_wordpiece(wc, _WP_NMERGES)
+    voc = wordpiece_vocab(wc, merges)
+    rows = []
+    for w, c in wc:
+        segs = apply_wordpiece(w, voc, max_piece=_WP_MAXLEN)
+        rows.append((w, c, " ".join(segs), len(segs)))
+    return spark.createDataFrame(
+        rows, "word string, cnt bigint, segmentation string, n_tokens bigint"
+    ).orderBy("word")

@@ -1,0 +1,51 @@
+"""WordPiece tokenizer semantics (oracle exactness is the driver gate;
+these pin the algorithm against hand-computed cases)."""
+
+from __future__ import annotations
+
+from specialsid_spark.operators.wordpiece import (
+    UNK,
+    apply_wordpiece,
+    train_wordpiece,
+    wordpiece_vocab,
+)
+
+
+def test_likelihood_argmax_differs_from_frequency_argmax():
+    # ('a','##b') occurs 6 times but both symbols are everywhere
+    # (denominator large); ('c','##d') occurs 4 times from rare symbols.
+    # BPE (frequency) would merge ab first; WordPiece must merge cd.
+    wc = [("ab", 6), ("ax", 10), ("xb", 10), ("cd", 4)]
+    merges = train_wordpiece(wc, 1)
+    assert merges[0] == ("c", "##d"), merges
+    # score check: ab = 6/(16*16) ~ 0.023 < cd = 4/(4*4) = 0.25
+
+
+def test_merged_symbol_strips_continuation_prefix():
+    wc = [("zz", 5)]
+    merges = train_wordpiece(wc, 1)
+    assert merges == [("z", "##z")]
+    voc = wordpiece_vocab(wc, merges)
+    assert "zz" in voc and "z" in voc and "##z" in voc
+
+
+def test_greedy_takes_longest_match_first():
+    voc = {"un", "##able", "##a", "##b", "##l", "##e", "u", "##n"}
+    assert apply_wordpiece("unable", voc) == ["un", "##able"]
+    # without the long continuation piece it decomposes char-wise
+    voc2 = voc - {"##able"}
+    assert apply_wordpiece("unable", voc2) == ["un", "##a", "##b", "##l", "##e"]
+
+
+def test_unk_on_out_of_alphabet_character():
+    voc = {"a", "##a"}
+    assert apply_wordpiece("aqa", voc) == [UNK]
+    assert apply_wordpiece("aaa", voc) == ["a", "##a", "##a"]
+
+
+def test_chained_merges_build_long_pieces():
+    # one dominant word: merges chain left-to-right into the full word
+    wc = [("abcd", 100), ("a", 1), ("b", 1)]
+    merges = train_wordpiece(wc, 3)
+    voc = wordpiece_vocab(wc, merges)
+    assert apply_wordpiece("abcd", voc) == ["abcd"]
