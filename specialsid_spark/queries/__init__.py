@@ -57,6 +57,7 @@ _PRIORITY: tuple[str, ...] = (
     # new in round 9 (no driver row yet)
     "text_wordpiece_train_merges",
     "text_wordpiece_segment_vocab",
+    "clean_snapshot_schema_evolution",
     "text_kn_perplexity",
     "cur_dsir_importance_sample",
     "dedup_cdc_chunks",

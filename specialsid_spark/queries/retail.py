@@ -1191,3 +1191,94 @@ def clean_snapshot_clone_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_rewritten).cast("int").alias("n_files_rewritten"),
         F.lit(n_shared).cast("int").alias("n_files_shared"),
     )
+
+
+@register(
+    "clean_snapshot_schema_evolution",
+    # v1 commits (ok, cents); v2 APPENDS rows that carry a NEW
+    # `priority` column.  The merged read fills NULL for pre-evolution
+    # files, so n_with_priority and the md5 checksum of the new
+    # column's values are restatable from orders by the key predicate.
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS ok,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderpriority AS prio
+      FROM orders WHERE o_orderkey < 4000
+    )
+    SELECT 1 AS version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(0 AS BIGINT) AS n_with_priority,
+           CAST(0 AS BIGINT) AS priority_ck
+    FROM o WHERE ok % 3 = 0
+    UNION ALL
+    SELECT 2,
+           CAST(count(*) AS BIGINT),
+           CAST(sum(cents) AS BIGINT),
+           CAST(count(CASE WHEN ok % 3 = 1 THEN 1 END) AS BIGINT),
+           CAST(COALESCE(sum(CASE WHEN ok % 3 = 1 THEN
+             ('0x' || substring(md5(prio), 1, 8))::BIGINT END), 0) AS BIGINT)
+    FROM o WHERE ok % 3 IN (0, 1)
+    ORDER BY version
+    """,
+)
+def clean_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 extension (r9 wave 2) — ADDITIVE schema evolution on the
+    manifest lakehouse: version 2 appends files carrying a NEW
+    `priority` column without rewriting version 1's immutable files;
+    the merged read unions the schemas and fills NULL where a file
+    predates the column.  At 100 TB a column add is a metadata
+    operation, never a table rewrite.  The md5 checksum over the new
+    column's values proves the evolved column's CONTENT survives, not
+    just its shape; time-traveling to v1 still yields the old schema.
+
+    Scale shape: identical to the other snapshot queries — commits are
+    parquet writes + one O(1) manifest rename; per-version aggregates
+    are lazy unions over manifest-pinned reads."""
+    from pathlib import Path
+
+    from specialsid_spark.operators.snapshot import snapshot_commit, snapshot_read
+    from specialsid_spark.queries._determinism import cents
+    from specialsid_spark.session import session_workdir
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select(
+            F.col("o_orderkey").alias("ok"),
+            cents("o_totalprice").alias("cents_v"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+    )
+    work = Path(session_workdir("specialsid_snapev_"))
+    t = str(work / "tbl")
+    snapshot_commit(
+        o.filter(F.col("ok") % 3 == 0).select("ok", "cents_v"), t, mode="append"
+    )
+    snapshot_commit(
+        o.filter(F.col("ok") % 3 == 1).select(
+            "ok", "cents_v", F.col("prio").alias("priority")
+        ),
+        t,
+        mode="append",
+    )
+    r1 = snapshot_read(spark, t, 1)
+    assert "priority" not in r1.columns  # time travel keeps the old schema
+    a1 = r1.agg(
+        F.lit(1).cast("long").alias("version"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents_v").cast("long").alias("sum_cents"),
+        F.lit(0).cast("long").alias("n_with_priority"),
+        F.lit(0).cast("long").alias("priority_ck"),
+    )
+    r2 = snapshot_read(spark, t, 2, merge_schema=True)
+    pck = F.conv(F.substring(F.md5("priority"), 1, 8), 16, 10).cast("long")
+    a2 = r2.agg(
+        F.lit(2).cast("long").alias("version"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents_v").cast("long").alias("sum_cents"),
+        F.count("priority").cast("long").alias("n_with_priority"),
+        F.coalesce(F.sum(pck), F.lit(0)).cast("long").alias("priority_ck"),
+    )
+    return a1.unionByName(a2).orderBy("version")
