@@ -144,6 +144,7 @@ HEADLINE = [
     "cur_dsir_importance_sample",
     "dedup_cdc_chunks",
     "ev_cusum_changepoint",
+    "pipeline_perplexity_curation",
 ]
 
 

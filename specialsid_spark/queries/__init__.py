@@ -58,6 +58,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_wordpiece_train_merges",
     "text_wordpiece_segment_vocab",
     "clean_snapshot_schema_evolution",
+    "pipeline_perplexity_curation",
     "text_kn_perplexity",
     "cur_dsir_importance_sample",
     "dedup_cdc_chunks",

@@ -1704,10 +1704,7 @@ _KN_P = (
 _KN_LP_MU = f"CAST(FLOOR(LN({_KN_P}) * 1000000) AS BIGINT)"
 
 
-@register(
-    "text_kn_perplexity",
-    oracle=f"""
-    WITH tk AS MATERIALIZED (
+_KN_CTES = f"""tk AS MATERIALIZED (
       SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents
       WHERE len({_SQL_TOKENS}) >= 2
     ),
@@ -1759,19 +1756,29 @@ _KN_LP_MU = f"CAST(FLOOR(LN({_KN_P}) * 1000000) AS BIGINT)"
              CAST(-SUM(l.lp_mu) AS BIGINT) AS nll_mu
       FROM sp JOIN lp l ON l.w1m = sp.w1m AND l.w2m = sp.w2m
       GROUP BY sp.doc_id
-    )
-    SELECT doc_id, n_bigrams, nll_mu,
-           CAST(nll_mu AS DOUBLE) / (1000000.0 * CAST(n_bigrams AS DOUBLE))
-             AS nats_per_bigram,
-           CAST(NTILE(3) OVER (
-             ORDER BY CAST(nll_mu AS DOUBLE)
-                      / (1000000.0 * CAST(n_bigrams AS DOUBLE)), doc_id
-           ) AS BIGINT) AS ppl_bucket
-    FROM docnll
+    ),
+    knb AS MATERIALIZED (
+      SELECT doc_id, n_bigrams, nll_mu,
+             CAST(nll_mu AS DOUBLE) / (1000000.0 * CAST(n_bigrams AS DOUBLE))
+               AS nats_per_bigram,
+             CAST(NTILE(3) OVER (
+               ORDER BY CAST(nll_mu AS DOUBLE)
+                        / (1000000.0 * CAST(n_bigrams AS DOUBLE)), doc_id
+             ) AS BIGINT) AS ppl_bucket
+      FROM docnll
+    )"""
+
+
+@register(
+    "text_kn_perplexity",
+    oracle=f"""
+    WITH {_KN_CTES}
+    SELECT doc_id, n_bigrams, nll_mu, nats_per_bigram, ppl_bucket
+    FROM knb
     ORDER BY doc_id
     """,
 )
-def text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 / curation — CCNet-style LM perplexity filter: train an
     interpolated Kneser-Ney bigram LM on the doc_id % 3 == 0 reference
     slice, score EVERY document's mean nats-per-bigram under it, and
@@ -1881,7 +1888,13 @@ def text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(nats, "doc_id"))
         .cast("long")
         .alias("ppl_bucket"),
-    ).orderBy("doc_id")
+    )
+
+
+def text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _kn_scored (kept adjacent so the registered query, the
+    shared scorer, and the docstring stay one unit)."""
+    return _kn_scored(spark, sf_dir).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -2088,3 +2101,65 @@ def text_wordpiece_segment_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "word string, cnt bigint, segmentation string, n_tokens bigint"
     ).orderBy("word")
+
+
+@register(
+    "pipeline_perplexity_curation",
+    # Composition oracle: the full KN CTE chain (shared _KN_CTES) ->
+    # head/middle gate -> exact-dedup survivors (min doc_id per text
+    # hash) -> per-language summary with a doc-id checksum, so the hash
+    # pins exactly WHICH documents survive both gates.
+    oracle=f"""
+    WITH {{KN}},
+    kept AS MATERIALIZED (
+      SELECT d.doc_id, d.lang, d.text
+      FROM documents d JOIN knb ON knb.doc_id = d.doc_id
+      WHERE knb.ppl_bucket <= 2
+    ),
+    surv AS MATERIALIZED (
+      SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM kept
+      GROUP BY md5(text)
+    )
+    SELECT k.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_SQL_TOKENS.replace("text", "k.text")})) AS BIGINT)
+             AS n_tokens,
+           CAST(SUM(('0x' || substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT)
+             AS BIGINT) AS docids_ck
+    FROM kept k JOIN surv USING (doc_id)
+    GROUP BY k.lang
+    ORDER BY k.lang
+    """.replace("{KN}", _KN_CTES),
+)
+def pipeline_perplexity_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition (r9 wave 2): the perplexity-gated curation
+    pass a pre-training pipeline runs — (1) score every document under
+    the corpus-trained KN bigram LM and DROP the perplexity tail
+    (bucket 3, the CCNet recipe), (2) exact-dedup the survivors
+    (min-doc_id keeper per content hash), (3) per-language corpus
+    accounting with a doc-id checksum that pins the exact survivor
+    set.  Every stage is the already-oracled operator reused — the
+    composition itself is what's under test.
+
+    Scale shape: the KN stages as in text_kn_perplexity; the gate is a
+    projection+filter; dedup shuffles (md5, doc_id) pairs only; the
+    summary is a map-side-combining groupBy on language."""
+    scored = _kn_scored(spark, sf_dir)
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    kept = d.join(
+        scored.filter(F.col("ppl_bucket") <= 2).select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=True)
+    surv = kept.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    ck = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        kept.join(surv.select("doc_id"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens"),
+            F.sum(ck).cast("long").alias("docids_ck"),
+        )
+        .orderBy("lang")
+    )
