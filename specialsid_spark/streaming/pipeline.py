@@ -1274,3 +1274,102 @@ def scd2_intervals(spark: SparkSession, dim_path: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from")
     )
+
+
+def streaming_cusum_monitor(
+    spark: SparkSession,
+    events_dir: str,
+    mu_cents: int,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T8/W extension (r9 wave 2): per-type streaming CUSUM drift
+    monitor — the control-chart setting of the batch
+    `ev_cusum_changepoint`: the target mean mu is a DESIGN PARAMETER
+    (given in cents), because an online monitor cannot know the corpus
+    mean; everything else matches the batch formulation exactly, with
+    residuals in the same 4x-scaled integer units so kappa = mu/4 and
+    H = 2*mu stay exact integers.
+
+    Per-key state is PRECISELY what the batch prefix-sum identity says
+    a sequential evaluation needs: the two CUSUM registers (s_up,
+    s_dn), the two flag counters, and the one OPEN hour bucket (an
+    hour closes when a later hour arrives — event-time ordering within
+    the key).  Residuals per closed hour: r_up = 4*yc - 5*mu_cents,
+    r_dn = 3*mu_cents - 4*yc; breach when a register exceeds
+    H = 8*mu_cents (scaled units).
+
+    Scale shape: state is 7 integers per event_type — O(|keys|), never
+    O(events); each micro-batch shuffles (event_type, hour, cents)
+    partials only."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    ev = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).json(events_dir)
+
+    out_schema = (
+        "event_type string, n_hours_closed long, s_up long, s_dn long,"
+        " n_up_flags long, n_dn_flags long, open_hour long, open_sum long"
+    )
+    state_schema = (
+        "s_up long, s_dn long, n_up long, n_dn long, n_closed long,"
+        " open_hour long, open_sum long"
+    )
+    h_thresh = 8 * mu_cents
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            s_up, s_dn, n_up, n_dn, n_closed, open_hour, open_sum = state.get
+        else:
+            s_up = s_dn = n_up = n_dn = n_closed = 0
+            open_hour, open_sum = -1, 0
+        hours: dict[int, int] = {}
+        if open_hour >= 0:
+            hours[open_hour] = open_sum
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            hs = (pdf["ts"].astype("int64") // (3_600 * 10**9)).astype("int64")
+            cents = (pdf["value"] * 100).round().astype("int64")
+            for h, c in zip(hs, cents):
+                hours[int(h)] = hours.get(int(h), 0) + int(c)
+        if hours:
+            ordered = sorted(hours)
+            open_hour = ordered[-1]
+            open_sum = hours[open_hour]
+            for h in ordered[:-1]:  # every hour older than the newest closes
+                yc = hours[h]
+                s_up = max(0, s_up + (4 * yc - 5 * mu_cents))
+                s_dn = max(0, s_dn + (3 * mu_cents - 4 * yc))
+                n_up += 1 if s_up > h_thresh else 0
+                n_dn += 1 if s_dn > h_thresh else 0
+                n_closed += 1
+        state.update((s_up, s_dn, n_up, n_dn, n_closed, open_hour, open_sum))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_hours_closed": [n_closed],
+                "s_up": [s_up],
+                "s_dn": [s_dn],
+                "n_up_flags": [n_up],
+                "n_dn_flags": [n_dn],
+                "open_hour": [open_hour],
+                "open_sum": [open_sum],
+            }
+        )
+
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

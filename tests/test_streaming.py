@@ -1129,3 +1129,86 @@ def test_streaming_scd2_parity_with_batch_build(spark, tmp_path):
     want = [tuple(r) for r in spark.sql(_ANSI_SCD2_SQL).collect()]
     assert got == want
     assert len(got) > 6  # real transitions, not one row per user
+
+
+def test_streaming_cusum_monitor_matches_sequential_reference(spark, tmp_path):
+    """The streaming monitor's two registers must evolve exactly like
+    the textbook recurrence over closed hours, with state carried
+    across a checkpointed restart (second availableNow run)."""
+    from specialsid_spark.streaming.pipeline import streaming_cusum_monitor
+
+    mu = 500  # target mean, cents
+    ev_dir = tmp_path / "events_cusum"
+    ev_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt_cusum")
+
+    # hours 10..13 for type 'click': 5.0, 5.0, 20.0, 20.0 (level shift),
+    # hour 14 stays open.  'view' stays on target throughout.
+    def ev(i, ts, typ, v):
+        return {"event_id": i, "ts": ts, "user_id": 1, "event_type": typ, "value": v}
+
+    _write_events(
+        ev_dir / "b1.json",
+        [
+            ev(1, "2024-01-01 10:00:00", "click", 5.0),
+            ev(2, "2024-01-01 11:00:00", "click", 5.0),
+            ev(3, "2024-01-01 10:30:00", "view", 5.0),
+            ev(4, "2024-01-01 11:30:00", "view", 5.0),
+            ev(5, "2024-01-01 12:00:00", "click", 20.0),
+            ev(6, "2024-01-01 12:10:00", "view", 5.0),
+        ],
+    )
+
+    def run_once():
+        # foreachBatch sink: the memory sink cannot recover from a
+        # checkpoint, and recovery is the point of the second run
+        out: dict = {}
+
+        def sink(bdf, _bid):
+            for r in bdf.collect():
+                out[r["event_type"]] = r
+
+        st = streaming_cusum_monitor(spark, str(ev_dir), mu_cents=mu)
+        q = (
+            st.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        return out
+
+    run_once()
+    _write_events(
+        ev_dir / "b2.json",
+        [
+            ev(7, "2024-01-01 13:00:00", "click", 20.0),
+            ev(8, "2024-01-01 13:20:00", "view", 5.0),
+            ev(9, "2024-01-01 14:00:00", "click", 5.0),
+            ev(10, "2024-01-01 14:00:00", "view", 5.0),
+        ],
+    )
+    got = run_once()
+
+    def reference(hour_cents):
+        s_up = s_dn = n_up = n_dn = 0
+        for yc in hour_cents:
+            s_up = max(0, s_up + (4 * yc - 5 * mu))
+            s_dn = max(0, s_dn + (3 * mu - 4 * yc))
+            n_up += 1 if s_up > 8 * mu else 0
+            n_dn += 1 if s_dn > 8 * mu else 0
+        return s_up, s_dn, n_up, n_dn
+
+    # click closed hours: 10, 11, 12, 13 -> [500, 500, 2000, 2000]
+    s_up, s_dn, n_up, n_dn = reference([500, 500, 2000, 2000])
+    c = got["click"]
+    assert (c["s_up"], c["s_dn"], c["n_up_flags"], c["n_dn_flags"]) == (
+        s_up, s_dn, n_up, n_dn,
+    )
+    assert c["n_hours_closed"] == 4
+    assert n_up > 0, "the planted +1500c shift must breach H = 8*mu"
+    # view stays on target: both registers at zero, no flags
+    v = got["view"]
+    assert (v["s_up"], v["s_dn"], v["n_up_flags"], v["n_dn_flags"]) == (0, 0, 0, 0)
+    assert v["n_hours_closed"] == 4
