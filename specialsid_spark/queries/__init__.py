@@ -59,6 +59,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_wordpiece_segment_vocab",
     "clean_snapshot_schema_evolution",
     "pipeline_perplexity_curation",
+    "dedup_lsh_recall_referee",
     "text_kn_perplexity",
     "cur_dsir_importance_sample",
     "dedup_cdc_chunks",
