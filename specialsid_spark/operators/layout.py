@@ -109,3 +109,39 @@ def rowgroup_overlap_fraction(path: str, column: str, lo, hi) -> float:
     if total == 0:
         raise FileNotFoundError(f"no parquet row groups under {path!r}")
     return overlapping / total
+
+
+def write_with_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: dict[str, int],
+    rowgroup_bytes: int = 8 << 20,
+) -> None:
+    """Write parquet with a split-block bloom filter per column in
+    ``bloom_cols`` (column -> expected NDV).  Blooms answer the
+    point-lookup question min/max stats cannot: for a high-cardinality
+    UNSORTED key (content hashes, UUIDs) every row group's [min, max]
+    spans the whole domain, so stats prune nothing — the bloom skips a
+    row group whenever the probed key is definitely absent.  At 100 TB
+    this is the difference between a point lookup scanning one row
+    group and scanning the table.
+
+    Z-order (write_zordered) and blooms are complementary: Z-order
+    makes RANGE stats selective for 2 correlated dimensions; blooms
+    make EQUALITY selective for keys with no useful order."""
+    w = df.write.mode("overwrite").option("parquet.block.size", str(rowgroup_bytes))
+    for col, ndv in bloom_cols.items():
+        w = w.option(f"parquet.bloom.filter.enabled#{col}", "true")
+        w = w.option(f"parquet.bloom.filter.expected.ndv#{col}", str(ndv))
+    w.parquet(path)
+
+
+def scan_output_rows(df: DataFrame) -> int:
+    """Execute ``df`` and return the SCAN node's numOutputRows metric —
+    the rows the parquet reader actually materialized after row-group
+    skipping (stats, dictionary, bloom), BEFORE the post-scan filter.
+    The measurement hook for pruning tests; keep the plan exchange-free
+    (plain filter, no aggregate) so the scan leaf is addressable."""
+    df.collect()
+    jplan = df._jdf.queryExecution().executedPlan()
+    return jplan.collectLeaves().head().metrics().apply("numOutputRows").value()

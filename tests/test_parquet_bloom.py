@@ -1,0 +1,56 @@
+"""Parquet split-block bloom filters: the point-lookup pruning path for
+high-cardinality unsorted keys, where min/max stats are useless (every
+row group's [min, max] spans the domain).  Measured from the scan
+node's own numOutputRows metric."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from specialsid_spark.operators.layout import scan_output_rows, write_with_bloom
+
+# 32 hex chars, inside every row group's [min, max], not an md5 of
+# anything we wrote (an out-of-range probe like 'zzz' would be pruned
+# by STATS and prove nothing about the bloom)
+_ABSENT = "88888888888888888888888888888888"
+_N = 100_000
+
+
+def _hashed(spark):
+    return spark.range(0, _N).select(
+        F.md5(F.col("id").cast("string")).alias("k"), F.col("id")
+    )
+
+
+def test_bloom_skips_absent_key_where_stats_cannot(spark, tmp_path):
+    df = _hashed(spark).coalesce(1)
+    on, off = str(tmp_path / "on"), str(tmp_path / "off")
+    write_with_bloom(df, on, {"k": _N}, rowgroup_bytes=1 << 20)
+    df.write.mode("overwrite").option("parquet.block.size", str(1 << 20)).parquet(off)
+
+    probe_on = spark.read.parquet(on).filter(F.col("k") == _ABSENT)
+    probe_off = spark.read.parquet(off).filter(F.col("k") == _ABSENT)
+    rows_on = scan_output_rows(probe_on)
+    rows_off = scan_output_rows(probe_off)
+    assert rows_on == 0, "bloom must skip every row group for an absent key"
+    assert rows_off == _N, (
+        "control: random hex keys give useless min/max stats, so the "
+        "bloom-less scan materializes everything"
+    )
+
+
+def test_bloom_never_drops_a_present_key(spark, tmp_path):
+    df = _hashed(spark).coalesce(1)
+    on = str(tmp_path / "on2")
+    write_with_bloom(df, on, {"k": _N}, rowgroup_bytes=1 << 20)
+    # probe ten real keys spread across the id range
+    want = {
+        r["k"]: r["id"]
+        for r in _hashed(spark).filter(F.col("id") % (_N // 10) == 7).collect()
+    }
+    got = (
+        spark.read.parquet(on)
+        .filter(F.col("k").isin(*want.keys()))
+        .collect()
+    )
+    assert {r["k"]: r["id"] for r in got} == want
