@@ -28,10 +28,19 @@ with one refinement pass) so the decoder's progressive paths are
 exercised by real streams.  A truncated progressive payload decodes
 to whatever scans arrived — progressive's defining property.
 
-Scope (documented, test-pinned): still no arithmetic coding, 12-bit,
-or CMYK.  Unsupported streams return None and callers fall back to
-the byte-slice stub, so the operator degrades loudly-documented
-rather than wrongly.
+Round 9 wave 2 adds the PRINT-STOCK color paths real flyer PDFs ship:
+4-component Adobe CMYK (APP14 transform 0, inverted Photoshop
+convention) and YCCK (transform 2), plus bare non-inverted CMYK when
+the Adobe marker is absent — decoded to 3-channel RGB via
+rgb = (255-ink) * (255-K) / 255; :func:`encode_jpeg` emits both
+variants (ch=4 + ``adobe_transform``) so the decoder's CMYK paths are
+exercised by real streams.
+
+Scope (documented, test-pinned): still no arithmetic coding or 12-bit
+color (12-bit GRAYSCALE has its own decoder in operators/jpeg12.py).
+Unsupported streams return None and callers fall back to the
+byte-slice stub, so the operator degrades loudly-documented rather
+than wrongly.
 
 Determinism: the decoder is pure integer/float math with fixed
 rounding; encode(decode(x)) is bit-stable across runs, which is what
@@ -251,6 +260,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes] | None:
     comps: list[dict] = []
     w = h = 0
     restart = 0
+    adobe = None  # APP14 Adobe transform flag (0=CMYK/RGB, 2=YCCK)
     progressive = False
     coefs: list[np.ndarray] | None = None  # progressive coefficient state
     scans_done = 0
@@ -267,7 +277,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes] | None:
                 continue
             if m == 0xD9:  # EOI
                 if progressive and coefs is not None:
-                    return _reconstruct(w, h, comps, qts, coefs)
+                    return _reconstruct(w, h, comps, qts, coefs, adobe)
                 return None
             ln = struct.unpack(">H", blob[i + 2 : i + 4])[0]
             seg = blob[i + 4 : i + 2 + ln]
@@ -308,6 +318,8 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes] | None:
                     j += 17 + nv
             elif m == 0xDD:  # DRI
                 restart = struct.unpack(">H", seg[:2])[0]
+            elif m == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+                adobe = seg[11]
             elif m == 0xDA:  # SOS — entropy data follows
                 ns = seg[0]
                 smap = {}
@@ -325,7 +337,8 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes] | None:
                     for comp in comps:
                         comp["dc"], comp["ac"] = smap[comp["id"]]
                     return _decode_scan(
-                        blob, i + 2 + ln, w, h, comps, qts, dc_tabs, ac_tabs, restart
+                        blob, i + 2 + ln, w, h, comps, qts, dc_tabs, ac_tabs,
+                        restart, adobe,
                     )
                 ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
                 if coefs is None:
@@ -339,7 +352,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes] | None:
                     # A truncated/damaged scan after >=1 complete one:
                     # render what arrived (progressive's whole point).
                     if scans_done:
-                        return _reconstruct(w, h, comps, qts, coefs)
+                        return _reconstruct(w, h, comps, qts, coefs, adobe)
                     return None
                 scans_done += 1
                 continue
@@ -350,7 +363,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes] | None:
     # progressive's defining property is that every prefix is an image.
     if progressive and coefs is not None:
         try:
-            return _reconstruct(w, h, comps, qts, coefs)
+            return _reconstruct(w, h, comps, qts, coefs, adobe)
         except (ValueError, IndexError, KeyError):
             return None
     return None
@@ -532,7 +545,7 @@ def _idct_blocks(zz_blocks: np.ndarray, qt: np.ndarray) -> np.ndarray:
     return _C.T @ nat @ _C + 128.0
 
 
-def _reconstruct(w, h, comps, qts, coefs):
+def _reconstruct(w, h, comps, qts, coefs, adobe=None):
     """Coefficient planes -> pixels: batched dequantize/de-zigzag/IDCT
     per component, then the shared upsample/crop/color tail."""
     hmax, vmax, mcux, mcuy = _mcu_geom(w, h, comps)
@@ -546,10 +559,10 @@ def _reconstruct(w, h, comps, qts, coefs):
             .transpose(0, 2, 1, 3)
             .reshape(brows * 8, bcols * 8)
         )
-    return _finish(w, h, comps, planes, hmax, vmax)
+    return _finish(w, h, comps, planes, hmax, vmax, adobe)
 
 
-def _finish(w, h, comps, planes, hmax, vmax):
+def _finish(w, h, comps, planes, hmax, vmax, adobe=None):
     # Integer-replication upsampling is only defined when every
     # component's factor divides the max (4:4:4, 4:2:2, 4:2:0, 4:1:1 …).
     # Non-dividing combos (e.g. 3:2) need fractional resampling — out of
@@ -567,6 +580,30 @@ def _finish(w, h, comps, planes, hmax, vmax):
     if len(comps) == 1:
         out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return w, h, 1, out.tobytes()
+    if len(comps) == 4:
+        # print-stock JPEGs (r9 wave 2): Adobe CMYK (APP14 transform 0,
+        # stored INVERTED: s = 255 - ink, the Photoshop convention) or
+        # YCCK (transform 2: YCC over the inverted CMY, K untouched);
+        # a bare 4-component stream without the Adobe marker is plain
+        # non-inverted CMYK.  Output is always 3-channel RGB:
+        # rgb = s_channel * s_k / 255.
+        if adobe == 2:
+            y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+            sc = y + 1.402 * cr
+            sm = y - 0.344136 * cb - 0.714136 * cr
+            sy = y + 1.772 * cb
+            sk = full[3]
+        elif adobe is not None:
+            sc, sm, sy, sk = full
+        else:
+            sc, sm, sy, sk = (255.0 - p for p in full)
+        r = sc * sk / 255.0
+        g = sm * sk / 255.0
+        b = sy * sk / 255.0
+        rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
+            np.uint8
+        )
+        return w, h, 3, rgb.tobytes()
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
@@ -683,7 +720,7 @@ class _SegReader:
         self.n = 0
 
 
-def _decode_scan(blob, pos, w, h, comps, qts, dc_tabs, ac_tabs, restart):
+def _decode_scan(blob, pos, w, h, comps, qts, dc_tabs, ac_tabs, restart, adobe=None):
     """Baseline-sequential entropy decode, r5 fast path: peek-16 LUT
     Huffman (one lookup + one bit-count bookkeeping per symbol), 32-bit
     chunked refills from pre-unstuffed segments, coefficients gathered
@@ -801,7 +838,7 @@ def _decode_scan(blob, pos, w, h, comps, qts, dc_tabs, ac_tabs, restart):
         plane4 = np.zeros((brows, bcols, 8, 8))
         plane4[rows, cols] = spatial
         planes.append(plane4.transpose(0, 2, 1, 3).reshape(brows * 8, bcols * 8))
-    return _finish(w, h, comps, planes, hmax, vmax)
+    return _finish(w, h, comps, planes, hmax, vmax, adobe)
 
 
 # ---------------------------------------------------------------- encode
@@ -910,6 +947,7 @@ def encode_jpeg(
     quality: int = 90,
     sampling: str = "444",
     restart_interval: int = 0,
+    adobe_transform: int = 0,
 ) -> bytes:
     """Encode raw row-major pixels (1=gray, 3=RGB) as baseline JFIF with
     Annex K tables scaled by ``quality``.  ``sampling`` is ``"444"``,
@@ -929,8 +967,25 @@ def encode_jpeg(
         ]
     elif ch == 1:
         planes = [arr[..., 0]]
+    elif ch == 4:
+        # Adobe print-stock JPEG (r9 wave 2): input channels are CMYK
+        # INK values; storage is the inverted Photoshop convention
+        # (s = 255 - ink) under APP14 transform 0, or YCC over the
+        # inverted CMY with K passthrough under transform 2 (YCCK).
+        if adobe_transform not in (0, 2):
+            raise ValueError("adobe_transform must be 0 (CMYK) or 2 (YCCK)")
+        sc, sm, sy, sk = (255.0 - arr[..., j] for j in range(4))
+        if adobe_transform == 2:
+            planes = [
+                0.299 * sc + 0.587 * sm + 0.114 * sy,
+                -0.168736 * sc - 0.331264 * sm + 0.5 * sy + 128.0,
+                0.5 * sc - 0.418688 * sm - 0.081312 * sy + 128.0,
+                sk,
+            ]
+        else:
+            planes = [sc, sm, sy, sk]
     else:
-        raise ValueError("encode_jpeg supports 1 (gray) or 3 (RGB) channels")
+        raise ValueError("encode_jpeg supports 1, 3 (RGB) or 4 (CMYK) channels")
     if sampling not in ("444", "422", "420") or (sampling != "444" and ch != 3):
         raise ValueError("sampling must be '444', or '422'/'420' with 3 channels")
 
@@ -986,7 +1041,8 @@ def encode_jpeg(
     # r5: ALL blocks FDCT'd/quantized/zigzagged in one batched matmul
     # per component before the serial Huffman emission loop
     coefs = [
-        _fdct_plane(pp, qt_l if ci == 0 else qt_c) for ci, pp in enumerate(padded)
+        _fdct_plane(pp, qt_l if (ci == 0 or len(padded) == 4) else qt_c)
+        for ci, pp in enumerate(padded)
     ]
     wtr = _BitWriter()
     pred = [0] * len(cplanes)
@@ -1001,7 +1057,7 @@ def encode_jpeg(
                 pred = [0] * len(cplanes)
             for ci in range(len(padded)):
                 sh, sv = sfac[ci]
-                tsel = 0 if ci == 0 else 1
+                tsel = 0 if (ci == 0 or len(padded) == 4) else 1
                 cc = coefs[ci]
                 for by in range(sv):
                     for bx in range(sh):
@@ -1029,7 +1085,7 @@ def encode_jpeg(
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
     sos = bytes([nc])
     for ci in range(nc):
-        tsel = 0 if ci == 0 else 1
+        tsel = 0 if (ci == 0 or nc == 4) else 1
         sh, sv = sfac[ci]
         sof += bytes([ci + 1, (sh << 4) | sv, tsel])
         sos += bytes([ci + 1, (tsel << 4) | tsel])
@@ -1037,6 +1093,8 @@ def encode_jpeg(
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if nc == 4:
+        out += seg(0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, adobe_transform]))
     out += dqt(0, qt_l)
     if nc == 3:
         out += dqt(1, qt_c)

@@ -60,6 +60,7 @@ _PRIORITY: tuple[str, ...] = (
     "clean_snapshot_schema_evolution",
     "pipeline_perplexity_curation",
     "dedup_lsh_recall_referee",
+    "mm_jpeg_cmyk_pixels",
     "text_kn_perplexity",
     "cur_dsir_importance_sample",
     "dedup_cdc_chunks",

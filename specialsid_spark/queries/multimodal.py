@@ -3496,3 +3496,87 @@ def dedup_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         .distinct()
     )
     return pairs.orderBy("doc_a", "doc_b")
+
+
+@register(
+    "mm_jpeg_cmyk_pixels",
+    # Per 8x8 block the four ink values derive from doc_id arithmetic;
+    # storage is Adobe-inverted (s = 255 - ink) at quality 100 with
+    # all-luma tables (every quant step 1, DC-only blocks), so decode
+    # returns the exact stored samples and rgb = round(s_ch*s_k/255).
+    # The half-way rounding case cannot occur: s_ch*s_k mod 255 is an
+    # integer over an ODD modulus, so the fraction is never exactly .5
+    # and ROUND agrees with numpy's banker rounding everywhere.
+    oracle=f"""
+    WITH {_SQL_CELLS},
+    px AS (
+      SELECT d.doc_id,
+             255 - (d.doc_id * 31 + (ys.y // 8) * 7 + (xs.x // 8) * 13) % 256
+               AS sc,
+             255 - (d.doc_id * 17 + (ys.y // 8) * 11 + (xs.x // 8) * 3) % 256
+               AS sm,
+             255 - (d.doc_id * 23 + (ys.y // 8) * 5 + (xs.x // 8) * 19) % 256
+               AS sy,
+             255 - (d.doc_id * 13 + (ys.y // 8) * 3 + (xs.x // 8) * 29) % 128
+               AS sk
+      FROM docs d CROSS JOIN ys CROSS JOIN xs
+    )
+    SELECT doc_id,
+           CAST(SUM(CAST(ROUND(sc * sk / 255.0) AS BIGINT)) AS BIGINT) AS r_sum,
+           CAST(SUM(CAST(ROUND(sm * sk / 255.0) AS BIGINT)) AS BIGINT) AS g_sum,
+           CAST(SUM(CAST(ROUND(sy * sk / 255.0) AS BIGINT)) AS BIGINT) AS b_sum
+    FROM px
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def mm_jpeg_cmyk_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 (r9 wave 2) — Adobe CMYK JPEG decode, oracle-hash-checked:
+    per doc, build a deterministic 4-channel block-uniform CMYK ink
+    image, encode it as a real Adobe JPEG (APP14 transform 0, inverted
+    samples, operators/jpeg.py), decode back through the CMYK->RGB
+    path, and report exact per-channel pixel sums the oracle restates
+    arithmetically.  Print-stock flyer PDFs ship exactly these streams
+    (the reference's domain), which the codec refused through r9
+    wave 1.
+
+    Scale shape: one mapInPandas over a doc-id spine, per-row
+    independent encode/decode, no shuffle before the final sort."""
+    import numpy as np
+    import pandas as pd
+
+    from specialsid_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                img = np.zeros((_IMG_H, _IMG_W, 4), dtype=np.uint8)
+                for by in range(_IMG_H // 8):
+                    for bx in range(_IMG_W // 8):
+                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            (doc_id * 31 + by * 7 + bx * 13) % 256,
+                            (doc_id * 17 + by * 11 + bx * 3) % 256,
+                            (doc_id * 23 + by * 5 + bx * 19) % 256,
+                            (doc_id * 13 + by * 3 + bx * 29) % 128,
+                        )
+                jb = encode_jpeg(_IMG_W, _IMG_H, 4, img.tobytes(), quality=100)
+                w, h, ch, px = decode_jpeg(jb)
+                rgb = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+                out.append(
+                    (
+                        doc_id,
+                        int(rgb[..., 0].sum()),
+                        int(rgb[..., 1].sum()),
+                        int(rgb[..., 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "r_sum", "g_sum", "b_sum"]
+            ).astype("int64")
+
+    schema = "doc_id long, r_sum long, g_sum long, b_sum long"
+    return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")

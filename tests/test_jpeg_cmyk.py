@@ -1,0 +1,75 @@
+"""Adobe CMYK / YCCK JPEG paths (r9 wave 2): the print-stock color
+transforms real flyer PDFs ship."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from specialsid_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+
+def _block_uniform_cmyk(w=16, h=16):
+    # block-uniform ink values -> DC-only blocks, exact at quality 100
+    arr = np.zeros((h, w, 4), dtype=np.uint8)
+    arr[:8, :8] = (200, 16, 64, 8)     # cyan-heavy block, light K
+    arr[:8, 8:] = (8, 200, 24, 0)      # magenta block, no K
+    arr[8:, :8] = (0, 0, 0, 248)       # almost-solid K
+    arr[8:, 8:] = (40, 40, 40, 40)
+    return arr
+
+
+def _expected_rgb(arr):
+    s = 255.0 - arr.astype(np.float64)
+    rgb = s[..., :3] * s[..., 3:4] / 255.0
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def test_adobe_cmyk_roundtrip_exact_at_q100():
+    arr = _block_uniform_cmyk()
+    blob = encode_jpeg(16, 16, 4, arr.tobytes(), quality=100)
+    assert b"Adobe" in blob[:64]
+    w, h, ch, px = decode_jpeg(blob)
+    assert (w, h, ch) == (16, 16, 3)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(16, 16, 3)
+    # no color transform on the CMY channels, DC-only blocks, q=1:
+    # storage is lossless, so the decoded RGB equals the closed form
+    assert np.array_equal(got, _expected_rgb(arr))
+
+
+def test_ycck_roundtrip_close_at_q100():
+    arr = _block_uniform_cmyk()
+    blob = encode_jpeg(16, 16, 4, arr.tobytes(), quality=100, adobe_transform=2)
+    w, h, ch, px = decode_jpeg(blob)
+    assert (w, h, ch) == (16, 16, 3)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(16, 16, 3).astype(np.int64)
+    want = _expected_rgb(arr).astype(np.int64)
+    # the YCC forward/backward pair adds one rounding generation
+    assert np.abs(got - want).max() <= 2
+
+
+def test_bare_cmyk_without_adobe_marker_is_not_inverted():
+    arr = _block_uniform_cmyk()
+    blob = encode_jpeg(16, 16, 4, arr.tobytes(), quality=100)
+    # strip the APP14 segment: 2-byte marker + 2-byte length + 12 payload
+    i = blob.index(b"\xff\xee")
+    bare = blob[:i] + blob[i + 16 :]
+    assert b"Adobe" not in bare[:64]
+    w, h, ch, px = decode_jpeg(bare)
+    assert (w, h, ch) == (16, 16, 3)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(16, 16, 3)
+    # without the marker the stored (inverted) samples are READ as ink
+    # directly: rgb = (255 - s) * (255 - s_k) / 255 where s = 255 - ink
+    s = 255.0 - _block_uniform_cmyk().astype(np.float64)  # stored samples
+    ink = s  # decoder treats stored values as ink
+    rgb = (255.0 - ink[..., :3]) * (255.0 - ink[..., 3:4]) / 255.0
+    want = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_rgb_and_gray_paths_unchanged():
+    rgb = np.full((8, 8, 3), 128, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(8, 8, 3, rgb.tobytes(), quality=100))
+    assert out[2] == 3
+    g = np.full((8, 8, 1), 99, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(8, 8, 1, g.tobytes(), quality=100))
+    assert out[2] == 1
