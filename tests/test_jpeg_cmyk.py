@@ -73,3 +73,24 @@ def test_rgb_and_gray_paths_unchanged():
     g = np.full((8, 8, 1), 99, dtype=np.uint8)
     out = decode_jpeg(encode_jpeg(8, 8, 1, g.tobytes(), quality=100))
     assert out[2] == 1
+
+
+def test_cmyk_jpeg_xobject_rasterizes_in_pdf():
+    # the rasterizer's DCTDecode path inherits CMYK support for free:
+    # decode_jpeg returns 3-channel RGB for a 4-component Adobe stream
+    from specialsid_spark.operators.pdf import build_image_pdf
+    from specialsid_spark.operators.pdfraster import rasterize_page
+
+    arr = _block_uniform_cmyk()
+    jb = encode_jpeg(16, 16, 4, arr.tobytes(), quality=100)
+    pdf = build_image_pdf([jb])
+    r = rasterize_page(pdf)
+    assert r is not None
+    w, h, ch, px = r
+    assert ch == 3
+    got = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    # the page is the image 1:1 (build_image_pdf sizes the MediaBox to
+    # the image); every pixel must match the closed-form CMYK->RGB
+    want = _expected_rgb(arr)
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)
