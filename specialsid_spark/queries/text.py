@@ -2145,11 +2145,18 @@ def pipeline_perplexity_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection+filter; dedup shuffles (md5, doc_id) pairs only; the
     summary is a map-side-combining groupBy on language."""
     scored = _kn_scored(spark, sf_dir)
-    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = load_parallel(spark, sf_dir, "documents").select(
+        # hash and token count are projected BEFORE the lineage break so
+        # no document text ever crosses the checkpoint or a shuffle
+        "doc_id",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(tokens("text")).cast("long").alias("nt"),
+    )
     kept = d.join(
         scored.filter(F.col("ppl_bucket") <= 2).select("doc_id"), "doc_id"
     ).localCheckpoint(eager=True)
-    surv = kept.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    surv = kept.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
     ck = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
@@ -2158,7 +2165,7 @@ def pipeline_perplexity_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens"),
+            F.sum("nt").cast("long").alias("n_tokens"),
             F.sum(ck).cast("long").alias("docids_ck"),
         )
         .orderBy("lang")
