@@ -414,3 +414,50 @@ def test_aqe_skew_split_fires_at_tuned_threshold(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def _shuffles(p: str) -> int:
+    import re
+
+    return len(re.findall(r"[+:]- Exchange \(", p))
+
+
+def test_kn_perplexity_scores_occurrences_without_extra_shuffles(spark, qs):
+    p = plan_of(spark, qs["text_kn_perplexity"](spark, SF_DIR))
+    # vocabulary-bounded model tables must broadcast to the occurrence
+    # stream (context/continuation/totals + the two vocab mappings)
+    assert p.count("BroadcastHashJoin") >= 4
+    # the doc-level sum must combine map-side
+    assert "partial_count" in p or "partial_sum" in p
+    # r9 wave-2 fix: no distinct-types + join-back pair of occurrence
+    # shuffles — the shuffle budget is the model aggregates (c12, ctx,
+    # bwd, vocab distinct) + the c12 score join + the doc sum (6); a
+    # regression back to the distinct+join-back shape adds two more
+    assert _shuffles(p) <= 7, _shuffles(p)
+
+
+def test_cdc_chunks_is_projection_then_one_agg_chain(spark, qs):
+    p = plan_of(spark, qs["dedup_cdc_chunks"](spark, SF_DIR))
+    # chunking itself must add NO exchange: scan -> projections ->
+    # generate -> partial agg; shuffles only for the aggregate and the
+    # distinct-doc count (two-phase), then the top-100 cut
+    assert "TakeOrderedAndProject" in p
+    assert _shuffles(p) <= 2, _shuffles(p)
+    assert "text" in p and "lang" not in p  # column pruning
+
+
+def test_curation_pipeline_never_shuffles_text(spark, qs):
+    p = plan_of(spark, qs["pipeline_perplexity_curation"](spark, SF_DIR))
+    # the kept projection hashes text map-side; after the checkpoint
+    # barrier no plan node may reference the raw text column
+    tail = p[p.index("localCheckpoint") :] if "localCheckpoint" in p else ""
+    # localCheckpoint materializes as an RDD scan; the visible plan is
+    # the post-barrier dataflow — it must operate on (doc_id, lang, h,
+    # nt) only
+    assert " text#" not in p.split("Scan ExistingRDD")[-1]
+
+
+def test_dsir_broadcasts_the_weight_table(spark, qs):
+    p = plan_of(spark, qs["cur_dsir_importance_sample"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "partial_sum" in p
