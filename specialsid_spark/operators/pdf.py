@@ -430,11 +430,13 @@ def extract_page_images(blob: bytes) -> list[bytes | None] | None:
 # order, with Td/TD/T*/Tm treated as line breaks.  No font programs, no
 # rendering.
 #
-# DOCUMENTED LIMITATION: strings decode as Latin-1 byte values — simple
-# fonts with standard encodings only.  CID/Type0 fonts need /ToUnicode
-# CMap resolution (a full font interpreter), out of scope; such pages
-# extract as garbage-free but possibly wrong-codepoint text, and
-# callers needing fidelity should treat non-Latin-1 results as suspect.
+# Font decode (r7): simple fonts resolve through their declared
+# /Encoding (WinAnsi, /Differences via the AGL subset); Type0/CID
+# fonts resolve through their /ToUnicode CMap (bfchar + both bfrange
+# forms, _tounicode_map below).  Strings from fonts declaring NEITHER
+# decode as Latin-1 byte values — the remaining documented limitation,
+# and such results should be treated as suspect by fidelity-sensitive
+# callers.
 
 
 _NUM_TOKEN_RE = re.compile(rb"^[+-]?(?:\d+\.?\d*|\.\d+)$")
