@@ -433,7 +433,7 @@ def extract_page_images(blob: bytes) -> list[bytes | None] | None:
 # Font decode (r7): simple fonts resolve through their declared
 # /Encoding (WinAnsi, /Differences via the AGL subset); Type0/CID
 # fonts resolve through their /ToUnicode CMap (bfchar + both bfrange
-# forms, _tounicode_map below).  Strings from fonts declaring NEITHER
+# forms, _parse_tounicode_cmap below).  Strings from fonts declaring NEITHER
 # decode as Latin-1 byte values — the remaining documented limitation,
 # and such results should be treated as suspect by fidelity-sensitive
 # callers.
