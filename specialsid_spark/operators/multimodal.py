@@ -806,3 +806,46 @@ def image_patches(
         for r in range(pr)
         for c in range(pc)
     ]
+
+
+def resize_bilinear_fp10(arr, out_w: int, out_h: int):
+    """Fixed-point BILINEAR resample — the vision-training resize
+    convention (half-pixel centers, torchvision align_corners=False),
+    up- or downscale, in EXACT tenths arithmetic: source coordinates
+    land on the 1/10 grid whenever out_w divides 5*W and out_h divides
+    5*H (asserted), so every output pixel is a pure integer expression
+    ((10-fy)*((10-fx)*v00 + fx*v01) + fy*((10-fx)*v10 + fx*v11) + 50)
+    // 100 that a SQL oracle restates verbatim.  Complements
+    resize_image_box (area-average thumbnails, downscale only).
+
+    ``arr`` is (H, W, C) uint8; returns (out_h, out_w, C) uint8."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    if (5 * w) % out_w or (5 * h) % out_h:
+        raise ValueError(
+            f"geometry not tenths-exact: {w}x{h} -> {out_w}x{out_h}"
+        )
+    a = arr.astype(np.int64)
+    sx10 = (2 * np.arange(out_w) + 1) * (5 * w) // out_w - 5
+    sy10 = (2 * np.arange(out_h) + 1) * (5 * h) // out_h - 5
+    x0 = sx10 // 10
+    fx = sx10 % 10
+    y0 = sy10 // 10
+    fy = sy10 % 10
+    x0c = np.clip(x0, 0, w - 1)
+    x1c = np.clip(x0 + 1, 0, w - 1)
+    y0c = np.clip(y0, 0, h - 1)
+    y1c = np.clip(y0 + 1, 0, h - 1)
+    fy_ = fy[:, None, None]
+    fx_ = fx[None, :, None]
+    v00 = a[np.ix_(y0c, x0c)]
+    v01 = a[np.ix_(y0c, x1c)]
+    v10 = a[np.ix_(y1c, x0c)]
+    v11 = a[np.ix_(y1c, x1c)]
+    val = (
+        (10 - fy_) * ((10 - fx_) * v00 + fx_ * v01)
+        + fy_ * ((10 - fx_) * v10 + fx_ * v11)
+        + 50
+    ) // 100
+    return val.astype(np.uint8)

@@ -61,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_perplexity_curation",
     "dedup_lsh_recall_referee",
     "mm_jpeg_cmyk_pixels",
+    "mm_image_resize_bilinear",
     "text_kn_perplexity",
     "cur_dsir_importance_sample",
     "dedup_cdc_chunks",

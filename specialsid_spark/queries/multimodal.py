@@ -3580,3 +3580,108 @@ def mm_jpeg_cmyk_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "doc_id long, r_sum long, g_sum long, b_sum long"
     return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")
+
+
+# resize target: 32x24 -> 20x15 (tenths-exact: 5*32 % 20 == 0,
+# 5*24 % 15 == 0; source coords in tenths are 16*d + 3 on both axes)
+_RZ_W, _RZ_H = 20, 15
+_SQL_FIXVAL = "(d.doc_id * 31 + ({yy} // 8) * 7 + ({xx} // 8) * 13) % 256"
+
+
+def _sql_bilinear_val() -> str:
+    v = {
+        (0, 0): _SQL_FIXVAL.format(yy="g.y0", xx="g.x0"),
+        (0, 1): _SQL_FIXVAL.format(yy="g.y0", xx="g.x1"),
+        (1, 0): _SQL_FIXVAL.format(yy="g.y1", xx="g.x0"),
+        (1, 1): _SQL_FIXVAL.format(yy="g.y1", xx="g.x1"),
+    }
+    return (
+        f"((10 - g.fy) * ((10 - g.fx) * ({v[(0,0)]}) + g.fx * ({v[(0,1)]}))"
+        f" + g.fy * ((10 - g.fx) * ({v[(1,0)]}) + g.fx * ({v[(1,1)]}))"
+        " + 50) // 100"
+    )
+
+
+@register(
+    "mm_image_resize_bilinear",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    oy AS (SELECT unnest(range(0, {_RZ_H})) AS y),
+    ox AS (SELECT unnest(range(0, {_RZ_W})) AS x),
+    grid AS (
+      SELECT oy.y, ox.x,
+             (16 * oy.y + 3) // 10 AS y0,
+             least((16 * oy.y + 3) // 10 + 1, {_IMG_H - 1}) AS y1,
+             (16 * oy.y + 3) % 10 AS fy,
+             (16 * ox.x + 3) // 10 AS x0,
+             least((16 * ox.x + 3) // 10 + 1, {_IMG_W - 1}) AS x1,
+             (16 * ox.x + 3) % 10 AS fx
+      FROM oy CROSS JOIN ox
+    )
+    SELECT d.doc_id,
+           CAST({_RZ_W} AS INT) AS out_w, CAST({_RZ_H} AS INT) AS out_h,
+           CAST(SUM({_sql_bilinear_val()}) AS BIGINT) AS pix_sum,
+           CAST(SUM(({_sql_bilinear_val()}) * ((g.y * {_RZ_W} + g.x) % 997))
+                AS BIGINT) AS pos_ck
+    FROM docs d CROSS JOIN grid g
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def mm_image_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 (r9 wave 2) — BILINEAR resize, the vision-training
+    preprocessing convention (half-pixel centers, up/downscale), in
+    exact tenths fixed-point: per doc, resample the deterministic
+    32x24 block fixture to 20x15 and report the pixel sum plus a
+    position-weighted checksum that pins every output pixel's VALUE
+    AND PLACE.  The oracle re-derives each output pixel from the
+    fixture arithmetic and the identical integer expression — a
+    cross-engine proof of the resampler, not just its totals.
+    Complements mm-family box decimation (area-average) with the
+    interpolating kernel.
+
+    Scale shape: per-image independent mapInPandas (Arrow-batched,
+    no shuffle) — the 100 TB vision-resize pass is embarrassingly
+    parallel."""
+    import numpy as np
+    import pandas as pd
+
+    from specialsid_spark.operators.multimodal import resize_bilinear_fp10
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                img = np.asarray(
+                    _fixture_gray(doc_id, 0), dtype=np.uint8
+                ).reshape(_IMG_H, _IMG_W, 1)
+                r = resize_bilinear_fp10(img, _RZ_W, _RZ_H).astype(np.int64)
+                pos = (
+                    np.arange(_RZ_H)[:, None] * _RZ_W + np.arange(_RZ_W)[None, :]
+                ) % 997
+                out.append(
+                    (
+                        doc_id,
+                        _RZ_W,
+                        _RZ_H,
+                        int(r.sum()),
+                        int((r[..., 0] * pos).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "out_w", "out_h", "pix_sum", "pos_ck"]
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "out_w": "int32",
+                    "out_h": "int32",
+                    "pix_sum": "int64",
+                    "pos_ck": "int64",
+                }
+            )
+
+    schema = "doc_id long, out_w int, out_h int, pix_sum long, pos_ck long"
+    return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")

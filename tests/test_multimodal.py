@@ -874,3 +874,38 @@ def test_parse_exif_malformed_subifd_pointer_type_degrades():
                 m = parse_exif(jpg.replace(good, bad))
                 # degrade: no raise; IFD0 tags still present
                 assert m is not None and m["width"] == 640
+
+
+def test_bilinear_fp10_matches_float_reference_and_enforces_geometry():
+    import numpy as np
+    import pytest
+
+    from specialsid_spark.operators.multimodal import resize_bilinear_fp10
+
+    rng = np.arange(24 * 32, dtype=np.int64).reshape(24, 32, 1) % 256
+    a = rng.astype(np.uint8)
+    r = resize_bilinear_fp10(a, 20, 15).astype(np.float64)
+
+    h, w = 24, 32
+    for y in (0, 7, 14):
+        for x in (0, 9, 19):
+            sx, sy = (x + 0.5) * (w / 20) - 0.5, (y + 0.5) * (h / 15) - 0.5
+            x0, y0 = int(np.floor(sx)), int(np.floor(sy))
+            fx, fy = sx - x0, sy - y0
+            xc = lambda v: min(max(v, 0), w - 1)  # noqa: E731
+            yc = lambda v: min(max(v, 0), h - 1)  # noqa: E731
+            v = (1 - fy) * (
+                (1 - fx) * a[yc(y0), xc(x0), 0] + fx * a[yc(y0), xc(x0 + 1), 0]
+            ) + fy * (
+                (1 - fx) * a[yc(y0 + 1), xc(x0), 0]
+                + fx * a[yc(y0 + 1), xc(x0 + 1), 0]
+            )
+            assert abs(r[y, x, 0] - v) <= 0.5 + 1e-9
+
+    # upscale works too (20x15 -> 25x25 is tenths-exact both axes)
+    up = resize_bilinear_fp10(r.astype(np.uint8), 25, 25)
+    assert up.shape == (25, 25, 1)
+
+    # non-tenths-exact geometry refuses loudly
+    with pytest.raises(ValueError):
+        resize_bilinear_fp10(a, 17, 15)
