@@ -62,6 +62,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_lsh_recall_referee",
     "mm_jpeg_cmyk_pixels",
     "mm_image_resize_bilinear",
+    "join_asof_tolerance_family",
     "text_kn_perplexity",
     "cur_dsir_importance_sample",
     "dedup_cdc_chunks",

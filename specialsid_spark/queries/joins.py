@@ -688,3 +688,105 @@ def join_interval_sweep_concurrency(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.desc("max_concurrent"), "l_suppkey")
         .limit(100)
     )
+
+
+_ASOF_TOL_US = 2 * 3600 * 1000000  # 2-hour tolerance, microseconds
+
+
+@register(
+    "join_asof_tolerance_family",
+    # pandas-merge_asof semantics, all three directions + tolerance:
+    # backward = latest signup at-or-before the error within 2 h,
+    # forward = earliest at-or-after within 2 h, nearest = the closer
+    # of the two (tie -> backward, the pandas convention).  The oracle
+    # states each direction as a correlated aggregate.
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'error'),
+    s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+    b AS (SELECT e.event_id, max(s.ts) AS bts
+          FROM e JOIN s ON s.user_id = e.user_id AND s.ts <= e.ts
+           AND epoch_us(e.ts) - epoch_us(s.ts) <= {_ASOF_TOL_US}
+          GROUP BY e.event_id),
+    f AS (SELECT e.event_id, min(s.ts) AS fts
+          FROM e JOIN s ON s.user_id = e.user_id AND s.ts >= e.ts
+           AND epoch_us(s.ts) - epoch_us(e.ts) <= {_ASOF_TOL_US}
+          GROUP BY e.event_id)
+    SELECT e.event_id,
+           CAST(e.ts AS VARCHAR) AS error_ts,
+           CAST(b.bts AS VARCHAR) AS backward_ts,
+           CAST(f.fts AS VARCHAR) AS forward_ts,
+           CAST(CASE
+             WHEN b.bts IS NULL THEN f.fts
+             WHEN f.fts IS NULL THEN b.bts
+             WHEN epoch_us(e.ts) - epoch_us(b.bts)
+                  <= epoch_us(f.fts) - epoch_us(e.ts) THEN b.bts
+             ELSE f.fts END AS VARCHAR) AS nearest_ts
+    FROM e LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+    ORDER BY e.event_id
+    """,
+)
+def join_asof_tolerance_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 completion — the full pandas-merge_asof family in one pass:
+    per error event, the latest same-user signup at-or-before
+    (BACKWARD), the earliest at-or-after (FORWARD), and the closer of
+    the two (NEAREST, ties to backward), each honoring a 2-hour
+    TOLERANCE.  join_asof_signup_before_error is the single-direction
+    teaching variant; real as-of consumers (trade/quote alignment,
+    attribution) need the direction/tolerance matrix.
+
+    Scale shape: ONE shuffle on user_id feeds two event-time window
+    passes (last-ignorenulls over the preceding frame, first over the
+    following frame — the tie-break ordering flips so equal timestamps
+    land in both directions); tolerance and nearest are pure
+    projections on the window outputs.  No correlated subquery, no
+    join explosion — the oracle's per-event aggregates are the
+    declarative twin."""
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("error", "signup")).withColumn(
+        "signup_ts", F.when(F.col("event_type") == "signup", F.col("ts"))
+    )
+    is_signup_first = F.when(F.col("event_type") == "signup", 0).otherwise(1)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), is_signup_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.when(F.col("event_type") == "error", 0).otherwise(1))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    out = (
+        tagged.withColumn("back_raw", F.last("signup_ts", ignorenulls=True).over(wb))
+        .withColumn("fwd_raw", F.first("signup_ts", ignorenulls=True).over(wf))
+        .filter(F.col("event_type") == "error")
+    )
+    # timestampdiff is NTZ-safe and tz-independent (events load as
+    # TIMESTAMP_NTZ; unix_micros would reject the type, and an
+    # NTZ->instant cast would re-introduce session-tz sensitivity —
+    # the ev_m4_downsample lesson)
+    back = F.when(
+        F.expr("timestampdiff(MICROSECOND, back_raw, ts)") <= _ASOF_TOL_US,
+        F.col("back_raw"),
+    )
+    fwd = F.when(
+        F.expr("timestampdiff(MICROSECOND, ts, fwd_raw)") <= _ASOF_TOL_US,
+        F.col("fwd_raw"),
+    )
+    out = out.withColumn("back_t", back).withColumn("fwd_t", fwd)
+    bdiff = F.expr("timestampdiff(MICROSECOND, back_t, ts)")
+    fdiff = F.expr("timestampdiff(MICROSECOND, fwd_t, ts)") * -1
+    nearest = (
+        F.when(F.col("back_t").isNull(), F.col("fwd_t"))
+        .when(F.col("fwd_t").isNull(), F.col("back_t"))
+        .when(bdiff <= fdiff, F.col("back_t"))
+        .otherwise(F.col("fwd_t"))
+    )
+    return out.select(
+        "event_id",
+        F.col("ts").cast("string").alias("error_ts"),
+        F.col("back_t").cast("string").alias("backward_ts"),
+        F.col("fwd_t").cast("string").alias("forward_ts"),
+        nearest.cast("string").alias("nearest_ts"),
+    ).orderBy("event_id")
