@@ -63,6 +63,8 @@ _PRIORITY: tuple[str, ...] = (
     "mm_jpeg_cmyk_pixels",
     "mm_image_resize_bilinear",
     "join_asof_tolerance_family",
+    "ev_markov_transitions",
+    "agg_trimmed_mean",
     "text_kn_perplexity",
     "cur_dsir_importance_sample",
     "dedup_cdc_chunks",

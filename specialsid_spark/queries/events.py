@@ -1165,3 +1165,96 @@ def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_all(spark, sf_dir)
     return spark.sql(_ANSI_CUSUM_SQL)
+
+
+# One ANSI string both engines run verbatim: first-order Markov
+# transitions over each user's event-type sequence (lead() within user
+# ordered by event time, ties broken by event_id so the sequence is
+# deterministic), with exact integer counts and ONE double division per
+# (from, to) pair for the transition probability.
+_ANSI_MARKOV_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    pair AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE dst IS NOT NULL
+      GROUP BY src, dst
+    ),
+    tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS t FROM pair GROUP BY src)
+    SELECT p.src, p.dst, p.n,
+           CAST(p.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS prob
+    FROM pair p JOIN tot t ON t.src = p.src
+    ORDER BY p.src, p.dst
+"""
+
+
+@register("ev_markov_transitions", oracle=_ANSI_MARKOV_SQL)
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family extension (r9 wave 2) — the first-order behavioral
+    Markov chain: per user, consecutive event-type pairs (event-time
+    order, event_id tie-break) aggregated into an exact transition
+    count matrix with per-source probabilities — the model behind
+    next-action prediction, anomaly scoring of improbable paths, and
+    session simulation.
+
+    Scale shape: one window pass partitioned by user_id (the sequence
+    shuffle), then a map-side-combining groupBy on (src, dst) — the
+    matrix is |event_types|^2-bounded, never corpus-bounded; the
+    per-source totals derive FROM the pair counts so the corpus is
+    sequenced exactly once."""
+    from specialsid_spark.catalog import register_all  # noqa: PLC0415
+
+    register_all(spark, sf_dir)
+    return spark.sql(_ANSI_MARKOV_SQL)
+
+
+# One ANSI string both engines run verbatim: 10% two-sided trimmed mean
+# per event type — the robust-location statistic between the mean
+# (outlier-sensitive) and the median (discards too much).  Exactness:
+# integer cents, deterministic rank order (value, event_id), integer
+# trim bounds via CAST(FLOOR(n / 10.0) AS BIGINT) — an explicit FLOOR,
+# because DuckDB's double->int CAST rounds where Spark's truncates —
+# and ONE double division at the end.
+_ANSI_TRIMMED_SQL = """
+    WITH v AS (
+      SELECT event_type AS g,
+             CAST(round(value * 100) AS BIGINT) AS c, event_id
+      FROM events
+    ),
+    r AS (
+      SELECT g, c,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY c, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM v
+    )
+    SELECT g AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(c) AS BIGINT) AS sum_kept_cents,
+           CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS BIGINT)
+             AS trimmed_mean_cents
+    FROM r
+    WHERE rk > CAST(FLOOR(n / 10.0) AS BIGINT)
+      AND rk <= n - CAST(FLOOR(n / 10.0) AS BIGINT)
+    GROUP BY g ORDER BY g
+"""
+
+
+@register("agg_trimmed_mean", oracle=_ANSI_TRIMMED_SQL)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family extension (r9 wave 2) — the 10% two-sided trimmed mean
+    per event type, completing the robust-statistics family next to
+    the exact median/MAD (ev_mad_anomaly) and CUSUM: integer-cent rank
+    selection with a deterministic tie-break, then one double division.
+
+    Scale shape: one shuffle on event_type for the ranked pass, then a
+    map-side-combining aggregate; like the exact percentiles, this is
+    the honest baseline — the one-pass production path at 100 TB is
+    the GK/q-digest sketch with trim quantiles."""
+    from specialsid_spark.catalog import register_all  # noqa: PLC0415
+
+    register_all(spark, sf_dir)
+    return spark.sql(_ANSI_TRIMMED_SQL)
