@@ -65,6 +65,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_asof_tolerance_family",
     "ev_markov_transitions",
     "agg_trimmed_mean",
+    "agg_hll_merge_parity",
     "text_kn_perplexity",
     "cur_dsir_importance_sample",
     "dedup_cdc_chunks",

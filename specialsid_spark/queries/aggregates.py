@@ -1211,3 +1211,113 @@ def agg_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         " est_cents bigint, exact_cents bigint, rank_le_est bigint,"
         " within_bound bigint",
     ).orderBy("p")
+
+
+@register(
+    "agg_hll_merge_parity",
+    # Mergeability is THE property that makes HLL the distributed
+    # distinct-count operator: registers built per shard and merged by
+    # MAX must equal the registers built over the whole corpus in one
+    # pass (max over a union == max of maxes).  The query runs BOTH
+    # constructions and emits their exact s33 sums plus an equality
+    # verdict the oracle restates — a broken merge path flips the hash.
+    oracle=f"""
+    WITH h AS (
+      SELECT l_returnflag, l_orderkey % 4 AS shard,
+             md5(CAST(l_orderkey AS VARCHAR)) AS hh
+      FROM lineitem
+    ),
+    br AS (
+      SELECT l_returnflag, shard,
+             ('0x' || substring(hh, 1, 8))::BIGINT % {_HLL_M} AS bucket,
+             {_HLL_RHO.format(w2="(('0x' || substring(hh, 9, 8))::BIGINT)")} AS rho
+      FROM h
+    ),
+    direct AS (
+      SELECT l_returnflag, bucket, MAX(rho) AS mj
+      FROM br GROUP BY l_returnflag, bucket
+    ),
+    shardr AS (
+      SELECT l_returnflag, shard, bucket, MAX(rho) AS mj
+      FROM br GROUP BY l_returnflag, shard, bucket
+    ),
+    merged AS (
+      SELECT l_returnflag, bucket, MAX(mj) AS mj
+      FROM shardr GROUP BY l_returnflag, bucket
+    ),
+    sd AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(power(2, 33 - mj) AS BIGINT))
+                  + ({_HLL_M} - COUNT(*)) * 8589934592 AS BIGINT) AS s33
+      FROM direct GROUP BY l_returnflag
+    ),
+    sm AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(power(2, 33 - mj) AS BIGINT))
+                  + ({_HLL_M} - COUNT(*)) * 8589934592 AS BIGINT) AS s33
+      FROM merged GROUP BY l_returnflag
+    )
+    SELECT sd.l_returnflag,
+           sd.s33 AS s33_direct, sm.s33 AS s33_merged,
+           CAST(CASE WHEN sd.s33 = sm.s33 THEN 1 ELSE 0 END AS BIGINT)
+             AS merge_exact
+    FROM sd JOIN sm ON sd.l_returnflag = sm.l_returnflag
+    ORDER BY sd.l_returnflag
+    """,
+)
+def agg_hll_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 extension (r9 wave 2) — HLL MERGEABILITY, value-proven: build
+    registers per shard (l_orderkey % 4, standing in for per-partition
+    or per-day sketch tables), merge shards by per-register MAX, and
+    require exact equality with the one-pass whole-corpus registers.
+    This is the algebra that lets a 100 TB pipeline keep daily sketch
+    tables and answer corpus-wide distinct counts without rescanning —
+    and the regression net for the merge code path the streaming
+    ingest door shares (streaming_hll_registers).
+
+    Scale shape: both constructions are map-side-combining MAX
+    aggregates; the shuffles carry register rows (groups x 1024), never
+    corpus rows."""
+    li = load(spark, sf_dir, "lineitem")
+    h = li.select(
+        "l_returnflag",
+        (F.col("l_orderkey") % 4).alias("shard"),
+        F.md5(F.col("l_orderkey").cast("string")).alias("hh"),
+    )
+    br = h.select(
+        "l_returnflag",
+        "shard",
+        hll_bucket(F.col("hh")).alias("bucket"),
+        hll_rho("hh").alias("rho"),
+    ).localCheckpoint(eager=True)
+    direct = br.groupBy("l_returnflag", "bucket").agg(F.max("rho").alias("mj"))
+    shardr = br.groupBy("l_returnflag", "shard", "bucket").agg(
+        F.max("rho").alias("mj")
+    )
+    merged = shardr.groupBy("l_returnflag", "bucket").agg(F.max("mj").alias("mj"))
+
+    def s33_of(regs: DataFrame, name: str) -> DataFrame:
+        agg = regs.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_hit"),
+            F.sum(F.pow(F.lit(2.0), 33 - F.col("mj")).cast("long")).alias("s_hit"),
+        )
+        return agg.select(
+            "l_returnflag",
+            hll_s33(F.col("s_hit"), F.col("n_hit")).cast("long").alias(name),
+        )
+
+    sd = s33_of(direct, "s33_direct")
+    sm = s33_of(merged, "s33_merged")
+    return (
+        sd.join(sm, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "s33_direct",
+            "s33_merged",
+            F.when(F.col("s33_direct") == F.col("s33_merged"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("merge_exact"),
+        )
+        .orderBy("l_returnflag")
+    )
