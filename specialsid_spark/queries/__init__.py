@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     "ev_markov_transitions",
     "agg_trimmed_mean",
     "agg_hll_merge_parity",
+    "text_textrank_keywords",
     "text_kn_perplexity",
     "cur_dsir_importance_sample",
     "dedup_cdc_chunks",

@@ -2170,3 +2170,134 @@ def pipeline_perplexity_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- TextRank keyword extraction (Mihalcea & Tarau 2004) ---
+#
+# PageRank over the token co-occurrence graph (undirected, window 2):
+# the unsupervised keyword extractor behind half the "top terms"
+# features in indexing/curation UIs.  Integer PageRank on the 10^12
+# micro-rank lattice with floor division everywhere — the
+# graph_pagerank_suppliers discipline — so three iterations are
+# bit-exactly restatable in SQL.
+
+_TR_UNIT = 10**12
+_TR_ITERS = 3
+
+
+def _tr_sql_iter(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT e.dst AS node,
+             ((15 * ({_TR_UNIT} // n.cnt)) // 100
+              + (85 * SUM(p.r // dg.d)) // 100) AS r
+      FROM tr_edges e
+      JOIN {prev} p ON p.node = e.src
+      JOIN tr_deg dg ON dg.src = e.src
+      CROSS JOIN tr_n n
+      GROUP BY e.dst, n.cnt
+    )
+    """
+
+
+@register(
+    "text_textrank_keywords",
+    oracle=f"""
+    WITH tk AS MATERIALIZED (
+      SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents
+    ),
+    occ AS MATERIALIZED (
+      SELECT doc_id, p.i AS pos, ts[p.i] AS w
+      FROM tk, (SELECT unnest(range(1, (SELECT MAX(len(ts)) FROM tk) + 1))
+                AS i) p
+      WHERE p.i <= len(ts)
+    ),
+    fwd AS (
+      SELECT DISTINCT a.w AS src, b.w AS dst
+      FROM occ a JOIN occ b
+        ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+       AND a.w <> b.w
+    ),
+    tr_edges AS MATERIALIZED (
+      SELECT src, dst FROM fwd
+      UNION
+      SELECT dst AS src, src AS dst FROM fwd
+    ),
+    tr_deg AS MATERIALIZED (
+      SELECT src, COUNT(*) AS d FROM tr_edges GROUP BY src
+    ),
+    tr_n AS MATERIALIZED (SELECT COUNT(*) AS cnt FROM tr_deg),
+    r0 AS MATERIALIZED (
+      SELECT src AS node, ({_TR_UNIT} // n.cnt) AS r
+      FROM tr_deg CROSS JOIN tr_n n
+    ),
+    {_tr_sql_iter("r0", "r1")},
+    {_tr_sql_iter("r1", "r2")},
+    {_tr_sql_iter("r2", "r3")}
+    SELECT node AS keyword, CAST(r AS BIGINT) AS rank_mu
+    FROM r3
+    ORDER BY rank_mu DESC, keyword
+    LIMIT 20
+    """,
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 (r9 wave 2) — TextRank keyword extraction (Mihalcea & Tarau
+    2004): PageRank (damping 0.85, 3 iterations) over the undirected
+    token co-occurrence graph (window 2), top-20 corpus keywords —
+    the standard unsupervised keyword extractor, here as a pure
+    dataflow with the integer micro-rank lattice so both engines agree
+    bit-for-bit.
+
+    Scale shape: the co-occurrence edge list is vocabulary^2-bounded
+    (DISTINCT pairs, built from one positional self-join windowed to
+    distance <= 2 — shuffle keyed on doc_id) and localCheckpointed so
+    each power iteration reuses materialized partitions; every
+    iteration shuffles (token, bigint) rank pairs only.  Same
+    lineage-truncation discipline as graph_pagerank_suppliers."""
+    d = load_parallel(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
+    )
+    a = occ.alias("a")
+    b = occ.alias("b")
+    fwd = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") - F.col("a.pos")).between(1, 2)
+            & (F.col("a.w") != F.col("b.w")),
+        )
+        .select(F.col("a.w").alias("src"), F.col("b.w").alias("dst"))
+        .distinct()
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    n_nodes = ed.select("src").distinct().count()
+    base = _TR_UNIT // n_nodes
+    ranks = (
+        ed.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.lit(base).alias("r"))
+    )
+    for _ in range(_TR_ITERS):
+        ranks = (
+            ed.join(ranks, ed.src == ranks.node)
+            .selectExpr("dst", "r div d AS contrib")
+            .groupBy("dst")
+            .agg(
+                F.expr(
+                    f"CAST({15 * base} AS BIGINT) div 100"
+                    " + (85 * sum(contrib)) div 100"
+                ).alias("r")
+            )
+            .withColumnRenamed("dst", "node")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        ranks.select(F.col("node").alias("keyword"), F.col("r").alias("rank_mu"))
+        .orderBy(F.col("rank_mu").desc(), "keyword")
+        .limit(20)
+    )
