@@ -145,6 +145,18 @@ HEADLINE = [
     "dedup_cdc_chunks",
     "ev_cusum_changepoint",
     "pipeline_perplexity_curation",
+    # round-9 third wave: the as-of direction/tolerance matrix, the
+    # behavioral Markov chain, robust trimmed means, HLL shard-merge
+    # parity, and TextRank keywords — all real corpus-scale dataflows.
+    # The CMYK/bilinear/arrow/schema-evolution queries stay excluded
+    # (fixture-IO); the LSH recall referee stays excluded too (an
+    # audit harness whose exact side is deliberately subset-bounded,
+    # not a production dataflow).
+    "join_asof_tolerance_family",
+    "ev_markov_transitions",
+    "agg_trimmed_mean",
+    "agg_hll_merge_parity",
+    "text_textrank_keywords",
 ]
 
 
