@@ -67,6 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_trimmed_mean",
     "agg_hll_merge_parity",
     "text_textrank_keywords",
+    "sim_matryoshka_truncation_recall",
     "text_kn_perplexity",
     "cur_dsir_importance_sample",
     "dedup_cdc_chunks",

@@ -742,3 +742,116 @@ def sim_binary_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rk", F.round("cs", 6).alias("cos_sim"))
         .orderBy("query_id", "rk")
     )
+
+
+_MRL_PREFIX = 16  # truncation: first 16 of 64 dims (4x compression)
+
+
+@register(
+    "sim_matryoshka_truncation_recall",
+    # Both rankings restated in SQL; the verdict columns are INTEGERS
+    # (overlap count, top-1 ids), so the hash carries no float at all —
+    # the cosine enters only through the rankings, whose ties break on
+    # neighbor_id exactly as the Spark side does.
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    fullr AS (
+      SELECT query_id, neighbor_id, rk FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_SQL_COS} DESC, b.vec_id) AS rk
+        FROM e a JOIN e b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < 8) t
+      WHERE rk <= 10
+    ),
+    et AS (SELECT vec_id, v[1:{_MRL_PREFIX}] AS v FROM e),
+    truncr AS (
+      SELECT query_id, neighbor_id, rk FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_SQL_COS} DESC, b.vec_id) AS rk
+        FROM et a JOIN et b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < 8) t
+      WHERE rk <= 10
+    )
+    SELECT f.query_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap_top10,
+           CAST(MAX(CASE WHEN f.rk = 1 THEN f.neighbor_id END) AS BIGINT)
+             AS full_top1,
+           (SELECT CAST(MAX(CASE WHEN rk = 1 THEN neighbor_id END) AS BIGINT)
+            FROM truncr WHERE query_id = f.query_id) AS trunc_top1
+    FROM fullr f
+    LEFT JOIN truncr t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    ORDER BY f.query_id
+    """,
+)
+def sim_matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (r9 wave 3) — Matryoshka truncation evaluation (Kusupati et
+    al. 2022): rank the corpus under FULL 64-dim cosine and under the
+    FIRST-16-DIM prefix (the 4x-cheaper representation MRL-trained
+    models expose), and report per query the top-10 overlap and both
+    top-1 ids — the measurement that decides whether a deployment can
+    serve the truncated index.  (These fixtures are not MRL-trained,
+    so overlap quantifies exactly how much an untrained truncation
+    loses — the honest baseline an MRL model is sold against.)
+
+    Scale shape: two broadcast-query brute-force rankings (the exact
+    referee, corpus never shuffled, per-query partial top-k); at
+    100 TB the production side would be the IVF/PQ index over the
+    truncated vectors with this query as its recall referee."""
+    e = load_parallel(spark, sf_dir, "embeddings")
+
+    def topk(vec_col: F.Column, k: int = 10) -> DataFrame:
+        q = e.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"),
+            vec_col.alias("qv"),
+        )
+        n = e.select(F.col("vec_id").alias("neighbor_id"), vec_col.alias("nv"))
+        scored = (
+            F.broadcast(q)
+            .join(n, F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                (
+                    dot(F.col("qv"), F.col("nv"))
+                    / (norm(F.col("qv")) * norm(F.col("nv")))
+                ).alias("cs"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cs").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "rk")
+        )
+
+    fullr = topk(F.col("embedding"))
+    truncr = topk(F.slice(F.col("embedding"), 1, _MRL_PREFIX))
+    t1f = fullr.filter(F.col("rk") == 1).select(
+        "query_id", F.col("neighbor_id").cast("long").alias("full_top1")
+    )
+    t1t = truncr.filter(F.col("rk") == 1).select(
+        "query_id", F.col("neighbor_id").cast("long").alias("trunc_top1")
+    )
+    ov = (
+        fullr.join(truncr, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap_top10"))
+    )
+    return (
+        fullr.select("query_id")
+        .distinct()
+        .join(ov, "query_id", "left")
+        .fillna(0, ["n_overlap_top10"])
+        .join(t1f, "query_id")
+        .join(t1t, "query_id")
+        .select("query_id", "n_overlap_top10", "full_top1", "trunc_top1")
+        .orderBy("query_id")
+    )
