@@ -68,6 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_hll_merge_parity",
     "text_textrank_keywords",
     "sim_matryoshka_truncation_recall",
+    "join_interval_overlap_binned",
     "text_kn_perplexity",
     "cur_dsir_importance_sample",
     "dedup_cdc_chunks",

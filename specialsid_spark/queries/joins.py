@@ -790,3 +790,109 @@ def join_asof_tolerance_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fwd_t").cast("string").alias("forward_ts"),
         nearest.cast("string").alias("nearest_ts"),
     ).orderBy("event_id")
+
+
+@register(
+    "join_interval_overlap_binned",
+    # The oracle is the DIRECT non-equi overlap join (DuckDB's IEJoin
+    # handles it natively); the Spark side must produce the identical
+    # pair set through week-binning — the standard range-join-at-scale
+    # rewrite, value-verified pair-for-pair via counts and the exact
+    # overlap-day sum.
+    oracle="""
+    WITH w AS (
+      SELECT c.c_nationkey AS nk, o.o_orderkey AS ok,
+             CAST(o.o_orderdate AS DATE) AS s,
+             CAST(o.o_orderdate AS DATE) + CAST(o.o_orderkey % 14 AS INT) AS e
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderkey % 3 = 0
+    ),
+    p AS (
+      SELECT a.nk,
+             datediff('day', greatest(a.s, b.s), least(a.e, b.e)) + 1 AS od
+      FROM w a JOIN w b ON a.nk = b.nk AND a.ok < b.ok
+       AND a.s <= b.e AND b.s <= a.e
+    )
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(od) AS BIGINT) AS sum_overlap_days
+    FROM p JOIN nation n ON n.n_nationkey = p.nk
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def join_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 extension (r9 wave 3) — interval OVERLAP join via time-bucket
+    binning: per-nation order validity windows (o_orderdate .. +0-13
+    days) paired whenever they overlap.  A naive theta join is
+    O(n^2-per-key); the scale rewrite explodes each interval to the
+    WEEKS it touches (<= 3 for two-week windows), equi-joins on
+    (nation, week) — so candidates are bounded by per-week density,
+    not per-nation volume — re-checks the exact overlap predicate, and
+    dedups pairs that share multiple weeks.  The DuckDB oracle runs
+    the DIRECT non-equi join, so the rewrite is proven to produce the
+    identical pair set (count + exact overlap-day sum per nation).
+
+    Scale shape: one broadcast dim join, one explode (<= 3 rows per
+    interval), one equi-join on (nk, week) + map-side-combining
+    aggregates.  The bin width is the tuning knob: it bounds both the
+    per-key fan-out and the duplicate factor."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_orderdate").cast("date").alias("s"),
+            F.date_add(
+                F.col("o_orderdate").cast("date"),
+                (F.col("o_orderkey") % 14).cast("int"),
+            ).alias("e"),
+        )
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    w = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nk"), "ok", "s", "e"
+    )
+    binned = w.selectExpr(
+        "nk",
+        "ok",
+        "s",
+        "e",
+        "explode(sequence(datediff(s, DATE'1992-01-01') div 7, "
+        "datediff(e, DATE'1992-01-01') div 7)) AS wk",
+    )
+    a = binned.alias("a")
+    b = binned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.nk") == F.col("b.nk"))
+            & (F.col("a.wk") == F.col("b.wk"))
+            & (F.col("a.ok") < F.col("b.ok"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.nk").alias("nk"),
+            F.col("a.ok").alias("ok_a"),
+            F.col("b.ok").alias("ok_b"),
+            (
+                F.datediff(
+                    F.least(F.col("a.e"), F.col("b.e")),
+                    F.greatest(F.col("a.s"), F.col("b.s")),
+                )
+                + 1
+            ).alias("od"),
+        )
+        .distinct()
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        pairs.join(F.broadcast(n), pairs.nk == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("od").cast("long").alias("sum_overlap_days"),
+        )
+        .orderBy("n_name")
+    )
