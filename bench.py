@@ -157,6 +157,8 @@ HEADLINE = [
     "agg_trimmed_mean",
     "agg_hll_merge_parity",
     "text_textrank_keywords",
+    "sim_matryoshka_truncation_recall",
+    "join_interval_overlap_binned",
 ]
 
 
