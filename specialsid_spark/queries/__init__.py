@@ -47,12 +47,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # CORRECTNESS row, names needing one are listed here and surfaced FIRST in
 # all_queries()/all_oracles(); everything else keeps module registration
 # order after them.  Round 9 (VERDICT r8 #1, recomputed from
-# CORRECTNESS_r01-r08.json): head = queries NEW this round, then
-# src_python_datasourcescan (red in r7, fix verified locally — needs its
-# green driver row), then the 7 r8-late queries registered after the r8
-# driver run (no row at all), then the 38-query cohort whose newest row
-# dates to r4 — after this round no registered query's newest row
-# predates r5.
+# CORRECTNESS_r01-r08.json): head = the ~32 queries NEW this round
+# (every one verified value-exact at sf0.001+sf0.01 by
+# tools/check_oracle.py this session), then src_python_datasource_scan
+# (red in r7, fix verified locally — needs its green driver row), then
+# the 7 r8-late queries (no row at all), then the 38-query r4 cohort.
+# HONEST BUDGET NOTE: the new-query head now consumes most of the
+# ~50-row driver budget, so the r4 cohort's tail (the TPC-H block,
+# stable and green since r4) rolls to the r10 rotation.
 _PRIORITY: tuple[str, ...] = (
     # new in round 9 (no driver row yet)
     "text_wordpiece_train_merges",
