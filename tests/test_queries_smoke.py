@@ -159,3 +159,16 @@ def test_nested_column_guard_detects_arrays(spark):
     df = spark.createDataFrame([(1, [1, 2])], "id long, xs array<long>")
     assert nested_output_columns(df) == ["xs"]
     assert nested_output_columns(df.select("id")) == []
+
+
+def test_priority_rotation_names_all_exist():
+    # a typo in _PRIORITY silently drops a query from the driver's
+    # correctness rotation — pin every name against the registry
+    from specialsid_spark.queries import _PRIORITY, all_queries
+
+    qs = all_queries()
+    missing = [n for n in _PRIORITY if n not in qs]
+    assert not missing, missing
+    # and the head must actually be surfaced first
+    head = list(qs)[: len(_PRIORITY)]
+    assert head == [n for n in _PRIORITY if n in qs]
