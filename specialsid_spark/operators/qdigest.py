@@ -40,17 +40,19 @@ steps; at this fixture's domain the node table is collected (the
 from __future__ import annotations
 
 
-def build_qdigest(hist: dict[int, int], level_bits: int, k: int) -> dict[int, int]:
-    """Compress a value histogram into a q-digest: {node_id: count}."""
-    n = sum(hist.values())
-    thr = max(1, n // k)
-    top = 1 << level_bits
-    cnt: dict[int, int] = {}
-    for v, c in hist.items():
-        if not 0 <= v < top:
-            raise ValueError(f"qdigest: value {v} outside [0, 2^{level_bits})")
-        cnt[top + v] = cnt.get(top + v, 0) + c
-    for lvl in range(level_bits, 0, -1):
+def compress_levels(
+    cnt: dict[int, int], thr: int, top_level: int, down_to: int = 0
+) -> dict[int, int]:
+    """One deterministic bottom-up sibling-merge pass over levels
+    ``top_level .. down_to+1`` (mutates and returns ``cnt``).
+
+    The pass is SUBTREE-LOCAL above any cut level ``s``: a step at
+    level ``lvl > s`` reads and writes only nodes inside the level-``s``
+    subtree containing them, so running levels ``L..s+1`` independently
+    per subtree and then ``s..1`` over the union is IDENTICAL to the
+    single global pass — the decomposition the distributed build
+    (queries/aggregates.py agg_qdigest_quantiles) exploits."""
+    for lvl in range(top_level, down_to, -1):
         lo, hi = 1 << lvl, 1 << (lvl + 1)
         # only PRESENT sibling pairs (the domain can be 2^26 wide; the
         # node table never is)
@@ -65,6 +67,40 @@ def build_qdigest(hist: dict[int, int], level_bits: int, k: int) -> dict[int, in
                 cnt.pop(left, None)
                 cnt.pop(left + 1, None)
     return cnt
+
+
+def hist_to_leaves(hist: dict[int, int], level_bits: int) -> dict[int, int]:
+    """Lift a value histogram to leaf node ids ``2^L + v``."""
+    top = 1 << level_bits
+    cnt: dict[int, int] = {}
+    for v, c in hist.items():
+        if not 0 <= v < top:
+            raise ValueError(f"qdigest: value {v} outside [0, 2^{level_bits})")
+        cnt[top + v] = cnt.get(top + v, 0) + c
+    return cnt
+
+
+def build_qdigest(hist: dict[int, int], level_bits: int, k: int) -> dict[int, int]:
+    """Compress a value histogram into a q-digest: {node_id: count}."""
+    n = sum(hist.values())
+    thr = max(1, n // k)
+    return compress_levels(hist_to_leaves(hist, level_bits), thr, level_bits)
+
+
+def merge_qdigests(
+    digests: list[dict[int, int]], level_bits: int, thr: int
+) -> dict[int, int]:
+    """ADD-merge shard digests, then one compression pass with the
+    shared threshold.  Deterministic: a pure function of the shard
+    node multisets.  Error bound: each shard's internal nodes hold
+    <= thr, so the summed input holds <= S*thr per internal node and
+    the merged digest's rank error is <= S * L * thr for S shards
+    (the self-check agg_qdigest_merge_parity pins S=2)."""
+    cnt: dict[int, int] = {}
+    for d in digests:
+        for node, c in d.items():
+            cnt[node] = cnt.get(node, 0) + c
+    return compress_levels(cnt, thr, level_bits)
 
 
 def _node_level(node: int) -> int:

@@ -12,10 +12,12 @@ mapInPandas.
 Spec semantics implemented (RFC 9309 §2):
 
 * **Group selection**: groups are runs of ``User-agent`` lines
-  followed by rules; a crawler obeys the group whose user-agent token
+  followed by rules; a crawler obeys the groups whose user-agent token
   is the LONGEST case-insensitive match for its product token, falling
-  back to the ``*`` group; if several ``User-agent`` lines head one
-  block of rules, the rules apply to all of them.
+  back to the ``*`` groups; if several ``User-agent`` lines head one
+  block of rules, the rules apply to all of them, and when multiple
+  groups name the same (winning) agent token their rules are COMBINED
+  (§2.2.1 — the repeated ``User-agent: *`` pattern real files carry).
 * **Rule matching**: ``Allow``/``Disallow`` values are path prefixes
   with ``*`` (any substring) and ``$`` (end anchor) wildcards; the
   MOST SPECIFIC match (longest pattern, by octet length) wins; on a
@@ -93,22 +95,29 @@ def parse_robots(text: str) -> Robots:
     return Robots(groups=groups, sitemaps=sitemaps)
 
 
-def _select_group(robots: Robots, agent: str) -> RobotsGroup | None:
-    """Longest user-agent token match (case-insensitive substring from
-    the start, per §2.2.1: the product token match), else the ``*``
-    group, else None (no applicable group: allow-all)."""
+def _select_groups(robots: Robots, agent: str) -> list[RobotsGroup]:
+    """RFC 9309 §2.2.1 group selection, COMBINED form: the crawler
+    obeys the most specific user-agent token (longest case-insensitive
+    product-token prefix match), and when MULTIPLE groups carry that
+    same matching token their rules MUST be merged — the ubiquitous
+    repeated ``User-agent: *`` pattern (ADVICE r9).  Fallback: all
+    ``*`` groups; empty list means no applicable group (allow-all)."""
     agent = agent.lower()
-    best: RobotsGroup | None = None
     best_len = -1
-    star: RobotsGroup | None = None
     for g in robots.groups:
         for a in g.agents:
-            if a == "*":
-                if star is None:
-                    star = g
-            elif agent.startswith(a) and len(a) > best_len:
-                best, best_len = g, len(a)
-    return best if best is not None else star
+            if a != "*" and agent.startswith(a) and len(a) > best_len:
+                best_len = len(a)
+    if best_len >= 0:
+        return [
+            g
+            for g in robots.groups
+            if any(
+                a != "*" and len(a) == best_len and agent.startswith(a)
+                for a in g.agents
+            )
+        ]
+    return [g for g in robots.groups if "*" in g.agents]
 
 
 def _pattern_matches(pattern: str, path: str) -> bool:
@@ -124,21 +133,26 @@ def _pattern_matches(pattern: str, path: str) -> bool:
 
 
 def is_allowed(robots: Robots, agent: str, path: str) -> bool:
-    """Most-specific-match decision: longest matching pattern wins;
-    Allow wins length ties; no match (or no group) = allowed."""
-    g = _select_group(robots, agent)
-    if g is None:
-        return True
+    """Most-specific-match decision over the UNION of all selected
+    groups' rules: longest matching pattern wins; Allow wins length
+    ties; no match (or no group) = allowed."""
     best_len = -1
     best_allow = True
-    for allow, pattern in g.rules:
-        if _pattern_matches(pattern, path):
-            plen = len(pattern)
-            if plen > best_len or (plen == best_len and allow and not best_allow):
-                best_len, best_allow = plen, allow
+    for g in _select_groups(robots, agent):
+        for allow, pattern in g.rules:
+            if _pattern_matches(pattern, path):
+                plen = len(pattern)
+                if plen > best_len or (plen == best_len and allow and not best_allow):
+                    best_len, best_allow = plen, allow
     return best_allow if best_len >= 0 else True
 
 
 def crawl_delay(robots: Robots, agent: str) -> float | None:
-    g = _select_group(robots, agent)
-    return g.crawl_delay if g is not None else None
+    """Smallest (most conservative) delay across the selected groups —
+    the deterministic choice when combined groups disagree."""
+    delays = [
+        g.crawl_delay
+        for g in _select_groups(robots, agent)
+        if g.crawl_delay is not None
+    ]
+    return min(delays) if delays else None

@@ -1,0 +1,487 @@
+"""Minimal TrueType font parsing + building — from the public
+OpenType/TrueType spec (Microsoft OpenType 1.9 / Apple TrueType
+Reference Manual), for the PDF rasterizer's embedded-font text path
+(VERDICT r9 #4: the reference rasters pages through Poppler, which
+renders REAL glyph outlines — gen_pdf_imgLambda.py:51 — where our r9
+model painted layout boxes).
+
+Scope (documented, enforced loudly like every codec here):
+
+* **Parser** (`parse_ttf`): sfnt table directory; `head` (unitsPerEm,
+  indexToLocFormat), `maxp` (numGlyphs), `loca` (short/long), `glyf`
+  simple glyphs (contours of on/off-curve points, short/long/repeat
+  coordinate flags) and one level of composite glyphs
+  (ARGS_ARE_XY_VALUES offsets, no component scaling), `cmap` format 4
+  (the Windows BMP subtable every real font carries) and format 12,
+  `hhea`/`hmtx` advance widths.
+* **Outline semantics**: TrueType contours are closed quadratic
+  B-splines — consecutive off-curve points imply an on-curve midpoint;
+  a contour may START with an off-curve point (rotate to an on-curve
+  start, synthesizing one from the wrap-around midpoint if needed).
+  `glyph_segments` returns, per contour, straight segments and
+  quadratic (p0, ctrl, p1) pieces in glyph units.
+* **Builder** (`build_tiny_ttf`): writes a valid minimal font (head/
+  maxp/loca/glyf/cmap/hhea/hmtx) for oracle fixtures — integer
+  coordinates, unitsPerEm a power of two so size/unitsPerEm scaling is
+  EXACT in doubles and a SQL oracle can restate device coordinates
+  bit-for-bit.
+* Anything else (CFF outlines, hinting, variable fonts, component
+  scaling) is out of scope: the rasterizer degrades those fonts to the
+  r8 glyph-box model, never raises.
+
+Scale shape: fonts are parsed once per executor per font program (a
+page's font is KBs); glyph geometry is pure per-row math inside
+mapInPandas.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+# quadratic flattening: 8 uniform-parameter segments; t = k/8 is exact
+# in binary and the evaluation uses one pinned association order
+# (u*u*x0 + 2*u*t*x1 + t*t*x2), so every flattened double is
+# reproducible by the SQL oracle.
+QUAD_SEGS = 8
+
+_ON_CURVE = 0x01
+_X_SHORT = 0x02
+_Y_SHORT = 0x04
+_REPEAT = 0x08
+_X_SAME_OR_POS = 0x10
+_Y_SAME_OR_POS = 0x20
+
+_ARG_1_AND_2_ARE_WORDS = 0x0001
+_ARGS_ARE_XY_VALUES = 0x0002
+_WE_HAVE_A_SCALE = 0x0008
+_MORE_COMPONENTS = 0x0020
+_WE_HAVE_AN_X_AND_Y_SCALE = 0x0040
+_WE_HAVE_A_TWO_BY_TWO = 0x0080
+
+
+class TtfUnsupported(Exception):
+    """Font uses features outside the documented scope."""
+
+
+@dataclass
+class TtfFont:
+    units_per_em: int
+    num_glyphs: int
+    # per glyph: list of contours; each contour = [(x, y, on_curve)]
+    glyphs: list[list[list[tuple[int, int, bool]]]]
+    advances: list[int]
+    cmap: dict[int, int]  # unicode code point -> glyph id
+
+    def glyph_for_char(self, ch: str) -> int:
+        return self.cmap.get(ord(ch), 0)
+
+
+def _u16(b: bytes, o: int) -> int:
+    return struct.unpack_from(">H", b, o)[0]
+
+
+def _i16(b: bytes, o: int) -> int:
+    return struct.unpack_from(">h", b, o)[0]
+
+
+def _u32(b: bytes, o: int) -> int:
+    return struct.unpack_from(">I", b, o)[0]
+
+
+def parse_ttf(data: bytes) -> TtfFont:
+    """Parse a TrueType font program (the bytes of a PDF /FontFile2
+    stream).  Raises TtfUnsupported outside the documented scope."""
+    if len(data) < 12:
+        raise TtfUnsupported("too short")
+    tag = data[:4]
+    if tag not in (b"\x00\x01\x00\x00", b"true"):
+        raise TtfUnsupported(f"not a TrueType sfnt: {tag!r}")
+    num_tables = _u16(data, 4)
+    tables: dict[bytes, tuple[int, int]] = {}
+    for i in range(num_tables):
+        o = 12 + 16 * i
+        if o + 16 > len(data):
+            raise TtfUnsupported("truncated table directory")
+        t = data[o : o + 4]
+        off, ln = _u32(data, o + 8), _u32(data, o + 12)
+        if off + ln > len(data):
+            raise TtfUnsupported(f"table {t!r} out of bounds")
+        tables[t] = (off, ln)
+    for req in (b"head", b"maxp", b"loca", b"glyf", b"hhea", b"hmtx"):
+        if req not in tables:
+            raise TtfUnsupported(f"missing {req!r} table")
+
+    head_off = tables[b"head"][0]
+    units_per_em = _u16(data, head_off + 18)
+    loc_fmt = _i16(data, head_off + 50)
+    num_glyphs = _u16(data, tables[b"maxp"][0] + 4)
+
+    loca_off, loca_len = tables[b"loca"]
+    offs: list[int] = []
+    if loc_fmt == 0:
+        if loca_len < 2 * (num_glyphs + 1):
+            raise TtfUnsupported("short loca truncated")
+        offs = [2 * _u16(data, loca_off + 2 * i) for i in range(num_glyphs + 1)]
+    elif loc_fmt == 1:
+        if loca_len < 4 * (num_glyphs + 1):
+            raise TtfUnsupported("long loca truncated")
+        offs = [_u32(data, loca_off + 4 * i) for i in range(num_glyphs + 1)]
+    else:
+        raise TtfUnsupported(f"indexToLocFormat {loc_fmt}")
+
+    glyf_off, glyf_len = tables[b"glyf"]
+    raw_glyphs: list[bytes] = []
+    for gid in range(num_glyphs):
+        a, b = offs[gid], offs[gid + 1]
+        if b < a or b > glyf_len:
+            raise TtfUnsupported("loca offsets out of order")
+        raw_glyphs.append(data[glyf_off + a : glyf_off + b])
+
+    composites: dict[int, list[tuple[int, int, int]]] = {}
+    glyphs: list[list[list[tuple[int, int, bool]]]] = []
+    for gid in range(num_glyphs):
+        g = raw_glyphs[gid]
+        if not g:
+            glyphs.append([])
+            continue
+        ncont = _i16(g, 0)
+        if ncont >= 0:
+            glyphs.append(_parse_simple_glyph(g, ncont))
+        else:
+            composites[gid] = _parse_composite_refs(g)
+            glyphs.append([])  # resolved below
+
+    for gid, comps in composites.items():
+        out: list[list[tuple[int, int, bool]]] = []
+        for cgid, dx, dy in comps:
+            if cgid >= num_glyphs:
+                raise TtfUnsupported("composite component out of range")
+            if cgid in composites:
+                raise TtfUnsupported("nested composite glyphs")
+            for contour in glyphs[cgid]:
+                out.append([(x + dx, y + dy, on) for x, y, on in contour])
+        glyphs[gid] = out
+
+    n_hmetrics = _u16(data, tables[b"hhea"][0] + 34)
+    hmtx_off = tables[b"hmtx"][0]
+    advances = []
+    last = 0
+    for gid in range(num_glyphs):
+        if gid < n_hmetrics:
+            last = _u16(data, hmtx_off + 4 * gid)
+        advances.append(last)
+
+    cmap = _parse_cmap(data, tables.get(b"cmap"))
+    return TtfFont(units_per_em, num_glyphs, glyphs, advances, cmap)
+
+
+def _parse_simple_glyph(g: bytes, ncont: int) -> list[list[tuple[int, int, bool]]]:
+    o = 10
+    end_pts = [_u16(g, o + 2 * i) for i in range(ncont)]
+    o += 2 * ncont
+    npts = (end_pts[-1] + 1) if end_pts else 0
+    ins_len = _u16(g, o)
+    o += 2 + ins_len
+    flags: list[int] = []
+    while len(flags) < npts:
+        f = g[o]
+        o += 1
+        flags.append(f)
+        if f & _REPEAT:
+            rep = g[o]
+            o += 1
+            flags.extend([f] * rep)
+    if len(flags) != npts:
+        raise TtfUnsupported("flag overrun")
+    xs: list[int] = []
+    x = 0
+    for f in flags:
+        if f & _X_SHORT:
+            d = g[o]
+            o += 1
+            x += d if f & _X_SAME_OR_POS else -d
+        elif not f & _X_SAME_OR_POS:
+            x += _i16(g, o)
+            o += 2
+        xs.append(x)
+    ys: list[int] = []
+    y = 0
+    for f in flags:
+        if f & _Y_SHORT:
+            d = g[o]
+            o += 1
+            y += d if f & _Y_SAME_OR_POS else -d
+        elif not f & _Y_SAME_OR_POS:
+            y += _i16(g, o)
+            o += 2
+        ys.append(y)
+    contours: list[list[tuple[int, int, bool]]] = []
+    start = 0
+    for e in end_pts:
+        contours.append(
+            [
+                (xs[i], ys[i], bool(flags[i] & _ON_CURVE))
+                for i in range(start, e + 1)
+            ]
+        )
+        start = e + 1
+    return contours
+
+
+def _parse_composite_refs(g: bytes) -> list[tuple[int, int, int]]:
+    o = 10
+    comps: list[tuple[int, int, int]] = []
+    while True:
+        flags = _u16(g, o)
+        cgid = _u16(g, o + 2)
+        o += 4
+        if not flags & _ARGS_ARE_XY_VALUES:
+            raise TtfUnsupported("point-matching composite args")
+        if flags & (_WE_HAVE_A_SCALE | _WE_HAVE_AN_X_AND_Y_SCALE | _WE_HAVE_A_TWO_BY_TWO):
+            raise TtfUnsupported("scaled composite components")
+        if flags & _ARG_1_AND_2_ARE_WORDS:
+            dx, dy = _i16(g, o), _i16(g, o + 2)
+            o += 4
+        else:
+            dx = struct.unpack_from(">b", g, o)[0]
+            dy = struct.unpack_from(">b", g, o + 1)[0]
+            o += 2
+        comps.append((cgid, dx, dy))
+        if not flags & _MORE_COMPONENTS:
+            return comps
+
+
+def _parse_cmap(data: bytes, entry: tuple[int, int] | None) -> dict[int, int]:
+    if entry is None:
+        return {}
+    base, _ln = entry
+    n = _u16(data, base + 2)
+    best = None
+    for i in range(n):
+        o = base + 4 + 8 * i
+        plat, enc = _u16(data, o), _u16(data, o + 2)
+        sub = base + _u32(data, o + 4)
+        fmt = _u16(data, sub)
+        if fmt in (4, 12) and (plat, enc) in ((3, 1), (0, 3), (0, 4), (3, 10)):
+            best = (fmt, sub)
+            break
+        if fmt in (4, 12) and best is None:
+            best = (fmt, sub)
+    if best is None:
+        return {}
+    fmt, sub = best
+    out: dict[int, int] = {}
+    if fmt == 4:
+        segx2 = _u16(data, sub + 6)
+        seg = segx2 // 2
+        ends = [_u16(data, sub + 14 + 2 * i) for i in range(seg)]
+        starts = [_u16(data, sub + 16 + segx2 + 2 * i) for i in range(seg)]
+        deltas = [_i16(data, sub + 16 + 2 * segx2 + 2 * i) for i in range(seg)]
+        ro_base = sub + 16 + 3 * segx2
+        ros = [_u16(data, ro_base + 2 * i) for i in range(seg)]
+        for i in range(seg):
+            for c in range(starts[i], min(ends[i], 0xFFFE) + 1):
+                if ros[i] == 0:
+                    gid = (c + deltas[i]) & 0xFFFF
+                else:
+                    addr = ro_base + 2 * i + ros[i] + 2 * (c - starts[i])
+                    gid = _u16(data, addr)
+                    if gid:
+                        gid = (gid + deltas[i]) & 0xFFFF
+                if gid:
+                    out[c] = gid
+    else:  # format 12
+        ngroups = _u32(data, sub + 12)
+        for i in range(ngroups):
+            o = sub + 16 + 12 * i
+            s, e, g0 = _u32(data, o), _u32(data, o + 4), _u32(data, o + 8)
+            for c in range(s, min(e, s + 0x10000) + 1):
+                out[c] = g0 + (c - s)
+    return out
+
+
+def glyph_segments(
+    contours: list[list[tuple[int, int, bool]]],
+) -> list[list[tuple]]:
+    """Per closed contour: a list of pieces, each ('l', p0, p1) or
+    ('q', p0, ctrl, p1), points in glyph units.  Implements the
+    TrueType implied-on-curve rule: consecutive off-curve points share
+    an implied on-curve midpoint; an off-curve contour start rotates to
+    the first on-curve point (synthesized from the wrap midpoint when
+    every needed neighbor is off-curve)."""
+    out = []
+    for contour in contours:
+        if len(contour) < 2:
+            continue
+        pts = list(contour)
+        if not any(on for _x, _y, on in pts):
+            # all-off-curve contour: every midpoint is on-curve
+            first = (
+                (pts[0][0] + pts[-1][0]) / 2.0,
+                (pts[0][1] + pts[-1][1]) / 2.0,
+            )
+            expanded: list[tuple[float, float, bool]] = [(first[0], first[1], True)]
+            for a, b in zip(pts, pts[1:]):
+                expanded.append((float(a[0]), float(a[1]), False))
+                expanded.append(((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0, True))
+            expanded.append((float(pts[-1][0]), float(pts[-1][1]), False))
+            pts = expanded
+        else:
+            k = next(i for i, p in enumerate(pts) if p[2])
+            pts = pts[k:] + pts[:k]
+            pts = [(float(x), float(y), on) for x, y, on in pts]
+        pieces: list[tuple] = []
+        cur = (pts[0][0], pts[0][1])
+        pend_ctrl: tuple[float, float] | None = None
+        for x, y, on in pts[1:] + [pts[0]]:
+            if on:
+                if pend_ctrl is None:
+                    pieces.append(("l", cur, (x, y)))
+                else:
+                    pieces.append(("q", cur, pend_ctrl, (x, y)))
+                    pend_ctrl = None
+                cur = (x, y)
+            else:
+                if pend_ctrl is not None:
+                    mid = ((pend_ctrl[0] + x) / 2.0, (pend_ctrl[1] + y) / 2.0)
+                    pieces.append(("q", cur, pend_ctrl, mid))
+                    cur = mid
+                pend_ctrl = (x, y)
+        if pend_ctrl is not None:
+            pieces.append(("q", cur, pend_ctrl, (pts[0][0], pts[0][1])))
+        if pieces:
+            out.append(pieces)
+    return out
+
+
+# ------------------------------------------------------------ fixture side
+
+def build_tiny_ttf(
+    glyph_defs: list[tuple[str | None, list[list[tuple[int, int, bool]]], int]],
+    units_per_em: int = 1024,
+    composites: list[tuple[str, list[tuple[int, int, int]], int]] | None = None,
+) -> bytes:
+    """Write a minimal valid TrueType font for oracle fixtures.
+
+    ``glyph_defs``: (char or None, contours, advance) — glyph 0 should
+    be the (None, [], adv) .notdef.  ``composites``: (char,
+    [(component gid, dx, dy)...], advance) appended after the simple
+    glyphs.  unitsPerEm defaults to 1024 (a power of two: size/upm
+    scaling is exact in doubles — the oracle contract)."""
+    composites = composites or []
+    num_glyphs = len(glyph_defs) + len(composites)
+
+    glyf_parts: list[bytes] = []
+    for _ch, contours, _adv in glyph_defs:
+        glyf_parts.append(_simple_glyph_bytes(contours))
+    for _ch, comps, _adv in composites:
+        glyf_parts.append(_composite_glyph_bytes(comps))
+    loca = [0]
+    for p in glyf_parts:
+        loca.append(loca[-1] + len(p))
+    glyf = b"".join(glyf_parts)
+    loca_b = b"".join(struct.pack(">I", o) for o in loca)
+
+    xs = [p[0] for _c, cs, _a in glyph_defs for ct in cs for p in ct] or [0]
+    ys = [p[1] for _c, cs, _a in glyph_defs for ct in cs for p in ct] or [0]
+    head = struct.pack(
+        ">IIIIHHQQhhhhHHhhh",
+        0x00010000, 0, 0, 0x5F0F3CF5, 0, units_per_em, 0, 0,
+        min(xs), min(ys), max(xs), max(ys), 0, 8, 2, 1, 0,
+    )
+    maxp = struct.pack(">IH", 0x00010000, num_glyphs) + b"\x00" * 26
+    hhea = (
+        struct.pack(">Ihhh", 0x00010000, units_per_em, 0, 0)
+        + struct.pack(">Hhhh", max(a for *_x, a in glyph_defs + composites), 0, 0, 0)
+        + struct.pack(">hhhh", 1, 0, 0, 0)
+        + b"\x00" * 8
+        + struct.pack(">hH", 0, num_glyphs)
+    )
+    hmtx = b"".join(
+        struct.pack(">Hh", adv, 0)
+        for *_x, adv in list(glyph_defs) + list(composites)
+    )
+
+    char_to_gid = {
+        ord(ch): gid
+        for gid, (ch, _c, _a) in enumerate(glyph_defs)
+        if ch is not None
+    }
+    for j, (ch, _c, _a) in enumerate(composites):
+        char_to_gid[ord(ch)] = len(glyph_defs) + j
+    cmap = _cmap_format4(char_to_gid)
+
+    tables = {
+        b"cmap": cmap, b"glyf": glyf, b"head": head, b"hhea": hhea,
+        b"hmtx": hmtx, b"loca": loca_b, b"maxp": maxp,
+    }
+    tags = sorted(tables)
+    n = len(tags)
+    sr = 16 * (1 << (n.bit_length() - 1))
+    out = struct.pack(">IHHHH", 0x00010000, n, sr, n.bit_length() - 1, 16 * n - sr)
+    off = 12 + 16 * n
+    dir_entries = b""
+    body = b""
+    for t in tags:
+        data = tables[t]
+        pad = (-len(data)) % 4
+        dir_entries += struct.pack(">4sIII", t, 0, off, len(data))
+        body += data + b"\x00" * pad
+        off += len(data) + pad
+    return out + dir_entries + body
+
+
+def _simple_glyph_bytes(contours: list[list[tuple[int, int, bool]]]) -> bytes:
+    if not contours:
+        return b""
+    pts = [p for c in contours for p in c]
+    xs, ys = [p[0] for p in pts], [p[1] for p in pts]
+    out = struct.pack(
+        ">hhhhh", len(contours), min(xs), min(ys), max(xs), max(ys)
+    )
+    end = -1
+    for c in contours:
+        end += len(c)
+        out += struct.pack(">H", end)
+    out += struct.pack(">H", 0)  # no instructions
+    flags = b"".join(
+        bytes([_ON_CURVE if on else 0]) for _x, _y, on in pts
+    )
+    px = py = 0
+    xb = b""
+    yb = b""
+    for x, y, _on in pts:
+        xb += struct.pack(">h", x - px)
+        yb += struct.pack(">h", y - py)
+        px, py = x, y
+    data = out + flags + xb + yb
+    return data + (b"\x00" if len(data) % 2 else b"")
+
+
+def _composite_glyph_bytes(comps: list[tuple[int, int, int]]) -> bytes:
+    out = struct.pack(">hhhhh", -1, 0, 0, 0, 0)
+    for i, (gid, dx, dy) in enumerate(comps):
+        flags = _ARG_1_AND_2_ARE_WORDS | _ARGS_ARE_XY_VALUES
+        if i < len(comps) - 1:
+            flags |= _MORE_COMPONENTS
+        out += struct.pack(">HHhh", flags, gid, dx, dy)
+    return out + (b"\x00" if len(out) % 2 else b"")
+
+
+def _cmap_format4(char_to_gid: dict[int, int]) -> bytes:
+    segs = [(c, c, (g - c) & 0xFFFF) for c, g in sorted(char_to_gid.items())]
+    segs.append((0xFFFF, 0xFFFF, 1))
+    seg = len(segs)
+    segx2 = 2 * seg
+    search = 2 * (1 << (seg.bit_length() - 1))
+    sub = struct.pack(
+        ">HHHHHH", 4, 16 + 8 * seg, 0, segx2, search,
+        seg.bit_length() - 1,
+    ) + struct.pack(">H", segx2 - search)
+    sub += b"".join(struct.pack(">H", e) for _s, e, _d in segs)
+    sub += b"\x00\x00"  # reservedPad
+    sub += b"".join(struct.pack(">H", s) for s, _e, _d in segs)
+    sub += b"".join(struct.pack(">H", d) for _s, _e, d in segs)
+    sub += b"\x00\x00" * seg  # idRangeOffset = 0 everywhere
+    return struct.pack(">HHHHI", 0, 1, 3, 1, 12) + sub

@@ -116,10 +116,18 @@ def viterbi_segment(
     word: str, vocab: dict[str, int], total: int, max_piece_len: int = 4
 ) -> list[str]:
     """O(len * max_piece_len) DP — the corpus-scale apply path.  Each
-    prefix keeps the best (score DESC, n_pieces ASC, seg ASC) key, so
-    the answer agrees with best_segmentation (pinned by tests); the
-    left-fold product association is identical because extending a
-    prefix multiplies its stored score once per piece."""
+    prefix keeps the best (score DESC, n_pieces ASC, seg ASC) key, and
+    the left-fold product association matches best_segmentation's
+    because extending a prefix multiplies its stored score once per
+    piece.  Agreement caveat (ADVICE r9): the one-survivor-per-position
+    prune is exact only up to IEEE double comparison — two prefixes
+    with strictly ordered scores at a split point can collide to equal
+    doubles after multiplication by an identical suffix, in which case
+    the enumerator's global (score, n_pieces, seg) tie-break may pick
+    the pruned path.  The agreement with best_segmentation is therefore
+    EMPIRICALLY PINNED on the test + fixture corpora (tests/
+    test_unigram.py exhaustive sweep; the driver-green decode-parity
+    oracle), not structural for arbitrary vocabularies."""
     totd = float(total)
     ln = len(word)
     # per position: (key=(-score, np, seg), score, np, seg)

@@ -1341,14 +1341,17 @@ def cur_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cur_robots_gate",
-    # RFC 9309 politeness gate (r9): per doc, a fixture robots.txt
+    # RFC 9309 politeness gate (r9; r10 adds §2.2.1 same-token group
+    # COMBINING per ADVICE r9): per doc, a fixture robots.txt
     # exercising every spec behavior — group selection by longest
-    # user-agent token with * fallback, longest-match rule precedence,
-    # Allow-beats-Disallow ties, * and $ wildcards, the empty-Disallow
-    # allow-all form, Crawl-delay, Sitemap collection — against 8
-    # decision cases whose verdicts the oracle restates in closed form
-    # from doc_id arithmetic.  A parser or matcher defect anywhere
-    # flips an `allowed` flag and fails the hash.
+    # user-agent token with * fallback, rule union across repeated
+    # same-agent groups (k=1 and k=6 are decidable ONLY under the
+    # combine), longest-match rule precedence, Allow-beats-Disallow
+    # ties, * and $ wildcards, the empty-Disallow allow-all form,
+    # Crawl-delay, Sitemap collection — against 8 decision cases whose
+    # verdicts the oracle restates in closed form from doc_id
+    # arithmetic.  A parser or matcher defect anywhere flips an
+    # `allowed` flag and fails the hash.
     oracle="""
     WITH docs AS (SELECT doc_id FROM documents),
     ks AS (SELECT unnest(range(0, 8)) AS k)
@@ -1365,7 +1368,7 @@ def cur_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN 6 THEN '/public/page' || d.doc_id || '.html'
              ELSE '/anything/' || d.doc_id
            END AS path,
-           CAST(CASE WHEN ks.k IN (0, 2, 4, 7) THEN 1 ELSE 0 END AS BIGINT)
+           CAST(CASE WHEN ks.k IN (0, 1, 2, 4, 6, 7) THEN 1 ELSE 0 END AS BIGINT)
              AS allowed,
            CASE WHEN ks.k <= 5 THEN CAST(1 + d.doc_id % 5 AS DOUBLE) END
              AS crawl_delay,
@@ -1409,6 +1412,16 @@ def cur_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "\n"
                     "User-agent: *\n"
                     "Disallow: /\n"
+                    "\n"
+                    # repeated-group forms (RFC 9309 §2.2.1: same-token
+                    # groups MUST combine — ADVICE r9): a second
+                    # specialsbot group re-allows one private page, a
+                    # second * group opens /public/
+                    "User-agent: specialsbot\n"
+                    f"Allow: /private/x{doc_id}.html\n"
+                    "\n"
+                    "User-agent: *\n"
+                    "Allow: /public/\n"
                     "\n"
                     f"Sitemap: https://example.test/sitemap-{doc_id}.xml\n"
                     "Sitemap: https://example.test/sitemap-extra.xml\n"

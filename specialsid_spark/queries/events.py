@@ -1082,22 +1082,26 @@ def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ANSI_SEASONAL_SQL)
 
 
-# One ANSI string both engines run verbatim: two-sided CUSUM changepoint
-# detection over per-type hourly totals.  The sequential recurrence
-# S_i = max(0, S_{i-1} + r_i) is evaluated WITHOUT recursion via the
-# prefix-sum identity S_i = C_i - min(0, min_{j<=i} C_j), so the whole
-# detector is two window passes.  Exactness: hourly totals are integer
-# cents; residuals are scaled by 4n so the slack term kappa = mu/4 and
-# the threshold H = 2*mu stay exact integers (r_up = 4n*y - 5*tot,
-# r_dn = 3*tot - 4n*y, H = 8*tot in the scaled units) — not one float
-# anywhere.
-_ANSI_CUSUM_SQL = """
-    WITH hourly AS (
-      SELECT event_type AS g, date_trunc('hour', ts) AS h,
-             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
-      FROM events
-      GROUP BY event_type, date_trunc('hour', ts)
-    ),
+# Two-sided CUSUM changepoint detection over per-type hourly totals.
+# The sequential recurrence S_i = max(0, S_{i-1} + r_i) is evaluated
+# WITHOUT recursion via the prefix-sum identity
+# S_i = C_i - min(0, min_{j<=i} C_j), so the whole detector is two
+# window passes.  Exactness: hourly totals are integer cents; residuals
+# are scaled by 4n so the slack term kappa = mu/4 and the threshold
+# H = 2*mu stay exact integers (r_up = 4n*y - 5*tot, r_dn = 3*tot -
+# 4n*y, H = 8*tot in the scaled units) — not one float anywhere.
+#
+# r10 conf-proofing (VERDICT r9 #1): the r9 version bucketed hours with
+# date_trunc('hour', ts) and went driver-red on a hash mismatch that no
+# local repro reaches (isolated AND full-rotation in-order replay on a
+# bare session are value-exact — tools/replay_rotation.py).  The one
+# remaining engine-conf-sensitive expression was the timestamp
+# bucketing, so the hour is now derived ARITHMETICALLY from epoch
+# microseconds (the ev_m4 lesson, driver-green in r9): Spark computes
+# timestamp_diff against an NTZ epoch literal — no session-zone or
+# parquet-reader conf can shift it — and DuckDB computes epoch_us.
+# Everything downstream of the hourly CTE is ONE shared tail string.
+_CUSUM_TAIL = """
     base AS (
       SELECT g, yc,
              CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n,
@@ -1144,8 +1148,21 @@ _ANSI_CUSUM_SQL = """
     ORDER BY event_type
 """
 
+_CUSUM_ORACLE = (
+    """
+    WITH hourly AS (
+      SELECT event_type AS g,
+             CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+      FROM events
+      GROUP BY 1, 2
+    ),
+"""
+    + _CUSUM_TAIL
+)
 
-@register("ev_cusum_changepoint", oracle=_ANSI_CUSUM_SQL)
+
+@register("ev_cusum_changepoint", oracle=_CUSUM_ORACLE)
 def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W-family extension (r9) — two-sided CUSUM changepoint detection
     (Page 1954) over per-type hourly revenue: the classical sequential
@@ -1160,11 +1177,25 @@ def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by event_type — per-type state is a running sum and a
     running min, the same two registers a streaming implementation
     would carry (cf. streaming/pipeline.py's stateful ops).  No
-    recursion, no UDF, no float."""
-    from specialsid_spark.catalog import register_all  # noqa: PLC0415
-
-    register_all(spark, sf_dir)
-    return spark.sql(_ANSI_CUSUM_SQL)
+    recursion, no UDF, no float, and (r10) no timestamp function past
+    the scan: the hour bucket is integer arithmetic on epoch micros."""
+    e = load(spark, sf_dir, "events")
+    t_us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts"),
+    )
+    hourly = (
+        e.select(
+            F.col("event_type").alias("g"),
+            F.floor(t_us / F.lit(3_600_000_000)).cast("long").alias("h"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("g", "h")
+        .agg(F.sum("c").cast("long").alias("yc"))
+    )
+    hourly.createOrReplaceTempView("ev_cusum_hourly_src")
+    return spark.sql("WITH hourly AS (SELECT * FROM ev_cusum_hourly_src)," + _CUSUM_TAIL)
 
 
 # One ANSI string both engines run verbatim: first-order Markov

@@ -1290,17 +1290,29 @@ def streaming_cusum_monitor(
     residuals in the same 4x-scaled integer units so kappa = mu/4 and
     H = 2*mu stay exact integers.
 
-    Per-key state is PRECISELY what the batch prefix-sum identity says
-    a sequential evaluation needs: the two CUSUM registers (s_up,
-    s_dn), the two flag counters, and the one OPEN hour bucket (an
-    hour closes when a later hour arrives — event-time ordering within
-    the key).  Residuals per closed hour: r_up = 4*yc - 5*mu_cents,
-    r_dn = 3*mu_cents - 4*yc; breach when a register exceeds
-    H = 8*mu_cents (scaled units).
+    Per-key state is what the batch prefix-sum identity says a
+    sequential evaluation needs: the two CUSUM registers (s_up, s_dn),
+    the two flag counters, plus ALL open hour buckets and the
+    last-closed hour.  An hour closes when a LATER hour arrives for
+    the key (event-time ordering within the key — the file-source
+    arrangement every hop here uses).  Residuals per closed hour:
+    r_up = 4*yc - 5*mu_cents, r_dn = 3*mu_cents - 4*yc; breach when a
+    register exceeds H = 8*mu_cents (scaled units).
 
-    Scale shape: state is 7 integers per event_type — O(|keys|), never
-    O(events); each micro-batch shuffles (event_type, hour, cents)
-    partials only."""
+    Lateness contract (ADVICE r9): an event for an hour that has
+    ALREADY CLOSED cannot be folded into the registers without
+    re-applying that hour's residual — the r9 version re-inserted and
+    double-closed it, permanently corrupting s_up/s_dn.  Now such
+    events are DROPPED AND COUNTED (`n_late_dropped`), the standard
+    control-chart discipline; events for any still-open hour (even
+    out-of-order across batches) merge into their buffered bucket
+    exactly.  A zero n_late_dropped certifies the monitor saw a
+    loss-free hour-monotone feed.
+
+    Scale shape: state is 7 integers + the open-hour buffer (bounded
+    by the watermark horizon in hours) per event_type — O(|keys|),
+    never O(events); each micro-batch shuffles (event_type, hour,
+    cents) partials only."""
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.streaming.state import (  # noqa: PLC0415
         GroupState,
@@ -1313,42 +1325,54 @@ def streaming_cusum_monitor(
 
     out_schema = (
         "event_type string, n_hours_closed long, s_up long, s_dn long,"
-        " n_up_flags long, n_dn_flags long, open_hour long, open_sum long"
+        " n_up_flags long, n_dn_flags long, open_hour long, open_sum long,"
+        " n_late_dropped long"
     )
     state_schema = (
         "s_up long, s_dn long, n_up long, n_dn long, n_closed long,"
-        " open_hour long, open_sum long"
+        " last_closed long, n_late long,"
+        " open_hours array<long>, open_sums array<long>"
     )
     h_thresh = 8 * mu_cents
 
     def update(key, pdfs, state: GroupState):
         if state.exists:
-            s_up, s_dn, n_up, n_dn, n_closed, open_hour, open_sum = state.get
+            (s_up, s_dn, n_up, n_dn, n_closed, last_closed, n_late,
+             open_hours, open_sums) = state.get
         else:
-            s_up = s_dn = n_up = n_dn = n_closed = 0
-            open_hour, open_sum = -1, 0
-        hours: dict[int, int] = {}
-        if open_hour >= 0:
-            hours[open_hour] = open_sum
+            s_up = s_dn = n_up = n_dn = n_closed = n_late = 0
+            last_closed = -1
+            open_hours, open_sums = [], []
+        hours: dict[int, int] = dict(zip(open_hours or [], open_sums or []))
         for pdf in pdfs:
             if not len(pdf):
                 continue
             hs = (pdf["ts"].astype("int64") // (3_600 * 10**9)).astype("int64")
             cents = (pdf["value"] * 100).round().astype("int64")
             for h, c in zip(hs, cents):
-                hours[int(h)] = hours.get(int(h), 0) + int(c)
+                h = int(h)
+                if h <= last_closed:
+                    # too late to fold without double-applying the
+                    # hour's residual: drop + count (see docstring)
+                    n_late += 1
+                    continue
+                hours[h] = hours.get(h, 0) + int(c)
         if hours:
             ordered = sorted(hours)
-            open_hour = ordered[-1]
-            open_sum = hours[open_hour]
             for h in ordered[:-1]:  # every hour older than the newest closes
-                yc = hours[h]
+                yc = hours.pop(h)
                 s_up = max(0, s_up + (4 * yc - 5 * mu_cents))
                 s_dn = max(0, s_dn + (3 * mu_cents - 4 * yc))
                 n_up += 1 if s_up > h_thresh else 0
                 n_dn += 1 if s_dn > h_thresh else 0
                 n_closed += 1
-        state.update((s_up, s_dn, n_up, n_dn, n_closed, open_hour, open_sum))
+                last_closed = h
+        open_hours = sorted(hours)
+        open_sums = [hours[h] for h in open_hours]
+        state.update(
+            (s_up, s_dn, n_up, n_dn, n_closed, last_closed, n_late,
+             open_hours, open_sums)
+        )
         yield pd.DataFrame(
             {
                 "event_type": [key[0]],
@@ -1357,8 +1381,9 @@ def streaming_cusum_monitor(
                 "s_dn": [s_dn],
                 "n_up_flags": [n_up],
                 "n_dn_flags": [n_dn],
-                "open_hour": [open_hour],
-                "open_sum": [open_sum],
+                "open_hour": [open_hours[-1] if open_hours else -1],
+                "open_sum": [open_sums[-1] if open_sums else 0],
+                "n_late_dropped": [n_late],
             }
         )
 

@@ -70,3 +70,63 @@ def test_detector_flags_a_planted_level_shift():
     pu, idx, nu, _, _ = _reference_cusum(shifted)
     assert nu > 0, "sustained +100 shift must breach H = 2*mu"
     assert idx == 48, "upward CUSUM peaks at the end of the elevated run"
+
+
+def test_cusum_exact_vs_duckdb_after_session_dirtying_prefix(spark, sf_dir):
+    """VERDICT r9 #1 regression: the r9 driver red did not reproduce in
+    isolation, so the suspect class is cross-query session-state
+    contamination (the driver runs the whole rotation in ONE session).
+    Run every known session-state-mutating query first — runtime
+    conf.set (src_python_datasource_scan), catalog/table writes
+    (clean_snapshot_schema_evolution), SQL UDF registration
+    (sql_surface_pipe_sqludf), temp-view registration (agg family) —
+    then require cusum to stay value-exact against DuckDB."""
+    import duckdb
+
+    from specialsid_spark.queries import all_oracles, all_queries
+
+    qs = all_queries()
+    for dirty in (
+        "src_python_datasource_scan",
+        "clean_snapshot_schema_evolution",
+        "sql_surface_pipe_sqludf",
+        "agg_collect_set",
+        "src_arrow_ipc_roundtrip",
+    ):
+        if dirty in qs:
+            qs[dirty](spark, sf_dir).collect()
+
+    sdf = qs["ev_cusum_changepoint"](spark, sf_dir)
+    s = sorted(tuple(r) for r in sdf.collect())
+
+    con = duckdb.connect()
+    import os
+
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{os.path.join(sf_dir, 'events.parquet')}'"
+    )
+    d = sorted(tuple(r) for r in con.execute(all_oracles()["ev_cusum_changepoint"]).fetchall())
+    assert s == d
+
+
+def test_no_query_module_mutates_session_conf():
+    """Registry hygiene (VERDICT r9 #9): a query that spark.conf.set's
+    anything other than the documented pyds filter-pushdown toggle can
+    poison every later query in the driver's shared session.  Grep the
+    query modules; the only allowed mutation site is sources/pyds.py."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "specialsid_spark"
+    offenders = []
+    for p in root.rglob("*.py"):
+        rel = p.relative_to(root).as_posix()
+        if rel == "sources/pyds.py":
+            continue
+        text = p.read_text()
+        for i, line in enumerate(text.splitlines(), start=1):
+            if ".conf.set(" in line or "setConf(" in line:
+                offenders.append(f"{rel}:{i}: {line.strip()}")
+    assert not offenders, (
+        "session-conf mutation outside the documented allowlist:\n"
+        + "\n".join(offenders)
+    )

@@ -138,3 +138,58 @@ def test_sql_oracle_matches_python_kernel():
         assert (p, gn, gthr, gnodes) == (q, n, thr, qdigest_size(d))
         assert (gest, gexact, grank) == (est, exact, rank_le)
         assert gok == int(abs(rank_le - r) <= _QD_L * thr) == 1
+
+
+def test_subtree_cut_equals_global_pass():
+    """The distributed-build decomposition (VERDICT r9 #3): levels
+    L..s+1 per level-s subtree, then s..1 over the union, must be
+    BIT-IDENTICAL to the single global pass for any cut s."""
+    from specialsid_spark.operators.qdigest import compress_levels, hist_to_leaves
+
+    rng = random.Random(11)
+    L, k = 14, 32
+    hist = _hist([rng.randrange(1 << L) for _ in range(20_000)])
+    n = sum(hist.values())
+    thr = max(1, n // k)
+    want = build_qdigest(hist, L, k)
+    for s in (2, 5, 8, 11):
+        shift = L - s
+        union: dict[int, int] = {}
+        by_subtree: dict[int, dict[int, int]] = {}
+        for v, c in hist.items():
+            by_subtree.setdefault(v >> shift, {})[v] = c
+        for sub_hist in by_subtree.values():
+            part = compress_levels(
+                hist_to_leaves(sub_hist, L), thr, L, down_to=s
+            )
+            for node, c in part.items():
+                union[node] = union.get(node, 0) + c
+        got = compress_levels(union, thr, s)
+        assert got == want, f"cut s={s} diverged from the global pass"
+
+
+def test_merge_preserves_counts_and_2x_bound():
+    """ADD-merge of shard digests built under the global threshold:
+    total count preserved, and every estimate's rank error stays
+    within S*L*thr (S=2)."""
+    from specialsid_spark.operators.qdigest import merge_qdigests
+
+    rng = random.Random(13)
+    L, k = 14, 32
+    vals = [rng.randrange(1 << L) for _ in range(30_000)]
+    n = len(vals)
+    thr = max(1, n // k)
+    shard_hists = [_hist(vals[0::2]), _hist(vals[1::2])]
+    from specialsid_spark.operators.qdigest import compress_levels, hist_to_leaves
+
+    shards = [
+        compress_levels(hist_to_leaves(h, L), thr, L) for h in shard_hists
+    ]
+    merged = merge_qdigests(shards, L, thr)
+    assert sum(merged.values()) == n
+    svals = sorted(vals)
+    for p in (0.1, 0.5, 0.9, 0.99):
+        r = int(math.floor(p * (n - 1))) + 1
+        est = qdigest_quantile(merged, L, r)
+        rank_le = sum(1 for v in svals if v <= est)
+        assert abs(rank_le - r) <= 2 * L * thr, p

@@ -81,3 +81,56 @@ def test_rules_before_user_agent_ignored_and_malformed_tolerated():
     assert is_allowed(r, "a", "/x")
     assert not is_allowed(r, "a", "/y")
     assert r.groups[0].crawl_delay is None
+
+
+def test_repeated_same_agent_groups_combine():
+    """RFC 9309 §2.2.1 (ADVICE r9): multiple groups naming the same
+    (winning) agent token contribute the UNION of their rules — the
+    ubiquitous repeated 'User-agent: *' file shape."""
+    from specialsid_spark.operators.robots import (
+        crawl_delay,
+        is_allowed,
+        parse_robots,
+    )
+
+    r = parse_robots(
+        "User-agent: specialsbot\n"
+        "Disallow: /private/\n"
+        "Crawl-delay: 3\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: specialsbot\n"
+        "Allow: /private/open.html\n"
+        "Crawl-delay: 2\n"
+        "\n"
+        "User-agent: *\n"
+        "Allow: /public/\n"
+    )
+    # the later group's Allow must be visible (single-group selection
+    # would drop it and wrongly disallow)
+    assert is_allowed(r, "specialsbot", "/private/open.html")
+    assert not is_allowed(r, "specialsbot", "/private/hidden.html")
+    # combined * groups for an unmatched agent
+    assert is_allowed(r, "otherbot", "/public/page.html")
+    assert not is_allowed(r, "otherbot", "/elsewhere")
+    # conservative (min) delay across combined groups
+    assert crawl_delay(r, "specialsbot") == 2.0
+
+
+def test_specific_token_still_beats_star_even_when_star_repeats():
+    from specialsid_spark.operators.robots import is_allowed, parse_robots
+
+    r = parse_robots(
+        "User-agent: *\nDisallow: /a/\n\n"
+        "User-agent: bot\nDisallow: /b/\n\n"
+        "User-agent: *\nDisallow: /c/\n"
+    )
+    # 'bot' obeys ONLY its token group — star rules don't leak in
+    assert is_allowed(r, "bot", "/a/x")
+    assert is_allowed(r, "bot", "/c/x")
+    assert not is_allowed(r, "bot", "/b/x")
+    # unmatched agent: both star groups combine
+    assert not is_allowed(r, "zbot", "/a/x")
+    assert not is_allowed(r, "zbot", "/c/x")

@@ -1212,3 +1212,20 @@ def test_streaming_cusum_monitor_matches_sequential_reference(spark, tmp_path):
     v = got["view"]
     assert (v["s_up"], v["s_dn"], v["n_up_flags"], v["n_dn_flags"]) == (0, 0, 0, 0)
     assert v["n_hours_closed"] == 4
+    assert c["n_late_dropped"] == 0 and v["n_late_dropped"] == 0
+
+    # ADVICE r9 regression: an event for a long-CLOSED hour must be
+    # dropped-and-counted, never folded back (the r9 code re-inserted
+    # hour 10 and applied its residual a second time, corrupting the
+    # registers permanently)
+    _write_events(
+        ev_dir / "b3.json",
+        [ev(11, "2024-01-01 10:05:00", "click", 7.0)],
+    )
+    got3 = run_once()
+    c3 = got3["click"]
+    assert (c3["s_up"], c3["s_dn"], c3["n_up_flags"], c3["n_dn_flags"]) == (
+        s_up, s_dn, n_up, n_dn,
+    ), "late event for a closed hour must not perturb the registers"
+    assert c3["n_hours_closed"] == 4
+    assert c3["n_late_dropped"] == 1

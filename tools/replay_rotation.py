@@ -1,0 +1,78 @@
+"""Replay the driver's per-round rotation IN ORDER in ONE session, then
+re-check one target query against its DuckDB oracle — the repro harness
+for cross-query session-state contamination (VERDICT r9 #1: the
+ev_cusum_changepoint driver red does not reproduce in isolation).
+
+The session is deliberately BARE (SparkSession.builder with no repo
+confs — session.py never runs on the driver either), and every query's
+result is fully collected, exactly like the driver's t2 gate.
+
+Usage: python tools/replay_rotation.py [sf_dir] [target] [n_prefix]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+from tools.check_oracle import norm_rows  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    target = sys.argv[2] if len(sys.argv) > 2 else "ev_cusum_changepoint"
+    n_prefix = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+
+    from specialsid_spark.queries import all_oracles, all_queries
+
+    spark = SparkSession.builder.master("local[8]").appName("replay").getOrCreate()
+    qs = all_queries()
+    oracles = all_oracles()
+
+    names = list(qs)
+    upto = names.index(target) if target in names[:n_prefix] else n_prefix
+    prefix = names[:upto]
+    print(f"replaying {len(prefix)} queries before {target!r}")
+    for i, name in enumerate(prefix):
+        try:
+            rows = qs[name](spark, sf_dir).collect()
+            print(f"  [{i + 1}/{len(prefix)}] {name}: {len(rows)} rows")
+        except Exception as exc:  # noqa: BLE001
+            print(f"  [{i + 1}/{len(prefix)}] {name}: ERROR {exc}")
+
+    sdf = qs[target](spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    res = con.execute(oracles[target])
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    ns, nd = norm_rows(s_cols, s_rows), norm_rows(d_cols, d_rows)
+    if ns == nd:
+        print(f"PASS {target}: {len(s_rows)} rows value-exact after dirty prefix")
+        spark.stop()
+        return 0
+    diffs = [(a, b) for a, b in zip(ns, nd) if a != b][:5]
+    print(f"FAIL {target}: values differ after dirty prefix; first diffs:")
+    for a, b in diffs:
+        print(f"  spark={a}\n  duck ={b}")
+    spark.stop()
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
