@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import re
 import zlib
+from struct import error as struct_error
 
 import numpy as np
 
@@ -257,7 +258,8 @@ def rasterize_page(
         hpx = max(1, round((y1 - y0) * s))
         buf = np.full((hpx, wpx, 3), 255, dtype=np.uint8)
         xobjects = _page_xobjects(objs, page_head)
-        _run(content, buf, s, hpx, x0, y0, objs, xobjects)
+        fonts = _page_fonts(objs, page_head)
+        _run(content, buf, s, hpx, x0, y0, objs, xobjects, fonts)
         return wpx, hpx, 3, buf.tobytes()
     except (_Degrade, ValueError, IndexError, KeyError, ZeroDivisionError):
         return None
@@ -453,7 +455,123 @@ def _glyph_boxes(buf, m, pen_x, size, text, color) -> float:
     return pen_x
 
 
-def _run(content, buf, s, hpx, ox, oy, objs, xobjects) -> None:
+def _flatten_quad(p0, p1, p2) -> list[tuple[float, float]]:
+    """8 uniform-t samples of the quadratic (excluding p0), control
+    points already in DEVICE space.  Pinned association order
+    u*u*x0 + 2*u*t*x1 + t*t*x2 with t = k/8 exact in binary — the
+    oracle restates it verbatim (operators/truetype.py QUAD_SEGS)."""
+    from specialsid_spark.operators.truetype import QUAD_SEGS  # noqa: PLC0415
+
+    pts = []
+    for k in range(1, QUAD_SEGS + 1):
+        t = k / QUAD_SEGS
+        u = 1.0 - t
+        x = u * u * p0[0] + 2 * u * t * p1[0] + t * t * p2[0]
+        y = u * u * p0[1] + 2 * u * t * p1[1] + t * t * p2[1]
+        pts.append((x, y))
+    return pts
+
+
+def _glyph_outlines(buf, m, pen_x, size, text, color, font) -> float:
+    """Real TrueType outline text (r10, VERDICT r9 #4): per character,
+    look the glyph up in cmap, transform its contours through
+    (size/unitsPerEm, text matrix, CTM), flatten quadratic pieces with
+    the pinned 8-segment rule, and scanline-fill with NONZERO winding
+    (the TrueType fill rule — counter contours run opposite).  The pen
+    advances by the glyph's hmtx advance.  Unmapped characters hit
+    glyph 0 (.notdef — empty in our scope): advance only."""
+    from specialsid_spark.operators.truetype import glyph_segments  # noqa: PLC0415
+
+    scale = size / font.units_per_em
+    for ch in text:
+        gid = font.glyph_for_char(ch)
+        contours = font.glyphs[gid] if gid < len(font.glyphs) else []
+        if contours:
+            subpaths = []
+            for pieces in glyph_segments(contours):
+                dev: list[tuple[float, float]] = []
+
+                def pt(p):
+                    return _apply(m, pen_x + p[0] * scale, p[1] * scale)
+
+                for piece in pieces:
+                    if piece[0] == "l":
+                        _k, a, b = piece
+                        if not dev:
+                            dev.append(pt(a))
+                        dev.append(pt(b))
+                    else:
+                        _k, a, c, b = piece
+                        if not dev:
+                            dev.append(pt(a))
+                        dev.extend(_flatten_quad(pt(a), pt(c), pt(b)))
+                if dev:
+                    subpaths.append(dev)
+            if subpaths:
+                _fill_path(buf, subpaths, color, False)
+        adv = font.advances[gid] if gid < len(font.advances) else 0
+        pen_x += adv * scale
+    return pen_x
+
+
+def _paint_text(buf, m, pen_x, size, text, color, font) -> float:
+    """Dispatch: embedded-TrueType outlines when the current font
+    carries a parsed program, else the r8 glyph-box layout model
+    (CFF/Type1/standard-14 fonts — documented degrade)."""
+    if font is not None:
+        return _glyph_outlines(buf, m, pen_x, size, text, color, font)
+    return _glyph_boxes(buf, m, pen_x, size, text, color)
+
+
+def _page_fonts(objs: dict, page_head: bytes) -> dict[str, int]:
+    """/Font resource name -> font object number for one page."""
+    m = re.search(rb"/Font\s*<<(.*?)>>", page_head, re.S)
+    if m is None:
+        rm = re.search(rb"/Resources\s+(\d+)\s+0\s+R", page_head)
+        if rm is None:
+            return {}
+        rhead = objs.get(int(rm.group(1)), (b"",))[0]
+        m = re.search(rb"/Font\s*<<(.*?)>>", rhead, re.S)
+        if m is None:
+            return {}
+    return {
+        name.decode("latin-1"): int(num)
+        for name, num in re.findall(rb"/(\w+)\s+(\d+)\s+0\s+R", m.group(1))
+    }
+
+
+def _load_font_program(objs: dict, font_num: int):
+    """Resolve font obj -> /FontDescriptor -> /FontFile2 and parse the
+    TrueType program; None for standard-14 / CFF / unsupported fonts
+    (the glyph-box degrade)."""
+    from specialsid_spark.operators.truetype import (  # noqa: PLC0415
+        TtfUnsupported,
+        parse_ttf,
+    )
+
+    head = objs.get(font_num, (b"",))[0]
+    dm = re.search(rb"/FontDescriptor\s+(\d+)\s+0\s+R", head)
+    if dm is None:
+        return None
+    dhead = objs.get(int(dm.group(1)), (b"",))[0]
+    fm = re.search(rb"/FontFile2\s+(\d+)\s+0\s+R", dhead)
+    if fm is None:
+        return None
+    fhead, fdata = objs.get(int(fm.group(1)), (b"", None))
+    if fdata is None:
+        return None
+    if b"/FlateDecode" in fhead:
+        try:
+            fdata = zlib.decompress(fdata)
+        except zlib.error:
+            return None
+    try:
+        return parse_ttf(bytes(fdata))
+    except (TtfUnsupported, ValueError, IndexError, struct_error):
+        return None
+
+
+def _run(content, buf, s, hpx, ox, oy, objs, xobjects, fonts=None) -> None:
     base = (s, 0.0, 0.0, -s, -ox * s, hpx + oy * s)
     ctm = base
     stack: list[tuple] = []
@@ -467,6 +585,8 @@ def _run(content, buf, s, hpx, ox, oy, objs, xobjects) -> None:
     pen = 0.0
     size = 12.0
     leading = 0.0
+    font = None  # parsed TrueType program, or None = glyph-box model
+    font_cache: dict[str, object] = {}
     operands: list = []
 
     def num(k: int) -> float:
@@ -573,6 +693,17 @@ def _run(content, buf, s, hpx, ox, oy, objs, xobjects) -> None:
             pass
         elif op == b"Tf":
             size = num(1)
+            font = None
+            if len(operands) >= 2 and operands[-2][0] == "name":
+                fname = operands[-2][1]
+                if fname not in font_cache:
+                    fnum = (fonts or {}).get(fname)
+                    font_cache[fname] = (
+                        _load_font_program(objs, fnum)
+                        if fnum is not None
+                        else None
+                    )
+                font = font_cache[fname]
         elif op == b"TL":
             leading = num(1)
         elif op in (b"Td", b"TD"):
@@ -595,15 +726,15 @@ def _run(content, buf, s, hpx, ox, oy, objs, xobjects) -> None:
                 tm = tlm
                 pen = 0.0
             if operands and operands[-1][0] == "str":
-                pen = _glyph_boxes(
-                    buf, _mul(tm, ctm), pen, size, operands[-1][1], fill
+                pen = _paint_text(
+                    buf, _mul(tm, ctm), pen, size, operands[-1][1], fill, font
                 )
         elif op == b"TJ":
             if operands and operands[-1][0] == "arr":
                 m = _mul(tm, ctm)
                 for ekind, ev in operands[-1][1]:
                     if ekind == "str":
-                        pen = _glyph_boxes(buf, m, pen, size, ev, fill)
+                        pen = _paint_text(buf, m, pen, size, ev, fill, font)
                     else:  # kerning: thousandths of an em, subtracted
                         pen -= ev / 1000.0 * size
         elif op == b"Do":
@@ -693,5 +824,62 @@ def build_raster_pdf(
     objects[pages_num - 1] = (
         b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
     )
+    objects[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
+    return _assemble_pdf(objects, catalog_num)
+
+
+def build_glyph_pdf(
+    text: str, size: int = 64, td: tuple[int, int] = (72, 700),
+    font_program: bytes | None = None,
+) -> bytes:
+    """Oracle-fixture writer (r10): one 612x792 page whose only ink is
+    ``text`` set in an EMBEDDED TrueType font (default:
+    operators/truetype.py fixture_font) at integral ``size`` and
+    ``Td`` — with unitsPerEm 1024 every device coordinate is an exact
+    double (integer + glyph-units / 2^k), so per-character ink
+    coverage has closed forms the SQL oracle restates."""
+    from specialsid_spark.operators.pdf import (  # noqa: PLC0415
+        _assemble_pdf,
+        _pdf_escape,
+    )
+    from specialsid_spark.operators.truetype import fixture_font  # noqa: PLC0415
+
+    if font_program is None:
+        font_program = fixture_font()
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    catalog_num = add(b"")
+    pages_num = add(b"")
+    ff_num = add(
+        b"<< /Length %d >>\nstream\n" % len(font_program)
+        + font_program
+        + b"\nendstream"
+    )
+    desc_num = add(
+        b"<< /Type /FontDescriptor /FontName /Fixture /Flags 4"
+        b" /FontBBox [0 -480 1024 832] /ItalicAngle 0 /Ascent 832"
+        b" /Descent -480 /CapHeight 832 /StemV 80 /FontFile2 %d 0 R >>"
+        % ff_num
+    )
+    font_num = add(
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /Fixture"
+        b" /FirstChar 32 /LastChar 126 /FontDescriptor %d 0 R >>" % desc_num
+    )
+    content = b"BT /F1 %d Tf %d %d Td (%s) Tj ET" % (
+        size, td[0], td[1], _pdf_escape(text),
+    )
+    cont_num = add(
+        b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
+    )
+    page = add(
+        b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /Font << /F1 %d 0 R >> >>"
+        b" /Contents %d 0 R >>" % (pages_num, font_num, cont_num)
+    )
+    objects[pages_num - 1] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
     objects[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
     return _assemble_pdf(objects, catalog_num)

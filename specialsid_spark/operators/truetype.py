@@ -391,10 +391,13 @@ def build_tiny_ttf(
         min(xs), min(ys), max(xs), max(ys), 0, 8, 2, 1, 0,
     )
     maxp = struct.pack(">IH", 0x00010000, num_glyphs) + b"\x00" * 26
+    # hhea is exactly 36 bytes: version, ascender, descender, lineGap,
+    # advanceWidthMax, minLSB, minRSB, xMaxExtent, caretSlopeRise/Run,
+    # caretOffset, 8 reserved, metricDataFormat, numberOfHMetrics@34
     hhea = (
         struct.pack(">Ihhh", 0x00010000, units_per_em, 0, 0)
         + struct.pack(">Hhhh", max(a for *_x, a in glyph_defs + composites), 0, 0, 0)
-        + struct.pack(">hhhh", 1, 0, 0, 0)
+        + struct.pack(">hhh", 1, 0, 0)
         + b"\x00" * 8
         + struct.pack(">hH", 0, num_glyphs)
     )
@@ -485,3 +488,41 @@ def _cmap_format4(char_to_gid: dict[int, int]) -> bytes:
     sub += b"".join(struct.pack(">H", d) for _s, _e, d in segs)
     sub += b"\x00\x00" * seg  # idRangeOffset = 0 everywhere
     return struct.pack(">HHHHI", 0, 1, 3, 1, 12) + sub
+
+
+def fixture_font() -> bytes:
+    """The oracle fixture font (unitsPerEm 1024, every advance 1024 =
+    one em): four glyphs whose dpi-72 ink coverage has closed forms —
+
+    * ``T``: two axis-aligned rects (bar 896x128 units over stem
+      128x704) — at size 64 (scale 1/16): 56x8 + 8x44 = 800 px.
+    * ``O``: outer rect with an opposite-winding counter (the nonzero
+      fill-rule ring): 56x52 - 40x36 = 1472 px.
+    * ``V``: one quadratic piece (on (64,832), ctrl (512,-480), on
+      (960,832)) closed by the horizontal top edge — the 8-segment
+      pinned flatten the SQL oracle re-derives.
+    * ``X``: a COMPOSITE glyph: one component referencing ``T`` offset
+      (0, -128) — integer translation, so ink is T's 800 px shifted
+      down 8 device rows (exercises the glyf composite path).
+    """
+    t_contours = [
+        [(64, 704, True), (960, 704, True), (960, 832, True), (64, 832, True)],
+        [(448, 0, True), (576, 0, True), (576, 704, True), (448, 704, True)],
+    ]
+    o_contours = [
+        [(64, 0, True), (960, 0, True), (960, 832, True), (64, 832, True)],
+        # counter: opposite orientation -> nonzero winding cancels
+        [(192, 128, True), (192, 704, True), (832, 704, True), (832, 128, True)],
+    ]
+    v_contours = [
+        [(64, 832, True), (512, -480, False), (960, 832, True)],
+    ]
+    return build_tiny_ttf(
+        [
+            (None, [], 1024),      # glyph 0: .notdef, empty
+            ("T", t_contours, 1024),
+            ("O", o_contours, 1024),
+            ("V", v_contours, 1024),
+        ],
+        composites=[("X", [(1, 0, -128)], 1024)],
+    )

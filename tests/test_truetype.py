@@ -1,0 +1,204 @@
+"""TrueType parser/builder (operators/truetype.py) and the embedded-
+font text path of the rasterizer (VERDICT r9 #4)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from specialsid_spark.operators.truetype import (
+    QUAD_SEGS,
+    TtfUnsupported,
+    build_tiny_ttf,
+    fixture_font,
+    glyph_segments,
+    parse_ttf,
+)
+
+
+def test_fixture_font_roundtrip():
+    f = parse_ttf(fixture_font())
+    assert f.units_per_em == 1024
+    assert f.num_glyphs == 5
+    assert f.advances == [1024] * 5
+    assert {chr(c): g for c, g in f.cmap.items()} == {
+        "T": 1, "O": 2, "V": 3, "X": 4,
+    }
+    # composite X resolved to T's contours shifted by (0, -128)
+    t, x = f.glyphs[1], f.glyphs[4]
+    assert len(x) == len(t)
+    for ct, cx in zip(t, x):
+        assert cx == [(px, py - 128, on) for px, py, on in ct]
+    # unmapped char -> .notdef (glyph 0, empty)
+    assert f.glyph_for_char("Z") == 0
+    assert f.glyphs[0] == []
+
+
+def test_implied_on_curve_midpoints():
+    """Two consecutive off-curve points imply an on-curve midpoint —
+    the TrueType outline rule (Apple TT Reference, 'Outlines')."""
+    contours = [[(0, 0, True), (100, 0, False), (100, 100, False), (0, 100, True)]]
+    segs = glyph_segments(contours)
+    assert len(segs) == 1
+    pieces = segs[0]
+    kinds = [p[0] for p in pieces]
+    assert kinds == ["q", "q", "l"]
+    # the implied midpoint between the two off-curve points
+    assert pieces[0][3] == (100.0, 50.0)
+    assert pieces[1][1] == (100.0, 50.0)
+
+
+def test_all_off_curve_contour():
+    """A contour with no on-curve point at all (legal): every midpoint
+    becomes on-curve."""
+    contours = [[(0, 0, False), (100, 0, False), (100, 100, False), (0, 100, False)]]
+    segs = glyph_segments(contours)
+    assert len(segs) == 1
+    assert all(p[0] == "q" for p in segs[0])
+    assert len(segs[0]) == 4
+
+
+def test_off_curve_start_rotates():
+    contours = [[(50, -50, False), (0, 0, True), (100, 0, True)]]
+    segs = glyph_segments(contours)
+    # rotated to start at the first on-curve point (0,0): straight to
+    # (100,0), then the wrap-around quadratic through the off-curve
+    # control closes the contour
+    assert segs == [
+        [
+            ("l", (0.0, 0.0), (100.0, 0.0)),
+            ("q", (100.0, 0.0), (50.0, -50.0), (0.0, 0.0)),
+        ]
+    ]
+
+
+def test_builder_short_and_repeat_flags_parse():
+    """The builder emits long (int16) deltas; hand-craft a glyph with
+    SHORT + REPEAT flags to pin the other decode branches."""
+    # one triangular contour with 3 points, x/y short positive deltas
+    glyf = struct.pack(">hhhhh", 1, 0, 0, 30, 40)
+    glyf += struct.pack(">H", 2)  # endPt
+    glyf += struct.pack(">H", 0)  # no instructions
+    ON, XS, YS, XP, YP, REP = 0x01, 0x02, 0x04, 0x10, 0x20, 0x08
+    # flag with REPEAT covering points 1-2
+    glyf += bytes([ON | XS | YS | XP | YP])          # pt0: +10, +10
+    glyf += bytes([ON | XS | YS | XP | YP | REP, 1])  # pt1, pt2 same flag
+    glyf += bytes([10, 10, 10])  # x deltas
+    glyf += bytes([10, 20, 10])  # y deltas
+    if len(glyf) % 2:
+        glyf += b"\x00"
+    font = _wrap_single_glyph(glyf)
+    f = parse_ttf(font)
+    assert f.glyphs[1] == [[(10, 10, True), (20, 30, True), (30, 40, True)]]
+
+
+def _wrap_single_glyph(glyf_glyph: bytes) -> bytes:
+    """Minimal font: .notdef + one hand-built glyph mapped to 'A'."""
+    base = build_tiny_ttf(
+        [(None, [], 500), ("A", [[(0, 0, True), (1, 0, True), (0, 1, True)]], 500)]
+    )
+    # splice: rebuild with the raw glyph by re-deriving tables is
+    # overkill; instead build a fresh font whose glyf/loca we patch.
+    f = bytearray(base)
+    n = struct.unpack_from(">H", f, 4)[0]
+    tables = {}
+    for i in range(n):
+        o = 12 + 16 * i
+        tables[bytes(f[o : o + 4])] = (o, *struct.unpack_from(">II", f, o + 8))
+    # append new glyf at the end, point directory + loca at it
+    gdir, _goff, _glen = tables[b"glyf"]
+    new_off = len(f)
+    pad = (-len(glyf_glyph)) % 4
+    f += glyf_glyph + b"\x00" * pad
+    struct.pack_into(">II", f, gdir + 8, new_off, len(glyf_glyph))
+    ldir, loff, _llen = tables[b"loca"]
+    struct.pack_into(">III", f, loff, 0, 0, len(glyf_glyph))
+    return bytes(f)
+
+
+def test_unsupported_forms_degrade_loudly():
+    with pytest.raises(TtfUnsupported):
+        parse_ttf(b"OTTO" + b"\x00" * 20)  # CFF-flavored sfnt
+    with pytest.raises(TtfUnsupported):
+        parse_ttf(b"\x00\x01\x00\x00")  # truncated
+    good = fixture_font()
+    with pytest.raises(TtfUnsupported):
+        parse_ttf(good[:60])  # cut mid-directory
+
+
+def test_rasterizer_glyph_ink_closed_forms():
+    from specialsid_spark.operators.pdfraster import (
+        build_glyph_pdf,
+        rasterize_page,
+    )
+
+    r = rasterize_page(build_glyph_pdf("TOX"))
+    assert r is not None
+    w, h, _ch, px = r
+    gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+    # chars at pen 72 + 64k, each 64 px wide
+    for k, want in [(0, 800), (1, 1472), (2, 800)]:
+        col = gray[:, 72 + 64 * k : 136 + 64 * k]
+        assert int((col != 255).sum()) == want, f"char {k}"
+    # T bar: rows 40..47, cols pen+4..pen+59
+    assert (gray[40:48, 76:132] == 0).all()
+    # O counter is white inside the ring
+    assert (gray[48:84, 148:188] == 255).all()
+
+
+def test_rasterizer_quad_flatten_matches_reference():
+    """The V glyph's ink equals the independent closed-form scanline
+    re-derivation of the pinned QUAD_SEGS flatten."""
+    import math
+
+    from specialsid_spark.operators.pdfraster import (
+        build_glyph_pdf,
+        rasterize_page,
+    )
+
+    r = rasterize_page(build_glyph_pdf("V"))
+    assert r is not None
+    w, h, _ch, px = r
+    gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+    got = int((gray != 255).sum())
+
+    pts = []
+    for k in range(0, QUAD_SEGS + 1):
+        t = k / QUAD_SEGS
+        u = 1.0 - t
+        pts.append(
+            (u * u * 76.0 + 2 * u * t * 104.0 + t * t * 132.0,
+             u * u * 40.0 + 2 * u * t * 122.0 + t * t * 40.0)
+        )
+    edges = [(a, b) for a, b in zip(pts, pts[1:]) if a[1] != b[1]]
+    want = 0
+    for py in range(0, 200):
+        cy = py + 0.5
+        xs = [
+            e0[0] + (cy - e0[1]) * (e1[0] - e0[0]) / (e1[1] - e0[1])
+            for e0, e1 in edges
+            if (e0[1] <= cy < e1[1]) or (e1[1] <= cy < e0[1])
+        ]
+        if xs:
+            want += math.ceil(max(xs) - 0.5) - math.ceil(min(xs) - 0.5)
+    assert got == want == 1508
+
+
+def test_font_without_program_keeps_box_model():
+    """build_raster_pdf's Helvetica page (no /FontFile2) must keep the
+    r8 glyph-box ink bit-for-bit — the degrade contract."""
+    from specialsid_spark.operators.pdfraster import (
+        build_raster_pdf,
+        rasterize_page,
+    )
+
+    blob = build_raster_pdf("DOC1", (100, 100, 41, 30, 7), (8, 8, bytes(64)))
+    r = rasterize_page(blob)
+    assert r is not None
+    w, h, _ch, px = r
+    gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+    # 4 glyph boxes of 5x7 at 12pt: the r8 closed form
+    text_band = gray[792 - 707 : 792 - 700, 72:100]
+    assert int((text_band != 255).sum()) == 4 * 35
