@@ -31,6 +31,18 @@ Honest scope (documented, enforced loudly):
   device pixel center through the inverse CTM (nearest-neighbor) —
   the axis-aligned cases keep their r8 round()-based code paths
   bit-for-bit.
+* **Embedded TrueType text** (r10, VERDICT r9 #4): when the page font
+  carries /FontFile2, Tj/TJ render REAL glyf outlines
+  (operators/truetype.py) — quadratics flatten with a pinned
+  8-segment rule into the nonzero-winding scanline filler, pen
+  advances by hmtx widths; fonts without a TrueType program keep the
+  glyph-box model above.
+* **Axial shadings + rect clips** (r10, VERDICT r9 #5): ``re W n``
+  tracks a single axis-aligned rect clip (intersecting across q/Q);
+  ``sh`` paints a /ShadingType 2 gradient (FunctionType 2, N=1,
+  DeviceGray/RGB, /Extend clamp) through the inverse CTM into the
+  clip; every paint op honors the clip rect.  Non-rect clip paths and
+  W-combined-with-painting degrade loudly.
 * **Degrades to None**: unsupported color spaces or filters, singular
   CTMs, anything malformed.  Per the codec-family contract the public
   entry point never raises on untrusted input.
@@ -225,6 +237,103 @@ def _decode_image_xobject(head: bytes, data: bytes | None):
     return w, h, ch, bytes(data[: w * h * ch])
 
 
+
+
+# ---------------------------------------------------------------- shadings
+
+def _page_shadings(objs: dict, page_head: bytes) -> dict[str, int]:
+    """/Shading resource name -> object number for one page."""
+    m = re.search(rb"/Shading\s*<<(.*?)>>", page_head, re.S)
+    if m is None:
+        rm = re.search(rb"/Resources\s+(\d+)\s+0\s+R", page_head)
+        if rm is None:
+            return {}
+        rhead = objs.get(int(rm.group(1)), (b"",))[0]
+        m = re.search(rb"/Shading\s*<<(.*?)>>", rhead, re.S)
+        if m is None:
+            return {}
+    return {
+        name.decode("latin-1"): int(num)
+        for name, num in re.findall(rb"/(\w+)\s+(\d+)\s+0\s+R", m.group(1))
+    }
+
+
+_NUM_LIST_RE = re.compile(rb"[-+]?[0-9.]+(?:[eE][-+]?\d+)?")
+
+
+def _num_array(head: bytes, key: bytes) -> list[float] | None:
+    m = re.search(key + rb"\s*\[([^\]]*)\]", head)
+    if m is None:
+        return None
+    return [float(v) for v in _NUM_LIST_RE.findall(m.group(1))]
+
+
+def _axial_shading(objs: dict, sh_num: int):
+    """Parse a /ShadingType 2 (axial) dict with a /FunctionType 2
+    exponential-interpolation function at N = 1 (linear) — the common
+    born-digital flyer gradient.  Anything else degrades."""
+    head = objs.get(sh_num, (b"",))[0]
+    if re.search(rb"/ShadingType\s+2\b", head) is None:
+        raise _Degrade("only axial (type 2) shadings supported")
+    coords = _num_array(head, rb"/Coords")
+    if coords is None or len(coords) != 4:
+        raise _Degrade("axial shading missing /Coords")
+    nch = 3 if b"/DeviceRGB" in head else 1
+    fm = re.search(rb"/Function\s+(\d+)\s+0\s+R", head)
+    if fm is None:
+        raise _Degrade("shading missing /Function")
+    fhead = objs.get(int(fm.group(1)), (b"",))[0]
+    if re.search(rb"/FunctionType\s+2\b", fhead) is None:
+        raise _Degrade("only exponential (type 2) functions supported")
+    nm = re.search(rb"/N\s+([0-9.]+)", fhead)
+    if nm is None or float(nm.group(1)) != 1.0:
+        raise _Degrade("only linear (N=1) interpolation supported")
+    c0 = _num_array(fhead, rb"/C0") or [0.0] * nch
+    c1 = _num_array(fhead, rb"/C1") or [1.0] * nch
+    if len(c0) != nch or len(c1) != nch:
+        raise _Degrade("function arity mismatch")
+    return tuple(coords), tuple(c0), tuple(c1), nch
+
+
+def _paint_axial(buf, m, shading, clip) -> None:
+    """Axial gradient paint (``sh``, r10 — VERDICT r9 #5): for every
+    device pixel center inside the clip rect, inverse-map to user
+    space, project onto the axis, clamp t to [0, 1] (the /Extend
+    behavior real flyer art relies on), and write
+    floor((c0 + t*(c1-c0)) * 255 + 0.5) per channel — the floor(+0.5)
+    rounding is the deterministic form both engines share (DuckDB
+    round() ties differ from numpy's; floor does not)."""
+    (x0, y0, x1, y1), c0, c1, nch = shading
+    a, b, c, d, e, f = m
+    det = a * d - b * c
+    if det == 0.0:
+        raise _Degrade("singular shading CTM")
+    cx0, cy0, cx1, cy1 = clip if clip is not None else (0, 0, buf.shape[1], buf.shape[0])
+    cx0, cy0 = max(cx0, 0), max(cy0, 0)
+    cx1, cy1 = min(cx1, buf.shape[1]), min(cy1, buf.shape[0])
+    if cx1 <= cx0 or cy1 <= cy0:
+        return
+    X, Y = np.meshgrid(
+        np.arange(cx0, cx1, dtype=np.float64) + 0.5,
+        np.arange(cy0, cy1, dtype=np.float64) + 0.5,
+    )
+    ux = (d * (X - e) - c * (Y - f)) / det
+    uy = (-b * (X - e) + a * (Y - f)) / det
+    dx, dy = x1 - x0, y1 - y0
+    denom = dx * dx + dy * dy
+    if denom == 0.0:
+        raise _Degrade("degenerate shading axis")
+    t = ((ux - x0) * dx + (uy - y0) * dy) / denom
+    t = np.clip(t, 0.0, 1.0)
+    out = np.empty((*t.shape, 3), dtype=np.uint8)
+    for ch in range(3):
+        k = ch if nch == 3 else 0
+        out[:, :, ch] = np.floor(
+            (c0[k] + t * (c1[k] - c0[k])) * 255.0 + 0.5
+        ).astype(np.uint8)
+    buf[cy0:cy1, cx0:cx1] = out
+
+
 # -------------------------------------------------------------- rasterizer
 
 def rasterize_page(
@@ -259,13 +368,14 @@ def rasterize_page(
         buf = np.full((hpx, wpx, 3), 255, dtype=np.uint8)
         xobjects = _page_xobjects(objs, page_head)
         fonts = _page_fonts(objs, page_head)
-        _run(content, buf, s, hpx, x0, y0, objs, xobjects, fonts)
+        shadings = _page_shadings(objs, page_head)
+        _run(content, buf, s, hpx, x0, y0, objs, xobjects, fonts, shadings)
         return wpx, hpx, 3, buf.tobytes()
     except (_Degrade, ValueError, IndexError, KeyError, ZeroDivisionError):
         return None
 
 
-def _fill_rect(buf, m, x, y, w, h, color) -> None:
+def _fill_rect(buf, m, x, y, w, h, color, clip=None) -> None:
     if not _axis_aligned(m):
         # rotated/skewed CTM (r9): the rect is a quad in device space —
         # route through the same integer scanline coverage as any path
@@ -281,21 +391,23 @@ def _fill_rect(buf, m, x, y, w, h, color) -> None:
             ],
             color,
             False,
+            clip,
         )
         return
     xa, ya = _apply(m, x, y)
     xb, yb = _apply(m, x + w, y + h)
     px0, px1 = sorted((round(xa), round(xb)))
     py0, py1 = sorted((round(ya), round(yb)))
-    px0 = max(px0, 0)
-    py0 = max(py0, 0)
-    px1 = min(px1, buf.shape[1])
-    py1 = min(py1, buf.shape[0])
+    cx0, cy0, cx1, cy1 = clip if clip is not None else (0, 0, buf.shape[1], buf.shape[0])
+    px0 = max(px0, cx0, 0)
+    py0 = max(py0, cy0, 0)
+    px1 = min(px1, cx1, buf.shape[1])
+    py1 = min(py1, cy1, buf.shape[0])
     if px1 > px0 and py1 > py0:
         buf[py0:py1, px0:px1] = color
 
 
-def _place_image(buf, m, img) -> None:
+def _place_image(buf, m, img, clip=None) -> None:
     """Nearest-neighbor placement of the unit-square image through m.
 
     Axis-aligned CTMs keep the r8 round()-based placement bit-for-bit
@@ -303,7 +415,7 @@ def _place_image(buf, m, img) -> None:
     each device pixel center back to unit space and samples the texel
     under it — the standard backward warp, all closed-form doubles."""
     if not _axis_aligned(m):
-        _place_image_affine(buf, m, img)
+        _place_image_affine(buf, m, img, clip)
         return
     w, h, ch, px = img
     xa, ya = _apply(m, 0.0, 0.0)
@@ -326,15 +438,16 @@ def _place_image(buf, m, img) -> None:
         sample = sample[::-1]
     if ch == 1:
         sample = np.repeat(sample, 3, axis=2)
-    bx0, by0 = max(px0, 0), max(py0, 0)
-    bx1, by1 = min(px1, buf.shape[1]), min(py1, buf.shape[0])
+    cx0, cy0, cx1, cy1 = clip if clip is not None else (0, 0, buf.shape[1], buf.shape[0])
+    bx0, by0 = max(px0, cx0, 0), max(py0, cy0, 0)
+    bx1, by1 = min(px1, cx1, buf.shape[1]), min(py1, cy1, buf.shape[0])
     if bx1 > bx0 and by1 > by0:
         buf[by0:by1, bx0:bx1] = sample[
             by0 - py0 : by1 - py0, bx0 - px0 : bx1 - px0
         ]
 
 
-def _place_image_affine(buf, m, img) -> None:
+def _place_image_affine(buf, m, img, clip=None) -> None:
     """Backward-warp placement for a general (non-axis-aligned) CTM:
     for every device pixel center (X, Y) inside the transformed unit
     square, (u, v) = m^-1 (X, Y); texel = image[floor((1-v)*h),
@@ -347,11 +460,12 @@ def _place_image_affine(buf, m, img) -> None:
         raise _Degrade("singular image CTM")
     import math
 
+    cx0, cy0, cx1, cy1 = clip if clip is not None else (0, 0, buf.shape[1], buf.shape[0])
     corners = [_apply(m, u, v) for u in (0.0, 1.0) for v in (0.0, 1.0)]
-    px0 = max(0, math.floor(min(p[0] for p in corners)))
-    px1 = min(buf.shape[1], math.ceil(max(p[0] for p in corners)))
-    py0 = max(0, math.floor(min(p[1] for p in corners)))
-    py1 = min(buf.shape[0], math.ceil(max(p[1] for p in corners)))
+    px0 = max(0, cx0, math.floor(min(p[0] for p in corners)))
+    px1 = min(buf.shape[1], cx1, math.ceil(max(p[0] for p in corners)))
+    py0 = max(0, cy0, math.floor(min(p[1] for p in corners)))
+    py1 = min(buf.shape[0], cy1, math.ceil(max(p[1] for p in corners)))
     if px1 <= px0 or py1 <= py0:
         return
     arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
@@ -390,7 +504,7 @@ def _flatten_cubic(p0, p1, p2, p3) -> list[tuple[float, float]]:
     return pts
 
 
-def _fill_path(buf, subpaths, color, evenodd: bool) -> None:
+def _fill_path(buf, subpaths, color, evenodd: bool, clip=None) -> None:
     """Integer scanline coverage: pixel (px, py) is painted iff its
     center (px+0.5, py+0.5) is inside per the fill rule.  Crossing x =
     x0 + (cy - y0) * (x1 - x0) / (y1 - y0) and the span bounds
@@ -410,8 +524,9 @@ def _fill_path(buf, subpaths, color, evenodd: bool) -> None:
                 edges.append((x0, y0, x1, y1))
     if not edges:
         return
-    ymin = max(0, math.floor(min(min(e[1], e[3]) for e in edges)))
-    ymax = min(buf.shape[0] - 1, math.ceil(max(max(e[1], e[3]) for e in edges)))
+    cx0, cy0, cx1, cy1 = clip if clip is not None else (0, 0, buf.shape[1], buf.shape[0])
+    ymin = max(0, cy0, math.floor(min(min(e[1], e[3]) for e in edges)))
+    ymax = min(buf.shape[0] - 1, cy1 - 1, math.ceil(max(max(e[1], e[3]) for e in edges)))
     width = buf.shape[1]
     for py in range(ymin, ymax + 1):
         cy = py + 0.5
@@ -439,18 +554,20 @@ def _fill_path(buf, subpaths, color, evenodd: bool) -> None:
                 elif prev != 0 and wind == 0:
                     spans.append((xl, x))
         for xl, xr in spans:
-            a = max(0, math.ceil(xl - 0.5))
-            b = min(width, math.ceil(xr - 0.5))
+            a = max(0, cx0, math.ceil(xl - 0.5))
+            b = min(width, cx1, math.ceil(xr - 0.5))
             if b > a:
                 buf[py, a:b] = color
 
 
-def _glyph_boxes(buf, m, pen_x, size, text, color) -> float:
+def _glyph_boxes(buf, m, pen_x, size, text, color, clip=None) -> float:
     """Paint the glyph-box run for ``text`` starting at text-space
     ``pen_x`` (baseline y=0) and return the advanced pen position."""
     for ch in text:
         if not ch.isspace():
-            _fill_rect(buf, m, pen_x, 0.0, GLYPH_W * size, GLYPH_H * size, color)
+            _fill_rect(
+                buf, m, pen_x, 0.0, GLYPH_W * size, GLYPH_H * size, color, clip
+            )
         pen_x += GLYPH_ADVANCE * size
     return pen_x
 
@@ -472,7 +589,7 @@ def _flatten_quad(p0, p1, p2) -> list[tuple[float, float]]:
     return pts
 
 
-def _glyph_outlines(buf, m, pen_x, size, text, color, font) -> float:
+def _glyph_outlines(buf, m, pen_x, size, text, color, font, clip=None) -> float:
     """Real TrueType outline text (r10, VERDICT r9 #4): per character,
     look the glyph up in cmap, transform its contours through
     (size/unitsPerEm, text matrix, CTM), flatten quadratic pieces with
@@ -508,19 +625,19 @@ def _glyph_outlines(buf, m, pen_x, size, text, color, font) -> float:
                 if dev:
                     subpaths.append(dev)
             if subpaths:
-                _fill_path(buf, subpaths, color, False)
+                _fill_path(buf, subpaths, color, False, clip)
         adv = font.advances[gid] if gid < len(font.advances) else 0
         pen_x += adv * scale
     return pen_x
 
 
-def _paint_text(buf, m, pen_x, size, text, color, font) -> float:
+def _paint_text(buf, m, pen_x, size, text, color, font, clip=None) -> float:
     """Dispatch: embedded-TrueType outlines when the current font
     carries a parsed program, else the r8 glyph-box layout model
     (CFF/Type1/standard-14 fonts — documented degrade)."""
     if font is not None:
-        return _glyph_outlines(buf, m, pen_x, size, text, color, font)
-    return _glyph_boxes(buf, m, pen_x, size, text, color)
+        return _glyph_outlines(buf, m, pen_x, size, text, color, font, clip)
+    return _glyph_boxes(buf, m, pen_x, size, text, color, clip)
 
 
 def _page_fonts(objs: dict, page_head: bytes) -> dict[str, int]:
@@ -571,11 +688,13 @@ def _load_font_program(objs: dict, font_num: int):
         return None
 
 
-def _run(content, buf, s, hpx, ox, oy, objs, xobjects, fonts=None) -> None:
+def _run(content, buf, s, hpx, ox, oy, objs, xobjects, fonts=None, shadings=None) -> None:
     base = (s, 0.0, 0.0, -s, -ox * s, hpx + oy * s)
     ctm = base
     stack: list[tuple] = []
     fill = np.array([0, 0, 0], dtype=np.uint8)
+    clip = None  # device-space (x0, y0, x1, y1) rect clip, or None
+    pending_clip = False  # a W/W* was seen; the next n consumes
     rects: list[tuple] = []  # (x, y, w, h, ctm): the pure-re fast path
     subpaths: list[list[tuple[float, float]]] = []  # device-space polygons
     cur: list[tuple[float, float]] | None = None
@@ -603,10 +722,10 @@ def _run(content, buf, s, hpx, ox, oy, objs, xobjects, fonts=None) -> None:
             continue
         op = val
         if op == b"q":
-            stack.append((ctm, fill.copy()))
+            stack.append((ctm, fill.copy(), clip))
         elif op == b"Q":
             if stack:
-                ctm, fill = stack.pop()
+                ctm, fill, clip = stack.pop()
         elif op == b"cm":
             cm = tuple(num(6 - k) for k in range(6))
             ctm = _mul(cm, ctm)
@@ -664,28 +783,52 @@ def _run(content, buf, s, hpx, ox, oy, objs, xobjects, fonts=None) -> None:
                 cur = None  # a following segment op starts a new subpath
             complex_path = True
         elif op in (b"f", b"F", b"f*", b"b", b"B", b"b*", b"B*"):
+            if pending_clip:
+                # W followed by a PAINTING op: fill-then-clip is out of
+                # the documented scope — degrade loudly, never guess
+                raise _Degrade("W combined with a painting operator")
             if complex_path:
                 # general scanline fill (rect subpaths recorded above
                 # participate); even-odd for the starred variants
-                _fill_path(buf, subpaths, fill, op in (b"f*", b"b*", b"B*"))
+                _fill_path(
+                    buf, subpaths, fill, op in (b"f*", b"b*", b"B*"), clip
+                )
             else:
                 # pure-re path: the r8 round()-based exact rect fill,
                 # bit-for-bit (_fill_rect itself falls back to the
                 # scanline quad when the CTM is rotated/skewed)
                 for x, y, w, h, m_ in rects:
-                    _fill_rect(buf, m_, x, y, w, h, fill)
+                    _fill_rect(buf, m_, x, y, w, h, fill, clip)
             rects = []
             subpaths = []
             cur = None
             complex_path = False
         elif op in (b"n", b"S", b"s"):
+            if pending_clip and op == b"n":
+                # rect-only clip (r10, for sh gradients): exactly one
+                # axis-aligned ``re`` — anything else degrades loudly
+                if complex_path or len(rects) != 1:
+                    raise _Degrade("non-rect clip path")
+                x, y, w, h, m_ = rects[0]
+                if not _axis_aligned(m_):
+                    raise _Degrade("rotated clip rect")
+                xa, ya = _apply(m_, x, y)
+                xb, yb = _apply(m_, x + w, y + h)
+                nx0, nx1 = sorted((round(xa), round(xb)))
+                ny0, ny1 = sorted((round(ya), round(yb)))
+                if clip is not None:
+                    nx0, ny0 = max(nx0, clip[0]), max(ny0, clip[1])
+                    nx1, ny1 = min(nx1, clip[2]), min(ny1, clip[3])
+                clip = (nx0, ny0, nx1, ny1)
+                pending_clip = False
             # clip consume / stroke: strokes are out of the ink model
             rects = []
             subpaths = []
             cur = None
             complex_path = False
         elif op == b"W" or op == b"W*":
-            pass  # clip intent: next n/f consumes
+            pending_clip = True  # next n consumes (even-odd == nonzero
+            # for the single-rect scope)
         elif op == b"BT":
             tm = tlm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
             pen = 0.0
@@ -727,14 +870,15 @@ def _run(content, buf, s, hpx, ox, oy, objs, xobjects, fonts=None) -> None:
                 pen = 0.0
             if operands and operands[-1][0] == "str":
                 pen = _paint_text(
-                    buf, _mul(tm, ctm), pen, size, operands[-1][1], fill, font
+                    buf, _mul(tm, ctm), pen, size, operands[-1][1], fill,
+                    font, clip,
                 )
         elif op == b"TJ":
             if operands and operands[-1][0] == "arr":
                 m = _mul(tm, ctm)
                 for ekind, ev in operands[-1][1]:
                     if ekind == "str":
-                        pen = _paint_text(buf, m, pen, size, ev, fill, font)
+                        pen = _paint_text(buf, m, pen, size, ev, fill, font, clip)
                     else:  # kerning: thousandths of an em, subtracted
                         pen -= ev / 1000.0 * size
         elif op == b"Do":
@@ -743,11 +887,17 @@ def _run(content, buf, s, hpx, ox, oy, objs, xobjects, fonts=None) -> None:
                 if xnum is None or xnum not in objs:
                     raise _Degrade("unresolved XObject")
                 head, data = objs[xnum]
-                _place_image(buf, ctm, _decode_image_xobject(head, data))
+                _place_image(buf, ctm, _decode_image_xobject(head, data), clip)
+        elif op == b"sh":
+            if operands and operands[-1][0] == "name":
+                snum = (shadings or {}).get(operands[-1][1])
+                if snum is None or snum not in objs:
+                    raise _Degrade("unresolved shading")
+                _paint_axial(buf, ctm, _axial_shading(objs, snum), clip)
         elif op in (b"gs", b"ri", b"i", b"j", b"J", b"M", b"d", b"w",
                     b"Tc", b"Tw", b"Tz", b"Ts", b"Tr", b"G", b"RG",
                     b"CS", b"cs", b"SC", b"sc", b"SCN", b"scn", b"K", b"k",
-                    b"MP", b"DP", b"BMC", b"BDC", b"EMC", b"sh"):
+                    b"MP", b"DP", b"BMC", b"BDC", b"EMC"):
             pass  # state/marked-content: no ink effect in this model
         else:
             raise _Degrade(f"unsupported operator {op!r}")
@@ -879,6 +1029,52 @@ def build_glyph_pdf(
         b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
         b" /Resources << /Font << /F1 %d 0 R >> >>"
         b" /Contents %d 0 R >>" % (pages_num, font_num, cont_num)
+    )
+    objects[pages_num - 1] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
+    objects[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
+    return _assemble_pdf(objects, catalog_num)
+
+
+def build_shading_pdf(
+    clip_rect: tuple[int, int, int, int],
+    coords: tuple[int, int, int, int],
+    c0: float,
+    c1: float,
+) -> bytes:
+    """Oracle-fixture writer (r10): one 612x792 page whose only ink is
+    an axial DeviceGray gradient ``sh`` painted inside a rect clip
+    (``re W n``).  Colors are written with repr() so the parsed double
+    is EXACTLY c0/c1 (shortest round-trip form); integral clip and
+    axis coordinates keep every t-projection a closed-form double the
+    SQL oracle restates."""
+    from specialsid_spark.operators.pdf import _assemble_pdf  # noqa: PLC0415
+
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    catalog_num = add(b"")
+    pages_num = add(b"")
+    fn_num = add(
+        b"<< /FunctionType 2 /Domain [0 1] /C0 [%s] /C1 [%s] /N 1 >>"
+        % (repr(c0).encode(), repr(c1).encode())
+    )
+    sh_num = add(
+        b"<< /ShadingType 2 /ColorSpace /DeviceGray"
+        b" /Coords [%d %d %d %d] /Function %d 0 R /Extend [true true] >>"
+        % (*coords, fn_num)
+    )
+    cx, cy, cw, chh = clip_rect
+    content = b"q %d %d %d %d re W n /Sh0 sh Q" % (cx, cy, cw, chh)
+    cont_num = add(
+        b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
+    )
+    page = add(
+        b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /Shading << /Sh0 %d 0 R >> >>"
+        b" /Contents %d 0 R >>" % (pages_num, sh_num, cont_num)
     )
     objects[pages_num - 1] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
     objects[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num

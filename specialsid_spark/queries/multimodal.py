@@ -889,6 +889,108 @@ def mm_pdf_glyph_text_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_pdf_shading_raster",
+    # r10 (VERDICT r9 #5): axial (Type 2) shading fills — the common
+    # born-digital flyer gradient — painted through a rect clip
+    # (re W n ... sh).  Fixture: DeviceGray gradient with doc-derived
+    # stops (written with repr() so the parsed doubles are exact),
+    # horizontal axis x 100->400 under a clip WIDER than the axis so
+    # the /Extend clamp is exercised at both ends.  The oracle
+    # re-derives every column's value with the SAME pinned double
+    # chain: t = ((x+0.5-100)*300 + 0)/90000 clamped to [0,1], value =
+    # floor((c0 + t*(c1-c0))*255 + 0.5) — floor(+0.5) because numpy and
+    # DuckDB round() break ties differently; floor does not.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    cols AS (SELECT unnest(range(80, 420)) AS x),
+    pix AS (
+      SELECT d.doc_id,
+             CAST(floor(
+               ((40 + (d.doc_id * 3) % 160) / 255.0
+                + LEAST(1.0, GREATEST(0.0,
+                    ((CAST(c.x AS DOUBLE) + 0.5 - 100.0) * 300.0 + 0.0)
+                      / 90000.0))
+                  * ((200 + d.doc_id % 55) / 255.0
+                     - (40 + (d.doc_id * 3) % 160) / 255.0))
+               * 255.0 + 0.5) AS BIGINT) AS v
+      FROM docs d, cols c
+    )
+    SELECT doc_id, 612 AS width, 792 AS height,
+           CAST(100 * SUM(CASE WHEN v <> 255 THEN 1 ELSE 0 END) AS BIGINT)
+             AS ink_px,
+           CAST(255 * CAST(612 * 792 AS BIGINT) - 100 * SUM(255 - v)
+                AS BIGINT) AS gray_sum,
+           CAST(MIN(v) AS BIGINT) AS v_left,
+           CAST(MAX(v) AS BIGINT) AS v_right
+    FROM pix
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def mm_pdf_shading_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/X3 extension, r10 — axial SHADING rasterization
+    (operators/pdfraster.py _paint_axial): per doc, a page whose only
+    ink is a clipped DeviceGray axial gradient; emits exact ink
+    coverage, gray-channel sum, and the clamped end colors (the
+    /Extend pin).  Completes the rasterizer's paint sources for
+    born-digital flyer art: flat fills (r8), Beziers (r9), glyph
+    outlines (r10), gradients (r10).
+
+    Scale shape: per-row independent mapInPandas, no shuffle before
+    the final sort."""
+    import numpy as np
+    import pandas as pd
+
+    from specialsid_spark.operators.pdfraster import (
+        build_shading_pdf,
+        rasterize_page,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                c0 = (40 + (doc_id * 3) % 160) / 255.0
+                c1 = (200 + doc_id % 55) / 255.0
+                blob = build_shading_pdf(
+                    (80, 620, 340, 100), (100, 0, 400, 0), c0, c1
+                )
+                r = rasterize_page(blob)
+                if r is None:  # degrade surfaces as an impossible row
+                    out.append((doc_id, -1, -1, -1, -1, -1, -1))
+                    continue
+                w, h, _ch, px = r
+                gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+                region = gray[72:172, 80:420].astype(np.int64)
+                out.append(
+                    (doc_id, w, h,
+                     int((gray != 255).sum()),
+                     int(gray.astype(np.int64).sum()),
+                     int(region.min()), int(region.max()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "ink_px", "gray_sum",
+                         "v_left", "v_right"],
+            ).astype({"doc_id": "int64", "width": "int32", "height": "int32",
+                      "ink_px": "int64", "gray_sum": "int64",
+                      "v_left": "int64", "v_right": "int64"})
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            fn,
+            "doc_id long, width int, height int, ink_px long,"
+            " gray_sum long, v_left long, v_right long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "mm_zstd_text_roundtrip",
     # r8 (VERDICT #2): the highest-frequency real-corpus wire format
     # still unreadable last round — modern LLM corpora ship .jsonl.zst.

@@ -237,3 +237,125 @@ def test_rotated_rect_fill_paints_the_rotated_area():
     assert ink_axis == 40 * 30
     # rotation preserves area up to perimeter-order pixel-center error
     assert abs(ink_rot - 1200) < 150, ink_rot
+
+
+def test_axial_shading_clipped_and_clamped():
+    """r10 (VERDICT r9 #5): DeviceGray axial gradient through a rect
+    clip — per-column values equal the pinned double chain, rows are
+    uniform, the /Extend regions clamp to the stop colors, and no ink
+    leaks past the clip."""
+    import math
+
+    import numpy as np
+
+    from specialsid_spark.operators.pdfraster import (
+        build_shading_pdf,
+        rasterize_page,
+    )
+
+    c0, c1 = 60 / 255, 240 / 255
+    r = rasterize_page(
+        build_shading_pdf((80, 620, 340, 100), (100, 0, 400, 0), c0, c1)
+    )
+    assert r is not None
+    w, h, _ch, px = r
+    gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+    region = gray[72:172, 80:420]
+    outside = gray.copy()
+    outside[72:172, 80:420] = 255
+    assert (outside == 255).all()
+    assert (region == region[0:1, :]).all()
+    for X in (80, 150, 419):
+        t = min(1.0, max(0.0, ((X + 0.5 - 100.0) * 300.0 + 0.0) / 90000.0))
+        assert region[0, X - 80] == math.floor((c0 + t * (c1 - c0)) * 255.0 + 0.5)
+    assert region[0, 0] == 60 and region[0, -1] == 240  # Extend clamp
+
+
+def test_clip_bounds_every_paint_op():
+    """A rect clip must bound rect fills, path fills, text, and images
+    — paint outside the clip is a rendering bug."""
+    import numpy as np
+
+    from specialsid_spark.operators.pdf import _assemble_pdf
+    from specialsid_spark.operators.pdfraster import rasterize_page
+
+    content = (
+        b"q 100 100 50 50 re W n "
+        b"0 g 60 60 200 200 re f "          # rect fill: clipped to 50x50
+        b"BT /F1 12 Tf 72 700 Td (HI) Tj ET "  # text fully outside clip
+        b"Q 0 g 300 300 10 10 re f"          # after Q: unclipped again
+    )
+    objects = []
+
+    def add(b):
+        objects.append(b)
+        return len(objects)
+
+    cat = add(b"")
+    pages = add(b"")
+    cont = add(
+        b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
+    )
+    page = add(
+        b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
+        b" /Contents %d 0 R >>" % (pages, cont)
+    )
+    objects[pages - 1] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
+    objects[cat - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages
+    r = rasterize_page(_assemble_pdf(objects, cat))
+    assert r is not None
+    w, h, _ch, px = r
+    gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+    # clipped rect fill: exactly the 50x50 clip window has ink
+    assert int((gray[792 - 150 : 792 - 100, 100:150] == 0).sum()) == 2500
+    # text at Td(72,700) was inside the clip scope -> no ink there
+    assert (gray[792 - 708 : 792 - 698, 70:110] == 255).all()
+    # post-Q fill is unclipped
+    assert (gray[792 - 310 : 792 - 300, 300:310] == 0).all()
+    assert int((gray != 255).sum()) == 2500 + 100
+
+
+def test_non_rect_clip_and_paint_with_w_degrade():
+    import numpy as np
+
+    from specialsid_spark.operators.pdf import _assemble_pdf
+    from specialsid_spark.operators.pdfraster import rasterize_page
+
+    def page_for(content):
+        objects = []
+
+        def add(b):
+            objects.append(b)
+            return len(objects)
+
+        cat = add(b"")
+        pages = add(b"")
+        cont = add(
+            b"<< /Length %d >>\nstream\n" % len(content)
+            + content
+            + b"\nendstream"
+        )
+        page = add(
+            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
+            b" /Contents %d 0 R >>" % (pages, cont)
+        )
+        objects[pages - 1] = (
+            b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
+        )
+        objects[cat - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages
+        return _assemble_pdf(objects, cat)
+
+    # triangle clip: out of scope -> page degrades to None
+    assert rasterize_page(
+        page_for(b"0 0 m 50 0 l 25 50 l h W n 0 g 0 0 100 100 re f")
+    ) is None
+    # W combined with a painting op: degrades
+    assert rasterize_page(
+        page_for(b"100 100 50 50 re W f")
+    ) is None
+    # sane baseline still renders
+    r = rasterize_page(page_for(b"0 g 10 10 20 20 re f"))
+    assert r is not None
+    w, h, _ch, px = r
+    gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+    assert int((gray != 255).sum()) == 400
