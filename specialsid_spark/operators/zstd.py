@@ -27,7 +27,10 @@ operators/flac.py (Rice):
   decode table directly: each symbol's decode states partition
   [0, table_size) by their (baseline, 2^bits) ranges, so the
   predecessor state for any target is unique — found by scan, exact by
-  construction.
+  construction.  The LZ window is shared across blocks (legal for
+  single-segment frames), and dictionary frames (r10) prime it with
+  the dictionary CONTENT so first-block matches reach back into it —
+  producing the dict-compressed shard shape HF corpora ship.
 
 Tests cross-validate BOTH directions against the reference
 implementation (the container's ``zstd`` CLI): real zstd-compressed
@@ -1114,35 +1117,68 @@ def _decode_frame(blob: bytes, pos: int, zdict=None) -> tuple[int, bytearray]:
 _BLOCK_MAX = 64 * 1024
 
 
-def _lz_parse(data: bytes) -> list[tuple[int, int, int]]:
-    """Greedy hash-chain LZ77: [(lit_len, offset, match_len), ...] with
-    trailing literals encoded as a final (lit_len, 0, 0) marker."""
-    n = len(data)
-    seqs: list[tuple[int, int, int]] = []
+def _lz_parse_blocks(
+    buf: bytes, start: int, block_max: int = _BLOCK_MAX
+) -> list[list[tuple[int, int, int]]]:
+    """Greedy hash-chain LZ77 over ``buf[start:]`` with match history
+    reaching into ``buf[:start]`` (a dictionary-content prefix and/or
+    earlier blocks of the same frame — legal for single-segment frames,
+    whose window is the whole content).  Matches never cross a
+    ``block_max`` boundary so each returned block decodes to at most
+    ``block_max`` bytes; per block, ``[(lit_len, offset, match_len),
+    ...]`` with trailing literals as a final ``(ll, 0, 0)`` marker."""
+    n = len(buf)
     table: dict[bytes, int] = {}
-    i = 0
-    lit_start = 0
-    while i + 4 <= n:
-        key = data[i : i + 4]
-        j = table.get(key)
-        table[key] = i
-        if j is not None and i - j <= (1 << 20):
-            # extend the match
-            ml = 4
-            while i + ml < n and data[j + ml] == data[i + ml] and ml < 65535:
-                ml += 1
-            if ml >= 4:
+    # a 4-byte key at k is wholly inside the prefix iff k + 4 <= start;
+    # walk backward so setdefault keeps the LATEST position (min offset)
+    for k in range(start - 4, -1, -1):
+        table.setdefault(buf[k : k + 4], k)
+    blocks: list[list[tuple[int, int, int]]] = []
+    i = start
+    while i < n or i == start == n:
+        bend = min(i + block_max, n)
+        seqs: list[tuple[int, int, int]] = []
+        lit_start = i
+        while i + 4 <= bend:
+            key = buf[i : i + 4]
+            j = table.get(key)
+            table[key] = i
+            if j is not None and i - j <= (1 << 20):
+                ml = 4
+                cap = min(bend - i, 65535)
+                while ml < cap and buf[j + ml] == buf[i + ml]:
+                    ml += 1
                 seqs.append((i - lit_start, i - j, ml))
-                # index a few positions inside the match for chain quality
                 for k in range(i + 1, min(i + ml, n - 4), 7):
-                    table[data[k : k + 4]] = k
+                    table[buf[k : k + 4]] = k
                 i += ml
                 lit_start = i
                 continue
-        i += 1
-    if lit_start < n or not seqs:
-        seqs.append((n - lit_start, 0, 0))
-    return seqs
+            i += 1
+        i = bend
+        if lit_start < bend or not seqs:
+            seqs.append((bend - lit_start, 0, 0))
+        blocks.append(seqs)
+        if i >= n:
+            break
+    return blocks
+
+
+def _compress_parsed(blk: bytes, parsed: list[tuple[int, int, int]]) -> bytes | None:
+    """One compressed-block body from a pre-computed parse, or None
+    when it wouldn't beat a raw block."""
+    lits = bytearray()
+    seqs: list[tuple[int, int, int]] = []
+    pos = 0
+    for ll, offset, ml in parsed:
+        lits += blk[pos : pos + ll]
+        pos += ll + ml
+        if offset:
+            seqs.append((ll, offset, ml))
+    body = _encode_literals_section(bytes(lits)) + _encode_sequences_section(seqs)
+    if len(body) >= len(blk):
+        return None
+    return body
 
 
 def _encode_literals_section(lits: bytes) -> bytes:
@@ -1284,48 +1320,65 @@ def _encode_sequences_section(seqs: list[tuple[int, int, int]]) -> bytes:
     return hdr + w.to_bytes()
 
 
-def _compress_block(data: bytes) -> bytes | None:
-    """One compressed-block body, or None when it wouldn't beat raw."""
-    parsed = _lz_parse(data)
-    lits = bytearray()
-    seqs: list[tuple[int, int, int]] = []
-    pos = 0
-    for ll, offset, ml in parsed:
-        lits += data[pos : pos + ll]
-        pos += ll + ml
-        if offset:
-            seqs.append((ll, offset, ml))
-    body = _encode_literals_section(bytes(lits)) + _encode_sequences_section(seqs)
-    if len(body) >= len(data):
-        return None
-    return body
-
-
-def zstd_compress(data: bytes, level_blocks: bool = True) -> bytes:
+def zstd_compress(
+    data: bytes, level_blocks: bool = True, dictionary: bytes | None = None
+) -> bytes:
     """A deterministic, conformant single-frame Zstandard stream:
     single-segment frame with explicit content size + xxh64 checksum;
-    per 128 KiB block the smallest of RLE / compressed / raw."""
+    per 64 KiB block the smallest of RLE / compressed / raw.
+
+    ``dictionary`` (an RFC 8878 §5 blob, e.g. from ``zstd --train``)
+    switches on the dict-frame path — the shape HF corpora ship their
+    shards in: the frame header names the Dictionary_ID, and the
+    dictionary CONTENT primes the LZ match window, so matches in the
+    first blocks reach back into it (the decoder — ours or the
+    reference CLI — reconstructs them from the same prefix).  The
+    dictionary's entropy tables are NOT used (an encoder may always
+    choose explicit table descriptions; RFC 8878 §5 makes repeat-mode
+    seeding optional), which keeps every block self-describing.
+    Malformed dictionaries raise ValueError — a dictionary is trusted
+    caller config, not untrusted stream input."""
     n = len(data)
+    prefix = b""
+    did_head = b""
+    did_flag = 0
+    if dictionary is not None:
+        did, _huf, _seq, _rep, prefix = parse_zstd_dict(dictionary)
+        if did <= 0xFF:
+            did_flag, did_head = 1, struct.pack("<B", did)
+        elif did <= 0xFFFF:
+            did_flag, did_head = 2, struct.pack("<H", did)
+        else:
+            did_flag, did_head = 3, struct.pack("<I", did)
     if n <= 255:
-        fhd = (0 << 6) | (1 << 5) | (1 << 2)
-        head = bytes([fhd, n])
+        fhd = (0 << 6) | (1 << 5) | (1 << 2) | did_flag
+        head = bytes([fhd]) + did_head + bytes([n])
     elif n <= 65535 + 256:
-        fhd = (1 << 6) | (1 << 5) | (1 << 2)
-        head = bytes([fhd]) + struct.pack("<H", n - 256)
+        fhd = (1 << 6) | (1 << 5) | (1 << 2) | did_flag
+        head = bytes([fhd]) + did_head + struct.pack("<H", n - 256)
     else:
-        fhd = (2 << 6) | (1 << 5) | (1 << 2)
-        head = bytes([fhd]) + struct.pack("<I", n)
+        fhd = (2 << 6) | (1 << 5) | (1 << 2) | did_flag
+        head = bytes([fhd]) + did_head + struct.pack("<I", n)
     out = bytearray(_MAGIC + head)
     if n == 0:
         out += b"\x01\x00\x00"  # last raw block, size 0
-    blocks = [data[i : i + _BLOCK_MAX] for i in range(0, n, _BLOCK_MAX)]
-    for bi, blk in enumerate(blocks):
-        last = 1 if bi == len(blocks) - 1 else 0
+        out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
+        return bytes(out)
+    buf = prefix + data
+    parsed_blocks = (
+        _lz_parse_blocks(buf, len(prefix))
+        if level_blocks
+        else [[(len(blk), 0, 0)] for blk in _chunks(data, _BLOCK_MAX)]
+    )
+    for bi, parsed in enumerate(parsed_blocks):
+        bstart = bi * _BLOCK_MAX
+        blk = data[bstart : bstart + _BLOCK_MAX]
+        last = 1 if bi == len(parsed_blocks) - 1 else 0
         if len(set(blk)) == 1:
             h = last | (1 << 1) | (len(blk) << 3)
             out += h.to_bytes(3, "little") + blk[:1]
             continue
-        body = _compress_block(blk) if level_blocks else None
+        body = _compress_parsed(blk, parsed) if level_blocks else None
         if body is not None:
             h = last | (2 << 1) | (len(body) << 3)
             out += h.to_bytes(3, "little") + body
@@ -1334,3 +1387,7 @@ def zstd_compress(data: bytes, level_blocks: bool = True) -> bytes:
             out += h.to_bytes(3, "little") + blk
     out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
     return bytes(out)
+
+
+def _chunks(data: bytes, size: int) -> list[bytes]:
+    return [data[i : i + size] for i in range(0, len(data), size)]

@@ -1620,3 +1620,250 @@ def cur_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("n_all")
         .orderBy("rnk")
     )
+
+
+# --- semantic decontamination (r10) -----------------------------------------
+#
+# The FineWeb/DCLM-style semantic step that completes the n-gram
+# (cur_ngram_decontaminate) / Bloom (cur_contamination_bloom) family:
+# eval-set items that survive verbatim string checks can still leak into
+# the training corpus as near-copies in EMBEDDING space.  The check
+# joins corpus embeddings against a (broadcast) eval table under a
+# cosine threshold via sign-bit LSH blocking — never all-pairs — and
+# ships its OWN recall referee: the exact broadcast scan runs alongside
+# on the same rows, so each eval item reports how many true matches the
+# blocked path recovered (the dedup_lsh_recall_referee discipline).
+#
+# Everything happens on a coarse integer lattice (floor(x*512)) so the
+# threshold compare 100*dot^2 >= 81*|a|^2*|b|^2 (tau = 0.9) is exact
+# 64-bit integer arithmetic in both engines: |q_i| <= 269 at |x| < 0.53,
+# so dot^2 <= 2.2e13 and 100*dot^2 <= 2.2e15 << 2^63 (and << 2^53, so
+# even a double-typed intermediate would stay exact).
+#
+# The eval table is DERIVED deterministically from the corpus so the
+# fixture contains known contamination: every 25th vector seeds an eval
+# item; even eval_ids get a +-2 lattice jitter of their seed (a true
+# near-copy, cos ~ 0.9999 — planted contamination) and odd eval_ids get
+# the REVERSED vector (cos against everything ~ U(0, 0.46) on this
+# corpus — clean).  Multi-probe (<= 2 sign-bit flips, 37 probes of 256
+# buckets) absorbs jitter-induced sign flips on near-zero coordinates.
+
+_SEM_SCALE = 512
+_SEM_TAU_NUM = 81  # tau^2 = 81/100  ->  tau = 0.9
+_SEM_TAU_DEN = 100
+_SEM_EVAL_MOD = 25
+_SEM_DIMS = (1, 9, 17, 25, 33, 41, 49, 57)  # 1-based sign-probe dims
+_SEM_MASKS = (
+    [0]
+    + [1 << i for i in range(8)]
+    + [(1 << i) | (1 << j) for i in range(8) for j in range(i + 1, 8)]
+)
+
+
+def _sql_sem_bucket(col: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {col}[{d}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, d in enumerate(_SEM_DIMS)
+    )
+
+
+_SQL_SEM_DECON = f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {_SEM_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    ev0 AS (
+      SELECT CAST(vec_id // {_SEM_EVAL_MOD} AS BIGINT) AS eval_id,
+             CASE WHEN (vec_id // {_SEM_EVAL_MOD}) % 2 = 0
+                  THEN list_transform(generate_series(1, len(q)),
+                         i -> q[i] + ((i * 7 + vec_id // {_SEM_EVAL_MOD}) % 5 - 2))
+                  ELSE list_reverse(q)
+             END AS qe
+      FROM e WHERE vec_id % {_SEM_EVAL_MOD} = 0
+    ),
+    ev AS (
+      SELECT eval_id, qe,
+             CAST(list_dot_product(qe, qe) AS BIGINT) AS nqe,
+             {_sql_sem_bucket('qe')} AS bucket
+      FROM ev0
+    ),
+    tr AS (
+      SELECT vec_id, q,
+             CAST(list_dot_product(q, q) AS BIGINT) AS nq,
+             {_sql_sem_bucket('q')} AS bucket
+      FROM e
+    ),
+    exact AS (
+      SELECT ev.eval_id,
+             CAST(COUNT(*) AS BIGINT) AS n_exact,
+             MAX(({_SEM_TAU_DEN} * 1000
+                  * CAST(list_dot_product(ev.qe, tr.q) AS BIGINT)
+                  * CAST(list_dot_product(ev.qe, tr.q) AS BIGINT))
+                 // (ev.nqe * tr.nq)) AS max_cos2_e5
+      FROM ev JOIN tr ON TRUE
+      WHERE CAST(list_dot_product(ev.qe, tr.q) AS BIGINT) > 0
+        AND {_SEM_TAU_DEN}
+              * CAST(list_dot_product(ev.qe, tr.q) AS BIGINT)
+              * CAST(list_dot_product(ev.qe, tr.q) AS BIGINT)
+            >= {_SEM_TAU_NUM} * ev.nqe * tr.nq
+      GROUP BY 1
+    ),
+    probes AS (
+      SELECT ev.eval_id, ev.qe, ev.nqe, xor(ev.bucket, m.m) AS bucket
+      FROM ev CROSS JOIN (SELECT unnest({list(_SEM_MASKS)}) AS m) m
+    ),
+    lsh AS (
+      SELECT p.eval_id, CAST(COUNT(*) AS BIGINT) AS n_lsh
+      FROM probes p JOIN tr ON p.bucket = tr.bucket
+      WHERE CAST(list_dot_product(p.qe, tr.q) AS BIGINT) > 0
+        AND {_SEM_TAU_DEN}
+              * CAST(list_dot_product(p.qe, tr.q) AS BIGINT)
+              * CAST(list_dot_product(p.qe, tr.q) AS BIGINT)
+            >= {_SEM_TAU_NUM} * p.nqe * tr.nq
+      GROUP BY 1
+    )
+    SELECT ev.eval_id,
+           CAST(CASE WHEN ev.eval_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS planted,
+           COALESCE(exact.n_exact, CAST(0 AS BIGINT)) AS n_exact,
+           COALESCE(lsh.n_lsh, CAST(0 AS BIGINT)) AS n_lsh,
+           COALESCE(exact.max_cos2_e5, CAST(-1 AS BIGINT)) AS max_cos2_e5,
+           CASE WHEN COALESCE(exact.n_exact, 0) = 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST((1000 * COALESCE(lsh.n_lsh, 0))
+                          // exact.n_exact AS BIGINT)
+           END AS recall_permille
+    FROM ev
+    LEFT JOIN exact USING (eval_id)
+    LEFT JOIN lsh USING (eval_id)
+    ORDER BY ev.eval_id
+    """
+
+
+def _ilattice(col: F.Column) -> F.Column:
+    return F.transform(
+        col.cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(_SEM_SCALE))).cast("long"),
+    )
+
+
+def _idot(a: F.Column, b: F.Column) -> F.Column:
+    """Integer dot product as a sequential fold — exact on the lattice."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sem_bucket(col: str) -> F.Column:
+    b = F.lit(0)
+    for i, d in enumerate(_SEM_DIMS):
+        b = b + F.when(F.element_at(col, d) >= 0, F.lit(1 << i)).otherwise(0)
+    return b
+
+
+@register("cur_semantic_decontaminate", oracle=_SQL_SEM_DECON)
+def cur_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) train/eval decontamination with a
+    built-in recall referee — see the module-tail comment block for the
+    fixture construction and the integer-lattice threshold algebra.
+
+    Scale shape (100 TB): the corpus side maps each vector to ONE
+    bucket key and one hash-join probe — no explosion, no corpus
+    shuffle beyond the per-eval aggregate of matched pairs (bounded by
+    |contamination|, not |corpus|).  The eval table (a benchmark suite,
+    thousands-to-millions of rows) explodes x37 probes and broadcasts.
+    The exact referee side IS a broadcast nested-loop scan — linear in
+    the corpus, the honest audit; production runs it on a deterministic
+    sample when |eval| is too large for full audit.  Counterpart of the
+    reference's string-level contamination checks (SURVEY.md north
+    star; no reference file computes in embedding space)."""
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _ilattice(F.col("embedding")).alias("q"))
+    ev0 = e.filter(F.col("vec_id") % _SEM_EVAL_MOD == 0).select(
+        F.expr(f"CAST(vec_id DIV {_SEM_EVAL_MOD} AS BIGINT)").alias("eval_id"),
+        "q",
+    )
+    jitter = F.transform(
+        F.col("q"),
+        lambda x, i: x + ((i + 1) * 7 + F.col("eval_id")) % 5 - 2,
+    )
+    ev = ev0.select(
+        "eval_id",
+        F.when(F.col("eval_id") % 2 == 0, jitter)
+        .otherwise(F.reverse(F.col("q")))
+        .alias("qe"),
+    ).select(
+        "eval_id",
+        "qe",
+        _idot(F.col("qe"), F.col("qe")).alias("nqe"),
+        _sem_bucket("qe").alias("bucket"),
+    )
+    tr = e.select(
+        "vec_id",
+        "q",
+        _idot(F.col("q"), F.col("q")).alias("nq"),
+        _sem_bucket("q").alias("bucket"),
+    )
+
+    def matches(pairs: DataFrame) -> DataFrame:
+        d = pairs.withColumn("dp", _idot(F.col("qe"), F.col("q")))
+        return d.filter(
+            (F.col("dp") > 0)
+            & (
+                _SEM_TAU_DEN * F.col("dp") * F.col("dp")
+                >= _SEM_TAU_NUM * F.col("nqe") * F.col("nq")
+            )
+        )
+
+    exact = (
+        matches(F.broadcast(ev).crossJoin(tr))
+        .groupBy("eval_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.max(
+                F.expr(
+                    f"({_SEM_TAU_DEN} * 1000 * dp * dp) DIV (nqe * nq)"
+                )
+            ).alias("max_cos2_e5"),
+        )
+    )
+    masks = F.explode(F.array([F.lit(m) for m in _SEM_MASKS])).alias("m")
+    probes = ev.select(
+        "eval_id", "qe", "nqe", F.col("bucket"), masks
+    ).select(
+        "eval_id",
+        "qe",
+        "nqe",
+        F.col("bucket").bitwiseXOR(F.col("m")).alias("bucket"),
+    )
+    lsh = (
+        matches(F.broadcast(probes).join(tr, "bucket"))
+        .groupBy("eval_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+    )
+    return (
+        ev.select("eval_id")
+        .join(exact, "eval_id", "left")
+        .join(lsh, "eval_id", "left")
+        .select(
+            "eval_id",
+            F.when(F.col("eval_id") % 2 == 0, F.lit(1))
+            .otherwise(0)
+            .cast("long")
+            .alias("planted"),
+            F.coalesce(F.col("n_exact"), F.lit(0).cast("long")).alias("n_exact"),
+            F.coalesce(F.col("n_lsh"), F.lit(0).cast("long")).alias("n_lsh"),
+            F.coalesce(F.col("max_cos2_e5"), F.lit(-1).cast("long")).alias(
+                "max_cos2_e5"
+            ),
+            F.when(F.coalesce(F.col("n_exact"), F.lit(0)) == 0, F.lit(-1).cast("long"))
+            .otherwise(
+                F.expr("CAST((1000 * COALESCE(n_lsh, 0)) DIV n_exact AS BIGINT)")
+            )
+            .alias("recall_permille"),
+        )
+        .orderBy("eval_id")
+    )

@@ -1,0 +1,31 @@
+"""Semantic decontamination (cur_semantic_decontaminate): the derived
+eval fixture plants a known contamination pattern — even eval_ids are
+lattice-jittered near-copies of a corpus vector, odd eval_ids are
+reversed (unrelated) vectors — so the expected verdicts are exact.
+"""
+
+from __future__ import annotations
+
+from specialsid_spark.queries.curation import cur_semantic_decontaminate
+
+
+def test_planted_rows_flagged_and_clean_rows_clean(spark, sf_dir):
+    rows = {r["eval_id"]: r for r in cur_semantic_decontaminate(spark, sf_dir).collect()}
+    assert rows, "eval table empty"
+    for eid, r in rows.items():
+        if eid % 2 == 0:
+            assert r["planted"] == 1
+            assert r["n_exact"] >= 1, f"planted eval {eid} not found by exact scan"
+            # cos^2 * 1e5 for a +-2 jitter on a ~|q|=1300 lattice vector
+            assert r["max_cos2_e5"] >= 99000, r
+            # the LSH path must recover what the exact scan found
+            assert r["recall_permille"] == 1000, f"LSH missed planted eval {eid}: {r}"
+        else:
+            assert r["planted"] == 0
+            assert r["n_exact"] == 0, f"clean eval {eid} falsely flagged: {r}"
+            assert r["n_lsh"] == 0
+
+
+def test_lsh_is_subset_of_exact(spark, sf_dir):
+    for r in cur_semantic_decontaminate(spark, sf_dir).collect():
+        assert r["n_lsh"] <= r["n_exact"], r

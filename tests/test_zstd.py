@@ -281,3 +281,73 @@ def test_dictionary_parse_rejects_malformed():
     with pytest.raises(ValueError):
         # right magic, id 0 (reserved)
         parse_zstd_dict(b"\x37\xa4\x30\xec" + b"\x00" * 8)
+
+
+@pytest.mark.skipif(_ZSTD_CLI is None, reason="no reference zstd CLI")
+def test_dictionary_frames_encode(tmp_path):
+    """Dict-frame ENCODER path (r10): train a dictionary with the
+    reference CLI, compress with it HERE, and decode via (a) this
+    decoder and (b) the reference CLI — both directions of RFC 8878 §5
+    now cross-validated.  Also pins the two contract points: a frame
+    naming a dict id must not decode without the dictionary, and the
+    dictionary must actually help on in-domain documents."""
+    import random
+
+    rng = random.Random(3)
+    tmpl = (
+        '{"user": "%s", "event": "%s", "ts": %d,'
+        ' "props": {"plan": "%s", "region": "%s"}}'
+    )
+    events = ["view", "click", "purchase", "signup", "logout"]
+    plans = ["free", "pro", "enterprise"]
+    regions = ["gauteng", "natal", "western-cape"]
+    paths = []
+    for i in range(120):
+        s = "\n".join(
+            tmpl
+            % (
+                f"user{rng.randrange(500)}",
+                rng.choice(events),
+                rng.randrange(10**9),
+                rng.choice(plans),
+                rng.choice(regions),
+            )
+            for _ in range(rng.randrange(3, 12))
+        )
+        p = tmp_path / f"s{i}.json"
+        p.write_text(s)
+        paths.append(str(p))
+    dict_path = tmp_path / "dict.bin"
+    r = subprocess.run(
+        [_ZSTD_CLI, "--train", *paths, "-o", str(dict_path), "--maxdict=4096"],
+        capture_output=True,
+    )
+    assert r.returncode == 0, r.stderr
+    dict_blob = dict_path.read_bytes()
+    n_better = 0
+    for i in range(0, 120, 11):
+        data = open(paths[i], "rb").read()
+        z = zstd_compress(data, dictionary=dict_blob)
+        assert zstd_decompress(z, dictionary=dict_blob) == data
+        assert zstd_decompress(z) is None  # no side channel, no decode
+        r = subprocess.run(
+            [_ZSTD_CLI, "-d", "-D", str(dict_path)], input=z, capture_output=True
+        )
+        assert r.returncode == 0, (i, r.stderr)
+        assert r.stdout == data
+        if len(z) < len(zstd_compress(data)):
+            n_better += 1
+    assert n_better >= 8  # dict helps on nearly all in-domain docs
+    # multi-block frame: matches reach the dict across block boundaries
+    big = b"".join(open(p, "rb").read() + b"\n" for p in paths)
+    zb = zstd_compress(big, dictionary=dict_blob)
+    assert zstd_decompress(zb, dictionary=dict_blob) == big
+    r = subprocess.run(
+        [_ZSTD_CLI, "-d", "-D", str(dict_path)], input=zb, capture_output=True
+    )
+    assert r.returncode == 0 and r.stdout == big
+
+
+def test_dictionary_encode_rejects_malformed():
+    with pytest.raises(ValueError):
+        zstd_compress(b"payload", dictionary=b"not a dictionary")
