@@ -46,71 +46,28 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # (~50 entries).  To guarantee every query eventually gets a driver-side
 # CORRECTNESS row, names needing one are listed here and surfaced FIRST in
 # all_queries()/all_oracles(); everything else keeps module registration
-# order after them.  Round 9 (VERDICT r8 #1, recomputed from
-# CORRECTNESS_r01-r08.json): head = the ~32 queries NEW this round
-# (every one verified value-exact at sf0.001+sf0.01 by
-# tools/check_oracle.py this session), then src_python_datasource_scan
-# (red in r7, fix verified locally — needs its green driver row), then
-# the 7 r8-late queries (no row at all), then the 38-query r4 cohort.
-# HONEST BUDGET NOTE: the new-query head now consumes most of the
-# ~50-row driver budget, so the r4 cohort's tail (the TPC-H block,
-# stable and green since r4) rolls to the r10 rotation.
+# order after them.  Round 10 (VERDICT r9 #1-2, recomputed from
+# CORRECTNESS_r01-r09.json): head = the four latest-row reds FIRST
+# (ev_cusum_changepoint — the r9 hash-red, now conf-proof-bucketed and
+# replay-verified; then the three stale pre-twin reds, every one
+# passing tools/check_oracle.py locally), then the queries with no
+# driver row at all (this round's new work), then the r4 cohort (the
+# TPC-H block that rolled out of the r9 budget), then the oldest slice
+# of the r5 cohort.  Everything listed was re-verified value-exact at
+# sf0.001+sf0.01 by tools/check_oracle.py this session.
 _PRIORITY: tuple[str, ...] = (
-    # new in round 9 (no driver row yet)
-    "text_wordpiece_train_merges",
-    "text_wordpiece_segment_vocab",
-    "clean_snapshot_schema_evolution",
-    "pipeline_perplexity_curation",
-    "dedup_lsh_recall_referee",
-    "mm_jpeg_cmyk_pixels",
-    "mm_image_resize_bilinear",
-    "join_asof_tolerance_family",
-    "ev_markov_transitions",
-    "agg_trimmed_mean",
-    "agg_hll_merge_parity",
-    "text_textrank_keywords",
-    "sim_matryoshka_truncation_recall",
-    "join_interval_overlap_binned",
-    "text_kn_perplexity",
-    "cur_dsir_importance_sample",
-    "dedup_cdc_chunks",
-    "src_arrow_ipc_roundtrip",
+    # the r9 driver red (W3 CUSUM) — rotate FIRST (VERDICT r9 #1)
     "ev_cusum_changepoint",
-    "mm_lz4_text_roundtrip",
-    "text_unigram_segment",
-    "text_unigram_decode_parity",
-    "cur_robots_gate",
-    "src_msgpack_scan",
-    "src_cbor_scan",
-    "text_perceptron_quality",
-    "join_interval_sweep_concurrency",
-    "ev_mad_anomaly",
-    "agg_equidepth_histogram",
-    "agg_qdigest_quantiles",
-    "ev_seasonal_decompose",
-    "pipeline_retrieval_corpus",
-    # red in r7; runtime-conf fix verified locally via check_oracle
-    "src_python_datasource_scan",
-    # registered after the r8 driver run (no driver row yet)
-    "dedup_audio_fingerprint_pairs",
-    "dedup_paragraph_exact",
-    "ev_m4_downsample",
-    "src_protobuf_scan",
-    "text_bm25_topk",
-    "text_inverted_index",
-    "text_phrase_search",
-    # newest driver row = r4 (38)
-    "mm_pdf_page_explode_stub",
-    "mm_pdf_page_images",
-    "mm_video_frame_sample",
-    "mm_wav_frame_energy",
-    "retail_clean_pipeline",
-    "sim_ivfpq_topk",
-    "sim_pq_adc_topk",
-    "sim_pq_rerank_topk",
-    "sql_surface_pipe_sqludf",
-    "stream_batch_parity",
+    # stale reds predating their r9 self-checking-twin conversion
+    "agg_approx_count_distinct",
+    "agg_approx_percentiles",
     "stream_pipeline_e2e",
+    # new since the r9 driver run (no driver row yet)
+    "mm_pdf_glyph_text_raster",
+    "mm_pdf_shading_raster",
+    "agg_qdigest_merge_parity",
+    "cur_semantic_decontaminate",
+    # newest driver row = r4
     "subq_corr_above_nation_avg",
     "subq_multi_supplier_orders",
     "subq_scalar_above_avg",
@@ -138,6 +95,23 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q20_above_avg_part_shippers",
     "tpch_q21_sole_return_supplier",
     "tpch_q22_dormant_customers",
+    # newest driver row = r5 (oldest slice, registration order)
+    "text_bpe_train_merges",
+    "text_bpe_segment_vocab",
+    "text_bpe_apply_corpus",
+    "text_bigram_surprisal",
+    "text_zipf_slope",
+    "sim_binary_hamming_topk",
+    "sim_binary_rerank_topk",
+    "clean_snapshot_time_travel",
+    "clean_snapshot_diff",
+    "clean_snapshot_incremental_refresh",
+    "clean_snapshot_stats_pruning",
+    "mm_pdf_text_extract",
+    "mm_pdf_text_corpus_pipeline",
+    "mm_compressed_text_roundtrip",
+    "mm_zip_archive_listing",
+    "mm_tar_webdataset_samples",
 )
 
 
