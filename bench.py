@@ -159,6 +159,14 @@ HEADLINE = [
     "text_textrank_keywords",
     "sim_matryoshka_truncation_recall",
     "join_interval_overlap_binned",
+    # round-10 additions: semantic (embedding-space) decontamination
+    # with its built-in recall referee, and the distributed q-digest
+    # shard-merge parity proof — both corpus-scale dataflows.  The
+    # glyph/shading rasterizer queries stay excluded (fixture-IO, like
+    # the rest of the mm_pdf family; rasterizer throughput belongs to
+    # BASELINE §2b).
+    "cur_semantic_decontaminate",
+    "agg_qdigest_merge_parity",
 ]
 
 

@@ -151,13 +151,42 @@ def snapshot_read(
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
-    files = _read_manifest(path, v)["files"]
+    m = _read_manifest(path, v)
+    files = m["files"]
     if not files:
         return spark.createDataFrame([], schema="dummy string").limit(0)
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*[str(Path(path) / f) for f in files])
+    df = reader.parquet(*[str(Path(path) / f) for f in files])
+    dvs = m.get("deletes")
+    if dvs:
+        # merge-on-read: subtract deletion-vector positions.  The DV
+        # table is bounded by |deleted rows| (typically tiny vs the
+        # table), so broadcast the anti-join; data files are untouched.
+        from pyspark.sql import functions as F
+
+        prefix = Path(path).resolve().as_uri() + "/"
+        dv = spark.read.parquet(*[str(Path(path) / d) for d in dvs])
+        df = (
+            df.withColumn(
+                "__dv_file",
+                F.expr(f"substring(_metadata.file_path, {len(prefix) + 1})"),
+            )
+            .withColumn("__dv_pos", F.col("_metadata.row_index"))
+            .join(
+                F.broadcast(
+                    dv.select(
+                        F.col("file").alias("__dv_file"),
+                        F.col("pos").alias("__dv_pos"),
+                    )
+                ),
+                ["__dv_file", "__dv_pos"],
+                "left_anti",
+            )
+            .drop("__dv_file", "__dv_pos")
+        )
+    return df
 
 
 def snapshot_vacuum(path: str, keep_last: int = 2) -> list[str]:
@@ -174,14 +203,29 @@ def snapshot_vacuum(path: str, keep_last: int = 2) -> list[str]:
     versions = snapshot_versions(path)
     retained = versions[-keep_last:]
     live: set[str] = set()
+    live_dv_dirs: set[str] = set()
     for v in retained:
-        live.update(_read_manifest(path, v)["files"])
+        m = _read_manifest(path, v)
+        live.update(m["files"])
+        live_dv_dirs.update(m.get("deletes", []))
     removed: list[str] = []
     for p in (root / "data").rglob("*.parquet"):
         rel = str(p.relative_to(root))
         if rel not in live:
             p.unlink()
             removed.append(rel)
+    # deletion-vector sidecars referenced by no retained manifest
+    if (root / "deletes").is_dir():
+        for d in (root / "deletes").iterdir():
+            rel = str(d.relative_to(root))
+            if d.is_dir() and rel not in live_dv_dirs:
+                for p in sorted(d.rglob("*"), reverse=True):
+                    if p.is_file():
+                        removed.append(str(p.relative_to(root)))
+                        p.unlink()
+                    else:
+                        p.rmdir()
+                d.rmdir()
     for v in versions:
         if v not in retained:
             (_manifest_dir(path) / f"v{v}.json").unlink()
@@ -421,6 +465,85 @@ def snapshot_delete(
     tmp.write_text(json.dumps(manifest, indent=1))
     os.rename(tmp, mdir / f"v{new_version}.json")
     return new_version, len(touched), len(m["files"])
+
+
+def snapshot_delete_dv(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> tuple[int, int]:
+    """Merge-on-read row-level ``DELETE WHERE col BETWEEN lo AND hi``
+    via DELETION VECTORS (the public Delta/Iceberg v2 'position
+    delete' idea): instead of rewriting any data file, record the
+    (file, row-position) pairs of matching rows in a parquet sidecar
+    under ``deletes/`` and commit a manifest that references it; reads
+    subtract the positions with a broadcast anti-join
+    (snapshot_read).  Returns (new_version, n_rows_deleted).
+
+    Contrast with :func:`snapshot_delete` (copy-on-write): CoW pays a
+    rewrite of every touched file at delete time and keeps reads pure
+    scans; DVs make the delete O(|matching rows|) and defer the (tiny,
+    broadcast) subtraction to read time — at 100 TB this is the only
+    affordable shape for frequent small deletes (GDPR erasure, spam
+    takedowns) on petabyte tables.  Manifest stats stay valid: a file's
+    [min, max] remains a conservative bound after rows are masked.
+    Positions are subtracted from PRIOR deletion vectors first, so a
+    position lands in at most one DV (re-deleting is idempotent and
+    the read-side union of DVs is duplicate-free).  The candidate file
+    set is stats-pruned exactly like CoW delete — only files whose
+    range intersects the predicate are even scanned for positions."""
+    from pyspark.sql import functions as F
+
+    root = Path(path)
+    versions = snapshot_versions(path)
+    if not versions:
+        raise ValueError(f"no snapshot versions at {path!r}")
+    m = _read_manifest(path, versions[-1])
+    stats = m.get("stats", {})
+    candidates = []
+    for rel in m["files"]:
+        rng = stats.get(rel, {}).get(col)
+        if rng is None or (rng[0] <= hi and rng[1] >= lo):
+            candidates.append(rel)
+    new_version = versions[-1] + 1
+    deletes = list(m.get("deletes", []))
+    n_deleted = 0
+    if candidates:
+        prefix = root.resolve().as_uri() + "/"
+        matched = (
+            spark.read.parquet(*[str(root / f) for f in candidates])
+            .select(
+                F.expr(f"substring(_metadata.file_path, {len(prefix) + 1})").alias(
+                    "file"
+                ),
+                F.col("_metadata.row_index").alias("pos"),
+                F.col(col).alias("__k"),
+            )
+            .filter((F.col("__k") >= lo) & (F.col("__k") <= hi))
+            .drop("__k")
+        )
+        if deletes:
+            prior = spark.read.parquet(*[str(root / d) for d in deletes])
+            matched = matched.join(prior, ["file", "pos"], "left_anti")
+        matched = matched.localCheckpoint(eager=True)
+        n_deleted = matched.count()
+        if n_deleted:
+            dv_rel = f"deletes/v{new_version}-{uuid.uuid4().hex[:8]}"
+            matched.write.mode("error").parquet(str(root / dv_rel))
+            deletes.append(dv_rel)
+    manifest = {
+        "version": new_version,
+        "parent": versions[-1],
+        "op": "delete-dv",
+        "files": list(m["files"]),
+    }
+    if deletes:
+        manifest["deletes"] = deletes
+    if stats:
+        manifest["stats"] = stats
+    mdir = _manifest_dir(path)
+    tmp = mdir / f"v{new_version}.json.tmp"
+    tmp.write_text(json.dumps(manifest, indent=1))
+    os.rename(tmp, mdir / f"v{new_version}.json")
+    return new_version, n_deleted
 
 
 def snapshot_restore(path: str, version: int) -> int:

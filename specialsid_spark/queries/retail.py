@@ -1282,3 +1282,89 @@ def clean_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFra
         F.coalesce(F.sum(pck), F.lit(0)).cast("long").alias("priority_ck"),
     )
     return a1.unionByName(a2).orderBy("version")
+
+
+@register(
+    "clean_snapshot_deletion_vectors",
+    # Version contents derive from orders by the delete predicates:
+    # v1 = all keys < 4000; v2 masks [1000, 1999]; v3 additionally
+    # masks [1500, 2499] (overlapping — re-deleted positions must not
+    # double-count).  n_rewritten restates the merge-on-read promise:
+    # NO data file is ever replaced, so every version's file list is
+    # exactly v1's.
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS ok,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 4000
+    )
+    SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(0 AS BIGINT) AS n_rewritten
+    FROM o
+    UNION ALL
+    SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM o WHERE ok NOT BETWEEN 1000 AND 1999
+    UNION ALL
+    SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM o WHERE ok NOT BETWEEN 1000 AND 2499
+    ORDER BY version
+    """,
+)
+def clean_snapshot_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 extension — merge-on-read DELETE via deletion vectors
+    (operators/snapshot.py snapshot_delete_dv): commit a table, run two
+    OVERLAPPING range deletes that write position sidecars instead of
+    rewriting files, then read every version back through its manifest
+    (v1 still sees the deleted rows — time travel is unaffected, data
+    files are immutable).  n_rewritten counts files in each version's
+    manifest that v1 did not reference — all zero, the merge-on-read
+    proof (contrast clean_snapshot_stats_pruning's copy-on-write
+    rewrites).  The overlap between the two predicates pins the
+    position-dedup rule: a position lands in at most one DV.
+
+    Scale shape: each delete scans only stats-pruned candidate files
+    for matching positions and writes O(|matches|) sidecar rows; reads
+    subtract the DV with a broadcast anti-join on (file, pos).  At
+    100 TB this is the only affordable shape for frequent small
+    deletes (GDPR erasure, spam takedowns) on petabyte tables."""
+    from functools import reduce
+    from pathlib import Path
+
+    from specialsid_spark.operators.snapshot import (
+        _read_manifest,
+        snapshot_commit,
+        snapshot_delete_dv,
+        snapshot_read,
+    )
+    from specialsid_spark.queries._determinism import cents
+    from specialsid_spark.session import session_workdir
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select(
+            F.col("o_orderkey").alias("ok"),
+            cents("o_totalprice").alias("cents_v"),
+        )
+    )
+    work = Path(session_workdir("specialsid_dv_"))
+    t = str(work / "tbl")
+    snapshot_commit(o, t, mode="append")
+    snapshot_delete_dv(spark, t, "ok", 1000, 1999)
+    snapshot_delete_dv(spark, t, "ok", 1500, 2499)
+    v1_files = set(_read_manifest(t, 1)["files"])
+    per_version = [
+        snapshot_read(spark, t, v).agg(
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents_v").cast("long").alias("sum_cents"),
+            F.lit(
+                len(set(_read_manifest(t, v)["files"]) - v1_files)
+            ).cast("long").alias("n_rewritten"),
+        )
+        for v in (1, 2, 3)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), per_version).orderBy("version")

@@ -500,3 +500,82 @@ def test_restore_carries_stats_for_pruning(spark, tmp_path):
     scan, n_scanned, n_total = snapshot_scan(spark, t, "id", 150, 160)
     assert (n_scanned, n_total) == (1, 2)  # stats survived the restore
     assert scan.count() == 11
+
+
+# --------------------------------------------------- deletion vectors (r10)
+
+
+def test_dv_delete_masks_rows_without_rewriting(spark, tmp_path):
+    from specialsid_spark.operators.snapshot import snapshot_delete_dv
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 100), t)
+    files_v1 = json.load(open(Path(t) / "_manifests" / "v1.json"))["files"]
+    v, n = snapshot_delete_dv(spark, t, "id", 20, 39)
+    assert (v, n) == (2, 20)
+    m2 = json.load(open(Path(t) / "_manifests" / "v2.json"))
+    assert m2["files"] == files_v1  # merge-on-read: no file replaced
+    assert len(m2["deletes"]) == 1
+    got = sorted(r["id"] for r in snapshot_read(spark, t).collect())
+    assert got == [*range(0, 20), *range(40, 100)]
+    # time travel still sees the deleted rows
+    assert snapshot_read(spark, t, 1).count() == 100
+
+
+def test_dv_overlapping_deletes_do_not_double_count(spark, tmp_path):
+    from specialsid_spark.operators.snapshot import snapshot_delete_dv
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 100), t)
+    _, n1 = snapshot_delete_dv(spark, t, "id", 10, 49)
+    _, n2 = snapshot_delete_dv(spark, t, "id", 30, 69)  # overlaps [30, 49]
+    assert (n1, n2) == (40, 20)
+    assert snapshot_read(spark, t).count() == 40
+    # each position lands in exactly one DV
+    dvs = json.load(open(Path(t) / "_manifests" / "v3.json"))["deletes"]
+    dv = spark.read.parquet(*[str(Path(t) / d) for d in dvs])
+    assert dv.count() == dv.select("file", "pos").distinct().count() == 60
+
+
+def test_dv_delete_never_matches_null_keys(spark, tmp_path):
+    from specialsid_spark.operators.snapshot import snapshot_delete_dv
+
+    t = str(tmp_path / "tbl")
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, 10), (CAST(NULL AS BIGINT), 20), (5, 50)"
+        " AS t(id, v)"
+    )
+    snapshot_commit(df, t)
+    _, n = snapshot_delete_dv(spark, t, "id", 0, 100)
+    assert n == 2  # the NULL-key row is not BETWEEN anything
+    left = snapshot_read(spark, t).collect()
+    assert len(left) == 1 and left[0]["id"] is None
+
+
+def test_dv_vacuum_retains_live_sidecars_and_drops_dead_ones(spark, tmp_path):
+    from specialsid_spark.operators.snapshot import snapshot_delete_dv
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 100), t)             # v1
+    snapshot_delete_dv(spark, t, "id", 0, 9)           # v2 (+dv A)
+    snapshot_commit(_df(spark, 200, 210), t, mode="overwrite")  # v3: no deletes
+    snapshot_commit(_df(spark, 300, 310), t, mode="append")     # v4
+    removed = snapshot_vacuum(t, keep_last=2)          # retain v3, v4
+    # DV sidecar A is referenced by no retained manifest -> removed
+    assert any(r.startswith("deletes/") for r in removed)
+    assert not any((Path(t) / "deletes").iterdir()) or not (
+        Path(t) / "deletes"
+    ).is_dir()
+    assert snapshot_read(spark, t).count() == 20
+
+
+def test_dv_second_delete_after_no_match_is_still_committed(spark, tmp_path):
+    from specialsid_spark.operators.snapshot import snapshot_delete_dv
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 50), t)
+    v, n = snapshot_delete_dv(spark, t, "id", 900, 999)
+    assert (v, n) == (2, 0)
+    m2 = json.load(open(Path(t) / "_manifests" / "v2.json"))
+    assert "deletes" not in m2  # no empty sidecar committed
+    assert snapshot_read(spark, t).count() == 50
