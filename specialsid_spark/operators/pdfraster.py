@@ -35,8 +35,12 @@ Honest scope (documented, enforced loudly):
   carries /FontFile2, Tj/TJ render REAL glyf outlines
   (operators/truetype.py) — quadratics flatten with a pinned
   8-segment rule into the nonzero-winding scanline filler, pen
-  advances by hmtx widths; fonts without a TrueType program keep the
-  glyph-box model above.
+  advances by hmtx widths.
+* **Embedded CFF text** (r10 continuation): /FontFile3 Type1C
+  programs render Type 2 charstring outlines (operators/cff.py) —
+  cubics flatten with the same pinned 16-segment rule as path fills,
+  pen advances by charstring widths; fonts outside both formats keep
+  the glyph-box model above.
 * **Axial shadings + rect clips** (r10, VERDICT r9 #5): ``re W n``
   tracks a single axis-aligned rect clip (intersecting across q/Q);
   ``sh`` paints a /ShadingType 2 gradient (FunctionType 2, N=1,
@@ -590,22 +594,33 @@ def _flatten_quad(p0, p1, p2) -> list[tuple[float, float]]:
 
 
 def _glyph_outlines(buf, m, pen_x, size, text, color, font, clip=None) -> float:
-    """Real TrueType outline text (r10, VERDICT r9 #4): per character,
-    look the glyph up in cmap, transform its contours through
-    (size/unitsPerEm, text matrix, CTM), flatten quadratic pieces with
-    the pinned 8-segment rule, and scanline-fill with NONZERO winding
-    (the TrueType fill rule — counter contours run opposite).  The pen
-    advances by the glyph's hmtx advance.  Unmapped characters hit
-    glyph 0 (.notdef — empty in our scope): advance only."""
-    from specialsid_spark.operators.truetype import glyph_segments  # noqa: PLC0415
-
+    """Real embedded-font outline text: per character, look the glyph
+    up (TrueType cmap / CFF encoding), transform its contours through
+    (size/unitsPerEm, text matrix, CTM), flatten curve pieces with the
+    pinned rules (quadratics: 8 segments, TrueType r10; cubics: 16
+    segments, CFF r10 — same BEZIER_SEGS as path fills), and
+    scanline-fill with NONZERO winding (both formats' fill rule —
+    counter contours run opposite).  The pen advances by the glyph's
+    hmtx advance (TrueType) or charstring width (CFF).  Unmapped
+    characters hit glyph 0 (.notdef — empty in our scope): advance
+    only."""
     scale = size / font.units_per_em
+    is_cff = hasattr(font, "pieces")
+    if not is_cff:
+        from specialsid_spark.operators.truetype import (  # noqa: PLC0415
+            glyph_segments,
+        )
     for ch in text:
         gid = font.glyph_for_char(ch)
-        contours = font.glyphs[gid] if gid < len(font.glyphs) else []
-        if contours:
+        if is_cff:
+            per_contour, adv = font.pieces(gid)
+        else:
+            contours = font.glyphs[gid] if gid < len(font.glyphs) else []
+            per_contour = glyph_segments(contours)
+            adv = font.advances[gid] if gid < len(font.advances) else 0
+        if per_contour:
             subpaths = []
-            for pieces in glyph_segments(contours):
+            for pieces in per_contour:
                 dev: list[tuple[float, float]] = []
 
                 def pt(p):
@@ -617,16 +632,22 @@ def _glyph_outlines(buf, m, pen_x, size, text, color, font, clip=None) -> float:
                         if not dev:
                             dev.append(pt(a))
                         dev.append(pt(b))
-                    else:
+                    elif piece[0] == "q":
                         _k, a, c, b = piece
                         if not dev:
                             dev.append(pt(a))
                         dev.extend(_flatten_quad(pt(a), pt(c), pt(b)))
+                    else:  # 'c'
+                        _k, a, c1, c2, b = piece
+                        if not dev:
+                            dev.append(pt(a))
+                        dev.extend(
+                            _flatten_cubic(pt(a), pt(c1), pt(c2), pt(b))
+                        )
                 if dev:
                     subpaths.append(dev)
             if subpaths:
                 _fill_path(buf, subpaths, color, False, clip)
-        adv = font.advances[gid] if gid < len(font.advances) else 0
         pen_x += adv * scale
     return pen_x
 
@@ -658,9 +679,13 @@ def _page_fonts(objs: dict, page_head: bytes) -> dict[str, int]:
 
 
 def _load_font_program(objs: dict, font_num: int):
-    """Resolve font obj -> /FontDescriptor -> /FontFile2 and parse the
-    TrueType program; None for standard-14 / CFF / unsupported fonts
-    (the glyph-box degrade)."""
+    """Resolve font obj -> /FontDescriptor -> /FontFile2 (TrueType) or
+    /FontFile3 (CFF, Subtype /Type1C) and parse the program; None for
+    standard-14 / unsupported fonts (the glyph-box degrade)."""
+    from specialsid_spark.operators.cff import (  # noqa: PLC0415
+        CffUnsupported,
+        parse_cff,
+    )
     from specialsid_spark.operators.truetype import (  # noqa: PLC0415
         TtfUnsupported,
         parse_ttf,
@@ -671,21 +696,26 @@ def _load_font_program(objs: dict, font_num: int):
     if dm is None:
         return None
     dhead = objs.get(int(dm.group(1)), (b"",))[0]
-    fm = re.search(rb"/FontFile2\s+(\d+)\s+0\s+R", dhead)
-    if fm is None:
-        return None
-    fhead, fdata = objs.get(int(fm.group(1)), (b"", None))
-    if fdata is None:
-        return None
-    if b"/FlateDecode" in fhead:
-        try:
-            fdata = zlib.decompress(fdata)
-        except zlib.error:
+    for key, parse, errs in (
+        (rb"/FontFile2\s+(\d+)\s+0\s+R", parse_ttf, TtfUnsupported),
+        (rb"/FontFile3\s+(\d+)\s+0\s+R", parse_cff, CffUnsupported),
+    ):
+        fm = re.search(key, dhead)
+        if fm is None:
+            continue
+        fhead, fdata = objs.get(int(fm.group(1)), (b"", None))
+        if fdata is None:
             return None
-    try:
-        return parse_ttf(bytes(fdata))
-    except (TtfUnsupported, ValueError, IndexError, struct_error):
-        return None
+        if b"/FlateDecode" in fhead:
+            try:
+                fdata = zlib.decompress(fdata)
+            except zlib.error:
+                return None
+        try:
+            return parse(bytes(fdata))
+        except (errs, ValueError, IndexError, struct_error):
+            return None
+    return None
 
 
 def _run(content, buf, s, hpx, ox, oy, objs, xobjects, fonts=None, shadings=None) -> None:
@@ -1017,6 +1047,63 @@ def build_glyph_pdf(
     )
     font_num = add(
         b"<< /Type /Font /Subtype /TrueType /BaseFont /Fixture"
+        b" /FirstChar 32 /LastChar 126 /FontDescriptor %d 0 R >>" % desc_num
+    )
+    content = b"BT /F1 %d Tf %d %d Td (%s) Tj ET" % (
+        size, td[0], td[1], _pdf_escape(text),
+    )
+    cont_num = add(
+        b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
+    )
+    page = add(
+        b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /Font << /F1 %d 0 R >> >>"
+        b" /Contents %d 0 R >>" % (pages_num, font_num, cont_num)
+    )
+    objects[pages_num - 1] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
+    objects[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
+    return _assemble_pdf(objects, catalog_num)
+
+
+def build_cff_pdf(
+    text: str, size: int = 64, td: tuple[int, int] = (72, 700),
+    font_program: bytes | None = None,
+) -> bytes:
+    """Oracle-fixture writer (r10): one 612x792 page whose only ink is
+    ``text`` set in an EMBEDDED CFF font (default: operators/cff.py
+    fixture_cff) — /FontFile3 with Subtype /Type1C, the way PDF embeds
+    compact Type 1 outlines.  Units-per-em 1024 keeps every device
+    coordinate an exact double at integral sizes, like
+    build_glyph_pdf's TrueType twin."""
+    from specialsid_spark.operators.cff import fixture_cff  # noqa: PLC0415
+    from specialsid_spark.operators.pdf import (  # noqa: PLC0415
+        _assemble_pdf,
+        _pdf_escape,
+    )
+
+    if font_program is None:
+        font_program = fixture_cff()
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    catalog_num = add(b"")
+    pages_num = add(b"")
+    ff_num = add(
+        b"<< /Subtype /Type1C /Length %d >>\nstream\n" % len(font_program)
+        + font_program
+        + b"\nendstream"
+    )
+    desc_num = add(
+        b"<< /Type /FontDescriptor /FontName /FixtureC /Flags 4"
+        b" /FontBBox [0 -480 1024 832] /ItalicAngle 0 /Ascent 832"
+        b" /Descent -480 /CapHeight 832 /StemV 80 /FontFile3 %d 0 R >>"
+        % ff_num
+    )
+    font_num = add(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /FixtureC"
         b" /FirstChar 32 /LastChar 126 /FontDescriptor %d 0 R >>" % desc_num
     )
     content = b"BT /F1 %d Tf %d %d Td (%s) Tj ET" % (

@@ -67,6 +67,8 @@ _PRIORITY: tuple[str, ...] = (
     "mm_pdf_shading_raster",
     "agg_qdigest_merge_parity",
     "cur_semantic_decontaminate",
+    "clean_snapshot_deletion_vectors",
+    "mm_pdf_cff_text_raster",
     # newest driver row = r4
     "subq_corr_above_nation_avg",
     "subq_multi_supplier_orders",

@@ -3918,3 +3918,135 @@ def mm_image_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "doc_id long, out_w int, out_h int, pix_sum long, pos_ck long"
     return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")
+
+
+@register(
+    "mm_pdf_cff_text_raster",
+    # r10 continuation (VERDICT r9 #4 named CFF the remaining font
+    # fallback): /FontFile3 Type1C programs now render real Type 2
+    # charstring outlines (operators/cff.py).  The fixture font
+    # (units-per-em 1024, size 64 -> scale 1/16 exact) carries four
+    # oracle-closed-form glyphs: L = one 6-corner contour (608 px),
+    # O = outer CW + inner CCW ring (nonzero winding, 1088 px),
+    # C = ONE CUBIC arch closed along the baseline — the cpts CTE
+    # re-derives the pinned 16-segment flatten (BEZIER_SEGS, same
+    # association order as path fills; every flattened coordinate is
+    # an exact multiple of 1/4096 so ink is pen-invariant), H = three
+    # rect contours exercising the Type 2 pen rule (implicit closepath
+    # never moves the pen; 960 px).  A defect anywhere — INDEX/DICT
+    # parsing, BCD FontMatrix reals, width operands, relative-delta
+    # accumulation, subpath closure, hv/vv shortcut expansion — moves
+    # a pixel and fails the hash.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    cpts AS (
+      SELECT k,
+             u*u*u*76.0 + 3*u*u*t*84.0 + 3*u*t*t*100.0 + t*t*t*108.0 AS px,
+             u*u*u*92.0 + 3*u*u*t*52.0 + 3*u*t*t*52.0 + t*t*t*92.0 AS py
+      FROM (
+        SELECT kk.k AS k, CAST(kk.k AS DOUBLE) / 16 AS t,
+               1.0 - CAST(kk.k AS DOUBLE) / 16 AS u
+        FROM (SELECT unnest(range(0, 17)) AS k) kk
+      )
+    ),
+    cedges AS (
+      SELECT a.px AS ex0, a.py AS ey0, b.px AS ex1, b.py AS ey1
+      FROM cpts a JOIN cpts b ON b.k = a.k + 1
+      WHERE a.py <> b.py
+    ),
+    ccross AS (
+      SELECT sl.py AS row_y,
+             e.ex0 + ((CAST(sl.py AS DOUBLE) + 0.5) - e.ey0)
+                     * (e.ex1 - e.ex0) / (e.ey1 - e.ey0) AS cx
+      FROM cedges e, (SELECT unnest(range(50, 93)) AS py) sl
+      WHERE (e.ey0 <= CAST(sl.py AS DOUBLE) + 0.5
+             AND CAST(sl.py AS DOUBLE) + 0.5 < e.ey1)
+         OR (e.ey1 <= CAST(sl.py AS DOUBLE) + 0.5
+             AND CAST(sl.py AS DOUBLE) + 0.5 < e.ey0)
+    ),
+    cink AS (
+      SELECT CAST(SUM(npx) AS BIGINT) AS ink FROM (
+        SELECT CAST(ceil(MAX(cx) - 0.5) AS BIGINT)
+                 - CAST(ceil(MIN(cx) - 0.5) AS BIGINT) AS npx
+        FROM ccross GROUP BY row_y)
+    ),
+    chars AS (
+      SELECT d.doc_id, kk.k, (d.doc_id + kk.k) % 4 AS ctype
+      FROM docs d, (SELECT unnest(range(0, 7)) AS k) kk
+      WHERE kk.k < 3 + d.doc_id % 4
+    ),
+    perdoc AS (
+      SELECT c.doc_id,
+             CAST(COUNT(*) AS INT) AS n_chars,
+             CAST(SUM(CASE c.ctype WHEN 0 THEN 608 WHEN 1 THEN 1088
+                      WHEN 2 THEN ci.ink ELSE 960 END) AS BIGINT) AS ink_px
+      FROM chars c CROSS JOIN cink ci
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, 612 AS width, 792 AS height, n_chars, ink_px,
+           CAST(255 * CAST(612 * 792 AS BIGINT) - 255 * ink_px AS BIGINT)
+             AS gray_sum
+    FROM perdoc
+    ORDER BY doc_id
+    """,
+)
+def mm_pdf_cff_text_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/X3 extension, r10 — CFF TEXT RENDERING: each doc's fixture
+    page sets a doc-derived string ("LOCH" cycle, 3-6 chars) in an
+    embedded CFF font; the rasterizer parses the /FontFile3 Type1C
+    program (INDEX/DICT/charstrings, operators/cff.py), interprets
+    Type 2 charstrings to cubic outlines, flattens with the pinned
+    16-segment rule, and scanline-fills with nonzero winding —
+    reference parity for Poppler's Type 1/CFF rendering
+    (gen_pdf_imgLambda.py:51).  Together with mm_pdf_glyph_text_raster
+    (TrueType) this closes the embedded-font family; fonts outside
+    both formats still degrade to the r8 glyph-box model.
+
+    Scale shape: per-row independent mapInPandas (the font parses once
+    per glyph cache); buffer bounded by page size, never the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from specialsid_spark.operators.pdfraster import (
+        build_cff_pdf,
+        rasterize_page,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 3 + doc_id % 4
+                text = "".join("LOCH"[(doc_id + k) % 4] for k in range(n))
+                r = rasterize_page(build_cff_pdf(text))
+                if r is None:  # degrade surfaces as an impossible row
+                    out.append((doc_id, -1, -1, -1, -1, -1))
+                    continue
+                w, h, _ch, px = r
+                buf = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+                gray = buf[:, :, 0]
+                out.append(
+                    (doc_id, w, h, n,
+                     int((gray != 255).sum()),
+                     int(gray.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "n_chars",
+                         "ink_px", "gray_sum"],
+            ).astype({"doc_id": "int64", "width": "int32", "height": "int32",
+                      "n_chars": "int32", "ink_px": "int64",
+                      "gray_sum": "int64"})
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            fn,
+            "doc_id long, width int, height int, n_chars int,"
+            " ink_px long, gray_sum long",
+        )
+        .orderBy("doc_id")
+    )

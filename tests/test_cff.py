@@ -1,0 +1,126 @@
+"""operators/cff.py — CFF / Type 2 charstring glyph outlines.
+
+Strategy mirrors test_truetype.py: the fixture font's glyphs have
+closed-form ink; interpreter details (shortcut curve operators, subr
+bias, hintmask byte skipping, width operands) get targeted charstring
+programs through build_tiny_cff.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from specialsid_spark.operators.cff import (
+    CffUnsupported,
+    build_tiny_cff,
+    fixture_cff,
+    parse_cff,
+)
+
+
+def _one_glyph(prog, adv=500, **kw):
+    f = parse_cff(build_tiny_cff([("A", prog, adv)], **kw))
+    return f.pieces(f.glyph_for_char("A"))
+
+
+def test_fixture_font_parses_and_maps():
+    f = parse_cff(fixture_cff())
+    assert f.units_per_em == 1024
+    assert f.num_glyphs == 5
+    assert [f.glyph_for_char(c) for c in "LOCH"] == [1, 2, 3, 4]
+    assert f.glyph_for_char("Z") == 0  # .notdef
+    contours, adv = f.pieces(0)
+    assert contours == [] and adv == 0.0
+
+
+def test_rect_contour_closes_implicitly():
+    contours, adv = _one_glyph(
+        [100, 0, "rmoveto", 0, 700, "rlineto", 200, 0, "rlineto",
+         0, -700, "rlineto"]
+    )
+    assert adv == 500.0
+    (c,) = contours
+    assert c[0] == ("l", (100.0, 0.0), (100.0, 700.0))
+    assert c[-1] == ("l", (300.0, 0.0), (100.0, 0.0))  # implicit close
+
+
+def test_hlineto_vlineto_alternate():
+    contours, _ = _one_glyph(
+        [0, 0, "rmoveto", 100, "hlineto", 50, "vlineto", -100, "hlineto"]
+    )
+    (c,) = contours
+    pts = [p[2] for p in c]
+    assert pts[:3] == [(100.0, 0.0), (100.0, 50.0), (0.0, 50.0)]
+
+
+def test_rrcurveto_relative_deltas():
+    contours, _ = _one_glyph(
+        [0, 0, "rmoveto", 10, 20, 30, 0, 10, -20, "rrcurveto"]
+    )
+    (c,) = contours
+    kind, p0, c1, c2, p1 = c[0]
+    assert kind == "c"
+    assert (p0, c1, c2, p1) == (
+        (0.0, 0.0), (10.0, 20.0), (40.0, 20.0), (50.0, 0.0)
+    )
+
+
+def test_width_operand_vs_default_width():
+    # explicit width: build_tiny_cff always prepends advance-nominal
+    _, adv = _one_glyph([0, 0, "rmoveto", 10, "hlineto"], adv=777)
+    assert adv == 777.0
+    # nominal width offsets the delta, result unchanged
+    _, adv = _one_glyph([0, 0, "rmoveto", 10, "hlineto"], adv=777,
+                        nominal_width=300)
+    assert adv == 777.0
+
+
+def test_escape_operators_degrade_loudly():
+    f = parse_cff(build_tiny_cff([("A", [0, 0, "rmoveto"], 1)]))
+    f.charstrings[1] = b"\x0c\x23"  # 12 35 = flex
+    with pytest.raises(CffUnsupported):
+        f.pieces(1)
+
+
+def test_units_per_em_from_bcd_fontmatrix():
+    f = parse_cff(build_tiny_cff([("A", [0, 0, "rmoveto"], 1)],
+                                 units_per_em=2048))
+    assert f.units_per_em == 2048
+
+
+def test_malformed_rejects():
+    with pytest.raises(CffUnsupported):
+        parse_cff(b"\x02\x00\x04\x04")  # major version 2
+    with pytest.raises(CffUnsupported):
+        parse_cff(b"\x01")
+
+
+def test_pdf_cff_pixel_exactness():
+    import numpy as np
+
+    from specialsid_spark.operators.pdfraster import (
+        build_cff_pdf,
+        rasterize_page,
+    )
+
+    for text, exp in (("L", 608), ("O", 1088), ("H", 960),
+                      ("LOH", 608 + 1088 + 960)):
+        w, h, _ch, px = rasterize_page(build_cff_pdf(text))
+        gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+        assert int((gray != 255).sum()) == exp, text
+
+
+def test_pdf_cubic_glyph_is_pen_invariant():
+    import numpy as np
+
+    from specialsid_spark.operators.pdfraster import (
+        build_cff_pdf,
+        rasterize_page,
+    )
+
+    inks = []
+    for text in ("C", "LC", "LLC"):
+        w, h, _ch, px = rasterize_page(build_cff_pdf(text))
+        gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+        inks.append(int((gray != 255).sum()) - 608 * (len(text) - 1))
+    assert inks[0] == inks[1] == inks[2] > 0
