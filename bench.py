@@ -167,6 +167,8 @@ HEADLINE = [
     # BASELINE §2b).
     "cur_semantic_decontaminate",
     "agg_qdigest_merge_parity",
+    # Aho-Corasick blocklist gate — a per-row corpus scan
+    "cur_blocklist_scrub",
 ]
 
 

@@ -1,0 +1,98 @@
+"""Aho-Corasick multi-pattern matching — the blocklist primitive a
+curation pipeline runs over every document (profanity / spam-phrase /
+boilerplate-marker scrubbing), from the published algorithm (Aho &
+Corasick 1975, CACM 18(6)) only.
+
+One automaton pass counts ALL occurrences of EVERY pattern (including
+overlapping ones and patterns nested inside other patterns — the
+output-link sum handles both), so a K-pattern blocklist costs O(|text|)
+per document instead of K regex passes.  The reference has no
+counterpart operator; this extends its cleaning stage
+(pnp-cleanerLambda.py's per-field normalizers) to corpus-level content
+gating.
+
+Scale shape: the automaton builds once on the driver (blocklists are
+KBs), ships to executors inside the mapInPandas closure, and matching
+is a pure per-row scan — zero shuffle, embarrassingly parallel, state
+bounded by the blocklist, never the corpus.
+"""
+
+from __future__ import annotations
+
+
+class AhoCorasick:
+    """Byte/char-level automaton over a fixed pattern list.
+
+    ``counts(text)`` returns per-pattern occurrence counts including
+    overlaps — semantically identical to counting every position i
+    where ``text[i : i + len(p)] == p``, which is exactly the form a
+    SQL oracle can restate with a positions scan.
+    """
+
+    def __init__(self, patterns: list[str]) -> None:
+        if not patterns or any(not p for p in patterns):
+            raise ValueError("patterns must be non-empty strings")
+        self.patterns = list(patterns)
+        # trie: goto[node] = {char: node}; out[node] = [pattern ids]
+        self.goto: list[dict[str, int]] = [{}]
+        out: list[list[int]] = [[]]
+        for pid, pat in enumerate(self.patterns):
+            node = 0
+            for ch in pat:
+                nxt = self.goto[node].get(ch)
+                if nxt is None:
+                    self.goto.append({})
+                    out.append([])
+                    nxt = len(self.goto) - 1
+                    self.goto[node][ch] = nxt
+                node = nxt
+            out[node].append(pid)
+        # BFS fail links
+        n = len(self.goto)
+        self.fail = [0] * n
+        queue = list(self.goto[0].values())
+        for node in queue:  # depth-1 nodes fail to root
+            self.fail[node] = 0
+        i = 0
+        while i < len(queue):
+            node = queue[i]
+            i += 1
+            for ch, nxt in self.goto[node].items():
+                queue.append(nxt)
+                f = self.fail[node]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[nxt] = self.goto[f].get(ch, 0)
+                if self.fail[nxt] == nxt:  # depth-1 self-reference
+                    self.fail[nxt] = 0
+        # per-node output including the whole fail chain (BFS order
+        # guarantees fail[node] is finalized before node)
+        self.out_ids: list[tuple[int, ...]] = [()] * n
+        self.out_ids[0] = tuple(out[0])
+        for node in queue:
+            self.out_ids[node] = tuple(out[node]) + self.out_ids[self.fail[node]]
+
+    def _step(self, state: int, ch: str) -> int:
+        while state and ch not in self.goto[state]:
+            state = self.fail[state]
+        return self.goto[state].get(ch, 0)
+
+    def counts(self, text: str) -> list[int]:
+        """Occurrences per pattern (index-aligned with ``patterns``)."""
+        c = [0] * len(self.patterns)
+        state = 0
+        for ch in text:
+            state = self._step(state, ch)
+            for pid in self.out_ids[state]:
+                c[pid] += 1
+        return c
+
+    def find(self, text: str) -> list[tuple[int, int]]:
+        """All (end_position_exclusive, pattern_id) matches in order."""
+        hits: list[tuple[int, int]] = []
+        state = 0
+        for i, ch in enumerate(text):
+            state = self._step(state, ch)
+            for pid in self.out_ids[state]:
+                hits.append((i + 1, pid))
+        return hits

@@ -69,6 +69,7 @@ _PRIORITY: tuple[str, ...] = (
     "cur_semantic_decontaminate",
     "clean_snapshot_deletion_vectors",
     "mm_pdf_cff_text_raster",
+    "cur_blocklist_scrub",
     # newest driver row = r4
     "subq_corr_above_nation_avg",
     "subq_multi_supplier_orders",

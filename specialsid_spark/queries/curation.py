@@ -1867,3 +1867,86 @@ def cur_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("eval_id")
     )
+
+
+# --- Aho-Corasick blocklist gate (r10) ---------------------------------------
+
+_BLOCKLIST = ("slow", "table table", "scan scan", "agg", "a a", "batch")
+_BLOCK_THRESHOLD = 10
+
+_SQL_BLOCKLIST = f"""
+    WITH pats AS (
+      SELECT * FROM (VALUES {", ".join(f"('{p}')" for p in _BLOCKLIST)}) p(pat)
+    ),
+    pos AS (
+      SELECT unnest(range(1, (SELECT MAX(len(text)) FROM documents) + 1)) AS i
+    ),
+    hits AS (
+      SELECT d.doc_id, p.pat, COUNT(*) AS c
+      FROM documents d, pats p, pos r
+      WHERE r.i + len(p.pat) - 1 <= len(d.text)
+        AND substr(d.text, CAST(r.i AS INT), CAST(len(p.pat) AS INT)) = p.pat
+      GROUP BY 1, 2
+    ),
+    perdoc AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_hits,
+             CAST(COUNT(*) AS BIGINT) AS n_patterns
+      FROM hits GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+           COALESCE(p.n_patterns, CAST(0 AS BIGINT)) AS n_patterns,
+           CAST(CASE WHEN COALESCE(p.n_hits, 0) >= {_BLOCK_THRESHOLD}
+                THEN 1 ELSE 0 END AS BIGINT) AS blocked
+    FROM documents d LEFT JOIN perdoc p USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+@register("cur_blocklist_scrub", oracle=_SQL_BLOCKLIST)
+def cur_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pattern blocklist gate (operators/ahocorasick.py): one
+    Aho-Corasick pass counts every occurrence of every blocklist
+    pattern per document — overlapping matches and nested patterns
+    included (the fixture blocklist has both: "table table" matches
+    twice inside "table table table", and "a a" / "agg" land inside
+    longer tokens) — then documents at or above the hit threshold are
+    flagged.  The oracle restates the exact same semantics as a
+    positions scan (count of i where substr(text, i, |p|) = p), which
+    is what the automaton's output-link sum computes in O(|text|)
+    instead of O(|text| * K).
+
+    Scale shape: the automaton builds once from the KB-sized blocklist
+    and ships in the mapInPandas closure; matching is a pure per-row
+    scan with zero shuffle before the final sort — the curation-gate
+    shape (cf. cur_gopher_repetition) at 100 TB."""
+    import pandas as pd
+
+    from specialsid_spark.operators.ahocorasick import AhoCorasick
+
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    patterns = list(_BLOCKLIST)
+    threshold = _BLOCK_THRESHOLD
+
+    def fn(batches):
+        ac = AhoCorasick(patterns)
+        for pdf in batches:
+            counts = [ac.counts(t) for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_hits": [sum(c) for c in counts],
+                    "n_patterns": [sum(1 for x in c if x) for c in counts],
+                }
+            ).astype({"n_hits": "int64", "n_patterns": "int64"})
+
+    scored = d.mapInPandas(fn, "doc_id long, n_hits long, n_patterns long")
+    return scored.select(
+        "doc_id",
+        "n_hits",
+        "n_patterns",
+        F.when(F.col("n_hits") >= threshold, F.lit(1))
+        .otherwise(0)
+        .cast("long")
+        .alias("blocked"),
+    ).orderBy("doc_id")

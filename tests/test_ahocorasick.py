@@ -1,0 +1,65 @@
+"""operators/ahocorasick.py — multi-pattern matching vs a brute-force
+positions scan (the same semantics the SQL oracle restates)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from specialsid_spark.operators.ahocorasick import AhoCorasick
+
+
+def brute_counts(patterns: list[str], text: str) -> list[int]:
+    return [
+        sum(
+            1
+            for i in range(len(text) - len(p) + 1)
+            if text[i : i + len(p)] == p
+        )
+        for p in patterns
+    ]
+
+
+def test_overlapping_matches_counted():
+    ac = AhoCorasick(["aa"])
+    assert ac.counts("aaaa") == [3]
+
+
+def test_nested_patterns_via_output_links():
+    pats = ["he", "she", "his", "hers"]  # the 1975 paper's example
+    ac = AhoCorasick(pats)
+    assert ac.counts("ushers") == brute_counts(pats, "ushers") == [1, 1, 0, 1]
+
+
+def test_pattern_inside_longer_pattern():
+    pats = ["table", "table table", "a"]
+    text = "table table table"
+    ac = AhoCorasick(pats)
+    assert ac.counts(text) == brute_counts(pats, text) == [3, 2, 3]
+
+
+def test_find_positions_in_order():
+    ac = AhoCorasick(["ab", "b"])
+    assert ac.find("abab") == [(2, 0), (2, 1), (4, 0), (4, 1)]
+
+
+def test_fuzz_vs_brute_force():
+    rng = random.Random(11)
+    alphabet = "abc "
+    for _ in range(40):
+        pats = list(
+            {
+                "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 5)))
+                for _ in range(rng.randrange(1, 8))
+            }
+        )
+        text = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 300)))
+        assert AhoCorasick(pats).counts(text) == brute_counts(pats, text)
+
+
+def test_rejects_empty_patterns():
+    with pytest.raises(ValueError):
+        AhoCorasick([])
+    with pytest.raises(ValueError):
+        AhoCorasick(["ok", ""])
