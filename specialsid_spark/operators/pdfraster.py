@@ -272,42 +272,85 @@ def _num_array(head: bytes, key: bytes) -> list[float] | None:
     return [float(v) for v in _NUM_LIST_RE.findall(m.group(1))]
 
 
-def _axial_shading(objs: dict, sh_num: int):
-    """Parse a /ShadingType 2 (axial) dict with a /FunctionType 2
-    exponential-interpolation function at N = 1 (linear) — the common
-    born-digital flyer gradient.  Anything else degrades."""
+def _parse_function(objs: dict, fn_num: int, nch: int):
+    """A shading /Function: FunctionType 2 (exponential, N = 1) ->
+    ('exp', c0, c1); FunctionType 3 (stitching of type-2 subfunctions,
+    r10) -> ('stitch', [(lo, hi, e0, e1, c0, c1), ...]) with one entry
+    per subdomain.  Anything else degrades."""
+    fhead = objs.get(fn_num, (b"",))[0]
+    if re.search(rb"/FunctionType\s+2\b", fhead) is not None:
+        nm = re.search(rb"/N\s+([0-9.]+)", fhead)
+        if nm is None or float(nm.group(1)) != 1.0:
+            raise _Degrade("only linear (N=1) interpolation supported")
+        c0 = _num_array(fhead, rb"/C0") or [0.0] * nch
+        c1 = _num_array(fhead, rb"/C1") or [1.0] * nch
+        if len(c0) != nch or len(c1) != nch:
+            raise _Degrade("function arity mismatch")
+        return ("exp", tuple(c0), tuple(c1))
+    if re.search(rb"/FunctionType\s+3\b", fhead) is not None:
+        refs = re.search(rb"/Functions\s*\[(.*?)\]", fhead, re.S)
+        if refs is None:
+            raise _Degrade("stitching function missing /Functions")
+        subs = [
+            _parse_function(objs, int(n), nch)
+            for n in re.findall(rb"(\d+)\s+0\s+R", refs.group(1))
+        ]
+        if not subs or any(s[0] != "exp" for s in subs):
+            raise _Degrade("stitching of non-exponential subfunctions")
+        bounds = _num_array(fhead, rb"/Bounds")
+        encode = _num_array(fhead, rb"/Encode")
+        dom = _num_array(fhead, rb"/Domain") or [0.0, 1.0]
+        if bounds is None:
+            bounds = []
+        if encode is None or len(encode) != 2 * len(subs):
+            raise _Degrade("stitching function /Encode arity")
+        if len(bounds) != len(subs) - 1:
+            raise _Degrade("stitching function /Bounds arity")
+        edges = [dom[0], *bounds, dom[1]]
+        pieces = []
+        for i, (_kind, c0, c1) in enumerate(subs):
+            lo, hi = edges[i], edges[i + 1]
+            if hi <= lo:
+                raise _Degrade("stitching subdomain empty")
+            pieces.append((lo, hi, encode[2 * i], encode[2 * i + 1], c0, c1))
+        return ("stitch", pieces)
+    raise _Degrade("only function types 2 and 3 supported")
+
+
+def _parse_shading(objs: dict, sh_num: int):
+    """Parse a /ShadingType 2 (axial) or 3 (radial, r10) dict: the two
+    born-digital flyer gradient forms.  Anything else degrades."""
     head = objs.get(sh_num, (b"",))[0]
-    if re.search(rb"/ShadingType\s+2\b", head) is None:
-        raise _Degrade("only axial (type 2) shadings supported")
+    if re.search(rb"/ShadingType\s+2\b", head) is not None:
+        kind, ncoords = "axial", 4
+    elif re.search(rb"/ShadingType\s+3\b", head) is not None:
+        kind, ncoords = "radial", 6
+    else:
+        raise _Degrade("only axial/radial (type 2/3) shadings supported")
     coords = _num_array(head, rb"/Coords")
-    if coords is None or len(coords) != 4:
-        raise _Degrade("axial shading missing /Coords")
+    if coords is None or len(coords) != ncoords:
+        raise _Degrade(f"{kind} shading missing /Coords")
     nch = 3 if b"/DeviceRGB" in head else 1
     fm = re.search(rb"/Function\s+(\d+)\s+0\s+R", head)
     if fm is None:
         raise _Degrade("shading missing /Function")
-    fhead = objs.get(int(fm.group(1)), (b"",))[0]
-    if re.search(rb"/FunctionType\s+2\b", fhead) is None:
-        raise _Degrade("only exponential (type 2) functions supported")
-    nm = re.search(rb"/N\s+([0-9.]+)", fhead)
-    if nm is None or float(nm.group(1)) != 1.0:
-        raise _Degrade("only linear (N=1) interpolation supported")
-    c0 = _num_array(fhead, rb"/C0") or [0.0] * nch
-    c1 = _num_array(fhead, rb"/C1") or [1.0] * nch
-    if len(c0) != nch or len(c1) != nch:
-        raise _Degrade("function arity mismatch")
-    return tuple(coords), tuple(c0), tuple(c1), nch
+    fn = _parse_function(objs, int(fm.group(1)), nch)
+    return kind, tuple(coords), fn, nch
 
 
-def _paint_axial(buf, m, shading, clip) -> None:
-    """Axial gradient paint (``sh``, r10 — VERDICT r9 #5): for every
-    device pixel center inside the clip rect, inverse-map to user
-    space, project onto the axis, clamp t to [0, 1] (the /Extend
-    behavior real flyer art relies on), and write
-    floor((c0 + t*(c1-c0)) * 255 + 0.5) per channel — the floor(+0.5)
-    rounding is the deterministic form both engines share (DuckDB
-    round() ties differ from numpy's; floor does not)."""
-    (x0, y0, x1, y1), c0, c1, nch = shading
+def _paint_shading(buf, m, shading, clip) -> None:
+    """Gradient paint (``sh``): for every device pixel center inside
+    the clip rect, inverse-map to user space, compute the parametric t
+    (axial: axis projection, r10 — VERDICT r9 #5; radial: largest root
+    s of |p - c(s)| = r(s), r10 continuation), clamp t to [0, 1] (the
+    /Extend behavior real flyer art relies on), evaluate the function
+    (exponential: c0 + t*(c1-c0); stitching: subdomain select + encode
+    remap, each leg the same linear form), and write
+    floor(value * 255 + 0.5) per channel — the floor(+0.5) rounding is
+    the deterministic form both engines share (DuckDB round() ties
+    differ from numpy's; floor does not).  Every double chain here is
+    pinned and restated verbatim by the SQL oracles."""
+    kind, coords, fn, nch = shading
     a, b, c, d, e, f = m
     det = a * d - b * c
     if det == 0.0:
@@ -323,19 +366,56 @@ def _paint_axial(buf, m, shading, clip) -> None:
     )
     ux = (d * (X - e) - c * (Y - f)) / det
     uy = (-b * (X - e) + a * (Y - f)) / det
-    dx, dy = x1 - x0, y1 - y0
-    denom = dx * dx + dy * dy
-    if denom == 0.0:
-        raise _Degrade("degenerate shading axis")
-    t = ((ux - x0) * dx + (uy - y0) * dy) / denom
+    paint_mask = None
+    if kind == "axial":
+        x0, y0, x1, y1 = coords
+        dx, dy = x1 - x0, y1 - y0
+        denom = dx * dx + dy * dy
+        if denom == 0.0:
+            raise _Degrade("degenerate shading axis")
+        t = ((ux - x0) * dx + (uy - y0) * dy) / denom
+    else:  # radial: a_q s^2 - 2 b_h s + c_q = 0, largest root
+        x0, y0, r0, x1, y1, r1 = coords
+        dx, dy, dr = x1 - x0, y1 - y0, r1 - r0
+        a_q = dx * dx + dy * dy - dr * dr
+        if a_q == 0.0:
+            raise _Degrade("parabolic radial shading (|dc| = |dr|)")
+        px_ = ux - x0
+        py_ = uy - y0
+        b_h = px_ * dx + py_ * dy + r0 * dr
+        c_q = px_ * px_ + py_ * py_ - r0 * r0
+        disc = b_h * b_h - a_q * c_q
+        paint_mask = disc >= 0.0
+        root = np.sqrt(np.where(paint_mask, disc, 0.0))
+        t = (b_h + (root if a_q > 0 else -root)) / a_q
     t = np.clip(t, 0.0, 1.0)
+
+    def eval_channel(k: int):
+        if fn[0] == "exp":
+            _kind, c0, c1 = fn
+            return c0[k] + t * (c1[k] - c0[k])
+        v = np.zeros_like(t)
+        pieces = fn[1]
+        for i, (lo, hi, e0, e1, c0, c1) in enumerate(pieces):
+            tt = e0 + (t - lo) * (e1 - e0) / (hi - lo)
+            leg = c0[k] + tt * (c1[k] - c0[k])
+            # subdomain select: [lo, hi) except the last piece's closed hi
+            if i == len(pieces) - 1:
+                sel = t >= lo
+            else:
+                sel = (t >= lo) & (t < hi)
+            v = np.where(sel, leg, v)
+        return v
+
     out = np.empty((*t.shape, 3), dtype=np.uint8)
     for ch in range(3):
         k = ch if nch == 3 else 0
-        out[:, :, ch] = np.floor(
-            (c0[k] + t * (c1[k] - c0[k])) * 255.0 + 0.5
-        ).astype(np.uint8)
-    buf[cy0:cy1, cx0:cx1] = out
+        out[:, :, ch] = np.floor(eval_channel(k) * 255.0 + 0.5).astype(np.uint8)
+    region = buf[cy0:cy1, cx0:cx1]
+    if paint_mask is None:
+        region[:] = out
+    else:
+        region[paint_mask] = out[paint_mask]
 
 
 # -------------------------------------------------------------- rasterizer
@@ -923,7 +1003,7 @@ def _run(content, buf, s, hpx, ox, oy, objs, xobjects, fonts=None, shadings=None
                 snum = (shadings or {}).get(operands[-1][1])
                 if snum is None or snum not in objs:
                     raise _Degrade("unresolved shading")
-                _paint_axial(buf, ctm, _axial_shading(objs, snum), clip)
+                _paint_shading(buf, ctm, _parse_shading(objs, snum), clip)
         elif op in (b"gs", b"ri", b"i", b"j", b"J", b"M", b"d", b"w",
                     b"Tc", b"Tw", b"Tz", b"Ts", b"Tr", b"G", b"RG",
                     b"CS", b"cs", b"SC", b"sc", b"SCN", b"scn", b"K", b"k",
@@ -1116,6 +1196,63 @@ def build_cff_pdf(
         b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
         b" /Resources << /Font << /F1 %d 0 R >> >>"
         b" /Contents %d 0 R >>" % (pages_num, font_num, cont_num)
+    )
+    objects[pages_num - 1] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
+    objects[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
+    return _assemble_pdf(objects, catalog_num)
+
+
+def build_radial_pdf(
+    clip_rect: tuple[int, int, int, int],
+    coords: tuple[int, int, int, int, int, int],
+    stops: tuple[float, float, float],
+    bound: float = 0.5,
+) -> bytes:
+    """Oracle-fixture writer (r10): one 612x792 page whose only ink is
+    a clipped DeviceGray RADIAL gradient whose /Function is a
+    FunctionType 3 STITCH of two linear legs — stops (c0, cm, c1) with
+    the middle stop at ``bound``.  Colors and the bound are written
+    with repr() so the parsed doubles are exact; integral clip/center/
+    radii keep the quadratic-root chain a closed-form double the SQL
+    oracle restates."""
+    from specialsid_spark.operators.pdf import _assemble_pdf  # noqa: PLC0415
+
+    c0, cm, c1 = stops
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    catalog_num = add(b"")
+    pages_num = add(b"")
+    f0_num = add(
+        b"<< /FunctionType 2 /Domain [0 1] /C0 [%s] /C1 [%s] /N 1 >>"
+        % (repr(c0).encode(), repr(cm).encode())
+    )
+    f1_num = add(
+        b"<< /FunctionType 2 /Domain [0 1] /C0 [%s] /C1 [%s] /N 1 >>"
+        % (repr(cm).encode(), repr(c1).encode())
+    )
+    fn_num = add(
+        b"<< /FunctionType 3 /Domain [0 1] /Functions [%d 0 R %d 0 R]"
+        b" /Bounds [%s] /Encode [0 1 0 1] >>"
+        % (f0_num, f1_num, repr(bound).encode())
+    )
+    sh_num = add(
+        b"<< /ShadingType 3 /ColorSpace /DeviceGray"
+        b" /Coords [%d %d %d %d %d %d] /Function %d 0 R"
+        b" /Extend [true true] >>" % (*coords, fn_num)
+    )
+    cx, cy, cw, chh = clip_rect
+    content = b"q %d %d %d %d re W n /Sh0 sh Q" % (cx, cy, cw, chh)
+    cont_num = add(
+        b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
+    )
+    page = add(
+        b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /Shading << /Sh0 %d 0 R >> >>"
+        b" /Contents %d 0 R >>" % (pages_num, sh_num, cont_num)
     )
     objects[pages_num - 1] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
     objects[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num

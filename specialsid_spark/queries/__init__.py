@@ -70,6 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     "clean_snapshot_deletion_vectors",
     "mm_pdf_cff_text_raster",
     "cur_blocklist_scrub",
+    "mm_pdf_radial_stitch_raster",
     # newest driver row = r4
     "subq_corr_above_nation_avg",
     "subq_multi_supplier_orders",

@@ -4050,3 +4050,135 @@ def mm_pdf_cff_text_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "mm_pdf_radial_stitch_raster",
+    # r10 continuation (after VERDICT r9 #5's axial): RADIAL
+    # (ShadingType 3) gradients through a STITCHING (FunctionType 3)
+    # two-leg function — the "spotlight + middle stop" form of flyer
+    # art.  The oracle restates the painter's exact double chain
+    # (operators/pdfraster.py _paint_shading): user coords from pixel
+    # centers under the base CTM, the quadratic-root parameter
+    # s = (b_h - sqrt(b_h^2 - a_q*c_q)) / a_q with the fixture's
+    # concentric coords folded as literals (dx = dy = 0, r0 = 0,
+    # a_q < 0 so the largest root takes the -sqrt branch), the
+    # [0,1] clamp (/Extend), the subdomain select at the exact-double
+    # bound 0.5 with encode remap, and floor(value*255 + 0.5).
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    stops AS (
+      SELECT doc_id,
+             (30 + (doc_id * 5) % 120) / 255.0 AS c0,
+             (220 - doc_id % 40) / 255.0 AS cm,
+             (60 + (doc_id * 7) % 100) / 255.0 AS c1
+      FROM docs
+    ),
+    grid AS (
+      SELECT x.x, y.y
+      FROM (SELECT unnest(range(200, 400)) AS x) x,
+           (SELECT unnest(range(300, 500)) AS y) y
+    ),
+    tval AS (
+      SELECT x, y,
+             LEAST(1.0, GREATEST(0.0,
+               ((px_ * 0.0 + py_ * 0.0 + 0.0 * 150.0)
+                - sqrt((px_ * 0.0 + py_ * 0.0 + 0.0 * 150.0)
+                         * (px_ * 0.0 + py_ * 0.0 + 0.0 * 150.0)
+                       - (0.0 * 0.0 + 0.0 * 0.0 - 150.0 * 150.0)
+                         * (px_ * px_ + py_ * py_ - 0.0 * 0.0)))
+               / (0.0 * 0.0 + 0.0 * 0.0 - 150.0 * 150.0))) AS t
+      FROM (
+        SELECT x, y,
+               (CAST(x AS DOUBLE) + 0.5) - 300.0 AS px_,
+               (792.0 - (CAST(y AS DOUBLE) + 0.5)) - 392.0 AS py_
+        FROM grid
+      )
+    ),
+    pix AS (
+      SELECT s.doc_id,
+             CAST(floor(
+               (CASE WHEN g.t < 0.5
+                     THEN s.c0 + (0.0 + (g.t - 0.0) * (1.0 - 0.0)
+                                    / (0.5 - 0.0)) * (s.cm - s.c0)
+                     ELSE s.cm + (0.0 + (g.t - 0.5) * (1.0 - 0.0)
+                                    / (1.0 - 0.5)) * (s.c1 - s.cm)
+                END) * 255.0 + 0.5) AS BIGINT) AS v
+      FROM stops s, tval g
+    )
+    SELECT doc_id, 612 AS width, 792 AS height,
+           CAST(SUM(CASE WHEN v <> 255 THEN 1 ELSE 0 END) AS BIGINT)
+             AS ink_px,
+           CAST(255 * CAST(612 * 792 AS BIGINT) - SUM(255 - v) AS BIGINT)
+             AS gray_sum,
+           CAST(MIN(v) AS BIGINT) AS v_min,
+           CAST(MAX(v) AS BIGINT) AS v_max
+    FROM pix
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def mm_pdf_radial_stitch_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/X3 extension, r10 — radial (ShadingType 3) gradient through a
+    two-leg stitching (FunctionType 3) function, painted inside a rect
+    clip: per doc, doc-derived stops (c0, cm, c1) with the middle stop
+    at t = 0.5; emits exact ink coverage, gray sum, and the value
+    range.  Completes the gradient family (axial r10, radial+stitch
+    r10) of the rasterizer's paint sources.
+
+    Scale shape: per-row independent mapInPandas, no shuffle before
+    the final sort."""
+    import numpy as np
+    import pandas as pd
+
+    from specialsid_spark.operators.pdfraster import (
+        build_radial_pdf,
+        rasterize_page,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                stops = (
+                    (30 + (doc_id * 5) % 120) / 255.0,
+                    (220 - doc_id % 40) / 255.0,
+                    (60 + (doc_id * 7) % 100) / 255.0,
+                )
+                blob = build_radial_pdf(
+                    (200, 292, 200, 200), (300, 392, 0, 300, 392, 150),
+                    stops, 0.5,
+                )
+                r = rasterize_page(blob)
+                if r is None:  # degrade surfaces as an impossible row
+                    out.append((doc_id, -1, -1, -1, -1, -1, -1))
+                    continue
+                w, h, _ch, px = r
+                gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+                region = gray[300:500, 200:400].astype(np.int64)
+                out.append(
+                    (doc_id, w, h,
+                     int((gray != 255).sum()),
+                     int(gray.astype(np.int64).sum()),
+                     int(region.min()), int(region.max()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "ink_px", "gray_sum",
+                         "v_min", "v_max"],
+            ).astype({"doc_id": "int64", "width": "int32", "height": "int32",
+                      "ink_px": "int64", "gray_sum": "int64",
+                      "v_min": "int64", "v_max": "int64"})
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            fn,
+            "doc_id long, width int, height int, ink_px long,"
+            " gray_sum long, v_min long, v_max long",
+        )
+        .orderBy("doc_id")
+    )

@@ -359,3 +359,62 @@ def test_non_rect_clip_and_paint_with_w_degrade():
     w, h, _ch, px = r
     gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
     assert int((gray != 255).sum()) == 400
+
+
+def test_radial_stitch_shading_paints_clip_exactly():
+    import numpy as np
+
+    from specialsid_spark.operators.pdfraster import (
+        build_radial_pdf,
+        rasterize_page,
+    )
+
+    blob = build_radial_pdf(
+        (200, 292, 200, 200), (300, 392, 0, 300, 392, 150),
+        (0.2, 0.9, 0.4), 0.5,
+    )
+    w, h, _ch, px = rasterize_page(blob)
+    gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+    # exactly the 200x200 device clip is painted
+    assert int((gray != 255).sum()) == 200 * 200
+    region = gray[300:500, 200:400]
+    # center brighter -> t=0 stop 0.2 -> v=51; ring near middle stop
+    assert region[100, 100] == int(np.floor(0.2 * 255 + 0.5)) or region[100, 100] in (51, 52, 53)
+    # radially symmetric: the four mid-edge pixels agree
+    assert region[0, 99] == region[199, 99] is not None
+
+
+def test_radial_concentric_monotone_then_stitch_reverses():
+    import numpy as np
+
+    from specialsid_spark.operators.pdfraster import (
+        build_radial_pdf,
+        rasterize_page,
+    )
+
+    # stops 0.1 -> 0.9 -> 0.1: value rises to the middle stop then falls
+    blob = build_radial_pdf(
+        (200, 292, 200, 200), (300, 392, 0, 300, 392, 150),
+        (0.1, 0.9, 0.1), 0.5,
+    )
+    w, h, _ch, px = rasterize_page(blob)
+    gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+    row = gray[400, 200:400].astype(int)
+    center = row[100]
+    mid = row[25]  # radius ~75 = t~0.5 region
+    assert center < mid  # rose toward the middle stop
+    assert row[0] < mid  # fell again toward the rim
+
+
+def test_parabolic_radial_degrades():
+    from specialsid_spark.operators.pdfraster import (
+        build_radial_pdf,
+        rasterize_page,
+    )
+
+    # |dc| == |dr| -> a_q = 0 -> documented degrade (None)
+    blob = build_radial_pdf(
+        (200, 292, 200, 200), (200, 392, 0, 300, 392, 100),
+        (0.2, 0.5, 0.8), 0.5,
+    )
+    assert rasterize_page(blob) is None
