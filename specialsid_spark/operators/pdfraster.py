@@ -58,6 +58,7 @@ the corpus.
 
 from __future__ import annotations
 
+import math
 import re
 import zlib
 from struct import error as struct_error
@@ -262,6 +263,60 @@ def _page_shadings(objs: dict, page_head: bytes) -> dict[str, int]:
     }
 
 
+def _page_colorspaces(objs: dict, page_head: bytes) -> dict[str, int]:
+    """/ColorSpace resource name -> object number for one page."""
+    m = re.search(rb"/ColorSpace\s*<<(.*?)>>", page_head, re.S)
+    if m is None:
+        rm = re.search(rb"/Resources\s+(\d+)\s+0\s+R", page_head)
+        if rm is None:
+            return {}
+        rhead = objs.get(int(rm.group(1)), (b"",))[0]
+        m = re.search(rb"/ColorSpace\s*<<(.*?)>>", rhead, re.S)
+        if m is None:
+            return {}
+    return {
+        name.decode("latin-1"): int(num)
+        for name, num in re.findall(rb"/(\w+)\s+(\d+)\s+0\s+R", m.group(1))
+    }
+
+
+def _parse_separation(objs: dict, cs_num: int):
+    """Parse a [/Separation /Name /DeviceGray|/DeviceRGB fn] colorspace
+    (r10): returns (tint_fn, nch) where tint_fn is a _parse_function
+    spec mapping tint -> alternate-space components.  The spot-ink
+    form flyer print art uses; anything else degrades."""
+    head = objs.get(cs_num, (b"",))[0]
+    if re.search(rb"/Separation\b", head) is None:
+        raise _Degrade("only Separation colorspace objects supported")
+    if b"/DeviceRGB" in head:
+        nch = 3
+    elif b"/DeviceGray" in head:
+        nch = 1
+    else:
+        raise _Degrade("Separation alternate must be DeviceGray/RGB")
+    fm = list(re.finditer(rb"(\d+)\s+0\s+R", head))
+    if not fm:
+        raise _Degrade("Separation missing tint transform")
+    fn = _parse_function(objs, int(fm[-1].group(1)), nch)
+    return fn, nch
+
+
+def _eval_tint(fn, nch: int, t: float) -> tuple[float, ...]:
+    """Evaluate a function spec at scalar tint t (clamped to [0, 1]) —
+    the same pinned chains as _paint_shading's vectorized form."""
+    t = min(1.0, max(0.0, t))
+    if fn[0] == "exp":
+        _kind, c0, c1 = fn
+        return tuple(c0[k] + t * (c1[k] - c0[k]) for k in range(nch))
+    pieces = fn[1]
+    for i, (lo, hi, e0, e1, c0, c1) in enumerate(pieces):
+        if (t >= lo and t < hi) or (i == len(pieces) - 1 and t >= lo):
+            tt = e0 + (t - lo) * (e1 - e0) / (hi - lo)
+            return tuple(c0[k] + tt * (c1[k] - c0[k]) for k in range(nch))
+    _lo, _hi, e0, e1, c0, c1 = pieces[0]
+    return tuple(c0[k] for k in range(nch))
+
+
 _NUM_LIST_RE = re.compile(rb"[-+]?[0-9.]+(?:[eE][-+]?\d+)?")
 
 
@@ -453,7 +508,9 @@ def rasterize_page(
         xobjects = _page_xobjects(objs, page_head)
         fonts = _page_fonts(objs, page_head)
         shadings = _page_shadings(objs, page_head)
-        _run(content, buf, s, hpx, x0, y0, objs, xobjects, fonts, shadings)
+        colorspaces = _page_colorspaces(objs, page_head)
+        _run(content, buf, s, hpx, x0, y0, objs, xobjects, fonts, shadings,
+             colorspaces)
         return wpx, hpx, 3, buf.tobytes()
     except (_Degrade, ValueError, IndexError, KeyError, ZeroDivisionError):
         return None
@@ -798,11 +855,13 @@ def _load_font_program(objs: dict, font_num: int):
     return None
 
 
-def _run(content, buf, s, hpx, ox, oy, objs, xobjects, fonts=None, shadings=None) -> None:
+def _run(content, buf, s, hpx, ox, oy, objs, xobjects, fonts=None, shadings=None,
+         colorspaces=None) -> None:
     base = (s, 0.0, 0.0, -s, -ox * s, hpx + oy * s)
     ctm = base
     stack: list[tuple] = []
     fill = np.array([0, 0, 0], dtype=np.uint8)
+    fill_cs = None  # parsed Separation spec (fn, nch), or None = device
     clip = None  # device-space (x0, y0, x1, y1) rect clip, or None
     pending_clip = False  # a W/W* was seen; the next n consumes
     rects: list[tuple] = []  # (x, y, w, h, ctm): the pure-re fast path
@@ -832,21 +891,56 @@ def _run(content, buf, s, hpx, ox, oy, objs, xobjects, fonts=None, shadings=None
             continue
         op = val
         if op == b"q":
-            stack.append((ctm, fill.copy(), clip))
+            stack.append((ctm, fill.copy(), clip, fill_cs))
         elif op == b"Q":
             if stack:
-                ctm, fill, clip = stack.pop()
+                ctm, fill, clip, fill_cs = stack.pop()
         elif op == b"cm":
             cm = tuple(num(6 - k) for k in range(6))
             ctm = _mul(cm, ctm)
         elif op == b"g":
             v = round(num(1) * 255)
             fill = np.array([v, v, v], dtype=np.uint8)
+            fill_cs = None
         elif op == b"rg":
             fill = np.array(
                 [round(num(3) * 255), round(num(2) * 255), round(num(1) * 255)],
                 dtype=np.uint8,
             )
+            fill_cs = None
+        elif op == b"cs":
+            if not operands or operands[-1][0] != "name":
+                raise _Degrade("cs without a name operand")
+            cname = operands[-1][1]
+            if cname in ("DeviceGray", "DeviceRGB"):
+                fill_cs = None
+            else:
+                cnum = (colorspaces or {}).get(cname)
+                if cnum is None or cnum not in objs:
+                    raise _Degrade(f"unresolved colorspace /{cname}")
+                fill_cs = _parse_separation(objs, cnum)
+        elif op in (b"scn", b"sc"):
+            if fill_cs is not None:
+                # Separation: one tint through the transform, then the
+                # SAME floor(v*255 + 0.5) quantizer as shading paints
+                fn, nch = fill_cs
+                comps = _eval_tint(fn, nch, num(1))
+                if nch == 1:
+                    v = math.floor(comps[0] * 255.0 + 0.5)
+                    fill = np.array([v, v, v], dtype=np.uint8)
+                else:
+                    fill = np.array(
+                        [math.floor(c * 255.0 + 0.5) for c in comps],
+                        dtype=np.uint8,
+                    )
+            elif operands and len(operands) >= 3:
+                fill = np.array(
+                    [round(num(3) * 255), round(num(2) * 255), round(num(1) * 255)],
+                    dtype=np.uint8,
+                )
+            else:
+                v = round(num(1) * 255)
+                fill = np.array([v, v, v], dtype=np.uint8)
         elif op == b"re":
             x, y, w, h = num(4), num(3), num(2), num(1)
             rects.append((x, y, w, h, ctm))
@@ -1006,7 +1100,7 @@ def _run(content, buf, s, hpx, ox, oy, objs, xobjects, fonts=None, shadings=None
                 _paint_shading(buf, ctm, _parse_shading(objs, snum), clip)
         elif op in (b"gs", b"ri", b"i", b"j", b"J", b"M", b"d", b"w",
                     b"Tc", b"Tw", b"Tz", b"Ts", b"Tr", b"G", b"RG",
-                    b"CS", b"cs", b"SC", b"sc", b"SCN", b"scn", b"K", b"k",
+                    b"CS", b"SC", b"SCN", b"K", b"k",
                     b"MP", b"DP", b"BMC", b"BDC", b"EMC"):
             pass  # state/marked-content: no ink effect in this model
         else:
@@ -1196,6 +1290,52 @@ def build_cff_pdf(
         b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
         b" /Resources << /Font << /F1 %d 0 R >> >>"
         b" /Contents %d 0 R >>" % (pages_num, font_num, cont_num)
+    )
+    objects[pages_num - 1] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
+    objects[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
+    return _assemble_pdf(objects, catalog_num)
+
+
+def build_separation_pdf(
+    fills: list[tuple[tuple[int, int, int, int], float]],
+    c0: float,
+    c1: float,
+) -> bytes:
+    """Oracle-fixture writer (r10): one 612x792 page of axis-aligned
+    rects filled through a [/Separation /Spot /DeviceGray fn]
+    colorspace — each (rect, tint) pair runs ``/CS0 cs <tint> scn``
+    before its fill, exercising the tint-transform path end to end.
+    Tints and stops are written with repr() so the parsed doubles are
+    exact; integral rects keep coverage a closed form."""
+    from specialsid_spark.operators.pdf import _assemble_pdf  # noqa: PLC0415
+
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    catalog_num = add(b"")
+    pages_num = add(b"")
+    fn_num = add(
+        b"<< /FunctionType 2 /Domain [0 1] /C0 [%s] /C1 [%s] /N 1 >>"
+        % (repr(c0).encode(), repr(c1).encode())
+    )
+    cs_num = add(b"[/Separation /Spot /DeviceGray %d 0 R]" % fn_num)
+    parts = []
+    for (x, y, w, h), tint in fills:
+        parts.append(
+            b"/CS0 cs %s scn %d %d %d %d re f"
+            % (repr(tint).encode(), x, y, w, h)
+        )
+    content = b" ".join(parts)
+    cont_num = add(
+        b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
+    )
+    page = add(
+        b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /ColorSpace << /CS0 %d 0 R >> >>"
+        b" /Contents %d 0 R >>" % (pages_num, cs_num, cont_num)
     )
     objects[pages_num - 1] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
     objects[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num

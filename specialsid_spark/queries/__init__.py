@@ -71,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_pdf_cff_text_raster",
     "cur_blocklist_scrub",
     "mm_pdf_radial_stitch_raster",
+    "mm_pdf_separation_fill_raster",
     # newest driver row = r4
     "subq_corr_above_nation_avg",
     "subq_multi_supplier_orders",

@@ -418,3 +418,80 @@ def test_parabolic_radial_degrades():
         (0.2, 0.5, 0.8), 0.5,
     )
     assert rasterize_page(blob) is None
+
+
+def test_separation_tint_fills_exact():
+    import math
+
+    import numpy as np
+
+    from specialsid_spark.operators.pdfraster import (
+        build_separation_pdf,
+        rasterize_page,
+    )
+
+    fills = [((50, 50, 100, 80), 0.25), ((300, 200, 60, 60), 0.75),
+             ((400, 600, 120, 40), 0.0)]
+    c0, c1 = 0.9, 0.1
+    w, h, _ch, px = rasterize_page(build_separation_pdf(fills, c0, c1))
+    gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+    assert int((gray != 255).sum()) == 100 * 80 + 60 * 60 + 120 * 40
+    for (x, y, _w, _h), t in fills:
+        v = math.floor((c0 + t * (c1 - c0)) * 255.0 + 0.5)
+        assert gray[792 - y - 1, x + 1] == v, (t, v)
+
+
+def test_separation_state_saved_and_restored():
+    import numpy as np
+
+    from specialsid_spark.operators.pdf import _assemble_pdf
+    from specialsid_spark.operators.pdfraster import rasterize_page
+
+    # q .. cs/scn .. Q: the device-gray fill after Q must NOT see the
+    # separation state
+    objects = []
+
+    def add(body):
+        objects.append(body)
+        return len(objects)
+
+    cat = add(b"")
+    pages = add(b"")
+    fn = add(b"<< /FunctionType 2 /Domain [0 1] /C0 [0.5] /C1 [0.5] /N 1 >>")
+    cs = add(b"[/Separation /Spot /DeviceGray %d 0 R]" % fn)
+    content = b"q /CS0 cs 1 scn 50 50 100 100 re f Q 0 g 300 50 100 100 re f"
+    cont = add(b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream")
+    page = add(
+        b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /ColorSpace << /CS0 %d 0 R >> >>"
+        b" /Contents %d 0 R >>" % (pages, cs, cont)
+    )
+    objects[pages - 1] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
+    objects[cat - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages
+    w, h, _ch, px = rasterize_page(_assemble_pdf(objects, cat))
+    gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+    assert gray[792 - 51, 51] == 128  # floor(0.5*255+0.5)
+    assert gray[792 - 51, 301] == 0  # plain 0 g after Q
+
+
+def test_unknown_colorspace_degrades():
+    from specialsid_spark.operators.pdf import _assemble_pdf
+    from specialsid_spark.operators.pdfraster import rasterize_page
+
+    objects = []
+
+    def add(body):
+        objects.append(body)
+        return len(objects)
+
+    cat = add(b"")
+    pages = add(b"")
+    content = b"/Nope cs 1 scn 50 50 100 100 re f"
+    cont = add(b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream")
+    page = add(
+        b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
+        b" /Contents %d 0 R >>" % (pages, cont)
+    )
+    objects[pages - 1] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
+    objects[cat - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages
+    assert rasterize_page(_assemble_pdf(objects, cat)) is None
