@@ -743,18 +743,38 @@ def _glyph_outlines(buf, m, pen_x, size, text, color, font, clip=None) -> float:
     only."""
     scale = size / font.units_per_em
     is_cff = hasattr(font, "pieces")
+    is_cid = getattr(font, "is_cid", False)
     if not is_cff:
         from specialsid_spark.operators.truetype import (  # noqa: PLC0415
             glyph_segments,
         )
-    for ch in text:
-        gid = font.glyph_for_char(ch)
+    if is_cid:
+        if len(text) % 2:
+            raise _Degrade("odd-length Identity-H string")
+        units = [
+            (ord(text[i]) << 8) | ord(text[i + 1])
+            for i in range(0, len(text), 2)
+        ]
+    else:
+        units = list(text)
+    for ch in units:
+        if is_cid:
+            gid = ch  # Identity-H: code IS the CID IS the GID
+        else:
+            gid = font.glyph_for_char(ch)
         if is_cff:
-            per_contour, adv = font.pieces(gid)
+            per_contour, adv_text = font.pieces(gid)
+            adv_text *= scale
+        elif is_cid:
+            contours = font.glyphs[gid] if gid < len(font.glyphs) else []
+            per_contour = glyph_segments(contours)
+            # /W widths are 1000-per-em TEXT units, not glyph units
+            adv_text = font.advance_1000(gid) / 1000.0 * size
         else:
             contours = font.glyphs[gid] if gid < len(font.glyphs) else []
             per_contour = glyph_segments(contours)
-            adv = font.advances[gid] if gid < len(font.advances) else 0
+            adv_text = font.advances[gid] if gid < len(font.advances) else 0
+            adv_text *= scale
         if per_contour:
             subpaths = []
             for pieces in per_contour:
@@ -785,7 +805,7 @@ def _glyph_outlines(buf, m, pen_x, size, text, color, font, clip=None) -> float:
                     subpaths.append(dev)
             if subpaths:
                 _fill_path(buf, subpaths, color, False, clip)
-        pen_x += adv * scale
+        pen_x += adv_text
     return pen_x
 
 
@@ -815,10 +835,65 @@ def _page_fonts(objs: dict, page_head: bytes) -> dict[str, int]:
     }
 
 
+class _CidFont:
+    """A /Type0 (composite) font with /Encoding /Identity-H over a
+    CIDFontType2 descendant (r10): string bytes are 2-byte CIDs, CID ==
+    GID (the /CIDToGIDMap /Identity default), outlines come from the
+    descendant's /FontFile2 TrueType program, and advances from the
+    /W width array (/DW default) in 1000-per-em TEXT units — the
+    dominant embedded-font shape in real-world PDFs."""
+
+    is_cid = True
+
+    def __init__(self, ttf, dw: float, wmap: dict[int, float]) -> None:
+        self.ttf = ttf
+        self.units_per_em = ttf.units_per_em
+        self.glyphs = ttf.glyphs
+        self.dw = dw
+        self.wmap = wmap
+
+    def advance_1000(self, gid: int) -> float:
+        return self.wmap.get(gid, self.dw)
+
+
+def _parse_w_array(body: bytes) -> dict[int, float]:
+    """CIDFontType2 /W: both forms — ``c [w1 w2 ...]`` (consecutive
+    CIDs from c) and ``c1 c2 w`` (the inclusive range form)."""
+    toks = re.findall(rb"\[|\]|[-+]?[0-9.]+", body)
+    out: dict[int, float] = {}
+    i = 0
+    pend: list[float] = []
+    while i < len(toks):
+        t = toks[i]
+        if t == b"[":
+            if len(pend) != 1:
+                raise _Degrade("/W malformed before [")
+            cid = int(pend[0])
+            pend = []
+            i += 1
+            while i < len(toks) and toks[i] != b"]":
+                out[cid] = float(toks[i])
+                cid += 1
+                i += 1
+        elif t == b"]":
+            pass
+        else:
+            pend.append(float(t))
+            if len(pend) == 3:
+                c1, c2, w = int(pend[0]), int(pend[1]), pend[2]
+                for cid in range(c1, c2 + 1):
+                    out[cid] = w
+                pend = []
+        i += 1
+    return out
+
+
 def _load_font_program(objs: dict, font_num: int):
     """Resolve font obj -> /FontDescriptor -> /FontFile2 (TrueType) or
-    /FontFile3 (CFF, Subtype /Type1C) and parse the program; None for
-    standard-14 / unsupported fonts (the glyph-box degrade)."""
+    /FontFile3 (CFF, Subtype /Type1C) and parse the program; /Type0
+    Identity-H composite fonts resolve through their CIDFontType2
+    descendant (r10).  None for standard-14 / unsupported fonts (the
+    glyph-box degrade)."""
     from specialsid_spark.operators.cff import (  # noqa: PLC0415
         CffUnsupported,
         parse_cff,
@@ -829,6 +904,29 @@ def _load_font_program(objs: dict, font_num: int):
     )
 
     head = objs.get(font_num, (b"",))[0]
+    if re.search(rb"/Subtype\s*/Type0\b", head) is not None:
+        if re.search(rb"/Encoding\s*/Identity-H\b", head) is None:
+            return None  # CMap-encoded composites: glyph-box degrade
+        desc = re.search(rb"/DescendantFonts\s*\[\s*(\d+)\s+0\s+R", head)
+        if desc is None:
+            return None
+        chead = objs.get(int(desc.group(1)), (b"",))[0]
+        if re.search(rb"/Subtype\s*/CIDFontType2\b", chead) is None:
+            return None  # CIDFontType0 (CFF-CID): glyph-box degrade
+        cid2gid = re.search(rb"/CIDToGIDMap\s*/(\w+)", chead)
+        if cid2gid is not None and cid2gid.group(1) != b"Identity":
+            return None
+        base = _load_font_program(objs, int(desc.group(1)))
+        if base is None or getattr(base, "is_cid", False):
+            return None
+        dwm = re.search(rb"/DW\s+([0-9.]+)", chead)
+        dw = float(dwm.group(1)) if dwm else 1000.0
+        wm = re.search(rb"/W\s*\[(.*?)\]\s*(?:/|>>)", chead, re.S)
+        try:
+            wmap = _parse_w_array(wm.group(1)) if wm else {}
+        except _Degrade:
+            return None
+        return _CidFont(base, dw, wmap)
     dm = re.search(rb"/FontDescriptor\s+(\d+)\s+0\s+R", head)
     if dm is None:
         return None
@@ -1282,6 +1380,84 @@ def build_cff_pdf(
     )
     content = b"BT /F1 %d Tf %d %d Td (%s) Tj ET" % (
         size, td[0], td[1], _pdf_escape(text),
+    )
+    cont_num = add(
+        b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
+    )
+    page = add(
+        b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /Font << /F1 %d 0 R >> >>"
+        b" /Contents %d 0 R >>" % (pages_num, font_num, cont_num)
+    )
+    objects[pages_num - 1] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
+    objects[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
+    return _assemble_pdf(objects, catalog_num)
+
+
+def build_cid_pdf(
+    gids: list[int], size: int = 64, td: tuple[int, int] = (72, 700),
+    w_units: int = 1125, font_program: bytes | None = None,
+) -> bytes:
+    """Oracle-fixture writer (r10): one 612x792 page whose only ink is
+    the GID sequence ``gids`` set through a /Type0 /Identity-H
+    composite font over a CIDFontType2 descendant embedding the
+    TrueType fixture font.  /W assigns every used CID ``w_units``
+    (default 625 -> 625/1000*64 = 40 device px, an INTEGER advance so
+    per-glyph ink is pen-invariant) — deliberately different from the
+    program's hmtx widths, so a renderer that wrongly reads hmtx
+    shifts every glyph and fails the oracle."""
+    from specialsid_spark.operators.pdf import _assemble_pdf  # noqa: PLC0415
+    from specialsid_spark.operators.truetype import fixture_font  # noqa: PLC0415
+
+    def esc(raw: bytes) -> bytes:
+        out = bytearray()
+        for x in raw:
+            if x in (0x28, 0x29, 0x5C):  # ( ) backslash
+                out += b"\\" + bytes([x])
+            elif x == 0x0D:
+                out += b"\\r"
+            elif x == 0x0A:
+                out += b"\\n"
+            else:
+                out.append(x)
+        return bytes(out)
+
+    if font_program is None:
+        font_program = fixture_font()
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    catalog_num = add(b"")
+    pages_num = add(b"")
+    ff_num = add(
+        b"<< /Length %d >>\nstream\n" % len(font_program)
+        + font_program
+        + b"\nendstream"
+    )
+    desc_num = add(
+        b"<< /Type /FontDescriptor /FontName /FixtureCID /Flags 4"
+        b" /FontBBox [0 -480 1024 832] /ItalicAngle 0 /Ascent 832"
+        b" /Descent -480 /CapHeight 832 /StemV 80 /FontFile2 %d 0 R >>"
+        % ff_num
+    )
+    cidfont_num = add(
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /FixtureCID"
+        b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+        b" /Supplement 0 >> /FontDescriptor %d 0 R /DW 1000"
+        b" /W [0 1000 %d] /CIDToGIDMap /Identity >>"
+        % (desc_num, w_units)
+    )
+    font_num = add(
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureCID"
+        b" /Encoding /Identity-H /DescendantFonts [%d 0 R] >>"
+        % cidfont_num
+    )
+    raw = b"".join(bytes([g >> 8, g & 0xFF]) for g in gids)
+    content = b"BT /F1 %d Tf %d %d Td (%s) Tj ET" % (
+        size, td[0], td[1], esc(raw),
     )
     cont_num = add(
         b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"

@@ -72,6 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "cur_blocklist_scrub",
     "mm_pdf_radial_stitch_raster",
     "mm_pdf_separation_fill_raster",
+    "mm_pdf_cid_glyph_raster",
     # newest driver row = r4
     "subq_corr_above_nation_avg",
     "subq_multi_supplier_orders",

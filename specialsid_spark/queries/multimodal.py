@@ -4291,3 +4291,135 @@ def mm_pdf_separation_fill_raster(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "mm_pdf_cid_glyph_raster",
+    # r10 continuation: /Type0 /Identity-H composite fonts over a
+    # CIDFontType2 descendant — the DOMINANT embedded-font shape in
+    # real-world PDFs — now render through the same glyf outline path
+    # (operators/pdfraster.py _CidFont).  String bytes are 2-byte CIDs
+    # = GIDs (Identity); advances come from the /W array in
+    # 1000-per-em TEXT units (1125 -> exactly 72 device px), NOT the
+    # program's hmtx (1024 units -> 64 px) — col_min/col_max pin the
+    # pen positions, so an hmtx-reading renderer fails the hash even
+    # though per-glyph ink is advance-invariant.  The vpts/vink CTEs
+    # re-derive the V glyph's pinned 8-segment quad flatten exactly as
+    # in mm_pdf_glyph_text_raster (same glyph, same Td, same size).
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    vpts AS (
+      SELECT k,
+             u*u*76.0 + 2*u*t*104.0 + t*t*132.0 AS px,
+             u*u*40.0 + 2*u*t*122.0 + t*t*40.0 AS py
+      FROM (
+        SELECT kk.k AS k, CAST(kk.k AS DOUBLE) / 8 AS t,
+               1.0 - CAST(kk.k AS DOUBLE) / 8 AS u
+        FROM (SELECT unnest(range(0, 9)) AS k) kk
+      )
+    ),
+    vedges AS (
+      SELECT a.px AS ex0, a.py AS ey0, b.px AS ex1, b.py AS ey1
+      FROM vpts a JOIN vpts b ON b.k = a.k + 1
+      WHERE a.py <> b.py
+    ),
+    vcross AS (
+      SELECT sl.py AS row_y,
+             e.ex0 + ((CAST(sl.py AS DOUBLE) + 0.5) - e.ey0)
+                     * (e.ex1 - e.ex0) / (e.ey1 - e.ey0) AS cx
+      FROM vedges e, (SELECT unnest(range(40, 130)) AS py) sl
+      WHERE (e.ey0 <= CAST(sl.py AS DOUBLE) + 0.5
+             AND CAST(sl.py AS DOUBLE) + 0.5 < e.ey1)
+         OR (e.ey1 <= CAST(sl.py AS DOUBLE) + 0.5
+             AND CAST(sl.py AS DOUBLE) + 0.5 < e.ey0)
+    ),
+    vink AS (
+      SELECT CAST(SUM(npx) AS BIGINT) AS ink FROM (
+        SELECT CAST(ceil(MAX(cx) - 0.5) AS BIGINT)
+                 - CAST(ceil(MIN(cx) - 0.5) AS BIGINT) AS npx
+        FROM vcross GROUP BY row_y)
+    ),
+    chars AS (
+      SELECT d.doc_id, kk.k, (d.doc_id + kk.k) % 4 + 1 AS gid
+      FROM docs d, (SELECT unnest(range(0, 7)) AS k) kk
+      WHERE kk.k < 3 + d.doc_id % 4
+    ),
+    perdoc AS (
+      SELECT c.doc_id,
+             CAST(COUNT(*) AS INT) AS n_chars,
+             CAST(SUM(CASE c.gid WHEN 1 THEN 800 WHEN 2 THEN 1472
+                      WHEN 3 THEN v.ink ELSE 800 END) AS BIGINT) AS ink_px
+      FROM chars c CROSS JOIN vink v
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, 612 AS width, 792 AS height, n_chars, ink_px,
+           CAST(255 * CAST(612 * 792 AS BIGINT) - 255 * ink_px AS BIGINT)
+             AS gray_sum,
+           CAST(76 AS BIGINT) AS col_min,
+           CAST(72 * n_chars + 59 AS BIGINT) AS col_max
+    FROM perdoc
+    ORDER BY doc_id
+    """,
+)
+def mm_pdf_cid_glyph_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/X3 extension, r10 — Identity-H composite-font TEXT
+    RENDERING: each doc's fixture page sets a doc-derived GID sequence
+    (TOVX cycle as CIDs 1-4) through a /Type0 font whose CIDFontType2
+    descendant embeds the TrueType fixture program; the rasterizer
+    decodes 2-byte CIDs, renders glyf outlines, and advances the pen
+    by the /W widths.  col_min/col_max pin the /W-vs-hmtx distinction.
+    Together with the simple-TrueType and CFF queries this covers all
+    three embedded-font shapes Poppler renders for the reference
+    (gen_pdf_imgLambda.py:51).
+
+    Scale shape: per-row independent mapInPandas; buffer bounded by
+    page size, never the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from specialsid_spark.operators.pdfraster import (
+        build_cid_pdf,
+        rasterize_page,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 3 + doc_id % 4
+                gids = [(doc_id + k) % 4 + 1 for k in range(n)]
+                r = rasterize_page(build_cid_pdf(gids))
+                if r is None:  # degrade surfaces as an impossible row
+                    out.append((doc_id, -1, -1, -1, -1, -1, -1, -1))
+                    continue
+                w, h, _ch, px = r
+                gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+                cols = np.where((gray != 255).any(axis=0))[0]
+                out.append(
+                    (doc_id, w, h, n,
+                     int((gray != 255).sum()),
+                     int(gray.astype(np.int64).sum()),
+                     int(cols.min()) if cols.size else -1,
+                     int(cols.max()) if cols.size else -1)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "n_chars",
+                         "ink_px", "gray_sum", "col_min", "col_max"],
+            ).astype({"doc_id": "int64", "width": "int32", "height": "int32",
+                      "n_chars": "int32", "ink_px": "int64",
+                      "gray_sum": "int64", "col_min": "int64",
+                      "col_max": "int64"})
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            fn,
+            "doc_id long, width int, height int, n_chars int,"
+            " ink_px long, gray_sum long, col_min long, col_max long",
+        )
+        .orderBy("doc_id")
+    )

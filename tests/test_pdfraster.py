@@ -495,3 +495,53 @@ def test_unknown_colorspace_degrades():
     objects[pages - 1] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
     objects[cat - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages
     assert rasterize_page(_assemble_pdf(objects, cat)) is None
+
+
+def test_cid_identity_h_renders_and_pins_w_advances():
+    import numpy as np
+
+    from specialsid_spark.operators.pdfraster import (
+        build_cid_pdf,
+        rasterize_page,
+    )
+
+    # gids: T=1, O=2, X=4 — closed-form inks from the TrueType fixture
+    for gids, exp in (([1], 800), ([2], 1472), ([4], 800),
+                      ([1, 2, 4], 800 + 1472 + 800)):
+        w, h, _ch, px = rasterize_page(build_cid_pdf(gids))
+        gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+        assert int((gray != 255).sum()) == exp, gids
+    # the /W advance (1125 -> 72 px) positions glyph 2, not hmtx (64 px)
+    w, h, _ch, px = rasterize_page(build_cid_pdf([1, 1]))
+    gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+    cols = np.where((gray != 255).any(axis=0))[0]
+    assert (cols.min(), cols.max()) == (76, 203)  # 72+72+59, not 72+64+59
+
+
+def test_cid_odd_length_string_degrades():
+    from specialsid_spark.operators.pdfraster import (
+        build_cid_pdf,
+        rasterize_page,
+    )
+
+    blob = build_cid_pdf([1])
+    # surgically truncate the 2-byte string to 1 byte: (\x00\x01) -> (\x00)
+    bad = blob.replace(b"(\x00\x01)", b"(\x00)")
+    assert bad != blob
+    assert rasterize_page(bad) is None
+
+
+def test_cid_non_identity_encoding_degrades_to_boxes():
+    import numpy as np
+
+    from specialsid_spark.operators.pdfraster import (
+        build_cid_pdf,
+        rasterize_page,
+    )
+
+    blob = build_cid_pdf([1])
+    bad = blob.replace(b"/Encoding /Identity-H", b"/Encoding /UniJIS-UCS2-H")
+    assert bad != blob
+    w, h, _ch, px = rasterize_page(bad)  # renders via the glyph-box model
+    gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+    assert int((gray != 255).sum()) != 800  # not the outline ink
