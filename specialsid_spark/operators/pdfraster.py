@@ -281,13 +281,26 @@ def _page_colorspaces(objs: dict, page_head: bytes) -> dict[str, int]:
 
 
 def _parse_separation(objs: dict, cs_num: int):
-    """Parse a [/Separation /Name /DeviceGray|/DeviceRGB fn] colorspace
-    (r10): returns (tint_fn, nch) where tint_fn is a _parse_function
-    spec mapping tint -> alternate-space components.  The spot-ink
-    form flyer print art uses; anything else degrades."""
+    """Parse a colorspace object (r10): [/Separation /Name
+    /DeviceGray|/DeviceRGB fn] returns (tint_fn, nch) — the spot-ink
+    form flyer print art uses.  [/ICCBased stream] returns
+    (None, /N-channels): without a color-management engine the
+    device-space interpretation of the component values IS the
+    documented rendering (the common no-LCMS renderer convention;
+    ICC profile bytes carry no outline/coverage information).
+    Anything else degrades."""
     head = objs.get(cs_num, (b"",))[0]
+    if re.search(rb"/ICCBased\b", head) is not None:
+        sm = re.search(rb"(\d+)\s+0\s+R", head)
+        if sm is None:
+            raise _Degrade("ICCBased missing stream ref")
+        shead = objs.get(int(sm.group(1)), (b"",))[0]
+        nm = re.search(rb"/N\s+(\d+)", shead)
+        if nm is None or int(nm.group(1)) not in (1, 3):
+            raise _Degrade("ICCBased /N must be 1 or 3")
+        return None, int(nm.group(1))
     if re.search(rb"/Separation\b", head) is None:
-        raise _Degrade("only Separation colorspace objects supported")
+        raise _Degrade("only Separation/ICCBased colorspace objects supported")
     if b"/DeviceRGB" in head:
         nch = 3
     elif b"/DeviceGray" in head:
@@ -1019,18 +1032,31 @@ def _run(content, buf, s, hpx, ox, oy, objs, xobjects, fonts=None, shadings=None
                 fill_cs = _parse_separation(objs, cnum)
         elif op in (b"scn", b"sc"):
             if fill_cs is not None:
-                # Separation: one tint through the transform, then the
-                # SAME floor(v*255 + 0.5) quantizer as shading paints
                 fn, nch = fill_cs
-                comps = _eval_tint(fn, nch, num(1))
-                if nch == 1:
-                    v = math.floor(comps[0] * 255.0 + 0.5)
-                    fill = np.array([v, v, v], dtype=np.uint8)
+                if fn is None:
+                    # ICCBased: component values read as device-space
+                    # (the no-LCMS convention) — same paths as g/rg
+                    if nch == 1:
+                        v = round(num(1) * 255)
+                        fill = np.array([v, v, v], dtype=np.uint8)
+                    else:
+                        fill = np.array(
+                            [round(num(3) * 255), round(num(2) * 255),
+                             round(num(1) * 255)],
+                            dtype=np.uint8,
+                        )
                 else:
-                    fill = np.array(
-                        [math.floor(c * 255.0 + 0.5) for c in comps],
-                        dtype=np.uint8,
-                    )
+                    # Separation: one tint through the transform, then
+                    # the SAME floor(v*255 + 0.5) quantizer as shading
+                    comps = _eval_tint(fn, nch, num(1))
+                    if nch == 1:
+                        v = math.floor(comps[0] * 255.0 + 0.5)
+                        fill = np.array([v, v, v], dtype=np.uint8)
+                    else:
+                        fill = np.array(
+                            [math.floor(c * 255.0 + 0.5) for c in comps],
+                            dtype=np.uint8,
+                        )
             elif operands and len(operands) >= 3:
                 fill = np.array(
                     [round(num(3) * 255), round(num(2) * 255), round(num(1) * 255)],

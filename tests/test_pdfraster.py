@@ -545,3 +545,33 @@ def test_cid_non_identity_encoding_degrades_to_boxes():
     w, h, _ch, px = rasterize_page(bad)  # renders via the glyph-box model
     gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
     assert int((gray != 255).sum()) != 800  # not the outline ink
+
+
+def test_iccbased_falls_back_to_device_components():
+    import numpy as np
+
+    from specialsid_spark.operators.pdf import _assemble_pdf
+    from specialsid_spark.operators.pdfraster import rasterize_page
+
+    objects = []
+
+    def add(body):
+        objects.append(body)
+        return len(objects)
+
+    cat = add(b"")
+    pages = add(b"")
+    prof = add(b"<< /N 3 /Length 4 >>\nstream\nfake\nendstream")
+    cs = add(b"[/ICCBased %d 0 R]" % prof)
+    content = b"/CS0 cs 1 0 0 scn 50 50 100 100 re f"
+    cont = add(b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream")
+    page = add(
+        b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /ColorSpace << /CS0 %d 0 R >> >>"
+        b" /Contents %d 0 R >>" % (pages, cs, cont)
+    )
+    objects[pages - 1] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
+    objects[cat - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages
+    w, h, _ch, px = rasterize_page(_assemble_pdf(objects, cat))
+    buf = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    assert tuple(buf[792 - 51, 51]) == (255, 0, 0)  # device RGB red
