@@ -42,6 +42,20 @@ def _manifest_dir(path: str) -> Path:
     return Path(path) / "_manifests"
 
 
+def _rel_path_sql(path: str) -> str:
+    """SQL expr: ``_metadata.file_path`` -> table-relative path.
+
+    Hadoop renders local URIs as ``file:/abs`` (one slash) where
+    ``Path.as_uri()`` writes ``file:///abs`` — normalize the scheme
+    prefix away first, THEN strip the resolved root, so deletion
+    vectors store exactly the manifest's relative form."""
+    root = str(Path(path).resolve())
+    return (
+        "substring(regexp_replace(_metadata.file_path, '^file:/+', '/'),"
+        f" {len(root) + 2})"
+    )
+
+
 def snapshot_versions(path: str) -> list[int]:
     """Committed versions, ascending; [] for a table that never
     committed."""
@@ -166,13 +180,9 @@ def snapshot_read(
         # table), so broadcast the anti-join; data files are untouched.
         from pyspark.sql import functions as F
 
-        prefix = Path(path).resolve().as_uri() + "/"
         dv = spark.read.parquet(*[str(Path(path) / d) for d in dvs])
         df = (
-            df.withColumn(
-                "__dv_file",
-                F.expr(f"substring(_metadata.file_path, {len(prefix) + 1})"),
-            )
+            df.withColumn("__dv_file", F.expr(_rel_path_sql(path)))
             .withColumn("__dv_pos", F.col("_metadata.row_index"))
             .join(
                 F.broadcast(
@@ -507,13 +517,10 @@ def snapshot_delete_dv(
     deletes = list(m.get("deletes", []))
     n_deleted = 0
     if candidates:
-        prefix = root.resolve().as_uri() + "/"
         matched = (
             spark.read.parquet(*[str(root / f) for f in candidates])
             .select(
-                F.expr(f"substring(_metadata.file_path, {len(prefix) + 1})").alias(
-                    "file"
-                ),
+                F.expr(_rel_path_sql(path)).alias("file"),
                 F.col("_metadata.row_index").alias("pos"),
                 F.col(col).alias("__k"),
             )
@@ -544,6 +551,90 @@ def snapshot_delete_dv(
     tmp.write_text(json.dumps(manifest, indent=1))
     os.rename(tmp, mdir / f"v{new_version}.json")
     return new_version, n_deleted
+
+
+def snapshot_purge_dv(spark: SparkSession, path: str) -> tuple[int, int, int]:
+    """Materialize deletion vectors away (the compaction half of the
+    DV lifecycle): rewrite ONLY the files that have deleted positions
+    — minus those rows — carry every untouched file as-is, and commit
+    a manifest with NO ``deletes``.  Returns (new_version,
+    n_files_rewritten, n_rows_purged).
+
+    This is the read-amplification/write-cost trade made explicit:
+    :func:`snapshot_delete_dv` defers the subtraction to every read;
+    purge pays the rewrite ONCE when accumulated vectors make reads
+    pay too much.  Old versions still time-travel through their own
+    vectors — nothing is mutated, and vacuum reclaims the sidecars
+    once no retained manifest references them."""
+    from pyspark.sql import functions as F
+
+    root = Path(path)
+    versions = snapshot_versions(path)
+    if not versions:
+        raise ValueError(f"no snapshot versions at {path!r}")
+    m = _read_manifest(path, versions[-1])
+    dvs = m.get("deletes", [])
+    new_version = versions[-1] + 1
+    if not dvs:
+        manifest = {
+            "version": new_version,
+            "parent": versions[-1],
+            "op": "purge-dv",
+            "files": list(m["files"]),
+        }
+        if m.get("stats"):
+            manifest["stats"] = m["stats"]
+        mdir = _manifest_dir(path)
+        tmp = mdir / f"v{new_version}.json.tmp"
+        tmp.write_text(json.dumps(manifest, indent=1))
+        os.rename(tmp, mdir / f"v{new_version}.json")
+        return new_version, 0, 0
+    dv = spark.read.parquet(*[str(root / d) for d in dvs])
+    touched = {r["file"] for r in dv.select("file").distinct().collect()}
+    n_purged = dv.count()
+    untouched = [f for f in m["files"] if f not in touched]
+    rewritten = sorted(f for f in m["files"] if f in touched)
+    new_files: list[str] = []
+    if rewritten:
+        commit_id = f"v{new_version}-{uuid.uuid4().hex[:8]}"
+        data_dir = root / "data" / commit_id
+        kept = (
+            spark.read.parquet(*[str(root / f) for f in rewritten])
+            .withColumn("__dv_file", F.expr(_rel_path_sql(path)))
+            .withColumn("__dv_pos", F.col("_metadata.row_index"))
+            .join(
+                F.broadcast(
+                    dv.select(
+                        F.col("file").alias("__dv_file"),
+                        F.col("pos").alias("__dv_pos"),
+                    )
+                ),
+                ["__dv_file", "__dv_pos"],
+                "left_anti",
+            )
+            .drop("__dv_file", "__dv_pos")
+        )
+        kept.write.mode("error").parquet(str(data_dir))
+        new_files = sorted(
+            str(p.relative_to(root))
+            for p in data_dir.rglob("*.parquet")
+            if p.is_file()
+        )
+    stats = m.get("stats", {})
+    inherited = {f: s for f, s in stats.items() if f in set(untouched)}
+    manifest = {
+        "version": new_version,
+        "parent": versions[-1],
+        "op": "purge-dv",
+        "files": untouched + new_files,
+    }
+    if inherited:
+        manifest["stats"] = inherited
+    mdir = _manifest_dir(path)
+    tmp = mdir / f"v{new_version}.json.tmp"
+    tmp.write_text(json.dumps(manifest, indent=1))
+    os.rename(tmp, mdir / f"v{new_version}.json")
+    return new_version, len(rewritten), n_purged
 
 
 def snapshot_restore(path: str, version: int) -> int:

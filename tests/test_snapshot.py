@@ -579,3 +579,38 @@ def test_dv_second_delete_after_no_match_is_still_committed(spark, tmp_path):
     m2 = json.load(open(Path(t) / "_manifests" / "v2.json"))
     assert "deletes" not in m2  # no empty sidecar committed
     assert snapshot_read(spark, t).count() == 50
+
+
+def test_dv_purge_materializes_deletes_and_drops_vectors(spark, tmp_path):
+    from specialsid_spark.operators.snapshot import (
+        snapshot_delete_dv,
+        snapshot_purge_dv,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 100), t)             # v1 (single file set)
+    snapshot_commit(_df(spark, 200, 250), t, mode="append")  # v2
+    snapshot_delete_dv(spark, t, "id", 10, 29)         # v3 (+dv)
+    v, n_rw, n_purged = snapshot_purge_dv(spark, t)
+    assert (v, n_purged) == (4, 20)
+    m = json.load(open(Path(t) / "_manifests" / "v4.json"))
+    assert "deletes" not in m
+    got = sorted(r["id"] for r in snapshot_read(spark, t).collect())
+    assert got == [*range(0, 10), *range(30, 100), *range(200, 250)]
+    # files holding only 200..249 were untouched (no DV positions)
+    m3 = json.load(open(Path(t) / "_manifests" / "v3.json"))
+    shared = set(m["files"]) & set(m3["files"])
+    assert shared, "untouched files must carry over"
+    # time travel to v3 still applies its vector, v1 sees everything
+    assert snapshot_read(spark, t, 3).count() == 130
+    assert snapshot_read(spark, t, 1).count() == 100
+
+
+def test_dv_purge_without_vectors_is_metadata_only(spark, tmp_path):
+    from specialsid_spark.operators.snapshot import snapshot_purge_dv
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 10), t)
+    v, n_rw, n_purged = snapshot_purge_dv(spark, t)
+    assert (v, n_rw, n_purged) == (2, 0, 0)
+    assert snapshot_read(spark, t).count() == 10
