@@ -461,3 +461,43 @@ def test_dsir_broadcasts_the_weight_table(spark, qs):
     p = plan_of(spark, qs["cur_dsir_importance_sample"](spark, SF_DIR))
     assert "BroadcastHashJoin" in p
     assert "partial_sum" in p
+
+
+def test_blocklist_scrub_is_pure_map_until_sort(spark, qs):
+    # the Aho-Corasick gate: scan -> mapInPandas -> (sort); the only
+    # exchange allowed is the final orderBy's range partitioning
+    p = plan_of(spark, qs["cur_blocklist_scrub"](spark, SF_DIR))
+    assert "MapInPandas" in p
+    # formatted plans print each node twice (tree + detail section)
+    assert p.count("- Exchange") <= 1
+    assert "rangepartitioning" in p.lower()
+    # pattern matching happens on (doc_id, text) only
+    assert "ReadSchema" in p and "lang" not in p.split("ReadSchema")[1][:200]
+
+
+def test_semantic_decontaminate_broadcasts_eval_side(spark, qs):
+    # corpus side: ONE bucket key, hash-join probed by the broadcast
+    # exploded eval probes; the exact referee is the broadcast
+    # nested-loop scan (the audit), never a CartesianProduct
+    p = plan_of(spark, qs["cur_semantic_decontaminate"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p  # the referee scan
+    assert "BroadcastHashJoin" in p  # the LSH-blocked production path
+    assert "CartesianProduct" not in p
+
+
+def test_deletion_vector_read_broadcasts_dv(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from specialsid_spark.operators.snapshot import (
+        snapshot_commit,
+        snapshot_delete_dv,
+        snapshot_read,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(spark.range(0, 100).selectExpr("id", "id*2 AS v"), t)
+    snapshot_delete_dv(spark, t, "id", 10, 19)
+    p = plan_of(spark, snapshot_read(spark, t))
+    # merge-on-read = base scan + broadcast ANTI join on (file, pos)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
