@@ -1871,12 +1871,12 @@ def cur_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Aho-Corasick blocklist gate (r10) ---------------------------------------
 
-_BLOCKLIST = ("slow", "table table", "scan scan", "agg", "a a", "batch")
+_AC_BLOCKLIST = ("slow", "table table", "scan scan", "agg", "a a", "batch")
 _BLOCK_THRESHOLD = 10
 
-_SQL_BLOCKLIST = f"""
+_SQL_AC_BLOCKLIST = f"""
     WITH pats AS (
-      SELECT * FROM (VALUES {", ".join(f"('{p}')" for p in _BLOCKLIST)}) p(pat)
+      SELECT * FROM (VALUES {", ".join(f"('{p}')" for p in _AC_BLOCKLIST)}) p(pat)
     ),
     pos AS (
       SELECT unnest(range(1, (SELECT MAX(len(text)) FROM documents) + 1)) AS i
@@ -1903,7 +1903,7 @@ _SQL_BLOCKLIST = f"""
     """
 
 
-@register("cur_blocklist_scrub", oracle=_SQL_BLOCKLIST)
+@register("cur_blocklist_scrub", oracle=_SQL_AC_BLOCKLIST)
 def cur_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-pattern blocklist gate (operators/ahocorasick.py): one
     Aho-Corasick pass counts every occurrence of every blocklist
@@ -1925,7 +1925,7 @@ def cur_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from specialsid_spark.operators.ahocorasick import AhoCorasick
 
     d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
-    patterns = list(_BLOCKLIST)
+    patterns = list(_AC_BLOCKLIST)
     threshold = _BLOCK_THRESHOLD
 
     def fn(batches):
