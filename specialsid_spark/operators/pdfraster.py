@@ -321,6 +321,11 @@ def _eval_tint(fn, nch: int, t: float) -> tuple[float, ...]:
     if fn[0] == "exp":
         _kind, c0, c1 = fn
         return tuple(c0[k] + t * (c1[k] - c0[k]) for k in range(nch))
+    if fn[0] == "ps":
+        stack = _eval_ps(fn[1], t)
+        if len(stack) < nch:
+            raise _Degrade("calculator produced too few outputs")
+        return tuple(float(v) for v in stack[-nch:])
     pieces = fn[1]
     for i, (lo, hi, e0, e1, c0, c1) in enumerate(pieces):
         if (t >= lo and t < hi) or (i == len(pieces) - 1 and t >= lo):
@@ -340,12 +345,115 @@ def _num_array(head: bytes, key: bytes) -> list[float] | None:
     return [float(v) for v in _NUM_LIST_RE.findall(m.group(1))]
 
 
+_PS_OPS = frozenset(
+    "add sub mul div neg abs sqrt dup exch pop index copy"
+    " floor ceiling truncate cvr".split()
+)
+
+
+def _parse_ps_calculator(data: bytes) -> list:
+    """Tokenize a FunctionType 4 (PostScript calculator) program body:
+    numbers and the supported ARITHMETIC/stack operator subset.
+    Conditionals (if/ifelse, nested procedures) and transcendentals
+    whose cross-engine rounding is unpinned (exp/ln/sin/cos) degrade —
+    real Separation tint transforms are overwhelmingly arithmetic."""
+    body = data.strip()
+    if not (body.startswith(b"{") and body.endswith(b"}")):
+        raise _Degrade("calculator function missing outer braces")
+    inner = body[1:-1]
+    if b"{" in inner:
+        raise _Degrade("calculator procedures (if/ifelse) unsupported")
+    prog: list = []
+    for tok in inner.split():
+        t = tok.decode("latin-1")
+        if t in _PS_OPS:
+            prog.append(t)
+        else:
+            try:
+                prog.append(float(t))
+            except ValueError:
+                raise _Degrade(f"calculator op {t!r} unsupported") from None
+    return prog
+
+
+def _eval_ps(prog: list, t):
+    """Run a calculator program on input ``t`` (scalar or ndarray) —
+    numpy ops, so the shading grid evaluates vectorized.  Returns the
+    full result stack (bottom..top = output order per the PDF spec)."""
+    stack = [t]
+
+    def pop():
+        if not stack:
+            raise _Degrade("calculator stack underflow")
+        return stack.pop()
+
+    for op in prog:
+        if isinstance(op, float):
+            stack.append(op)
+        elif op == "add":
+            b, a = pop(), pop()
+            stack.append(a + b)
+        elif op == "sub":
+            b, a = pop(), pop()
+            stack.append(a - b)
+        elif op == "mul":
+            b, a = pop(), pop()
+            stack.append(a * b)
+        elif op == "div":
+            b, a = pop(), pop()
+            stack.append(a / b)
+        elif op == "neg":
+            stack.append(-pop())
+        elif op == "abs":
+            stack.append(np.abs(pop()))
+        elif op == "sqrt":
+            stack.append(np.sqrt(pop()))
+        elif op == "floor":
+            stack.append(np.floor(pop()))
+        elif op == "ceiling":
+            stack.append(np.ceil(pop()))
+        elif op == "truncate":
+            stack.append(np.trunc(pop()))
+        elif op == "cvr":
+            pass  # values are already real
+        elif op == "dup":
+            v = pop()
+            stack += [v, v]
+        elif op == "exch":
+            b, a = pop(), pop()
+            stack += [b, a]
+        elif op == "pop":
+            pop()
+        elif op == "index":
+            n = int(pop())
+            if not 0 <= n < len(stack):
+                raise _Degrade("calculator index out of range")
+            stack.append(stack[-1 - n])
+        elif op == "copy":
+            n = int(pop())
+            if not 0 <= n <= len(stack):
+                raise _Degrade("calculator copy out of range")
+            if n:
+                stack += stack[-n:]
+    return stack
+
+
 def _parse_function(objs: dict, fn_num: int, nch: int):
     """A shading /Function: FunctionType 2 (exponential, N = 1) ->
     ('exp', c0, c1); FunctionType 3 (stitching of type-2 subfunctions,
     r10) -> ('stitch', [(lo, hi, e0, e1, c0, c1), ...]) with one entry
-    per subdomain.  Anything else degrades."""
+    per subdomain; FunctionType 4 (PostScript calculator, r10) ->
+    ('ps', prog) over the arithmetic operator subset.  Anything else
+    degrades."""
     fhead = objs.get(fn_num, (b"",))[0]
+    if re.search(rb"/FunctionType\s+4\b", fhead) is not None:
+        fdata = objs.get(fn_num, (b"", None))[1]
+        if fdata is None:
+            raise _Degrade("calculator function missing stream")
+        rng = _num_array(fhead, rb"/Range")
+        if rng is None or len(rng) != 2 * nch:
+            raise _Degrade("calculator /Range arity mismatch")
+        return ("ps", _parse_ps_calculator(bytes(fdata)))
     if re.search(rb"/FunctionType\s+2\b", fhead) is not None:
         nm = re.search(rb"/N\s+([0-9.]+)", fhead)
         if nm is None or float(nm.group(1)) != 1.0:
@@ -462,6 +570,13 @@ def _paint_shading(buf, m, shading, clip) -> None:
         if fn[0] == "exp":
             _kind, c0, c1 = fn
             return c0[k] + t * (c1[k] - c0[k])
+        if fn[0] == "ps":
+            stack = _eval_ps(fn[1], t)
+            if len(stack) < nch:
+                raise _Degrade("calculator produced too few outputs")
+            out_k = stack[-nch:][k]
+            # a constant output broadcasts over the grid
+            return out_k + np.zeros_like(t) if np.isscalar(out_k) else out_k
         v = np.zeros_like(t)
         pieces = fn[1]
         for i, (lo, hi, e0, e1, c0, c1) in enumerate(pieces):

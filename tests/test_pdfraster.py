@@ -575,3 +575,71 @@ def test_iccbased_falls_back_to_device_components():
     w, h, _ch, px = rasterize_page(_assemble_pdf(objects, cat))
     buf = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
     assert tuple(buf[792 - 51, 51]) == (255, 0, 0)  # device RGB red
+
+
+def _one_page_pdf(extra_objs, content, resources):
+    from specialsid_spark.operators.pdf import _assemble_pdf
+
+    objects = []
+
+    def add(body):
+        objects.append(body)
+        return len(objects)
+
+    cat = add(b"")
+    pages = add(b"")
+    refs = {}
+    for name, body in extra_objs:
+        refs[name] = add(body() if callable(body) else body)
+    for name, n in refs.items():
+        content = content.replace(b"{%s}" % name, b"%d" % n)
+        resources = resources.replace(b"{%s}" % name, b"%d" % n)
+        objects[:] = [o.replace(b"{%s}" % name, b"%d" % n) for o in objects]
+    cont = add(b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream")
+    page = add(
+        b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << %s >> /Contents %d 0 R >>" % (pages, resources, cont)
+    )
+    objects[pages - 1] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
+    objects[cat - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages
+    return _assemble_pdf(objects, cat)
+
+
+def test_type4_calculator_tint_transform():
+    import math
+
+    import numpy as np
+
+    from specialsid_spark.operators.pdfraster import rasterize_page
+
+    prog = b"{ 1 exch sub 0.5 mul }"  # v = (1 - t) * 0.5
+    blob = _one_page_pdf(
+        [
+            (b"FN", b"<< /FunctionType 4 /Domain [0 1] /Range [0 1]"
+                    b" /Length %d >>\nstream\n" % len(prog) + prog
+                    + b"\nendstream"),
+            (b"CS", b"[/Separation /Spot /DeviceGray {FN} 0 R]"),
+        ],
+        b"/CS0 cs 0.25 scn 50 50 100 100 re f",
+        b"/ColorSpace << /CS0 {CS} 0 R >>",
+    )
+    w, h, _ch, px = rasterize_page(blob)
+    gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+    assert gray[792 - 51, 51] == math.floor((1 - 0.25) * 0.5 * 255 + 0.5)
+
+
+def test_type4_conditionals_degrade():
+    from specialsid_spark.operators.pdfraster import rasterize_page
+
+    prog = b"{ dup 0.5 lt { pop 0 } { pop 1 } ifelse }"
+    blob = _one_page_pdf(
+        [
+            (b"FN", b"<< /FunctionType 4 /Domain [0 1] /Range [0 1]"
+                    b" /Length %d >>\nstream\n" % len(prog) + prog
+                    + b"\nendstream"),
+            (b"CS", b"[/Separation /Spot /DeviceGray {FN} 0 R]"),
+        ],
+        b"/CS0 cs 0.25 scn 50 50 100 100 re f",
+        b"/ColorSpace << /CS0 {CS} 0 R >>",
+    )
+    assert rasterize_page(blob) is None
