@@ -124,3 +124,27 @@ def test_pdf_cubic_glyph_is_pen_invariant():
         gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
         inks.append(int((gray != 255).sum()) - 608 * (len(text) - 1))
     assert inks[0] == inks[1] == inks[2] > 0
+
+
+def test_lineto_alternation_even_arg_counts():
+    c, _ = _one_glyph([0, 0, "rmoveto", 100, 50, "hlineto"])
+    pts = [p[2] for p in c[0]]
+    assert pts[:2] == [(100.0, 0.0), (100.0, 50.0)]
+    c, _ = _one_glyph([0, 0, "rmoveto", 100, 50, "vlineto"])
+    pts = [p[2] for p in c[0]]
+    assert pts[:2] == [(0.0, 100.0), (50.0, 100.0)]
+
+
+def test_multiple_curves_one_operator():
+    c, _ = _one_glyph(
+        [0, 0, "rmoveto", 1, 2, 3, 4, 5, 6, 1, 2, 3, 4, 5, 6, "rrcurveto"]
+    )
+    assert len([p for p in c[0] if p[0] == "c"]) == 2
+
+
+def test_stem_hints_consume_width_and_are_skipped():
+    contours, adv = _one_glyph(
+        [20, 40, "vstem", 0, 0, "rmoveto", 10, "hlineto"], adv=321
+    )
+    assert adv == 321.0
+    assert contours  # the path survives the hint prelude
