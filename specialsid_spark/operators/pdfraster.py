@@ -1134,6 +1134,19 @@ def _run(content, buf, s, hpx, ox, oy, objs, xobjects, fonts=None, shadings=None
                 dtype=np.uint8,
             )
             fill_cs = None
+        elif op == b"k":
+            # CMYK fill color: the standard naive device conversion
+            # (r10 — was silently ignored, leaving a stale fill color)
+            c, m_, y, kk = num(4), num(3), num(2), num(1)
+            fill = np.array(
+                [
+                    round(255 * (1 - min(1.0, c + kk))),
+                    round(255 * (1 - min(1.0, m_ + kk))),
+                    round(255 * (1 - min(1.0, y + kk))),
+                ],
+                dtype=np.uint8,
+            )
+            fill_cs = None
         elif op == b"cs":
             if not operands or operands[-1][0] != "name":
                 raise _Degrade("cs without a name operand")
@@ -1339,7 +1352,7 @@ def _run(content, buf, s, hpx, ox, oy, objs, xobjects, fonts=None, shadings=None
                 _paint_shading(buf, ctm, _parse_shading(objs, snum), clip)
         elif op in (b"gs", b"ri", b"i", b"j", b"J", b"M", b"d", b"w",
                     b"Tc", b"Tw", b"Tz", b"Ts", b"Tr", b"G", b"RG",
-                    b"CS", b"SC", b"SCN", b"K", b"k",
+                    b"CS", b"SC", b"SCN", b"K",
                     b"MP", b"DP", b"BMC", b"BDC", b"EMC"):
             pass  # state/marked-content: no ink effect in this model
         else:

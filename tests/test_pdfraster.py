@@ -643,3 +643,19 @@ def test_type4_conditionals_degrade():
         b"/ColorSpace << /CS0 {CS} 0 R >>",
     )
     assert rasterize_page(blob) is None
+
+
+def test_cmyk_fill_color_converts():
+    import numpy as np
+
+    from specialsid_spark.operators.pdfraster import rasterize_page
+
+    blob = _one_page_pdf(
+        [],
+        b"1 0 0 0 k 50 50 100 100 re f 0 0 0 1 k 300 50 100 100 re f",
+        b"",
+    )
+    w, h, _ch, px = rasterize_page(blob)
+    buf = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    assert tuple(buf[792 - 51, 51]) == (0, 255, 255)  # pure cyan
+    assert tuple(buf[792 - 51, 301]) == (0, 0, 0)  # pure black (K)
