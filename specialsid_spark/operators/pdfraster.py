@@ -211,7 +211,9 @@ def _page_xobjects(objs: dict, page_head: bytes) -> dict[str, int]:
 
 def _decode_image_xobject(head: bytes, data: bytes | None):
     """(w, h, ch, pixels) for a /Subtype /Image XObject: raw / Flate /
-    DCT, 8-bit DeviceGray or DeviceRGB."""
+    DCT (8-bit DeviceGray or DeviceRGB), or CCITTFax G4 (1-bit bilevel
+    scanned pages, r10 — /K < 0 only, the PDF-default BlackIs1=false
+    polarity)."""
     if b"/Subtype" not in head or b"/Image" not in head or data is None:
         raise _Degrade("not an image XObject")
     wm = re.search(rb"/Width\s+(\d+)", head)
@@ -219,6 +221,21 @@ def _decode_image_xobject(head: bytes, data: bytes | None):
     if wm is None or hm is None:
         raise _Degrade("image missing dimensions")
     w, h = int(wm.group(1)), int(hm.group(1))
+    if b"/CCITTFaxDecode" in head:
+        from specialsid_spark.operators.ccitt import g4_decode  # noqa: PLC0415
+
+        km = re.search(rb"/K\s+(-?\d+)", head)
+        if km is None or int(km.group(1)) >= 0:
+            raise _Degrade("only G4 (K < 0) CCITT images supported")
+        if b"/BlackIs1 true" in head:
+            raise _Degrade("BlackIs1 polarity unsupported")
+        cm = re.search(rb"/Columns\s+(\d+)", head)
+        if cm is not None and int(cm.group(1)) != w:
+            raise _Degrade("CCITT /Columns mismatch")
+        dec = g4_decode(bytes(data), w, h)
+        if dec is None:
+            raise _Degrade("CCITT XObject decode failed")
+        return w, h, 1, dec
     bpc = re.search(rb"/BitsPerComponent\s+(\d+)", head)
     if bpc is not None and int(bpc.group(1)) != 8:
         raise _Degrade("only 8-bit images supported")

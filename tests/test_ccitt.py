@@ -133,3 +133,47 @@ def test_tiff_g4_rejects_nonbilevel_and_extensions():
     assert idx > 0
     blob[idx + 8] = 2  # uncompressed-mode allowed bit
     assert decode_tiff(bytes(blob)) is None
+
+
+def test_pdf_ccittfax_image_xobject_rasterizes():
+    import numpy as np
+
+    from specialsid_spark.operators.ccitt import g4_encode
+    from specialsid_spark.operators.pdf import _assemble_pdf
+    from specialsid_spark.operators.pdfraster import rasterize_page
+
+    rng = random.Random(19)
+    w, h = 64, 48
+    img = _img(rng, w, h, 3)
+    enc = g4_encode(img, w, h)
+    objects = []
+
+    def add(body):
+        objects.append(body)
+        return len(objects)
+
+    cat = add(b"")
+    pages = add(b"")
+    xo = add(
+        b"<< /Subtype /Image /Width %d /Height %d /BitsPerComponent 1"
+        b" /ColorSpace /DeviceGray /Filter /CCITTFaxDecode"
+        b" /DecodeParms << /K -1 /Columns %d /Rows %d >>"
+        b" /Length %d >>\nstream\n" % (w, h, w, h, len(enc))
+        + enc + b"\nendstream"
+    )
+    content = b"q %d 0 0 %d 100 600 cm /Im0 Do Q" % (w, h)
+    cont = add(b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream")
+    page = add(
+        b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /XObject << /Im0 %d 0 R >> >>"
+        b" /Contents %d 0 R >>" % (pages, xo, cont)
+    )
+    objects[pages - 1] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
+    objects[cat - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages
+    r = rasterize_page(_assemble_pdf(objects, cat))
+    assert r is not None
+    ww, hh, _ch, px = r
+    gray = np.frombuffer(px, dtype=np.uint8).reshape(hh, ww, 3)[:, :, 0]
+    # the placed image's black count equals the source's (1:1 placement)
+    placed = gray[792 - 648 : 792 - 600, 100:164]
+    assert int((placed == 0).sum()) == sum(1 for v in img if v == 0)
