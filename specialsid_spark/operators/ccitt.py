@@ -12,10 +12,12 @@ import (prefix-freeness + exact Kraft equality per alphabet — a
 transcription slip that breaks either is caught immediately, and the
 canonical codewords are pinned in tests/test_ccitt.py).
 
-Both directions implemented: the DECODER walks T.6 vertical/
+Both directions implemented: the G4 DECODER walks T.6 vertical/
 horizontal/pass modes against the reference line's changing elements;
 the ENCODER chooses pass when b2 < a1, vertical when |a1 - b1| <= 3,
-horizontal otherwise — the standard coder.  Self-roundtrip plus the
+horizontal otherwise — the standard coder.  The one-dimensional T.4
+Modified-Huffman form (TIFF Compression=2, byte-aligned EOL-free rows)
+ships alongside (r10) for legacy scanner output.  Self-roundtrip plus the
 spec's codeword pins are the conformance evidence (no fax CLI exists
 in this container; the same evidence level as the JPEG family).
 
@@ -341,3 +343,55 @@ def g4_encode(pixels: bytes, width: int, height: int) -> bytes:
     s = "".join(bits)
     s += "0" * (-len(s) % 8)
     return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+def g3_1d_encode(pixels: bytes, width: int, height: int) -> bytes:
+    """T.4 one-dimensional (Modified Huffman) coding, the TIFF
+    Compression=2 form: every row is an independent white-first run
+    sequence, byte-aligned (no EOLs) — the legacy scanner shape G4
+    superseded."""
+    out = bytearray()
+    for y in range(height):
+        row = pixels[y * width : (y + 1) * width]
+        bits: list[str] = []
+        pos = 0
+        white = True
+        for t in [*_transitions(row), width]:
+            if t > width:
+                raise ValueError("transition past row end")
+            _emit_run(bits, t - pos, white)
+            pos = t
+            white = not white
+            if pos == width:
+                break
+        s = "".join(bits)
+        s += "0" * (-len(s) % 8)
+        out += bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+    return bytes(out)
+
+
+def g3_1d_decode(data: bytes, width: int, height: int) -> bytes | None:
+    """Inverse of :func:`g3_1d_encode`; None on malformed input."""
+    try:
+        out = bytearray()
+        bitpos = 0
+        s = "".join(f"{b:08b}" for b in data)
+        for _y in range(height):
+            bits = _Bits(b"")
+            bits.s = s
+            bits.i = bitpos
+            row = bytearray(width)
+            pos = 0
+            white = True
+            while pos < width:
+                run = _read_run(bits, white)
+                if run is None or pos + run > width:
+                    return None
+                row[pos : pos + run] = bytes([255 if white else 0]) * run
+                pos += run
+                white = not white
+            out += row
+            bitpos = (bits.i + 7) & ~7  # rows are byte-aligned
+        return bytes(out)
+    except (IndexError, KeyError, ValueError):
+        return None

@@ -14,9 +14,10 @@ bumps when the table size reaches 2^w - 1, one entry earlier than
 GIF's 2^w.
 
 Scope / honest degrades (same contract as every codec in this repo):
-8 bits per sample only, strip-based only (tiled TIFFs return None),
-Photometric 1 (BlackIsZero) and 2 (RGB) only — WhiteIsZero, palette,
-CMYK, and other compressions (Group 3/4 fax, JPEG-in-TIFF, Deflate)
+8-bit gray/RGB strips plus 1-bit CCITT fax pages (r10: Compression=2
+Modified Huffman and Compression=4 Group 4 via operators/ccitt.py,
+photometric 0/1, extension-free options); tiled TIFFs, palette, CMYK,
+and other compressions (EOL-framed Group 3, JPEG-in-TIFF, Deflate)
 return None loudly.
 
 Reference parity note: the reference engine has no image codecs at all
@@ -30,6 +31,7 @@ from __future__ import annotations
 import struct
 
 _COMP_NONE = 1
+_COMP_G3_1D = 2  # CCITT T.4 Modified Huffman, byte-aligned rows (r10)
 _COMP_G4 = 4  # CCITT T.6 two-dimensional (operators/ccitt.py, r10)
 _COMP_LZW = 5
 _COMP_PACKBITS = 32773
@@ -240,25 +242,29 @@ def build_tiff(
         raise ValueError(f"raster size {len(pixels)} != {w}x{h}x{ch}")
     comp = {
         "none": _COMP_NONE, "lzw": _COMP_LZW,
-        "packbits": _COMP_PACKBITS, "g4": _COMP_G4,
+        "packbits": _COMP_PACKBITS, "g4": _COMP_G4, "g3": _COMP_G3_1D,
     }[compression]
     if predictor == 2 and comp != _COMP_LZW:
         raise ValueError("predictor 2 is paired with LZW")
-    if comp == _COMP_G4:
+    if comp in (_COMP_G4, _COMP_G3_1D):
         if ch != 1:
-            raise ValueError("G4 is bilevel: ch must be 1")
+            raise ValueError("fax coding is bilevel: ch must be 1")
         if any(p not in (0, 255) for p in pixels):
-            raise ValueError("G4 pixels must be bilevel (0 or 255)")
-        rows_per_strip = h  # 2D coding spans rows; single strip
+            raise ValueError("fax pixels must be bilevel (0 or 255)")
+        rows_per_strip = h  # one strip (G4's 2D coding spans rows)
     e = ">" if big_endian else "<"
 
     rowlen = w * ch
     strips: list[bytes] = []
-    if comp == _COMP_G4:
-        from specialsid_spark.operators.ccitt import g4_encode  # noqa: PLC0415
+    if comp in (_COMP_G4, _COMP_G3_1D):
+        from specialsid_spark.operators.ccitt import (  # noqa: PLC0415
+            g3_1d_encode,
+            g4_encode,
+        )
 
-        strips.append(g4_encode(pixels, w, h))
-    for y0 in [] if comp == _COMP_G4 else range(0, h, rows_per_strip):
+        enc = g4_encode if comp == _COMP_G4 else g3_1d_encode
+        strips.append(enc(pixels, w, h))
+    for y0 in [] if comp in (_COMP_G4, _COMP_G3_1D) else range(0, h, rows_per_strip):
         raw = bytearray(pixels[y0 * rowlen : min(y0 + rows_per_strip, h) * rowlen])
         if predictor == 2:
             nrows = len(raw) // rowlen
@@ -275,8 +281,9 @@ def build_tiff(
 
     nstrips = len(strips)
     # entries: (tag, type, count, value-or-bytes); type 3=SHORT 4=LONG
-    bps = 1 if comp == _COMP_G4 else 8
-    photo = 0 if comp == _COMP_G4 else (1 if ch == 1 else 2)
+    is_fax = comp in (_COMP_G4, _COMP_G3_1D)
+    bps = 1 if is_fax else 8
+    photo = 0 if is_fax else (1 if ch == 1 else 2)
     entries: list[tuple[int, int, int, object]] = [
         (256, 4, 1, w),
         (257, 4, 1, h),
@@ -413,23 +420,27 @@ def decode_tiff(blob: bytes) -> tuple[int, int, int, bytes] | None:
     comp = tags[259][1][0] if 259 in tags else _COMP_NONE
     photo = tags[262][1][0] if 262 in tags else 1
     ch = tags[277][1][0] if 277 in tags else 1
-    if comp != _COMP_G4 and (
+    if comp not in (_COMP_G4, _COMP_G3_1D) and (
         photo not in (1, 2) or ch not in (1, 3) or (photo == 2) != (ch == 3)
     ):
         return None
     bits = tags[258][1] if 258 in tags else [8] * ch
-    if comp == _COMP_G4:
+    if comp in (_COMP_G4, _COMP_G3_1D):
         # bilevel fax page: 1-bit single-sample, photometric 0 or 1;
-        # T6Options extensions (uncompressed mode) are out of scope
+        # T4/T6Options extensions (EOLs, uncompressed mode) are out of
+        # scope
         if isinstance(bits, bytes) or list(bits) != [1] or ch != 1:
             return None
         if photo not in (0, 1):
             return None
         if 293 in tags and tags[293][1][0] != 0:
             return None
+        if 292 in tags and tags[292][1][0] != 0:
+            return None
     elif isinstance(bits, bytes) or any(b != 8 for b in bits):
         return None
-    if comp not in (_COMP_NONE, _COMP_LZW, _COMP_PACKBITS, _COMP_G4):
+    if comp not in (_COMP_NONE, _COMP_LZW, _COMP_PACKBITS, _COMP_G4,
+                    _COMP_G3_1D):
         return None
     predictor = tags[317][1][0] if 317 in tags else 1
     if predictor not in (1, 2):
@@ -453,12 +464,14 @@ def decode_tiff(blob: bytes) -> tuple[int, int, int, bytes] | None:
             dec = packbits_decode(raw, expected)
         elif comp == _COMP_LZW:
             dec = lzw_decode_tiff(raw, expected)
-        elif comp == _COMP_G4:
+        elif comp in (_COMP_G4, _COMP_G3_1D):
             from specialsid_spark.operators.ccitt import (  # noqa: PLC0415
+                g3_1d_decode,
                 g4_decode,
             )
 
-            g = g4_decode(bytes(raw), w, nrows)
+            dc = g4_decode if comp == _COMP_G4 else g3_1d_decode
+            g = dc(bytes(raw), w, nrows)
             dec = bytearray(g) if g is not None else None
         else:
             dec = bytearray(raw)

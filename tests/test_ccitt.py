@@ -177,3 +177,20 @@ def test_pdf_ccittfax_image_xobject_rasterizes():
     # the placed image's black count equals the source's (1:1 placement)
     placed = gray[792 - 648 : 792 - 600, 100:164]
     assert int((placed == 0).sum()) == sum(1 for v in img if v == 0)
+
+
+def test_g3_1d_roundtrip_and_tiff_compression_2():
+    from specialsid_spark.operators.ccitt import g3_1d_decode, g3_1d_encode
+    from specialsid_spark.operators.tiff import build_tiff, decode_tiff
+
+    rng = random.Random(23)
+    for w, h in ((1, 1), (64, 48), (100, 33)):
+        for kind in range(5):
+            img = _img(rng, w, h, kind)
+            assert g3_1d_decode(g3_1d_encode(img, w, h), w, h) == img
+    img = _img(rng, 200, 60, 3)
+    blob = build_tiff(200, 60, 1, img, compression="g3")
+    got = decode_tiff(blob)
+    assert got is not None and got[:3] == (200, 60, 1) and got[3] == img
+    # G4's 2D coding must beat 1D on the same page
+    assert len(build_tiff(200, 60, 1, img, compression="g4")) < len(blob)
