@@ -74,6 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_pdf_separation_fill_raster",
     "mm_pdf_cid_glyph_raster",
     "mm_tiff_g4_scanned_roundtrip",
+    "mm_pdf_ccitt_image_raster",
     # newest driver row = r4
     "subq_corr_above_nation_avg",
     "subq_multi_supplier_orders",

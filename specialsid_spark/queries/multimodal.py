@@ -4510,3 +4510,121 @@ def mm_tiff_g4_scanned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "mm_pdf_ccitt_image_raster",
+    # r10: the SCANNED-PDF ingestion leg end to end — each doc's page
+    # carries a CCITT G4 (/CCITTFaxDecode, K = -1) image XObject placed
+    # 1:1 at an integral offset; the rasterizer decodes the T.6 stream
+    # (operators/ccitt.py) and paints it through the image-placement
+    # path.  The bilevel fixture is a pure doc_id/x/y predicate the
+    # oracle re-counts; ink coverage and the gray sum pin the decode
+    # AND the placement (a one-pixel shift or polarity flip moves
+    # both).
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    px AS (
+      SELECT d.doc_id,
+             CAST(SUM(CASE WHEN (x.x * 5 + y.y * 11 + d.doc_id) % 29 = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_black
+      FROM docs d,
+           (SELECT unnest(range(0, 144)) AS x) x,
+           (SELECT unnest(range(0, 96)) AS y) y
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, 612 AS width, 792 AS height, n_black,
+           CAST(255 * CAST(612 * 792 AS BIGINT) - 255 * n_black AS BIGINT)
+             AS gray_sum
+    FROM px
+    ORDER BY doc_id
+    """,
+)
+def mm_pdf_ccitt_image_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/X3 extension, r10 — scanned-PDF pages: per doc, a fixture PDF
+    whose only content is a G4-compressed bilevel image XObject placed
+    1:1; rasterize and emit exact black coverage + gray sum.  With
+    mm_tiff_g4_scanned_roundtrip (the TIFF container) this completes
+    the scanned-document ingestion story across both containers the
+    wild ships them in.
+
+    Scale shape: per-row independent mapInPandas; two-scanline decoder
+    state, page-bounded buffer, no shuffle before the final sort."""
+    import numpy as np
+    import pandas as pd
+
+    from specialsid_spark.operators.ccitt import g4_encode
+    from specialsid_spark.operators.pdf import _assemble_pdf
+    from specialsid_spark.operators.pdfraster import rasterize_page
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+    W, H = 144, 96
+
+    def build(doc_id: int) -> bytes:
+        img = bytes(
+            0 if (x * 5 + y * 11 + doc_id) % 29 == 0 else 255
+            for y in range(H)
+            for x in range(W)
+        )
+        enc = g4_encode(img, W, H)
+        objects: list[bytes] = []
+
+        def add(body: bytes) -> int:
+            objects.append(body)
+            return len(objects)
+
+        cat = add(b"")
+        pages = add(b"")
+        xo = add(
+            b"<< /Subtype /Image /Width %d /Height %d /BitsPerComponent 1"
+            b" /ColorSpace /DeviceGray /Filter /CCITTFaxDecode"
+            b" /DecodeParms << /K -1 /Columns %d /Rows %d >>"
+            b" /Length %d >>\nstream\n" % (W, H, W, H, len(enc))
+            + enc + b"\nendstream"
+        )
+        content = b"q %d 0 0 %d 120 560 cm /Im0 Do Q" % (W, H)
+        cont = add(
+            b"<< /Length %d >>\nstream\n" % len(content)
+            + content + b"\nendstream"
+        )
+        page = add(
+            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
+            b" /Resources << /XObject << /Im0 %d 0 R >> >>"
+            b" /Contents %d 0 R >>" % (pages, xo, cont)
+        )
+        objects[pages - 1] = (
+            b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
+        )
+        objects[cat - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages
+        return _assemble_pdf(objects, cat)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                r = rasterize_page(build(doc_id))
+                if r is None:  # degrade surfaces as an impossible row
+                    out.append((doc_id, -1, -1, -1, -1))
+                    continue
+                w, h, _ch, px = r
+                gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+                out.append(
+                    (doc_id, w, h,
+                     int((gray != 255).sum()),
+                     int(gray.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "n_black", "gray_sum"],
+            ).astype({"doc_id": "int64", "width": "int32", "height": "int32",
+                      "n_black": "int64", "gray_sum": "int64"})
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            fn,
+            "doc_id long, width int, height int, n_black long, gray_sum long",
+        )
+        .orderBy("doc_id")
+    )
