@@ -393,6 +393,20 @@ def _parse_ps_calculator(data: bytes) -> list:
     return prog
 
 
+def _ps_count(v) -> int:
+    """index/copy operand -> int.  On the vectorized shading path the
+    input is an ndarray; a (malformed/hostile) program that COMPUTES the
+    count from it hands an array to int(), which raises TypeError —
+    outside rasterize_page's caught set, so it would crash the Spark
+    task instead of degrading (ADVICE r10).  Degrade loudly instead;
+    array-valued stack counts have no meaning anyway."""
+    if isinstance(v, (int, float)) or (
+        isinstance(v, np.generic) and np.ndim(v) == 0
+    ):
+        return int(v)
+    raise _Degrade("calculator index/copy count is not a scalar")
+
+
 def _eval_ps(prog: list, t):
     """Run a calculator program on input ``t`` (scalar or ndarray) —
     numpy ops, so the shading grid evaluates vectorized.  Returns the
@@ -442,12 +456,12 @@ def _eval_ps(prog: list, t):
         elif op == "pop":
             pop()
         elif op == "index":
-            n = int(pop())
+            n = _ps_count(pop())
             if not 0 <= n < len(stack):
                 raise _Degrade("calculator index out of range")
             stack.append(stack[-1 - n])
         elif op == "copy":
-            n = int(pop())
+            n = _ps_count(pop())
             if not 0 <= n <= len(stack):
                 raise _Degrade("calculator copy out of range")
             if n:

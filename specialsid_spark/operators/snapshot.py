@@ -42,17 +42,54 @@ def _manifest_dir(path: str) -> Path:
     return Path(path) / "_manifests"
 
 
-def _rel_path_sql(path: str) -> str:
-    """SQL expr: ``_metadata.file_path`` -> table-relative path.
+#: SQL expr: ``_metadata.file_path`` normalized to a plain absolute path.
+#: Hadoop renders local URIs as ``file:/abs`` (one slash) where
+#: ``Path.as_uri()`` writes ``file:///abs`` — strip the scheme prefix so
+#: both forms compare equal.
+_ABS_PATH_SQL = "regexp_replace(_metadata.file_path, '^file:/+', '/')"
 
-    Hadoop renders local URIs as ``file:/abs`` (one slash) where
-    ``Path.as_uri()`` writes ``file:///abs`` — normalize the scheme
-    prefix away first, THEN strip the resolved root, so deletion
-    vectors store exactly the manifest's relative form."""
+
+def _dv_file_sql(path: str) -> str:
+    """SQL expr for the ``file`` column a deletion vector stores:
+    table-relative when the data file lives under the table root (the
+    normal case — keeps the table relocatable, like the manifest's own
+    file list), absolute otherwise (a shallow clone's externally-shared
+    source files, which have no meaningful clone-relative form)."""
     root = str(Path(path).resolve())
     return (
-        "substring(regexp_replace(_metadata.file_path, '^file:/+', '/'),"
-        f" {len(root) + 2})"
+        f"CASE WHEN startswith({_ABS_PATH_SQL}, '{root}/')"
+        f" THEN substring({_ABS_PATH_SQL}, {len(root) + 2})"
+        f" ELSE {_ABS_PATH_SQL} END"
+    )
+
+
+def _subtract_dvs(
+    spark: SparkSession, path: str, df: DataFrame, dvs: list[str]
+) -> DataFrame:
+    """Merge-on-read: subtract deletion-vector (file, pos) pairs from
+    ``df`` (which must be a raw parquet read of this table's files, so
+    ``_metadata`` is still resolvable).  The DV side is bounded by
+    |deleted rows| — typically tiny vs the table — so the anti-join is
+    broadcast; data files are untouched.  Matching is on the NORMALIZED
+    ABSOLUTE path of each data file: relative DV entries are resolved
+    against this table's root, absolute entries (clone-external files)
+    pass through — one rule that covers plain tables and shallow
+    clones alike."""
+    from pyspark.sql import functions as F
+
+    root = str(Path(path).resolve())
+    dv = spark.read.parquet(*[str(Path(path) / d) for d in dvs])
+    dv_abs = dv.select(
+        F.when(F.col("file").startswith("/"), F.col("file"))
+        .otherwise(F.concat(F.lit(root + "/"), F.col("file")))
+        .alias("__dv_file"),
+        F.col("pos").alias("__dv_pos"),
+    )
+    return (
+        df.withColumn("__dv_file", F.expr(_ABS_PATH_SQL))
+        .withColumn("__dv_pos", F.col("_metadata.row_index"))
+        .join(F.broadcast(dv_abs), ["__dv_file", "__dv_pos"], "left_anti")
+        .drop("__dv_file", "__dv_pos")
     )
 
 
@@ -108,6 +145,7 @@ def snapshot_commit(
     )
     files = new_files
     inherited_stats: dict = {}
+    inherited_dvs: list[str] = []
     if mode == "append" and versions:
         parent = _read_manifest(path, versions[-1])
         files = parent["files"] + new_files
@@ -117,6 +155,11 @@ def snapshot_commit(
         inherited_stats = {
             f: s for f, s in parent.get("stats", {}).items() if f in set(files)
         }
+        # deletion vectors mask rows of inherited files; dropping them on
+        # a routine append would RESURRECT deleted rows (ADVICE r10) —
+        # carry them forward.  Overwrite references none of the parent's
+        # files, so its vectors have nothing left to mask and are dropped.
+        inherited_dvs = list(parent.get("deletes", []))
     mdir = _manifest_dir(path)
     mdir.mkdir(parents=True, exist_ok=True)
     manifest = {
@@ -129,6 +172,8 @@ def snapshot_commit(
         manifest["tag"] = tag
     if inherited_stats:
         manifest["stats"] = inherited_stats
+    if inherited_dvs:
+        manifest["deletes"] = inherited_dvs
     tmp = mdir / f"v{new_version}.json.tmp"
     tmp.write_text(json.dumps(manifest, indent=1))
     os.rename(tmp, mdir / f"v{new_version}.json")  # THE commit point
@@ -175,27 +220,7 @@ def snapshot_read(
     df = reader.parquet(*[str(Path(path) / f) for f in files])
     dvs = m.get("deletes")
     if dvs:
-        # merge-on-read: subtract deletion-vector positions.  The DV
-        # table is bounded by |deleted rows| (typically tiny vs the
-        # table), so broadcast the anti-join; data files are untouched.
-        from pyspark.sql import functions as F
-
-        dv = spark.read.parquet(*[str(Path(path) / d) for d in dvs])
-        df = (
-            df.withColumn("__dv_file", F.expr(_rel_path_sql(path)))
-            .withColumn("__dv_pos", F.col("_metadata.row_index"))
-            .join(
-                F.broadcast(
-                    dv.select(
-                        F.col("file").alias("__dv_file"),
-                        F.col("pos").alias("__dv_pos"),
-                    )
-                ),
-                ["__dv_file", "__dv_pos"],
-                "left_anti",
-            )
-            .drop("__dv_file", "__dv_pos")
-        )
+        df = _subtract_dvs(spark, path, df, dvs)
     return df
 
 
@@ -260,13 +285,27 @@ def snapshot_diff(
     file referenced by BOTH versions contributes identical rows to
     each side and cancels — only the symmetric difference of the FILE
     LISTS is ever read.  At 100 TB an append-mostly table diffs in
-    time proportional to the changed files, not the table."""
-    files_a = set(_read_manifest(path, v_from)["files"])
-    files_b = set(_read_manifest(path, v_to)["files"])
+    time proportional to the changed files, not the table.
+
+    Deletion vectors break the file-cancellation argument (a file in
+    both versions can be masked differently on each side), so when
+    either endpoint carries live DVs the diff falls back to full
+    DV-subtracted reads of both versions — correct, at the cost of
+    reading shared files too (ADVICE r10)."""
+    from pyspark.sql import functions as F
+
+    m_from = _read_manifest(path, v_from)
+    m_to = _read_manifest(path, v_to)
+    if m_from.get("deletes") or m_to.get("deletes"):
+        a = snapshot_read(spark, path, v_from)
+        b = snapshot_read(spark, path, v_to)
+        added = b.exceptAll(a).withColumn("change_type", F.lit("insert"))
+        removed = a.exceptAll(b).withColumn("change_type", F.lit("delete"))
+        return added.unionByName(removed)
+    files_a = set(m_from["files"])
+    files_b = set(m_to["files"])
     only_a = sorted(files_a - files_b)
     only_b = sorted(files_b - files_a)
-
-    from pyspark.sql import functions as F
 
     def _read(files: list[str], other: list[str]) -> DataFrame:
         if files:
@@ -383,6 +422,11 @@ def snapshot_scan(
     df = spark.read.parquet(*[str(Path(path) / f) for f in src])
     if not keep:
         df = df.limit(0)
+    elif m.get("deletes"):
+        # stats stay conservative bounds after rows are masked, so the
+        # pruning decision above is unaffected — but the surviving files
+        # must still be read through their deletion vectors (ADVICE r10)
+        df = _subtract_dvs(spark, path, df, m["deletes"])
     return (
         df.filter((F.col(col) >= lo) & (F.col(col) <= hi)),
         len(keep),
@@ -433,6 +477,7 @@ def snapshot_delete(
         raise ValueError(f"no snapshot versions at {path!r}")
     m = _read_manifest(path, versions[-1])
     stats = m.get("stats", {})
+    dvs = m.get("deletes", [])
     touched, untouched = [], []
     for rel in m["files"]:
         rng = stats.get(rel, {}).get(col)
@@ -451,7 +496,12 @@ def snapshot_delete(
         # from rewritten files while identical rows in stats-pruned
         # files survive.  Keep NULLs explicitly so "rewrite may never
         # delete non-matching rows" holds regardless of file layout.
-        kept = spark.read.parquet(*[str(root / f) for f in touched]).filter(
+        src_df = spark.read.parquet(*[str(root / f) for f in touched])
+        if dvs:
+            # rows already masked by deletion vectors must not be
+            # resurrected into the rewritten files (ADVICE r10)
+            src_df = _subtract_dvs(spark, path, src_df, dvs)
+        kept = src_df.filter(
             F.col(col).isNull() | ~((F.col(col) >= lo) & (F.col(col) <= hi))
         )
         kept.write.mode("error").parquet(str(data_dir))
@@ -470,6 +520,11 @@ def snapshot_delete(
     inherited = {f: s for f, s in stats.items() if f in set(untouched)}
     if inherited:
         manifest["stats"] = inherited
+    if dvs and untouched:
+        # untouched files still need their masks; rewritten files were
+        # read THROUGH the vectors above, so their stale entries match
+        # no manifest file and are inert
+        manifest["deletes"] = list(dvs)
     mdir = _manifest_dir(path)
     tmp = mdir / f"v{new_version}.json.tmp"
     tmp.write_text(json.dumps(manifest, indent=1))
@@ -520,7 +575,7 @@ def snapshot_delete_dv(
         matched = (
             spark.read.parquet(*[str(root / f) for f in candidates])
             .select(
-                F.expr(_rel_path_sql(path)).alias("file"),
+                F.expr(_dv_file_sql(path)).alias("file"),
                 F.col("_metadata.row_index").alias("pos"),
                 F.col(col).alias("__k"),
             )
@@ -590,29 +645,26 @@ def snapshot_purge_dv(spark: SparkSession, path: str) -> tuple[int, int, int]:
         os.rename(tmp, mdir / f"v{new_version}.json")
         return new_version, 0, 0
     dv = spark.read.parquet(*[str(root / d) for d in dvs])
-    touched = {r["file"] for r in dv.select("file").distinct().collect()}
-    n_purged = dv.count()
+    # stale DV entries (files a CoW verb has since rewritten out of the
+    # manifest) mask nothing — count and rewrite only live-file entries
+    live_files = set(m["files"])
+    touched = {
+        r["file"]
+        for r in dv.select("file").distinct().collect()
+        if r["file"] in live_files
+    }
+    n_purged = dv.filter(F.col("file").isin(sorted(touched))).count() if touched else 0
     untouched = [f for f in m["files"] if f not in touched]
     rewritten = sorted(f for f in m["files"] if f in touched)
     new_files: list[str] = []
     if rewritten:
         commit_id = f"v{new_version}-{uuid.uuid4().hex[:8]}"
         data_dir = root / "data" / commit_id
-        kept = (
-            spark.read.parquet(*[str(root / f) for f in rewritten])
-            .withColumn("__dv_file", F.expr(_rel_path_sql(path)))
-            .withColumn("__dv_pos", F.col("_metadata.row_index"))
-            .join(
-                F.broadcast(
-                    dv.select(
-                        F.col("file").alias("__dv_file"),
-                        F.col("pos").alias("__dv_pos"),
-                    )
-                ),
-                ["__dv_file", "__dv_pos"],
-                "left_anti",
-            )
-            .drop("__dv_file", "__dv_pos")
+        kept = _subtract_dvs(
+            spark,
+            path,
+            spark.read.parquet(*[str(root / f) for f in rewritten]),
+            dvs,
         )
         kept.write.mode("error").parquet(str(data_dir))
         new_files = sorted(
@@ -661,6 +713,10 @@ def snapshot_restore(path: str, version: int) -> int:
     }
     if m.get("stats"):
         manifest["stats"] = m["stats"]
+    if m.get("deletes"):
+        # the restored state includes its deletion-vector masks — a
+        # restore without them would resurrect deleted rows (ADVICE r10)
+        manifest["deletes"] = list(m["deletes"])
     mdir = _manifest_dir(path)
     tmp = mdir / f"v{new_version}.json.tmp"
     tmp.write_text(json.dumps(manifest, indent=1))
@@ -709,6 +765,39 @@ def snapshot_clone(src: str, dst: str) -> int:
         manifest["stats"] = {
             str(src_root / f): s for f, s in stats.items() if f in set(m["files"])
         }
+    src_dvs = m.get("deletes", [])
+    if src_dvs:
+        # the source's deletion vectors store SOURCE-relative file paths;
+        # read from the clone they would resolve against the CLONE root
+        # and mask nothing (deleted rows resurrect — ADVICE r10).  DVs
+        # are bounded by |deleted rows|, so copy them into the clone's
+        # own ``deletes/`` with the file refs absolutized — the clone
+        # stays zero-copy where it matters (the data files) and owns its
+        # masks outright (source DV vacuum can't orphan it).
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        dst_root = Path(dst)
+        deletes_rel: list[str] = []
+        for i, d in enumerate(src_dvs):
+            parts = sorted(
+                p for p in (src_root / d).rglob("*.parquet") if p.is_file()
+            )
+            t = pa.concat_tables([pq.read_table(str(p)) for p in parts])
+            fi = t.schema.get_field_index("file")
+            abs_files = pa.array(
+                [
+                    f if f.startswith("/") else str(src_root / f)
+                    for f in t.column("file").to_pylist()
+                ],
+                type=t.schema.field(fi).type,
+            )
+            t = t.set_column(fi, "file", abs_files)
+            rel = f"deletes/clone-v1-{i:04d}"
+            (dst_root / rel).mkdir(parents=True, exist_ok=True)
+            pq.write_table(t, str(dst_root / rel / "part-00000.parquet"))
+            deletes_rel.append(rel)
+        manifest["deletes"] = deletes_rel
     mdir = _manifest_dir(dst)
     mdir.mkdir(parents=True, exist_ok=True)
     tmp = mdir / "v1.json.tmp"
@@ -750,6 +839,7 @@ def snapshot_update(
         raise ValueError(f"no snapshot versions at {path!r}")
     m = _read_manifest(path, versions[-1])
     stats = m.get("stats", {})
+    dvs = m.get("deletes", [])
     touched, untouched = [], []
     for rel in m["files"]:
         rng = stats.get(rel, {}).get(col)
@@ -764,6 +854,10 @@ def snapshot_update(
         commit_id = f"v{new_version}-{uuid.uuid4().hex[:8]}"
         data_dir = root / "data" / commit_id
         df = spark.read.parquet(*[str(root / f) for f in touched])
+        if dvs:
+            # DV-masked rows must not reappear in the rewritten files
+            # (ADVICE r10); subtract BEFORE the SET transform
+            df = _subtract_dvs(spark, path, df, dvs)
         missing = set(set_exprs) - set(df.columns)
         if missing:
             raise ValueError(f"SET targets not in table: {sorted(missing)}")
@@ -799,6 +893,10 @@ def snapshot_update(
     inherited.update(new_stats)
     if inherited:
         manifest["stats"] = inherited
+    if dvs and untouched:
+        # same carry rule as snapshot_delete: untouched files keep their
+        # masks; rewritten files were read through the vectors above
+        manifest["deletes"] = list(dvs)
     mdir = _manifest_dir(path)
     tmp = mdir / f"v{new_version}.json.tmp"
     tmp.write_text(json.dumps(manifest, indent=1))

@@ -659,3 +659,30 @@ def test_cmyk_fill_color_converts():
     buf = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
     assert tuple(buf[792 - 51, 51]) == (0, 255, 255)  # pure cyan
     assert tuple(buf[792 - 51, 301]) == (0, 0, 0)  # pure black (K)
+
+
+def test_type4_array_valued_stack_count_degrades_not_crashes():
+    """ADVICE r10: a calculator program that computes an index/copy
+    count FROM the input hands an ndarray to the count conversion on
+    the vectorized shading path — must degrade (raise _Degrade),
+    never TypeError out of the rasterizer's caught-exception set."""
+    import numpy as np
+    import pytest
+
+    from specialsid_spark.operators.pdfraster import (
+        _Degrade,
+        _eval_ps,
+        _parse_ps_calculator,
+    )
+
+    for src in (b"{ dup index }", b"{ dup copy }"):
+        prog = _parse_ps_calculator(src)
+        with pytest.raises(_Degrade):
+            _eval_ps(prog, np.linspace(0.0, 1.0, 8))
+    # literal counts keep working
+    assert _eval_ps(_parse_ps_calculator(b"{ 2 1 1 index }"), 0.5) == [
+        0.5,
+        2.0,
+        1.0,
+        2.0,
+    ]

@@ -614,3 +614,176 @@ def test_dv_purge_without_vectors_is_metadata_only(spark, tmp_path):
     v, n_rw, n_purged = snapshot_purge_dv(spark, t)
     assert (v, n_rw, n_purged) == (2, 0, 0)
     assert snapshot_read(spark, t).count() == 10
+
+
+# ------------------------------------- DV propagation across verbs (r11)
+# ADVICE r10: deletion vectors must survive every other commit verb —
+# a plain append/restore/CoW-delete/update/clone that drops the parent's
+# 'deletes' key silently resurrects GDPR-erased rows.
+
+
+def test_dv_survives_plain_append(spark, tmp_path):
+    from specialsid_spark.operators.snapshot import snapshot_delete_dv
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 100), t)              # v1
+    _, n = snapshot_delete_dv(spark, t, "id", 0, 49)    # v2: 50 masked
+    assert n == 50
+    snapshot_commit(_df(spark, 200, 210), t, mode="append")  # v3
+    got = sorted(r["id"] for r in snapshot_read(spark, t).collect())
+    assert got == [*range(50, 100), *range(200, 210)]  # no resurrection
+    m3 = json.load(open(Path(t) / "_manifests" / "v3.json"))
+    assert m3["deletes"]
+
+
+def test_dv_dropped_by_overwrite(spark, tmp_path):
+    from specialsid_spark.operators.snapshot import snapshot_delete_dv
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 100), t)
+    snapshot_delete_dv(spark, t, "id", 0, 49)
+    snapshot_commit(_df(spark, 200, 220), t, mode="overwrite")
+    m3 = json.load(open(Path(t) / "_manifests" / "v3.json"))
+    assert "deletes" not in m3  # none of the masked files survive
+    assert snapshot_read(spark, t).count() == 20
+
+
+def test_dv_survives_restore(spark, tmp_path):
+    from specialsid_spark.operators.snapshot import (
+        snapshot_delete_dv,
+        snapshot_restore,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 100), t)              # v1
+    snapshot_delete_dv(spark, t, "id", 0, 49)           # v2
+    snapshot_commit(_df(spark, 500, 510), t, mode="overwrite")  # v3
+    v = snapshot_restore(t, 2)
+    assert snapshot_read(spark, t, v).count() == 50  # masks restored too
+
+
+def test_dv_survives_cow_delete(spark, tmp_path):
+    from specialsid_spark.operators.snapshot import (
+        snapshot_commit_stats,
+        snapshot_delete,
+        snapshot_delete_dv,
+    )
+
+    t = str(tmp_path / "tbl")
+    # two stats-tracked files with disjoint ranges so the CoW delete
+    # rewrites one and carries the other
+    snapshot_commit_stats(_df(spark, 0, 100).coalesce(1), t, ["id"])
+    snapshot_commit_stats(
+        _df(spark, 1000, 1100).coalesce(1), t, ["id"], mode="append"
+    )
+    _, n = snapshot_delete_dv(spark, t, "id", 0, 9)       # mask in file A
+    assert n == 10
+    _, n2 = snapshot_delete_dv(spark, t, "id", 1000, 1009)  # mask in file B
+    assert n2 == 10
+    # CoW delete touches ONLY file A's range; file B stays untouched
+    v, n_rw, _ = snapshot_delete(spark, t, "id", 50, 59)
+    assert n_rw == 1
+    got = sorted(r["id"] for r in snapshot_read(spark, t).collect())
+    # masked rows must NOT reappear in the rewritten file, and file B's
+    # mask must still apply through the carried vector
+    assert got == [*range(10, 50), *range(60, 100), *range(1010, 1100)]
+
+
+def test_dv_survives_cow_update(spark, tmp_path):
+    from specialsid_spark.operators.snapshot import (
+        snapshot_commit_stats,
+        snapshot_delete_dv,
+        snapshot_update,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit_stats(_df(spark, 0, 100).coalesce(1), t, ["id"])
+    snapshot_commit_stats(
+        _df(spark, 1000, 1100).coalesce(1), t, ["id"], mode="append"
+    )
+    snapshot_delete_dv(spark, t, "id", 0, 9)
+    snapshot_delete_dv(spark, t, "id", 1000, 1009)
+    v, n_rw, _ = snapshot_update(spark, t, "id", 50, 59, {"v": "v + 1"})
+    assert n_rw == 1
+    cur = snapshot_read(spark, t)
+    assert cur.count() == 180  # 200 - 20 masked
+    assert cur.filter("id = 5").count() == 0        # rewrite side
+    assert cur.filter("id = 1005").count() == 0     # carried-vector side
+    assert {r["v"] for r in cur.filter("id = 55").collect()} == {551}
+
+
+def test_dv_scan_applies_vectors(spark, tmp_path):
+    from specialsid_spark.operators.snapshot import (
+        snapshot_commit_stats,
+        snapshot_delete_dv,
+        snapshot_scan,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit_stats(_df(spark, 0, 100).coalesce(1), t, ["id"])
+    snapshot_delete_dv(spark, t, "id", 20, 29)
+    scan, n_scanned, n_total = snapshot_scan(spark, t, "id", 15, 34)
+    got = sorted(r["id"] for r in scan.collect())
+    assert got == [*range(15, 20), *range(30, 35)]
+
+
+def test_dv_diff_sees_masked_rows_as_deletes(spark, tmp_path):
+    from specialsid_spark.operators.snapshot import (
+        snapshot_delete_dv,
+        snapshot_diff,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 50), t)              # v1
+    snapshot_delete_dv(spark, t, "id", 0, 9)           # v2: same files, +dv
+    d = snapshot_diff(spark, t, 1, 2).collect()
+    assert {r["change_type"] for r in d} == {"delete"}
+    assert sorted(r["id"] for r in d) == list(range(10))
+
+
+def test_dv_survives_clone(spark, tmp_path):
+    from specialsid_spark.operators.snapshot import (
+        snapshot_clone,
+        snapshot_delete_dv,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    snapshot_commit(_df(spark, 0, 100), src)
+    snapshot_delete_dv(spark, src, "id", 0, 24)
+    snapshot_clone(src, dst)
+    got = sorted(r["id"] for r in snapshot_read(spark, dst).collect())
+    assert got == list(range(25, 100))
+    # the clone owns its vectors: further deletes on the SOURCE must not
+    # leak into the clone, and vice versa
+    snapshot_delete_dv(spark, src, "id", 25, 29)
+    assert snapshot_read(spark, dst).count() == 75
+    snapshot_delete_dv(spark, dst, "id", 90, 99)
+    assert snapshot_read(spark, dst).count() == 65
+    assert snapshot_read(spark, src).count() == 70
+
+
+def test_dv_purge_ignores_stale_entries(spark, tmp_path):
+    from specialsid_spark.operators.snapshot import (
+        snapshot_commit_stats,
+        snapshot_delete,
+        snapshot_delete_dv,
+        snapshot_purge_dv,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit_stats(_df(spark, 0, 100).coalesce(1), t, ["id"])
+    snapshot_commit_stats(
+        _df(spark, 1000, 1100).coalesce(1), t, ["id"], mode="append"
+    )
+    snapshot_delete_dv(spark, t, "id", 0, 9)        # masks in file A
+    snapshot_delete_dv(spark, t, "id", 1000, 1009)  # masks in file B
+    # CoW-rewrite file A: its DV entries go stale (file left the manifest)
+    snapshot_delete(spark, t, "id", 50, 59)
+    v, n_rw, n_purged = snapshot_purge_dv(spark, t)
+    assert n_purged == 10  # only file B's live entries count
+    assert n_rw == 1
+    got = sorted(r["id"] for r in snapshot_read(spark, t).collect())
+    assert got == [*range(10, 50), *range(60, 100), *range(1010, 1100)]
+    m = json.load(open(Path(t) / "_manifests" / f"v{v}.json"))
+    assert "deletes" not in m
