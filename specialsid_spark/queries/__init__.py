@@ -46,80 +46,67 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # (~50 entries).  To guarantee every query eventually gets a driver-side
 # CORRECTNESS row, names needing one are listed here and surfaced FIRST in
 # all_queries()/all_oracles(); everything else keeps module registration
-# order after them.  Round 10 (VERDICT r9 #1-2, recomputed from
-# CORRECTNESS_r01-r09.json): head = the four latest-row reds FIRST
-# (ev_cusum_changepoint — the r9 hash-red, now conf-proof-bucketed and
-# replay-verified; then the three stale pre-twin reds, every one
-# passing tools/check_oracle.py locally), then the queries with no
-# driver row at all (this round's new work), then the r4 cohort (the
-# TPC-H block that rolled out of the r9 budget), then the oldest slice
-# of the r5 cohort.  Everything listed was re-verified value-exact at
-# sf0.001+sf0.01 by tools/check_oracle.py this session.
+# order after them.  Round 11 (VERDICT r10 #1-2, recomputed from
+# CORRECTNESS_r01-r10.json): head = the lone driver red
+# (ev_cusum_changepoint, hash-red r9+r10 while rows+schema match and
+# every local replay is value-exact) immediately followed by its two r11
+# BISECTION PROBES — one driver run then pinpoints whether the scan, the
+# assembly, or the driver's own hash canonicalization diverges; then the
+# ENTIRE 42-query cohort whose newest driver row is r5 (five rounds
+# stale); then this round's new queries (no driver row yet).  1 + 2 + 42
+# = 45 of the ~50 slots — after the r11 run no registered query's newest
+# row should predate r6.  Everything listed passes tools/check_oracle.py
+# exact-multiset at sf0.01 this session.
 _PRIORITY: tuple[str, ...] = (
-    # the r9 driver red (W3 CUSUM) — rotate FIRST (VERDICT r9 #1)
+    # the two-round driver red + its bisection probes (VERDICT r10 #2)
     "ev_cusum_changepoint",
-    # stale reds predating their r9 self-checking-twin conversion
-    "agg_approx_count_distinct",
-    "agg_approx_percentiles",
-    "stream_pipeline_e2e",
-    # new since the r9 driver run (no driver row yet)
-    "mm_pdf_glyph_text_raster",
-    "mm_pdf_shading_raster",
-    "agg_qdigest_merge_parity",
-    "cur_semantic_decontaminate",
-    "clean_snapshot_deletion_vectors",
-    "mm_pdf_cff_text_raster",
-    "cur_blocklist_scrub",
-    "mm_pdf_radial_stitch_raster",
-    "mm_pdf_separation_fill_raster",
-    "mm_pdf_cid_glyph_raster",
-    "mm_tiff_g4_scanned_roundtrip",
-    "mm_pdf_ccitt_image_raster",
-    # newest driver row = r4
-    "subq_corr_above_nation_avg",
-    "subq_multi_supplier_orders",
-    "subq_scalar_above_avg",
-    "text_quality_score",
-    "text_token_stats",
-    "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_profit_by_nation_year",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_by_linestatus",
-    "tpch_q13_customer_order_distribution",
-    "tpch_q14_promo_revenue_share",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_variety",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_above_avg_part_shippers",
-    "tpch_q21_sole_return_supplier",
-    "tpch_q22_dormant_customers",
-    # newest driver row = r5 (oldest slice, registration order)
-    "text_bpe_train_merges",
-    "text_bpe_segment_vocab",
-    "text_bpe_apply_corpus",
-    "text_bigram_surprisal",
-    "text_zipf_slope",
-    "sim_binary_hamming_topk",
-    "sim_binary_rerank_topk",
-    "clean_snapshot_time_travel",
+    "ev_cusum_hourly_probe",
+    "ev_cusum_peaks_only",
+    # the 42-query r5-stale cohort (VERDICT r10 #1), registration order
+    "agg_collect_set",
+    "agg_count_distinct",
+    "agg_countmin_topk",
+    "agg_cube_status_priority",
+    "agg_grouping_sets",
+    "agg_hll_manual",
+    "agg_kmv_corpus_overlap",
+    "agg_percentiles_price",
+    "agg_pricing_summary",
+    "agg_rollup_region_nation",
+    "agg_salted_heavy_hitter",
+    "agg_stats_orders",
+    "agg_udaf_price_range",
     "clean_snapshot_diff",
     "clean_snapshot_incremental_refresh",
     "clean_snapshot_stats_pruning",
-    "mm_pdf_text_extract",
-    "mm_pdf_text_corpus_pipeline",
+    "clean_snapshot_time_travel",
+    "cur_cdc_chunks",
+    "cur_cdc_dedup_stats",
+    "cur_ngram_decontaminate",
+    "cur_weighted_sample",
+    "dedup_prefix_filter_pairs",
+    "emb_gram_matrix",
     "mm_compressed_text_roundtrip",
-    "mm_zip_archive_listing",
+    "mm_flac_meta",
+    "mm_flac_roundtrip",
+    "mm_html_text_extract",
+    "mm_image_patchify",
+    "mm_image_thumbnails",
+    "mm_jpeg12_roundtrip",
+    "mm_pdf_cid_text",
+    "mm_pdf_text_corpus_pipeline",
+    "mm_pdf_text_extract",
     "mm_tar_webdataset_samples",
+    "mm_video_mjpeg_frames",
+    "mm_warc_crawl_extract",
+    "mm_wav_adpcm",
+    "mm_wav_g711",
+    "mm_wav_vad_segments",
+    "mm_zip_archive_listing",
+    "pipeline_crawl_to_corpus",
+    "sim_kmeans_quantizer",
+    # new this round (r11) — no driver row yet
+    "mm_pdf_inline_image_raster",
 )
 
 

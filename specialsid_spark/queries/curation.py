@@ -1561,9 +1561,60 @@ def cur_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the model is two 512-row aggregates + one 512-row
     weight table broadcast to the per-token stream; the only
     corpus-sized shuffle is the map-side-combining per-document sum.
-    The final row_number ranking is the verification-exact selection;
-    at 100 TB the cut would be a weight threshold from rank selection,
-    applied as a projection."""
+    The Gumbel top-20% rank is a two-pass range-partitioned prefix
+    rank (VERDICT r10 #4, the cur_token_packing idiom): range-partition
+    by the (score DESC, doc_id) key, collect 32 per-partition
+    subtotals as rank offsets, rank WITHIN partitions only — no
+    SinglePartition Exchange anywhere, and the same offsets yield the
+    total count for the rnk*5 <= n_all cut."""
+    scored = _dsir_gm(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        "logw_mu",
+        "gumbel_mu",
+        (F.col("logw_mu") + F.col("gumbel_mu")).cast("long").alias("score_mu"),
+    )
+    # global (score DESC, doc_id) rank without a SinglePartition sort:
+    # doc_id makes the key unique, so range order + within-partition
+    # order IS the total order, and the 32 collected subtotals double
+    # as both the rank offsets and the n_all for the 20% cut
+    part = (
+        scored.repartitionByRange(
+            32, F.col("score_mu").desc(), F.col("doc_id")
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    subs = sorted(
+        part.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect(),
+        key=lambda r: r.pid,
+    )
+    if not subs:
+        return scored.withColumn("rnk", F.lit(1).cast("long")).limit(0)
+    n_all, offsets = 0, {}
+    for r in subs:
+        offsets[r.pid] = n_all
+        n_all += r.c
+    off = F.create_map(
+        *[F.lit(x) for pid_o in sorted(offsets.items()) for x in pid_o]
+    )
+    w = Window.partitionBy("pid").orderBy(F.desc("score_mu"), "doc_id")
+    rnk = (off[F.col("pid")] + F.row_number().over(w)).cast("long")
+    return (
+        part.select(
+            "doc_id", "n_tokens", "logw_mu", "gumbel_mu", "score_mu",
+            rnk.alias("rnk"),
+        )
+        .filter(F.col("rnk") <= F.lit(n_all // 5))
+        .orderBy("rnk")
+    )
+
+
+def _dsir_gm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's corpus-scale portion — hashed features, importance
+    weights, per-document Gumbel-perturbed scores.  Split out (r11) so
+    the broadcast-shape plan pin can see THIS stage's lineage (the
+    rank pass above checkpoints its input)."""
     d = load_parallel(spark, sf_dir, "documents")
     feat = (
         d.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
@@ -1597,28 +1648,13 @@ def cur_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lw_mu").cast("long").alias("logw_mu"),
         )
     )
-    gm = docw.withColumn(
+    return docw.withColumn(
         "ug",
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long")
         % 1048576,
     ).select(
         "doc_id", "n_tokens", "logw_mu", F.expr(_DSIR_GUMBEL).alias("gumbel_mu")
-    )
-    w = Window.orderBy(F.desc(F.col("logw_mu") + F.col("gumbel_mu")), F.col("doc_id"))
-    rk = gm.select(
-        "doc_id",
-        "n_tokens",
-        "logw_mu",
-        "gumbel_mu",
-        (F.col("logw_mu") + F.col("gumbel_mu")).cast("long").alias("score_mu"),
-        F.row_number().over(w).cast("long").alias("rnk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_all"),
-    )
-    return (
-        rk.filter(F.col("rnk") * 5 <= F.col("n_all"))
-        .drop("n_all")
-        .orderBy("rnk")
     )
 
 

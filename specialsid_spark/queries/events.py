@@ -1101,7 +1101,7 @@ def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 # timestamp_diff against an NTZ epoch literal — no session-zone or
 # parquet-reader conf can shift it — and DuckDB computes epoch_us.
 # Everything downstream of the hourly CTE is ONE shared tail string.
-_CUSUM_TAIL = """
+_CUSUM_CORE = """
     base AS (
       SELECT g, yc,
              CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n,
@@ -1125,7 +1125,9 @@ _CUSUM_TAIL = """
              c_dn - least(MIN(c_dn) OVER (PARTITION BY g ORDER BY i),
                           CAST(0 AS BIGINT)) AS s_dn
       FROM pre
-    ),
+    )"""
+
+_CUSUM_TAIL = _CUSUM_CORE + """,
     agg AS (
       SELECT g, MAX(i) AS n_hours,
              MAX(s_up) AS peak_up, MAX(s_dn) AS peak_dn,
@@ -1179,13 +1181,24 @@ def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     would carry (cf. streaming/pipeline.py's stateful ops).  No
     recursion, no UDF, no float, and (r10) no timestamp function past
     the scan: the hour bucket is integer arithmetic on epoch micros."""
+    hourly = _cusum_hourly(spark, sf_dir)
+    hourly.createOrReplaceTempView("ev_cusum_hourly_src")
+    return spark.sql("WITH hourly AS (SELECT * FROM ev_cusum_hourly_src)," + _CUSUM_TAIL)
+
+
+def _cusum_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSUM family's shared hourly rollup: per-type integer-cent
+    totals bucketed by ARITHMETIC on epoch microseconds (no timestamp
+    function past the scan — no session-zone or reader conf can shift
+    it).  Extracted (r11) so the full detector and its bisection
+    probes run byte-identical plans for this stage."""
     e = load(spark, sf_dir, "events")
     t_us = F.timestamp_diff(
         "MICROSECOND",
         F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
         F.col("ts"),
     )
-    hourly = (
+    return (
         e.select(
             F.col("event_type").alias("g"),
             F.floor(t_us / F.lit(3_600_000_000)).cast("long").alias("h"),
@@ -1194,8 +1207,92 @@ def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g", "h")
         .agg(F.sum("c").cast("long").alias("yc"))
     )
-    hourly.createOrReplaceTempView("ev_cusum_hourly_src")
-    return spark.sql("WITH hourly AS (SELECT * FROM ev_cusum_hourly_src)," + _CUSUM_TAIL)
+
+
+# r11 bisection probes (VERDICT r10 next-round #2): ev_cusum_changepoint
+# has been driver-hash-red for two rounds while rows+schema match and
+# every local replay (tools/check_oracle.py exact-multiset compare,
+# tools/replay_rotation.py full-rotation in-order) is value-exact.  The
+# SQL is already integer-only and conf-proof, so instead of a third
+# rewrite of the same semantics, register two probes that isolate the
+# remaining suspect stages.  One driver run then bisects WHERE the hash
+# diverges:
+#   * hourly probe red            -> the scan/bucketing stage diverges
+#   * only the full query red     -> the agg JOIN pk assembly diverges
+#   * both probes green, full red -> the driver's own hash
+#     canonicalization on the full query's shape is implicated
+_CUSUM_HOURLY_ORACLE = """
+    SELECT event_type AS g,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY g, h
+"""
+
+
+@register("ev_cusum_hourly_probe", oracle=_CUSUM_HOURLY_ORACLE)
+def ev_cusum_hourly_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisection probe A: ONLY the hourly CTE of ev_cusum_changepoint —
+    the single stage left where engine behavior (scan, rounding,
+    bucketing) could diverge.  Same builder function as the full
+    detector, so a red here indicts the scan/rollup and a green one
+    clears it."""
+    return _cusum_hourly(spark, sf_dir).orderBy("g", "h")
+
+
+# Same base/pre/cus core as the full detector, but the peak index is
+# picked with ONE MORE WINDOW instead of the agg JOIN pk assembly —
+# identical output columns and values, different final shape.
+_CUSUM_PEAKS_TAIL = _CUSUM_CORE + """,
+    pk2 AS (
+      SELECT g, i, tot, s_up, s_dn,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY s_up DESC, i) AS rn,
+             MAX(i) OVER (PARTITION BY g) AS n_hours,
+             MAX(s_up) OVER (PARTITION BY g) AS peak_up,
+             MAX(s_dn) OVER (PARTITION BY g) AS peak_dn,
+             CAST(SUM(CASE WHEN s_up > 8 * tot THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY g) AS BIGINT) AS n_up_flags,
+             CAST(SUM(CASE WHEN s_dn > 8 * tot THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY g) AS BIGINT) AS n_dn_flags
+      FROM cus
+    )
+    SELECT g AS event_type, n_hours, i AS peak_up_idx, peak_up,
+           n_up_flags, peak_dn, n_dn_flags
+    FROM pk2
+    WHERE rn = 1
+    ORDER BY event_type
+"""
+
+_CUSUM_PEAKS_ORACLE = (
+    """
+    WITH hourly AS (
+      SELECT event_type AS g,
+             CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+      FROM events
+      GROUP BY 1, 2
+    ),
+"""
+    + _CUSUM_PEAKS_TAIL
+)
+
+
+@register("ev_cusum_peaks_only", oracle=_CUSUM_PEAKS_ORACLE)
+def ev_cusum_peaks_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisection probe B: the full CUSUM detector with the final
+    agg JOIN pk assembly replaced by windows over the cus frame (peak
+    row selected by the same (s_up DESC, i) tie-break, side aggregates
+    computed as per-partition windows).  Output columns and values are
+    identical to ev_cusum_changepoint; only the assembly shape
+    differs.  Green here + red full query indicts the join/assembly;
+    red here moves the suspect upstream."""
+    hourly = _cusum_hourly(spark, sf_dir)
+    hourly.createOrReplaceTempView("ev_cusum_peaks_hourly_src")
+    return spark.sql(
+        "WITH hourly AS (SELECT * FROM ev_cusum_peaks_hourly_src),"
+        + _CUSUM_PEAKS_TAIL
+    )
 
 
 # One ANSI string both engines run verbatim: first-order Markov

@@ -4628,3 +4628,168 @@ def mm_pdf_ccitt_image_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "mm_pdf_inline_image_raster",
+    # r11 (VERDICT r10 #4): BI..ID..EI INLINE images — the standard way
+    # scanned/office PDFs embed small bitmaps (ISO 32000-1 §8.9.7) —
+    # through the rasterizer.  Each doc's page carries TWO inline
+    # images exercising distinct end-of-data/decode paths: a
+    # Flate-compressed 8-bit grayscale (zlib stream end locates the
+    # data end) and an ASCIIHex RGB ('>' terminator + transport
+    # decode).  Pixel values are pure doc_id/x/y predicates the oracle
+    # re-sums; moduli < 255 make every image pixel non-white, so ink
+    # coverage and the col/row bounds pin PLACEMENT while the three
+    # channel sums pin DECODE — a one-pixel shift, filter slip, or
+    # channel swap moves at least one column.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    a AS (
+      SELECT d.doc_id,
+             CAST(SUM((x.x * 7 + y.y * 13 + d.doc_id) % 251) AS BIGINT) AS sa
+      FROM docs d,
+           (SELECT unnest(range(0, 96)) AS x) x,
+           (SELECT unnest(range(0, 64)) AS y) y
+      GROUP BY d.doc_id
+    ),
+    b AS (
+      SELECT d.doc_id,
+             CAST(SUM((x.x * 11 + d.doc_id) % 253) AS BIGINT) AS sr,
+             CAST(SUM((y.y * 17 + d.doc_id) % 249) AS BIGINT) AS sg,
+             CAST(SUM((x.x + y.y + d.doc_id) % 247) AS BIGINT) AS sb
+      FROM docs d,
+           (SELECT unnest(range(0, 40)) AS x) x,
+           (SELECT unnest(range(0, 30)) AS y) y
+      GROUP BY d.doc_id
+    )
+    SELECT a.doc_id, 612 AS width, 792 AS height,
+           CAST(7344 AS BIGINT) AS ink_px,
+           CAST(50 AS BIGINT) AS col_min, CAST(339 AS BIGINT) AS col_max,
+           CAST(128 AS BIGINT) AS row_min, CAST(191 AS BIGINT) AS row_max,
+           CAST(255 * 484704 - (255 * 6144 - sa) - (255 * 1200 - sr)
+                AS BIGINT) AS r_sum,
+           CAST(255 * 484704 - (255 * 6144 - sa) - (255 * 1200 - sg)
+                AS BIGINT) AS g_sum,
+           CAST(255 * 484704 - (255 * 6144 - sa) - (255 * 1200 - sb)
+                AS BIGINT) AS b_sum
+    FROM a JOIN b ON b.doc_id = a.doc_id
+    ORDER BY a.doc_id
+    """,
+)
+def mm_pdf_inline_image_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/X3 extension, r11 — inline-image PDFs: per doc, a fixture
+    page whose only content is two BI..EI inline images (Flate gray +
+    ASCIIHex RGB) placed 1:1 at integral offsets; rasterize and emit
+    exact ink coverage, ink bounding box, and per-channel sums.
+    Completes the small-bitmap leg of scanned/office-PDF ingestion
+    next to mm_pdf_ccitt_image_raster (image XObjects).
+
+    Scale shape: per-row independent mapInPandas; page-bounded buffer,
+    no shuffle before the final sort."""
+    import binascii
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from specialsid_spark.operators.pdf import _assemble_pdf
+    from specialsid_spark.operators.pdfraster import rasterize_page
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+    W1, H1, W2, H2 = 96, 64, 40, 30
+
+    def build(doc_id: int) -> bytes:
+        gray = bytes(
+            (x * 7 + y * 13 + doc_id) % 251
+            for y in range(H1)
+            for x in range(W1)
+        )
+        rgb = bytes(
+            v
+            for y in range(H2)
+            for x in range(W2)
+            for v in (
+                (x * 11 + doc_id) % 253,
+                (y * 17 + doc_id) % 249,
+                (x + y + doc_id) % 247,
+            )
+        )
+        content = (
+            b"q %d 0 0 %d 50 600 cm"
+            b" BI /W %d /H %d /CS /G /BPC 8 /F /Fl ID " % (W1, H1, W1, H1)
+            + zlib.compress(gray)
+            + b" EI Q q %d 0 0 %d 300 600 cm"
+            b" BI /W %d /H %d /CS /RGB /BPC 8 /F /AHx ID " % (W2, H2, W2, H2)
+            + binascii.hexlify(rgb)
+            + b"> EI Q"
+        )
+        objects: list[bytes] = []
+
+        def add(body: bytes) -> int:
+            objects.append(body)
+            return len(objects)
+
+        cat = add(b"")
+        pages = add(b"")
+        cont = add(
+            b"<< /Length %d >>\nstream\n" % len(content)
+            + content + b"\nendstream"
+        )
+        page = add(
+            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
+            b" /Contents %d 0 R >>" % (pages, cont)
+        )
+        objects[pages - 1] = (
+            b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
+        )
+        objects[cat - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages
+        return _assemble_pdf(objects, cat)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                r = rasterize_page(build(doc_id))
+                if r is None:  # degrade surfaces as an impossible row
+                    out.append((doc_id, -1, -1, -1, -1, -1, -1, -1,
+                                -1, -1, -1))
+                    continue
+                w, h, _ch, px = r
+                buf = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+                ink = (buf != 255).any(axis=2)
+                rows = np.where(ink.any(axis=1))[0]
+                cols = np.where(ink.any(axis=0))[0]
+                out.append(
+                    (doc_id, w, h, int(ink.sum()),
+                     int(cols.min()) if cols.size else -1,
+                     int(cols.max()) if cols.size else -1,
+                     int(rows.min()) if rows.size else -1,
+                     int(rows.max()) if rows.size else -1,
+                     int(buf[:, :, 0].astype(np.int64).sum()),
+                     int(buf[:, :, 1].astype(np.int64).sum()),
+                     int(buf[:, :, 2].astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "ink_px",
+                         "col_min", "col_max", "row_min", "row_max",
+                         "r_sum", "g_sum", "b_sum"],
+            ).astype({"doc_id": "int64", "width": "int32",
+                      "height": "int32", "ink_px": "int64",
+                      "col_min": "int64", "col_max": "int64",
+                      "row_min": "int64", "row_max": "int64",
+                      "r_sum": "int64", "g_sum": "int64",
+                      "b_sum": "int64"})
+
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            fn,
+            "doc_id long, width int, height int, ink_px long,"
+            " col_min long, col_max long, row_min long, row_max long,"
+            " r_sum long, g_sum long, b_sum long",
+        )
+        .orderBy("doc_id")
+    )

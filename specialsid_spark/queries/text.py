@@ -919,7 +919,14 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic corpora drift).  Log points snap to milli-nat integers so
     all regression sums are exact int64; the slope is one double
     division at the end.  The word count is the only corpus-scale pass;
-    the fit consumes {_ZIPF_TOP} rows."""
+    the fit consumes {_ZIPF_TOP} rows.
+
+    Scale shape (VERDICT r10 #2): top-k FIRST via orderBy().limit() —
+    TakeOrderedAndProject keeps a {_ZIPF_TOP}-row heap per partition
+    and merges heaps, so the full vocabulary (billions of rows at
+    corpus scale) never sorts through one partition; ONLY the {_ZIPF_TOP}
+    survivors are then ranked (same (n DESC, tok) tie-break as the
+    global rank, so the result is identical)."""
     from pyspark.sql.window import Window
 
     d = load_parallel(spark, sf_dir, "documents")
@@ -928,9 +935,10 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    ranked = wc.withColumn(
+    top = wc.orderBy(F.desc("n"), "tok").limit(_ZIPF_TOP)
+    ranked = top.withColumn(
         "r", F.row_number().over(Window.orderBy(F.desc("n"), "tok"))
-    ).where(F.col("r") <= _ZIPF_TOP)
+    )
     pts = ranked.select(
         F.floor(F.log(F.col("r").cast("double")) * 1000).cast("long").alias("x"),
         F.floor(F.log(F.col("n").cast("double")) * 1000).cast("long").alias("y"),
@@ -1794,11 +1802,66 @@ def _kn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bigram types, context totals, continuation counts, vocab) is
     vocabulary- not corpus-bounded, so the broadcast joins hold at any
     corpus size; the only corpus-sized shuffles carry (doc_id, w1m,
-    w2m) occurrence rows into a map-side-combining sum.  The final
-    NTILE over documents is the verification-exact bucket assignment —
-    at 100 TB the cutoffs would be computed once by rank selection
-    (see agg_exact_percentiles) and applied as a projection instead of
-    a global sort."""
+    w2m) occurrence rows into a map-side-combining sum.  The bucket
+    assignment reproduces NTILE(3) EXACTLY without a SinglePartition
+    sort (VERDICT r10 #3): the doc-level frame is range-partitioned by
+    the ordering key, 32 per-partition subtotals become rank offsets
+    (the cur_token_packing idiom), ranks run within partitions only,
+    and the two NTILE boundary ranks derived from the total count turn
+    each rank into a bucket by comparison."""
+    nats = F.col("nll_mu").cast("double") / (
+        F.lit(1000000.0) * F.col("n_bigrams").cast("double")
+    )
+    scored = _kn_docnll(spark, sf_dir).select(
+        "doc_id", "n_bigrams", "nll_mu", nats.alias("nats_per_bigram")
+    )
+    # NTILE(3) over (nats, doc_id) — exact, but WITHOUT the global
+    # single-partition sort: two-pass range-partitioned rank.  doc_id
+    # makes the composite key unique, so range order + within-partition
+    # order IS the total order, and NTILE's bucket sizes (q+1 for the
+    # first N%3 buckets, q for the rest) reduce to two rank thresholds.
+    part = (
+        scored.repartitionByRange(32, "nats_per_bigram", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    subs = sorted(
+        part.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect(),
+        key=lambda r: r.pid,
+    )  # bounded by the partition count (32), never by |docs|
+    if not subs:
+        return scored.withColumn("ppl_bucket", F.lit(1).cast("long"))
+    n_docs, offsets = 0, {}
+    for r in subs:
+        offsets[r.pid] = n_docs
+        n_docs += r.c
+    q, rem = divmod(n_docs, 3)
+    t1 = q + (1 if rem >= 1 else 0)
+    t2 = t1 + q + (1 if rem >= 2 else 0)
+    off = F.create_map(
+        *[F.lit(x) for pid_o in sorted(offsets.items()) for x in pid_o]
+    )
+    w = Window.partitionBy("pid").orderBy("nats_per_bigram", "doc_id")
+    rnk = off[F.col("pid")] + F.row_number().over(w)
+    return part.select(
+        "doc_id",
+        "n_bigrams",
+        "nll_mu",
+        "nats_per_bigram",
+        F.when(rnk <= F.lit(t1), F.lit(1))
+        .when(rnk <= F.lit(t2), F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("long")
+        .alias("ppl_bucket"),
+    )
+
+
+def _kn_docnll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KN scorer's corpus-scale portion — everything up to the
+    per-document (n_bigrams, nll_mu) frame.  Split out (r11) so the
+    plan pins in test_plan_shapes.py can assert the broadcast/shuffle
+    shape of THIS stage directly (the bucketing pass above checkpoints
+    its input, which truncates the visible lineage)."""
     d = load_parallel(spark, sf_dir, "documents")
     t = d.select("doc_id", tokens("text").alias("ts")).filter(F.size("ts") >= 2)
     n = F.size("ts")
@@ -1872,22 +1935,9 @@ def _kn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("doc_id", F.expr(_KN_LP_MU).alias("lp_mu"))
     )
-    docnll = occ.groupBy("doc_id").agg(
+    return occ.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         (-F.sum("lp_mu")).cast("long").alias("nll_mu"),
-    )
-    nats = F.col("nll_mu").cast("double") / (
-        F.lit(1000000.0) * F.col("n_bigrams").cast("double")
-    )
-    return docnll.select(
-        "doc_id",
-        "n_bigrams",
-        "nll_mu",
-        nats.alias("nats_per_bigram"),
-        F.ntile(3)
-        .over(Window.orderBy(nats, "doc_id"))
-        .cast("long")
-        .alias("ppl_bucket"),
     )
 
 

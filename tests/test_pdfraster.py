@@ -686,3 +686,98 @@ def test_type4_array_valued_stack_count_degrades_not_crashes():
         1.0,
         2.0,
     ]
+
+
+# ------------------------------------------------ inline images (r11)
+
+
+def _ii_page(content: bytes):
+    import numpy as np
+
+    from specialsid_spark.operators.pdfraster import rasterize_page
+
+    out = rasterize_page(_one_page_pdf([], content, b""))
+    if out is None:
+        return None
+    w, h, _c, px = out
+    return np.frombuffer(px, np.uint8).reshape(h, w, 3)
+
+
+def test_inline_image_raw_rgb():
+    raw = bytes([255, 0, 0] * 2 + [0, 0, 255] * 2)  # top row red, bottom blue
+    buf = _ii_page(
+        b"q 200 0 0 200 0 0 cm BI /W 2 /H 2 /CS /RGB /BPC 8 ID "
+        + raw + b" EI Q"
+    )
+    assert buf is not None
+    assert tuple(buf[792 - 151, 51]) == (255, 0, 0)  # upper half = row 0
+    assert tuple(buf[792 - 51, 51]) == (0, 0, 255)
+
+
+def test_inline_image_flate_gray_and_following_ops_still_run():
+    import zlib
+
+    g = bytes([40, 40, 220, 220])
+    buf = _ii_page(
+        b"q 200 0 0 200 0 0 cm BI /W 2 /H 2 /CS /G /BPC 8 /F /Fl ID "
+        + zlib.compress(g)
+        + b" EI Q 1 0 0 rg 300 50 100 100 re f"
+    )
+    assert buf is not None
+    assert tuple(buf[792 - 151, 51]) == (40, 40, 40)
+    assert tuple(buf[792 - 51, 51]) == (220, 220, 220)
+    # the operator stream continues correctly after EI
+    assert tuple(buf[792 - 51, 301]) == (255, 0, 0)
+
+
+def test_inline_image_ahx_and_a85_transport():
+    import base64
+    import binascii
+    import zlib
+
+    raw = bytes([10, 20, 30] * 4)
+    buf = _ii_page(
+        b"q 100 0 0 100 0 0 cm BI /W 2 /H 2 /CS /RGB /BPC 8 /F /AHx ID "
+        + binascii.hexlify(raw) + b"> EI Q"
+    )
+    assert buf is not None and tuple(buf[792 - 51, 51]) == (10, 20, 30)
+    g = bytes([77] * 4)
+    buf = _ii_page(
+        b"q 100 0 0 100 0 0 cm BI /W 2 /H 2 /CS /G /BPC 8 /F [/A85 /Fl] ID "
+        + base64.a85encode(zlib.compress(g)) + b"~> EI Q"
+    )
+    assert buf is not None and tuple(buf[792 - 51, 51]) == (77, 77, 77)
+
+
+def test_inline_image_out_of_scope_degrades():
+    # image mask
+    assert _ii_page(
+        b"q 10 0 0 10 0 0 cm BI /W 2 /H 2 /IM true /BPC 1 ID \x00 EI Q"
+    ) is None
+    # unknown filter
+    assert _ii_page(
+        b"q 10 0 0 10 0 0 cm BI /W 2 /H 2 /CS /G /BPC 8 /F /RL ID xx EI Q"
+    ) is None
+    # truncated data (no EI)
+    assert _ii_page(
+        b"q 10 0 0 10 0 0 cm BI /W 9 /H 9 /CS /G /BPC 8 ID \x01\x02"
+    ) is None
+
+
+def test_inline_image_g4_ccitt_with_ei_scan():
+    from specialsid_spark.operators.ccitt import g4_encode
+
+    W, H = 24, 16
+    img = bytes(0 if (x + y) % 5 == 0 else 255 for y in range(H) for x in range(W))
+    enc = g4_encode(img, W, H)
+    buf = _ii_page(
+        b"q %d 0 0 %d 30 700 cm BI /W %d /H %d /CS /G /BPC 1 /F /CCF"
+        b" /DP << /K -1 /Columns %d >> ID " % (W, H, W, H, W)
+        + enc + b" EI Q"
+    )
+    assert buf is not None
+    region = buf[792 - 716 : 792 - 700, 30:54, 0]
+    import numpy as np
+
+    expect = np.frombuffer(img, np.uint8).reshape(H, W)
+    assert (region == expect).all()
