@@ -827,6 +827,24 @@ def _parse_content_text(
     return "\n".join(lines)
 
 
+def lzw_decode_pdf(head: bytes, data: bytes) -> bytes | None:
+    """PDF /LZWDecode (ISO 32000-1 §7.4.4): the TIFF 6.0 §13 codec
+    (operators/tiff.py lzw_decode_tiff — MSB-first bits, 9→12-bit
+    codes over a 256-symbol alphabet) parameterized by /EarlyChange
+    from the stream dict (default 1, the TIFF-identical width rule;
+    0 = late change).  None on corrupt streams or unsupported
+    /Predictor values (> 1).  r11, VERDICT r10 next-#7."""
+    from specialsid_spark.operators.tiff import lzw_decode_tiff  # noqa: PLC0415
+
+    pm = re.search(rb"/Predictor\s+(\d+)", head)
+    if pm is not None and int(pm.group(1)) > 1:
+        return None  # predictor-coded LZW: out of scope, degrade loudly
+    em = re.search(rb"/EarlyChange\s+(\d+)", head)
+    early = int(em.group(1)) if em else 1
+    out = lzw_decode_tiff(data, early_change=early)
+    return bytes(out) if out is not None else None
+
+
 def _content_bytes(objs: dict, head: bytes) -> bytes | None:
     """Concatenated, filter-decoded /Contents stream(s) of a page."""
     m = re.search(rb"/Contents\s+(\d+)\s+0\s+R", head)
@@ -851,8 +869,14 @@ def _content_bytes(objs: dict, head: bytes) -> bytes | None:
                 data = zlib.decompress(data)
             except zlib.error:
                 return None
+        elif re.search(rb"/Filter\s*/LZWDecode\b", chead) or re.search(
+            rb"/Filter\s*\[\s*/LZWDecode\s*\]", chead
+        ):
+            data = lzw_decode_pdf(chead, data)
+            if data is None:
+                return None
         elif re.search(rb"/Filter\b", chead):
-            return None  # other filters (DCT, LZW, ...) unsupported
+            return None  # other filters (DCT, JBIG2, ...) unsupported
         parts.append(data)
     return b"\n".join(parts)
 
@@ -902,7 +926,7 @@ def _pdf_escape(s: str, char_to_code: dict[str, int] | None = None) -> bytes:
 
 def build_text_pdf(
     pages: list[str],
-    compress: bool = True,
+    compress: bool | str = True,
     layout: str = "classic",
     differences: dict[int, str] | None = None,
 ) -> bytes:
@@ -971,7 +995,16 @@ def build_text_pdf(
         ops.append(b"ET")
         content = b"\n".join(ops)
         filt = b""
-        if compress:
+        if compress == "lzw":
+            # pre-1.2-era layout: LZW content streams, /EarlyChange 1
+            # (the default — bit-identical to TIFF's width rule)
+            from specialsid_spark.operators.tiff import (  # noqa: PLC0415
+                lzw_encode_tiff,
+            )
+
+            content = lzw_encode_tiff(content)
+            filt = b" /Filter /LZWDecode"
+        elif compress:
             content = zlib.compress(content)
             filt = b" /Filter /FlateDecode"
         cont_num = add(

@@ -164,9 +164,17 @@ def lzw_encode_tiff(data: bytes) -> bytes:
     return bytes(out)
 
 
-def lzw_decode_tiff(data: bytes, expected: int | None = None) -> bytearray | None:
+def lzw_decode_tiff(
+    data: bytes, expected: int | None = None, early_change: int = 1
+) -> bytearray | None:
     """Inverse of :func:`lzw_encode_tiff` per the TIFF 6.0 §13 decoder
-    pseudocode; None on corrupt streams."""
+    pseudocode; None on corrupt streams.
+
+    ``early_change`` (r11): TIFF always uses the early-change width
+    rule (1).  PDF's /LZWDecode filter (ISO 32000-1 §7.4.4) is the
+    SAME codec parameterized by /EarlyChange — 1 by default (bit-
+    identical to TIFF), 0 for late-change streams whose width bumps
+    one code later; passing 0 here decodes those."""
     out = bytearray()
     acc = nacc = pos = 0
     width = 9
@@ -182,7 +190,8 @@ def lzw_decode_tiff(data: bytes, expected: int | None = None) -> bytearray | Non
         # next free code hits 2^w - 1, the decoder must widen when its
         # TABLE LENGTH hits 2^w - 2 — the classic off-by-one that
         # desyncs both streams precisely at each width boundary.
-        if len(table) == (1 << width) - 2 and width < 12:
+        # (PDF /EarlyChange 0 shifts both sides one code later.)
+        if len(table) == (1 << width) - 1 - early_change and width < 12:
             width += 1
         while nacc < width:
             if pos >= n:

@@ -107,6 +107,9 @@ _PRIORITY: tuple[str, ...] = (
     "sim_kmeans_quantizer",
     # new this round (r11) — no driver row yet
     "mm_pdf_inline_image_raster",
+    "mm_pdf_lzw_text",
+    "mm_pdf_std14_text_raster",
+    "mm_pdf_type1_text_raster",
 )
 
 

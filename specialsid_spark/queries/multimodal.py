@@ -4793,3 +4793,318 @@ def mm_pdf_inline_image_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "mm_pdf_lzw_text",
+    # Same fixture-grammar discipline as mm_pdf_text_extract, but the
+    # content streams are /LZWDecode-compressed (the pre-1.2-era layout
+    # some generators still emit) — any defect in the TIFF-6.0-style
+    # LZW codec, the /EarlyChange width rule, or the filter dispatch
+    # breaks the hash.  VERDICT r10 next-#7.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    pages AS (SELECT unnest(range(0, 2)) AS p),
+    txt AS (
+      SELECT d.doc_id, p.p,
+             'lzw doc ' || d.doc_id || ' pg ' || p.p
+             || ' w' || (d.doc_id * 13 + p.p) % 10 || chr(10)
+             || 'coded (e' || (d.doc_id * 9 + p.p) % 6 || ') tail\\fin'
+             AS page_text
+      FROM docs d CROSS JOIN pages p
+    )
+    SELECT doc_id, CAST(p + 1 AS INT) AS page_no,
+           CAST(length(page_text) AS INT) AS n_chars, page_text
+    FROM txt
+    ORDER BY doc_id, page_no
+    """,
+)
+def mm_pdf_lzw_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 (VERDICT r10 next-#7) — PDF /LZWDecode content streams end
+    to end: per doc, write a two-page text PDF whose page content
+    streams are LZW-compressed (operators/tiff.py lzw_encode_tiff —
+    MSB-first 9→12-bit codes, early-change width rule, the PDF
+    /EarlyChange 1 default; see operators/pdf.py lzw_decode_pdf for
+    the ISO 32000-1 §7.4.4 parameterization), then recover each
+    page's text with the production content-stream interpreter.  The
+    reference's converter handles such PDFs through Poppler
+    (scripts/pdfscr/pdf-img/gen_pdf_imgLambda.py:51); here the codec
+    itself is from-scratch per TIFF 6.0 §13 / ISO 32000-1 §7.4.4.
+
+    Scale shape: per-doc independent mapInPandas, no shuffle before
+    the final sort — identical to the codec-query family."""
+    import pandas as pd
+
+    from specialsid_spark.operators.pdf import build_text_pdf, extract_page_text
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                pages = [
+                    f"lzw doc {doc_id} pg {p} w{(doc_id * 13 + p) % 10}\n"
+                    f"coded (e{(doc_id * 9 + p) % 6}) tail\\fin"
+                    for p in range(2)
+                ]
+                blob = build_text_pdf(pages, compress="lzw")
+                assert b"/LZWDecode" in blob
+                texts = extract_page_text(blob)
+                for p, text in enumerate(texts):
+                    out.append((doc_id, p + 1, len(text), text))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "page_no", "n_chars", "page_text"]
+            ).astype({"doc_id": "int64", "page_no": "int32", "n_chars": "int32"})
+
+    schema = "doc_id long, page_no int, n_chars int, page_text string"
+    return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id", "page_no")
+
+
+@register(
+    "mm_pdf_std14_text_raster",
+    # Metric-true Standard-14 text (r11, VERDICT r10 next-#5): the
+    # fixture page sets 'Tw <doc_id>' in NON-embedded Helvetica (even
+    # docs) or Times-Roman (odd docs) at 125 pt — size chosen so every
+    # AFM advance w/1000*125 = w/8 is dyadic, hence pen positions are
+    # exact doubles and the SQL running sum is order-independent.  The
+    # oracle re-derives the raster from the public Adobe Core-14 AFM
+    # widths (operators/afm.py): per char, ink spans
+    # round(x0 + adv*0.8) - round(x0) columns by 75 rows (92 -
+    # round(92 - 0.6*125)), the pen advancing by the REAL per-glyph
+    # width — T 611, w 722, space 278/250, digits 556/500 per face.  A
+    # wrong width, a wrong face resolution, or a flat-advance fallback
+    # shifts every column count.
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'Helvetica' ELSE 'Times-Roman' END AS face,
+             3 + length(CAST(doc_id AS VARCHAR)) AS n_chars
+      FROM documents WHERE doc_id < {_N_CODEC_DOCS}
+    ),
+    chars AS (
+      SELECT d.doc_id, d.face, d.n_chars, k.i,
+             CASE WHEN k.i = 1 THEN 611.0
+                  WHEN k.i = 2 THEN 722.0
+                  WHEN k.i = 3 THEN
+                    CASE WHEN d.doc_id % 2 = 0 THEN 278.0 ELSE 250.0 END
+                  ELSE CASE WHEN d.doc_id % 2 = 0 THEN 556.0 ELSE 500.0 END
+             END AS wth,
+             k.i <> 3 AS inked
+      FROM docs d, (SELECT unnest(range(1, 6)) AS i) k
+      WHERE k.i <= d.n_chars
+    ),
+    pens AS (
+      SELECT doc_id, face, n_chars, i, inked,
+             wth / 1000 * 125 AS adv,
+             72 + COALESCE(SUM(wth / 1000 * 125) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS x0
+      FROM chars
+    ),
+    boxes AS (
+      SELECT doc_id, face, n_chars,
+             CAST(round(x0 + adv * (0.4 / 0.5)) AS BIGINT)
+               - CAST(round(x0) AS BIGINT) AS cols,
+             CAST(round(x0 + adv * (0.4 / 0.5)) AS BIGINT) - 1 AS right_px
+      FROM pens WHERE inked
+    ),
+    agg AS (
+      SELECT doc_id, face, n_chars,
+             SUM(cols) AS ink_cols, MAX(right_px) AS col_max
+      FROM boxes GROUP BY doc_id, face, n_chars
+    )
+    SELECT doc_id, face, CAST(n_chars AS INT) AS n_chars,
+           612 AS width, 792 AS height,
+           CAST((92 - CAST(round(92 - 0.6 * 125) AS BIGINT)) * ink_cols
+                AS BIGINT) AS ink_px,
+           72 AS col_min, CAST(col_max AS BIGINT) AS col_max,
+           CAST(round(92 - 0.6 * 125) AS BIGINT) AS row_min, 91 AS row_max,
+           CAST(255 * 612 * 792
+                - 255 * (92 - CAST(round(92 - 0.6 * 125) AS BIGINT)) * ink_cols
+                AS BIGINT) AS gray_sum
+    FROM agg
+    ORDER BY doc_id
+    """,
+)
+def mm_pdf_std14_text_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 (VERDICT r10 next-#5) — NON-embedded Standard-14 text, the
+    single most common PDF text case: no FontDescriptor, no FontFile;
+    the rasterizer resolves the /BaseFont name against the public
+    Adobe Core-14 AFM width tables (operators/afm.py) and paints
+    metric-true boxes — real per-glyph advances, so line length, word
+    spacing, and ink bounds match what Poppler (the reference's
+    rasterizer, gen_pdf_imgLambda.py:51) draws for the same page,
+    where the r8 teaching model advanced a flat half-em per char.
+
+    Scale shape: per-doc independent mapInPandas, no shuffle before
+    the final sort — the codec-family plan."""
+    import numpy as np
+    import pandas as pd
+
+    from specialsid_spark.operators.pdfraster import (
+        build_std14_pdf,
+        rasterize_page,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                face = "Helvetica" if doc_id % 2 == 0 else "Times-Roman"
+                text = f"Tw {doc_id}"
+                r = rasterize_page(build_std14_pdf(text, face))
+                w, h, _ch, px = r
+                buf = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+                ink = (buf != 255).any(axis=2)
+                rows = np.where(ink.any(axis=1))[0]
+                cols = np.where(ink.any(axis=0))[0]
+                out.append(
+                    (doc_id, face, len(text), w, h, int(ink.sum()),
+                     int(cols.min()), int(cols.max()),
+                     int(rows.min()), int(rows.max()),
+                     int(buf[:, :, 0].astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "face", "n_chars", "width", "height",
+                         "ink_px", "col_min", "col_max", "row_min",
+                         "row_max", "gray_sum"],
+            ).astype({"doc_id": "int64", "n_chars": "int32",
+                      "width": "int32", "height": "int32",
+                      "ink_px": "int64", "col_min": "int64",
+                      "col_max": "int64", "row_min": "int64",
+                      "row_max": "int64", "gray_sum": "int64"})
+
+    schema = (
+        "doc_id long, face string, n_chars int, width int, height int,"
+        " ink_px long, col_min long, col_max long, row_min long,"
+        " row_max long, gray_sum long"
+    )
+    return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")
+
+
+@register(
+    "mm_pdf_type1_text_raster",
+    # r11 (VERDICT r10 next-#6): bare /FontFile Type 1 programs —
+    # eexec decryption (r=55665), charstring decryption (r=4330,
+    # lenIV), and the Type 1 charstring set (hsbw widths, single-
+    # operand h/vlineto, explicit closepath) — render real outlines
+    # (operators/type1.py).  The fixture font carries the SAME four
+    # closed-form glyphs as the CFF fixture (L 608 px, O-ring 1088 px,
+    # C = the pinned 16-segment cubic arch, H 960 px at units 1024 /
+    # size 64), so the ink oracle transfers piece for piece while the
+    # entire decrypt + interpret path is new.  A single wrong byte in
+    # either cipher stream corrupts every downstream outline.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    cpts AS (
+      SELECT k,
+             u*u*u*76.0 + 3*u*u*t*84.0 + 3*u*t*t*100.0 + t*t*t*108.0 AS px,
+             u*u*u*92.0 + 3*u*u*t*52.0 + 3*u*t*t*52.0 + t*t*t*92.0 AS py
+      FROM (
+        SELECT kk.k AS k, CAST(kk.k AS DOUBLE) / 16 AS t,
+               1.0 - CAST(kk.k AS DOUBLE) / 16 AS u
+        FROM (SELECT unnest(range(0, 17)) AS k) kk
+      )
+    ),
+    cedges AS (
+      SELECT a.px AS ex0, a.py AS ey0, b.px AS ex1, b.py AS ey1
+      FROM cpts a JOIN cpts b ON b.k = a.k + 1
+      WHERE a.py <> b.py
+    ),
+    ccross AS (
+      SELECT sl.py AS row_y,
+             e.ex0 + ((CAST(sl.py AS DOUBLE) + 0.5) - e.ey0)
+                     * (e.ex1 - e.ex0) / (e.ey1 - e.ey0) AS cx
+      FROM cedges e, (SELECT unnest(range(50, 93)) AS py) sl
+      WHERE (e.ey0 <= CAST(sl.py AS DOUBLE) + 0.5
+             AND CAST(sl.py AS DOUBLE) + 0.5 < e.ey1)
+         OR (e.ey1 <= CAST(sl.py AS DOUBLE) + 0.5
+             AND CAST(sl.py AS DOUBLE) + 0.5 < e.ey0)
+    ),
+    cink AS (
+      SELECT CAST(SUM(npx) AS BIGINT) AS ink FROM (
+        SELECT CAST(ceil(MAX(cx) - 0.5) AS BIGINT)
+                 - CAST(ceil(MIN(cx) - 0.5) AS BIGINT) AS npx
+        FROM ccross GROUP BY row_y)
+    ),
+    chars AS (
+      SELECT d.doc_id, kk.k, (d.doc_id * 2 + kk.k) % 4 AS ctype
+      FROM docs d, (SELECT unnest(range(0, 6)) AS k) kk
+      WHERE kk.k < 3 + d.doc_id % 3
+    ),
+    perdoc AS (
+      SELECT c.doc_id,
+             CAST(COUNT(*) AS INT) AS n_chars,
+             CAST(SUM(CASE c.ctype WHEN 0 THEN 960 WHEN 1 THEN 608
+                      WHEN 2 THEN ci.ink ELSE 1088 END) AS BIGINT) AS ink_px
+      FROM chars c CROSS JOIN cink ci
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, 612 AS width, 792 AS height, n_chars, ink_px,
+           CAST(255 * CAST(612 * 792 AS BIGINT) - 255 * ink_px AS BIGINT)
+             AS gray_sum
+    FROM perdoc
+    ORDER BY doc_id
+    """,
+)
+def mm_pdf_type1_text_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 (VERDICT r10 next-#6) — TYPE 1 TEXT RENDERING: each doc's
+    fixture page sets a doc-derived string ("HLCO" cycle, 3-5 chars)
+    in an EMBEDDED Type 1 font (bare /FontFile — the eexec-encrypted
+    PostScript form, the oldest and third embedded-font format after
+    r10's TrueType and CFF).  The rasterizer decrypts the eexec
+    portion, decrypts each charstring, interprets the Type 1 operator
+    set to cubic outlines (operators/type1.py), and scanline-fills
+    with nonzero winding — reference parity for Poppler's Type 1
+    rendering (gen_pdf_imgLambda.py:51).
+
+    Scale shape: per-row independent mapInPandas; the font parses once
+    per task, outlines cache per glyph; buffer bounded by page size."""
+    import numpy as np
+    import pandas as pd
+
+    from specialsid_spark.operators.pdfraster import (
+        build_type1_pdf,
+        rasterize_page,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 3 + doc_id % 3
+                text = "".join("HLCO"[(doc_id * 2 + k) % 4] for k in range(n))
+                r = rasterize_page(build_type1_pdf(text))
+                if r is None:  # degrade surfaces as an impossible row
+                    out.append((doc_id, -1, -1, -1, -1, -1))
+                    continue
+                w, h, _ch, px = r
+                buf = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+                gray = buf[:, :, 0]
+                out.append(
+                    (doc_id, w, h, n,
+                     int((gray != 255).sum()),
+                     int(gray.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "n_chars",
+                         "ink_px", "gray_sum"],
+            ).astype({"doc_id": "int64", "width": "int32", "height": "int32",
+                      "n_chars": "int32", "ink_px": "int64",
+                      "gray_sum": "int64"})
+
+    schema = (
+        "doc_id long, width int, height int, n_chars int,"
+        " ink_px long, gray_sum long"
+    )
+    return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")

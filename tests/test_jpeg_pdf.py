@@ -1186,3 +1186,81 @@ def test_glyph_name_forms():
     assert _glyph_to_unicode("uni20AC") == "€"
     assert _glyph_to_unicode("u1F600") == "😀"
     assert _glyph_to_unicode("nosuchglyphname") == "�"
+
+
+# ------------------------------------------------------- LZW (r11)
+
+def test_lzw_content_stream_roundtrip():
+    from specialsid_spark.operators.pdf import build_text_pdf, extract_page_text
+
+    pages = ["lzw page one\nwith (escapes) and \\backslash", "page two"]
+    blob = build_text_pdf(pages, compress="lzw")
+    assert b"/LZWDecode" in blob and b"/FlateDecode" not in blob
+    assert extract_page_text(blob) == pages
+
+
+def test_lzw_decode_pdf_early_change_param():
+    from specialsid_spark.operators.pdf import lzw_decode_pdf
+    from specialsid_spark.operators.tiff import lzw_encode_tiff
+
+    data = bytes((i * 7) % 251 for i in range(4096))
+    enc = lzw_encode_tiff(data)  # early-change encoder (PDF default)
+    assert lzw_decode_pdf(b"<< /Filter /LZWDecode >>", enc) == data
+    assert lzw_decode_pdf(b"<< /EarlyChange 1 >>", enc) == data
+    # /EarlyChange 0 desyncs at the first width boundary
+    assert lzw_decode_pdf(b"<< /EarlyChange 0 >>", enc) != data
+
+
+def test_lzw_decode_pdf_predictor_degrades():
+    from specialsid_spark.operators.pdf import lzw_decode_pdf
+
+    assert lzw_decode_pdf(b"<< /Predictor 12 >>", b"\x80\x00") is None
+
+
+def test_lzw_early_change_zero_roundtrip():
+    """A late-change stream decodes only under early_change=0."""
+    from specialsid_spark.operators.tiff import lzw_decode_tiff
+
+    # build a late-change stream by bit-packing with the shifted rule
+    data = bytes((i * 13) % 256 for i in range(2000))
+    out = bytearray()
+    acc = nacc = 0
+    width = 9
+
+    def emit(code):
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            nacc -= 8
+            out.append((acc >> nacc) & 0xFF)
+            acc &= (1 << nacc) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        # LATE change: widen one code later than the TIFF encoder
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        w = bytes([b])
+    if next_code == (1 << width) and width < 12:
+        width += 1
+    if w:
+        emit(table[w])
+        # decoder catches up its one-entry lag on the final data code
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+    emit(257)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    enc = bytes(out)
+    assert bytes(lzw_decode_tiff(enc, early_change=0)) == data

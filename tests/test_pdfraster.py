@@ -48,9 +48,30 @@ def test_text_pdf_pages_rasterize():
     g1 = _gray(rasterize_page(pdf, 1))
     ink0, ink1 = int((g0 != 255).sum()), int((g1 != 255).sum())
     assert ink0 > ink1 > 0
-    # glyph-box model: ink = 35 px per non-space char (12 pt, dpi 72)
-    n1 = sum(1 for c in "page two" if not c.isspace())
-    assert ink1 == 35 * n1
+    # build_text_pdf sets /Helvetica, so since r11 text renders with
+    # metric-true AFM boxes; restate the expected ink with independent
+    # pen arithmetic (the TJ kern on the first line shifts the pen by
+    # -2/1000 em — included)
+    from specialsid_spark.operators.afm import std14_widths
+
+    hw = std14_widths("Helvetica")
+
+    def expected_ink(lines):
+        total = 0
+        for li, line in enumerate(lines):
+            pen = 0.0
+            # every line spans 7 device rows at 12 pt (integral baselines)
+            for ci, ch in enumerate(line):
+                adv = hw[ord(ch) - 32] / 1000.0 * 12
+                if not ch.isspace():
+                    total += round(pen + adv * (0.4 / 0.5)) - round(pen)
+                pen += adv
+                if li == 0 and ci + 1 == len(line) // 2:
+                    pen -= 2 / 1000.0 * 12  # the writer's TJ kern split
+        return total * 7
+
+    assert ink1 == expected_ink(["page two"])
+    assert ink0 == expected_ink(["Hello raster world", "second line"])
 
 
 def test_objstm_layout_rasterizes():
@@ -781,3 +802,107 @@ def test_inline_image_g4_ccitt_with_ei_scan():
 
     expect = np.frombuffer(img, np.uint8).reshape(H, W)
     assert (region == expect).all()
+
+
+# --------------------------------------------- Standard-14 AFM (r11)
+
+def test_std14_widths_lookup():
+    from specialsid_spark.operators.afm import std14_widths
+
+    h = std14_widths("Helvetica")
+    assert h is not None and h[ord("A") - 32] == 667 and h[0] == 278
+    assert std14_widths("Helvetica-Oblique") == h
+    assert std14_widths("ABCDEF+Helvetica") == h  # subset tag stripped
+    assert std14_widths("ArialMT") == h           # substitution alias
+    c = std14_widths("Courier-BoldOblique")
+    assert c is not None and set(c) == {600}
+    t = std14_widths("Times-Roman")
+    assert t is not None and t[ord("m") - 32] == 778
+    assert std14_widths("Symbol") is None
+    assert std14_widths("SomeRandomFont") is None
+
+
+def test_std14_metric_true_advances():
+    """Non-embedded Helvetica: per-glyph AFM advances, not the flat
+    half-em teaching model.  'iii' is much narrower than 'mmm'."""
+    from specialsid_spark.operators.pdfraster import (
+        build_std14_pdf,
+        rasterize_page,
+    )
+
+    def ink_width(text, face="Helvetica"):
+        r = rasterize_page(build_std14_pdf(text, face, size=48))
+        gray = _gray(r)
+        cols = np.where((gray != 255).any(axis=0))[0]
+        return int(cols.max() - cols.min())
+
+    assert ink_width("iii") < ink_width("mmm") * 0.4
+    # faces resolve independently: Courier is wider than Helvetica 'i'
+    assert ink_width("iii", "Courier") > ink_width("iii")
+
+
+def test_std14_vs_boxfont_fallback():
+    """An unknown /BaseFont keeps the flat glyph-box model; a
+    Standard-14 name switches to AFM metrics."""
+    from specialsid_spark.operators.pdfraster import (
+        build_std14_pdf,
+        rasterize_page,
+    )
+
+    text = "lll"  # Helvetica l = 222/1000 em, box model = 500/1000
+    r_std = rasterize_page(build_std14_pdf(text, "Helvetica", size=48))
+    r_box = rasterize_page(build_std14_pdf(text, "NotAStdFont", size=48))
+    w_std = np.where((_gray(r_std) != 255).any(axis=0))[0].max()
+    w_box = np.where((_gray(r_box) != 255).any(axis=0))[0].max()
+    assert w_std < w_box  # narrow l's end well short of the box run
+
+
+def test_std14_descriptor_without_fontfile_substitutes():
+    """A /FontDescriptor with no embedded program still resolves
+    Standard-14 metrics from /BaseFont (viewer substitution)."""
+    from specialsid_spark.operators.pdfraster import _load_font_program
+
+    objs = {
+        1: (b"<< /Type /Font /Subtype /Type1 /BaseFont /Times-Bold"
+            b" /FontDescriptor 2 0 R >>", None),
+        2: (b"<< /Type /FontDescriptor /FontName /Times-Bold /Flags 4 >>",
+            None),
+    }
+    f = _load_font_program(objs, 1)
+    assert f is not None and getattr(f, "is_std14", False)
+    assert f.advance_1000(ord("m")) == 833.0
+    # unknown name via the same route: no substitution, glyph-box None
+    objs[1] = (objs[1][0].replace(b"/Times-Bold", b"/Mystery"), None)
+    objs[2] = (objs[2][0].replace(b"/Times-Bold", b"/Mystery"), None)
+    assert _load_font_program(objs, 1) is None
+
+
+# --------------------------------------------- inline LZW image (r11)
+
+def test_inline_image_lzw_gray():
+    from specialsid_spark.operators.pdf import _assemble_pdf
+    from specialsid_spark.operators.pdfraster import rasterize_page
+    from specialsid_spark.operators.tiff import lzw_encode_tiff
+
+    px = bytes((i * 31) % 251 for i in range(64))
+    body = lzw_encode_tiff(px)
+    content = (
+        b"q 8 0 0 8 100 100 cm BI /W 8 /H 8 /CS /G /BPC 8 /F /LZW ID "
+        + body + b" EI Q"
+    )
+    objects = [
+        b"",
+        b"",
+        b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Contents 3 0 R >>",
+    ]
+    objects[1] = b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"
+    objects[0] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    blob = _assemble_pdf(objects, 1)
+    r = rasterize_page(blob)
+    assert r is not None
+    gray = _gray(r).astype(np.int64)
+    # the 8x8 block lands 1:1 at (100, 100): device rows 684..692
+    block = gray[684:692, 100:108]
+    assert int(block.sum()) == sum(px)

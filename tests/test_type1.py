@@ -1,0 +1,200 @@
+"""operators/type1.py — eexec/charstring ciphers, Type 1 charstring
+interpretation, and the bare-/FontFile rasterizer path (r11)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from specialsid_spark.operators.type1 import (
+    STANDARD_ENCODING,
+    Type1Unsupported,
+    _run_t1,
+    _t1_num,
+    _t1_ops,
+    build_tiny_type1,
+    charstring_decrypt,
+    charstring_encrypt,
+    eexec_decrypt,
+    eexec_encrypt,
+    fixture_type1,
+    parse_type1,
+)
+
+
+def test_eexec_cipher_roundtrip():
+    plain = bytes(range(256)) * 3 + b"/CharStrings stress \x00\xff"
+    assert eexec_decrypt(eexec_encrypt(plain)) == plain
+
+
+def test_charstring_cipher_roundtrip_with_leniv():
+    plain = b"\x8b\x8b\x0d\x0e"
+    for len_iv in (0, 4, 7):
+        enc = charstring_encrypt(plain, len_iv)
+        assert charstring_decrypt(enc, len_iv) == plain
+        assert len(enc) == len(plain) + len_iv
+
+
+def test_number_encoding_all_ranges():
+    # round-trip each encoder range through the interpreter's decoder
+    for v in (0, 107, -107, 108, 1131, -108, -1131, 5000, -70000):
+        cs = _t1_ops([0, 0, "hsbw", v, "hmoveto", "endchar"])
+        contours, _w = _run_t1(cs, [])
+        assert contours == []  # a lone moveto draws nothing
+    assert _t1_num(107) == bytes([246])
+    assert _t1_num(108) == bytes([247, 0])
+    assert _t1_num(-108) == bytes([251, 0])
+    assert _t1_num(70000) == b"\xff\x00\x01\x11\x70"
+
+
+def test_hlineto_vlineto_single_operand_not_alternating():
+    # Type 1: `60 hlineto` twice moves +x twice (Type 2 would alternate)
+    cs = _t1_ops([0, 500, "hsbw", 0, 0, "rmoveto",
+                  60, "hlineto", 0, 80, "rlineto", -60, "hlineto",
+                  "closepath", "endchar"])
+    contours, w = _run_t1(cs, [])
+    assert w == 500
+    assert contours == [[
+        ("l", (0, 0.0), (60, 0.0)),
+        ("l", (60, 0.0), (60, 80.0)),
+        ("l", (60, 80.0), (0, 80.0)),
+        ("l", (0, 80.0), (0, 0.0)),
+    ]]
+
+
+def test_hsbw_sets_sidebearing_origin():
+    cs = _t1_ops([55, 700, "hsbw", 0, 0, "rmoveto",
+                  10, "hlineto", 0, 10, "rlineto", "closepath", "endchar"])
+    contours, w = _run_t1(cs, [])
+    assert w == 700
+    # first point starts at the sidebearing x=55
+    assert contours[0][0][1] == (55, 0.0)
+
+
+def test_callsubr_unbiased_and_div():
+    sub = _t1_ops([100, 2, "div", "hlineto", "return"])  # 100/2 = 50 right
+    cs = _t1_ops([0, 400, "hsbw", 0, 0, "rmoveto",
+                  0, "callsubr", 0, 10, "rlineto", "closepath", "endchar"])
+    contours, _w = _run_t1(cs, [sub])
+    assert contours[0][0] == ("l", (0, 0.0), (50.0, 0.0))
+
+
+def test_vh_hv_curveto_tangents():
+    cs = _t1_ops([0, 400, "hsbw", 0, 0, "rmoveto",
+                  100, 50, 50, 50, "vhcurveto",  # vertical -> horizontal
+                  50, 50, 50, -50, "hvcurveto",  # horizontal -> vertical
+                  "closepath", "endchar"])
+    contours, _w = _run_t1(cs, [])
+    c1, c2 = contours[0][0], contours[0][1]
+    assert c1[0] == "c"
+    assert c1[1] == (0, 0.0)         # start
+    assert c1[2] == (0, 100.0)       # vertical tangent at start
+    assert c1[3] == (50.0, 150.0)
+    assert c1[4] == (100.0, 150.0)   # horizontal tangent at end
+    assert c2[0] == "c"
+    assert c2[2] == (150.0, 150.0)   # horizontal tangent at start
+    assert c2[3] == (200.0, 200.0)
+    assert c2[4] == (200.0, 150.0)   # vertical tangent at end
+
+
+def test_flex_and_seac_degrade():
+    flex = _t1_ops([0, 400, "hsbw", 1, 0, "callothersubr", "endchar"])
+    with pytest.raises(Type1Unsupported):
+        _run_t1(flex, [])
+    seac = _t1_ops([0, 400, "hsbw", 1, 2, 3, 4, 5, "seac", "endchar"])
+    with pytest.raises(Type1Unsupported):
+        _run_t1(seac, [])
+
+
+def test_hint_replacement_othersubr_pop_roundtrip():
+    # subr# 3 othersubr-call then two pops: args flow through ps_stack
+    cs = _t1_ops([0, 400, "hsbw", 0, 0, "rmoveto",
+                  30, 1, 3, "callothersubr", "pop", "hlineto",
+                  0, 10, "rlineto", "closepath", "endchar"])
+    contours, _w = _run_t1(cs, [])
+    # the popped value (30) fed hlineto
+    assert contours[0][0] == ("l", (0, 0.0), (30.0, 0.0))
+
+
+def test_parse_fixture_font():
+    f = parse_type1(fixture_type1())
+    assert f.units_per_em == 1024
+    assert sorted(f.charstrings) == [".notdef", "C", "H", "L", "O"]
+    assert f.glyph_for_char("L") == "L"
+    assert f.glyph_for_char("?") == ".notdef"
+    contours, adv = f.pieces("O")
+    assert adv == 640 and len(contours) == 2
+
+
+def test_parse_standard_encoding_declaration():
+    blob = fixture_type1().replace(
+        b"/Encoding 256 array\n0 1 255 {1 index exch /.notdef put} for\n"
+        b"dup 76 /L put\ndup 79 /O put\ndup 67 /C put\ndup 72 /H put\n"
+        b"readonly def\n",
+        b"/Encoding StandardEncoding def\n",
+    )
+    f = parse_type1(blob)
+    assert f.encoding == STANDARD_ENCODING
+    assert f.glyph_for_char("L") == "L"
+    assert f.glyph_for_char("0") == "zero"
+
+
+def test_pfb_segment_unwrap():
+    import struct
+
+    raw = fixture_type1()
+    k = raw.find(b"eexec") + 5
+    # split into ascii + binary PFB segments
+    seg1, seg2 = raw[:k], raw[k:]
+    pfb = (
+        b"\x80\x01" + struct.pack("<I", len(seg1)) + seg1
+        + b"\x80\x02" + struct.pack("<I", len(seg2)) + seg2
+        + b"\x80\x03"
+    )
+    f = parse_type1(pfb)
+    assert sorted(f.charstrings) == [".notdef", "C", "H", "L", "O"]
+
+
+def test_hex_eexec_form():
+    raw = fixture_type1()
+    k = raw.find(b"eexec") + 5
+    head, enc = raw[:k], raw[k:].lstrip(b"\r\n\t ")
+    # strip the fixture's trailing cleartext (zeros + cleartomark)
+    z = enc.find(b"\n0000000000")
+    hexed = head + b"\n" + enc[:z].hex().encode("ascii") + b"\n"
+    f = parse_type1(hexed)
+    assert sorted(f.charstrings) == [".notdef", "C", "H", "L", "O"]
+
+
+def test_missing_eexec_degrades():
+    with pytest.raises(Type1Unsupported):
+        parse_type1(b"%!FontType1 no encrypted part")
+
+
+def test_raster_parity_with_cff_fixture():
+    """The Type 1 fixture carries the CFF fixture's exact glyphs, so
+    the rendered pages must be pixel-identical — the strongest
+    possible cross-check of two independent charstring interpreters."""
+    from specialsid_spark.operators.pdfraster import (
+        build_cff_pdf,
+        build_type1_pdf,
+        rasterize_page,
+    )
+
+    for text in ("LOCH", "HHH", "C O L"):
+        r1 = rasterize_page(build_type1_pdf(text))
+        r2 = rasterize_page(build_cff_pdf(text))
+        assert r1 is not None and r2 is not None
+        assert r1[:3] == r2[:3]
+        a = np.frombuffer(r1[3], np.uint8)
+        b = np.frombuffer(r2[3], np.uint8)
+        assert (a == b).all()
+        assert (a != 255).any()  # real ink, not two blank pages
+
+
+def test_build_tiny_type1_custom_glyph_advances():
+    font = build_tiny_type1([("X", [0, 0, "rmoveto", 100, "hlineto",
+                                    0, 100, "rlineto", "closepath"], 512)])
+    f = parse_type1(font)
+    contours, adv = f.pieces("X")
+    assert adv == 512 and len(contours) == 1
