@@ -405,6 +405,91 @@ def _run_charstring(
     return st.contours, st.width if st.width is not None else default_width
 
 
+@dataclass
+class CffCidFont(CffFont):
+    """CID-keyed CFF (r11): a ROS Top DICT routes each glyph through
+    FDSelect to its own Font DICT / Private DICT (local subrs and
+    width defaults differ per FD), and the charset maps GID -> CID.
+    ``cid_to_gid`` is the rendering-side inverse (Identity-H strings
+    carry CIDs).  This is the /FontFile3 Subtype /CIDFontType0C shape
+    PDF uses for CJK and subset OpenType/CFF fonts."""
+
+    cid_to_gid: dict[int, int] = field(default_factory=dict)
+    fd_select: list[int] = field(default_factory=list)  # gid -> fd index
+    # per-FD (defaultWidthX, nominalWidthX, local subrs)
+    fd_privs: list[tuple[float, float, list]] = field(default_factory=list)
+
+    def pieces(self, gid: int) -> tuple[list[list[tuple]], float]:
+        if gid in self._cache:
+            return self._cache[gid]
+        if not 0 <= gid < len(self.charstrings):
+            return [], self.default_width
+        fd = self.fd_select[gid] if gid < len(self.fd_select) else 0
+        if not 0 <= fd < len(self.fd_privs):
+            raise CffUnsupported(f"FDSelect routes gid {gid} to fd {fd}")
+        dw, nw, lsubrs = self.fd_privs[fd]
+        out = _run_charstring(self.charstrings[gid], self.gsubrs, lsubrs, dw, nw)
+        self._cache[gid] = out
+        return out
+
+
+def _parse_charset_cid(data: bytes, pos: int, num_glyphs: int) -> dict[int, int]:
+    """GID -> CID.  charset offset 0 (ISOAdobe) means identity for a
+    CID-keyed font (CID == GID)."""
+    if pos == 0:
+        return {g: g for g in range(num_glyphs)}
+    fmt = _u8(data, pos)
+    out = {0: 0}
+    if fmt == 0:
+        for gid in range(1, num_glyphs):
+            out[gid] = _u16(data, pos + 1 + 2 * (gid - 1))
+    elif fmt in (1, 2):
+        gid = 1
+        p = pos + 1
+        while gid < num_glyphs:
+            first = _u16(data, p)
+            n_left = _u8(data, p + 2) if fmt == 1 else _u16(data, p + 2)
+            p += 3 if fmt == 1 else 4
+            for k in range(n_left + 1):
+                if gid < num_glyphs:
+                    out[gid] = first + k
+                    gid += 1
+    else:
+        raise CffUnsupported(f"charset format {fmt}")
+    return out
+
+
+def _parse_fdselect(data: bytes, pos: int, num_glyphs: int) -> list[int]:
+    fmt = _u8(data, pos)
+    if fmt == 0:
+        return [_u8(data, pos + 1 + g) for g in range(num_glyphs)]
+    if fmt == 3:
+        n_ranges = _u16(data, pos + 1)
+        out = [0] * num_glyphs
+        p = pos + 3
+        for _ in range(n_ranges):
+            first = _u16(data, p)
+            fd = _u8(data, p + 2)
+            nxt = _u16(data, p + 3)  # next range's first, or the sentinel
+            for g in range(first, min(nxt, num_glyphs)):
+                out[g] = fd
+            p += 3
+        return out
+    raise CffUnsupported(f"FDSelect format {fmt}")
+
+
+def _read_private(data: bytes, psz: int, poff: int) -> tuple[float, float, list]:
+    if poff + psz > len(data):
+        raise CffUnsupported("Private DICT out of bounds")
+    priv = _parse_dict(data[poff : poff + psz])
+    dw = float(priv.get(20, [0.0])[0])
+    nw = float(priv.get(21, [0.0])[0])
+    lsubrs: list[bytes] = []
+    if 19 in priv:  # local Subrs, offset relative to Private DICT
+        lsubrs, _ = _read_index(data, poff + int(priv[19][0]))
+    return dw, nw, lsubrs
+
+
 def _parse_encoding(data: bytes, pos: int, num_glyphs: int) -> dict[int, int]:
     fmt = _u8(data, pos) & 0x7F  # high bit = supplements (skipped)
     out: dict[int, int] = {}
@@ -453,17 +538,43 @@ def parse_cff(data: bytes) -> CffFont:
     if 17 not in top:
         raise CffUnsupported("no CharStrings offset")
     charstrings, _ = _read_index(data, int(top[17][0]))
+    if 1230 in top:  # ROS -> CID-keyed font (r11)
+        if 1236 not in top or 1237 not in top:
+            raise CffUnsupported("CID font missing FDArray/FDSelect")
+        fd_dicts, _ = _read_index(data, int(top[1236][0]))
+        fd_privs = []
+        for fdd in fd_dicts:
+            fd = _parse_dict(fdd)
+            if 18 in fd and len(fd[18]) == 2:
+                fd_privs.append(
+                    _read_private(data, int(fd[18][0]), int(fd[18][1]))
+                )
+            else:
+                fd_privs.append((0.0, 0.0, []))
+        fd_select = _parse_fdselect(
+            data, int(top[1237][0]), len(charstrings)
+        )
+        gid_to_cid = _parse_charset_cid(
+            data, int(top.get(15, [0])[0]), len(charstrings)
+        )
+        return CffCidFont(
+            units_per_em=units_per_em,
+            charstrings=charstrings,
+            gsubrs=gsubrs,
+            lsubrs=[],
+            default_width=0.0,
+            nominal_width=0.0,
+            code_to_gid={},
+            cid_to_gid={cid: gid for gid, cid in gid_to_cid.items()},
+            fd_select=fd_select,
+            fd_privs=fd_privs,
+        )
     default_width, nominal_width = 0.0, 0.0
     lsubrs: list[bytes] = []
     if 18 in top and len(top[18]) == 2:
-        psz, poff = int(top[18][0]), int(top[18][1])
-        if poff + psz > len(data):
-            raise CffUnsupported("Private DICT out of bounds")
-        priv = _parse_dict(data[poff : poff + psz])
-        default_width = float(priv.get(20, [0.0])[0])
-        nominal_width = float(priv.get(21, [0.0])[0])
-        if 19 in priv:  # local Subrs, offset relative to Private DICT
-            lsubrs, _ = _read_index(data, poff + int(priv[19][0]))
+        default_width, nominal_width, lsubrs = _read_private(
+            data, int(top[18][0]), int(top[18][1])
+        )
     enc_off = int(top.get(16, [0])[0])
     if enc_off in (0, 1):
         # Standard/Expert encodings need the SID name tables — degrade
@@ -656,4 +767,147 @@ def fixture_cff() -> bytes:
             ("C", cc, 640),
             ("H", hh, 640),
         ]
+    )
+
+
+def build_tiny_cid_cff(
+    glyph_defs: list[tuple[int, list, int]],
+    units_per_em: int = 1024,
+    fd_split: int = 3,
+    nominal_fd1: int = 500,
+) -> bytes:
+    """Write a minimal valid CID-KEYED CFF for oracle fixtures (r11):
+    glyph 0 is .notdef, then one glyph per (cid, program, advance).
+    The font carries TWO Font DICTs — gids below ``fd_split`` route to
+    FD 0 (plain charstrings, nominalWidthX 0), gids at/above it to
+    FD 1, whose charstrings fetch their initial ``64 0 rmoveto`` from
+    an FD-LOCAL subr and whose nominalWidthX differs: a renderer that
+    misroutes FDSelect either dies on the missing subr or shifts every
+    width, so FD routing is pinned by the pixel oracle.  The charset
+    (format 0) records each glyph's CID explicitly — CID != GID by
+    construction in fixture_cid_cff."""
+    fd1_subr = _cs_ops([64, 0, "rmoveto", "return"])
+    fd1_bias = 107  # < 1240 subrs
+    charstrings = [_cs_ops(["endchar"])]
+    cids: list[int] = []
+    for i, (cid, prog, adv) in enumerate(glyph_defs):
+        gid = i + 1
+        if gid < fd_split:
+            charstrings.append(_cs_ops([adv - 0, *prog, "endchar"]))
+        else:
+            # strip the leading "64 0 rmoveto" — the FD-local subr does it
+            assert prog[:3] == [64, 0, "rmoveto"], "fd1 fixture contract"
+            charstrings.append(
+                _cs_ops([adv - nominal_fd1, 0 - fd1_bias, "callsubr",
+                         *prog[3:], "endchar"])
+            )
+        cids.append(cid)
+    cs_index = _mk_index(charstrings)
+
+    charset = bytes([0]) + b"".join(struct.pack(">H", c) for c in cids)
+    n_glyphs = len(charstrings)
+    fdselect = (
+        bytes([3]) + struct.pack(">H", 2)
+        + struct.pack(">HB", 0, 0)
+        + struct.pack(">HB", fd_split, 1)
+        + struct.pack(">H", n_glyphs)
+    )
+
+    # privates: fd0 = widths only; fd1 = widths + local Subrs INDEX
+    priv0 = _enc_num(0) + bytes([20]) + _enc_num(0) + bytes([21])
+    subr_index = _mk_index([fd1_subr])
+    priv1 = (
+        _enc_num(0) + bytes([20]) + _enc_num(nominal_fd1) + bytes([21])
+    )
+    priv1 += _enc_num(len(priv1) + 4) + bytes([19])  # Subrs offset: just past
+    # (the +4 accounts for this Subrs entry itself: 3-byte operand + op)
+
+    def fd_dict(psz: int, poff: int) -> bytes:
+        return struct.pack(">BiBi", 29, psz, 29, poff) + bytes([18])
+
+    # FontMatrix BCD real, same pattern as build_tiny_cff
+    s = repr(1.0 / units_per_em)
+    nibs = []
+    for c in s:
+        nibs.append({".": 0xA, "-": 0xE}.get(c, None) if c in ".-" else int(c))
+    nibs.append(0xF)
+    if len(nibs) % 2:
+        nibs.append(0xF)
+    fm_num = bytes([30]) + bytes(
+        (a << 4) | b for a, b in zip(nibs[0::2], nibs[1::2])
+    )
+    zero = _enc_num(0)
+
+    header = bytes([1, 0, 4, 4])
+    name_index = _mk_index([b"FixtureCID0"])
+    string_index = _mk_index([b"Adobe", b"Identity"])  # SIDs 391, 392
+    gsubr_index = _mk_index([])
+
+    def top_dict(cs_off, charset_off, fdsel_off, fdarray_off) -> bytes:
+        return (
+            struct.pack(">BiBiBi", 29, 391, 29, 392, 29, 0) + bytes([12, 30])
+            + fm_num + zero + zero + fm_num + zero + zero + bytes([12, 7])
+            + struct.pack(">Bi", 29, charset_off) + bytes([15])
+            + struct.pack(">Bi", 29, fdsel_off) + bytes([12, 37])
+            + struct.pack(">Bi", 29, cs_off) + bytes([17])
+            + struct.pack(">Bi", 29, fdarray_off) + bytes([12, 36])
+        )
+
+    dummy_fda = _mk_index([fd_dict(0, 0), fd_dict(0, 0)])
+    dummy_top = top_dict(0, 0, 0, 0)
+    base = (
+        len(header) + len(name_index) + len(_mk_index([dummy_top]))
+        + len(string_index) + len(gsubr_index)
+    )
+    charset_off = base
+    fdsel_off = charset_off + len(charset)
+    cs_off = fdsel_off + len(fdselect)
+    fdarray_off = cs_off + len(cs_index)
+    priv0_off = fdarray_off + len(dummy_fda)
+    priv1_off = priv0_off + len(priv0)
+    # fd1's Subrs INDEX sits immediately after priv1
+    fda = _mk_index([
+        fd_dict(len(priv0), priv0_off),
+        fd_dict(len(priv1), priv1_off),
+    ])
+    assert len(fda) == len(dummy_fda)
+    td = top_dict(cs_off, charset_off, fdsel_off, fdarray_off)
+    assert len(td) == len(dummy_top)
+    return (
+        header + name_index + _mk_index([td]) + string_index + gsubr_index
+        + charset + fdselect + cs_index + fda + priv0 + priv1 + subr_index
+    )
+
+
+def fixture_cid_cff() -> bytes:
+    """CID-keyed fixture font: the SAME four closed-form glyphs as
+    fixture_cff (L/O/C/H at units 1024) but addressed by CID 101-104
+    (charset-mapped, CID != GID), L/O in FD 0 and C/H in FD 1 (whose
+    initial rmoveto lives in an FD-local subr — see build_tiny_cid_cff
+    for why that pins FDSelect routing)."""
+    el = [
+        64, 0, "rmoveto",
+        0, 832, "rlineto", 128, 0, "rlineto", 0, -704, "rlineto",
+        384, 0, "rlineto", 0, -128, "rlineto",
+    ]
+    oh = [
+        64, 0, "rmoveto",
+        0, 832, "rlineto", 512, 0, "rlineto", 0, -832, "rlineto",
+        -384, 128, "rmoveto",
+        256, 0, "rlineto", 0, 576, "rlineto", -256, 0, "rlineto",
+    ]
+    cc = [
+        64, 0, "rmoveto",
+        128, 640, 256, 0, 128, -640, "rrcurveto",
+    ]
+    hh = [
+        64, 0, "rmoveto",
+        0, 832, "rlineto", 128, 0, "rlineto", 0, -832, "rlineto",
+        256, 0, "rmoveto",
+        0, 832, "rlineto", 128, 0, "rlineto", 0, -832, "rlineto",
+        -384, 352, "rmoveto",
+        256, 0, "rlineto", 0, 128, "rlineto", -256, 0, "rlineto",
+    ]
+    return build_tiny_cid_cff(
+        [(101, el, 640), (102, oh, 640), (103, cc, 640), (104, hh, 640)]
     )

@@ -460,18 +460,71 @@ def _decode_image_xobject(head: bytes, data: bytes | None):
             data = zlib.decompress(data)
         except zlib.error as exc:
             raise _Degrade("Flate XObject decode failed") from exc
+        data = _unpredict_image(head, bytes(data), w, h)
     elif b"/LZWDecode" in head:
-        from specialsid_spark.operators.pdf import lzw_decode_pdf  # noqa: PLC0415
+        from specialsid_spark.operators.pdf import (  # noqa: PLC0415
+            lzw_decode_pdf,
+        )
 
-        data = lzw_decode_pdf(head, bytes(data))
+        # strip /Predictor before the LZW wrapper (it degrades on >1);
+        # prediction is undone here AFTER decompression
+        data = lzw_decode_pdf(
+            re.sub(rb"/Predictor\s+\d+", b"", head), bytes(data)
+        )
         if data is None:
             raise _Degrade("LZW XObject decode failed")
+        data = _unpredict_image(head, bytes(data), w, h)
     elif b"/Filter" in head:
         raise _Degrade("unsupported image filter")
     ch = 3 if b"/DeviceRGB" in head else 1
     if len(data) < w * h * ch:
         raise _Degrade("image data short")
     return w, h, ch, bytes(data[: w * h * ch])
+
+
+def _unpredict_image(head: bytes, data: bytes, w: int, h: int) -> bytes:
+    """Undo a /DecodeParms predictor on a decompressed image stream
+    (r11): PNG row predictors (/Predictor >= 10, the dominant shape
+    real Flate image writers emit) via the full bpp-aware unfilter in
+    operators/multimodal.py, or TIFF horizontal differencing
+    (/Predictor 2).  No predictor -> pass-through."""
+    pm = re.search(rb"/Predictor\s+(\d+)", head)
+    if pm is None:
+        return data
+    pred = int(pm.group(1))
+    if pred <= 1:
+        return data
+    cm = re.search(rb"/Colors\s+(\d+)", head)
+    colors = int(cm.group(1)) if cm else 1
+    ch = 3 if b"/DeviceRGB" in head else 1
+    if colors != ch:
+        raise _Degrade("/Colors mismatch with color space")
+    colm = re.search(rb"/Columns\s+(\d+)", head)
+    if colm is not None and int(colm.group(1)) != w:
+        raise _Degrade("/Columns mismatch with /Width")
+    stride = w * colors  # 8-bit components only (checked by caller)
+    if pred >= 10:
+        from specialsid_spark.operators.multimodal import (  # noqa: PLC0415
+            _png_unfilter,
+        )
+
+        got = _png_unfilter(bytes(data), 0, w, h, colors, stride)
+        if got is None:
+            raise _Degrade("PNG predictor unfilter failed")
+        return bytes(got[0])
+    if pred == 2:  # TIFF horizontal differencing, per-lane prefix sum
+        import numpy as np  # noqa: PLC0415
+
+        if len(data) < h * stride:
+            raise _Degrade("predicted image data short")
+        arr = (
+            np.frombuffer(data[: h * stride], np.uint8)
+            .reshape(h, w, colors)
+            .copy()
+        )
+        np.cumsum(arr, axis=1, dtype=np.uint8, out=arr)
+        return arr.tobytes()
+    raise _Degrade(f"predictor {pred} unsupported")
 
 
 
@@ -1267,6 +1320,33 @@ class _CidFont:
         return self.wmap.get(gid, self.dw)
 
 
+class _CidCffFont:
+    """A /Type0 Identity-H font over a CIDFontType0 descendant (r11):
+    string bytes are 2-byte CIDs, the CID-keyed CFF program's charset
+    maps CID -> GID (operators/cff.py CffCidFont), outlines come from
+    the per-FD charstrings, and advances from the PDF-level /W array
+    (/DW default) in 1000-per-em TEXT units — the CJK / subset-
+    OpenType embedding shape."""
+
+    is_cid = True
+
+    def __init__(self, cff, dw: float, wmap: dict[int, float]) -> None:
+        self.cff = cff
+        self.units_per_em = cff.units_per_em
+        self.dw = dw
+        self.wmap = wmap
+
+    def pieces(self, cid: int) -> tuple[list, float]:
+        gid = self.cff.cid_to_gid.get(cid, 0)
+        contours, _cs_width = self.cff.pieces(gid)
+        # /W widths are 1000-per-em; scale to glyph units so the
+        # caller's uniform  adv * (size / units_per_em)  lands on
+        # W/1000*size (exact: units_per_em is a power of two in the
+        # fixture, and the two scalings commute in doubles)
+        w1000 = self.wmap.get(cid, self.dw)
+        return contours, w1000 / 1000.0 * self.units_per_em
+
+
 def _parse_w_array(body: bytes) -> dict[int, float]:
     """CIDFontType2 /W: both forms — ``c [w1 w2 ...]`` (consecutive
     CIDs from c) and ``c1 c2 w`` (the inclusive range form)."""
@@ -1326,11 +1406,14 @@ def _load_font_program(objs: dict, font_num: int):
         if desc is None:
             return None
         chead = objs.get(int(desc.group(1)), (b"",))[0]
-        if re.search(rb"/Subtype\s*/CIDFontType2\b", chead) is None:
-            return None  # CIDFontType0 (CFF-CID): glyph-box degrade
-        cid2gid = re.search(rb"/CIDToGIDMap\s*/(\w+)", chead)
-        if cid2gid is not None and cid2gid.group(1) != b"Identity":
+        is_cid2 = re.search(rb"/Subtype\s*/CIDFontType2\b", chead) is not None
+        is_cid0 = re.search(rb"/Subtype\s*/CIDFontType0\b", chead) is not None
+        if not (is_cid2 or is_cid0):
             return None
+        if is_cid2:
+            cid2gid = re.search(rb"/CIDToGIDMap\s*/(\w+)", chead)
+            if cid2gid is not None and cid2gid.group(1) != b"Identity":
+                return None
         base = _load_font_program(objs, int(desc.group(1)))
         if base is None or getattr(base, "is_cid", False):
             return None
@@ -1341,6 +1424,11 @@ def _load_font_program(objs: dict, font_num: int):
             wmap = _parse_w_array(wm.group(1)) if wm else {}
         except _Degrade:
             return None
+        if is_cid0:
+            # CFF-CID (r11): the program itself must be CID-keyed
+            if not hasattr(base, "cid_to_gid"):
+                return None
+            return _CidCffFont(base, dw, wmap)
         return _CidFont(base, dw, wmap)
     def _std14(h: bytes):
         from specialsid_spark.operators.afm import std14_widths  # noqa: PLC0415
@@ -2025,6 +2113,86 @@ def build_cid_pdf(
         % cidfont_num
     )
     raw = b"".join(bytes([g >> 8, g & 0xFF]) for g in gids)
+    content = b"BT /F1 %d Tf %d %d Td (%s) Tj ET" % (
+        size, td[0], td[1], esc(raw),
+    )
+    cont_num = add(
+        b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
+    )
+    page = add(
+        b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /Font << /F1 %d 0 R >> >>"
+        b" /Contents %d 0 R >>" % (pages_num, font_num, cont_num)
+    )
+    objects[pages_num - 1] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
+    objects[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
+    return _assemble_pdf(objects, catalog_num)
+
+
+def build_cid0_pdf(
+    cids: list[int], size: int = 64, td: tuple[int, int] = (72, 700),
+    w_units: int = 1125, font_program: bytes | None = None,
+) -> bytes:
+    """Oracle-fixture writer (r11): one 612x792 page whose only ink is
+    the CID sequence ``cids`` set through a /Type0 /Identity-H
+    composite font over a CIDFontType0 descendant embedding the
+    CID-KEYED CFF fixture (operators/cff.py fixture_cid_cff —
+    /FontFile3 Subtype /CIDFontType0C).  /W assigns every used CID
+    ``w_units`` — deliberately different from the charstring widths,
+    so a renderer that reads the program's widths instead of /W shifts
+    every glyph and fails the oracle; the charset maps CID 101-104 to
+    gids 1-4, so an identity-CID shortcut renders .notdef everywhere
+    and fails too."""
+    from specialsid_spark.operators.cff import fixture_cid_cff  # noqa: PLC0415
+    from specialsid_spark.operators.pdf import _assemble_pdf  # noqa: PLC0415
+
+    def esc(raw: bytes) -> bytes:
+        out = bytearray()
+        for x in raw:
+            if x in (0x28, 0x29, 0x5C):  # ( ) backslash
+                out += b"\\" + bytes([x])
+            elif x == 0x0D:
+                out += b"\\r"
+            elif x == 0x0A:
+                out += b"\\n"
+            else:
+                out.append(x)
+        return bytes(out)
+
+    if font_program is None:
+        font_program = fixture_cid_cff()
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    catalog_num = add(b"")
+    pages_num = add(b"")
+    ff_num = add(
+        b"<< /Subtype /CIDFontType0C /Length %d >>\nstream\n"
+        % len(font_program)
+        + font_program
+        + b"\nendstream"
+    )
+    desc_num = add(
+        b"<< /Type /FontDescriptor /FontName /FixtureCID0 /Flags 4"
+        b" /FontBBox [0 -480 1024 832] /ItalicAngle 0 /Ascent 832"
+        b" /Descent -480 /CapHeight 832 /StemV 80 /FontFile3 %d 0 R >>"
+        % ff_num
+    )
+    cidfont_num = add(
+        b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /FixtureCID0"
+        b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+        b" /Supplement 0 >> /FontDescriptor %d 0 R /DW 1000"
+        b" /W [100 110 %d] >>" % (desc_num, w_units)
+    )
+    font_num = add(
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureCID0"
+        b" /Encoding /Identity-H /DescendantFonts [%d 0 R] >>"
+        % cidfont_num
+    )
+    raw = b"".join(bytes([c >> 8, c & 0xFF]) for c in cids)
     content = b"BT /F1 %d Tf %d %d Td (%s) Tj ET" % (
         size, td[0], td[1], esc(raw),
     )

@@ -5108,3 +5108,124 @@ def mm_pdf_type1_text_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ink_px long, gray_sum long"
     )
     return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")
+
+
+@register(
+    "mm_pdf_cid0_text_raster",
+    # r11: CIDFontType0 — the CFF-CID embedding (CJK / subset-OpenType
+    # shape) and the LAST embedded-font degrade in the rasterizer.
+    # The fixture font is CID-KEYED CFF (ROS, FDArray/FDSelect, charset
+    # CID 101-104 -> gids 1-4; C/H's initial rmoveto lives in an
+    # FD-local subr so misrouted FDSelect dies loudly).  Glyph ink
+    # carries over from the CFF fixture closed forms (L 608, O 1088,
+    # C = the pinned 16-segment arch, H 960 at units 1024 / size 64);
+    # /W = 1125 (72 device px, integer) makes per-glyph ink
+    # pen-invariant, and differs from the charstring widths so reading
+    # the wrong width source shifts every glyph.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    cpts AS (
+      SELECT k,
+             u*u*u*76.0 + 3*u*u*t*84.0 + 3*u*t*t*100.0 + t*t*t*108.0 AS px,
+             u*u*u*92.0 + 3*u*u*t*52.0 + 3*u*t*t*52.0 + t*t*t*92.0 AS py
+      FROM (
+        SELECT kk.k AS k, CAST(kk.k AS DOUBLE) / 16 AS t,
+               1.0 - CAST(kk.k AS DOUBLE) / 16 AS u
+        FROM (SELECT unnest(range(0, 17)) AS k) kk
+      )
+    ),
+    cedges AS (
+      SELECT a.px AS ex0, a.py AS ey0, b.px AS ex1, b.py AS ey1
+      FROM cpts a JOIN cpts b ON b.k = a.k + 1
+      WHERE a.py <> b.py
+    ),
+    ccross AS (
+      SELECT sl.py AS row_y,
+             e.ex0 + ((CAST(sl.py AS DOUBLE) + 0.5) - e.ey0)
+                     * (e.ex1 - e.ex0) / (e.ey1 - e.ey0) AS cx
+      FROM cedges e, (SELECT unnest(range(50, 93)) AS py) sl
+      WHERE (e.ey0 <= CAST(sl.py AS DOUBLE) + 0.5
+             AND CAST(sl.py AS DOUBLE) + 0.5 < e.ey1)
+         OR (e.ey1 <= CAST(sl.py AS DOUBLE) + 0.5
+             AND CAST(sl.py AS DOUBLE) + 0.5 < e.ey0)
+    ),
+    cink AS (
+      SELECT CAST(SUM(npx) AS BIGINT) AS ink FROM (
+        SELECT CAST(ceil(MAX(cx) - 0.5) AS BIGINT)
+                 - CAST(ceil(MIN(cx) - 0.5) AS BIGINT) AS npx
+        FROM ccross GROUP BY row_y)
+    ),
+    chars AS (
+      SELECT d.doc_id, kk.k, (d.doc_id + 3 * kk.k) % 4 AS ctype
+      FROM docs d, (SELECT unnest(range(0, 6)) AS k) kk
+      WHERE kk.k < 3 + (d.doc_id * 5) % 3
+    ),
+    perdoc AS (
+      SELECT c.doc_id,
+             CAST(COUNT(*) AS INT) AS n_chars,
+             CAST(SUM(CASE c.ctype WHEN 0 THEN 608 WHEN 1 THEN 1088
+                      WHEN 2 THEN ci.ink ELSE 960 END) AS BIGINT) AS ink_px
+      FROM chars c CROSS JOIN cink ci
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, 612 AS width, 792 AS height, n_chars, ink_px,
+           CAST(255 * CAST(612 * 792 AS BIGINT) - 255 * ink_px AS BIGINT)
+             AS gray_sum
+    FROM perdoc
+    ORDER BY doc_id
+    """,
+)
+def mm_pdf_cid0_text_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 — CIDFontType0 TEXT RENDERING, completing the embedded-font
+    matrix: {TrueType, CFF, Type 1} x {simple, CID-composite}.  Each
+    doc's fixture page sets a doc-derived CID string (CIDs 101-104
+    cycling by (doc_id + 3k) % 4, 3-5 chars) through /Type0
+    /Identity-H over a CIDFontType0 descendant whose /FontFile3 is
+    CID-KEYED CFF (operators/cff.py: ROS, FDArray/FDSelect per-glyph
+    Private routing, charset CID->GID) — reference parity for
+    Poppler's CID font rendering (gen_pdf_imgLambda.py:51).
+
+    Scale shape: per-row independent mapInPandas; font parses once per
+    task, outlines cache per glyph; buffer bounded by page size."""
+    import numpy as np
+    import pandas as pd
+
+    from specialsid_spark.operators.pdfraster import (
+        build_cid0_pdf,
+        rasterize_page,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 3 + (doc_id * 5) % 3
+                cids = [101 + (doc_id + 3 * k) % 4 for k in range(n)]
+                r = rasterize_page(build_cid0_pdf(cids))
+                if r is None:  # degrade surfaces as an impossible row
+                    out.append((doc_id, -1, -1, -1, -1, -1))
+                    continue
+                w, h, _ch, px = r
+                buf = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+                gray = buf[:, :, 0]
+                out.append(
+                    (doc_id, w, h, n,
+                     int((gray != 255).sum()),
+                     int(gray.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "n_chars",
+                         "ink_px", "gray_sum"],
+            ).astype({"doc_id": "int64", "width": "int32", "height": "int32",
+                      "n_chars": "int32", "ink_px": "int64",
+                      "gray_sum": "int64"})
+
+    schema = (
+        "doc_id long, width int, height int, n_chars int,"
+        " ink_px long, gray_sum long"
+    )
+    return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")

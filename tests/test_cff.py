@@ -148,3 +148,94 @@ def test_stem_hints_consume_width_and_are_skipped():
     )
     assert adv == 321.0
     assert contours  # the path survives the hint prelude
+
+
+# ------------------------------------------------- CID-keyed CFF (r11)
+
+def test_cid_cff_parse_and_charset():
+    from specialsid_spark.operators.cff import (
+        CffCidFont,
+        fixture_cid_cff,
+        parse_cff,
+    )
+
+    f = parse_cff(fixture_cid_cff())
+    assert isinstance(f, CffCidFont)
+    assert f.units_per_em == 1024
+    assert f.cid_to_gid == {0: 0, 101: 1, 102: 2, 103: 3, 104: 4}
+    assert f.fd_select == [0, 0, 0, 1, 1]
+    # FD 1 carries the local subr + nominal width, FD 0 does not
+    assert f.fd_privs[0][2] == [] and len(f.fd_privs[1][2]) == 1
+    assert f.fd_privs[0][1] == 0.0 and f.fd_privs[1][1] == 500.0
+
+
+def test_cid_cff_outline_parity_with_plain_fixture():
+    """Same glyph programs as fixture_cff -> identical contours, even
+    though C/H route through FD 1's local subr."""
+    from specialsid_spark.operators.cff import (
+        fixture_cff,
+        fixture_cid_cff,
+        parse_cff,
+    )
+
+    plain = parse_cff(fixture_cff())
+    cid = parse_cff(fixture_cid_cff())
+    for ch, c in zip("LOCH", (101, 102, 103, 104)):
+        pc, pw = plain.pieces(plain.glyph_for_char(ch))
+        cc, cw = cid.pieces(cid.cid_to_gid[c])
+        assert pc == cc
+        assert pw == cw == 640
+
+
+def test_cid_cff_fd_misroute_dies_loudly():
+    """Gid routed to FD 0 cannot resolve FD 1's local subr."""
+    import pytest
+
+    from specialsid_spark.operators.cff import (
+        CffUnsupported,
+        fixture_cid_cff,
+        parse_cff,
+    )
+
+    f = parse_cff(fixture_cid_cff())
+    f.fd_select[3] = 0  # simulate a broken FDSelect for glyph C
+    with pytest.raises(CffUnsupported):
+        f.pieces(3)
+
+
+def test_cid0_pdf_raster_matches_cff_ink():
+    import numpy as np
+
+    from specialsid_spark.operators.pdfraster import (
+        build_cff_pdf,
+        build_cid0_pdf,
+        rasterize_page,
+    )
+
+    # same glyph sequence through the simple-CFF and CID-CFF paths:
+    # identical per-glyph ink (pen advances differ: /W 1125 vs 640)
+    r_cid = rasterize_page(build_cid0_pdf([101, 102, 103, 104]))
+    r_cff = rasterize_page(build_cff_pdf("LOCH"))
+    assert r_cid is not None and r_cff is not None
+    a = np.frombuffer(r_cid[3], np.uint8).reshape(r_cid[1], r_cid[0], 3)
+    b = np.frombuffer(r_cff[3], np.uint8).reshape(r_cff[1], r_cff[0], 3)
+    assert int((a != 255).any(axis=2).sum()) == int((b != 255).any(axis=2).sum())
+
+
+def test_cid0_unmapped_cid_advances_only():
+    import numpy as np
+
+    from specialsid_spark.operators.pdfraster import (
+        build_cid0_pdf,
+        rasterize_page,
+    )
+
+    r1 = rasterize_page(build_cid0_pdf([101]))
+    r2 = rasterize_page(build_cid0_pdf([999, 101]))  # 999 -> .notdef, DW
+    a = np.frombuffer(r1[3], np.uint8).reshape(r1[1], r1[0], 3)
+    b = np.frombuffer(r2[3], np.uint8).reshape(r2[1], r2[0], 3)
+    ca = np.where((a != 255).any(axis=2).any(axis=0))[0]
+    cb = np.where((b != 255).any(axis=2).any(axis=0))[0]
+    # DW = 1000 -> 64 px shift at size 64
+    assert cb.min() - ca.min() == 64
+    assert int((a != 255).sum()) == int((b != 255).sum())

@@ -906,3 +906,83 @@ def test_inline_image_lzw_gray():
     # the 8x8 block lands 1:1 at (100, 100): device rows 684..692
     block = gray[684:692, 100:108]
     assert int(block.sum()) == sum(px)
+
+
+# ------------------------------------- predicted image XObjects (r11)
+
+def _predicted_pdf(pred_encode, parms):
+    import zlib
+
+    from specialsid_spark.operators.pdf import _assemble_pdf
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    payload = zlib.compress(pred_encode(px))
+    content = b"q 8 0 0 8 100 100 cm /Im1 Do Q"
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [5 0 R] /Count 1 >>",
+        b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8"
+        b" /ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode"
+        + parms + b" /Length %d >>\nstream\n" % len(payload)
+        + payload + b"\nendstream",
+        b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /XObject << /Im1 3 0 R >> >> /Contents 4 0 R >>",
+    ]
+    return _assemble_pdf(objects, 1), px
+
+
+def _png_rows(px, ft, encode_row):
+    h = px.shape[0]
+    out = bytearray()
+    for y in range(h):
+        out.append(ft)
+        out += encode_row(y)
+    return bytes(out)
+
+
+def test_flate_image_png_up_predictor():
+    def enc(px):
+        prev = np.zeros_like(px[0])
+        rows = bytearray()
+        for y in range(px.shape[0]):
+            rows.append(2)
+            rows += (px[y] - prev).astype(np.uint8).tobytes()
+            prev = px[y]
+        return bytes(rows)
+
+    blob, px = _predicted_pdf(
+        enc, b" /DecodeParms << /Predictor 15 /Colors 3 /Columns 8 >>"
+    )
+    r = rasterize_page(blob)
+    buf = np.frombuffer(r[3], np.uint8).reshape(r[1], r[0], 3)
+    assert (buf[792 - 108 : 792 - 100, 100:108] == px).all()
+
+
+def test_flate_image_tiff_predictor_2():
+    def enc(px):
+        d = px.astype(np.int16)
+        d[:, 1:, :] = d[:, 1:, :] - px[:, :-1, :].astype(np.int16)
+        return (d & 0xFF).astype(np.uint8).tobytes()
+
+    blob, px = _predicted_pdf(
+        enc, b" /DecodeParms << /Predictor 2 /Colors 3 /Columns 8 >>"
+    )
+    r = rasterize_page(blob)
+    buf = np.frombuffer(r[3], np.uint8).reshape(r[1], r[0], 3)
+    assert (buf[792 - 108 : 792 - 100, 100:108] == px).all()
+
+
+def test_predictor_columns_mismatch_degrades():
+    def enc(px):
+        rows = bytearray()
+        for y in range(px.shape[0]):
+            rows.append(0)
+            rows += px[y].tobytes()
+        return bytes(rows)
+
+    blob, _px = _predicted_pdf(
+        enc, b" /DecodeParms << /Predictor 15 /Colors 3 /Columns 99 >>"
+    )
+    assert rasterize_page(blob) is None  # degrades loudly, no crash
