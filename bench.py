@@ -169,6 +169,11 @@ HEADLINE = [
     "agg_qdigest_merge_parity",
     # Aho-Corasick blocklist gate — a per-row corpus scan
     "cur_blocklist_scrub",
+    # round-11 addition: Zipf slope over the full vocabulary — now a
+    # top-1000-first plan (TakeOrderedAndProject, per-partition heaps)
+    # after the r10 verdict flagged its global-window rank; the r11
+    # font/predictor queries stay excluded (fixture-IO, mm_pdf family).
+    "text_zipf_slope",
 ]
 
 

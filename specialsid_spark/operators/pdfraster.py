@@ -1128,15 +1128,19 @@ def _fill_path(buf, subpaths, color, evenodd: bool, clip=None) -> None:
                 buf[py, a:b] = color
 
 
-def _glyph_boxes(buf, m, pen_x, size, text, color, clip=None) -> float:
+def _glyph_boxes(buf, m, pen_x, size, text, color, clip=None,
+                 ts=None) -> float:
     """Paint the glyph-box run for ``text`` starting at text-space
     ``pen_x`` (baseline y=0) and return the advanced pen position."""
+    if ts is None:
+        ts = _TS_DEFAULT
     for ch in text:
-        if not ch.isspace():
+        if not ch.isspace() and ts.paints:
             _fill_rect(
-                buf, m, pen_x, 0.0, GLYPH_W * size, GLYPH_H * size, color, clip
+                buf, m, pen_x, ts.ts, GLYPH_W * size * ts.hscale,
+                GLYPH_H * size, color, clip,
             )
-        pen_x += GLYPH_ADVANCE * size
+        pen_x += ts.advance(GLYPH_ADVANCE * size, ch == " ")
     return pen_x
 
 
@@ -1160,17 +1164,21 @@ class _Std14Font:
         return GLYPH_ADVANCE * 1000.0  # outside the AFM ASCII table
 
 
-def _std14_boxes(buf, m, pen_x, size, text, color, font, clip=None) -> float:
+def _std14_boxes(buf, m, pen_x, size, text, color, font, clip=None,
+                 ts=None) -> float:
     """Metric-true glyph boxes for a Standard-14 font: per character,
     ink = 0.8 × the AFM advance wide (GLYPH_W/GLYPH_ADVANCE, the same
     ratio as the teaching box), GLYPH_H tall, pen advanced by the real
-    AFM width."""
+    AFM width (plus Tc/Tw, scaled by Tz — r11 text state)."""
+    if ts is None:
+        ts = _TS_DEFAULT
     ratio = GLYPH_W / GLYPH_ADVANCE
     for ch in text:
         adv = font.advance_1000(ord(ch)) / 1000.0 * size
-        if not ch.isspace():
-            _fill_rect(buf, m, pen_x, 0.0, adv * ratio, GLYPH_H * size, color, clip)
-        pen_x += adv
+        if not ch.isspace() and ts.paints:
+            _fill_rect(buf, m, pen_x, ts.ts, adv * ts.hscale * ratio,
+                       GLYPH_H * size, color, clip)
+        pen_x += ts.advance(adv, ch == " ")
     return pen_x
 
 
@@ -1191,7 +1199,8 @@ def _flatten_quad(p0, p1, p2) -> list[tuple[float, float]]:
     return pts
 
 
-def _glyph_outlines(buf, m, pen_x, size, text, color, font, clip=None) -> float:
+def _glyph_outlines(buf, m, pen_x, size, text, color, font, clip=None,
+                    ts=None) -> float:
     """Real embedded-font outline text: per character, look the glyph
     up (TrueType cmap / CFF encoding), transform its contours through
     (size/unitsPerEm, text matrix, CTM), flatten curve pieces with the
@@ -1201,7 +1210,12 @@ def _glyph_outlines(buf, m, pen_x, size, text, color, font, clip=None) -> float:
     counter contours run opposite).  The pen advances by the glyph's
     hmtx advance (TrueType) or charstring width (CFF).  Unmapped
     characters hit glyph 0 (.notdef — empty in our scope): advance
-    only."""
+    only.  Text state (r11): contours scale horizontally by Tz and
+    shift vertically by the rise Ts; the advance gains Tc (and Tw for
+    a single-byte space - never for 2-byte CID strings); Tr 3/7 paint
+    nothing but still advance."""
+    if ts is None:
+        ts = _TS_DEFAULT
     scale = size / font.units_per_em
     is_cff = hasattr(font, "pieces")
     is_cid = getattr(font, "is_cid", False)
@@ -1236,13 +1250,17 @@ def _glyph_outlines(buf, m, pen_x, size, text, color, font, clip=None) -> float:
             per_contour = glyph_segments(contours)
             adv_text = font.advances[gid] if gid < len(font.advances) else 0
             adv_text *= scale
-        if per_contour:
+        if per_contour and ts.paints:
             subpaths = []
             for pieces in per_contour:
                 dev: list[tuple[float, float]] = []
 
                 def pt(p):
-                    return _apply(m, pen_x + p[0] * scale, p[1] * scale)
+                    return _apply(
+                        m,
+                        pen_x + p[0] * scale * ts.hscale,
+                        ts.ts + p[1] * scale,
+                    )
 
                 for piece in pieces:
                     if piece[0] == "l":
@@ -1266,20 +1284,66 @@ def _glyph_outlines(buf, m, pen_x, size, text, color, font, clip=None) -> float:
                     subpaths.append(dev)
             if subpaths:
                 _fill_path(buf, subpaths, color, False, clip)
-        pen_x += adv_text
+        pen_x += ts.advance(adv_text, not is_cid and ch == " ")
     return pen_x
 
 
-def _paint_text(buf, m, pen_x, size, text, color, font, clip=None) -> float:
+class _TextState:
+    """ISO 32000-1 §9.3 text-state parameters the r11 layout honors:
+    Tc char spacing, Tw word spacing (single-byte code 32 only — per
+    spec it never applies to multi-byte CID strings), Tz horizontal
+    scaling (percent), Ts rise, Tr render mode (3 = invisible — the
+    OCR text layer convention in scanned PDFs: advance, paint
+    nothing).  Defaults reproduce the pre-r11 arithmetic exactly
+    (adding 0.0 and scaling by 1.0 are identity in doubles)."""
+
+    __slots__ = ("tc", "tw", "tz", "ts", "tr")
+
+    def __init__(self) -> None:
+        self.tc = 0.0
+        self.tw = 0.0
+        self.tz = 100.0
+        self.ts = 0.0
+        self.tr = 0
+
+    @property
+    def hscale(self) -> float:
+        return self.tz / 100.0
+
+    def advance(self, glyph_adv: float, is_space32: bool) -> float:
+        """Full §9.4.4 advance: (glyph + Tc + Tw?) * Th."""
+        a = glyph_adv + self.tc
+        if is_space32:
+            a += self.tw
+        return a * self.hscale
+
+    @property
+    def invisible(self) -> bool:
+        return self.tr == 3
+
+    @property
+    def paints(self) -> bool:
+        # fill/stroke variants all leave ink in this model; 3 and 7
+        # (invisible / clip-only) do not
+        return self.tr not in (3, 7)
+
+
+_TS_DEFAULT = _TextState()
+
+
+def _paint_text(buf, m, pen_x, size, text, color, font, clip=None,
+                ts=_TS_DEFAULT) -> float:
     """Dispatch: embedded TrueType/CFF/Type1 outlines when the current
     font carries a parsed program; metric-true AFM boxes for
     non-embedded Standard-14 faces (r11); else the r8 flat glyph-box
     layout model (the documented degrade for everything else)."""
     if font is not None:
         if getattr(font, "is_std14", False):
-            return _std14_boxes(buf, m, pen_x, size, text, color, font, clip)
-        return _glyph_outlines(buf, m, pen_x, size, text, color, font, clip)
-    return _glyph_boxes(buf, m, pen_x, size, text, color, clip)
+            return _std14_boxes(buf, m, pen_x, size, text, color, font,
+                                clip, ts)
+        return _glyph_outlines(buf, m, pen_x, size, text, color, font,
+                               clip, ts)
+    return _glyph_boxes(buf, m, pen_x, size, text, color, clip, ts)
 
 
 def _page_fonts(objs: dict, page_head: bytes) -> dict[str, int]:
@@ -1490,6 +1554,7 @@ def _run(content, buf, s, hpx, ox, oy, objs, xobjects, fonts=None, shadings=None
     leading = 0.0
     font = None  # parsed TrueType program, or None = glyph-box model
     font_cache: dict[str, object] = {}
+    tstate = _TextState()  # Tc/Tw/Tz/Ts/Tr (r11)
     operands: list = []
 
     def num(k: int) -> float:
@@ -1512,10 +1577,14 @@ def _run(content, buf, s, hpx, ox, oy, objs, xobjects, fonts=None, shadings=None
             continue
         op = val
         if op == b"q":
-            stack.append((ctm, fill.copy(), clip, fill_cs))
+            stack.append((
+                ctm, fill.copy(), clip, fill_cs,
+                (tstate.tc, tstate.tw, tstate.tz, tstate.ts, tstate.tr),
+            ))
         elif op == b"Q":
             if stack:
-                ctm, fill, clip, fill_cs = stack.pop()
+                ctm, fill, clip, fill_cs, tsnap = stack.pop()
+                tstate.tc, tstate.tw, tstate.tz, tstate.ts, tstate.tr = tsnap
         elif op == b"cm":
             cm = tuple(num(6 - k) for k in range(6))
             ctm = _mul(cm, ctm)
@@ -1722,16 +1791,19 @@ def _run(content, buf, s, hpx, ox, oy, objs, xobjects, fonts=None, shadings=None
             if operands and operands[-1][0] == "str":
                 pen = _paint_text(
                     buf, _mul(tm, ctm), pen, size, operands[-1][1], fill,
-                    font, clip,
+                    font, clip, tstate,
                 )
         elif op == b"TJ":
             if operands and operands[-1][0] == "arr":
                 m = _mul(tm, ctm)
                 for ekind, ev in operands[-1][1]:
                     if ekind == "str":
-                        pen = _paint_text(buf, m, pen, size, ev, fill, font, clip)
+                        pen = _paint_text(
+                            buf, m, pen, size, ev, fill, font, clip, tstate
+                        )
                     else:  # kerning: thousandths of an em, subtracted
-                        pen -= ev / 1000.0 * size
+                        # (scaled by Tz like every horizontal displacement)
+                        pen -= ev / 1000.0 * size * tstate.hscale
         elif op == b"Do":
             if operands and operands[-1][0] == "name":
                 xnum = xobjects.get(operands[-1][1])
@@ -1745,8 +1817,18 @@ def _run(content, buf, s, hpx, ox, oy, objs, xobjects, fonts=None, shadings=None
                 if snum is None or snum not in objs:
                     raise _Degrade("unresolved shading")
                 _paint_shading(buf, ctm, _parse_shading(objs, snum), clip)
+        elif op == b"Tc":
+            tstate.tc = num(1)
+        elif op == b"Tw":
+            tstate.tw = num(1)
+        elif op == b"Tz":
+            tstate.tz = num(1)
+        elif op == b"Ts":
+            tstate.ts = num(1)
+        elif op == b"Tr":
+            tstate.tr = int(num(1))
         elif op in (b"gs", b"ri", b"i", b"j", b"J", b"M", b"d", b"w",
-                    b"Tc", b"Tw", b"Tz", b"Ts", b"Tr", b"G", b"RG",
+                    b"G", b"RG",
                     b"CS", b"SC", b"SCN", b"K",
                     b"MP", b"DP", b"BMC", b"BDC", b"EMC"):
             pass  # state/marked-content: no ink effect in this model
@@ -1864,6 +1946,58 @@ def build_std14_pdf(
     )
     content = b"BT /F1 %d Tf %d %d Td (%s) Tj ET" % (
         size, td[0], td[1], _pdf_escape(text),
+    )
+    cont_num = add(
+        b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
+    )
+    page = add(
+        b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /Font << /F1 %d 0 R >> >>"
+        b" /Contents %d 0 R >>" % (pages_num, font_num, cont_num)
+    )
+    objects[pages_num - 1] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
+    objects[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
+    return _assemble_pdf(objects, catalog_num)
+
+
+def build_textstate_pdf(
+    line_a: str, line_c: str, face: str = "Helvetica",
+) -> bytes:
+    """Oracle-fixture writer (r11): one 612x792 page exercising the
+    §9.3 text-state parameters over a non-embedded Standard-14 face:
+
+    * line A at Td (72, 700): ``2 Tc 4 Tw 50 Tz`` — char spacing,
+      word spacing, and half horizontal scale over ``line_a``;
+    * line B at Td (0, -200) -> baseline 500: state reset, ``8 Ts`` —
+      a +8 rise over the fixed text "up";
+    * line C at Td (0, -200) -> baseline 300: ``0 Ts 3 Tr`` — INVISIBLE
+      over ``line_c`` (the OCR-text-layer convention: advances, no
+      ink).
+
+    Size 125 keeps every advance dyadic ((w/8 + ints) * 0.5)."""
+    from specialsid_spark.operators.pdf import (  # noqa: PLC0415
+        _assemble_pdf,
+        _pdf_escape,
+    )
+
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    catalog_num = add(b"")
+    pages_num = add(b"")
+    font_num = add(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /%s >>"
+        % face.encode("latin-1")
+    )
+    content = (
+        b"BT /F1 125 Tf"
+        b" 2 Tc 4 Tw 50 Tz 72 700 Td (%s) Tj"
+        b" 0 Tc 0 Tw 100 Tz 8 Ts 0 -200 Td (up) Tj"
+        b" 0 Ts 3 Tr 0 -200 Td (%s) Tj"
+        b" ET" % (_pdf_escape(line_a), _pdf_escape(line_c))
     )
     cont_num = add(
         b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"

@@ -5229,3 +5229,122 @@ def mm_pdf_cid0_text_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ink_px long, gray_sum long"
     )
     return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")
+
+
+@register(
+    "mm_pdf_textstate_raster",
+    # r11: ISO 32000-1 §9.3 text-state parameters — char spacing (Tc),
+    # word spacing (Tw), horizontal scaling (Tz), rise (Ts), and the
+    # INVISIBLE render mode (Tr 3, the OCR-text-layer convention in
+    # scanned PDFs).  Fixture: three Helvetica runs at 125 pt — line A
+    # under "2 Tc 4 Tw 50 Tz" (advances become (w/8 + 2 [+4 space]) *
+    # 0.5, all dyadic; ink shrinks to half scale), line B "up" under
+    # an 8 pt rise (its 75-row band shifts to device rows 209-283),
+    # line C doc-varying text under Tr 3 (advances, paints NOTHING —
+    # if it left ink, ink_px would vary with the ghost text's length).
+    # The oracle restates the §9.4.4 advance formula verbatim.
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, 3 + length(CAST(doc_id AS VARCHAR)) AS n_chars
+      FROM documents WHERE doc_id < {_N_CODEC_DOCS}
+    ),
+    a_chars AS (
+      SELECT d.doc_id, d.n_chars, k.i,
+             CASE WHEN k.i = 1 THEN 611.0
+                  WHEN k.i = 2 THEN 722.0
+                  WHEN k.i = 3 THEN 278.0
+                  ELSE 556.0 END AS wth,
+             k.i <> 3 AS inked
+      FROM docs d, (SELECT unnest(range(1, 6)) AS i) k
+      WHERE k.i <= d.n_chars
+    ),
+    a_pens AS (
+      SELECT doc_id, n_chars, i, inked,
+             wth / 1000 * 125 AS adv_g,
+             72 + COALESCE(SUM(
+               (wth / 1000 * 125 + 2 + CASE WHEN i = 3 THEN 4 ELSE 0 END)
+               * (50.0 / 100)) OVER (
+                 PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS x0
+      FROM a_chars
+    ),
+    a_agg AS (
+      SELECT doc_id, n_chars,
+             SUM(CASE WHEN inked THEN
+               CAST(round(x0 + (adv_g * (50.0 / 100)) * (0.4 / 0.5)) AS BIGINT)
+               - CAST(round(x0) AS BIGINT) ELSE 0 END) AS a_cols
+      FROM a_pens GROUP BY doc_id, n_chars
+    ),
+    b_cols AS (
+      SELECT SUM(
+               CAST(round(x0 + ((556.0 / 1000 * 125) * 1.0) * (0.4 / 0.5))
+                    AS BIGINT)
+               - CAST(round(x0) AS BIGINT)) AS cols
+      FROM (SELECT 72.0 AS x0 UNION ALL
+            SELECT 72 + 556.0 / 1000 * 125 AS x0)
+    )
+    SELECT a.doc_id, CAST(a.n_chars AS INT) AS n_chars,
+           612 AS width, 792 AS height,
+           CAST(75 * (a.a_cols + b.cols) AS BIGINT) AS ink_px,
+           CAST(75 * b.cols AS BIGINT) AS b_band_ink,
+           17 AS row_min, 283 AS row_max,
+           CAST(255 * CAST(612 * 792 AS BIGINT)
+                - 255 * 75 * (a.a_cols + b.cols) AS BIGINT) AS gray_sum
+    FROM a_agg a CROSS JOIN b_cols b
+    ORDER BY a.doc_id
+    """,
+)
+def mm_pdf_textstate_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 — TEXT-STATE rendering (Tc/Tw/Tz/Ts/Tr): the §9.3
+    parameters every justified or OCR'd real-world PDF uses.  Line A
+    re-derives the full §9.4.4 advance ((w·s/1000 + Tc + Tw)·Th) at
+    half horizontal scale; line B pins the rise's vertical band; line
+    C pins that Tr 3 (invisible — how scanned PDFs overlay their OCR
+    text layer) advances without painting.  Reference parity: Poppler
+    honors all five on the same pages (gen_pdf_imgLambda.py:51).
+
+    Scale shape: per-doc independent mapInPandas, codec-family plan."""
+    import numpy as np
+    import pandas as pd
+
+    from specialsid_spark.operators.pdfraster import (
+        build_textstate_pdf,
+        rasterize_page,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                text_a = f"Tw {doc_id}"
+                r = rasterize_page(
+                    build_textstate_pdf(text_a, f"ghost {doc_id}")
+                )
+                w, h, _ch, px = r
+                buf = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+                ink = (buf != 255).any(axis=2)
+                rows = np.where(ink.any(axis=1))[0]
+                out.append(
+                    (doc_id, len(text_a), w, h, int(ink.sum()),
+                     int(ink[200:290].sum()),
+                     int(rows.min()), int(rows.max()),
+                     int(buf[:, :, 0].astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_chars", "width", "height", "ink_px",
+                         "b_band_ink", "row_min", "row_max", "gray_sum"],
+            ).astype({"doc_id": "int64", "n_chars": "int32",
+                      "width": "int32", "height": "int32",
+                      "ink_px": "int64", "b_band_ink": "int64",
+                      "row_min": "int64", "row_max": "int64",
+                      "gray_sum": "int64"})
+
+    schema = (
+        "doc_id long, n_chars int, width int, height int, ink_px long,"
+        " b_band_ink long, row_min long, row_max long, gray_sum long"
+    )
+    return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")

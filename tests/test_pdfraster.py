@@ -986,3 +986,86 @@ def test_predictor_columns_mismatch_degrades():
         enc, b" /DecodeParms << /Predictor 15 /Colors 3 /Columns 99 >>"
     )
     assert rasterize_page(blob) is None  # degrades loudly, no crash
+
+
+# --------------------------------------------- text state (r11)
+
+def _ts_pdf(content_ops):
+    from specialsid_spark.operators.pdf import _assemble_pdf
+
+    content = b"BT /F1 64 Tf " + content_ops + b" ET"
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /Font << /F1 5 0 R >> >> /Contents 3 0 R >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    return _assemble_pdf(objects, 1)
+
+
+def test_invisible_text_mode_advances_without_ink():
+    # Tr 3 paints nothing; after 0 Tr the next run paints, shifted by
+    # the invisible run's full advance
+    visible = rasterize_page(_ts_pdf(b"72 700 Td (mm) Tj"))
+    with_ghost = rasterize_page(
+        _ts_pdf(b"72 700 Td 3 Tr (mm) Tj 0 Tr (mm) Tj")
+    )
+    gv = _gray(visible)
+    gg = _gray(with_ghost)
+    # same glyphs, fractionally shifted pen: per-glyph cols may differ
+    # by one rounding column; the band height at 64 pt is 38 rows
+    assert abs(int((gv != 255).sum()) - int((gg != 255).sum())) <= 2 * 39
+    cv = np.where((gv != 255).any(axis=0))[0]
+    cg = np.where((gg != 255).any(axis=0))[0]
+    # Helvetica m = 833/1000em: ghost "mm" advance = 2 * 833/1000 * 64
+    shift = round(cg.min() - cv.min())
+    assert abs(shift - 2 * 833 / 1000 * 64) <= 1
+
+
+def test_tz_halves_ink_and_advance():
+    full = rasterize_page(_ts_pdf(b"72 700 Td (iii) Tj"))
+    half = rasterize_page(_ts_pdf(b"50 Tz 72 700 Td (iii) Tj"))
+    gf, gh = _gray(full), _gray(half)
+    cf = np.where((gf != 255).any(axis=0))[0]
+    chh = np.where((gh != 255).any(axis=0))[0]
+    assert chh.max() - chh.min() < 0.6 * (cf.max() - cf.min())
+
+
+def test_rise_shifts_rows():
+    flat = rasterize_page(_ts_pdf(b"72 700 Td (x) Tj"))
+    raised = rasterize_page(_ts_pdf(b"10 Ts 72 700 Td (x) Tj"))
+    rf = np.where((_gray(flat) != 255).any(axis=1))[0]
+    rr = np.where((_gray(raised) != 255).any(axis=1))[0]
+    assert rf.min() - rr.min() == 10  # device y decreases as rise grows
+
+
+def test_word_spacing_applies_to_space_only():
+    base = rasterize_page(_ts_pdf(b"72 700 Td (a a) Tj"))
+    spaced = rasterize_page(_ts_pdf(b"20 Tw 72 700 Td (a a) Tj"))
+    cb = np.where((_gray(base) != 255).any(axis=0))[0]
+    cs = np.where((_gray(spaced) != 255).any(axis=0))[0]
+    assert cs.max() - cb.max() == 20  # exactly one space widened by Tw
+
+
+def test_q_restores_text_state():
+    plain = rasterize_page(_ts_pdf(b"72 700 Td (aa) Tj"))
+    saved = rasterize_page(
+        _ts_pdf(b"q 3 Tr 9 Tc Q 72 700 Td (aa) Tj")
+    )
+    assert (
+        np.frombuffer(plain[3], np.uint8) == np.frombuffer(saved[3], np.uint8)
+    ).all()
+
+
+def test_tj_kern_scales_with_tz():
+    # a NEGATIVE TJ element moves the pen right by |v|/1000 em,
+    # scaled by Tz: -1000 at 50 Tz and 64 pt = +32 px, not +64
+    a = rasterize_page(
+        _ts_pdf(b"50 Tz 72 700 Td [(l) -1000 (l)] TJ")
+    )
+    b = rasterize_page(_ts_pdf(b"50 Tz 72 700 Td [(l) (l)] TJ"))
+    ca = np.where((_gray(a) != 255).any(axis=0))[0]
+    cb = np.where((_gray(b) != 255).any(axis=0))[0]
+    assert ca.max() - cb.max() == 32
