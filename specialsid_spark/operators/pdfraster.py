@@ -1341,9 +1341,148 @@ def _paint_text(buf, m, pen_x, size, text, color, font, clip=None,
         if getattr(font, "is_std14", False):
             return _std14_boxes(buf, m, pen_x, size, text, color, font,
                                 clip, ts)
+        if getattr(font, "is_type3", False):
+            return _type3_glyphs(buf, m, pen_x, size, text, color, font,
+                                 clip, ts)
         return _glyph_outlines(buf, m, pen_x, size, text, color, font,
                                clip, ts)
     return _glyph_boxes(buf, m, pen_x, size, text, color, clip, ts)
+
+
+class _Type3Font:
+    """A /Subtype /Type3 font (ISO 32000-1 §9.6.5, r11): every glyph
+    IS a small content stream executed in glyph space; /FontMatrix
+    maps glyph space to text space and /Widths (glyph-space units)
+    drive advances.  Type 3 is the PDF-native font format — logos,
+    bitmap fonts, and old TeX output embed this way."""
+
+    is_type3 = True
+
+    def __init__(self, fm, procs, widths, xobjects, objs) -> None:
+        self.fm = fm          # FontMatrix 6-tuple
+        self.procs = procs    # char code -> decoded glyph stream
+        self.widths = widths  # char code -> glyph-space width
+        self.xobjects = xobjects
+        self.objs = objs
+
+
+def _stream_decoded(objs: dict, num: int) -> bytes | None:
+    """One object's stream bytes through Flate/LZW (or raw)."""
+    head, data = objs.get(num, (b"", None))
+    if data is None:
+        return None
+    if re.search(rb"/Filter\s*/FlateDecode\b", head) or re.search(
+        rb"/Filter\s*\[\s*/FlateDecode\s*\]", head
+    ):
+        try:
+            return zlib.decompress(data)
+        except zlib.error:
+            return None
+    if b"/LZWDecode" in head:
+        from specialsid_spark.operators.pdf import lzw_decode_pdf  # noqa: PLC0415
+
+        return lzw_decode_pdf(head, bytes(data))
+    if b"/Filter" in head:
+        return None
+    return bytes(data)
+
+
+def _load_type3(objs: dict, head: bytes):
+    fm_m = re.search(
+        rb"/FontMatrix\s*\[\s*([0-9.eE+-]+)\s+([0-9.eE+-]+)\s+([0-9.eE+-]+)"
+        rb"\s+([0-9.eE+-]+)\s+([0-9.eE+-]+)\s+([0-9.eE+-]+)",
+        head,
+    )
+    if fm_m is None:
+        return None
+    try:
+        fm = tuple(float(v) for v in fm_m.groups())
+    except ValueError:
+        return None
+
+    def sub_dict(key: bytes) -> bytes | None:
+        m = re.search(key + rb"\s+(\d+)\s+0\s+R", head)
+        if m is not None:
+            return objs.get(int(m.group(1)), (None,))[0]
+        m = re.search(key + rb"\s*<<(.*?)>>", head, re.S)
+        return m.group(1) if m else None
+
+    cp = sub_dict(rb"/CharProcs")
+    enc = sub_dict(rb"/Encoding")
+    if cp is None or enc is None:
+        return None
+    name_to_num = {
+        nm: int(num)
+        for nm, num in re.findall(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+0\s+R", cp)
+    }
+    # /Differences: a number sets the next code, names assign onward
+    dm = re.search(rb"/Differences\s*\[(.*?)\]", enc, re.S)
+    if dm is None:
+        return None
+    code_to_name: dict[int, bytes] = {}
+    code = 0
+    for num_tok, name_tok in re.findall(
+        rb"(\d+)|/([^\s/<>\[\]()]+)", dm.group(1)
+    ):
+        if num_tok:
+            code = int(num_tok)
+        else:
+            code_to_name[code] = name_tok
+            code += 1
+    fc_m = re.search(rb"/FirstChar\s+(\d+)", head)
+    wd_m = re.search(rb"/Widths\s*\[(.*?)\]", head, re.S)
+    if fc_m is None or wd_m is None:
+        return None
+    first = int(fc_m.group(1))
+    wlist = [float(v) for v in re.findall(rb"[-0-9.eE+]+", wd_m.group(1))]
+    widths = {first + i: w for i, w in enumerate(wlist)}
+    procs: dict[int, bytes] = {}
+    for c, nm in code_to_name.items():
+        num = name_to_num.get(nm)
+        if num is None:
+            continue
+        dec = _stream_decoded(objs, num)
+        if dec is None:
+            return None  # an undecodable glyph proc: whole-font degrade
+        procs[c] = dec
+    rm = re.search(rb"/Resources\s*<<(.*?)>>\s*(?:/|>>)", head, re.S)
+    xobjects = {}
+    if rm is not None:
+        xm = re.search(rb"/XObject\s*<<(.*?)>>", rm.group(1), re.S)
+        if xm is not None:
+            xobjects = {
+                nm.decode("latin-1"): int(num)
+                for nm, num in re.findall(
+                    rb"/(\w+)\s+(\d+)\s+0\s+R", xm.group(1)
+                )
+            }
+    return _Type3Font(fm, procs, widths, xobjects, objs)
+
+
+def _type3_glyphs(buf, m, pen_x, size, text, color, font, clip=None,
+                  ts=None) -> float:
+    """Execute each glyph's content stream with CTM = FontMatrix x
+    [size*Th 0 0 size pen rise] x (Tm x page-CTM); the advance is the
+    glyph-space width through the FontMatrix's x scale.  Nested text
+    inside a glyph proc falls back to the glyph-box model (fonts are
+    deliberately not forwarded — bounds recursion)."""
+    if ts is None:
+        ts = _TS_DEFAULT
+    for ch in text:
+        code = ord(ch)
+        proc = font.procs.get(code)
+        if proc is not None and ts.paints:
+            trm = _mul((size * ts.hscale, 0.0, 0.0, size, pen_x, ts.ts), m)
+            g_ctm = _mul(font.fm, trm)
+            _run(
+                proc, buf, 1.0, buf.shape[0], 0.0, 0.0, font.objs,
+                font.xobjects, base_ctm=g_ctm,
+                init_fill=np.asarray(color, dtype=np.uint8),
+                init_clip=clip,
+            )
+        adv = font.widths.get(code, 0.0) * font.fm[0] * size
+        pen_x += ts.advance(adv, ch == " ")
+    return pen_x
 
 
 def _page_fonts(objs: dict, page_head: bytes) -> dict[str, int]:
@@ -1463,6 +1602,8 @@ def _load_font_program(objs: dict, font_num: int):
     )
 
     head = objs.get(font_num, (b"",))[0]
+    if re.search(rb"/Subtype\s*/Type3\b", head) is not None:
+        return _load_type3(objs, head)  # glyphs ARE content streams (r11)
     if re.search(rb"/Subtype\s*/Type0\b", head) is not None:
         if re.search(rb"/Encoding\s*/Identity-H\b", head) is None:
             return None  # CMap-encoded composites: glyph-box degrade
@@ -1535,13 +1676,26 @@ def _load_font_program(objs: dict, font_num: int):
 
 
 def _run(content, buf, s, hpx, ox, oy, objs, xobjects, fonts=None, shadings=None,
-         colorspaces=None) -> None:
-    base = (s, 0.0, 0.0, -s, -ox * s, hpx + oy * s)
+         colorspaces=None, base_ctm=None, init_fill=None,
+         init_clip=None) -> None:
+    """``base_ctm``/``init_fill`` (r11): when set, the stream runs with
+    that initial CTM / fill color instead of the page defaults — the
+    Type 3 glyph-procedure entry point (each glyph IS a content
+    stream, ISO 32000-1 §9.6.5)."""
+    base = (
+        base_ctm
+        if base_ctm is not None
+        else (s, 0.0, 0.0, -s, -ox * s, hpx + oy * s)
+    )
     ctm = base
     stack: list[tuple] = []
-    fill = np.array([0, 0, 0], dtype=np.uint8)
+    fill = (
+        init_fill.copy()
+        if init_fill is not None
+        else np.array([0, 0, 0], dtype=np.uint8)
+    )
     fill_cs = None  # parsed Separation spec (fn, nch), or None = device
-    clip = None  # device-space (x0, y0, x1, y1) rect clip, or None
+    clip = init_clip  # device-space (x0, y0, x1, y1) rect clip, or None
     pending_clip = False  # a W/W* was seen; the next n consumes
     rects: list[tuple] = []  # (x, y, w, h, ctm): the pure-re fast path
     subpaths: list[list[tuple[float, float]]] = []  # device-space polygons
@@ -1830,6 +1984,7 @@ def _run(content, buf, s, hpx, ox, oy, objs, xobjects, fonts=None, shadings=None
         elif op in (b"gs", b"ri", b"i", b"j", b"J", b"M", b"d", b"w",
                     b"G", b"RG",
                     b"CS", b"SC", b"SCN", b"K",
+                    b"d0", b"d1",
                     b"MP", b"DP", b"BMC", b"BDC", b"EMC"):
             pass  # state/marked-content: no ink effect in this model
         else:
@@ -2168,6 +2323,64 @@ def build_type1_pdf(
     font_num = add(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Fixture1"
         b" /FirstChar 32 /LastChar 126 /FontDescriptor %d 0 R >>" % desc_num
+    )
+    content = b"BT /F1 %d Tf %d %d Td (%s) Tj ET" % (
+        size, td[0], td[1], _pdf_escape(text),
+    )
+    cont_num = add(
+        b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
+    )
+    page = add(
+        b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /Font << /F1 %d 0 R >> >>"
+        b" /Contents %d 0 R >>" % (pages_num, font_num, cont_num)
+    )
+    objects[pages_num - 1] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
+    objects[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
+    return _assemble_pdf(objects, catalog_num)
+
+
+def build_type3_pdf(
+    text: str, size: int = 64, td: tuple[int, int] = (72, 700),
+) -> bytes:
+    """Oracle-fixture writer (r11): one 612x792 page whose only ink is
+    ``text`` set in a /Subtype /Type3 font — glyphs ARE content
+    streams.  FontMatrix 1/128 (exact in binary); two glyphs:
+    ``r`` = ``8 16 80 64 re f`` (a rect: 40x32 device px = 1280 at
+    size 64) and ``t`` = a right triangle with 64-unit legs (scanline
+    coverage 0+1+...+31 = 496 px); both advance 112 glyph units =
+    56 device px (integral, so per-glyph ink is pen-invariant)."""
+    from specialsid_spark.operators.pdf import (  # noqa: PLC0415
+        _assemble_pdf,
+        _pdf_escape,
+    )
+
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    catalog_num = add(b"")
+    pages_num = add(b"")
+    rect_proc = b"112 0 d0\n8 16 80 64 re f"
+    tri_proc = b"112 0 d0\n0 0 m 64 0 l 0 64 l h f"
+    rect_num = add(
+        b"<< /Length %d >>\nstream\n" % len(rect_proc)
+        + rect_proc + b"\nendstream"
+    )
+    tri_num = add(
+        b"<< /Length %d >>\nstream\n" % len(tri_proc)
+        + tri_proc + b"\nendstream"
+    )
+    font_num = add(
+        b"<< /Type /Font /Subtype /Type3"
+        b" /FontBBox [0 0 128 128]"
+        b" /FontMatrix [0.0078125 0 0 0.0078125 0 0]"
+        b" /CharProcs << /grect %d 0 R /gtri %d 0 R >>"
+        b" /Encoding << /Type /Encoding /Differences [114 /grect 116 /gtri] >>"
+        b" /FirstChar 114 /LastChar 116 /Widths [112 0 112] >>"
+        % (rect_num, tri_num)
     )
     content = b"BT /F1 %d Tf %d %d Td (%s) Tj ET" % (
         size, td[0], td[1], _pdf_escape(text),

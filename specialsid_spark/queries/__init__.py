@@ -112,6 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_pdf_type1_text_raster",
     "mm_pdf_cid0_text_raster",
     "mm_pdf_textstate_raster",
+    "mm_pdf_type3_text_raster",
 )
 
 

@@ -5348,3 +5348,92 @@ def mm_pdf_textstate_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
         " b_band_ink long, row_min long, row_max long, gray_sum long"
     )
     return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")
+
+
+@register(
+    "mm_pdf_type3_text_raster",
+    # r11: /Subtype /Type3 — the PDF-NATIVE font format where every
+    # glyph is itself a content stream (logos, bitmap fonts, TeX
+    # output).  FontMatrix 1/128 is exact in binary; the two glyph
+    # procedures have closed-form coverage: 'r' = `8 16 80 64 re f`
+    # (40x32 device px = 1280 at size 64) and 't' = a right triangle
+    # with 64-unit legs (rows 0..31 cover 0+1+...+31 = 496 px); both
+    # advance 112 glyph units = 56 integral device px, so per-glyph
+    # ink is pen-invariant and the oracle is pure counting.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_CODEC_DOCS}),
+    chars AS (
+      SELECT d.doc_id, kk.k,
+             CASE WHEN (d.doc_id + kk.k) % 3 = 0 THEN 'r' ELSE 't' END AS g
+      FROM docs d, (SELECT unnest(range(0, 6)) AS k) kk
+      WHERE kk.k < 3 + (d.doc_id * 7) % 4
+    ),
+    perdoc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS INT) AS n_chars,
+             CAST(SUM(CASE WHEN g = 'r' THEN 1280 ELSE 496 END) AS BIGINT)
+               AS ink_px
+      FROM chars GROUP BY doc_id
+    )
+    SELECT doc_id, 612 AS width, 792 AS height, n_chars, ink_px,
+           CAST(255 * CAST(612 * 792 AS BIGINT) - 255 * ink_px AS BIGINT)
+             AS gray_sum
+    FROM perdoc
+    ORDER BY doc_id
+    """,
+)
+def mm_pdf_type3_text_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 — TYPE 3 TEXT RENDERING, completing all FOUR PDF font
+    subtypes (TrueType r10, CFF r10, Type 1 r11, Type 3 r11): each
+    doc's fixture page sets a doc-derived r/t glyph string in a Type 3
+    font whose glyphs are little content streams, executed through the
+    page interpreter with CTM = FontMatrix x text matrix (the §9.6.5
+    model) — reference parity for Poppler's Type 3 rendering
+    (gen_pdf_imgLambda.py:51).  Advances come from /Widths through the
+    FontMatrix x-scale, NOT from the procs' d0 metrics.
+
+    Scale shape: per-row independent mapInPandas, codec-family plan."""
+    import numpy as np
+    import pandas as pd
+
+    from specialsid_spark.operators.pdfraster import (
+        build_type3_pdf,
+        rasterize_page,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 3 + (doc_id * 7) % 4
+                text = "".join(
+                    "r" if (doc_id + k) % 3 == 0 else "t" for k in range(n)
+                )
+                r = rasterize_page(build_type3_pdf(text))
+                if r is None:  # degrade surfaces as an impossible row
+                    out.append((doc_id, -1, -1, -1, -1, -1))
+                    continue
+                w, h, _ch, px = r
+                buf = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+                gray = buf[:, :, 0]
+                out.append(
+                    (doc_id, w, h, n,
+                     int((gray != 255).sum()),
+                     int(gray.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "n_chars",
+                         "ink_px", "gray_sum"],
+            ).astype({"doc_id": "int64", "width": "int32", "height": "int32",
+                      "n_chars": "int32", "ink_px": "int64",
+                      "gray_sum": "int64"})
+
+    schema = (
+        "doc_id long, width int, height int, n_chars int,"
+        " ink_px long, gray_sum long"
+    )
+    return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")
