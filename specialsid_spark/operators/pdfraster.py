@@ -191,14 +191,14 @@ def _ii_raster(canon: list[str], body: bytes, w: int, h: int,
         k = _ii_int(params, b"K")
         if k is None or k >= 0:
             raise _Degrade("only G4 (K < 0) inline CCITT supported")
-        if re.search(rb"/BlackIs1\s+true", params):
-            raise _Degrade("BlackIs1 polarity unsupported")
         cols = _ii_int(params, b"Columns")
         if cols is not None and cols != w:
             raise _Degrade("inline CCITT /Columns mismatch")
         dec = g4_decode(bytes(body), w, h)
         if dec is None:
             raise _Degrade("inline CCITT decode failed")
+        if _ccitt_inverted(params):  # BlackIs1 XOR Decode [1 0] (r11)
+            dec = bytes(255 - v for v in dec)
         return w, h, 1, dec
     if canon:
         raise _Degrade(f"inline image filter {canon[0]} unsupported")
@@ -436,18 +436,25 @@ def _decode_image_xobject(head: bytes, data: bytes | None):
         km = re.search(rb"/K\s+(-?\d+)", head)
         if km is None or int(km.group(1)) >= 0:
             raise _Degrade("only G4 (K < 0) CCITT images supported")
-        if b"/BlackIs1 true" in head:
-            raise _Degrade("BlackIs1 polarity unsupported")
         cm = re.search(rb"/Columns\s+(\d+)", head)
         if cm is not None and int(cm.group(1)) != w:
             raise _Degrade("CCITT /Columns mismatch")
         dec = g4_decode(bytes(data), w, h)
         if dec is None:
             raise _Degrade("CCITT XObject decode failed")
+        # polarity (r11): /BlackIs1 true flips the decoded-bit
+        # convention; a /Decode [1 0] array flips the sample mapping.
+        # The two XOR — writers that set BlackIs1 usually pair it with
+        # Decode [1 0], which cancels back to normal polarity.
+        if _ccitt_inverted(head):
+            dec = bytes(255 - v for v in dec)
         return w, h, 1, dec
-    bpc = re.search(rb"/BitsPerComponent\s+(\d+)", head)
-    if bpc is not None and int(bpc.group(1)) != 8:
-        raise _Degrade("only 8-bit images supported")
+    bm = re.search(rb"/BitsPerComponent\s+(\d+)", head)
+    bpc = int(bm.group(1)) if bm else 8
+    if bpc not in (1, 4, 8):
+        raise _Degrade("only 1/4/8-bit images supported")
+    if bpc != 8 and (b"/DCTDecode" in head or b"/DeviceRGB" in head):
+        raise _Degrade("sub-8-bit only for gray raw/Flate/LZW images")
     if b"/DCTDecode" in head:
         from specialsid_spark.operators.jpeg import decode_jpeg  # noqa: PLC0415
 
@@ -476,10 +483,41 @@ def _decode_image_xobject(head: bytes, data: bytes | None):
         data = _unpredict_image(head, bytes(data), w, h)
     elif b"/Filter" in head:
         raise _Degrade("unsupported image filter")
+    if bpc != 8:
+        # sub-byte grayscale (r11): rows pad to byte boundaries; a
+        # /Decode [1 0] array inverts the sample ramp.  1-bit bilevel
+        # Flate images are the common CCITT-less scan shape.
+        stride = (w * bpc + 7) // 8
+        if len(data) < h * stride:
+            raise _Degrade("image data short")
+        arr = np.frombuffer(bytes(data[: h * stride]), np.uint8).reshape(
+            h, stride
+        )
+        if bpc == 1:
+            samples = np.unpackbits(arr, axis=1)[:, :w]
+            px = samples.astype(np.uint8) * 255
+        else:  # 4-bit: interleave high/low nibbles, scale 0..15 -> 0..255
+            nib = np.empty((h, stride * 2), np.uint8)
+            nib[:, 0::2] = arr >> 4
+            nib[:, 1::2] = arr & 0x0F
+            px = nib[:, :w] * 17
+        if re.search(
+            rb"/Decode\s*\[\s*1(?:\.0*)?\s+0(?:\.0*)?\s*\]", head
+        ):
+            px = 255 - px
+        return w, h, 1, px.tobytes()
     ch = 3 if b"/DeviceRGB" in head else 1
     if len(data) < w * h * ch:
         raise _Degrade("image data short")
     return w, h, ch, bytes(data[: w * h * ch])
+
+
+def _ccitt_inverted(params: bytes) -> bool:
+    black1 = re.search(rb"/BlackIs1\s+true", params) is not None
+    decrev = re.search(
+        rb"/(?:D|Decode)\s*\[\s*1(?:\.0*)?\s+0(?:\.0*)?\s*\]", params
+    ) is not None
+    return black1 != decrev
 
 
 def _unpredict_image(head: bytes, data: bytes, w: int, h: int) -> bytes:
@@ -502,7 +540,10 @@ def _unpredict_image(head: bytes, data: bytes, w: int, h: int) -> bytes:
     colm = re.search(rb"/Columns\s+(\d+)", head)
     if colm is not None and int(colm.group(1)) != w:
         raise _Degrade("/Columns mismatch with /Width")
-    stride = w * colors  # 8-bit components only (checked by caller)
+    bm = re.search(rb"/BitsPerComponent\s+(\d+)", head)
+    if bm is not None and int(bm.group(1)) != 8:
+        raise _Degrade("predictor on sub-8-bit samples unsupported")
+    stride = w * colors  # 8-bit lanes (guarded above)
     if pred >= 10:
         from specialsid_spark.operators.multimodal import (  # noqa: PLC0415
             _png_unfilter,
@@ -742,8 +783,9 @@ def _parse_function(objs: dict, fn_num: int, nch: int):
     ('exp', c0, c1); FunctionType 3 (stitching of type-2 subfunctions,
     r10) -> ('stitch', [(lo, hi, e0, e1, c0, c1), ...]) with one entry
     per subdomain; FunctionType 4 (PostScript calculator, r10) ->
-    ('ps', prog) over the arithmetic operator subset.  Anything else
-    degrades."""
+    ('ps', prog) over the arithmetic operator subset; FunctionType 0
+    (1-D sampled table, r11) -> ('samp', samples, n, domain, encode,
+    decode) with linear interpolation.  Anything else degrades."""
     fhead = objs.get(fn_num, (b"",))[0]
     if re.search(rb"/FunctionType\s+4\b", fhead) is not None:
         fdata = objs.get(fn_num, (b"", None))[1]
@@ -755,13 +797,64 @@ def _parse_function(objs: dict, fn_num: int, nch: int):
         return ("ps", _parse_ps_calculator(bytes(fdata)))
     if re.search(rb"/FunctionType\s+2\b", fhead) is not None:
         nm = re.search(rb"/N\s+([0-9.]+)", fhead)
-        if nm is None or float(nm.group(1)) != 1.0:
-            raise _Degrade("only linear (N=1) interpolation supported")
+        if nm is None:
+            raise _Degrade("exponential function missing /N")
+        n_exp = float(nm.group(1))
         c0 = _num_array(fhead, rb"/C0") or [0.0] * nch
         c1 = _num_array(fhead, rb"/C1") or [1.0] * nch
         if len(c0) != nch or len(c1) != nch:
             raise _Degrade("function arity mismatch")
-        return ("exp", tuple(c0), tuple(c1))
+        if n_exp == 1.0:
+            return ("exp", tuple(c0), tuple(c1))
+        if n_exp <= 0.0:
+            raise _Degrade("exponential /N must be positive")
+        # general gamma (r11): c0 + t^N (c1-c0) — kept OUT of the
+        # stitch/oracle paths (pow is not cross-engine ULP-stable);
+        # fixture oracles pin only the N=1 form
+        return ("expn", n_exp, tuple(c0), tuple(c1))
+    if re.search(rb"/FunctionType\s+0\b", fhead) is not None:
+        # sampled function (r11): the design-tool gradient shape —
+        # a table of bit-packed samples, linearly interpolated
+        fdata = _stream_decoded(objs, fn_num)
+        if fdata is None:
+            raise _Degrade("sampled function stream undecodable")
+        size = _num_array(fhead, rb"/Size")
+        if size is None or len(size) != 1:
+            raise _Degrade("only 1-D sampled functions supported")
+        n = int(size[0])
+        if n < 2:
+            raise _Degrade("sampled function needs >= 2 samples")
+        bm2 = re.search(rb"/BitsPerSample\s+(\d+)", fhead)
+        if bm2 is None or int(bm2.group(1)) not in (1, 2, 4, 8, 16):
+            raise _Degrade("sampled /BitsPerSample unsupported")
+        bps = int(bm2.group(1))
+        rng = _num_array(fhead, rb"/Range")
+        if rng is None or len(rng) != 2 * nch:
+            raise _Degrade("sampled /Range arity mismatch")
+        dom = _num_array(fhead, rb"/Domain") or [0.0, 1.0]
+        enc2 = _num_array(fhead, rb"/Encode") or [0.0, float(n - 1)]
+        dec2 = _num_array(fhead, rb"/Decode") or list(rng)
+        if len(dec2) != 2 * nch or len(enc2) != 2 or len(dom) != 2:
+            raise _Degrade("sampled function array arity")
+        total = n * nch
+        if bps == 8:
+            vals = np.frombuffer(fdata[:total], np.uint8).astype(np.float64)
+        elif bps == 16:
+            vals = np.frombuffer(
+                fdata[: 2 * total], dtype=">u2"
+            ).astype(np.float64)
+        else:
+            bits = np.unpackbits(np.frombuffer(fdata, np.uint8))
+            usable = (len(bits) // bps) * bps
+            grouped = bits[:usable].reshape(-1, bps)
+            weights = (1 << np.arange(bps - 1, -1, -1)).astype(np.int64)
+            vals = (grouped * weights).sum(axis=1).astype(np.float64)
+        if len(vals) < total:
+            raise _Degrade("sampled function data short")
+        samples = (vals[:total] / float((1 << bps) - 1)).reshape(n, nch)
+        return (
+            "samp", samples, n, tuple(dom), tuple(enc2), tuple(dec2)
+        )
     if re.search(rb"/FunctionType\s+3\b", fhead) is not None:
         refs = re.search(rb"/Functions\s*\[(.*?)\]", fhead, re.S)
         if refs is None:
@@ -869,6 +962,20 @@ def _paint_shading(buf, m, shading, clip) -> None:
         if fn[0] == "exp":
             _kind, c0, c1 = fn
             return c0[k] + t * (c1[k] - c0[k])
+        if fn[0] == "expn":
+            _kind, n_exp, c0, c1 = fn
+            return c0[k] + np.power(t, n_exp) * (c1[k] - c0[k])
+        if fn[0] == "samp":
+            _kind, samples, n, dom, enc2, dec2 = fn
+            e = enc2[0] + (t - dom[0]) * (enc2[1] - enc2[0]) / (dom[1] - dom[0])
+            e = np.clip(e, 0.0, n - 1.0)
+            i0 = np.floor(e).astype(np.int64)
+            i1 = np.minimum(i0 + 1, n - 1)
+            frac = e - i0
+            s0 = samples[i0, k]
+            s1 = samples[i1, k]
+            v = s0 + frac * (s1 - s0)
+            return dec2[2 * k] + v * (dec2[2 * k + 1] - dec2[2 * k])
         if fn[0] == "ps":
             stack = _eval_ps(fn[1], t)
             if len(stack) < nch:
@@ -2596,6 +2703,54 @@ def build_separation_pdf(
         b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
         b" /Resources << /ColorSpace << /CS0 %d 0 R >> >>"
         b" /Contents %d 0 R >>" % (pages_num, cs_num, cont_num)
+    )
+    objects[pages_num - 1] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
+    objects[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
+    return _assemble_pdf(objects, catalog_num)
+
+
+def build_sampled_shading_pdf(
+    clip_rect: tuple[int, int, int, int],
+    coords: tuple[int, int, int, int],
+    samples: bytes,
+) -> bytes:
+    """Oracle-fixture writer (r11): like build_shading_pdf but the
+    gradient's /Function is a TYPE 0 SAMPLED table (8-bit DeviceGray,
+    len(samples) stops, default Encode/Decode) — the design-tool
+    gradient shape.  Sample normalization (v/255), the encode ramp
+    (t*(n-1)), the floor/frac interpolation, and the final
+    floor(x*255+0.5) are all SQL-restatable doubles."""
+    from specialsid_spark.operators.pdf import _assemble_pdf  # noqa: PLC0415
+
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    catalog_num = add(b"")
+    pages_num = add(b"")
+    fn_num = add(
+        b"<< /FunctionType 0 /Domain [0 1] /Size [%d]"
+        b" /BitsPerSample 8 /Range [0 1] /Length %d >>\nstream\n"
+        % (len(samples), len(samples))
+        + samples
+        + b"\nendstream"
+    )
+    sh_num = add(
+        b"<< /ShadingType 2 /ColorSpace /DeviceGray"
+        b" /Coords [%d %d %d %d] /Function %d 0 R /Extend [true true] >>"
+        % (*coords, fn_num)
+    )
+    cx, cy, cw, chh = clip_rect
+    content = b"q %d %d %d %d re W n /Sh0 sh Q" % (cx, cy, cw, chh)
+    cont_num = add(
+        b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
+    )
+    page = add(
+        b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /Shading << /Sh0 %d 0 R >> >>"
+        b" /Contents %d 0 R >>" % (pages_num, sh_num, cont_num)
     )
     objects[pages_num - 1] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
     objects[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num

@@ -5437,3 +5437,117 @@ def mm_pdf_type3_text_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ink_px long, gray_sum long"
     )
     return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")
+
+
+@register(
+    "mm_pdf_sampled_shading_raster",
+    # r11: TYPE 0 (sampled) shading functions — the design-tool
+    # gradient shape (InDesign/Illustrator export sampled tables, not
+    # exponentials).  Fixture: DeviceGray axial gradient over a
+    # 3-sample doc-derived table, axis x 100->400 under a clip wider
+    # than the axis (the /Extend clamp pins both ends to s0/s2).  The
+    # oracle restates the pinned chain per column: t clamped to [0,1],
+    # e = (t*2)/1, i0 = floor(e), interp between s[i0]/255 and
+    # s[i0+1]/255, then floor(v*255 + 0.5) — floor(+0.5) because the
+    # engines' round() tie rules differ.
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             (doc_id * 5) % 256 AS s0,
+             (doc_id * 7 + 13) % 256 AS s1,
+             (doc_id * 11 + 29) % 256 AS s2
+      FROM documents WHERE doc_id < {_N_CODEC_DOCS}
+    ),
+    cols AS (SELECT unnest(range(80, 420)) AS x),
+    pix AS (
+      SELECT doc_id,
+             CAST(floor((
+               CASE WHEN i0 >= 2 THEN s2 / 255.0
+                    WHEN i0 = 0 THEN s0 / 255.0
+                      + (e - 0) * (s1 / 255.0 - s0 / 255.0)
+                    ELSE s1 / 255.0
+                      + (e - 1) * (s2 / 255.0 - s1 / 255.0)
+               END) * 255.0 + 0.5) AS BIGINT) AS v
+      FROM (
+        SELECT doc_id, s0, s1, s2, e, CAST(floor(e) AS INT) AS i0
+        FROM (
+          SELECT d2.doc_id, d2.s0, d2.s1, d2.s2,
+                 (LEAST(1.0, GREATEST(0.0,
+                    ((CAST(c.x AS DOUBLE) + 0.5 - 100.0) * 300.0 + 0.0)
+                      / 90000.0)) * 2.0) / 1.0 AS e
+          FROM docs d2, cols c
+        )
+      )
+    )
+    SELECT doc_id, 612 AS width, 792 AS height,
+           CAST(100 * SUM(CASE WHEN v <> 255 THEN 1 ELSE 0 END) AS BIGINT)
+             AS ink_px,
+           CAST(255 * CAST(612 * 792 AS BIGINT) - 100 * SUM(255 - v)
+                AS BIGINT) AS gray_sum,
+           CAST(MIN(v) AS BIGINT) AS v_min,
+           CAST(MAX(v) AS BIGINT) AS v_max
+    FROM pix
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def mm_pdf_sampled_shading_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 — SAMPLED-FUNCTION shading rasterization: per doc, a page
+    whose only ink is a clipped DeviceGray axial gradient driven by a
+    FunctionType 0 bit-packed sample table (operators/pdfraster.py
+    _parse_function 'samp' leg: normalize, encode-ramp, linear
+    interpolation between adjacent samples, Decode map).  Together
+    with exponential (r10), stitching (r10), and PostScript
+    calculator (r10) functions this covers all four function types
+    PDF shadings use.
+
+    Scale shape: per-row independent mapInPandas, codec-family plan."""
+    import numpy as np
+    import pandas as pd
+
+    from specialsid_spark.operators.pdfraster import (
+        build_sampled_shading_pdf,
+        rasterize_page,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                samples = bytes([
+                    (doc_id * 5) % 256,
+                    (doc_id * 7 + 13) % 256,
+                    (doc_id * 11 + 29) % 256,
+                ])
+                r = rasterize_page(build_sampled_shading_pdf(
+                    (80, 600, 340, 100), (100, 0, 400, 0), samples
+                ))
+                if r is None:
+                    out.append((doc_id, -1, -1, -1, -1, -1, -1))
+                    continue
+                w, h, _ch, px = r
+                buf = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+                gray = buf[:, :, 0]
+                band = gray[792 - 700 : 792 - 600, 80:420]
+                out.append(
+                    (doc_id, w, h,
+                     int((gray != 255).sum()),
+                     int(gray.astype(np.int64).sum()),
+                     int(band.min()), int(band.max()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "ink_px",
+                         "gray_sum", "v_min", "v_max"],
+            ).astype({"doc_id": "int64", "width": "int32", "height": "int32",
+                      "ink_px": "int64", "gray_sum": "int64",
+                      "v_min": "int64", "v_max": "int64"})
+
+    schema = (
+        "doc_id long, width int, height int, ink_px long, gray_sum long,"
+        " v_min long, v_max long"
+    )
+    return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")

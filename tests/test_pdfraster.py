@@ -1148,3 +1148,190 @@ def test_type3_undecodable_proc_degrades_whole_font():
     # an undecodable glyph proc degrades the whole font to boxes
     g = _gray(rasterize_page(broken))
     assert int((g != 255).sum()) == round(0.4 * 64) * int(0.6 * 64 + 0.5)
+
+
+# --------------------------------- CCITT polarity (BlackIs1, r11)
+
+def _ccitt_xobj_pdf(extra_params):
+    from specialsid_spark.operators.ccitt import g4_encode
+    from specialsid_spark.operators.pdf import _assemble_pdf
+
+    # 16x8 bilevel: left half black, right half white
+    px = bytes(
+        0 if x < 8 else 255 for _y in range(8) for x in range(16)
+    )
+    enc = g4_encode(px, 16, 8)
+    content = b"q 16 0 0 8 100 100 cm /Im1 Do Q"
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [5 0 R] /Count 1 >>",
+        b"<< /Type /XObject /Subtype /Image /Width 16 /Height 8"
+        b" /ColorSpace /DeviceGray /BitsPerComponent 1"
+        b" /Filter /CCITTFaxDecode"
+        b" /DecodeParms << /K -1 /Columns 16" + extra_params + b" >>"
+        b" /Length %d >>\nstream\n" % len(enc) + enc + b"\nendstream",
+        b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /XObject << /Im1 3 0 R >> >> /Contents 4 0 R >>",
+    ]
+    return _assemble_pdf(objects, 1)
+
+
+def test_ccitt_blackis1_inverts():
+    plain = rasterize_page(_ccitt_xobj_pdf(b""))
+    flipped = rasterize_page(_ccitt_xobj_pdf(b" /BlackIs1 true"))
+    gp = _gray(plain)[792 - 108 : 792 - 100, 100:116]
+    gf = _gray(flipped)[792 - 108 : 792 - 100, 100:116]
+    assert (gp[:, :8] == 0).all() and (gp[:, 8:] == 255).all()
+    assert (gf[:, :8] == 255).all() and (gf[:, 8:] == 0).all()
+
+
+def test_ccitt_blackis1_with_decode_reversal_cancels():
+    both = rasterize_page(
+        _ccitt_xobj_pdf(b" /BlackIs1 true >> /Decode [1 0] << /K -1")
+    )
+    # BlackIs1 XOR Decode[1 0] -> normal polarity again
+    g = _gray(both)[792 - 108 : 792 - 100, 100:116]
+    assert (g[:, :8] == 0).all() and (g[:, 8:] == 255).all()
+
+
+# ------------------------------- sub-8-bit gray images (r11)
+
+def _gray_image_pdf(bpc, raw, extra=b""):
+    import zlib as _z
+
+    from specialsid_spark.operators.pdf import _assemble_pdf
+
+    payload = _z.compress(raw)
+    content = b"q 16 0 0 4 100 100 cm /Im1 Do Q"
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [5 0 R] /Count 1 >>",
+        b"<< /Type /XObject /Subtype /Image /Width 16 /Height 4"
+        b" /ColorSpace /DeviceGray /BitsPerComponent %d"
+        b" /Filter /FlateDecode" % bpc + extra
+        + b" /Length %d >>\nstream\n" % len(payload)
+        + payload + b"\nendstream",
+        b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /XObject << /Im1 3 0 R >> >> /Contents 4 0 R >>",
+    ]
+    return _assemble_pdf(objects, 1)
+
+
+def test_one_bit_flate_image():
+    # rows of 16 px: pattern 0b1010... -> alternating white/black
+    raw = bytes([0b10101010, 0b11110000] * 4)
+    g = _gray(rasterize_page(_gray_image_pdf(1, raw)))
+    block = g[792 - 104 : 792 - 100, 100:116]
+    row = block[0]
+    assert list(row[:8]) == [255, 0] * 4
+    assert list(row[8:]) == [255] * 4 + [0] * 4
+
+
+def test_one_bit_decode_reversal():
+    raw = bytes([0b10101010, 0b11110000] * 4)
+    g = _gray(rasterize_page(
+        _gray_image_pdf(1, raw, b" /Decode [1 0]")
+    ))
+    row = g[792 - 104 : 792 - 100, 100:116][0]
+    assert list(row[:8]) == [0, 255] * 4
+
+
+def test_four_bit_flate_image():
+    # nibbles 0..15 repeated: value v -> v*17
+    raw = bytes([0x01, 0x23, 0x45, 0x67, 0x89, 0xAB, 0xCD, 0xEF] * 4)
+    g = _gray(rasterize_page(_gray_image_pdf(4, raw)))
+    row = g[792 - 104 : 792 - 100, 100:116][0]
+    assert list(row) == [v * 17 for v in range(16)]
+
+
+# ----------------------------- sampled (type 0) functions (r11)
+
+def _sampled_shading_pdf(samples_bytes, n, bps, nch=1, encode=b"", decode=b""):
+    from specialsid_spark.operators.pdf import _assemble_pdf
+
+    cs = b"/DeviceRGB" if nch == 3 else b"/DeviceGray"
+    rng = b"[0 1 0 1 0 1]" if nch == 3 else b"[0 1]"
+    content = (
+        b"q 100 100 200 100 re W n"
+        b" /Sh1 sh Q"
+    )
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [6 0 R] /Count 1 >>",
+        b"<< /FunctionType 0 /Domain [0 1] /Size [%d]" % n
+        + b" /BitsPerSample %d /Range " % bps + rng + encode + decode
+        + b" /Length %d >>\nstream\n" % len(samples_bytes)
+        + samples_bytes + b"\nendstream",
+        b"<< /ShadingType 2 /ColorSpace " + cs
+        + b" /Coords [100 0 300 0] /Function 3 0 R /Extend [true true] >>",
+        b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /Shading << /Sh1 4 0 R >> >> /Contents 5 0 R >>",
+    ]
+    return _assemble_pdf(objects, 1)
+
+
+def test_sampled_function_8bit_gray_ramp():
+    # 3 samples [0, 255, 0]: ramp up then down across the axis
+    blob = _sampled_shading_pdf(bytes([0, 255, 0]), 3, 8)
+    r = rasterize_page(blob)
+    assert r is not None
+    g = _gray(r)
+    band = g[792 - 200 : 792 - 100, 100:300]
+    # pixel CENTERS sample at half-pixel offsets: endpoints are
+    # within a couple of ramp steps of the pure values
+    assert band[0, 0] <= 2
+    assert band[0, 100] >= 253
+    assert band[0, 199] <= 3
+    # midpoint of first half-ramp ~ 127/128
+    assert abs(int(band[0, 50]) - 128) <= 3
+
+
+def test_sampled_function_4bit_and_16bit():
+    # 4-bit: two samples 0x0F -> 0..15 => ramp 0..255
+    blob4 = _sampled_shading_pdf(bytes([0x0F]), 2, 4)
+    g4 = _gray(rasterize_page(blob4))
+    band = g4[792 - 200 : 792 - 100, 100:300]
+    assert band[0, 0] <= 1 and band[0, 199] >= 254
+    # 16-bit big-endian: [0, 65535]
+    blob16 = _sampled_shading_pdf(bytes([0, 0, 255, 255]), 2, 16)
+    g16 = _gray(rasterize_page(blob16))
+    band16 = g16[792 - 200 : 792 - 100, 100:300]
+    assert (band16[0] == band[0]).all()
+
+
+def test_sampled_function_rgb_and_decode_remap():
+    # RGB, 2 samples: black -> (255, 0, 0) via Decode [0 1 0 0 0 0]
+    samples = bytes([0, 0, 0, 255, 255, 255])
+    blob = _sampled_shading_pdf(
+        samples, 2, 8, nch=3, decode=b" /Decode [0 1 0 0 0 0]"
+    )
+    r = rasterize_page(blob)
+    buf = np.frombuffer(r[3], np.uint8).reshape(r[1], r[0], 3)
+    px = buf[792 - 150, 299]
+    assert px[0] >= 253 and px[1] == 0 and px[2] == 0
+
+
+def test_exponential_function_general_n():
+    from specialsid_spark.operators.pdf import _assemble_pdf
+
+    content = b"q 100 100 200 100 re W n /Sh1 sh Q"
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [6 0 R] /Count 1 >>",
+        b"<< /FunctionType 2 /Domain [0 1] /N 2 /C0 [0] /C1 [1] >>",
+        b"<< /ShadingType 2 /ColorSpace /DeviceGray"
+        b" /Coords [100 0 300 0] /Function 3 0 R /Extend [true true] >>",
+        b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /Shading << /Sh1 4 0 R >> >> /Contents 5 0 R >>",
+    ]
+    r = rasterize_page(_assemble_pdf(objects, 1))
+    g = _gray(r)
+    band = g[792 - 150, 100:300]
+    # gamma 2: quarter point -> 1/16 of full scale, midpoint -> 1/4
+    assert abs(int(band[50]) - round(255 * 0.25**2)) <= 2
+    assert abs(int(band[100]) - round(255 * 0.5**2)) <= 2
+    assert abs(int(band[150]) - round(255 * 0.75**2)) <= 2
