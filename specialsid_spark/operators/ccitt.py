@@ -345,12 +345,16 @@ def g4_encode(pixels: bytes, width: int, height: int) -> bytes:
     return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
 
 
-def g3_1d_encode(pixels: bytes, width: int, height: int) -> bytes:
-    """T.4 one-dimensional (Modified Huffman) coding, the TIFF
-    Compression=2 form: every row is an independent white-first run
-    sequence, byte-aligned (no EOLs) — the legacy scanner shape G4
-    superseded."""
-    out = bytearray()
+def g3_1d_encode(
+    pixels: bytes, width: int, height: int, byte_align: bool = True
+) -> bytes:
+    """T.4 one-dimensional (Modified Huffman) coding.  The default is
+    the TIFF Compression=2 form: every row is an independent
+    white-first run sequence, byte-aligned, no EOLs.  With
+    ``byte_align=False`` (r11) rows concatenate as one continuous bit
+    stream, padded only at the very end — PDF /CCITTFaxDecode's K = 0
+    default (/EncodedByteAlign false)."""
+    all_bits: list[str] = []
     for y in range(height):
         row = pixels[y * width : (y + 1) * width]
         bits: list[str] = []
@@ -364,14 +368,27 @@ def g3_1d_encode(pixels: bytes, width: int, height: int) -> bytes:
             white = not white
             if pos == width:
                 break
-        s = "".join(bits)
-        s += "0" * (-len(s) % 8)
-        out += bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
-    return bytes(out)
+        all_bits.append("".join(bits))
+    if byte_align:
+        out = bytearray()
+        for rb in all_bits:
+            rb += "0" * (-len(rb) % 8)
+            out += bytes(int(rb[i : i + 8], 2) for i in range(0, len(rb), 8))
+        return bytes(out)
+    s = "".join(all_bits)
+    s += "0" * (-len(s) % 8)
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
 
 
-def g3_1d_decode(data: bytes, width: int, height: int) -> bytes | None:
-    """Inverse of :func:`g3_1d_encode`; None on malformed input."""
+def g3_1d_decode(
+    data: bytes, width: int, height: int, byte_align: bool = True
+) -> bytes | None:
+    """Inverse of :func:`g3_1d_encode`; None on malformed input.
+
+    ``byte_align=False`` (r11) reads the continuous-bit-stream form
+    (PDF K = 0 default); optional EOL codewords (eleven-plus 0s then
+    1, T.4 §2.2.1) before any row are consumed transparently — PDF
+    writers may emit them in either alignment mode."""
     try:
         out = bytearray()
         bitpos = 0
@@ -380,6 +397,14 @@ def g3_1d_decode(data: bytes, width: int, height: int) -> bytes | None:
             bits = _Bits(b"")
             bits.s = s
             bits.i = bitpos
+            # optional EOL (with leading fill zeros): 0{11,}1
+            j = bits.i
+            zeros = 0
+            while j < len(s) and s[j] == "0":
+                zeros += 1
+                j += 1
+            if zeros >= 11 and j < len(s):  # s[j] == "1"
+                bits.i = j + 1
             row = bytearray(width)
             pos = 0
             white = True
@@ -391,7 +416,7 @@ def g3_1d_decode(data: bytes, width: int, height: int) -> bytes | None:
                 pos += run
                 white = not white
             out += row
-            bitpos = (bits.i + 7) & ~7  # rows are byte-aligned
+            bitpos = (bits.i + 7) & ~7 if byte_align else bits.i
         return bytes(out)
     except (IndexError, KeyError, ValueError):
         return None

@@ -188,13 +188,23 @@ def _ii_raster(canon: list[str], body: bytes, w: int, h: int,
     if canon and canon[0] == "CCITTFaxDecode":
         from specialsid_spark.operators.ccitt import g4_decode  # noqa: PLC0415
 
-        k = _ii_int(params, b"K")
-        if k is None or k >= 0:
-            raise _Degrade("only G4 (K < 0) inline CCITT supported")
+        k = _ii_int(params, b"K") or 0
+        if k > 0:
+            raise _Degrade("mixed 1D/2D (K > 0) inline CCITT unsupported")
         cols = _ii_int(params, b"Columns")
         if cols is not None and cols != w:
             raise _Degrade("inline CCITT /Columns mismatch")
-        dec = g4_decode(bytes(body), w, h)
+        if k < 0:
+            dec = g4_decode(bytes(body), w, h)
+        else:  # K = 0 (r11): pure 1D MH rows
+            from specialsid_spark.operators.ccitt import (  # noqa: PLC0415
+                g3_1d_decode,
+            )
+
+            aligned = (
+                re.search(rb"/EncodedByteAlign\s+true", params) is not None
+            )
+            dec = g3_1d_decode(bytes(body), w, h, byte_align=aligned)
         if dec is None:
             raise _Degrade("inline CCITT decode failed")
         if _ccitt_inverted(params):  # BlackIs1 XOR Decode [1 0] (r11)
@@ -431,15 +441,25 @@ def _decode_image_xobject(head: bytes, data: bytes | None):
         raise _Degrade("image missing dimensions")
     w, h = int(wm.group(1)), int(hm.group(1))
     if b"/CCITTFaxDecode" in head:
-        from specialsid_spark.operators.ccitt import g4_decode  # noqa: PLC0415
+        from specialsid_spark.operators.ccitt import (  # noqa: PLC0415
+            g3_1d_decode,
+            g4_decode,
+        )
 
         km = re.search(rb"/K\s+(-?\d+)", head)
-        if km is None or int(km.group(1)) >= 0:
-            raise _Degrade("only G4 (K < 0) CCITT images supported")
+        k_val = int(km.group(1)) if km else 0  # /K default is 0
+        if k_val > 0:
+            raise _Degrade("mixed 1D/2D (K > 0) CCITT unsupported")
         cm = re.search(rb"/Columns\s+(\d+)", head)
         if cm is not None and int(cm.group(1)) != w:
             raise _Degrade("CCITT /Columns mismatch")
-        dec = g4_decode(bytes(data), w, h)
+        if k_val < 0:
+            dec = g4_decode(bytes(data), w, h)
+        else:  # K = 0: pure 1D MH rows (r11); honor /EncodedByteAlign
+            aligned = (
+                re.search(rb"/EncodedByteAlign\s+true", head) is not None
+            )
+            dec = g3_1d_decode(bytes(data), w, h, byte_align=aligned)
         if dec is None:
             raise _Degrade("CCITT XObject decode failed")
         # polarity (r11): /BlackIs1 true flips the decoded-bit

@@ -194,3 +194,69 @@ def test_g3_1d_roundtrip_and_tiff_compression_2():
     assert got is not None and got[:3] == (200, 60, 1) and got[3] == img
     # G4's 2D coding must beat 1D on the same page
     assert len(build_tiff(200, 60, 1, img, compression="g4")) < len(blob)
+
+
+# ------------------------------- K = 0 (pure 1D, PDF default) r11
+
+def test_g3_1d_continuous_stream_roundtrip():
+    import random
+
+    from specialsid_spark.operators.ccitt import g3_1d_decode, g3_1d_encode
+
+    random.seed(11)
+    w, h = 41, 13
+    px = bytes(255 if random.random() < 0.6 else 0 for _ in range(w * h))
+    enc = g3_1d_encode(px, w, h, byte_align=False)
+    assert g3_1d_decode(enc, w, h, byte_align=False) == px
+    # continuous packing saves the per-row pad bits
+    assert len(enc) <= len(g3_1d_encode(px, w, h))
+
+
+def test_g3_1d_decode_tolerates_eol_prefixes():
+    from specialsid_spark.operators.ccitt import g3_1d_decode, g3_1d_encode
+
+    w, h = 16, 3
+    px = bytes([255] * 8 + [0] * 8) * 3
+    # hand-build an EOL-prefixed continuous stream: EOL + row bits
+    rows = [g3_1d_encode(px[i * w : (i + 1) * w], w, 1) for i in range(h)]
+    # re-derive the unpadded bit strings
+    bit_rows = []
+    for i in range(h):
+        enc1 = g3_1d_encode(px[i * w : (i + 1) * w], w, 1, byte_align=False)
+        s = "".join(f"{b:08b}" for b in enc1)
+        bit_rows.append(s.rstrip("0") or "0")
+    stream = "".join("000000000001" + r for r in bit_rows)
+    stream += "0" * (-len(stream) % 8)
+    data = bytes(int(stream[i : i + 8], 2) for i in range(0, len(stream), 8))
+    assert g3_1d_decode(data, w, h, byte_align=False) == px
+
+
+def test_pdf_ccitt_k0_xobject():
+    import numpy as np
+
+    from specialsid_spark.operators.ccitt import g3_1d_encode
+    from specialsid_spark.operators.pdf import _assemble_pdf
+    from specialsid_spark.operators.pdfraster import rasterize_page
+
+    px = bytes(0 if x < 8 else 255 for _y in range(8) for x in range(16))
+    for align, flag in ((False, b""), (True, b" /EncodedByteAlign true")):
+        enc = g3_1d_encode(px, 16, 8, byte_align=align)
+        content = b"q 16 0 0 8 100 100 cm /Im1 Do Q"
+        objects = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [5 0 R] /Count 1 >>",
+            b"<< /Type /XObject /Subtype /Image /Width 16 /Height 8"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 1"
+            b" /Filter /CCITTFaxDecode"
+            b" /DecodeParms << /K 0 /Columns 16" + flag + b" >>"
+            b" /Length %d >>\nstream\n" % len(enc) + enc + b"\nendstream",
+            b"<< /Length %d >>\nstream\n" % len(content) + content
+            + b"\nendstream",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Resources << /XObject << /Im1 3 0 R >> >> /Contents 4 0 R >>",
+        ]
+        r = rasterize_page(_assemble_pdf(objects, 1))
+        assert r is not None, align
+        g = np.frombuffer(r[3], np.uint8).reshape(r[1], r[0], 3)[:, :, 0]
+        block = g[792 - 108 : 792 - 100, 100:116]
+        assert (block[:, :8] == 0).all() and (block[:, 8:] == 255).all()
