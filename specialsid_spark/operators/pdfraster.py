@@ -1058,14 +1058,42 @@ def rasterize_page(
         s = dpi / 72.0
         wpx = max(1, round((x1 - x0) * s))
         hpx = max(1, round((y1 - y0) * s))
-        buf = np.full((hpx, wpx, 3), 255, dtype=np.uint8)
+        # /Rotate (r11): scanned pages are routinely stored rotated and
+        # carry 90/180/270 — compose the display rotation after the
+        # y-flip, swapping the buffer for the odd quadrants.  The page
+        # dict wins; absent there, the /Pages root's value inherits.
+        rot = 0
+        rm = re.search(rb"/Rotate\s+(-?\d+)", page_head)
+        if rm is None:
+            pm = re.search(rb"/Parent\s+(\d+)\s+0\s+R", page_head)
+            if pm is not None:
+                rm = re.search(
+                    rb"/Rotate\s+(-?\d+)", objs.get(int(pm.group(1)), (b"",))[0]
+                )
+        if rm is not None:
+            rot = int(rm.group(1)) % 360
+            if rot not in (0, 90, 180, 270):
+                raise _Degrade(f"/Rotate {rot} not a quadrant")
+        m0 = (s, 0.0, 0.0, -s, -x0 * s, hpx + y0 * s)
+        if rot == 0:
+            base, bw, bh = m0, wpx, hpx
+        elif rot == 90:  # clockwise: (u, v) -> (H - v, u)
+            base = _mul(m0, (0.0, 1.0, -1.0, 0.0, float(hpx), 0.0))
+            bw, bh = hpx, wpx
+        elif rot == 180:
+            base = _mul(m0, (-1.0, 0.0, 0.0, -1.0, float(wpx), float(hpx)))
+            bw, bh = wpx, hpx
+        else:  # 270: (u, v) -> (v, W - u)
+            base = _mul(m0, (0.0, -1.0, 1.0, 0.0, 0.0, float(wpx)))
+            bw, bh = hpx, wpx
+        buf = np.full((bh, bw, 3), 255, dtype=np.uint8)
         xobjects = _page_xobjects(objs, page_head)
         fonts = _page_fonts(objs, page_head)
         shadings = _page_shadings(objs, page_head)
         colorspaces = _page_colorspaces(objs, page_head)
-        _run(content, buf, s, hpx, x0, y0, objs, xobjects, fonts, shadings,
-             colorspaces)
-        return wpx, hpx, 3, buf.tobytes()
+        _run(content, buf, s, bh, x0, y0, objs, xobjects, fonts, shadings,
+             colorspaces, base_ctm=base)
+        return bw, bh, 3, buf.tobytes()
     except (_Degrade, ValueError, IndexError, KeyError, ZeroDivisionError):
         return None
 
@@ -2461,6 +2489,40 @@ def build_type1_pdf(
         b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
         b" /Resources << /Font << /F1 %d 0 R >> >>"
         b" /Contents %d 0 R >>" % (pages_num, font_num, cont_num)
+    )
+    objects[pages_num - 1] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
+    objects[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
+    return _assemble_pdf(objects, catalog_num)
+
+
+def build_rotated_rect_pdf(
+    rect: tuple[int, int, int, int, int], rot: int,
+) -> bytes:
+    """Oracle-fixture writer (r11): one 612x792 page whose only ink is
+    a gray rect fill (x, y, w, h, color 0-255), with /Rotate ``rot``
+    on the page dict — the scanned-corpus staple.  Integral
+    coordinates keep coverage exact under every quadrant (an
+    axis-parallel rect stays axis-parallel through 90-degree
+    rotations; the quad-scanline path counts the same pixels the
+    round() path would)."""
+    from specialsid_spark.operators.pdf import _assemble_pdf  # noqa: PLC0415
+
+    rx, ry, rw, rh, rc = rect
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    catalog_num = add(b"")
+    pages_num = add(b"")
+    content = b"%.6f g %d %d %d %d re f" % (rc / 255.0, rx, ry, rw, rh)
+    cont_num = add(
+        b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
+    )
+    page = add(
+        b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
+        b" /Rotate %d /Contents %d 0 R >>" % (pages_num, rot, cont_num)
     )
     objects[pages_num - 1] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
     objects[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num

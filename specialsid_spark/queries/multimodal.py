@@ -5551,3 +5551,111 @@ def mm_pdf_sampled_shading_raster(spark: SparkSession, sf_dir: str) -> DataFrame
         " v_min long, v_max long"
     )
     return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")
+
+
+@register(
+    "mm_pdf_rotate_raster",
+    # r11: /Rotate — scanned pages are routinely stored rotated and
+    # carry 90/180/270 on the page dict.  Fixture: one gray rect per
+    # doc, /Rotate cycling by doc_id % 4; the oracle restates the
+    # quadrant-mapped pixel bounds in closed form (an axis-parallel
+    # rect stays axis-parallel under quadrant rotation, so coverage is
+    # exactly rw*rh everywhere — what changes, and what the hash pins,
+    # is WHERE it lands and which way the buffer dimensions swap).
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             100 + doc_id % 7 AS rx, 150 + doc_id % 5 AS ry,
+             40 + doc_id % 9 AS rw, 30 + doc_id % 6 AS rh,
+             (doc_id * 13) % 200 AS c,
+             (doc_id % 4) * 90 AS rot
+      FROM documents WHERE doc_id < {_N_CODEC_DOCS}
+    )
+    SELECT doc_id, CAST(rot AS INT) AS rot,
+           CAST(CASE WHEN rot IN (90, 270) THEN 792 ELSE 612 END AS INT)
+             AS width,
+           CAST(CASE WHEN rot IN (90, 270) THEN 612 ELSE 792 END AS INT)
+             AS height,
+           CAST(rw * rh AS BIGINT) AS ink_px,
+           CAST(CASE rot WHEN 0 THEN rx WHEN 90 THEN ry
+                WHEN 180 THEN 612 - rx - rw ELSE 792 - ry - rh END
+                AS BIGINT) AS col_min,
+           CAST(CASE rot WHEN 0 THEN rx + rw - 1 WHEN 90 THEN ry + rh - 1
+                WHEN 180 THEN 612 - rx - 1 ELSE 792 - ry - 1 END
+                AS BIGINT) AS col_max,
+           CAST(CASE rot WHEN 0 THEN 792 - ry - rh WHEN 90 THEN rx
+                WHEN 180 THEN ry ELSE 612 - rx - rw END
+                AS BIGINT) AS row_min,
+           CAST(CASE rot WHEN 0 THEN 792 - ry - 1 WHEN 90 THEN rx + rw - 1
+                WHEN 180 THEN ry + rh - 1 ELSE 612 - rx - 1 END
+                AS BIGINT) AS row_max,
+           CAST(255 * CAST(CASE WHEN rot IN (90, 270) THEN 792 ELSE 612 END
+                           * CASE WHEN rot IN (90, 270) THEN 612 ELSE 792 END
+                           AS BIGINT)
+                - (255 - c) * rw * rh AS BIGINT) AS gray_sum
+    FROM docs
+    ORDER BY doc_id
+    """,
+)
+def mm_pdf_rotate_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 — /Rotate rasterization: per doc, a rect-only page stored
+    with a quadrant /Rotate (the scanned-corpus staple — upside-down
+    and sideways pages are endemic in fax/scan archives); the
+    rasterizer composes the display rotation after the y-flip and
+    swaps the buffer for the odd quadrants, exactly as Poppler
+    presents the same page (gen_pdf_imgLambda.py:51).  /Rotate also
+    inherits from the /Pages root (test-pinned).
+
+    Scale shape: per-row independent mapInPandas, codec-family plan."""
+    import numpy as np
+    import pandas as pd
+
+    from specialsid_spark.operators.pdfraster import (
+        build_rotated_rect_pdf,
+        rasterize_page,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rect = (100 + doc_id % 7, 150 + doc_id % 5,
+                        40 + doc_id % 9, 30 + doc_id % 6,
+                        (doc_id * 13) % 200)
+                rot = (doc_id % 4) * 90
+                r = rasterize_page(build_rotated_rect_pdf(rect, rot))
+                if r is None:
+                    out.append((doc_id, rot, -1, -1, -1, -1, -1, -1, -1, -1))
+                    continue
+                w, h, _ch, px = r
+                buf = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+                g = buf[:, :, 0]
+                ink = g != 255
+                rows = np.where(ink.any(axis=1))[0]
+                cols = np.where(ink.any(axis=0))[0]
+                out.append(
+                    (doc_id, rot, w, h, int(ink.sum()),
+                     int(cols.min()), int(cols.max()),
+                     int(rows.min()), int(rows.max()),
+                     int(g.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "rot", "width", "height", "ink_px",
+                         "col_min", "col_max", "row_min", "row_max",
+                         "gray_sum"],
+            ).astype({"doc_id": "int64", "rot": "int32",
+                      "width": "int32", "height": "int32",
+                      "ink_px": "int64", "col_min": "int64",
+                      "col_max": "int64", "row_min": "int64",
+                      "row_max": "int64", "gray_sum": "int64"})
+
+    schema = (
+        "doc_id long, rot int, width int, height int, ink_px long,"
+        " col_min long, col_max long, row_min long, row_max long,"
+        " gray_sum long"
+    )
+    return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")

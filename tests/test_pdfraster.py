@@ -1335,3 +1335,65 @@ def test_exponential_function_general_n():
     assert abs(int(band[50]) - round(255 * 0.25**2)) <= 2
     assert abs(int(band[100]) - round(255 * 0.5**2)) <= 2
     assert abs(int(band[150]) - round(255 * 0.75**2)) <= 2
+
+
+# --------------------------------------------- /Rotate (r11)
+
+def test_page_rotate_quadrants():
+    pdf = build_raster_pdf(
+        "R", (100, 100, 40, 30, 0), (8, 8, bytes(range(64)))
+    )
+    base = rasterize_page(pdf)
+    assert base[:2] == (612, 792)
+    g0 = _gray(base)
+
+    def rotated(deg):
+        patched = pdf.replace(
+            b"/Type /Page /Parent", b"/Type /Page /Rotate %d /Parent" % deg
+        )
+        assert patched != pdf
+        return rasterize_page(patched)
+
+    r90 = rotated(90)
+    assert r90[:2] == (792, 612)
+    g90 = _gray(r90)
+    # clockwise 90: original pixel (v, u) -> rotated (u, H-1-v)...
+    # verify by rotating the base raster with numpy (k=-1 = clockwise)
+    assert (np.rot90(g0, k=-1) == g90).all()
+    r180 = rotated(180)
+    assert r180[:2] == (612, 792)
+    g180 = _gray(r180)
+    want180 = np.rot90(g0, k=2)
+    # the image XObject's axis-aligned round() placement and np.rot90
+    # disagree by a half-pixel orientation under a pure flip; everything
+    # OUTSIDE the 8x8 image block must match exactly, and the block
+    # itself must hold the same 64 texels
+    # base image block: device rows 484..492, cols 300..308; under
+    # rot180 that lands at rows 299..308, cols 303..312 (pad one px)
+    img_rows = slice(298, 310)
+    img_cols = slice(302, 313)
+    mask = np.ones_like(g180, bool)
+    mask[img_rows, img_cols] = False
+    assert (want180[mask] == g180[mask]).all()
+    assert sorted(g180[~mask][g180[~mask] != 255]) == sorted(
+        want180[~mask][want180[~mask] != 255]
+    )
+    r270 = rotated(270)
+    assert r270[:2] == (792, 612)
+    assert (np.rot90(g0, k=1) == _gray(r270)).all()
+    # non-quadrant -> loud degrade
+    bad = pdf.replace(
+        b"/Type /Page /Parent", b"/Type /Page /Rotate 45 /Parent"
+    )
+    assert rasterize_page(bad) is None
+
+
+def test_page_rotate_inherits_from_pages_root():
+    pdf = build_raster_pdf(
+        "R", (100, 100, 40, 30, 0), (8, 8, bytes(range(64)))
+    )
+    patched = pdf.replace(b"/Type /Pages /Kids", b"/Type /Pages /Rotate 90 /Kids")
+    assert patched != pdf
+    r = rasterize_page(patched)
+    assert r[:2] == (792, 612)
+    assert (np.rot90(_gray(rasterize_page(pdf)), k=-1) == _gray(r)).all()
