@@ -169,11 +169,14 @@ HEADLINE = [
     "agg_qdigest_merge_parity",
     # Aho-Corasick blocklist gate — a per-row corpus scan
     "cur_blocklist_scrub",
-    # round-11 addition: Zipf slope over the full vocabulary — now a
+    # round-11 additions: Zipf slope over the full vocabulary — now a
     # top-1000-first plan (TakeOrderedAndProject, per-partition heaps)
-    # after the r10 verdict flagged its global-window rank; the r11
+    # after the r10 verdict flagged its global-window rank — and
+    # hard-negative mining (the contrastive-training sampler: broadcast
+    # anchors, windowed top-k, dup-exclusion audit).  The r11
     # font/predictor queries stay excluded (fixture-IO, mm_pdf family).
     "text_zipf_slope",
+    "sim_hard_negative_mining",
 ]
 
 

@@ -115,6 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_pdf_type3_text_raster",
     "mm_pdf_sampled_shading_raster",
     "mm_pdf_rotate_raster",
+    "sim_hard_negative_mining",
 )
 
 

@@ -855,3 +855,106 @@ def sim_matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFr
         .select("query_id", "n_overlap_top10", "full_top1", "trunc_top1")
         .orderBy("query_id")
     )
+
+
+_SQL_HARDNEG_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             b.vec_id AS neighbor_id, b.label AS neighbor_label,
+             {_SQL_COS} AS cs
+      FROM e a JOIN e b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id % 50 = 0
+    ),
+    neg AS (
+      SELECT anchor_id, neighbor_id, neighbor_label, cs,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY cs DESC, neighbor_id) AS rk
+      FROM scored
+      WHERE neighbor_label <> anchor_label AND cs < 0.95
+    ),
+    dups AS (
+      SELECT anchor_id,
+             CAST(SUM(CASE WHEN cs >= 0.95 OR neighbor_label = anchor_label
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_excluded
+      FROM scored GROUP BY anchor_id
+    )
+    SELECT n.anchor_id, n.neighbor_id, n.neighbor_label,
+           CAST(n.rk AS BIGINT) AS rk, round(n.cs, 6) AS cos_sim,
+           d.n_excluded
+    FROM neg n JOIN dups d ON d.anchor_id = n.anchor_id
+    WHERE n.rk <= 5
+    ORDER BY n.anchor_id, n.rk
+    """
+
+
+@register("sim_hard_negative_mining", oracle=_SQL_HARDNEG_ORACLE)
+def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 extension (r11) — HARD-NEGATIVE MINING, the contrastive-
+    training data op: per anchor (every 50th vector — the sampled
+    anchor set a trainer draws per epoch), rank all candidates by
+    cosine and keep the top 5 that are (a) NOT the anchor's own class
+    (those are positives) and (b) NOT near-duplicates (cos >= 0.95 —
+    mining those as negatives poisons the loss; cf. SimCLR/DPR
+    practice).  Also emits how many candidates each anchor EXCLUDED —
+    the dup-contamination signal a curation dashboard tracks.
+
+    Scale shape: anchors are a broadcast-sized sample; the corpus is
+    never shuffled (per-anchor partial top-k under the window).  At
+    100 TB the candidate pass routes through the IVF/LSH bucketed
+    paths (sim_ivf_*, sim_lsh_*) exactly like every other top-k in
+    this family — the exactness here is the referee discipline."""
+    e = load_parallel(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("av"),
+        norm(F.col("embedding")).alias("an"),
+    )
+    n = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("nv"),
+        norm(F.col("embedding")).alias("nn"),
+    )
+    scored = (
+        F.broadcast(a)
+        .join(n, F.col("neighbor_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neighbor_id",
+            "neighbor_label",
+            (dot(F.col("av"), F.col("nv")) / (F.col("an") * F.col("nn")))
+            .alias("cs"),
+        )
+    )
+    excluded = (
+        (F.col("cs") >= 0.95)
+        | (F.col("neighbor_label") == F.col("anchor_label"))
+    ).cast("long")
+    dups = scored.groupBy("anchor_id").agg(
+        F.sum(excluded).alias("n_excluded")
+    )
+    neg = scored.filter(
+        (F.col("neighbor_label") != F.col("anchor_label"))
+        & (F.col("cs") < 0.95)
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cs").desc(), F.col("neighbor_id")
+    )
+    return (
+        neg.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .join(F.broadcast(dups), "anchor_id")
+        .select(
+            "anchor_id",
+            "neighbor_id",
+            "neighbor_label",
+            "rk",
+            F.round(F.col("cs"), 6).alias("cos_sim"),
+            "n_excluded",
+        )
+        .orderBy("anchor_id", "rk")
+    )
