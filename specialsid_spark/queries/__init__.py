@@ -62,6 +62,9 @@ _PRIORITY: tuple[str, ...] = (
     "ev_cusum_changepoint",
     "ev_cusum_hourly_probe",
     "ev_cusum_peaks_only",
+    # the one float-heavy r11 query: driver-side validation is most
+    # informative here (cosine doubles cross the engine boundary)
+    "sim_hard_negative_mining",
     # the 42-query r5-stale cohort (VERDICT r10 #1), registration order
     "agg_collect_set",
     "agg_count_distinct",
@@ -115,7 +118,6 @@ _PRIORITY: tuple[str, ...] = (
     "mm_pdf_type3_text_raster",
     "mm_pdf_sampled_shading_raster",
     "mm_pdf_rotate_raster",
-    "sim_hard_negative_mining",
 )
 
 
