@@ -177,6 +177,8 @@ HEADLINE = [
     # font/predictor queries stay excluded (fixture-IO, mm_pdf family).
     "text_zipf_slope",
     "sim_hard_negative_mining",
+    # sample packing: the last hop before a packed-batch dataloader
+    "cur_sequence_packing",
 ]
 
 

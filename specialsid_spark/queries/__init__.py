@@ -118,6 +118,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_pdf_type3_text_raster",
     "mm_pdf_sampled_shading_raster",
     "mm_pdf_rotate_raster",
+    "cur_sequence_packing",
 )
 
 

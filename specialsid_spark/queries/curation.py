@@ -1986,3 +1986,122 @@ def cur_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("blocked"),
     ).orderBy("doc_id")
+
+
+_SEQ_LEN = 512
+
+
+@register(
+    "cur_sequence_packing",
+    # r11 — the trainer-facing twin of cur_token_packing: CONCAT-AND-
+    # CHUNK sample packing.  The whitespace-token stream, concatenated
+    # in stable doc order, is cut into fixed 512-token training
+    # sequences; documents split across cut points (the standard
+    # packed-pretraining shape).  Per sequence: how many docs
+    # contribute, how many arrived mid-document (carryover — the
+    # attention-mask reset count), and the token fill (SEQ everywhere
+    # but the ragged tail).  All integer arithmetic over the same
+    # cumsum both engines compute identically.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+      FROM t
+    ),
+    spans AS (
+      SELECT doc_id, n_tokens, cum - n_tokens AS lo, cum,
+             CAST((cum - n_tokens) // {_SEQ_LEN} AS BIGINT) AS s0,
+             CAST((cum - 1) // {_SEQ_LEN} AS BIGINT) AS s1
+      FROM c WHERE n_tokens > 0
+    ),
+    hits AS (
+      SELECT sp.doc_id, sp.lo, sp.cum, sp.s0, gs.seq
+      FROM spans sp, LATERAL UNNEST(generate_series(sp.s0, sp.s1)) AS gs(seq)
+    )
+    SELECT seq,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN s0 < seq THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_carryover,
+           CAST(SUM(LEAST(cum, (seq + 1) * {_SEQ_LEN})
+                    - GREATEST(lo, seq * {_SEQ_LEN})) AS BIGINT) AS seq_tokens
+    FROM hits
+    GROUP BY seq
+    ORDER BY seq
+    """,
+)
+def cur_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/curation extension (r11) — SAMPLE PACKING, the last step
+    before a pretraining dataloader: the corpus token stream (stable
+    doc order) is cut into fixed {SEQ}-token sequences; emits per
+    sequence the contributing-doc count, the carryover count (docs
+    continuing across the left cut — where the attention mask resets),
+    and the fill.  Packing efficiency and mask-reset density are the
+    two numbers a packed-batch pipeline monitors.
+
+    Scale shape: the cumsum is the distributed two-pass prefix sum
+    (range-partition + driver-side offsets — the cur_token_packing
+    idiom, no SinglePartition window); each doc then explodes to only
+    the sequences it overlaps (output-bound fan-out) and one hash
+    aggregation groups by sequence."""
+    d = load_parallel(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+    part = (
+        t.repartitionByRange(32, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    subs = part.groupBy("pid").agg(F.sum("n_tokens").alias("sub")).collect()
+    run, offsets = 0, {}
+    for r in sorted(subs, key=lambda r: r.pid):
+        offsets[r.pid] = run
+        run += r.sub
+    off = F.create_map(
+        *[F.lit(x) for pid_o in sorted(offsets.items()) for x in pid_o]
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        part.select(
+            "doc_id",
+            "n_tokens",
+            (off[F.col("pid")] + F.sum("n_tokens").over(w)).alias("cum"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            (F.col("cum") - F.col("n_tokens")).alias("lo"),
+            "cum",
+            F.floor((F.col("cum") - F.col("n_tokens")) / _SEQ_LEN)
+            .cast("long")
+            .alias("s0"),
+            F.floor((F.col("cum") - 1) / _SEQ_LEN).cast("long").alias("s1"),
+        )
+    )
+    hits = spans.select(
+        "lo", "cum", "s0",
+        F.explode(F.sequence("s0", "s1")).alias("seq"),
+    )
+    return (
+        hits.groupBy("seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("s0") < F.col("seq")).cast("long")).alias(
+                "n_carryover"
+            ),
+            F.sum(
+                F.least(F.col("cum"), (F.col("seq") + 1) * _SEQ_LEN)
+                - F.greatest(F.col("lo"), F.col("seq") * _SEQ_LEN)
+            ).cast("long").alias("seq_tokens"),
+        )
+        .orderBy("seq")
+    )

@@ -117,6 +117,15 @@ def test_token_packing_has_no_global_window(spark, qs):
     assert "Window" in p  # the within-partition running sum is still a window
 
 
+def test_sequence_packing_has_no_global_window(spark, qs):
+    """The r11 sample-packing twin inherits the same contract: pid-
+    partitioned cumsum, per-doc explode bounded by overlapped
+    sequences, one hash aggregation — no SinglePartition Exchange."""
+    p = plan_of(spark, qs["cur_sequence_packing"](spark, SF_DIR))
+    assert "SinglePartition" not in p
+    assert "Generate" in p  # the explode over overlapped sequences
+
+
 def test_tpch_q2_min_cost_join_carries_both_keys(spark, qs):
     """The decorrelated min-cost self-join must be a 2-key equi-join on
     (partkey, cost) — if same-lineage Column disambiguation ever
