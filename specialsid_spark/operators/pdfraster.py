@@ -1775,7 +1775,15 @@ def _load_font_program(objs: dict, font_num: int):
             if cid2gid is not None and cid2gid.group(1) != b"Identity":
                 return None
         base = _load_font_program(objs, int(desc.group(1)))
-        if base is None or getattr(base, "is_cid", False):
+        if (
+            base is None
+            or getattr(base, "is_cid", False)
+            # a descendant without an embedded program can fall back to
+            # the r11 Standard-14 substitution — that is a SIMPLE-font
+            # object with no glyphs/cid_to_gid; wrapping it in a CID
+            # adapter would crash, so degrade to boxes instead
+            or getattr(base, "is_std14", False)
+        ):
             return None
         dwm = re.search(rb"/DW\s+([0-9.]+)", chead)
         dw = float(dwm.group(1)) if dwm else 1000.0

@@ -1397,3 +1397,22 @@ def test_page_rotate_inherits_from_pages_root():
     r = rasterize_page(patched)
     assert r[:2] == (792, 612)
     assert (np.rot90(_gray(rasterize_page(pdf)), k=-1) == _gray(r)).all()
+
+
+def test_cid_descendant_without_fontfile_degrades_not_crashes():
+    """A Type0 font whose CIDFontType2 descendant has a Standard-14
+    /BaseFont but NO FontFile2 must degrade to the box model — the r11
+    AFM substitution is a simple-font object and cannot back a CID
+    wrapper (regression guard: this used to AttributeError)."""
+    from specialsid_spark.operators.pdfraster import _load_font_program
+
+    objs = {
+        1: (b"<< /Type /Font /Subtype /Type0 /BaseFont /Helvetica"
+            b" /Encoding /Identity-H /DescendantFonts [2 0 R] >>", None),
+        2: (b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Helvetica"
+            b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+            b" /Supplement 0 >> /FontDescriptor 3 0 R /DW 1000 >>", None),
+        3: (b"<< /Type /FontDescriptor /FontName /Helvetica /Flags 4 >>",
+            None),
+    }
+    assert _load_font_program(objs, 1) is None
