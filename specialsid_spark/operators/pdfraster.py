@@ -1096,6 +1096,18 @@ def rasterize_page(
         return bw, bh, 3, buf.tobytes()
     except (_Degrade, ValueError, IndexError, KeyError, ZeroDivisionError):
         return None
+    except Exception as exc:  # lazy charstring interpretation (r11)
+        # glyph programs are interpreted at PAINT time, so a font whose
+        # PARSE succeeded can still raise its format's Unsupported
+        # error mid-page (Type 1 flex/seac, CFF escape ops, TrueType
+        # compound depth) — that is a documented degrade, not a crash
+        from specialsid_spark.operators.cff import CffUnsupported  # noqa: PLC0415
+        from specialsid_spark.operators.truetype import TtfUnsupported  # noqa: PLC0415
+        from specialsid_spark.operators.type1 import Type1Unsupported  # noqa: PLC0415
+
+        if isinstance(exc, (CffUnsupported, TtfUnsupported, Type1Unsupported)):
+            return None
+        raise
 
 
 def _fill_rect(buf, m, x, y, w, h, color, clip=None) -> None:

@@ -1416,3 +1416,17 @@ def test_cid_descendant_without_fontfile_degrades_not_crashes():
             None),
     }
     assert _load_font_program(objs, 1) is None
+
+
+def test_paint_time_charstring_unsupported_degrades():
+    """Glyph programs interpret lazily at PAINT time: a Type 1 glyph
+    whose charstring hits flex must degrade the page to None, not
+    crash the task (regression guard — Type1Unsupported escaped
+    rasterize_page's except clause)."""
+    from specialsid_spark.operators.pdfraster import build_type1_pdf
+    from specialsid_spark.operators.type1 import build_tiny_type1
+
+    flexy = build_tiny_type1(
+        [("F", [0, 0, "rmoveto", 1, 0, "callothersubr", 10, "hlineto"], 640)]
+    )
+    assert rasterize_page(build_type1_pdf("F", font_program=flexy)) is None
