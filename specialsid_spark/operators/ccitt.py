@@ -16,8 +16,11 @@ Both directions implemented: the G4 DECODER walks T.6 vertical/
 horizontal/pass modes against the reference line's changing elements;
 the ENCODER chooses pass when b2 < a1, vertical when |a1 - b1| <= 3,
 horizontal otherwise — the standard coder.  The one-dimensional T.4
-Modified-Huffman form (TIFF Compression=2, byte-aligned EOL-free rows)
-ships alongside (r10) for legacy scanner output.  Self-roundtrip plus the
+Modified-Huffman form ships alongside (r10: TIFF Compression=2
+byte-aligned rows; r11: the continuous-bit-stream PDF K = 0 form with
+EOL tolerance), and r11 completes the family with the MIXED T.4 mode
+(PDF K > 0): EOL + tag-bit framed rows, 1D or 2D-against-previous-row
+per tag, the k-cycle error-containment shape real fax hardware emits.  Self-roundtrip plus the
 spec's codeword pins are the conformance evidence (no fax CLI exists
 in this container; the same evidence level as the JPEG family).
 
@@ -212,6 +215,63 @@ _MODE_DEC = {code: name for name, (code, _w) in _MODES.items()}
 _MODE_DEC[_EOL[0]] = "EOL"
 
 
+def _decode_2d_row(bits: _Bits, ref: list[int], width: int) -> list[int] | None:
+    """One T.6/T.4-2D coded row against reference transitions ``ref``
+    -> the row's changing elements, or None on malformed input."""
+    cur: list[int] = []
+    a0 = -1
+    color_white = True
+    while a0 < width:
+        mode = bits.take(_MODE_DEC, 12)
+        if mode is None:
+            return None
+        if mode == "EOL":
+            return None  # EOL inside the pixel area
+        # b1: first ref transition > a0 with opposite color to
+        # a0's color; transitions alternate starting white->black
+        i = 0
+        while i < len(ref) and (ref[i] <= a0 or ((i & 1) == 0) != color_white):
+            i += 1
+        b1 = ref[i] if i < len(ref) else width
+        b2 = ref[i + 1] if i + 1 < len(ref) else width
+        if mode == "P":
+            a0 = b2
+        elif mode == "H":
+            r1 = _read_run(bits, color_white)
+            r2 = _read_run(bits, not color_white)
+            if r1 is None or r2 is None:
+                return None
+            a1 = max(a0, 0) + r1
+            a2 = a1 + r2
+            if a2 > width:
+                return None
+            cur += [a1, a2]
+            a0 = a2
+        else:  # vertical
+            dx = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
+                  "VL1": -1, "VL2": -2, "VL3": -3}[mode]
+            a1 = b1 + dx
+            if not 0 <= a1 <= width:
+                return None
+            cur.append(a1)
+            a0 = a1
+            color_white = not color_white
+    if any(b > width for b in cur) or cur != sorted(cur):
+        return None
+    return cur
+
+
+def _render_row(cur: list[int], width: int) -> bytearray:
+    row = bytearray(width)
+    pos = 0
+    white = True
+    for t in [*cur, width]:
+        row[pos:t] = bytes([255 if white else 0]) * (t - pos)
+        pos = t
+        white = not white
+    return row
+
+
 def g4_decode(data: bytes, width: int, height: int) -> bytes | None:
     """Decode a T.6 (Group 4) stream to ``width*height`` bytes, 255 =
     white, 0 = black; None on malformed input (degrade-loudly)."""
@@ -220,55 +280,10 @@ def g4_decode(data: bytes, width: int, height: int) -> bytes | None:
         out = bytearray()
         ref = [width, width]  # changing elements of the all-white line
         for _y in range(height):
-            cur: list[int] = []
-            a0 = -1
-            color_white = True
-            while a0 < width:
-                mode = bits.take(_MODE_DEC, 12)
-                if mode is None:
-                    return None
-                if mode == "EOL":
-                    return None  # EOFB inside the pixel area
-                # b1: first ref transition > a0 with opposite color to
-                # a0's color; transitions alternate starting white->black
-                i = 0
-                while i < len(ref) and (ref[i] <= a0 or ((i & 1) == 0) != color_white):
-                    i += 1
-                b1 = ref[i] if i < len(ref) else width
-                b2 = ref[i + 1] if i + 1 < len(ref) else width
-                if mode == "P":
-                    a0 = b2
-                elif mode == "H":
-                    r1 = _read_run(bits, color_white)
-                    r2 = _read_run(bits, not color_white)
-                    if r1 is None or r2 is None:
-                        return None
-                    a1 = max(a0, 0) + r1
-                    a2 = a1 + r2
-                    if a2 > width:
-                        return None
-                    cur += [a1, a2]
-                    a0 = a2
-                else:  # vertical
-                    dx = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
-                          "VL1": -1, "VL2": -2, "VL3": -3}[mode]
-                    a1 = b1 + dx
-                    if not 0 <= a1 <= width:
-                        return None
-                    cur.append(a1)
-                    a0 = a1
-                    color_white = not color_white
-            if any(b > width for b in cur) or cur != sorted(cur):
+            cur = _decode_2d_row(bits, ref, width)
+            if cur is None:
                 return None
-            # render the line from its transitions
-            row = bytearray(width)
-            pos = 0
-            white = True
-            for t in [*cur, width]:
-                row[pos:t] = bytes([255 if white else 0]) * (t - pos)
-                pos = t
-                white = not white
-            out += row
+            out += _render_row(cur, width)
             ref = [*cur, width, width]
         return bytes(out)
     except (IndexError, KeyError, ValueError):
@@ -301,6 +316,37 @@ def _emit_run(bits: list[str], run: int, white: bool) -> None:
     bits.append(term[run][0])
 
 
+def _encode_2d_row(bits: list[str], cur: list[int], ref: list[int],
+                   width: int) -> None:
+    a0 = -1
+    color_white = True
+    k = 0  # index into cur of the next transition > a0
+    while a0 < width:
+        a1 = cur[k] if k < len(cur) else width
+        i = 0
+        while i < len(ref) and (ref[i] <= a0 or ((i & 1) == 0) != color_white):
+            i += 1
+        b1 = ref[i] if i < len(ref) else width
+        b2 = ref[i + 1] if i + 1 < len(ref) else width
+        if b2 < a1:
+            bits.append(_MODES["P"][0])
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            name = {0: "V0", 1: "VR1", 2: "VR2", 3: "VR3",
+                    -1: "VL1", -2: "VL2", -3: "VL3"}[a1 - b1]
+            bits.append(_MODES[name][0])
+            a0 = a1
+            color_white = not color_white
+            k += 1
+        else:
+            a2 = cur[k + 1] if k + 1 < len(cur) else width
+            bits.append(_MODES["H"][0])
+            _emit_run(bits, a1 - max(a0, 0), color_white)
+            _emit_run(bits, a2 - a1, not color_white)
+            a0 = a2
+            k += 2
+
+
 def g4_encode(pixels: bytes, width: int, height: int) -> bytes:
     """Encode ``width*height`` bytes (0 = black, nonzero = white) as a
     T.6 stream (EOFB-terminated, byte-aligned) — the standard coder:
@@ -308,35 +354,8 @@ def g4_encode(pixels: bytes, width: int, height: int) -> bytes:
     bits: list[str] = []
     ref = [width, width]
     for y in range(height):
-        row = pixels[y * width : (y + 1) * width]
-        cur = _transitions(row)
-        a0 = -1
-        color_white = True
-        k = 0  # index into cur of the next transition > a0
-        while a0 < width:
-            a1 = cur[k] if k < len(cur) else width
-            i = 0
-            while i < len(ref) and (ref[i] <= a0 or ((i & 1) == 0) != color_white):
-                i += 1
-            b1 = ref[i] if i < len(ref) else width
-            b2 = ref[i + 1] if i + 1 < len(ref) else width
-            if b2 < a1:
-                bits.append(_MODES["P"][0])
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                name = {0: "V0", 1: "VR1", 2: "VR2", 3: "VR3",
-                        -1: "VL1", -2: "VL2", -3: "VL3"}[a1 - b1]
-                bits.append(_MODES[name][0])
-                a0 = a1
-                color_white = not color_white
-                k += 1
-            else:
-                a2 = cur[k + 1] if k + 1 < len(cur) else width
-                bits.append(_MODES["H"][0])
-                _emit_run(bits, a1 - max(a0, 0), color_white)
-                _emit_run(bits, a2 - a1, not color_white)
-                a0 = a2
-                k += 2
+        cur = _transitions(pixels[y * width : (y + 1) * width])
+        _encode_2d_row(bits, cur, ref, width)
         ref = [*cur, width, width]
     bits.append(_EOL[0])
     bits.append(_EOL[0])  # EOFB
@@ -417,6 +436,93 @@ def g3_1d_decode(
                 white = not white
             out += row
             bitpos = (bits.i + 7) & ~7 if byte_align else bits.i
+        return bytes(out)
+    except (IndexError, KeyError, ValueError):
+        return None
+
+
+# ------------------------------------------------- T.4 mixed (K > 0)
+
+def g3_mixed_encode(
+    pixels: bytes, width: int, height: int, k: int = 4
+) -> bytes:
+    """T.4 two-dimensional (mixed 1D/2D) coding — PDF /CCITTFaxDecode
+    with K > 0 (r11, the last fax mode): every row is framed by an EOL
+    codeword plus a 1-bit tag (1 = this row is 1D Modified Huffman,
+    0 = 2D against the previous row); at most ``k - 1`` consecutive 2D
+    rows follow each 1D row (the T.4 error-containment cycle)."""
+    bits: list[str] = []
+    ref: list[int] | None = None
+    since_1d = 0
+    for y in range(height):
+        cur = _transitions(pixels[y * width : (y + 1) * width])
+        use_1d = ref is None or since_1d >= k - 1
+        bits.append(_EOL[0])
+        bits.append("1" if use_1d else "0")
+        if use_1d:
+            pos = 0
+            white = True
+            for t in [*cur, width]:
+                _emit_run(bits, t - pos, white)
+                pos = t
+                white = not white
+                if pos == width:
+                    break
+            since_1d = 0
+        else:
+            _encode_2d_row(bits, cur, ref, width)
+            since_1d += 1
+        ref = [*cur, width, width]
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+def g3_mixed_decode(data: bytes, width: int, height: int) -> bytes | None:
+    """Inverse of :func:`g3_mixed_encode`; None on malformed input.
+    Fill zeros before each EOL are consumed per T.4 §2.2.1."""
+    try:
+        bits = _Bits(data)
+        out = bytearray()
+        ref: list[int] | None = None
+        s = bits.s
+        for _y in range(height):
+            # fill zeros + EOL (0{11,}1), then the 1-bit mode tag
+            j = bits.i
+            zeros = 0
+            while j < len(s) and s[j] == "0":
+                zeros += 1
+                j += 1
+            if zeros < 11 or j >= len(s):
+                return None
+            bits.i = j + 1
+            if bits.i >= len(s):
+                return None
+            tag = s[bits.i]
+            bits.i += 1
+            if tag == "1":  # 1D row: white-first MH runs
+                row = bytearray(width)
+                pos = 0
+                white = True
+                while pos < width:
+                    run = _read_run(bits, white)
+                    if run is None or pos + run > width:
+                        return None
+                    row[pos : pos + run] = (
+                        bytes([255 if white else 0]) * run
+                    )
+                    pos += run
+                    white = not white
+                out += row
+                ref = [*_transitions(row), width, width]
+            else:  # 2D row against the previous line
+                if ref is None:
+                    return None
+                cur2 = _decode_2d_row(bits, ref, width)
+                if cur2 is None:
+                    return None
+                out += _render_row(cur2, width)
+                ref = [*cur2, width, width]
         return bytes(out)
     except (IndexError, KeyError, ValueError):
         return None

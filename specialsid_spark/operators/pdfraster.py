@@ -189,13 +189,17 @@ def _ii_raster(canon: list[str], body: bytes, w: int, h: int,
         from specialsid_spark.operators.ccitt import g4_decode  # noqa: PLC0415
 
         k = _ii_int(params, b"K") or 0
-        if k > 0:
-            raise _Degrade("mixed 1D/2D (K > 0) inline CCITT unsupported")
         cols = _ii_int(params, b"Columns")
         if cols is not None and cols != w:
             raise _Degrade("inline CCITT /Columns mismatch")
         if k < 0:
             dec = g4_decode(bytes(body), w, h)
+        elif k > 0:  # mixed 1D/2D (r11)
+            from specialsid_spark.operators.ccitt import (  # noqa: PLC0415
+                g3_mixed_decode,
+            )
+
+            dec = g3_mixed_decode(bytes(body), w, h)
         else:  # K = 0 (r11): pure 1D MH rows
             from specialsid_spark.operators.ccitt import (  # noqa: PLC0415
                 g3_1d_decode,
@@ -443,18 +447,19 @@ def _decode_image_xobject(head: bytes, data: bytes | None):
     if b"/CCITTFaxDecode" in head:
         from specialsid_spark.operators.ccitt import (  # noqa: PLC0415
             g3_1d_decode,
+            g3_mixed_decode,
             g4_decode,
         )
 
         km = re.search(rb"/K\s+(-?\d+)", head)
         k_val = int(km.group(1)) if km else 0  # /K default is 0
-        if k_val > 0:
-            raise _Degrade("mixed 1D/2D (K > 0) CCITT unsupported")
         cm = re.search(rb"/Columns\s+(\d+)", head)
         if cm is not None and int(cm.group(1)) != w:
             raise _Degrade("CCITT /Columns mismatch")
         if k_val < 0:
             dec = g4_decode(bytes(data), w, h)
+        elif k_val > 0:  # mixed 1D/2D, EOL+tag framed (r11)
+            dec = g3_mixed_decode(bytes(data), w, h)
         else:  # K = 0: pure 1D MH rows (r11); honor /EncodedByteAlign
             aligned = (
                 re.search(rb"/EncodedByteAlign\s+true", head) is not None

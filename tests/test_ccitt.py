@@ -260,3 +260,69 @@ def test_pdf_ccitt_k0_xobject():
         g = np.frombuffer(r[3], np.uint8).reshape(r[1], r[0], 3)[:, :, 0]
         block = g[792 - 108 : 792 - 100, 100:116]
         assert (block[:, :8] == 0).all() and (block[:, 8:] == 255).all()
+
+
+# --------------------------------- K > 0 (mixed 1D/2D) r11
+
+def test_g3_mixed_roundtrip_various_k():
+    import random
+
+    from specialsid_spark.operators.ccitt import (
+        g3_mixed_decode,
+        g3_mixed_encode,
+    )
+
+    random.seed(29)
+    w, h = 53, 17
+    px = bytes(255 if random.random() < 0.7 else 0 for _ in range(w * h))
+    for k in (1, 2, 4, 16):
+        enc = g3_mixed_encode(px, w, h, k=k)
+        assert g3_mixed_decode(enc, w, h) == px
+    # higher k -> more 2D rows -> smaller stream on correlated content
+    rows = bytes([255] * 40 + [0] * 13) * h
+    assert len(g3_mixed_encode(rows, w, h, k=16)) < len(
+        g3_mixed_encode(rows, w, h, k=1)
+    )
+
+
+def test_g3_mixed_first_row_must_be_1d():
+    from specialsid_spark.operators.ccitt import g3_mixed_decode
+
+    # EOL + tag 0 (2D) as the very first row: no reference line -> None
+    stream_bits = "0" * 11 + "1" + "0"
+    stream_bits += "0" * (-len(stream_bits) % 8)
+    data = bytes(
+        int(stream_bits[i : i + 8], 2) for i in range(0, len(stream_bits), 8)
+    )
+    assert g3_mixed_decode(data, 8, 1) is None
+
+
+def test_pdf_ccitt_k_positive_xobject():
+    import numpy as np
+
+    from specialsid_spark.operators.ccitt import g3_mixed_encode
+    from specialsid_spark.operators.pdf import _assemble_pdf
+    from specialsid_spark.operators.pdfraster import rasterize_page
+
+    px = bytes(0 if (x + y) % 5 == 0 else 255
+               for y in range(8) for x in range(16))
+    enc = g3_mixed_encode(px, 16, 8, k=4)
+    content = b"q 16 0 0 8 100 100 cm /Im1 Do Q"
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [5 0 R] /Count 1 >>",
+        b"<< /Type /XObject /Subtype /Image /Width 16 /Height 8"
+        b" /ColorSpace /DeviceGray /BitsPerComponent 1"
+        b" /Filter /CCITTFaxDecode"
+        b" /DecodeParms << /K 4 /Columns 16 >>"
+        b" /Length %d >>\nstream\n" % len(enc) + enc + b"\nendstream",
+        b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /XObject << /Im1 3 0 R >> >> /Contents 4 0 R >>",
+    ]
+    r = rasterize_page(_assemble_pdf(objects, 1))
+    assert r is not None
+    g = np.frombuffer(r[3], np.uint8).reshape(r[1], r[0], 3)[:, :, 0]
+    block = g[792 - 108 : 792 - 100, 100:116]
+    want = np.frombuffer(px, np.uint8).reshape(8, 16)
+    assert (block == want).all()
