@@ -119,6 +119,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_pdf_sampled_shading_raster",
     "mm_pdf_rotate_raster",
     "cur_sequence_packing",
+    "mm_pdf_ccitt_k_modes_raster",
 )
 
 

@@ -5659,3 +5659,135 @@ def mm_pdf_rotate_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
         " gray_sum long"
     )
     return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")
+
+
+@register(
+    "mm_pdf_ccitt_k_modes_raster",
+    # r11 — the COMPLETE /CCITTFaxDecode K matrix: each doc's page
+    # carries the same doc-derived bilevel image, but the stream is
+    # coded per doc_id % 3 as G4 (K = -1), pure 1D (K = 0, continuous
+    # bit stream), or MIXED 1D/2D (K = 4, EOL + tag framed) — all
+    # three decode paths must recover identical pixels, so the oracle
+    # is one pure predicate count regardless of mode; the k_mode
+    # column pins WHICH path ran.
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             CAST(CASE doc_id % 3 WHEN 0 THEN -1 WHEN 1 THEN 0 ELSE 4 END
+                  AS INT) AS k_mode
+      FROM documents WHERE doc_id < {_N_CODEC_DOCS}
+    ),
+    px AS (
+      SELECT d.doc_id,
+             CAST(SUM(CASE WHEN (x.x * 7 + y.y * 13 + d.doc_id) % 31 = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_black
+      FROM docs d,
+           (SELECT unnest(range(0, 96)) AS x) x,
+           (SELECT unnest(range(0, 64)) AS y) y
+      GROUP BY d.doc_id
+    )
+    SELECT d.doc_id, d.k_mode, 612 AS width, 792 AS height, p.n_black,
+           CAST(255 * CAST(612 * 792 AS BIGINT) - 255 * p.n_black AS BIGINT)
+             AS gray_sum
+    FROM docs d JOIN px p ON p.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def mm_pdf_ccitt_k_modes_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 — every /CCITTFaxDecode mode end to end: G4 (K < 0, r10),
+    pure 1D (K = 0, r11), and mixed 1D/2D (K > 0, r11) streams of the
+    SAME doc-derived bilevel image, cycled by doc_id % 3, each decoded
+    through the rasterizer's image-XObject path.  One wrong run, tag
+    bit, EOL frame, or reference-line step in any mode shifts that
+    mode's third of the rows.  Reference parity: Poppler decodes all
+    three through the same filter (gen_pdf_imgLambda.py:51).
+
+    Scale shape: per-row independent mapInPandas, codec-family plan."""
+    import numpy as np
+    import pandas as pd
+
+    from specialsid_spark.operators.ccitt import (
+        g3_1d_encode,
+        g3_mixed_encode,
+        g4_encode,
+    )
+    from specialsid_spark.operators.pdf import _assemble_pdf
+    from specialsid_spark.operators.pdfraster import rasterize_page
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_CODEC_DOCS)
+    W, H = 96, 64
+
+    def build(doc_id: int) -> tuple[bytes, int]:
+        img = bytes(
+            0 if (x * 7 + y * 13 + doc_id) % 31 == 0 else 255
+            for y in range(H)
+            for x in range(W)
+        )
+        mode = doc_id % 3
+        if mode == 0:
+            enc, k = g4_encode(img, W, H), -1
+        elif mode == 1:
+            enc, k = g3_1d_encode(img, W, H, byte_align=False), 0
+        else:
+            enc, k = g3_mixed_encode(img, W, H, k=4), 4
+        objects: list[bytes] = []
+
+        def add(body: bytes) -> int:
+            objects.append(body)
+            return len(objects)
+
+        cat = add(b"")
+        pages = add(b"")
+        xo = add(
+            b"<< /Subtype /Image /Width %d /Height %d /BitsPerComponent 1"
+            b" /ColorSpace /DeviceGray /Filter /CCITTFaxDecode"
+            b" /DecodeParms << /K %d /Columns %d /Rows %d >>"
+            b" /Length %d >>\nstream\n" % (W, H, k, W, H, len(enc))
+            + enc + b"\nendstream"
+        )
+        content = b"q %d 0 0 %d 140 600 cm /Im0 Do Q" % (W, H)
+        cont = add(
+            b"<< /Length %d >>\nstream\n" % len(content)
+            + content + b"\nendstream"
+        )
+        page = add(
+            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
+            b" /Resources << /XObject << /Im0 %d 0 R >> >>"
+            b" /Contents %d 0 R >>" % (pages, xo, cont)
+        )
+        objects[pages - 1] = (
+            b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
+        )
+        objects[cat - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages
+        return _assemble_pdf(objects, cat), k
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                blob, k = build(doc_id)
+                r = rasterize_page(blob)
+                if r is None:  # degrade surfaces as an impossible row
+                    out.append((doc_id, k, -1, -1, -1, -1))
+                    continue
+                w, h, _ch, px = r
+                buf = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+                g = buf[:, :, 0]
+                out.append(
+                    (doc_id, k, w, h, int((g == 0).sum()),
+                     int(g.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "k_mode", "width", "height", "n_black",
+                         "gray_sum"],
+            ).astype({"doc_id": "int64", "k_mode": "int32",
+                      "width": "int32", "height": "int32",
+                      "n_black": "int64", "gray_sum": "int64"})
+
+    schema = (
+        "doc_id long, k_mode int, width int, height int, n_black long,"
+        " gray_sum long"
+    )
+    return d.select("doc_id").mapInPandas(fn, schema).orderBy("doc_id")
