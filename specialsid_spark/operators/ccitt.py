@@ -365,14 +365,18 @@ def g4_encode(pixels: bytes, width: int, height: int) -> bytes:
 
 
 def g3_1d_encode(
-    pixels: bytes, width: int, height: int, byte_align: bool = True
+    pixels: bytes, width: int, height: int, byte_align: bool = True,
+    eol: bool = False,
 ) -> bytes:
     """T.4 one-dimensional (Modified Huffman) coding.  The default is
     the TIFF Compression=2 form: every row is an independent
     white-first run sequence, byte-aligned, no EOLs.  With
     ``byte_align=False`` (r11) rows concatenate as one continuous bit
     stream, padded only at the very end — PDF /CCITTFaxDecode's K = 0
-    default (/EncodedByteAlign false)."""
+    default (/EncodedByteAlign false).  ``eol=True`` (r11) prefixes
+    every row with the T.4 EOL codeword — TIFF Compression=3's
+    baseline 1D framing (tag bits exist only in 2D mode) — and
+    implies continuous packing."""
     all_bits: list[str] = []
     for y in range(height):
         row = pixels[y * width : (y + 1) * width]
@@ -388,6 +392,10 @@ def g3_1d_encode(
             if pos == width:
                 break
         all_bits.append("".join(bits))
+    if eol:
+        es = "".join(_EOL[0] + rb for rb in all_bits)
+        es += "0" * (-len(es) % 8)
+        return bytes(int(es[i : i + 8], 2) for i in range(0, len(es), 8))
     if byte_align:
         out = bytearray()
         for rb in all_bits:

@@ -14,11 +14,12 @@ bumps when the table size reaches 2^w - 1, one entry earlier than
 GIF's 2^w.
 
 Scope / honest degrades (same contract as every codec in this repo):
-8-bit gray/RGB strips plus 1-bit CCITT fax pages (r10: Compression=2
-Modified Huffman and Compression=4 Group 4 via operators/ccitt.py,
-photometric 0/1, extension-free options); tiled TIFFs, palette, CMYK,
-and other compressions (EOL-framed Group 3, JPEG-in-TIFF, Deflate)
-return None loudly.
+8-bit gray/RGB strips plus 1-bit CCITT fax pages — Compression=2
+Modified Huffman and Compression=4 Group 4 (r10), and Compression=3
+T.4 Group 3 (r11: EOL-framed 1D, and the T4Options bit-0 mixed 2D
+form, via operators/ccitt.py; photometric 0/1).  Tiled TIFFs,
+palette, CMYK, and other compressions (JPEG-in-TIFF, Deflate) return
+None loudly.
 
 Reference parity note: the reference engine has no image codecs at all
 (its rasters are produced by a pdf2image Lambda,
@@ -32,6 +33,7 @@ import struct
 
 _COMP_NONE = 1
 _COMP_G3_1D = 2  # CCITT T.4 Modified Huffman, byte-aligned rows (r10)
+_COMP_G3 = 3  # CCITT T.4 with EOL framing, 1D or mixed 2D (r11)
 _COMP_G4 = 4  # CCITT T.6 two-dimensional (operators/ccitt.py, r10)
 _COMP_LZW = 5
 _COMP_PACKBITS = 32773
@@ -252,10 +254,12 @@ def build_tiff(
     comp = {
         "none": _COMP_NONE, "lzw": _COMP_LZW,
         "packbits": _COMP_PACKBITS, "g4": _COMP_G4, "g3": _COMP_G3_1D,
+        "g3_eol": _COMP_G3, "g3_2d": _COMP_G3,
     }[compression]
+    t4_2d = compression == "g3_2d"
     if predictor == 2 and comp != _COMP_LZW:
         raise ValueError("predictor 2 is paired with LZW")
-    if comp in (_COMP_G4, _COMP_G3_1D):
+    if comp in (_COMP_G4, _COMP_G3_1D, _COMP_G3):
         if ch != 1:
             raise ValueError("fax coding is bilevel: ch must be 1")
         if any(p not in (0, 255) for p in pixels):
@@ -265,15 +269,22 @@ def build_tiff(
 
     rowlen = w * ch
     strips: list[bytes] = []
-    if comp in (_COMP_G4, _COMP_G3_1D):
+    if comp in (_COMP_G4, _COMP_G3_1D, _COMP_G3):
         from specialsid_spark.operators.ccitt import (  # noqa: PLC0415
             g3_1d_encode,
+            g3_mixed_encode,
             g4_encode,
         )
 
-        enc = g4_encode if comp == _COMP_G4 else g3_1d_encode
-        strips.append(enc(pixels, w, h))
-    for y0 in [] if comp in (_COMP_G4, _COMP_G3_1D) else range(0, h, rows_per_strip):
+        if comp == _COMP_G4:
+            strips.append(g4_encode(pixels, w, h))
+        elif comp == _COMP_G3_1D:
+            strips.append(g3_1d_encode(pixels, w, h))
+        elif t4_2d:
+            strips.append(g3_mixed_encode(pixels, w, h, k=4))
+        else:  # Compression=3 baseline: EOL-framed 1D rows
+            strips.append(g3_1d_encode(pixels, w, h, byte_align=False, eol=True))
+    for y0 in [] if comp in (_COMP_G4, _COMP_G3_1D, _COMP_G3) else range(0, h, rows_per_strip):
         raw = bytearray(pixels[y0 * rowlen : min(y0 + rows_per_strip, h) * rowlen])
         if predictor == 2:
             nrows = len(raw) // rowlen
@@ -290,7 +301,7 @@ def build_tiff(
 
     nstrips = len(strips)
     # entries: (tag, type, count, value-or-bytes); type 3=SHORT 4=LONG
-    is_fax = comp in (_COMP_G4, _COMP_G3_1D)
+    is_fax = comp in (_COMP_G4, _COMP_G3_1D, _COMP_G3)
     bps = 1 if is_fax else 8
     photo = 0 if is_fax else (1 if ch == 1 else 2)
     entries: list[tuple[int, int, int, object]] = [
@@ -308,6 +319,8 @@ def build_tiff(
         entries.append((317, 3, 1, 2))
     if comp == _COMP_G4:
         entries.append((293, 4, 1, 0))  # T6Options: no extensions
+    elif comp == _COMP_G3:
+        entries.append((292, 4, 1, 1 if t4_2d else 0))  # T4Options
 
     ifd_off = 8
     ifd_len = 2 + 12 * len(entries) + 4
@@ -429,27 +442,34 @@ def decode_tiff(blob: bytes) -> tuple[int, int, int, bytes] | None:
     comp = tags[259][1][0] if 259 in tags else _COMP_NONE
     photo = tags[262][1][0] if 262 in tags else 1
     ch = tags[277][1][0] if 277 in tags else 1
-    if comp not in (_COMP_G4, _COMP_G3_1D) and (
+    if comp not in (_COMP_G4, _COMP_G3_1D, _COMP_G3) and (
         photo not in (1, 2) or ch not in (1, 3) or (photo == 2) != (ch == 3)
     ):
         return None
     bits = tags[258][1] if 258 in tags else [8] * ch
-    if comp in (_COMP_G4, _COMP_G3_1D):
-        # bilevel fax page: 1-bit single-sample, photometric 0 or 1;
-        # T4/T6Options extensions (EOLs, uncompressed mode) are out of
-        # scope
+    t4_2d = False
+    if comp in (_COMP_G4, _COMP_G3_1D, _COMP_G3):
+        # bilevel fax page: 1-bit single-sample, photometric 0 or 1
         if isinstance(bits, bytes) or list(bits) != [1] or ch != 1:
             return None
         if photo not in (0, 1):
             return None
         if 293 in tags and tags[293][1][0] != 0:
             return None
-        if 292 in tags and tags[292][1][0] != 0:
+        if comp == _COMP_G3_1D and 292 in tags and tags[292][1][0] != 0:
             return None
+        if comp == _COMP_G3:
+            # T4Options (r11): bit0 = 2D (mixed), bit2 = byte-aligned
+            # EOL fill (the decoder's zero-scanner absorbs fill bits);
+            # any other option bit is out of scope
+            t4opts = tags[292][1][0] if 292 in tags else 0
+            if t4opts & ~0b101:
+                return None
+            t4_2d = bool(t4opts & 1)
     elif isinstance(bits, bytes) or any(b != 8 for b in bits):
         return None
     if comp not in (_COMP_NONE, _COMP_LZW, _COMP_PACKBITS, _COMP_G4,
-                    _COMP_G3_1D):
+                    _COMP_G3_1D, _COMP_G3):
         return None
     predictor = tags[317][1][0] if 317 in tags else 1
     if predictor not in (1, 2):
@@ -473,14 +493,21 @@ def decode_tiff(blob: bytes) -> tuple[int, int, int, bytes] | None:
             dec = packbits_decode(raw, expected)
         elif comp == _COMP_LZW:
             dec = lzw_decode_tiff(raw, expected)
-        elif comp in (_COMP_G4, _COMP_G3_1D):
+        elif comp in (_COMP_G4, _COMP_G3_1D, _COMP_G3):
             from specialsid_spark.operators.ccitt import (  # noqa: PLC0415
                 g3_1d_decode,
+                g3_mixed_decode,
                 g4_decode,
             )
 
-            dc = g4_decode if comp == _COMP_G4 else g3_1d_decode
-            g = dc(bytes(raw), w, nrows)
+            if comp == _COMP_G4:
+                g = g4_decode(bytes(raw), w, nrows)
+            elif comp == _COMP_G3_1D:
+                g = g3_1d_decode(bytes(raw), w, nrows)
+            elif t4_2d:
+                g = g3_mixed_decode(bytes(raw), w, nrows)
+            else:  # EOL-framed 1D (baseline Compression=3)
+                g = g3_1d_decode(bytes(raw), w, nrows, byte_align=False)
             dec = bytearray(g) if g is not None else None
         else:
             dec = bytearray(raw)

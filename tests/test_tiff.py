@@ -198,3 +198,41 @@ def test_read_ifd_skips_count_zero_entries():
     blob = b"II" + _s.pack("<HI", 42, 8) + ifd
     assert tiff_meta(blob) is None
     assert decode_tiff(blob) is None
+
+
+# ---------------------------- Compression=3 (Group 3, r11)
+
+def test_tiff_g3_eol_and_2d_roundtrip():
+    import random
+
+    from specialsid_spark.operators.tiff import build_tiff, decode_tiff
+
+    random.seed(13)
+    w, h = 49, 12
+    px = bytes(255 if random.random() < 0.7 else 0 for _ in range(w * h))
+    for compression in ("g3_eol", "g3_2d"):
+        for be in (False, True):
+            blob = build_tiff(w, h, 1, px, compression=compression,
+                              big_endian=be)
+            got = decode_tiff(blob)
+            assert got is not None, (compression, be)
+            gw, gh, gch, gpx = got
+            assert (gw, gh, gch) == (w, h, 1)
+            assert bytes(gpx) == px
+
+
+def test_tiff_g3_unknown_t4options_degrade():
+    from specialsid_spark.operators.tiff import build_tiff, decode_tiff
+
+    px = bytes([255] * 64)
+    blob = build_tiff(8, 8, 1, px, compression="g3_2d")
+    # flip the T4Options value 1 -> 2 (uncompressed-mode bit): loud None
+    import struct
+
+    # find tag 292 in the IFD (little endian build)
+    idx = blob.find(struct.pack("<H", 292))
+    assert idx > 0
+    val_off = idx + 8
+    assert struct.unpack_from("<I", blob, val_off)[0] == 1
+    patched = blob[:val_off] + struct.pack("<I", 2) + blob[val_off + 4 :]
+    assert decode_tiff(patched) is None
