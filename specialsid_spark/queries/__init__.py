@@ -46,80 +46,84 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # (~50 entries).  To guarantee every query eventually gets a driver-side
 # CORRECTNESS row, names needing one are listed here and surfaced FIRST in
 # all_queries()/all_oracles(); everything else keeps module registration
-# order after them.  Round 11 (VERDICT r10 #1-2, recomputed from
-# CORRECTNESS_r01-r10.json): head = the lone driver red
-# (ev_cusum_changepoint, hash-red r9+r10 while rows+schema match and
-# every local replay is value-exact) immediately followed by its two r11
-# BISECTION PROBES — one driver run then pinpoints whether the scan, the
-# assembly, or the driver's own hash canonicalization diverges; then the
-# ENTIRE 42-query cohort whose newest driver row is r5 (five rounds
-# stale); then this round's new queries (no driver row yet).  1 + 2 + 42
-# = 45 of the ~50 slots — after the r11 run no registered query's newest
-# row should predate r6.  Everything listed passes tools/check_oracle.py
-# exact-multiset at sf0.01 this session.
+# order after them.  Round 12 (VERDICT r11 #3, recomputed from
+# CORRECTNESS_r01-r11.json): head = the CUSUM pair (hash-red r9-r11,
+# root cause PROVEN by the judge's type audit — DuckDB SUM(BIGINT)→
+# HUGEINT→decimal128 vs Spark LONG — fixed this round by casting
+# c_up/c_dn in _CUSUM_CORE, so these two rows confirm the fix); then the
+# 7 queries with NO driver row in any round (cur_sequence_packing + the
+# six r11 rasterizer queries); then this round's brand-new queries; then
+# the 50-query cohort whose newest driver row is r6, in registration
+# order (the ~50-slot budget covers 2 + 7 + new + most of the 50; the
+# short tail rolls to r13's head).  Everything listed passes
+# tools/check_oracle.py exact-multiset at sf0.01 this session, and the
+# whole registry passes tests/test_oracle_types.py's bind-time type
+# audit (the net that would have caught the CUSUM red at registration).
 _PRIORITY: tuple[str, ...] = (
-    # the two-round driver red + its bisection probes (VERDICT r10 #2)
+    # the fixed CUSUM pair — driver confirmation of the HUGEINT cast
     "ev_cusum_changepoint",
-    "ev_cusum_hourly_probe",
     "ev_cusum_peaks_only",
-    # the one float-heavy r11 query: driver-side validation is most
-    # informative here (cosine doubles cross the engine boundary)
-    "sim_hard_negative_mining",
-    # the 42-query r5-stale cohort (VERDICT r10 #1), registration order
-    "agg_collect_set",
-    "agg_count_distinct",
-    "agg_countmin_topk",
-    "agg_cube_status_priority",
-    "agg_grouping_sets",
-    "agg_hll_manual",
-    "agg_kmv_corpus_overlap",
-    "agg_percentiles_price",
-    "agg_pricing_summary",
-    "agg_rollup_region_nation",
-    "agg_salted_heavy_hitter",
-    "agg_stats_orders",
-    "agg_udaf_price_range",
-    "clean_snapshot_diff",
-    "clean_snapshot_incremental_refresh",
-    "clean_snapshot_stats_pruning",
-    "clean_snapshot_time_travel",
-    "cur_cdc_chunks",
-    "cur_cdc_dedup_stats",
-    "cur_ngram_decontaminate",
-    "cur_weighted_sample",
-    "dedup_prefix_filter_pairs",
-    "emb_gram_matrix",
-    "mm_compressed_text_roundtrip",
-    "mm_flac_meta",
-    "mm_flac_roundtrip",
-    "mm_html_text_extract",
-    "mm_image_patchify",
-    "mm_image_thumbnails",
-    "mm_jpeg12_roundtrip",
-    "mm_pdf_cid_text",
-    "mm_pdf_text_corpus_pipeline",
-    "mm_pdf_text_extract",
-    "mm_tar_webdataset_samples",
-    "mm_video_mjpeg_frames",
-    "mm_warc_crawl_extract",
-    "mm_wav_adpcm",
-    "mm_wav_g711",
-    "mm_wav_vad_segments",
-    "mm_zip_archive_listing",
-    "pipeline_crawl_to_corpus",
-    "sim_kmeans_quantizer",
-    # new this round (r11) — no driver row yet
-    "mm_pdf_inline_image_raster",
-    "mm_pdf_lzw_text",
-    "mm_pdf_std14_text_raster",
-    "mm_pdf_type1_text_raster",
-    "mm_pdf_cid0_text_raster",
-    "mm_pdf_textstate_raster",
-    "mm_pdf_type3_text_raster",
-    "mm_pdf_sampled_shading_raster",
-    "mm_pdf_rotate_raster",
+    # never driver-sampled in any round (VERDICT r11 #3)
     "cur_sequence_packing",
     "mm_pdf_ccitt_k_modes_raster",
+    "mm_pdf_cid0_text_raster",
+    "mm_pdf_rotate_raster",
+    "mm_pdf_sampled_shading_raster",
+    "mm_pdf_textstate_raster",
+    "mm_pdf_type3_text_raster",
+    # new this round (r12) — no driver row yet
+    "dedup_incremental_lsh",
+    # the 50-query r6-stale cohort, registration order
+    "src_csv_roundtrip",
+    "src_orc_roundtrip",
+    "src_jsonl_roundtrip",
+    "graph_triangle_count",
+    "text_naive_bayes_confusion",
+    "clean_snapshot_delete_rows",
+    "mm_pdf_objstm_text",
+    "mm_mp1_subband_decode",
+    "mm_pnm_roundtrip",
+    "mm_exif_meta",
+    "dedup_semantic_prune",
+    "sim_ivf_trained_topk",
+    "agg_grouped_map_rank",
+    "agg_histogram_value_buckets",
+    "agg_exact_percentiles",
+    "cur_train_test_split",
+    "cur_token_packing",
+    "cur_contamination_check",
+    "cur_gopher_repetition",
+    "cur_boilerplate_trigrams",
+    "cur_stratified_sample",
+    "cur_chunk_documents",
+    "cur_mixture_weights",
+    "cur_url_canonicalize",
+    "cur_pseudonymize_ids",
+    "dedup_exact_hash",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_candidates",
+    "dedup_simhash",
+    "dedup_embedding_cosine_top20",
+    "dedup_cc_clusters",
+    "pipeline_corpus_curation",
+    "dedup_simhash_hamming_pairs",
+    "dedup_repeated_spans",
+    "ev_tumbling_hourly",
+    "ev_sliding_1h_30m",
+    "ev_session_windows",
+    "ev_dedup_first_per_key",
+    "ev_json_props",
+    "ev_pivot_type_counts",
+    "ev_funnel_view_click_purchase",
+    "ev_retention_cohorts",
+    "ev_gapfill_hourly_value",
+    "win_range_interval_rolling",
+    "ev_rolling_7d_distinct_users",
+    "ev_interp_hourly_value",
+    "ev_ewma_user_value",
+    "ev_ols_trend_by_type",
+    "join_bucketed_colocated",
 )
 
 

@@ -1112,10 +1112,10 @@ _CUSUM_CORE = """
     ),
     pre AS (
       SELECT g, i, n, tot,
-             SUM(4 * n * yc - 5 * tot) OVER (PARTITION BY g ORDER BY i)
-               AS c_up,
-             SUM(3 * tot - 4 * n * yc) OVER (PARTITION BY g ORDER BY i)
-               AS c_dn
+             CAST(SUM(4 * n * yc - 5 * tot)
+                  OVER (PARTITION BY g ORDER BY i) AS BIGINT) AS c_up,
+             CAST(SUM(3 * tot - 4 * n * yc)
+                  OVER (PARTITION BY g ORDER BY i) AS BIGINT) AS c_dn
       FROM base
     ),
     cus AS (

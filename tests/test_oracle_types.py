@@ -1,0 +1,72 @@
+"""Registry-wide oracle/query output TYPE audit (VERDICT r11 #2).
+
+Root cause of the only two driver-red rows of rounds 10-11
+(ev_cusum_changepoint / ev_cusum_peaks_only): DuckDB's SUM(BIGINT)
+returns HUGEINT, which arrives over Arrow as decimal128(38,0) while the
+Spark twin emits int64 — values identical, driver hash different.  The
+local gate (tools/check_oracle.py) compares stringified values, so it
+can never catch a type-only divergence; this audit can, at
+registration time, with zero query execution.
+
+Contract pinned here: every output column of every registered oracle
+must BIND in DuckDB to one of {BIGINT, INTEGER, DOUBLE, VARCHAR,
+BOOLEAN} — the five types whose Arrow canonical form matches the Spark
+twin's {long, int, double, string, boolean} exactly.  Anything else
+(HUGEINT from an uncast SUM, DECIMAL from literal arithmetic, FLOAT,
+TIMESTAMP reaching the output) is a hash-red waiting for a driver
+sample.  The Spark side of the same contract is asserted per-query in
+tests/test_queries_smoke.py::test_query_runs (which already builds
+every DataFrame).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from specialsid_spark.queries import all_oracles
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# DuckDB type names whose Arrow representation is canonically identical
+# to the Spark twin's allowed scalar output types.  DATE is included on
+# driver evidence: retail_date_window_parse (green r8), win_lag_order_delta
+# (green r7) and retail_flyer_days all emit DATE/DateType and hash-match —
+# both engines produce Arrow date32.
+ALLOWED = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN", "DATE"}
+
+ORACLES = sorted(all_oracles().items())
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name,sql", ORACLES, ids=[n for n, _ in ORACLES])
+def test_oracle_binds_to_hashable_types(con, name, sql):
+    # .types binds (plans) the statement without executing it, so this is
+    # cheap even for the heavy rasterizer oracles.
+    rel = con.sql(sql)
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t) not in ALLOWED
+    ]
+    assert not bad, (
+        f"{name}: oracle output column(s) {bad} bind outside "
+        f"{sorted(ALLOWED)} — the driver hash canonicalizer will see a "
+        f"different Arrow type than the Spark twin (the r10/r11 CUSUM "
+        f"HUGEINT bug). CAST them in the oracle SQL."
+    )

@@ -15,9 +15,17 @@ QUERIES = sorted(all_queries().items())
 
 @pytest.mark.parametrize("name,fn", QUERIES, ids=[n for n, _ in QUERIES])
 def test_query_runs(spark, sf_dir, name, fn):
+    from pyspark.sql import types as T
+
     df = fn(spark, sf_dir)
     rows = df.limit(5).collect()
     assert df.columns, name
+    # Spark half of the type contract (DuckDB half: test_oracle_types.py):
+    # outputs must be the five scalar types whose Arrow form the driver
+    # hash canonicalizer maps 1:1 against the oracle's.
+    allowed = (T.LongType, T.IntegerType, T.DoubleType, T.StringType, T.BooleanType, T.DateType)
+    bad = [(f.name, f.dataType) for f in df.schema.fields if not isinstance(f.dataType, allowed)]
+    assert not bad, f"{name}: non-canonical output type(s) {bad}"
     # anti-join may legitimately be empty at tiny sf; everything else must produce rows
     if name not in ("join_anti_parts_never_ordered",):
         assert rows, f"{name} returned no rows at sf0.001"
