@@ -493,7 +493,14 @@ def _decode_image_xobject(head: bytes, data: bytes | None):
         except zlib.error as exc:
             raise _Degrade("Flate XObject decode failed") from exc
         data = _unpredict_image(head, bytes(data), w, h)
-    elif b"/LZWDecode" in head:
+    elif re.search(rb"/Filter\s*/LZWDecode\b", head) or re.search(
+        rb"/Filter\s*\[\s*/LZWDecode\s*\]", head
+    ):
+        # ADVICE r11: strict single-filter match (same shape as the
+        # Flate branch in _stream_decoded) — a chained /Filter array
+        # like [/ASCII85Decode /LZWDecode] must fall through to the
+        # unsupported-filter degrade, not feed raw transport bytes to
+        # the LZW codec.
         from specialsid_spark.operators.pdf import (  # noqa: PLC0415
             lzw_decode_pdf,
         )
@@ -1067,14 +1074,24 @@ def rasterize_page(
         # carry 90/180/270 — compose the display rotation after the
         # y-flip, swapping the buffer for the odd quadrants.  The page
         # dict wins; absent there, the /Pages root's value inherits.
+        # ADVICE r11: /Rotate is inheritable through the WHOLE page-tree
+        # chain (ISO 32000-1 §7.7.3.4), not just the immediate parent —
+        # balanced multi-level /Pages trees put it on a grandparent.
+        # Walk /Parent links with a visited set until /Rotate is found
+        # or the root is reached.
         rot = 0
         rm = re.search(rb"/Rotate\s+(-?\d+)", page_head)
-        if rm is None:
-            pm = re.search(rb"/Parent\s+(\d+)\s+0\s+R", page_head)
-            if pm is not None:
-                rm = re.search(
-                    rb"/Rotate\s+(-?\d+)", objs.get(int(pm.group(1)), (b"",))[0]
-                )
+        head, seen = page_head, set()
+        while rm is None:
+            pm = re.search(rb"/Parent\s+(\d+)\s+0\s+R", head)
+            if pm is None:
+                break
+            pnum = int(pm.group(1))
+            if pnum in seen:
+                break
+            seen.add(pnum)
+            head = objs.get(pnum, (b"",))[0]
+            rm = re.search(rb"/Rotate\s+(-?\d+)", head)
         if rm is not None:
             rot = int(rm.group(1)) % 360
             if rot not in (0, 90, 180, 270):
@@ -1550,7 +1567,11 @@ def _stream_decoded(objs: dict, num: int) -> bytes | None:
             return zlib.decompress(data)
         except zlib.error:
             return None
-    if b"/LZWDecode" in head:
+    if re.search(rb"/Filter\s*/LZWDecode\b", head) or re.search(
+        rb"/Filter\s*\[\s*/LZWDecode\s*\]", head
+    ):
+        # ADVICE r11: strict single-filter match, mirroring the Flate
+        # branch above — chained arrays degrade as unsupported below.
         from specialsid_spark.operators.pdf import lzw_decode_pdf  # noqa: PLC0415
 
         return lzw_decode_pdf(head, bytes(data))

@@ -157,8 +157,14 @@ def parse_type1(data: bytes) -> Type1Font:
         raise Type1Unsupported("no eexec section")
     clear = data[:k]
     enc = data[k + 5 :].lstrip(b"\r\n\t ")
-    # hex form: the first 4 bytes are ASCII hex digits
-    if all(c in b"0123456789abcdefABCDEF" for c in enc[:4]):
+    # hex form sniff (ADVICE r11): the spec's minimal "first 4 bytes
+    # are hex" test misfires on ~5e-5 of real binary sections whose
+    # first 4 ciphertext bytes happen to be hex digits.  Per the Type 1
+    # spec's own recommendation, examine a longer prefix — the first 16
+    # non-whitespace bytes (hex form wraps lines, so whitespace is
+    # expected and skipped); binary ciphertext passing that is ~1e-17.
+    sniff = bytes(c for c in enc[:64] if c not in b"\r\n\t \x00")[:16]
+    if sniff and all(c in b"0123456789abcdefABCDEF" for c in sniff):
         hx = re.sub(rb"[^0-9A-Fa-f]", b"", enc)
         try:
             enc = bytes.fromhex(hx.decode("ascii"))

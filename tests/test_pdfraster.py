@@ -1430,3 +1430,76 @@ def test_paint_time_charstring_unsupported_degrades():
         [("F", [0, 0, "rmoveto", 1, 0, "callothersubr", 10, "hlineto"], 640)]
     )
     assert rasterize_page(build_type1_pdf("F", font_program=flexy)) is None
+
+
+# ----------------------------------- ADVICE r11: inheritance + filters
+
+def test_page_rotate_inherits_through_grandparent_chain():
+    """ISO 32000-1 §7.7.3.4: /Rotate inherits through the WHOLE
+    page-tree chain.  Interpose an intermediate /Pages node between the
+    root and the leaf and put /Rotate 90 on the ROOT (the page's
+    grandparent) — the render must match a direct page-level
+    /Rotate 90 (r11 only checked the immediate parent)."""
+    pdf = build_raster_pdf("R", (100, 100, 40, 30, 0), (8, 8, bytes(range(64))))
+    direct = pdf.replace(
+        b"/Type /Page /Parent", b"/Type /Page /Rotate 90 /Parent"
+    )
+    # page 6's parent becomes the new node 7; node 7's parent is root 2;
+    # /Rotate lives on the root only (objects append-scan, no xref edit
+    # needed — _scan_objects regex-walks every `N 0 obj`)
+    nested = pdf.replace(b"/Parent 2 0 R", b"/Parent 7 0 R")
+    nested = nested.replace(
+        b"<< /Type /Pages /Kids [6 0 R] /Count 1 >>",
+        b"<< /Type /Pages /Rotate 90 /Kids [7 0 R] /Count 1 >>",
+    )
+    assert nested != pdf
+    nested += (
+        b"7 0 obj\n<< /Type /Pages /Parent 2 0 R /Kids [6 0 R]"
+        b" /Count 1 >>\nendobj\n"
+    )
+    r = rasterize_page(nested)
+    assert r is not None and r[:2] == (792, 612)
+    assert (_gray(r) == _gray(rasterize_page(direct))).all()
+    # a /Parent cycle must terminate (visited set), degrading quietly
+    # rather than spinning: point the root's own parent back at node 7
+    cyc = nested.replace(
+        b"<< /Type /Pages /Rotate 90 /Kids [7 0 R] /Count 1 >>",
+        b"<< /Type /Pages /Parent 7 0 R /Kids [7 0 R] /Count 1 >>",
+    )
+    assert rasterize_page(cyc) is not None  # no /Rotate found anywhere
+
+
+def test_chained_lzw_filter_array_degrades_not_garbage():
+    """ADVICE r11: /Filter [/ASCII85Decode /LZWDecode] must take the
+    unsupported-filter degrade, not feed raw transport bytes to the
+    LZW codec."""
+    import pytest
+
+    from specialsid_spark.operators.pdfraster import (
+        _decode_image_xobject,
+        _Degrade,
+        _stream_decoded,
+    )
+    from specialsid_spark.operators.tiff import lzw_encode_tiff
+
+    px = bytes((i * 31) % 251 for i in range(64))
+    body = lzw_encode_tiff(px)
+    base = (
+        b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8"
+        b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+    )
+    # positive control: strict single-filter forms still decode
+    for filt in (b" /Filter /LZWDecode >>", b" /Filter [ /LZWDecode ] >>"):
+        w, h, ch, out = _decode_image_xobject(base + filt, body)
+        assert (w, h, ch, out[: 64]) == (8, 8, 1, px)
+    with pytest.raises(_Degrade, match="unsupported image filter"):
+        _decode_image_xobject(
+            base + b" /Filter [ /ASCII85Decode /LZWDecode ] >>", body
+        )
+    objs = {
+        1: (b"<< /Filter [ /ASCII85Decode /LZWDecode ] /Length %d >>"
+            % len(body), body),
+        2: (b"<< /Filter /LZWDecode /Length %d >>" % len(body), body),
+    }
+    assert _stream_decoded(objs, 1) is None  # chained -> unsupported
+    assert _stream_decoded(objs, 2) == px    # strict single still works

@@ -198,3 +198,38 @@ def test_build_tiny_type1_custom_glyph_advances():
     f = parse_type1(font)
     contours, adv = f.pieces("X")
     assert adv == 512 and len(contours) == 1
+
+
+def test_binary_eexec_with_hexlike_leading_ciphertext():
+    """ADVICE r11: a BINARY eexec section whose first 4 ciphertext
+    bytes happen to be ASCII hex digits (~5e-5 of real fonts) must NOT
+    be misparsed as the hex form.  The sniff now examines the first 16
+    non-whitespace bytes per the Type 1 spec's recommendation; craft a
+    prefix whose ciphertext passes the old 4-byte test but fails the
+    16-byte one, and assert the font still parses."""
+    from specialsid_spark.operators.type1 import _encrypt
+
+    raw = fixture_type1()
+    k = raw.find(b"eexec") + 5
+    head, enc = raw[:k], raw[k:].lstrip(b"\r\n\t ")
+    z = enc.find(b"\n0000000000")
+    private = eexec_decrypt(enc[:z])
+    hexd = set(b"0123456789abcdefABCDEF")
+    # greedily pick the 4 throwaway LEAD bytes (the ones eexec_decrypt
+    # skips) so each ciphertext byte lands on a hex digit — the cipher
+    # is a running byte stream, so 4x256 trials suffice
+    lead = bytearray()
+    for _ in range(4):
+        for b in range(256):
+            c = _encrypt(b"", 55665, bytes(lead) + bytes([b]))
+            if c[-1] in hexd:
+                lead.append(b)
+                break
+        else:
+            raise AssertionError("no hex-landing lead byte")
+    cipher = _encrypt(private, 55665, bytes(lead))
+    assert all(b in hexd for b in cipher[:4])  # fools the OLD 4-byte sniff
+    sniff = bytes(b for b in cipher[:64] if b not in b"\r\n\t \x00")[:16]
+    assert not all(b in hexd for b in sniff)   # caught by the 16-byte sniff
+    f = parse_type1(head + b"\n" + cipher + b"\n")
+    assert sorted(f.charstrings) == [".notdef", "C", "H", "L", "O"]
