@@ -179,6 +179,10 @@ HEADLINE = [
     "sim_hard_negative_mining",
     # sample packing: the last hop before a packed-batch dataloader
     "cur_sequence_packing",
+    # round-12 addition: the persisted-index daily-drop LSH gate (three
+    # snapshot-table generations built and probed per run — the cost IS
+    # the gate, not fixture IO)
+    "dedup_incremental_lsh",
 ]
 
 

@@ -1985,3 +1985,145 @@ def dedup_lsh_recall_referee(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE CAST((1000 * n_hit) DIV n_candidates AS BIGINT)"
         " END AS precision_permille",
     )
+
+
+@register(
+    "dedup_incremental_lsh",
+    # The oracle restates the full 3-day story: day-0 bootstraps the
+    # index, day-1 probes it and appends its admitted docs' bands,
+    # day-2 probes the ACCUMULATED index.  Decision rule per day is the
+    # dedup_incremental_batch gate (corpus-hit = any band bucket already
+    # in the index; intra-hit = a lower-id same-day bucket-mate).
+    oracle=f"""
+    WITH {{sigs}},
+    {{bands}},
+    b0 AS (SELECT DISTINCT band, bkey FROM bands WHERE doc_id % 3 = 0),
+    d1 AS (SELECT doc_id, band, bkey FROM bands WHERE doc_id % 3 = 1),
+    d2 AS (SELECT doc_id, band, bkey FROM bands WHERE doc_id % 3 = 2),
+    h1c AS (SELECT DISTINCT d.doc_id FROM d1 d
+            JOIN b0 c ON c.band = d.band AND c.bkey = d.bkey),
+    m1 AS (SELECT band, bkey, MIN(doc_id) AS m FROM d1 GROUP BY 1, 2),
+    h1i AS (SELECT DISTINCT d.doc_id FROM d1 d
+            JOIN m1 m ON m.band = d.band AND m.bkey = d.bkey
+                     AND d.doc_id > m.m),
+    r1 AS (SELECT d.doc_id,
+                  CASE WHEN hc.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                    AS hit_corpus,
+                  CASE WHEN hi.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                    AS hit_intra
+           FROM (SELECT DISTINCT doc_id FROM d1) d
+           LEFT JOIN h1c hc ON hc.doc_id = d.doc_id
+           LEFT JOIN h1i hi ON hi.doc_id = d.doc_id),
+    b1 AS (SELECT band, bkey FROM b0
+           UNION
+           SELECT DISTINCT band, bkey FROM d1
+           WHERE doc_id IN (SELECT doc_id FROM r1
+                            WHERE hit_corpus = 0 AND hit_intra = 0)),
+    h2c AS (SELECT DISTINCT d.doc_id FROM d2 d
+            JOIN b1 c ON c.band = d.band AND c.bkey = d.bkey),
+    m2 AS (SELECT band, bkey, MIN(doc_id) AS m FROM d2 GROUP BY 1, 2),
+    h2i AS (SELECT DISTINCT d.doc_id FROM d2 d
+            JOIN m2 m ON m.band = d.band AND m.bkey = d.bkey
+                     AND d.doc_id > m.m),
+    r2 AS (SELECT d.doc_id,
+                  CASE WHEN hc.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                    AS hit_corpus,
+                  CASE WHEN hi.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                    AS hit_intra
+           FROM (SELECT DISTINCT doc_id FROM d2) d
+           LEFT JOIN h2c hc ON hc.doc_id = d.doc_id
+           LEFT JOIN h2i hi ON hi.doc_id = d.doc_id)
+    SELECT doc_id, day,
+           CAST(hit_corpus AS INT) AS hit_corpus,
+           CAST(hit_intra AS INT) AS hit_intra,
+           CAST(CASE WHEN hit_corpus = 0 AND hit_intra = 0
+                THEN 1 ELSE 0 END AS INT) AS admitted
+    FROM (SELECT doc_id, 1 AS day, hit_corpus, hit_intra FROM r1
+          UNION ALL
+          SELECT doc_id, 2 AS day, hit_corpus, hit_intra FROM r2)
+    ORDER BY doc_id
+    """.format(sigs=_sql_minhash_sigs(), bands=_sql_bands()),
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1, r12 (VERDICT r11 #6) — incremental MinHash-LSH dedup against
+    a PERSISTED, ACCUMULATING band index: the daily-crawl-drop shape.
+    dedup_incremental_batch recomputes the corpus bands every run; here
+    the corpus's (band, bkey) index lives in a snapshot table
+    (operators/snapshot.py) and each day's drop (1) probes the
+    accumulated index WITHOUT touching corpus text, (2) intra-dedups
+    itself (greedy keep-lowest per bucket), and (3) appends only its
+    admitted docs' bands as a new snapshot version.  Three deterministic
+    "days" (doc_id mod 3): day 0 bootstraps version 1, day 1 probes it
+    and appends version 2, day 2 probes the accumulated v2 index.
+
+    At 100 TB: the index is distinct (band, bkey) pairs — a few bytes
+    per corpus doc, append-only, time-travelable (a bad crawl drop
+    rolls back by restoring the prior version) — and each daily gate
+    shuffles only the new batch's band keys against a bucketable
+    parquet table.  The snapshot verbs are the same ones the streaming
+    ingest gate chains after hop3 (tests/test_streaming.py)."""
+    from pathlib import Path
+
+    from specialsid_spark.operators.snapshot import (
+        snapshot_commit,
+        snapshot_read,
+    )
+    from specialsid_spark.session import session_workdir
+
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    t = str(Path(session_workdir("specialsid_lshidx_")) / "band_index")
+
+    def day(n: int) -> DataFrame:
+        return d.filter(F.col("doc_id") % 3 == n)
+
+    # day 0: bootstrap — commit the corpus band index (version 1)
+    snapshot_commit(
+        lsh_band_keys(day(0)).select("band", "bkey").distinct().coalesce(1), t
+    )
+
+    def gate(batch: DataFrame, day_no: int) -> DataFrame:
+        """Probe the CURRENT persisted index, intra-dedup the batch,
+        append admitted docs' bands as a new snapshot version."""
+        bb = lsh_band_keys(batch).localCheckpoint(eager=True)
+        idx = snapshot_read(spark, t)
+        hitc = (
+            bb.join(idx, ["band", "bkey"], "left_semi")
+            .select("doc_id").distinct().withColumn("hit_corpus", F.lit(1))
+        )
+        mins = bb.groupBy("band", "bkey").agg(F.min("doc_id").alias("m"))
+        hiti = (
+            bb.join(mins, ["band", "bkey"])
+            .filter(F.col("doc_id") > F.col("m"))
+            .select("doc_id").distinct().withColumn("hit_intra", F.lit(1))
+        )
+        res = (
+            bb.select("doc_id").distinct()
+            .join(hitc, "doc_id", "left")
+            .join(hiti, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.lit(day_no).alias("day"),
+                F.coalesce("hit_corpus", F.lit(0)).cast("int")
+                  .alias("hit_corpus"),
+                F.coalesce("hit_intra", F.lit(0)).cast("int")
+                  .alias("hit_intra"),
+                (
+                    F.coalesce("hit_corpus", F.lit(0))
+                    + F.coalesce("hit_intra", F.lit(0))
+                    == 0
+                ).cast("int").alias("admitted"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        admitted_bands = (
+            bb.join(
+                res.filter(F.col("admitted") == 1).select("doc_id"), "doc_id"
+            )
+            .select("band", "bkey").distinct()
+        )
+        snapshot_commit(admitted_bands.coalesce(1), t, mode="append")
+        return res
+
+    r1 = gate(day(1), 1)
+    r2 = gate(day(2), 2)
+    return r1.unionByName(r2).orderBy("doc_id")

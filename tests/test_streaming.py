@@ -1229,3 +1229,125 @@ def test_streaming_cusum_monitor_matches_sequential_reference(spark, tmp_path):
     ), "late event for a closed hour must not perturb the registers"
     assert c3["n_hours_closed"] == 4
     assert c3["n_late_dropped"] == 1
+
+
+def test_hop4_incremental_lsh_gate_chains_after_hop3(spark, tmp_path):
+    """r12 (VERDICT r11 #6): hop3's clean zone chains into the
+    snapshot-backed incremental MinHash-LSH gate.  Two ordered daily
+    drops flow json -> hop3 -> hop4; the persisted snapshot index
+    accumulates; survivors must equal the batch pipeline's greedy
+    keep-lowest-id set over the same corpus; and a crash-replayed
+    micro-batch is a no-op (tag short-circuit)."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from specialsid_spark.operators.snapshot import snapshot_read, snapshot_versions
+    from specialsid_spark.queries.dedup import lsh_band_keys
+    from specialsid_spark.streaming.pipeline import (
+        hop3_json_to_clean,
+        hop4_incremental_lsh_gate,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank today",
+        "spark shuffles data between stages when wide dependencies appear in plans",
+        "minhash banding buckets similar documents together with high probability",
+        "completely unrelated text about cooking pasta with garlic and olive oil",
+    ]
+
+    def product(i: int) -> dict:
+        t = base[i % 4]
+        if i >= 8:
+            t = t.replace("the", "a") if i % 2 else t + " extra token"
+        return {
+            "product_name": f"P{i:02d} {t}",
+            "brand": "KOO",
+            "current_price": 9.99,
+            "was_price": None,
+            "weight_volume": "2kg",
+            "unit": "kg",
+            "deal_type": None,
+            "multi_buy_quantity": 1,
+            "bounding_box": [1, 2, 3, 4],
+            "group_id": None,
+            "source_path": "data/pro/json/PnP/Gauteng/1_March_-_3_March_2026/"
+                           f"page_{i}.json",
+        }
+
+    json_dir = tmp_path / "pro_json"
+    json_dir.mkdir()
+    clean_dir = str(tmp_path / "clean")
+    ckpt3 = str(tmp_path / "ckpt3")
+    ckpt4 = str(tmp_path / "ckpt4")
+    index = str(tmp_path / "lsh_index")
+    id_expr = "CAST(regexp_extract(product_name, 'P([0-9]+)', 1) AS BIGINT)"
+    text_expr = "product_name"
+
+    def drop(name, lo, hi):
+        with open(json_dir / name, "w") as fh:
+            for i in range(lo, hi):
+                fh.write(_json.dumps(product(i)) + "\n")
+        hop3_json_to_clean(spark, str(json_dir), clean_dir, ckpt3).awaitTermination()
+        hop4_incremental_lsh_gate(
+            spark, clean_dir, index, ckpt4, id_expr=id_expr, text_expr=text_expr
+        ).awaitTermination()
+
+    drop("b1.json", 0, 8)
+    v_after_1 = snapshot_versions(index)
+    drop("b2.json", 8, 16)
+    kept_stream = {
+        r.doc_id
+        for r in snapshot_read(spark, index)
+        .filter(F.col("kind") == "doc")
+        .collect()
+    }
+
+    # batch greedy keep-lowest referee over the SAME cleaned corpus
+    # (ids are arrival-ordered, so sequential gating == global greedy)
+    docs = (
+        spark.read.parquet(clean_dir)
+        .selectExpr(f"{id_expr} AS doc_id", f"{text_expr} AS text")
+        .distinct()
+    )
+    bands = lsh_band_keys(docs)
+    dup_b = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    kept_batch = {
+        r.doc_id
+        for r in docs.select("doc_id").join(dup_b, "doc_id", "left_anti").collect()
+    }
+    assert kept_stream == kept_batch
+    assert len(kept_stream) < 16  # the gate really dropped near-dups
+    assert len(snapshot_versions(index)) > len(v_after_1)  # index accumulated
+
+    # crash window: hop4's checkpoint commit record lost AFTER the
+    # snapshot commit -> replay must hit the tag and change nothing
+    commits = sorted(os.listdir(os.path.join(ckpt4, "commits")))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(ckpt4, "commits", last))
+    crc = os.path.join(ckpt4, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    versions_before = snapshot_versions(index)
+    hop4_incremental_lsh_gate(
+        spark, clean_dir, index, ckpt4, id_expr=id_expr, text_expr=text_expr
+    ).awaitTermination()
+    assert snapshot_versions(index) == versions_before
+    kept_replay = {
+        r.doc_id
+        for r in snapshot_read(spark, index)
+        .filter(F.col("kind") == "doc")
+        .collect()
+    }
+    assert kept_replay == kept_stream
