@@ -1503,3 +1503,29 @@ def test_chained_lzw_filter_array_degrades_not_garbage():
     }
     assert _stream_decoded(objs, 1) is None  # chained -> unsupported
     assert _stream_decoded(objs, 2) == px    # strict single still works
+
+
+def test_unsupported_image_filters_degrade_loudly():
+    """The supported image-filter matrix is {raw, Flate(+predictors),
+    LZW(+predictors), DCT, CCITTFax K<0/=0/>0}; JBIG2 and JPX are
+    declared OUT OF SCOPE (COVERAGE.md §X3 matrix) — a page using them
+    must degrade to None (never garbage pixels, never a crash)."""
+    pdf = build_raster_pdf("R", (100, 100, 40, 30, 0), (8, 8, bytes(range(64))))
+    assert rasterize_page(pdf) is not None  # control
+    for bad in (b"/Filter /JBIG2Decode", b"/Filter /JPXDecode  "):
+        patched = pdf.replace(b"/Filter /FlateDecode", bad)
+        assert patched != pdf
+        assert rasterize_page(patched) is None
+
+
+def test_unsupported_content_filter_degrades_loudly():
+    """Content streams decode through {raw, Flate, LZW} only; any other
+    /Filter (e.g. a Crypt filter) must degrade the page to None."""
+    from specialsid_spark.operators.pdf import build_text_pdf, extract_page_text
+
+    pdf = build_text_pdf(["HELLO"], compress="flate")
+    assert extract_page_text(pdf) == ["HELLO"]
+    patched = pdf.replace(b"/Filter /FlateDecode", b"/Filter /Crypt      ")
+    assert patched != pdf
+    assert rasterize_page(patched) is None
+    assert extract_page_text(patched) in (None, [None])
