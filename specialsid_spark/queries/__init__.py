@@ -73,6 +73,8 @@ _PRIORITY: tuple[str, ...] = (
     "mm_pdf_type3_text_raster",
     # new this round (r12) — no driver row yet
     "dedup_incremental_lsh",
+    "dedup_cluster_representatives",
+    "cur_epoch_shard_assignment",
     # the 50-query r6-stale cohort, registration order
     "src_csv_roundtrip",
     "src_orc_roundtrip",

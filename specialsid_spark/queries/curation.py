@@ -2105,3 +2105,69 @@ def cur_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seq")
     )
+
+
+@register(
+    "cur_epoch_shard_assignment",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || ':epoch:1') AS hx
+      FROM documents
+    ),
+    a AS (
+      SELECT doc_id,
+             ('0x' || substring(hx, 1, 8))::BIGINT % 8 AS shard,
+             ('0x' || substring(hx, 9, 8))::BIGINT AS ord_key
+      FROM h
+    ),
+    r AS (
+      SELECT shard, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY shard
+                                ORDER BY ord_key, doc_id) AS pos
+      FROM a
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(pos * doc_id) % 1000000007 AS BIGINT) AS perm_checksum
+    FROM r
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def cur_epoch_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 — deterministic EPOCH SHUFFLE + shard assignment, the last
+    hop before a training dataloader: every document is (a) assigned to
+    one of 8 shards and (b) given a pseudo-random position WITHIN its
+    shard, both derived from md5(doc_id || ':epoch:' || N) so a new
+    epoch literal reshuffles everything reproducibly with zero state.
+    The emitted ``perm_checksum`` (sum of pos*doc_id mod p) pins the
+    ENTIRE within-shard permutation, not just membership — a different
+    shuffle order is a hash-red, which is the point: training-data
+    order must be bit-reproducible across reruns and engines.
+
+    Scale shape: one hash projection + one shuffle on (shard) for the
+    rank — at 1000 executors each shard's rank is a range-partitioned
+    sort of |corpus|/8 keys; no driver state, no global sort.  Content-
+    hash (md5), never engine hash (Murmur3 differs across engines)."""
+    d = load_parallel(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch:1")))
+    a = d.select(
+        "doc_id",
+        (F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % 8).alias("shard"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("ord_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    r = a.select("shard", "doc_id", F.row_number().over(w).alias("pos"))
+    return (
+        r.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            (F.sum(F.col("pos") * F.col("doc_id")) % 1000000007)
+            .cast("long")
+            .alias("perm_checksum"),
+        )
+        .orderBy("shard")
+    )

@@ -2127,3 +2127,95 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = gate(day(1), 1)
     r2 = gate(day(2), 2)
     return r1.unionByName(r2).orderBy("doc_id")
+
+
+@register(
+    "dedup_cluster_representatives",
+    oracle=f"""
+    WITH RECURSIVE {_sql_minhash_sigs()},
+    {_sql_bands()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS doc FROM edges),
+    reach(doc, root) AS (
+      SELECT doc, doc FROM nodes
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc
+    ),
+    cl AS (
+      SELECT doc AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc
+    ),
+    q AS (
+      SELECT doc_id,
+             (1000000 * len(list_distinct(toks))) // len(toks) AS q
+      FROM t
+    ),
+    ranked AS (
+      SELECT cl.cluster_id, cl.doc_id, q.q,
+             ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                                ORDER BY q.q DESC, cl.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cl.cluster_id) AS nm
+      FROM cl JOIN q ON q.doc_id = cl.doc_id
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(doc_id AS BIGINT) AS keeper_id,
+           CAST(q AS BIGINT) AS keeper_quality,
+           CAST(nm AS BIGINT) AS n_members,
+           CAST(nm - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rn = 1
+    ORDER BY cluster_id
+    """,
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1, r12 — QUALITY-AWARE cluster representatives: real pipelines
+    keep the BEST document of each near-dup cluster, not the lowest id
+    (the crawl often finds a boilerplate-wrapped copy first).  Composes
+    dedup_cc_clusters' connected components with an integer-exact
+    lexical-diversity score (1e6 * distinct_tokens DIV tokens — the
+    text_quality_score signal made division-free-deterministic) and
+    elects per cluster the highest-quality doc, ties to the lowest id.
+
+    Scale shape: the CC labels are the bounded-diameter min-label
+    iteration (see dedup_cc_clusters); the election is one shuffle on
+    cluster_id — clusters are near-dup groups, inherently small, so
+    per-key state is tiny and skew-free.  The quality join touches only
+    clustered docs (an LSH-candidate-bounded fraction of the corpus)."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    labels = dedup_cc_clusters(spark, sf_dir)  # (doc_id, cluster_id)
+    d = load_parallel(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    q = t.select(
+        "doc_id",
+        F.expr(
+            "(1000000 * CAST(size(array_distinct(toks)) AS BIGINT))"
+            " div CAST(size(toks) AS BIGINT)"
+        ).alias("q"),
+    )
+    j = labels.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.col("q").desc(), "doc_id")
+    return (
+        j.select(
+            "cluster_id",
+            "doc_id",
+            "q",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).alias("nm"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("doc_id").cast("long").alias("keeper_id"),
+            F.col("q").cast("long").alias("keeper_quality"),
+            F.col("nm").cast("long").alias("n_members"),
+            (F.col("nm") - 1).cast("long").alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
