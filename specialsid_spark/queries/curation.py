@@ -2147,10 +2147,14 @@ def cur_epoch_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle order is a hash-red, which is the point: training-data
     order must be bit-reproducible across reruns and engines.
 
-    Scale shape: one hash projection + one shuffle on (shard) for the
-    rank — at 1000 executors each shard's rank is a range-partitioned
-    sort of |corpus|/8 keys; no driver state, no global sort.  Content-
-    hash (md5), never engine hash (Murmur3 differs across engines)."""
+    Scale shape: the within-shard rank is the repo's two-pass
+    range-partitioned rank (the text_kn_perplexity / cur_dsir pattern —
+    VERDICT r10 #3), NOT a Window.partitionBy(shard): 8 shards would
+    mean 8 reducer tasks at 100 TB.  Range-partition on (shard,
+    ord_key, doc_id), collect only the bounded per-(partition, shard)
+    counts (<= 32x8 rows), and compose pos = offset + local row_number
+    — every sort stays partition-local.  Content-hash (md5), never
+    engine hash (Murmur3 differs across engines)."""
     d = load_parallel(spark, sf_dir, "documents")
     hx = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch:1")))
     a = d.select(
@@ -2158,8 +2162,33 @@ def cur_epoch_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % 8).alias("shard"),
         F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("ord_key"),
     )
-    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
-    r = a.select("shard", "doc_id", F.row_number().over(w).alias("pos"))
+    part = (
+        a.repartitionByRange(32, "shard", "ord_key", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    # bounded collect: one row per (range-partition, shard), <= 32*8
+    subs = part.groupBy("pid", "shard").agg(F.count(F.lit(1)).alias("c")).collect()
+    running: dict = {}
+    offsets: dict = {}
+    for row in sorted(subs, key=lambda r: (r.shard, r.pid)):
+        offsets[(row.pid, row.shard)] = running.get(row.shard, 0)
+        running[row.shard] = running.get(row.shard, 0) + row.c
+    off = F.create_map(
+        *[
+            F.lit(x)
+            for (pid, sh), o in sorted(offsets.items())
+            for x in (pid * 8 + sh, o)
+        ]
+    )
+    w = Window.partitionBy("pid", "shard").orderBy("ord_key", "doc_id")
+    r = part.select(
+        "shard",
+        "doc_id",
+        (
+            off[F.col("pid") * 8 + F.col("shard")] + F.row_number().over(w)
+        ).alias("pos"),
+    )
     return (
         r.groupBy("shard")
         .agg(
