@@ -32,13 +32,21 @@ LINK_SCHEMA = T.StructType(
     ]
 )
 
-# one catalogue tile: class="pdfdownload" ... data-province, date text, href
+# one catalogue tile: class="pdfdownload" ... data-province, date text, href.
+# The gaps between the anchored parts are TEMPERED (r12): a plain .*?
+# would let a malformed tile (e.g. one missing its province span) bleed
+# across the next tile's opening div and fuse two tiles into one bogus
+# row — with the tempered gap the match fails cleanly at the next tile
+# boundary instead, so one broken tile never corrupts its neighbors.
+_TILE_GAP = r'(?:(?!<div[^>]*class="[^"]*pdfdownload)[\s\S])*?'
 _TILE_RE = re.compile(
-    r'<div[^>]*class="[^"]*pdfdownload[^"]*"[^>]*>.*?'
-    r'<span[^>]*class="[^"]*province[^"]*"[^>]*>(?P<province>[^<]*)</span>.*?'
-    r'<span[^>]*class="[^"]*dates[^"]*"[^>]*>(?P<dates>[^<]*)</span>.*?'
-    r'<a[^>]*href="(?P<href>[^"]*)"',
-    re.S | re.I,
+    r'<div[^>]*class="[^"]*pdfdownload[^"]*"[^>]*>' + _TILE_GAP
+    + r'<span[^>]*class="[^"]*province[^"]*"[^>]*>(?P<province>[^<]*)</span>'
+    + _TILE_GAP
+    + r'<span[^>]*class="[^"]*dates[^"]*"[^>]*>(?P<dates>[^<]*)</span>'
+    + _TILE_GAP
+    + r'<a[^>]*href="(?P<href>[^"]*)"',
+    re.I,
 )
 
 
@@ -85,12 +93,16 @@ def html_to_text(html: str) -> str:
 def parse_catalogue_html(html: str) -> list[tuple[str, str, str]]:
     """Pure DOM extraction: per-tile (province, date_text, href).
     Mirrors the query_selector_all walk (ref pnpscr.py:10-67)."""
+    import html as _html  # noqa: PLC0415
+
     out = []
     for m in _TILE_RE.finditer(html):
-        province = m.group("province").strip().replace(" ", "_")
-        dates = m.group("dates").strip()
+        province = _html.unescape(m.group("province")).strip().replace(" ", "_")
+        dates = _html.unescape(m.group("dates")).strip()
         dates = dates.removeprefix("Valid").strip()  # F5 prefix strip
-        href = m.group("href").strip()
+        # hrefs in captured pages carry entity-escaped query strings
+        # (&amp;) — decode to the real URL before dedup/fetch
+        href = _html.unescape(m.group("href")).strip()
         out.append((province, dates, href))
     return out
 
