@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental_lsh",
     "dedup_cluster_representatives",
     "cur_epoch_shard_assignment",
+    "cur_fim_transform",
     # the 50-query r6-stale cohort, registration order
     "src_csv_roundtrip",
     "src_orc_roundtrip",

@@ -2200,3 +2200,106 @@ def cur_epoch_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "cur_fim_transform",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks,
+             md5(CAST(doc_id AS VARCHAR) || ':fim') AS hx
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             ('0x' || substring(hx, 1, 8))::BIGINT AS u1,
+             ('0x' || substring(hx, 9, 8))::BIGINT AS u2
+      FROM t
+    ),
+    p AS (
+      SELECT doc_id, toks, n,
+             CASE WHEN n >= 3 THEN 1 + (u1 % (n - 2)) ELSE 0 END AS p1,
+             CASE WHEN n >= 3
+                  THEN (1 + (u1 % (n - 2))) + 1
+                       + (u2 % (n - (1 + (u1 % (n - 2))) - 1))
+                  ELSE 0 END AS p2
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(p1 AS BIGINT) AS p1,
+           CAST(p2 AS BIGINT) AS p2,
+           CAST(CASE WHEN n >= 3 THEN 1 ELSE 0 END AS INT) AS fim_applied,
+           md5(CASE WHEN n >= 3 THEN
+                 '<PRE>' || array_to_string(toks[1:p1], ' ')
+                 || '<SUF>' || array_to_string(toks[p2+1:n], ' ')
+                 || '<MID>' || array_to_string(toks[p1+1:p2], ' ')
+               ELSE array_to_string(toks, ' ') END) AS fim_md5
+    FROM p
+    ORDER BY doc_id
+    """,
+)
+def cur_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 — FILL-IN-MIDDLE transformation (Bavarian et al. 2022, the
+    OpenAI FIM paper; standard for code-corpus pre-training): each
+    document is split at two deterministic pseudo-random token points
+    into (prefix, middle, suffix) and re-serialized as
+    <PRE>prefix<SUF>suffix<MID>middle, teaching the model to infill.
+    Split points derive from md5(doc_id || ':fim') so the transform is
+    reproducible across engines and epochs; docs under 3 tokens pass
+    through unchanged (fim_applied = 0).  The emitted fim_md5 pins the
+    ENTIRE transformed byte sequence, so the oracle value-checks the
+    reassembly itself, not just the split arithmetic.
+
+    Scale shape: a pure per-row projection — no shuffle except the
+    final presentation sort; at 100 TB this runs at scan speed.
+    Content-hash split points, never engine hashes or RNG."""
+    d = load_parallel(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":fim")))
+    t = d.select(
+        "doc_id",
+        tokens("text").alias("toks"),
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("u1"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("u2"),
+    ).withColumn("n", F.size("toks").cast("long"))
+    p1 = F.when(F.col("n") >= 3, F.lit(1) + F.col("u1") % (F.col("n") - 2)).otherwise(
+        F.lit(0)
+    )
+    t = t.withColumn("p1", p1)
+    p2 = F.when(
+        F.col("n") >= 3,
+        F.col("p1") + 1 + F.col("u2") % (F.col("n") - F.col("p1") - 1),
+    ).otherwise(F.lit(0))
+    t = t.withColumn("p2", p2)
+    fim = F.concat(
+        F.lit("<PRE>"),
+        F.array_join(F.slice("toks", F.lit(1), F.col("p1").cast("int")), " "),
+        F.lit("<SUF>"),
+        F.array_join(
+            F.slice(
+                "toks",
+                (F.col("p2") + 1).cast("int"),
+                (F.col("n") - F.col("p2")).cast("int"),
+            ),
+            " ",
+        ),
+        F.lit("<MID>"),
+        F.array_join(
+            F.slice(
+                "toks",
+                (F.col("p1") + 1).cast("int"),
+                (F.col("p2") - F.col("p1")).cast("int"),
+            ),
+            " ",
+        ),
+    )
+    return t.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.col("p1").cast("long").alias("p1"),
+        F.col("p2").cast("long").alias("p2"),
+        (F.col("n") >= 3).cast("int").alias("fim_applied"),
+        F.md5(
+            F.when(F.col("n") >= 3, fim).otherwise(F.array_join("toks", " "))
+        ).alias("fim_md5"),
+    ).orderBy("doc_id")
