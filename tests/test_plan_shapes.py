@@ -549,3 +549,49 @@ def test_dsir_rank_has_no_single_partition_exchange(spark, qs):
     p = plan_of(spark, qs["cur_dsir_importance_sample"](spark, SF_DIR))
     assert "SinglePartition" not in p
     assert "Window" in p
+
+
+def test_epoch_shard_rank_has_no_single_partition_exchange(spark, qs):
+    """r12: the within-shard epoch-shuffle rank is the two-pass
+    range-partitioned rank — a Window.partitionBy(shard) would mean 8
+    reducer tasks at any corpus size.  No SinglePartition Exchange; the
+    rank window is partitioned by (pid, shard)."""
+    p = plan_of(spark, qs["cur_epoch_shard_assignment"](spark, SF_DIR))
+    assert "SinglePartition" not in p
+
+
+def test_fim_transform_is_pure_projection_until_sort(spark, qs):
+    """r12: FIM is a per-row rewrite — the only exchange in the plan is
+    the presentation sort's range partitioning; no hash shuffle, no
+    join, no window."""
+    p = plan_of(spark, qs["cur_fim_transform"](spark, SF_DIR))
+    assert "SinglePartition" not in p
+    assert p.count("- Exchange") == 1  # the ORDER BY doc_id range exchange
+    assert "Join" not in p and "Window" not in p
+
+
+def test_incremental_lsh_probe_is_semi_join_on_band_keys(spark, qs):
+    """r12: each daily gate probes the persisted index with a LEFT SEMI
+    join on (band, bkey) — the batch side shuffles only its band keys;
+    the corpus text is never rejoined.  The registered query
+    materializes each day eagerly (localCheckpoint between generations),
+    so the final plan shows only checkpointed scans; the probe KERNEL —
+    the same expression the query and hop4 build — is pinned here, and
+    the full query's plan is asserted SinglePartition-free."""
+    from pyspark.sql import functions as F
+
+    from specialsid_spark.catalog import load_parallel
+    from specialsid_spark.queries.dedup import lsh_band_keys
+
+    d = load_parallel(spark, SF_DIR, "documents").select("doc_id", "text")
+    bb = lsh_band_keys(d.filter(F.col("doc_id") % 3 == 1))
+    idx = lsh_band_keys(d.filter(F.col("doc_id") % 3 == 0)).select(
+        "band", "bkey"
+    )
+    probe = bb.join(idx, ["band", "bkey"], "left_semi").select("doc_id")
+    pk = plan_of(spark, probe)
+    assert "LeftSemi" in pk
+    # the probe's only exchanges key on the band columns, never the text
+    assert "SinglePartition" not in pk
+    p = plan_of(spark, qs["dedup_incremental_lsh"](spark, SF_DIR))
+    assert "SinglePartition" not in p
