@@ -222,3 +222,106 @@ def test_type1_eexec_cipher_matches_independent_restatement():
     assert m is not None
     cs = private[m.end() : m.end() + int(m.group(1))]
     assert spec_decrypt(cs, 4330, 4) == charstring_decrypt(cs, 4)
+
+
+# -------------------------------------------- CFF Type 2 charstrings
+
+
+def test_cff_type2_charstring_hand_encoded_rectangle():
+    """Type 2 Charstring Format spec, hand-encoded byte-for-byte:
+    operand encodings 32..246 -> b0-139, and the operator codes
+    rmoveto=21, hlineto=6, vlineto=7, endchar=14.  Program:
+    25 0 rmoveto 100 hlineto 50 vlineto -100 hlineto endchar — a
+    rectangle whose implicit endchar-close returns to (25, 0)."""
+    from specialsid_spark.operators.cff import _run_charstring
+
+    cs = bytes(
+        [
+            25 + 139, 0 + 139, 21,   # 25 0 rmoveto
+            100 + 139, 6,            # 100 hlineto
+            50 + 139, 7,             # 50 vlineto
+            139 - 100, 6,            # -100 hlineto
+            14,                      # endchar
+        ]
+    )
+    contours, width = _run_charstring(cs, [], [], 640.0, 600.0)
+    assert width == 640.0  # no leading width operand -> defaultWidthX
+    assert len(contours) == 1
+    pts = [seg[1] for seg in contours[0]] + [contours[0][-1][-1]]
+    assert pts == [
+        (25.0, 0.0), (125.0, 0.0), (125.0, 50.0), (25.0, 50.0), (25.0, 0.0)
+    ]
+
+
+def test_cff_type2_operand_encodings_hand_authored():
+    """All four multi-byte operand forms from the spec, as leading
+    rmoveto operands: 247..250 two-byte positive ((b0-247)*256+b1+108),
+    251..254 two-byte negative, 28 = int16, 255 = 16.16 fixed."""
+    from specialsid_spark.operators.cff import _run_charstring
+
+    # 300 0 rmoveto: 300 = (247-247)*256 + 192 + 108
+    cs = bytes([247, 192, 139, 21, 14])
+    c, _ = _run_charstring(cs, [], [], 0.0, 0.0)
+    # a bare moveto paints nothing, but the pen position is observable
+    # through a following lineto
+    cs = bytes([247, 192, 139, 21, 139 + 10, 139, 5, 14])  # +10 0 rlineto
+    c, _ = _run_charstring(cs, [], [], 0.0, 0.0)
+    assert c[0][0][1] == (300.0, 0.0)
+    # -300 0 rmoveto via 251-form: -300 = -(251-251)*256 - 192 - 108
+    cs = bytes([251, 192, 139, 21, 139 + 10, 139, 5, 14])
+    c, _ = _run_charstring(cs, [], [], 0.0, 0.0)
+    assert c[0][0][1] == (-300.0, 0.0)
+    # 1000 via 28 int16 (0x03E8)
+    cs = bytes([28, 0x03, 0xE8, 139, 21, 139 + 10, 139, 5, 14])
+    c, _ = _run_charstring(cs, [], [], 0.0, 0.0)
+    assert c[0][0][1] == (1000.0, 0.0)
+    # 2.5 via 255 16.16 fixed (0x00028000)
+    cs = bytes([255, 0x00, 0x02, 0x80, 0x00, 139, 21, 139 + 10, 139, 5, 14])
+    c, _ = _run_charstring(cs, [], [], 0.0, 0.0)
+    assert c[0][0][1] == (2.5, 0.0)
+
+
+# ------------------------------------------------- TrueType glyf
+
+
+def test_truetype_simple_glyph_hand_encoded():
+    """OpenType glyf spec, hand-encoded: one contour, five on-curve
+    points, exercising the REPEAT flag, short positive/negative deltas,
+    and the SAME (zero-delta) flag bits.
+    points: (0,0) (10,0) (20,0) (20,10) (0,10)
+    flags:  49    51     51(via REPEAT)  53    35"""
+    import struct
+
+    from specialsid_spark.operators.truetype import _parse_simple_glyph
+
+    g = (
+        struct.pack(">hhhhh", 1, 0, 0, 20, 10)  # ncont + bbox header
+        + struct.pack(">H", 4)                  # endPtsOfContours[0]
+        + struct.pack(">H", 0)                  # instructionLength
+        + bytes([49, 51 | 8, 1, 53, 35])        # flags, 51 repeated once
+        + bytes([10, 10, 20])                   # x deltas (short)
+        + bytes([10])                           # y deltas (short)
+    )
+    assert _parse_simple_glyph(g, 1) == [
+        [(0, 0, True), (10, 0, True), (20, 0, True), (20, 10, True),
+         (0, 10, True)]
+    ]
+
+
+def test_truetype_long_deltas_hand_encoded():
+    """A point whose x-delta needs the 16-bit form (flag has neither
+    X_SHORT nor X_SAME_OR_POS): x += 300 encoded as int16."""
+    import struct
+
+    from specialsid_spark.operators.truetype import _parse_simple_glyph
+
+    # two points: (0,0) then (300, -300)
+    g = (
+        struct.pack(">hhhhh", 1, 0, -300, 300, 0)
+        + struct.pack(">H", 1)
+        + struct.pack(">H", 0)
+        + bytes([49, 1])                 # p1: long x, long y, on-curve
+        + struct.pack(">h", 300)         # x delta int16
+        + struct.pack(">h", -300)        # y delta int16
+    )
+    assert _parse_simple_glyph(g, 1) == [[(0, 0, True), (300, -300, True)]]
