@@ -444,7 +444,18 @@ def _decode_image_xobject(head: bytes, data: bytes | None):
     if wm is None or hm is None:
         raise _Degrade("image missing dimensions")
     w, h = int(wm.group(1)), int(hm.group(1))
-    if b"/CCITTFaxDecode" in head:
+
+    def _single_filter(name: bytes) -> bool:
+        # strict single-filter match (r12 review): a chained /Filter
+        # array like [/ASCII85Decode /FlateDecode] must fall through to
+        # the unsupported-filter degrade, never feed transport bytes to
+        # (or leave a later stage's bytes in) a codec
+        return bool(
+            re.search(rb"/Filter\s*/" + name + rb"\b", head)
+            or re.search(rb"/Filter\s*\[\s*/" + name + rb"\s*\]", head)
+        )
+
+    if _single_filter(b"CCITTFaxDecode"):
         from specialsid_spark.operators.ccitt import (  # noqa: PLC0415
             g3_1d_decode,
             g3_mixed_decode,
@@ -480,25 +491,22 @@ def _decode_image_xobject(head: bytes, data: bytes | None):
         raise _Degrade("only 1/4/8-bit images supported")
     if bpc != 8 and (b"/DCTDecode" in head or b"/DeviceRGB" in head):
         raise _Degrade("sub-8-bit only for gray raw/Flate/LZW images")
-    if b"/DCTDecode" in head:
+    if _single_filter(b"DCTDecode"):
         from specialsid_spark.operators.jpeg import decode_jpeg  # noqa: PLC0415
 
         dec = decode_jpeg(bytes(data))
         if dec is None:
             raise _Degrade("JPEG XObject decode failed")
         return dec
-    if b"/FlateDecode" in head:
+    if _single_filter(b"FlateDecode"):
         try:
             data = zlib.decompress(data)
         except zlib.error as exc:
             raise _Degrade("Flate XObject decode failed") from exc
         data = _unpredict_image(head, bytes(data), w, h)
-    elif re.search(rb"/Filter\s*/LZWDecode\b", head) or re.search(
-        rb"/Filter\s*\[\s*/LZWDecode\s*\]", head
-    ):
-        # ADVICE r11: strict single-filter match (same shape as the
-        # Flate branch in _stream_decoded) — a chained /Filter array
-        # like [/ASCII85Decode /LZWDecode] must fall through to the
+    elif _single_filter(b"LZWDecode"):
+        # ADVICE r11: a chained /Filter array like
+        # [/ASCII85Decode /LZWDecode] must fall through to the
         # unsupported-filter degrade, not feed raw transport bytes to
         # the LZW codec.
         from specialsid_spark.operators.pdf import (  # noqa: PLC0415

@@ -2129,8 +2129,9 @@ def cur_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT shard,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
-           CAST(SUM(pos * doc_id) % 1000000007 AS BIGINT) AS perm_checksum
+           CAST(SUM(doc_id % 1000000007) % 1000000007 AS BIGINT) AS id_sum,
+           CAST(SUM((pos * doc_id) % 1000000007) % 1000000007 AS BIGINT)
+             AS perm_checksum
     FROM r
     GROUP BY shard
     ORDER BY shard
@@ -2193,8 +2194,13 @@ def cur_epoch_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("doc_id").cast("long").alias("id_sum"),
-            (F.sum(F.col("pos") * F.col("doc_id")) % 1000000007)
+            (F.sum(F.col("doc_id") % 1000000007) % 1000000007)
+            .cast("long")
+            .alias("id_sum"),
+            # mod PER ROW before summing (r12 review): a mod-after-sum
+            # would wrap Spark's non-ANSI LONG running sum at ~10M docs
+            # while DuckDB sums in exact HUGEINT — the CUSUM bug class
+            (F.sum((F.col("pos") * F.col("doc_id")) % 1000000007) % 1000000007)
             .cast("long")
             .alias("perm_checksum"),
         )

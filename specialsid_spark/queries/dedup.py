@@ -481,6 +481,14 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a recursive CTE, so the iterative Spark formulation is value-checked
     against a declarative twin.
     """
+    return _cc_labels(spark, sf_dir).orderBy("doc_id")
+
+
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered (doc_id, cluster_id) labels — the propagation body of
+    dedup_cc_clusters, factored (r12 review) so consumers that shuffle
+    the labels again (dedup_cluster_representatives' election join)
+    don't pay the registered query's presentation-sort exchange."""
     pairs = dedup_minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
     # localCheckpoint (not persist) everywhere in the loop: each round's
     # plan would otherwise embed every prior round's join — lineage (and
@@ -523,10 +531,8 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return (
-        labels.select("doc", F.col("cluster_id").cast("long"))
-        .withColumnRenamed("doc", "doc_id")
-        .orderBy("doc_id")
+    return labels.select(
+        F.col("doc").alias("doc_id"), F.col("cluster_id").cast("long")
     )
 
 
@@ -2076,16 +2082,43 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     def day(n: int) -> DataFrame:
         return d.filter(F.col("doc_id") % 3 == n)
 
+    # table layout shared with the streaming gate (r12 review: the
+    # "shareable with hop4_incremental_lsh_gate" claim requires ONE
+    # schema): (kind, band, bkey, doc_id) — kind='band' index rows,
+    # kind='doc' admitted-survivor rows
+    def _band_rows(bands: DataFrame, admitted: DataFrame | None) -> DataFrame:
+        rows = bands.select(
+            F.lit("band").alias("kind"),
+            "band",
+            "bkey",
+            F.lit(None).cast("long").alias("doc_id"),
+        ).distinct()
+        if admitted is not None:
+            rows = rows.unionByName(
+                admitted.select(
+                    F.lit("doc").alias("kind"),
+                    F.lit(None).cast("int").alias("band"),
+                    F.lit(None).cast("string").alias("bkey"),
+                    "doc_id",
+                )
+            )
+        return rows
+
     # day 0: bootstrap — commit the corpus band index (version 1)
     snapshot_commit(
-        lsh_band_keys(day(0)).select("band", "bkey").distinct().coalesce(1), t
+        _band_rows(lsh_band_keys(day(0)).select("band", "bkey"), None).coalesce(1),
+        t,
     )
 
     def gate(batch: DataFrame, day_no: int) -> DataFrame:
         """Probe the CURRENT persisted index, intra-dedup the batch,
         append admitted docs' bands as a new snapshot version."""
         bb = lsh_band_keys(batch).localCheckpoint(eager=True)
-        idx = snapshot_read(spark, t)
+        idx = (
+            snapshot_read(spark, t)
+            .filter(F.col("kind") == "band")
+            .select("band", "bkey")
+        )
         hitc = (
             bb.join(idx, ["band", "bkey"], "left_semi")
             .select("doc_id").distinct().withColumn("hit_corpus", F.lit(1))
@@ -2115,13 +2148,11 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        admitted_bands = (
-            bb.join(
-                res.filter(F.col("admitted") == 1).select("doc_id"), "doc_id"
-            )
-            .select("band", "bkey").distinct()
+        admitted = res.filter(F.col("admitted") == 1).select("doc_id")
+        admitted_bands = bb.join(admitted, "doc_id").select("band", "bkey")
+        snapshot_commit(
+            _band_rows(admitted_bands, admitted).coalesce(1), t, mode="append"
         )
-        snapshot_commit(admitted_bands.coalesce(1), t, mode="append")
         return res
 
     r1 = gate(day(1), 1)
@@ -2189,7 +2220,7 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     clustered docs (an LSH-candidate-bounded fraction of the corpus)."""
     from pyspark.sql.window import Window  # noqa: PLC0415
 
-    labels = dedup_cc_clusters(spark, sf_dir)  # (doc_id, cluster_id)
+    labels = _cc_labels(spark, sf_dir)  # (doc_id, cluster_id), unordered
     d = load_parallel(spark, sf_dir, "documents")
     t = d.select("doc_id", tokens("text").alias("toks"))
     q = t.select(

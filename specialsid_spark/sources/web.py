@@ -32,22 +32,35 @@ LINK_SCHEMA = T.StructType(
     ]
 )
 
-# one catalogue tile: class="pdfdownload" ... data-province, date text, href.
-# The gaps between the anchored parts are TEMPERED (r12): a plain .*?
-# would let a malformed tile (e.g. one missing its province span) bleed
-# across the next tile's opening div and fuse two tiles into one bogus
-# row — with the tempered gap the match fails cleanly at the next tile
-# boundary instead, so one broken tile never corrupts its neighbors.
-_TILE_GAP = r'(?:(?!<div[^>]*class="[^"]*pdfdownload)[\s\S])*?'
-_TILE_RE = re.compile(
-    r'<div[^>]*class="[^"]*pdfdownload[^"]*"[^>]*>' + _TILE_GAP
-    + r'<span[^>]*class="[^"]*province[^"]*"[^>]*>(?P<province>[^<]*)</span>'
-    + _TILE_GAP
-    + r'<span[^>]*class="[^"]*dates[^"]*"[^>]*>(?P<dates>[^<]*)</span>'
-    + _TILE_GAP
-    + r'<a[^>]*href="(?P<href>[^"]*)"',
-    re.I,
+# one catalogue tile: class="pdfdownload" ... data-province, date text,
+# href.  Parsing is SPLIT-THEN-MATCH (r12): the page is sliced at tile
+# openings and each part is matched WITHIN its slice — a malformed tile
+# (missing its province span or its anchor) dies alone instead of
+# bleeding into the next tile's spans or into trailing non-tile markup
+# (a plain cross-document .*? fused such tiles into bogus rows).
+_TILE_OPEN_RE = re.compile(r'<div[^>]*class="[^"]*pdfdownload[^"]*"[^>]*>', re.I)
+_PROVINCE_RE = re.compile(
+    r'<span[^>]*class="[^"]*province[^"]*"[^>]*>(?P<province>[^<]*)</span>', re.I
 )
+_DATES_RE = re.compile(
+    r'<span[^>]*class="[^"]*dates[^"]*"[^>]*>(?P<dates>[^<]*)</span>', re.I
+)
+_HREF_RE = re.compile(r'<a[^>]*href="(?P<href>[^"]*)"', re.I)
+_DIV_TOK_RE = re.compile(r"</?div\b", re.I)
+
+
+def _tile_bodies(html: str):
+    """Yield each pdfdownload tile's inner HTML, bounded by its OWN
+    matching </div> (div-depth walk) — so a tile missing one of its
+    parts can never capture an anchor from the markup after it."""
+    for m in _TILE_OPEN_RE.finditer(html):
+        depth, end = 1, len(html)
+        for t in _DIV_TOK_RE.finditer(html, m.end()):
+            depth += 1 if t.group(0)[1] != "/" else -1
+            if depth == 0:
+                end = t.start()
+                break
+        yield html[m.end() : end]
 
 
 def html_to_text(html: str) -> str:
@@ -96,13 +109,22 @@ def parse_catalogue_html(html: str) -> list[tuple[str, str, str]]:
     import html as _html  # noqa: PLC0415
 
     out = []
-    for m in _TILE_RE.finditer(html):
-        province = _html.unescape(m.group("province")).strip().replace(" ", "_")
-        dates = _html.unescape(m.group("dates")).strip()
+    for body in _tile_bodies(html):
+        pm = _PROVINCE_RE.search(body)
+        dm = _DATES_RE.search(body)
+        am = _HREF_RE.search(body)
+        # all three parts present, in document order — else the tile is
+        # malformed and dies alone (never fuses with its neighbors)
+        if pm is None or dm is None or am is None:
+            continue
+        if not (pm.start() < dm.start() < am.start()):
+            continue
+        province = _html.unescape(pm.group("province")).strip().replace(" ", "_")
+        dates = _html.unescape(dm.group("dates")).strip()
         dates = dates.removeprefix("Valid").strip()  # F5 prefix strip
         # hrefs in captured pages carry entity-escaped query strings
         # (&amp;) — decode to the real URL before dedup/fetch
-        href = _html.unescape(m.group("href")).strip()
+        href = _html.unescape(am.group("href")).strip()
         out.append((province, dates, href))
     return out
 

@@ -191,3 +191,20 @@ def test_catalogue_links_dedup_href_across_provinces(spark):
     df = catalogue_links_df(spark, _SNAPSHOT_HTML)
     assert df.count() == 2
     assert df.select("href").distinct().count() == 1
+
+
+def test_last_tile_missing_anchor_dies_alone():
+    # r12 review: a final tile with province+dates but NO anchor must
+    # not capture an unrelated link from the markup after it
+    html = (
+        '<div class="pdfdownload"><span class="province">Gauteng</span>'
+        '<span class="dates">1 March 2026</span>'
+        '<a href="/files/ok.pdf">dl</a></div>'
+        '<div class="pdfdownload"><div class="inner">'
+        '<span class="province">Natal</span>'
+        '<span class="dates">2 March 2026</span></div></div>'
+        '<p><a href="/help.pdf">help</a></p>'
+    )
+    assert parse_catalogue_html(html) == [
+        ("Gauteng", "1 March 2026", "/files/ok.pdf")
+    ]
