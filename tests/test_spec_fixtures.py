@@ -325,3 +325,65 @@ def test_truetype_long_deltas_hand_encoded():
         + struct.pack(">h", -300)        # y delta int16
     )
     assert _parse_simple_glyph(g, 1) == [[(0, 0, True), (300, -300, True)]]
+
+
+# ------------------------------------------------------ baseline JPEG
+
+
+def _jpeg_minimal(dc_bits: str, quant0: int) -> bytes:
+    """Hand-assemble a minimal 8x8 single-component baseline JPEG from
+    ITU-T T.81: SOI, DQT (one table, zigzag order), SOF0, two DHT
+    segments DEFINING tiny Huffman tables in the file itself (DC:
+    category 0 -> '0', category 1 -> '10'; AC: EOB(0x00) -> '0'),
+    SOS, entropy bits, EOI.  The entropy stream is passed in as a bit
+    string and padded with 1-bits per the spec."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")                      # SOI
+    qt = bytes([quant0]) + bytes([16] * 63)           # zigzag: [0]=DC
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + qt
+    out += (
+        b"\xff\xc0" + struct.pack(">H", 11)           # SOF0
+        + b"\x08" + struct.pack(">HH", 8, 8)          # 8-bit, 8x8
+        + b"\x01" + b"\x01\x11\x00"                   # 1 comp, 1x1, qt0
+    )
+    # DHT DC table 0: codes of length 1 and 2 -> values [0, 1]
+    bits = bytes([1, 1] + [0] * 14)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 2) + b"\x00" + bits + bytes([0, 1])
+    # DHT AC table 0: one 1-bit code -> value 0x00 (EOB)
+    bits = bytes([1] + [0] * 15)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 1) + b"\x10" + bits + bytes([0x00])
+    out += (
+        b"\xff\xda" + struct.pack(">H", 8)            # SOS
+        + b"\x01" + b"\x01\x00" + b"\x00\x3f\x00"
+    )
+    s = dc_bits + "0"                                 # DC code(s) + EOB
+    s += "1" * (-len(s) % 8)                          # pad with 1s (F.1.2.3)
+    out += bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+    out += b"\xff\xd9"                                # EOI
+    return bytes(out)
+
+
+def test_jpeg_hand_assembled_flat_block_decodes():
+    """DC diff category 0 ('0') + EOB: every coefficient is zero, so
+    the IDCT block is flat at the +128 level shift."""
+    from specialsid_spark.operators.jpeg import decode_jpeg
+
+    r = decode_jpeg(_jpeg_minimal(dc_bits="0", quant0=16))
+    assert r is not None
+    w, h, ch, px = r
+    assert (w, h, ch) == (8, 8, 1)
+    assert set(px) == {128}
+
+
+def test_jpeg_hand_assembled_dc_only_block_decodes():
+    """DC diff category 1, additional bit 1 -> diff = +1; dequantized
+    by quant[0]=16 the DC coefficient is 16, and a DC-only IDCT block
+    is flat at 16/8 = 2 above the level shift: every sample 130."""
+    from specialsid_spark.operators.jpeg import decode_jpeg
+
+    r = decode_jpeg(_jpeg_minimal(dc_bits="10" + "1", quant0=16))
+    assert r is not None
+    w, h, ch, px = r
+    assert (w, h, ch) == (8, 8, 1)
+    assert set(px) == {130}
