@@ -76,6 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_cluster_representatives",
     "cur_epoch_shard_assignment",
     "cur_fim_transform",
+    "sim_ivf_incremental_add",
     # the 50-query r6-stale cohort, registration order
     "src_csv_roundtrip",
     "src_orc_roundtrip",

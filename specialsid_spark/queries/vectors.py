@@ -196,9 +196,16 @@ _KMEANS_ITERS = 3
 _KMEANS_DIM = 64
 
 
-def _kmeans_cte_parts() -> list[str]:
+def _kmeans_cte_parts(train_where: str = "") -> list[str]:
     """Shared unrolled-Lloyd CTE chain (through the final assignment
     `afin`) used by the quantizer AND the semantic-dedup oracles.
+
+    ``train_where`` (r12): optional SQL predicate restricting the rows
+    the quantizer TRAINS on (seeding + Lloyd iterations); the final
+    ``afin`` assignment always covers the full ``mu`` — the
+    incremental-add shape, where new vectors are assigned against a
+    quantizer trained before they arrived.  Empty string produces the
+    byte-identical text the r6-r11 oracles shipped with.
 
     Viable because operators/kmeans.py is EXACT integer arithmetic:
     micro-unit snap, int64 distances, floor-division centroid updates —
@@ -210,25 +217,33 @@ def _kmeans_cte_parts() -> list[str]:
         f"list_sum(list_transform(range(1, {_KMEANS_DIM + 1}),"
         " i -> (m.mu[i] - c.mu[i]) * (m.mu[i] - c.mu[i])))"
     )
+    src = "mu"
     parts = [
         f"""mu AS MATERIALIZED (
       SELECT vec_id,
              list_transform(embedding,
                             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mu
       FROM embeddings
-    ),
-    c0 AS MATERIALIZED (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, mu
-      FROM (SELECT vec_id, mu FROM mu ORDER BY vec_id LIMIT {_KMEANS_K})
     )"""
     ]
+    if train_where:
+        src = "mutr"
+        parts.append(
+            f"mutr AS MATERIALIZED (SELECT * FROM mu WHERE {train_where})"
+        )
+    parts.append(
+        f"""c0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, mu
+      FROM (SELECT vec_id, mu FROM {src} ORDER BY vec_id LIMIT {_KMEANS_K})
+    )"""
+    )
     for t in range(_KMEANS_ITERS):
         parts.append(
             f"""a{t} AS MATERIALIZED (
       SELECT vec_id, mu, cid, d FROM (
         SELECT m.vec_id, m.mu, c.cid, {d2} AS d,
                row_number() OVER (PARTITION BY m.vec_id ORDER BY {d2}, c.cid) AS rn
-        FROM mu m, c{t} c
+        FROM {src} m, c{t} c
       ) WHERE rn = 1
     ),
     s{t} AS MATERIALIZED (
@@ -714,3 +729,163 @@ def sim_ivf_from_table_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu_df = e.select("vec_id", _mu_vec(F.col("embedding")).alias("mu"))
     assigned = assign_clusters(mu_df, centroids)
     return _ivf_search(assigned, centroids)
+
+
+def _ivf_incremental_oracle() -> str:
+    """Incremental-add twin of _ivf_trained_oracle: the quantizer
+    trains on the BASE corpus only (vec_id % 4 <> 0), `afin` assigns
+    everything against those centroids (base at build time, the new
+    batch at add time — identical arithmetic), and the NEW vectors are
+    the queries probing the combined postings."""
+    d2 = (
+        f"list_sum(list_transform(range(1, {_KMEANS_DIM + 1}),"
+        " i -> (m.mu[i] - c.mu[i]) * (m.mu[i] - c.mu[i])))"
+    )
+    parts = _kmeans_cte_parts(train_where="vec_id % 4 <> 0")
+    parts.append(
+        f"""qprobe AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT m.vec_id, c.cid,
+               row_number() OVER (PARTITION BY m.vec_id ORDER BY {d2}, c.cid) AS rn
+        FROM mu m, c{_KMEANS_ITERS} c
+        WHERE m.vec_id % 4 = 0 AND m.vec_id < {4 * _IVF_NQUERY}
+      ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, {_KMEANS_DIM + 1}),
+                                          i -> qm.mu[i] * nm.mu[i])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(qm.mu, x -> x * x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(nm.mu, x -> x * x)) AS DOUBLE)))
+               AS cs
+      FROM qprobe q
+      JOIN afin a ON a.cid = q.cid AND a.vec_id <> q.vec_id
+      JOIN mu qm ON qm.vec_id = q.vec_id
+      JOIN mu nm ON nm.vec_id = a.vec_id
+    )"""
+    )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk,
+           round(cs, 6) AS cos_sim,
+           CAST(CASE WHEN neighbor_id % 4 = 0 THEN 1 ELSE 0 END AS INT)
+             AS neighbor_is_new
+    FROM (SELECT query_id, neighbor_id, cs,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cs DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= {_IVF_TOPK}
+    ORDER BY query_id, rk"""
+    )
+
+
+@register("sim_ivf_incremental_add", oracle=_ivf_incremental_oracle())
+def sim_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2, r12 — INCREMENTAL ANN index maintenance, the similarity twin
+    of dedup_incremental_lsh's daily-drop story: the coarse quantizer
+    trains ONCE on the base corpus (vec_id % 4 <> 0) and is persisted
+    with the base postings (vec_id, cid) as a snapshot table; a NEW
+    batch (vec_id % 4 = 0) is then assigned against the FROZEN
+    centroids — no retraining, no touching base vectors — and appended
+    as a second snapshot version.  The new vectors immediately query
+    the combined postings; each answer row carries neighbor_is_new so
+    the oracle value-checks that search really spans both generations.
+
+    Scale shape: the add is one map-side assignment pass (centroids are
+    plan literals) + an append-only commit of (vec_id, cid) pairs; the
+    search is the usual nprobe cell-keyed candidate join.  At 100 TB a
+    daily embedding drop indexes in one pass over the drop — never the
+    corpus — and any index version is time-travelable."""
+    from pathlib import Path
+
+    from specialsid_spark.operators.kmeans import (
+        _dist2_sql,
+        _mu_vec,
+        assign_clusters,
+        kmeans_fit,
+    )
+    from specialsid_spark.operators.snapshot import snapshot_commit, snapshot_read
+    from specialsid_spark.session import session_workdir
+
+    e = load_parallel(spark, sf_dir, "embeddings")
+    mu_df = e.select("vec_id", _mu_vec(F.col("embedding")).alias("mu"))
+    base = mu_df.filter(F.col("vec_id") % 4 != 0)
+    batch = mu_df.filter(F.col("vec_id") % 4 == 0)
+
+    centroids, _ = kmeans_fit(
+        e.filter(F.col("vec_id") % 4 != 0), k=_KMEANS_K, iterations=_KMEANS_ITERS
+    )
+    t = str(Path(session_workdir("specialsid_ivfinc_")) / "postings")
+    # build: base postings (ids + cells only — the index never stores
+    # vectors), then the incremental add as an append-only version
+    snapshot_commit(
+        assign_clusters(base, centroids).select("vec_id", "cid").coalesce(1), t
+    )
+    snapshot_commit(
+        assign_clusters(batch, centroids).select("vec_id", "cid").coalesce(1),
+        t,
+        mode="append",
+    )
+    postings = snapshot_read(spark, t)
+
+    # query-side probe: new vectors rank cells by the same exact L2
+    k = len(centroids)
+    d_exprs = [f"{_dist2_sql('mu', c)} AS d{i}" for i, c in enumerate(centroids)]
+    qd = batch.filter(F.col("vec_id") < 4 * _IVF_NQUERY).selectExpr(
+        "vec_id", "mu", *d_exprs
+    )
+    pairs = qd.select(
+        "vec_id",
+        "mu",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(i) for i in range(k)]),
+                F.array(*[F.col(f"d{i}") for i in range(k)]),
+            )
+        ).alias("z"),
+    ).select("vec_id", "mu", F.col("z.0").alias("cid"), F.col("z.1").alias("d"))
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    qprobe = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("mu").alias("qmu"), "cid")
+    )
+    nbr = postings.join(mu_df, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("mu").alias("nmu"), "cid"
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qmu"), F.col("nmu"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    n2 = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    scored = (
+        F.broadcast(qprobe)
+        .join(nbr, (nbr.cid == qprobe.cid) & (F.col("neighbor_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot.cast("double")
+                / (
+                    F.sqrt(n2(F.col("qmu")).cast("double"))
+                    * F.sqrt(n2(F.col("nmu")).cast("double"))
+                )
+            ).alias("cs"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rk") <= _IVF_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rk",
+            F.round("cs", 6).alias("cos_sim"),
+            (F.col("neighbor_id") % 4 == 0).cast("int").alias("neighbor_is_new"),
+        )
+        .orderBy("query_id", "rk")
+    )
