@@ -179,10 +179,13 @@ HEADLINE = [
     "sim_hard_negative_mining",
     # sample packing: the last hop before a packed-batch dataloader
     "cur_sequence_packing",
-    # round-12 addition: the persisted-index daily-drop LSH gate (three
-    # snapshot-table generations built and probed per run — the cost IS
-    # the gate, not fixture IO)
+    # round-12 additions: the persisted-index daily-drop pair — the LSH
+    # near-dup gate (three snapshot generations built and probed per
+    # run) and its ANN twin (base-trained quantizer + postings build +
+    # incremental batch add + combined search).  The cost IS the daily
+    # cycle, not fixture IO.
     "dedup_incremental_lsh",
+    "sim_ivf_incremental_add",
 ]
 
 
