@@ -1499,3 +1499,51 @@ def hop4_incremental_lsh_gate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_ann_postings_ingest(
+    spark: SparkSession,
+    vectors_dir: str,
+    quantizer_table: str,
+    postings_table: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """X2 ∘ T1 (r12): the streaming twin of sim_ivf_incremental_add's
+    add step — new embedding drops stream in as JSON, each micro-batch
+    is assigned against the FROZEN persisted quantizer (centroids load
+    from the snapshot table; a bounded k-row collect) in one map-side
+    pass, and the (vec_id, cid) postings append as ONE tagged snapshot
+    commit, so crash-replayed micro-batches short-circuit on the
+    idempotency tag.  The index never stores vectors and never touches
+    prior generations; any postings version stays time-travelable.
+
+    At 100 TB: a daily embedding drop indexes in one pass over the
+    drop — the quantizer is k plan literals, the commit is
+    append-only."""
+    from specialsid_spark.operators.kmeans import _mu_vec, assign_clusters
+    from specialsid_spark.operators.snapshot import (
+        snapshot_commit,
+        snapshot_version_by_tag,
+    )
+    from specialsid_spark.queries.vectors import ivf_centroids_from_table
+
+    vecs = spark.readStream.schema("vec_id long, embedding array<double>").json(
+        vectors_dir
+    )
+
+    def add_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        tag = f"ann-add-{batch_id}"
+        if snapshot_version_by_tag(postings_table, tag) is not None:
+            return  # replayed micro-batch
+        centroids = ivf_centroids_from_table(sess, quantizer_table)
+        mu = batch_df.select("vec_id", _mu_vec(F.col("embedding")).alias("mu"))
+        postings = assign_clusters(mu, centroids).select("vec_id", "cid")
+        snapshot_commit(postings.coalesce(1), postings_table, mode="append", tag=tag)
+
+    return (
+        vecs.writeStream.foreachBatch(add_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1351,3 +1351,96 @@ def test_hop4_incremental_lsh_gate_chains_after_hop3(spark, tmp_path):
         .collect()
     }
     assert kept_replay == kept_stream
+
+
+def test_streaming_ann_postings_ingest_matches_batch_assignment(spark, tmp_path):
+    """r12: streaming embedding drops index against the FROZEN
+    persisted quantizer — the accumulated postings must equal a batch
+    assignment of the same vectors, and a crash-replayed micro-batch
+    must be a no-op (tag short-circuit)."""
+    import json as _json
+    import os
+
+    from specialsid_spark.operators.kmeans import _mu_vec, assign_clusters, kmeans_fit
+    from specialsid_spark.operators.snapshot import (
+        snapshot_commit,
+        snapshot_read,
+        snapshot_versions,
+    )
+    from specialsid_spark.queries.vectors import ivf_centroids_from_table
+    from specialsid_spark.streaming.pipeline import streaming_ann_postings_ingest
+
+    from pyspark.sql import functions as F
+
+    # deterministic toy corpus: 24 vectors in 4 obvious clusters
+    def vec(i):
+        base = [0.0] * 8
+        base[i % 4] = 1.0 + (i % 3) * 0.01
+        return {"vec_id": i, "embedding": base}
+
+    base_rows = [vec(i) for i in range(12)]
+    drop1 = [vec(i) for i in range(12, 18)]
+    drop2 = [vec(i) for i in range(18, 24)]
+
+    base_df = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in base_rows],
+        "vec_id long, embedding array<double>",
+    )
+    centroids, _ = kmeans_fit(base_df, k=4, iterations=2, dim=8)
+    qt = str(tmp_path / "quantizer")
+    snapshot_commit(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "cid int, centroid array<bigint>",
+        ).coalesce(1),
+        qt,
+    )
+    pt = str(tmp_path / "postings")
+    snapshot_commit(
+        assign_clusters(
+            base_df.select("vec_id", _mu_vec(F.col("embedding")).alias("mu")),
+            centroids,
+        ).select("vec_id", "cid").coalesce(1),
+        pt,
+    )
+
+    vdir = tmp_path / "vec_drops"
+    vdir.mkdir()
+    ckpt = str(tmp_path / "ann_ckpt")
+    for name, rows in (("d1.json", drop1), ("d2.json", drop2)):
+        with open(vdir / name, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+        streaming_ann_postings_ingest(
+            spark, str(vdir), qt, pt, ckpt
+        ).awaitTermination()
+
+    got = {
+        (r.vec_id, r.cid) for r in snapshot_read(spark, pt).collect()
+    }
+    all_df = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in base_rows + drop1 + drop2],
+        "vec_id long, embedding array<double>",
+    )
+    want = {
+        (r.vec_id, r.cid)
+        for r in assign_clusters(
+            all_df.select("vec_id", _mu_vec(F.col("embedding")).alias("mu")),
+            ivf_centroids_from_table(spark, qt),
+        ).select("vec_id", "cid").collect()
+    }
+    assert got == want
+    assert len(got) == 24
+
+    # crash window: checkpoint commit record lost AFTER the snapshot
+    # commit -> replay must hit the tag and append nothing
+    commits = [c for c in sorted(os.listdir(os.path.join(ckpt, "commits")))
+               if not c.startswith(".")]
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    before = snapshot_versions(pt)
+    streaming_ann_postings_ingest(spark, str(vdir), qt, pt, ckpt).awaitTermination()
+    assert snapshot_versions(pt) == before
+    assert {(r.vec_id, r.cid) for r in snapshot_read(spark, pt).collect()} == want
