@@ -387,3 +387,52 @@ def test_jpeg_hand_assembled_dc_only_block_decodes():
     w, h, ch, px = r
     assert (w, h, ch) == (8, 8, 1)
     assert set(px) == {130}
+
+
+# ----------------------------------------------------------- GIF LZW
+
+
+def test_gif_hand_assembled_lzw_stream_decodes():
+    """GIF89a appendix F, hand-assembled byte-by-byte: LSB-first
+    variable-width LZW (the OPPOSITE bit order from TIFF/PDF LZW),
+    2-color global table, min code size 2 (clear=4, EOI=5, first
+    entry 6, initial width 3).
+
+    Pixel indices [0,1,1,0] hand-encode as: clear(3b), 0(3b) [+entry
+    6='01'], 1(3b) [+7='11'], 1(3b) [nf hits 8=2^3 -> width 4, +8='10'],
+    0(4b), EOI 5(4b) — the stream crosses the 3->4-bit boundary, the
+    exact spot a width-rule bug desyncs."""
+    import struct
+
+    from specialsid_spark.operators.gif import decode_gif
+
+    def lsb_pack(codes_widths):
+        acc = n = 0
+        out = bytearray()
+        for code, width in codes_widths:
+            acc |= code << n
+            n += width
+            while n >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                n -= 8
+        if n:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    lzw = lsb_pack([(4, 3), (0, 3), (1, 3), (1, 3), (0, 4), (5, 4)])
+    gif = (
+        b"GIF89a"
+        + struct.pack("<HH", 2, 2)      # logical screen 2x2
+        + bytes([0x80, 0, 0])           # GCT present, 2 entries
+        + bytes([0, 0, 0, 255, 255, 255])  # palette: black, white
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00"  # image desc
+        + bytes([2])                    # LZW min code size
+        + bytes([len(lzw)]) + lzw + b"\x00"  # one sub-block + terminator
+        + b"\x3b"                       # trailer
+    )
+    r = decode_gif(gif)
+    assert r is not None
+    w, h, ch, px = r
+    assert (w, h, ch) == (2, 2, 3)
+    assert bytes(px) == bytes([0, 0, 0, 255, 255, 255, 255, 255, 255, 0, 0, 0])
