@@ -436,3 +436,47 @@ def test_gif_hand_assembled_lzw_stream_decodes():
     w, h, ch, px = r
     assert (w, h, ch) == (2, 2, 3)
     assert bytes(px) == bytes([0, 0, 0, 255, 255, 255, 255, 255, 255, 0, 0, 0])
+
+
+# ------------------------------------------------------------ G.711
+
+
+def test_g711_luts_match_ccitt_reference_restatement():
+    """ITU-T G.711 expansion, restated independently as the canonical
+    CCITT reference scalar routines (ulaw2linear / alaw2linear with the
+    published exponent LUT and segment switch), checked against the
+    repo's vectorized tables for ALL 256 codes of both laws — plus the
+    known anchor points (mu-law 0xFF and 0x7F are the two zeros; 0x80
+    decodes to +32124, the spec's 8031 magnitude in the x4 scaling)."""
+    from specialsid_spark.operators.audio import _g711_luts
+
+    alaw_lut, ulaw_lut = _g711_luts()
+
+    exp_lut = [0, 132, 396, 924, 1980, 4092, 8316, 16764]
+
+    def ulaw2linear(code: int) -> int:
+        u = ~code & 0xFF
+        sign = u & 0x80
+        exponent = (u >> 4) & 7
+        mantissa = u & 0x0F
+        sample = exp_lut[exponent] + (mantissa << (exponent + 3))
+        return -sample if sign else sample
+
+    def alaw2linear(code: int) -> int:
+        a = code ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t += 0x108
+            t <<= seg - 1
+        return t if a & 0x80 else -t
+
+    for c in range(256):
+        assert int(ulaw_lut[c]) == ulaw2linear(c), f"ulaw code {c}"
+        assert int(alaw_lut[c]) == alaw2linear(c), f"alaw code {c}"
+    assert int(ulaw_lut[0xFF]) == 0 and int(ulaw_lut[0x7F]) == 0
+    assert int(ulaw_lut[0x80]) == 32124
