@@ -77,6 +77,7 @@ _PRIORITY: tuple[str, ...] = (
     "cur_epoch_shard_assignment",
     "cur_fim_transform",
     "sim_ivf_incremental_add",
+    "pipeline_daily_ingest",
     # the 50-query r6-stale cohort, registration order
     "src_csv_roundtrip",
     "src_orc_roundtrip",

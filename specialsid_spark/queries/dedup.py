@@ -2250,3 +2250,87 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "pipeline_daily_ingest",
+    oracle=f"""
+    WITH {{sigs}},
+    {{bands}},
+    b0 AS (SELECT DISTINCT band, bkey FROM bands WHERE doc_id % 3 = 0),
+    d1 AS (SELECT doc_id, band, bkey FROM bands WHERE doc_id % 3 = 1),
+    h1c AS (SELECT DISTINCT d.doc_id FROM d1 d
+            JOIN b0 c ON c.band = d.band AND c.bkey = d.bkey),
+    m1 AS (SELECT band, bkey, MIN(doc_id) AS m FROM d1 GROUP BY 1, 2),
+    h1i AS (SELECT DISTINCT d.doc_id FROM d1 d
+            JOIN m1 m ON m.band = d.band AND m.bkey = d.bkey
+                     AND d.doc_id > m.m),
+    adm AS (
+      SELECT doc_id FROM (SELECT DISTINCT doc_id FROM d1) d
+      WHERE doc_id NOT IN (SELECT doc_id FROM h1c)
+        AND doc_id NOT IN (SELECT doc_id FROM h1i)
+    ),
+    sharded AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':epoch:1'),
+                                1, 8))::BIGINT % 8 AS shard
+      FROM adm
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_admitted,
+           CAST(SUM(doc_id % 1000000007) % 1000000007 AS BIGINT) AS id_sum
+    FROM sharded
+    GROUP BY shard
+    ORDER BY shard
+    """.format(sigs=_sql_minhash_sigs(), bands=_sql_bands()),
+)
+def pipeline_daily_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 composition — the DAILY INGEST pipeline end-to-end in one
+    declarative plan: today's crawl drop (doc_id % 3 = 1) is gated
+    against the existing corpus's LSH band index (near-dup rejection +
+    intra-batch greedy keep-lowest), and the ADMITTED survivors get
+    their deterministic epoch-shard assignment — crawl to
+    training-shard manifest, the composition of dedup_incremental_lsh's
+    gate with cur_epoch_shard_assignment's shuffle.
+
+    Scale shape: band probes shuffle only the drop's band keys; the
+    shard rollup is an 8-row aggregate with map-side combine.  All
+    decisions are content-hash (md5) — reproducible across engines,
+    reruns, and epochs."""
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_idx = (
+        lsh_band_keys(d.filter(F.col("doc_id") % 3 == 0))
+        .select("band", "bkey")
+        .distinct()
+    )
+    bb = lsh_band_keys(d.filter(F.col("doc_id") % 3 == 1)).localCheckpoint(
+        eager=True
+    )
+    hitc = bb.join(corpus_idx, ["band", "bkey"], "left_semi").select("doc_id")
+    mins = bb.groupBy("band", "bkey").agg(F.min("doc_id").alias("m"))
+    hiti = (
+        bb.join(mins, ["band", "bkey"])
+        .filter(F.col("doc_id") > F.col("m"))
+        .select("doc_id")
+    )
+    adm = (
+        bb.select("doc_id")
+        .distinct()
+        .join(hitc.distinct(), "doc_id", "left_anti")
+        .join(hiti.distinct(), "doc_id", "left_anti")
+    )
+    hx = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch:1")))
+    sharded = adm.select(
+        "doc_id",
+        (F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % 8).alias("shard"),
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_admitted"),
+            (F.sum(F.col("doc_id") % 1000000007) % 1000000007)
+            .cast("long")
+            .alias("id_sum"),
+        )
+        .orderBy("shard")
+    )
