@@ -186,6 +186,8 @@ HEADLINE = [
     # cycle, not fixture IO.
     "dedup_incremental_lsh",
     "sim_ivf_incremental_add",
+    # the composed daily-ingest manifest (gate -> shard rollup)
+    "pipeline_daily_ingest",
 ]
 
 
