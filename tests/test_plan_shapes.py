@@ -595,3 +595,20 @@ def test_incremental_lsh_probe_is_semi_join_on_band_keys(spark, qs):
     assert "SinglePartition" not in pk
     p = plan_of(spark, qs["dedup_incremental_lsh"](spark, SF_DIR))
     assert "SinglePartition" not in p
+
+
+def test_ivf_incremental_add_broadcasts_probe_side(spark, qs):
+    """r12: the incremental-ANN search broadcasts the (tiny) query
+    probe set against the postings join; nothing in the plan funnels
+    through a single partition."""
+    p = plan_of(spark, qs["sim_ivf_incremental_add"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SinglePartition" not in p
+
+
+def test_daily_ingest_pipeline_has_no_single_partition(spark, qs):
+    """r12: gate + shard manifest in one plan — the final 8-row
+    aggregate partial-aggregates map-side; no SinglePartition."""
+    p = plan_of(spark, qs["pipeline_daily_ingest"](spark, SF_DIR))
+    assert "SinglePartition" not in p
+    assert "partial_count" in p or "partial_sum" in p
