@@ -1664,16 +1664,23 @@ def _type3_glyphs(buf, m, pen_x, size, text, color, font, clip=None,
                   ts=None) -> float:
     """Execute each glyph's content stream with CTM = FontMatrix x
     [size*Th 0 0 size pen rise] x (Tm x page-CTM); the advance is the
-    glyph-space width through the FontMatrix's x scale.  Nested text
-    inside a glyph proc falls back to the glyph-box model (fonts are
-    deliberately not forwarded — bounds recursion)."""
+    glyph-space width vector (w, 0) through the FULL FontMatrix (ISO
+    32000-1 §9.6.5) — a y-shear term fm[1] != 0 displaces the pen
+    vertically too (r13; the y displacement is accumulated per show
+    string, which is exact for single-string fixtures and the
+    documented degrade across strings).  Nested text inside a glyph
+    proc falls back to the glyph-box model (fonts are deliberately not
+    forwarded — bounds recursion)."""
     if ts is None:
         ts = _TS_DEFAULT
+    pen_y = 0.0
     for ch in text:
         code = ord(ch)
         proc = font.procs.get(code)
         if proc is not None and ts.paints:
-            trm = _mul((size * ts.hscale, 0.0, 0.0, size, pen_x, ts.ts), m)
+            trm = _mul(
+                (size * ts.hscale, 0.0, 0.0, size, pen_x, ts.ts + pen_y), m,
+            )
             g_ctm = _mul(font.fm, trm)
             _run(
                 proc, buf, 1.0, buf.shape[0], 0.0, 0.0, font.objs,
@@ -1681,8 +1688,9 @@ def _type3_glyphs(buf, m, pen_x, size, text, color, font, clip=None,
                 init_fill=np.asarray(color, dtype=np.uint8),
                 init_clip=clip,
             )
-        adv = font.widths.get(code, 0.0) * font.fm[0] * size
-        pen_x += ts.advance(adv, ch == " ")
+        w = font.widths.get(code, 0.0)
+        pen_x += ts.advance(w * font.fm[0] * size, ch == " ")
+        pen_y += w * font.fm[1] * size
     return pen_x
 
 
@@ -1940,13 +1948,17 @@ def _run(content, buf, s, hpx, ox, oy, objs, xobjects, fonts=None, shadings=None
             continue
         op = val
         if op == b"q":
+            # the §8.4.2 snapshot carries the FULL §9.3 text state:
+            # Tc/Tw/Tz/Ts/Tr AND font/size (Tf) + leading (TL) — r13
             stack.append((
                 ctm, fill.copy(), clip, fill_cs,
                 (tstate.tc, tstate.tw, tstate.tz, tstate.ts, tstate.tr),
+                font, size, leading,
             ))
         elif op == b"Q":
             if stack:
-                ctm, fill, clip, fill_cs, tsnap = stack.pop()
+                (ctm, fill, clip, fill_cs, tsnap,
+                 font, size, leading) = stack.pop()
                 tstate.tc, tstate.tw, tstate.tz, tstate.ts, tstate.tr = tsnap
         elif op == b"cm":
             cm = tuple(num(6 - k) for k in range(6))
@@ -2585,6 +2597,7 @@ def build_rotated_rect_pdf(
 
 def build_type3_pdf(
     text: str, size: int = 64, td: tuple[int, int] = (72, 700),
+    skew: float = 0.0, raw_content: bytes | None = None,
 ) -> bytes:
     """Oracle-fixture writer (r11): one 612x792 page whose only ink is
     ``text`` set in a /Subtype /Type3 font — glyphs ARE content
@@ -2592,7 +2605,13 @@ def build_type3_pdf(
     ``r`` = ``8 16 80 64 re f`` (a rect: 40x32 device px = 1280 at
     size 64) and ``t`` = a right triangle with 64-unit legs (scanline
     coverage 0+1+...+31 = 496 px); both advance 112 glyph units =
-    56 device px (integral, so per-glyph ink is pen-invariant)."""
+    56 device px (integral, so per-glyph ink is pen-invariant).
+
+    r13: ``skew`` sets FontMatrix[1] (the glyph->text y-shear), so
+    each glyph's (w, 0) width vector transforms to a 2-D text-space
+    displacement — the fixture for the full-matrix advance rule.
+    ``raw_content`` replaces the default one-string content stream
+    (used by the q/Q text-state-snapshot fixtures)."""
     from specialsid_spark.operators.pdf import (  # noqa: PLC0415
         _assemble_pdf,
         _pdf_escape,
@@ -2619,15 +2638,17 @@ def build_type3_pdf(
     font_num = add(
         b"<< /Type /Font /Subtype /Type3"
         b" /FontBBox [0 0 128 128]"
-        b" /FontMatrix [0.0078125 0 0 0.0078125 0 0]"
+        b" /FontMatrix [0.0078125 %s 0 0.0078125 0 0]"
         b" /CharProcs << /grect %d 0 R /gtri %d 0 R >>"
         b" /Encoding << /Type /Encoding /Differences [114 /grect 116 /gtri] >>"
         b" /FirstChar 114 /LastChar 116 /Widths [112 0 112] >>"
-        % (rect_num, tri_num)
+        % (repr(skew).encode("ascii"), rect_num, tri_num)
     )
-    content = b"BT /F1 %d Tf %d %d Td (%s) Tj ET" % (
-        size, td[0], td[1], _pdf_escape(text),
-    )
+    content = raw_content
+    if content is None:
+        content = b"BT /F1 %d Tf %d %d Td (%s) Tj ET" % (
+            size, td[0], td[1], _pdf_escape(text),
+        )
     cont_num = add(
         b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
     )

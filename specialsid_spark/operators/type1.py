@@ -163,8 +163,15 @@ def parse_type1(data: bytes) -> Type1Font:
     # spec's own recommendation, examine a longer prefix — the first 16
     # non-whitespace bytes (hex form wraps lines, so whitespace is
     # expected and skipped); binary ciphertext passing that is ~1e-17.
-    sniff = bytes(c for c in enc[:64] if c not in b"\r\n\t \x00")[:16]
-    if sniff and all(c in b"0123456789abcdefABCDEF" for c in sniff):
+    # A NUL is a hard BINARY indicator (ADVICE r12): it never occurs in
+    # the hex form but is common in ciphertext, so it must not be
+    # skipped like whitespace (61 00 62 00 ... would sniff as hex).
+    window = enc[:64]
+    is_binary = b"\x00" in window
+    sniff = bytes(c for c in window if c not in b"\r\n\t ")[:16]
+    if not is_binary and sniff and all(
+        c in b"0123456789abcdefABCDEF" for c in sniff
+    ):
         hx = re.sub(rb"[^0-9A-Fa-f]", b"", enc)
         try:
             enc = bytes.fromhex(hx.decode("ascii"))

@@ -1101,6 +1101,12 @@ def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 # timestamp_diff against an NTZ epoch literal — no session-zone or
 # parquet-reader conf can shift it — and DuckDB computes epoch_us.
 # Everything downstream of the hourly CTE is ONE shared tail string.
+# int64 headroom (ADVICE r12): the running sums are bounded by
+# ~4*n^2*max(yc) per group; at the fixture scales (n hours <= ~9k at
+# sf1, yc counts) that is < 2^45, leaving ~2^18 headroom before the
+# CAST would overflow.  If it ever does, DuckDB raises on the cast
+# while Spark's non-ANSI sum wraps — the gate fails LOUDLY (hash
+# mismatch or oracle error), never silently diverges.
 _CUSUM_CORE = """
     base AS (
       SELECT g, yc,

@@ -52,10 +52,15 @@ _DIV_TOK_RE = re.compile(r"</?div\b", re.I)
 def _tile_bodies(html: str):
     """Yield each pdfdownload tile's inner HTML, bounded by its OWN
     matching </div> (div-depth walk) — so a tile missing one of its
-    parts can never capture an anchor from the markup after it."""
-    for m in _TILE_OPEN_RE.finditer(html):
-        depth, end = 1, len(html)
-        for t in _DIV_TOK_RE.finditer(html, m.end()):
+    parts can never capture an anchor from the markup after it.  On
+    UNBALANCED markup (a tile whose </div> never comes) the body is
+    additionally bounded at the next tile opening (r13) — one unclosed
+    tile dies alone instead of swallowing every tile after it."""
+    opens = list(_TILE_OPEN_RE.finditer(html))
+    for i, m in enumerate(opens):
+        nxt = opens[i + 1].start() if i + 1 < len(opens) else len(html)
+        depth, end = 1, nxt
+        for t in _DIV_TOK_RE.finditer(html, m.end(), nxt):
             depth += 1 if t.group(0)[1] != "/" else -1
             if depth == 0:
                 end = t.start()
@@ -112,12 +117,15 @@ def parse_catalogue_html(html: str) -> list[tuple[str, str, str]]:
     for body in _tile_bodies(html):
         pm = _PROVINCE_RE.search(body)
         dm = _DATES_RE.search(body)
-        am = _HREF_RE.search(body)
-        # all three parts present, in document order — else the tile is
-        # malformed and dies alone (never fuses with its neighbors)
+        # the download anchor is the first <a href> AFTER the dates
+        # span (r13) — matching the reference's sequential walk, so a
+        # decorative icon/nav anchor before the spans never shadows it
+        am = _HREF_RE.search(body, dm.end()) if dm is not None else None
+        # all three parts present, spans in document order — else the
+        # tile is malformed and dies alone (never fuses with neighbors)
         if pm is None or dm is None or am is None:
             continue
-        if not (pm.start() < dm.start() < am.start()):
+        if not pm.start() < dm.start():
             continue
         province = _html.unescape(pm.group("province")).strip().replace(" ", "_")
         dates = _html.unescape(dm.group("dates")).strip()

@@ -1095,6 +1095,51 @@ def test_type3_advance_is_width_through_fontmatrix():
     assert c2.max() - c1.max() == 56
 
 
+def test_type3_skewed_fontmatrix_advance_is_2d():
+    # r13 (VERDICT r12 #2a): a Type 3 FontMatrix with a y-shear term
+    # (fm[1] != 0) makes each glyph's (w, 0) width vector transform to
+    # a 2-D text-space displacement — glyph 2 must land 28 px HIGHER
+    # (112 glyph units * (1/256) * 64 pt) as well as 56 px right.
+    from specialsid_spark.operators.pdfraster import build_type3_pdf
+
+    g = _gray(rasterize_page(build_type3_pdf("rr", skew=1 / 256)))
+    ink_cols = np.where((g != 255).any(axis=0))[0]
+    # the two skewed rects occupy disjoint column ranges 56 px apart
+    split = ink_cols[np.where(np.diff(ink_cols) > 1)[0][0]]
+    rows1 = np.where((g[:, : split + 1] != 255).any(axis=1))[0]
+    rows2 = np.where((g[:, split + 1 :] != 255).any(axis=1))[0]
+    # identical shapes, so compare translated row extents: +28 in PDF
+    # y-up space = 28 smaller row indices in the buffer
+    assert rows1.min() - rows2.min() == 28
+    assert rows1.max() - rows2.max() == 28
+    # the skew must not change per-glyph ink (pure shear + translate)
+    assert int((g != 255).sum()) == 2 * 1280
+
+
+def test_gsave_snapshots_font_size_and_leading():
+    # r13 (VERDICT r12 #2b): q/Q must snapshot the FULL §9.3 text
+    # state — font, size, and leading included.  A Tf/TL inside q..Q
+    # must not leak past the Q: both glyphs render at size 64
+    # (1280 px each) and T* steps by the OUTER 100-unit leading.
+    from specialsid_spark.operators.pdfraster import build_type3_pdf
+
+    content = (
+        b"BT /F1 64 Tf 100 TL 72 700 Td"
+        b" q /F1 32 Tf 37 TL Q"
+        b" (r) Tj T* (r) Tj ET"
+    )
+    g = _gray(rasterize_page(build_type3_pdf("", raw_content=content)))
+    assert int((g != 255).sum()) == 2 * 1280
+    rows = np.where((g != 255).any(axis=1))[0]
+    gaps = np.where(np.diff(rows) > 1)[0]
+    assert len(gaps) == 1
+    # two 32-px-tall rects whose baselines are 100 px apart
+    r1 = rows[: gaps[0] + 1]
+    r2 = rows[gaps[0] + 1 :]
+    assert r2.min() - r1.min() == 100
+    assert len(r1) == len(r2) == 32
+
+
 def test_type3_invisible_mode_and_fill_color():
     from specialsid_spark.operators.pdfraster import build_type3_pdf
 

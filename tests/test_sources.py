@@ -208,3 +208,52 @@ def test_last_tile_missing_anchor_dies_alone():
     assert parse_catalogue_html(html) == [
         ("Gauteng", "1 March 2026", "/files/ok.pdf")
     ]
+
+
+def test_unclosed_tile_dies_alone():
+    # ADVICE r12: an UNBALANCED tile (its </div> never comes) used to
+    # fall back to end=len(html), swallowing every tile after it; the
+    # body is now also bounded at the next tile opening
+    html = (
+        '<div class="pdfdownload"><span class="province">Gauteng</span>'
+        '<span class="dates">1 March 2026</span>'
+        # no closing </div> anywhere for this tile
+        '<div class="pdfdownload"><span class="province">Natal</span>'
+        '<span class="dates">2 March 2026</span>'
+        '<a href="/files/natal.pdf">dl</a></div>'
+    )
+    assert parse_catalogue_html(html) == [
+        ("Natal", "2 March 2026", "/files/natal.pdf")
+    ]
+    # and an unclosed tile missing only its anchor must NOT borrow the
+    # next tile's anchor
+    html2 = (
+        '<div class="pdfdownload"><span class="province">Gauteng</span>'
+        '<span class="dates">1 March 2026</span>'
+        '<div class="pdfdownload"><span class="province">Natal</span>'
+        '<span class="dates">2 March 2026</span>'
+        '<a href="/files/natal.pdf">dl</a></div>'
+        '<div class="pdfdownload"><span class="province">Cape</span>'
+        '<span class="dates">3 March 2026</span>'
+        '<a href="/files/cape.pdf">dl</a></div>'
+    )
+    assert parse_catalogue_html(html2) == [
+        ("Natal", "2 March 2026", "/files/natal.pdf"),
+        ("Cape", "3 March 2026", "/files/cape.pdf"),
+    ]
+
+
+def test_decorative_anchor_before_spans_is_skipped():
+    # ADVICE r12: a tile whose markup places an icon/nav anchor BEFORE
+    # the spans still yields the download anchor AFTER the dates span
+    # (the old first-anchor-in-tile + order guard silently dropped it)
+    html = (
+        '<div class="pdfdownload">'
+        '<a href="/icons/star.svg" class="icon">*</a>'
+        '<span class="province">Gauteng</span>'
+        '<span class="dates">1 March 2026</span>'
+        '<a href="/files/ok.pdf">dl</a></div>'
+    )
+    assert parse_catalogue_html(html) == [
+        ("Gauteng", "1 March 2026", "/files/ok.pdf")
+    ]

@@ -233,3 +233,80 @@ def test_binary_eexec_with_hexlike_leading_ciphertext():
     assert not all(b in hexd for b in sniff)   # caught by the 16-byte sniff
     f = parse_type1(head + b"\n" + cipher + b"\n")
     assert sorted(f.charstrings) == [".notdef", "C", "H", "L", "O"]
+
+
+def test_binary_eexec_with_nul_interleaved_hex_ciphertext():
+    """ADVICE r12: a BINARY section interleaving hex-class bytes with
+    NULs (61 00 62 00 ...) fooled the r12 sniff, which skipped \\x00
+    like whitespace — but NUL never occurs in the hex form, so it is a
+    hard binary indicator.  Craft ciphertext whose 64-byte window is
+    hex digits + NULs only (so the NUL-skipping sniff reads 16 clean
+    hex bytes) by solving the eexec stream cipher for the plaintext
+    that produces each desired cipher byte; the plaintext tail is a
+    harmless PS comment ahead of the real private section."""
+    from specialsid_spark.operators.type1 import _C1, _C2
+
+    raw = fixture_type1()
+    k = raw.find(b"eexec") + 5
+    head, enc = raw[:k], raw[k:].lstrip(b"\r\n\t ")
+    z = enc.find(b"\n0000000000")
+    private = eexec_decrypt(enc[:z])
+
+    hexd = b"0123456789abcdefABCDEF"
+
+    def step(r, c):
+        return ((c + r) * _C1 + _C2) & 0xFFFF
+
+    # choose cipher bytes 0..3 (their plaintext is the discarded lead)
+    # so that cipher byte 4's plaintext can be '%' (a PS comment open)
+    start = None
+    for c0 in hexd:
+        for c1 in hexd:
+            r = step(step(55665, c0), c1)
+            for c2 in hexd:
+                for c3 in hexd:
+                    r4 = step(step(r, c2), c3)
+                    c4 = 0x25 ^ (r4 >> 8)
+                    if c4 == 0 or c4 in hexd:
+                        start = ([c0, c1, c2, c3, c4], step(r4, c4))
+                        break
+                if start:
+                    break
+            if start:
+                break
+        if start:
+            break
+    assert start is not None
+    cipher, r = start
+    plain = []
+    rr = 55665
+    for c in cipher:
+        plain.append(c ^ (rr >> 8))
+        rr = step(rr, c)
+    # cipher bytes 5..63: alternate NUL / hex so the window carries
+    # BOTH; derive each plaintext byte, avoiding \r \n inside the
+    # comment (23 candidate cipher values per slot — always solvable)
+    for i in range(5, 64):
+        want_nul = i % 2 == 1
+        cands = (b"\x00" + hexd) if want_nul else (hexd + b"\x00")
+        for c in cands:
+            p = c ^ (r >> 8)
+            if p not in (0x0D, 0x0A):
+                cipher.append(c)
+                plain.append(p)
+                r = step(r, c)
+                break
+        else:
+            raise AssertionError("no solvable cipher byte")
+    # close the comment, then the real private section
+    for p in b"\n" + private:
+        c = p ^ (r >> 8)
+        cipher.append(c)
+        r = step(r, c)
+    cipher = bytes(cipher)
+    assert b"\x00" in cipher[:64]  # NULs present: binary, full stop
+    old_sniff = bytes(b for b in cipher[:64] if b not in b"\r\n\t \x00")[:16]
+    assert len(old_sniff) == 16 and all(b in hexd for b in old_sniff)
+    # ^ the r12 NUL-skipping sniff would misread this as the hex form
+    f = parse_type1(head + b"\n" + cipher + b"\n")
+    assert sorted(f.charstrings) == [".notdef", "C", "H", "L", "O"]
