@@ -435,14 +435,26 @@ def snapshot_scan(
 
 
 def snapshot_compact(
-    spark: SparkSession, path: str, target_files: int = 1
+    spark: SparkSession, path: str, target_files: int | None = 1,
+    dedup: bool = False,
 ) -> int:
     """Rewrite the CURRENT version's content as ``target_files`` files
     in a new version (op recorded as 'compact') — content-identical,
     small-file debt paid, history intact (the old version still time-
-    travels until vacuumed)."""
+    travels until vacuumed).
+
+    r13 (VERDICT r12 #4): ``dedup=True`` rewrites the DISTINCT row set
+    — the band-index lifecycle verb: an append-only (band, bkey) index
+    compacts into one deduplicated generation without changing any
+    gate decision (gates probe set membership).  ``target_files=None``
+    keeps natural partitioning — at corpus scale the compaction of a
+    100 TB-derived index must not serialize through one write task."""
     cur = snapshot_read(spark, path)
-    v = snapshot_commit(cur.coalesce(target_files), path, mode="overwrite")
+    if dedup:
+        cur = cur.distinct()
+    if target_files is not None:
+        cur = cur.coalesce(target_files)
+    v = snapshot_commit(cur, path, mode="overwrite")
     m = _read_manifest(path, v)
     m["op"] = "compact"
     mdir = _manifest_dir(path)

@@ -46,74 +46,19 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # (~50 entries).  To guarantee every query eventually gets a driver-side
 # CORRECTNESS row, names needing one are listed here and surfaced FIRST in
 # all_queries()/all_oracles(); everything else keeps module registration
-# order after them.  Round 12 (VERDICT r11 #3, recomputed from
-# CORRECTNESS_r01-r11.json): head = the CUSUM pair (hash-red r9-r11,
-# root cause PROVEN by the judge's type audit — DuckDB SUM(BIGINT)→
-# HUGEINT→decimal128 vs Spark LONG — fixed this round by casting
-# c_up/c_dn in _CUSUM_CORE, so these two rows confirm the fix); then the
-# 7 queries with NO driver row in any round (cur_sequence_packing + the
-# six r11 rasterizer queries); then this round's brand-new queries; then
-# the 50-query cohort whose newest driver row is r6, in registration
-# order (the ~50-slot budget covers 2 + 7 + new + most of the 50; the
-# short tail rolls to r13's head).  Everything listed passes
+# order after them.  Round 13 (VERDICT r12 #1/#7, recomputed from
+# CORRECTNESS_r01-r12.json): head = the 15-query cohort whose newest
+# driver row is r6 (the last staleness pocket — after this round no
+# query's newest row predates r7); then this round's brand-new queries;
+# then the six r12-new operators once more (one green row each — a
+# second sample makes the ledger robust to fixture drift); then the
+# first ~26 of the 49-query r7-stale cohort in registration order (the
+# tail rolls to r14's head).  Everything listed passes
 # tools/check_oracle.py exact-multiset at sf0.01 this session, and the
 # whole registry passes tests/test_oracle_types.py's bind-time type
-# audit (the net that would have caught the CUSUM red at registration).
+# audit.
 _PRIORITY: tuple[str, ...] = (
-    # the fixed CUSUM pair — driver confirmation of the HUGEINT cast
-    "ev_cusum_changepoint",
-    "ev_cusum_peaks_only",
-    # never driver-sampled in any round (VERDICT r11 #3)
-    "cur_sequence_packing",
-    "mm_pdf_ccitt_k_modes_raster",
-    "mm_pdf_cid0_text_raster",
-    "mm_pdf_rotate_raster",
-    "mm_pdf_sampled_shading_raster",
-    "mm_pdf_textstate_raster",
-    "mm_pdf_type3_text_raster",
-    # new this round (r12) — no driver row yet
-    "dedup_incremental_lsh",
-    "dedup_cluster_representatives",
-    "cur_epoch_shard_assignment",
-    "cur_fim_transform",
-    "sim_ivf_incremental_add",
-    "pipeline_daily_ingest",
-    # the 50-query r6-stale cohort, registration order
-    "src_csv_roundtrip",
-    "src_orc_roundtrip",
-    "src_jsonl_roundtrip",
-    "graph_triangle_count",
-    "text_naive_bayes_confusion",
-    "clean_snapshot_delete_rows",
-    "mm_pdf_objstm_text",
-    "mm_mp1_subband_decode",
-    "mm_pnm_roundtrip",
-    "mm_exif_meta",
-    "dedup_semantic_prune",
-    "sim_ivf_trained_topk",
-    "agg_grouped_map_rank",
-    "agg_histogram_value_buckets",
-    "agg_exact_percentiles",
-    "cur_train_test_split",
-    "cur_token_packing",
-    "cur_contamination_check",
-    "cur_gopher_repetition",
-    "cur_boilerplate_trigrams",
-    "cur_stratified_sample",
-    "cur_chunk_documents",
-    "cur_mixture_weights",
-    "cur_url_canonicalize",
-    "cur_pseudonymize_ids",
-    "dedup_exact_hash",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_candidates",
-    "dedup_simhash",
-    "dedup_embedding_cosine_top20",
-    "dedup_cc_clusters",
-    "pipeline_corpus_curation",
-    "dedup_simhash_hamming_pairs",
-    "dedup_repeated_spans",
+    # the 15-query r6-stale cohort (VERDICT r12 #1), registration order
     "ev_tumbling_hourly",
     "ev_sliding_1h_30m",
     "ev_session_windows",
@@ -129,6 +74,44 @@ _PRIORITY: tuple[str, ...] = (
     "ev_ewma_user_value",
     "ev_ols_trend_by_type",
     "join_bucketed_colocated",
+    # new this round (r13) — no driver row yet
+    "text_langid_trained",
+    "pipeline_pdf_daily_ingest",
+    "dedup_index_compaction",
+    # the six r12-new operators, second driver sample (VERDICT r12 #7)
+    "dedup_incremental_lsh",
+    "dedup_cluster_representatives",
+    "cur_epoch_shard_assignment",
+    "cur_fim_transform",
+    "sim_ivf_incremental_add",
+    "pipeline_daily_ingest",
+    # first ~26 of the r7-stale cohort, registration order (rest -> r14)
+    "src_xml_roundtrip",
+    "graph_triangle_doulion",
+    "sim_pq_trained_adc_topk",
+    "text_langid_heuristic",
+    "text_fingerprint",
+    "text_bigram_top20",
+    "text_wordcount_global",
+    "text_bpe_token_count",
+    "text_winnow_fingerprints",
+    "text_tfidf_top_terms",
+    "text_unigram_surprisal",
+    "sim_topk_bruteforce",
+    "sim_lsh_sign_buckets",
+    "sim_lsh_bucketed_topk",
+    "sim_lsh_multitable_topk",
+    "sim_ivf_topk",
+    "sim_topk_pandas_udf",
+    "win_topk_cheapest_parts",
+    "win_lag_order_delta",
+    "win_moving_avg_supplier",
+    "win_rank_dense_size",
+    "win_running_total",
+    "win_ntile_acctbal",
+    "win_value_functions",
+    "sort_topn_orders",
+    "sort_multi_col",
 )
 
 

@@ -2050,7 +2050,9 @@ def dedup_lsh_recall_referee(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """.format(sigs=_sql_minhash_sigs(), bands=_sql_bands()),
 )
-def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_incremental_lsh(
+    spark: SparkSession, sf_dir: str, _return_table: bool = False,
+) -> DataFrame:
     """X1, r12 (VERDICT r11 #6) — incremental MinHash-LSH dedup against
     a PERSISTED, ACCUMULATING band index: the daily-crawl-drop shape.
     dedup_incremental_batch recomputes the corpus bands every run; here
@@ -2104,9 +2106,14 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return rows
 
-    # day 0: bootstrap — commit the corpus band index (version 1)
+    # day 0: bootstrap — commit the corpus band index (version 1) with
+    # NATURAL partitioning (r13, VERDICT r12 #3): the day-0 index of a
+    # 100 TB corpus must not serialize through one write task; the
+    # manifest is multi-file and snapshot_read globs every data file.
+    # Per-day appends below keep coalesce(1) — a daily drop's band rows
+    # are the small-file-hygiene case.
     snapshot_commit(
-        _band_rows(lsh_band_keys(day(0)).select("band", "bkey"), None).coalesce(1),
+        _band_rows(lsh_band_keys(day(0)).select("band", "bkey"), None),
         t,
     )
 
@@ -2157,7 +2164,119 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r1 = gate(day(1), 1)
     r2 = gate(day(2), 2)
-    return r1.unionByName(r2).orderBy("doc_id")
+    return (
+        r1.unionByName(r2).orderBy("doc_id"),
+        t,
+    ) if _return_table else r1.unionByName(r2).orderBy("doc_id")
+
+
+_COMPACTION_ORACLE = f"""
+    WITH {{sigs}},
+    {{bands}},
+    b0 AS (SELECT DISTINCT band, bkey FROM bands WHERE doc_id % 3 = 0),
+    d1 AS (SELECT doc_id, band, bkey FROM bands WHERE doc_id % 3 = 1),
+    d2 AS (SELECT doc_id, band, bkey FROM bands WHERE doc_id % 3 = 2),
+    h1c AS (SELECT DISTINCT d.doc_id FROM d1 d
+            JOIN b0 c ON c.band = d.band AND c.bkey = d.bkey),
+    m1 AS (SELECT band, bkey, MIN(doc_id) AS m FROM d1 GROUP BY 1, 2),
+    h1i AS (SELECT DISTINCT d.doc_id FROM d1 d
+            JOIN m1 m ON m.band = d.band AND m.bkey = d.bkey
+                     AND d.doc_id > m.m),
+    adm1 AS (SELECT doc_id FROM (SELECT DISTINCT doc_id FROM d1)
+             WHERE doc_id NOT IN (SELECT doc_id FROM h1c)
+               AND doc_id NOT IN (SELECT doc_id FROM h1i)),
+    b1 AS (SELECT band, bkey FROM b0
+           UNION
+           SELECT DISTINCT band, bkey FROM d1
+           WHERE doc_id IN (SELECT doc_id FROM adm1)),
+    h2c AS (SELECT DISTINCT d.doc_id FROM d2 d
+            JOIN b1 c ON c.band = d.band AND c.bkey = d.bkey),
+    m2 AS (SELECT band, bkey, MIN(doc_id) AS m FROM d2 GROUP BY 1, 2),
+    h2i AS (SELECT DISTINCT d.doc_id FROM d2 d
+            JOIN m2 m ON m.band = d.band AND m.bkey = d.bkey
+                     AND d.doc_id > m.m),
+    adm2 AS (SELECT doc_id FROM (SELECT DISTINCT doc_id FROM d2)
+             WHERE doc_id NOT IN (SELECT doc_id FROM h2c)
+               AND doc_id NOT IN (SELECT doc_id FROM h2i)),
+    final_bands AS (SELECT band, bkey FROM b1
+                    UNION
+                    SELECT DISTINCT band, bkey FROM d2
+                    WHERE doc_id IN (SELECT doc_id FROM adm2)),
+    probe AS (SELECT DISTINCT doc_id FROM bands WHERE doc_id % 3 <> 0),
+    hits AS (SELECT DISTINCT b.doc_id
+             FROM bands b JOIN final_bands f
+               ON f.band = b.band AND f.bkey = b.bkey
+             WHERE b.doc_id % 3 <> 0)
+    SELECT p.doc_id,
+           CAST(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS hit_final,
+           CAST((SELECT COUNT(*) FROM final_bands) AS BIGINT)
+             AS idx_band_rows,
+           CAST((SELECT COUNT(*) FROM adm1)
+                + (SELECT COUNT(*) FROM adm2) AS BIGINT) AS idx_doc_rows,
+           CAST(1 AS INT) AS idx_versions
+    FROM probe p LEFT JOIN hits h ON h.doc_id = p.doc_id
+    ORDER BY p.doc_id
+""".format(sigs=_sql_minhash_sigs(), bands=_sql_bands())
+
+
+@register("dedup_index_compaction", oracle=_COMPACTION_ORACLE)
+def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 lifecycle, r13 (VERDICT r12 #4) — the band-index RETENTION
+    story: the incremental gate grows a snapshot version per daily
+    drop forever, so compose the snapshot verbs into its maintenance
+    plan.  Runs the 3-day dedup_incremental_lsh story, then (1)
+    snapshot_compact(dedup=True) rewrites the accumulated index into
+    ONE deduplicated generation with natural partitioning, (2)
+    snapshot_vacuum(keep_last=1) truncates version history and
+    reclaims every pre-compaction data file, and (3) replays a probe
+    of all day-1/day-2 docs against the compacted index — proving
+    compaction changed NO gate-visible set membership (hit_final per
+    doc) while the manifest chain collapsed to one version
+    (idx_versions) holding exactly the distinct band/doc rows
+    (idx_band_rows / idx_doc_rows).
+
+    At 100 TB: compaction is one distinct + rewrite over an index that
+    is bytes per corpus doc (never the corpus), vacuum is manifest
+    arithmetic + file unlinks, and the deduplicated generation keeps
+    the probe join's build side minimal.  Byte-level reclamation and
+    streaming-gate parity are pinned in tests/test_streaming.py."""
+    from specialsid_spark.operators.snapshot import (
+        snapshot_compact,
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_versions,
+    )
+
+    _res, t = dedup_incremental_lsh(spark, sf_dir, _return_table=True)
+    snapshot_compact(spark, t, target_files=None, dedup=True)
+    snapshot_vacuum(t, keep_last=1)
+    n_versions = len(snapshot_versions(t))
+
+    idx = snapshot_read(spark, t)
+    band_rows = idx.filter(F.col("kind") == "band").select("band", "bkey")
+    n_band = band_rows.count()
+    n_doc = idx.filter(F.col("kind") == "doc").count()
+
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    probe_docs = d.filter(F.col("doc_id") % 3 != 0)
+    pb = lsh_band_keys(probe_docs)
+    hits = (
+        pb.join(band_rows, ["band", "bkey"], "left_semi")
+        .select("doc_id").distinct().withColumn("hit", F.lit(1))
+    )
+    return (
+        pb.select("doc_id").distinct()
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("hit", F.lit(0)).cast("int").alias("hit_final"),
+            F.lit(n_band).cast("long").alias("idx_band_rows"),
+            F.lit(n_doc).cast("long").alias("idx_doc_rows"),
+            F.lit(n_versions).cast("int").alias("idx_versions"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(

@@ -817,9 +817,12 @@ def sim_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = str(Path(session_workdir("specialsid_ivfinc_")) / "postings")
     # build: base postings (ids + cells only — the index never stores
-    # vectors), then the incremental add as an append-only version
+    # vectors) committed with NATURAL partitioning (r13, VERDICT r12
+    # #3 — the corpus-sized build must not serialize through one write
+    # task), then the incremental add as an append-only version (the
+    # per-batch append keeps coalesce(1): small-file hygiene)
     snapshot_commit(
-        assign_clusters(base, centroids).select("vec_id", "cid").coalesce(1), t
+        assign_clusters(base, centroids).select("vec_id", "cid"), t
     )
     snapshot_commit(
         assign_clusters(batch, centroids).select("vec_id", "cid").coalesce(1),

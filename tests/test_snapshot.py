@@ -787,3 +787,24 @@ def test_dv_purge_ignores_stale_entries(spark, tmp_path):
     assert got == [*range(10, 50), *range(60, 100), *range(1010, 1100)]
     m = json.load(open(Path(t) / "_manifests" / f"v{v}.json"))
     assert "deletes" not in m
+
+
+def test_multi_file_bootstrap_commit_reads_back_identically(spark, tmp_path):
+    # r13 (VERDICT r12 #3): corpus-sized bootstrap commits write with
+    # NATURAL partitioning — the manifest must carry MULTIPLE data
+    # files per version and read back the exact row multiset, and an
+    # append on top must leave the bootstrap's files untouched
+    t = str(tmp_path / "tbl")
+    assert snapshot_commit(_df(spark, 0, 1000).repartition(8), t) == 1
+    m = json.loads(
+        (Path(t) / "_manifests" / "v1.json").read_text()
+    )
+    assert len(m["files"]) >= 2  # NOT serialized through one task
+    got = sorted(r.id for r in snapshot_read(spark, t, 1).collect())
+    assert got == list(range(1000))
+    # an append commit keeps every bootstrap file and only adds
+    assert snapshot_commit(_df(spark, 1000, 1010), t, mode="append") == 2
+    m2 = json.loads((Path(t) / "_manifests" / "v2.json").read_text())
+    assert set(m["files"]) <= set(m2["files"])
+    got2 = sorted(r.id for r in snapshot_read(spark, t, 2).collect())
+    assert got2 == list(range(1010))

@@ -1444,3 +1444,130 @@ def test_streaming_ann_postings_ingest_matches_batch_assignment(spark, tmp_path)
     streaming_ann_postings_ingest(spark, str(vdir), qt, pt, ckpt).awaitTermination()
     assert snapshot_versions(pt) == before
     assert {(r.vec_id, r.cid) for r in snapshot_read(spark, pt).collect()} == want
+
+
+def test_hop4_index_compaction_vacuum_preserves_gate(spark, tmp_path):
+    """r13 (VERDICT r12 #4): the band-index lifecycle.  The hop4 gate
+    grows a snapshot version per drop forever; after N drops,
+    snapshot_compact(dedup=True) + snapshot_vacuum(keep_last=1) must
+    (a) reclaim bytes, (b) collapse history to one version, (c) leave
+    the gate-visible membership (band set + admitted doc set)
+    bit-identical, and (d) gate the NEXT drop exactly as the batch
+    greedy keep-lowest referee over the full corpus."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from specialsid_spark.operators.snapshot import (
+        snapshot_compact,
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_versions,
+    )
+    from specialsid_spark.queries.dedup import lsh_band_keys
+    from specialsid_spark.streaming.pipeline import (
+        hop3_json_to_clean,
+        hop4_incremental_lsh_gate,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank today",
+        "spark shuffles data between stages when wide dependencies appear in plans",
+        "minhash banding buckets similar documents together with high probability",
+        "completely unrelated text about cooking pasta with garlic and olive oil",
+    ]
+
+    def product(i: int) -> dict:
+        t = base[i % 4]
+        if i >= 8:
+            t = t.replace("the", "a") if i % 2 else t + " extra token"
+        return {
+            "product_name": f"P{i:02d} {t}",
+            "brand": "KOO",
+            "current_price": 9.99,
+            "was_price": None,
+            "weight_volume": "2kg",
+            "unit": "kg",
+            "deal_type": None,
+            "multi_buy_quantity": 1,
+            "bounding_box": [1, 2, 3, 4],
+            "group_id": None,
+            "source_path": "data/pro/json/PnP/Gauteng/1_March_-_3_March_2026/"
+                           f"page_{i}.json",
+        }
+
+    json_dir = tmp_path / "pro_json"
+    json_dir.mkdir()
+    clean_dir = str(tmp_path / "clean")
+    ckpt3 = str(tmp_path / "ckpt3")
+    ckpt4 = str(tmp_path / "ckpt4")
+    index = str(tmp_path / "lsh_index")
+    id_expr = "CAST(regexp_extract(product_name, 'P([0-9]+)', 1) AS BIGINT)"
+    text_expr = "product_name"
+
+    def drop(name, lo, hi):
+        with open(json_dir / name, "w") as fh:
+            for i in range(lo, hi):
+                fh.write(_json.dumps(product(i)) + "\n")
+        hop3_json_to_clean(spark, str(json_dir), clean_dir, ckpt3).awaitTermination()
+        hop4_incremental_lsh_gate(
+            spark, clean_dir, index, ckpt4, id_expr=id_expr, text_expr=text_expr
+        ).awaitTermination()
+
+    def table_bytes() -> int:
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(index)
+            for f in fs
+        )
+
+    def membership():
+        idx = snapshot_read(spark, index)
+        bands = {
+            (r.band, r.bkey)
+            for r in idx.filter(F.col("kind") == "band").collect()
+        }
+        docs = {
+            r.doc_id for r in idx.filter(F.col("kind") == "doc").collect()
+        }
+        return bands, docs
+
+    drop("b1.json", 0, 8)
+    drop("b2.json", 8, 16)
+    assert len(snapshot_versions(index)) >= 2  # one version per drop
+    bands_before, docs_before = membership()
+    bytes_before = table_bytes()
+
+    snapshot_compact(spark, index, target_files=None, dedup=True)
+    removed = snapshot_vacuum(index, keep_last=1)
+    assert removed  # pre-compaction data files really reclaimed
+    assert len(snapshot_versions(index)) == 1  # history truncated
+    assert table_bytes() < bytes_before  # bytes reclaimed on disk
+    assert membership() == (bands_before, docs_before)  # gate-identical
+
+    # the NEXT drop gates correctly against the compacted index
+    drop("b3.json", 16, 24)
+    _, kept_stream = membership()
+    docs = (
+        spark.read.parquet(clean_dir)
+        .selectExpr(f"{id_expr} AS doc_id", f"{text_expr} AS text")
+        .distinct()
+    )
+    bands = lsh_band_keys(docs)
+    dup_b = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    kept_batch = {
+        r.doc_id
+        for r in docs.select("doc_id").join(dup_b, "doc_id", "left_anti").collect()
+    }
+    assert kept_stream == kept_batch
