@@ -188,6 +188,12 @@ HEADLINE = [
     "sim_ivf_incremental_add",
     # the composed daily-ingest manifest (gate -> shard rollup)
     "pipeline_daily_ingest",
+    # r13: trained char-trigram langid (held-out confusion), the PDF
+    # door's daily ingest (build/extract/gates/LSH/shard in one plan),
+    # and the band-index compact+vacuum lifecycle replay
+    "text_langid_trained",
+    "pipeline_pdf_daily_ingest",
+    "dedup_index_compaction",
 ]
 
 

@@ -2453,3 +2453,216 @@ def pipeline_daily_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# the PDF daily-ingest door: doc_id cap (the per-run codec budget —
+# PDF build/extract is pure-Python mapInPandas, same cap discipline as
+# queries/multimodal.py's _N_CODEC_DOCS) and the gate thresholds
+_PDI_N = 64
+_PDI_MIN_TOKENS = 15
+_PDI_MIN_QUALITY = 520000  # 1e6 * distinct_tokens DIV tokens
+_PDI_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com from 10.0.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.1'"
+)
+
+
+def _pdi_oracle() -> str:
+    from specialsid_spark.queries.curation import _PII_EMAIL, _PII_IPV4
+
+    sigs_pdfu = _sql_minhash_sigs().replace("FROM documents", "FROM pdfu")
+    return f"""
+    WITH pre AS (
+      SELECT doc_id,
+             substr(text, 1, 240)
+             || CASE WHEN doc_id % 5 = 0 THEN {_PDI_PII_SUFFIX_SQL}
+                ELSE '' END AS text
+      FROM documents WHERE doc_id < {_PDI_N} AND doc_id % 3 = 1
+    ),
+    gatef AS (
+      SELECT doc_id, text,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM pre
+    ),
+    gated AS (
+      SELECT doc_id, text FROM gatef
+      WHERE len(toks) >= {_PDI_MIN_TOKENS}
+        AND (1000000 * len(list_distinct(toks))) // len(toks)
+              >= {_PDI_MIN_QUALITY}
+        AND len(regexp_extract_all(text, '{_PII_EMAIL}')) = 0
+        AND len(regexp_extract_all(text, '{_PII_IPV4}')) = 0
+        AND len(list_filter(toks, t -> t IN ('the','and','of')))
+              >= len(list_filter(toks, t -> t IN ('el','la','de')))
+        AND len(list_filter(toks, t -> t IN ('the','and','of')))
+              >= len(list_filter(toks, t -> t IN ('le','la','et')))
+        AND len(list_filter(toks, t -> t IN ('the','and','of')))
+              >= len(list_filter(toks, t -> t IN ('der','die','und')))
+    ),
+    pdfu AS (
+      SELECT doc_id, substr(text, 1, 240) AS text FROM documents
+      WHERE doc_id < {_PDI_N} AND doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, text FROM gated
+    ),
+    {sigs_pdfu},
+    {_sql_bands()},
+    b0 AS (SELECT DISTINCT band, bkey FROM bands WHERE doc_id % 3 = 0),
+    d1 AS (SELECT doc_id, band, bkey FROM bands WHERE doc_id % 3 = 1),
+    h1c AS (SELECT DISTINCT d.doc_id FROM d1 d
+            JOIN b0 c ON c.band = d.band AND c.bkey = d.bkey),
+    m1 AS (SELECT band, bkey, MIN(doc_id) AS m FROM d1 GROUP BY 1, 2),
+    h1i AS (SELECT DISTINCT d.doc_id FROM d1 d
+            JOIN m1 m ON m.band = d.band AND m.bkey = d.bkey
+                     AND d.doc_id > m.m),
+    adm AS (
+      SELECT doc_id FROM (SELECT DISTINCT doc_id FROM d1) d
+      WHERE doc_id NOT IN (SELECT doc_id FROM h1c)
+        AND doc_id NOT IN (SELECT doc_id FROM h1i)
+    ),
+    sharded AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':epoch:1'),
+                                1, 8))::BIGINT % 8 AS shard
+      FROM adm
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_admitted,
+           CAST(SUM(doc_id % 1000000007) % 1000000007 AS BIGINT) AS id_sum
+    FROM sharded
+    GROUP BY shard
+    ORDER BY shard
+    """
+
+
+@register("pipeline_pdf_daily_ingest", oracle=_pdi_oracle())
+def pipeline_pdf_daily_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 composition (VERDICT r12 #6) — the MULTIMODAL door's daily
+    ingest, end-to-end in one plan: today's drop arrives as PDFs (built
+    in-run from the fixture text via operators/pdf.py build_text_pdf —
+    two 120-char pages per doc, with deterministic PII planted in every
+    5th doc's page 2, so the PII travels THROUGH the PDF), then
+
+      raw PDFs -> explode_pdf_text (mapInPandas content-stream
+      extraction) -> per-doc reassembly (pages in order) ->
+      quality gate (>= 15 tokens AND lexical diversity >= 0.52) ->
+      language gate (stopword vote == en) ->
+      PII gate (reject docs matching the email/IPv4 regexes —
+      cur_pii_scrub's patterns as a REJECT policy) ->
+      incremental LSH gate against the prior corpus's band index
+      (doc_id %% 3 == 0 prefix corpus, same door on prior days) ->
+      deterministic epoch-shard manifest (md5 %% 8).
+
+    The oracle restates the extracted text as substr(text, 1, 240) ||
+    planted-PII — valid because explode_pdf_text's round trip is
+    byte-exact (proven by the mm_pdf text queries) — then runs the
+    same gates, banding, and shard rollup in DuckDB, so a single byte
+    lost anywhere in the PDF build/extract/gate/LSH/shard chain flips
+    the hash.
+
+    Scale shape: PDF build+extract are per-row-independent mapInPandas
+    (no shuffle); the gates are one codegen'd filter projection; band
+    probes shuffle only the gated drop's band keys against the
+    bucketable index; the manifest is an 8-row map-side-combined
+    aggregate.  The per-run doc cap (_PDI_N) is the codec-budget
+    discipline, not a scalability limit — at 100 TB each partition
+    extracts its own PDFs independently."""
+    import pandas as pd  # noqa: PLC0415
+
+    from specialsid_spark.operators.multimodal import explode_pdf_text
+    from specialsid_spark.operators.pdf import build_text_pdf
+    from specialsid_spark.queries.curation import _PII_EMAIL, _PII_IPV4
+
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    d64 = d.filter(F.col("doc_id") < _PDI_N)
+    drop = d64.filter(F.col("doc_id") % 3 == 1)
+
+    def build(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                p1, p2 = text[:120], text[120:240]
+                if doc_id % 5 == 0:
+                    p2 += " contact user%d@example.com from 10.0.%d.1" % (
+                        doc_id, doc_id % 256,
+                    )
+                ids.append(doc_id)
+                blobs.append(build_text_pdf([p1, p2]))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "blob": blobs}
+            )
+
+    pdfs = drop.mapInPandas(build, "doc_id long, blob binary")
+    ext = (
+        explode_pdf_text(pdfs)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(page_no, page_text))), x -> x.page_text)"
+                ),
+                "",
+            ).alias("text")
+        )
+    )
+    votes = {
+        lang: f"size(filter(toks, t -> t IN ({marks})))"
+        for lang, marks in (
+            ("en", "'the','and','of'"),
+            ("es", "'el','la','de'"),
+            ("fr", "'le','la','et'"),
+            ("de", "'der','die','und'"),
+        )
+    }
+    gated = (
+        ext.select("doc_id", "text", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= _PDI_MIN_TOKENS)
+        .filter(
+            F.expr(
+                "(1000000 * CAST(size(array_distinct(toks)) AS BIGINT))"
+                " div CAST(size(toks) AS BIGINT)"
+            )
+            >= _PDI_MIN_QUALITY
+        )
+        .filter(F.regexp_count("text", F.lit(_PII_EMAIL)) == 0)
+        .filter(F.regexp_count("text", F.lit(_PII_IPV4)) == 0)
+        .filter(F.expr(f"{votes['en']} >= {votes['es']}"))
+        .filter(F.expr(f"{votes['en']} >= {votes['fr']}"))
+        .filter(F.expr(f"{votes['en']} >= {votes['de']}"))
+        .select("doc_id", "text")
+    )
+    corpus = d64.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.substring("text", 1, 240).alias("text")
+    )
+    corpus_idx = lsh_band_keys(corpus).select("band", "bkey").distinct()
+    bb = lsh_band_keys(gated).localCheckpoint(eager=True)
+    hitc = bb.join(corpus_idx, ["band", "bkey"], "left_semi").select("doc_id")
+    mins = bb.groupBy("band", "bkey").agg(F.min("doc_id").alias("m"))
+    hiti = (
+        bb.join(mins, ["band", "bkey"])
+        .filter(F.col("doc_id") > F.col("m"))
+        .select("doc_id")
+    )
+    adm = (
+        bb.select("doc_id")
+        .distinct()
+        .join(hitc.distinct(), "doc_id", "left_anti")
+        .join(hiti.distinct(), "doc_id", "left_anti")
+    )
+    hx = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch:1")))
+    sharded = adm.select(
+        "doc_id",
+        (F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % 8).alias("shard"),
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_admitted"),
+            (F.sum(F.col("doc_id") % 1000000007) % 1000000007)
+            .cast("long")
+            .alias("id_sum"),
+        )
+        .orderBy("shard")
+    )

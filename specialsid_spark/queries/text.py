@@ -1095,6 +1095,188 @@ def text_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# character trigrams of lower(trim(text)) — the fastText-style feature
+# space for the TRAINED langid below; each dialect spells the same
+# 1-indexed substr(s, i, 3) enumeration
+_LID_TRIS_DUCK = """
+    list_transform(range(1, len(lower(trim(text))) - 1),
+                   i -> substr(lower(trim(text)), CAST(i AS INT), 3))
+"""
+_LID_TRIS_SPARK = (
+    "CASE WHEN length(lower(trim(text))) >= 3 THEN"
+    " transform(sequence(1, length(lower(trim(text))) - 2),"
+    " i -> substring(lower(trim(text)), i, 3))"
+    " ELSE array() END"
+)
+
+
+@register(
+    "text_langid_trained",
+    oracle=f"""
+    WITH tr AS MATERIALIZED (
+      SELECT doc_id, lang, unnest({_LID_TRIS_DUCK}) AS tri
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    te AS MATERIALIZED (
+      SELECT doc_id, lang, unnest({_LID_TRIS_DUCK}) AS tri
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    v AS (SELECT COUNT(DISTINCT tri) AS v FROM tr),
+    nd AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 5 <> 0),
+    cls AS MATERIALIZED (
+      SELECT lang AS c_lang, COUNT(*) AS tot FROM tr GROUP BY 1
+    ),
+    prior AS MATERIALIZED (
+      SELECT lang AS c_lang,
+             CAST(floor(ln(CAST(COUNT(*) AS DOUBLE) / CAST(nd.n AS DOUBLE))
+                        * 1000000) AS BIGINT) AS prior_mu
+      FROM documents CROSS JOIN nd
+      WHERE doc_id % 5 <> 0 GROUP BY lang, nd.n
+    ),
+    lp AS MATERIALIZED (
+      SELECT tr.lang AS c_lang, tr.tri,
+             CAST(floor(ln(CAST(COUNT(*) + 1 AS DOUBLE)
+                           / CAST(cls.tot + v.v AS DOUBLE)) * 1000000) AS BIGINT)
+               AS lp_mu
+      FROM tr JOIN cls ON cls.c_lang = tr.lang CROSS JOIN v
+      GROUP BY tr.lang, tr.tri, cls.tot, v.v
+    ),
+    unseen AS MATERIALIZED (
+      SELECT c_lang,
+             CAST(floor(ln(1.0 / CAST(cls.tot + v.v AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS unseen_mu
+      FROM cls CROSS JOIN v
+    ),
+    lk AS MATERIALIZED (
+      SELECT te.doc_id, te.lang AS actual, u.c_lang,
+             SUM(COALESCE(lp.lp_mu, u.unseen_mu)) AS like_mu
+      FROM te CROSS JOIN unseen u
+      LEFT JOIN lp ON lp.c_lang = u.c_lang AND lp.tri = te.tri
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT l.doc_id, l.actual, l.c_lang,
+             row_number() OVER (PARTITION BY l.doc_id
+                                ORDER BY l.like_mu + p.prior_mu DESC, l.c_lang)
+               AS rn
+      FROM lk l JOIN prior p ON p.c_lang = l.c_lang
+    )
+    SELECT actual, c_lang AS predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM scored WHERE rn = 1
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4, r13 (VERDICT r12 #5) — TRAINED in-engine language ID, the
+    CCNet pipeline's fastText role: multinomial Naive Bayes over
+    CHARACTER TRIGRAM features (not word tokens — the signature of
+    fastText-style langid, robust to unseen words), trained on the
+    corpus's declared ``lang`` labels over the doc_id %% 5 != 0 split
+    and evaluated as a confusion matrix on the HELD-OUT %% 5 == 0
+    split — a genuine generalization measurement, unlike
+    text_naive_bayes_confusion which scores its own training set.
+
+    Measured at sf0.01 (500 docs, 100 held out): trained trigram NB
+    held-out accuracy 0.28; text_langid_heuristic on the same held-out
+    docs 0.41 — exactly the majority-class share (its en-first
+    tie-break degenerates to "always en" on this corpus).  The
+    synthetic corpus draws every lang's text from ONE shared
+    vocabulary, i.e. the declared labels are independent of the text,
+    so no classifier can beat chance and a 45k-feature model scoring
+    below the majority baseline is the textbook overfit-on-noise
+    outcome.  The deliverable is the measurement machinery itself —
+    held-out split, char-trigram features, smoothed log-probs, argmax,
+    confusion — which on real multilingual text is the production
+    shape CCNet gates on.
+
+    Determinism: identical to text_naive_bayes_confusion — the only
+    float op is floor(ln(ratio)*1e6) per (trigram, class) TYPE, scores
+    are exact int64 micro-nat sums, argmax ties break by class name.
+
+    Scale shape: training is two vocabulary-bounded aggregates;
+    scoring explodes only the held-out split and joins on
+    (class, trigram); the 5-row class tables broadcast; the exploded
+    train projection is localCheckpointed once (multi-consumer
+    lesson).  At 100 TB the trigram vocabulary is alphabet-bounded
+    (not corpus-bounded), so the model table stays tiny."""
+    d = load_parallel(spark, sf_dir, "documents")
+    tris = F.expr(_LID_TRIS_SPARK)
+    tr = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select("doc_id", "lang", F.explode(tris).alias("tri"))
+        .localCheckpoint(eager=True)
+    )
+    te = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "lang", F.explode(tris).alias("tri"))
+    )
+    v = tr.select("tri").distinct().count()
+    n_train = d.filter(F.col("doc_id") % 5 != 0).count()
+    cls = tr.groupBy(F.col("lang").alias("c_lang")).agg(
+        F.count(F.lit(1)).alias("tot")
+    )
+    prior = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .groupBy(F.col("lang").alias("c_lang"))
+        .agg(
+            F.floor(
+                F.log(
+                    F.count(F.lit(1)).cast("double") / F.lit(float(n_train))
+                )
+                * F.lit(1000000)
+            )
+            .cast("long")
+            .alias("prior_mu")
+        )
+    )
+    lp = (
+        tr.groupBy(F.col("lang").alias("c_lang"), "tri")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(cls, "c_lang")
+        .select(
+            "c_lang",
+            "tri",
+            F.floor(
+                F.log(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("tot") + F.lit(v)).cast("double")
+                )
+                * F.lit(1000000)
+            )
+            .cast("long")
+            .alias("lp_mu"),
+        )
+    )
+    unseen = cls.select(
+        "c_lang",
+        F.floor(
+            F.log(F.lit(1.0) / (F.col("tot") + F.lit(v)).cast("double"))
+            * F.lit(1000000)
+        )
+        .cast("long")
+        .alias("unseen_mu"),
+    )
+    lk = (
+        te.crossJoin(F.broadcast(unseen))
+        .join(lp, ["c_lang", "tri"], "left")
+        .groupBy("doc_id", F.col("lang").alias("actual"), "c_lang")
+        .agg(F.sum(F.coalesce("lp_mu", "unseen_mu")).alias("like_mu"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("like_mu") + F.col("prior_mu")).desc(), F.col("c_lang")
+    )
+    pred = (
+        lk.join(F.broadcast(prior), "c_lang")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return (
+        pred.groupBy("actual", F.col("c_lang").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )
+
+
 @register(
     "text_inverted_index",
     # Build the postings: per term — document frequency, collection

@@ -612,3 +612,35 @@ def test_daily_ingest_pipeline_has_no_single_partition(spark, qs):
     p = plan_of(spark, qs["pipeline_daily_ingest"](spark, SF_DIR))
     assert "SinglePartition" not in p
     assert "partial_count" in p or "partial_sum" in p
+
+
+def test_pdf_daily_ingest_has_no_single_partition(spark, qs):
+    """r13: the PDF door's daily ingest — build/extract (mapInPandas,
+    per-row independent), gates (one codegen'd filter), LSH probe, and
+    the 8-row shard manifest — must partial-aggregate map-side and
+    never funnel the corpus through one partition."""
+    p = plan_of(spark, qs["pipeline_pdf_daily_ingest"](spark, SF_DIR))
+    assert "SinglePartition" not in p
+    assert "partial_count" in p or "partial_sum" in p
+    # the LSH probe is a semi join on band keys, same kernel as r12
+    assert "LeftSemi" in p
+
+
+def test_langid_trained_broadcasts_model_tables(spark, qs):
+    """r13: trained langid scoring joins the exploded held-out
+    trigrams against the per-(class, trigram) log-prob table; the
+    5-row class/prior/unseen tables broadcast, and nothing in train or
+    score funnels through a single partition."""
+    p = plan_of(spark, qs["text_langid_trained"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SinglePartition" not in p
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_index_compaction_replay_probe_is_semi_join(spark, qs):
+    """r13: the post-compaction replay probe is the same band-key
+    LEFT SEMI kernel; the compacted index never rejoins corpus text
+    and the confusion rollup has no SinglePartition exchange."""
+    p = plan_of(spark, qs["dedup_index_compaction"](spark, SF_DIR))
+    assert "LeftSemi" in p
+    assert "SinglePartition" not in p
