@@ -194,6 +194,9 @@ HEADLINE = [
     "text_langid_trained",
     "pipeline_pdf_daily_ingest",
     "dedup_index_compaction",
+    # r13: NFKC + Cf-strip unicode cleanup (the pre-tokenization pass;
+    # declared Arrow-batched Python path — Spark has no built-in NFKC)
+    "cur_unicode_normalize",
 ]
 
 

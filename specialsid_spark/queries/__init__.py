@@ -78,6 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_langid_trained",
     "pipeline_pdf_daily_ingest",
     "dedup_index_compaction",
+    "cur_unicode_normalize",
     # the six r12-new operators, second driver sample (VERDICT r12 #7)
     "dedup_incremental_lsh",
     "dedup_cluster_representatives",

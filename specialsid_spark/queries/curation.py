@@ -10,6 +10,8 @@ hashes, not engine hashes, drive every decision).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must
+# resolve in module globals under `from __future__ import annotations`
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2308,4 +2310,94 @@ def cur_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.when(F.col("n") >= 3, fim).otherwise(F.array_join("toks", " "))
         ).alias("fim_md5"),
+    ).orderBy("doc_id")
+
+
+# Unicode-normalization fixtures (r13): the synthetic corpus is pure
+# ASCII (NFKC-invariant), so the fixture plants NFKC-divergent suffixes
+# — ligatures, fullwidth forms, a combining accent, a zero-width Cf
+# char, NBSP, a vulgar fraction, a superscript — whose normalized
+# forms are HAND-DERIVED from the Unicode data tables (the spec-fixture
+# discipline: the oracle pins expected outputs, it never runs a
+# normalizer).  in/out pairs verified against unicodedata 15.x.
+_UNI_RAW = (
+    " \ufb01nal \ufb02ight",            # fi/fl ligatures
+    " \uff38\uff11\uff12\uff13 \u339e",  # fullwidth X123, SQUARE KM
+    " cafe\u0301 zero\u200bwidth",      # combining acute + ZWSP (Cf)
+    " \u00bd\u00a0dozen \u2075",       # 1/2 vulgar, NBSP, superscript 5
+)
+_UNI_NORM = (
+    " final flight",
+    " X123 km",
+    " caf\u00e9 zerowidth",
+    " 1\u20442 dozen 5",                 # U+2044 FRACTION SLASH
+)
+
+
+@register(
+    "cur_unicode_normalize",
+    oracle=f"""
+    SELECT doc_id,
+           md5(text || CASE doc_id % 4
+                 WHEN 0 THEN '{_UNI_NORM[0]}'
+                 WHEN 1 THEN '{_UNI_NORM[1]}'
+                 WHEN 2 THEN '{_UNI_NORM[2]}'
+                 ELSE '{_UNI_NORM[3]}' END) AS norm_md5,
+           CAST(length(text || CASE doc_id % 4
+                 WHEN 0 THEN '{_UNI_RAW[0]}'
+                 WHEN 1 THEN '{_UNI_RAW[1]}'
+                 WHEN 2 THEN '{_UNI_RAW[2]}'
+                 ELSE '{_UNI_RAW[3]}' END) AS INT) AS n_in_chars,
+           CAST(length(text || CASE doc_id % 4
+                 WHEN 0 THEN '{_UNI_NORM[0]}'
+                 WHEN 1 THEN '{_UNI_NORM[1]}'
+                 WHEN 2 THEN '{_UNI_NORM[2]}'
+                 ELSE '{_UNI_NORM[3]}' END) AS INT) AS n_out_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def cur_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4, r13 — Unicode normalization, the cleanup pass every
+    real-world curation pipeline runs BEFORE tokenization/dedup (the
+    same byte sequence must fingerprint identically whether the crawl
+    delivered ligatures, fullwidth forms, or combining sequences):
+    NFKC-normalize, then strip format characters (category Cf:
+    zero-width space/joiners, BOM).  Spark has no built-in NFKC, so
+    this is a declared Python path — one Arrow-batched pandas_udf,
+    per-row independent, no shuffle before the final sort (UDFs are
+    the slow path, but a correctness-critical one with no JVM
+    equivalent; at 100 TB it pipelines inside the scan stage).
+
+    The oracle never runs a normalizer: the planted suffixes'
+    normalized forms are hand-derived from the Unicode tables
+    (UAX #15 / the UCD compatibility mappings), and the ASCII corpus
+    text is NFKC-invariant by construction — so both the md5 and the
+    code-point counts pin the implementation against the spec, not
+    against itself."""
+    @F.pandas_udf("string")
+    def nfkc_clean(s: pd.Series) -> pd.Series:
+        import unicodedata as u  # noqa: PLC0415
+
+        def f(x: str) -> str:
+            n = u.normalize("NFKC", x)
+            return "".join(ch for ch in n if u.category(ch) != "Cf")
+
+        return s.map(f)
+
+    d = load_parallel(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 0, _UNI_RAW[0])
+        .when(F.col("doc_id") % 4 == 1, _UNI_RAW[1])
+        .when(F.col("doc_id") % 4 == 2, _UNI_RAW[2])
+        .otherwise(_UNI_RAW[3])
+    )
+    aug = d.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("atext")
+    )
+    return aug.select(
+        "doc_id",
+        F.md5(nfkc_clean("atext").cast("binary")).alias("norm_md5"),
+        F.length("atext").cast("int").alias("n_in_chars"),
+        F.length(nfkc_clean("atext")).cast("int").alias("n_out_chars"),
     ).orderBy("doc_id")
