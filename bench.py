@@ -197,6 +197,14 @@ HEADLINE = [
     # r13: NFKC + Cf-strip unicode cleanup (the pre-tokenization pass;
     # declared Arrow-batched Python path — Spark has no built-in NFKC)
     "cur_unicode_normalize",
+    # r13 wave 2: the SimHash twin of the persisted-index daily gate
+    # (radius-verified probes against three accumulated generations),
+    # the ROC gate-calibration sweep, and the per-language tokenizer
+    # fertility rollup — all corpus-scale single-pass dataflows.  The
+    # snapshot RESTORE row stays excluded (fixture-IO, manifest verbs).
+    "dedup_incremental_simhash",
+    "cur_quality_roc_sweep",
+    "cur_tokenizer_fertility",
 ]
 
 

@@ -52,7 +52,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # query's newest row predates r7); then this round's brand-new queries;
 # then the six r12-new operators once more (one green row each — a
 # second sample makes the ledger robust to fixture drift); then the
-# first ~26 of the 49-query r7-stale cohort in registration order (the
+# first ~24 of the 49-query r7-stale cohort in registration order (the
 # tail rolls to r14's head).  Everything listed passes
 # tools/check_oracle.py exact-multiset at sf0.01 this session, and the
 # whole registry passes tests/test_oracle_types.py's bind-time type
@@ -79,6 +79,10 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_pdf_daily_ingest",
     "dedup_index_compaction",
     "cur_unicode_normalize",
+    "dedup_incremental_simhash",
+    "cur_quality_roc_sweep",
+    "cur_tokenizer_fertility",
+    "clean_snapshot_restore_rows",
     # the six r12-new operators, second driver sample (VERDICT r12 #7)
     "dedup_incremental_lsh",
     "dedup_cluster_representatives",
@@ -111,8 +115,6 @@ _PRIORITY: tuple[str, ...] = (
     "win_running_total",
     "win_ntile_acctbal",
     "win_value_functions",
-    "sort_topn_orders",
-    "sort_multi_col",
 )
 
 

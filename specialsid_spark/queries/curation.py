@@ -2401,3 +2401,200 @@ def cur_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("atext").cast("int").alias("n_in_chars"),
         F.length(nfkc_clean("atext")).cast("int").alias("n_out_chars"),
     ).orderBy("doc_id")
+
+
+@register(
+    "cur_quality_roc_sweep",
+    # The oracle restates the sweep: score = English stopword hits in
+    # the token stream, label = the declared lang, thresholds = every
+    # OBSERVED score value (predict en iff score >= t); counts come
+    # from one cumulative window over the per-score histogram.
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+      FROM documents
+    ),
+    scored AS (
+      SELECT len(list_filter(toks,
+                 x -> x IN ('the','and','of','to','in','is'))) AS score,
+             label
+      FROM t
+    ),
+    hist AS (
+      SELECT score,
+             SUM(label) AS pos,
+             COUNT(*) - SUM(label) AS neg
+      FROM scored GROUP BY score
+    ),
+    tot AS (SELECT SUM(pos) AS p, SUM(neg) AS n FROM hist),
+    cum AS (
+      SELECT score,
+             SUM(pos) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             SUM(neg) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+      FROM hist
+    )
+    SELECT CAST(score AS BIGINT) AS threshold,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           CAST(p - tp AS BIGINT) AS fn,
+           CAST(n - fp AS BIGINT) AS tn,
+           CAST((1000 * tp) // p AS BIGINT) AS tpr_permille,
+           CAST((1000 * fp) // n AS BIGINT) AS fpr_permille
+    FROM cum, tot
+    ORDER BY threshold
+    """,
+)
+def cur_quality_roc_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/curation, r13 — gate-threshold calibration as a dataflow: the
+    full ROC sweep of a CHEAP quality/langid signal (English stopword
+    hits per document) against the corpus's declared labels, one row
+    per observed score value with exact integer confusion counts
+    (predict positive iff score >= threshold).  This is the operation
+    that turns "we have a cheap scorer" into "we gate at t because the
+    measured FPR there is x" — every curation pipeline runs it before
+    trusting a gate, and re-runs it whenever the corpus mix drifts.
+
+    Scale shape: ONE corpus pass builds the per-score histogram with a
+    map-side-combining groupBy (shuffle carries |distinct scores|
+    partials, bounded by max doc length, NOT corpus rows); the
+    cumulative window then runs over that summary-sized histogram —
+    the unpartitioned window is deliberate and safe for the same
+    reason the sketch queries' merge steps are (input is the
+    histogram, never the corpus; same discipline as
+    agg_qdigest_quantiles' subtree cut).  Integer permille ratios — no
+    float in the verdict."""
+    d = load_parallel(spark, sf_dir, "documents")
+    scored = d.select(
+        F.expr(
+            "size(filter(split(lower(trim(text)), '\\\\s+'),"
+            " x -> x IN ('the','and','of','to','in','is')))"
+        ).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    hist = scored.groupBy("score").agg(
+        F.sum("label").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("label")).alias("neg"),
+    )
+    tot = hist.agg(
+        F.sum("pos").alias("p"), F.sum("neg").alias("n")
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "score",
+        F.sum("pos").over(w).alias("tp"),
+        F.sum("neg").over(w).alias("fp"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("score").cast("long").alias("threshold"),
+            F.col("tp").cast("long").alias("tp"),
+            F.col("fp").cast("long").alias("fp"),
+            (F.col("p") - F.col("tp")).cast("long").alias("fn"),
+            (F.col("n") - F.col("fp")).cast("long").alias("tn"),
+            F.expr("(1000 * tp) DIV p").cast("long").alias("tpr_permille"),
+            F.expr("(1000 * fp) DIV n").cast("long").alias("fpr_permille"),
+        )
+        .orderBy("threshold")
+    )
+
+
+@register(
+    "cur_tokenizer_fertility",
+    # The oracle restates the per-language rollup: pieces = the GPT-2
+    # style pre-tokenizer regex (runs of letters | runs of digits |
+    # single other non-space), words = whitespace tokens, bytes =
+    # octet length; fertility = integer permille ratios.
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS pieces,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS words,
+             strlen(text) AS bytes
+      FROM documents
+    ),
+    g AS (
+      SELECT lang,
+             COUNT(*) AS n_docs,
+             SUM(pieces) AS n_pieces,
+             SUM(words) AS n_words,
+             SUM(bytes) AS n_bytes
+      FROM t GROUP BY lang
+    )
+    SELECT lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_pieces AS BIGINT) AS n_pieces,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN n_bytes = 0 THEN -1
+                ELSE (1000 * n_pieces) // n_bytes END AS BIGINT)
+             AS pieces_per_kb,
+           CAST(CASE WHEN n_words = 0 THEN -1
+                ELSE (1000 * n_pieces) // n_words END AS BIGINT)
+             AS pieces_per_kword
+    FROM g
+    ORDER BY lang
+    """,
+)
+def cur_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/curation, r13 — tokenizer FERTILITY by language: how many
+    pre-tokenizer pieces the corpus costs per kilobyte and per
+    thousand whitespace words, grouped by the declared language.  This
+    is the metric multilingual curation actually budgets with — a
+    letter-run tokenizer explodes CJK text into per-character pieces
+    (tests/test_curation_metrics.py pins the zh >> en ordering on real
+    Chinese text; the FIXTURE corpus's declared labels are
+    text-independent ASCII, same honesty note as text_langid_trained),
+    so shard token budgets, mixture weights, and cost-per-language
+    estimates all key off this table; re-measured whenever the
+    tokenizer or the corpus mix changes.  Reuses text_bpe_token_count's
+    GPT-2-style regex so the two views of "token cost" stay consistent.
+
+    Scale shape: ONE corpus pass, all JVM-side regexp, map-side
+    combining groupBy on lang — the shuffle carries |langs| partial
+    sums, not documents.  Integer permille ratios; zero denominators
+    pinned to -1 rather than erroring (empty-language guard)."""
+    return fertility_rollup(load_parallel(spark, sf_dir, "documents"))
+
+
+def fertility_rollup(d: DataFrame) -> DataFrame:
+    """The fertility rollup over any (lang, text) frame — factored so
+    tests can drive it with real multilingual text."""
+    t = d.select(
+        "lang",
+        F.size(
+            F.regexp_extract_all(
+                F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+            )
+        ).alias("pieces"),
+        F.size(tokens("text")).alias("words"),
+        F.octet_length("text").alias("bytes"),
+    )
+    g = t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("pieces").cast("long").alias("n_pieces"),
+        F.sum("words").cast("long").alias("n_words"),
+        F.sum("bytes").cast("long").alias("n_bytes"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_pieces",
+        "n_words",
+        "n_bytes",
+        F.expr(
+            "CASE WHEN n_bytes = 0 THEN -1"
+            " ELSE (1000 * n_pieces) DIV n_bytes END"
+        ).cast("long").alias("pieces_per_kb"),
+        F.expr(
+            "CASE WHEN n_words = 0 THEN -1"
+            " ELSE (1000 * n_pieces) DIV n_words END"
+        ).cast("long").alias("pieces_per_kword"),
+    ).orderBy("lang")

@@ -2666,3 +2666,215 @@ def pipeline_pdf_daily_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def _sh_ham(a: str, b: str) -> str:
+    """DuckDB 4-block Hamming distance between probe aliases."""
+    return " + ".join(
+        f"bit_count(xor({a}.blk{i}, {b}.blk{i}))" for i in range(4)
+    )
+
+
+@register(
+    "dedup_incremental_simhash",
+    # The oracle restates the 3-day SimHash gate story: day-0 probes
+    # (4 per doc, each carrying the FULL 128-bit signature) bootstrap
+    # the index, day-1 probes it with radius-3 verification and
+    # appends its admitted docs' probes, day-2 probes the ACCUMULATED
+    # index.  Pigeonhole makes the block-key join EXACT for radius 3:
+    # 3 flipped bits across 4 disjoint 32-bit blocks leave >= 1 block
+    # untouched, so no qualifying pair is missed.
+    oracle=f"""
+    WITH {_sql_simhash_block_sigs(32)},
+    probes AS (
+      SELECT doc_id, 0 AS band, blk0 AS v, blk0, blk1, blk2, blk3 FROM sigs
+      UNION ALL SELECT doc_id, 1, blk1, blk0, blk1, blk2, blk3 FROM sigs
+      UNION ALL SELECT doc_id, 2, blk2, blk0, blk1, blk2, blk3 FROM sigs
+      UNION ALL SELECT doc_id, 3, blk3, blk0, blk1, blk2, blk3 FROM sigs
+    ),
+    p0 AS (SELECT * FROM probes WHERE doc_id % 3 = 0),
+    p1 AS (SELECT * FROM probes WHERE doc_id % 3 = 1),
+    p2 AS (SELECT * FROM probes WHERE doc_id % 3 = 2),
+    h1c AS (SELECT DISTINCT d.doc_id FROM p1 d JOIN p0 c
+            ON c.band = d.band AND c.v = d.v
+            WHERE {_sh_ham("d", "c")} <= 3),
+    h1i AS (SELECT DISTINCT a.doc_id FROM p1 a JOIN p1 b
+            ON a.band = b.band AND a.v = b.v AND a.doc_id > b.doc_id
+            WHERE {_sh_ham("a", "b")} <= 3),
+    r1 AS (SELECT d.doc_id,
+                  CASE WHEN hc.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                    AS hit_corpus,
+                  CASE WHEN hi.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                    AS hit_intra
+           FROM (SELECT DISTINCT doc_id FROM p1) d
+           LEFT JOIN h1c hc ON hc.doc_id = d.doc_id
+           LEFT JOIN h1i hi ON hi.doc_id = d.doc_id),
+    i1 AS (SELECT band, v, blk0, blk1, blk2, blk3 FROM p0
+           UNION
+           SELECT band, v, blk0, blk1, blk2, blk3 FROM p1
+           WHERE doc_id IN (SELECT doc_id FROM r1
+                            WHERE hit_corpus = 0 AND hit_intra = 0)),
+    h2c AS (SELECT DISTINCT d.doc_id FROM p2 d JOIN i1 c
+            ON c.band = d.band AND c.v = d.v
+            WHERE {_sh_ham("d", "c")} <= 3),
+    h2i AS (SELECT DISTINCT a.doc_id FROM p2 a JOIN p2 b
+            ON a.band = b.band AND a.v = b.v AND a.doc_id > b.doc_id
+            WHERE {_sh_ham("a", "b")} <= 3),
+    r2 AS (SELECT d.doc_id,
+                  CASE WHEN hc.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                    AS hit_corpus,
+                  CASE WHEN hi.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                    AS hit_intra
+           FROM (SELECT DISTINCT doc_id FROM p2) d
+           LEFT JOIN h2c hc ON hc.doc_id = d.doc_id
+           LEFT JOIN h2i hi ON hi.doc_id = d.doc_id)
+    SELECT doc_id, day,
+           CAST(hit_corpus AS INT) AS hit_corpus,
+           CAST(hit_intra AS INT) AS hit_intra,
+           CAST(CASE WHEN hit_corpus = 0 AND hit_intra = 0
+                THEN 1 ELSE 0 END AS INT) AS admitted
+    FROM (SELECT doc_id, 1 AS day, hit_corpus, hit_intra FROM r1
+          UNION ALL
+          SELECT doc_id, 2 AS day, hit_corpus, hit_intra FROM r2)
+    ORDER BY doc_id
+    """,
+)
+def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1, r13 — incremental SimHash dedup against a PERSISTED,
+    ACCUMULATING probe index: the SimHash twin of
+    dedup_incremental_lsh, for pipelines whose near-dup definition is
+    Hamming radius (bit-flip tolerant) rather than Jaccard banding.
+    The corpus index is the 4-probe expansion of every admitted doc's
+    128-bit signature — rows (band, v, blk0..blk3), where (band, v) is
+    the pigeonhole block key and the four blocks ride along so radius
+    verification happens IN the probe join, no second lookup.  Three
+    deterministic "days" (doc_id mod 3): day 0 bootstraps version 1
+    with NATURAL partitioning, each later day (1) probes the
+    accumulated index for any corpus signature within Hamming 3 —
+    EXACT, not probabilistic: 3 flipped bits across 4 disjoint blocks
+    leave >= 1 block untouched, so every qualifying pair shares a
+    block key — (2) intra-dedups itself (a lower-id same-day doc
+    within radius 3), and (3) appends only its admitted docs' probe
+    rows as a new snapshot version.
+
+    At 100 TB: the index is 4 rows x 4 longs per admitted doc (~160
+    bytes), append-only, time-travelable (a bad crawl drop rolls back
+    by restoring the prior version, same lifecycle as
+    dedup_index_compaction); each daily gate shuffles only the new
+    batch's block keys, and the w=32 width rule (BASELINE.md §3 —
+    block key space must dwarf the corpus; use 4x64-bit blocks at
+    1e10 docs) keeps bucket fan-in O(1) so the verified join never
+    degenerates toward all-pairs."""
+    from pathlib import Path
+
+    from specialsid_spark.operators.snapshot import (
+        snapshot_commit,
+        snapshot_read,
+    )
+    from specialsid_spark.session import session_workdir
+
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    t = str(Path(session_workdir("specialsid_shidx_")) / "probe_index")
+
+    def day(n: int) -> DataFrame:
+        return d.filter(F.col("doc_id") % 3 == n)
+
+    def probes(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "doc_id",
+            *[F.col(f"blk{b}") for b in range(4)],
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"), F.col(f"blk{b}").alias("v")
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("p"),
+        ).select(
+            "doc_id",
+            F.col("p.band").alias("band"),
+            F.col("p.v").alias("v"),
+            *[F.col(f"blk{b}") for b in range(4)],
+        )
+
+    # day 0: bootstrap — the corpus probe index commits with natural
+    # partitioning (a 100 TB corpus's day-0 index must not serialize
+    # through one write task); per-day appends below keep coalesce(1)
+    # (a daily drop's probe rows are the small-file-hygiene case)
+    snapshot_commit(
+        probes(_simhash_block_sigs(spark, sf_dir, 32, docs=day(0)))
+        .drop("doc_id")
+        .distinct(),
+        t,
+    )
+
+    ham = sum(
+        F.bit_count(F.col(f"blk{i}").bitwiseXOR(F.col(f"iblk{i}")))
+        for i in range(4)
+    )
+
+    def gate(batch: DataFrame, day_no: int) -> DataFrame:
+        bsig = _simhash_block_sigs(spark, sf_dir, 32, docs=batch)
+        bp = probes(bsig).localCheckpoint(eager=True)
+        idx = snapshot_read(spark, t).select(
+            "band",
+            "v",
+            *[F.col(f"blk{b}").alias(f"iblk{b}") for b in range(4)],
+        )
+        hitc = (
+            bp.join(idx, ["band", "v"])
+            .filter(ham <= 3)
+            .select("doc_id")
+            .distinct()
+            .withColumn("hit_corpus", F.lit(1))
+        )
+        lower = bp.select(
+            F.col("doc_id").alias("doc_b"),
+            "band",
+            F.col("v"),
+            *[F.col(f"blk{b}").alias(f"iblk{b}") for b in range(4)],
+        )
+        hiti = (
+            bp.join(lower, ["band", "v"])
+            .filter((F.col("doc_id") > F.col("doc_b")) & (ham <= 3))
+            .select("doc_id")
+            .distinct()
+            .withColumn("hit_intra", F.lit(1))
+        )
+        res = (
+            bp.select("doc_id")
+            .distinct()
+            .join(hitc, "doc_id", "left")
+            .join(hiti, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.lit(day_no).alias("day"),
+                F.coalesce("hit_corpus", F.lit(0)).cast("int")
+                  .alias("hit_corpus"),
+                F.coalesce("hit_intra", F.lit(0)).cast("int")
+                  .alias("hit_intra"),
+                (
+                    F.coalesce("hit_corpus", F.lit(0))
+                    + F.coalesce("hit_intra", F.lit(0))
+                    == 0
+                ).cast("int").alias("admitted"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        admitted = res.filter(F.col("admitted") == 1).select("doc_id")
+        snapshot_commit(
+            bp.join(admitted, "doc_id")
+            .select("band", "v", "blk0", "blk1", "blk2", "blk3")
+            .distinct()
+            .coalesce(1),
+            t,
+            mode="append",
+        )
+        return res
+
+    r1 = gate(day(1), 1)
+    r2 = gate(day(2), 2)
+    return r1.unionByName(r2).orderBy("doc_id")

@@ -1390,3 +1390,92 @@ def clean_snapshot_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFra
         for v in (1, 2, 3)
     ]
     return reduce(lambda a, b: a.unionByName(b), per_version).orderBy("version")
+
+
+@register(
+    "clean_snapshot_restore_rows",
+    # Version contents derive from orders by the commit story: v1 =
+    # all keys < 4000; v2 = a BAD overwrite that kept only keys < 1000
+    # (the incident); v3 = RESTORE TO VERSION 1 — bit-identical to v1
+    # because it references v1's very files.  The op column pins the
+    # manifest lineage ('append' / 'overwrite' / 'restore'), and
+    # n_new_files pins the zero-copy promise: the restore commit wrote
+    # NO data files of its own.
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS ok,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 4000
+    )
+    SELECT 1 AS version, 'append' AS op,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(0 AS BIGINT) AS n_new_files
+    FROM o
+    UNION ALL
+    SELECT 2, 'overwrite', CAST(count(*) AS BIGINT),
+           CAST(sum(cents) AS BIGINT), CAST(-1 AS BIGINT)
+    FROM o WHERE ok < 1000
+    UNION ALL
+    SELECT 3, 'restore', CAST(count(*) AS BIGINT),
+           CAST(sum(cents) AS BIGINT), CAST(0 AS BIGINT)
+    FROM o
+    ORDER BY version
+    """,
+)
+def clean_snapshot_restore_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 extension (r13) — the RESTORE incident-response verb
+    (operators/snapshot.py snapshot_restore), value-verified end to
+    end: commit a table (v1), destroy it with a bad OVERWRITE (v2),
+    then RESTORE TO VERSION 1 (v3) and read every version back through
+    its manifest.  v3 must be bit-identical to v1 — it references v1's
+    immutable files, so the restore wrote zero data files (n_new_files
+    pins that from the manifest: every v3 file is already a v1 file;
+    v2's count is -1, i.e. unasserted, because overwrite file layout
+    is writer-dependent).  The mistake stays in history: v2 still time
+    travels, so the restore is itself auditable and reversible.
+
+    At 100 TB this is the verb that makes a bad ingest a one-manifest
+    fix instead of a table copy; cost is O(manifest), not O(data)."""
+    from functools import reduce
+    from pathlib import Path
+
+    from specialsid_spark.operators.snapshot import (
+        _read_manifest,
+        snapshot_commit,
+        snapshot_read,
+        snapshot_restore,
+    )
+    from specialsid_spark.queries._determinism import cents
+    from specialsid_spark.session import session_workdir
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select(
+            F.col("o_orderkey").alias("ok"),
+            cents("o_totalprice").alias("cents_v"),
+        )
+    )
+    work = Path(session_workdir("specialsid_restore_"))
+    t = str(work / "tbl")
+    snapshot_commit(o, t, mode="append")
+    snapshot_commit(o.filter(F.col("ok") < 1000), t, mode="overwrite")
+    snapshot_restore(t, 1)
+    v1_files = set(_read_manifest(t, 1)["files"])
+    per_version = []
+    for v in (1, 2, 3):
+        m = _read_manifest(t, v)
+        # v2's own-file count is writer-dependent; pin -1 there, and for
+        # v1/v3 pin "files not in v1" (restore must introduce none)
+        n_new = -1 if v == 2 else len(set(m["files"]) - v1_files)
+        per_version.append(
+            snapshot_read(spark, t, v).agg(
+                F.lit(v).alias("version"),
+                F.lit(m["op"]).alias("op"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents_v").cast("long").alias("sum_cents"),
+                F.lit(n_new).cast("long").alias("n_new_files"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), per_version).orderBy("version")

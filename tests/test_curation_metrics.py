@@ -1,0 +1,81 @@
+"""Semantic properties of the r13 curation metrics — the invariants the
+oracle multiset compare can't state directly (monotonicity, ordering
+between language groups, gate-flag consistency)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_roc_sweep_is_monotone_with_correct_endpoints(spark):
+    """tp/fp are cumulative over descending thresholds: the lowest
+    threshold classifies everything positive (tp = P, fp = N, fn = tn
+    = 0), and moving the threshold down never loses a tp or fp."""
+    from specialsid_spark.queries.curation import cur_quality_roc_sweep
+
+    rows = cur_quality_roc_sweep(spark, SF_DIR).orderBy("threshold").collect()
+    assert rows, "sweep must emit at least one threshold"
+    lowest = rows[0]
+    assert lowest["fn"] == 0 and lowest["tn"] == 0
+    p_total = lowest["tp"]
+    n_total = lowest["fp"]
+    for a, b in zip(rows, rows[1:]):
+        # higher threshold -> fewer (or equal) positives of both kinds
+        assert b["tp"] <= a["tp"] and b["fp"] <= a["fp"]
+        assert a["tp"] + a["fn"] == p_total
+        assert a["fp"] + a["tn"] == n_total
+
+
+def test_fertility_cjk_exceeds_latin_per_word(spark):
+    """The letter-run pre-tokenizer explodes CJK into per-character
+    pieces, so zh pieces-per-kword must exceed en by a wide margin —
+    the ordering that drives per-language token budgeting.  Driven on
+    REAL multilingual text (the fixture corpus's declared labels are
+    text-independent ASCII, so the registered query can't show this)."""
+    from specialsid_spark.queries.curation import fertility_rollup
+
+    d = spark.createDataFrame(
+        [
+            ("en", "the quick brown fox jumps over the lazy dog"),
+            ("en", "a second english sentence with ordinary words"),
+            ("zh", "我们 在学习 大规模 数据 处理"),
+            ("zh", "语言 模型 训练 需要 大量 文本"),
+        ],
+        "lang string, text string",
+    )
+    rows = {r["lang"]: r for r in fertility_rollup(d).collect()}
+    assert rows["zh"]["pieces_per_kword"] > 2 * rows["en"]["pieces_per_kword"]
+    # bytes-denominated fertility also orders zh > en (UTF-8 CJK is 3
+    # bytes/char but 1 piece/char vs ~5 bytes/piece english words)
+    assert rows["zh"]["pieces_per_kb"] > rows["en"]["pieces_per_kb"]
+
+
+def test_fertility_fixture_invariants(spark):
+    """On any corpus: every whitespace word yields >= 1 piece, so
+    pieces_per_kword >= 1000 for every language group; counts and
+    byte totals are positive."""
+    from specialsid_spark.queries.curation import cur_tokenizer_fertility
+
+    rows = cur_tokenizer_fertility(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_docs"] > 0 and r["n_bytes"] > 0
+        assert r["pieces_per_kword"] >= 1000
+
+
+def test_incremental_simhash_flags_are_consistent(spark):
+    """Gate output covers exactly the day-1/day-2 docs that produced a
+    signature, and admitted <=> neither hit flag is set."""
+    from specialsid_spark.queries.dedup import dedup_incremental_simhash
+
+    rows = dedup_incremental_simhash(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["day"] in (1, 2)
+        assert r["doc_id"] % 3 == r["day"]
+        assert r["admitted"] == (1 if r["hit_corpus"] == 0 and r["hit_intra"] == 0 else 0)
+    # day-2 probes the accumulated index: at least one doc must be
+    # gated by SOMETHING across the run on the synthetic near-dup corpus
+    assert any(r["hit_corpus"] or r["hit_intra"] for r in rows)

@@ -644,3 +644,63 @@ def test_index_compaction_replay_probe_is_semi_join(spark, qs):
     p = plan_of(spark, qs["dedup_index_compaction"](spark, SF_DIR))
     assert "LeftSemi" in p
     assert "SinglePartition" not in p
+
+
+def test_incremental_simhash_probe_verifies_in_join(spark, qs):
+    """r13: the SimHash gate probes the persisted index with an equi
+    join on the pigeonhole block key (band, v) and verifies Hamming
+    radius IN the join filter (bit_count over xor) — no second lookup,
+    no all-pairs; the full query's plan never funnels the corpus
+    through one partition."""
+    from pyspark.sql import functions as F
+
+    from specialsid_spark.catalog import load_parallel
+    from specialsid_spark.queries.dedup import _simhash_block_sigs
+
+    d = load_parallel(spark, SF_DIR, "documents").select("doc_id", "text")
+    sigs = _simhash_block_sigs(spark, SF_DIR, 32, docs=d.filter(F.col("doc_id") % 3 == 1))
+    idx = _simhash_block_sigs(spark, SF_DIR, 32, docs=d.filter(F.col("doc_id") % 3 == 0))
+    bp = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"blk{b}").alias("v")) for b in range(4)])
+        ).alias("p"),
+        *[F.col(f"blk{b}") for b in range(4)],
+    ).select("doc_id", "p.band", "p.v", "blk0", "blk1", "blk2", "blk3")
+    ip = idx.select(
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"blk{b}").alias("v")) for b in range(4)])
+        ).alias("p"),
+        *[F.col(f"blk{b}").alias(f"iblk{b}") for b in range(4)],
+    ).select("p.band", "p.v", "iblk0", "iblk1", "iblk2", "iblk3")
+    ham = sum(
+        F.bit_count(F.col(f"blk{i}").bitwiseXOR(F.col(f"iblk{i}")))
+        for i in range(4)
+    )
+    probe = bp.join(ip, ["band", "v"]).filter(ham <= 3).select("doc_id")
+    pk = plan_of(spark, probe)
+    assert "bit_count" in pk  # radius verification inside the join stage
+    assert "SinglePartition" not in pk
+    p = plan_of(spark, qs["dedup_incremental_simhash"](spark, SF_DIR))
+    assert "SinglePartition" not in p
+
+
+def test_roc_sweep_windows_over_histogram_only(spark, qs):
+    """r13: the ROC sweep's corpus pass is a map-side-combining groupBy
+    on score; the cumulative window and the totals aggregate run over
+    the per-score HISTOGRAM (summary-sized by construction — bounded by
+    max doc length, never corpus rows), so at most those two
+    single-partition stages exist and both consume aggregated input."""
+    p = plan_of(spark, qs["cur_quality_roc_sweep"](spark, SF_DIR))
+    assert "partial_sum" in p  # histogram combines map-side
+    assert p.count("SinglePartition") <= 2
+
+
+def test_tokenizer_fertility_is_one_pass_rollup(spark, qs):
+    """r13: fertility is ONE corpus pass — JVM regexp projections into
+    a map-side-combining groupBy(lang); no join, no window, no
+    single-partition stage."""
+    p = plan_of(spark, qs["cur_tokenizer_fertility"](spark, SF_DIR))
+    assert "partial_sum" in p
+    assert "SinglePartition" not in p
+    assert "Join" not in p and "Window" not in p
