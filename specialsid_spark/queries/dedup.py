@@ -2675,6 +2675,43 @@ def _sh_ham(a: str, b: str) -> str:
     )
 
 
+def simhash_probes(sigs: DataFrame) -> DataFrame:
+    """Pigeonhole probe expansion shared by the batch gate
+    (dedup_incremental_simhash) and its streaming twin
+    (streaming/pipeline.py hop4_incremental_simhash_gate): 4 rows per
+    doc — (doc_id, band, v, blk0..blk3), where (band, v) is the block
+    key and the full signature rides along for in-join radius
+    verification."""
+    return sigs.select(
+        "doc_id",
+        *[F.col(f"blk{b}") for b in range(4)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"blk{b}").alias("v")
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        F.col("p.band").alias("band"),
+        F.col("p.v").alias("v"),
+        *[F.col(f"blk{b}") for b in range(4)],
+    )
+
+
+def simhash_ham_to_index() -> "F.Column":
+    """Hamming distance column between a probe row's blk0..blk3 and an
+    index row's iblk0..iblk3 (post-join projection)."""
+    return sum(
+        F.bit_count(F.col(f"blk{i}").bitwiseXOR(F.col(f"iblk{i}")))
+        for i in range(4)
+    )
+
+
 @register(
     "dedup_incremental_simhash",
     # The oracle restates the 3-day SimHash gate story: day-0 probes
@@ -2779,46 +2816,22 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     def day(n: int) -> DataFrame:
         return d.filter(F.col("doc_id") % 3 == n)
 
-    def probes(sigs: DataFrame) -> DataFrame:
-        return sigs.select(
-            "doc_id",
-            *[F.col(f"blk{b}") for b in range(4)],
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"), F.col(f"blk{b}").alias("v")
-                        )
-                        for b in range(4)
-                    ]
-                )
-            ).alias("p"),
-        ).select(
-            "doc_id",
-            F.col("p.band").alias("band"),
-            F.col("p.v").alias("v"),
-            *[F.col(f"blk{b}") for b in range(4)],
-        )
-
     # day 0: bootstrap — the corpus probe index commits with natural
     # partitioning (a 100 TB corpus's day-0 index must not serialize
     # through one write task); per-day appends below keep coalesce(1)
     # (a daily drop's probe rows are the small-file-hygiene case)
     snapshot_commit(
-        probes(_simhash_block_sigs(spark, sf_dir, 32, docs=day(0)))
+        simhash_probes(_simhash_block_sigs(spark, sf_dir, 32, docs=day(0)))
         .drop("doc_id")
         .distinct(),
         t,
     )
 
-    ham = sum(
-        F.bit_count(F.col(f"blk{i}").bitwiseXOR(F.col(f"iblk{i}")))
-        for i in range(4)
-    )
+    ham = simhash_ham_to_index()
 
     def gate(batch: DataFrame, day_no: int) -> DataFrame:
         bsig = _simhash_block_sigs(spark, sf_dir, 32, docs=batch)
-        bp = probes(bsig).localCheckpoint(eager=True)
+        bp = simhash_probes(bsig).localCheckpoint(eager=True)
         idx = snapshot_read(spark, t).select(
             "band",
             "v",

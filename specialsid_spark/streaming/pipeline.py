@@ -1547,3 +1547,124 @@ def streaming_ann_postings_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def hop4_incremental_simhash_gate(
+    spark: SparkSession,
+    clean_dir: str,
+    index_table: str,
+    checkpoint_dir: str,
+    id_expr: str = "xxhash64(source_file, product_name)",
+    text_expr: str = "concat_ws(' ', product_name, brand)",
+) -> StreamingQuery:
+    """T1 ∘ X1 (r13): the incremental SimHash dedup gate CHAINED AFTER
+    hop3 — the Hamming-radius twin of hop4_incremental_lsh_gate for
+    pipelines whose near-dup definition is bit-flip tolerance rather
+    than Jaccard banding.  Each micro-batch (1) probes the PERSISTED
+    snapshot probe index for any admitted signature within Hamming 3
+    (radius verified IN the pigeonhole join — exact, see
+    queries/dedup.py::dedup_incremental_simhash), (2) intra-dedups
+    itself with the greedy keep-lowest-id rule at the same radius, and
+    (3) appends the admitted docs' probe rows AND their doc ids as ONE
+    tagged snapshot commit — commit and idempotency token become
+    visible in the same atomic manifest rename, so a crash-replayed
+    micro-batch is a no-op (snapshot_version_by_tag short-circuit).
+
+    At 100 TB: per batch the shuffle is the batch's block keys only
+    (4 rows x 4 longs per doc); the index table is append-only,
+    vacuumable, and shareable with the daily BATCH gate."""
+    from specialsid_spark.operators.snapshot import (
+        snapshot_commit,
+        snapshot_read,
+        snapshot_version_by_tag,
+        snapshot_versions,
+    )
+    from specialsid_spark.queries.dedup import (
+        _simhash_block_sigs,
+        simhash_ham_to_index,
+        simhash_probes,
+    )
+
+    schema = spark.read.parquet(clean_dir).schema
+    stream = spark.readStream.schema(schema).parquet(clean_dir)
+    ham = simhash_ham_to_index()
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        tag = f"hop4-simhash-{batch_id}"
+        if snapshot_version_by_tag(index_table, tag) is not None:
+            return  # replayed micro-batch: already committed
+        docs = (
+            batch_df.selectExpr(
+                f"{id_expr} AS doc_id", f"{text_expr} AS text"
+            )
+            .filter("doc_id IS NOT NULL AND text <> ''")
+            .distinct()
+        )
+        bp = simhash_probes(
+            _simhash_block_sigs(sess, clean_dir, 32, docs=docs)
+        ).localCheckpoint(eager=True)
+        ids = bp.select("doc_id").distinct()
+        if snapshot_versions(index_table):
+            idx = (
+                snapshot_read(sess, index_table)
+                .filter(F.col("kind") == "probe")
+                .select(
+                    "band",
+                    "v",
+                    *[F.col(f"blk{b}").alias(f"iblk{b}") for b in range(4)],
+                )
+            )
+            hitc = (
+                bp.join(idx, ["band", "v"])
+                .filter(ham <= 3)
+                .select("doc_id")
+                .distinct()
+            )
+            ids = ids.join(hitc, "doc_id", "left_anti")
+        lower = bp.select(
+            F.col("doc_id").alias("doc_b"),
+            "band",
+            F.col("v"),
+            *[F.col(f"blk{b}").alias(f"iblk{b}") for b in range(4)],
+        )
+        intra = (
+            bp.join(lower, ["band", "v"])
+            .filter((F.col("doc_id") > F.col("doc_b")) & (ham <= 3))
+            .select("doc_id")
+            .distinct()
+        )
+        admitted = ids.join(intra, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        new_rows = (
+            bp.join(admitted, "doc_id")
+            .select(
+                F.lit("probe").alias("kind"),
+                "band",
+                "v",
+                "blk0",
+                "blk1",
+                "blk2",
+                "blk3",
+                F.lit(None).cast("long").alias("doc_id"),
+            )
+            .distinct()
+            .unionByName(
+                admitted.select(
+                    F.lit("doc").alias("kind"),
+                    F.lit(None).cast("int").alias("band"),
+                    F.lit(None).cast("long").alias("v"),
+                    *[F.lit(None).cast("long").alias(f"blk{b}") for b in range(4)],
+                    "doc_id",
+                )
+            )
+        )
+        snapshot_commit(new_rows.coalesce(1), index_table, mode="append", tag=tag)
+
+    return (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

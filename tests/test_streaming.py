@@ -1571,3 +1571,126 @@ def test_hop4_index_compaction_vacuum_preserves_gate(spark, tmp_path):
         for r in docs.select("doc_id").join(dup_b, "doc_id", "left_anti").collect()
     }
     assert kept_stream == kept_batch
+
+
+def test_hop4_incremental_simhash_gate_parity_and_replay(spark, tmp_path):
+    """r13: the SimHash streaming gate over two ordered drops must (a)
+    admit exactly what a sequential plain-DataFrame replay of the same
+    radius-3 rule admits (stream/batch parity — the index is shareable
+    with the daily batch gate), and (b) treat a crash-replayed
+    micro-batch as a no-op (tag short-circuit).  Near-dups are word
+    PERMUTATIONS of earlier docs: signatures build on distinct token
+    sets, so a permutation is Hamming 0 — deterministic radius hits
+    without relying on vote margins."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from specialsid_spark.operators.snapshot import (
+        snapshot_read,
+        snapshot_versions,
+    )
+    from specialsid_spark.queries.dedup import (
+        _simhash_block_sigs,
+        simhash_ham_to_index,
+        simhash_probes,
+    )
+    from specialsid_spark.streaming.pipeline import hop4_incremental_simhash_gate
+
+    base = [
+        "quick brown fox jumps over lazy dog near river bank today",
+        "spark shuffles data between stages when wide dependencies appear",
+        "banding buckets similar documents together with high probability",
+        "unrelated text about cooking pasta with garlic and olive oil",
+    ]
+    perm = [" ".join(reversed(t.split())) for t in base]
+    fresh = [
+        "completely new subject matter one about mountains and glaciers",
+        "another novel document regarding harbor cranes and cargo ships",
+        "fresh content on violin practice scales and bow technique",
+        "distinct prose concerning beekeeping hives and clover fields",
+    ]
+    clean_dir = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+    index = str(tmp_path / "sh_index")
+
+    def write_drop(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(clean_dir)
+
+    def run_gate():
+        hop4_incremental_simhash_gate(
+            spark, clean_dir, index, ckpt, id_expr="doc_id", text_expr="text"
+        ).awaitTermination()
+
+    # drop 1: 4 originals + 4 permuted twins (intra-batch near-dups)
+    write_drop(
+        [(i, base[i]) for i in range(4)] + [(4 + i, perm[i]) for i in range(4)]
+    )
+    run_gate()
+    # drop 2: 4 more permuted twins (corpus hits) + 4 fresh docs
+    write_drop(
+        [(8 + i, perm[i]) for i in range(4)]
+        + [(12 + i, fresh[i]) for i in range(4)]
+    )
+    run_gate()
+    kept_stream = {
+        r.doc_id
+        for r in snapshot_read(spark, index)
+        .filter(F.col("kind") == "doc")
+        .collect()
+    }
+    assert kept_stream == {0, 1, 2, 3, 12, 13, 14, 15}
+
+    # sequential plain-DataFrame referee: same rule, no snapshot machinery
+    ham = simhash_ham_to_index()
+    idx_probes = None
+    kept_batch: set[int] = set()
+    for lo in (0, 8):
+        drop = spark.createDataFrame(
+            [(i, ([base, perm, perm, fresh][i // 4])[i % 4])
+             for i in range(lo, lo + 8)],
+            "doc_id long, text string",
+        )
+        bp = simhash_probes(
+            _simhash_block_sigs(spark, clean_dir, 32, docs=drop)
+        ).localCheckpoint(eager=True)
+        ids = bp.select("doc_id").distinct()
+        if idx_probes is not None:
+            hitc = (
+                bp.join(idx_probes, ["band", "v"])
+                .filter(ham <= 3).select("doc_id").distinct()
+            )
+            ids = ids.join(hitc, "doc_id", "left_anti")
+        lower = bp.select(
+            F.col("doc_id").alias("doc_b"), "band", F.col("v"),
+            *[F.col(f"blk{b}").alias(f"iblk{b}") for b in range(4)],
+        )
+        intra = (
+            bp.join(lower, ["band", "v"])
+            .filter((F.col("doc_id") > F.col("doc_b")) & (ham <= 3))
+            .select("doc_id").distinct()
+        )
+        admitted = ids.join(intra, "doc_id", "left_anti")
+        kept_batch |= {r.doc_id for r in admitted.collect()}
+        new = bp.join(admitted, "doc_id").select(
+            "band", "v",
+            *[F.col(f"blk{b}").alias(f"iblk{b}") for b in range(4)],
+        )
+        idx_probes = (
+            new if idx_probes is None else idx_probes.unionByName(new)
+        ).localCheckpoint(eager=True)
+    assert kept_stream == kept_batch
+
+    # crash window: checkpoint commit record lost AFTER the snapshot
+    # commit -> replay must hit the idempotency tag and change nothing
+    commits = sorted(os.listdir(os.path.join(ckpt, "commits")))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    versions_before = snapshot_versions(index)
+    run_gate()
+    assert snapshot_versions(index) == versions_before
