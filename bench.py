@@ -205,6 +205,8 @@ HEADLINE = [
     "dedup_incremental_simhash",
     "cur_quality_roc_sweep",
     "cur_tokenizer_fertility",
+    # the per-source dedup-rate/lang/length scorecard (daily report)
+    "cur_source_scorecard",
 ]
 
 

@@ -83,6 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "cur_quality_roc_sweep",
     "cur_tokenizer_fertility",
     "clean_snapshot_restore_rows",
+    "cur_source_scorecard",
     # the six r12-new operators, second driver sample (VERDICT r12 #7)
     "dedup_incremental_lsh",
     "dedup_cluster_representatives",

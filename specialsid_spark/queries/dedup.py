@@ -2891,3 +2891,88 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = gate(day(1), 1)
     r2 = gate(day(2), 2)
     return r1.unionByName(r2).orderBy("doc_id")
+
+
+@register(
+    "cur_source_scorecard",
+    # The oracle restates the report: a doc is a near-dup if any LOWER
+    # id shares an LSH band bucket with it anywhere in the corpus (the
+    # same greedy keep-lowest rule every gate uses); per-source rollup
+    # with integer permille/mean ratios.
+    oracle=f"""
+    WITH {{sigs}},
+    {{bands}},
+    mins AS (SELECT band, bkey, MIN(doc_id) AS m FROM bands GROUP BY 1, 2),
+    dup AS (SELECT DISTINCT b.doc_id FROM bands b
+            JOIN mins m ON m.band = b.band AND m.bkey = b.bkey
+                       AND b.doc_id > m.m),
+    tsc AS (SELECT source, doc_id, lang,
+                 len(string_split_regex(lower(trim(text)), '\\s+')) AS words
+          FROM documents),
+    g AS (SELECT source,
+                 COUNT(*) AS n_docs,
+                 SUM(CASE WHEN doc_id IN (SELECT doc_id FROM dup)
+                     THEN 1 ELSE 0 END) AS n_neardup,
+                 SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+                 SUM(words) AS sw
+          FROM tsc GROUP BY source)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_neardup AS BIGINT) AS n_neardup,
+           CAST((1000 * n_neardup) // n_docs AS BIGINT) AS neardup_permille,
+           CAST(n_en AS BIGINT) AS n_en,
+           CAST(sw // n_docs AS BIGINT) AS mean_words
+    FROM g
+    ORDER BY source
+    """.format(sigs=_sql_minhash_sigs(), bands=_sql_bands()),
+)
+def cur_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 ∘ X4, r13 — the per-source SCORECARD: for every ingest source
+    (domain/feed), how many docs it contributed, how many are near-dups
+    of earlier material (LSH band buckets, greedy keep-lowest — the
+    exact rule the gates enforce), its English share, and mean doc
+    length.  This is the daily "which sources do we downweight or cut"
+    report: a source whose neardup_permille climbs is re-crawling what
+    the corpus already holds, and mixture reweighting
+    (cur_domain_mixture) keys off exactly these columns.
+
+    Scale shape: banding shuffles (band, bkey) pairs (bytes/doc); the
+    dup decision is a bucket-min join, never all-pairs; the rollup is
+    a map-side-combining groupBy on source.  Integer ratios only."""
+    d = load_parallel(spark, sf_dir, "documents")
+    bk = lsh_band_keys(d.select("doc_id", "text"))
+    mins = bk.groupBy("band", "bkey").agg(F.min("doc_id").alias("m"))
+    dup = (
+        bk.join(mins, ["band", "bkey"])
+        .filter(F.col("doc_id") > F.col("m"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    t = d.select(
+        "source",
+        "doc_id",
+        "lang",
+        F.size(tokens("text")).alias("words"),
+    )
+    g = (
+        t.join(dup, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).cast("long")
+              .alias("n_neardup"),
+            F.sum((F.col("lang") == "en").cast("int")).cast("long")
+              .alias("n_en"),
+            F.sum("words").cast("long").alias("sw"),
+        )
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_neardup",
+        F.expr("(1000 * n_neardup) DIV n_docs").cast("long")
+          .alias("neardup_permille"),
+        "n_en",
+        F.expr("sw DIV n_docs").cast("long").alias("mean_words"),
+    ).orderBy("source")
