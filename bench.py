@@ -207,6 +207,8 @@ HEADLINE = [
     "cur_tokenizer_fertility",
     # the per-source dedup-rate/lang/length scorecard (daily report)
     "cur_source_scorecard",
+    # multi-probe sign-LSH corpus k-NN graph (the SemDeDup input)
+    "emb_knn_graph",
 ]
 
 

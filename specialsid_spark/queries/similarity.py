@@ -958,3 +958,127 @@ def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id", "rk")
     )
+
+
+def _knn_bit_sql(d: int, flip: int | None, engine: str) -> str:
+    """One bucket character from the sign of coordinate ``d``
+    (1-based), optionally negated (``flip``).  DuckDB arrays are
+    1-indexed (`v[d]`); Spark uses element_at."""
+    acc = f"v[{d}]" if engine == "duck" else f"element_at(embedding, {d})"
+    one, zero = ("'0'", "'1'") if flip == d else ("'1'", "'0'")
+    return f"(CASE WHEN {acc} >= 0 THEN {one} ELSE {zero} END)"
+
+
+def _knn_key_sql(flip: int | None, engine: str) -> str:
+    return " || ".join(_knn_bit_sql(d, flip, engine) for d in _LSH_DIMS)
+
+
+@register(
+    "emb_knn_graph",
+    # The oracle restates the bucketed build EXACTLY (same bucket key,
+    # same 9-probe expansion, same candidate join) — this pins the
+    # graph the scale path actually produces, not an idealized exact
+    # graph; the recall referee against exact top-k lives in
+    # sim_topk_bruteforce's family.
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    keyed AS (SELECT vec_id, v, {_knn_key_sql(None, "duck")} AS bucket FROM e),
+    probes AS (
+      SELECT vec_id, bucket AS probe FROM keyed
+      {" ".join(f"UNION ALL SELECT vec_id, {_knn_key_sql(d, 'duck')} FROM e" for d in _LSH_DIMS)}
+    ),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+      FROM probes a JOIN keyed b ON b.bucket = a.probe
+      WHERE b.vec_id <> a.vec_id
+    ),
+    scored AS (
+      SELECT c.vec_id, c.neighbor_id,
+             list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(y.v, y.v))) AS cs
+      FROM cands c
+      JOIN e x ON x.vec_id = c.vec_id
+      JOIN e y ON y.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+      SELECT vec_id, neighbor_id, cs,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cs DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT vec_id, neighbor_id, CAST(rk AS BIGINT) AS rk,
+           round(cs, 6) AS cos_sim
+    FROM ranked WHERE rk <= 5
+    ORDER BY vec_id, rk
+    """,
+)
+def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2, r13 — corpus k-NN GRAPH construction via multi-probe
+    sign-LSH: every vector's top-5 cosine neighbors among the
+    candidates that share its sign bucket OR any one-bit-flip probe of
+    it (9 probes per vector).  The k-NN graph is the input artifact of
+    the embedding-space curation family — SemDeDup clustering,
+    graph-connected near-dup components, and diversity sampling all
+    start from exactly this edge list — and building it bucketed is
+    what makes it possible at all: candidates are bounded per bucket,
+    never |N|^2.
+
+    Scale shape: the probe join shuffles 9 key rows per vector against
+    the bucket-keyed corpus; scoring touches candidate pairs only, and
+    the per-vector top-5 is a partitioned window over those candidates.
+    At 1e10 vectors: widen the bucket key (key space must dwarf
+    corpus/bucket-size) and OR more tables for recall
+    (sim_lsh_multitable_topk's amplification), same plan.  Dot products
+    are sequential folds (deterministic summation order, matching
+    DuckDB's list_dot_product) — the graph is bit-reproducible."""
+    e = load_parallel(spark, sf_dir, "embeddings")
+    keyed = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(_knn_key_sql(None, "spark")).alias("bucket"),
+        norm(F.col("embedding")).alias("nn"),
+    ).localCheckpoint(eager=True)
+    probes = keyed.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.expr(_knn_key_sql(d, "spark")) for d in _LSH_DIMS],
+            )
+        ).alias("probe"),
+    )
+    cands = (
+        probes.join(
+            keyed.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("bucket").alias("probe"),
+            ),
+            "probe",
+        )
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+        .distinct()
+    )
+    x = keyed.select("vec_id", F.col("embedding").alias("xv"), F.col("nn").alias("xn"))
+    y = keyed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("yv"),
+        F.col("nn").alias("yn"),
+    )
+    scored = (
+        cands.join(x, "vec_id")
+        .join(y, "neighbor_id")
+        .select(
+            "vec_id",
+            "neighbor_id",
+            (dot(F.col("xv"), F.col("yv")) / (F.col("xn") * F.col("yn"))).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("vec_id", "neighbor_id", "rk", F.round("cs", 6).alias("cos_sim"))
+        .orderBy("vec_id", "rk")
+    )

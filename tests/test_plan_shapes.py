@@ -704,3 +704,13 @@ def test_tokenizer_fertility_is_one_pass_rollup(spark, qs):
     assert "partial_sum" in p
     assert "SinglePartition" not in p
     assert "Join" not in p and "Window" not in p
+
+
+def test_knn_graph_is_bucket_join_never_cartesian(spark, qs):
+    """r13: the k-NN graph build joins 9 probe keys per vector against
+    the bucket-keyed corpus — an equi join (never cartesian), scoring
+    touches candidate pairs only, and the per-vector top-5 window is
+    partitioned by vec_id (no single-partition stage)."""
+    p = plan_of(spark, qs["emb_knn_graph"](spark, SF_DIR))
+    assert "Cartesian" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SinglePartition" not in p
