@@ -208,7 +208,9 @@ HEADLINE = [
     # the per-source dedup-rate/lang/length scorecard (daily report)
     "cur_source_scorecard",
     # multi-probe sign-LSH corpus k-NN graph (the SemDeDup input)
+    # + its 16-bit width-rule twin
     "emb_knn_graph",
+    "emb_knn_graph_wide",
 ]
 
 

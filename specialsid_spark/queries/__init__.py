@@ -85,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "clean_snapshot_restore_rows",
     "cur_source_scorecard",
     "emb_knn_graph",
+    "emb_knn_graph_wide",
     # the six r12-new operators, second driver sample (VERDICT r12 #7)
     "dedup_incremental_lsh",
     "dedup_cluster_representatives",

@@ -969,23 +969,30 @@ def _knn_bit_sql(d: int, flip: int | None, engine: str) -> str:
     return f"(CASE WHEN {acc} >= 0 THEN {one} ELSE {zero} END)"
 
 
-def _knn_key_sql(flip: int | None, engine: str) -> str:
-    return " || ".join(_knn_bit_sql(d, flip, engine) for d in _LSH_DIMS)
+def _knn_key_sql(
+    flip: int | None, engine: str, dims: tuple[int, ...] = _LSH_DIMS
+) -> str:
+    return " || ".join(_knn_bit_sql(d, flip, engine) for d in dims)
 
 
-@register(
-    "emb_knn_graph",
-    # The oracle restates the bucketed build EXACTLY (same bucket key,
-    # same 9-probe expansion, same candidate join) — this pins the
-    # graph the scale path actually produces, not an idealized exact
-    # graph; the recall referee against exact top-k lives in
-    # sim_topk_bruteforce's family.
-    oracle=f"""
+#: 16-bit bucket key for the width-rule twin (stride 4 over 64 dims)
+_KNN_WIDE_DIMS = tuple(range(1, 64, 4))
+
+
+def _knn_graph_oracle(dims: tuple[int, ...]) -> str:
+    """The bucketed k-NN-graph oracle at any key width — the bucket
+    key, the (1 + len(dims))-probe expansion, and the candidate join
+    restated in DuckDB."""
+    probes_union = " ".join(
+        f"UNION ALL SELECT vec_id, {_knn_key_sql(d, 'duck', dims)} FROM e"
+        for d in dims
+    )
+    return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    keyed AS (SELECT vec_id, v, {_knn_key_sql(None, "duck")} AS bucket FROM e),
+    keyed AS (SELECT vec_id, v, {_knn_key_sql(None, "duck", dims)} AS bucket FROM e),
     probes AS (
       SELECT vec_id, bucket AS probe FROM keyed
-      {" ".join(f"UNION ALL SELECT vec_id, {_knn_key_sql(d, 'duck')} FROM e" for d in _LSH_DIMS)}
+      {probes_union}
     ),
     cands AS (
       SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
@@ -1011,32 +1018,19 @@ def _knn_key_sql(flip: int | None, engine: str) -> str:
            round(cs, 6) AS cos_sim
     FROM ranked WHERE rk <= 5
     ORDER BY vec_id, rk
-    """,
-)
-def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2, r13 — corpus k-NN GRAPH construction via multi-probe
-    sign-LSH: every vector's top-5 cosine neighbors among the
-    candidates that share its sign bucket OR any one-bit-flip probe of
-    it (9 probes per vector).  The k-NN graph is the input artifact of
-    the embedding-space curation family — SemDeDup clustering,
-    graph-connected near-dup components, and diversity sampling all
-    start from exactly this edge list — and building it bucketed is
-    what makes it possible at all: candidates are bounded per bucket,
-    never |N|^2.
+    """
 
-    Scale shape: the probe join shuffles 9 key rows per vector against
-    the bucket-keyed corpus; scoring touches candidate pairs only, and
-    the per-vector top-5 is a partitioned window over those candidates.
-    At 1e10 vectors: widen the bucket key (key space must dwarf
-    corpus/bucket-size) and OR more tables for recall
-    (sim_lsh_multitable_topk's amplification), same plan.  Dot products
-    are sequential folds (deterministic summation order, matching
-    DuckDB's list_dot_product) — the graph is bit-reproducible."""
+
+def _knn_graph(
+    spark: SparkSession, sf_dir: str, dims: tuple[int, ...]
+) -> DataFrame:
+    """The bucketed k-NN-graph build at any key width (the Spark half
+    of _knn_graph_oracle)."""
     e = load_parallel(spark, sf_dir, "embeddings")
     keyed = e.select(
         "vec_id",
         "embedding",
-        F.expr(_knn_key_sql(None, "spark")).alias("bucket"),
+        F.expr(_knn_key_sql(None, "spark", dims)).alias("bucket"),
         norm(F.col("embedding")).alias("nn"),
     ).localCheckpoint(eager=True)
     probes = keyed.select(
@@ -1044,7 +1038,7 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array(
                 F.col("bucket"),
-                *[F.expr(_knn_key_sql(d, "spark")) for d in _LSH_DIMS],
+                *[F.expr(_knn_key_sql(d, "spark", dims)) for d in dims],
             )
         ).alias("probe"),
     )
@@ -1082,3 +1076,46 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "neighbor_id", "rk", F.round("cs", 6).alias("cos_sim"))
         .orderBy("vec_id", "rk")
     )
+
+
+@register("emb_knn_graph", oracle=_knn_graph_oracle(_LSH_DIMS))
+def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2, r13 — corpus k-NN GRAPH construction via multi-probe
+    sign-LSH: every vector's top-5 cosine neighbors among the
+    candidates that share its sign bucket OR any one-bit-flip probe of
+    it (9 probes per vector at the 8-bit key).  The k-NN graph is the
+    input artifact of the embedding-space curation family — SemDeDup
+    clustering, graph-connected near-dup components, and diversity
+    sampling all start from exactly this edge list — and building it
+    bucketed is what makes it possible at all: candidates are bounded
+    per bucket, never |N|^2.
+
+    The oracle restates the bucketed build EXACTLY (same key, same
+    probe expansion, same candidate join) — it pins the graph the
+    scale path actually produces, not an idealized exact graph; the
+    recall referee against exact top-k is sim_topk_bruteforce's
+    family.
+
+    Scale shape: the probe join shuffles (1 + key_width) key rows per
+    vector against the bucket-keyed corpus; scoring touches candidate
+    pairs only, and the per-vector top-5 is a partitioned window over
+    those candidates.  The measured 16× point (BASELINE §2) shows the
+    FIXED 8-bit key saturating at 32k vectors — the width rule; the
+    w=16 twin below is the demonstrated fix.  Dot products are
+    sequential folds (deterministic summation order, matching DuckDB's
+    list_dot_product) — the graph is bit-reproducible."""
+    return _knn_graph(spark, sf_dir, _LSH_DIMS)
+
+
+@register("emb_knn_graph_wide", oracle=_knn_graph_oracle(_KNN_WIDE_DIMS))
+def emb_knn_graph_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2, r13 — the WIDTH-RULE twin of emb_knn_graph: the identical
+    build at a 16-bit bucket key (65k buckets vs 256).  Same pattern
+    as the SimHash w=16 vs w=32 pair (BASELINE §3): the key space must
+    dwarf corpus/bucket-size or bucket joins saturate toward
+    quadratic; widening the key is a plan-shape no-op (the same equi
+    join, longer key strings) that trades candidate recall for bounded
+    fan-in — at 1e10 vectors you'd widen further AND OR multiple
+    tables for recall (sim_lsh_multitable_topk's amplification).  The
+    16× scaling rows for the pair measure the rule directly."""
+    return _knn_graph(spark, sf_dir, _KNN_WIDE_DIMS)

@@ -711,6 +711,7 @@ def test_knn_graph_is_bucket_join_never_cartesian(spark, qs):
     the bucket-keyed corpus — an equi join (never cartesian), scoring
     touches candidate pairs only, and the per-vector top-5 window is
     partitioned by vec_id (no single-partition stage)."""
-    p = plan_of(spark, qs["emb_knn_graph"](spark, SF_DIR))
-    assert "Cartesian" not in p and "BroadcastNestedLoopJoin" not in p
-    assert "SinglePartition" not in p
+    for q in ("emb_knn_graph", "emb_knn_graph_wide"):
+        p = plan_of(spark, qs[q](spark, SF_DIR))
+        assert "Cartesian" not in p and "BroadcastNestedLoopJoin" not in p
+        assert "SinglePartition" not in p
