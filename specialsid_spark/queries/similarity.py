@@ -979,16 +979,16 @@ def _knn_key_sql(
 _KNN_WIDE_DIMS = tuple(range(1, 64, 4))
 
 
-def _knn_graph_oracle(dims: tuple[int, ...]) -> str:
-    """The bucketed k-NN-graph oracle at any key width — the bucket
-    key, the (1 + len(dims))-probe expansion, and the candidate join
-    restated in DuckDB."""
+def _knn_graph_ctes(dims: tuple[int, ...]) -> str:
+    """The bucketed k-NN-graph CTE chain at any key width — the bucket
+    key, the (1 + len(dims))-probe expansion, the candidate join, and
+    the ranked top-5, restated in DuckDB as composable CTEs (consumed
+    by the graph oracle and the component-clustering oracle)."""
     probes_union = " ".join(
         f"UNION ALL SELECT vec_id, {_knn_key_sql(d, 'duck', dims)} FROM e"
         for d in dims
     )
-    return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    return f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     keyed AS (SELECT vec_id, v, {_knn_key_sql(None, "duck", dims)} AS bucket FROM e),
     probes AS (
       SELECT vec_id, bucket AS probe FROM keyed
@@ -1013,7 +1013,12 @@ def _knn_graph_oracle(dims: tuple[int, ...]) -> str:
              row_number() OVER (PARTITION BY vec_id
                                 ORDER BY cs DESC, neighbor_id) AS rk
       FROM scored
-    )
+    )"""
+
+
+def _knn_graph_oracle(dims: tuple[int, ...]) -> str:
+    return f"""
+    WITH {_knn_graph_ctes(dims)}
     SELECT vec_id, neighbor_id, CAST(rk AS BIGINT) AS rk,
            round(cs, 6) AS cos_sim
     FROM ranked WHERE rk <= 5
@@ -1119,3 +1124,136 @@ def emb_knn_graph_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables for recall (sim_lsh_multitable_topk's amplification).  The
     16× scaling rows for the pair measure the rule directly."""
     return _knn_graph(spark, sf_dir, _KNN_WIDE_DIMS)
+
+
+_KNN_CC_TAU = 0.35  # cosine threshold for a "semantic near-dup" edge —
+# fixture-calibrated (the sf0.01 embeddings are non-replica, max knn
+# cosine ~0.5); production calibrates this with cur_quality_roc_sweep's
+# threshold-sweep shape against labeled pairs.  Edges are MUTUAL-kNN
+# (each endpoint in the other's top-5): the standard sparsification —
+# hub vectors cannot chain unrelated neighborhoods into one giant
+# component, which also bounds the reachability fixpoint at any scale
+
+
+@register(
+    "dedup_knn_components",
+    # The oracle restates: knn edges (the bucketed graph, EXACTLY as
+    # emb_knn_graph builds it) -> keep pairs with round(cs,6) >= tau ->
+    # undirected components as a recursive reachability fixpoint;
+    # cluster id = smallest member, n_members per cluster.
+    oracle=f"""
+    WITH RECURSIVE {_knn_graph_ctes(_LSH_DIMS)},
+    knn AS (SELECT vec_id, neighbor_id, cs FROM ranked WHERE rk <= 5),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS va, a.neighbor_id AS vb
+      FROM knn a JOIN knn b
+        ON b.vec_id = a.neighbor_id AND b.neighbor_id = a.vec_id
+      WHERE a.vec_id < a.neighbor_id AND round(a.cs, 6) >= {_KNN_CC_TAU}
+    ),
+    edges AS (
+      SELECT va AS a, vb AS b FROM pairs
+      UNION ALL SELECT vb, va FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS vec FROM edges),
+    reach(vec, root) AS (
+      SELECT vec, vec FROM nodes
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.vec
+    ),
+    labels AS (
+      SELECT vec, MIN(root) AS cluster_id FROM reach GROUP BY vec
+    )
+    SELECT vec AS vec_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS n_members
+    FROM labels
+    ORDER BY vec_id
+    """,
+)
+def dedup_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 ∘ X2, r13 — SEMANTIC near-dup clusters: connected components
+    over the k-NN graph's edges above a cosine threshold.  This is the
+    embedding-space dual of dedup_cc_clusters (which components over
+    LSH token-shingle pairs): paraphrases and translations that share
+    no shingles but sit close in embedding space cluster HERE, and the
+    cluster id (smallest member) is the canonical keeper exactly as in
+    the LSH family — production pipelines run both and union the
+    verdicts.  Threshold calibration is cur_quality_roc_sweep's job
+    against labeled pairs; the fixture value is documented above.
+
+    Scale shape: edges come from the bucketed knn build (never
+    all-pairs); each propagation round is one join edges⋈labels + a
+    min-agg with shuffle bounded by |edges|; rounds = component
+    diameter (near-dup clusters are shallow); lineage is truncated per
+    round with localCheckpoint (the dedup_cc_clusters discipline).
+    The DuckDB oracle states the same fixpoint declaratively as a
+    recursive CTE."""
+    knn = _knn_graph(spark, sf_dir, _LSH_DIMS).localCheckpoint(eager=True)
+    a = knn.alias("a")
+    b = knn.select(
+        F.col("vec_id").alias("b_vec"), F.col("neighbor_id").alias("b_nb")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("b_vec") == F.col("a.neighbor_id"))
+            & (F.col("b_nb") == F.col("a.vec_id")),
+        )
+        .filter(
+            (F.col("a.vec_id") < F.col("a.neighbor_id"))
+            & (F.col("a.cos_sim") >= _KNN_CC_TAU)
+        )
+        .select(
+            F.col("a.vec_id").alias("va"), F.col("a.neighbor_id").alias("vb")
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.selectExpr("va AS a", "vb AS b")
+        .unionAll(pairs.selectExpr("vb AS a", "va AS b"))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("vec"))
+        .distinct()
+        .withColumn("cluster_id", F.col("vec"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # diameter bound; converges far earlier
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.vec)
+            .groupBy(F.col("a").alias("vec"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "vec", "left")
+            .select(
+                "vec",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vec")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(
+            F.col("vec").alias("vec_id"),
+            F.col("cluster_id").cast("long"),
+            "n_members",
+        )
+        .orderBy("vec_id")
+    )
