@@ -211,6 +211,8 @@ HEADLINE = [
     # + its 16-bit width-rule twin
     "emb_knn_graph",
     "emb_knn_graph_wide",
+    # first-catcher attribution across the exact->LSH->SimHash cascade
+    "cur_dedup_cascade",
 ]
 
 

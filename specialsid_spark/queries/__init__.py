@@ -87,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "emb_knn_graph",
     "emb_knn_graph_wide",
     "dedup_knn_components",
+    "cur_dedup_cascade",
     # the six r12-new operators, second driver sample (VERDICT r12 #7)
     "dedup_incremental_lsh",
     "dedup_cluster_representatives",

@@ -2976,3 +2976,139 @@ def cur_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_en",
         F.expr("sw DIV n_docs").cast("long").alias("mean_words"),
     ).orderBy("source")
+
+
+@register(
+    "cur_dedup_cascade",
+    # The oracle restates the cascade: per doc, is it caught by the
+    # exact-hash gate (a lower-id doc with identical md5), the LSH gate
+    # (a lower-id band-bucket mate), or the SimHash gate (a lower-id
+    # doc within Hamming 3)?  First-catcher attribution in that order
+    # (cheapest stage first — the order a production cascade runs).
+    oracle=f"""
+    WITH {{sigs}},
+    {{bands}},
+    {_sql_simhash_block_sigs(32, prefix="sh2_")},
+    exact_dup AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS m
+        FROM documents
+      ) WHERE doc_id > m
+    ),
+    lsh_dup AS (
+      SELECT DISTINCT b.doc_id FROM bands b
+      JOIN (SELECT band, bkey, MIN(doc_id) AS m FROM bands GROUP BY 1, 2) g
+        ON g.band = b.band AND g.bkey = b.bkey AND b.doc_id > g.m
+    ),
+    sh_probes AS (
+      SELECT doc_id, 0 AS band, blk0 AS v, blk0, blk1, blk2, blk3 FROM sh2_sigs
+      UNION ALL SELECT doc_id, 1, blk1, blk0, blk1, blk2, blk3 FROM sh2_sigs
+      UNION ALL SELECT doc_id, 2, blk2, blk0, blk1, blk2, blk3 FROM sh2_sigs
+      UNION ALL SELECT doc_id, 3, blk3, blk0, blk1, blk2, blk3 FROM sh2_sigs
+    ),
+    sim_dup AS (
+      SELECT DISTINCT a.doc_id FROM sh_probes a JOIN sh_probes b
+        ON a.band = b.band AND a.v = b.v AND a.doc_id > b.doc_id
+      WHERE {_sh_ham("a", "b")} <= 3
+    ),
+    verdict AS (
+      SELECT d.doc_id,
+             CASE WHEN e.doc_id IS NOT NULL THEN 'a_exact'
+                  WHEN l.doc_id IS NOT NULL THEN 'b_lsh'
+                  WHEN s.doc_id IS NOT NULL THEN 'c_simhash'
+                  ELSE 'd_clean' END AS stage
+      FROM documents d
+      LEFT JOIN exact_dup e ON e.doc_id = d.doc_id
+      LEFT JOIN lsh_dup l ON l.doc_id = d.doc_id
+      LEFT JOIN sim_dup s ON s.doc_id = d.doc_id
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST((1000 * COUNT(*)) // (SELECT n FROM tot) AS BIGINT)
+             AS share_permille
+    FROM verdict
+    GROUP BY stage
+    ORDER BY stage
+    """.format(sigs=_sql_minhash_sigs(), bands=_sql_bands()),
+)
+def cur_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 rollup, r13 — the DEDUP CASCADE report: for every document,
+    which gate catches it FIRST when the stages run in production
+    order (exact content hash -> MinHash-LSH banding -> SimHash
+    radius 3), or 'clean' if none does.  This is the
+    which-stages-earn-their-cost artifact: a corpus where b_lsh
+    catches almost nothing beyond a_exact says the crawl's near-dups
+    are byte-identical and the LSH pass can run less often; a fat
+    c_simhash bucket says bit-flip-style mutations dominate.  Stage
+    keys are prefixed (a_/b_/c_/d_) so the sort order IS the cascade
+    order.
+
+    Scale shape: three independent gate passes, each its production
+    shape (16-byte md5 groupBy; band-key bucket-min join; pigeonhole
+    block join with in-join radius verification) — no all-pairs
+    anywhere; the verdict join keys on doc_id and the rollup is a
+    4-row aggregate with map-side combine.  Integer permille."""
+    from pyspark.sql.window import Window
+
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    w_exact = Window.partitionBy(F.md5("text"))
+    exact = (
+        d.select("doc_id", F.min("doc_id").over(w_exact).alias("m"))
+        .filter(F.col("doc_id") > F.col("m"))
+        .select("doc_id")
+        .withColumn("e", F.lit(1))
+    )
+    bk = lsh_band_keys(d)
+    gmins = bk.groupBy("band", "bkey").agg(F.min("doc_id").alias("m"))
+    lsh = (
+        bk.join(gmins, ["band", "bkey"])
+        .filter(F.col("doc_id") > F.col("m"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("l", F.lit(1))
+    )
+    bp = simhash_probes(
+        _simhash_block_sigs(spark, sf_dir, 32, docs=d)
+    ).localCheckpoint(eager=True)
+    lower = bp.select(
+        F.col("doc_id").alias("doc_b"),
+        "band",
+        F.col("v"),
+        *[F.col(f"blk{b}").alias(f"iblk{b}") for b in range(4)],
+    )
+    sim = (
+        bp.join(lower, ["band", "v"])
+        .filter(
+            (F.col("doc_id") > F.col("doc_b")) & (simhash_ham_to_index() <= 3)
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("s", F.lit(1))
+    )
+    verdict = (
+        d.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(lsh, "doc_id", "left")
+        .join(sim, "doc_id", "left")
+        .select(
+            F.when(F.col("e") == 1, "a_exact")
+            .when(F.col("l") == 1, "b_lsh")
+            .when(F.col("s") == 1, "c_simhash")
+            .otherwise("d_clean")
+            .alias("stage")
+        )
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        verdict.groupBy("stage")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "stage",
+            "n_docs",
+            F.expr("(1000 * n_docs) DIV n").cast("long")
+              .alias("share_permille"),
+        )
+        .orderBy("stage")
+    )
