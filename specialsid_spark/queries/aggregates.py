@@ -1324,8 +1324,16 @@ def _qdigest_build_spark(
         hist_to_leaves,
     )
 
-    n = int(hist_df.agg(F.sum("cnt").cast("long").alias("n")).collect()[0]["n"])
-    thr = thr_override if thr_override is not None else max(1, n // k)
+    if thr_override is not None:
+        # caller supplied the global threshold (and already holds n) —
+        # skip the per-build histogram count job (r13 opt: three such
+        # jobs per merge-parity run, all redundant)
+        n, thr = -1, thr_override
+    else:
+        n = int(
+            hist_df.agg(F.sum("cnt").cast("long").alias("n")).collect()[0]["n"]
+        )
+        thr = max(1, n // k)
     shift = level_bits - subtree_bits
 
     def compress_subtree(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1393,6 +1401,66 @@ def _qd_rank_le(hist_df: DataFrame, x: int) -> int:
     return int(row) if row is not None else 0
 
 
+def _qd_rank_le_multi(hist_df: DataFrame, xs: list[int]) -> list[int]:
+    """rank_le for several cut points in ONE aggregate job (r13 opt —
+    each cut was a separate filter-sum pass over the histogram)."""
+    row = hist_df.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("v") <= x, F.col("cnt"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"s{i}")
+            for i, x in enumerate(xs)
+        ]
+    ).collect()[0]
+    return [int(row[f"s{i}"]) for i in range(len(xs))]
+
+
+def _qd_exact_rank_select_multi(
+    hist_df: DataFrame, rs: list[int], subtree_bits: int = _QD_SUBTREE_BITS
+) -> list[int]:
+    """Exact order statistics for several ranks in TWO jobs total (r13
+    opt): one subtree-totals pass locates every rank's target subtree,
+    then one windowed aggregate over the UNION of target subtrees
+    rank-selects all of them — same per-rank arithmetic as
+    _qd_exact_rank_select, which did both jobs per rank."""
+    shift = _QD_L - subtree_bits
+    totals = _qd_subtree_totals(hist_df, shift)
+    targets: list[tuple[int, int, int]] = []  # (rank idx, subtree, local rank)
+    for i, r in enumerate(rs):
+        acc = 0
+        for sid, t_cnt in totals:
+            if acc + t_cnt >= r:
+                targets.append((i, sid, r - acc))
+                break
+            acc += t_cnt
+    w = (
+        Window.partitionBy("subtree")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sl = (
+        hist_df.withColumn(
+            "subtree", F.expr(f"CAST(v DIV {1 << shift} AS LONG)")
+        )
+        .filter(F.col("subtree").isin([sid for _, sid, _ in targets]))
+        .withColumn("hc", F.sum("cnt").over(w))
+    )
+    row = sl.agg(
+        *[
+            F.min(
+                F.when(
+                    (F.col("subtree") == sid) & (F.col("hc") >= rloc),
+                    F.col("v"),
+                )
+            ).alias(f"v{i}")
+            for i, sid, rloc in targets
+        ]
+    ).collect()[0]
+    return [int(row[f"v{i}"]) for i in range(len(rs))]
+
+
 @register("agg_qdigest_quantiles", oracle=_QDIGEST_ORACLE)
 def agg_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 sketch family, deterministic quantile edition: build the
@@ -1426,15 +1494,20 @@ def agg_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     digest, n, thr = _qdigest_build_spark(hist_df, _QD_L, _QD_K)
 
+    # batch the referee scans (r13 opt): all three ranks' cut points
+    # are known once the digest is on the driver, so one multi-rank
+    # select + one multi-cut rank_le replace six per-p histogram jobs
+    ps = (0.5, 0.9, 0.99)
+    rs = [int(math.floor(p * (n - 1))) + 1 for p in ps]
+    ests = [qdigest_quantile(digest, _QD_L, r) for r in rs]
+    exacts = _qd_exact_rank_select_multi(hist_df, rs)
+    rls = _qd_rank_le_multi(hist_df, ests)
     rows = []
-    for p in (0.5, 0.9, 0.99):
-        r = int(math.floor(p * (n - 1))) + 1
-        est = qdigest_quantile(digest, _QD_L, r)
-        rl = _qd_rank_le(hist_df, est)
+    for p, r, est, exact, rl in zip(ps, rs, ests, exacts, rls):
         rows.append(
             (
                 p, n, thr, qdigest_size(digest), est,
-                _qd_exact_rank_select(hist_df, r), rl,
+                exact, rl,
                 int(abs(rl - r) <= _QD_L * thr),
             )
         )
@@ -1501,13 +1574,17 @@ def agg_qdigest_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = merge_qdigests(shards, _QD_L, thr)
     direct, _, _ = _qdigest_build_spark(ghist, _QD_L, _QD_K, thr_override=thr)
 
+    # batch the referee rank scans: one aggregate computes rank_le for
+    # all six cut points (was six filter-sum jobs — r13 opt)
+    ps = (0.5, 0.9, 0.99)
+    rs = [int(math.floor(p * (n - 1))) + 1 for p in ps]
+    ems = [qdigest_quantile(merged, _QD_L, r) for r in rs]
+    eds = [qdigest_quantile(direct, _QD_L, r) for r in rs]
+    rl_all = _qd_rank_le_multi(ghist, ems + eds)
     rows = []
-    for p in (0.5, 0.9, 0.99):
-        r = int(math.floor(p * (n - 1))) + 1
-        em = qdigest_quantile(merged, _QD_L, r)
-        ed = qdigest_quantile(direct, _QD_L, r)
-        rlm = _qd_rank_le(ghist, em)
-        rld = _qd_rank_le(ghist, ed)
+    for i, (p, r) in enumerate(zip(ps, rs)):
+        em, ed = ems[i], eds[i]
+        rlm, rld = rl_all[i], rl_all[len(rs) + i]
         rows.append(
             (
                 p, n, thr,

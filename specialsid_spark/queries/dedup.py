@@ -2081,8 +2081,16 @@ def dedup_incremental_lsh(
     d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
     t = str(Path(session_workdir("specialsid_lshidx_")) / "band_index")
 
-    def day(n: int) -> DataFrame:
-        return d.filter(F.col("doc_id") % 3 == n)
+    # ONE full-corpus banding pass (r13 opt): band keys are per-doc
+    # (mins over the doc's OWN shingles), so slicing by day AFTER the
+    # signature pass is bit-identical to signing each day's slice —
+    # but scans the parquet text once instead of three times and runs
+    # one signature shuffle instead of three.  The checkpoint bounds
+    # every downstream gate join to the materialized band rows.
+    bk = lsh_band_keys(d).localCheckpoint(eager=True)
+
+    def day_bands(n: int) -> DataFrame:
+        return bk.filter(F.col("doc_id") % 3 == n)
 
     # table layout shared with the streaming gate (r12 review: the
     # "shareable with hop4_incremental_lsh_gate" claim requires ONE
@@ -2113,14 +2121,14 @@ def dedup_incremental_lsh(
     # Per-day appends below keep coalesce(1) — a daily drop's band rows
     # are the small-file-hygiene case.
     snapshot_commit(
-        _band_rows(lsh_band_keys(day(0)).select("band", "bkey"), None),
+        _band_rows(day_bands(0).select("band", "bkey"), None),
         t,
     )
 
-    def gate(batch: DataFrame, day_no: int) -> DataFrame:
+    def gate(bb: DataFrame, day_no: int) -> DataFrame:
         """Probe the CURRENT persisted index, intra-dedup the batch,
-        append admitted docs' bands as a new snapshot version."""
-        bb = lsh_band_keys(batch).localCheckpoint(eager=True)
+        append admitted docs' bands as a new snapshot version.
+        ``bb`` is a day slice of the checkpointed corpus band frame."""
         idx = (
             snapshot_read(spark, t)
             .filter(F.col("kind") == "band")
@@ -2162,11 +2170,12 @@ def dedup_incremental_lsh(
         )
         return res
 
-    r1 = gate(day(1), 1)
-    r2 = gate(day(2), 2)
+    r1 = gate(day_bands(1), 1)
+    r2 = gate(day_bands(2), 2)
     return (
         r1.unionByName(r2).orderBy("doc_id"),
         t,
+        bk,
     ) if _return_table else r1.unionByName(r2).orderBy("doc_id")
 
 
@@ -2248,7 +2257,7 @@ def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_versions,
     )
 
-    _res, t = dedup_incremental_lsh(spark, sf_dir, _return_table=True)
+    _res, t, bk = dedup_incremental_lsh(spark, sf_dir, _return_table=True)
     snapshot_compact(spark, t, target_files=None, dedup=True)
     snapshot_vacuum(t, keep_last=1)
     n_versions = len(snapshot_versions(t))
@@ -2258,9 +2267,10 @@ def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_band = band_rows.count()
     n_doc = idx.filter(F.col("kind") == "doc").count()
 
-    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
-    probe_docs = d.filter(F.col("doc_id") % 3 != 0)
-    pb = lsh_band_keys(probe_docs)
+    # probe bands = the day-1/day-2 slices of the band frame the gate
+    # run just checkpointed (r13 opt) — identical rows to re-signing
+    # the probe docs, minus a full tokenize/shingle/minhash pass
+    pb = bk.filter(F.col("doc_id") % 3 != 0)
     hits = (
         pb.join(band_rows, ["band", "bkey"], "left_semi")
         .select("doc_id").distinct().withColumn("hit", F.lit(1))
@@ -2417,14 +2427,17 @@ def pipeline_daily_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     decisions are content-hash (md5) — reproducible across engines,
     reruns, and epochs."""
     d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    # ONE banding pass over corpus+drop (r13 opt): band keys are
+    # per-doc, so slicing the checkpointed frame by day is identical
+    # to running two separate signature pipelines — one text scan and
+    # one signature shuffle instead of two.
+    bk = lsh_band_keys(
+        d.filter(F.col("doc_id") % 3 != 2)
+    ).localCheckpoint(eager=True)
     corpus_idx = (
-        lsh_band_keys(d.filter(F.col("doc_id") % 3 == 0))
-        .select("band", "bkey")
-        .distinct()
+        bk.filter(F.col("doc_id") % 3 == 0).select("band", "bkey").distinct()
     )
-    bb = lsh_band_keys(d.filter(F.col("doc_id") % 3 == 1)).localCheckpoint(
-        eager=True
-    )
+    bb = bk.filter(F.col("doc_id") % 3 == 1)
     hitc = bb.join(corpus_idx, ["band", "bkey"], "left_semi").select("doc_id")
     mins = bb.groupBy("band", "bkey").agg(F.min("doc_id").alias("m"))
     hiti = (
@@ -2636,8 +2649,14 @@ def pipeline_pdf_daily_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d64.filter(F.col("doc_id") % 3 == 0).select(
         "doc_id", F.substring("text", 1, 240).alias("text")
     )
-    corpus_idx = lsh_band_keys(corpus).select("band", "bkey").distinct()
-    bb = lsh_band_keys(gated).localCheckpoint(eager=True)
+    # ONE banding pass over corpus ∪ gated drop (r13 opt): doc_id % 3
+    # distinguishes the two sides, band keys are per-doc, so slicing
+    # the checkpointed union replaces two separate signature pipelines
+    bk = lsh_band_keys(corpus.unionByName(gated)).localCheckpoint(eager=True)
+    corpus_idx = (
+        bk.filter(F.col("doc_id") % 3 == 0).select("band", "bkey").distinct()
+    )
+    bb = bk.filter(F.col("doc_id") % 3 == 1)
     hitc = bb.join(corpus_idx, ["band", "bkey"], "left_semi").select("doc_id")
     mins = bb.groupBy("band", "bkey").agg(F.min("doc_id").alias("m"))
     hiti = (
@@ -2813,25 +2832,29 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
     t = str(Path(session_workdir("specialsid_shidx_")) / "probe_index")
 
-    def day(n: int) -> DataFrame:
-        return d.filter(F.col("doc_id") % 3 == n)
+    # ONE full-corpus signature pass (r13 opt): a doc's SimHash is
+    # voted from its OWN tokens, so slicing the probe rows by day
+    # AFTER the pass is bit-identical to signing each day's slice —
+    # one parquet text scan and one vote shuffle instead of three.
+    bp_all = simhash_probes(
+        _simhash_block_sigs(spark, sf_dir, 32, docs=d)
+    ).localCheckpoint(eager=True)
+
+    def day_probes(n: int) -> DataFrame:
+        return bp_all.filter(F.col("doc_id") % 3 == n)
 
     # day 0: bootstrap — the corpus probe index commits with natural
     # partitioning (a 100 TB corpus's day-0 index must not serialize
     # through one write task); per-day appends below keep coalesce(1)
     # (a daily drop's probe rows are the small-file-hygiene case)
     snapshot_commit(
-        simhash_probes(_simhash_block_sigs(spark, sf_dir, 32, docs=day(0)))
-        .drop("doc_id")
-        .distinct(),
+        day_probes(0).drop("doc_id").distinct(),
         t,
     )
 
     ham = simhash_ham_to_index()
 
-    def gate(batch: DataFrame, day_no: int) -> DataFrame:
-        bsig = _simhash_block_sigs(spark, sf_dir, 32, docs=batch)
-        bp = simhash_probes(bsig).localCheckpoint(eager=True)
+    def gate(bp: DataFrame, day_no: int) -> DataFrame:
         idx = snapshot_read(spark, t).select(
             "band",
             "v",
@@ -2888,8 +2911,8 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return res
 
-    r1 = gate(day(1), 1)
-    r2 = gate(day(2), 2)
+    r1 = gate(day_probes(1), 1)
+    r2 = gate(day_probes(2), 2)
     return r1.unionByName(r2).orderBy("doc_id")
 
 

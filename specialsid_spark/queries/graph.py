@@ -272,9 +272,16 @@ def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 4
     )
-    sampled = edges.filter(coin == 0).localCheckpoint(eager=True)
-    n_full = edges.count()
-    n_samp = sampled.count()
+    sampled = edges.filter(coin == 0)
+    # one aggregate answers both counts (r13 opt — was two count jobs
+    # plus an extra eager checkpoint of the sampled slice; the slice is
+    # a cheap narrow filter over the already-checkpointed edge frame,
+    # so the triangle join's three references recompute only the coin)
+    cnt_row = edges.agg(
+        F.count(F.lit(1)).alias("nf"),
+        F.sum((coin == 0).cast("long")).alias("ns"),
+    ).collect()[0]
+    n_full, n_samp = int(cnt_row["nf"]), int(cnt_row["ns"] or 0)
     # localCheckpointed frames carry no size stats, so AQE cannot make
     # its own SMJ->BHJ call here; apply AQE's rule manually with the
     # EXACT count just computed (a (u, v) long pair is ~16 bytes + row

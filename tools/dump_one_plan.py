@@ -1,0 +1,39 @@
+"""Dump `.explain("formatted")` for named queries to individual files.
+
+Usage: python tools/dump_one_plan.py <outdir> <suffix> <query> [...]
+Writes <outdir>/<query>_<suffix>.txt for each query (r13 optimization
+evidence: plans/r13/<query>_before.txt / _after.txt).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    outdir, suffix, names = sys.argv[1], sys.argv[2], sys.argv[3:]
+    os.makedirs(outdir, exist_ok=True)
+
+    from specialsid_spark.queries import all_queries
+    from specialsid_spark.session import get_spark
+
+    spark = get_spark("dump-one-plan")
+    qs = all_queries()
+    for name in names:
+        df = qs[name](spark, SF_DIR)
+        plan = spark._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"  # noqa: SLF001
+        )
+        with open(os.path.join(outdir, f"{name}_{suffix}.txt"), "w") as f:
+            f.write(plan)
+        print("wrote", name)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
