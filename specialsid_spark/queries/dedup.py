@@ -70,8 +70,15 @@ def _exploded_shingles_df(d: DataFrame) -> DataFrame:
     shingle transform: the per-gram lambda references it k times, and an
     inline ``split`` expression is re-evaluated on every reference
     (measured 7x slower).  The multi-referenced projection survives
-    CollapseProject, so each row tokenizes exactly once."""
-    tk = d.select("doc_id", tokens("text").alias("toks"))
+    CollapseProject, so each row tokenizes exactly once.
+
+    A frame that already carries a ``toks`` column (a shared tokenized
+    projection — the multi-consumer lesson) is used as-is."""
+    tk = (
+        d
+        if "toks" in d.columns
+        else d.select("doc_id", tokens("text").alias("toks"))
+    )
     return tk.select(
         "doc_id", F.explode(word_shingles(F.col("toks"), k=3)).alias("shingle")
     )
@@ -608,8 +615,13 @@ def _simhash_block_sigs(
     shuffle of 4*w-int partials keyed on doc_id) is unchanged."""
     hexw = w // 4
     d = docs if docs is not None else load_parallel(spark, sf_dir, "documents")
+    # a frame already carrying `toks` (shared tokenized projection)
+    # skips the re-tokenize; array_distinct is per-doc either way
+    tok_col = (
+        F.col("toks") if "toks" in d.columns else tokens("text")
+    )
     ex = d.select(
-        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+        "doc_id", F.explode(F.array_distinct(tok_col)).alias("tok")
     ).selectExpr("doc_id", "md5(tok) AS m")
     g = ex.selectExpr(
         "doc_id",
@@ -3082,7 +3094,14 @@ def cur_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .withColumn("e", F.lit(1))
     )
-    bk = lsh_band_keys(d)
+    # ONE tokenize pass shared by the LSH and SimHash legs (r13 opt —
+    # each leg re-scanned the text and re-split it; the checkpointed
+    # (doc_id, toks) projection is the multi-consumer lesson applied
+    # across gate stages)
+    tk = d.select("doc_id", tokens("text").alias("toks")).localCheckpoint(
+        eager=True
+    )
+    bk = lsh_band_keys(tk)
     gmins = bk.groupBy("band", "bkey").agg(F.min("doc_id").alias("m"))
     lsh = (
         bk.join(gmins, ["band", "bkey"])
@@ -3092,7 +3111,7 @@ def cur_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("l", F.lit(1))
     )
     bp = simhash_probes(
-        _simhash_block_sigs(spark, sf_dir, 32, docs=d)
+        _simhash_block_sigs(spark, sf_dir, 32, docs=tk)
     ).localCheckpoint(eager=True)
     lower = bp.select(
         F.col("doc_id").alias("doc_b"),
