@@ -898,13 +898,97 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Complements the sketch family: `agg_approx_percentile_*` (engine GK,
     rows-only) is the 100 TB path; THIS is the exact oracle-grade
-    baseline, and its cost shape — one shuffle on the group key + a
-    per-group sort, rank probes pushed as two-row conditional
-    aggregates — is the honest price of exactness at scale."""
-    from specialsid_spark.catalog import register_all  # noqa: PLC0415
+    baseline.
 
-    register_all(spark, sf_dir)
-    return spark.sql(_ANSI_EXACT_PCTL_SQL)
+    Spark side restructured r13 (the oracle string is unchanged): the
+    ANSI plan sorted 600k lineitem rows inside |l_returnflag| = 3
+    window partitions (parallelism 3 of 32) and re-scanned the CTE per
+    reference.  The rewrite runs rank selection on the per-group
+    (cents → count) histogram with the q-digest subtree idiom: one
+    map-side-combining histogram (checkpointed), a per-(group,
+    coarse-bucket) totals pass that yields n per group (no separate
+    count job) and locates all 18 lo/hi boundary ranks driver-side,
+    then ONE windowed aggregate over the target buckets' slices
+    selects every rank value.  The interpolation doubles — frac =
+    p·(n−1) − floor(p·(n−1)) and floor((lov + (hiv−lov)·frac)·10⁴) —
+    are evaluated driver-side in the identical association order; all
+    three engines' (DuckDB, Spark, CPython) doubles are IEEE 754 with
+    correctly-rounded ·/+, so the bits match the shared SQL formula.
+
+    Scale shape: one corpus-scale shuffle (the histogram groupBy);
+    the per-group sort is gone — rank probes touch only the target
+    coarse buckets' histogram slices."""
+    import math  # noqa: PLC0415
+
+    li = load(spark, sf_dir, "lineitem")
+    h = (
+        li.select(
+            F.col("l_returnflag").alias("g"),
+            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("c"),
+        )
+        .groupBy("g", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    shift = 14
+    per_g: dict[str, list[tuple[int, int]]] = {}
+    for r in (
+        h.groupBy("g", F.expr(f"CAST(c DIV {1 << shift} AS LONG)").alias("sid"))
+        .agg(F.sum("cnt").cast("long").alias("t"))
+        .collect()
+    ):
+        per_g.setdefault(r["g"], []).append((int(r["sid"]), int(r["t"])))
+    ps = (0.5, 0.9, 0.99)
+    targets = []  # (idx, group, coarse bucket, rank local to the bucket)
+    meta = []  # (group, p, frac, lo idx, hi idx)
+    idx = 0
+    for g in sorted(per_g):
+        tl = sorted(per_g[g])
+        n = sum(t for _, t in tl)
+        for p in ps:
+            x = p * (n - 1)
+            ids = []
+            for rk in (int(math.floor(x)) + 1, int(math.ceil(x)) + 1):
+                acc = 0
+                for sid, t in tl:
+                    if acc + t >= rk:
+                        targets.append((idx, g, sid, rk - acc))
+                        ids.append(idx)
+                        idx += 1
+                        break
+                    acc += t
+            meta.append((g, p, x - math.floor(x), ids[0], ids[1]))
+    w = (
+        Window.partitionBy("g", "sid")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sl = (
+        h.withColumn("sid", F.expr(f"CAST(c DIV {1 << shift} AS LONG)"))
+        .filter(F.col("sid").isin(sorted({sid for _, _, sid, _ in targets})))
+        .withColumn("hc", F.sum("cnt").over(w))
+    )
+    row = sl.agg(
+        *[
+            F.min(
+                F.when(
+                    (F.col("g") == g)
+                    & (F.col("sid") == sid)
+                    & (F.col("hc") >= rloc),
+                    F.col("c"),
+                )
+            ).alias(f"v{i}")
+            for i, g, sid, rloc in targets
+        ]
+    ).collect()[0]
+    rows = []
+    for g, p, frac, lo_i, hi_i in meta:
+        lov, hiv = int(row[f"v{lo_i}"]), int(row[f"v{hi_i}"])
+        val = int(math.floor((float(lov) + (hiv - lov) * frac) * 10000))
+        rows.append((g, p, val))
+    return spark.createDataFrame(
+        rows, "l_returnflag string, pctl double, price_microdollar bigint"
+    ).orderBy("l_returnflag", "pctl")
 
 
 @register(
@@ -1021,14 +1105,91 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     by rank selection with integer doubling — not one float in the
     query, the same exactness discipline as ev_mad_anomaly.
 
-    Scale shape: one global sort for the ranked pass (the honest cost
-    of exact boundaries — at 100 TB the GK sketch replaces it and this
-    query referees its accuracy), then a broadcast of the 7 boundary
-    rows onto a map-side-combining bucket aggregate."""
-    from specialsid_spark.catalog import register_all  # noqa: PLC0415
+    Spark side restructured r13 (the oracle string is unchanged):
+    the ANSI plan's `row_number() OVER (ORDER BY c)` put all 150k
+    orders through a SinglePartition sort (WindowExec warns), and CTE
+    inlining scanned orders twice.  The rewrite is the q-digest
+    subtree-rank idiom: one map-side-combining (cents → count)
+    histogram (checkpointed), a 2^10-ish coarse-bucket totals pass
+    that locates the 14 boundary ranks driver-side (n = Σ totals, so
+    no separate count job), a windowed cumsum over ONLY the target
+    buckets' histogram slices selecting all 14 rank values in one
+    aggregate, and a final bucket rollup where each row's bucket is 7
+    inline integer comparisons against the b2 literals — no join, no
+    global sort, full parallelism everywhere.  k·(n−1)/8.0 is division
+    by a power of two — exact in binary — so the driver-side doubles
+    reproduce the SQL boundary arithmetic bit-for-bit.
 
-    register_all(spark, sf_dir)
-    return spark.sql(_ANSI_EQUIDEPTH_SQL)
+    Scale shape: one corpus-scale shuffle (the histogram groupBy);
+    everything after is histogram- or bucket-sized.  At 100 TB the GK
+    sketch replaces exact boundaries and this query referees it."""
+    import math  # noqa: PLC0415
+
+    o = load(spark, sf_dir, "orders")
+    h = (
+        o.select(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    shift = 16
+    totals = sorted(
+        (int(r["sid"]), int(r["t"]))
+        for r in h.groupBy(
+            F.expr(f"CAST(c DIV {1 << shift} AS LONG)").alias("sid")
+        )
+        .agg(F.sum("cnt").cast("long").alias("t"))
+        .collect()
+    )
+    n = sum(t for _, t in totals)
+    ranks = []
+    for k in range(1, 8):
+        x = k * (n - 1) / 8.0
+        ranks.append(int(math.floor(x)) + 1)
+        ranks.append(int(math.ceil(x)) + 1)
+    targets = []  # (rank idx, coarse bucket, rank local to the bucket)
+    for i, r in enumerate(ranks):
+        acc = 0
+        for sid, t in totals:
+            if acc + t >= r:
+                targets.append((i, sid, r - acc))
+                break
+            acc += t
+    w = (
+        Window.partitionBy("sid")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sl = (
+        h.withColumn("sid", F.expr(f"CAST(c DIV {1 << shift} AS LONG)"))
+        .filter(F.col("sid").isin(sorted({sid for _, sid, _ in targets})))
+        .withColumn("hc", F.sum("cnt").over(w))
+    )
+    row = sl.agg(
+        *[
+            F.min(
+                F.when(
+                    (F.col("sid") == sid) & (F.col("hc") >= rloc), F.col("c")
+                )
+            ).alias(f"v{i}")
+            for i, sid, rloc in targets
+        ]
+    ).collect()[0]
+    b2 = [int(row[f"v{2 * j}"]) + int(row[f"v{2 * j + 1}"]) for j in range(7)]
+    bucket = sum(
+        (F.when(2 * F.col("c") >= F.lit(bk), 1).otherwise(0) for bk in b2),
+        start=F.lit(0),
+    )
+    return (
+        h.select("c", "cnt", bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_orders"),
+            F.min("c").cast("long").alias("min_cents"),
+            F.max("c").cast("long").alias("max_cents"),
+        )
+        .orderBy("bucket")
+    )
 
 
 # Q-digest (operators/qdigest.py): the order-independent deterministic
@@ -1356,6 +1517,52 @@ def _qdigest_build_spark(
     return compress_levels(cnt, thr, subtree_bits), n, thr
 
 
+def _qdigest_build_spark_multi(
+    tagged_hist: DataFrame, tags: list[int], level_bits: int, thr: int,
+    subtree_bits: int = _QD_SUBTREE_BITS,
+) -> dict[int, dict[int, int]]:
+    """Build one digest per ``tag`` in ONE applyInPandas job (r13 opt —
+    the merge-parity run built its two shard digests and the direct
+    digest as three sequential jobs over the same checkpointed
+    histogram).  Grouping on (tag, subtree) hands each compressor the
+    identical per-subtree slice _qdigest_build_spark would, and the
+    driver finishes levels s..1 per tag — bit-identical digests.
+
+    ``tagged_hist``: (tag long, v long, cnt long); caller supplies the
+    global threshold (the two-pass contract)."""
+    import pandas as pd  # noqa: PLC0415
+
+    from specialsid_spark.operators.qdigest import (  # noqa: PLC0415
+        compress_levels,
+        hist_to_leaves,
+    )
+
+    shift = level_bits - subtree_bits
+
+    def compress_subtree(pdf: pd.DataFrame) -> pd.DataFrame:
+        tag = int(pdf["tag"].iloc[0])
+        hist = dict(zip((int(x) for x in pdf["v"]), (int(x) for x in pdf["cnt"])))
+        cnt = compress_levels(
+            hist_to_leaves(hist, level_bits), thr, level_bits, down_to=subtree_bits
+        )
+        return pd.DataFrame(
+            {"tag": tag, "node": list(cnt.keys()), "cnt": list(cnt.values())}
+        ).astype("int64")
+
+    partial = (
+        tagged_hist.withColumn(
+            "subtree", F.expr(f"CAST(v DIV {1 << shift} AS LONG)")
+        )
+        .groupBy("tag", "subtree")
+        .applyInPandas(compress_subtree, "tag long, node long, cnt long")
+    )
+    acc: dict[int, dict[int, int]] = {t: {} for t in tags}
+    for r in partial.collect():  # digest-bounded per tag, never domain-sized
+        c = acc[int(r["tag"])]
+        c[int(r["node"])] = c.get(int(r["node"]), 0) + int(r["cnt"])
+    return {t: compress_levels(acc[t], thr, subtree_bits) for t in tags}
+
+
 def _qd_subtree_totals(hist_df: DataFrame, shift: int) -> list[tuple[int, int]]:
     return sorted(
         (int(r["subtree"]), int(r["t"]))
@@ -1418,15 +1625,18 @@ def _qd_rank_le_multi(hist_df: DataFrame, xs: list[int]) -> list[int]:
 
 
 def _qd_exact_rank_select_multi(
-    hist_df: DataFrame, rs: list[int], subtree_bits: int = _QD_SUBTREE_BITS
+    hist_df: DataFrame, rs: list[int], subtree_bits: int = _QD_SUBTREE_BITS,
+    totals: list[tuple[int, int]] | None = None,
 ) -> list[int]:
     """Exact order statistics for several ranks in TWO jobs total (r13
     opt): one subtree-totals pass locates every rank's target subtree,
     then one windowed aggregate over the UNION of target subtrees
     rank-selects all of them — same per-rank arithmetic as
-    _qd_exact_rank_select, which did both jobs per rank."""
+    _qd_exact_rank_select, which did both jobs per rank.  A caller that
+    already holds the subtree totals passes them in (ONE job then)."""
     shift = _QD_L - subtree_bits
-    totals = _qd_subtree_totals(hist_df, shift)
+    if totals is None:
+        totals = _qd_subtree_totals(hist_df, shift)
     targets: list[tuple[int, int, int]] = []  # (rank idx, subtree, local rank)
     for i, r in enumerate(rs):
         acc = 0
@@ -1492,7 +1702,15 @@ def agg_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .localCheckpoint(eager=False)
     )
-    digest, n, thr = _qdigest_build_spark(hist_df, _QD_L, _QD_K)
+    # r13 opt, wave 2: the subtree totals run FIRST — their sum IS n,
+    # so the build's separate histogram-count job disappears and the
+    # exact-rank pass reuses the totals (4 jobs total: totals, build,
+    # rank-select window, multi-cut rank_le; was 6 before the r13
+    # passes and 5 after wave 1)
+    totals = _qd_subtree_totals(hist_df, _QD_L - _QD_SUBTREE_BITS)
+    n = sum(t for _, t in totals)
+    thr = max(1, n // _QD_K)
+    digest, _, _ = _qdigest_build_spark(hist_df, _QD_L, _QD_K, thr_override=thr)
 
     # batch the referee scans (r13 opt): all three ranks' cut points
     # are known once the digest is on the driver, so one multi-rank
@@ -1500,7 +1718,7 @@ def agg_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = (0.5, 0.9, 0.99)
     rs = [int(math.floor(p * (n - 1))) + 1 for p in ps]
     ests = [qdigest_quantile(digest, _QD_L, r) for r in rs]
-    exacts = _qd_exact_rank_select_multi(hist_df, rs)
+    exacts = _qd_exact_rank_select_multi(hist_df, rs, totals=totals)
     rls = _qd_rank_le_multi(hist_df, ests)
     rows = []
     for p, r, est, exact, rl in zip(ps, rs, ests, exacts, rls):
@@ -1562,17 +1780,19 @@ def agg_qdigest_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = int(ghist.agg(F.sum("cnt").cast("long").alias("n")).collect()[0]["n"])
     thr = max(1, n // _QD_K)
 
-    shards = []
-    for s in (0, 1):
-        d, _, _ = _qdigest_build_spark(
-            shard_hist.filter(F.col("shard") == s).select("v", "cnt"),
-            _QD_L,
-            _QD_K,
-            thr_override=thr,
-        )
-        shards.append(d)
+    # r13 opt, wave 2: ONE tagged applyInPandas job builds all three
+    # digests (tag 0/1 = orderkey-parity shards, tag 2 = direct over
+    # the merged histogram) — was three sequential build jobs over the
+    # same checkpointed frames.  Grouping on (tag, subtree) keeps every
+    # per-subtree compression identical, so each digest is bit-equal to
+    # its sequential-build counterpart.
+    tagged = shard_hist.select(
+        F.col("shard").alias("tag"), "v", "cnt"
+    ).unionAll(ghist.select(F.lit(2).cast("long").alias("tag"), "v", "cnt"))
+    built = _qdigest_build_spark_multi(tagged, [0, 1, 2], _QD_L, thr)
+    shards = [built[0], built[1]]
     merged = merge_qdigests(shards, _QD_L, thr)
-    direct, _, _ = _qdigest_build_spark(ghist, _QD_L, _QD_K, thr_override=thr)
+    direct = built[2]
 
     # batch the referee rank scans: one aggregate computes rank_le for
     # all six cut points (was six filter-sum jobs — r13 opt)

@@ -1012,14 +1012,103 @@ def ev_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     there is NOT ONE float in the whole query (the engine-quantile
     ULP lesson taken to its conclusion).
 
-    Scale shape: two shuffles on event_type (the ranked median passes)
-    + broadcast-sized med/mad joins.  At 100 TB the exact median is
-    the honest baseline; the GK sketch (agg_approx_percentiles) is the
-    one-pass production path and this query is its accuracy referee."""
-    from specialsid_spark.catalog import register_all  # noqa: PLC0415
+    Spark side restructured r13 (the oracle string is unchanged —
+    DuckDB re-derives the identical rows): Spark INLINES the shared
+    `v`/`dev` CTEs, so the ANSI plan scanned events three times and
+    re-ran the join+window chain per reference, and both row_number
+    windows sorted the full event stream inside |event_type| = 5
+    partitions.  The rewrite runs every rank selection on the (type,
+    cents) VALUE HISTOGRAM (map-side-combining groupBy, 17.8k rows at
+    sf0.1 for 100k events, checkpointed once): rank-r selection over
+    the sorted multiset == first histogram row whose cumulative count
+    reaches r, ties collapse into one row by construction, and the
+    deviation pass re-histograms |2c − med2| the same way.  Windows
+    now run over histogram rows only, and the anomaly count is an
+    integer comparison against the broadcast 5-row mad table.
 
-    register_all(spark, sf_dir)
-    return spark.sql(_ANSI_MAD_SQL)
+    Scale shape: ONE corpus-scale shuffle (the histogram groupBy,
+    map-side combined); everything after is histogram-sized.  At
+    100 TB the exact median is the honest baseline; the GK sketch
+    (agg_approx_percentiles) is the one-pass production path and this
+    query is its accuracy referee."""
+    ev = load(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            F.col("event_type").alias("g"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+        )
+        .groupBy("g", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    lo = F.expr("CAST(floor((n + 1) / 2.0) AS BIGINT)")
+    hi = F.expr("CAST(floor((n + 2) / 2.0) AS BIGINT)")
+    wtot = Window.partitionBy("g")
+    wval = (
+        Window.partitionBy("g")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    med = (
+        h.withColumn("n", F.sum("cnt").over(wtot))
+        .withColumn("hc", F.sum("cnt").over(wval))
+        .groupBy("g")
+        .agg(
+            F.max("n").alias("n"),
+            (
+                F.min(F.when(F.col("hc") >= lo, F.col("c")))
+                + F.min(F.when(F.col("hc") >= hi, F.col("c")))
+            ).alias("med2"),
+        )
+    )
+    dh = (
+        h.join(F.broadcast(med), "g")
+        .select(
+            "g",
+            "n",
+            "med2",
+            F.abs(2 * F.col("c") - F.col("med2")).alias("dev2"),
+            "cnt",
+        )
+        .groupBy("g", "n", "med2", "dev2")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    wdev = (
+        Window.partitionBy("g")
+        .orderBy("dev2")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mad = (
+        dh.withColumn("hc", F.sum("cnt").over(wdev))
+        .groupBy("g")
+        .agg(
+            (
+                F.min(F.when(F.col("hc") >= lo, F.col("dev2")))
+                + F.min(F.when(F.col("hc") >= hi, F.col("dev2")))
+            ).alias("mad4"),
+        )
+    )
+    return (
+        dh.join(F.broadcast(mad), "g")
+        .groupBy("g", "n", "med2", "mad4")
+        .agg(
+            F.sum(
+                F.when(
+                    2 * F.col("dev2") > 5 * F.col("mad4"), F.col("cnt")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_anomalies")
+        )
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("n").cast("long").alias("n_events"),
+            F.col("med2").cast("long").alias("median_2c"),
+            F.col("mad4").cast("long").alias("mad_4c"),
+            "n_anomalies",
+        )
+        .orderBy("event_type")
+    )
 
 
 # One ANSI string both engines run verbatim: classical seasonal

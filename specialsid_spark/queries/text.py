@@ -1815,14 +1815,24 @@ def text_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     trajectory: row k = the weights in force during iteration k and
     how many training documents they misclassify (row 0 = the zero
     vector, so n_misclassified = |slice|; the planted concept is
-    learned — 0 errors — within the 8 rounds at every test SF).  Each
-    iteration is one map-side-combining aggregate over a
-    localCheckpointed feature projection (one tokenize, T reuses); the
-    driver holds only the 5 integer weights."""
+    learned — 0 errors — within the 8 rounds at every test SF).
+
+    ONE corpus pass total (r13 opt — was T=8 sequential aggregates
+    over a localCheckpointed projection, i.e. 9 jobs): every
+    iteration's update is a sum of y·x over misclassified rows, and
+    rows with the SAME feature vector are misclassified together under
+    any weights, so the map-side-combining ``groupBy(x1..x4, y).count``
+    histogram is a sufficient statistic for the WHOLE trajectory.  The
+    driver then replays all T iterations over the histogram with the
+    identical integer arithmetic (bit-exact: integer sums reassociate
+    freely).  The histogram is feature-space bounded — distinct
+    (token-count₁..₄, label) combinations, 761 rows at sf0.1 — never
+    corpus-sized; at 100 TB the same bound holds (counts of 4 fixed
+    tokens per doc), and if a richer feature map ever made it large the
+    per-iteration aggregate shape below it stays the fallback."""
     d = load_parallel(spark, sf_dir, "documents")
     ts = tokens("text")
     feats = d.select(
-        F.lit(1).cast("long").alias("x0"),
         F.size(F.filter(ts, lambda t: t == F.lit("hash"))).cast("long").alias("x1"),
         F.size(F.filter(ts, lambda t: t == F.lit("join"))).cast("long").alias("x2"),
         F.size(F.filter(ts, lambda t: t == F.lit("scan"))).cast("long").alias("x3"),
@@ -1831,33 +1841,31 @@ def text_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m",
         2 * F.col("x1") - 2 * F.col("x2") + F.col("x3") - F.col("x4") + 1,
     )
-    feats = (
+    hist = (
         feats.filter(F.abs(F.col("m")) >= _PCT_MARGIN)
         .withColumn(
             "y", F.when(F.col("m") > 0, F.lit(1)).otherwise(F.lit(-1)).cast("long")
         )
-        .localCheckpoint(eager=True)
+        .groupBy("x1", "x2", "x3", "x4", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
     )
+    hrows = [
+        ((1, int(r["x1"]), int(r["x2"]), int(r["x3"]), int(r["x4"])),
+         int(r["y"]), int(r["cnt"]))
+        for r in hist
+    ]
     w = [0] * 5
     rows = []
     for k in range(_PCT_T):
-        dot = sum(F.col(f"x{j}") * F.lit(w[j]) for j in range(5))
-        mis = F.col("y") * dot <= 0
-        agg = feats.agg(
-            *[
-                F.coalesce(
-                    F.sum(F.when(mis, F.col("y") * F.col(f"x{j}"))), F.lit(0)
-                )
-                .cast("long")
-                .alias(f"d{j}")
-                for j in range(5)
-            ],
-            F.coalesce(F.sum(F.when(mis, F.lit(1))), F.lit(0))
-            .cast("long")
-            .alias("nm"),
-        ).collect()[0]
-        rows.append((k, *w, int(agg["nm"])))
-        w = [w[j] + int(agg[f"d{j}"]) for j in range(5)]
+        deltas, nm = [0] * 5, 0
+        for xs, y, cnt in hrows:
+            if y * sum(w[j] * xs[j] for j in range(5)) <= 0:
+                nm += cnt
+                for j in range(5):
+                    deltas[j] += cnt * y * xs[j]
+        rows.append((k, *w, nm))
+        w = [w[j] + deltas[j] for j in range(5)]
     return spark.createDataFrame(
         rows,
         "iter bigint, w0 bigint, w1 bigint, w2 bigint, w3 bigint,"
