@@ -70,6 +70,47 @@ def assign_clusters(mu_df: DataFrame, centroids: list[list[int]]) -> DataFrame:
     return with_d.selectExpr(*keep, case)
 
 
+def _np_cids(x, cents) -> "object":
+    """Nearest-centroid ids for one stacked int64 batch matrix: d2 =
+    |x|^2 - 2 x.C^T + |c|^2 expands the same integer lattice arithmetic
+    as :func:`_dist2_sql` (|mu| <= 2e6 -> every term <= ~2.6e14, no
+    overflow), and argmin's first-match tie-break IS the SQL CASE's
+    lowest-cid rule.  tests/test_kmeans.py pins numpy/SQL parity."""
+    d2 = (
+        (x * x).sum(axis=1)[:, None]
+        - 2 * (x @ cents.T)
+        + (cents * cents).sum(axis=1)[None, :]
+    )
+    return d2.argmin(axis=1)
+
+
+def assign_clusters_np(mu_df: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """`assign_clusters` twin that evaluates the distance matrix as one
+    numpy int64 matmul per Arrow batch instead of k plan-literal
+    interpreted HOF aggregates (r13 opt): the higher-order-function
+    route is CodegenFallback — per-element interpreted — and its k×d
+    literals cost ~0.2 s of Catalyst analysis per plan; the closure
+    carries the centroids so the plan stays literal-free and constant-
+    size.  Bit-identical cids (exact integer arithmetic both ways)."""
+    import numpy as np  # noqa: PLC0415
+
+    from pyspark.sql.types import IntegerType, StructType  # noqa: PLC0415
+
+    cents = np.array(centroids, dtype=np.int64)
+    schema = StructType(mu_df.schema.fields[:]).add("cid", IntegerType())
+
+    def assign(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["mu"].to_numpy()).astype(np.int64, copy=False)
+            pdf = pdf.copy()
+            pdf["cid"] = _np_cids(x, cents).astype("int32")
+            yield pdf
+
+    return mu_df.mapInPandas(assign, schema)
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -79,42 +120,73 @@ def kmeans_fit(
 ) -> tuple[list[list[int]], DataFrame]:
     """Lloyd's algorithm, `iterations` rounds from a deterministic seed
     (the k lexicographically-first rows by vec_id).  Returns the final
-    micro-unit centroids and the assigned DataFrame."""
-    # localCheckpoint: the loop below builds 2 plans per iteration on
-    # top of mu_df (assignment + per-cluster sums) plus the seed and the
-    # final assignment — materializing the micro-unit projection once
-    # keeps every per-iteration plan a scan of k*dim-literal expressions
-    # over a cached frame instead of re-deriving parquet-scan+transform
-    # (measured 11.6s -> ~5s for the 3-iteration quantizer query)
-    mu_df = df.select(
-        "vec_id", _mu_vec(F.col(vec_col)).alias("mu")
-    ).localCheckpoint(eager=True)
+    micro-unit centroids and the assigned DataFrame.
+
+    r13 shape: a frame already carrying a ``mu`` column (shared
+    checkpointed projection) is used as-is; otherwise the micro-unit
+    projection is localCheckpointed LAZILY — the seed collect
+    materializes it, so projection + seed are ONE job, not two.  Each
+    iteration is one numpy mapInPandas job emitting k×dim (cid, pos,
+    sum, count) partials per Arrow batch: assignment matmul + segment
+    sums in vectorized exact int64, closure-carried centroids (no k×d
+    plan literals to re-analyze, no interpreted HOF per row, no
+    dim-fold row explosion).  The driver still collects only k×dim
+    partials per iteration — a few KB at any corpus size."""
+    import numpy as np  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    if "mu" in df.columns:
+        mu_df = df
+    else:
+        mu_df = df.select(
+            "vec_id", _mu_vec(F.col(vec_col)).alias("mu")
+        ).localCheckpoint(eager=False)
     seed_rows = mu_df.orderBy("vec_id").limit(k).collect()
     centroids = [list(r.mu) for r in seed_rows]
 
     for _ in range(iterations):
-        assigned = assign_clusters(mu_df, centroids)
-        # per-cluster, per-dimension exact sums: k*dim rows total
-        sums = (
-            assigned.select("cid", F.posexplode("mu").alias("pos", "v"))
-            .groupBy("cid", "pos")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        cents = np.array(centroids, dtype=np.int64)
+
+        def partials(it, cents=cents):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                x = np.stack(pdf["mu"].to_numpy()).astype(np.int64, copy=False)
+                cid = _np_cids(x, cents)
+                out = []
+                for c in np.unique(cid):
+                    sel = x[cid == c]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "cid": int(c),
+                                "pos": range(sel.shape[1]),
+                                "s": sel.sum(axis=0),
+                                "n": sel.shape[0],
+                            }
+                        )
+                    )
+                yield pd.concat(out)
+
+        sums = mu_df.mapInPandas(
+            partials, "cid int, pos int, s long, n long"
+        ).collect()
         new = [list(c) for c in centroids]  # empty clusters keep position
-        by_cid: dict[int, list[tuple[int, int, int]]] = {}
+        acc: dict[int, list[int]] = {}
+        cnt: dict[int, int] = {}
         for r in sums:
-            by_cid.setdefault(r.cid, []).append((r.pos, r.s, r.n))
-        for cid, entries in by_cid.items():
-            vec = [0] * dim
-            for pos, s, n in entries:
-                # floor division == floor(mean * 1e6) since values are
-                # already micro-units: stays on the integer lattice
-                vec[pos] = s // n if s >= 0 else -((-s + n - 1) // n)
-            new[cid] = vec
+            vec = acc.setdefault(r.cid, [0] * dim)
+            vec[r.pos] += int(r.s)
+            if r.pos == 0:
+                cnt[r.cid] = cnt.get(r.cid, 0) + int(r.n)
+        for cid, vec in acc.items():
+            # floor division == floor(mean * 1e6) since values are
+            # already micro-units: stays on the integer lattice
+            new[cid] = [_floored_mean(s, cnt[cid]) for s in vec]
         centroids = new
 
-    return centroids, assign_clusters(mu_df, centroids)
+    return centroids, assign_clusters_np(mu_df, centroids)
 
 
 def inertia(assigned: DataFrame, centroids: list[list[int]]) -> int:

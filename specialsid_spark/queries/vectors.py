@@ -377,63 +377,60 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines and partitionings.  Reference scope: the reference engine
     has no embedding ops; this extends SURVEY.md §2.11 X1/X2 as the
     brief's training-data-pipeline family requires."""
+    import numpy as np
+    import pandas as pd
+
     from specialsid_spark.operators.kmeans import kmeans_fit
 
     e = load_parallel(spark, sf_dir, "embeddings")
     _, assigned = kmeans_fit(e, k=8, iterations=3)
-    n2 = F.aggregate(
-        F.transform(F.col("mu"), lambda x: x * x),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    # localCheckpoint (not persist): the assignment column is a k*dim-
-    # literal when-chain — analyzing it TWICE through the self-join's
-    # alias resolution costs seconds of pure Catalyst time; cutting the
-    # lineage makes both join sides a scan of the materialized frame
-    av = assigned.select("vec_id", "cid", "mu", n2.alias("n2")).localCheckpoint(
-        eager=True
-    )
-    a, b = av.alias("a"), av.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.mu"), F.col("b.mu"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    dec = "decimal(38,0)"
-    raw = a.join(
-        b,
-        (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.cid").alias("cid"),
-        F.col("b.vec_id").alias("prune_id"),
-        dot.alias("dot"),
-        F.col("a.n2").alias("n2a"),
-        F.col("b.n2").alias("n2b"),
-    )
-    pairs = raw.filter(
-        (F.col("dot") > 0)
-        & (
-            F.col("dot").cast(dec) * F.col("dot") * F.lit(_SEMDEDUP_TAU2_DEN)
-            >= F.lit(_SEMDEDUP_TAU2_NUM) * F.col("n2a").cast(dec) * F.col("n2b")
+
+    # r13 opt: the within-cluster scan runs as ONE numpy Gram matmul
+    # per cluster task (applyInPandas over cid) instead of a cid-keyed
+    # SQL self-join whose dot products were interpreted HOF folds over
+    # every candidate pair (n^2/k pairs x 64 elements).  X @ X.T is
+    # exact int64 (|dot| <= ~2.6e14); the tau^2 cross-multiplied test
+    # runs on arbitrary-precision Python ints (dot^2*DEN ~ 1e31 —
+    # object dtype, same values the DECIMAL(38,0)/HUGEINT oracles
+    # compute), so keep/prune decisions are bit-identical.  Scale
+    # story unchanged: k independent cluster tasks, each sized to fit
+    # one worker — the join shuffled exactly the same rows to exactly
+    # the same place before doing strictly more work there.
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        x = np.stack(pdf["mu"].to_numpy()).astype(np.int64, copy=False)
+        n = x.shape[0]
+        g = x @ x.T
+        n2 = np.diag(g).astype(object)
+        ii, jj = np.triu_indices(n, k=1)
+        dots = g[ii, jj]
+        pos = dots > 0
+        d = dots[pos].astype(object)
+        hit = d * d * _SEMDEDUP_TAU2_DEN >= _SEMDEDUP_TAU2_NUM * (
+            n2[ii[pos]] * n2[jj[pos]]
         )
-    )
-    sizes = av.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vectors"))
-    stats = pairs.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n_dup_pairs"),
-        F.countDistinct("prune_id").alias("n_pruned"),
-    )
-    out = (
-        sizes.join(stats, "cid", "left")
-        .select(
-            "cid",
-            "n_vectors",
-            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
-            F.coalesce("n_pruned", F.lit(0)).alias("n_pruned"),
-            (F.col("n_vectors") - F.coalesce("n_pruned", F.lit(0))).alias("n_kept"),
+        n_dup = int(np.count_nonzero(hit))
+        n_pruned = int(np.unique(jj[pos][hit]).size) if n_dup else 0
+        return pd.DataFrame(
+            [
+                {
+                    "cid": int(pdf["cid"].iloc[0]),
+                    "n_vectors": n,
+                    "n_dup_pairs": n_dup,
+                    "n_pruned": n_pruned,
+                    "n_kept": n - n_pruned,
+                }
+            ]
+        )
+
+    return (
+        assigned.groupBy("cid")
+        .applyInPandas(
+            stats,
+            "cid int, n_vectors long, n_dup_pairs long, n_pruned long, n_kept long",
         )
         .orderBy("cid")
     )
-    return out
 
 
 _GRAM_DIM = 64
@@ -801,31 +798,42 @@ def sim_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     from specialsid_spark.operators.kmeans import (
         _dist2_sql,
         _mu_vec,
-        assign_clusters,
+        assign_clusters_np,
         kmeans_fit,
     )
     from specialsid_spark.operators.snapshot import snapshot_commit, snapshot_read
     from specialsid_spark.session import session_workdir
 
     e = load_parallel(spark, sf_dir, "embeddings")
-    mu_df = e.select("vec_id", _mu_vec(F.col("embedding")).alias("mu"))
+    # ONE checkpointed micro-unit projection feeds training, both
+    # commit passes, the query side and the neighbor join (r13 opt —
+    # each consumer re-scanned parquet and re-ran the transform);
+    # kmeans_fit detects the ready `mu` column and trains on the
+    # filtered view without its own projection job
+    mu_df = e.select(
+        "vec_id", _mu_vec(F.col("embedding")).alias("mu")
+    ).localCheckpoint(eager=True)
     base = mu_df.filter(F.col("vec_id") % 4 != 0)
     batch = mu_df.filter(F.col("vec_id") % 4 == 0)
 
-    centroids, _ = kmeans_fit(
-        e.filter(F.col("vec_id") % 4 != 0), k=_KMEANS_K, iterations=_KMEANS_ITERS
-    )
+    centroids, _ = kmeans_fit(base, k=_KMEANS_K, iterations=_KMEANS_ITERS)
     t = str(Path(session_workdir("specialsid_ivfinc_")) / "postings")
     # build: base postings (ids + cells only — the index never stores
     # vectors) committed with NATURAL partitioning (r13, VERDICT r12
     # #3 — the corpus-sized build must not serialize through one write
     # task), then the incremental add as an append-only version (the
-    # per-batch append keeps coalesce(1): small-file hygiene)
+    # per-batch append keeps coalesce(1): small-file hygiene).  ONE
+    # assignment pass serves both commits (r13 opt — base and batch are
+    # disjoint filters of the same frame; assigning them separately ran
+    # the centroid distance pass twice)
+    assigned = assign_clusters_np(mu_df, centroids).localCheckpoint(eager=True)
     snapshot_commit(
-        assign_clusters(base, centroids).select("vec_id", "cid"), t
+        assigned.filter(F.col("vec_id") % 4 != 0).select("vec_id", "cid"), t
     )
     snapshot_commit(
-        assign_clusters(batch, centroids).select("vec_id", "cid").coalesce(1),
+        assigned.filter(F.col("vec_id") % 4 == 0)
+        .select("vec_id", "cid")
+        .coalesce(1),
         t,
         mode="append",
     )

@@ -97,6 +97,38 @@ def test_ivf_index_time_travel_reproduces_search(spark, sf_dir, tmp_path):
     assert run(ivf_centroids_from_table(spark, t)) == run(c2)
 
 
+def test_assign_clusters_np_matches_sql(spark, sf_dir):
+    """The numpy mapInPandas assignment twin (r13 opt) must be
+    bit-identical to the SQL CASE route for every row — same exact
+    int64 lattice distances, same lowest-cid tie-break."""
+    from pyspark.sql import functions as F
+
+    from specialsid_spark.operators.kmeans import (
+        _mu_vec,
+        assign_clusters,
+        assign_clusters_np,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    centroids, _ = kmeans_fit(e, k=8, iterations=1)
+    # duplicate a centroid to force ties: both routes must break to
+    # the lowest cid
+    centroids = list(centroids)
+    centroids[5] = list(centroids[2])
+    mu_df = e.select("vec_id", _mu_vec(F.col("embedding")).alias("mu"))
+    sql_map = {
+        r.vec_id: r.cid
+        for r in assign_clusters(mu_df, centroids).select("vec_id", "cid").collect()
+    }
+    np_map = {
+        r.vec_id: r.cid
+        for r in assign_clusters_np(mu_df, centroids)
+        .select("vec_id", "cid")
+        .collect()
+    }
+    assert np_map == sql_map
+
+
 def test_grouped_kmeans_matches_ungrouped_on_single_group(spark, sf_dir):
     """kmeans_fit_grouped over one group (the full 64-dim vectors with
     a constant m) must land on exactly kmeans_fit's centroids and
