@@ -789,27 +789,43 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_ids — everything shuffles hashes/ids/blocks, never document
     text; the quality+language pass is one codegen'd scan."""
     d = load_parallel(spark, sf_dir, "documents")
-    t = d.select("doc_id", "text", tokens("text").alias("toks"))
+    # ONE scan+tokenize pass feeds all four legs (r13 opt — quality
+    # gate, exact hash, LSH and SimHash legs each re-read the parquet
+    # text and the fuzzy legs re-split it).  The checkpoint carries
+    # md5(text) instead of text: every downstream decision needs only
+    # (hash, toks), so document bytes never leave the scan task.
+    tk = d.select(
+        "doc_id", F.md5("text").alias("h"), tokens("text").alias("toks")
+    ).localCheckpoint(eager=True)
     n = F.size("toks")
     votes = {
         lang: F.size(F.filter(F.col("toks"), _markers_filter(markers)))
         for lang, markers in _CURATION_MARKERS.items()
     }
-    quality = t.filter(
+    quality = tk.filter(
         n.between(5, 1000)
         & (F.size(F.array_distinct("toks")).cast("double") / n > 0.1)
-    ).select("doc_id", "text", n.alias("n_tokens"), *[v.alias(f"v_{k}") for k, v in votes.items()])
+    ).select("doc_id", "h", n.alias("n_tokens"), *[v.alias(f"v_{k}") for k, v in votes.items()])
     english = quality.filter(
         (F.col("v_en") >= F.col("v_es"))
         & (F.col("v_en") >= F.col("v_fr"))
         & (F.col("v_en") >= F.col("v_de"))
-    ).select("doc_id", "text", "n_tokens")
-    exact_keepers = english.groupBy(F.md5("text")).agg(
+    ).select("doc_id", "h", "n_tokens")
+    exact_keepers = english.groupBy("h").agg(
         F.min("doc_id").alias("doc_id")
     ).select("doc_id")
+    # checkpoint barrier: the self-join below would otherwise re-derive
+    # the shingle+minhash pipeline once per side
+    lsh_bands = lsh_band_keys(tk).localCheckpoint(eager=True)
     near_dupes = (
-        dedup_minhash_lsh_candidates(spark, sf_dir)
-        .select(F.col("doc_b").alias("doc_id"))
+        lsh_bands.alias("a")
+        .join(
+            lsh_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
         .distinct()
     )
     # Both near-dup legs run at the ingest level (full table), like the
@@ -818,7 +834,7 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature branch while ~all replicated docs pass it) — 16.3s vs
     # 11.3s — so the simpler full-table shape wins at every tested SF.
     simhash_dupes = (
-        _radius3_pairs(_simhash_block_sigs(spark, sf_dir, 32))
+        _radius3_pairs(_simhash_block_sigs(spark, sf_dir, 32, docs=tk))
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
@@ -2140,38 +2156,41 @@ def dedup_incremental_lsh(
     def gate(bb: DataFrame, day_no: int) -> DataFrame:
         """Probe the CURRENT persisted index, intra-dedup the batch,
         append admitted docs' bands as a new snapshot version.
-        ``bb`` is a day slice of the checkpointed corpus band frame."""
+        ``bb`` is a day slice of the checkpointed corpus band frame.
+
+        r13 opt: the probe joins keep their persisted-index shape (the
+        index side stays joinable on its storage layout — at 100 TB a
+        bucketed band table feeds the semi-join without an index
+        shuffle; a window/union shape was measured and REVERTED, see
+        OPTIMIZATION_r13.md), but the verdict assembly is now one
+        map-side-combined groupBy over zero-flag seed rows unioned
+        with the two probes' flag rows — replacing two distincts and
+        two left joins with a single tiny doc_id shuffle."""
         idx = (
             snapshot_read(spark, t)
             .filter(F.col("kind") == "band")
             .select("band", "bkey")
         )
-        hitc = (
-            bb.join(idx, ["band", "bkey"], "left_semi")
-            .select("doc_id").distinct().withColumn("hit_corpus", F.lit(1))
+        hitc = bb.join(idx, ["band", "bkey"], "left_semi").select(
+            "doc_id", F.lit(1).alias("hc"), F.lit(0).alias("hi")
         )
         mins = bb.groupBy("band", "bkey").agg(F.min("doc_id").alias("m"))
         hiti = (
             bb.join(mins, ["band", "bkey"])
             .filter(F.col("doc_id") > F.col("m"))
-            .select("doc_id").distinct().withColumn("hit_intra", F.lit(1))
+            .select("doc_id", F.lit(0).alias("hc"), F.lit(1).alias("hi"))
         )
+        seeds = bb.select("doc_id", F.lit(0).alias("hc"), F.lit(0).alias("hi"))
         res = (
-            bb.select("doc_id").distinct()
-            .join(hitc, "doc_id", "left")
-            .join(hiti, "doc_id", "left")
+            seeds.unionByName(hitc).unionByName(hiti)
+            .groupBy("doc_id")
+            .agg(F.max("hc").alias("hc"), F.max("hi").alias("hi"))
             .select(
                 "doc_id",
                 F.lit(day_no).alias("day"),
-                F.coalesce("hit_corpus", F.lit(0)).cast("int")
-                  .alias("hit_corpus"),
-                F.coalesce("hit_intra", F.lit(0)).cast("int")
-                  .alias("hit_intra"),
-                (
-                    F.coalesce("hit_corpus", F.lit(0))
-                    + F.coalesce("hit_intra", F.lit(0))
-                    == 0
-                ).cast("int").alias("admitted"),
+                F.col("hc").cast("int").alias("hit_corpus"),
+                F.col("hi").cast("int").alias("hit_intra"),
+                ((F.col("hc") + F.col("hi")) == 0).cast("int").alias("admitted"),
             )
             .localCheckpoint(eager=True)
         )
@@ -2446,22 +2465,38 @@ def pipeline_daily_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     bk = lsh_band_keys(
         d.filter(F.col("doc_id") % 3 != 2)
     ).localCheckpoint(eager=True)
-    corpus_idx = (
-        bk.filter(F.col("doc_id") % 3 == 0).select("band", "bkey").distinct()
+    # r13 opt — one bucket shuffle decides the whole gate: corpus rows
+    # ride the same window pass as the drop's rows (doc_id NULLed), so
+    # corpus-hit (any bucket indexed) and intra-hit (doc above its
+    # bucket's batch min; MIN skips NULLs) fall out of one map-side-
+    # combined groupBy(doc_id), replacing the semi-join + min-agg-join
+    # + three distincts + two anti-joins; the corpus index needs no
+    # distinct (the window flag is idempotent under duplicates).
+    from pyspark.sql.window import Window
+
+    corpus_idx = bk.filter(F.col("doc_id") % 3 == 0).select(
+        F.lit(None).cast("long").alias("doc_id"), "band", "bkey"
     )
     bb = bk.filter(F.col("doc_id") % 3 == 1)
-    hitc = bb.join(corpus_idx, ["band", "bkey"], "left_semi").select("doc_id")
-    mins = bb.groupBy("band", "bkey").agg(F.min("doc_id").alias("m"))
-    hiti = (
-        bb.join(mins, ["band", "bkey"])
-        .filter(F.col("doc_id") > F.col("m"))
-        .select("doc_id")
+    w = Window.partitionBy("band", "bkey")
+    occ = (
+        bb.select("doc_id", "band", "bkey")
+        .unionByName(corpus_idx)
+        .select(
+            "doc_id",
+            F.max(F.col("doc_id").isNull().cast("int")).over(w).alias("inc"),
+            F.min("doc_id").over(w).alias("m"),
+        )
+        .filter(F.col("doc_id").isNotNull())
     )
     adm = (
-        bb.select("doc_id")
-        .distinct()
-        .join(hitc.distinct(), "doc_id", "left_anti")
-        .join(hiti.distinct(), "doc_id", "left_anti")
+        occ.groupBy("doc_id")
+        .agg(
+            F.max("inc").alias("hc"),
+            F.max((F.col("doc_id") > F.col("m")).cast("int")).alias("hi"),
+        )
+        .filter((F.col("hc") + F.col("hi")) == 0)
+        .select("doc_id")
     )
     hx = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch:1")))
     sharded = adm.select(
@@ -2665,22 +2700,30 @@ def pipeline_pdf_daily_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinguishes the two sides, band keys are per-doc, so slicing
     # the checkpointed union replaces two separate signature pipelines
     bk = lsh_band_keys(corpus.unionByName(gated)).localCheckpoint(eager=True)
-    corpus_idx = (
-        bk.filter(F.col("doc_id") % 3 == 0).select("band", "bkey").distinct()
-    )
+    # r13: the probe keeps its LeftSemi band-key kernel (the codec
+    # budget caps this door at _PDI_N docs, so the window/union gate
+    # shape measured pure overhead here — see OPTIMIZATION_r13.md);
+    # the verdict assembly is one map-side-combined groupBy over
+    # zero-flag seeds unioned with the probes' flag rows, replacing
+    # three distincts and two anti-joins.
+    corpus_idx = bk.filter(F.col("doc_id") % 3 == 0).select("band", "bkey")
     bb = bk.filter(F.col("doc_id") % 3 == 1)
-    hitc = bb.join(corpus_idx, ["band", "bkey"], "left_semi").select("doc_id")
+    hitc = bb.join(corpus_idx, ["band", "bkey"], "left_semi").select(
+        "doc_id", F.lit(1).alias("hc"), F.lit(0).alias("hi")
+    )
     mins = bb.groupBy("band", "bkey").agg(F.min("doc_id").alias("m"))
     hiti = (
         bb.join(mins, ["band", "bkey"])
         .filter(F.col("doc_id") > F.col("m"))
-        .select("doc_id")
+        .select("doc_id", F.lit(0).alias("hc"), F.lit(1).alias("hi"))
     )
+    seeds = bb.select("doc_id", F.lit(0).alias("hc"), F.lit(0).alias("hi"))
     adm = (
-        bb.select("doc_id")
-        .distinct()
-        .join(hitc.distinct(), "doc_id", "left_anti")
-        .join(hiti.distinct(), "doc_id", "left_anti")
+        seeds.unionByName(hitc).unionByName(hiti)
+        .groupBy("doc_id")
+        .agg(F.max("hc").alias("hc"), F.max("hi").alias("hi"))
+        .filter((F.col("hc") + F.col("hi")) == 0)
+        .select("doc_id")
     )
     hx = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch:1")))
     sharded = adm.select(
@@ -2867,6 +2910,11 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham = simhash_ham_to_index()
 
     def gate(bp: DataFrame, day_no: int) -> DataFrame:
+        """r13 opt: probe joins keep their persisted-index shape (the
+        index side stays joinable on its storage layout — see the LSH
+        gate note), but the verdict assembly is one map-side-combined
+        groupBy over zero-flag seed rows unioned with both probes'
+        flag rows, replacing two distincts and two left joins."""
         idx = snapshot_read(spark, t).select(
             "band",
             "v",
@@ -2875,9 +2923,7 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         hitc = (
             bp.join(idx, ["band", "v"])
             .filter(ham <= 3)
-            .select("doc_id")
-            .distinct()
-            .withColumn("hit_corpus", F.lit(1))
+            .select("doc_id", F.lit(1).alias("hc"), F.lit(0).alias("hi"))
         )
         lower = bp.select(
             F.col("doc_id").alias("doc_b"),
@@ -2888,27 +2934,21 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         hiti = (
             bp.join(lower, ["band", "v"])
             .filter((F.col("doc_id") > F.col("doc_b")) & (ham <= 3))
-            .select("doc_id")
-            .distinct()
-            .withColumn("hit_intra", F.lit(1))
+            .select("doc_id", F.lit(0).alias("hc"), F.lit(1).alias("hi"))
+        )
+        seeds = bp.select(
+            "doc_id", F.lit(0).alias("hc"), F.lit(0).alias("hi")
         )
         res = (
-            bp.select("doc_id")
-            .distinct()
-            .join(hitc, "doc_id", "left")
-            .join(hiti, "doc_id", "left")
+            seeds.unionByName(hitc).unionByName(hiti)
+            .groupBy("doc_id")
+            .agg(F.max("hc").alias("hc"), F.max("hi").alias("hi"))
             .select(
                 "doc_id",
                 F.lit(day_no).alias("day"),
-                F.coalesce("hit_corpus", F.lit(0)).cast("int")
-                  .alias("hit_corpus"),
-                F.coalesce("hit_intra", F.lit(0)).cast("int")
-                  .alias("hit_intra"),
-                (
-                    F.coalesce("hit_corpus", F.lit(0))
-                    + F.coalesce("hit_intra", F.lit(0))
-                    == 0
-                ).cast("int").alias("admitted"),
+                F.col("hc").cast("int").alias("hit_corpus"),
+                F.col("hi").cast("int").alias("hit_intra"),
+                ((F.col("hc") + F.col("hi")) == 0).cast("int").alias("admitted"),
             )
             .localCheckpoint(eager=True)
         )

@@ -1201,20 +1201,22 @@ def text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     (not corpus-bounded), so the model table stays tiny."""
     d = load_parallel(spark, sf_dir, "documents")
     tris = F.expr(_LID_TRIS_SPARK)
-    tr = (
+    # r13 opt: the exploded train-trigram frame is consumed exactly
+    # once, by a map-side-combining (lang, tri) count — no checkpoint
+    # of |train chars| rows; the model-sized count table (vocabulary x
+    # classes, alphabet-bounded at scale per the docstring) is the
+    # thing that materializes, and cls totals + the vocab size V
+    # derive from IT instead of re-scanning the explosion.
+    cnt = (
         d.filter(F.col("doc_id") % 5 != 0)
-        .select("doc_id", "lang", F.explode(tris).alias("tri"))
+        .select("lang", F.explode(tris).alias("tri"))
+        .groupBy(F.col("lang").alias("c_lang"), "tri")
+        .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
     )
-    te = (
-        d.filter(F.col("doc_id") % 5 == 0)
-        .select("doc_id", "lang", F.explode(tris).alias("tri"))
-    )
-    v = tr.select("tri").distinct().count()
+    v = cnt.select("tri").distinct().count()
     n_train = d.filter(F.col("doc_id") % 5 != 0).count()
-    cls = tr.groupBy(F.col("lang").alias("c_lang")).agg(
-        F.count(F.lit(1)).alias("tot")
-    )
+    cls = cnt.groupBy("c_lang").agg(F.sum("c").alias("tot"))
     prior = (
         d.filter(F.col("doc_id") % 5 != 0)
         .groupBy(F.col("lang").alias("c_lang"))
@@ -1229,23 +1231,18 @@ def text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("prior_mu")
         )
     )
-    lp = (
-        tr.groupBy(F.col("lang").alias("c_lang"), "tri")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .join(cls, "c_lang")
-        .select(
-            "c_lang",
-            "tri",
-            F.floor(
-                F.log(
-                    (F.col("c") + 1).cast("double")
-                    / (F.col("tot") + F.lit(v)).cast("double")
-                )
-                * F.lit(1000000)
+    lp = cnt.join(F.broadcast(cls), "c_lang").select(
+        "c_lang",
+        "tri",
+        F.floor(
+            F.log(
+                (F.col("c") + 1).cast("double")
+                / (F.col("tot") + F.lit(v)).cast("double")
             )
-            .cast("long")
-            .alias("lp_mu"),
+            * F.lit(1000000)
         )
+        .cast("long")
+        .alias("lp_mu"),
     )
     unseen = cls.select(
         "c_lang",
@@ -1256,19 +1253,34 @@ def text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("unseen_mu"),
     )
+    te = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "lang", F.explode(tris).alias("tri"))
+    )
+    # broadcast the model (r13 opt, guide §3.1): the held-out explosion
+    # x |classes| never shuffles — scoring partial-aggregates map-side
+    # and the exchange carries |classes| rows per doc; the argmax
+    # window is folded into the same aggregation tree via
+    # min(struct(-score, class)) (score DESC, class ASC == the
+    # original row_number ordering).
     lk = (
         te.crossJoin(F.broadcast(unseen))
-        .join(lp, ["c_lang", "tri"], "left")
+        .join(F.broadcast(lp), ["c_lang", "tri"], "left")
         .groupBy("doc_id", F.col("lang").alias("actual"), "c_lang")
         .agg(F.sum(F.coalesce("lp_mu", "unseen_mu")).alias("like_mu"))
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        (F.col("like_mu") + F.col("prior_mu")).desc(), F.col("c_lang")
-    )
     pred = (
         lk.join(F.broadcast(prior), "c_lang")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .groupBy("doc_id", "actual")
+        .agg(
+            F.min(
+                F.struct(
+                    (-(F.col("like_mu") + F.col("prior_mu"))).alias("ns"),
+                    F.col("c_lang"),
+                )
+            ).alias("m")
+        )
+        .select("actual", F.col("m.c_lang").alias("c_lang"))
     )
     return (
         pred.groupBy("actual", F.col("c_lang").alias("predicted"))
