@@ -1029,14 +1029,23 @@ def text_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection is localCheckpointed once and feeds training and scoring
     (the round-5 multi-consumer lesson)."""
     d = load_parallel(spark, sf_dir, "documents")
+    # the exploded occurrence stream feeds training AND scoring (this
+    # referee scores its own training set), so the checkpoint stays;
+    # r13 opt: the model-sized (class, token) count table is built by
+    # ONE map-side-combining pass over it, and cls totals + the vocab
+    # size V derive from THAT table instead of two more occurrence-
+    # level passes (a distinct and a groupBy over every token).
     t = d.select(
         "doc_id", "lang", F.explode(tokens("text")).alias("tok")
     ).localCheckpoint(eager=True)
-    v = t.select("tok").distinct().count()
-    n_docs_total = d.count()
-    cls = t.groupBy(F.col("lang").alias("c_lang")).agg(
-        F.count(F.lit(1)).alias("tot")
+    cnt = (
+        t.groupBy(F.col("lang").alias("c_lang"), "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
+    v = cnt.select("tok").distinct().count()
+    n_docs_total = d.count()
+    cls = cnt.groupBy("c_lang").agg(F.sum("c").alias("tot"))
     prior = d.groupBy(F.col("lang").alias("c_lang")).agg(
         F.floor(
             F.log(
@@ -1047,23 +1056,18 @@ def text_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("prior_mu")
     )
-    lp = (
-        t.groupBy(F.col("lang").alias("c_lang"), "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .join(cls, "c_lang")
-        .select(
-            "c_lang",
-            "tok",
-            F.floor(
-                F.log(
-                    (F.col("c") + 1).cast("double")
-                    / (F.col("tot") + F.lit(v)).cast("double")
-                )
-                * F.lit(1000000)
+    lp = cnt.join(F.broadcast(cls), "c_lang").select(
+        "c_lang",
+        "tok",
+        F.floor(
+            F.log(
+                (F.col("c") + 1).cast("double")
+                / (F.col("tot") + F.lit(v)).cast("double")
             )
-            .cast("long")
-            .alias("lp_mu"),
+            * F.lit(1000000)
         )
+        .cast("long")
+        .alias("lp_mu"),
     )
     unseen = cls.select(
         "c_lang",
@@ -1074,19 +1078,29 @@ def text_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("unseen_mu"),
     )
+    # broadcast the model (r13 opt): the occurrence stream x |classes|
+    # never shuffles — scoring partial-aggregates map-side and the
+    # exchange carries |classes| rows per doc; the argmax window folds
+    # into min(struct(-score, class)) (score DESC, class ASC == the
+    # original row_number ordering).
     lk = (
         t.crossJoin(F.broadcast(unseen))
-        .join(lp, ["c_lang", "tok"], "left")
+        .join(F.broadcast(lp), ["c_lang", "tok"], "left")
         .groupBy("doc_id", F.col("lang").alias("actual"), "c_lang")
         .agg(F.sum(F.coalesce("lp_mu", "unseen_mu")).alias("like_mu"))
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        (F.col("like_mu") + F.col("prior_mu")).desc(), F.col("c_lang")
-    )
     pred = (
         lk.join(F.broadcast(prior), "c_lang")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .groupBy("doc_id", "actual")
+        .agg(
+            F.min(
+                F.struct(
+                    (-(F.col("like_mu") + F.col("prior_mu"))).alias("ns"),
+                    F.col("c_lang"),
+                )
+            ).alias("m")
+        )
+        .select("actual", F.col("m.c_lang").alias("c_lang"))
     )
     return (
         pred.groupBy("actual", F.col("c_lang").alias("predicted"))
@@ -2088,9 +2102,13 @@ def _kn_docnll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n1f"),
     )
     bwd = c12.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1b"))
+    # r13 opt: every train token appears in some train bigram, so the
+    # vocabulary derives from the TYPE-level c12 table (vocabulary^2-
+    # bounded) instead of two passes + a distinct over the occurrence-
+    # level train stream.
     voc = (
-        tr.select(F.col("w1").alias("tok"))
-        .unionAll(tr.select(F.col("w2").alias("tok")))
+        c12.select(F.col("w1").alias("tok"))
+        .unionAll(c12.select(F.col("w2").alias("tok")))
         .distinct()
         .localCheckpoint(eager=True)
     )
