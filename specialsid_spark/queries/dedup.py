@@ -3124,31 +3124,28 @@ def cur_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     block join with in-join radius verification) — no all-pairs
     anywhere; the verdict join keys on doc_id and the rollup is a
     4-row aggregate with map-side combine.  Integer permille."""
-    from pyspark.sql.window import Window
-
     d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
-    w_exact = Window.partitionBy(F.md5("text"))
+    # ONE scan+tokenize pass shared by ALL THREE legs (r13 opt): the
+    # checkpoint carries md5(text) so the exact leg groups 16-byte
+    # hashes from the same projection — the old shape shuffled FULL
+    # DOCUMENT TEXT through a Window.partitionBy(md5(text)) exchange;
+    # document bytes now never leave the scan task.
+    tk = d.select(
+        "doc_id", F.md5("text").alias("h"), tokens("text").alias("toks")
+    ).localCheckpoint(eager=True)
+    emins = tk.groupBy("h").agg(F.min("doc_id").alias("m"))
     exact = (
-        d.select("doc_id", F.min("doc_id").over(w_exact).alias("m"))
+        tk.select("doc_id", "h")
+        .join(emins, "h")
         .filter(F.col("doc_id") > F.col("m"))
-        .select("doc_id")
-        .withColumn("e", F.lit(1))
-    )
-    # ONE tokenize pass shared by the LSH and SimHash legs (r13 opt —
-    # each leg re-scanned the text and re-split it; the checkpointed
-    # (doc_id, toks) projection is the multi-consumer lesson applied
-    # across gate stages)
-    tk = d.select("doc_id", tokens("text").alias("toks")).localCheckpoint(
-        eager=True
+        .select("doc_id", F.lit(1).alias("pri"))
     )
     bk = lsh_band_keys(tk)
     gmins = bk.groupBy("band", "bkey").agg(F.min("doc_id").alias("m"))
     lsh = (
         bk.join(gmins, ["band", "bkey"])
         .filter(F.col("doc_id") > F.col("m"))
-        .select("doc_id")
-        .distinct()
-        .withColumn("l", F.lit(1))
+        .select("doc_id", F.lit(2).alias("pri"))
     )
     bp = simhash_probes(
         _simhash_block_sigs(spark, sf_dir, 32, docs=tk)
@@ -3164,21 +3161,27 @@ def cur_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("doc_id") > F.col("doc_b")) & (simhash_ham_to_index() <= 3)
         )
-        .select("doc_id")
-        .distinct()
-        .withColumn("s", F.lit(1))
+        .select("doc_id", F.lit(3).alias("pri"))
     )
+    # first-catcher = MIN stage priority per doc over seed rows (pri 4
+    # = clean) unioned with each leg's catch rows — one map-side-
+    # combined groupBy replaces two distincts and three left joins
+    # (same seed-union verdict idiom as the incremental gates)
+    seeds = tk.select("doc_id", F.lit(4).alias("pri"))
     verdict = (
-        d.select("doc_id")
-        .join(exact, "doc_id", "left")
-        .join(lsh, "doc_id", "left")
-        .join(sim, "doc_id", "left")
+        seeds.unionByName(exact).unionByName(lsh).unionByName(sim)
+        .groupBy("doc_id")
+        .agg(F.min("pri").alias("pri"))
         .select(
-            F.when(F.col("e") == 1, "a_exact")
-            .when(F.col("l") == 1, "b_lsh")
-            .when(F.col("s") == 1, "c_simhash")
-            .otherwise("d_clean")
-            .alias("stage")
+            F.element_at(
+                F.array(
+                    F.lit("a_exact"),
+                    F.lit("b_lsh"),
+                    F.lit("c_simhash"),
+                    F.lit("d_clean"),
+                ),
+                F.col("pri"),
+            ).alias("stage")
         )
     )
     tot = d.agg(F.count(F.lit(1)).alias("n"))
