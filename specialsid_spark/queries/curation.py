@@ -1630,17 +1630,21 @@ def _dsir_gm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    tgt = feat.filter(F.col("lang") == "en").groupBy("b").agg(
-        F.count(F.lit(1)).cast("long").alias("ct")
+    # r13 opt: ONE map-side-combining pass builds both bag models as
+    # conditional sums per bucket (ct = 0 for never-target buckets ==
+    # the old left join's COALESCE(ct, 0)), and the two corpus totals
+    # derive from the 512-row table — folding four occurrence-level
+    # passes (target counts, raw counts, two totals) into one.
+    bstats = feat.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("cr"),
+        F.sum((F.col("lang") == "en").cast("long")).cast("long").alias("ct"),
     )
-    raw = feat.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr"))
-    tot = feat.filter(F.col("lang") == "en").agg(
-        F.count(F.lit(1)).cast("long").alias("nt")
-    ).crossJoin(feat.agg(F.count(F.lit(1)).cast("long").alias("nr")))
-    lw = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tot))
-        .select("b", F.expr(_DSIR_LW).alias("lw_mu"))
+    tot = bstats.agg(
+        F.sum("ct").cast("long").alias("nt"),
+        F.sum("cr").cast("long").alias("nr"),
+    )
+    lw = bstats.crossJoin(F.broadcast(tot)).select(
+        "b", F.expr(_DSIR_LW).alias("lw_mu")
     )
     docw = (
         feat.join(F.broadcast(lw), "b")

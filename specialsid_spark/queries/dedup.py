@@ -3015,7 +3015,13 @@ def cur_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup decision is a bucket-min join, never all-pairs; the rollup is
     a map-side-combining groupBy on source.  Integer ratios only."""
     d = load_parallel(spark, sf_dir, "documents")
-    bk = lsh_band_keys(d.select("doc_id", "text"))
+    # ONE scan+tokenize pass feeds the banding leg and the per-source
+    # attribute rollup (r13 opt — each re-read the parquet text and
+    # re-split it); document bytes never leave the scan task.
+    tk = d.select(
+        "doc_id", "source", "lang", tokens("text").alias("toks")
+    ).localCheckpoint(eager=True)
+    bk = lsh_band_keys(tk)
     mins = bk.groupBy("band", "bkey").agg(F.min("doc_id").alias("m"))
     dup = (
         bk.join(mins, ["band", "bkey"])
@@ -3024,11 +3030,11 @@ def cur_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("is_dup", F.lit(1))
     )
-    t = d.select(
+    t = tk.select(
         "source",
         "doc_id",
         "lang",
-        F.size(tokens("text")).alias("words"),
+        F.size("toks").alias("words"),
     )
     g = (
         t.join(dup, "doc_id", "left")
