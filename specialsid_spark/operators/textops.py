@@ -182,6 +182,34 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_np(a: Column, b: Column) -> Column:
+    """`dot` twin evaluated as a numpy DIMENSION loop batched across
+    rows via Arrow (r13 opt, guide §4.2): the SQL fold is
+    CodegenFallback — interpreted per element per row — while this
+    runs 64 vectorized ops per batch.  Bit-identical to `dot`: acc is
+    built d-by-d with the same IEEE double multiply-then-add order per
+    row (NOT a BLAS matmul, whose reassociated summation would drift
+    ULPs vs the oracle's sequential fold).  Parity pinned in
+    tests/test_ann_recall.py."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _seq_dot(xs, ys):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        if len(xs) == 0:
+            return pd.Series([], dtype="float64")
+        x = np.stack(xs.to_numpy()).astype(np.float64, copy=False)
+        y = np.stack(ys.to_numpy()).astype(np.float64, copy=False)
+        acc = np.zeros(x.shape[0], dtype=np.float64)
+        for d in range(x.shape[1]):
+            acc = acc + x[:, d] * y[:, d]
+        return pd.Series(acc)
+
+    return _seq_dot(a, b)
+
+
 def norm(a: Column) -> Column:
     """L2 norm — precompute once per vector side before a pair join so
     pair scoring costs one fold, not three."""

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from specialsid_spark.catalog import load, load_parallel
-from specialsid_spark.operators.textops import cosine, dot, norm
+from specialsid_spark.operators.textops import dot, dot_np, norm
 from specialsid_spark.queries import register
 
 _SQL_COS = (
@@ -64,7 +64,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "neighbor_label",
-            (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cs"),
+            (dot_np(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cs"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("neighbor_id"))
@@ -349,7 +349,7 @@ def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cs"),
+            (dot_np(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cs"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("neighbor_id"))
@@ -1071,7 +1071,7 @@ def _knn_graph(
         .select(
             "vec_id",
             "neighbor_id",
-            (dot(F.col("xv"), F.col("yv")) / (F.col("xn") * F.col("yn"))).alias("cs"),
+            (dot_np(F.col("xv"), F.col("yv")) / (F.col("xn") * F.col("yn"))).alias("cs"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "neighbor_id")

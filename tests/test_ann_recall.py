@@ -161,3 +161,32 @@ def test_trained_codebooks_reduce_distortion(spark):
     d0, d1 = distortion(untrained), distortion(trained)
     assert d1 <= d0
     assert d1 <= 0.85 * d0, (d0, d1)  # substantial, not epsilon
+
+
+def test_dot_np_matches_sql_fold_bitwise(spark):
+    """r13: the vectorized dot twin must be BIT-identical to the SQL
+    sequential fold on real embedding doubles — same IEEE
+    multiply-then-add order per row, no BLAS reassociation."""
+    from specialsid_spark.catalog import load
+    from specialsid_spark.operators.textops import dot, dot_np
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    e = load(spark, sf, "embeddings")
+    a = e.select("vec_id", F.col("embedding").alias("x"))
+    b = e.select(
+        (F.col("vec_id")).alias("vid2"),
+        F.reverse("embedding").alias("y"),
+    )
+    both = a.join(b, a.vec_id == b.vid2).select(
+        "vec_id",
+        dot(F.col("x"), F.col("y")).alias("sql_dot"),
+        dot_np(F.col("x"), F.col("y")).alias("np_dot"),
+    )
+    rows = both.collect()
+    assert rows
+    for r in rows:
+        # bitwise equality, not approx
+        import struct
+
+        assert struct.pack("<d", r.sql_dot) == struct.pack("<d", r.np_dot), r
