@@ -807,10 +807,15 @@ def agg_kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hv"),
     ).distinct()
     wnd = Window.partitionBy("side").orderBy("hv")
+    # checkpoint the k-sized sketch (r13 opt): the two count actions
+    # below otherwise re-derive the distinct+window pipeline per job —
+    # the sketch IS the artifact a 100 TB run would persist, and it is
+    # at most 2k rows.
     sk = (
         h.withColumn("rn", F.row_number().over(wnd))
         .where(F.col("rn") <= _KMV_K)
         .select("side", "hv")
+        .localCheckpoint(eager=True)
     )
     s0 = sk.where(F.col("side") == 0).select("hv")
     s1 = sk.where(F.col("side") == 1).select("hv")
@@ -1896,12 +1901,18 @@ def agg_hll_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") % 4).alias("shard"),
         F.md5(F.col("l_orderkey").cast("string")).alias("hh"),
     )
+    # no checkpoint (r13 opt): both constructions are map-side-combining
+    # MAX aggregates straight off the scan — re-running the codegen'd
+    # md5+bucket+rho projection twice measured cheaper than
+    # materializing |lineitem| register rows to local storage (the
+    # BPE-explode lesson), and it keeps the direct and sharded
+    # constructions genuinely independent paths.
     br = h.select(
         "l_returnflag",
         "shard",
         hll_bucket(F.col("hh")).alias("bucket"),
         hll_rho("hh").alias("rho"),
-    ).localCheckpoint(eager=True)
+    )
     direct = br.groupBy("l_returnflag", "bucket").agg(F.max("rho").alias("mj"))
     shardr = br.groupBy("l_returnflag", "shard", "bucket").agg(
         F.max("rho").alias("mj")

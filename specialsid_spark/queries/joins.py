@@ -668,23 +668,22 @@ def join_interval_sweep_concurrency(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum("st").cast("long").alias("st"), F.sum("en").cast("long").alias("en")
     )
     w = Window.partitionBy("s").orderBy("d")
-    c = g.select("s", "d", F.sum(F.col("st") - F.col("en")).over(w).alias("conc")).alias(
-        "c"
-    )
-    m = (
-        c.groupBy("s")
-        .agg(F.max("conc").cast("long").alias("max_concurrent"))
-        .select(F.col("s").alias("ms"), "max_concurrent")
-        .alias("m")
-    )
+    c = g.select("s", "d", F.sum(F.col("st") - F.col("en")).over(w).alias("conc"))
+    # r13 opt: peak + first peak day in ONE aggregate — max(struct(conc,
+    # -d)) picks the max concurrency and, among its ties, the earliest
+    # day — replacing the per-key max join-back (a self-join of the
+    # window output).  The groupBy reuses the window's (s) partitioning,
+    # so no new exchange.
     return (
-        m.join(
-            c,
-            (F.col("c.s") == F.col("m.ms"))
-            & (F.col("c.conc") == F.col("m.max_concurrent")),
+        c.groupBy("s")
+        .agg(
+            F.max(F.struct(F.col("conc"), (-F.col("d")).alias("nd"))).alias("mx")
         )
-        .groupBy(F.col("m.ms").alias("l_suppkey"), "max_concurrent")
-        .agg(F.min("d").cast("long").alias("first_peak_day"))
+        .select(
+            F.col("s").alias("l_suppkey"),
+            F.col("mx.conc").cast("long").alias("max_concurrent"),
+            (-F.col("mx.nd")).cast("long").alias("first_peak_day"),
+        )
         .orderBy(F.desc("max_concurrent"), "l_suppkey")
         .limit(100)
     )
