@@ -2416,15 +2416,22 @@ def pipeline_perplexity_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary is a map-side-combining groupBy on language."""
     scored = _kn_scored(spark, sf_dir)
     d = load_parallel(spark, sf_dir, "documents").select(
-        # hash and token count are projected BEFORE the lineage break so
-        # no document text ever crosses the checkpoint or a shuffle
+        # hash projected BEFORE the lineage break so no document text
+        # ever crosses the checkpoint or a shuffle.  r13 opt: the token
+        # count is NOT re-derived from text — every scored doc passed
+        # the KN chain's len(ts) >= 2 gate and contributed exactly
+        # len(ts) - 1 bigrams under the SAME tokenizer, so
+        # n_tokens == n_bigrams + 1 rides in from the scorer and the
+        # second corpus tokenize pass disappears.
         "doc_id",
         "lang",
         F.md5("text").alias("h"),
-        F.size(tokens("text")).cast("long").alias("nt"),
     )
     kept = d.join(
-        scored.filter(F.col("ppl_bucket") <= 2).select("doc_id"), "doc_id"
+        scored.filter(F.col("ppl_bucket") <= 2).select(
+            "doc_id", (F.col("n_bigrams") + 1).cast("long").alias("nt")
+        ),
+        "doc_id",
     ).localCheckpoint(eager=True)
     surv = kept.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
     ck = F.conv(
