@@ -592,20 +592,34 @@ def _ivf_search(assigned: DataFrame, centroids: list[list[int]]) -> DataFrame:
     CONSTRUCTION): probe each query's nprobe nearest cells by the same
     exact-integer L2 training used, equi-join candidates on cell id,
     exact cosine rerank.  ``assigned`` carries (vec_id, mu, cid)."""
-    from specialsid_spark.operators.kmeans import _dist2_sql
-
-    assigned = assigned.localCheckpoint(eager=True)
+    # r13 opt: the checkpoint carries each vector's EXACT integer
+    # squared norm once, so pair scoring costs one fold, not three
+    # (the old shape re-folded n2(qmu) and n2(nmu) per candidate
+    # pair); n2 is an exact int64 sum, so sqrt/divide see the same
+    # doubles as before.
+    n2 = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    assigned = assigned.select(
+        "vec_id", "mu", "cid", n2(F.col("mu")).alias("nn2")
+    ).localCheckpoint(eager=True)
     # query-side probe: rank cells by the SAME exact integer L2 the
-    # training used (one selectExpr, SQL-string distances)
+    # training used (one selectExpr, SQL-string distances).  A numpy
+    # mapInPandas probe was measured and reverted (+4-8%): at
+    # |queries| = 50 the Arrow worker round-trip exceeds the k-literal
+    # plan's cost — see OPTIMIZATION_r13.md.
+    from specialsid_spark.operators.kmeans import _dist2_sql  # noqa: PLC0415
+
     k = len(centroids)
     d_exprs = [f"{_dist2_sql('mu', c)} AS d{i}" for i, c in enumerate(centroids)]
     qd = (
         assigned.filter(F.col("vec_id") < _IVF_NQUERY)
-        .selectExpr("vec_id", "mu", *d_exprs)
+        .selectExpr("vec_id", "mu", "nn2", *d_exprs)
     )
     pairs = qd.select(
         "vec_id",
         "mu",
+        "nn2",
         F.explode(
             F.arrays_zip(
                 F.array(*[F.lit(i) for i in range(k)]),
@@ -613,24 +627,29 @@ def _ivf_search(assigned: DataFrame, centroids: list[list[int]]) -> DataFrame:
             )
         ).alias("z"),
     ).select(
-        "vec_id", "mu", F.col("z.0").alias("cid"), F.col("z.1").alias("d")
+        "vec_id", "mu", "nn2", F.col("z.0").alias("cid"), F.col("z.1").alias("d")
     )
     w = Window.partitionBy("vec_id").orderBy("d", "cid")
     qprobe = (
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _IVF_NPROBE)
-        .select(F.col("vec_id").alias("query_id"), F.col("mu").alias("qmu"), "cid")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("mu").alias("qmu"),
+            F.col("nn2").alias("qn2"),
+            "cid",
+        )
     )
     nbr = assigned.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("mu").alias("nmu"), "cid"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("mu").alias("nmu"),
+        F.col("nn2").alias("nn2"),
+        "cid",
     )
     dot = F.aggregate(
         F.zip_with(F.col("qmu"), F.col("nmu"), lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
-    )
-    n2 = lambda c: F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0).cast("long"), lambda a, v: a + v
     )
     scored = (
         F.broadcast(qprobe)
@@ -641,8 +660,8 @@ def _ivf_search(assigned: DataFrame, centroids: list[list[int]]) -> DataFrame:
             (
                 dot.cast("double")
                 / (
-                    F.sqrt(n2(F.col("qmu")).cast("double"))
-                    * F.sqrt(n2(F.col("nmu")).cast("double"))
+                    F.sqrt(F.col("qn2").cast("double"))
+                    * F.sqrt(F.col("nn2").cast("double"))
                 )
             ).alias("cs"),
         )
