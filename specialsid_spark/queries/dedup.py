@@ -179,22 +179,33 @@ def _sql_bands() -> str:
 
 def _minhash_sigs_df(d: DataFrame) -> DataFrame:
     """MinHash signatures from any (doc_id, text) frame — shared by the
-    registered batch queries AND the streaming near-dup ingest gate."""
+    registered batch queries AND the streaming near-dup ingest gate.
+
+    Shape (the _simhash_block_sigs discipline): every CW component is
+    materialized as a plain column BEFORE the aggregate, so the 16 MINs
+    reference attributes only and the groupBy partial-aggregates
+    map-side — the shuffle carries one 17-long partial per (doc,
+    partition), never the shingle occurrence stream.  (The previous
+    repartition("doc_id") barrier kept CollapseProject from inlining
+    u1/u2 into the agg expressions but paid a full occurrence-stream
+    exchange for it; the named u1/u2 projection survives on its own —
+    multi-referenced non-cheap expressions don't collapse — exactly
+    like the md5/digest projections in the SimHash kernel.)"""
     ex = _exploded_shingles_df(d)
     # md5 through a named projection -> hashed exactly once per shingle
     hashed = ex.select("doc_id", F.md5("shingle").alias("h"))
     u1, u2 = minhash_bases(F.col("h"))
-    # repartition on the group key: (a) materializes u1/u2 at the
-    # shuffle so CollapseProject can't inline them into all 8 agg
-    # expressions, and (b) the groupBy below needs no further shuffle
-    based = hashed.select("doc_id", u1.alias("u1"), u2.alias("u2")).repartition(
-        "doc_id"
+    based = hashed.select("doc_id", u1.alias("u1"), u2.alias("u2"))
+    comps = based.select(
+        "doc_id",
+        *[
+            minhash_component(F.col("u1"), F.col("u2"), j).alias(f"c{j}")
+            for j in range(_N_MINHASH)
+        ],
     )
-    aggs = [
-        F.min(minhash_component(F.col("u1"), F.col("u2"), j)).alias(f"mh{j}")
-        for j in range(_N_MINHASH)
-    ]
-    return based.groupBy("doc_id").agg(*aggs)
+    return comps.groupBy("doc_id").agg(
+        *[F.min(f"c{j}").alias(f"mh{j}") for j in range(_N_MINHASH)]
+    )
 
 
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:

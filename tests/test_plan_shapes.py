@@ -187,12 +187,15 @@ def test_text_pipelines_scan_documents_once(spark, qs):
         assert p.count("Location: InMemoryFileIndex") == 1, f"{name} re-scans its input"
 
 
-def test_minhash_groupby_reuses_repartition_exchange(spark, qs):
-    # signatures groupBy('doc_id') must not add a second exchange after
-    # the explicit repartition('doc_id')
+def test_minhash_groupby_partial_aggregates_map_side(spark, qs):
+    # r13 opt: the signature groupBy must partial-aggregate map-side —
+    # the shuffle carries one 17-long partial per (doc, partition),
+    # never the shingle occurrence stream (the _simhash_block_sigs
+    # discipline; the old repartition('doc_id') barrier paid a full
+    # occurrence-stream exchange)
     p = plan_of(spark, qs["dedup_minhash_signatures"](spark, SF_DIR))
-    # exactly one hash exchange (the explicit repartition on doc_id);
-    # the groupBy's partial+final aggregates sit directly on top of it
+    assert "partial_min" in p, "map-side partial MIN missing"
+    # exactly one hash exchange (the aggregate's); no repartition barrier
     assert p.count("hashpartitioning(doc_id") == 1
 
 
