@@ -119,6 +119,32 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """Distinct oriented co-purchase edges (u < v) from a
+    (l_orderkey, l_suppkey) projection.
+
+    r13 opt (guide §2.4): pair generation via ONE map-side-combining
+    groupBy — collect the order's distinct suppliers, sort, and expand
+    ordered pairs with posexplode + slice (both codegen'd; arrays are
+    order-sized, <= 7 lines in TPC-H).  Replaces the per-order
+    self-join, which paid a second exchange + join sort to produce the
+    identical pair rows (A/B 1.95 -> 1.39 s at sf0.1, bit-identical
+    453,588 edges).  At scale the only corpus exchange carries
+    (orderkey, suppkey) once; pair blowup stays bounded by order size
+    exactly as the join's was."""
+    g = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
+    )
+    ex = g.select(F.posexplode("ss").alias("i", "u"), F.col("ss"))
+    return (
+        ex.select(
+            "u",
+            F.explode(F.expr("slice(ss, i + 2, size(ss) - i - 1)")).alias("v"),
+        )
+        .distinct()
+    )
+
+
 @register(
     "graph_triangle_count",
     oracle="""
@@ -172,17 +198,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_orderkey") % 16 == 0
     ).select("l_orderkey", "l_suppkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = _copurchase_edges(li).localCheckpoint(eager=True)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))
@@ -249,17 +265,7 @@ def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     and exact reproducibility — the same property every sampling
     operator in this repo keys on."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = _copurchase_edges(li).localCheckpoint(eager=True)
     coin = (
         F.conv(
             F.substring(
