@@ -348,26 +348,24 @@ def join_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Self-equi-join on the order key with an anti-symmetric (<) residual
     so each unordered pair appears once.
 
-    Scale shape: the fan-out of a self-join on the basket key is
-    quadratic in BASKET size, not table size — lineitem baskets are
-    bounded (~7 lines), so the join output is O(|lineitem| * 7/2).  The
-    distinct-first projection shrinks the shuffled rows to (orderkey,
-    partkey) pairs before the join, both sides co-partition on
-    l_orderkey (one shuffle each), and the top-25 is
-    TakeOrderedAndProject — no global sort materialized."""
+    Scale shape (r13 opt, guide §2.4): pair fan-out is quadratic in
+    BASKET size, not table size — lineitem baskets are bounded
+    (~7 lines).  One map-side-combining groupBy collects each order's
+    DISTINCT parts (collect_set subsumes the old distinct-projection
+    exchange), sorted pairs expand via posexplode + slice (codegen'd,
+    basket-bounded arrays — the _copurchase_edges shape in
+    queries/graph.py), and the top-25 is TakeOrderedAndProject — no
+    self-join, no broadcast relation, no global sort materialized."""
     li = load(spark, sf_dir, "lineitem")
-    pp = li.select("l_orderkey", "l_partkey").distinct()
-    a = pp.alias("a")
-    b = pp.select(
-        F.col("l_orderkey").alias("b_orderkey"), F.col("l_partkey").alias("part_b")
-    ).alias("b")
+    g = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    ex = g.select(F.posexplode("ps").alias("i", "part_a"), F.col("ps"))
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b_orderkey"))
-            & (F.col("a.l_partkey") < F.col("part_b")),
+        ex.select(
+            "part_a",
+            F.explode(F.expr("slice(ps, i + 2, size(ps) - i - 1)")).alias("part_b"),
         )
-        .select(F.col("a.l_partkey").alias("part_a"), "part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
