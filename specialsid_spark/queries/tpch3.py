@@ -112,13 +112,19 @@ _SQL_UNIT_COST = f"""
 """
 
 
-def _unit_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _unit_costs(
+    spark: SparkSession, sf_dir: str, li: DataFrame | None = None
+) -> DataFrame:
     """(partkey, suppkey, cost_cents): minimum exact unit price each
     supplier ever charged for each part — the fixtures' stand-in for
     partsupp.ps_supplycost.  Integer `div` on cents keeps both engines
-    bit-identical (no FP division in the comparison path)."""
+    bit-identical (no FP division in the comparison path).
+
+    ``li`` overrides the lineitem frame — per-(partkey, suppkey) minima
+    are independent, so a caller that only needs a partkey subset may
+    pre-filter (Q2 semi-joins the size-15 part list first)."""
     return (
-        load(spark, sf_dir, "lineitem")
+        (li if li is not None else load(spark, sf_dir, "lineitem"))
         .selectExpr(
             "l_partkey AS partkey",
             "l_suppkey AS suppkey",
@@ -165,8 +171,20 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelated: per-part minimum as a groupBy re-joined on
     (partkey, cost) — two shuffles on partkey that AQE plans back to
     back on the same key, with region⋈nation⋈supplier broadcast into
-    the cost table.  TakeOrderedAndProject caps the result at 100."""
+    the cost table.  TakeOrderedAndProject caps the result at 100.
+
+    r13 opt (guide §3.2): the (partkey, cost) self-join blocks exchange
+    reuse, so the unit-cost subtree runs twice — lineitem is therefore
+    semi-joined against the broadcast size-15 part list BEFORE the
+    aggregate (per-part minima are independent, so pre-filtering by
+    partkey is value-identical), cutting both evaluations of the
+    aggregate by the part filter's selectivity."""
     p = load(spark, sf_dir, "part").filter(F.col("p_size") == 15).select("p_partkey", "p_brand")
+    li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     s = load(spark, sf_dir, "supplier")
@@ -174,7 +192,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)), s.s_nationkey == n.n_nationkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    costs = _unit_costs(spark, sf_dir).join(
+    costs = _unit_costs(spark, sf_dir, li=li).join(
         F.broadcast(eu), F.col("suppkey") == F.col("s_suppkey")
     ).select("partkey", "cost_cents", "s_name", "s_acctbal", "n_name")
     min_cost = costs.groupBy("partkey").agg(F.min("cost_cents").alias("mc"))
