@@ -2306,8 +2306,13 @@ def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = snapshot_read(spark, t)
     band_rows = idx.filter(F.col("kind") == "band").select("band", "bkey")
-    n_band = band_rows.count()
-    n_doc = idx.filter(F.col("kind") == "doc").count()
+    # one aggregate answers both manifest counts (r13 opt — was two
+    # count jobs, each a separate scan of the compacted snapshot)
+    cnt = idx.agg(
+        F.sum((F.col("kind") == "band").cast("long")).alias("nb"),
+        F.sum((F.col("kind") == "doc").cast("long")).alias("nd"),
+    ).collect()[0]
+    n_band, n_doc = int(cnt["nb"] or 0), int(cnt["nd"] or 0)
 
     # probe bands = the day-1/day-2 slices of the band frame the gate
     # run just checkpointed (r13 opt) — identical rows to re-signing

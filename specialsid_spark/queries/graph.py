@@ -208,6 +208,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+    # NOTE (r13 opt, measured and NOT applied): folding these two jobs
+    # into one agg(count, countDistinct) plans an Expand over the
+    # doubled endpoint rows — +32% vs the two jobs (the checkpointed
+    # count is near-free; the distinct dominates either way)
     n_edges = edges.count()
     n_nodes = (
         edges.select(F.col("u").alias("k"))
