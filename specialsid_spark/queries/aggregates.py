@@ -696,27 +696,27 @@ def agg_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominates and the single-row-group fixture would serialize it on
     one task."""
     li = load_parallel(spark, sf_dir, "lineitem")
-    j = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("j")
 
-    def cms_col(jc: F.Column, key: F.Column) -> F.Column:
-        # one digest per key; row j reads hex chars [8j, 8j+8)
-        h = F.md5(key.cast("string"))
-        return (
-            F.conv(F.substring(h, 1 + 8 * jc, 8), 16, 10).cast("long") % _CMS_W
+    def cms_cells(df: DataFrame, extra: list[str]) -> DataFrame:
+        # ONE md5 per input row (named projection — the explode used to
+        # re-evaluate it per (row, j), d=4 digests per key; r13 s3
+        # opt), then posexplode the d disjoint 32-bit slices: index j
+        # reads hex chars [8j, 8j+8), identical to the per-j substring
+        h = df.select(*extra, F.md5(F.col("l_suppkey").cast("string")).alias("h"))
+        cols = F.array(
+            *[
+                F.conv(F.substring("h", 1 + 8 * i, 8), 16, 10).cast("long")
+                % _CMS_W
+                for i in range(_CMS_D)
+            ]
         )
+        return h.select(*extra, F.posexplode(cols).alias("j", "col"))
 
-    cells = li.select("l_suppkey", j).select(
-        "j", cms_col(F.col("j"), F.col("l_suppkey")).alias("col")
-    )
+    cells = cms_cells(li.select("l_suppkey"), [])
     sketch = cells.groupBy("j", "col").agg(F.count(F.lit(1)).alias("c"))
     exact = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
     top10 = exact.orderBy(F.desc("n"), "l_suppkey").limit(10)
-    cand = top10.select("l_suppkey", "n", j).select(
-        "l_suppkey",
-        "n",
-        "j",
-        cms_col(F.col("j"), F.col("l_suppkey")).alias("col"),
-    )
+    cand = cms_cells(top10, ["l_suppkey", "n"])
     return (
         cand.join(F.broadcast(sketch), ["j", "col"])
         .groupBy("l_suppkey", "n")

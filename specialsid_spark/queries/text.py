@@ -1486,14 +1486,24 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     A 100 TB corpus scores in one pass with only query-term postings
     ever shuffled."""
     d = load_parallel(spark, sf_dir, "documents")
-    t = d.select("doc_id", tokens("text").alias("ts")).localCheckpoint(eager=True)
-    dl = t.select("doc_id", F.size("ts").cast("long").alias("dl"))
-    tot = dl.agg(
+    # r13 s3 opt: the checkpoint used to hold the FULL tokenized corpus
+    # (every token array); one named projection now reduces each doc to
+    # (dl, query-term slice) IN the scan task, so the materialized
+    # barrier holds two ints and a <=|query|-term array per doc —
+    # same single-tokenize shape, corpus bytes never materialized.
+    t = d.select("doc_id", tokens("text").alias("ts"))
+    p = t.select(
+        "doc_id",
+        F.size("ts").cast("long").alias("dl"),
+        F.filter(
+            F.col("ts"), lambda x: x.isin("table", "hash", "merge")
+        ).alias("qts"),
+    ).localCheckpoint(eager=True)
+    dl = p.select("doc_id", "dl")
+    tot = p.agg(
         F.sum("dl").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("n")
     )
-    occ = t.select(
-        "doc_id", F.explode("ts").alias("term")
-    ).filter(F.col("term").isin("table", "hash", "merge"))
+    occ = p.select("doc_id", F.explode("qts").alias("term"))
     tf = occ.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
     df = occ.groupBy("term").agg(F.countDistinct("doc_id").cast("long").alias("df"))
     w = (
