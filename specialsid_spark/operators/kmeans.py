@@ -186,7 +186,64 @@ def kmeans_fit(
             new[cid] = [_floored_mean(s, cnt[cid]) for s in vec]
         centroids = new
 
-    return centroids, assign_clusters_np(mu_df, centroids)
+    # Final assignment: the codegen'd SQL twin, NOT assign_clusters_np
+    # (r14 cold A/B): the iteration partials emit k×d rows per batch, so
+    # only the input crosses the Arrow boundary — but the final
+    # assignment's OUTPUT is the whole (vec_id, mu, cid) frame, and
+    # shipping every mu back JVM→Python→JVM measured 2.5× slower than
+    # evaluating the k×d-literal expressions in place (0.32 s vs 0.13 s
+    # per materialization at sf0.1).  Bit-identical cids either way
+    # (tests/test_kmeans.py pins the twins).
+    return centroids, assign_clusters(mu_df, centroids)
+
+
+def kmeans_stats(
+    mu_df: DataFrame, centroids: list[list[int]]
+) -> tuple[dict[int, int], int]:
+    """Per-cluster sizes AND total within-cluster squared distance in
+    ONE corpus pass (r14 opt): the quantizer report previously persisted
+    the assignment, ran the inertia when-chain aggregate, then a count
+    groupBy — three jobs over the same rows.  One numpy batch kernel
+    computes the distance matrix once, takes its row-min for inertia and
+    its argmin for the cluster id, and emits ≤k (cid, n, d2_sum) partial
+    rows per Arrow batch; the driver folds partials as Python ints
+    (arbitrary precision — a superset of the old F.sum(long) domain).
+    Returns ({cid: n_vectors}, total_inertia)."""
+    import numpy as np  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    cents = np.array(centroids, dtype=np.int64)
+
+    def partials(it, cents=cents):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["mu"].to_numpy()).astype(np.int64, copy=False)
+            d2 = (
+                (x * x).sum(axis=1)[:, None]
+                - 2 * (x @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            cid = d2.argmin(axis=1)
+            best = d2[np.arange(len(cid)), cid]
+            cs = np.unique(cid)
+            # exact int64 per-cluster sums (bincount weights are float64
+            # and would round above 2^53; d2 sums reach ~2.6e18/batch)
+            yield pd.DataFrame(
+                {
+                    "cid": cs.astype("int32"),
+                    "n": [int(np.count_nonzero(cid == c)) for c in cs],
+                    "s": [int(best[cid == c].sum()) for c in cs],
+                }
+            )
+
+    counts: dict[int, int] = {}
+    total = 0
+    for r in mu_df.mapInPandas(partials, "cid int, n long, s long").collect():
+        counts[r.cid] = counts.get(r.cid, 0) + int(r.n)
+        total += int(r.s)
+    return counts, total
 
 
 def inertia(assigned: DataFrame, centroids: list[list[int]]) -> int:

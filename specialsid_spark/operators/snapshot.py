@@ -180,6 +180,72 @@ def snapshot_commit(
     return new_version
 
 
+def snapshot_commit_generations(
+    df: DataFrame, path: str, gen_col: str, gens: list
+) -> list[int]:
+    """Commit ``len(gens)`` consecutive append versions from ONE write
+    job (r14 opt): ``df`` is written once, partitioned by ``gen_col``
+    (directory-encoded, so data files carry only the payload columns),
+    and version *i* references the files of ``gens[:i+1]`` plus any
+    inherited parent files — byte-for-byte the manifest chain that
+    ``len(gens)`` separate :func:`snapshot_commit` append calls would
+    produce from the same row sets, at one Spark job instead of N.
+    The build-then-add shape (ivf incremental add) uses this: base and
+    batch postings come off one assignment pass, so writing them
+    separately re-ran the write machinery twice for rows already
+    sitting in the same frame.  Returns the committed version numbers
+    in order; the LAST manifest rename is the visibility point for the
+    final version (each earlier version becomes visible exactly when
+    its own manifest lands, preserving per-version atomicity)."""
+    root = Path(path)
+    versions = snapshot_versions(path)
+    first_version = (versions[-1] + 1) if versions else 1
+    commit_id = f"v{first_version}-{uuid.uuid4().hex[:8]}"
+    data_dir = root / "data" / commit_id
+    df.write.mode("error").partitionBy(gen_col).parquet(str(data_dir))
+
+    inherited: list[str] = []
+    inherited_stats: dict = {}
+    inherited_dvs: list[str] = []
+    if versions:
+        parent = _read_manifest(path, versions[-1])
+        inherited = parent["files"]
+        inherited_stats = parent.get("stats", {})
+        inherited_dvs = list(parent.get("deletes", []))
+
+    mdir = _manifest_dir(path)
+    mdir.mkdir(parents=True, exist_ok=True)
+    out: list[int] = []
+    files = list(inherited)
+    parent_v = versions[-1] if versions else None
+    for i, g in enumerate(gens):
+        gdir = data_dir / f"{gen_col}={g}"
+        files = files + sorted(
+            str(p.relative_to(root))
+            for p in gdir.rglob("*.parquet")
+            if p.is_file()
+        )
+        v = first_version + i
+        manifest = {
+            "version": v,
+            "parent": parent_v,
+            "op": "append",
+            "files": files,
+        }
+        if inherited_stats:
+            manifest["stats"] = {
+                f: s for f, s in inherited_stats.items() if f in set(files)
+            }
+        if inherited_dvs:
+            manifest["deletes"] = inherited_dvs
+        tmp = mdir / f"v{v}.json.tmp"
+        tmp.write_text(json.dumps(manifest, indent=1))
+        os.rename(tmp, mdir / f"v{v}.json")  # per-version commit point
+        parent_v = v
+        out.append(v)
+    return out
+
+
 def snapshot_version_by_tag(path: str, tag: str) -> int | None:
     """The version whose manifest carries ``tag``, or None — the replay
     check for tagged (streaming) commits."""

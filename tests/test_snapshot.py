@@ -808,3 +808,40 @@ def test_multi_file_bootstrap_commit_reads_back_identically(spark, tmp_path):
     assert set(m["files"]) <= set(m2["files"])
     got2 = sorted(r.id for r in snapshot_read(spark, t, 2).collect())
     assert got2 == list(range(1010))
+
+
+def test_commit_generations_matches_sequential_appends(spark, tmp_path):
+    """r14: snapshot_commit_generations writes once and commits N
+    append versions whose per-version row sets equal N sequential
+    snapshot_commit appends of the same slices — and the generation
+    column is directory-encoded, never part of the read schema."""
+    from pyspark.sql import functions as F
+
+    from specialsid_spark.operators.snapshot import snapshot_commit_generations
+
+    base = _df(spark, 0, 80).withColumn("gen", F.lit(0))
+    batch = _df(spark, 80, 100).withColumn("gen", F.lit(1))
+    t = str(tmp_path / "gen_tbl")
+    assert snapshot_commit_generations(
+        base.unionByName(batch), t, "gen", [0, 1]
+    ) == [1, 2]
+    assert snapshot_versions(t) == [1, 2]
+    v1 = snapshot_read(spark, t, 1)
+    v2 = snapshot_read(spark, t, 2)
+    assert v1.columns == ["id", "v"]  # gen directory-encoded, not in files
+    assert sorted(r.id for r in v1.collect()) == list(range(80))
+    assert sorted(r.id for r in v2.collect()) == list(range(100))
+    # the twin built from two sequential appends is version-for-version identical
+    t2 = str(tmp_path / "seq_tbl")
+    snapshot_commit(_df(spark, 0, 80), t2)
+    snapshot_commit(_df(spark, 80, 100), t2, mode="append")
+    for v in (1, 2):
+        a = sorted((r.id, r.v) for r in snapshot_read(spark, t, v).collect())
+        b = sorted((r.id, r.v) for r in snapshot_read(spark, t2, v).collect())
+        assert a == b
+    # a later append chains onto the generational versions normally
+    assert snapshot_commit(_df(spark, 100, 110), t, mode="append") == 3
+    assert snapshot_read(spark, t).count() == 110
+    # vacuum keeps every retained generation readable
+    snapshot_vacuum(t, keep_last=3)
+    assert snapshot_read(spark, t, 1).count() == 80
