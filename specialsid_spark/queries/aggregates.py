@@ -1483,11 +1483,13 @@ def _qdigest_build_spark(
     partial DIGESTS (each <= ~3k nodes by the compression guarantee)
     and finishes levels s..1.  Result is bit-identical to the global
     single-pass build, so the existing SQL oracle re-derives it."""
+    import numpy as np  # noqa: PLC0415
+
     import pandas as pd  # noqa: PLC0415
 
     from specialsid_spark.operators.qdigest import (  # noqa: PLC0415
+        _compress_levels_arrays,
         compress_levels,
-        hist_to_leaves,
     )
 
     if thr_override is not None:
@@ -1503,13 +1505,21 @@ def _qdigest_build_spark(
     shift = level_bits - subtree_bits
 
     def compress_subtree(pdf: pd.DataFrame) -> pd.DataFrame:
-        hist = dict(zip((int(x) for x in pdf["v"]), (int(x) for x in pdf["cnt"])))
-        cnt = compress_levels(
-            hist_to_leaves(hist, level_bits), thr, level_bits, down_to=subtree_bits
+        # array-native leaf lift + vectorized level pass (r14 opt,
+        # guide §4.2): the dict round-trip plus the pure-Python merge
+        # loop dominated the build job.  v is unique per subtree group
+        # (histogram keys), the _compress_levels_arrays precondition.
+        v = pdf["v"].to_numpy(np.int64)
+        if v.size and (v.min() < 0 or v.max() >= (1 << level_bits)):
+            raise ValueError(f"qdigest: value outside [0, 2^{level_bits})")
+        nodes, cnts = _compress_levels_arrays(
+            (1 << level_bits) + v,
+            pdf["cnt"].to_numpy(np.int64),
+            thr,
+            level_bits,
+            subtree_bits,
         )
-        return pd.DataFrame(
-            {"node": list(cnt.keys()), "cnt": list(cnt.values())}
-        ).astype("int64")
+        return pd.DataFrame({"node": nodes, "cnt": cnts})
 
     partial = (
         hist_df.withColumn("subtree", F.expr(f"CAST(v DIV {1 << shift} AS LONG)"))
@@ -1535,24 +1545,32 @@ def _qdigest_build_spark_multi(
 
     ``tagged_hist``: (tag long, v long, cnt long); caller supplies the
     global threshold (the two-pass contract)."""
+    import numpy as np  # noqa: PLC0415
+
     import pandas as pd  # noqa: PLC0415
 
     from specialsid_spark.operators.qdigest import (  # noqa: PLC0415
+        _compress_levels_arrays,
         compress_levels,
-        hist_to_leaves,
     )
 
     shift = level_bits - subtree_bits
 
     def compress_subtree(pdf: pd.DataFrame) -> pd.DataFrame:
+        # array-native twin of _qdigest_build_spark's compressor (r14
+        # opt, guide §4.2) — see the note there
         tag = int(pdf["tag"].iloc[0])
-        hist = dict(zip((int(x) for x in pdf["v"]), (int(x) for x in pdf["cnt"])))
-        cnt = compress_levels(
-            hist_to_leaves(hist, level_bits), thr, level_bits, down_to=subtree_bits
+        v = pdf["v"].to_numpy(np.int64)
+        if v.size and (v.min() < 0 or v.max() >= (1 << level_bits)):
+            raise ValueError(f"qdigest: value outside [0, 2^{level_bits})")
+        nodes, cnts = _compress_levels_arrays(
+            (1 << level_bits) + v,
+            pdf["cnt"].to_numpy(np.int64),
+            thr,
+            level_bits,
+            subtree_bits,
         )
-        return pd.DataFrame(
-            {"tag": tag, "node": list(cnt.keys()), "cnt": list(cnt.values())}
-        ).astype("int64")
+        return pd.DataFrame({"tag": tag, "node": nodes, "cnt": cnts})
 
     partial = (
         tagged_hist.withColumn(

@@ -193,3 +193,50 @@ def test_merge_preserves_counts_and_2x_bound():
         est = qdigest_quantile(merged, L, r)
         rank_le = sum(1 for v in svals if v <= est)
         assert abs(rank_le - r) <= 2 * L * thr, p
+
+
+def test_vectorized_pass_matches_reference_loop():
+    """r14: compress_levels evaluates through the numpy level pass;
+    it must be node-for-node identical to the reference Python loop on
+    dense, sparse, skewed and pre-merged (internal-node) inputs, at
+    every cut level."""
+    from specialsid_spark.operators.qdigest import (
+        _compress_levels_py,
+        compress_levels,
+        hist_to_leaves,
+    )
+
+    rng = random.Random(14)
+    L = 12
+    cases = [
+        {v: rng.randrange(1, 5) for v in rng.sample(range(1 << L), 2000)},
+        {v: 1 for v in range(100)},  # dense block
+        {0: 50_000, (1 << L) - 1: 1},  # extreme skew
+        {rng.randrange(1 << L): rng.randrange(1, 1000) for _ in range(300)},
+    ]
+    for hist in cases:
+        n = sum(hist.values())
+        for k in (4, 64):
+            thr = max(1, n // k)
+            for down_to in (0, 6):
+                got = compress_levels(
+                    hist_to_leaves(hist, L), thr, L, down_to=down_to
+                )
+                want = _compress_levels_py(
+                    hist_to_leaves(hist, L), thr, L, down_to=down_to
+                )
+                assert got == want
+    # internal-node inputs: a merged digest re-compressed (the
+    # merge_qdigests path hands compress_levels non-leaf nodes)
+    h1 = {v: 1 for v in range(0, 512, 2)}
+    h2 = {v: 3 for v in range(1, 512, 3)}
+    thr = max(1, (sum(h1.values()) + sum(h2.values())) // 16)
+    d1 = compress_levels(hist_to_leaves(h1, L), thr, L)
+    d2 = compress_levels(hist_to_leaves(h2, L), thr, L)
+    merged = {}
+    for d in (d1, d2):
+        for node, c in d.items():
+            merged[node] = merged.get(node, 0) + c
+    assert compress_levels(dict(merged), thr, L) == _compress_levels_py(
+        dict(merged), thr, L
+    )
