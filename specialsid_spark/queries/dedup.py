@@ -2125,8 +2125,10 @@ def dedup_incremental_lsh(
     # signature pass is bit-identical to signing each day's slice —
     # but scans the parquet text once instead of three times and runs
     # one signature shuffle instead of three.  The checkpoint bounds
-    # every downstream gate join to the materialized band rows.
-    bk = lsh_band_keys(d).localCheckpoint(eager=True)
+    # every downstream gate join to the materialized band rows; LAZY
+    # (r14): the day-0 bootstrap commit is the first action over it,
+    # so the signature pass and the bootstrap write are ONE job.
+    bk = lsh_band_keys(d).localCheckpoint(eager=False)
 
     def day_bands(n: int) -> DataFrame:
         return bk.filter(F.col("doc_id") % 3 == n)
@@ -2203,7 +2205,12 @@ def dedup_incremental_lsh(
                 F.col("hi").cast("int").alias("hit_intra"),
                 ((F.col("hc") + F.col("hi")) == 0).cast("int").alias("admitted"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint (r14): the append commit below is the
+            # first action over the verdict frame, so probe + verdict +
+            # admitted-band write run as ONE job and the returned frame
+            # reuses the blocks that job materialized (was: an eager
+            # materialization job, then the write job re-read it)
+            .localCheckpoint(eager=False)
         )
         admitted = res.filter(F.col("admitted") == 1).select("doc_id")
         admitted_bands = bb.join(admitted, "doc_id").select("band", "bkey")
@@ -2907,9 +2914,11 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # voted from its OWN tokens, so slicing the probe rows by day
     # AFTER the pass is bit-identical to signing each day's slice —
     # one parquet text scan and one vote shuffle instead of three.
+    # LAZY (r14): the day-0 bootstrap commit materializes it, so the
+    # signature pass and the bootstrap write are ONE job.
     bp_all = simhash_probes(
         _simhash_block_sigs(spark, sf_dir, 32, docs=d)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     def day_probes(n: int) -> DataFrame:
         return bp_all.filter(F.col("doc_id") % 3 == n)
@@ -2966,7 +2975,10 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("hi").cast("int").alias("hit_intra"),
                 ((F.col("hc") + F.col("hi")) == 0).cast("int").alias("admitted"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint (r14): the append commit below
+            # materializes it — probe + verdict + write are ONE job
+            # (see the LSH gate note)
+            .localCheckpoint(eager=False)
         )
         admitted = res.filter(F.col("admitted") == 1).select("doc_id")
         snapshot_commit(
