@@ -686,7 +686,10 @@ def _radius3_pairs(sigs: DataFrame) -> DataFrame:
     millions of candidate rows), so xor+popcount verification happens
     IN the join projection and the dedup `distinct` runs on the small
     post-filter pair set, not the raw candidates."""
-    sigs = sigs.localCheckpoint(eager=True)
+    # lazy barrier (r14): both probe sides of the self-join read the
+    # checkpointed signature blocks computed once inside the pair job —
+    # the eager variant spent a whole extra job materializing them first
+    sigs = sigs.localCheckpoint(eager=False)
     probes = sigs.select(
         "doc_id",
         *[F.col(f"blk{b}") for b in range(4)],
@@ -807,7 +810,7 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (hash, toks), so document bytes never leave the scan task.
     tk = d.select(
         "doc_id", F.md5("text").alias("h"), tokens("text").alias("toks")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     n = F.size("toks")
     votes = {
         lang: F.size(F.filter(F.col("toks"), _markers_filter(markers)))
@@ -827,7 +830,7 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
     # checkpoint barrier: the self-join below would otherwise re-derive
     # the shingle+minhash pipeline once per side
-    lsh_bands = lsh_band_keys(tk).localCheckpoint(eager=True)
+    lsh_bands = lsh_band_keys(tk).localCheckpoint(eager=False)
     near_dupes = (
         lsh_bands.alias("a")
         .join(
@@ -3048,7 +3051,7 @@ def cur_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-split it); document bytes never leave the scan task.
     tk = d.select(
         "doc_id", "source", "lang", tokens("text").alias("toks")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     bk = lsh_band_keys(tk)
     mins = bk.groupBy("band", "bkey").agg(F.min("doc_id").alias("m"))
     dup = (
@@ -3166,7 +3169,7 @@ def cur_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # document bytes now never leave the scan task.
     tk = d.select(
         "doc_id", F.md5("text").alias("h"), tokens("text").alias("toks")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     emins = tk.groupBy("h").agg(F.min("doc_id").alias("m"))
     exact = (
         tk.select("doc_id", "h")
@@ -3183,7 +3186,7 @@ def cur_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bp = simhash_probes(
         _simhash_block_sigs(spark, sf_dir, 32, docs=tk)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     lower = bp.select(
         F.col("doc_id").alias("doc_b"),
         "band",
