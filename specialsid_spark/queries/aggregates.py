@@ -815,7 +815,9 @@ def agg_kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.withColumn("rn", F.row_number().over(wnd))
         .where(F.col("rn") <= _KMV_K)
         .select("side", "hv")
-        .localCheckpoint(eager=True)
+        # lazy (r14): the first count job materializes the <=2k-row
+        # sketch; the later jobs reuse the blocks
+        .localCheckpoint(eager=False)
     )
     s0 = sk.where(F.col("side") == 0).select("hv")
     s1 = sk.where(F.col("side") == 1).select("hv")
@@ -933,7 +935,8 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("g", "c")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .localCheckpoint(eager=True)
+        # lazy (r14): the subtree-totals job materializes the histogram
+        .localCheckpoint(eager=False)
     )
     shift = 14
     per_g: dict[str, list[tuple[int, int]]] = {}
@@ -1135,7 +1138,8 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("c"))
         .groupBy("c")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .localCheckpoint(eager=True)
+        # lazy (r14): the subtree-totals job materializes the histogram
+        .localCheckpoint(eager=False)
     )
     shift = 16
     totals = sorted(
