@@ -111,6 +111,33 @@ def assign_clusters_np(mu_df: DataFrame, centroids: list[list[int]]) -> DataFram
     return mu_df.mapInPandas(assign, schema)
 
 
+def assign_clusters_udf(mu_df: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Third twin of :func:`assign_clusters` (r14): `cid` as ONE
+    vectorized pandas_udf over the ``mu`` column only.  The numpy
+    matmul crosses the Arrow boundary once INWARD (mu) and returns a
+    single int column — half the transfer of the mapInPandas twin
+    (which shipped every mu back out, measured 2.5× the SQL kernel at
+    sf0.1) and none of the serial interpreted cost of the k×d-literal
+    HOF CASE on a narrow scan (measured +38% on sim_ivf_trained_topk at
+    sf1, where the natural layout is one row group).  Bit-identical
+    cids (tests/test_kmeans.py pins all three twins)."""
+    import numpy as np  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    cents = np.array(centroids, dtype=np.int64)
+
+    def _cid_of(mu):
+        if len(mu) == 0:
+            return pd.Series([], dtype="int32")
+        x = np.stack(mu.to_numpy()).astype(np.int64, copy=False)
+        return pd.Series(_np_cids(x, cents).astype("int32"))
+
+    cid_of = F.pandas_udf(_cid_of, "int", F.PandasUDFType.SCALAR)
+
+    return mu_df.withColumn("cid", cid_of("mu"))
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -186,15 +213,13 @@ def kmeans_fit(
             new[cid] = [_floored_mean(s, cnt[cid]) for s in vec]
         centroids = new
 
-    # Final assignment: the codegen'd SQL twin, NOT assign_clusters_np
-    # (r14 cold A/B): the iteration partials emit k×d rows per batch, so
-    # only the input crosses the Arrow boundary — but the final
-    # assignment's OUTPUT is the whole (vec_id, mu, cid) frame, and
-    # shipping every mu back JVM→Python→JVM measured 2.5× slower than
-    # evaluating the k×d-literal expressions in place (0.32 s vs 0.13 s
-    # per materialization at sf0.1).  Bit-identical cids either way
-    # (tests/test_kmeans.py pins the twins).
-    return centroids, assign_clusters(mu_df, centroids)
+    # Final assignment: the cid-only pandas_udf twin (r14) — only mu
+    # crosses the Arrow boundary inward and one int column returns, so
+    # it beats both the mapInPandas twin (shipped mu back out, 2.5× at
+    # sf0.1) and the interpreted k×d HOF CASE (serial on a one-row-
+    # group scan, +38% at sf1).  Bit-identical cids across all three
+    # twins (tests/test_kmeans.py).
+    return centroids, assign_clusters_udf(mu_df, centroids)
 
 
 def kmeans_stats(

@@ -833,7 +833,7 @@ def sim_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     from specialsid_spark.operators.kmeans import (
         _dist2_sql,
         _mu_vec,
-        assign_clusters,
+        assign_clusters_udf,
         kmeans_fit,
     )
     from specialsid_spark.operators.snapshot import snapshot_commit_generations
@@ -871,7 +871,7 @@ def sim_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the assignment itself is the codegen'd SQL kernel (r14 cold A/B —
     # shipping every mu through Arrow and back measured 2.5× the
     # in-place k×d-literal evaluation).
-    assigned = assign_clusters(mu_df, centroids).localCheckpoint(eager=False)
+    assigned = assign_clusters_udf(mu_df, centroids).localCheckpoint(eager=False)
     snapshot_commit_generations(
         assigned.select(
             "vec_id", "cid", (F.col("vec_id") % 4 == 0).cast("int").alias("gen")

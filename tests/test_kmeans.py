@@ -127,6 +127,16 @@ def test_assign_clusters_np_matches_sql(spark, sf_dir):
         .collect()
     }
     assert np_map == sql_map
+    # third twin (r14): cid-only pandas_udf — same lattice, same ties
+    from specialsid_spark.operators.kmeans import assign_clusters_udf
+
+    udf_map = {
+        r.vec_id: r.cid
+        for r in assign_clusters_udf(mu_df, centroids)
+        .select("vec_id", "cid")
+        .collect()
+    }
+    assert udf_map == sql_map
 
 
 def test_grouped_kmeans_matches_ungrouped_on_single_group(spark, sf_dir):
