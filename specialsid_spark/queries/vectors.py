@@ -489,7 +489,30 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = load_parallel(spark, sf_dir, "embeddings")
+    # row-adaptive fan-out (r14): the partial-Gram kernel is one numpy
+    # matmul per Arrow batch, so each partition costs a fixed Arrow
+    # round-trip plus 2080 partial rows — a flat 32-way fan-out loses
+    # 27% on the 2k-row fixture, while NO fan-out loses 27% at the
+    # 20k-row sf1 layout (one row group -> one serial stack+floor+gemm
+    # task).  Sizing partitions to ~2k rows each wins at both scales;
+    # real multi-row-group corpora scan wide natively and skip the
+    # repartition entirely (load_parallel only fans out when the
+    # row-group count caps parallelism).
+    from specialsid_spark.catalog import _parquet_scan_units  # noqa: PLC0415
+    import os as _os  # noqa: PLC0415
+
+    try:
+        _, _rows = _parquet_scan_units(
+            _os.path.join(sf_dir, "embeddings.parquet")
+        )
+    except Exception:
+        _rows = 0
+    par = spark.sparkContext.defaultParallelism
+    width = min(par, _rows // 2048)
+    if width >= 2:
+        e = load_parallel(spark, sf_dir, "embeddings", partitions=width)
+    else:
+        e = load(spark, sf_dir, "embeddings")  # no exchange for one batch
     pairs = [(i, j) for i in range(_GRAM_DIM) for j in range(i, _GRAM_DIM)]
     iu = np.triu_indices(_GRAM_DIM)
     pair_df = spark.createDataFrame(
